@@ -1,0 +1,387 @@
+"""Aggregation operators (SURVEY.md SS2.5, A1-A16).
+
+The reference's analytics core is group-by slicing over the papers
+corpus: mean metric per slice, disparity = max-min across slices,
+under-representation vs the median slice size, distribution counts,
+column-level quality stats, and threshold/anomaly conditional
+aggregates (reference: databias/slicing_bias_analysis.py:208-229,
+300-319,388-401; Validation/schema_validator.py:135-350;
+databias/analyze_bias.py:64-136).
+
+Spark restatement: each slice analysis is one shuffle (partial
+aggregation map-side, merged reduce-side); the disparity/median
+cross-slice step runs over the already-tiny aggregate, so we keep it
+as an unpartitioned window rather than a driver collect. Dimension
+lookups broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..plans.registry import query
+from ..sources.tables import load_table
+
+
+@query(
+    "bias_slice_disparity",
+    oracle="""
+    WITH slices AS (
+        SELECT r.r_name AS slice_name,
+               ROUND(AVG(c.c_acctbal), 6) AS mean_acctbal,
+               COUNT(*) AS n_customers
+        FROM customer c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE c.c_acctbal IS NOT NULL
+        GROUP BY r.r_name
+    )
+    SELECT slice_name, mean_acctbal, n_customers,
+           ROUND(MAX(mean_acctbal) OVER () - MIN(mean_acctbal) OVER (), 6)
+               AS disparity
+    FROM slices
+    ORDER BY slice_name
+    """,
+)
+def bias_slice_disparity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: the reference's bias-slice analysis re-expressed.
+
+    Mean metric per slice + cross-slice disparity (max-min), the
+    MetricFrame/disparity pipeline of slicing_bias_analysis.py:208-229
+    and :388-401 (A1+A10+A11), with the domain dict-lookup (D5)
+    generalized to broadcast dimension joins.
+
+    Scale shape: fact scans shuffle once on the group key; region and
+    nation are broadcast (5/25 rows at any SF) so the join adds no
+    shuffle; the disparity window runs over ~#slices rows.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+
+    slices = (
+        customer.filter(F.col("c_acctbal").isNotNull())
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("r_name").alias("slice_name"))
+        .agg(
+            F.round(F.avg("c_acctbal"), 6).alias("mean_acctbal"),
+            F.count("*").alias("n_customers"),
+        )
+    )
+    w = Window.partitionBy()  # #slices rows; single-partition window is fine
+    return slices.withColumn(
+        "disparity",
+        F.round(F.max("mean_acctbal").over(w) - F.min("mean_acctbal").over(w), 6),
+    ).orderBy("slice_name")
+
+
+@query(
+    "pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 6) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 6) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
+           ROUND(AVG(l_quantity), 6) AS avg_qty,
+           ROUND(AVG(l_discount), 6) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-aggregate slicing (A2): the groupby(...).agg(['mean',
+    'count','sum']) pattern of slicing_bias_analysis.py:234 and
+    visualization_generator.py:157,211, in TPC-H Q1 shape.
+
+    The shipdate predicate pushes down to the parquet scan; the
+    aggregate is one shuffle with map-side partial aggregation.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 6).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "value_counts",
+    oracle="""
+    SELECT o_orderpriority AS value, COUNT(*) AS count
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY count DESC, value
+    """,
+)
+def value_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution count (A4): pandas ``value_counts()`` over
+    year/domain/quality (schema_validator.py:200-235,
+    visualization_generator.py:66-200) = groupBy().count() with a
+    deterministic (count desc, value) order."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.col("o_orderpriority").alias("value"))
+        .agg(F.count("*").alias("count"))
+        .orderBy(F.desc("count"), "value")
+    )
+
+
+@query(
+    "group_size_median",
+    oracle="""
+    WITH sizes AS (
+        SELECT c_mktsegment AS grp, COUNT(*) AS n
+        FROM customer
+        GROUP BY c_mktsegment
+    )
+    SELECT grp, n,
+           ROUND(MEDIAN(n) OVER (), 6) AS median_n,
+           CASE WHEN n < 0.8 * MEDIAN(n) OVER () THEN TRUE ELSE FALSE END
+               AS under_represented
+    FROM sizes
+    ORDER BY grp
+    """,
+)
+def group_size_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Under-representation analysis (A3): group sizes vs the median
+    slice size flag which groups need mitigation re-collection
+    (slicing_bias_analysis.py:300-319). Median over the tiny aggregate
+    runs as an unpartitioned window, not a driver collect."""
+    customer = load_table(spark, sf_dir, "customer")
+    sizes = customer.groupBy(F.col("c_mktsegment").alias("grp")).agg(
+        F.count("*").alias("n")
+    )
+    w = Window.partitionBy()
+    return (
+        sizes.withColumn("median_n", F.round(F.expr("median(n)").over(w), 6))
+        .withColumn("under_represented", F.col("n") < 0.8 * F.col("median_n"))
+        .orderBy("grp")
+    )
+
+
+@query(
+    "column_stats",
+    oracle="""
+    SELECT 'o_totalprice' AS column_name,
+           COUNT(*) AS n_rows,
+           COUNT(o_totalprice) AS n_present,
+           COUNT(*) - COUNT(o_totalprice) AS n_missing,
+           ROUND(AVG(o_totalprice), 6) AS mean,
+           ROUND(MIN(o_totalprice), 6) AS min,
+           ROUND(MAX(o_totalprice), 6) AS max,
+           ROUND(STDDEV_SAMP(o_totalprice), 6) AS stddev
+    FROM orders
+    """,
+)
+def column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level quality stats (A6): per-column mean/min/max/missing
+    of the observed-schema snapshot (schema_validator.py:304-331). One
+    pass, all aggregates fused in a single stage."""
+    orders = load_table(spark, sf_dir, "orders")
+    c = F.col("o_totalprice")
+    return orders.agg(
+        F.lit("o_totalprice").alias("column_name"),
+        F.count("*").alias("n_rows"),
+        F.count(c).alias("n_present"),
+        (F.count("*") - F.count(c)).alias("n_missing"),
+        F.round(F.avg(c), 6).alias("mean"),
+        F.round(F.min(c), 6).alias("min"),
+        F.round(F.max(c), 6).alias("max"),
+        F.round(F.stddev_samp(c), 6).alias("stddev"),
+    )
+
+
+@query(
+    "top_decile_mean",
+    oracle="""
+    SELECT ROUND(AVG(o_totalprice), 6) AS top_decile_mean,
+           COUNT(*) AS n_top
+    FROM orders
+    WHERE o_totalprice >= (
+        SELECT QUANTILE_CONT(o_totalprice, 0.9) FROM orders
+    )
+    """,
+)
+def top_decile_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Citation-skew stat (A7): mean of the top decile
+    (analyze_bias.py:94-100 ``nlargest(0.1*n).mean()``), restated as
+    exact-percentile cutoff + filtered aggregate. The scalar cutoff is
+    a 1-row broadcast cross join, not a collect; at extreme scale the
+    exact percentile can be swapped for approx_percentile."""
+    orders = load_table(spark, sf_dir, "orders")
+    cutoff = orders.agg(
+        F.expr("percentile(o_totalprice, 0.9)").alias("_cutoff")
+    )
+    return (
+        orders.join(F.broadcast(cutoff))
+        .filter(F.col("o_totalprice") >= F.col("_cutoff"))
+        .agg(
+            F.round(F.avg("o_totalprice"), 6).alias("top_decile_mean"),
+            F.count("*").alias("n_top"),
+        )
+    )
+
+
+@query(
+    "pivot_mean",
+    oracle="""
+    SELECT o_orderpriority,
+           ROUND(AVG(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 6) AS F,
+           ROUND(AVG(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 6) AS O,
+           ROUND(AVG(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 6) AS P
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def pivot_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot table (A9): subdomain x domain mean-citations matrix
+    (visualization_generator.py:393-404). Pivot values are declared
+    explicitly so Spark skips the extra distinct-values job."""
+    orders = load_table(spark, sf_dir, "orders")
+    piv = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.round(F.avg("o_totalprice"), 6))
+        .orderBy("o_orderpriority")
+    )
+    return piv
+
+
+@query(
+    "conditional_agg_anomaly",
+    oracle="""
+    WITH rates AS (
+        SELECT
+            ROUND(AVG(CASE WHEN l_discount = 0 THEN 1.0 ELSE 0.0 END), 6)
+                AS zero_discount_rate,
+            ROUND(AVG(CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END), 6)
+                AS return_rate,
+            COUNT(*) AS n_rows
+        FROM lineitem
+    )
+    SELECT zero_discount_rate, return_rate, n_rows,
+           CASE WHEN return_rate > 0.8 THEN 'critical'
+                WHEN return_rate > 0.6 THEN 'warning'
+                ELSE 'ok' END AS severity
+    FROM rates
+    """,
+)
+def conditional_agg_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold anomaly checks (A13/P3): share-above-threshold rates
+    with severity classification (schema_validator.py:135-237 --
+    extraction-failure%, zero-citation%, top-domain concentration).
+    Conditional aggregates avg(when(...)) fuse into one scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rates = li.agg(
+        F.round(
+            F.avg(F.when(F.col("l_discount") == 0, 1.0).otherwise(0.0)), 6
+        ).alias("zero_discount_rate"),
+        F.round(
+            F.avg(F.when(F.col("l_returnflag") == "R", 1.0).otherwise(0.0)), 6
+        ).alias("return_rate"),
+        F.count("*").alias("n_rows"),
+    )
+    return rates.withColumn(
+        "severity",
+        F.when(F.col("return_rate") > 0.8, "critical")
+        .when(F.col("return_rate") > 0.6, "warning")
+        .otherwise("ok"),
+    )
+
+
+@query(
+    "group_describe",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(c_acctbal) AS count,
+           ROUND(AVG(c_acctbal), 6) AS mean,
+           ROUND(STDDEV_SAMP(c_acctbal), 6) AS std,
+           ROUND(MIN(c_acctbal), 6) AS min,
+           ROUND(QUANTILE_CONT(c_acctbal, 0.25), 6) AS p25,
+           ROUND(QUANTILE_CONT(c_acctbal, 0.50), 6) AS p50,
+           ROUND(QUANTILE_CONT(c_acctbal, 0.75), 6) AS p75,
+           ROUND(MAX(c_acctbal), 6) AS max
+    FROM customer
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def group_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped describe (A8): ``groupby(...)['x'].describe()`` of
+    analyze_bias.py:126 -- count/mean/std/min/quartiles/max per group.
+    Exact percentiles here (small group count); approx_percentile is
+    the drop-in at extreme cardinality."""
+    customer = load_table(spark, sf_dir, "customer")
+    c = F.col("c_acctbal")
+    return (
+        customer.groupBy("c_mktsegment")
+        .agg(
+            F.count(c).alias("count"),
+            F.round(F.avg(c), 6).alias("mean"),
+            F.round(F.stddev_samp(c), 6).alias("std"),
+            F.round(F.min(c), 6).alias("min"),
+            F.round(F.expr("percentile(c_acctbal, 0.25)"), 6).alias("p25"),
+            F.round(F.expr("percentile(c_acctbal, 0.50)"), 6).alias("p50"),
+            F.round(F.expr("percentile(c_acctbal, 0.75)"), 6).alias("p75"),
+            F.round(F.max(c), 6).alias("max"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "rollup_slices",
+    oracle="""
+    SELECT COALESCE(r.r_name, 'ALL') AS region_name,
+           COALESCE(n.n_name, 'ALL') AS nation_name,
+           ROUND(SUM(c.c_acctbal), 6) AS total_acctbal,
+           COUNT(*) AS n_customers
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    ORDER BY region_name, nation_name
+    """,
+)
+def rollup_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical slice rollup -- the multi-level slice summary the
+    reference computes with separate groupbys per level
+    (slicing_bias_analysis.py:208-213 does domain, subdomain, year
+    independently), fused into one ROLLUP pass (SURVEY.md SS2.5 notes
+    this as a free Spark win). One shuffle instead of one per level."""
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    joined = customer.join(
+        F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+    ).join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.round(F.sum("c_acctbal"), 6).alias("total_acctbal"),
+            F.count("*").alias("n_customers"),
+        )
+        .select(
+            F.coalesce(F.col("r_name"), F.lit("ALL")).alias("region_name"),
+            F.coalesce(F.col("n_name"), F.lit("ALL")).alias("nation_name"),
+            "total_acctbal",
+            "n_customers",
+        )
+        .orderBy("region_name", "nation_name")
+    )
