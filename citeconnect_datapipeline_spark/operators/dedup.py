@@ -1,1 +1,305 @@
-"""placeholder — filled in this round."""
+"""Deduplication operators (SURVEY.md SS2.4 D1-D7 + training-data
+dedup suite: exact-hash, n-gram Jaccard, MinHash-LSH, SimHash).
+
+The reference dedups on exact ``paperId`` with pandas
+``drop_duplicates(keep='first')`` (Ingestion/main.py:576-595,
+Processing/upload_papers_to_supabase.py:306-316) and detects
+duplicates for QA via ``duplicated().sum()``
+(Validation/schema_validator.py:163-179). "Keep first" relies on
+pandas row order; Spark has no row order, so every keep-first here is
+a ``row_number()`` window over an explicit deterministic tie-break --
+the same ordering is encoded in the oracle SQL (SURVEY.md SS7.4).
+
+Near-duplicate detection (the north-star extension, SURVEY.md T9) is
+built shuffle-consciously: shingle -> per-doc distinct -> self-join on
+shingle (the blocking key) -> per-pair overlap count -> Jaccard. The
+LSH variant replaces the full shingle join with banded min-hash
+buckets so candidate generation is O(near-dups), not O(n^2) -- that is
+the 100 TB path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..plans.registry import query
+from ..sources.tables import load_table
+
+# Shared shingling: lowercase, split on non-alphanumerics, 3-word
+# shingles. Kept identical between Spark and the DuckDB oracles.
+def _shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """doc_id -> exploded distinct n-word shingles (blocking keys)."""
+    words = F.split(F.lower(F.col(text_col)), "[^a-z0-9]+")
+    # index i runs 1..len-n+1; slice(words, i, n) is the i-th shingle
+    shingle_arr = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+    )
+    return (
+        df.select("doc_id", F.explode(shingle_arr).alias("shingle"))
+        .filter(F.col("shingle") != "")
+        .distinct()
+    )
+
+
+@query(
+    "dedup_keep_first",
+    oracle="""
+    WITH ranked AS (
+        SELECT l_orderkey, l_linenumber, l_partkey, l_quantity,
+               ROW_NUMBER() OVER (
+                   PARTITION BY l_orderkey
+                   ORDER BY l_linenumber, l_partkey
+               ) AS rn
+        FROM lineitem
+    )
+    SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
+    FROM ranked WHERE rn = 1
+    ORDER BY l_orderkey
+    """,
+)
+def dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed dedup with deterministic keep-first (D1/D2): pandas
+    ``drop_duplicates(subset='paperId', keep='first')`` restated as a
+    row_number window with an explicit tie-break. One shuffle on the
+    dedup key; at scale AQE splits skewed keys."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey")
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .orderBy("l_orderkey")
+    )
+
+
+@query(
+    "dup_detection",
+    oracle="""
+    SELECT l_orderkey AS key, COUNT(*) AS n_dups
+    FROM lineitem
+    GROUP BY l_orderkey
+    HAVING COUNT(*) > 1
+    ORDER BY n_dups DESC, key
+    """,
+)
+def dup_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-key QA scan (D7): ``df.duplicated().sum()`` /
+    ``nunique()`` anomaly check (schema_validator.py:163-179) as a
+    groupBy-count-filter. Partial aggregation makes this one cheap
+    shuffle even on 100 TB of keys."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(F.col("l_orderkey").alias("key"))
+        .agg(F.count("*").alias("n_dups"))
+        .filter(F.col("n_dups") > 1)
+        .orderBy(F.desc("n_dups"), "key")
+    )
+
+
+@query(
+    "exact_hash_dedup",
+    oracle="""
+    WITH hashed AS (
+        SELECT doc_id, md5(lower(text)) AS content_hash
+        FROM documents
+    ),
+    ranked AS (
+        SELECT doc_id, content_hash,
+               ROW_NUMBER() OVER (
+                   PARTITION BY content_hash ORDER BY doc_id
+               ) AS rn
+        FROM hashed
+    )
+    SELECT doc_id, content_hash FROM ranked WHERE rn = 1
+    ORDER BY doc_id
+    """,
+)
+def exact_hash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup for training-data pipelines: hash the
+    normalized text (md5 here; xxhash64 in production for speed),
+    keep the lowest doc_id per hash. Shuffles on the 128-bit hash, so
+    data skew is impossible by construction."""
+    docs = load_table(spark, sf_dir, "documents")
+    hashed = docs.select(
+        "doc_id", F.md5(F.lower(F.col("text"))).alias("content_hash")
+    )
+    w = Window.partitionBy("content_hash").orderBy("doc_id")
+    return (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "ngram_jaccard_topk",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, string_split_regex(lower(text), '[^a-z0-9]+') AS w
+        FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(list_slice(w, i, i + 2), ' ') AS shingle
+        FROM words, UNNEST(range(1, greatest(len(w) - 1, 2))) AS t(i)
+        WHERE array_to_string(list_slice(w, i, i + 2), ' ') <> ''
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT p.doc_a, p.doc_b,
+           ROUND(CAST(p.common AS DOUBLE) / (sa.n + sb.n - p.common), 6)
+               AS jaccard
+    FROM pairs p
+    JOIN sizes sa ON p.doc_a = sa.doc_id
+    JOIN sizes sb ON p.doc_b = sb.doc_id
+    ORDER BY jaccard DESC, doc_a, doc_b
+    LIMIT 20
+    """,
+)
+def ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram Jaccard near-dup (T9): 3-word shingles, self-join on
+    shingle as the blocking key, overlap count -> Jaccard, top-20
+    most-similar pairs with (doc_a, doc_b) tie-break.
+
+    Scale shape: the join key is the shingle, so candidate pairs are
+    generated only where docs actually share content; frequency-capped
+    blocking (drop shingles appearing in > K docs, like stopword
+    shingles) bounds the worst case -- see minhash_lsh_candidates for
+    the sub-quadratic variant.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingles(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        pairs.join(sa, pairs.doc_a == F.col("sa.doc_id"))
+        .join(sb, pairs.doc_b == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("common").cast("double")
+                / (F.col("sa.n") + F.col("sb.n") - F.col("common")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), "doc_a", "doc_b")
+        .limit(20)
+    )
+
+
+@query("minhash_lsh_candidates")  # rows-only: hash functions not portable SQL
+def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + banded LSH candidate pairs (T9 at 100 TB scale).
+
+    Signature: 16 min-hashes per doc (xxhash64 of shingle with per-
+    function salt), banded 4x4; docs sharing any band bucket become
+    candidates. Replaces the O(shared-shingle) self-join of
+    ngram_jaccard_topk with an O(near-dups) bucket join: at 100 TB the
+    shuffle carries 16 longs per doc instead of every shingle.
+
+    Entirely native Spark SQL (no UDF): shingle explode -> groupBy doc
+    with 16 min() aggregates -> band hashing -> self-join on
+    (band_idx, band_hash). Deterministic given the data, but hash
+    values are engine-specific -> rows-only correctness check.
+    """
+    num_hashes, band_size = 16, 4
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingles(docs)
+    # 16 salted min-hash aggregates, computed in one shuffle.
+    minhashes = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.concat(F.lit(f"salt{i}:"), F.col("shingle"))))
+            .alias(f"mh{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    # Bands: hash each contiguous group of band_size signatures.
+    bands = minhashes.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        *[
+                            F.col(f"mh{b * band_size + j}")
+                            for j in range(band_size)
+                        ]
+                    )
+                    for b in range(num_hashes // band_size)
+                ]
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@query("simhash_fingerprints")  # rows-only: engine-specific hash bits
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash document fingerprints (32-bit) for near-dup clustering.
+
+    Per doc: each shingle votes its hash bits (+1/-1); the sign of each
+    bit-position sum is the fingerprint bit. Docs at small Hamming
+    distance are near-dups. Native implementation: explode shingles,
+    explode 32 bit positions via transform+posexplode is avoided --
+    instead one aggregate per bit (32 conditional sums in a single
+    shuffle), keeping the plan whole-stage-codegen friendly.
+    """
+    bits = 32
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingles(docs).withColumn("h", F.xxhash64("shingle"))
+    votes = sh.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(1) == 1, 1)
+                .otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(bits)
+        ]
+    )
+    fingerprint = None
+    for i in range(bits):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1)).otherwise(F.lit(0))
+        term = (bit * F.lit(2**i)).cast("long")
+        fingerprint = term if fingerprint is None else fingerprint + term
+    return (
+        votes.select("doc_id", fingerprint.alias("simhash"))
+        .orderBy("doc_id")
+    )
