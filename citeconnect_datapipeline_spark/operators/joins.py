@@ -1,1 +1,207 @@
-"""placeholder — filled in this round."""
+"""Join operators (SURVEY.md SS2.4 D3-D6): anti/semi joins, broadcast
+dimension lookups, array semi-filters, citation-graph expansion.
+
+The reference's join-shaped logic is all set membership and dict
+lookup: skip-existing upsert via a Python ``set`` of DB ids
+(Processing/upload_papers_to_supabase.py:78-87,247-252), the
+``SUBDOMAIN_TO_DOMAIN`` reverse map
+(databias/slicing_bias_analysis.py:259-294), filtering each paper's
+``references_id`` array to ids present in the final dataset
+(Ingestion/main.py:597-608), and 1-hop citation-graph expansion
+(main.py:493-574). Here each becomes a real relational join so
+Catalyst can pick broadcast-hash vs sort-merge and AQE can fix skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.registry import query
+from ..sources.tables import load_table
+
+
+@query(
+    "anti_join_new_rows",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, c.c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+    )
+    ORDER BY c.c_custkey
+    """,
+)
+def anti_join_new_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-existing anti-join (D3): rows not yet present in the sink
+    (upload_papers_to_supabase.py:247-252 builds a Python id-set; here
+    a left-anti join that scales past driver memory). The probe side
+    streams; only ids shuffle."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        customer.join(
+            orders.select("o_custkey"),
+            customer.c_custkey == F.col("o_custkey"),
+            "left_anti",
+        )
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "semi_join_existing",
+    oracle="""
+    SELECT c.c_custkey, c.c_acctbal
+    FROM customer c
+    WHERE EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000
+    )
+    ORDER BY c.c_custkey
+    """,
+)
+def semi_join_existing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Membership semi-join (U5/D4 shape): keep rows whose key appears
+    in another set, without duplicating on multiplicity. The pushed
+    filter on the probe side prunes before the shuffle."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    big = orders.filter(F.col("o_totalprice") > 100000).select("o_custkey")
+    return (
+        customer.join(big, customer.c_custkey == big.o_custkey, "left_semi")
+        .select("c_custkey", "c_acctbal")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "broadcast_dim_lookup",
+    oracle="""
+    SELECT n.n_name AS nation_name, r.r_name AS region_name,
+           COUNT(*) AS n_suppliers,
+           ROUND(SUM(s.s_acctbal), 6) AS total_acctbal
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY n.n_name, r.r_name
+    ORDER BY nation_name
+    """,
+)
+def broadcast_dim_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dict-lookup join (D5): the SUBDOMAIN_TO_DOMAIN reverse-map
+    classification (slicing_bias_analysis.py:259-294) generalized to a
+    broadcast-hash join against small dimension tables -- zero extra
+    shuffle regardless of fact-table size."""
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        supplier.join(
+            F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey
+        )
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(
+            F.col("n_name").alias("nation_name"),
+            F.col("r_name").alias("region_name"),
+        )
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.round(F.sum("s_acctbal"), 6).alias("total_acctbal"),
+        )
+        .orderBy("nation_name")
+    )
+
+
+@query(
+    "array_semi_filter",
+    oracle="""
+    WITH order_parts AS (
+        SELECT l_orderkey,
+               list_sort(array_agg(DISTINCT l_partkey)) AS ref_parts
+        FROM lineitem
+        GROUP BY l_orderkey
+    ),
+    kept_arr AS (
+        SELECT array_agg(p_partkey) AS kept_set
+        FROM part WHERE p_size >= 25
+    )
+    SELECT op.l_orderkey,
+           len(op.ref_parts) AS n_refs,
+           list_sort(list_intersect(op.ref_parts, ka.kept_set)) AS kept_parts
+    FROM order_parts op, kept_arr ka
+    ORDER BY op.l_orderkey
+    LIMIT 100
+    """,
+)
+def array_semi_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array semi-filter (D4): restrict each row's id-array to ids
+    present in a kept set (main.py:597-608 filters references_id to
+    the final dataset). The kept set is collected into a broadcast
+    array_intersect -- fine while it is dimension-sized; the explode ->
+    semi-join -> collect_list re-group form is the unbounded-set
+    fallback (SURVEY.md D4)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    order_parts = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("ref_parts")
+    )
+    kept = part.filter(F.col("p_size") >= 25).agg(
+        F.collect_list("p_partkey").alias("kept_set")
+    )
+    return (
+        order_parts.join(F.broadcast(kept))
+        .select(
+            "l_orderkey",
+            F.size("ref_parts").alias("n_refs"),
+            F.array_sort(
+                F.array_intersect(F.col("ref_parts"), F.col("kept_set"))
+            ).alias("kept_parts"),
+        )
+        .orderBy("l_orderkey")
+        .limit(100)
+    )
+
+
+@query(
+    "graph_1hop_expansion",
+    oracle="""
+    WITH edges AS (
+        SELECT DISTINCT o.o_custkey AS src, l.l_suppkey AS dst
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
+    )
+    SELECT e.src AS cust_id, COUNT(*) AS n_neighbors,
+           ROUND(SUM(s.s_acctbal), 6) AS neighbor_acctbal
+    FROM edges e JOIN supplier s ON e.dst = s.s_suppkey
+    GROUP BY e.src
+    ORDER BY cust_id
+    """,
+)
+def graph_1hop_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Citation-graph 1-hop expansion (D6): seeds -> distinct neighbor
+    ids -> fetch neighbor records -> aggregate (main.py:493-574 does
+    seed papers -> references_id -> fetch papers). Edge list as a
+    DataFrame; n-hop is this join iterated with a frontier DataFrame
+    (GraphFrames-style BFS), each hop one shuffle on the frontier."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    edges = (
+        orders.filter(F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"), F.col("l_suppkey").alias("dst")
+        )
+        .distinct()
+    )
+    return (
+        edges.join(supplier, edges.dst == supplier.s_suppkey)
+        .groupBy(F.col("src").alias("cust_id"))
+        .agg(
+            F.count("*").alias("n_neighbors"),
+            F.round(F.sum("s_acctbal"), 6).alias("neighbor_acctbal"),
+        )
+        .orderBy("cust_id")
+    )
