@@ -1,1 +1,207 @@
-"""placeholder — filled in this round."""
+"""Window functions (SURVEY.md SS2.6 W1-W2 + ranking/frame coverage).
+
+The reference's window-shaped logic: run-over-run quality comparison
+with a last-10-runs rolling baseline for anomaly z-scores
+(Validation/schema_validator.py:68-133,352-386,419-432) and implicit
+top-k-per-group for plots (databias/visualization_generator.py:66-99).
+Spark restatement: real window functions -- lag, rolling frames,
+row_number/rank/ntile -- which shuffle once on the partition key and
+then stream each partition in order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..plans.registry import query
+from ..sources.tables import load_table
+
+
+@query(
+    "topk_per_group",
+    oracle="""
+    WITH ranked AS (
+        SELECT o_orderpriority, o_orderkey,
+               ROUND(o_totalprice, 6) AS o_totalprice,
+               ROW_NUMBER() OVER (
+                   PARTITION BY o_orderpriority
+                   ORDER BY o_totalprice DESC, o_orderkey
+               ) AS rk
+        FROM orders
+    )
+    SELECT o_orderpriority, o_orderkey, o_totalprice, rk
+    FROM ranked WHERE rk <= 3
+    ORDER BY o_orderpriority, rk
+    """,
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group (W2): the reference's per-plot ``head(20)`` /
+    ``nlargest`` slices, generalized: row_number over (partition,
+    order desc, tie-break) <= k. One shuffle on the group key; with
+    heavy groups a pre-aggregation or AQE skew split keeps partitions
+    bounded."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), "o_orderkey"
+    )
+    return (
+        orders.select(
+            "o_orderpriority",
+            "o_orderkey",
+            F.round("o_totalprice", 6).alias("o_totalprice"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .orderBy("o_orderpriority", "rk")
+    )
+
+
+@query(
+    "run_over_run_anomaly",
+    oracle="""
+    WITH daily AS (
+        SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 6) AS total_value
+        FROM events
+        GROUP BY CAST(ts AS DATE)
+    ),
+    windowed AS (
+        SELECT day, n_events, total_value,
+               LAG(n_events) OVER (ORDER BY day) AS prev_n,
+               AVG(n_events) OVER (
+                   ORDER BY day ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING
+               ) AS baseline_mean,
+               STDDEV_SAMP(n_events) OVER (
+                   ORDER BY day ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING
+               ) AS baseline_std
+        FROM daily
+    )
+    SELECT day, n_events, total_value, prev_n,
+           ROUND(baseline_mean, 6) AS baseline_mean,
+           ROUND(baseline_std, 6) AS baseline_std,
+           CASE WHEN baseline_std IS NOT NULL AND baseline_std > 0
+                THEN ROUND((n_events - baseline_mean) / baseline_std, 6)
+           END AS z_score
+    FROM windowed
+    ORDER BY day
+    """,
+)
+def run_over_run_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-over-run anomaly baseline (W1/A12): current run vs
+    mean/stddev of the previous 10 runs (schema_validator.py:68-133
+    compares paper counts against the last-10 snapshot history; the
+    5-point quality-drop check :352-386 is the lag). Here: daily event
+    volumes, lag + rolling 10-row frame + z-score, all in one window
+    shuffle (single ORDER BY day partition -- the run-history table is
+    tiny by construction; the heavy work is the daily pre-aggregate)."""
+    events = load_table(spark, sf_dir, "events")
+    daily = (
+        events.groupBy(F.to_date("ts").alias("d"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "n_events",
+            "total_value",
+        )
+    )
+    w = Window.orderBy("day")
+    frame = w.rowsBetween(-10, -1)
+    out = (
+        daily.withColumn("prev_n", F.lag("n_events").over(w))
+        .withColumn("baseline_mean", F.round(F.avg("n_events").over(frame), 6))
+        .withColumn(
+            "baseline_std", F.round(F.stddev_samp("n_events").over(frame), 6)
+        )
+        .withColumn(
+            "z_score",
+            F.when(
+                F.col("baseline_std").isNotNull() & (F.col("baseline_std") > 0),
+                F.round(
+                    (F.col("n_events") - F.col("baseline_mean"))
+                    / F.col("baseline_std"),
+                    6,
+                ),
+            ),
+        )
+    )
+    return out.orderBy("day")
+
+
+@query(
+    "rank_ntile_analytics",
+    oracle="""
+    SELECT c_mktsegment, c_custkey,
+           ROUND(c_acctbal, 6) AS c_acctbal,
+           RANK() OVER w AS rnk,
+           DENSE_RANK() OVER w AS drnk,
+           NTILE(4) OVER w AS quartile,
+           LEAD(c_custkey) OVER w AS next_custkey
+    FROM customer
+    WINDOW w AS (
+        PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey
+    )
+    ORDER BY c_mktsegment, rnk, c_custkey
+    """,
+)
+def rank_ntile_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking/analytic coverage: rank, dense_rank, ntile(4), lead over
+    a deterministic per-segment order (SURVEY.md SS2.6 asks these be
+    exercised even though the reference never needed them)."""
+    customer = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("c_acctbal"), "c_custkey"
+    )
+    return (
+        customer.select(
+            "c_mktsegment",
+            "c_custkey",
+            F.round("c_acctbal", 6).alias("c_acctbal"),
+        )
+        .withColumn("rnk", F.rank().over(w))
+        .withColumn("drnk", F.dense_rank().over(w))
+        .withColumn("quartile", F.ntile(4).over(w))
+        .withColumn("next_custkey", F.lead("c_custkey").over(w))
+        .orderBy("c_mktsegment", "rnk", "c_custkey")
+    )
+
+
+@query(
+    "cumulative_by_group",
+    oracle="""
+    SELECT o_custkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_day,
+           o_orderkey,
+           ROUND(SUM(o_totalprice) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ), 6) AS running_total
+    FROM orders
+    ORDER BY o_custkey, order_day, o_orderkey
+    LIMIT 500
+    """,
+)
+def cumulative_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative frame spec: running per-customer revenue, rows
+    unbounded-preceding frame over a unique (date, key) order."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_day"),
+            "o_orderkey",
+            F.round(F.sum("o_totalprice").over(w), 6).alias("running_total"),
+        )
+        .orderBy("o_custkey", "order_day", "o_orderkey")
+        .limit(500)
+    )

@@ -55,6 +55,10 @@ def get_spark(
         # pin them so a misconfigured site profile can't silently
         # disable the fast path.
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Some lake tables carry INT64 TIMESTAMP(NANOS) (e.g. events.ts),
+        # which the vectorized reader rejects; read them as raw nanos and
+        # normalize to TimestampType in the source layer (tables.py).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.parquet.enableVectorizedReader", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

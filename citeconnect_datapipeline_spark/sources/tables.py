@@ -13,6 +13,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 # Tables the driver materializes per scale factor (TESTDATA.md).
 TABLES = (
@@ -36,8 +37,21 @@ BROADCAST_DIMS = frozenset({"region", "nation"})
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one lake table. Plain parquet read: schema comes from the
     footer, filters/projections push down (reference's hand-built
-    prefix scan + concat, gcs_reader.py:127-171, is implicit here)."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    prefix scan + concat, gcs_reader.py:127-171, is implicit here).
+
+    Nanosecond timestamps (events.ts) arrive as raw INT64 nanos under
+    ``spark.sql.legacy.parquet.nanosAsLong`` and are normalized to
+    microsecond TimestampType here -- a cheap codegen'd projection that
+    keeps every downstream query in native timestamp semantics.
+    """
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for field in df.schema.fields:
+        meta_type = str(field.dataType)
+        if field.name == "ts" and meta_type == "LongType()":
+            df = df.withColumn(
+                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+            )
+    return df
 
 
 def load_tables(
