@@ -1,1 +1,172 @@
-"""placeholder — filled in this round."""
+"""Scalar function coverage (SURVEY.md SS2.9 F1-F20).
+
+The reference implements these as per-row Python: regex text cleaning
+(preprocessing/text_cleaner.py:17-99), token estimate
+(preprocessing/chunker.py:132-137), importance scoring + decade
+bucketing (preprocessing/metadata_enricher.py:55-129), JSON
+encode/decode of nested API fields
+(Ingestion/metadata_utils.py:9-14,61-76), null-byte scrub + truncation
+for the Postgres sink (Processing/upload_papers_to_supabase.py:145-155,
+200), ISO timestamp handling (metadata_utils.py:83). Every one maps to
+a native Column expression -- JVM-side, codegen'd, no Python in the
+hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.registry import query
+from ..sources.tables import load_table
+
+
+@query(
+    "scalar_text_clean",
+    oracle="""
+    SELECT doc_id,
+           substr(
+               trim(regexp_replace(
+                   regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                   ' +', ' ', 'g')),
+               1, 200) AS cleaned,
+           length(text) AS raw_len,
+           CAST(floor(length(text) / 4) AS BIGINT) AS token_estimate
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def scalar_text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex cleaning suite (F1-F3, F5, F17, T1): special-char scrub,
+    whitespace normalize, trim, truncate, and the ``len//4`` token
+    estimate -- the text_cleaner.py pipeline as one chained column
+    expression (single codegen stage, no UDF)."""
+    docs = load_table(spark, sf_dir, "documents")
+    cleaned = F.substring(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+                " +",
+                " ",
+            )
+        ),
+        1,
+        200,
+    )
+    return docs.select(
+        "doc_id",
+        cleaned.alias("cleaned"),
+        F.length("text").alias("raw_len"),
+        F.floor(F.length("text") / 4).cast("long").alias("token_estimate"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "scalar_importance_score",
+    oracle="""
+    SELECT o_orderkey,
+           ROUND(LEAST(100.0, GREATEST(0.0,
+               LOG10(o_totalprice + 1) * 18.0
+               * CASE WHEN EXTRACT(YEAR FROM o_orderdate) >= 1997
+                      THEN 1.2 ELSE 1.0 END
+           )), 6) AS importance_score,
+           CAST(FLOOR(EXTRACT(YEAR FROM o_orderdate) / 10) * 10 AS BIGINT)
+               AS decade
+    FROM orders
+    ORDER BY o_orderkey
+    LIMIT 1000
+    """,
+)
+def scalar_importance_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance score + decade bucket (F7, F8): ``log10(cites+1) *
+    recency_boost`` clamped to [0,100] (metadata_enricher.py:91-129)
+    and ``year//10*10`` (:55-57), as pure arithmetic expressions."""
+    orders = load_table(spark, sf_dir, "orders")
+    year = F.year("o_orderdate")
+    score = F.least(
+        F.lit(100.0),
+        F.greatest(
+            F.lit(0.0),
+            F.log10(F.col("o_totalprice") + 1)
+            * 18.0
+            * F.when(year >= 1997, 1.2).otherwise(1.0),
+        ),
+    )
+    return (
+        orders.select(
+            "o_orderkey",
+            F.round(score, 6).alias("importance_score"),
+            (F.floor(year / 10) * 10).cast("long").alias("decade"),
+        )
+        .orderBy("o_orderkey")
+        .limit(1000)
+    )
+
+
+@query(
+    "scalar_json_extract",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
+           COALESCE(TRY_CAST(json_extract_string(props, '$.missing')
+                             AS DOUBLE), 0.0) AS missing_coerced,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str
+    FROM events
+    ORDER BY event_id
+    LIMIT 1000
+    """,
+)
+def scalar_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON decode with fallback + timestamp formatting (F10-F12, F14,
+    F15): ``get_json_object`` on the props payload (the reference
+    json.loads-with-fallback of slicing_bias_analysis.py:77-91 and
+    safe_get of metadata_utils.py:9-14), numeric coercion with default,
+    ISO timestamp emit."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.select(
+            "event_id",
+            F.get_json_object("props", "$.k").cast("long").alias("k_value"),
+            F.coalesce(
+                F.get_json_object("props", "$.missing").cast("double"),
+                F.lit(0.0),
+            ).alias("missing_coerced"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+        )
+        .orderBy("event_id")
+        .limit(1000)
+    )
+
+
+@query(
+    "scalar_array_ops",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, source,
+               string_split_regex(lower(text), '[^a-z0-9]+') AS w
+        FROM documents
+    )
+    SELECT doc_id,
+           len(w) AS n_words,
+           COALESCE(w[1], source) AS first_word,
+           array_to_string(list_slice(w, 1, 3), ', ') AS head3
+    FROM words
+    ORDER BY doc_id
+    """,
+)
+def scalar_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array scalar suite (F4, F13, F19, F20): split-to-array, size,
+    first-element-with-fallback (``sub_domains[0] or search_term``,
+    slicing_bias_analysis.py:189-203), join-back with separator
+    (authors list -> comma string, metadata_utils.py:50-51)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split(F.lower(F.col("text")), "[^a-z0-9]+")
+    return (
+        docs.select(
+            "doc_id",
+            F.size(w).alias("n_words"),
+            F.coalesce(F.element_at(w, 1), F.col("source")).alias("first_word"),
+            F.concat_ws(", ", F.slice(w, 1, 3)).alias("head3"),
+        )
+        .orderBy("doc_id")
+    )

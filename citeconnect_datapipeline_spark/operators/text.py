@@ -1,1 +1,355 @@
-"""placeholder — filled in this round."""
+"""Text pipeline operators (SURVEY.md SS2.10 T1/T2/T8, A5/A15) plus
+the training-data text-analysis suite (language-ID, quality scoring,
+token counting, fingerprinting).
+
+The reference's text stage is per-row Python: clean
+(preprocessing/text_cleaner.py:34-112), sentence-preserving sliding-
+window chunking (preprocessing/chunker.py:53-124,170-214; 512-token
+chunks, 50 overlap), keyword top-k (metadata_enricher.py:62-89), and
+explode-count distributions (databias/analyze_bias.py:74,136).
+
+Spark restatement: tokenization is ``split`` into arrays, chunking is
+``sequence`` + ``slice`` + ``posexplode`` (pure SQL, whole-stage
+codegen, 1->N without a UDF), counts are explode -> groupBy. A
+pandas_udf variant of the chunker exists for reference-fidelity
+testing (chunk_documents_pandas) and is asserted equal to the SQL
+version in tests.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..plans.registry import query
+from ..sources.tables import load_table
+
+# Chunking parameters: the reference uses 512 tokens / 50 overlap
+# (embeddings/config.py:63-64) over ~4-char tokens; the synthetic docs
+# are ~50 words, so scaled-down windows exercise the same shapes
+# (multi-chunk docs, ragged tail, overlap).
+CHUNK_WORDS = 20
+CHUNK_STRIDE = 15  # 5-word overlap
+
+STOPWORDS = ("the", "a", "an", "and", "of", "to", "in", "is", "on", "for")
+
+
+def _words(col: str = "text"):
+    return F.split(F.lower(F.col(col)), "[^a-z0-9]+")
+
+
+@query(
+    "chunk_documents",
+    oracle=f"""
+    WITH words AS (
+        SELECT doc_id, string_split_regex(lower(text), '[^a-z0-9]+') AS w
+        FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id,
+               CAST(t.i AS INTEGER) AS pos,
+               array_to_string(
+                   list_slice(w, 1 + t.i * {CHUNK_STRIDE},
+                              {CHUNK_WORDS} + t.i * {CHUNK_STRIDE}), ' '
+               ) AS chunk_text
+        FROM words,
+             UNNEST(range(0, GREATEST(
+                 CAST(CEIL((len(w) - {CHUNK_WORDS}) / {CHUNK_STRIDE}.0)
+                     AS BIGINT) + 1, 1))) AS t(i)
+    )
+    SELECT doc_id, pos,
+           doc_id || '_chunk_' || pos AS chunk_id,
+           chunk_text,
+           length(chunk_text) - length(replace(chunk_text, ' ', '')) + 1
+               AS n_words
+    FROM chunks
+    WHERE chunk_text <> ''
+    ORDER BY doc_id, pos
+    """,
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (T2): 1 doc -> N overlapping
+    chunks with (chunk_id, position) provenance, the reference
+    chunker's shape (chunker.py:53-124; chunk_id format
+    ``{paper_id}_chunk_{position}`` from services/embedding_service.py).
+
+    Pure-SQL formulation: word array -> ``sequence`` of window starts
+    -> ``slice`` per start -> ``posexplode``. Fully codegen'd, no UDF,
+    partition-parallel in the document id -- at 100 TB the 1->N
+    explosion is the only row-multiplying step and carries no shuffle.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = _words()
+    n_chunks = F.greatest(
+        F.ceil((F.size(w) - CHUNK_WORDS) / CHUNK_STRIDE) + 1, F.lit(1)
+    )
+    starts = F.sequence(F.lit(0), n_chunks - 1)
+    chunks = F.transform(
+        starts,
+        lambda i: F.concat_ws(
+            " ", F.slice(w, i * CHUNK_STRIDE + 1, CHUNK_WORDS)
+        ),
+    )
+    return (
+        docs.select("doc_id", F.posexplode(chunks).alias("pos", "chunk_text"))
+        .filter(F.col("chunk_text") != "")
+        .select(
+            "doc_id",
+            "pos",
+            F.concat_ws("_", "doc_id", F.lit("chunk"), "pos").alias("chunk_id"),
+            "chunk_text",
+            (F.size(F.split(F.col("chunk_text"), " "))).alias("n_words"),
+        )
+        .orderBy("doc_id", "pos")
+    )
+
+
+def chunk_documents_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-fidelity chunker as an Arrow-batched pandas UDF
+    (SURVEY.md SS7.4 asks for both implementations; tests assert parity
+    with the SQL version). This is the pattern for chunkers whose
+    semantics outgrow SQL (sentence-boundary preservation, force-split
+    of long sentences, chunker.py:170-214)."""
+    import re
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("pos", IntegerType()),
+            StructField("chunk_id", StringType()),
+            StructField("chunk_text", StringType()),
+            StructField("n_words", IntegerType()),
+        ]
+    )
+
+    def chunk_batch(batches):
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "pos": [], "chunk_id": [],
+                "chunk_text": [], "n_words": [],
+            }
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                words = [t for t in re.split(r"[^a-z0-9]+", text.lower())]
+                n = max(-(-(len(words) - CHUNK_WORDS) // CHUNK_STRIDE) + 1, 1)
+                for pos in range(n):
+                    piece = words[pos * CHUNK_STRIDE : pos * CHUNK_STRIDE + CHUNK_WORDS]
+                    chunk = " ".join(piece)
+                    if not chunk:
+                        continue
+                    out["doc_id"].append(doc_id)
+                    out["pos"].append(pos)
+                    out["chunk_id"].append(f"{doc_id}_chunk_{pos}")
+                    out["chunk_text"].append(chunk)
+                    out["n_words"].append(len(chunk.split(" ")))
+            yield pd.DataFrame(out)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInPandas(chunk_batch, schema).orderBy("doc_id", "pos")
+
+
+@query(
+    "word_freq_topk",
+    oracle=f"""
+    WITH words AS (
+        SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS word
+        FROM documents
+    )
+    SELECT word, COUNT(*) AS n
+    FROM words
+    WHERE length(word) >= 3
+      AND word NOT IN {STOPWORDS!r}
+    GROUP BY word
+    ORDER BY n DESC, word
+    LIMIT 25
+    """,
+)
+def word_freq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword top-k (A15/F6): regex tokenize -> stopword + min-length
+    filter -> count -> top-k (metadata_enricher.py:62-89's Counter
+    .most_common, distributed). Filters run before the shuffle, so
+    only surviving tokens move."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(_words()).alias("word"))
+        .filter(
+            (F.length("word") >= 3) & (~F.col("word").isin(*STOPWORDS))
+        )
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "word")
+        .limit(25)
+    )
+
+
+@query(
+    "explode_count_by_group",
+    oracle="""
+    WITH words AS (
+        SELECT source,
+               unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS word
+        FROM documents
+    )
+    SELECT source, COUNT(*) AS n_tokens, COUNT(DISTINCT word) AS n_distinct
+    FROM words
+    WHERE word <> ''
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def explode_count_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explode + grouped count (A5): ``fieldsOfStudy.explode()
+    .value_counts()`` (analyze_bias.py:74,136) -- array explode then
+    count + distinct count per group."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("source", F.explode(_words()).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.countDistinct("word").alias("n_distinct"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "lang_id_heuristic",
+    oracle=f"""
+    WITH words AS (
+        SELECT doc_id, lang,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS w
+        FROM documents
+    )
+    SELECT doc_id, lang AS labeled_lang,
+           ROUND(CAST(len(list_filter(w,
+               x -> list_contains({list(STOPWORDS)!r}, x))) AS DOUBLE)
+               / GREATEST(len(w), 1), 6) AS en_stopword_ratio,
+           CASE WHEN CAST(len(list_filter(w,
+               x -> list_contains({list(STOPWORDS)!r}, x))) AS DOUBLE)
+               / GREATEST(len(w), 1) >= 0.05
+                THEN 'en' ELSE 'other' END AS predicted_lang
+    FROM words
+    ORDER BY doc_id
+    """,
+)
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic for training-data pipelines: stopword-hit
+    ratio against an English function-word list; classify en/other.
+    Pure column expressions (filter over the token array), no UDF --
+    the n-gram-profile generalization swaps the stopword list for
+    per-language profile arrays and argmax over scores."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.filter(_words(), lambda x: x != "")
+    hits = F.size(
+        F.filter(w, lambda x: x.isin(*STOPWORDS))
+    )
+    ratio = F.round(
+        hits.cast("double") / F.greatest(F.size(w), F.lit(1)), 6
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.col("lang").alias("labeled_lang"),
+            ratio.alias("en_stopword_ratio"),
+            F.when(ratio >= 0.05, "en").otherwise("other").alias(
+                "predicted_lang"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "quality_score",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, n_chars,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS w
+        FROM documents
+    )
+    SELECT doc_id,
+           n_chars,
+           len(w) AS n_tokens,
+           ROUND(CAST(len(list_distinct(w)) AS DOUBLE)
+                 / GREATEST(len(w), 1), 6) AS type_token_ratio,
+           ROUND(CAST(n_chars AS DOUBLE) / GREATEST(len(w), 1), 6)
+               AS mean_word_len,
+           CASE WHEN len(w) >= 40 AND
+                     CAST(len(list_distinct(w)) AS DOUBLE)
+                     / GREATEST(len(w), 1) >= 0.4
+                THEN 'high'
+                WHEN len(w) >= 20 THEN 'medium'
+                ELSE 'low' END AS quality_band
+    FROM words
+    ORDER BY doc_id
+    """,
+)
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring: length, token count, type-token
+    ratio, mean word length, banded quality label -- the
+    training-data analogue of the reference's content_quality tiers
+    (content_extractor.py provenance + min-length gates
+    embedding_service.py:263-269)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.filter(_words(), lambda x: x != "")
+    ttr = F.round(
+        F.size(F.array_distinct(w)).cast("double")
+        / F.greatest(F.size(w), F.lit(1)),
+        6,
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "n_chars",
+            F.size(w).alias("n_tokens"),
+            ttr.alias("type_token_ratio"),
+            F.round(
+                F.col("n_chars").cast("double")
+                / F.greatest(F.size(w), F.lit(1)),
+                6,
+            ).alias("mean_word_len"),
+            F.when((F.size(w) >= 40) & (ttr >= 0.4), "high")
+            .when(F.size(w) >= 20, "medium")
+            .otherwise("low")
+            .alias("quality_band"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "doc_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(regexp_replace(trim(lower(text)), ' +', ' ', 'g'))
+               AS fingerprint,
+           length(regexp_replace(trim(lower(text)), ' +', ' ', 'g'))
+               AS norm_len
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 over whitespace-normalized
+    lowercase text -- the exact-dedup key and cache-key primitive
+    (training-data pipelines key shards and near-dup unions on this)."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), " +", " ")
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("fingerprint"),
+        F.length(norm).alias("norm_len"),
+    ).orderBy("doc_id")
