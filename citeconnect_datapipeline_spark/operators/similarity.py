@@ -1,1 +1,270 @@
-"""placeholder — filled in this round."""
+"""Embedding similarity operators (SURVEY.md SS2.10 T4-T9): cosine
+top-k search, embedding near-dup, ANN bucketing, and the batched
+embedding-inference stage.
+
+The reference holds a [N, 384] numpy matrix in driver memory and does
+``dot(E, q)/(norm*norm)`` + argsort (embeddings/local_embedder.py:
+92-142); model inference is a sentence-transformers batch encode
+(local_embedder.py:46-90). Neither survives 100 TB: here similarity
+is a column expression over ``array<float>`` (JVM-side, partition-
+parallel, TakeOrdered top-k), inference is an Arrow-batched
+``mapInPandas`` stage with an executor-local model singleton, and the
+scale path replaces brute force with hyperplane-LSH bucketing so each
+query probes a few buckets instead of every row.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    FloatType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..plans.registry import query
+from ..sources.tables import load_table
+
+QUERY_VEC_ID = 0  # deterministic query vector: embedding of vec_id 0
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _cosine(a, b):
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+@query(
+    "cosine_topk",
+    oracle=f"""
+    WITH q AS (
+        SELECT embedding AS qvec FROM embeddings WHERE vec_id = {QUERY_VEC_ID}
+    )
+    SELECT e.vec_id, e.label,
+           ROUND(list_cosine_similarity(
+               CAST(e.embedding AS DOUBLE[]), CAST(q.qvec AS DOUBLE[])
+           ), 6) AS similarity
+    FROM embeddings e, q
+    WHERE e.vec_id <> {QUERY_VEC_ID}
+    ORDER BY similarity DESC, e.vec_id
+    LIMIT 10
+    """,
+)
+def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (T6/T7/O1): the flagship similarity
+    search. Query vector broadcast as a 1-row cross join; dot product
+    and norms as ``zip_with``/``aggregate`` column expressions (no
+    Python); ``ORDER BY similarity LIMIT k`` physical-plans to
+    per-partition heaps. Distance = 1 - similarity reproduces the
+    Weaviate path (local_embedder.py:133)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vec = F.col("embedding").cast("array<double>")
+    qvec = F.col("qvec").cast("array<double>")
+    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qvec")
+    )
+    return (
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .join(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            F.round(_cosine(vec, qvec), 6).alias("similarity"),
+        )
+        .orderBy(F.desc("similarity"), "vec_id")
+        .limit(10)
+    )
+
+
+@query(
+    "embedding_neardup_pairs",
+    oracle="""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(list_cosine_similarity(
+               CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])
+           ), 6) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE a.label = b.label
+      AND list_cosine_similarity(
+               CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])
+          ) > 0.9
+    ORDER BY vec_a, vec_b
+    """,
+)
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup (T9 extension): pairs above a cosine
+    threshold, blocked on ``label`` so the join is keyed, not a free
+    cross product -- the blocking key stands in for the LSH bucket of
+    the scale path (ann_lsh_topk). Correctness-checkable in SQL
+    because the blocking is exact."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.alias("a")
+    b = emb.alias("b")
+    av = F.col("a.embedding").cast("array<double>")
+    bv = F.col("b.embedding").cast("array<double>")
+    cos = _cosine(av, bv)
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cos, 6).alias("cosine"),
+            cos.alias("_raw"),
+        )
+        .filter(F.col("_raw") > 0.9)
+        .drop("_raw")
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+@query("ann_lsh_topk")  # rows-only: hash-derived hyperplanes are engine-local
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate nearest neighbors via random-hyperplane LSH (the
+    100 TB path for T6). Each vector gets a sign-bit bucket from 8
+    deterministic pseudo-hyperplanes (hash-seeded, no randomness at
+    plan time); the query probes its own bucket plus all Hamming-1
+    neighbors, then ranks candidates by exact cosine.
+
+    Scale shape: bucketing is a narrow map; the probe is a broadcast
+    semi-join on bucket id; exact re-rank touches only candidates.
+    Brute force scans N vectors; this scans ~N * 9 / 256 on uniform
+    buckets. Recall is tunable via bits/probes (rows-only check)."""
+    bits = 8
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+
+    # Deterministic pseudo-random hyperplanes: component j of plane p =
+    # hash(p, j) mapped to [-1, 1]. Built as SQL literals -> codegen.
+    def plane(p: int):
+        comps = [
+            ((hash((p, j)) % 2001) - 1000) / 1000.0 for j in range(dim)
+        ]
+        return F.array(*[F.lit(c) for c in comps])
+
+    vec = F.col("embedding").cast("array<double>")
+    bucket = None
+    for p in range(bits):
+        bit = (_dot(vec, plane(p)) > 0).cast("int")
+        term = bit * (2**p)
+        bucket = term if bucket is None else bucket + term
+    bucketed = emb.withColumn("bucket", bucket)
+
+    q = bucketed.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qvec"), F.col("bucket").alias("qbucket")
+    )
+    # Probe set: query bucket + all Hamming-1 buckets.
+    probes = q.select(
+        "qvec",
+        F.explode(
+            F.array(
+                F.col("qbucket"),
+                *[
+                    F.col("qbucket").bitwiseXOR(F.lit(1 << i))
+                    for i in range(bits)
+                ],
+            )
+        ).alias("bucket"),
+    )
+    cand = bucketed.filter(F.col("vec_id") != QUERY_VEC_ID).join(
+        F.broadcast(probes), "bucket"
+    )
+    qvec = F.col("qvec").cast("array<double>")
+    return (
+        cand.select(
+            "vec_id",
+            "label",
+            F.round(_cosine(F.col("embedding").cast("array<double>"), qvec), 6)
+            .alias("similarity"),
+        )
+        .orderBy(F.desc("similarity"), "vec_id")
+        .limit(10)
+    )
+
+
+@query("embed_documents")  # rows-only: model inference is not SQL
+def embed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched embedding inference (T4): the sentence-transformers
+    encode stage as Arrow-batched ``mapInPandas``. The real model is
+    not in this container, so the encoder is a deterministic fake
+    (hash-seeded 16-dim unit vector per text); the Spark plumbing --
+    schema, batch shape, executor-local "model" singleton, partition
+    parallelism -- is exactly the production pattern: swap
+    ``_FakeModel`` for a sentence-transformers load guarded by a
+    per-worker cache and nothing else changes."""
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("embedding", ArrayType(FloatType())),
+            StructField("model_name", StringType()),
+        ]
+    )
+
+    def encode_batches(batches):
+        # Executor-local singleton: load once per python worker, reuse
+        # across Arrow batches (the mapInPandas analogue of the
+        # reference's module-level model, local_embedder.py:36-44).
+        model = _FakeModel.get()
+        for pdf in batches:
+            vecs = model.encode(pdf["text"].tolist())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "embedding": vecs,
+                    "model_name": model.name,
+                }
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInPandas(encode_batches, schema).orderBy("doc_id")
+
+
+class _FakeModel:
+    """Deterministic stand-in for a sentence-transformers model.
+
+    encode(texts) -> list of 16-dim L2-normalized float vectors seeded
+    by a stable hash of each text. Replace with
+    ``SentenceTransformer(...)`` behind the same ``get()`` singleton
+    for production; tests stay valid because only determinism and the
+    (n_texts -> n_vectors, fixed dim) contract matter to the plan.
+    """
+
+    _instance = None
+    name = "fake-hash-encoder-16d"
+    dim = 16
+
+    @classmethod
+    def get(cls) -> "_FakeModel":
+        if cls._instance is None:
+            cls._instance = cls()
+        return cls._instance
+
+    def encode(self, texts: list[str]) -> list[list[float]]:
+        import hashlib
+        import math
+
+        out = []
+        for t in texts:
+            h = hashlib.sha256(t.encode()).digest()
+            raw = [
+                int.from_bytes(h[2 * i : 2 * i + 2], "big") - 32768
+                for i in range(self.dim)
+            ]
+            norm = math.sqrt(sum(x * x for x in raw)) or 1.0
+            out.append([float(x) / norm for x in raw])
+        return out
