@@ -1,0 +1,125 @@
+"""Structured Streaming jobs (SURVEY.md SS2.11 M1-M5).
+
+Real ``readStream`` pipelines over the events lake: file-source
+micro-batches (the reference's generator-based batching,
+utils/gcs_reader.py:173-217), watermarked tumbling aggregation,
+streaming dedup (the incremental skip-existing upsert,
+upload_papers_to_supabase.py:78-87), and a ``foreachBatch`` merge sink
+(K3). Each job runs with ``trigger(availableNow=True)`` in tests so a
+finite stream drains deterministically and must equal the batch
+answer.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+
+def read_event_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source stream over the events table (M1). Schema comes
+    from a batch peek (streams need a declared schema); nanos ts is
+    normalized exactly as in the batch source layer."""
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    # The file source streams a directory; scope it to the events
+    # table with a glob filter (zone-prefix scoping, SURVEY.md S7/S8).
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
+    return stream
+
+
+def tumbling_counts_stream(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked tumbling 1-hour counts (M5): late events beyond the
+    watermark are dropped and per-window state is reclaimed -- the
+    property that bounds memory on an unbounded stream."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming dedup on event_id within the watermark horizon (M2):
+    the incremental skip-existing upsert as bounded-state
+    ``dropDuplicates`` -- state for ids older than the watermark is
+    dropped, so memory is O(ids per horizon), not O(all ids ever)."""
+    return events.withWatermark("ts", watermark).dropDuplicates(
+        ["event_id", "ts"]
+    )
+
+
+def run_to_memory(
+    stream_df: DataFrame, name: str, output_mode: str = "append"
+) -> StreamingQuery:
+    """Drain a finite stream into an in-memory table with
+    availableNow (M1's bounded-catch-up trigger), return the query."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def foreach_batch_upsert(
+    stream_df: DataFrame,
+    target_dir: str,
+    key_cols: list[str],
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """``foreachBatch`` merge-upsert sink (M2/K3): per micro-batch,
+    dedup the batch on the key, anti-join against the current target,
+    append only new keys -- INSERT ... ON CONFLICT DO NOTHING
+    (upload_papers_to_supabase.py:228-276) restated set-wise. With a
+    JDBC target the same function body becomes a staged MERGE; the
+    parquet target keeps the test hermetic."""
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        fresh = batch_df.dropDuplicates(key_cols)
+        try:
+            existing = spark.read.parquet(target_dir).select(*key_cols)
+            fresh = fresh.join(existing, key_cols, "left_anti")
+        except Exception:
+            pass  # first batch: target does not exist yet
+        fresh.write.mode("append").parquet(target_dir)
+
+    q = (
+        stream_df.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return q
