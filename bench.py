@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""Benchmark harness: run every registered query at the bench scale
+factor and emit one JSON line with per-query and total wall-clock.
+
+Env:
+  SPARK_GRAFT_SF_DIR  data dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS    local[] parallelism (default 32)
+  BENCH_QUERIES       comma-separated subset (default: all registered)
+
+Each query is forced with the noop sink (full computation, no driver
+collect, no disk write) -- the closest local analogue to "execute the
+plan on the cluster".
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(os.path.normpath(sf_dir)).replace("sf", "") or 0)
+
+    from citeconnect_datapipeline_spark.plans.registry import get_queries
+    from citeconnect_datapipeline_spark.session import get_spark
+
+    spark = get_spark(app_name="citeconnect-bench")
+    queries = get_queries()
+    subset = os.environ.get("BENCH_QUERIES")
+    names = subset.split(",") if subset else sorted(queries)
+
+    # Warm the JVM (codegen, shuffle, parquet reader, Python workers)
+    # on the smoke-scale data so per-query timings measure the plan,
+    # not first-touch JIT compilation.
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir):
+        for wname in ("bias_slice_disparity", "chunk_documents", "cosine_topk"):
+            if wname in queries:
+                try:
+                    queries[wname](spark, warm_dir).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                except Exception:
+                    pass
+
+    timings: dict[str, float] = {}
+    for name in names:
+        fn = queries.get(name)
+        if fn is None:
+            timings[name] = -1.0
+            print(f"BENCH_ERROR {name}: not a registered query", file=sys.stderr)
+            continue
+        t0 = time.monotonic()
+        try:
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.monotonic() - t0, 3)
+        except Exception as exc:  # keep the bench line parseable
+            timings[name] = -1.0
+            print(f"BENCH_ERROR {name}: {exc}", file=sys.stderr)
+
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -29,7 +29,14 @@ from ..sources.tables import load_table
 # Shared shingling: lowercase, split on non-alphanumerics, 3-word
 # shingles. Kept identical between Spark and the DuckDB oracles.
 def _shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
-    """doc_id -> exploded distinct n-word shingles (blocking keys)."""
+    """doc_id -> exploded distinct n-word shingles (blocking keys).
+
+    The input is repartitioned to full parallelism before the 1->N
+    explode: a compact source (few parquet files) would otherwise run
+    the row-multiplying stage on a handful of tasks. Same concern on a
+    real cluster wherever a small input feeds an expanding operator.
+    """
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     words = F.split(F.lower(F.col(text_col)), "[^a-z0-9]+")
     # index i runs 1..len-n+1; slice(words, i, n) is the i-th shingle
     shingle_arr = F.transform(
@@ -176,14 +183,16 @@ def ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the sub-quadratic variant.
     """
     docs = load_table(spark, sf_dir, "documents")
-    sh = _shingles(docs)
+    # Join on a 64-bit shingle hash, not the string: same pairs
+    # (collision odds ~ |shingles|^2 / 2^64), half the shuffle bytes.
+    sh = _shingles(docs).select("doc_id", F.xxhash64("shingle").alias("sh"))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
     pairs = (
         a.join(
             b,
-            (F.col("a.shingle") == F.col("b.shingle"))
+            (F.col("a.sh") == F.col("b.sh"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .groupBy(
@@ -227,12 +236,13 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     num_hashes, band_size = 16, 4
     docs = load_table(spark, sf_dir, "documents")
-    sh = _shingles(docs)
-    # 16 salted min-hash aggregates, computed in one shuffle.
+    # Hash each shingle to a long ONCE, then derive the 16 salted
+    # hashes from that long (xxhash64 over (long, salt) is far cheaper
+    # than re-hashing the string per hash function).
+    sh = _shingles(docs).select("doc_id", F.xxhash64("shingle").alias("h"))
     minhashes = sh.groupBy("doc_id").agg(
         *[
-            F.min(F.xxhash64(F.concat(F.lit(f"salt{i}:"), F.col("shingle"))))
-            .alias(f"mh{i}")
+            F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"mh{i}")
             for i in range(num_hashes)
         ]
     )

@@ -144,19 +144,29 @@ def array_semi_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     fallback (SURVEY.md D4)."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
-    order_parts = li.groupBy("l_orderkey").agg(
+    # Explode -> broadcast semi-join -> re-group (SURVEY.md D4's
+    # unbounded-set form). A literal array_intersect against a
+    # collected kept-set is O(|refs| * |kept|) per row and dies once
+    # the kept set outgrows a dimension; the join form shuffles each
+    # ref id once and scales with data, not with set size.
+    kept = part.filter(F.col("p_size") >= 25).select("p_partkey")
+    refs = li.select("l_orderkey", "l_partkey").distinct()
+    kept_refs = refs.join(
+        F.broadcast(kept), refs.l_partkey == kept.p_partkey, "left_semi"
+    )
+    order_parts = refs.groupBy("l_orderkey").agg(
         F.array_sort(F.collect_set("l_partkey")).alias("ref_parts")
     )
-    kept = part.filter(F.col("p_size") >= 25).agg(
-        F.collect_list("p_partkey").alias("kept_set")
+    kept_parts = kept_refs.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("kept_parts")
     )
     return (
-        order_parts.join(F.broadcast(kept))
+        order_parts.join(kept_parts, "l_orderkey", "left")
         .select(
             "l_orderkey",
             F.size("ref_parts").alias("n_refs"),
-            F.array_sort(
-                F.array_intersect(F.col("ref_parts"), F.col("kept_set"))
+            F.coalesce(
+                F.col("kept_parts"), F.array().cast("array<bigint>")
             ).alias("kept_parts"),
         )
         .orderBy("l_orderkey")

@@ -99,7 +99,7 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE a.label = b.label
       AND list_cosine_similarity(
                CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])
-          ) > 0.9
+          ) > 0.3
     ORDER BY vec_a, vec_b
     """,
 )
@@ -110,11 +110,20 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the scale path (ann_lsh_topk). Correctness-checkable in SQL
     because the blocking is exact."""
     emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.alias("a")
-    b = emb.alias("b")
-    av = F.col("a.embedding").cast("array<double>")
-    bv = F.col("b.embedding").cast("array<double>")
-    cos = _cosine(av, bv)
+    # Pre-normalize once per vector (O(N) norms) so each candidate
+    # pair costs a single dot product instead of three aggregates --
+    # the difference between O(N) and O(pairs) norm work.
+    vec = F.col("embedding").cast("array<double>")
+    normed = emb.select(
+        "vec_id", "label", vec.alias("v"), F.sqrt(_dot(vec, vec)).alias("nrm")
+    ).select(
+        "vec_id",
+        "label",
+        F.transform("v", lambda x: x / F.col("nrm")).alias("unit"),
+    )
+    a = normed.alias("a")
+    b = normed.alias("b")
+    cos = _dot(F.col("a.unit"), F.col("b.unit"))
     return (
         a.join(
             b,
@@ -124,11 +133,16 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            F.round(cos, 6).alias("cosine"),
             cos.alias("_raw"),
         )
-        .filter(F.col("_raw") > 0.9)
-        .drop("_raw")
+        # 0.3, not the usual 0.9: the synthetic embeddings are near-
+        # orthogonal (max within-block cosine ~0.47 at sf0.01), so 0.9
+        # would make the correctness check vacuously empty. Production
+        # near-dup would use ~0.9 on real model embeddings.
+        .filter(F.col("_raw") > 0.3)
+        .select(
+            "vec_a", "vec_b", F.round(F.col("_raw"), 6).alias("cosine")
+        )
         .orderBy("vec_a", "vec_b")
     )
 
@@ -149,21 +163,31 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     dim = len(emb.select("embedding").first()[0])
 
-    # Deterministic pseudo-random hyperplanes: component j of plane p =
-    # hash(p, j) mapped to [-1, 1]. Built as SQL literals -> codegen.
-    def plane(p: int):
-        comps = [
-            ((hash((p, j)) % 2001) - 1000) / 1000.0 for j in range(dim)
-        ]
-        return F.array(*[F.lit(c) for c in comps])
-
+    # Deterministic pseudo-random hyperplanes as a tiny broadcast table
+    # (one row per plane) instead of giant literal expression trees:
+    # keeps the plan small and the sign-bit computation one zip_with
+    # per (vector, plane) pair.
+    planes = spark.createDataFrame(
+        [
+            (p, [((hash((p, j)) % 2001) - 1000) / 1000.0 for j in range(dim)])
+            for p in range(bits)
+        ],
+        "p int, plane array<double>",
+    )
     vec = F.col("embedding").cast("array<double>")
-    bucket = None
-    for p in range(bits):
-        bit = (_dot(vec, plane(p)) > 0).cast("int")
-        term = bit * (2**p)
-        bucket = term if bucket is None else bucket + term
-    bucketed = emb.withColumn("bucket", bucket)
+    buckets = (
+        emb.join(F.broadcast(planes))
+        .select(
+            "vec_id",
+            (
+                (_dot(vec, F.col("plane")) > 0).cast("long")
+                * F.expr("shiftleft(CAST(1 AS BIGINT), p)")
+            ).alias("term"),
+        )
+        .groupBy("vec_id")
+        .agg(F.sum("term").alias("bucket"))
+    )
+    bucketed = emb.join(buckets, "vec_id")
 
     q = bucketed.filter(F.col("vec_id") == QUERY_VEC_ID).select(
         F.col("embedding").alias("qvec"), F.col("bucket").alias("qbucket")
