@@ -1,0 +1,178 @@
+"""Unit tests for the S1-S5 ingest connector: rate limiting, retry/
+backoff, adaptive page shrink, pagination, and the distributed
+mapPartitions fan-out — all against a deterministic fake transport
+(the reference unit-tests the same mechanics with mocked HTTP,
+tests/unit/test_semantic_scholar_client.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+from citeconnect_datapipeline_spark.sources.api_ingest import (
+    ApiClient,
+    ApiClientConfig,
+    TokenBucket,
+    TransportError,
+    fetch_papers_distributed,
+    fetch_reference_edges_distributed,
+)
+from citeconnect_datapipeline_spark.sources.fake_transport import (
+    CORPUS,
+    FakeTransport,
+    fake_transport_factory,
+)
+
+# ---------------------------------------------------------------------
+# Fakes
+# ---------------------------------------------------------------------
+
+def no_sleep(_secs: float) -> None:
+    return None
+
+
+def make_client(transport, **cfg) -> ApiClient:
+    return ApiClient(transport, ApiClientConfig(**cfg), sleeper=no_sleep)
+
+
+# ---------------------------------------------------------------------
+# TokenBucket
+# ---------------------------------------------------------------------
+
+
+def test_token_bucket_enforces_sustained_rate():
+    now = [0.0]
+    slept = []
+
+    def clock():
+        return now[0]
+
+    def sleeper(s):
+        slept.append(s)
+        now[0] += s
+
+    bucket = TokenBucket(rate_per_sec=2.0, burst=1, clock=clock, sleeper=sleeper)
+    for _ in range(5):
+        bucket.acquire()
+    # 1 free token + 4 paid waits at 0.5 s each
+    assert sum(slept) == pytest.approx(2.0)
+
+
+def test_token_bucket_burst_allows_initial_spike():
+    now = [0.0]
+    slept = []
+    bucket = TokenBucket(
+        1.0, burst=3, clock=lambda: now[0], sleeper=lambda s: slept.append(s)
+    )
+    for _ in range(3):
+        bucket.acquire()
+    assert slept == []  # burst capacity absorbs the spike
+
+
+# ---------------------------------------------------------------------
+# Retry / backoff / page shrink
+# ---------------------------------------------------------------------
+
+
+def test_429_exponential_backoff_then_success():
+    transport = FakeTransport(fail_plan=[429, 429, 0])
+    waits = []
+    client = ApiClient(
+        transport, ApiClientConfig(rate_per_sec=1e9), sleeper=waits.append
+    )
+    assert client.get_paper("p1")["paperId"] == "p1"
+    # 10 * 2^0, 10 * 2^1 (reference: 10*2^attempt capped 60)
+    assert waits == [10.0, 20.0]
+    assert client.retry_count == 2
+
+
+def test_429_retries_exhausted_raises():
+    transport = FakeTransport(fail_plan=[429] * 10)
+    client = make_client(transport, rate_per_sec=1e9, max_retries=3)
+    with pytest.raises(TransportError):
+        client.get_paper("p1")
+
+
+def test_400_shrinks_page_limit_and_retries():
+    transport = FakeTransport(fail_plan=[400, 400, 0])
+    client = make_client(transport, rate_per_sec=1e9, page_limit=80)
+    rows = list(client.search("x", 200))
+    assert len(rows) == len(CORPUS)
+    limits = [p["limit"] for e, p in transport.calls if e == "search"]
+    # first page asks 80, two 400s shrink it 80 -> 40 -> 20
+    assert limits[:3] == [80, 40, 20]
+
+
+def test_404_returns_none_not_raise():
+    client = make_client(FakeTransport(), rate_per_sec=1e9)
+    assert client.get_paper("missing") is None
+
+
+def test_5xx_retried_then_succeeds():
+    transport = FakeTransport(fail_plan=[503, 504, 0])
+    client = make_client(transport, rate_per_sec=1e9)
+    assert client.get_paper("p2")["paperId"] == "p2"
+
+
+# ---------------------------------------------------------------------
+# Pagination
+# ---------------------------------------------------------------------
+
+
+def test_search_pages_through_results():
+    transport = FakeTransport()
+    client = make_client(transport, rate_per_sec=1e9, page_limit=7)
+    rows = list(client.search("anything", 20))
+    assert len(rows) == 20
+    assert [r["paperId"] for r in rows] == sorted(CORPUS)[:20]
+    search_calls = [p for e, p in transport.calls if e == "search"]
+    assert [c["offset"] for c in search_calls] == [0, 7, 14]
+    # projection pushdown: field list rides on every page request
+    assert all("fields" in c for c in search_calls)
+
+
+def test_search_stops_at_total():
+    client = make_client(FakeTransport(), rate_per_sec=1e9, page_limit=100)
+    rows = list(client.search("x", 10_000))
+    assert len(rows) == len(CORPUS)
+
+
+def test_references_capped_per_paper():
+    client = make_client(FakeTransport(), rate_per_sec=1e9)
+    refs = client.get_references("p7", max_refs=2)
+    assert refs == ["p0", "p1"]  # p7 has 3 refs, capped at 2
+
+
+# ---------------------------------------------------------------------
+# Distributed fan-out
+# ---------------------------------------------------------------------
+
+
+def test_fetch_papers_distributed(spark):
+    ids = spark.createDataFrame(
+        [(f"p{i}",) for i in range(12)], "paper_id string"
+    )
+    out = fetch_papers_distributed(
+        spark,
+        ids,
+        fake_transport_factory,
+        ApiClientConfig(rate_per_sec=1e9),
+        num_tasks=4,
+    )
+    rows = {r["paperId"]: r for r in out.collect()}
+    assert set(rows) == {f"p{i}" for i in range(12)}
+    assert rows["p7"]["references_id"] == ["p0", "p1", "p2"]
+    assert rows["p3"]["citationCount"] == 9
+
+
+def test_fetch_reference_edges_distributed(spark):
+    ids = spark.createDataFrame([("p5",), ("p7",)], "paper_id string")
+    out = fetch_reference_edges_distributed(
+        spark,
+        ids,
+        fake_transport_factory,
+        ApiClientConfig(rate_per_sec=1e9),
+        max_refs_per_paper=50,
+        num_tasks=2,
+    )
+    edges = {(r.src_paper_id, r.dst_paper_id) for r in out.collect()}
+    assert edges == {("p5", "p0"), ("p7", "p0"), ("p7", "p1"), ("p7", "p2")}
