@@ -1,0 +1,129 @@
+"""Keyed upsert sinks (SURVEY.md K3, D2/D3).
+
+The reference upserts row-by-row into Postgres with ``INSERT ... ON
+CONFLICT (paper_id) DO NOTHING`` in batches of 100, after three dedup
+levels: in-frame drop_duplicates, anti-join against existing DB ids,
+and the constraint itself (reference: src/DataPipeline/Processing/
+upload_papers_to_supabase.py:228-372, DEDUPLICATION_EXPLAINED.md).
+
+Two Spark-native forms:
+
+* ``upsert_parquet`` — lake-side merge: the target is a parquet
+  table, the merge is dedup + anti-join + union + atomic swap. All
+  three reference dedup levels collapse into two distributed ops.
+* ``foreach_partition_upsert`` — push-side merge for an external
+  store (JDBC/Postgres): each partition opens one connection, sends
+  ``executemany`` batches; the writer is injected so tests (and this
+  container, which has no Postgres) use an in-memory double while
+  production passes a psycopg/JDBC wrapper.
+
+The streaming variant (foreachBatch MERGE) lives in
+``streaming.jobs``.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Iterable, Iterator
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def dedup_keep_first(
+    df: DataFrame, key: str, order_cols: tuple[str, ...]
+) -> DataFrame:
+    """Deterministic "keep first" (D1/D2): the reference's
+    ``drop_duplicates(keep='first')`` relies on pandas row order, which
+    Spark doesn't have — so "first" is DEFINED by an explicit tiebreak
+    ordering (SURVEY.md §7.4). One shuffle on the key."""
+    w = Window.partitionBy(key).orderBy(*[F.col(c) for c in order_cols])
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def upsert_parquet(
+    spark: SparkSession,
+    new_rows: DataFrame,
+    target_path: str,
+    key: str,
+    order_cols: tuple[str, ...] = (),
+) -> int:
+    """Insert-if-absent merge into a parquet table, atomically.
+
+    new-dedup (keep-first) -> anti-join vs existing keys (only the KEY
+    column of the target is scanned for the join — column pruning) ->
+    union -> write to a staging dir -> atomic rename swap. Returns the
+    number of rows actually inserted.
+
+    Scale shape: the anti-join shuffles on the key (or broadcasts when
+    the new side is small — AQE picks); the rewrite cost is the real
+    limit of parquet-as-target and is why a production target would be
+    a table format with row-level merge (Delta/Iceberg) — same logical
+    plan, cheaper physical swap.
+    """
+    fresh = (
+        dedup_keep_first(new_rows, key, order_cols)
+        if order_cols
+        else new_rows.dropDuplicates([key])
+    )
+    if os.path.exists(target_path):
+        existing = spark.read.parquet(target_path)
+        to_insert = fresh.join(existing.select(key), key, "left_anti")
+        merged = existing.unionByName(to_insert)
+    else:
+        to_insert = fresh
+        merged = fresh
+    inserted = to_insert.count()
+    staging = f"{target_path}.staging"
+    merged.write.mode("overwrite").parquet(staging)
+    if os.path.exists(target_path):
+        old = f"{target_path}.old"
+        os.rename(target_path, old)
+        os.rename(staging, target_path)
+        import shutil
+
+        shutil.rmtree(old)
+    else:
+        os.rename(staging, target_path)
+    return inserted
+
+
+# A writer factory returns a callable that persists one batch of rows;
+# it is created once per partition (= one "connection" per task).
+WriterFactory = Callable[[], Callable[[list[tuple]], None]]
+
+
+def foreach_partition_upsert(
+    df: DataFrame,
+    writer_factory: WriterFactory,
+    batch_size: int = 100,
+) -> None:
+    """K3 push-side: per-partition batched writes to an external store.
+
+    Mirrors the reference's batches-of-100 executemany loop
+    (upload_papers_to_supabase.py:347-372) but with one connection per
+    PARTITION instead of one for the whole dataset — N tasks write in
+    parallel, each rate-bounded by its own batch loop. The writer owns
+    conflict handling (ON CONFLICT DO NOTHING / MERGE) exactly as the
+    reference's SQL does.
+    """
+
+    def write_partition(rows: Iterable) -> Iterator:
+        write = writer_factory()
+        batch: list[tuple] = []
+        for row in rows:
+            batch.append(tuple(row))
+            if len(batch) >= batch_size:
+                write(batch)
+                batch = []
+        if batch:
+            write(batch)
+        return iter(())
+
+    # foreachPartition is an action; rdd form keeps Arrow out of the
+    # driver->executor path for plain tuples.
+    df.rdd.foreachPartition(lambda it: list(write_partition(it)))

@@ -1,0 +1,100 @@
+"""Zone-layout parquet sinks and scans (SURVEY.md K1/K6/S10).
+
+The reference writes one parquet file per (search_term, timestamp)
+under GCS prefix "zones" raw_v2/ and processed_v2/ (reference:
+src/DataPipeline/Ingestion/main.py:275-310,618-625,714-729), then
+re-discovers data by listing the prefix and picking the blob with the
+max created-time (Validation/schema_validator.py:589-623). That file-
+naming convention is a hand-rolled partitioning scheme; the Spark-
+native form is directory partitioning, where the "pick latest"
+becomes partition pruning on ``run_ts`` instead of a client-side
+listing + max().
+
+At 100 TB the layout is the performance feature: partition columns
+(zone semantics like domain/run) prune whole directories at plan
+time, and within a run the writer controls file count/size so the
+lake doesn't fragment into the reference's one-file-per-term pattern
+(small-files problem at scale).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_zone(
+    df: DataFrame,
+    zone_path: str,
+    run_id: str,
+    partition_cols: tuple[str, ...] = (),
+    files_per_partition: int = 1,
+    mode: str = "append",
+) -> None:
+    """K1: write a run's data into a zone as partitioned parquet.
+
+    Layout: ``zone_path/run_id=<id>/[partition_cols...]/*.parquet``.
+    ``run_id`` is a partition column, so every run is an independent
+    directory: appends never rewrite history, a failed run is dropped
+    by deleting one directory, and readers prune to one run without
+    listing the rest (the reference re-lists the whole prefix each
+    consumer, gcs_reader.py:127-171).
+
+    ``files_per_partition`` caps output fragmentation: the reference
+    writes one file per (term, timestamp) which at 100 TB would mean
+    millions of KB-sized files; repartitioning by the partition
+    columns groups each output directory's data into a bounded file
+    count sized for the lake's block size.
+    """
+    out = df.withColumn("run_id", F.lit(run_id))
+    cols = ("run_id",) + tuple(partition_cols)
+    if partition_cols:
+        out = out.repartition(
+            files_per_partition * 8, *[F.col(c) for c in partition_cols]
+        )
+    else:
+        out = out.coalesce(files_per_partition)
+    out.write.mode(mode).partitionBy(*cols).parquet(zone_path)
+
+
+def read_zone(
+    spark: SparkSession, zone_path: str, run_id: str | None = None
+) -> DataFrame:
+    """Zone scan; with ``run_id`` the filter is pure partition pruning
+    (no data files outside that run are touched)."""
+    df = spark.read.parquet(zone_path)
+    if run_id is not None:
+        df = df.filter(F.col("run_id") == run_id)
+    return df
+
+
+def read_latest_run(spark: SparkSession, zone_path: str) -> DataFrame:
+    """S10: the reference's "latest processed file" scan
+    (schema_validator.py:589-623) — max over partition VALUES (directory
+    names, no data read) then a pruned scan of that one run."""
+    runs = [
+        f.split("=", 1)[1]
+        for f in os.listdir(zone_path)
+        if f.startswith("run_id=")
+    ]
+    if not runs:
+        raise FileNotFoundError(f"no run_id= partitions under {zone_path}")
+    return read_zone(spark, zone_path, max(runs))
+
+
+def write_json_artifact(df: DataFrame, path: str) -> None:
+    """K6: small-aggregate JSON artifact (schema snapshots, slice
+    summaries — schema_validator.py:388-396, slicing_bias_analysis.py:
+    43-72). These are driver-sized BY CONSTRUCTION (post-aggregation);
+    the collect is the intended pattern, not a scale bug. Written
+    atomically via tmp+rename so a concurrent reader never sees a
+    partial artifact."""
+    rows = [r.asDict(recursive=True) for r in df.collect()]
+    tmp = f"{path}.tmp"
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(tmp, "w") as f:
+        json.dump(rows, f, default=str, indent=1)
+    os.replace(tmp, path)

@@ -1,0 +1,162 @@
+"""Sinks: zone writer/reader (K1/S10), JSON artifacts (K6), keyed
+upsert (K3) — semantics the reference implements as GCS blob naming +
+row-by-row ON CONFLICT inserts."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from citeconnect_datapipeline_spark.sinks.upsert import (
+    dedup_keep_first,
+    foreach_partition_upsert,
+    upsert_parquet,
+)
+from citeconnect_datapipeline_spark.sinks.zones import (
+    read_latest_run,
+    read_zone,
+    write_json_artifact,
+    write_zone,
+)
+
+
+def papers(spark, rows):
+    return spark.createDataFrame(
+        rows, "paper_id string, domain string, score int"
+    )
+
+
+# ---------------------------------------------------------------------
+# zones
+# ---------------------------------------------------------------------
+
+
+def test_zone_write_read_roundtrip(spark, tmp_path):
+    zone = str(tmp_path / "processed")
+    df = papers(spark, [("a", "ml", 1), ("b", "bio", 2)])
+    write_zone(df, zone, run_id="r001", partition_cols=("domain",))
+    out = read_zone(spark, zone, "r001")
+    assert {tuple(r) for r in out.select("paper_id", "score").collect()} == {
+        ("a", 1),
+        ("b", 2),
+    }
+    # partition directories exist (pruning-friendly layout)
+    assert os.path.isdir(os.path.join(zone, "run_id=r001", "domain=ml"))
+
+
+def test_zone_latest_run(spark, tmp_path):
+    zone = str(tmp_path / "zone")
+    write_zone(papers(spark, [("a", "ml", 1)]), zone, run_id="r001")
+    write_zone(papers(spark, [("b", "ml", 2)]), zone, run_id="r002")
+    latest = read_latest_run(spark, zone)
+    assert [r.paper_id for r in latest.collect()] == ["b"]
+
+
+def test_zone_runs_are_isolated(spark, tmp_path):
+    zone = str(tmp_path / "zone")
+    write_zone(papers(spark, [("a", "ml", 1)]), zone, run_id="r001")
+    write_zone(papers(spark, [("a", "ml", 99)]), zone, run_id="r002")
+    all_rows = read_zone(spark, zone)
+    assert all_rows.count() == 2  # appends never clobber history
+    assert read_zone(spark, zone, "r001").first().score == 1
+
+
+def test_json_artifact(spark, tmp_path):
+    path = str(tmp_path / "artifacts" / "slices.json")
+    agg = papers(spark, [("a", "ml", 1), ("b", "ml", 3)]).groupBy(
+        "domain"
+    ).agg(F.avg("score").alias("mean_score"))
+    write_json_artifact(agg, path)
+    data = json.load(open(path))
+    assert data == [{"domain": "ml", "mean_score": 2.0}]
+    assert not os.path.exists(path + ".tmp")
+
+
+# ---------------------------------------------------------------------
+# upsert
+# ---------------------------------------------------------------------
+
+
+def test_dedup_keep_first_deterministic(spark):
+    df = papers(
+        spark, [("a", "ml", 5), ("a", "ml", 1), ("b", "bio", 2)]
+    )
+    out = dedup_keep_first(df, "paper_id", ("score",))
+    assert {(r.paper_id, r.score) for r in out.collect()} == {
+        ("a", 1),
+        ("b", 2),
+    }
+
+
+def test_upsert_parquet_insert_if_absent(spark, tmp_path):
+    target = str(tmp_path / "papers_table")
+    first = papers(spark, [("a", "ml", 1), ("b", "bio", 2)])
+    assert upsert_parquet(spark, first, target, "paper_id") == 2
+
+    # second load: one dup key (ignored), one new
+    second = papers(spark, [("a", "ml", 99), ("c", "cs", 3)])
+    assert upsert_parquet(spark, second, target, "paper_id") == 1
+
+    final = {
+        (r.paper_id, r.score)
+        for r in spark.read.parquet(target).collect()
+    }
+    # 'a' keeps its ORIGINAL row: ON CONFLICT DO NOTHING semantics
+    assert final == {("a", 1), ("b", 2), ("c", 3)}
+
+
+def test_upsert_parquet_dedups_within_batch(spark, tmp_path):
+    target = str(tmp_path / "t2")
+    batch = papers(spark, [("x", "ml", 9), ("x", "ml", 1)])
+    inserted = upsert_parquet(
+        spark, batch, target, "paper_id", order_cols=("score",)
+    )
+    assert inserted == 1
+    assert spark.read.parquet(target).first().score == 1  # keep-first
+
+
+def test_upsert_parquet_idempotent(spark, tmp_path):
+    target = str(tmp_path / "t3")
+    df = papers(spark, [("a", "ml", 1)])
+    upsert_parquet(spark, df, target, "paper_id")
+    assert upsert_parquet(spark, df, target, "paper_id") == 0
+    assert spark.read.parquet(target).count() == 1
+
+
+def test_foreach_partition_upsert_batches(spark, tmp_path):
+    """Writer double records every batch to per-task files; asserts
+    batch sizing and completeness without a real database."""
+    outdir = tmp_path / "writes"
+    outdir.mkdir()
+
+    def writer_factory():
+        import os as _os
+        import uuid
+
+        fname = str(outdir / f"task-{uuid.uuid4().hex}.jsonl")
+
+        def write(batch):
+            with open(fname, "a") as f:
+                f.write(json.dumps([list(map(str, r)) for r in batch]) + "\n")
+
+        return write
+
+    df = spark.range(250).select(
+        F.col("id").cast("string").alias("paper_id"),
+        F.lit("ml").alias("domain"),
+        F.col("id").cast("int").alias("score"),
+    ).repartition(3)
+    foreach_partition_upsert(df, writer_factory, batch_size=40)
+
+    batches = []
+    for f in outdir.iterdir():
+        for line in open(f):
+            batches.append(json.loads(line))
+    seen = {r[0] for b in batches for r in b}
+    assert len(seen) == 250
+    assert all(len(b) <= 40 for b in batches)
+    # at least one full batch per partition-sized stream
+    assert any(len(b) == 40 for b in batches)
