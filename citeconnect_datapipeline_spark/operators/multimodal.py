@@ -1,0 +1,245 @@
+"""Multimodal (image/audio/video) column pipeline.
+
+The reference is text-only; a training-data pipeline at 100 TB also
+carries media. The engine's pattern: media is an opaque ``binary``
+column plus a typed metadata struct — never parsed by Catalyst, only
+by explicit decode stages — so relational pruning/partitioning works
+on the metadata while payload bytes ride along untouched until a
+``mapInPandas`` stage needs them.
+
+The decode/feature-extract stages follow the T4 embedding pattern
+(Arrow-batched ``mapInPandas``, per-worker codec singleton). The real
+codecs (PIL / librosa / pyav) are NOT in this container, so
+``RealMediaCodec`` is a clearly-marked ``NotImplementedError`` stub
+and the wired-in ``FakeMediaCodec`` derives features deterministically
+from payload size — which keeps the whole pipeline SQL-expressible so
+the DuckDB oracle verifies the Spark plumbing (binary construction,
+batch shapes, explode of frame samples) end to end.
+
+Since the driver's lake has no media table, payloads are synthesized
+in-plan from ``documents.text`` (utf-8 bytes) — deterministic, scale-
+proportional, and identically reproducible in the oracle.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..plans.registry import query
+from ..sources.tables import load_table
+
+MEDIA_TYPES = ("image", "audio", "video")
+
+
+class RealMediaCodec:
+    """Production codec: decode bytes with PIL/librosa/pyav. The
+    libraries are not in this container; the stub preserves the exact
+    integration point."""
+
+    @staticmethod
+    def decode(media_type: str, payload: bytes) -> dict:
+        raise NotImplementedError(
+            "real media decoding requires PIL/librosa/pyav, which are "
+            "not installed here; swap FakeMediaCodec for this class in "
+            "media_features() when they are"
+        )
+
+
+class FakeMediaCodec:
+    """Deterministic stand-in: features are arithmetic on payload size
+    (so the oracle can replay them from octet_length). Same call
+    signature as RealMediaCodec."""
+
+    _instance = None
+
+    @classmethod
+    def get(cls) -> "FakeMediaCodec":
+        # per-worker singleton, mirroring an expensive codec init
+        if cls._instance is None:
+            cls._instance = cls()
+        return cls._instance
+
+    def decode(self, media_type: str, payload: bytes) -> dict:
+        n = len(payload)
+        return {
+            "width": 64 + (n * 3) % 1857 if media_type != "audio" else 0,
+            "height": 64 + (n * 7) % 1017 if media_type != "audio" else 0,
+            "duration_sec": round(n / 100.0, 2)
+            if media_type != "image"
+            else 0.0,
+            "n_frames": (n % 240) + 1 if media_type == "video" else 0,
+        }
+
+
+def with_media_columns(docs: DataFrame) -> DataFrame:
+    """Attach the opaque payload + typed metadata. Payload = utf-8
+    bytes of the text (stand-in for real object-store bytes);
+    media_type cycles deterministically over doc_id."""
+    payload = F.encode(F.col("text"), "UTF-8")
+    return docs.select(
+        "doc_id",
+        payload.alias("payload"),
+        F.element_at(
+            F.array(*[F.lit(t) for t in MEDIA_TYPES]),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("media_type"),
+        F.octet_length(payload).cast("long").alias("size_bytes"),
+    )
+
+
+@query(
+    "multimodal_inventory",
+    oracle="""
+    SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                           ELSE 'video' END AS media_type,
+           COUNT(*) AS n_assets,
+           SUM(octet_length(encode(text))) AS total_bytes,
+           ROUND(AVG(octet_length(encode(text))), 2) AS mean_bytes,
+           MAX(octet_length(encode(text))) AS max_bytes
+    FROM documents
+    GROUP BY 1
+    ORDER BY media_type
+    """,
+)
+def multimodal_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed-metadata aggregation over opaque payloads: the storage-
+    planning query (bytes per modality). Runs entirely on metadata
+    columns — at scale the payload bytes are never shuffled because
+    the agg only touches size_bytes (column pruning keeps the binary
+    out of the scan)."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = with_media_columns(docs)
+    return (
+        media.groupBy("media_type")
+        .agg(
+            F.count("*").alias("n_assets"),
+            F.sum("size_bytes").alias("total_bytes"),
+            F.round(F.avg("size_bytes"), 2).alias("mean_bytes"),
+            F.max("size_bytes").alias("max_bytes"),
+        )
+        .orderBy("media_type")
+    )
+
+
+_FEATURES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("size_bytes", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("duration_sec", DoubleType()),
+        StructField("n_frames", LongType()),
+    ]
+)
+
+
+def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    codec = FakeMediaCodec.get()
+    for pdf in batches:
+        feats = [
+            codec.decode(mt, p)
+            for mt, p in zip(pdf["media_type"], pdf["payload"])
+        ]
+        out = pd.DataFrame(feats)
+        out.insert(0, "doc_id", pdf["doc_id"].values)
+        out.insert(1, "media_type", pdf["media_type"].values)
+        out.insert(2, "size_bytes", pdf["size_bytes"].values)
+        yield out
+
+
+@query(
+    "media_decode_features",
+    oracle="""
+    WITH media AS (
+        SELECT doc_id,
+               CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                               ELSE 'video' END AS media_type,
+               octet_length(encode(text)) AS n
+        FROM documents
+    )
+    SELECT doc_id, media_type, n AS size_bytes,
+           CASE WHEN media_type <> 'audio' THEN 64 + (n * 3) % 1857
+                ELSE 0 END AS width,
+           CASE WHEN media_type <> 'audio' THEN 64 + (n * 7) % 1017
+                ELSE 0 END AS height,
+           CASE WHEN media_type <> 'image' THEN ROUND(n / 100.0, 2)
+                ELSE 0.0 END AS duration_sec,
+           CASE WHEN media_type = 'video' THEN (n % 240) + 1
+                ELSE 0 END AS n_frames
+    FROM media
+    ORDER BY doc_id
+    """,
+)
+def media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode / feature-extract stage: Arrow-batched ``mapInPandas``
+    over (payload, metadata), per-worker codec singleton — the T4
+    inference pattern applied to media. The fake codec's arithmetic is
+    replayed by the oracle, so what is actually verified is the Spark
+    plumbing: binary column round-trip into pandas, batch shape,
+    schema, and partition parallelism."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = with_media_columns(docs)
+    return media.mapInPandas(_decode_batches, _FEATURES_SCHEMA).orderBy(
+        "doc_id"
+    )
+
+
+@query(
+    "video_frame_samples",
+    oracle="""
+    WITH media AS (
+        SELECT doc_id, octet_length(encode(text)) AS n
+        FROM documents
+        WHERE doc_id % 3 = 2
+    ), frames AS (
+        SELECT doc_id, (n % 240) + 1 AS n_frames,
+               unnest(range(0, (n % 240) + 1, 30)) AS frame_idx
+        FROM media
+    )
+    SELECT doc_id, n_frames, CAST(frame_idx AS BIGINT) AS frame_idx,
+           ROUND(frame_idx / 24.0, 3) AS ts_sec
+    FROM frames
+    ORDER BY doc_id, frame_idx
+    """,
+)
+def video_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling (1 video -> N frame rows): every 30th frame
+    index with its timestamp at 24 fps — a native
+    ``explode(sequence(...))``, no Python. In production the frame
+    EXTRACTION (bytes per sampled frame) follows as a mapInPandas
+    stage over (payload, frame_idx); the sampling plan itself — the
+    part Spark owns — is what's verified here. The explode multiplies
+    rows ~8x; it runs after a metadata-only filter so only video rows
+    expand."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = with_media_columns(docs).filter(F.col("media_type") == "video")
+    n_frames = (F.col("size_bytes") % 240 + 1).cast("long")
+    return (
+        media.select(
+            "doc_id",
+            n_frames.alias("n_frames"),
+            F.explode(
+                F.sequence(F.lit(0).cast("long"), n_frames - 1, F.lit(30))
+            ).alias("frame_idx"),
+        )
+        .select(
+            "doc_id",
+            "n_frames",
+            "frame_idx",
+            F.round(F.col("frame_idx") / 24.0, 3).alias("ts_sec"),
+        )
+        .orderBy("doc_id", "frame_idx")
+    )

@@ -42,7 +42,10 @@ def _load_all() -> None:
     from ..operators import (  # noqa: F401
         aggregates,
         dedup,
+        enrichment,
+        extraction,
         joins,
+        multimodal,
         setops,
         sorts,
         windows,
