@@ -57,7 +57,7 @@ def _shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
         SELECT l_orderkey, l_linenumber, l_partkey, l_quantity,
                ROW_NUMBER() OVER (
                    PARTITION BY l_orderkey
-                   ORDER BY l_linenumber, l_partkey
+                   ORDER BY l_linenumber, l_partkey, l_quantity
                ) AS rn
         FROM lineitem
     )
@@ -72,7 +72,13 @@ def dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     row_number window with an explicit tie-break. One shuffle on the
     dedup key; at scale AQE splits skewed keys."""
     li = load_table(spark, sf_dir, "lineitem")
-    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey")
+    # The tie-break must be TOTAL over the projected columns: at
+    # sf0.01, orderkey 13685 has two rows tying on (linenumber,
+    # partkey) with different quantities, and a partial order lets
+    # each engine pick a different "first" (SURVEY.md §7.4 risk).
+    w = Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_partkey", "l_quantity"
+    )
     return (
         li.select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
         .withColumn("rn", F.row_number().over(w))

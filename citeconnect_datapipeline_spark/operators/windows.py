@@ -82,7 +82,7 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(baseline_mean, 6) AS baseline_mean,
            ROUND(baseline_std, 6) AS baseline_std,
            CASE WHEN baseline_std IS NOT NULL AND baseline_std > 0
-                THEN ROUND((n_events - baseline_mean) / baseline_std, 6)
+                THEN ROUND((n_events - baseline_mean) / baseline_std, 4)
            END AS z_score
     FROM windowed
     ORDER BY day
@@ -111,21 +111,20 @@ def run_over_run_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.orderBy("day")
     frame = w.rowsBetween(-10, -1)
+    # z is computed from the RAW mean/std and rounded at 4 dp: rounding
+    # the inputs first (or rounding z at 6 dp) leaves the last digit at
+    # the mercy of each engine's float summation order.
+    raw_mean = F.avg("n_events").over(frame)
+    raw_std = F.stddev_samp("n_events").over(frame)
     out = (
         daily.withColumn("prev_n", F.lag("n_events").over(w))
-        .withColumn("baseline_mean", F.round(F.avg("n_events").over(frame), 6))
-        .withColumn(
-            "baseline_std", F.round(F.stddev_samp("n_events").over(frame), 6)
-        )
+        .withColumn("baseline_mean", F.round(raw_mean, 6))
+        .withColumn("baseline_std", F.round(raw_std, 6))
         .withColumn(
             "z_score",
             F.when(
-                F.col("baseline_std").isNotNull() & (F.col("baseline_std") > 0),
-                F.round(
-                    (F.col("n_events") - F.col("baseline_mean"))
-                    / F.col("baseline_std"),
-                    6,
-                ),
+                raw_std.isNotNull() & (raw_std > 0),
+                F.round((F.col("n_events") - raw_mean) / raw_std, 4),
             ),
         )
     )
