@@ -39,7 +39,18 @@ def main() -> None:
     # not first-touch JIT compilation.
     warm_dir = "/root/testdata/sf0.001"
     if os.path.isdir(warm_dir):
-        for wname in ("bias_slice_disparity", "chunk_documents", "cosine_topk"):
+        # cover the distinct execution paths: relational agg, explode
+        # pipeline, HOF lambdas, shingle joins, Python workers
+        # (mapInPandas/applyInPandas), so per-query timings measure
+        # plans rather than first-touch JIT/worker spin-up.
+        for wname in (
+            "bias_slice_disparity",
+            "chunk_documents",
+            "cosine_topk",
+            "ngram_jaccard_topk",
+            "media_decode_features",
+            "embedding_neardup_pairs",
+        ):
             if wname in queries:
                 try:
                     queries[wname](spark, warm_dir).write.format("noop").mode(

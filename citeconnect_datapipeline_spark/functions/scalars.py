@@ -123,8 +123,15 @@ def scalar_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     safe_get of metadata_utils.py:9-14), numeric coercion with default,
     ISO timestamp emit."""
     events = load_table(spark, sf_dir, "events")
+    # Top-k FIRST, parse after: orderBy+limit on the key column alone
+    # is a TakeOrdered over the scan; the JSON parse then touches 1000
+    # rows instead of every event. At 100 TB that ordering is the
+    # difference between parsing a terabyte of props and a kilobyte.
     return (
-        events.select(
+        events.select("event_id", "props", "ts")
+        .orderBy("event_id")
+        .limit(1000)
+        .select(
             "event_id",
             F.get_json_object("props", "$.k").cast("long").alias("k_value"),
             F.coalesce(
@@ -133,8 +140,6 @@ def scalar_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("missing_coerced"),
             F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
         )
-        .orderBy("event_id")
-        .limit(1000)
     )
 
 

@@ -27,26 +27,73 @@ from ..plans.registry import query
 from ..sources.tables import load_table
 
 # Shared shingling: lowercase, split on non-alphanumerics, 3-word
-# shingles. Kept identical between Spark and the DuckDB oracles.
-def _shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
-    """doc_id -> exploded distinct n-word shingles (blocking keys).
+# shingles. Equality classes kept identical to the DuckDB oracles'
+# string shingles (concat_ws ' ' over space-free words is injective).
+def _shingle_hash_expr(text_col: str, n: int):
+    """Column expression: DISTINCT 64-bit shingle-hash array of a text
+    column.
 
-    The input is repartitioned to full parallelism before the 1->N
-    explode: a compact source (few parquet files) would otherwise run
-    the row-multiplying stage on a handful of tasks. Same concern on a
-    real cluster wherever a small input feeds an expanding operator.
+    * The shingle is hashed IN the transform lambda via multi-arg
+      ``xxhash64(w_i, ..., w_{i+n-1})`` — no shingle string and no
+      sliced sub-array are ever allocated, and everything downstream
+      (shuffles, joins, signatures) carries 8-byte longs instead of
+      ~20-40-byte strings.
+    * Dedup is PER DOC via ``array_distinct`` inside the row — set
+      semantics need no global ``distinct`` shuffle because shingle
+      sets are per-document to begin with. Exploded consumers get
+      (doc_id, sh) uniqueness for free, and per-doc set sizes are a
+      ``size()`` — not a groupBy.
+    """
+    words = F.split(F.lower(F.col(text_col)), "[^a-z0-9]+")
+    return F.array_distinct(
+        F.transform(
+            F.sequence(
+                F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(1))
+            ),
+            lambda i: F.xxhash64(
+                *[F.element_at(words, i + j) for j in range(n)]
+            ),
+        )
+    )
+
+
+def _nonempty_filter(text_col: str):
+    # the only ''-shingle the string form filtered out is the
+    # no-alphanumeric-text doc (words == ['']): drop it up front
+    words = F.split(F.lower(F.col(text_col)), "[^a-z0-9]+")
+    return ~((F.size(words) == 1) & (F.element_at(words, 1) == F.lit("")))
+
+
+def _shingle_hashes(
+    df: DataFrame, text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """doc_id -> exploded distinct shingle hashes (blocking keys).
+
+    The explode is built DIRECTLY over the shingle expression, not
+    over a named intermediate column: with a named column, Catalyst's
+    InferFiltersFromGenerate clones the whole transform into an
+    inferred ``size(col) > 0`` filter and pushes it below the
+    repartition — recomputing the expensive expression a second time,
+    single-threaded on the compact source (measured 10x slowdown).
+    The input is repartitioned to full parallelism first so the 1->N
+    expansion runs on every core, not one task per source file.
     """
     df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-    words = F.split(F.lower(F.col(text_col)), "[^a-z0-9]+")
-    # index i runs 1..len-n+1; slice(words, i, n) is the i-th shingle
-    shingle_arr = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+    return df.filter(_nonempty_filter(text_col)).select(
+        "doc_id", F.explode(_shingle_hash_expr(text_col, n)).alias("sh")
     )
-    return (
-        df.select("doc_id", F.explode(shingle_arr).alias("shingle"))
-        .filter(F.col("shingle") != "")
-        .distinct()
+
+
+def _shingle_set_sizes(
+    df: DataFrame, text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """doc_id -> distinct-shingle-set size, straight from the array
+    expression (no explode, no groupBy shuffle). Repartitioned for the
+    same reason as _shingle_hashes: the per-shingle lambda is the cost,
+    and a compact source would run it on one task."""
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    return df.filter(_nonempty_filter(text_col)).select(
+        "doc_id", F.size(_shingle_hash_expr(text_col, n)).alias("n")
     )
 
 
@@ -189,10 +236,12 @@ def ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the sub-quadratic variant.
     """
     docs = load_table(spark, sf_dir, "documents")
-    # Join on a 64-bit shingle hash, not the string: same pairs
-    # (collision odds ~ |shingles|^2 / 2^64), half the shuffle bytes.
-    sh = _shingles(docs).select("doc_id", F.xxhash64("shingle").alias("sh"))
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    # 64-bit shingle hashes, computed in the shingling lambda: same
+    # pairs (collision odds ~ |shingles|^2 / 2^64), a fraction of the
+    # shuffle bytes and allocation of string shingles.
+    sh = _shingle_hashes(docs)
+    # per-doc set size from the array expression — no groupBy shuffle
+    sizes = _shingle_set_sizes(docs)
     a = sh.alias("a")
     b = sh.alias("b")
     pairs = (
@@ -206,8 +255,8 @@ def ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("common"))
     )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
+    sa = F.broadcast(sizes).alias("sa")
+    sb = F.broadcast(sizes).alias("sb")
     return (
         pairs.join(sa, pairs.doc_a == F.col("sa.doc_id"))
         .join(sb, pairs.doc_b == F.col("sb.doc_id"))
@@ -242,10 +291,11 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     num_hashes, band_size = 16, 4
     docs = load_table(spark, sf_dir, "documents")
-    # Hash each shingle to a long ONCE, then derive the 16 salted
-    # hashes from that long (xxhash64 over (long, salt) is far cheaper
-    # than re-hashing the string per hash function).
-    sh = _shingles(docs).select("doc_id", F.xxhash64("shingle").alias("h"))
+    # Each shingle is hashed to a long ONCE (in the shingling
+    # lambda); the 16 salted hashes derive from that long (xxhash64
+    # over (long, salt) is far cheaper than re-hashing a string per
+    # hash function).
+    sh = _shingle_hashes(docs).withColumnRenamed("sh", "h")
     minhashes = sh.groupBy("doc_id").agg(
         *[
             F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"mh{i}")
@@ -300,7 +350,7 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     bits = 32
     docs = load_table(spark, sf_dir, "documents")
-    sh = _shingles(docs).withColumn("h", F.xxhash64("shingle"))
+    sh = _shingle_hashes(docs).withColumnRenamed("sh", "h")
     votes = sh.groupBy("doc_id").agg(
         *[
             F.sum(

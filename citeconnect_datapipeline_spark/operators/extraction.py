@@ -118,6 +118,10 @@ def content_extract_4tier(spark: SparkSession, sf_dir: str) -> DataFrame:
     the length gate — same semantics, no per-row Python in the
     decision path."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # The source is a handful of parquet files; repartition so the
+    # (I/O-bound in production) tier-fetch stage fans out across all
+    # workers instead of serializing on one Python worker per file.
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
     tiers = docs.mapInPandas(_fetch_tiers, _TIER_SCHEMA)
 
     def gate(c):

@@ -144,30 +144,32 @@ def array_semi_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     fallback (SURVEY.md D4)."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
-    # Explode -> broadcast semi-join -> re-group (SURVEY.md D4's
-    # unbounded-set form). A literal array_intersect against a
+    # Flag-then-group (SURVEY.md D4's unbounded-set form): broadcast
+    # the kept dimension as a FLAG onto each ref edge, then build both
+    # the full ref set and the kept subset in ONE groupBy — a single
+    # shuffle on the group key. A literal array_intersect against a
     # collected kept-set is O(|refs| * |kept|) per row and dies once
-    # the kept set outgrows a dimension; the join form shuffles each
-    # ref id once and scales with data, not with set size.
-    kept = part.filter(F.col("p_size") >= 25).select("p_partkey")
+    # the kept set outgrows a dimension; grouping twice and re-joining
+    # (the naive form) pays three shuffles for the same answer.
+    kept = part.filter(F.col("p_size") >= 25).select(
+        "p_partkey", F.lit(True).alias("kept")
+    )
     refs = li.select("l_orderkey", "l_partkey").distinct()
-    kept_refs = refs.join(
-        F.broadcast(kept), refs.l_partkey == kept.p_partkey, "left_semi"
-    )
-    order_parts = refs.groupBy("l_orderkey").agg(
-        F.array_sort(F.collect_set("l_partkey")).alias("ref_parts")
-    )
-    kept_parts = kept_refs.groupBy("l_orderkey").agg(
-        F.array_sort(F.collect_set("l_partkey")).alias("kept_parts")
+    flagged = refs.join(
+        F.broadcast(kept), refs.l_partkey == kept.p_partkey, "left"
     )
     return (
-        order_parts.join(kept_parts, "l_orderkey", "left")
+        flagged.groupBy("l_orderkey")
+        .agg(
+            F.array_sort(F.collect_set("l_partkey")).alias("ref_parts"),
+            F.array_sort(
+                F.collect_set(F.when(F.col("kept"), F.col("l_partkey")))
+            ).alias("kept_parts"),
+        )
         .select(
             "l_orderkey",
             F.size("ref_parts").alias("n_refs"),
-            F.coalesce(
-                F.col("kept_parts"), F.array().cast("array<bigint>")
-            ).alias("kept_parts"),
+            "kept_parts",
         )
         .orderBy("l_orderkey")
         .limit(100)
