@@ -385,3 +385,75 @@ def rollup_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("region_name", "nation_name")
     )
+
+
+@query(
+    "cube_slices",
+    oracle="""
+    SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+           COALESCE(CAST(year_ AS VARCHAR), 'ALL') AS year,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM (
+        SELECT o_orderpriority, EXTRACT(YEAR FROM o_orderdate) AS year_,
+               o_totalprice
+        FROM orders
+    )
+    GROUP BY CUBE (o_orderpriority, year_)
+    ORDER BY priority, year
+    """,
+)
+def cube_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (priority, year) — the multi-dimensional slicing the
+    reference computes as separate groupbys per dimension
+    (slicing_bias_analysis.py:208-213 runs one groupby per slice
+    column). One cube = all 4 grouping sets in a single pass with
+    partial aggregation; a 'free Spark win' SURVEY.md §2.5 calls out.
+    Grouping nulls are labeled 'ALL' (no real nulls in these dims)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            "o_orderpriority",
+            F.year("o_orderdate").alias("year_"),
+            "o_totalprice",
+        )
+        .cube("o_orderpriority", "year_")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.coalesce(F.col("year_").cast("string"), F.lit("ALL")).alias(
+                "year"
+            ),
+            "n_orders",
+            "total_price",
+        )
+        .orderBy("priority", "year")
+    )
+
+
+@query("approx_distinct_stats")  # rows-only: HLL sketch is engine-specific
+def approx_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) next to the exact count —
+    the cardinality-estimation 'free win' (SURVEY.md §2.5). At 100 TB
+    the exact distinct of a high-cardinality key is a full shuffle of
+    every distinct value; the sketch is a fixed few KB per partition
+    merged on the driver, no shuffle of values at all. The relative
+    error column is the accuracy contract (rsd default 5%)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.round(
+            F.abs(
+                F.approx_count_distinct("l_partkey")
+                - F.countDistinct("l_partkey")
+            )
+            / F.countDistinct("l_partkey"),
+            4,
+        ).alias("rel_err_parts"),
+    )

@@ -217,3 +217,60 @@ def graph_1hop_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cust_id")
     )
+
+
+@query(
+    "graph_2hop_frontier",
+    oracle="""
+    WITH edges AS (
+        SELECT DISTINCT o.o_custkey AS src, l.l_suppkey AS dst
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ), seeds AS (
+        SELECT DISTINCT src FROM edges WHERE src < 50
+    ), hop1 AS (
+        SELECT DISTINCT e.dst AS supp FROM edges e
+        JOIN seeds s ON e.src = s.src
+    ), hop2 AS (
+        SELECT DISTINCT e.src AS cust FROM edges e
+        JOIN hop1 h ON e.dst = h.supp
+    )
+    SELECT (SELECT COUNT(*) FROM seeds) AS n_seeds,
+           (SELECT COUNT(*) FROM hop1) AS n_hop1_suppliers,
+           (SELECT COUNT(*) FROM hop2) AS n_hop2_customers
+    """,
+)
+def graph_2hop_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative graph expansion, hop 2 (D6 n-hop): seeds -> supplier
+    frontier -> customers reachable through those suppliers — the
+    reference's reference-of-reference fetch loop (main.py:493-574
+    iterated) as frontier semi-joins on an edge DataFrame. Each hop is
+    one shuffle on the frontier key; the edge list is computed once
+    and reused (GraphFrames-style BFS). Output is the frontier-size
+    triple, the shape a crawl scheduler consumes."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"), F.col("l_suppkey").alias("dst")
+        )
+        .distinct()
+    )
+    seeds = edges.select("src").filter(F.col("src") < 50).distinct()
+    hop1 = (
+        edges.join(seeds, "src", "left_semi").select("dst").distinct()
+    )
+    hop2 = (
+        edges.join(
+            hop1.withColumnRenamed("dst", "supp"),
+            edges.dst == F.col("supp"),
+            "left_semi",
+        )
+        .select("src")
+        .distinct()
+    )
+    return (
+        seeds.agg(F.count("*").alias("n_seeds"))
+        .join(hop1.agg(F.count("*").alias("n_hop1_suppliers")))
+        .join(hop2.agg(F.count("*").alias("n_hop2_customers")))
+    )

@@ -204,3 +204,63 @@ def cumulative_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("o_custkey", "order_day", "o_orderkey")
         .limit(500)
     )
+
+
+@query(
+    "range_frame_agg",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS d,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 6) AS total_value
+        FROM events
+        GROUP BY CAST(ts AS DATE)
+    ), keyed AS (
+        SELECT CAST(epoch(CAST(d AS TIMESTAMP)) / 86400 AS BIGINT)
+                   AS epoch_day,
+               strftime(d, '%Y-%m-%d') AS day, n_events, total_value
+        FROM daily
+    )
+    SELECT day, n_events,
+           SUM(n_events) OVER (
+               ORDER BY epoch_day
+               RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+           ) AS events_7d,
+           ROUND(SUM(total_value) OVER (
+               ORDER BY epoch_day
+               RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+           ), 6) AS value_7d
+    FROM keyed
+    ORDER BY day
+    """,
+)
+def range_frame_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window (SURVEY.md §2.6 frame-spec coverage): a
+    trailing 7-day sum keyed on the VALUE of the order column (epoch
+    day), not row position — gaps in the calendar shrink the window,
+    which a rowsBetween frame gets wrong. Heavy lifting is the daily
+    pre-aggregate (map-side combinable); the window runs over one
+    row per day."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 6).alias("total_value"),
+    )
+    keyed = daily.select(
+        (F.unix_timestamp(F.col("d").cast("timestamp")) / 86400)
+        .cast("long")
+        .alias("epoch_day"),
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "n_events",
+        "total_value",
+    )
+    w = Window.orderBy("epoch_day").rangeBetween(-6, 0)
+    return (
+        keyed.select(
+            "day",
+            "n_events",
+            F.sum("n_events").over(w).alias("events_7d"),
+            F.round(F.sum("total_value").over(w), 6).alias("value_7d"),
+        )
+        .orderBy("day")
+    )

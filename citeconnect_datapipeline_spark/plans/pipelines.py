@@ -1,0 +1,262 @@
+"""End-to-end composed pipelines (SURVEY.md §3): the reference's DAG
+stages as single lazily-built DataFrame plans.
+
+The reference runs its flow as Airflow tasks passing state through
+GCS files and subprocesses (dags/test_dag.py:750-751): collection ->
+preprocessing -> bias slicing -> mitigation loop -> validation ->
+upload. Here each composite is ONE declarative plan — Catalyst sees
+the whole lineage, so column pruning, filter pushdown and shuffle
+planning happen across stage boundaries that in the reference are
+opaque process hops (SURVEY.md §3.1 "Spark restatement").
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..plans.registry import query
+from ..sources.tables import load_table
+
+# Shared clean expression (T1 suite, matches scalar_text_clean).
+def _cleaned(col):
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(col), "[^a-z0-9 ]", " "), " +", " "
+        )
+    )
+
+
+def _first_keyword_domain(col):
+    """F9 keyword classify, first-occurrence priority: the EARLIEST
+    matching keyword decides the domain (the reference scans keyword
+    lists in order, metadata_enricher.py:150-170). regexp_extract
+    returns the first match in both Spark and DuckDB, so the oracle
+    replays it exactly — and unlike an any-match rlike chain it
+    actually discriminates on keyword-dense synthetic text."""
+    key = F.regexp_extract(col, "(join|window|agg|hash|stream)", 1)
+    return (
+        F.when(key == "join", "relational")
+        .when(key == "window", "analytics")
+        .when(key == "agg", "aggregation")
+        .when(key == "hash", "dedup")
+        .when(key == "stream", "streaming")
+        .otherwise("general")
+    )
+
+
+@query(
+    "papers_pipeline_e2e",
+    oracle="""
+    WITH cleaned AS (
+        SELECT doc_id, lang, n_chars,
+               trim(regexp_replace(
+                   regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                   ' +', ' ', 'g')) AS content
+        FROM documents
+    ), filtered AS (
+        SELECT * FROM cleaned WHERE length(content) >= 200
+    ), enriched AS (
+        SELECT doc_id, lang, n_chars, content,
+               CASE regexp_extract(content, '(join|window|agg|hash|stream)', 1)
+                    WHEN 'join' THEN 'relational'
+                    WHEN 'window' THEN 'analytics'
+                    WHEN 'agg' THEN 'aggregation'
+                    WHEN 'hash' THEN 'dedup'
+                    WHEN 'stream' THEN 'streaming'
+                    ELSE 'general' END AS domain,
+               ROUND(LEAST(100.0, log10(n_chars + 1) * 25
+                     + CASE WHEN lang = 'en' THEN 10 ELSE 0 END), 4)
+                   AS importance
+        FROM filtered
+    ), deduped AS (
+        SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY md5(content) ORDER BY doc_id
+            ) AS rn FROM enriched
+        ) WHERE rn = 1
+    )
+    SELECT domain, COUNT(*) AS n_docs,
+           ROUND(AVG(importance), 4) AS mean_importance,
+           ROUND(AVG(length(content)), 2) AS mean_len
+    FROM deduped
+    GROUP BY domain
+    ORDER BY domain
+    """,
+)
+def papers_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's stages 2-7 as ONE plan (§3.1): clean (T1) ->
+    min-length filter (P4) -> enrich domain+importance (T8/F7/F9) ->
+    content-hash dedup keep-first (D2, deterministic doc_id tie-break)
+    -> bias-slice aggregation (A1). In the reference each arrow is a
+    process/file boundary; here Catalyst prunes columns through the
+    whole lineage (only text/lang/n_chars are scanned) and the dedup
+    window + final agg are the only shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    content = _cleaned(F.col("text"))
+    enriched = (
+        docs.select(
+            "doc_id", "lang", "n_chars", content.alias("content")
+        )
+        .filter(F.length("content") >= 200)
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            "content",
+            _first_keyword_domain(F.col("content")).alias("domain"),
+            F.round(
+                F.least(
+                    F.lit(100.0),
+                    F.log10(F.col("n_chars") + 1) * 25
+                    + F.when(F.col("lang") == "en", 10.0).otherwise(0.0),
+                ),
+                4,
+            ).alias("importance"),
+        )
+    )
+    w = Window.partitionBy(F.md5("content")).orderBy("doc_id")
+    deduped = (
+        enriched.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return (
+        deduped.groupBy("domain")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("importance"), 4).alias("mean_importance"),
+            F.round(F.avg(F.length("content")), 2).alias("mean_len"),
+        )
+        .orderBy("domain")
+    )
+
+
+@query(
+    "mitigation_recommendations",
+    oracle="""
+    WITH slices AS (
+        SELECT CASE regexp_extract(lower(text),
+                    '(join|window|agg|hash|stream)', 1)
+                    WHEN 'join' THEN 'relational'
+                    WHEN 'window' THEN 'analytics'
+                    WHEN 'agg' THEN 'aggregation'
+                    WHEN 'hash' THEN 'dedup'
+                    WHEN 'stream' THEN 'streaming'
+                    ELSE 'general' END AS domain,
+               COUNT(*) AS n_docs
+        FROM documents
+        GROUP BY 1
+    ), stats AS (
+        SELECT MAX(n_docs) AS max_docs FROM slices
+    )
+    SELECT domain, n_docs,
+           CAST(max_docs - n_docs AS BIGINT) AS papers_needed,
+           CASE WHEN n_docs < max_docs * 0.5 THEN 'high'
+                ELSE 'medium' END AS priority
+    FROM slices, stats
+    WHERE n_docs < max_docs
+    ORDER BY (CASE WHEN n_docs < max_docs * 0.5 THEN 'high'
+              ELSE 'medium' END = 'high') DESC,
+             papers_needed DESC, domain
+    """,
+)
+def mitigation_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bias-mitigation decision step (§3.1 stage 5, A3+A11+O4):
+    slice counts per domain -> under-represented set vs the largest
+    slice -> papers_needed gap + priority -> priority-sorted
+    collection recommendations (bias_mitigation_collector.py:19-68,
+    378-457). The reference re-invokes the whole ingest pipeline per
+    recommendation; here the output IS the work list an ingest
+    connector (sources.api_ingest) would fan out over — the feedback
+    loop's aggregate->decide step as one plan with a single groupBy
+    and a broadcast of the 1-row max."""
+    docs = load_table(spark, sf_dir, "documents")
+    slices = (
+        docs.select(
+            _first_keyword_domain(F.lower(F.col("text"))).alias("domain")
+        )
+        .groupBy("domain")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    stats = slices.agg(F.max("n_docs").alias("max_docs"))
+    priority = F.when(
+        F.col("n_docs") < F.col("max_docs") * 0.5, "high"
+    ).otherwise("medium")
+    return (
+        slices.join(F.broadcast(stats))
+        .filter(F.col("n_docs") < F.col("max_docs"))
+        .select(
+            "domain",
+            "n_docs",
+            (F.col("max_docs") - F.col("n_docs"))
+            .cast("long")
+            .alias("papers_needed"),
+            priority.alias("priority"),
+        )
+        .orderBy(
+            F.desc(F.col("priority") == "high"),
+            F.desc("papers_needed"),
+            "domain",
+        )
+    )
+
+
+@query("chunk_embed_search_e2e")  # rows-only: model inference not SQL
+def chunk_embed_search_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embedding service end-to-end (§3.3): select content ->
+    clean (T1) -> chunk 1->N (T2) -> batch-embed chunks (T4, fake
+    deterministic encoder) -> cosine top-10 against a driver-encoded
+    query vector (T5/T6). One plan: the chunker explode and the
+    mapInPandas embed stage pipeline without a barrier, and the
+    query vector is broadcast as a literal — the reference's
+    process_domain + search flow (services/embedding_service.py:
+    68-331, embed_generator.py:288-305) with no pickle files and no
+    in-memory [N, dim] matrix."""
+    from ..operators.similarity import _FakeModel, _dot
+
+    docs = load_table(spark, sf_dir, "documents")
+    content = _cleaned(F.col("text"))
+    # sentence-ish chunks: fixed 40-word windows with 10-word overlap
+    words = F.split(content, " ")
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size(words) - 9, F.lit(1)), F.lit(30)
+    )
+    chunks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                starts, lambda s: F.concat_ws(" ", F.slice(words, s, 40))
+            )
+        ).alias("chunk_pos", "chunk_text"),
+    ).filter(F.length("chunk_text") > 0)
+
+    def embed(batches):
+        model = _FakeModel.get()
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "chunk_pos": pdf["chunk_pos"],
+                    "embedding": model.encode(pdf["chunk_text"].tolist()),
+                }
+            )
+
+    embedded = chunks.mapInPandas(
+        embed,
+        "doc_id long, chunk_pos int, embedding array<float>",
+    )
+    qvec = _FakeModel.get().encode(["spark query table join"])[0]
+    q = F.array(*[F.lit(float(x)) for x in qvec])
+    sim = _dot(F.col("embedding").cast("array<double>"), q)
+    return (
+        embedded.select(
+            "doc_id",
+            "chunk_pos",
+            F.round(sim, 6).alias("similarity"),
+        )
+        .orderBy(F.desc("similarity"), "doc_id", "chunk_pos")
+        .limit(10)
+    )

@@ -54,6 +54,7 @@ def _load_all() -> None:
     )
     from ..functions import scalars  # noqa: F401
     from ..streaming import event_windows  # noqa: F401
+    from . import pipelines  # noqa: F401
 
 
 _loaded = False
