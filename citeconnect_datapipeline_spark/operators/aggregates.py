@@ -457,3 +457,91 @@ def approx_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("rel_err_parts"),
     )
+
+
+@query(
+    "schema_snapshot",
+    oracle="""
+    SELECT 'o_orderkey' AS column_name, 'bigint' AS dtype,
+           COUNT(*) - COUNT(o_orderkey) AS missing_count,
+           ROUND(AVG(o_orderkey), 4) AS mean_value,
+           ROUND(MIN(o_orderkey), 4) AS min_value,
+           ROUND(MAX(o_orderkey), 4) AS max_value,
+           COUNT(DISTINCT o_orderkey) AS n_distinct
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', 'bigint',
+           COUNT(*) - COUNT(o_custkey),
+           ROUND(AVG(o_custkey), 4), ROUND(MIN(o_custkey), 4),
+           ROUND(MAX(o_custkey), 4), COUNT(DISTINCT o_custkey)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', 'double',
+           COUNT(*) - COUNT(o_totalprice),
+           ROUND(AVG(o_totalprice), 4), ROUND(MIN(o_totalprice), 4),
+           ROUND(MAX(o_totalprice), 4), COUNT(DISTINCT o_totalprice)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', 'string',
+           COUNT(*) - COUNT(o_orderpriority),
+           NULL, NULL, NULL, COUNT(DISTINCT o_orderpriority)
+    FROM orders
+    ORDER BY column_name
+    """,
+)
+def schema_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observed-schema snapshot (A6/A14 full form): per-column dtype,
+    missing count, numeric stats and distinct cardinality — the
+    reference's ``SchemaValidator.generate_and_validate`` per-run
+    artifact (schema_validator.py:289-331) as ONE aggregation pass.
+    All per-column stats are computed in a single agg (one scan, one
+    reduce) and reshaped to rows driver-side from the 1-row result —
+    the wide->long pivot touches a handful of values, not data."""
+    orders = load_table(spark, sf_dir, "orders")
+    numeric = [
+        ("o_orderkey", "bigint"),
+        ("o_custkey", "bigint"),
+        ("o_totalprice", "double"),
+    ]
+    aggs = []
+    for c, _ in numeric:
+        aggs += [
+            (F.count("*") - F.count(c)).alias(f"{c}__missing"),
+            F.round(F.avg(c), 4).alias(f"{c}__mean"),
+            F.round(F.min(c).cast("double"), 4).alias(f"{c}__min"),
+            F.round(F.max(c).cast("double"), 4).alias(f"{c}__max"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+        ]
+    aggs += [
+        (F.count("*") - F.count("o_orderpriority")).alias("op__missing"),
+        F.countDistinct("o_orderpriority").alias("op__distinct"),
+    ]
+    row = orders.agg(*aggs).first()
+    out = [
+        (
+            c,
+            t,
+            row[f"{c}__missing"],
+            float(row[f"{c}__mean"]),
+            float(row[f"{c}__min"]),
+            float(row[f"{c}__max"]),
+            row[f"{c}__distinct"],
+        )
+        for c, t in numeric
+    ] + [
+        (
+            "o_orderpriority",
+            "string",
+            row["op__missing"],
+            None,
+            None,
+            None,
+            row["op__distinct"],
+        )
+    ]
+    return spark.createDataFrame(
+        out,
+        "column_name string, dtype string, missing_count bigint, "
+        "mean_value double, min_value double, max_value double, "
+        "n_distinct bigint",
+    ).orderBy("column_name")

@@ -63,5 +63,13 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.legacy.createHiveTableByDefault", "false")
+        # Bucketed-table tests (plans/layout.py) need a warehouse; keep
+        # it out of the repo tree. Static config -- must be set here.
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get(
+                "SPARK_GRAFT_WAREHOUSE", "/tmp/citeconnect-spark-warehouse"
+            ),
+        )
     )
     return builder.getOrCreate()
