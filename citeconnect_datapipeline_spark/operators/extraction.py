@@ -218,3 +218,66 @@ def extraction_method_distribution(
         )
         .orderBy("method")
     )
+
+
+def extract_with_quarantine(
+    docs: DataFrame,
+) -> tuple[DataFrame, DataFrame]:
+    """Per-row failure quarantine (the reference records failed papers
+    as error rows instead of aborting the batch, Ingestion/
+    processor.py:60-70): the tier-fetch stage catches per-row
+    exceptions inside the Python worker and routes them to an error
+    column; the caller splits good rows from quarantined ones.
+
+    One pass, two outputs: the split is two filters over the SAME
+    stage output (Spark recomputes the narrow stage per branch unless
+    cached — at scale, persist() the tiers frame when both branches
+    are consumed). Returning the error as DATA instead of failing the
+    task is what keeps a 100 TB job from dying at 99% on one bad row.
+    """
+    import pandas as pd  # local import: executors re-import cheaply
+
+    schema = StructType(
+        list(_TIER_SCHEMA.fields) + [StructField("error", StringType())]
+    )
+
+    def fetch_with_errors(batches):
+        for pdf in batches:
+            out_rows = []
+            for _, row in pdf.iterrows():
+                try:
+                    if row["doc_id"] % 97 == 13:  # deterministic fault
+                        raise ValueError("simulated fetch failure")
+                    mod = row["doc_id"] % 4
+                    text = row["text"] or ""
+                    out_rows.append(
+                        {
+                            "doc_id": row["doc_id"],
+                            "text": row["text"],
+                            "arxiv_text": text[:400] if mod == 0 else None,
+                            "grobid_text": text[:300] if mod == 1 else None,
+                            "pdf_text": text[:250] if mod == 2 else None,
+                            "error": None,
+                        }
+                    )
+                except Exception as exc:  # noqa: BLE001 - quarantine all
+                    out_rows.append(
+                        {
+                            "doc_id": row["doc_id"],
+                            "text": row["text"],
+                            "arxiv_text": None,
+                            "grobid_text": None,
+                            "pdf_text": None,
+                            "error": f"{type(exc).__name__}: {exc}",
+                        }
+                    )
+            yield pd.DataFrame(out_rows)
+
+    tiers = docs.select("doc_id", "text").mapInPandas(
+        fetch_with_errors, schema
+    )
+    good = tiers.filter(F.col("error").isNull()).drop("error")
+    quarantined = tiers.filter(F.col("error").isNotNull()).select(
+        "doc_id", "error"
+    )
+    return good, quarantined

@@ -1,0 +1,113 @@
+"""Skew salting, quarantine routing, vector-store sink — the scale
+and resilience equipment around the core operators."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from citeconnect_datapipeline_spark.operators.extraction import (
+    extract_with_quarantine,
+)
+from citeconnect_datapipeline_spark.operators.skew import (
+    replicated_broadcast_join,
+    salted_count_by_key,
+    salted_sum_by_key,
+)
+from citeconnect_datapipeline_spark.sinks.vector_store import write_vectors
+from citeconnect_datapipeline_spark.sources.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def skewed_df(spark):
+    # 90% of rows share one hot key
+    return spark.range(1000).select(
+        F.when(F.col("id") < 900, "hot").otherwise(
+            F.concat(F.lit("k"), F.col("id"))
+        ).alias("k"),
+        (F.col("id") % 7).cast("double").alias("v"),
+    )
+
+
+def test_salted_count_matches_plain(spark):
+    df = skewed_df(spark)
+    salted = {(r.k, r.n) for r in salted_count_by_key(df, "k", 8).collect()}
+    plain = {
+        (r.k, r.n)
+        for r in df.groupBy("k").agg(F.count("*").alias("n")).collect()
+    }
+    assert salted == plain
+
+
+def test_salted_sum_matches_plain(spark):
+    df = skewed_df(spark)
+    salted = {
+        (r.k, r.total)
+        for r in salted_sum_by_key(df, "k", "v", 8).collect()
+    }
+    plain = {
+        (r.k, r.total)
+        for r in df.groupBy("k").agg(F.sum("v").alias("total")).collect()
+    }
+    assert salted == plain
+
+
+def test_replicated_broadcast_join_matches_plain(spark):
+    facts = skewed_df(spark)
+    dim = spark.createDataFrame(
+        [("hot", "HOT"), ("k950", "K950")], "k string, label string"
+    )
+    salted = replicated_broadcast_join(facts, dim, "k", 8)
+    plain = facts.join(dim, "k", "left")
+    assert salted.count() == plain.count() == 1000
+    got = (
+        salted.groupBy("label").count().orderBy("label").collect()
+    )
+    want = plain.groupBy("label").count().orderBy("label").collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_quarantine_split(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    good, quarantined = extract_with_quarantine(docs)
+    n_docs = docs.count()
+    bad_ids = {r.doc_id for r in quarantined.collect()}
+    expected_bad = {
+        r.doc_id
+        for r in docs.select("doc_id").collect()
+        if r.doc_id % 97 == 13
+    }
+    assert bad_ids == expected_bad
+    assert good.count() == n_docs - len(bad_ids)
+    err = quarantined.first()
+    assert "simulated fetch failure" in err.error
+
+
+def test_vector_store_sink_batches(spark, tmp_path):
+    outdir = tmp_path / "vs"
+    outdir.mkdir()
+
+    def client_factory():
+        import uuid
+
+        fname = str(outdir / f"client-{uuid.uuid4().hex}.jsonl")
+
+        def add_batch(batch):
+            with open(fname, "a") as f:
+                f.write(json.dumps([r[0] for r in batch]) + "\n")
+
+        return add_batch
+
+    emb = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", "embedding"
+    ).repartition(3)
+    write_vectors(emb, client_factory, batch_size=16)
+    ids = []
+    for f in outdir.iterdir():
+        for line in open(f):
+            batch = json.loads(line)
+            assert len(batch) <= 16
+            ids.extend(batch)
+    assert sorted(ids) == [r.vec_id for r in emb.orderBy("vec_id").collect()]
