@@ -50,8 +50,12 @@ def _shingle_hash_expr(text_col: str, n: int):
             F.sequence(
                 F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(1))
             ),
+            # F.get (0-based) not element_at: past-the-end access must
+            # yield NULL (xxhash64 skips it — short docs get a shorter
+            # shingle, matching the string form's behavior), while
+            # element_at THROWS under ANSI mode for a 1-2 word doc.
             lambda i: F.xxhash64(
-                *[F.element_at(words, i + j) for j in range(n)]
+                *[F.get(words, i + j - 1) for j in range(n)]
             ),
         )
     )

@@ -1,0 +1,122 @@
+"""Property-based tests (hypothesis): randomized inputs against
+independently-computed expectations. The reference has no
+property/randomized testing (SURVEY.md §5 'Absent'); these pin the
+operators' SEMANTICS, not just their behavior on the fixed lake.
+
+Spark jobs are expensive per example, so example counts are small and
+deadlines disabled — each property still explores edge shapes
+(empty strings, duplicate keys, unicode, ties) the fixed testdata
+never hits.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+from citeconnect_datapipeline_spark.operators.skew import salted_sum_by_key
+from citeconnect_datapipeline_spark.sinks.upsert import dedup_keep_first
+
+KEYS = st.text(alphabet="abc", min_size=1, max_size=2)
+ROWS = st.lists(
+    st.tuples(KEYS, st.integers(-100, 100), st.integers(0, 5)),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(rows=ROWS)
+def test_dedup_keep_first_matches_python(spark, rows):
+    """keep-first == min over the explicit tiebreak ordering, for any
+    multiset of rows including full ties."""
+    df = spark.createDataFrame(rows, "k string, a int, b int")
+    got = {
+        (r.k, r.a, r.b)
+        for r in dedup_keep_first(df, "k", ("a", "b")).collect()
+    }
+    want = {}
+    for k, a, b in sorted(rows, key=lambda r: (r[0], r[1], r[2])):
+        want.setdefault(k, (k, a, b))
+    assert got == set(want.values())
+
+
+@settings(max_examples=8, deadline=None)
+@given(rows=ROWS)
+def test_salted_sum_matches_python(spark, rows):
+    df = spark.createDataFrame(rows, "k string, a int, b int")
+    got = {
+        (r.k, r.total)
+        for r in salted_sum_by_key(df, "k", "a", 4).collect()
+    }
+    want: dict[str, int] = {}
+    for k, a, _ in rows:
+        want[k] = want.get(k, 0) + a
+    assert got == set(want.items())
+
+
+TEXTS = st.lists(
+    st.text(
+        alphabet=st.sampled_from("ab c.!\n\tzé9"), min_size=0, max_size=60
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(texts=TEXTS)
+def test_shingle_set_sizes_match_python(spark, texts):
+    """Distinct-shingle count from the array expression == a Python
+    re-implementation of the same shingling (lowercase, split on
+    non-alnum, 3-word windows, min one window)."""
+    import re
+
+    from citeconnect_datapipeline_spark.operators.dedup import (
+        _shingle_set_sizes,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        (r.doc_id, r.n) for r in _shingle_set_sizes(df).collect()
+    }
+    want = set()
+    for i, t in enumerate(texts):
+        words = re.split(r"[^a-z0-9]+", t.lower())
+        if words == [""]:
+            continue  # the no-alphanumeric guard drops these docs
+        n_windows = max(len(words) - 2, 1)
+        shingles = {tuple(words[s : s + 3]) for s in range(n_windows)}
+        want.add((i, len(shingles)))
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(-50, 50)),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_topk_per_group_is_sorted_prefix(spark, rows):
+    """row_number-based top-k per group == sorted-prefix per group."""
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(rows, "g int, v int")
+    w = Window.partitionBy("g").orderBy(F.desc("v"), "g")
+    got = (
+        df.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 2)
+        .groupBy("g")
+        .agg(F.sort_array(F.collect_list("v"), asc=False).alias("top"))
+    )
+    got_map = {r.g: r.top for r in got.collect()}
+    want: dict[int, list[int]] = {}
+    for g, v in rows:
+        want.setdefault(g, []).append(v)
+    want = {g: sorted(vs, reverse=True)[:2] for g, vs in want.items()}
+    assert got_map == want
