@@ -25,8 +25,11 @@ _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    return get_queries()["bias_slice_disparity"](spark, _SMOKE_SF_DIR)
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    papers_pipeline_e2e is the reference's whole §3.1 lifecycle as one
+    plan: clean -> filter -> enrich -> dedup -> slice."""
+    return get_queries()["papers_pipeline_e2e"](spark, _SMOKE_SF_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
