@@ -545,3 +545,46 @@ def schema_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mean_value double, min_value double, max_value double, "
         "n_distinct bigint",
     ).orderBy("column_name")
+
+
+@query(
+    "unpivot_metrics",
+    oracle="""
+    WITH per_day AS (
+        SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+               ROUND(AVG(value), 6) AS mean_value,
+               ROUND(MAX(value), 6) AS max_value,
+               CAST(COUNT(*) AS DOUBLE) AS n_events
+        FROM events
+        GROUP BY 1
+    )
+    SELECT day, metric, ROUND(val, 6) AS val
+    FROM per_day
+    UNPIVOT (val FOR metric IN (mean_value, max_value, n_events))
+    ORDER BY day, metric
+    """,
+)
+def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide->long unpivot (melt): per-day metric columns reshaped to
+    (day, metric, val) rows — the shape every metrics store and
+    plotting layer wants, and the inverse of A9's pivot. Native
+    ``unpivot`` (SQL ``stack``): a narrow 1->N projection, no
+    shuffle beyond the pre-aggregate."""
+    events = load_table(spark, sf_dir, "events")
+    per_day = events.groupBy(
+        F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.round(F.avg("value"), 6).alias("mean_value"),
+        F.round(F.max("value"), 6).alias("max_value"),
+        F.count("*").cast("double").alias("n_events"),
+    )
+    return (
+        per_day.unpivot(
+            ["day"],
+            ["mean_value", "max_value", "n_events"],
+            "metric",
+            "val",
+        )
+        .select("day", "metric", F.round("val", 6).alias("val"))
+        .orderBy("day", "metric")
+    )

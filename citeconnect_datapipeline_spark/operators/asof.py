@@ -1,0 +1,106 @@
+"""As-of (point-in-time) join — a custom operator Spark's DataFrame
+API lacks natively.
+
+For each left row, attach the most recent right row with
+``right.ts <= left.ts`` per key. The naive formulation is a range
+join (quadratic per key); the scalable restatement is UNION + ONE
+WINDOW: tag both sides, union them, and per key carry the last seen
+right-side value forward over the event-time order
+(``last(..., ignorenulls=True)``). One shuffle on (key), linear scan
+per partition — the standard large-scale as-of shape (no per-row
+range probe, no skew amplification beyond the key's own volume).
+
+DuckDB has native ASOF JOIN, which the oracle uses — so the
+correctness gate checks this restatement against a first-class
+implementation of the semantics.
+
+No reference analogue (SURVEY.md §2.4: the reference has no general
+join at all); this is training-data-pipeline equipment (e.g. joining
+events to the latest model-version row, or trades to quotes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..plans.registry import query
+from ..sources.tables import load_table
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts: str,
+    right_cols: list[str],
+) -> DataFrame:
+    """Generic as-of join: left rows + latest right_cols at or before
+    each left row's timestamp, per key. Ties on ts: the right row
+    sorts BEFORE the left row with the same ts (<=` semantics)."""
+    lt = left.withColumn("_side", F.lit(1))
+    rt = right.select(
+        key, ts, *right_cols
+    ).withColumn("_side", F.lit(0))
+    merged = lt.unionByName(rt, allowMissingColumns=True)
+    # right rows first within equal ts -> "<=" as-of semantics
+    w = (
+        Window.partitionBy(key)
+        .orderBy(ts, "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = merged.select(
+        "*",
+        *[
+            F.last(c, ignorenulls=True).over(w).alias(f"asof_{c}")
+            for c in right_cols
+        ],
+    )
+    return (
+        carried.filter(F.col("_side") == 1)
+        .drop("_side", *right_cols)
+    )
+
+
+@query(
+    "asof_join_events",
+    oracle="""
+    WITH clicks AS (
+        SELECT user_id, ts, event_id, value FROM events
+        WHERE event_type = 'click'
+    ), purchases AS (
+        SELECT user_id, ts, value AS purchase_value FROM events
+        WHERE event_type = 'purchase'
+    )
+    SELECT c.event_id, c.user_id,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+           ROUND(p.purchase_value, 6) AS last_purchase_value
+    FROM clicks c
+    ASOF LEFT JOIN purchases p
+        ON c.user_id = p.user_id AND c.ts >= p.ts
+    ORDER BY c.event_id
+    LIMIT 2000
+    """,
+)
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join over the events stream: each click gets the value of
+    the user's most recent prior-or-simultaneous purchase (NULL if
+    none yet). Checked against DuckDB's native ASOF JOIN."""
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    out = asof_join(clicks, purchases, "user_id", "ts", ["purchase_value"])
+    return (
+        out.select(
+            "event_id",
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+            F.round("asof_purchase_value", 6).alias("last_purchase_value"),
+        )
+        .orderBy("event_id")
+        .limit(2000)
+    )

@@ -164,74 +164,99 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SKETCH_BITS = 64
+CANDIDATE_POOL = 150
+
+
+def _sign_sketches(emb: DataFrame, dim: int) -> DataFrame:
+    """vec_id -> 64-bit sign sketch: sign bits of 64 deterministic
+    hash-seeded hyperplane projections, packed into one long. The
+    projections are a single numpy GEMM per Arrow batch (vectors x
+    planes), per the engine rule that dense linear algebra never runs
+    as interpreted per-element expressions. At scale the sketch is
+    computed once at ingest and stored next to the vector."""
+    import numpy as np
+
+    planes = np.array(
+        [
+            [((hash((p, j)) % 2001) - 1000) / 1000.0 for j in range(dim)]
+            for p in range(SKETCH_BITS)
+        ]
+    )  # deterministic: hash() on int tuples is stable
+
+    def sketch(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            mat = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+            bits = (mat @ planes.T) > 0  # [n, 64]
+            packed = np.zeros(len(pdf), dtype=np.uint64)
+            for b in range(SKETCH_BITS):
+                packed |= bits[:, b].astype(np.uint64) << np.uint64(b)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "sketch": packed.astype(np.int64),
+                }
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        sketch, "vec_id long, sketch long"
+    )
+
+
 @query("ann_lsh_topk")  # rows-only: hash-derived hyperplanes are engine-local
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate nearest neighbors via random-hyperplane LSH (the
-    100 TB path for T6). Each vector gets a sign-bit bucket from 8
-    deterministic pseudo-hyperplanes (hash-seeded, no randomness at
-    plan time); the query probes its own bucket plus all Hamming-1
-    neighbors, then ranks candidates by exact cosine.
+    """Approximate nearest neighbors via sign sketches (the 100 TB
+    path for T6): 64-bit random-hyperplane sketch per vector, Hamming
+    distance to the query sketch via ``bit_count(xor)`` (pure codegen
+    over longs), top-``CANDIDATE_POOL`` by Hamming as the candidate
+    set, exact cosine re-rank of only those.
 
-    Scale shape: bucketing is a narrow map; the probe is a broadcast
-    semi-join on bucket id; exact re-rank touches only candidates.
-    Brute force scans N vectors; this scans ~N * 9 / 256 on uniform
-    buckets. Recall is tunable via bits/probes (rows-only check)."""
-    bits = 8
+    Why this shape instead of exact-bucket LSH probing: on weakly
+    correlated vectors (true top-10 cosine ~0.19 here) the chance of
+    sharing an exact 8-bit bucket is ~0.56^8 — bucket probing returns
+    near-random candidates (recall 0 in tests, which is what forced
+    this redesign). Hamming rank over a wider sketch degrades
+    gracefully: recall is a smooth function of pool size, tunable per
+    workload (recall >= 0.5 asserted in tests at pool 150/500).
+
+    Scale shape: the full-scan work per query is one popcount per
+    vector over an 8-byte sketch (a TakeOrdered, no shuffle) — ~100x
+    less I/O than scanning the vectors; exact math touches only the
+    pool. Sketches precompute at ingest; multi-query batches share
+    the scan."""
     emb = load_table(spark, sf_dir, "embeddings")
     dim = len(emb.select("embedding").first()[0])
+    sketches = _sign_sketches(emb, dim)
 
-    # Deterministic pseudo-random hyperplanes as a tiny broadcast table
-    # (one row per plane) instead of giant literal expression trees:
-    # keeps the plan small and the sign-bit computation one zip_with
-    # per (vector, plane) pair.
-    planes = spark.createDataFrame(
-        [
-            (p, [((hash((p, j)) % 2001) - 1000) / 1000.0 for j in range(dim)])
-            for p in range(bits)
-        ],
-        "p int, plane array<double>",
-    )
-    vec = F.col("embedding").cast("array<double>")
-    buckets = (
-        emb.join(F.broadcast(planes))
+    q = (
+        sketches.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .join(emb.filter(F.col("vec_id") == QUERY_VEC_ID), "vec_id")
         .select(
-            "vec_id",
-            (
-                (_dot(vec, F.col("plane")) > 0).cast("long")
-                * F.expr("shiftleft(CAST(1 AS BIGINT), p)")
-            ).alias("term"),
+            F.col("sketch").alias("qsketch"),
+            F.col("embedding").alias("qvec"),
         )
-        .groupBy("vec_id")
-        .agg(F.sum("term").alias("bucket"))
     )
-    bucketed = emb.join(buckets, "vec_id")
-
-    q = bucketed.filter(F.col("vec_id") == QUERY_VEC_ID).select(
-        F.col("embedding").alias("qvec"), F.col("bucket").alias("qbucket")
+    hamming = F.bit_count(
+        F.col("sketch").bitwiseXOR(F.col("qsketch"))
     )
-    # Probe set: query bucket + all Hamming-1 buckets.
-    probes = q.select(
-        "qvec",
-        F.explode(
-            F.array(
-                F.col("qbucket"),
-                *[
-                    F.col("qbucket").bitwiseXOR(F.lit(1 << i))
-                    for i in range(bits)
-                ],
-            )
-        ).alias("bucket"),
+    cand = (
+        sketches.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .join(F.broadcast(q))
+        .select("vec_id", hamming.alias("hamming"), "qvec")
+        .orderBy("hamming", "vec_id")
+        .limit(CANDIDATE_POOL)
     )
-    cand = bucketed.filter(F.col("vec_id") != QUERY_VEC_ID).join(
-        F.broadcast(probes), "bucket"
-    )
+    rerank = cand.join(emb, "vec_id")
     qvec = F.col("qvec").cast("array<double>")
     return (
-        cand.select(
+        rerank.select(
             "vec_id",
             "label",
-            F.round(_cosine(F.col("embedding").cast("array<double>"), qvec), 6)
-            .alias("similarity"),
+            F.round(
+                _cosine(F.col("embedding").cast("array<double>"), qvec), 6
+            ).alias("similarity"),
         )
         .orderBy(F.desc("similarity"), "vec_id")
         .limit(10)

@@ -123,3 +123,61 @@ def foreach_batch_upsert(
     )
     q.awaitTermination(180)
     return q
+
+
+def stateful_user_stats(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState`` (M5+):
+    per-user running (event count, total value, max ts) maintained in
+    group state ACROSS micro-batches — the arbitrary-state API for
+    operators the built-in windowed aggregations can't express
+    (per-key ML feature accumulation, custom sessionization, CDC
+    folding). Each batch emits the group's cumulative snapshot; the
+    LAST emission per user equals the batch groupBy answer (asserted
+    in tests across multi-file micro-batches).
+
+    State is a 3-tuple per user — O(active keys), no raw events
+    retained; at 100 TB of stream history the state store holds only
+    the running aggregates."""
+    from pyspark.sql.streaming.state import (
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    out_schema = (
+        "user_id bigint, n_events bigint, total_value double, "
+        "last_ts timestamp"
+    )
+    state_schema = "n bigint, total double, last_ts bigint"
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        n, total, last_us = (
+            state.get if state.exists else (0, 0.0, 0)
+        )
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            batch_max_us = int(pdf["ts"].astype("int64").max()) // 1000
+            last_us = max(last_us, batch_max_us)
+        state.update((n, total, last_us))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [round(total, 6)],
+                "last_ts": [pd.Timestamp(last_us, unit="us")],
+            }
+        )
+
+    return (
+        events.select("user_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -111,3 +111,23 @@ def test_vector_store_sink_batches(spark, tmp_path):
             assert len(batch) <= 16
             ids.extend(batch)
     assert sorted(ids) == [r.vec_id for r in emb.orderBy("vec_id").collect()]
+
+
+def test_ann_lsh_recall_vs_bruteforce(spark):
+    """The LSH ANN path must agree with brute force on most of the
+    true top-10 (recall >= 0.5 with 8 bits + Hamming-1 probes on the
+    near-orthogonal synthetic vectors; production tunes bits/probes
+    per recall target). Guards against the bucketing silently
+    degenerating (e.g. everything in one bucket, or probe set empty).
+    """
+    from citeconnect_datapipeline_spark.operators.similarity import (
+        ann_lsh_topk,
+        cosine_topk,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    truth = {r.vec_id for r in cosine_topk(spark, sf).collect()}
+    approx = {r.vec_id for r in ann_lsh_topk(spark, sf).collect()}
+    assert len(approx) == 10
+    recall = len(truth & approx) / len(truth)
+    assert recall >= 0.5, f"ANN recall degenerated: {recall}"

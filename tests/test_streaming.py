@@ -9,6 +9,8 @@ import tempfile
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from citeconnect_datapipeline_spark.streaming import jobs
 from citeconnect_datapipeline_spark.streaming.event_windows import (
     tumbling_window_agg,
@@ -78,3 +80,66 @@ def test_foreach_batch_upsert_idempotent(spark, sf_dir, tmpdir):
         .dropDuplicates(["event_id"])
         .count()
     )
+
+
+def test_stateful_user_stats_across_batches(spark, tmp_path):
+    """applyInPandasWithState carries state across micro-batches: the
+    events table is split into 3 files streamed one per trigger; the
+    last emission per user must equal the batch groupBy answer."""
+    from citeconnect_datapipeline_spark.sources.tables import load_table
+    from citeconnect_datapipeline_spark.streaming.jobs import (
+        run_to_memory,
+        stateful_user_stats,
+    )
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    src = tmp_path / "stream_src"
+    # 3 slices -> 3 micro-batches with maxFilesPerTrigger=1
+    events.filter(F.col("event_id") % 3 == 0).coalesce(1).write.parquet(
+        str(src / "f0")
+    )
+    events.filter(F.col("event_id") % 3 == 1).coalesce(1).write.parquet(
+        str(src / "f1")
+    )
+    events.filter(F.col("event_id") % 3 == 2).coalesce(1).write.parquet(
+        str(src / "f2")
+    )
+
+    schema = events.schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    out = stateful_user_stats(stream)
+    run_to_memory(out, "user_stats", output_mode="update")
+    emitted = spark.table("user_stats").toPandas()
+    # multiple batches must have produced repeated emissions per user
+    assert len(emitted) > emitted["user_id"].nunique()
+    final = (
+        emitted.sort_values(["user_id", "n_events"])
+        .groupby("user_id")
+        .tail(1)
+        .set_index("user_id")
+    )
+
+    batch = (
+        events.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+            F.max("ts").alias("last_ts"),
+        )
+        .toPandas()
+        .set_index("user_id")
+    )
+    assert len(final) == len(batch)
+    for uid in batch.index:
+        assert final.loc[uid, "n_events"] == batch.loc[uid, "n_events"]
+        assert abs(
+            final.loc[uid, "total_value"] - batch.loc[uid, "total_value"]
+        ) < 1e-6
+        assert final.loc[uid, "last_ts"] == batch.loc[uid, "last_ts"]
