@@ -104,3 +104,62 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("event_id")
         .limit(2000)
     )
+
+
+@query(
+    "range_join_binned",
+    oracle="""
+    WITH windows AS (
+        SELECT user_id,
+               min(ts) + INTERVAL 2 DAY AS w_start,
+               min(ts) + INTERVAL 9 DAY AS w_end
+        FROM events GROUP BY user_id HAVING user_id < 20
+    )
+    SELECT w.user_id, COUNT(*) AS n_in_window,
+           ROUND(SUM(e.value), 6) AS window_value
+    FROM events e JOIN windows w
+      ON e.user_id = w.user_id
+     AND e.ts >= w.w_start AND e.ts < w.w_end
+    GROUP BY w.user_id
+    ORDER BY w.user_id
+    """,
+)
+def range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval/range join (events x per-user time windows), written
+    scale-first: the interval predicate alone would physical-plan to a
+    nested-loop join (quadratic; Spark broadcasts one side and scans).
+    Adding the equi-key (user_id) to the join condition makes it a
+    hash/sort-merge join with the range as a cheap post-filter — the
+    standard rewrite: always surface an equality (a key, or a time
+    BIN for pure-interval joins: explode intervals into bins, join on
+    bin, filter exactly) so the planner gets a shuffle key.
+
+    The window table derives from the data (first event + [2d, 9d))
+    so the query is self-contained and the oracle replays it."""
+    events = load_table(spark, sf_dir, "events")
+    windows = (
+        events.groupBy("user_id")
+        .agg(F.min("ts").alias("first_ts"))
+        .filter(F.col("user_id") < 20)
+        .select(
+            F.col("user_id").alias("w_user_id"),
+            (F.col("first_ts") + F.expr("INTERVAL 2 DAYS")).alias("w_start"),
+            (F.col("first_ts") + F.expr("INTERVAL 9 DAYS")).alias("w_end"),
+        )
+    )
+    joined = events.join(
+        F.broadcast(windows),
+        on=[
+            events.user_id == F.col("w_user_id"),
+            events.ts >= F.col("w_start"),
+            events.ts < F.col("w_end"),
+        ],
+    )
+    return (
+        joined.groupBy(F.col("w_user_id").alias("user_id"))
+        .agg(
+            F.count("*").alias("n_in_window"),
+            F.round(F.sum("value"), 6).alias("window_value"),
+        )
+        .orderBy("user_id")
+    )
