@@ -175,3 +175,48 @@ def scalar_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "json_encode_roundtrip",
+    oracle="""
+    SELECT event_id,
+           to_json(struct_pack(
+               etype := event_type,
+               val := ROUND(value, 6)
+           )) AS payload,
+           CAST(json_extract_string(
+               to_json(struct_pack(
+                   etype := event_type,
+                   val := ROUND(value, 6)
+               )), '$.etype') AS VARCHAR) AS decoded_type
+    FROM events
+    ORDER BY event_id
+    LIMIT 500
+    """,
+)
+def json_encode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON ENCODE (F10) + decode-back (F11): the reference
+    json.dumps-es nested API fields into string columns
+    (Ingestion/metadata_utils.py:61,72; ingestion.py:210-226) and
+    json.loads-es them downstream (slicing_bias_analysis.py:77-91).
+    Native ``to_json(struct(...))`` / ``get_json_object`` — the
+    encode format ({"k":v}, no spaces) is identical across Spark and
+    DuckDB so the roundtrip is hash-verified."""
+    events = load_table(spark, sf_dir, "events")
+    payload = F.to_json(
+        F.struct(
+            F.col("event_type").alias("etype"),
+            F.round("value", 6).alias("val"),
+        )
+    )
+    return (
+        events.select("event_id", "props", "ts", "event_type", "value")
+        .orderBy("event_id")
+        .limit(500)
+        .select(
+            "event_id",
+            payload.alias("payload"),
+            F.get_json_object(payload, "$.etype").alias("decoded_type"),
+        )
+    )

@@ -160,3 +160,15 @@ def test_foreach_partition_upsert_batches(spark, tmp_path):
     assert all(len(b) <= 40 for b in batches)
     # at least one full batch per partition-sized stream
     assert any(len(b) == 40 for b in batches)
+
+
+def test_json_artifact_scan_roundtrip(spark, tmp_path):
+    """S14: JSON config/artifact scan — the artifact written by K6 is
+    readable back via spark.read.json with schema intact."""
+    path = str(tmp_path / "artifacts" / "summary.json")
+    agg = papers(
+        spark, [("a", "ml", 1), ("b", "bio", 3), ("c", "ml", 5)]
+    ).groupBy("domain").agg(F.count("*").alias("n"))
+    write_json_artifact(agg, path)
+    back = spark.read.option("multiLine", "true").json(path)
+    assert {(r.domain, r.n) for r in back.collect()} == {("ml", 2), ("bio", 1)}
