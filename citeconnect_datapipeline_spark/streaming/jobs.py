@@ -181,3 +181,46 @@ def stateful_user_stats(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def stream_stream_click_purchase_join(
+    clicks: DataFrame, purchases: DataFrame
+) -> DataFrame:
+    """Stream-stream inner join with event-time bounds (M5+): each
+    click joins purchases by the same user within [click-1h, click].
+    Both sides are watermarked so the join STATE is bounded — Spark
+    retains only rows younger than watermark + interval, the property
+    that makes an unbounded x unbounded join feasible (state is
+    O(rate x horizon), not O(history)).
+
+    The interval condition doubles as the state-eviction contract:
+    without it (or without watermarks) a stream-stream join cannot
+    bound either side's buffer."""
+    c = (
+        clicks.withWatermark("ts", "2 hours")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+    )
+    p = (
+        purchases.withWatermark("ts", "2 hours")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+    )
+    return c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("purchase_ts") <= F.col("click_ts")),
+    ).select(
+        "click_id",
+        F.col("c_user").alias("user_id"),
+        "click_ts",
+        "purchase_ts",
+        F.round("purchase_value", 6).alias("purchase_value"),
+    )

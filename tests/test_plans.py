@@ -64,3 +64,23 @@ def test_json_extract_limits_before_parse(spark):
     # projection list of TakeOrderedAndProject's parent Project.
     scan_segment = plan.split("TakeOrderedAndProject")[1]
     assert "get_json_object" not in scan_segment, plan
+
+
+def test_zone_read_prunes_partitions(spark, tmp_path):
+    """read_zone(run_id) must resolve to PartitionFilters on the scan
+    (directory pruning), not a post-scan data filter."""
+    from citeconnect_datapipeline_spark.sinks.zones import (
+        read_zone,
+        write_zone,
+    )
+
+    zone = str(tmp_path / "zone")
+    df = spark.createDataFrame(
+        [("a", 1), ("b", 2)], "paper_id string, score int"
+    )
+    write_zone(df, zone, run_id="r001")
+    write_zone(df, zone, run_id="r002")
+    pruned = read_zone(spark, zone, "r001")
+    plan = physical(pruned)
+    assert "PartitionFilters: [isnotnull(run_id" in plan, plan
+    assert pruned.count() == 2

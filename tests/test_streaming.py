@@ -143,3 +143,37 @@ def test_stateful_user_stats_across_batches(spark, tmp_path):
             final.loc[uid, "total_value"] - batch.loc[uid, "total_value"]
         ) < 1e-6
         assert final.loc[uid, "last_ts"] == batch.loc[uid, "last_ts"]
+
+
+def test_stream_stream_join_equals_batch(spark):
+    """Watermarked stream-stream interval join drained with
+    availableNow must equal the same join computed in batch."""
+    from citeconnect_datapipeline_spark.sources.tables import load_table
+    from citeconnect_datapipeline_spark.streaming.jobs import (
+        read_event_stream,
+        run_to_memory,
+        stream_stream_click_purchase_join,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    stream = read_event_stream(spark, sf)
+    out = stream_stream_click_purchase_join(
+        stream.filter(F.col("event_type") == "click"),
+        stream.filter(F.col("event_type") == "purchase"),
+    )
+    run_to_memory(out, "ss_join", output_mode="append")
+    streamed = {
+        (r.click_id, r.purchase_ts, r.purchase_value)
+        for r in spark.table("ss_join").collect()
+    }
+
+    events = load_table(spark, sf, "events")
+    clicks = events.filter(F.col("event_type") == "click")
+    purchases = events.filter(F.col("event_type") == "purchase")
+    batch = stream_stream_click_purchase_join(clicks, purchases)
+    expected = {
+        (r.click_id, r.purchase_ts, r.purchase_value)
+        for r in batch.collect()
+    }
+    assert streamed == expected
+    assert len(streamed) > 0
