@@ -263,6 +263,129 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IVF_LISTS = 16
+IVF_NPROBE = 4
+IVF_TRAIN_SAMPLE = 512
+IVF_KMEANS_ITERS = 8
+
+
+def _train_ivf_centroids(emb: DataFrame, k: int) -> "object":
+    """Train IVF coarse centroids with deterministic k-means on a
+    bounded driver-side sample.
+
+    This is the standard IVF recipe (FAISS trains its coarse quantizer
+    on a sample too): training touches ``IVF_TRAIN_SAMPLE`` rows no
+    matter the table size, so the driver-side collect is O(k*d) --
+    bounded, not a scan. Determinism: the sample is the lowest
+    ``vec_id`` rows, init is an even-stride slice of the sample, and
+    Lloyd iterations are pure numpy -- same data, same centroids, on
+    any cluster."""
+    import numpy as np
+
+    sample = (
+        emb.select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(IVF_TRAIN_SAMPLE)
+        .collect()
+    )
+    mat = np.stack([r.embedding for r in sample]).astype("float64")
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    cents = mat[:: max(len(mat) // k, 1)][:k].copy()
+    for _ in range(IVF_KMEANS_ITERS):
+        # cosine assignment == argmax dot product on unit vectors
+        assign = (mat @ cents.T).argmax(axis=1)
+        for c in range(len(cents)):
+            members = mat[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                cents[c] = m / (np.linalg.norm(m) or 1.0)
+    return cents
+
+
+def _ivf_assignments(emb: DataFrame, cents) -> DataFrame:
+    """vec_id -> nearest-centroid list id, one numpy GEMM per Arrow
+    batch (centroid matrix rides the closure -- a few KB). At scale
+    this runs once at ingest and ``list_id`` becomes the partition
+    column, so probing N lists is partition pruning, not a filter."""
+
+    def assign(batches):
+        import numpy as np
+
+        for pdf in batches:
+            mat = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+            mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "list_id": (mat @ cents.T).argmax(axis=1),
+                }
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        assign, "vec_id long, list_id int"
+    )
+
+
+@query("ann_ivf_topk")  # rows-only: centroid training is engine-local
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate nearest neighbors (the partition-pruning scale
+    path for T6, complementing the sketch-rank path in ann_lsh_topk).
+
+    Inverted-file search in three stages: (1) train ``IVF_LISTS``
+    coarse centroids on a bounded sample (driver-side numpy k-means --
+    the one place a collect is correct, because IVF training is
+    sample-based by definition); (2) assign every vector to its
+    nearest centroid via a GEMM ``mapInPandas`` stage; (3) at query
+    time rank centroids against the query vector and scan only the
+    ``IVF_NPROBE`` nearest lists, exact-cosine re-ranking just those
+    rows.
+
+    Scale shape: with the table written partitioned by ``list_id``,
+    the probe filter is partition pruning -- a 1000-executor cluster
+    reads nprobe/nlists of the data (4/16 here, 1/256th in a
+    production 4096-list index) and never shuffles: filter -> local
+    top-k -> single TakeOrdered. The LSH variant scans every sketch;
+    IVF skips whole partitions -- the right trade when vectors
+    cluster, which trained centroids guarantee better than random
+    hyperplanes."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _train_ivf_centroids(emb, IVF_LISTS)
+
+    import numpy as np
+
+    qrow = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        "embedding"
+    ).first()
+    qv = np.asarray(qrow.embedding, dtype="float64")
+    qv /= np.linalg.norm(qv) or 1.0
+    probe_lists = [
+        int(i) for i in np.argsort(-(cents @ qv))[:IVF_NPROBE]
+    ]
+
+    assignments = _ivf_assignments(emb, cents)
+    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qvec")
+    )
+    probed = (
+        assignments.filter(F.col("list_id").isin(probe_lists))
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .join(emb.select("vec_id", "label", "embedding"), "vec_id")
+    )
+    qvec = F.col("qvec").cast("array<double>")
+    return (
+        probed.join(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            F.round(
+                _cosine(F.col("embedding").cast("array<double>"), qvec), 6
+            ).alias("similarity"),
+        )
+        .orderBy(F.desc("similarity"), "vec_id")
+        .limit(10)
+    )
+
+
 @query("embed_documents")  # rows-only: model inference is not SQL
 def embed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batched embedding inference (T4): the sentence-transformers

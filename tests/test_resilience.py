@@ -131,3 +131,45 @@ def test_ann_lsh_recall_vs_bruteforce(spark):
     assert len(approx) == 10
     recall = len(truth & approx) / len(truth)
     assert recall >= 0.5, f"ANN recall degenerated: {recall}"
+
+
+def test_ann_ivf_recall_and_pruning(spark):
+    """IVF ANN: recall vs brute force must hold, and the probe stage
+    must actually prune — the probed row count has to be well below
+    the table size (nprobe/nlists of it, up to cluster imbalance),
+    otherwise the 'scan only a few lists' contract silently became a
+    full scan."""
+    from citeconnect_datapipeline_spark.operators.similarity import (
+        IVF_LISTS,
+        IVF_NPROBE,
+        _ivf_assignments,
+        _train_ivf_centroids,
+        ann_ivf_topk,
+        cosine_topk,
+    )
+    from citeconnect_datapipeline_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.01"
+    truth = {r.vec_id for r in cosine_topk(spark, sf).collect()}
+    approx = {r.vec_id for r in ann_ivf_topk(spark, sf).collect()}
+    assert len(approx) == 10
+    recall = len(truth & approx) / len(truth)
+    assert recall >= 0.5, f"IVF recall degenerated: {recall}"
+
+    emb = load_table(spark, sf, "embeddings")
+    total = emb.count()
+    cents = _train_ivf_centroids(emb, IVF_LISTS)
+    sizes = (
+        _ivf_assignments(emb, cents)
+        .groupBy("list_id")
+        .count()
+        .collect()
+    )
+    assert len(sizes) > IVF_NPROBE, "k-means collapsed to too few lists"
+    largest_probe = sum(
+        sorted((r["count"] for r in sizes), reverse=True)[:IVF_NPROBE]
+    )
+    assert largest_probe < 0.8 * total, (
+        f"probing {IVF_NPROBE}/{IVF_LISTS} lists scans {largest_probe}"
+        f"/{total} rows — no pruning"
+    )
