@@ -157,6 +157,91 @@ def chunk_documents_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(chunk_batch, schema).orderBy("doc_id", "pos")
 
 
+class _ChunkUDTF:
+    """Python UDTF (Spark 4 user-defined TABLE function) form of the
+    chunker — the third implementation of the 1→N shape (SURVEY.md
+    SS2.12: SQL posexplode, pandas_udf, UDTF). A UDTF is the right
+    surface when each input row yields a variable number of typed
+    rows and the logic is imperative: ``eval`` yields tuples, Spark
+    handles the lateral expansion, and the function composes in SQL
+    as ``LATERAL chunk_udtf(doc_id, text)``."""
+
+    def eval(self, doc_id, text):  # noqa: ANN001 - UDTF contract
+        import re
+
+        words = re.split(r"[^a-z0-9]+", (text or "").lower())
+        n = max(-(-(len(words) - CHUNK_WORDS) // CHUNK_STRIDE) + 1, 1)
+        for pos in range(n):
+            piece = words[pos * CHUNK_STRIDE : pos * CHUNK_STRIDE + CHUNK_WORDS]
+            chunk = " ".join(piece)
+            if chunk:
+                yield (
+                    doc_id,
+                    pos,
+                    f"{doc_id}_chunk_{pos}",
+                    chunk,
+                    len(chunk.split(" ")),
+                )
+
+
+@query(
+    "chunk_documents_udtf",
+    oracle=f"""
+    WITH words AS (
+        SELECT doc_id, string_split_regex(lower(text), '[^a-z0-9]+') AS w
+        FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id,
+               CAST(t.i AS INTEGER) AS pos,
+               array_to_string(
+                   list_slice(w, 1 + t.i * {CHUNK_STRIDE},
+                              {CHUNK_WORDS} + t.i * {CHUNK_STRIDE}), ' '
+               ) AS chunk_text
+        FROM words,
+             UNNEST(range(0, GREATEST(
+                 CAST(CEIL((len(w) - {CHUNK_WORDS}) / {CHUNK_STRIDE}.0)
+                     AS BIGINT) + 1, 1))) AS t(i)
+    )
+    SELECT doc_id, pos,
+           doc_id || '_chunk_' || pos AS chunk_id,
+           chunk_text,
+           length(chunk_text) - length(replace(chunk_text, ' ', '')) + 1
+               AS n_words
+    FROM chunks
+    WHERE chunk_text <> ''
+    ORDER BY doc_id, pos
+    """,
+)
+def chunk_documents_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunking via a registered Python UDTF invoked through a SQL
+    LATERAL join — same semantics (and same oracle) as
+    ``chunk_documents``; exists to cover the UDTF extension surface.
+    Arrow-serialized batches; per-row Python, so the codegen'd SQL
+    form stays the production default."""
+    from pyspark.sql.functions import udtf
+
+    chunker = udtf(
+        _ChunkUDTF,
+        returnType=(
+            "doc_id long, pos int, chunk_id string, "
+            "chunk_text string, n_words int"
+        ),
+    )
+    spark.udtf.register("chunk_udtf", chunker)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "udtf_docs"
+    )
+    return spark.sql(
+        """
+        SELECT c.doc_id, c.pos, c.chunk_id, c.chunk_text, c.n_words
+        FROM udtf_docs AS d,
+             LATERAL chunk_udtf(d.doc_id, d.text) AS c
+        ORDER BY c.doc_id, c.pos
+        """
+    )
+
+
 @query(
     "word_freq_topk",
     oracle=f"""

@@ -25,6 +25,25 @@ def test_chunker_sql_vs_pandas_parity(spark, sf_dir):
     assert len(sql_rows) > 500  # 1->N actually multiplied rows
 
 
+def test_chunker_udtf_parity(spark, sf_dir):
+    """The Spark-4 Python-UDTF form must agree row-for-row with the
+    codegen'd SQL chunker (all three 1->N surfaces share semantics)."""
+    from citeconnect_datapipeline_spark.operators.text import (
+        chunk_documents,
+        chunk_documents_udtf,
+    )
+
+    cols = ["doc_id", "pos", "chunk_id", "chunk_text", "n_words"]
+    sql_rows = [
+        tuple(r) for r in chunk_documents(spark, sf_dir).select(*cols).collect()
+    ]
+    udtf_rows = [
+        tuple(r)
+        for r in chunk_documents_udtf(spark, sf_dir).select(*cols).collect()
+    ]
+    assert sql_rows == udtf_rows
+
+
 def test_chunk_overlap_semantics(spark, sf_dir):
     from citeconnect_datapipeline_spark.operators.text import (
         CHUNK_STRIDE,
