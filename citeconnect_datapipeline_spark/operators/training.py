@@ -1,0 +1,216 @@
+"""Training-data curation operators beyond the reference's surface:
+deterministic train/valid/test splitting, benchmark-contamination
+detection, and distribution-drift scoring (PSI).
+
+The reference stops at dedup + bias slices; a pipeline feeding model
+training also needs (a) a split that is stable under re-runs and
+shard-parallel (hash of the key, never row order or RNG state),
+(b) an n-gram overlap check of candidate training docs against an
+evaluation/benchmark set (train-on-test contamination is the classic
+LLM-data failure), and (c) a drift statistic between cohorts/runs
+(population stability index) to alert on distribution shift, the
+continuous version of the reference's z-score anomaly check
+(Validation/schema_validator.py:68-133).
+
+All three are pure DataFrame plans -- one or two shuffles each, no
+Python in the hot path -- and all three carry DuckDB oracles: the
+split bucket is derived from md5 (identical in both engines, unlike
+xxhash64/hash), and contamination counts are hash-agnostic because
+shingle sets are compared by cardinality, not value.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.registry import query
+from ..sources.tables import load_table
+from .dedup import _shingle_hashes
+
+# 80/10/10 split over a 0-99 hash bucket.
+TRAIN_CUT, VALID_CUT = 80, 90
+
+# Every 50th doc stands in for a held-out benchmark/eval set.
+BENCHMARK_STRIDE = 50
+
+
+def _hash_bucket(key):
+    """Deterministic 0-99 bucket from md5 of the key, using only
+    functions with identical semantics in Spark and DuckDB (md5,
+    substring, ascii). Hash-derived -> stable under re-runs, shard
+    order, and resharding; never RNG- or row-order-based."""
+    h = F.md5(key.cast("string"))
+    return (
+        F.ascii(F.substring(h, 1, 1)) * 31 + F.ascii(F.substring(h, 2, 1))
+    ) % 100
+
+
+@query(
+    "train_test_split",
+    oracle=f"""
+    WITH bucketed AS (
+        SELECT doc_id, n_chars,
+               (ascii(substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 31
+                + ascii(substring(md5(CAST(doc_id AS VARCHAR)), 2, 1))) % 100
+                   AS bucket
+        FROM documents
+    )
+    SELECT CASE WHEN bucket < {TRAIN_CUT} THEN 'train'
+                WHEN bucket < {VALID_CUT} THEN 'valid'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           ROUND(AVG(n_chars), 4) AS avg_chars
+    FROM bucketed
+    GROUP BY 1
+    ORDER BY split
+    """,
+)
+def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/valid/test split summary. The
+    split column is a narrow projection (no shuffle); only this
+    summary aggregates. At 100 TB the same expression tags every
+    shard independently -- no global sort, sample, or state."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = _hash_bucket(F.col("doc_id"))
+    split = (
+        F.when(bucket < TRAIN_CUT, "train")
+        .when(bucket < VALID_CUT, "valid")
+        .otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+        .orderBy("split")
+    )
+
+
+@query(
+    "benchmark_contamination",
+    oracle=f"""
+    WITH words AS (
+        SELECT doc_id, string_split_regex(lower(text), '[^a-z0-9]+') AS w
+        FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(list_slice(w, i, i + 2), ' ') AS shingle
+        FROM words, UNNEST(range(1, greatest(len(w) - 1, 2))) AS t(i)
+        WHERE array_to_string(list_slice(w, i, i + 2), ' ') <> ''
+    )
+    SELECT c.doc_id AS cand_id, b.doc_id AS bench_id,
+           COUNT(*) AS n_shared
+    FROM sh c JOIN sh b ON c.shingle = b.shingle
+    WHERE b.doc_id % {BENCHMARK_STRIDE} = 0
+      AND c.doc_id % {BENCHMARK_STRIDE} <> 0
+    GROUP BY c.doc_id, b.doc_id
+    ORDER BY n_shared DESC, cand_id, bench_id
+    LIMIT 20
+    """,
+)
+def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-on-test contamination check: candidate training docs
+    ranked by the number of distinct 3-word shingles they share with
+    any benchmark doc (top-20, total tie-break). Same blocked-join
+    shape as ngram_jaccard_topk but asymmetric: the benchmark side is
+    tiny (1/{BENCHMARK_STRIDE} of docs; a real eval set is KBs, not
+    TBs), so at scale its shingle table broadcasts and the check is a
+    map-side join over the candidate scan -- no candidate-side
+    shuffle. Shared-shingle counts are identical between the hashed
+    (Spark) and string (oracle) shingle representations because only
+    set cardinality matters."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingle_hashes(docs)
+    bench = F.broadcast(
+        sh.filter(F.col("doc_id") % BENCHMARK_STRIDE == 0)
+        .withColumnRenamed("doc_id", "bench_id")
+    )
+    cand = sh.filter(F.col("doc_id") % BENCHMARK_STRIDE != 0)
+    return (
+        cand.join(bench, "sh")
+        .groupBy(
+            F.col("doc_id").alias("cand_id"), F.col("bench_id")
+        )
+        .agg(F.count("*").alias("n_shared"))
+        .orderBy(F.desc("n_shared"), "cand_id", "bench_id")
+        .limit(20)
+    )
+
+
+@query(
+    "distribution_psi_drift",
+    oracle="""
+    WITH counts AS (
+        SELECT event_type,
+               user_id % 2 AS cohort,
+               COUNT(*) AS n
+        FROM events
+        GROUP BY 1, 2
+    ),
+    totals AS (
+        SELECT cohort, SUM(n) AS total FROM counts GROUP BY 1
+    ),
+    props AS (
+        SELECT c.event_type,
+               SUM(CASE WHEN c.cohort = 0
+                   THEN CAST(c.n AS DOUBLE) / t.total END) AS p0,
+               SUM(CASE WHEN c.cohort = 1
+                   THEN CAST(c.n AS DOUBLE) / t.total END) AS p1
+        FROM counts c JOIN totals t ON c.cohort = t.cohort
+        GROUP BY 1
+    )
+    SELECT COUNT(*) AS n_categories,
+           ROUND(SUM((p0 - p1) * LN(p0 / p1)), 6) AS psi
+    FROM props
+    """,
+)
+def distribution_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift between two cohorts (here
+    ``user_id % 2``; in production, this-run vs last-run or this-week
+    vs last-week partitions). PSI = sum (p_a - p_b) * ln(p_a / p_b)
+    over the category distribution -- the standard drift alarm
+    (<0.1 stable, >0.25 shifted), generalizing the reference's
+    count-z-score anomaly to whole distributions.
+
+    Plan shape: one partial-aggregated groupBy over the fact table,
+    then arithmetic over a category-sized frame -- drift on 100 TB
+    costs one scan + one tiny shuffle."""
+    events = load_table(spark, sf_dir, "events")
+    counts = (
+        events.groupBy(
+            "event_type", (F.col("user_id") % 2).alias("cohort")
+        ).agg(F.count("*").alias("n"))
+    )
+    totals = counts.groupBy("cohort").agg(F.sum("n").alias("total"))
+    props = (
+        counts.join(totals, "cohort")
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("cohort") == 0,
+                    F.col("n").cast("double") / F.col("total"),
+                )
+            ).alias("p0"),
+            F.sum(
+                F.when(
+                    F.col("cohort") == 1,
+                    F.col("n").cast("double") / F.col("total"),
+                )
+            ).alias("p1"),
+        )
+    )
+    return props.agg(
+        F.count("*").alias("n_categories"),
+        F.round(
+            F.sum(
+                (F.col("p0") - F.col("p1"))
+                * F.log(F.col("p0") / F.col("p1"))
+            ),
+            6,
+        ).alias("psi"),
+    )

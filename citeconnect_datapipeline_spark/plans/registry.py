@@ -52,6 +52,7 @@ def _load_all() -> None:
         windows,
         text,
         similarity,
+        training,
     )
     from ..functions import scalars  # noqa: F401
     from ..streaming import event_windows  # noqa: F401

@@ -49,6 +49,21 @@ def test_range_join_is_not_nested_loop(spark):
     assert "NestedLoop" not in plan, plan
 
 
+def test_contamination_bench_side_broadcasts(spark):
+    """The benchmark shingle table (1/50 of docs; a real eval set is
+    tiny) must broadcast so the contamination check is a map-side
+    join over the candidate scan — no candidate-side shuffle."""
+    plan = physical(get_queries()["benchmark_contamination"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_train_split_is_shuffle_free_tagging(spark):
+    """The split tag is a narrow projection; only the 3-row summary
+    aggregates. Exactly one exchange (the final groupBy) may appear."""
+    plan = physical(get_queries()["train_test_split"](spark, SF_DIR))
+    assert plan.count("Exchange") <= 2, plan  # partial agg + AQE read
+
+
 def test_topk_is_take_ordered(spark):
     plan = physical(get_queries()["topk_by_score"](spark, SF_DIR))
     assert "TakeOrderedAndProject" in plan, plan
