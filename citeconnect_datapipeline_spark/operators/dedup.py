@@ -299,12 +299,40 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lambda); the 16 salted hashes derive from that long (xxhash64
     # over (long, salt) is far cheaper than re-hashing a string per
     # hash function).
-    sh = _shingle_hashes(docs).withColumnRenamed("sh", "h")
-    minhashes = sh.groupBy("doc_id").agg(
+    #
+    # The whole signature is computed PER ROW by folding the shingle
+    # array once with a 16-field min-struct accumulator — shingle
+    # sets are per-document, so there is nothing to shuffle: the
+    # explode + groupBy(16 min aggs) formulation moves |shingles|
+    # rows through an exchange to compute what a narrow projection
+    # already has in hand (measured ~2x on the bench set).
+    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    arr = _shingle_hash_expr("text", 3)
+    init = F.struct(
         *[
-            F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"mh{i}")
+            F.lit(2**63 - 1).cast("long").alias(f"mh{i}")
             for i in range(num_hashes)
         ]
+    )
+    signature = F.aggregate(
+        arr,
+        init,
+        lambda acc, x: F.struct(
+            *[
+                F.least(acc[f"mh{i}"], F.xxhash64(x, F.lit(i))).alias(
+                    f"mh{i}"
+                )
+                for i in range(num_hashes)
+            ]
+        ),
+    )
+    minhashes = (
+        docs.filter(_nonempty_filter("text"))
+        .select("doc_id", signature.alias("sig"))
+        .select(
+            "doc_id",
+            *[F.col(f"sig.mh{i}").alias(f"mh{i}") for i in range(num_hashes)],
+        )
     )
     # Bands: hash each contiguous group of band_size signatures.
     bands = minhashes.select(
