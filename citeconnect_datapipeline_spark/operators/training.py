@@ -142,6 +142,68 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "class_balance_sample",
+    oracle="""
+    WITH sized AS (
+        SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1
+    ),
+    target AS (SELECT MIN(n) AS t FROM sized),
+    ranked AS (
+        SELECT doc_id, lang, n_chars,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rn
+        FROM documents
+    )
+    SELECT lang, COUNT(*) AS n_kept, ROUND(AVG(n_chars), 4) AS avg_chars
+    FROM ranked, target
+    WHERE rn <= t
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def class_balance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced downsampling: equalize group sizes (here per
+    ``lang``) by keeping the first ``min(group size)`` rows per group
+    in md5-of-key order -- a deterministic, re-run-stable stand-in for
+    random undersampling (no RNG, no row order; the md5 sort IS the
+    shuffle). The balanced-class training set is the standard fix for
+    the group imbalance the reference's bias module only *reports*
+    (databias/slicing_bias_analysis.py:300-319) -- this operator closes
+    that loop in-engine.
+
+    Plan shape: one groupBy for sizes (rows = |groups|, broadcast
+    back), one window shuffle on the group key. Skewed groups are the
+    watch item at 100 TB -- the window partitions by class, so a
+    dominant class lands on one task; production splits it with a
+    salted two-phase rank or samples pre-aggregated shards."""
+    docs = load_table(spark, sf_dir, "documents")
+    target = F.broadcast(
+        docs.groupBy("lang")
+        .count()
+        .agg(F.min("count").alias("t"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.select("doc_id", "lang", "n_chars")
+        .withColumn("rn", F.row_number().over(w))
+        .join(target)
+        .filter(F.col("rn") <= F.col("t"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
     "distribution_psi_drift",
     oracle="""
     WITH counts AS (
