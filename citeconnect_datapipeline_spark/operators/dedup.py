@@ -369,6 +369,153 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NEARDUP_JACCARD = 0.5  # data is bimodal (planted dups ~0.95, noise <0.1)
+
+
+@query(
+    "neardup_components",
+    oracle=f"""
+    WITH RECURSIVE words AS (
+        SELECT doc_id, string_split_regex(lower(text), '[^a-z0-9]+') AS w
+        FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(list_slice(w, i, i + 2), ' ') AS shingle
+        FROM words, UNNEST(range(1, greatest(len(w) - 1, 2))) AS t(i)
+        WHERE array_to_string(list_slice(w, i, i + 2), ' ') <> ''
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    jpairs AS (
+        SELECT p.doc_a, p.doc_b
+        FROM (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+            FROM sh a JOIN sh b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ) p
+        JOIN sizes sa ON p.doc_a = sa.doc_id
+        JOIN sizes sb ON p.doc_b = sb.doc_id
+        WHERE CAST(p.common AS DOUBLE) / (sa.n + sb.n - p.common)
+              >= {NEARDUP_JACCARD}
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM jpairs
+        UNION
+        SELECT doc_b, doc_a FROM jpairs
+    ),
+    reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    )
+    SELECT src AS doc_id,
+           LEAST(src, MIN(dst)) AS component,
+           src = LEAST(src, MIN(dst)) AS is_canonical
+    FROM reach
+    GROUP BY src
+    ORDER BY component, doc_id
+    """,
+)
+def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering end-to-end (T9's final step, SURVEY.md
+    SS2.10: "approxSimilarityJoin -> connected components keep-first"):
+    Jaccard>={NEARDUP_JACCARD} pairs become an undirected graph;
+    connected components assign every near-dup doc a cluster id (the
+    min doc_id reachable); ``is_canonical`` marks the one row per
+    cluster a dedup pass would keep. Docs with no near-dup never enter
+    the edge list (they are trivially canonical).
+
+    Components run as iterative min-label propagation: each round a
+    vertex takes the min of its own label and its neighbors', until a
+    fixpoint -- the join-based restatement of GraphX's Pregel loop.
+    Rounds = graph diameter (near-dup clusters are tiny cliques, so
+    2-3 in practice, bounded at 15). Each round is one keyed shuffle
+    of the label table; at 100 TB the standard hardening is
+    alternating large-star/small-star steps plus checkpointing every
+    few rounds to cut lineage -- same plan shape, fewer rounds on
+    skewed star graphs. The driver loop carries only a convergence
+    COUNT per round, never data.
+
+    The DuckDB oracle computes the same components with a recursive
+    transitive-closure CTE -- tractable on the oracle's scale, while
+    the Spark side's per-round cost is linear in edges."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingle_hashes(docs)
+    sizes = _shingle_set_sizes(docs)
+    a, b = sh.alias("a"), sh.alias("b")
+    overlap = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("common"))
+    )
+    sa = F.broadcast(sizes).alias("sa")
+    sb = F.broadcast(sizes).alias("sb")
+    jpairs = (
+        overlap.join(sa, overlap.doc_a == F.col("sa.doc_id"))
+        .join(sb, overlap.doc_b == F.col("sb.doc_id"))
+        .filter(
+            F.col("common").cast("double")
+            / (F.col("sa.n") + F.col("sb.n") - F.col("common"))
+            >= NEARDUP_JACCARD
+        )
+        .select("doc_a", "doc_b")
+    )
+    edges = (
+        jpairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            jpairs.select(
+                F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+            )
+        )
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("v"))
+        .distinct()
+        .withColumn("label", F.col("v"))
+        .persist()
+    )
+    for _ in range(15):
+        nbr_min = (
+            edges.join(labels, edges.src == labels.v)
+            .groupBy(F.col("dst").alias("v2"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.v == nbr_min.v2, "left")
+            .select(
+                "v",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", "label")
+                ).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "v")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        F.col("v").alias("doc_id"),
+        F.col("label").alias("component"),
+        (F.col("v") == F.col("label")).alias("is_canonical"),
+    ).orderBy("component", "doc_id")
+
+
 @query("simhash_fingerprints")  # rows-only: engine-specific hash bits
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash document fingerprints (32-bit) for near-dup clustering.

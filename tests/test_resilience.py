@@ -133,6 +133,33 @@ def test_ann_lsh_recall_vs_bruteforce(spark):
     assert recall >= 0.5, f"ANN recall degenerated: {recall}"
 
 
+def test_neardup_component_semantics(spark):
+    """Connected-components invariants: the component id is the min
+    member of the cluster, exactly one canonical row per component,
+    and every clustered doc pairs with >=1 other (no singleton enters
+    the edge list)."""
+    from collections import Counter
+
+    from citeconnect_datapipeline_spark.operators.dedup import (
+        neardup_components,
+    )
+
+    rows = neardup_components(spark, "/root/testdata/sf0.01").collect()
+    assert rows, "no near-dup clusters found — planted dups missing?"
+    members: dict[int, list] = {}
+    for r in rows:
+        members.setdefault(r.component, []).append(r)
+    for comp, rs in members.items():
+        assert len(rs) >= 2, f"singleton component {comp}"
+        assert comp == min(r.doc_id for r in rs)
+        assert sum(r.is_canonical for r in rs) == 1
+        canon = next(r for r in rs if r.is_canonical)
+        assert canon.doc_id == comp
+    # doc ids unique across clusters
+    ids = Counter(r.doc_id for r in rows)
+    assert all(c == 1 for c in ids.values())
+
+
 def test_ann_ivf_recall_and_pruning(spark):
     """IVF ANN: recall vs brute force must hold, and the probe stage
     must actually prune — the probed row count has to be well below
