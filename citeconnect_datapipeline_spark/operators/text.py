@@ -438,3 +438,65 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(norm).alias("fingerprint"),
         F.length(norm).alias("norm_len"),
     ).orderBy("doc_id")
+
+
+@query(
+    "doc_repetition_topk",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, string_split_regex(lower(text), '[^a-z0-9]+') AS w
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               array_to_string(list_slice(w, i, i + 2), ' ') AS shingle
+        FROM words, UNNEST(range(1, greatest(len(w) - 1, 2))) AS t(i)
+        WHERE array_to_string(list_slice(w, i, i + 2), ' ') <> ''
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_shingles,
+           ROUND(1 - COUNT(DISTINCT shingle) * 1.0 / COUNT(*), 6)
+               AS rep_ratio
+    FROM sh
+    GROUP BY doc_id
+    ORDER BY rep_ratio DESC, doc_id
+    LIMIT 20
+    """,
+)
+def doc_repetition_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition ratio (the Gopher-rule boilerplate
+    signal a training-data filter cuts on): 1 - distinct/total 3-word
+    shingles per doc, top-20 most repetitive. Pure per-row arithmetic
+    over the shingle array -- total and distinct counts are ``size``
+    expressions on the same transform, no explode and no shuffle at
+    all until the final top-k (TakeOrdered). Hashed (Spark) vs string
+    (oracle) shingles count identically because only set cardinality
+    enters the ratio."""
+    from .dedup import _nonempty_filter, _shingle_hash_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism
+    )
+    words = F.split(F.lower(F.col("text")), "[^a-z0-9]+")
+    raw = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(words) - 2, F.lit(1))),
+        lambda i: F.xxhash64(
+            F.get(words, i - 1), F.get(words, i), F.get(words, i + 1)
+        ),
+    )
+    return (
+        docs.filter(_nonempty_filter("text"))
+        .select(
+            "doc_id",
+            F.size(raw).alias("n_shingles"),
+            F.round(
+                1
+                - F.size(F.array_distinct(raw)).cast("double")
+                / F.size(raw),
+                6,
+            ).alias("rep_ratio"),
+        )
+        .orderBy(F.desc("rep_ratio"), "doc_id")
+        .limit(20)
+    )
