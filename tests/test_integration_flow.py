@@ -66,3 +66,88 @@ def test_ingest_zone_upsert_lifecycle(spark, tmp_path):
     assert row.references_id == ["p0", "p1", "p2"]
     # zone history retains both runs (appends never clobber)
     assert spark.read.parquet(zone).count() == 20
+
+
+def test_mitigation_feedback_loop(spark):
+    """The reference's signature behavior (§3.1 stage 5,
+    bias_mitigation_collector.py:378-457) closed end-to-end at the
+    Spark surfaces: slice counts -> under-representation
+    recommendations -> targeted re-collection through the
+    rate-limited connector for exactly the recommended domains/
+    amounts -> union -> re-slice -> the count disparity strictly
+    shrinks. The decision list is driver-sized (a handful of
+    domains); the data path stays distributed."""
+    from citeconnect_datapipeline_spark.plans.pipelines import (
+        _first_keyword_domain,
+        mitigation_recommendations,
+    )
+    from citeconnect_datapipeline_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+
+    def slice_counts(d):
+        return (
+            d.select(
+                _first_keyword_domain(F.lower(F.col("text"))).alias("domain")
+            )
+            .groupBy("domain")
+            .agg(F.count("*").alias("n_docs"))
+        )
+
+    before = {r.domain: r.n_docs for r in slice_counts(docs).collect()}
+    disparity_before = max(before.values()) - min(before.values())
+    assert disparity_before > 0, "corpus already balanced — vacuous test"
+
+    recs = mitigation_recommendations(spark, sf).collect()
+    assert recs, "no under-represented domains found"
+
+    keyword = {
+        "relational": "join",
+        "analytics": "window",
+        "aggregation": "agg",
+        "dedup": "hash",
+        "streaming": "stream",
+        "general": "",
+    }
+    cfg = ApiClientConfig(rate_per_sec=1e9)
+    new_parts = []
+    for rec in recs:
+        need = min(rec.papers_needed, 50)  # fake corpus holds 50 papers
+        ids = spark.createDataFrame(
+            [(f"p{i}",) for i in range(need)], "paper_id string"
+        )
+        fetched = fetch_papers_distributed(
+            spark, ids, fake_transport_factory, config=cfg, num_tasks=4
+        )
+        kw = keyword[rec.domain]
+        new_parts.append(
+            fetched.select(
+                F.xxhash64("paperId", F.lit(rec.domain)).alias("doc_id"),
+                F.concat_ws(
+                    " ", F.lit(kw), F.col("title"), F.col("abstract")
+                ).alias("text"),
+                F.lit("en").alias("lang"),
+                F.lit("mitigation_recollect").alias("source"),
+                F.length(
+                    F.concat_ws(
+                        " ", F.lit(kw), F.col("title"), F.col("abstract")
+                    )
+                ).alias("n_chars"),
+            )
+        )
+    recollected = new_parts[0]
+    for p in new_parts[1:]:
+        recollected = recollected.unionByName(p)
+    assert recollected.count() > 0, "connector returned nothing"
+
+    merged = docs.select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    ).unionByName(recollected)
+    after = {r.domain: r.n_docs for r in slice_counts(merged).collect()}
+    disparity_after = max(after.values()) - min(after.values())
+    assert disparity_after < disparity_before, (
+        f"mitigation did not reduce disparity: "
+        f"{disparity_before} -> {disparity_after} (before={before}, "
+        f"after={after})"
+    )
