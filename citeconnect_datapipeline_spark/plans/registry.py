@@ -41,6 +41,7 @@ def _load_all() -> None:
     # Import for registration side effects; keep in dependency order.
     from ..operators import (  # noqa: F401
         aggregates,
+        analytics,
         asof,
         dedup,
         enrichment,

@@ -42,6 +42,25 @@ def test_dim_join_is_broadcast(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_multijoin_dims_broadcast_no_nested_loop(spark):
+    """Q5-shape 6-way join: every dimension hop (region, nation,
+    supplier, customer-keys) must ride a broadcast-hash join — the
+    only allowed shuffle is fact><fact — and nothing may degrade to a
+    nested loop (the c_nationkey=s_nationkey extra predicate is an
+    equi-key, not a theta condition)."""
+    plan = physical(get_queries()["regional_supplier_volume"](spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "NestedLoop" not in plan, plan
+
+
+def test_shipping_priority_is_take_ordered(spark):
+    """Q3-shape top-10 must be TakeOrderedAndProject (per-partition
+    heap + driver merge), never a global sort of the grouped result."""
+    plan = physical(get_queries()["shipping_priority_topk"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "NestedLoop" not in plan, plan
+
+
 def test_range_join_is_not_nested_loop(spark):
     """The equi-key in the join condition must keep the interval join
     a hash join; losing it degrades to BroadcastNestedLoopJoin."""
