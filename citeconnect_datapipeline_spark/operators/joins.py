@@ -274,3 +274,116 @@ def graph_2hop_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(hop1.agg(F.count("*").alias("n_hop1_suppliers")))
         .join(hop2.agg(F.count("*").alias("n_hop2_customers")))
     )
+
+
+@query(
+    "left_join_fill",
+    oracle="""
+    SELECT c.c_custkey, c.c_mktsegment,
+           COALESCE(o.n_orders, 0) AS n_orders,
+           ROUND(COALESCE(o.total_spent, 0), 4) AS total_spent
+    FROM customer c
+    LEFT JOIN (
+        SELECT o_custkey, COUNT(*) AS n_orders,
+               SUM(o_totalprice) AS total_spent
+        FROM orders GROUP BY o_custkey
+    ) o ON c.c_custkey = o.o_custkey
+    ORDER BY c.c_custkey
+    """,
+)
+def left_join_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer join with null-fill (P8/F15 lifted to joins): every
+    dimension row survives, absent fact-side aggregates coalesce to
+    zero — the reference's defensive ``df.get(...)/fillna`` access
+    (upload_papers_to_supabase.py:131-142, slicing_bias_analysis.py:
+    160-162) as outer-join semantics instead of per-row guards.
+    Aggregate-BELOW-join: orders collapses to one row per custkey
+    before joining, so the join input is dimension-sized on both
+    sides and the null-fill is a narrow projection."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.count("*").alias("n_orders"),
+        F.sum("o_totalprice").alias("total_spent"),
+    )
+    return (
+        customer.join(
+            per_cust, customer.c_custkey == per_cust.o_custkey, "left"
+        )
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.round(F.coalesce("total_spent", F.lit(0.0)), 4).alias(
+                "total_spent"
+            ),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "run_diff_full_outer",
+    oracle="""
+    WITH run_a AS (
+        SELECT event_type, COUNT(*) AS n
+        FROM events
+        WHERE ts < TIMESTAMP '2024-01-04'
+        GROUP BY event_type
+    ), run_b AS (
+        SELECT event_type, COUNT(*) AS n
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-04' AND event_type <> 'error'
+        GROUP BY event_type
+    )
+    SELECT COALESCE(a.event_type, b.event_type) AS event_type,
+           COALESCE(a.n, 0) AS run_a_count,
+           COALESCE(b.n, 0) AS run_b_count,
+           CASE WHEN a.event_type IS NULL THEN 'added'
+                WHEN b.event_type IS NULL THEN 'removed'
+                WHEN a.n <> b.n THEN 'changed'
+                ELSE 'unchanged' END AS change
+    FROM run_a a
+    FULL OUTER JOIN run_b b ON a.event_type = b.event_type
+    ORDER BY event_type
+    """,
+)
+def run_diff_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-over-run reconciliation as a FULL OUTER join (W1's
+    compare-with-previous, schema_validator.py:352-386, generalized):
+    distributions from two runs joined on the group key; keys present
+    in only one side classify as added/removed, both-side deltas as
+    changed (run B drops 'error' events so the null side of the outer
+    join is actually exercised — a both-sides-populated diff would be
+    an inner join in disguise). Both inputs pre-aggregate to group-key cardinality before
+    the join, so the full-outer join is tiny regardless of fact size —
+    the pattern for diffing any two snapshot aggregates at 100 TB."""
+    events = load_table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-04").cast("timestamp")
+    # Both runs derive from the same scan: rename the key per side so
+    # the self-join condition is unambiguous (same-lineage columns
+    # otherwise collide).
+    run_a = (
+        events.filter(F.col("ts") < cut)
+        .groupBy(F.col("event_type").alias("et_a"))
+        .agg(F.count("*").alias("n_a"))
+    )
+    run_b = (
+        events.filter((F.col("ts") >= cut) & (F.col("event_type") != "error"))
+        .groupBy(F.col("event_type").alias("et_b"))
+        .agg(F.count("*").alias("n_b"))
+    )
+    return (
+        run_a.join(run_b, F.col("et_a") == F.col("et_b"), "full_outer")
+        .select(
+            F.coalesce("et_a", "et_b").alias("event_type"),
+            F.coalesce("n_a", F.lit(0)).alias("run_a_count"),
+            F.coalesce("n_b", F.lit(0)).alias("run_b_count"),
+            F.when(F.col("et_a").isNull(), "added")
+            .when(F.col("et_b").isNull(), "removed")
+            .when(F.col("n_a") != F.col("n_b"), "changed")
+            .otherwise("unchanged")
+            .alias("change"),
+        )
+        .orderBy("event_type")
+    )
