@@ -588,3 +588,41 @@ def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("day", "metric", F.round("val", 6).alias("val"))
         .orderBy("day", "metric")
     )
+
+
+@query(
+    "grouping_sets_slices",
+    oracle="""
+    SELECT c_mktsegment AS segment, o_orderpriority AS priority,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 4) AS total_price
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY GROUPING SETS ((c_mktsegment), (o_orderpriority))
+    ORDER BY segment NULLS LAST, priority NULLS LAST
+    """,
+)
+def grouping_sets_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS (SURVEY SS2.5 free-win family, completing
+    cube/rollup): the bias module computes each slice dimension in a
+    separate pass (slicing_bias_analysis.py:208-234 loops dimensions);
+    grouping sets emits exactly the requested slices — here the two
+    1-D slices without the cross products a CUBE would pay for — in
+    ONE scan + one shuffle (Spark Expand, one input-row copy per
+    set, vs one full pass per dimension)."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    joined = orders.join(
+        F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+        orders.o_custkey == F.col("c_custkey"),
+    )
+    joined.createOrReplaceTempView("gs_orders")
+    return joined.sparkSession.sql(
+        """
+        SELECT c_mktsegment AS segment, o_orderpriority AS priority,
+               COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 4) AS total_price
+        FROM gs_orders
+        GROUP BY GROUPING SETS ((c_mktsegment), (o_orderpriority))
+        ORDER BY segment NULLS LAST, priority NULLS LAST
+        """
+    )

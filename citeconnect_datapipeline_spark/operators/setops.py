@@ -115,3 +115,62 @@ def intersect_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .intersect(supplier.select(F.col("s_nationkey").alias("nation_id")))
         .orderBy("nation_id")
     )
+
+
+@query(
+    "except_all_rows",
+    oracle="""
+    SELECT o_custkey, o_orderpriority FROM orders
+    WHERE o_orderdate < TIMESTAMP '1998-01-01'
+    EXCEPT ALL
+    SELECT o_custkey, o_orderpriority FROM orders
+    WHERE o_orderstatus = 'F'
+    ORDER BY o_custkey, o_orderpriority
+    """,
+)
+def except_all_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-row bag difference (U4 generalized): the reference only
+    differences id SETS (upload_papers_to_supabase.py:247-252);
+    EXCEPT ALL subtracts whole rows with multiplicity — the shape for
+    'rows in the new snapshot not explained by the old one' when no
+    single key exists. One shuffle on the full row; at 100 TB prefer
+    hashing wide rows to a digest column first so the shuffle carries
+    16 bytes/row, not the row."""
+    orders = load_table(spark, sf_dir, "orders")
+    recent = orders.filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    ).select("o_custkey", "o_orderpriority")
+    finished = orders.filter(F.col("o_orderstatus") == "F").select(
+        "o_custkey", "o_orderpriority"
+    )
+    return recent.exceptAll(finished).orderBy(
+        "o_custkey", "o_orderpriority"
+    )
+
+
+@query(
+    "intersect_distinct_rows",
+    oracle="""
+    SELECT o_custkey, o_orderpriority FROM orders
+    WHERE o_orderdate < TIMESTAMP '1997-01-01'
+    INTERSECT
+    SELECT o_custkey, o_orderpriority FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+    ORDER BY o_custkey, o_orderpriority
+    """,
+)
+def intersect_distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-row intersection (U5 generalized): (customer, priority)
+    combinations appearing in BOTH eras — the reference's refs ∩
+    final-ids (main.py:599-604) lifted from key sets to whole rows.
+    Spark plans INTERSECT as aggregate + left-semi join, one shuffle
+    per side on the row value."""
+    orders = load_table(spark, sf_dir, "orders")
+    cut = F.lit("1997-01-01").cast("timestamp")
+    early = orders.filter(F.col("o_orderdate") < cut).select(
+        "o_custkey", "o_orderpriority"
+    )
+    late = orders.filter(F.col("o_orderdate") >= cut).select(
+        "o_custkey", "o_orderpriority"
+    )
+    return early.intersect(late).orderBy("o_custkey", "o_orderpriority")
