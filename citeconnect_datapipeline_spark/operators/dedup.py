@@ -429,9 +429,16 @@ def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     Components run as iterative min-label propagation: each round a
     vertex takes the min of its own label and its neighbors', until a
     fixpoint -- the join-based restatement of GraphX's Pregel loop.
-    Rounds = graph diameter (near-dup clusters are tiny cliques, so
-    2-3 in practice, bounded at 15). Each round is one keyed shuffle
-    of the label table; at 100 TB the standard hardening is
+    Two job-count optimizations keep the serial chain short (serial
+    jobs are the scarce resource when the suite runs concurrently):
+    the label table is SEEDED with ``min(v, min(neighbors))`` in the
+    same aggregation that builds the vertex set (near-dup clusters
+    are tiny cliques, so the seed is already the fixpoint and the
+    loop exits after one confirming round), and each round carries
+    the previous label alongside the new one so the convergence COUNT
+    filters the propagated frame directly instead of re-joining new
+    vs old labels -- one job per round, not two. Rounds = graph
+    diameter (bounded at 15); at 100 TB the standard hardening is
     alternating large-star/small-star steps plus checkpointing every
     few rounds to cut lineage -- same plan shape, fewer rounds on
     skewed star graphs. The driver loop carries only a convergence
@@ -476,36 +483,36 @@ def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()
     )
-    labels = (
-        edges.select(F.col("src").alias("v"))
-        .distinct()
-        .withColumn("label", F.col("v"))
+    # Seed: every vertex appears as dst (edges are symmetric), so one
+    # groupBy yields both the vertex set and the round-0 label.
+    cached = (
+        edges.groupBy(F.col("dst").alias("v"))
+        .agg(F.min("src").alias("m"))
+        .select("v", F.least(F.col("v"), F.col("m")).alias("label"))
         .persist()
     )
+    labels = cached
     for _ in range(15):
         nbr_min = (
             edges.join(labels, edges.src == labels.v)
             .groupBy(F.col("dst").alias("v2"))
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
+        propagated = (
             labels.join(nbr_min, labels.v == nbr_min.v2, "left")
             .select(
                 "v",
+                F.col("label").alias("prev"),
                 F.least(
                     F.col("label"), F.coalesce("nbr_label", "label")
                 ).alias("label"),
             )
             .persist()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "v")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
+        changed = propagated.filter(F.col("label") != F.col("prev")).count()
+        cached.unpersist()
+        cached = propagated
+        labels = propagated.select("v", "label")
         if changed == 0:
             break
     edges.unpersist()
