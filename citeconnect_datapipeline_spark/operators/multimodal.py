@@ -105,7 +105,7 @@ def with_media_columns(docs: DataFrame) -> DataFrame:
     SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
                            ELSE 'video' END AS media_type,
            COUNT(*) AS n_assets,
-           SUM(octet_length(encode(text))) AS total_bytes,
+           CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
            ROUND(AVG(octet_length(encode(text))), 2) AS mean_bytes,
            MAX(octet_length(encode(text))) AS max_bytes
     FROM documents

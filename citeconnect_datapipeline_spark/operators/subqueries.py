@@ -1,0 +1,178 @@
+"""Correlated-subquery analytics (SURVEY.md SS2.4/SS2.5 generalized).
+
+The reference expresses every membership test imperatively (Python
+``in`` over a set, SURVEY SS2.4 D3/D4); a complete SQL surface must
+also accept the declarative forms — EXISTS / NOT EXISTS and correlated
+scalar subqueries — and plan them well. These queries are submitted as
+SQL text (``spark.sql`` over temp views), NOT hand-decorrelated
+DataFrames, precisely to exercise Catalyst's rewrite pipeline:
+
+- ``RewritePredicateSubquery`` turns EXISTS into a left-semi join and
+  NOT EXISTS into a left-anti join (the same physical shape as
+  `anti_join_new_rows`, but arrived at by the optimizer, not by hand);
+- ``RewriteCorrelatedScalarSubquery`` turns the per-group scalar
+  lookup into an aggregate + join — the decorrelation every
+  100 TB plan needs, since a tuple-at-a-time subquery evaluation
+  cannot be distributed.
+
+Scale notes: the decorrelated aggregates shuffle on the correlation
+key (partkey / custkey) — the same key the probe side already
+shuffles on, so AQE can reuse the exchange; the EXISTS semi-join
+carries only the join key through the build side. Tests in
+tests/test_plans.py assert the rewrites actually happened (no
+in-subquery nodes survive in the physical plan).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..plans.registry import query
+from ..sources.tables import load_table
+
+
+def _views(spark: SparkSession, sf_dir: str, *tables: str) -> None:
+    for t in tables:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+@query(
+    "late_ship_priority_dist",
+    oracle="""
+    SELECT o.o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+      AND EXISTS (
+            SELECT 1 FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey
+              AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+          )
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+)
+def late_ship_priority_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: priority distribution of orders with at least
+    one line shipped >60 days after the order date. The reference's
+    analogue is its per-order 'any failed extraction?' rollup
+    (schema_validator.py:135-237) done with Python ``any()``.
+
+    EXISTS + the non-equi correlated predicate become a left-SEMI
+    join with a composite condition; the date-range filter on orders
+    is pushed into the parquet scan before the join. At 100 TB the
+    semi-join build side is lineitem projected to (orderkey,
+    shipdate) only — Catalyst prunes every other column through the
+    subquery boundary."""
+    _views(spark, sf_dir, "orders", "lineitem")
+    return spark.sql(
+        """
+        SELECT o.o_orderpriority, COUNT(*) AS order_count
+        FROM orders o
+        WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate < TIMESTAMP '1997-01-01'
+          AND EXISTS (
+                SELECT 1 FROM lineitem l
+                WHERE l.l_orderkey = o.o_orderkey
+                  AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+              )
+        GROUP BY o.o_orderpriority
+        ORDER BY o.o_orderpriority
+        """
+    )
+
+
+@query(
+    "small_qty_part_revenue",
+    oracle="""
+    SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 4) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#4'
+      AND l.l_quantity < (
+            SELECT 0.2 * AVG(l2.l_quantity)
+            FROM lineitem l2
+            WHERE l2.l_partkey = l.l_partkey
+          )
+    """,
+)
+def small_qty_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from small-quantity orders of one
+    brand's parts, where 'small' is relative to that part's own mean
+    quantity — a correlated scalar subquery per outer row.
+
+    ``RewriteCorrelatedScalarSubquery`` decorrelates it into
+    ``lineitem groupBy(partkey) agg(avg)`` joined back on partkey;
+    the brand filter broadcasts part onto lineitem first, so the
+    aggregate only materializes for the ~1/25 of parts that survive.
+    This is the plan one would write by hand — the point is that the
+    declarative form arrives there automatically, which is what makes
+    ad-hoc analyst SQL safe to run at 100 TB."""
+    _views(spark, sf_dir, "lineitem", "part")
+    return spark.sql(
+        """
+        SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 4) AS avg_yearly
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#4'
+          AND l.l_quantity < (
+                SELECT 0.2 * AVG(l2.l_quantity)
+                FROM lineitem l2
+                WHERE l2.l_partkey = l.l_partkey
+              )
+        """
+    )
+
+
+@query(
+    "idle_rich_customers",
+    oracle="""
+    SELECT c.c_mktsegment AS segment,
+           COUNT(*) AS numcust,
+           ROUND(SUM(c.c_acctbal), 4) AS totacctbal
+    FROM customer c
+    WHERE c.c_acctbal > (
+            SELECT AVG(c2.c_acctbal) FROM customer c2
+            WHERE c2.c_acctbal > 0.0
+          )
+      AND NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderdate >= TIMESTAMP '2000-01-01'
+          )
+    GROUP BY c.c_mktsegment
+    ORDER BY c.c_mktsegment
+    """,
+)
+def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: per-segment count and balance of dormant
+    above-average-balance customers (no order since 2000). The
+    reference's analogue is the skip-existing set difference
+    (upload_papers_to_supabase.py:247-252) plus its per-group bias
+    rollup.
+
+    The uncorrelated scalar subquery (global average balance)
+    evaluates once and folds into the filter; NOT EXISTS becomes a
+    left-ANTI join on custkey. At scale the anti-join's build side is
+    orders projected to the single key column — with the lake
+    bucketed on custkey it is exchange-free."""
+    _views(spark, sf_dir, "customer", "orders")
+    return spark.sql(
+        """
+        SELECT c.c_mktsegment AS segment,
+               COUNT(*) AS numcust,
+               ROUND(SUM(c.c_acctbal), 4) AS totacctbal
+        FROM customer c
+        WHERE c.c_acctbal > (
+                SELECT AVG(c2.c_acctbal) FROM customer c2
+                WHERE c2.c_acctbal > 0.0
+              )
+          AND NOT EXISTS (
+                SELECT 1 FROM orders o
+                WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderdate >= TIMESTAMP '2000-01-01'
+              )
+        GROUP BY c.c_mktsegment
+        ORDER BY c.c_mktsegment
+        """
+    )

@@ -1,0 +1,233 @@
+"""Event time-series analytics: sessionization, funnels, cohorts.
+
+The reference's only time dimension is its run-over-run history
+(SURVEY.md SS2.6 W1, schema_validator.py:419-432); a product-grade
+engine over the same lake needs the standard event-stream batch
+analytics too. These complement the streaming layer's session_window
+jobs (streaming/event_windows.py): the streaming side maintains
+sessions incrementally with state, while these compute the identical
+gaps-and-islands semantics over the at-rest events table — the
+batch/stream duality Structured Streaming is built around.
+
+Scale notes (local[32] tested, 1000-executor design):
+- Everything partitions by user_id: one shuffle, then all window
+  functions and session aggregations are partition-local. At 100 TB
+  the events lake would be bucketed by user_id, making the shuffle
+  exchange-free (plans/layout.py pattern).
+- No driver-side state: funnels and cohorts are joins/aggregations of
+  per-user minima, never a collect.
+- Timestamps are compared in integer microseconds (unix_micros /
+  epoch_us) so session boundaries and durations are exact on both
+  engines — no float epoch drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..plans.registry import query
+from ..sources.tables import load_table
+
+SESSION_GAP_MIN = 30
+
+
+@query(
+    "sessionize_events",
+    oracle=f"""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(LAG(ts) OVER w)
+                            > {SESSION_GAP_MIN} * 60 * 1000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+        SELECT user_id, ts,
+               CAST(SUM(is_new) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS session_seq
+        FROM flagged
+    )
+    SELECT user_id, session_seq,
+           COUNT(*) AS n_events,
+           epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us
+    FROM numbered
+    GROUP BY user_id, session_seq
+    ORDER BY user_id, session_seq
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization: a new session starts when a
+    user's inter-event gap exceeds {SESSION_GAP_MIN} minutes; the
+    running sum of session starts numbers the islands. This is the
+    batch twin of ``session_window_agg`` (same gap, same semantics)
+    computed with plain window functions.
+
+    One hash-partition on user_id feeds both the lag and the running
+    sum (same window spec ⇒ one Exchange + one Sort in the plan);
+    the session aggregation reuses the partitioning. Ties broken by
+    event_id so numbering is total and engines agree."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = SESSION_GAP_MIN * 60 * 1_000_000
+    prev_us = F.unix_micros(F.lag("ts").over(w))
+    flagged = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            prev_us.isNull() | (F.unix_micros(F.col("ts")) - prev_us > gap_us),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    numbered = flagged.select(
+        "user_id",
+        "ts",
+        F.sum("is_new")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("session_seq"),
+    )
+    return (
+        numbered.groupBy("user_id", "session_seq")
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias(
+                "duration_us"
+            ),
+        )
+        .orderBy("user_id", "session_seq")
+    )
+
+
+@query(
+    "funnel_conversion",
+    oracle="""
+    WITH s1 AS (
+        SELECT user_id, MIN(ts) AS t1 FROM events
+        WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    s2 AS (
+        SELECT e.user_id, MIN(e.ts) AS t2
+        FROM events e JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.event_type = 'click' AND e.ts > s1.t1
+        GROUP BY e.user_id
+    ),
+    s3 AS (
+        SELECT e.user_id, MIN(e.ts) AS t3
+        FROM events e JOIN s2 ON e.user_id = s2.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        GROUP BY e.user_id
+    )
+    SELECT COUNT(s1.user_id) AS signup_users,
+           COUNT(s2.user_id) AS click_users,
+           COUNT(s3.user_id) AS purchase_users,
+           ROUND(CAST(COUNT(s2.user_id) AS DOUBLE)
+                 / COUNT(s1.user_id), 6) AS click_rate,
+           ROUND(CAST(COUNT(s3.user_id) AS DOUBLE)
+                 / COUNT(s1.user_id), 6) AS purchase_rate
+    FROM s1
+    LEFT JOIN s2 ON s1.user_id = s2.user_id
+    LEFT JOIN s3 ON s1.user_id = s3.user_id
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel signup → click → purchase: a user advances a
+    step only with a strictly-later event of the next type. Three
+    per-user minima chained by (user, time) conditions, then one
+    global rollup — no per-user Python, no collect; each stage is a
+    keyed aggregation joined on user_id, so the whole funnel is three
+    shuffles on the same key (exchange-reusable, bucketable).
+
+    Measures the same thing as the reference's stage success-rate
+    rollups (main.py:358-406 collection→processing counts), but
+    time-ordered per entity instead of global."""
+    events = load_table(spark, sf_dir, "events")
+
+    def stage(
+        prev: DataFrame, prev_ts: str, etype: str, out_ts: str
+    ) -> DataFrame:
+        return (
+            events.filter(F.col("event_type") == etype)
+            .join(prev, "user_id")
+            .filter(F.col("ts") > F.col(prev_ts))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(out_ts))
+        )
+
+    s1 = (
+        events.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = stage(s1.select("user_id", "t1"), "t1", "click", "t2")
+    s3 = stage(s2, "t2", "purchase", "t3")
+    joined = (
+        s1.join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .select("user_id", "t1", "t2", "t3")
+    )
+    n1 = F.count("user_id")
+    n2 = F.count("t2")
+    n3 = F.count("t3")
+    return joined.agg(
+        n1.alias("signup_users"),
+        n2.alias("click_users"),
+        n3.alias("purchase_users"),
+        F.round(n2.cast("double") / n1, 6).alias("click_rate"),
+        F.round(n3.cast("double") / n1, 6).alias("purchase_rate"),
+    )
+
+
+@query(
+    "cohort_retention",
+    oracle="""
+    WITH firstday AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+        FROM events GROUP BY user_id
+    ),
+    active AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    )
+    SELECT strftime(f.cohort_day, '%Y-%m-%d') AS cohort_day,
+           datediff('day', f.cohort_day, a.day) AS day_offset,
+           COUNT(*) AS active_users
+    FROM active a JOIN firstday f ON a.user_id = f.user_id
+    GROUP BY f.cohort_day, datediff('day', f.cohort_day, a.day)
+    ORDER BY cohort_day, day_offset
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-activity
+    day; for each (cohort, day-offset) the count of users active that
+    many days later. The classic product-analytics rollup, and the
+    entity-level generalization of the reference's run-over-run
+    monitoring (W1).
+
+    Two aggregations keyed on user_id (first-day, distinct
+    active-days) joined on user_id, then a small regroup on
+    (cohort, offset): the heavy work shuffles once on the entity key;
+    the final rollup's cardinality is days², trivially small.
+    Cohort day is emitted as a string so engines agree on
+    representation."""
+    events = load_table(spark, sf_dir, "events")
+    firstday = events.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("cohort_day")
+    )
+    active = events.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    return (
+        active.join(firstday, "user_id")
+        .groupBy(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff("day", "cohort_day").alias("day_offset"),
+        )
+        .agg(F.count("*").alias("active_users"))
+        .orderBy("cohort_day", "day_offset")
+    )

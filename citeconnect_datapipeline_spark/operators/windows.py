@@ -222,10 +222,10 @@ def cumulative_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM daily
     )
     SELECT day, n_events,
-           SUM(n_events) OVER (
+           CAST(SUM(n_events) OVER (
                ORDER BY epoch_day
                RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
-           ) AS events_7d,
+           ) AS BIGINT) AS events_7d,
            ROUND(SUM(total_value) OVER (
                ORDER BY epoch_day
                RANGE BETWEEN 6 PRECEDING AND CURRENT ROW

@@ -50,6 +50,8 @@ def _load_all() -> None:
         multimodal,
         setops,
         sorts,
+        subqueries,
+        timeseries,
         windows,
         text,
         similarity,

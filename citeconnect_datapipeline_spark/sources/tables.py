@@ -48,8 +48,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for field in df.schema.fields:
         meta_type = str(field.dataType)
         if field.name == "ts" and meta_type == "LongType()":
+            # Integer `div`, NOT `/`: float division of int64 nanos
+            # (~1.7e18) exceeds double's 53-bit mantissa and drifts
+            # the result by up to ~128 ns — observed as ±1 µs vs
+            # engines that truncate exactly.
             df = df.withColumn(
-                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
             )
     return df
 

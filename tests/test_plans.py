@@ -118,3 +118,42 @@ def test_zone_read_prunes_partitions(spark, tmp_path):
     plan = physical(pruned)
     assert "PartitionFilters: [isnotnull(run_id" in plan, plan
     assert pruned.count() == 2
+
+
+def test_exists_subquery_becomes_semi_join(spark):
+    """SQL EXISTS must be rewritten by Catalyst into a left-SEMI hash
+    join (RewritePredicateSubquery) — a surviving subquery expression
+    would execute tuple-at-a-time and cannot distribute."""
+    plan = physical(get_queries()["late_ship_priority_dist"](spark, SF_DIR))
+    assert "LeftSemi" in plan, plan
+    assert "Subquery" not in plan, plan
+
+
+def test_not_exists_subquery_becomes_anti_join(spark):
+    """NOT EXISTS over orders -> left-ANTI join on custkey; the
+    uncorrelated scalar subquery (global avg balance) is allowed to
+    remain as a one-row subquery stage."""
+    plan = physical(get_queries()["idle_rich_customers"](spark, SF_DIR))
+    assert "LeftAnti" in plan, plan
+
+
+def test_correlated_scalar_subquery_decorrelates_to_aggregate_join(spark):
+    """The per-part avg-quantity lookup must decorrelate into
+    aggregate + join (RewriteCorrelatedScalarSubquery): no correlated
+    subquery survives, and the per-part aggregate appears as a real
+    HashAggregate feeding a join."""
+    plan = physical(get_queries()["small_qty_part_revenue"](spark, SF_DIR))
+    assert "Subquery" not in plan, plan
+    assert "HashAggregate" in plan, plan
+
+
+def test_sessionize_single_exchange_for_windows(spark):
+    """Both window functions (lag flag, running sum) and the session
+    aggregation share the user_id partitioning: exactly one shuffle
+    exchange of the events table may appear in the plan."""
+    plan = physical(get_queries()["sessionize_events"](spark, SF_DIR))
+    # final orderBy adds a rangepartitioning exchange; count only hash
+    import re
+
+    hashes = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert hashes == 1, plan
