@@ -1,0 +1,126 @@
+"""Statistical aggregates: moments, correlation, exact quantiles.
+
+The reference's statistics stop at mean/median/std via pandas
+``describe`` (SURVEY.md SS2.5 A6/A8); an analytics engine over the
+same lake should expose the full single-pass moment family — these
+back both data-quality monitoring (distribution-shape drift is what
+the reference's z-score check approximates) and feature analysis for
+training-data curation.
+
+Engine-parity note: skewness/kurtosis DEFINITIONS differ across
+engines (population vs sample-corrected). Spark implements the
+population form (g1 = m3/m2^1.5, excess g2 = m4/m2^2 - 3, with
+m_k the central moment Σ(x-μ)^k / n). The DuckDB oracles therefore
+spell the same math out of two-pass central moments instead of
+calling DuckDB's sample-corrected built-ins — the oracle pins the
+semantics, not the other engine's flavor.
+
+Scale: every aggregate here is a single map-side-combinable pass
+(Spark's CentralMomentAgg is one-pass streaming); the two-pass oracle
+form is only for the small-scale correctness check. Exact percentiles
+shuffle the group's values once; at 100 TB swap `percentile` for
+`percentile_approx` (same query shape, bounded memory).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.registry import query
+from ..sources.tables import load_table
+
+
+@query(
+    "grouped_moments",
+    oracle="""
+    WITH mu AS (
+        SELECT l_returnflag AS grp,
+               AVG(l_quantity) AS mq,
+               AVG(l_extendedprice) AS mp
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag AS grp,
+           COUNT(*) AS n,
+           ROUND(AVG(l.l_quantity), 4) AS mean_qty,
+           ROUND(STDDEV_SAMP(l.l_quantity), 4) AS stddev_qty,
+           ROUND(AVG(POWER(l.l_quantity - mu.mq, 3))
+                 / POWER(AVG(POWER(l.l_quantity - mu.mq, 2)), 1.5),
+                 4) AS skew_qty,
+           ROUND(AVG(POWER(l.l_quantity - mu.mq, 4))
+                 / POWER(AVG(POWER(l.l_quantity - mu.mq, 2)), 2) - 3,
+                 4) AS kurt_qty,
+           ROUND(CORR(l.l_quantity, l.l_extendedprice), 4) AS corr_qty_price,
+           ROUND(COVAR_SAMP(l.l_quantity, l.l_extendedprice), 4)
+               AS covar_qty_price,
+           ROUND(MEDIAN(l.l_quantity), 4) AS median_qty
+    FROM lineitem l JOIN mu ON l.l_returnflag = mu.grp
+    GROUP BY l.l_returnflag
+    ORDER BY grp
+    """,
+)
+def grouped_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-return-flag distribution shape: count, mean, sample stddev,
+    population skewness, population excess kurtosis, quantity↔price
+    correlation and sample covariance, exact median. One hash
+    aggregation — every statistic is a streaming accumulator
+    (CentralMomentAgg / Corr / Covariance), so the group pass is
+    map-side combinable and never materializes the group's values
+    (except the exact median's sort, see module docstring)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(F.col("l_returnflag").alias("grp"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("l_quantity"), 4).alias("mean_qty"),
+            F.round(F.stddev_samp("l_quantity"), 4).alias("stddev_qty"),
+            F.round(F.skewness("l_quantity"), 4).alias("skew_qty"),
+            F.round(F.kurtosis("l_quantity"), 4).alias("kurt_qty"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias(
+                "corr_qty_price"
+            ),
+            F.round(
+                F.covar_samp("l_quantity", "l_extendedprice"), 4
+            ).alias("covar_qty_price"),
+            F.round(F.median("l_quantity"), 4).alias("median_qty"),
+        )
+        .orderBy("grp")
+    )
+
+
+@query(
+    "quantiles_by_group",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           ROUND(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+           ROUND(quantile_cont(o_totalprice, 0.50), 4) AS p50,
+           ROUND(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+           ROUND(quantile_cont(o_totalprice, 0.90), 4) AS p90,
+           ROUND(quantile_cont(o_totalprice, 0.75)
+                 - quantile_cont(o_totalprice, 0.25), 4) AS iqr
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY priority
+    """,
+)
+def quantiles_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated percentiles of order value per
+    priority class (the reference's group-describe A8, upgraded from
+    pandas to a distributed aggregate). Both engines use the
+    continuous-quantile definition so values match exactly. At lake
+    scale the one-line swap to ``percentile_approx`` trades exactness
+    for a fixed-size sketch that merges map-side."""
+    orders = load_table(spark, sf_dir, "orders")
+    pct = [0.25, 0.50, 0.75, 0.90]
+    q = {p: F.percentile("o_totalprice", F.lit(p)) for p in pct}
+    return (
+        orders.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.round(q[0.25], 4).alias("p25"),
+            F.round(q[0.50], 4).alias("p50"),
+            F.round(q[0.75], 4).alias("p75"),
+            F.round(q[0.90], 4).alias("p90"),
+            F.round(q[0.75] - q[0.25], 4).alias("iqr"),
+        )
+        .orderBy("priority")
+    )

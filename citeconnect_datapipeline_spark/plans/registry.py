@@ -50,6 +50,7 @@ def _load_all() -> None:
         multimodal,
         setops,
         sorts,
+        statistics,
         subqueries,
         timeseries,
         windows,
