@@ -555,3 +555,72 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         votes.select("doc_id", fingerprint.alias("simhash"))
         .orderBy("doc_id")
     )
+
+
+FUZZY_PREFIX_LEN = 40
+FUZZY_MAX_DIST = 10
+
+
+@query(
+    "fuzzy_prefix_pairs",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, lang,
+               substr(lower(text), 1, {FUZZY_PREFIX_LEN}) AS pre
+        FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang,
+           levenshtein(a.pre, b.pre) AS edit_dist
+    FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.pre, b.pre) <= {FUZZY_MAX_DIST}
+    ORDER BY a.lang, doc_a, doc_b
+    """,
+)
+def fuzzy_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup pairs (the fuzzy-matching member of the
+    dedup family: exact -> shingle/MinHash/SimHash -> embedding ->
+    EDIT DISTANCE): documents in the same language whose lowercased
+    {FUZZY_PREFIX_LEN}-char prefixes are within Levenshtein distance
+    {FUZZY_MAX_DIST} — the classic blocked record-linkage join (title
+    /author fuzzy matching in the reference's domain).
+
+    Scale shape: the block key (lang) turns the quadratic comparison
+    into per-block equi-join partitions; Spark's THRESHOLDED
+    ``levenshtein(l, r, k)`` runs the banded O(len*k) DP and bails at
+    k+1, so the per-pair cost is bounded regardless of text length.
+    At 100 TB the block key would widen to (lang, length-band,
+    phonetic/first-token key) — same plan, finer blocks; the
+    length-band guard below already discards most non-candidates
+    before the DP runs."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "lang",
+        F.substring(F.lower(F.col("text")), 1, FUZZY_PREFIX_LEN).alias(
+            "pre"
+        ),
+    )
+    a, b = d.alias("a"), d.alias("b")
+    dist = F.levenshtein(F.col("a.pre"), F.col("b.pre"), FUZZY_MAX_DIST)
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # cheap guard: |len(a)-len(b)| > k already implies dist > k
+            & (
+                F.abs(
+                    F.length(F.col("a.pre")) - F.length(F.col("b.pre"))
+                )
+                <= FUZZY_MAX_DIST
+            ),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.lang").alias("lang"),
+            dist.alias("edit_dist"),
+        )
+        .filter((F.col("edit_dist") >= 0) & (F.col("edit_dist") <= FUZZY_MAX_DIST))
+        .orderBy("lang", "doc_a", "doc_b")
+    )

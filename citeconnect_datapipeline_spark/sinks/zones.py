@@ -98,3 +98,74 @@ def write_json_artifact(df: DataFrame, path: str) -> None:
     with open(tmp, "w") as f:
         json.dump(rows, f, default=str, indent=1)
     os.replace(tmp, path)
+
+
+def compact_zone(
+    spark: SparkSession,
+    zone_path: str,
+    run_id: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Lake maintenance: rewrite one run's partition into size-bounded
+    files and atomically swap it in.
+
+    Streaming appends and per-term micro-writes (the reference's
+    one-file-per-(term,timestamp) pattern) fragment a zone into many
+    small files; at 100 TB that dominates planning time (file listing)
+    and read throughput (per-file open cost). Compaction = read the
+    run, coalesce to ceil(bytes / target) files, write to a temp run
+    directory, then atomic directory rename — readers pruned to the
+    run see either the old fragmented layout or the new compact one,
+    never a mix.
+
+    Returns {files_before, files_after, bytes}. Driver touches only
+    file metadata (listing), never rows.
+    """
+    run_dir = os.path.join(zone_path, f"run_id={run_id}")
+
+    def _list_parquet(d: str) -> list[str]:
+        out = []
+        for root, _dirs, files in os.walk(d):
+            out.extend(
+                os.path.join(root, f)
+                for f in files
+                if f.endswith(".parquet")
+            )
+        return out
+
+    before = _list_parquet(run_dir)
+    total_bytes = sum(os.path.getsize(f) for f in before)
+    n_files = max(1, -(-total_bytes // target_file_bytes))  # ceil
+
+    # Preserve any sub-partition directories (user partition_cols from
+    # write_zone): re-discover them from the layout and re-partitionBy
+    # on rewrite so compaction never flattens the pruning structure.
+    sub_cols = []
+    probe = run_dir
+    while True:
+        parts = [
+            e for e in os.listdir(probe)
+            if "=" in e and os.path.isdir(os.path.join(probe, e))
+        ]
+        if not parts:
+            break
+        sub_cols.append(parts[0].split("=", 1)[0])
+        probe = os.path.join(probe, parts[0])
+
+    df = spark.read.parquet(run_dir)
+    tmp_dir = os.path.join(zone_path, f".compact-run_id={run_id}.tmp")
+    writer = df.coalesce(n_files).write.mode("overwrite")
+    if sub_cols:
+        writer = writer.partitionBy(*sub_cols)
+    writer.parquet(tmp_dir)
+    old_dir = os.path.join(zone_path, f".old-run_id={run_id}.tmp")
+    os.rename(run_dir, old_dir)
+    os.rename(tmp_dir, run_dir)
+    import shutil
+
+    shutil.rmtree(old_dir)
+    return {
+        "files_before": len(before),
+        "files_after": len(_list_parquet(run_dir)),
+        "bytes": total_bytes,
+    }

@@ -16,6 +16,7 @@ from citeconnect_datapipeline_spark.sinks.upsert import (
     upsert_parquet,
 )
 from citeconnect_datapipeline_spark.sinks.zones import (
+    compact_zone,
     read_latest_run,
     read_zone,
     write_json_artifact,
@@ -53,6 +54,35 @@ def test_zone_latest_run(spark, tmp_path):
     write_zone(papers(spark, [("b", "ml", 2)]), zone, run_id="r002")
     latest = read_latest_run(spark, zone)
     assert [r.paper_id for r in latest.collect()] == ["b"]
+
+
+def test_compact_zone_rewrites_fragmented_run(spark, tmp_path):
+    """Many small appended files collapse to a bounded count; data and
+    sub-partition layout survive byte-for-byte."""
+    zone = str(tmp_path / "zone")
+    # fragment: 6 separate appends into one run, partitioned by domain
+    for i in range(6):
+        write_zone(
+            papers(spark, [(f"p{i}", "ml" if i % 2 else "bio", i)]),
+            zone,
+            run_id="r001",
+            partition_cols=("domain",),
+        )
+    before = read_zone(spark, zone, "r001")
+    rows_before = {tuple(r) for r in before.select("paper_id", "score").collect()}
+
+    stats = compact_zone(spark, zone, "r001")
+    assert stats["files_before"] > stats["files_after"]
+
+    after = read_zone(spark, zone, "r001")
+    rows_after = {tuple(r) for r in after.select("paper_id", "score").collect()}
+    assert rows_after == rows_before
+    # pruning structure preserved
+    assert os.path.isdir(os.path.join(zone, "run_id=r001", "domain=ml"))
+    # other runs untouched semantics: compaction is atomic per run
+    assert not [
+        e for e in os.listdir(zone) if e.endswith(".tmp")
+    ], "temp dirs must not survive"
 
 
 def test_zone_runs_are_isolated(spark, tmp_path):
