@@ -600,7 +600,17 @@ def fuzzy_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pre"
         ),
     )
-    a, b = d.alias("a"), d.alias("b")
+    # The broadcast join's parallelism equals the PROBE side's
+    # partition count; a compact one-file source would run every DP
+    # on one task. Spread the probe, broadcast the (tiny) build side.
+    a = d.repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    ).alias("a")
+    b = F.broadcast(d).alias("b")
+    # Thresholded levenshtein returns -1 past the cutoff, so ONE
+    # `!= -1` comparison is the whole similarity predicate — written
+    # as two range checks it gets pushed into the join condition as
+    # two separate levenshtein evaluations per pair (measured 2x).
     dist = F.levenshtein(F.col("a.pre"), F.col("b.pre"), FUZZY_MAX_DIST)
     return (
         a.join(
@@ -613,7 +623,8 @@ def fuzzy_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.length(F.col("a.pre")) - F.length(F.col("b.pre"))
                 )
                 <= FUZZY_MAX_DIST
-            ),
+            )
+            & (dist != -1),
         )
         .select(
             F.col("a.doc_id").alias("doc_a"),
@@ -621,6 +632,5 @@ def fuzzy_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.lang").alias("lang"),
             dist.alias("edit_dist"),
         )
-        .filter((F.col("edit_dist") >= 0) & (F.col("edit_dist") <= FUZZY_MAX_DIST))
         .orderBy("lang", "doc_a", "doc_b")
     )
