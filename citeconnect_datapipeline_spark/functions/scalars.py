@@ -220,3 +220,44 @@ def json_encode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.get_json_object(payload, "$.etype").alias("decoded_type"),
         )
     )
+
+
+@query(
+    "map_entry_stats",
+    oracle="""
+    WITH kv AS (
+        SELECT unnest(json_keys(props)) AS key, props FROM events
+    )
+    SELECT key,
+           COUNT(*) AS n,
+           ROUND(AVG(CAST(json_extract_string(props, '$.' || key)
+                          AS DOUBLE)), 4) AS avg_value
+    FROM kv
+    GROUP BY key
+    ORDER BY key
+    """,
+)
+def map_entry_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface (SURVEY.md §1.3: JSON-encoded dicts →
+    ``MapType`` / ``from_json``): parse the event props JSON into a
+    real map column, explode its ENTRIES (not a hardcoded key list),
+    and aggregate per key — schema-free key discovery, the pattern
+    for the reference's ``externalIds``/``s2FieldsOfStudy`` dicts
+    whose key sets vary per row. JVM-side end to end: from_json +
+    explode + hash aggregate, no Python."""
+    events = load_table(spark, sf_dir, "events")
+    entries = events.select(
+        F.explode(
+            F.from_json(F.col("props"), "map<string,string>")
+        ).alias("key", "value")
+    )
+    return (
+        entries.groupBy("key")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg(F.col("value").cast("double")), 4).alias(
+                "avg_value"
+            ),
+        )
+        .orderBy("key")
+    )

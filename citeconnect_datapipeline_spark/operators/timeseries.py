@@ -231,3 +231,67 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("active_users"))
         .orderBy("cohort_day", "day_offset")
     )
+
+
+@query(
+    "daily_gap_fill",
+    oracle="""
+    WITH bounds AS (
+        SELECT CAST(MIN(ts) AS DATE) AS d0, CAST(MAX(ts) AS DATE) AS d1
+        FROM events
+    ),
+    spine AS (
+        SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+        FROM bounds
+    ),
+    daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               COUNT(*) AS n_raw,
+               ROUND(SUM(value), 4) AS value_raw
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY CAST(ts AS DATE)
+    )
+    SELECT strftime(s.day, '%Y-%m-%d') AS day,
+           COALESCE(d.n_raw, 0) AS n_purchases,
+           COALESCE(d.value_raw, 0.0) AS purchase_value
+    FROM spine s LEFT JOIN daily d ON s.day = d.day
+    ORDER BY day
+    """,
+)
+def daily_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-spine gap fill: a generated day spine (sequence + explode,
+    no driver loop, no collect) left-joined onto the daily purchase
+    rollup so calendar gaps surface as explicit zero rows — what every
+    downstream charting/anomaly consumer wants (the reference's
+    run-summary JSON silently skips empty runs; a z-score over it
+    never sees the zeros, which is exactly the failure A12 guards
+    against).
+
+    The spine is tiny (days), broadcast onto the daily aggregate; the
+    only shuffle is the purchase rollup's groupBy, which AQE coalesces
+    to the handful of day keys."""
+    events = load_table(spark, sf_dir, "events")
+    bounds = events.agg(
+        F.min(F.to_date("ts")).alias("d0"),
+        F.max(F.to_date("ts")).alias("d1"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    daily = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.count("*").alias("n_raw"),
+            F.round(F.sum("value"), 4).alias("value_raw"),
+        )
+    )
+    return (
+        spine.join(daily, "day", "left")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.coalesce("n_raw", F.lit(0)).alias("n_purchases"),
+            F.coalesce("value_raw", F.lit(0.0)).alias("purchase_value"),
+        )
+        .orderBy("day")
+    )
