@@ -1,0 +1,124 @@
+"""Declarative data-quality expectations (SURVEY.md SS2.5 A13/A14
+generalized into an API).
+
+The reference hand-codes each validity check as separate pandas
+passes (invalid years, negative citations, missing rates —
+Validation/schema_validator.py:135-237,325-350). Here a check suite
+is DATA: a dict of named boolean SQL predicates compiled into ONE
+conditional-aggregation pass over the table (``sum(when(violated))``
+per check), then unpivoted to a (check, violations, pass_rate) row
+per check. Adding a check adds a column to one scan — never another
+pass, which is the difference between O(checks) and O(1) table reads
+at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.registry import query
+from ..sources.tables import load_table
+
+
+def expectations_report(
+    df: DataFrame, checks: dict[str, str]
+) -> DataFrame:
+    """Evaluate named row-level expectations in one aggregation pass.
+
+    ``checks`` maps check-name -> SQL boolean expression that should
+    be TRUE for a healthy row (NULL counts as a violation, matching
+    the reference's treat-missing-as-bad accounting). Returns one row
+    per check: (check, n_rows, violations, pass_rate).
+    """
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for name, predicate in checks.items():
+        ok = F.coalesce(F.expr(predicate), F.lit(False))
+        aggs.append(
+            F.sum(F.when(ok, 0).otherwise(1)).alias(f"_v_{name}")
+        )
+    wide = df.agg(*aggs)
+    stack_args: list = []
+    for name in checks:
+        stack_args.append(F.lit(name))
+        stack_args.append(F.col(f"_v_{name}"))
+    return (
+        wide.select(
+            "_n",
+            F.stack(F.lit(len(checks)), *stack_args).alias(
+                "check", "violations"
+            ),
+        )
+        .select(
+            "check",
+            F.col("_n").alias("n_rows"),
+            "violations",
+            F.round(
+                1.0 - F.col("violations") / F.col("_n"), 6
+            ).alias("pass_rate"),
+        )
+        .orderBy("check")
+    )
+
+
+ORDER_CHECKS = {
+    "orderdate_in_range": (
+        "o_orderdate >= TIMESTAMP '1990-01-01' "
+        "AND o_orderdate < TIMESTAMP '2001-01-01'"
+    ),
+    "price_positive": "o_totalprice > 0.0",
+    "priority_known": (
+        "o_orderpriority IN ('1-URGENT','2-HIGH','3-MEDIUM',"
+        "'4-NOT SPECIFIED','5-LOW')"
+    ),
+    "status_known": "o_orderstatus IN ('O','F','P')",
+    "custkey_present": "o_custkey IS NOT NULL",
+}
+
+
+@query(
+    "expectations_report",
+    oracle="""
+    WITH wide AS (
+        SELECT COUNT(*) AS n,
+               SUM(CASE WHEN COALESCE(
+                   o_orderdate >= TIMESTAMP '1990-01-01'
+                   AND o_orderdate < TIMESTAMP '2001-01-01', FALSE)
+                   THEN 0 ELSE 1 END) AS v_orderdate_in_range,
+               SUM(CASE WHEN COALESCE(o_totalprice > 0.0, FALSE)
+                   THEN 0 ELSE 1 END) AS v_price_positive,
+               SUM(CASE WHEN COALESCE(o_orderpriority IN
+                   ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED',
+                    '5-LOW'), FALSE)
+                   THEN 0 ELSE 1 END) AS v_priority_known,
+               SUM(CASE WHEN COALESCE(o_orderstatus IN ('O','F','P'),
+                   FALSE)
+                   THEN 0 ELSE 1 END) AS v_status_known,
+               SUM(CASE WHEN o_custkey IS NOT NULL
+                   THEN 0 ELSE 1 END) AS v_custkey_present
+        FROM orders
+    )
+    SELECT u.check, wide.n AS n_rows,
+           CAST(u.violations AS BIGINT) AS violations,
+           ROUND(1.0 - CAST(u.violations AS DOUBLE) / wide.n, 6)
+               AS pass_rate
+    FROM wide, (
+        SELECT 'orderdate_in_range' AS check,
+               v_orderdate_in_range AS violations FROM wide
+        UNION ALL SELECT 'price_positive', v_price_positive FROM wide
+        UNION ALL SELECT 'priority_known', v_priority_known FROM wide
+        UNION ALL SELECT 'status_known', v_status_known FROM wide
+        UNION ALL SELECT 'custkey_present', v_custkey_present FROM wide
+    ) u
+    ORDER BY u.check
+    """,
+)
+def expectations_report_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The declarative check suite run over orders: five expectations
+    (range, positivity, domain membership, non-null) in a single
+    map-side-combinable scan, unpivoted to one row per check."""
+    return expectations_report(
+        load_table(spark, sf_dir, "orders"), ORDER_CHECKS
+    )

@@ -176,3 +176,102 @@ def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY c.c_mktsegment
         """
     )
+
+
+@query(
+    "large_volume_orders",
+    oracle="""
+    SELECT c.c_name, o.o_orderkey,
+           o.o_orderdate, o.o_totalprice,
+           ROUND(SUM(l.l_quantity), 4) AS total_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey
+        HAVING SUM(l_quantity) > 250
+    )
+    GROUP BY c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    ORDER BY o.o_totalprice DESC, o.o_orderdate, o.o_orderkey
+    LIMIT 20
+    """,
+)
+def large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: customers behind the largest-volume orders,
+    where membership is an IN over a grouped-HAVING subquery. The IN
+    becomes a left-semi join against the aggregated subquery
+    (RewritePredicateSubquery); the aggregate shuffles lineitem on
+    orderkey — the same key the outer join shuffles on, so the
+    exchange is reused. Deterministic top-20 via total tie-break."""
+    _views(spark, sf_dir, "customer", "orders", "lineitem")
+    return spark.sql(
+        """
+        SELECT c.c_name, o.o_orderkey,
+               o.o_orderdate, o.o_totalprice,
+               ROUND(SUM(l.l_quantity), 4) AS total_qty
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderkey IN (
+            SELECT l_orderkey FROM lineitem
+            GROUP BY l_orderkey
+            HAVING SUM(l_quantity) > 250
+        )
+        GROUP BY c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
+        ORDER BY o.o_totalprice DESC, o.o_orderdate, o.o_orderkey
+        LIMIT 20
+        """
+    )
+
+
+@query(
+    "min_cost_supplier_per_part",
+    oracle="""
+    WITH ps AS (
+        SELECT l_partkey, l_suppkey,
+               ROUND(AVG(l_extendedprice), 4) AS avg_price
+        FROM lineitem GROUP BY l_partkey, l_suppkey
+    )
+    SELECT p.p_partkey, s.s_name, ps.avg_price
+    FROM ps
+    JOIN part p ON p.p_partkey = ps.l_partkey
+    JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+    WHERE p.p_size >= 49
+      AND ps.avg_price = (
+            SELECT MIN(ps2.avg_price) FROM ps ps2
+            WHERE ps2.l_partkey = ps.l_partkey
+          )
+    ORDER BY p.p_partkey, s.s_name
+    """,
+)
+def min_cost_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (adapted to this lake: lineitem is the
+    part↔supplier link): for each large part, the supplier(s) with
+    the minimum average offered price — a correlated MIN subquery
+    over a derived table, referenced twice. Catalyst decorrelates the
+    scalar MIN into a per-partkey aggregate joined back (the
+    argmin-by-join pattern); the p_size filter pushes into the part
+    scan and prunes before the equality check. Ties (exact equal
+    rounded min price) are all retained — the deterministic form of
+    Q2's multi-row-per-part semantics."""
+    _views(spark, sf_dir, "lineitem", "part", "supplier")
+    return spark.sql(
+        """
+        WITH ps AS (
+            SELECT l_partkey, l_suppkey,
+                   ROUND(AVG(l_extendedprice), 4) AS avg_price
+            FROM lineitem GROUP BY l_partkey, l_suppkey
+        )
+        SELECT p.p_partkey, s.s_name, ps.avg_price
+        FROM ps
+        JOIN part p ON p.p_partkey = ps.l_partkey
+        JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+        WHERE p.p_size >= 49
+          AND ps.avg_price = (
+                SELECT MIN(ps2.avg_price) FROM ps ps2
+                WHERE ps2.l_partkey = ps.l_partkey
+              )
+        ORDER BY p.p_partkey, s.s_name
+        """
+    )

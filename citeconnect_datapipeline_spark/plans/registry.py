@@ -48,6 +48,7 @@ def _load_all() -> None:
         extraction,
         joins,
         multimodal,
+        quality,
         setops,
         sorts,
         statistics,
