@@ -169,3 +169,34 @@ def compact_zone(
         "files_after": len(_list_parquet(run_dir)),
         "bytes": total_bytes,
     }
+
+
+def write_zone_observed(
+    df: DataFrame,
+    zone_path: str,
+    run_id: str,
+    metrics: dict[str, "F.Column | str"] | None = None,
+    **write_kwargs,
+) -> dict:
+    """K1 write with INLINE metrics via ``Observation``: aggregate
+    expressions (row counts, null rates, value sums) are collected in
+    the same pass that writes the data — zero extra table scans, the
+    Spark-native replacement for the reference's write-then-re-read
+    validation round trip (schema_validator.py re-reads the file it
+    just wrote).
+
+    ``metrics`` maps name -> aggregate Column (or SQL string).
+    Returns the observed metric dict (driver-sized by construction).
+    """
+    from pyspark.sql import Observation
+
+    if metrics is None:
+        metrics = {"n_rows": F.count(F.lit(1))}
+    cols = [
+        (F.expr(c) if isinstance(c, str) else c).alias(name)
+        for name, c in metrics.items()
+    ]
+    obs = Observation(f"write_zone:{run_id}")
+    observed = df.observe(obs, *cols)
+    write_zone(observed, zone_path, run_id, **write_kwargs)
+    return dict(obs.get)

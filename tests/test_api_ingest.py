@@ -176,3 +176,50 @@ def test_fetch_reference_edges_distributed(spark):
     )
     edges = {(r.src_paper_id, r.dst_paper_id) for r in out.collect()}
     assert edges == {("p5", "p0"), ("p7", "p0"), ("p7", "p1"), ("p7", "p2")}
+
+
+# ---------------------------------------------------------------------
+# Spark 4 Python DataSource surface (S1 as spark.read.format)
+# ---------------------------------------------------------------------
+
+
+def test_paper_search_datasource_partitions_per_term(spark):
+    from citeconnect_datapipeline_spark.sources.paper_search_datasource import (
+        PaperSearchDataSource,
+    )
+
+    spark.dataSource.register(PaperSearchDataSource)
+    df = (
+        spark.read.format("paper_search")
+        .option("terms", "llm, retrieval, bias")
+        .option("max_results", "7")
+        .load()
+    )
+    # one input partition (= one rate-limited client) per search term
+    assert df.rdd.getNumPartitions() == 3
+    rows = df.collect()
+    assert len(rows) == 21  # 3 terms x max_results=7 (limit pushdown)
+    assert df.schema.fieldNames() == [
+        "paperId",
+        "title",
+        "abstract",
+        "year",
+        "citationCount",
+        "references_id",
+    ]
+    # deterministic transport: every term pages the same sorted corpus,
+    # so each partition returns the lexicographically first 7 ids
+    assert {r.paperId for r in rows} == {
+        "p0", "p1", "p10", "p11", "p12", "p13", "p14",
+    }
+
+
+def test_paper_search_datasource_requires_terms(spark):
+    from citeconnect_datapipeline_spark.sources.paper_search_datasource import (
+        PaperSearchDataSource,
+    )
+    import pytest as _pytest
+
+    spark.dataSource.register(PaperSearchDataSource)
+    with _pytest.raises(Exception, match="terms"):
+        spark.read.format("paper_search").load().collect()

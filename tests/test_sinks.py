@@ -202,3 +202,25 @@ def test_json_artifact_scan_roundtrip(spark, tmp_path):
     write_json_artifact(agg, path)
     back = spark.read.option("multiLine", "true").json(path)
     assert {(r.domain, r.n) for r in back.collect()} == {("ml", 2), ("bio", 1)}
+
+
+def test_write_zone_observed_collects_metrics_in_write_pass(spark, tmp_path):
+    from citeconnect_datapipeline_spark.sinks.zones import write_zone_observed
+
+    zone = str(tmp_path / "zone")
+    df = papers(spark, [("a", "ml", 1), ("b", None, 2), ("c", "bio", 3)])
+    got = write_zone_observed(
+        df,
+        zone,
+        run_id="r001",
+        metrics={
+            "n_rows": F.count(F.lit(1)),
+            "null_domains": F.sum(
+                F.when(F.col("domain").isNull(), 1).otherwise(0)
+            ),
+            "score_sum": F.sum("score"),
+        },
+    )
+    assert got == {"n_rows": 3, "null_domains": 1, "score_sum": 6}
+    # and the data actually landed
+    assert read_zone(spark, zone, "r001").count() == 3
