@@ -199,6 +199,43 @@ class ApiClient:
             if page.get("total") is not None and offset >= page["total"]:
                 return
 
+    # -- S8 support: offset-addressed slice (streaming source) ----------
+    def search_total(self, term: str = "") -> int:
+        """One metadata probe: total result count for a query —
+        drives the streaming source's latestOffset."""
+        page = self._request(
+            "search",
+            {"query": term, "offset": 0, "limit": 1, "fields": ""},
+        )
+        return int(page.get("total", 0))
+
+    def search_slice(
+        self, offset: int, count: int, term: str = ""
+    ) -> Iterator[dict[str, Any]]:
+        """Absolute-offset page fetch: rows [offset, offset+count) of
+        the stable result order — the addressable form a replayable
+        streaming micro-batch needs (vs ``search``'s cursor scan)."""
+        cfg = self.config
+        got = 0
+        while got < count:
+            page = self._request(
+                "search",
+                {
+                    "query": term,
+                    "offset": offset + got,
+                    "limit": min(cfg.page_limit, count - got),
+                    "fields": ",".join(cfg.fields),
+                },
+            )
+            rows = page.get("data", [])
+            if not rows:
+                return
+            for row in rows:
+                yield row
+                got += 1
+                if got >= count:
+                    return
+
     # -- S2: point lookup ----------------------------------------------
     def get_paper(self, paper_id: str) -> dict[str, Any] | None:
         out = self._request(

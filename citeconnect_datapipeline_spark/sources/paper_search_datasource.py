@@ -30,6 +30,7 @@ from collections.abc import Iterator, Sequence
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     InputPartition,
 )
 
@@ -90,3 +91,70 @@ class PaperSearchDataSource(DataSource):
 
     def reader(self, schema) -> PaperSearchReader:
         return PaperSearchReader(dict(self.options))
+
+    def streamReader(self, schema) -> "PaperFeedStreamReader":
+        return PaperFeedStreamReader(dict(self.options))
+
+
+class PageRangePartition(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start = start
+        self.end = end
+
+
+class PaperFeedStreamReader(DataSourceStreamReader):
+    """Offset-tracked micro-batch reader over the paper corpus
+    (SURVEY.md S8/M1: the reference's generator-based batch slices,
+    gcs_reader.py:173-217, restated as a real Structured Streaming
+    source). The offset is the cursor position in the (stable-sorted)
+    corpus; each trigger advances by ``page_size`` — so batches are
+    deterministic, replayable from any committed offset, and
+    exactly-once under checkpointing: precisely the contract the
+    reference's ad-hoc generator cannot give."""
+
+    def __init__(self, options: dict):
+        self.page_size = int(options.get("page_size", "10"))
+        client = ApiClient(
+            _make_transport(),
+            ApiClientConfig(
+                rate_per_sec=1e6,
+                backoff_base_sec=0.0,
+                backoff_cap_sec=0.0,
+            ),
+        )
+        # total() is one cheap metadata call; rows stream per batch
+        self.total = client.search_total()
+
+    def initialOffset(self) -> dict:
+        return {"pos": 0}
+
+    def latestOffset(self) -> dict:
+        return {"pos": self.total}
+
+    def partitions(self, start: dict, end: dict):
+        s, e = start["pos"], end["pos"]
+        if s >= e:
+            return [PageRangePartition(s, s)]
+        return [
+            PageRangePartition(p, min(p + self.page_size, e))
+            for p in range(s, e, self.page_size)
+        ]
+
+    def read(self, partition: PageRangePartition) -> Iterator[tuple]:
+        if partition.start >= partition.end:
+            return
+        client = ApiClient(
+            _make_transport(),
+            ApiClientConfig(
+                rate_per_sec=1e6,
+                backoff_base_sec=0.0,
+                backoff_cap_sec=0.0,
+            ),
+        )
+        for payload in client.search_slice(
+            partition.start, partition.end - partition.start
+        ):
+            yield _row_from_payload(payload)
+
+    def commit(self, end: dict) -> None:
+        pass  # source is external/immutable; nothing to clean up
