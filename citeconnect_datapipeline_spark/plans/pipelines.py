@@ -260,3 +260,125 @@ def chunk_embed_search_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("similarity"), "doc_id", "chunk_pos")
         .limit(10)
     )
+
+
+@query(
+    "curation_pipeline_e2e",
+    oracle="""
+    WITH hashed AS (
+        SELECT doc_id, lang, n_chars, text,
+               md5(lower(text)) AS content_hash
+        FROM documents
+    ),
+    deduped AS (
+        SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                       PARTITION BY content_hash ORDER BY doc_id
+                   ) AS rn
+            FROM hashed
+        ) WHERE rn = 1
+    ),
+    scored AS (
+        SELECT doc_id, lang, n_chars,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS w
+        FROM deduped
+    ),
+    gated AS (
+        SELECT doc_id, lang, n_chars,
+               len(w) AS n_tokens,
+               CAST(len(list_distinct(w)) AS DOUBLE)
+                   / GREATEST(len(w), 1) AS ttr
+        FROM scored
+        WHERE len(w) >= 20
+          AND CAST(len(list_distinct(w)) AS DOUBLE)
+              / GREATEST(len(w), 1) >= 0.3
+    ),
+    tagged AS (
+        SELECT lang, n_chars, n_tokens, ttr,
+               CASE WHEN (ascii(substring(md5(CAST(doc_id AS VARCHAR)),
+                                          1, 1)) * 31
+                          + ascii(substring(md5(CAST(doc_id AS VARCHAR)),
+                                            2, 1))) % 100 < 80
+                    THEN 'train'
+                    WHEN (ascii(substring(md5(CAST(doc_id AS VARCHAR)),
+                                          1, 1)) * 31
+                          + ascii(substring(md5(CAST(doc_id AS VARCHAR)),
+                                            2, 1))) % 100 < 90
+                    THEN 'valid'
+                    ELSE 'test' END AS split
+        FROM gated
+    )
+    SELECT split, lang,
+           COUNT(*) AS n_docs,
+           ROUND(AVG(n_chars), 4) AS avg_chars,
+           ROUND(AVG(ttr), 6) AS avg_ttr
+    FROM tagged
+    GROUP BY split, lang
+    ORDER BY split, lang
+    """,
+)
+def curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-data curation flow as ONE lazy DAG (the
+    task-mandate composition: dedup -> quality gate -> deterministic
+    split -> per-cohort stats):
+
+      documents -> exact-content dedup (keep-first by hash)
+                -> quality gates (min tokens, min type-token ratio —
+                   drops boilerplate/repetitive docs)
+                -> hash-derived 80/10/10 split tag (shard-stable,
+                   no RNG, no row order)
+                -> (split, lang) cohort summary.
+
+    Plan shape at 100 TB: the dedup window shuffles on content_hash
+    (uniform by construction); every later step is a narrow
+    projection until the final small rollup — Catalyst collapses the
+    whole chain into two exchanges total. The reference runs these as
+    four separate jobs with parquet round-trips between
+    (dedup in upload, quality in validator, no split, slices in
+    databias); here intermediate state never touches storage."""
+    docs = load_table(spark, sf_dir, "documents")
+    w_all = F.split(F.lower(F.col("text")), "[^a-z0-9]+")
+    dedup_w = Window.partitionBy("content_hash").orderBy("doc_id")
+    deduped = (
+        docs.select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            "text",
+            F.md5(F.lower(F.col("text"))).alias("content_hash"),
+        )
+        .withColumn("rn", F.row_number().over(dedup_w))
+        .filter(F.col("rn") == 1)
+    )
+    w = F.filter(w_all, lambda x: x != "")
+    ttr = F.size(F.array_distinct(w)).cast("double") / F.greatest(
+        F.size(w), F.lit(1)
+    )
+    gated = deduped.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.size(w).alias("n_tokens"),
+        ttr.alias("ttr"),
+    ).filter((F.col("n_tokens") >= 20) & (F.col("ttr") >= 0.3))
+    bucket = (
+        F.ascii(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1))
+        * 31
+        + F.ascii(F.substring(F.md5(F.col("doc_id").cast("string")), 2, 1))
+    ) % 100
+    split = (
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "valid")
+        .otherwise("test")
+    )
+    return (
+        gated.select(split.alias("split"), "lang", "n_chars", "ttr")
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.round(F.avg("ttr"), 6).alias("avg_ttr"),
+        )
+        .orderBy("split", "lang")
+    )
