@@ -71,9 +71,17 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum (same window spec ⇒ one Exchange + one Sort in the plan);
     the session aggregation reuses the partitioning. Ties broken by
     event_id so numbering is total and engines agree."""
-    events = load_table(spark, sf_dir, "events")
+    return sessionize(load_table(spark, sf_dir, "events"))
+
+
+def sessionize(
+    events: DataFrame, gap_min: int = SESSION_GAP_MIN
+) -> DataFrame:
+    """Core gaps-and-islands operator over any (user_id, ts,
+    event_id) frame — factored out so the semantics are
+    property-testable off the fixed lake."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_us = SESSION_GAP_MIN * 60 * 1_000_000
+    gap_us = gap_min * 60 * 1_000_000
     prev_us = F.unix_micros(F.lag("ts").over(w))
     flagged = events.select(
         "user_id",

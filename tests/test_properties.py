@@ -120,3 +120,55 @@ def test_topk_per_group_is_sorted_prefix(spark, rows):
         want.setdefault(g, []).append(v)
     want = {g: sorted(vs, reverse=True)[:2] for g, vs in want.items()}
     assert got_map == want
+
+
+EVENT_ROWS = st.lists(
+    st.tuples(
+        st.integers(0, 2),  # user_id
+        st.integers(0, 7200),  # seconds offset (gaps straddle 30 min)
+        st.integers(0, 99),  # event_id
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(rows=EVENT_ROWS)
+def test_sessionize_matches_python(spark, rows):
+    """Gaps-and-islands session numbering == an independent Python
+    fold, for any event multiset (duplicate timestamps, ties broken
+    by event_id, gaps straddling the threshold)."""
+    from citeconnect_datapipeline_spark.operators.timeseries import sessionize
+
+    df = spark.createDataFrame(
+        [(u, s, e) for u, s, e in rows],
+        "user_id long, sec long, event_id long",
+    ).select(
+        "user_id",
+        F.timestamp_seconds(F.col("sec")).alias("ts"),
+        "event_id",
+    )
+    got = {
+        (r.user_id, r.session_seq, r.n_events, r.duration_us)
+        for r in sessionize(df, gap_min=30).collect()
+    }
+
+    want = set()
+    by_user: dict[int, list[tuple[int, int]]] = {}
+    for u, s, e in rows:
+        by_user.setdefault(u, []).append((s, e))
+    for u, evs in by_user.items():
+        evs.sort()
+        sessions: list[list[int]] = []
+        prev = None
+        for s, _e in evs:
+            if prev is None or s - prev > 30 * 60:
+                sessions.append([])
+            sessions[-1].append(s)
+            prev = s
+        for i, sess in enumerate(sessions, start=1):
+            want.add(
+                (u, i, len(sess), (max(sess) - min(sess)) * 1_000_000)
+            )
+    assert got == want
