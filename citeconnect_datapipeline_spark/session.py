@@ -43,6 +43,9 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Python DataSource filter pushdown (Spark 4.1): lets the
+        # paper_search connector apply year bounds source-side.
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         # Arrow for the pandas_udf / mapInPandas stages (embedding,
         # chunker fallback). Batch size bounds executor memory per batch.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

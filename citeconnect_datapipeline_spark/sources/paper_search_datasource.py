@@ -31,7 +31,13 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
     InputPartition,
+    LessThan,
+    LessThanOrEqual,
 )
 
 from .api_ingest import ApiClient, ApiClientConfig, PAPER_SCHEMA, _row_from_payload
@@ -60,6 +66,46 @@ class PaperSearchReader(DataSourceReader):
             )
         self.max_results = int(options.get("max_results", "20"))
         self.rate_per_sec = float(options.get("rate_per_sec", "100"))
+        self.year_filters: list[Filter] = []
+
+    def pushFilters(self, filters) -> "Iterator[Filter]":
+        """Spark 4.1 filter pushdown (SURVEY.md §4: the reference
+        pushes year bounds into the API's ``year=`` request param).
+        Accept simple comparisons on the ``year`` column — they are
+        applied source-side, before rows enter the scan — and hand
+        everything else back for Spark to evaluate."""
+        accepted_types = (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            LessThan,
+            LessThanOrEqual,
+        )
+        for f in filters:
+            if (
+                isinstance(f, accepted_types)
+                and f.attribute == ("year",)
+                and isinstance(f.value, int)
+            ):
+                self.year_filters.append(f)
+            else:
+                yield f  # unsupported -> Spark re-applies it
+
+    def _keep(self, year) -> bool:
+        for f in self.year_filters:
+            if year is None:
+                return False
+            if isinstance(f, EqualTo) and year != f.value:
+                return False
+            if isinstance(f, GreaterThan) and not year > f.value:
+                return False
+            if isinstance(f, GreaterThanOrEqual) and not year >= f.value:
+                return False
+            if isinstance(f, LessThan) and not year < f.value:
+                return False
+            if isinstance(f, LessThanOrEqual) and not year <= f.value:
+                return False
+        return True
 
     def partitions(self) -> Sequence[InputPartition]:
         return [
@@ -74,8 +120,12 @@ class PaperSearchReader(DataSourceReader):
             backoff_cap_sec=0.0,
         )
         client = ApiClient(_make_transport(), cfg)
+        # Source-side filtering stands in for the provider's year=
+        # request parameter: rows are dropped before they reach the
+        # scan (with a real HTTP transport the bound goes on the URL).
         for payload in client.search(partition.term, partition.max_results):
-            yield _row_from_payload(payload)
+            if self._keep(payload.get("year")):
+                yield _row_from_payload(payload)
 
 
 class PaperSearchDataSource(DataSource):

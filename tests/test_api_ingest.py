@@ -7,6 +7,7 @@ tests/unit/test_semantic_scholar_client.py)."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from citeconnect_datapipeline_spark.sources.api_ingest import (
     ApiClient,
@@ -223,3 +224,30 @@ def test_paper_search_datasource_requires_terms(spark):
     spark.dataSource.register(PaperSearchDataSource)
     with _pytest.raises(Exception, match="terms"):
         spark.read.format("paper_search").load().collect()
+
+
+def test_paper_search_datasource_pushes_year_filter(spark):
+    """Spark 4.1 filter pushdown into the Python DataSource: year
+    bounds are applied source-side (the API's year= param); the
+    pushed predicate no longer appears as a post-scan Filter node."""
+    from citeconnect_datapipeline_spark.sources.paper_search_datasource import (
+        PaperSearchDataSource,
+    )
+
+    spark.dataSource.register(PaperSearchDataSource)
+    base = (
+        spark.read.format("paper_search")
+        .option("terms", "llm")
+        .option("max_results", "50")
+        .load()
+    )
+    df = base.filter((F.col("year") >= 2010) & (F.col("year") < 2015))
+    rows = df.collect()
+    assert rows, "filtered read must still return rows"
+    assert all(2010 <= r.year < 2015 for r in rows)
+    # corpus years are 2000 + i%25 over 50 ids -> 2 ids per year in range
+    assert len(rows) == 10
+    # The range comparisons must be consumed by the source (only the
+    # declined IsNotNull may remain as a residual post-scan Filter).
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert ">= 2010" not in plan and "< 2015" not in plan, plan
