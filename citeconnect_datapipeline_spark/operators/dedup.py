@@ -88,6 +88,45 @@ def _shingle_hashes(
     )
 
 
+def _pair_overlap_counts(sh: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, common): shared-shingle counts via an INVERTED
+    INDEX instead of a self-join. ``groupBy(sh)`` builds the posting
+    list (ONE shuffle of the exploded shingle table — the self-join
+    form shuffles it twice, once per side), singleton postings drop
+    immediately, and each surviving bucket emits its sorted pair
+    combinations map-side before the final (doc_a, doc_b) count.
+    Equality classes identical to the join form (verified
+    row-for-row); at 100 TB this is also where a hot-shingle
+    frequency cap (drop postings longer than K — stopword-like
+    shingles carry no dedup signal) bounds the quadratic worst case
+    without touching the plan shape."""
+    buckets = (
+        sh.groupBy("sh")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "ds",
+                    lambda x, i: F.transform(
+                        F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))),
+                        lambda y: F.struct(
+                            x.alias("doc_a"), y.alias("doc_b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return (
+        pairs.select("p.doc_a", "p.doc_b")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("common"))
+    )
+
+
 def _shingle_set_sizes(
     df: DataFrame, text_col: str = "text", n: int = 3
 ) -> DataFrame:
@@ -229,15 +268,15 @@ def exact_hash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """N-gram Jaccard near-dup (T9): 3-word shingles, self-join on
-    shingle as the blocking key, overlap count -> Jaccard, top-20
+    """N-gram Jaccard near-dup (T9): 3-word shingles, inverted-index
+    posting lists keyed on shingle, overlap count -> Jaccard, top-20
     most-similar pairs with (doc_a, doc_b) tie-break.
 
-    Scale shape: the join key is the shingle, so candidate pairs are
-    generated only where docs actually share content; frequency-capped
-    blocking (drop shingles appearing in > K docs, like stopword
-    shingles) bounds the worst case -- see minhash_lsh_candidates for
-    the sub-quadratic variant.
+    Scale shape: pairs are generated only where docs actually share
+    content (singleton postings drop before any pair exists), and the
+    posting-list build is the single shuffle of the exploded shingle
+    table (_pair_overlap_counts) -- see minhash_lsh_candidates for
+    the sub-quadratic banded variant.
     """
     docs = load_table(spark, sf_dir, "documents")
     # 64-bit shingle hashes, computed in the shingling lambda: same
@@ -246,19 +285,7 @@ def ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _shingle_hashes(docs)
     # per-doc set size from the array expression — no groupBy shuffle
     sizes = _shingle_set_sizes(docs)
-    a = sh.alias("a")
-    b = sh.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.sh") == F.col("b.sh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count("*").alias("common"))
-    )
+    pairs = _pair_overlap_counts(sh)
     sa = F.broadcast(sizes).alias("sa")
     sb = F.broadcast(sizes).alias("sb")
     return (
@@ -450,18 +477,7 @@ def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     sh = _shingle_hashes(docs)
     sizes = _shingle_set_sizes(docs)
-    a, b = sh.alias("a"), sh.alias("b")
-    overlap = (
-        a.join(
-            b,
-            (F.col("a.sh") == F.col("b.sh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count("*").alias("common"))
-    )
+    overlap = _pair_overlap_counts(sh)
     sa = F.broadcast(sizes).alias("sa")
     sb = F.broadcast(sizes).alias("sb")
     jpairs = (
