@@ -46,3 +46,82 @@ def write_vectors(
         return iter(())
 
     df.rdd.foreachPartition(lambda it: list(push_partition(it)))
+
+
+# ---------------------------------------------------------------------
+# K4 as a Spark 4 Python DataSource writer (df.write.format(...)):
+# the same push sink with Spark's two-phase commit protocol on top —
+# tasks STAGE batches, the driver COMMITs only when every task
+# succeeded, abort discards staged work. That is the transactional
+# contract the reference's row-by-row batcher cannot give (a failed
+# run leaves partial inserts; here it leaves nothing).
+# ---------------------------------------------------------------------
+
+import json as _json
+import os as _os
+import uuid as _uuid
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceWriter,
+    WriterCommitMessage,
+)
+
+
+class _StagedBatch(WriterCommitMessage):
+    def __init__(self, staged_path: str, n_rows: int):
+        self.staged_path = staged_path
+        self.n_rows = n_rows
+
+
+class VectorStoreWriter(DataSourceWriter):
+    def __init__(self, options: dict, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("vector_store writer requires option 'path'")
+        self.overwrite = overwrite
+
+    def write(self, rows) -> _StagedBatch:
+        staged_dir = _os.path.join(self.path, ".staged")
+        _os.makedirs(staged_dir, exist_ok=True)
+        staged = _os.path.join(staged_dir, f"{_uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(staged, "w") as f:
+            for row in rows:
+                f.write(_json.dumps(row.asDict(recursive=True), default=str))
+                f.write("\n")
+                n += 1
+        return _StagedBatch(staged, n)
+
+    def commit(self, messages) -> None:
+        total = 0
+        for i, m in enumerate(messages):
+            final = _os.path.join(self.path, f"part-{i:05d}.jsonl")
+            _os.replace(m.staged_path, final)
+            total += m.n_rows
+        manifest = _os.path.join(self.path, "_SUCCESS")
+        with open(manifest, "w") as f:
+            _json.dump({"n_rows": total, "parts": len(list(messages))}, f)
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            try:
+                _os.remove(m.staged_path)
+            except FileNotFoundError:
+                pass
+
+
+class VectorStoreDataSource(DataSource):
+    """``df.write.format("vector_store").option("path", ...)`` —
+    register with ``spark.dataSource.register(VectorStoreDataSource)``.
+    The file-backed store is the container's deterministic double;
+    production swaps the staged-JSONL writes for client.add_batch
+    calls with the same stage/commit split (stage = insert under a
+    run tag, commit = flip the tag live, abort = delete the tag)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "vector_store"
+
+    def writer(self, schema, overwrite: bool) -> VectorStoreWriter:
+        return VectorStoreWriter(dict(self.options), overwrite)

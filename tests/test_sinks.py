@@ -224,3 +224,37 @@ def test_write_zone_observed_collects_metrics_in_write_pass(spark, tmp_path):
     assert got == {"n_rows": 3, "null_domains": 1, "score_sum": 6}
     # and the data actually landed
     assert read_zone(spark, zone, "r001").count() == 3
+
+
+def test_vector_store_datasource_writer_two_phase_commit(spark, tmp_path):
+    """K4 as a Python DataSource writer: staged JSONL parts become
+    visible only at commit (manifest written last), and a row count
+    survives the trip."""
+    import json as jsonlib
+
+    from citeconnect_datapipeline_spark.sinks.vector_store import (
+        VectorStoreDataSource,
+    )
+
+    spark.dataSource.register(VectorStoreDataSource)
+    store = str(tmp_path / "store")
+    df = spark.createDataFrame(
+        [(i, [float(i), float(i + 1)], f"doc{i}") for i in range(20)],
+        "vec_id long, embedding array<float>, label string",
+    ).repartition(4)
+    df.write.format("vector_store").option("path", store).mode(
+        "append"
+    ).save()
+
+    manifest = jsonlib.load(open(os.path.join(store, "_SUCCESS")))
+    assert manifest["n_rows"] == 20
+    parts = [f for f in os.listdir(store) if f.startswith("part-")]
+    assert len(parts) == manifest["parts"] == 4
+    # no staged leftovers
+    assert not os.listdir(os.path.join(store, ".staged"))
+    rows = [
+        jsonlib.loads(line)
+        for f in parts
+        for line in open(os.path.join(store, f))
+    ]
+    assert {r["vec_id"] for r in rows} == set(range(20))
