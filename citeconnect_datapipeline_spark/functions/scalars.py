@@ -261,3 +261,45 @@ def map_entry_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("key")
     )
+
+
+@query(
+    "variant_json_stats",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k,
+           ROUND(AVG(CAST(json_extract_string(props, '$.k') AS INT)), 4)
+               AS avg_k
+    FROM events
+    WHERE json_extract_string(props, '$.k') IS NOT NULL
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def variant_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access via Spark 4 VARIANT (the engine-native
+    upgrade over stringly JSON): ``parse_json`` ingests the props
+    payload once into the binary variant encoding, ``variant_get``
+    path-extracts with a target type. Vs the from_json/MapType route
+    (map_entry_stats) variant needs NO schema declaration and keeps
+    heterogeneous payloads queryable — the right model for the
+    reference's externalIds/publicationVenue dicts whose shape varies
+    by row. At scale the variant column is columnar-shredded binary,
+    far cheaper to re-extract from than re-parsing JSON text per
+    query."""
+    events = load_table(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json(F.col("props")), "$.k", "int")
+    return (
+        events.select("event_type", k.alias("k"))
+        .filter(F.col("k").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+        )
+        .orderBy("event_type")
+    )
