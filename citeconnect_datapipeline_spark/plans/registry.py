@@ -46,6 +46,7 @@ def _load_all() -> None:
         dedup,
         enrichment,
         extraction,
+        graph,
         joins,
         multimodal,
         quality,

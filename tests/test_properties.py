@@ -172,3 +172,30 @@ def test_sessionize_matches_python(spark, rows):
                 (u, i, len(sess), (max(sess) - min(sess)) * 1_000_000)
             )
     assert got == want
+
+
+def test_pagerank_matches_python_reference(spark):
+    """Join-based PageRank == a dict-based Python power iteration on
+    a small directed graph (same damping, iterations, dangling
+    handling), to 1e-9."""
+    from citeconnect_datapipeline_spark.operators.graph import pagerank
+
+    edges = [
+        (1, 2), (1, 3), (2, 3), (3, 1), (4, 3), (2, 4),
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.v: r.rank for r in pagerank(df, 0.85, 10).collect()}
+
+    verts = {v for e in edges for v in e}
+    out = {}
+    for s, _d in edges:
+        out[s] = out.get(s, 0) + 1
+    ranks = {v: 1.0 for v in verts}
+    for _ in range(10):
+        contrib = {v: 0.0 for v in verts}
+        for s, d in edges:
+            contrib[d] += ranks[s] / out[s]
+        ranks = {v: 0.15 + 0.85 * contrib[v] for v in verts}
+    assert set(got) == verts
+    for v in verts:
+        assert abs(got[v] - ranks[v]) < 1e-9, (v, got[v], ranks[v])
