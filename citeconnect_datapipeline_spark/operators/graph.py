@@ -13,8 +13,8 @@ destination key; the rank/degree table stays partitioned on the same
 key so the contribution join reuses the exchange. The driver loop
 carries only the iteration counter (fixed iteration count — at scale
 a convergence-delta aggregate, one scalar per round). Lineage is cut
-by persisting each round's small rank table; at 1000-executor scale
-add periodic checkpointing exactly as documented for components.
+by localCheckpoint every other round — see the in-loop comment for
+why persist()+count() is not sufficient for iterative plans.
 """
 
 from __future__ import annotations
@@ -57,7 +57,7 @@ def pagerank(
         .persist()
     )
     ranks = vertices.select("v", F.lit(1.0).alias("rank")).persist()
-    for _ in range(iterations):
+    for i in range(iterations):
         # Rank table is vertex-sized (tiny next to edges): BROADCAST
         # it, so the big edge table is never shuffled inside the loop
         # — per-iteration cost is a map-side join plus the partial-agg
@@ -72,24 +72,27 @@ def pagerank(
             .groupBy("v2")
             .agg(F.sum("c").alias("contrib"))
         )
-        # localCheckpoint (eager): materializes the round AND truncates
-        # lineage. persist()+count() is not enough for an iterative
-        # loop — the logical plan still nests every previous round, and
-        # Catalyst analysis time grows superlinearly with depth
-        # (measured: round 9 cost 23 s of pure driver-side planning vs
-        # 1.3 s of compute). On a cluster use checkpoint() to HDFS for
-        # fault tolerance; locally executor-memory blocks suffice.
-        new_ranks = (
-            vertices.join(contribs, vertices.v == contribs.v2, "left")
-            .select(
-                "v",
-                (
-                    F.lit(1.0 - damping)
-                    + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))
-                ).alias("rank"),
-            )
-            .localCheckpoint()
+        # localCheckpoint (eager): materializes AND truncates lineage.
+        # persist()+count() is not enough for an iterative loop — the
+        # logical plan still nests every previous round, and Catalyst
+        # analysis time grows superlinearly with depth (measured:
+        # round 9 cost 23 s of pure driver-side planning vs 1.3 s of
+        # compute). Checkpointing every OTHER round halves the serial
+        # job chain (the scarce resource under concurrent query load)
+        # while keeping plan depth <= 2. On a cluster use checkpoint()
+        # to HDFS for fault tolerance; locally executor-memory blocks
+        # suffice.
+        new_ranks = vertices.join(
+            contribs, vertices.v == contribs.v2, "left"
+        ).select(
+            "v",
+            (
+                F.lit(1.0 - damping)
+                + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))
+            ).alias("rank"),
         )
+        if i % 2 == 1 or i == iterations - 1:
+            new_ranks = new_ranks.localCheckpoint()
         ranks = new_ranks
     vertices.unpersist()
     w_edges.unpersist()
@@ -107,10 +110,9 @@ def part_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     (metadata_enricher.py:91-129) upgraded from a per-row formula to
     a whole-graph fixpoint.
 
-    Edge build is one self-join of lineitem on orderkey projected to
-    the two part keys (orders have ≤7 lines, so per-order expansion
-    is bounded); dedup'd to distinct pairs. Top-20 by rounded rank
-    with a part-key tie-break for a deterministic result set."""
+    Edge build is one groupBy into per-order basket arrays with
+    map-side pair expansion (see inline comment). Top-20 by rounded
+    rank with a part-key tie-break for a deterministic result set."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
     )
