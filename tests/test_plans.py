@@ -157,3 +157,41 @@ def test_sessionize_single_exchange_for_windows(spark):
 
     hashes = len(re.findall(r"Exchange hashpartitioning", plan))
     assert hashes == 1, plan
+
+
+def test_curation_pipeline_two_hash_exchanges(spark):
+    """The composed dedup->gate->split->rollup DAG must collapse to
+    exactly two hash exchanges (content-hash window, final rollup) —
+    a third would mean an intermediate materialization crept in."""
+    import re
+
+    plan = physical(get_queries()["curation_pipeline_e2e"](spark, SF_DIR))
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2, plan
+
+
+def test_funnel_counts_monotonic(spark):
+    """Ordered-funnel invariant: each step's user count can only
+    shrink, and rates stay within [0, 1]."""
+    row = get_queries()["funnel_conversion"](spark, SF_DIR).collect()[0]
+    assert row.signup_users >= row.click_users >= row.purchase_users >= 0
+    assert 0.0 <= row.purchase_rate <= row.click_rate <= 1.0
+
+
+def test_cohort_day_zero_covers_every_user(spark):
+    """Every user is active on their own first day, so the offset-0
+    row sum equals the number of distinct users."""
+    from citeconnect_datapipeline_spark.sources.tables import load_table
+
+    out = get_queries()["cohort_retention"](spark, SF_DIR)
+    day0 = (
+        out.filter(F.col("day_offset") == 0)
+        .agg(F.sum("active_users"))
+        .collect()[0][0]
+    )
+    users = (
+        load_table(spark, SF_DIR, "events")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert day0 == users
