@@ -34,6 +34,27 @@ TABLES = (
 BROADCAST_DIMS = frozenset({"region", "nation"})
 
 
+def _ensure_session_defaults(spark: SparkSession) -> None:
+    """Pin the semantics-critical runtime confs on whatever session we
+    were handed. The engine's own factory (session.py) sets these at
+    build time, but the driver contract passes us an EXTERNAL
+    SparkSession — without nanosAsLong every events-table read throws
+    PARQUET_TYPE_ILLEGAL, and a non-UTC session timezone shifts
+    to_date/date_format outputs away from the timezone-naive oracle.
+    Idempotent and cheap; only the runtime-settable subset lives here.
+    """
+    for key, val in (
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.session.timeZone", "UTC"),
+    ):
+        try:
+            if spark.conf.get(key, None) != val:
+                spark.conf.set(key, val)
+        except Exception:
+            pass  # conf not recognized in a future version: reads
+            # will surface the real error with full context
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one lake table. Plain parquet read: schema comes from the
     footer, filters/projections push down (reference's hand-built
@@ -44,6 +65,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     microsecond TimestampType here -- a cheap codegen'd projection that
     keeps every downstream query in native timestamp semantics.
     """
+    _ensure_session_defaults(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for field in df.schema.fields:
         meta_type = str(field.dataType)
