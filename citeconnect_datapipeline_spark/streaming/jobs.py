@@ -224,3 +224,89 @@ def stream_stream_click_purchase_join(
         "purchase_ts",
         F.round("purchase_value", 6).alias("purchase_value"),
     )
+
+
+def stateful_user_stats_tws(events: DataFrame) -> DataFrame:
+    """The same per-user running stats as ``stateful_user_stats``, on
+    Spark 4's ``transformWithStateInPandas`` — the successor API to
+    applyInPandasWithState: typed state handles (ValueState/ListState/
+    MapState) managed by a StatefulProcessor object instead of a
+    positional state tuple, plus timers and initial-state support.
+    Both implementations are kept (and asserted equal in tests)
+    because the old API is what most production jobs still run, while
+    this is where new stateful operators should land.
+
+    State per user is one ValueState row (n, total, last_us) —
+    O(active keys), identical to the old form.
+
+    Runtime requirements (both checked/raised here): the RocksDB
+    state store (the only provider transformWithState is implemented
+    on — also the one you want at scale: changelog checkpointing,
+    bounded memory via native spill) and the ``protobuf`` package
+    (the TWS state-server protocol; absent in this container, so the
+    parity test skips — the operator is exercised wherever protobuf
+    exists)."""
+    import pandas as pd
+
+    try:  # gate: TWS's Python state client speaks protobuf
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as exc:
+        raise ImportError(
+            "transformWithStateInPandas requires the protobuf package"
+        ) from exc
+
+    events.sparkSession.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class UserStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "agg", "n bigint, total double, last_us bigint"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total, last_us = (
+                self._state.get() if self._state.exists() else (0, 0.0, 0)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+                batch_max_us = (
+                    int(pdf["ts"].astype("int64").max()) // 1000
+                )
+                last_us = max(last_us, batch_max_us)
+            self._state.update((n, total, last_us))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [round(total, 6)],
+                    "last_ts": [pd.Timestamp(last_us, unit="us")],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    out_schema = (
+        "user_id bigint, n_events bigint, total_value double, "
+        "last_ts timestamp"
+    )
+    return (
+        events.select("user_id", "ts", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=UserStats(),
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

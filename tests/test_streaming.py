@@ -213,3 +213,58 @@ def test_paper_feed_stream_source_exactly_once(spark, tmp_path):
 
     assert run_once() == 50  # full corpus, 5 page partitions
     assert run_once() == 0  # restart: offsets committed, no re-read
+
+
+def test_transform_with_state_matches_old_api(spark, tmp_path):
+    """transformWithStateInPandas (Spark 4 successor API) must carry
+    identical state semantics to the applyInPandasWithState form:
+    same final per-user snapshot as the batch groupBy. Skips where
+    protobuf (the TWS state-protocol dependency) is unavailable."""
+    pytest.importorskip("google.protobuf.descriptor")
+    from citeconnect_datapipeline_spark.sources.tables import load_table
+    from citeconnect_datapipeline_spark.streaming.jobs import (
+        run_to_memory,
+        stateful_user_stats_tws,
+    )
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    src = tmp_path / "tws_src"
+    for i in range(2):
+        events.filter(F.col("event_id") % 2 == i).coalesce(1).write.parquet(
+            str(src / f"f{i}")
+        )
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    out = stateful_user_stats_tws(stream)
+    run_to_memory(out, "user_stats_tws", output_mode="update")
+    emitted = spark.table("user_stats_tws").toPandas()
+    final = (
+        emitted.sort_values(["user_id", "n_events"])
+        .groupby("user_id")
+        .tail(1)
+        .set_index("user_id")
+    )
+    batch = (
+        events.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+            F.max("ts").alias("last_ts"),
+        )
+        .toPandas()
+        .set_index("user_id")
+    )
+    assert len(final) == len(batch)
+    for uid in batch.index:
+        assert final.loc[uid, "n_events"] == batch.loc[uid, "n_events"]
+        assert (
+            abs(final.loc[uid, "total_value"] - batch.loc[uid, "total_value"])
+            < 1e-6
+        )
+        assert final.loc[uid, "last_ts"] == batch.loc[uid, "last_ts"]
