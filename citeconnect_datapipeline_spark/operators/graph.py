@@ -150,3 +150,102 @@ def part_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank"), "v")
         .limit(20)
     )
+
+
+@query(
+    "copurchase_pmi_topk",
+    oracle="""
+    WITH baskets AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    part_n AS (
+        SELECT l_partkey, COUNT(*) AS c FROM baskets GROUP BY l_partkey
+    ),
+    n AS (SELECT COUNT(DISTINCT l_orderkey) AS total FROM lineitem),
+    pair_n AS (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS cab
+        FROM baskets a JOIN baskets b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY a.l_partkey, b.l_partkey
+    )
+    SELECT p.pa, p.pb, CAST(p.cab AS BIGINT) AS cab,
+           ROUND(ln(CAST(p.cab AS DOUBLE) * n.total
+                    / (ca.c * cb.c)), 6) AS pmi
+    FROM pair_n p
+    JOIN part_n ca ON p.pa = ca.l_partkey
+    JOIN part_n cb ON p.pb = cb.l_partkey
+    CROSS JOIN n
+    WHERE p.cab >= 3
+    ORDER BY pmi DESC, pa, pb
+    LIMIT 20
+    """,
+)
+def copurchase_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information over co-purchased part pairs —
+    the association-scoring step a recommender or data-curation
+    pipeline runs on top of the raw co-occurrence graph (PageRank's
+    edge list, unweighted, answers 'what is central'; PMI answers
+    'what is SURPRISINGLY together'). Minimum support 3 discards
+    noise pairs, the standard market-basket guard.
+
+    Same basket-array edge build as PageRank (one groupBy, map-side
+    pair expansion) aggregated to pair counts; part marginals are a
+    small keyed aggregate broadcast back onto the pairs. Top-20 with
+    full tie-break."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    )
+    pair_counts = (
+        baskets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "ps",
+                        lambda x, i: F.transform(
+                            F.slice(
+                                F.col("ps"), i + 2, F.size(F.col("ps"))
+                            ),
+                            lambda y: F.struct(
+                                x.alias("pa"), y.alias("pb")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.pa", "p.pb")
+        .groupBy("pa", "pb")
+        .agg(F.count("*").alias("cab"))
+        .filter(F.col("cab") >= 3)
+    )
+    part_counts = (
+        li.select("l_orderkey", "l_partkey")
+        .distinct()
+        .groupBy("l_partkey")
+        .agg(F.count("*").alias("c"))
+    )
+    total = li.select("l_orderkey").distinct().count()
+    ca = F.broadcast(part_counts).alias("ca")
+    cb = F.broadcast(part_counts).alias("cb")
+    return (
+        pair_counts.join(ca, pair_counts.pa == F.col("ca.l_partkey"))
+        .join(cb, pair_counts.pb == F.col("cb.l_partkey"))
+        .select(
+            "pa",
+            "pb",
+            "cab",
+            F.round(
+                F.log(
+                    F.col("cab").cast("double")
+                    * F.lit(float(total))
+                    / (F.col("ca.c") * F.col("cb.c"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "pa", "pb")
+        .limit(20)
+    )

@@ -500,3 +500,101 @@ def doc_repetition_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rep_ratio"), "doc_id")
         .limit(20)
     )
+
+
+@query(
+    "tfidf_top_terms",
+    oracle="""
+    WITH terms AS (
+        SELECT DISTINCT doc_id, t.term
+        FROM (
+            SELECT doc_id,
+                   unnest(list_filter(
+                       string_split_regex(lower(text), '[^a-z0-9]+'),
+                       x -> x <> '')) AS term
+            FROM documents
+        ) t
+    ),
+    tf AS (
+        SELECT doc_id, term, COUNT(*) AS f
+        FROM (
+            SELECT doc_id,
+                   unnest(list_filter(
+                       string_split_regex(lower(text), '[^a-z0-9]+'),
+                       x -> x <> '')) AS term
+            FROM documents
+        ) raw
+        GROUP BY doc_id, term
+    ),
+    df AS (
+        SELECT term, COUNT(*) AS n_docs FROM terms GROUP BY term
+    ),
+    n AS (SELECT COUNT(*) AS total FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               ROUND(tf.f * ln(CAST(n.total AS DOUBLE) / df.n_docs), 6)
+                   AS tfidf
+        FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+    ),
+    ranked AS (
+        SELECT doc_id, term, tfidf,
+               ROW_NUMBER() OVER (
+                   PARTITION BY doc_id
+                   ORDER BY tfidf DESC, term
+               ) AS rn
+        FROM scored
+    )
+    SELECT doc_id, term, tfidf FROM ranked WHERE rn <= 3
+    ORDER BY doc_id, tfidf DESC, term
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 terms per document — the statistical upgrade of
+    the reference's frequency-only keyword extraction
+    (metadata_enricher.py:62-89, A15): raw term frequency weighted by
+    ln(N/df) so corpus-wide boilerplate scores near zero without a
+    hand-maintained stopword list.
+
+    Plan shape: one explode of the token arrays feeds BOTH the
+    per-doc tf aggregate and (via per-row distinct terms) the df
+    aggregate; df is term-keyed and tiny relative to the corpus, so
+    it broadcasts back onto tf; the top-k is a per-doc window. At
+    100 TB df is the only global state and it is O(vocabulary) —
+    the classic two-aggregate scheme that needs no driver-side
+    vocabulary."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.filter(_words(), lambda x: x != "")
+    tokens = docs.select(
+        "doc_id", F.explode(w).alias("term")
+    )
+    tf = tokens.groupBy("doc_id", "term").agg(F.count("*").alias("f"))
+    df_counts = (
+        docs.select(
+            "doc_id", F.explode(F.array_distinct(w)).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    total = docs.count()
+    scored = tf.join(F.broadcast(df_counts), "term").select(
+        "doc_id",
+        "term",
+        F.round(
+            F.col("f")
+            * F.log(F.lit(float(total)) / F.col("n_docs")),
+            6,
+        ).alias("tfidf"),
+    )
+    from pyspark.sql import Window
+
+    rn = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(
+            F.desc("tfidf"), "term"
+        )
+    )
+    return (
+        scored.withColumn("rn", rn)
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
+        .orderBy("doc_id", F.desc("tfidf"), "term")
+    )
