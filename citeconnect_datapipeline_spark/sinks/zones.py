@@ -61,11 +61,27 @@ def write_zone(
 
 
 def read_zone(
-    spark: SparkSession, zone_path: str, run_id: str | None = None
+    spark: SparkSession,
+    zone_path: str,
+    run_id: str | None = None,
+    merge_schema: bool = False,
 ) -> DataFrame:
     """Zone scan; with ``run_id`` the filter is pure partition pruning
-    (no data files outside that run are touched)."""
-    df = spark.read.parquet(zone_path)
+    (no data files outside that run are touched).
+
+    ``merge_schema=True`` handles SCHEMA EVOLUTION across runs: a zone
+    accumulates runs over months, and later runs legitimately add
+    columns (the reference's 23-field vs 30-field paper records,
+    SURVEY.md §1.1, are exactly this). The default single-footer read
+    would silently project every run down to whichever file the
+    driver sampled first; with merging, old runs surface the new
+    columns as NULL — the union-by-name semantics every consumer
+    expects. Costs one footer read per file, so keep it off for
+    single-run reads."""
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    df = reader.parquet(zone_path)
     if run_id is not None:
         df = df.filter(F.col("run_id") == run_id)
     return df

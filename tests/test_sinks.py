@@ -258,3 +258,25 @@ def test_vector_store_datasource_writer_two_phase_commit(spark, tmp_path):
         for line in open(os.path.join(store, f))
     ]
     assert {r["vec_id"] for r in rows} == set(range(20))
+
+
+def test_zone_schema_evolution_merge(spark, tmp_path):
+    """A later run adds a column; merge_schema surfaces it zone-wide
+    with NULLs for old runs (union-by-name), instead of silently
+    projecting to one run's schema."""
+    zone = str(tmp_path / "zone")
+    write_zone(papers(spark, [("a", "ml", 1)]), zone, run_id="r001")
+    richer = spark.createDataFrame(
+        [("b", "bio", 2, 0.9)],
+        "paper_id string, domain string, score int, quality double",
+    )
+    write_zone(richer, zone, run_id="r002")
+
+    merged = read_zone(spark, zone, merge_schema=True)
+    assert "quality" in merged.columns
+    rows = {r.paper_id: r for r in merged.collect()}
+    assert rows["a"].quality is None
+    assert rows["b"].quality == 0.9
+    # pruned single-run read keeps evolution invisible when filtered
+    old = read_zone(spark, zone, "r001", merge_schema=True)
+    assert old.count() == 1
