@@ -127,3 +127,71 @@ def foreach_partition_upsert(
     # foreachPartition is an action; rdd form keeps Arrow out of the
     # driver->executor path for plain tuples.
     df.rdd.foreachPartition(lambda it: list(write_partition(it)))
+
+
+def merge_parquet(
+    spark: SparkSession,
+    changes: DataFrame,
+    target_path: str,
+    key: str,
+    op_col: str = "_op",
+) -> dict:
+    """Full CDC MERGE into a parquet table: ``changes`` carries an
+    operation column (``upsert`` | ``delete``); matched upserts
+    REPLACE the target row, unmatched upserts insert, deletes remove.
+    The SQL equivalent is ``MERGE ... WHEN MATCHED THEN UPDATE /
+    WHEN MATCHED AND op='delete' THEN DELETE / WHEN NOT MATCHED THEN
+    INSERT`` — the reference's DO-NOTHING conflict handling
+    (upload_papers_to_supabase.py:261-265) can never propagate a
+    correction or a retraction; this can.
+
+    One full-outer-shaped pass, expressed as two anti/semi-style
+    joins over the key (both shuffle on the same key, so AQE reuses
+    the exchange), then an atomic directory swap. Returns
+    {inserted, updated, deleted, unchanged}. With a Delta/Iceberg
+    target the same classification feeds a row-level MERGE and the
+    swap disappears.
+    """
+    ops = changes.select(key, op_col).distinct()
+    upserts = changes.filter(F.col(op_col) == "upsert").drop(op_col)
+    del_keys = changes.filter(F.col(op_col) == "delete").select(key)
+
+    if os.path.exists(target_path):
+        existing = spark.read.parquet(target_path)
+        untouched = existing.join(
+            ops.select(key), key, "left_anti"
+        )
+        updated = existing.select(key).join(upserts, key, "left_semi")
+        n_updated = updated.count()
+        n_deleted = (
+            existing.select(key).join(del_keys, key, "left_semi").count()
+        )
+        merged = untouched.unionByName(upserts)
+        n_unchanged = untouched.count()
+        n_inserted = upserts.count() - n_updated
+    else:
+        merged = upserts
+        n_inserted, n_updated, n_deleted, n_unchanged = (
+            upserts.count(),
+            0,
+            0,
+            0,
+        )
+
+    staging = f"{target_path}.staging"
+    merged.write.mode("overwrite").parquet(staging)
+    if os.path.exists(target_path):
+        import shutil
+
+        old = f"{target_path}.old"
+        os.rename(target_path, old)
+        os.rename(staging, target_path)
+        shutil.rmtree(old)
+    else:
+        os.rename(staging, target_path)
+    return {
+        "inserted": n_inserted,
+        "updated": n_updated,
+        "deleted": n_deleted,
+        "unchanged": n_unchanged,
+    }

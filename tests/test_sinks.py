@@ -280,3 +280,36 @@ def test_zone_schema_evolution_merge(spark, tmp_path):
     # pruned single-run read keeps evolution invisible when filtered
     old = read_zone(spark, zone, "r001", merge_schema=True)
     assert old.count() == 1
+
+
+def test_merge_parquet_cdc_semantics(spark, tmp_path):
+    """Full MERGE: matched upsert replaces, unmatched inserts,
+    delete removes, everything else untouched."""
+    from citeconnect_datapipeline_spark.sinks.upsert import merge_parquet
+
+    target = str(tmp_path / "papers_tbl")
+    base = papers(
+        spark, [("a", "ml", 1), ("b", "bio", 2), ("c", "ml", 3)]
+    )
+    base.write.parquet(target)
+
+    changes = spark.createDataFrame(
+        [
+            ("b", "bio", 20, "upsert"),  # update
+            ("d", "cs", 4, "upsert"),  # insert
+            ("c", None, 0, "delete"),  # delete
+        ],
+        "paper_id string, domain string, score int, _op string",
+    )
+    stats = merge_parquet(spark, changes, target, "paper_id")
+    assert stats == {
+        "inserted": 1,
+        "updated": 1,
+        "deleted": 1,
+        "unchanged": 1,
+    }
+    rows = {
+        r.paper_id: (r.domain, r.score)
+        for r in spark.read.parquet(target).collect()
+    }
+    assert rows == {"a": ("ml", 1), "b": ("bio", 20), "d": ("cs", 4)}
