@@ -195,3 +195,67 @@ def merge_parquet(
         "deleted": n_deleted,
         "unchanged": n_unchanged,
     }
+
+
+def scd2_merge(
+    dim: DataFrame,
+    updates: DataFrame,
+    key: str,
+    attrs: tuple[str, ...],
+    effective_ts: str,
+) -> DataFrame:
+    """Slowly-Changing-Dimension Type 2: apply an update batch to a
+    versioned dimension, RETAINING history. ``dim`` carries
+    (key, attrs..., valid_from, valid_to) with ``valid_to IS NULL``
+    marking current rows; ``updates`` carries (key, attrs...,
+    effective_ts). For a changed key the current row is closed out
+    (valid_to = effective_ts) and a new current version is appended;
+    a brand-new key inserts an open row; an update identical to the
+    current attributes is a no-op (no spurious versions). History
+    rows pass through untouched.
+
+    The reference keeps no history at all — every re-scrape
+    overwrites its notion of a paper; SCD2 is what lets run-over-run
+    analyses (W1, run_diff_full_outer) ask 'what did this look like
+    THEN'. One shuffle on the key; pure transformation (returns the
+    new dimension; pair with the atomic-swap writers to persist).
+    """
+    changed = F.coalesce(
+        sum(
+            [
+                (~F.col(f"d.{a}").eqNullSafe(F.col(f"u.{a}"))).cast("int")
+                for a in attrs
+            ]
+        )
+        > 0,
+        F.lit(True),  # no current row at all -> treat as changed
+    )
+    current = dim.filter(F.col("valid_to").isNull()).alias("d")
+    hist = dim.filter(F.col("valid_to").isNotNull())
+    u = updates.alias("u")
+
+    joined = current.join(u, F.col(f"d.{key}") == F.col(f"u.{key}"), "full")
+    # current rows: closed out if a differing update arrived, else kept
+    kept_current = joined.filter(
+        F.col(f"d.{key}").isNotNull()
+        & (F.col(f"u.{key}").isNull() | ~changed)
+    ).select("d.*")
+    closed = joined.filter(
+        F.col(f"d.{key}").isNotNull()
+        & F.col(f"u.{key}").isNotNull()
+        & changed
+    ).select(
+        *[F.col(f"d.{c}") for c in (key, *attrs, "valid_from")],
+        F.col(f"u.{effective_ts}").alias("valid_to"),
+    )
+    opened = joined.filter(
+        F.col(f"u.{key}").isNotNull()
+        & (F.col(f"d.{key}").isNull() | changed)
+    ).select(
+        *[F.col(f"u.{c}") for c in (key, *attrs)],
+        F.col(f"u.{effective_ts}").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    )
+    return hist.unionByName(kept_current).unionByName(closed).unionByName(
+        opened
+    )

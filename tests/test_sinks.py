@@ -313,3 +313,44 @@ def test_merge_parquet_cdc_semantics(spark, tmp_path):
         for r in spark.read.parquet(target).collect()
     }
     assert rows == {"a": ("ml", 1), "b": ("bio", 20), "d": ("cs", 4)}
+
+
+def test_scd2_merge_versions_history(spark):
+    """SCD2: changed attrs close the old version and open a new one;
+    identical updates are no-ops; new keys insert open rows."""
+    from citeconnect_datapipeline_spark.sinks.upsert import scd2_merge
+
+    dim = spark.createDataFrame(
+        [
+            ("a", "ml", "2024-01-01", None),
+            ("b", "bio", "2024-01-01", None),
+            ("a", "old", "2023-01-01", "2024-01-01"),  # history row
+        ],
+        "paper_id string, domain string, valid_from string, valid_to string",
+    ).select(
+        "paper_id",
+        "domain",
+        F.to_timestamp("valid_from").alias("valid_from"),
+        F.to_timestamp("valid_to").alias("valid_to"),
+    )
+    updates = spark.createDataFrame(
+        [
+            ("a", "cs", "2024-06-01"),  # change -> version
+            ("b", "bio", "2024-06-01"),  # identical -> no-op
+            ("c", "math", "2024-06-01"),  # new key
+        ],
+        "paper_id string, domain string, eff string",
+    ).select("paper_id", "domain", F.to_timestamp("eff").alias("eff"))
+
+    out = scd2_merge(dim, updates, "paper_id", ("domain",), "eff")
+    rows = sorted(
+        (r.paper_id, r.domain, str(r.valid_from)[:10], str(r.valid_to)[:10] if r.valid_to else None)
+        for r in out.collect()
+    )
+    assert rows == [
+        ("a", "cs", "2024-06-01", None),
+        ("a", "ml", "2024-01-01", "2024-06-01"),
+        ("a", "old", "2023-01-01", "2024-01-01"),
+        ("b", "bio", "2024-01-01", None),
+        ("c", "math", "2024-06-01", None),
+    ]
