@@ -457,3 +457,74 @@ class _FakeModel:
             norm = math.sqrt(sum(x * x for x in raw)) or 1.0
             out.append([float(x) / norm for x in raw])
         return out
+
+
+# ---------------------------------------------------------------------
+# Persistent IVF index lifecycle: build once at ingest, search many
+# times with partition pruning. ann_ivf_topk builds its index inline
+# (self-contained for the correctness gate); production separates the
+# two — the index is a TABLE, the search is a pruned scan.
+# ---------------------------------------------------------------------
+
+
+def build_ivf_index(emb: DataFrame, index_dir: str) -> None:
+    """Materialize an IVF index as a lake table: centroids (one tiny
+    parquet) + vectors re-written PARTITIONED BY list_id. After this,
+    probing n of k lists is directory-level partition pruning — a
+    query reads nprobe/nlists of the bytes with no filter evaluation
+    at all, which is the property that makes ANN viable at 100 TB
+    (4096 lists ⇒ each query touches ~0.1% of the index)."""
+    import numpy as np
+
+    cents = _train_ivf_centroids(emb, IVF_LISTS)
+    spark = emb.sparkSession
+    cent_rows = [
+        (int(i), [float(x) for x in cents[i]]) for i in range(len(cents))
+    ]
+    spark.createDataFrame(
+        cent_rows, "list_id int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/centroids")
+    (
+        _ivf_assignments(emb, cents)
+        .join(emb, "vec_id")
+        .write.mode("overwrite")
+        .partitionBy("list_id")
+        .parquet(f"{index_dir}/vectors")
+    )
+
+
+def search_ivf_index(
+    spark: SparkSession,
+    index_dir: str,
+    query_vec,
+    k: int = 10,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """Query a persisted IVF index: rank centroids driver-side (tiny),
+    scan ONLY the nprobe nearest list partitions (pure partition
+    pruning — asserted in tests via the scan's PartitionFilters),
+    exact-cosine re-rank those rows, TakeOrdered top-k."""
+    import numpy as np
+
+    cents_df = spark.read.parquet(f"{index_dir}/centroids").collect()
+    cents = np.zeros((len(cents_df), len(cents_df[0].centroid)))
+    for r in cents_df:
+        cents[r.list_id] = r.centroid
+    qv = np.asarray(query_vec, dtype="float64")
+    qv /= np.linalg.norm(qv) or 1.0
+    probe = [int(i) for i in np.argsort(-(cents @ qv))[:nprobe]]
+
+    vectors = spark.read.parquet(f"{index_dir}/vectors")
+    qlit = F.array(*[F.lit(float(x)) for x in qv])
+    return (
+        vectors.filter(F.col("list_id").isin(probe))
+        .select(
+            "vec_id",
+            "label",
+            F.round(
+                _cosine(F.col("embedding").cast("array<double>"), qlit), 6
+            ).alias("similarity"),
+        )
+        .orderBy(F.desc("similarity"), "vec_id")
+        .limit(k)
+    )

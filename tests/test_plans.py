@@ -195,3 +195,32 @@ def test_cohort_day_zero_covers_every_user(spark):
         .count()
     )
     assert day0 == users
+
+
+def test_ivf_index_search_prunes_partitions(spark, tmp_path):
+    """Persistent IVF index: searching probes only nprobe list
+    partitions — visible as PartitionFilters on the scan — and agrees
+    with the inline-index query's notion of neighbors."""
+    import numpy as np
+
+    from citeconnect_datapipeline_spark.operators.similarity import (
+        IVF_NPROBE,
+        build_ivf_index,
+        search_ivf_index,
+    )
+    from citeconnect_datapipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(emb, idx)
+
+    q = emb.filter(F.col("vec_id") == 0).first().embedding
+    out = search_ivf_index(spark, idx, q, k=10)
+    plan = physical(out)
+    assert "PartitionFilters" in plan, plan
+    pruning_clause = plan.split("PartitionFilters")[1].split("]")[0]
+    assert "list_id" in pruning_clause, plan
+    rows = out.collect()
+    assert len(rows) == 10
+    # the query vector itself lives in a probed list -> similarity 1.0
+    assert rows[0].vec_id == 0 and abs(rows[0].similarity - 1.0) < 1e-6
