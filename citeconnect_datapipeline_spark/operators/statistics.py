@@ -124,3 +124,51 @@ def quantiles_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+HIST_LO, HIST_HI, HIST_BUCKETS = 0.0, 500_000.0, 20
+
+
+@query(
+    "price_histogram",
+    oracle=f"""
+    SELECT CASE WHEN o_totalprice < {HIST_LO} THEN 0
+                WHEN o_totalprice >= {HIST_HI} THEN {HIST_BUCKETS} + 1
+                ELSE CAST(FLOOR((o_totalprice - {HIST_LO})
+                          * {HIST_BUCKETS}
+                          / ({HIST_HI} - {HIST_LO})) AS BIGINT) + 1
+           END AS bucket,
+           COUNT(*) AS n,
+           ROUND(MIN(o_totalprice), 4) AS lo,
+           ROUND(MAX(o_totalprice), 4) AS hi
+    FROM orders
+    GROUP BY 1
+    ORDER BY bucket
+    """,
+)
+def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of order value via ``width_bucket`` (the
+    engine-native binning the reference approximates with pandas
+    value_counts over hand-made ranges, visualization_generator.py).
+    One map-side-combinable aggregate; the oracle spells out
+    width_bucket's exact edge semantics (0 below range, n+1 at/above
+    the upper bound) since DuckDB lacks the function."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            F.width_bucket(
+                "o_totalprice",
+                F.lit(HIST_LO),
+                F.lit(HIST_HI),
+                F.lit(HIST_BUCKETS),
+            ).alias("bucket"),
+            "o_totalprice",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("o_totalprice"), 4).alias("lo"),
+            F.round(F.max("o_totalprice"), 4).alias("hi"),
+        )
+        .orderBy("bucket")
+    )
