@@ -36,8 +36,10 @@ def read_event_stream(
         .parquet(sf_dir)
     )
     if dict(stream.dtypes).get("ts") == "bigint":
+        # integer div, not /: float division of int64 nanos loses
+        # precision past 2^53 (same fix as sources/tables.py)
         stream = stream.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
         )
     return stream
 
@@ -310,3 +312,37 @@ def stateful_user_stats_tws(events: DataFrame) -> DataFrame:
             timeMode="None",
         )
     )
+
+
+def foreach_batch_cdc_apply(
+    change_stream: DataFrame,
+    target_dir: str,
+    checkpoint_dir: str,
+    key: str,
+    op_col: str = "_op",
+):
+    """Streaming CDC apply (M2 completed): a change feed (rows tagged
+    upsert/delete) folds into the target table per micro-batch via the
+    full MERGE (sinks.upsert.merge_parquet). Offsets live in the
+    checkpoint, so a crashed run resumes at the failed batch and
+    re-applies it — MERGE is idempotent per batch (same changes ⇒
+    same final table), giving effectively-once end-to-end. This is
+    the streaming form of the reference's skip-existing upload, but
+    able to propagate updates AND retractions, not just inserts."""
+    from ..sinks.upsert import merge_parquet
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        merge_parquet(
+            batch_df.sparkSession, batch_df, target_dir, key, op_col
+        )
+
+    q = (
+        change_stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return q

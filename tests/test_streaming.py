@@ -268,3 +268,38 @@ def test_transform_with_state_matches_old_api(spark, tmp_path):
             < 1e-6
         )
         assert final.loc[uid, "last_ts"] == batch.loc[uid, "last_ts"]
+
+
+def test_streaming_cdc_apply(spark, tmp_path):
+    """A change feed streamed in two micro-batches lands as the same
+    final table a batch MERGE would produce: updates replace, deletes
+    remove, late inserts insert."""
+    from citeconnect_datapipeline_spark.streaming.jobs import (
+        foreach_batch_cdc_apply,
+    )
+
+    target = str(tmp_path / "target")
+    spark.createDataFrame(
+        [("a", 1), ("b", 2), ("c", 3)], "k string, v int"
+    ).write.parquet(target)
+
+    src = tmp_path / "changes"
+    schema = "k string, v int, _op string"
+    spark.createDataFrame(
+        [("b", 20, "upsert"), ("c", 0, "delete")], schema
+    ).coalesce(1).write.parquet(str(src / "f0"))
+    spark.createDataFrame(
+        [("d", 4, "upsert"), ("b", 21, "upsert")], schema
+    ).coalesce(1).write.parquet(str(src / "f1"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    foreach_batch_cdc_apply(
+        stream, target, str(tmp_path / "ckpt"), key="k"
+    )
+    rows = {r.k: r.v for r in spark.read.parquet(target).collect()}
+    assert rows == {"a": 1, "b": 21, "d": 4}
