@@ -264,3 +264,59 @@ def range_frame_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "customer_order_profile",
+    oracle="""
+    WITH w AS (
+        SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+               FIRST_VALUE(o_orderdate) OVER cw AS first_order,
+               LAST_VALUE(o_orderdate) OVER cw AS latest_order,
+               NTH_VALUE(o_totalprice, 2) OVER cw AS second_price,
+               ROW_NUMBER() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey
+               ) AS rn
+        FROM orders
+        WINDOW cw AS (
+            PARTITION BY o_custkey
+            ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+        )
+    )
+    SELECT o_custkey, first_order, latest_order, second_price
+    FROM w WHERE rn = 1 AND o_custkey <= 300
+    ORDER BY o_custkey
+    """,
+)
+def customer_order_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIRST_VALUE / LAST_VALUE / NTH_VALUE with an explicit
+    unbounded frame (the frame is the point: LAST_VALUE over the
+    DEFAULT frame is a famous footgun — it ends at CURRENT ROW and
+    returns the current row's value). One row per customer: first
+    order date, latest order date, price of their second-ever order
+    (NULL for single-order customers). One shuffle on custkey feeds
+    all three analytics plus the representative-row filter."""
+    orders = load_table(spark, sf_dir, "orders")
+    cw = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    )
+    return (
+        orders.filter(F.col("o_custkey") <= 300)
+        .select(
+            "o_custkey",
+            F.first("o_orderdate").over(cw).alias("first_order"),
+            F.last("o_orderdate").over(cw).alias("latest_order"),
+            F.nth_value("o_totalprice", 2).over(cw).alias("second_price"),
+            rn.alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .orderBy("o_custkey")
+    )
