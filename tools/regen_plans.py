@@ -1,0 +1,64 @@
+#!/usr/bin/env python
+"""Regenerate PLANS.md: physical-plan evidence for flagship queries.
+
+Run from the repo root: python tools/regen_plans.py
+"""
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+PICKS = {
+    "shipping_priority_topk": "Q3 shape: broadcast dims, pushdown, TakeOrdered",
+    "bias_slice_disparity": "the reference's load-bearing slice query",
+    "late_ship_priority_dist": "EXISTS decorrelated to left-semi",
+    "small_qty_part_revenue": "correlated scalar decorrelated to agg+join",
+    "sessionize_events": "one exchange feeds lag + running sum + session agg",
+    "ngram_jaccard_topk": "inverted-index pair generation",
+    "curation_pipeline_e2e": "composed pipeline, two hash exchanges",
+    "cosine_topk": "similarity top-k as TakeOrdered",
+}
+KEEP = re.compile(
+    r"Scan parquet|BatchScan|BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin"
+    r"|BroadcastNestedLoop|Exchange|TakeOrderedAndProject|HashAggregate"
+    r"|Window|Generate|PushedFilters|WholeStageCodegen|SortAggregate"
+)
+
+
+def main() -> None:
+    from citeconnect_datapipeline_spark.session import get_spark
+    import __spark_entry__ as entry
+
+    spark = get_spark()
+    sf = "/root/testdata/sf0.01"
+    queries = entry.queries()
+    out = [
+        "# PLANS — physical-plan evidence for flagship queries",
+        "",
+        "Auto-extracted `df.explain`-level summaries at sf0.01 (regenerate with",
+        "`python tools/regen_plans.py`). For each query: the scan,",
+        "join, exchange, and top-k operators that carry the scale claims made in",
+        "SCALE.md and the operator docstrings.",
+        "",
+    ]
+
+    def clean(line: str) -> str:
+        line = re.sub(r"#\d+L?", "", line.rstrip())
+        return line if len(line) <= 140 else line[:137] + "..."
+
+    for name, why in PICKS.items():
+        df = queries[name](spark, sf)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        lines = [clean(l) for l in plan.splitlines() if KEEP.search(l)][:18]
+        out.append(f"## {name} — {why}\n")
+        out.append("```")
+        out.extend(lines)
+        out.append("```\n")
+    with open("PLANS.md", "w") as f:
+        f.write("\n".join(out))
+    print(f"PLANS.md regenerated ({len(PICKS)} queries)")
+
+
+if __name__ == "__main__":
+    main()
