@@ -172,3 +172,43 @@ def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@query("sketch_rollup")  # rows-only: sketch binaries are engine-specific
+def sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-summary pattern (Spark 4 DataSketches): per-day HLL
+    sketches of distinct users and KLL sketches of the value
+    distribution, then ONE re-aggregation merges the daily sketches
+    into month-level answers — without touching raw data again. This
+    is the 100 TB reporting architecture: materialize small sketch
+    rows at ingest granularity, answer any coarser rollup by merging
+    (commutative, associative, bounded-size state), never re-scan.
+    The reference recomputes every rollup from raw parquet each run.
+
+    Output: one row per day (estimated distinct users, median-by-KLL)
+    plus one __month__ row whose values come ONLY from merging the
+    daily sketches. A test checks the estimates against exact
+    answers within HLL/KLL error bounds."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(F.to_date("ts").alias("d")).agg(
+        F.hll_sketch_agg("user_id").alias("users_hll"),
+        F.kll_sketch_agg_double("value").alias("value_kll"),
+    )
+    per_day = daily.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.hll_sketch_estimate("users_hll").alias("distinct_users"),
+        F.round(
+            F.kll_sketch_get_quantile_double("value_kll", F.lit(0.5)), 4
+        ).alias("median_value"),
+    )
+    merged = daily.agg(
+        F.hll_union_agg("users_hll").alias("u"),
+        F.kll_merge_agg_double("value_kll").alias("v"),
+    ).select(
+        F.lit("__month__").alias("day"),
+        F.hll_sketch_estimate("u").alias("distinct_users"),
+        F.round(
+            F.kll_sketch_get_quantile_double("v", F.lit(0.5)), 4
+        ).alias("median_value"),
+    )
+    return per_day.unionByName(merged).orderBy("day")

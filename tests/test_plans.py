@@ -224,3 +224,22 @@ def test_ivf_index_search_prunes_partitions(spark, tmp_path):
     assert len(rows) == 10
     # the query vector itself lives in a probed list -> similarity 1.0
     assert rows[0].vec_id == 0 and abs(rows[0].similarity - 1.0) < 1e-6
+
+
+def test_sketch_rollup_estimates_within_bounds(spark):
+    """Merged HLL distinct estimate and KLL median must land within
+    the sketches' documented error of the exact answers."""
+    from citeconnect_datapipeline_spark.sources.tables import load_table
+
+    out = {r.day: r for r in get_queries()["sketch_rollup"](spark, SF_DIR).collect()}
+    events = load_table(spark, SF_DIR, "events")
+    exact_users = events.select("user_id").distinct().count()
+    exact_median = events.agg(F.median("value")).collect()[0][0]
+
+    month = out["__month__"]
+    assert abs(month.distinct_users - exact_users) / exact_users < 0.05
+    # KLL default k: rank error ~1.6%; translate via value spread
+    assert abs(month.median_value - exact_median) / (abs(exact_median) + 1e-9) < 0.25
+    # daily rows exist and merged >= any single day
+    days = [v for k, v in out.items() if k != "__month__"]
+    assert days and month.distinct_users >= max(d.distinct_users for d in days)
