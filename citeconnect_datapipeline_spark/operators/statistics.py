@@ -212,3 +212,86 @@ def sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("median_value"),
     )
     return per_day.unionByName(merged).orderBy("day")
+
+
+@query(
+    "bitmap_exact_distinct",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_users
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT '__all__' AS event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_users
+    FROM events
+    ORDER BY event_type
+    """,
+)
+def bitmap_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counts with mergeable state (Spark 4 bitmap
+    aggregates). COUNT(DISTINCT) over 100 TB shuffles every distinct
+    key once per query and is NOT re-aggregable; HLL is mergeable but
+    approximate. Roaring-style bitmaps are both: map ids to
+    (bucket, bit) with bitmap_bucket_number/bitmap_bit_position,
+    build one bitmap per (group, bucket) partition of the id space,
+    and every coarser rollup is bitmap_or_agg + bitmap_count —
+    bounded-size, commutative state, no raw-data re-scan, exact.
+
+    The __all__ row is computed ONLY by OR-merging the per-event-type
+    bitmaps — the re-aggregation path — and hash-matches DuckDB's
+    COUNT(DISTINCT) over raw rows, proving the merge is lossless.
+
+    The reference counts distincts with pandas nunique per run
+    (slicing_bias_analysis.py:208-229) and can never combine two
+    runs' results without re-reading both."""
+    events = load_table(spark, sf_dir, "events")
+    bitmaps = events.groupBy(
+        "event_type", F.bitmap_bucket_number("user_id").alias("bucket")
+    ).agg(F.bitmap_construct_agg(F.bitmap_bit_position("user_id")).alias("bm"))
+    per_type = bitmaps.groupBy("event_type").agg(
+        F.sum(F.bitmap_count("bm")).alias("distinct_users")
+    )
+    overall = (
+        bitmaps.groupBy("bucket")
+        .agg(F.bitmap_or_agg("bm").alias("bm"))
+        .agg(F.sum(F.bitmap_count("bm")).alias("distinct_users"))
+        .select(F.lit("__all__").alias("event_type"), "distinct_users")
+    )
+    return per_type.unionByName(overall).orderBy("event_type")
+
+
+@query("theta_audience_overlap")  # rows-only: sketch estimates are engine-specific
+def theta_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience set algebra on sketches (Spark 4.1 Theta sketches).
+    "How many users clicked AND purchased / clicked but never
+    purchased" needs distinct-set intersection/difference — HLL can
+    union but cannot intersect; at 100 TB the exact answer is a
+    multi-terabyte shuffle per pair. Theta sketches close that gap:
+    one sketch per event_type (mergeable ingest-time state, like
+    [[sketch_rollup]]'s HLLs), then every pairwise overlap is
+    sketch-only set algebra — no raw-data pass, O(k) per estimate.
+
+    Output: one row per ordered event_type pair with union /
+    intersection / difference (a\\b) estimates. A test checks the
+    estimates against exact DuckDB set cardinalities within theta
+    error bounds."""
+    events = load_table(spark, sf_dir, "events")
+    sk = events.groupBy("event_type").agg(
+        F.theta_sketch_agg("user_id").alias("sk")
+    )
+    a = sk.select(F.col("event_type").alias("a"), F.col("sk").alias("sk_a"))
+    b = sk.select(F.col("event_type").alias("b"), F.col("sk").alias("sk_b"))
+    pairs = a.join(F.broadcast(b), F.col("a") < F.col("b"))
+    return pairs.select(
+        "a",
+        "b",
+        F.round(
+            F.theta_sketch_estimate(F.theta_union("sk_a", "sk_b")), 1
+        ).alias("union_est"),
+        F.round(
+            F.theta_sketch_estimate(F.theta_intersection("sk_a", "sk_b")), 1
+        ).alias("intersect_est"),
+        F.round(
+            F.theta_sketch_estimate(F.theta_difference("sk_a", "sk_b")), 1
+        ).alias("a_minus_b_est"),
+    ).orderBy("a", "b")

@@ -243,3 +243,24 @@ def test_sketch_rollup_estimates_within_bounds(spark):
     # daily rows exist and merged >= any single day
     days = [v for k, v in out.items() if k != "__month__"]
     assert days and month.distinct_users >= max(d.distinct_users for d in days)
+
+
+def test_theta_overlap_matches_exact_set_algebra(spark):
+    """Below the sketch's nominal entry count theta estimates are
+    exact — every pairwise union/intersection/difference must equal
+    the true set cardinalities computed from raw rows."""
+    from citeconnect_datapipeline_spark.sources.tables import load_table
+
+    rows = get_queries()["theta_audience_overlap"](spark, SF_DIR).collect()
+    ev = load_table(spark, SF_DIR, "events")
+    sets = {
+        r.event_type: set(x.user_id for x in ev.filter(F.col("event_type") == r.event_type)
+                          .select("user_id").distinct().collect())
+        for r in ev.select("event_type").distinct().collect()
+    }
+    assert rows, "no pairs produced"
+    for r in rows:
+        a, b = sets[r.a], sets[r.b]
+        assert r.union_est == len(a | b), (r.a, r.b)
+        assert r.intersect_est == len(a & b), (r.a, r.b)
+        assert r.a_minus_b_est == len(a - b), (r.a, r.b)
