@@ -62,3 +62,59 @@ def test_bucketed_aggregation_avoids_shuffle(spark, bucketed_tables):
     plan = agg._jdf.queryExecution().executedPlan().toString()
     # grouping on the bucket key reuses the bucketing: no exchange
     assert "Exchange" not in plan, plan
+
+
+def _candidate_files(path, col, lo, hi):
+    """Files whose parquet footer [min,max] for col intersects
+    [lo,hi] — exactly the skipping decision a stats-aware scan
+    makes."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    cand, total = 0, 0
+    for f in glob.glob(f"{path}/part-*.parquet"):
+        total += 1
+        md = pq.ParquetFile(f).metadata
+        fmin, fmax = None, None
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                c = md.row_group(rg).column(ci)
+                if c.path_in_schema == col and c.statistics is not None:
+                    s = c.statistics
+                    fmin = s.min if fmin is None else min(fmin, s.min)
+                    fmax = s.max if fmax is None else max(fmax, s.max)
+        if fmin is not None and not (fmax < lo or fmin > hi):
+            cand += 1
+    return cand, total
+
+
+def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
+    """A single-column sort prunes only its own column; the Z-ordered
+    layout must leave footer stats tight enough to skip files on
+    EITHER dimension."""
+    from citeconnect_datapipeline_spark.plans.layout import write_zordered
+
+    n, side = 4096, 64
+    df = spark.range(n).select(
+        (F.col("id") % side).alias("x"),
+        (F.col("id") / side).cast("long").alias("y"),
+        F.col("id").alias("payload"),
+    )
+    linear = str(tmp_path / "linear")
+    zpath = str(tmp_path / "zorder")
+    df.repartitionByRange(16, "x").sortWithinPartitions("x").write.parquet(linear)
+    write_zordered(df, zpath, "x", "y", num_files=16)
+
+    # same rows either way
+    assert (
+        spark.read.parquet(zpath).orderBy("payload").collect()
+        == spark.read.parquet(linear).orderBy("payload").collect()
+    )
+
+    lin_y, lin_total = _candidate_files(linear, "y", 0, 7)
+    z_y, z_total = _candidate_files(zpath, "y", 0, 7)
+    z_x, _ = _candidate_files(zpath, "x", 0, 7)
+    assert lin_y == lin_total, "x-sorted layout cannot prune on y"
+    assert z_y < z_total / 2, f"z-order should skip most files on y: {z_y}/{z_total}"
+    assert z_x < z_total / 2, f"z-order should skip most files on x: {z_x}/{z_total}"
