@@ -1,0 +1,51 @@
+"""Whole-surface plan hygiene: every registered query's physical plan
+is built (never executed) and swept for join shapes that do not
+survive scale. A BroadcastNestedLoopJoin is O(|left| * |right|) work
+with a full broadcast of one side — fine when that side is a 1-row
+scalar aggregate (count / threshold / query vector), catastrophic
+anywhere else; a CartesianProduct is never acceptable. The allowlist
+below names every query whose nested-loop join is a deliberate
+1-row scalar join, so any NEW nested-loop/cartesian sneaking into any
+query fails this test."""
+
+from __future__ import annotations
+
+import pytest
+
+from __spark_entry__ import queries
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# 1-row scalar cross-joins only (verified by inspection):
+#   count triples, decile/threshold scalars, single query vectors,
+#   small sketch-pair expansion.
+NESTED_LOOP_OK = {
+    "ann_ivf_topk",
+    "ann_lsh_topk",
+    "class_balance_sample",
+    "cosine_topk",
+    "graph_2hop_frontier",
+    "mitigation_recommendations",
+    "theta_audience_overlap",
+    "top_decile_mean",
+}
+
+# construction itself runs Spark jobs (iterative label propagation /
+# index build / pipeline writes) — plan-shape is asserted by their own
+# dedicated tests instead.
+BUILD_EXECUTES = {
+    "ann_ivf_topk",
+    "neardup_components",
+    "part_copurchase_pagerank",
+}
+
+
+@pytest.mark.parametrize("name", sorted(set(queries()) - BUILD_EXECUTES))
+def test_no_unexpected_nested_loop_or_cartesian(spark, name):
+    df = queries()[name](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+    if name not in NESTED_LOOP_OK:
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{name} plans a nested-loop join not on the scalar allowlist"
+        )
