@@ -101,6 +101,31 @@ def read_latest_run(spark: SparkSession, zone_path: str) -> DataFrame:
     return read_zone(spark, zone_path, max(runs))
 
 
+def read_run_asof(
+    spark: SparkSession, zone_path: str, as_of_run_id: str
+) -> DataFrame:
+    """Time travel over the zone: read the latest run at or before
+    ``as_of_run_id`` (run ids sort lexicographically — timestamped ids
+    like ``2024-06-01T12-00`` give wall-clock travel). Same mechanism
+    as [S10] latest-run: the version choice is a directory-name max,
+    zero data files touched until the pruned scan of the chosen run.
+    This is the plain-parquet form of Delta/Iceberg ``VERSION AS OF``
+    — every historical run stays queryable until explicitly vacuumed,
+    so a training job can pin the exact lake state it saw."""
+    runs = [
+        f.split("=", 1)[1]
+        for f in os.listdir(zone_path)
+        if f.startswith("run_id=")
+    ]
+    eligible = [r for r in runs if r <= as_of_run_id]
+    if not eligible:
+        raise FileNotFoundError(
+            f"no run_id= partition at or before {as_of_run_id!r} "
+            f"under {zone_path}"
+        )
+    return read_zone(spark, zone_path, max(eligible))
+
+
 def write_json_artifact(df: DataFrame, path: str) -> None:
     """K6: small-aggregate JSON artifact (schema snapshots, slice
     summaries — schema_validator.py:388-396, slicing_bias_analysis.py:

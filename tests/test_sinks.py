@@ -16,6 +16,7 @@ from citeconnect_datapipeline_spark.sinks.upsert import (
     upsert_parquet,
 )
 from citeconnect_datapipeline_spark.sinks.zones import (
+    read_run_asof,
     compact_zone,
     read_latest_run,
     read_zone,
@@ -54,6 +55,23 @@ def test_zone_latest_run(spark, tmp_path):
     write_zone(papers(spark, [("b", "ml", 2)]), zone, run_id="r002")
     latest = read_latest_run(spark, zone)
     assert [r.paper_id for r in latest.collect()] == ["b"]
+
+
+def test_zone_time_travel_asof(spark, tmp_path):
+    """read_run_asof pins the lake state at a historical run id:
+    exact hit, between-runs (rounds down), and before-history
+    (raises)."""
+    import pytest as _pytest
+
+    zone = str(tmp_path / "zone")
+    write_zone(papers(spark, [("a", "ml", 1)]), zone, run_id="r001")
+    write_zone(papers(spark, [("b", "ml", 2)]), zone, run_id="r003")
+    assert [r.paper_id for r in read_run_asof(spark, zone, "r001").collect()] == ["a"]
+    # r002 never existed -> travel rounds down to r001
+    assert [r.paper_id for r in read_run_asof(spark, zone, "r002").collect()] == ["a"]
+    assert [r.paper_id for r in read_run_asof(spark, zone, "r999").collect()] == ["b"]
+    with _pytest.raises(FileNotFoundError):
+        read_run_asof(spark, zone, "r000")
 
 
 def test_compact_zone_rewrites_fragmented_run(spark, tmp_path):
