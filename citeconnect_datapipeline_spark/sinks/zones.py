@@ -126,6 +126,27 @@ def read_run_asof(
     return read_zone(spark, zone_path, max(eligible))
 
 
+def vacuum_zone(zone_path: str, keep_latest: int = 3) -> list[str]:
+    """Retention for the time-travel history: delete all but the
+    newest ``keep_latest`` runs (lexicographic run-id order, matching
+    [[read_run_asof]]'s travel order). Returns the run ids removed.
+    Deletion is per-run directory removal — the same atomic unit the
+    writer produces — so a concurrent reader of a surviving run never
+    sees a partial state. Delta/Iceberg VACUUM with the table format
+    replaced by the run_id= directory convention."""
+    import shutil
+
+    runs = sorted(
+        f.split("=", 1)[1]
+        for f in os.listdir(zone_path)
+        if f.startswith("run_id=")
+    )
+    doomed = runs[:-keep_latest] if keep_latest > 0 else runs
+    for r in doomed:
+        shutil.rmtree(os.path.join(zone_path, f"run_id={r}"))
+    return doomed
+
+
 def write_json_artifact(df: DataFrame, path: str) -> None:
     """K6: small-aggregate JSON artifact (schema snapshots, slice
     summaries — schema_validator.py:388-396, slicing_bias_analysis.py:

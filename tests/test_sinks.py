@@ -16,6 +16,7 @@ from citeconnect_datapipeline_spark.sinks.upsert import (
     upsert_parquet,
 )
 from citeconnect_datapipeline_spark.sinks.zones import (
+    vacuum_zone,
     read_run_asof,
     compact_zone,
     read_latest_run,
@@ -72,6 +73,22 @@ def test_zone_time_travel_asof(spark, tmp_path):
     assert [r.paper_id for r in read_run_asof(spark, zone, "r999").collect()] == ["b"]
     with _pytest.raises(FileNotFoundError):
         read_run_asof(spark, zone, "r000")
+
+
+def test_vacuum_zone_keeps_latest_runs(spark, tmp_path):
+    """vacuum removes oldest runs wholesale; survivors (and latest-run
+    + as-of reads over them) are untouched."""
+    import pytest as _pytest
+
+    zone = str(tmp_path / "zone")
+    for r in ("r001", "r002", "r003", "r004"):
+        write_zone(papers(spark, [(r, "ml", 1)]), zone, run_id=r)
+    removed = vacuum_zone(zone, keep_latest=2)
+    assert removed == ["r001", "r002"]
+    assert [r.paper_id for r in read_latest_run(spark, zone).collect()] == ["r004"]
+    assert [r.paper_id for r in read_run_asof(spark, zone, "r003").collect()] == ["r003"]
+    with _pytest.raises(FileNotFoundError):
+        read_run_asof(spark, zone, "r002")  # vacuumed history is gone
 
 
 def test_compact_zone_rewrites_fragmented_run(spark, tmp_path):
