@@ -303,3 +303,67 @@ def daily_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+EWMA_DECAY = 0.7  # weight (1 - alpha) per day of distance
+EWMA_SPAN_DAYS = 9  # history window: today + 9 preceding days
+
+
+@query(
+    "ewma_anomaly",
+    oracle=f"""
+    WITH daily AS (
+        SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS wd,
+               AVG(value) AS mean_v
+        FROM events GROUP BY 1
+    ), sm AS (
+        SELECT a.wd, a.mean_v,
+               SUM(b.mean_v * POWER({EWMA_DECAY}, a.wd - b.wd)) AS num,
+               SUM(POWER({EWMA_DECAY}, a.wd - b.wd)) AS den
+        FROM daily a
+        JOIN daily b ON b.wd BETWEEN a.wd - {EWMA_SPAN_DAYS} AND a.wd
+        GROUP BY a.wd, a.mean_v
+    )
+    SELECT wd,
+           ROUND(mean_v, 4) AS mean_value,
+           ROUND(num / den, 4) AS ewma,
+           ROUND(ABS(mean_v - num / den) / (num / den), 4) AS rel_dev
+    FROM sm ORDER BY wd
+    """,
+)
+def ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-aware EWMA baseline for the daily metric series — the
+    distribution-smoothing upgrade of the reference's flat z-score
+    anomaly check (schema_validator.py:419-432, W1): each day's
+    deviation is judged against an exponentially-weighted average of
+    the trailing window, where the weight of day d in the baseline of
+    day t is DECAY^(t-d) — calendar distance, not row offset, so data
+    gaps decay correctly instead of stretching the window.
+
+    Shape: one aggregation to the daily grain, then a RANGE frame
+    (value-keyed on the day number) collects the trailing
+    (day, value) pairs and a HOF ``aggregate`` folds them with their
+    decay weights — a sequential left fold, deterministic summation
+    order. The daily series is one row per (metric, day), so the
+    global window here would partition by metric id in a multi-metric
+    deployment (same rewrite as every W-family query)."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.unix_date(F.to_date("ts")).alias("wd")
+    ).agg(F.avg("value").alias("mean_v"))
+    w = Window.orderBy("wd").rangeBetween(-EWMA_SPAN_DAYS, 0)
+    hist = daily.withColumn(
+        "hist", F.collect_list(F.struct("wd", "mean_v")).over(w)
+    )
+    decay = lambda s: F.pow(F.lit(EWMA_DECAY), F.col("wd") - s.wd)  # noqa: E731
+    num = F.aggregate(
+        "hist", F.lit(0.0), lambda acc, s: acc + s.mean_v * decay(s)
+    )
+    den = F.aggregate("hist", F.lit(0.0), lambda acc, s: acc + decay(s))
+    ewma = num / den
+    return hist.select(
+        "wd",
+        F.round("mean_v", 4).alias("mean_value"),
+        F.round(ewma, 4).alias("ewma"),
+        F.round(F.abs(F.col("mean_v") - ewma) / ewma, 4).alias("rel_dev"),
+    ).orderBy("wd")
