@@ -320,3 +320,33 @@ def customer_order_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rn")
         .orderBy("o_custkey")
     )
+
+
+@query(
+    "relative_rank_dist",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 6) AS cume
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal)
+    ORDER BY c_mktsegment, c_custkey
+    """,
+)
+def relative_rank_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative standing within a segment: percent_rank ((rank-1)/
+    (n-1)) and cume_dist (fraction at-or-below) of each customer's
+    balance — the normalized-rank form the reference's decile scoring
+    (metadata_enricher.py:91-129) approximates with hand-binned
+    thresholds. Both are tie-stable (equal balances share a value),
+    so the result is deterministic without a tie-break column. One
+    shuffle on the segment key; both functions stream the sorted
+    partition in a single pass."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal")
+    return cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    ).orderBy("c_mktsegment", "c_custkey")
