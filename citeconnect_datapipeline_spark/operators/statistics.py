@@ -295,3 +295,45 @@ def theta_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.theta_sketch_estimate(F.theta_difference("sk_a", "sk_b")), 1
         ).alias("a_minus_b_est"),
     ).orderBy("a", "b")
+
+
+@query(
+    "metric_trend_fit",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(REGR_SLOPE(value,
+               date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))), 6)
+               AS slope_per_day,
+           ROUND(REGR_INTERCEPT(value,
+               date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))), 4)
+               AS intercept,
+           ROUND(REGR_R2(value,
+               date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))), 6)
+               AS r2
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def metric_trend_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares trend per event type: slope/intercept/R² of
+    value against calendar day, via the SQL-standard REGR_*
+    aggregates — drift DIRECTION and fit quality, complementing
+    [[ewma_anomaly]]'s level-deviation check (a steady drift never
+    trips a point-anomaly threshold; a slope does show it). Each
+    REGR_* is a streaming sum-of-products accumulator, so the whole
+    fit is one map-side-combinable pass — no per-group value
+    materialization at any scale."""
+    events = load_table(spark, sf_dir, "events")
+    x = F.unix_date(F.to_date("ts")).cast("double")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.regr_slope("value", x), 6).alias("slope_per_day"),
+            F.round(F.regr_intercept("value", x), 4).alias("intercept"),
+            F.round(F.regr_r2("value", x), 6).alias("r2"),
+        )
+        .orderBy("event_type")
+    )
