@@ -71,10 +71,10 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "enrich_documents",
     oracle=f"""
     SELECT doc_id,
-           list_sort(list_filter(
+           array_to_string(list_sort(list_filter(
                list_distinct(regexp_extract_all(lower(text), '[a-z]{{3,}}')),
                w -> NOT list_contains({list(STOPWORDS)}, w)
-           ))[1:5] AS keywords,
+           ))[1:5], ',') AS keywords,
            ROUND(LEAST(100.0, log10(n_chars + 1) * 25
                               + CASE WHEN lang = 'en' THEN 10 ELSE 0 END),
                  4) AS importance,
@@ -123,7 +123,11 @@ def enrich_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         docs.select(
             "doc_id",
-            keywords.alias("keywords"),
+            # Comma-joined string, not array<string>: the driver's
+            # pandas canonicalizer sorts columns and list cells are
+            # unhashable — a string column round-trips the hash check
+            # while carrying the same ordered keyword set.
+            F.concat_ws(",", keywords).alias("keywords"),
             importance.alias("importance"),
             domain.alias("domain"),
             (F.floor(F.col("n_chars") / 100) * 100).alias("size_bucket"),

@@ -129,7 +129,9 @@ def broadcast_dim_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT op.l_orderkey,
            len(op.ref_parts) AS n_refs,
-           list_sort(list_intersect(op.ref_parts, ka.kept_set)) AS kept_parts
+           COALESCE(array_to_string(
+               list_sort(list_intersect(op.ref_parts, ka.kept_set)), ','
+           ), '') AS kept_parts
     FROM order_parts op, kept_arr ka
     ORDER BY op.l_orderkey
     LIMIT 100
@@ -169,7 +171,9 @@ def array_semi_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "l_orderkey",
             F.size("ref_parts").alias("n_refs"),
-            "kept_parts",
+            # String, not array<bigint>: the driver's hash harness
+            # sorts pandas columns and list cells are unhashable.
+            F.concat_ws(",", "kept_parts").alias("kept_parts"),
         )
         .orderBy("l_orderkey")
         .limit(100)

@@ -25,6 +25,9 @@ def read_event_stream(
     """File-source stream over the events table (M1). Schema comes
     from a batch peek (streams need a declared schema); nanos ts is
     normalized exactly as in the batch source layer."""
+    from ..sources.tables import _ensure_session_defaults
+
+    _ensure_session_defaults(spark)  # UTC TZ: makes the NTZ cast lossless
     path = os.path.join(sf_dir, "events.parquet")
     schema = spark.read.parquet(path).schema
     # The file source streams a directory; scope it to the events
@@ -35,12 +38,18 @@ def read_event_stream(
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
+    ts_type = dict(stream.dtypes).get("ts")
+    if ts_type == "bigint":
         # integer div, not /: float division of int64 nanos loses
         # precision past 2^53 (same fix as sources/tables.py)
         stream = stream.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000"))
         )
+    elif ts_type == "timestamp_ntz":
+        # timestamp[us] parquet without UTC flag: NTZ rejects
+        # withWatermark; UTC session TZ makes this cast lossless
+        # (same normalization as sources/tables.py load_table).
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 
