@@ -122,19 +122,110 @@ def main() -> None:
     suite_wall = round(time.monotonic() - suite_t0, 3)
 
     per_query_sum = round(sum(t for t in timings.values() if t >= 0), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "suite_wall_clock",
-                "value": suite_wall,
-                "unit": "sec",
-                "queries": timings,
-                "per_query_sum": per_query_sum,
-                "concurrency": concurrency,
-                "sf": sf,
-            }
-        )
+
+    # Per-query DuckDB comparison over the same parquet (the oracle
+    # SQL set IS the comparable workload): the effective single-node
+    # baseline the verdict grades against. Sequential — DuckDB runs
+    # the whole set in seconds. Disable with BENCH_DUCKDB=0.
+    duck_timings: dict[str, float] = {}
+    if os.environ.get("BENCH_DUCKDB", "1") != "0":
+        try:
+            import duckdb
+
+            from citeconnect_datapipeline_spark.plans.registry import (
+                get_oracles,
+            )
+
+            con = duckdb.connect()
+            con.execute(f"SET threads TO {os.cpu_count() or 8}")
+            for t in (
+                "region nation customer supplier part orders lineitem "
+                "events documents embeddings"
+            ).split():
+                con.execute(
+                    f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf_dir}/{t}.parquet')"
+                )
+            for name, sql in get_oracles().items():
+                if name not in timings:
+                    continue
+                t0 = time.monotonic()
+                try:
+                    con.execute(sql).fetchall()
+                    duck_timings[name] = round(time.monotonic() - t0, 3)
+                except Exception as exc:
+                    duck_timings[name] = -1.0
+                    print(f"DUCK_ERROR {name}: {exc}", file=sys.stderr)
+        except Exception as exc:
+            print(f"DUCK_SETUP_ERROR: {exc}", file=sys.stderr)
+
+    duck_sum = round(sum(t for t in duck_timings.values() if t >= 0), 3)
+    # Queries slower than 2x DuckDB net of the local-mode job-
+    # scheduling floor (~0.3 s/query, amortized away on a cluster).
+    floor = 0.3
+    over2x = sorted(
+        (
+            n
+            for n, t in timings.items()
+            if t >= 0
+            and duck_timings.get(n, -1.0) >= 0
+            and t > 2 * duck_timings[n] + floor
+        ),
+        key=lambda n: -(timings[n] / max(duck_timings[n], 1e-3)),
     )
+
+    detail = {
+        "metric": "suite_wall_clock",
+        "value": suite_wall,
+        "unit": "sec",
+        "queries": timings,
+        "duck_queries": duck_timings,
+        "per_query_sum": per_query_sum,
+        "duck_sum": duck_sum,
+        "over2x_net_floor": over2x,
+        "concurrency": concurrency,
+        "sf": sf,
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    try:
+        with open(detail_path, "w") as fh:
+            json.dump(detail, fh, indent=1)
+    except OSError as exc:
+        print(f"BENCH_DETAIL write failed: {exc}", file=sys.stderr)
+
+    # The driver captures a byte-limited TAIL of stdout, so the LAST
+    # line must be a complete, compact JSON object. Full per-query
+    # detail lives in BENCH_DETAIL.json; the final line carries the
+    # headline plus the slowest queries, trimmed to stay safely under
+    # the capture window.
+    errors = sorted(n for n, t in timings.items() if t < 0)
+    slowest = sorted(
+        ((n, t) for n, t in timings.items() if t >= 0), key=lambda kv: -kv[1]
+    )
+    top: dict[str, float] = dict(slowest[:20])
+    summary = {
+        "metric": "suite_wall_clock",
+        "value": suite_wall,
+        "unit": "sec",
+        "queries": top,
+        "per_query_sum": per_query_sum,
+        "duck_sum": duck_sum,
+        "n_queries": len(timings),
+        "n_errors": len(errors),
+        "errors": errors[:5],
+        "over2x": over2x[:8],
+        "concurrency": concurrency,
+        "sf": sf,
+        "detail": "BENCH_DETAIL.json",
+    }
+    line = json.dumps(summary, separators=(",", ":"))
+    while len(line) > 1800 and top:
+        top.pop(min(top, key=top.get))
+        summary["queries"] = top
+        line = json.dumps(summary, separators=(",", ":"))
+    print(line)
     spark.stop()
 
 
