@@ -36,41 +36,69 @@ def pagerank(
 ) -> DataFrame:
     """PageRank over directed ``(src, dst)`` edges, fixed iteration
     count, ranks normalized to sum to the vertex count (the classic
-    1.0-per-vertex initialization). Dangling vertices (no out-edges)
+    1.0-per-vertex initialization). Duplicate edges collapse (the
+    unweighted-graph convention). Dangling vertices (no out-edges)
     keep receiving but stop distributing — their mass re-enters
     through the (1-d) teleport term, the standard simplification."""
-    # Weighted edges built ONCE: out-degree folds into a per-edge
-    # weight (1/deg), so the loop never joins the degree table again.
-    # The caller's edge plan (often an expensive self-join) is
-    # persisted first because the weight build scans it twice.
-    edges = edges.persist()
-    out_deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    # Weighted edges built ONCE as an adjacency aggregation: one
+    # shuffle on src dedups (collect_set), folds out-degree into the
+    # per-edge weight (1/|adj|), and leaves the exploded edge list
+    # HASH-PARTITIONED ON src — the layout every per-round rank join
+    # reuses. The rank table starts as a narrow projection of the
+    # vertex table (same hash layout on v), so in-loop joins are
+    # exchange-free: the only shuffle per iteration is the
+    # contribution groupBy, which map-side combines to one row per
+    # vertex before the wire.
+    #
+    # Broadcasting ranks instead (the tempting "vertices are small"
+    # plan — round 1's shape) is a scale trap: it collects O(V) rows
+    # to the driver and re-ships them to every executor EVERY round,
+    # and at 100 TB the vertex table is only small relative to edges,
+    # not in absolute terms. Co-partitioning costs nothing per round;
+    # AQE still runtime-broadcasts when ranks is genuinely tiny — the
+    # size guard stays accurate because it sees actual bytes.
+    #
+    # The pinned REPARTITION_BY_NUM (explicit N = the session's
+    # shuffle-partition count) matters: an ENSURE_REQUIREMENTS
+    # shuffle inside a cached plan is fair game for AQE partition
+    # coalescing, which erases the layout downstream joins rely on
+    # and re-shuffles the EDGE table every round (verified in the
+    # plan test). A number-pinned repartition is AQE-stable, so the
+    # cached layout survives and in-loop joins are exchange-free.
+    spark = edges.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    adj = edges.groupBy("src").agg(F.collect_set("dst").alias("ds"))
     w_edges = (
-        edges.join(out_deg, "src")
-        .select("src", "dst", (F.lit(1.0) / F.col("deg")).alias("w"))
+        adj.select(
+            "src",
+            F.explode("ds").alias("dst"),
+            (F.lit(1.0) / F.size("ds")).alias("w"),
+        )
+        .repartition(n_part, F.col("src"))
         .persist()
     )
     vertices = (
         w_edges.select(F.col("src").alias("v"))
         .unionByName(w_edges.select(F.col("dst").alias("v")))
         .distinct()
+        .repartition(n_part, F.col("v"))
         .persist()
     )
-    ranks = vertices.select("v", F.lit(1.0).alias("rank")).persist()
+    ranks = vertices.select("v", F.lit(1.0).alias("rank"))
     for i in range(iterations):
-        # Rank table is vertex-sized (tiny next to edges): BROADCAST
-        # it, so the big edge table is never shuffled inside the loop
-        # — per-iteration cost is a map-side join plus the partial-agg
-        # shuffle of contributions (combines to one row per vertex
-        # before the wire).
+        # shuffle_hash hints skip the per-round SMJ sorts: both joins
+        # are already clustered on the key, and the build side is the
+        # vertex-sized partition slice (V/N rows), the bounded side.
+        r = ranks.hint("shuffle_hash")
         contribs = (
-            w_edges.join(F.broadcast(ranks), w_edges.src == ranks.v)
+            w_edges.join(r, w_edges.src == r.v)
             .select(
                 F.col("dst").alias("v2"),
                 (F.col("rank") * F.col("w")).alias("c"),
             )
             .groupBy("v2")
             .agg(F.sum("c").alias("contrib"))
+            .hint("shuffle_hash")
         )
         # localCheckpoint (eager): materializes AND truncates lineage.
         # persist()+count() is not enough for an iterative loop — the
@@ -94,9 +122,10 @@ def pagerank(
         if i % 2 == 1 or i == iterations - 1:
             new_ranks = new_ranks.localCheckpoint()
         ranks = new_ranks
+    # The final-round localCheckpoint is eager and cuts lineage, so
+    # the static tables can be released before returning.
     vertices.unpersist()
     w_edges.unpersist()
-    edges.unpersist()
     return ranks
 
 
@@ -117,10 +146,9 @@ def part_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_partkey"
     )
     # Per-order part sets via ONE groupBy (the self-join form shuffles
-    # lineitem twice and then a third time for the distinct); pair
-    # expansion happens map-side over the tiny per-order arrays
-    # (orders have <=7 lines) and the final (src, dst) distinct is the
-    # only other shuffle, with map-side combine.
+    # lineitem twice); pair expansion happens map-side over the tiny
+    # per-order arrays (orders have <=7 lines), and dedup rides the
+    # adjacency shuffle inside pagerank() rather than paying its own.
     baskets = li.groupBy("l_orderkey").agg(
         F.collect_set("l_partkey").alias("ps")
     )
@@ -142,7 +170,8 @@ def part_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("p.src", "p.dst")
         .filter(F.col("src") != F.col("dst"))
-        .distinct()
+        # no .distinct(): pagerank's adjacency collect_set dedups on
+        # the same shuffle it already pays for the degree fold
     )
     return (
         pagerank(pairs)
