@@ -199,3 +199,35 @@ def test_pagerank_matches_python_reference(spark):
     assert set(got) == verts
     for v in verts:
         assert abs(got[v] - ranks[v]) < 1e-9, (v, got[v], ranks[v])
+
+
+def test_hot_shingle_cap_drops_saturated_posting_lists(spark):
+    """A shingle shared by more documents than the cap is a blocking
+    key with no dedup signal; its bucket must emit ZERO pairs, while
+    discriminative shingles still pair normally — the guard that
+    bounds the inverted index's quadratic worst case at scale."""
+    from citeconnect_datapipeline_spark.operators.dedup import (
+        _pair_overlap_counts,
+    )
+
+    # posting lists: hot shingle 100 -> docs 0..9 (over cap=5),
+    # shingle 200 -> docs 1,2 ; shingle 300 -> docs 1,2 ; 400 -> 3,4
+    rows = [(d, 100) for d in range(10)]
+    rows += [(1, 200), (2, 200), (1, 300), (2, 300), (3, 400), (4, 400)]
+    sh = spark.createDataFrame(rows, "doc_id long, sh long")
+
+    capped = {
+        (r.doc_a, r.doc_b, r.common)
+        for r in _pair_overlap_counts(sh, max_posting=5).collect()
+    }
+    assert capped == {(1, 2, 2), (3, 4, 1)}
+
+    # with the cap above the hot list's size, the bucket pairs fully:
+    # 10 docs -> all 45 pairs exist (both (1,2) and (3,4) fold in)
+    uncapped = {
+        (r.doc_a, r.doc_b, r.common)
+        for r in _pair_overlap_counts(sh, max_posting=50).collect()
+    }
+    assert len(uncapped) == 45
+    assert (1, 2, 3) in uncapped  # shingles 100+200+300
+    assert (3, 4, 2) in uncapped  # shingles 100+400
