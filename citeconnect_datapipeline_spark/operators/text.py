@@ -575,15 +575,22 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("term")
         .agg(F.count("*").alias("n_docs"))
     )
-    total = docs.count()
-    scored = tf.join(F.broadcast(df_counts), "term").select(
-        "doc_id",
-        "term",
-        F.round(
-            F.col("f")
-            * F.log(F.lit(float(total)) / F.col("n_docs")),
-            6,
-        ).alias("tfidf"),
+    # Corpus size as a broadcast 1-row aggregate folded into the
+    # plan (same move as top_decile_mean's threshold): a driver-side
+    # docs.count() would be an extra job and a serial barrier before
+    # the scoring stage could even be submitted.
+    total = docs.agg(F.count("*").cast("double").alias("n_total"))
+    scored = (
+        tf.join(F.broadcast(df_counts), "term")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("f") * F.log(F.col("n_total") / F.col("n_docs")),
+                6,
+            ).alias("tfidf"),
+        )
     )
     from pyspark.sql import Window
 

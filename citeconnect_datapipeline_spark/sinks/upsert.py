@@ -129,12 +129,34 @@ def foreach_partition_upsert(
     df.rdd.foreachPartition(lambda it: list(write_partition(it)))
 
 
+def _recover_swap(target_path: str) -> None:
+    """Roll an interrupted atomic swap to a consistent state. The
+    swap protocol is: (1) rename target -> target.old, (2) rename
+    staging -> target  [COMMIT POINT], (3) rmtree target.old. A crash
+    between (1) and (2) leaves only target.old -> roll BACK (the
+    merge never committed; restore the original). A crash between
+    (2) and (3) leaves both -> roll FORWARD (drop the old copy).
+    Stale staging dirs are removed either way."""
+    import shutil
+
+    old = f"{target_path}.old"
+    staging = f"{target_path}.staging"
+    if os.path.exists(old):
+        if os.path.exists(target_path):
+            shutil.rmtree(old)  # crashed after commit point
+        else:
+            os.rename(old, target_path)  # crashed before commit point
+    if os.path.exists(staging):
+        shutil.rmtree(staging)
+
+
 def merge_parquet(
     spark: SparkSession,
     changes: DataFrame,
     target_path: str,
     key: str,
     op_col: str = "_op",
+    seq_col: str | None = None,
 ) -> dict:
     """Full CDC MERGE into a parquet table: ``changes`` carries an
     operation column (``upsert`` | ``delete``); matched upserts
@@ -151,7 +173,39 @@ def merge_parquet(
     {inserted, updated, deleted, unchanged}. With a Delta/Iceberg
     target the same classification feeds a row-level MERGE and the
     swap disappears.
+
+    A batch may carry SEVERAL changes for one key (insert then
+    correct, update then retract): only the LAST one wins, ordered by
+    ``seq_col`` if given (a CDC LSN / event timestamp), else by the
+    batch's own row order — the same fold a row-by-row apply would
+    produce. The swap is crash-recoverable: interrupted runs are
+    rolled forward/back by ``_recover_swap`` before the merge reads
+    the target (see its docstring for the protocol).
     """
+    _recover_swap(target_path)
+    # Collapse to the latest change per key BEFORE classifying:
+    # without this, two upserts for one key both union into the
+    # target (duplicate key rows) and an upsert+delete pair applies
+    # both intents at once.
+    order = (
+        F.col(seq_col)
+        if seq_col
+        else F.monotonically_increasing_id()
+    )
+    changes = (
+        changes.withColumn("_seq", order)
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy(key).orderBy(F.desc("_seq"))
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_seq")
+    )
+    if seq_col:
+        # ordering metadata, like op_col — not part of the row payload
+        changes = changes.drop(seq_col)
     ops = changes.select(key, op_col).distinct()
     upserts = changes.filter(F.col(op_col) == "upsert").drop(op_col)
     del_keys = changes.filter(F.col(op_col) == "delete").select(key)

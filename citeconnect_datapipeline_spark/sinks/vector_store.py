@@ -94,14 +94,31 @@ class VectorStoreWriter(DataSourceWriter):
         return _StagedBatch(staged, n)
 
     def commit(self, messages) -> None:
+        messages = list(messages)
+        if self.overwrite:
+            # An overwrite that lands FEWER parts than the previous
+            # write must not leave the old tail parts behind — a
+            # reader would see a mix of two generations. Clear every
+            # prior part (and manifest) before publishing the new
+            # ones; the staged files are safe, they live in .staged/.
+            for name in _os.listdir(self.path):
+                if name.startswith("part-") and name.endswith(".jsonl"):
+                    _os.remove(_os.path.join(self.path, name))
+            _SUCCESS = _os.path.join(self.path, "_SUCCESS")
+            if _os.path.exists(_SUCCESS):
+                _os.remove(_SUCCESS)
         total = 0
         for i, m in enumerate(messages):
             final = _os.path.join(self.path, f"part-{i:05d}.jsonl")
             _os.replace(m.staged_path, final)
             total += m.n_rows
+        try:  # drop the now-empty staging dir
+            _os.rmdir(_os.path.join(self.path, ".staged"))
+        except OSError:
+            pass
         manifest = _os.path.join(self.path, "_SUCCESS")
         with open(manifest, "w") as f:
-            _json.dump({"n_rows": total, "parts": len(list(messages))}, f)
+            _json.dump({"n_rows": total, "parts": len(messages)}, f)
 
     def abort(self, messages) -> None:
         for m in messages:

@@ -266,11 +266,26 @@ def stateful_user_stats_tws(events: DataFrame) -> DataFrame:
             "transformWithStateInPandas requires the protobuf package"
         ) from exc
 
-    events.sparkSession.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
+    # Require — do not silently SET — the RocksDB provider: mutating
+    # the caller's shared session conf would flip the state-store
+    # implementation under every OTHER streaming query on the same
+    # session (an HDFS-backed job restarted mid-flight would lose its
+    # store format). The caller opts in on a session it owns:
+    #   spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+    #                  _ROCKSDB_PROVIDER)   # or a newSession() clone
+    rocksdb = (
         "org.apache.spark.sql.execution.streaming.state."
-        "RocksDBStateStoreProvider",
+        "RocksDBStateStoreProvider"
     )
+    provider = events.sparkSession.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", ""
+    )
+    if rocksdb not in (provider or ""):
+        raise RuntimeError(
+            "transformWithStateInPandas requires the RocksDB state "
+            "store; set spark.sql.streaming.stateStore.providerClass "
+            f"to {rocksdb} on the session that owns this stream"
+        )
 
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,

@@ -285,8 +285,9 @@ def test_vector_store_datasource_writer_two_phase_commit(spark, tmp_path):
     assert manifest["n_rows"] == 20
     parts = [f for f in os.listdir(store) if f.startswith("part-")]
     assert len(parts) == manifest["parts"] == 4
-    # no staged leftovers
-    assert not os.listdir(os.path.join(store, ".staged"))
+    # no staged leftovers (commit removes the then-empty staging dir)
+    staged = os.path.join(store, ".staged")
+    assert not os.path.exists(staged) or not os.listdir(staged)
     rows = [
         jsonlib.loads(line)
         for f in parts
@@ -389,3 +390,110 @@ def test_scd2_merge_versions_history(spark):
         ("b", "bio", "2024-01-01", None),
         ("c", "math", "2024-06-01", None),
     ]
+
+
+def test_merge_parquet_multiple_changes_per_key_last_wins(spark, tmp_path):
+    """A CDC batch carrying several changes for one key folds to the
+    LAST change (by seq_col when given, else batch order) — not one
+    row per change, and never both an upsert and its retraction."""
+    from citeconnect_datapipeline_spark.sinks.upsert import merge_parquet
+
+    target = str(tmp_path / "papers_tbl")
+    papers(spark, [("a", "ml", 1)]).write.parquet(target)
+
+    changes = spark.createDataFrame(
+        [
+            ("a", "ml", 10, "upsert", 1),   # superseded update
+            ("a", "ml", 11, "upsert", 2),   # last change for a: wins
+            ("b", "cs", 5, "upsert", 1),    # inserted ...
+            ("b", None, 0, "delete", 2),    # ... then retracted: net delete
+            ("c", "bio", 7, "upsert", 1),
+            ("c", "bio", 8, "upsert", 3),   # seq order, not row order
+            ("c", "bio", 9, "upsert", 2),
+        ],
+        "paper_id string, domain string, score int, _op string, seq int",
+    )
+    merge_parquet(spark, changes, target, "paper_id", seq_col="seq")
+    got = {
+        r.paper_id: r.score for r in spark.read.parquet(target).collect()
+    }
+    assert got == {"a": 11, "c": 8}
+
+
+def test_merge_parquet_interrupted_swap_recovers(spark, tmp_path):
+    """Crash simulation around the atomic-swap commit point: a
+    leftover target.old WITHOUT a target (crash between the two
+    renames) rolls back to the pre-merge table; a leftover
+    target.old WITH a target (crash before cleanup) rolls forward."""
+    import os
+    import shutil
+
+    from citeconnect_datapipeline_spark.sinks.upsert import merge_parquet
+
+    target = str(tmp_path / "tbl")
+    papers(spark, [("a", "ml", 1)]).write.parquet(target)
+
+    # crash between rename(target, old) and rename(staging, target):
+    os.rename(target, f"{target}.old")
+    changes = spark.createDataFrame(
+        [("b", "cs", 2, "upsert")],
+        "paper_id string, domain string, score int, _op string",
+    )
+    merge_parquet(spark, changes, target, "paper_id")
+    got = {r.paper_id for r in spark.read.parquet(target).collect()}
+    assert got == {"a", "b"}  # rolled back to {a}, then merged b
+    assert not os.path.exists(f"{target}.old")
+
+    # crash after commit point, before old-dir cleanup:
+    shutil.copytree(target, f"{target}.old")
+    merge_parquet(
+        spark,
+        spark.createDataFrame(
+            [("c", "bio", 3, "upsert")],
+            "paper_id string, domain string, score int, _op string",
+        ),
+        target,
+        "paper_id",
+    )
+    got = {r.paper_id for r in spark.read.parquet(target).collect()}
+    assert got == {"a", "b", "c"}  # rolled forward: old copy dropped
+    assert not os.path.exists(f"{target}.old")
+
+
+def test_vector_store_overwrite_clears_stale_parts(spark, tmp_path):
+    """Overwriting with FEWER partitions must not leave previous-
+    generation part files behind (a reader would union two writes)."""
+    import json
+    import os
+
+    from citeconnect_datapipeline_spark.sinks.vector_store import (
+        VectorStoreDataSource,
+    )
+
+    spark.dataSource.register(VectorStoreDataSource)
+    store = str(tmp_path / "vstore")
+    os.makedirs(store)
+
+    big = spark.range(0, 40).selectExpr("id", "cast(id as string) v")
+    big.repartition(8).write.format("vector_store").option(
+        "path", store
+    ).mode("overwrite").save()
+    n_parts_before = len(
+        [p for p in os.listdir(store) if p.startswith("part-")]
+    )
+    assert n_parts_before == 8
+
+    small = spark.range(0, 3).selectExpr("id", "cast(id as string) v")
+    small.repartition(2).write.format("vector_store").option(
+        "path", store
+    ).mode("overwrite").save()
+    parts = sorted(p for p in os.listdir(store) if p.startswith("part-"))
+    assert len(parts) == 2, parts
+    n_rows = sum(
+        1
+        for p in parts
+        for _ in open(os.path.join(store, p))
+    )
+    assert n_rows == 3
+    manifest = json.load(open(os.path.join(store, "_SUCCESS")))
+    assert manifest == {"n_rows": 3, "parts": 2}

@@ -235,15 +235,23 @@ def test_transform_with_state_matches_old_api(spark, tmp_path):
         events.filter(F.col("event_id") % 2 == i).coalesce(1).write.parquet(
             str(src / f"f{i}")
         )
+    # TWS requires RocksDB: opt in on a session CLONE — the operator
+    # refuses to mutate a shared session's state-store provider
+    s = spark.newSession()
+    s.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
     stream = (
-        spark.readStream.schema(events.schema)
+        s.readStream.schema(events.schema)
         .option("maxFilesPerTrigger", 1)
         .option("recursiveFileLookup", "true")
         .parquet(str(src))
     )
     out = stateful_user_stats_tws(stream)
     run_to_memory(out, "user_stats_tws", output_mode="update")
-    emitted = spark.table("user_stats_tws").toPandas()
+    emitted = s.table("user_stats_tws").toPandas()  # view lives on the clone
     final = (
         emitted.sort_values(["user_id", "n_events"])
         .groupby("user_id")
