@@ -242,6 +242,154 @@ def chunk_documents_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _chunk_text_sentence_preserving(
+    text: str,
+    chunk_size: int,
+    overlap: int,
+    min_chunk_size: int,
+) -> list[tuple[int, str, int, int, int]]:
+    """The reference chunker's EXACT accumulation semantics
+    (chunker.py:53-124 drive loop, :126-129 sentence regex, :131-137
+    len//4 token estimate, :160-168 char-tail overlap, :170-214
+    word-level force-split of oversized sentences), as a plain
+    function so both the Spark operator and tests call one body.
+
+    Returns (pos, chunk_text, token_count, start_char, end_char)
+    tuples. Two reference quirks are preserved deliberately —
+    fidelity means chunk boundaries (and so every downstream
+    embedding and near-dup verdict) match the reference run for run:
+    * force-split chunks report start_char=0 / end_char=len(piece)
+      (chunker.py:196-197,207-208);
+    * char_position advances by raw sentence length, ignoring the
+      whitespace the split consumed (chunker.py:115).
+    """
+    import re
+
+    def est(t: str) -> int:
+        return max(1, len(t) // 4)
+
+    if not text or len(text) < min_chunk_size:
+        return []
+    sentences = [
+        s.strip()
+        for s in re.split(r"(?<=[.!?])\s+", text)
+        if s.strip()
+    ]
+    out: list[tuple[int, str, int, int, int]] = []
+    cur: list[str] = []
+    cur_tokens = 0
+    char_pos = 0
+    pos = 0
+
+    def emit(sents: list[str], p: int, start: int) -> None:
+        t = " ".join(sents)
+        out.append((p, t, est(t), start, start + len(t)))
+
+    for sentence in sentences:
+        s_tokens = est(sentence)
+        if s_tokens > chunk_size:
+            if cur:
+                emit(cur, pos, char_pos)
+                pos += 1
+                cur = []
+                cur_tokens = 0
+            # word-level force split (chunker.py:170-214)
+            words_acc: list[str] = []
+            acc_tokens = 0
+            for word in sentence.split():
+                w_tokens = est(word)
+                if acc_tokens + w_tokens > chunk_size:
+                    if words_acc:
+                        piece = " ".join(words_acc)
+                        out.append(
+                            (pos, piece, est(piece), 0, len(piece))
+                        )
+                        pos += 1
+                    words_acc = [word]
+                    acc_tokens = w_tokens
+                else:
+                    words_acc.append(word)
+                    acc_tokens += w_tokens
+            if words_acc:
+                piece = " ".join(words_acc)
+                out.append((pos, piece, est(piece), 0, len(piece)))
+                pos += 1
+            char_pos += len(sentence)
+            continue
+        if cur_tokens + s_tokens > chunk_size and cur:
+            emit(cur, pos, char_pos)
+            pos += 1
+            combined = " ".join(cur)
+            if est(combined) <= overlap:
+                ov = combined
+            else:
+                oc = overlap * 4
+                ov = combined[-oc:] if len(combined) > oc else combined
+            cur = [ov] if ov else []
+            cur_tokens = est(ov) if ov else 0
+        cur.append(sentence)
+        cur_tokens += s_tokens
+        char_pos += len(sentence)
+    if cur:
+        emit(cur, pos, char_pos)
+    return out
+
+
+@query("chunk_documents_sentences")  # rows-only: stateful sentence
+# accumulation with char-tail overlap is not SQL-expressible — the
+# overlap carried into chunk k depends on every sentence before it
+def chunk_documents_sentences(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """T2 at reference fidelity: sentence-PRESERVING chunking — full
+    sentences accumulate until the token budget, a char-tail overlap
+    seeds the next chunk, and a single sentence over the budget is
+    force-split on words (chunker.py:53-124,170-214). The SQL
+    sliding-window chunker (``chunk_documents``) keeps uniform
+    windows; this one keeps SEMANTIC boundaries, which is what the
+    reference embeds.
+
+    Spark shape: Arrow-batched ``mapInPandas`` over (doc_id, text) —
+    per-document independent, so it scales embarrassingly with input
+    splits; no shuffle, the same 1→N explosion profile as the SQL
+    form. Scaled-down budget (64 tokens / 16 overlap / 40 min-chars
+    vs the reference's 512/50/100, embeddings/config.py:63-64) so the
+    ~50-word synthetic docs exercise multi-chunk accumulation, not
+    just the single-chunk fast path."""
+    chunk_size, overlap, min_chunk = 64, 16, 40
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("pos", IntegerType()),
+            StructField("chunk_id", StringType()),
+            StructField("chunk_text", StringType()),
+            StructField("token_count", IntegerType()),
+            StructField("start_char", IntegerType()),
+            StructField("end_char", IntegerType()),
+        ]
+    )
+
+    def chunk_batch(batches):
+        for pdf in batches:
+            rows: dict[str, list] = {f.name: [] for f in schema.fields}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                for pos, t, tok, sc, ec in _chunk_text_sentence_preserving(
+                    text, chunk_size, overlap, min_chunk
+                ):
+                    rows["doc_id"].append(doc_id)
+                    rows["pos"].append(pos)
+                    rows["chunk_id"].append(f"{doc_id}_chunk_{pos}")
+                    rows["chunk_text"].append(t)
+                    rows["token_count"].append(tok)
+                    rows["start_char"].append(sc)
+                    rows["end_char"].append(ec)
+            yield pd.DataFrame(rows)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInPandas(chunk_batch, schema).orderBy("doc_id", "pos")
+
+
 @query(
     "word_freq_topk",
     oracle=f"""
