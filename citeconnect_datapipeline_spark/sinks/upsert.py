@@ -24,7 +24,7 @@ The streaming variant (foreachBatch MERGE) lives in
 from __future__ import annotations
 
 import os
-from typing import Callable, Iterable, Iterator
+from typing import Any, Callable, Iterable, Iterator
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -127,6 +127,127 @@ def foreach_partition_upsert(
     # foreachPartition is an action; rdd form keeps Arrow out of the
     # driver->executor path for plain tuples.
     df.rdd.foreachPartition(lambda it: list(write_partition(it)))
+
+
+class TransientWriteError(Exception):
+    """A retryable store-side failure (serialization conflict,
+    connection blip, deadlock victim). Connection factories raise /
+    wrap this to opt a failure into the batch retry loop; anything
+    else is treated as a data error and isolated per row."""
+
+
+def jdbc_upsert(
+    df: DataFrame,
+    table: str,
+    key: str,
+    connection_factory: Callable[[], Any],
+    batch_size: int = 100,
+    on_conflict: str = "nothing",
+    max_retries: int = 3,
+    retry_backoff_s: float = 0.1,
+) -> dict:
+    """K3's real text path: per-partition batched
+    ``INSERT ... ON CONFLICT (key) DO NOTHING | DO UPDATE`` through a
+    DB-API connection — the reference's upload loop
+    (upload_papers_to_supabase.py:228-276 builds the ON CONFLICT
+    statement per paper, :347-372 drives batches of 100) restated
+    with one connection per PARTITION and set-based executemany
+    instead of a single asyncpg connection fed row by row.
+
+    * ``connection_factory`` is injected (this container has no
+      Postgres; tests pass an in-memory double, production passes a
+      psycopg/JDBC wrapper). It runs once per partition ON THE
+      EXECUTOR, so it must be picklable and must not close over a
+      live connection.
+    * Conflict accounting uses DB-API ``rowcount`` after an
+      executemany: with DO NOTHING, rowcount = rows actually
+      inserted, so skipped = batch - rowcount — the reference's
+      'skipped' statistic without its per-row existing_ids set
+      (which would be O(all ids) driver state at scale).
+    * A batch that raises ``TransientWriteError`` retries up to
+      ``max_retries`` with linear backoff, then — like any other
+      exception — falls back to row-at-a-time execution so one bad
+      row costs one 'failed', not the batch
+      (upload_papers_to_supabase.py:268-271's per-paper continue).
+
+    Returns aggregate {attempted, inserted, skipped, failed,
+    retried} across partitions — collected as one tiny stats row per
+    task, never the data itself.
+    """
+    if on_conflict not in ("nothing", "update"):
+        raise ValueError("on_conflict must be 'nothing' or 'update'")
+    cols = list(df.columns)
+    if key not in cols:
+        raise ValueError(f"key column {key!r} not in DataFrame")
+    placeholders = ", ".join(["%s"] * len(cols))
+    if on_conflict == "nothing":
+        conflict_clause = f"ON CONFLICT ({key}) DO NOTHING"
+    else:
+        sets = ", ".join(
+            f"{c} = EXCLUDED.{c}" for c in cols if c != key
+        )
+        conflict_clause = f"ON CONFLICT ({key}) DO UPDATE SET {sets}"
+    sql = (
+        f"INSERT INTO {table} ({', '.join(cols)}) "
+        f"VALUES ({placeholders}) {conflict_clause}"
+    )
+
+    def run_partition(rows: Iterable) -> Iterator[tuple]:
+        import time as _time
+
+        conn = connection_factory()
+        cur = conn.cursor()
+        attempted = inserted = skipped = failed = retried = 0
+
+        def flush(batch: list[tuple]) -> None:
+            nonlocal inserted, skipped, failed, retried
+            if not batch:
+                return
+            for attempt in range(max_retries + 1):
+                try:
+                    cur.executemany(sql, batch)
+                    conn.commit()
+                    n = cur.rowcount if cur.rowcount >= 0 else len(batch)
+                    inserted += n
+                    skipped += len(batch) - n
+                    return
+                except TransientWriteError:
+                    if attempt == max_retries:
+                        break  # exhausted: isolate rows below
+                    retried += 1
+                    _time.sleep(retry_backoff_s * (attempt + 1))
+                except Exception:
+                    break  # data error somewhere in the batch
+            # row-at-a-time fallback: one bad row = one 'failed'
+            for row in batch:
+                try:
+                    cur.execute(sql, row)
+                    conn.commit()
+                    n = cur.rowcount if cur.rowcount >= 0 else 1
+                    inserted += n
+                    skipped += 1 - n
+                except Exception:
+                    failed += 1
+
+        batch: list[tuple] = []
+        for row in rows:
+            attempted += 1
+            batch.append(tuple(row))
+            if len(batch) >= batch_size:
+                flush(batch)
+                batch = []
+        flush(batch)
+        try:
+            conn.close()
+        except Exception:
+            pass
+        yield (attempted, inserted, skipped, failed, retried)
+
+    totals = df.rdd.mapPartitions(run_partition).collect()
+    keys = ("attempted", "inserted", "skipped", "failed", "retried")
+    return {
+        k: sum(t[i] for t in totals) for i, k in enumerate(keys)
+    }
 
 
 def _recover_swap(target_path: str) -> None:
