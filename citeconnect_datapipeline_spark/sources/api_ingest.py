@@ -94,6 +94,53 @@ class TokenBucket:
             waited += need
 
 
+class ApiKeyPool:
+    """Thread-safe round-robin API key rotation (the reference's
+    APIKeyManager, api_key_manager.py:14-60: comma-separated key list,
+    lock-guarded cycle). ``start`` offsets the cycle so N Spark tasks
+    seeded with consecutive starts spread load across keys instead of
+    rotating in lockstep.
+
+    Not picklable (holds a lock) by design — ship the raw key tuple
+    to executors and build a pool per task (see
+    fetch_papers_distributed)."""
+
+    def __init__(self, keys: Iterable[str], start: int = 0):
+        import threading
+
+        self._keys = [k for k in keys if k]
+        self._i = start % len(self._keys) if self._keys else 0
+        self._lock = threading.Lock()
+
+    def __len__(self) -> int:
+        return len(self._keys)
+
+    @property
+    def keys(self) -> tuple[str, ...]:
+        return tuple(self._keys)
+
+    def next_key(self) -> str | None:
+        if not self._keys:
+            return None
+        with self._lock:
+            key = self._keys[self._i]
+            self._i = (self._i + 1) % len(self._keys)
+            return key
+
+
+def adaptive_max_concurrent(n_keys: int, requested: int = 10) -> int:
+    """The reference's key-count → concurrency tiering (main.py:
+    111-131): 1 key caps at 3 concurrent, 2 keys at 5, 3+ run the
+    requested fan-out. In the Spark restatement 'concurrent requests'
+    = partitions each holding one rate-limited client, so this sizes
+    ``num_tasks``."""
+    if n_keys <= 1:
+        return min(3, requested)
+    if n_keys == 2:
+        return min(5, requested)
+    return requested
+
+
 @dataclass
 class ApiClientConfig:
     rate_per_sec: float = 1.0
@@ -125,8 +172,16 @@ class ApiClient:
     transport: Transport
     config: ApiClientConfig = field(default_factory=ApiClientConfig)
     sleeper: Callable[[float], None] = time.sleep
+    # Optional key rotation: each request takes the pool's next key
+    # and sends it as the x-api-key header (semantic_scholar_client.py
+    # :308-310 rotates per request under the semaphore). Transports
+    # that don't accept a ``headers`` kwarg (the 2-arg test doubles)
+    # are detected once and called without it.
+    key_pool: "ApiKeyPool | None" = None
 
     def __post_init__(self) -> None:
+        import inspect
+
         self._bucket = TokenBucket(
             self.config.rate_per_sec,
             self.config.burst,
@@ -134,6 +189,18 @@ class ApiClient:
         )
         self.request_count = 0
         self.retry_count = 0
+        try:
+            sig = inspect.signature(self.transport)
+            self._transport_takes_headers = "headers" in sig.parameters
+        except (TypeError, ValueError):
+            self._transport_takes_headers = False
+
+    def _send(self, endpoint: str, params: dict[str, Any]) -> dict:
+        key = self.key_pool.next_key() if self.key_pool else None
+        if self._transport_takes_headers:
+            headers = {"x-api-key": key} if key else {}
+            return self.transport(endpoint, params, headers=headers)
+        return self.transport(endpoint, params)
 
     # -- core request with rate limit + retry/backoff ------------------
     def _request(self, endpoint: str, params: dict[str, Any]) -> dict:
@@ -143,7 +210,7 @@ class ApiClient:
             self._bucket.acquire()
             self.request_count += 1
             try:
-                return self.transport(endpoint, dict(params))
+                return self._send(endpoint, dict(params))
             except TransportError as exc:
                 self.retry_count += 1
                 if exc.status == 429:
@@ -316,20 +383,32 @@ def fetch_papers_distributed(
     transport_factory: Callable[[], Transport],
     config: ApiClientConfig | None = None,
     num_tasks: int | None = None,
+    api_keys: Iterable[str] = (),
+    max_concurrent: int = 10,
 ) -> DataFrame:
     """S3: batched id fan-out as ``mapPartitions``.
 
     One ``ApiClient`` (own token bucket) per partition; aggregate rate
     = ``num_tasks * rate_per_sec`` — choose ``num_tasks`` to match the
-    provider's global ceiling (the reference sizes a semaphore by API
-    key count, main.py:111-131; here the same dial is the partition
-    count). ``transport_factory`` must be picklable (module-level
-    function / functools.partial) because it ships to executors.
+    provider's global ceiling. When ``num_tasks`` is not given it is
+    sized ADAPTIVELY from the key-pool size exactly as the reference
+    sizes its semaphore (main.py:111-131: 1 key → 3, 2 keys → 5, 3+ →
+    ``max_concurrent``). Each task builds its own ``ApiKeyPool`` over
+    the shipped key tuple, cycle-offset by partition index so the
+    fleet spreads across keys instead of rotating in lockstep
+    (api_key_manager.py's process-wide cycle, distributed).
+
+    ``transport_factory`` must be picklable (module-level function /
+    functools.partial) because it ships to executors.
     """
     cfg = config or ApiClientConfig()
+    keys = tuple(k for k in api_keys if k)
+    if num_tasks is None and keys:
+        num_tasks = adaptive_max_concurrent(len(keys), max_concurrent)
 
-    def fetch_partition(rows: Iterable) -> Iterator[tuple]:
-        client = ApiClient(transport_factory(), cfg)
+    def fetch_partition(pid: int, rows: Iterable) -> Iterator[tuple]:
+        pool = ApiKeyPool(keys, start=pid) if keys else None
+        client = ApiClient(transport_factory(), cfg, key_pool=pool)
         for row in rows:
             payload = client.get_paper(row[0])
             if payload:
@@ -339,7 +418,7 @@ def fetch_papers_distributed(
     if num_tasks:
         ids = ids.repartition(num_tasks)
     return spark.createDataFrame(
-        ids.rdd.mapPartitions(fetch_partition), PAPER_SCHEMA
+        ids.rdd.mapPartitionsWithIndex(fetch_partition), PAPER_SCHEMA
     )
 
 
@@ -350,15 +429,22 @@ def fetch_reference_edges_distributed(
     config: ApiClientConfig | None = None,
     max_refs_per_paper: int = 50,
     num_tasks: int | None = None,
+    api_keys: Iterable[str] = (),
+    max_concurrent: int = 10,
 ) -> DataFrame:
     """S5: reference fan-out producing the citation edge list
     ``(src_paper_id, dst_paper_id)`` — the distributed form of the
     reference's dict paperId -> [ref ids] (semantic_scholar_client.py:
-    441-494), ready for the D6 graph-expansion join."""
+    441-494), ready for the D6 graph-expansion join. Key rotation and
+    adaptive task sizing as in ``fetch_papers_distributed``."""
     cfg = config or ApiClientConfig()
+    keys = tuple(k for k in api_keys if k)
+    if num_tasks is None and keys:
+        num_tasks = adaptive_max_concurrent(len(keys), max_concurrent)
 
-    def fetch_partition(rows: Iterable) -> Iterator[tuple]:
-        client = ApiClient(transport_factory(), cfg)
+    def fetch_partition(pid: int, rows: Iterable) -> Iterator[tuple]:
+        pool = ApiKeyPool(keys, start=pid) if keys else None
+        client = ApiClient(transport_factory(), cfg, key_pool=pool)
         for row in rows:
             for ref in client.get_references(row[0], max_refs_per_paper):
                 yield (row[0], ref)
@@ -367,5 +453,5 @@ def fetch_reference_edges_distributed(
     if num_tasks:
         ids = ids.repartition(num_tasks)
     return spark.createDataFrame(
-        ids.rdd.mapPartitions(fetch_partition), EDGE_SCHEMA
+        ids.rdd.mapPartitionsWithIndex(fetch_partition), EDGE_SCHEMA
     )

@@ -64,3 +64,30 @@ class FakeTransport:
 def fake_transport_factory() -> Transport:
     """Picklable factory for mapPartitions fan-out."""
     return FakeTransport()
+
+
+class HeaderRecordingTransport(FakeTransport):
+    """FakeTransport with the PRODUCTION signature (accepts the
+    ``headers`` kwarg, so the client's key-rotation path engages) that
+    records every x-api-key — in memory and, when ``log_file`` is
+    given, appended to disk so executor-side usage is observable from
+    the test process."""
+
+    def __init__(
+        self,
+        log_file: str | None = None,
+        fail_plan: list[int] | None = None,
+    ):
+        super().__init__(fail_plan)
+        self.log_file = log_file
+        self.keys_seen: list[str | None] = []
+
+    def __call__(  # type: ignore[override]
+        self, endpoint: str, params: dict, headers: dict | None = None
+    ) -> dict:
+        key = (headers or {}).get("x-api-key")
+        self.keys_seen.append(key)
+        if self.log_file and key:
+            with open(self.log_file, "a") as f:
+                f.write(key + "\n")
+        return super().__call__(endpoint, params)

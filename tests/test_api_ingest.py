@@ -251,3 +251,92 @@ def test_paper_search_datasource_pushes_year_filter(spark):
     # declined IsNotNull may remain as a residual post-scan Filter).
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert ">= 2010" not in plan and "< 2015" not in plan, plan
+
+
+# ---------------------------------------------------------------------
+# S3 completion: key rotation + adaptive concurrency
+# ---------------------------------------------------------------------
+
+
+def test_api_key_pool_round_robin_and_offset():
+    from citeconnect_datapipeline_spark.sources.api_ingest import ApiKeyPool
+
+    pool = ApiKeyPool(["a", "b", "c"])
+    assert [pool.next_key() for _ in range(5)] == ["a", "b", "c", "a", "b"]
+    # partition-offset start spreads tasks across the key space
+    assert ApiKeyPool(["a", "b", "c"], start=1).next_key() == "b"
+    assert ApiKeyPool(["a", "b", "c"], start=5).next_key() == "c"
+    assert len(ApiKeyPool([])) == 0
+    assert ApiKeyPool([]).next_key() is None
+
+
+def test_adaptive_concurrency_tiers():
+    """main.py:111-131's tiering: 1 key -> 3, 2 keys -> 5, 3+ -> the
+    requested fan-out; never above the request."""
+    from citeconnect_datapipeline_spark.sources.api_ingest import (
+        adaptive_max_concurrent,
+    )
+
+    assert adaptive_max_concurrent(1, 10) == 3
+    assert adaptive_max_concurrent(2, 10) == 5
+    assert adaptive_max_concurrent(3, 10) == 10
+    assert adaptive_max_concurrent(8, 10) == 10
+    assert adaptive_max_concurrent(1, 2) == 2
+    assert adaptive_max_concurrent(2, 4) == 4
+
+
+def test_client_rotates_keys_per_request():
+    """Each request takes the pool's next key as x-api-key; a
+    2-arg transport double (no headers kwarg) still works keyless."""
+    from citeconnect_datapipeline_spark.sources.api_ingest import ApiKeyPool
+    from citeconnect_datapipeline_spark.sources.fake_transport import (
+        HeaderRecordingTransport,
+    )
+
+    transport = HeaderRecordingTransport()
+    client = ApiClient(
+        transport,
+        ApiClientConfig(rate_per_sec=1e9),
+        sleeper=no_sleep,
+        key_pool=ApiKeyPool(["k1", "k2"]),
+    )
+    for pid in ("p1", "p2", "p3"):
+        client.get_paper(pid)
+    assert transport.keys_seen == ["k1", "k2", "k1"]
+
+    # legacy 2-arg transport: rotation silently off, requests still flow
+    legacy = FakeTransport()
+    client2 = ApiClient(
+        legacy,
+        ApiClientConfig(rate_per_sec=1e9),
+        sleeper=no_sleep,
+        key_pool=ApiKeyPool(["k1"]),
+    )
+    assert client2.get_paper("p1")["paperId"] == "p1"
+
+
+def test_fetch_papers_distributed_key_rotation_adaptive(spark, tmp_path):
+    """2 keys -> 5 tasks (adaptive), every key exercised across the
+    executor fleet, results complete."""
+    from functools import partial
+
+    from citeconnect_datapipeline_spark.sources.fake_transport import (
+        HeaderRecordingTransport,
+    )
+
+    log = str(tmp_path / "keys_used.txt")
+    ids = spark.createDataFrame(
+        [(f"p{i}",) for i in range(20)], "paper_id string"
+    )
+    out = fetch_papers_distributed(
+        spark,
+        ids,
+        partial(HeaderRecordingTransport, log),
+        ApiClientConfig(rate_per_sec=1e9),
+        api_keys=("k1", "k2"),
+    )
+    assert out.rdd.getNumPartitions() == 5  # adaptive_max_concurrent(2)
+    rows = {r["paperId"] for r in out.collect()}
+    assert rows == {f"p{i}" for i in range(20)}
+    used = set(open(log).read().split())
+    assert used == {"k1", "k2"}
