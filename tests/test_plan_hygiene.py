@@ -27,6 +27,8 @@ NESTED_LOOP_OK = {
     "graph_2hop_frontier",
     "mitigation_recommendations",
     "theta_audience_overlap",
+    "tfidf_top_terms",  # corpus-size 1-row broadcast (was a
+    # driver-side docs.count() barrier before round 3)
     "top_decile_mean",
 }
 
