@@ -67,6 +67,11 @@ def main() -> None:
             "ngram_jaccard_topk",
             "media_decode_features",
             "embedding_neardup_pairs",
+            # full-parallelism mapInPandas: spins up ALL Python
+            # workers (the other Python warms touch only a few
+            # source partitions; the first 32-way fan-out otherwise
+            # pays ~32 worker spin-ups inside a measured query)
+            "content_extract_4tier",
         ):
             if wname in queries:
                 try:

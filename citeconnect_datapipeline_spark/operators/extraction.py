@@ -118,10 +118,16 @@ def content_extract_4tier(spark: SparkSession, sf_dir: str) -> DataFrame:
     the length gate — same semantics, no per-row Python in the
     decision path."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    # The source is a handful of parquet files; repartition so the
-    # (I/O-bound in production) tier-fetch stage fans out across all
-    # workers instead of serializing on one Python worker per file.
-    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    # RANGE-partition on the output order key BEFORE the Python
+    # stage: (a) the (I/O-bound in production) tier fetch fans out
+    # across all workers instead of serializing on one Python worker
+    # per source file, and (b) the final global order becomes a cheap
+    # per-partition sort — a trailing orderBy would range-SAMPLE its
+    # child and re-execute the whole Python stage a second time
+    # (measured ~2x on this query).
+    docs = docs.repartitionByRange(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     tiers = docs.mapInPandas(_fetch_tiers, _TIER_SCHEMA)
 
     def gate(c):
@@ -148,7 +154,9 @@ def content_extract_4tier(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("quality"),
             F.length(content).cast("long").alias("intro_length"),
         )
-        .orderBy("doc_id")
+        # partitions are already doc_id ranges: a within-partition
+        # sort yields global order with no extra exchange or re-run
+        .sortWithinPartitions("doc_id")
     )
 
 

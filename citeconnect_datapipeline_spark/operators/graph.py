@@ -256,12 +256,19 @@ def copurchase_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey")
         .agg(F.count("*").alias("c"))
     )
-    total = li.select("l_orderkey").distinct().count()
+    # PMI denominator (total basket count) as a broadcast 1-row
+    # aggregate folded into the plan — a driver-side .count() here
+    # was a full extra job plus a serial barrier before the scoring
+    # stage could submit (same fix as tfidf_top_terms).
+    total = li.agg(
+        F.countDistinct("l_orderkey").cast("double").alias("n_total")
+    )
     ca = F.broadcast(part_counts).alias("ca")
     cb = F.broadcast(part_counts).alias("cb")
     return (
         pair_counts.join(ca, pair_counts.pa == F.col("ca.l_partkey"))
         .join(cb, pair_counts.pb == F.col("cb.l_partkey"))
+        .crossJoin(F.broadcast(total))
         .select(
             "pa",
             "pb",
@@ -269,7 +276,7 @@ def copurchase_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.log(
                     F.col("cab").cast("double")
-                    * F.lit(float(total))
+                    * F.col("n_total")
                     / (F.col("ca.c") * F.col("cb.c"))
                 ),
                 6,

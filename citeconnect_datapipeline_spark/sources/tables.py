@@ -77,17 +77,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn(
                 "ts", F.timestamp_micros(F.expr("ts div 1000"))
             )
-        elif field.name == "ts" and meta_type == "TimestampNTZType()":
+        elif meta_type == "TimestampNTZType()":
             # Lakes that write parquet timestamp[us] WITHOUT a UTC
-            # adjustment flag surface as TIMESTAMP_NTZ, which rejects
-            # instant-based ops (unix_micros, withWatermark). The
-            # session TZ is pinned UTC above, so casting to the
-            # instant type is value-preserving: same wall-clock
-            # micros, now watermark/epoch-capable. (Reference
-            # analogue: defensive dtype normalization on every read,
-            # utils/gcs_reader.py:127-171.)
+            # adjustment flag surface as TIMESTAMP_NTZ (events.ts,
+            # orders.o_orderdate, lineitem.l_shipdate on the current
+            # lake), which rejects instant-based ops (unix_micros,
+            # withWatermark). The session TZ is pinned UTC above, so
+            # casting to the instant type is value-preserving: same
+            # wall-clock micros, now watermark/epoch-capable.
+            # (Reference analogue: defensive dtype normalization on
+            # every read, utils/gcs_reader.py:127-171.)
             df = df.withColumn(
-                "ts", F.col("ts").cast("timestamp")
+                field.name, F.col(field.name).cast("timestamp")
             )
     return df
 
