@@ -544,6 +544,14 @@ def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = propagated.select("v", "label")
         if changed == 0:
             break
+    # Cut lineage AND release every loop cache before returning: the
+    # final round's persist otherwise outlives the query (each suite
+    # run leaked one vertex-sized cache, compounding into executor
+    # memory pressure across a 100-query session). labels is
+    # vertex-sized; localCheckpoint is already materialized by the
+    # convergence count's job, so this is a cheap copy, not a rerun.
+    labels = labels.localCheckpoint()
+    cached.unpersist()
     edges.unpersist()
     return labels.select(
         F.col("v").alias("doc_id"),
