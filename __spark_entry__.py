@@ -70,14 +70,20 @@ _DRIVER_VERIFIED = frozenset(
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md SS2, ordered
     so the driver's prefix-window correctness check reaches queries
-    that don't yet have a verified row (see _DRIVER_VERIFIED)."""
+    that don't yet have a verified row (see _DRIVER_VERIFIED).
+    Within the unverified set, ORACLED queries come before rows-only
+    ones — a hash-MATCH row is the stronger evidence, so it earns the
+    window slot first."""
     qs = get_queries()
-    order = [n for n in _RECHECK_FIRST if n in qs]
-    order += [
+    oracled = set(get_oracles())
+    unverified = [
         n
         for n in qs
         if n not in _DRIVER_VERIFIED and n not in _RECHECK_FIRST
     ]
+    order = [n for n in _RECHECK_FIRST if n in qs]
+    order += [n for n in unverified if n in oracled]
+    order += [n for n in unverified if n not in oracled]
     order += [
         n
         for n in qs
