@@ -382,3 +382,64 @@ def curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split", "lang")
     )
+
+
+@query("sentence_chunk_embed_e2e")  # rows-only: sentence accumulation
+# + model inference are not SQL-expressible
+def sentence_chunk_embed_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's ACTUAL embedding flow at chunk-boundary
+    fidelity (§3.3 with the real chunker): clean (T1) →
+    sentence-preserving 512-token-style chunking (T2,
+    chunker.py:53-124) → batch-embed (T4) → cosine top-10 (T5/T6).
+    ``chunk_embed_search_e2e`` uses uniform windows; this variant
+    produces the chunk boundaries the reference's embeddings actually
+    see, so downstream similarity results are comparable run-for-run.
+
+    Scale shape: chunking and embedding are FUSED into ONE
+    mapInPandas stage — the chunk explosion happens inside the same
+    Arrow batch that feeds the encoder, so intermediate chunks never
+    cross a stage boundary (no second Python round-trip, no shuffle;
+    the reference pickles chunks to GCS between these steps). The
+    scaled-down budget matches chunk_documents_sentences."""
+    from ..operators.similarity import _FakeModel, _dot
+    from ..operators.text import _chunk_text_sentence_preserving
+
+    chunk_size, overlap, min_chunk = 64, 16, 40
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _cleaned(F.col("text")).alias("content")
+    )
+
+    def chunk_and_embed(batches):
+        model = _FakeModel.get()
+        for pdf in batches:
+            ids, poss, texts = [], [], []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                for pos, t, _tok, _sc, _ec in (
+                    _chunk_text_sentence_preserving(
+                        content, chunk_size, overlap, min_chunk
+                    )
+                ):
+                    ids.append(doc_id)
+                    poss.append(pos)
+                    texts.append(t)
+            vecs = model.encode(texts) if texts else []
+            yield pd.DataFrame(
+                {"doc_id": ids, "chunk_pos": poss, "embedding": list(vecs)}
+            )
+
+    embedded = docs.mapInPandas(
+        chunk_and_embed,
+        "doc_id long, chunk_pos int, embedding array<float>",
+    )
+    qvec = _FakeModel.get().encode(["spark query table join"])[0]
+    q = F.array(*[F.lit(float(x)) for x in qvec])
+    sim = _dot(F.col("embedding").cast("array<double>"), q)
+    return (
+        embedded.select(
+            "doc_id",
+            "chunk_pos",
+            F.round(sim, 6).alias("similarity"),
+        )
+        .orderBy(F.desc("similarity"), "doc_id", "chunk_pos")
+        .limit(10)
+    )

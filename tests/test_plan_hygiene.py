@@ -23,6 +23,8 @@ NESTED_LOOP_OK = {
     "ann_ivf_topk",
     "ann_lsh_topk",
     "class_balance_sample",
+    "copurchase_pmi_topk",  # PMI denominator: 1-row broadcast (was a
+    # driver-side distinct-count barrier before round 3)
     "cosine_topk",
     "graph_2hop_frontier",
     "mitigation_recommendations",
