@@ -129,9 +129,58 @@ def pagerank(
     return ranks
 
 
-@query("part_copurchase_pagerank")  # rows-only: float fixpoint is not
-# SQL-expressible at matching precision (iterative recursive CTE with
-# float aggregation diverges in summation order across engines)
+_PAGERANK_ORACLE_HEAD = """
+    WITH baskets AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    edges AS (
+        SELECT a.l_partkey AS src, b.l_partkey AS dst
+        FROM baskets a JOIN baskets b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        GROUP BY 1, 2
+    ),
+    deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+    verts AS (
+        SELECT src AS v FROM edges UNION SELECT dst FROM edges
+    ),
+    r0 AS (SELECT v, 1.0 AS rank FROM verts)
+"""
+
+# One unrolled iteration: contributions grouped on dst, teleport fold.
+_PAGERANK_ORACLE_ITER = """
+    , c{i} AS (
+        SELECT e.dst AS v, SUM(r.rank / deg.d) AS contrib
+        FROM edges e
+        JOIN r{prev} r ON e.src = r.v
+        JOIN deg ON e.src = deg.src
+        GROUP BY e.dst
+    ),
+    r{i} AS (
+        SELECT verts.v, 0.15 + 0.85 * COALESCE(c{i}.contrib, 0) AS rank
+        FROM verts LEFT JOIN c{i} ON verts.v = c{i}.v
+    )
+"""
+
+_PAGERANK_ORACLE = (
+    _PAGERANK_ORACLE_HEAD
+    + "".join(
+        _PAGERANK_ORACLE_ITER.format(i=i, prev=i - 1)
+        for i in range(1, ITERATIONS + 1)
+    )
+    + f"""
+    SELECT v, ROUND(rank, 6) AS rank
+    FROM r{ITERATIONS}
+    ORDER BY ROUND(rank, 6) DESC, v
+    LIMIT 20
+    """
+)
+
+
+@query("part_copurchase_pagerank", oracle=_PAGERANK_ORACLE)
+# The fixed-iteration fixpoint unrolls into {ITERATIONS} plain CTE
+# stages, so even the "iterative" flagship gets a full hash oracle:
+# 6-dp rounding absorbs cross-engine float summation-order noise
+# (double error ~1e-13 on ~1.0-scale ranks).
 def part_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the part co-purchase graph: parts appearing in
     the same order are linked (both directions), and rank finds the
