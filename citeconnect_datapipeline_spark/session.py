@@ -64,6 +64,14 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.parquet.enableVectorizedReader", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # FAIR job scheduling: a multi-tenant engine runs iterative
+        # queries (PageRank / label propagation — many small serial
+        # jobs) alongside scan-heavy analytics; under FIFO each
+        # iteration's job queues behind whole scan stages and the
+        # iterative query becomes the suite's long pole (measured
+        # 8.8 s isolated -> 35 s under 16-way FIFO contention). FAIR
+        # round-robins tasks across concurrent jobs instead.
+        .config("spark.scheduler.mode", "FAIR")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.legacy.createHiveTableByDefault", "false")
         # Bucketed-table tests (plans/layout.py) need a warehouse; keep
