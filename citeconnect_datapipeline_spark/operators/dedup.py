@@ -79,10 +79,14 @@ def _shingle_hashes(
     inferred ``size(col) > 0`` filter and pushes it below the
     repartition — recomputing the expensive expression a second time,
     single-threaded on the compact source (measured 10x slowdown).
-    The input is repartitioned to full parallelism first so the 1->N
-    expansion runs on every core, not one task per source file.
+    A compact source is spread to full parallelism first (a no-op on
+    an already-wide 100 TB scan, where the repartition would be a
+    full shuffle of raw text) so the 1->N expansion runs on every
+    core, not one task per source file.
     """
-    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    from ..sources.tables import spread_small_source
+
+    df = spread_small_source(df)
     return df.filter(_nonempty_filter(text_col)).select(
         "doc_id", F.explode(_shingle_hash_expr(text_col, n)).alias("sh")
     )
@@ -144,10 +148,12 @@ def _shingle_set_sizes(
     df: DataFrame, text_col: str = "text", n: int = 3
 ) -> DataFrame:
     """doc_id -> distinct-shingle-set size, straight from the array
-    expression (no explode, no groupBy shuffle). Repartitioned for the
-    same reason as _shingle_hashes: the per-shingle lambda is the cost,
+    expression (no explode, no groupBy shuffle). Spread for the same
+    reason as _shingle_hashes: the per-shingle lambda is the cost,
     and a compact source would run it on one task."""
-    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    from ..sources.tables import spread_small_source
+
+    df = spread_small_source(df)
     return df.filter(_nonempty_filter(text_col)).select(
         "doc_id", F.size(_shingle_hash_expr(text_col, n)).alias("n")
     )
@@ -346,7 +352,9 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     # explode + groupBy(16 min aggs) formulation moves |shingles|
     # rows through an exchange to compute what a narrow projection
     # already has in hand (measured ~2x on the bench set).
-    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    from ..sources.tables import spread_small_source
+
+    docs = spread_small_source(docs)
     arr = _shingle_hash_expr("text", 3)
     init = F.struct(
         *[
@@ -640,9 +648,9 @@ def fuzzy_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The broadcast join's parallelism equals the PROBE side's
     # partition count; a compact one-file source would run every DP
     # on one task. Spread the probe, broadcast the (tiny) build side.
-    a = d.repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    ).alias("a")
+    from ..sources.tables import spread_small_source
+
+    a = spread_small_source(d, "doc_id").alias("a")
     b = F.broadcast(d).alias("b")
     # Thresholded levenshtein returns -1 past the cutoff, so ONE
     # `!= -1` comparison is the whole similarity predicate — written

@@ -622,10 +622,9 @@ def doc_repetition_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     enters the ratio."""
     from .dedup import _nonempty_filter, _shingle_hash_expr
 
-    docs = load_table(spark, sf_dir, "documents")
-    docs = docs.repartition(
-        docs.sparkSession.sparkContext.defaultParallelism
-    )
+    from ..sources.tables import spread_small_source
+
+    docs = spread_small_source(load_table(spark, sf_dir, "documents"))
     words = F.split(F.lower(F.col("text")), "[^a-z0-9]+")
     raw = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(words) - 2, F.lit(1))),

@@ -93,6 +93,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread_small_source(df: DataFrame, *cols: str) -> DataFrame:
+    """Fan a COMPACT source out to full parallelism — only when it is
+    actually under-partitioned. Heavy per-row work (interpreted HOF
+    lambdas, levenshtein DPs, Python tier fetches) over a
+    few-files-at-small-SF scan would otherwise run on a handful of
+    tasks. At 100 TB the same scan already yields thousands of
+    partitions and an unconditional repartition would be a full
+    shuffle of raw text for nothing — so this no-ops there. Optional
+    ``cols`` hash-keys the spread (for a downstream keyed consumer).
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    if cols:
+        return df.repartition(target, *[F.col(c) for c in cols])
+    return df.repartition(target)
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
 ) -> dict[str, DataFrame]:
