@@ -347,3 +347,21 @@ def test_pagerank_loop_join_is_copartitioned_not_broadcast(spark):
     assert ranked.count() == 2000
     w_edges.unpersist()
     vertices.unpersist()
+
+
+def test_spread_small_source_is_conditional(spark):
+    """Under-partitioned sources fan out to full parallelism; an
+    already-wide source passes through with NO added exchange (at
+    100 TB an unconditional repartition would shuffle the whole
+    scan)."""
+    from citeconnect_datapipeline_spark.sources.tables import (
+        spread_small_source,
+    )
+
+    p = spark.sparkContext.defaultParallelism
+    narrow = spark.range(0, 1000, 1, 1).selectExpr("id", "id * 2 AS v")
+    assert spread_small_source(narrow).rdd.getNumPartitions() == p
+
+    wide = spark.range(0, 1000, 1, p + 4).selectExpr("id", "id * 2 AS v")
+    out = spread_small_source(wide)
+    assert out is wide  # pass-through, not a new plan node
