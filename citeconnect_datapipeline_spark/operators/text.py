@@ -752,3 +752,174 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rn")
         .orderBy("doc_id", F.desc("tfidf"), "term")
     )
+
+
+# PII patterns, deliberately lookaround-free so Java regex (Spark) and
+# RE2 (DuckDB) agree byte-for-byte. The lake's synthetic text contains
+# no real PII; the operator's value is the portable redaction plan.
+PII_EMAIL = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+PII_PHONE = "\\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"
+PII_IPV4 = (
+    "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+)
+PII_SSN = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+
+
+@query(
+    "pii_redaction",
+    oracle=f"""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(text, '{PII_EMAIL}', '<EMAIL>', 'g'),
+                 '{PII_SSN}', '<SSN>', 'g'),
+               '{PII_PHONE}', '<PHONE>', 'g'),
+             '{PII_IPV4}', '<IP>', 'g') AS redacted,
+           len(regexp_extract_all(text, '{PII_EMAIL}')) AS n_emails,
+           len(regexp_extract_all(text, '{PII_SSN}')) AS n_ssns,
+           len(regexp_extract_all(text, '{PII_PHONE}')) AS n_phones,
+           len(regexp_extract_all(text, '{PII_IPV4}')) AS n_ips
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — the curation stage every training-data
+    pipeline runs before text leaves the trust boundary: emails,
+    SSN-shaped ids, phone numbers and IPv4 literals are replaced with
+    typed placeholders, with per-type match counts kept as audit
+    columns (the redaction RATE is itself a quality signal; a doc
+    that is mostly PII is usually scraped boilerplate).
+
+    Entirely native regexp_replace/regexp_extract_all — one narrow
+    codegen projection, scan-speed at 100 TB, and the redaction order
+    (email → SSN → phone → IP) is fixed so overlapping patterns
+    resolve identically everywhere. Patterns avoid lookarounds so the
+    Java and RE2 engines agree."""
+    docs = load_table(spark, sf_dir, "documents")
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.col("text"), PII_EMAIL, "<EMAIL>"
+                ),
+                PII_SSN,
+                "<SSN>",
+            ),
+            PII_PHONE,
+            "<PHONE>",
+        ),
+        PII_IPV4,
+        "<IP>",
+    )
+
+    def n_matches(pat: str):
+        return F.size(
+            F.regexp_extract_all("text", F.lit(pat), F.lit(0))
+        ).cast("long")
+
+    return (
+        docs.select(
+            "doc_id",
+            redacted.alias("redacted"),
+            n_matches(PII_EMAIL).alias("n_emails"),
+            n_matches(PII_SSN).alias("n_ssns"),
+            n_matches(PII_PHONE).alias("n_phones"),
+            n_matches(PII_IPV4).alias("n_ips"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "gopher_quality_flags",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, n_chars,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS words,
+               len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS n_symbols,
+               len(regexp_extract_all(text, '[a-zA-Z0-9]+')) AS n_alnum_runs
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id, n_chars,
+               len(words) AS n_words,
+               ROUND(CAST(n_chars AS DOUBLE)
+                     / GREATEST(len(words), 1), 4) AS mean_word_len,
+               ROUND(CAST(n_symbols AS DOUBLE)
+                     / GREATEST(n_alnum_runs, 1), 4) AS symbol_ratio,
+               ROUND(CAST(len(list_distinct(words)) AS DOUBLE)
+                     / GREATEST(len(words), 1), 4) AS ttr
+        FROM w
+    )
+    SELECT doc_id, n_words, mean_word_len, symbol_ratio, ttr,
+           CAST(n_words BETWEEN 50 AND 100000 AS BOOLEAN) AS ok_word_count,
+           CAST(mean_word_len BETWEEN 3 AND 10 AS BOOLEAN) AS ok_word_len,
+           CAST(symbol_ratio <= 0.1 AS BOOLEAN) AS ok_symbols,
+           CAST(ttr >= 0.3 AS BOOLEAN) AS ok_diversity,
+           CAST(n_words BETWEEN 50 AND 100000
+                AND mean_word_len BETWEEN 3 AND 10
+                AND symbol_ratio <= 0.1
+                AND ttr >= 0.3 AS BOOLEAN) AS keep
+    FROM m
+    ORDER BY doc_id
+    """,
+)
+def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021, the
+    public curation standard): word-count window, mean-word-length
+    window, symbol-to-word ratio cap, and a type-token-ratio floor,
+    each surfaced as its own flag plus the combined ``keep`` verdict
+    — pipelines tune individual thresholds, so per-rule observability
+    matters as much as the verdict.
+
+    All four metrics come from ONE narrow projection over the text
+    column (no explode, no shuffle except the final presentation
+    sort): at 100 TB this runs at scan speed and the flags prune the
+    corpus before any expensive downstream stage."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+        lambda x: x != "",
+    )
+    n_words = F.size(words)
+    n_symbols = F.size(
+        F.regexp_extract_all("text", F.lit("[^a-zA-Z0-9 ]"), F.lit(0))
+    )
+    n_alnum = F.size(
+        F.regexp_extract_all("text", F.lit("[a-zA-Z0-9]+"), F.lit(0))
+    )
+    mean_word_len = F.round(
+        F.col("n_chars") / F.greatest(n_words, F.lit(1)), 4
+    )
+    symbol_ratio = F.round(
+        n_symbols / F.greatest(n_alnum, F.lit(1)).cast("double"), 4
+    )
+    ttr = F.round(
+        F.size(F.array_distinct(words))
+        / F.greatest(n_words, F.lit(1)).cast("double"),
+        4,
+    )
+    ok_wc = (n_words >= 50) & (n_words <= 100000)
+    base = docs.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        ttr.alias("ttr"),
+        ok_wc.alias("ok_word_count"),
+    )
+    ok_len = (F.col("mean_word_len") >= 3) & (F.col("mean_word_len") <= 10)
+    ok_sym = F.col("symbol_ratio") <= 0.1
+    ok_ttr = F.col("ttr") >= 0.3
+    return base.select(
+        "*",
+        ok_len.alias("ok_word_len"),
+        ok_sym.alias("ok_symbols"),
+        ok_ttr.alias("ok_diversity"),
+        (
+            F.col("ok_word_count") & ok_len & ok_sym & ok_ttr
+        ).alias("keep"),
+    ).orderBy("doc_id")
