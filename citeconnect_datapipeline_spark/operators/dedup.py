@@ -679,3 +679,90 @@ def fuzzy_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "doc_a", "doc_b")
     )
+
+
+CHUNK_W, CHUNK_S = 20, 15  # match operators.text.chunk_documents
+
+
+@query(
+    "chunk_exact_dedup",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, string_split_regex(lower(text), '[^a-z0-9]+') AS w
+        FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id,
+               CAST(t.i AS INTEGER) AS pos,
+               array_to_string(
+                   list_slice(w, 1 + t.i * 15,
+                              20 + t.i * 15), ' '
+               ) AS chunk_text
+        FROM words,
+             UNNEST(range(0, GREATEST(
+                 CAST(CEIL((len(w) - 20) / 15.0)
+                     AS BIGINT) + 1, 1))) AS t(i)
+    ),
+    hashed AS (
+        SELECT doc_id, pos, md5(chunk_text) AS chunk_hash
+        FROM chunks WHERE chunk_text <> ''
+    ),
+    ranked AS (
+        SELECT doc_id, pos, chunk_hash,
+               ROW_NUMBER() OVER (
+                   PARTITION BY chunk_hash ORDER BY doc_id, pos
+               ) AS rn,
+               COUNT(*) OVER (PARTITION BY chunk_hash) AS n_copies
+        FROM hashed
+    )
+    SELECT doc_id, pos, chunk_hash, CAST(n_copies AS BIGINT) AS n_copies
+    FROM ranked WHERE rn = 1
+    ORDER BY doc_id, pos
+    """,
+)
+def chunk_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEQUENCE-level exact dedup — the training-data grain that
+    document-level dedup misses: boilerplate paragraphs repeated
+    across distinct documents (headers, licenses, navigation chrome)
+    survive doc-hash dedup but poison token statistics. Chunk with
+    the sliding window, hash each chunk, keep the first copy
+    (deterministic (doc_id, pos) order) and report how many copies
+    each surviving chunk had — the copy count is the boilerplate
+    signal curation thresholds key on.
+
+    One shuffle on chunk_hash (uniform by construction); both the
+    keep-first row_number and the copy count share the same window
+    partitioning, so they ride one exchange. At 100 TB this is the
+    standard repeated-n-gram pass run before tokenization."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split(F.lower(F.col("text")), "[^a-z0-9]+")
+    n_chunks = F.greatest(
+        F.ceil((F.size(w) - CHUNK_W) / CHUNK_S) + 1, F.lit(1)
+    )
+    starts = F.sequence(F.lit(0), n_chunks - 1)
+    chunk_arr = F.transform(
+        starts,
+        lambda i: F.concat_ws(" ", F.slice(w, i * CHUNK_S + 1, CHUNK_W)),
+    )
+    chunks = (
+        docs.select(
+            "doc_id", F.posexplode(chunk_arr).alias("pos", "chunk_text")
+        )
+        .filter(F.col("chunk_text") != "")
+        .select("doc_id", "pos", F.md5("chunk_text").alias("chunk_hash"))
+    )
+    win = Window.partitionBy("chunk_hash")
+    ranked = chunks.select(
+        "doc_id",
+        "pos",
+        "chunk_hash",
+        F.row_number()
+        .over(win.orderBy("doc_id", "pos"))
+        .alias("rn"),
+        F.count("*").over(win).alias("n_copies"),
+    )
+    return (
+        ranked.filter(F.col("rn") == 1)
+        .drop("rn")
+        .orderBy("doc_id", "pos")
+    )
