@@ -324,38 +324,29 @@ def ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("minhash_lsh_candidates")  # rows-only: hash functions not portable SQL
-def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + banded LSH candidate pairs (T9 at 100 TB scale).
+def minhash_band_hashes(
+    docs: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 16,
+    band_size: int = 4,
+) -> DataFrame:
+    """(doc_id, band_idx, band_hash) LSH band keys per document —
+    the reusable core of MinHash-LSH, shared by the batch candidate
+    query and the streaming ingest dedup.
 
-    Signature: 16 min-hashes per doc (xxhash64 of shingle with per-
-    function salt), banded 4x4; docs sharing any band bucket become
-    candidates. Replaces the O(shared-shingle) self-join of
-    ngram_jaccard_topk with an O(near-dups) bucket join: at 100 TB the
-    shuffle carries 16 longs per doc instead of every shingle.
-
-    Entirely native Spark SQL (no UDF): shingle explode -> groupBy doc
-    with 16 min() aggregates -> band hashing -> self-join on
-    (band_idx, band_hash). Deterministic given the data, but hash
-    values are engine-specific -> rows-only correctness check.
-    """
-    num_hashes, band_size = 16, 4
-    docs = load_table(spark, sf_dir, "documents")
-    # Each shingle is hashed to a long ONCE (in the shingling
-    # lambda); the 16 salted hashes derive from that long (xxhash64
-    # over (long, salt) is far cheaper than re-hashing a string per
-    # hash function).
-    #
-    # The whole signature is computed PER ROW by folding the shingle
-    # array once with a 16-field min-struct accumulator — shingle
-    # sets are per-document, so there is nothing to shuffle: the
-    # explode + groupBy(16 min aggs) formulation moves |shingles|
-    # rows through an exchange to compute what a narrow projection
-    # already has in hand (measured ~2x on the bench set).
+    Each shingle is hashed to a long ONCE (in the shingling lambda);
+    the ``num_hashes`` salted hashes derive from that long (xxhash64
+    over (long, salt) is far cheaper than re-hashing a string per
+    hash function). The whole signature is computed PER ROW by
+    folding the shingle array once with a min-struct accumulator —
+    shingle sets are per-document, so there is nothing to shuffle:
+    the explode + groupBy(min aggs) formulation moves |shingles| rows
+    through an exchange to compute what a narrow projection already
+    has in hand (measured ~2x on the bench set)."""
     from ..sources.tables import spread_small_source
 
     docs = spread_small_source(docs)
-    arr = _shingle_hash_expr("text", 3)
+    arr = _shingle_hash_expr(text_col, 3)
     init = F.struct(
         *[
             F.lit(2**63 - 1).cast("long").alias(f"mh{i}")
@@ -375,7 +366,7 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     minhashes = (
-        docs.filter(_nonempty_filter("text"))
+        docs.filter(_nonempty_filter(text_col))
         .select("doc_id", signature.alias("sig"))
         .select(
             "doc_id",
@@ -383,7 +374,7 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # Bands: hash each contiguous group of band_size signatures.
-    bands = minhashes.select(
+    return minhashes.select(
         "doc_id",
         F.posexplode(
             F.array(
@@ -399,6 +390,25 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band_idx", "band_hash"),
     )
+
+
+@query("minhash_lsh_candidates")  # rows-only: hash functions not portable SQL
+def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + banded LSH candidate pairs (T9 at 100 TB scale).
+
+    Signature: 16 min-hashes per doc (xxhash64 of shingle with per-
+    function salt), banded 4x4; docs sharing any band bucket become
+    candidates. Replaces the O(shared-shingle) self-join of
+    ngram_jaccard_topk with an O(near-dups) bucket join: at 100 TB the
+    shuffle carries 16 longs per doc instead of every shingle.
+
+    Entirely native Spark SQL (no UDF): per-row signature fold ->
+    band hashing (minhash_band_hashes) -> self-join on
+    (band_idx, band_hash). Deterministic given the data, but hash
+    values are engine-specific -> rows-only correctness check.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bands = minhash_band_hashes(docs)
     a = bands.alias("a")
     b = bands.alias("b")
     return (

@@ -366,3 +366,57 @@ def test_stream_foreach_batch_jdbc_upsert(spark, tmp_path):
     assert totals["inserted"] == n_total    # conflicts did not insert
     assert totals["skipped"] == n_half      # re-delivered rows skipped
     assert totals["failed"] == 0
+
+
+def test_neardup_ingest_stream_rejects_cross_batch_dups(spark, tmp_path):
+    """Incremental MinHash-LSH ingest dedup: a later micro-batch
+    re-submitting existing TEXT under fresh doc_ids is rejected via
+    the persisted band index, not an id match; within-batch dup pairs
+    keep the smaller id; disjoint new docs are accepted."""
+    from citeconnect_datapipeline_spark.sources.tables import load_table
+    from citeconnect_datapipeline_spark.streaming.neardup_ingest import (
+        ingest_batch,
+        neardup_ingest_stream,
+    )
+
+    docs = (
+        load_table(spark, "/root/testdata/sf0.001", "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 40)
+    )
+    first = docs.filter(F.col("doc_id") < 20)
+    # second batch: 10 re-texts of batch-1 docs under NEW ids (+1000),
+    # plus 20 genuinely new docs
+    retexts = first.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 1000).alias("doc_id"), "text"
+    )
+    fresh = docs.filter((F.col("doc_id") >= 20) & (F.col("doc_id") < 40))
+    second = retexts.unionByName(fresh)
+
+    src = tmp_path / "ingest_src"
+    first.coalesce(1).write.parquet(str(src / "b0"))
+    second.coalesce(1).write.parquet(str(src / "b1"))
+
+    store = str(tmp_path / "store")
+    stream = (
+        spark.readStream.schema(first.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    neardup_ingest_stream(stream, store, str(tmp_path / "ckpt"))
+
+    stored = spark.read.parquet(f"{store}/docs")
+    stored_ids = {r.doc_id for r in stored.select("doc_id").collect()}
+    # every re-text id rejected; the sf0.001 lake also plants exact-
+    # text dups INSIDE the original 40, so accepted ids are a subset
+    assert not (stored_ids & set(range(1000, 1010)))
+    assert stored_ids <= set(range(40))
+    # no two stored docs share identical text (the planted dups
+    # collapsed to one representative each)
+    n_texts = stored.select("text").distinct().count()
+    assert n_texts == stored.count()
+    # a re-run batch of already-ingested docs is fully rejected
+    stats = ingest_batch(spark, first, store)
+    assert stats["accepted"] == 0
+    assert stats["rejected"] == stats["attempted"]
