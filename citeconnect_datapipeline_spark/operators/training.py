@@ -21,7 +21,7 @@ shingle sets are compared by cardinality, not value.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..plans.registry import query
@@ -275,4 +275,117 @@ def distribution_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             6,
         ).alias("psi"),
+    )
+
+
+@query(
+    "stratified_sample",
+    oracle="""
+    WITH tagged AS (
+        SELECT doc_id, lang, n_chars,
+               (ascii(substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 31
+                + ascii(substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)))
+                   % 100 AS bucket
+        FROM documents
+    )
+    SELECT lang,
+           COUNT(*) AS n_sampled,
+           ROUND(AVG(n_chars), 4) AS avg_chars,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id
+    FROM tagged
+    WHERE CASE WHEN lang = 'en' THEN bucket < 10 ELSE bucket < 50 END
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum sampling — ``df.sampleBy`` without
+    its RNG: each stratum gets its own keep fraction (downsample the
+    dominant language to 10%, keep half of everything else), decided
+    by the SAME md5-derived bucket as train_test_split, so the sample
+    is stable across runs, shards, and row order — the property that
+    makes a curation sample reproducible and auditable.
+
+    Shuffle-free tagging (narrow projection) + one rollup to report
+    per-stratum sample sizes; at 100 TB the filter prunes before
+    anything else runs. The fraction map is a literal here; a
+    production call takes it as a dict parameter."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.ascii(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1))
+        * 31
+        + F.ascii(F.substring(F.md5(F.col("doc_id").cast("string")), 2, 1))
+    ) % 100
+    keep = F.when(F.col("lang") == "en", bucket < 10).otherwise(
+        bucket < 50
+    )
+    return (
+        docs.filter(keep)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "seq_length_histogram",
+    oracle="""
+    WITH toks AS (
+        SELECT CAST(length(text) // 4 AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    bucketed AS (
+        SELECT CAST(n_tokens // 16 * 16 AS BIGINT) AS bucket_lo,
+               n_tokens
+        FROM toks
+    )
+    SELECT bucket_lo,
+           bucket_lo + 16 AS bucket_hi,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           ROUND(COUNT(*) * 100.0 / SUM(COUNT(*)) OVER (), 4) AS pct_docs
+    FROM bucketed
+    GROUP BY bucket_lo
+    ORDER BY bucket_lo
+    """,
+)
+def seq_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length distribution — what sizes batch packing, bins
+    bucketed batching, and sets max_seq_len truncation budgets: docs
+    histogrammed into 16-token buckets with doc share and total-token
+    mass per bucket (the token MASS, not the doc count, is what an
+    epoch actually costs).
+
+    One narrow projection + one groupBy on the bucket key; the share
+    column rides a single-partition window over the (tiny) bucket
+    rollup, not the data."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.floor(F.length("text") / 4)
+    bucket = (F.floor(n_tokens / 16) * 16).cast("long")
+    agg = (
+        docs.select(
+            bucket.alias("bucket_lo"), n_tokens.alias("n_tokens")
+        )
+        .groupBy("bucket_lo")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+    )
+    total = Window.partitionBy()
+    return (
+        agg.select(
+            "bucket_lo",
+            (F.col("bucket_lo") + 16).alias("bucket_hi"),
+            "n_docs",
+            "total_tokens",
+            F.round(
+                F.col("n_docs") * 100.0 / F.sum("n_docs").over(total), 4
+            ).alias("pct_docs"),
+        )
+        .orderBy("bucket_lo")
     )
