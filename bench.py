@@ -178,17 +178,23 @@ def main() -> None:
     duck_sum = round(sum(t for t in duck_timings.values() if t >= 0), 3)
     # Queries slower than 2x DuckDB net of the local-mode job-
     # scheduling floor (~0.3 s/query, amortized away on a cluster).
+    # Only meaningful from ISOLATED latencies: under concurrent
+    # submission every per-query time is inflated by deliberate
+    # contention (16 queries share 32 cores), so the comparison
+    # list is emitted only at BENCH_CONCURRENCY=1.
     floor = 0.3
-    over2x = sorted(
-        (
-            n
-            for n, t in timings.items()
-            if t >= 0
-            and duck_timings.get(n, -1.0) >= 0
-            and t > 2 * duck_timings[n] + floor
-        ),
-        key=lambda n: -(timings[n] / max(duck_timings[n], 1e-3)),
-    )
+    over2x: list[str] = []
+    if concurrency == 1:
+        over2x = sorted(
+            (
+                n
+                for n, t in timings.items()
+                if t >= 0
+                and duck_timings.get(n, -1.0) >= 0
+                and t > 2 * duck_timings[n] + floor
+            ),
+            key=lambda n: -(timings[n] / max(duck_timings[n], 1e-3)),
+        )
 
     detail = {
         "metric": "suite_wall_clock",
