@@ -334,3 +334,109 @@ def copurchase_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi"), "pa", "pb")
         .limit(20)
     )
+
+
+@query(
+    "copurchase_triangles",
+    oracle="""
+    WITH baskets AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    pair_n AS (
+        SELECT a.l_partkey AS u, b.l_partkey AS v, COUNT(*) AS cab
+        FROM baskets a JOIN baskets b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+    ),
+    e AS (SELECT u, v FROM pair_n WHERE cab >= 2),
+    tri AS (
+        SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM e e1
+        JOIN e e2 ON e1.v = e2.u
+        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    per_vertex AS (
+        SELECT a AS vtx FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+    )
+    SELECT vtx, COUNT(*) AS n_triangles
+    FROM per_vertex
+    GROUP BY vtx
+    ORDER BY n_triangles DESC, vtx
+    LIMIT 20
+    """,
+)
+def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting over the support-pruned co-purchase graph —
+    the clustering-cohesion metric (parts that form buying CLIQUES,
+    not just pairs) that PageRank's centrality and PMI's surprise
+    both miss. Support >= 2 prunes noise edges FIRST, which is also
+    what bounds the computation: triangle join cost is sum(deg^2)
+    and pruning cuts degree before any wedge is built.
+
+    Standard ordered-edge formulation (each undirected edge kept once
+    as u < v): wedges from e1(a,b) JOIN e2(b,c), closed by e3(a,c).
+    Every triangle is found exactly once with a < b < c, then each of
+    its three vertices gets one count. Two shuffles on vertex keys +
+    the final rollup; at 100 TB the ordered-edge trick (join only the
+    higher-degree-ordered direction) is the classic skew guard."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    )
+    pair_counts = (
+        baskets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "ps",
+                        lambda x, i: F.transform(
+                            F.slice(
+                                F.col("ps"), i + 2, F.size(F.col("ps"))
+                            ),
+                            lambda y: F.struct(
+                                x.alias("u"), y.alias("v")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.u", "p.v")
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("cab"))
+        .filter(F.col("cab") >= 2)
+        .select("u", "v")
+    )
+    e = pair_counts.persist()
+    e1 = e.alias("e1")
+    e2 = e.alias("e2")
+    e3 = e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u"))
+            & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .select(
+            F.col("e1.u").alias("a"),
+            F.col("e1.v").alias("b"),
+            F.col("e2.v").alias("c"),
+        )
+    )
+    per_vertex = (
+        tri.select(F.col("a").alias("vtx"))
+        .unionByName(tri.select(F.col("b").alias("vtx")))
+        .unionByName(tri.select(F.col("c").alias("vtx")))
+    )
+    out = (
+        per_vertex.groupBy("vtx")
+        .agg(F.count("*").alias("n_triangles"))
+        .orderBy(F.desc("n_triangles"), "vtx")
+        .limit(20)
+    )
+    return out
