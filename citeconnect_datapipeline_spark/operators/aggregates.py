@@ -81,9 +81,9 @@ def bias_slice_disparity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pricing_summary",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           ROUND(SUM(l_quantity), 6) AS sum_qty,
-           ROUND(SUM(l_extendedprice), 6) AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
            ROUND(AVG(l_quantity), 6) AS avg_qty,
            ROUND(AVG(l_discount), 6) AS avg_disc,
            COUNT(*) AS count_order
@@ -106,10 +106,14 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 6).alias("sum_base_price"),
+            # money sums reach 1e9+ at bench scale: 6-dp rounding
+            # would demand 16 significant digits — past double's
+            # guarantee, so engines flip the last ulp on summation
+            # order. 2 dp (cent precision) is the honest contract.
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("sum_disc_price"),
             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
             F.round(F.avg("l_discount"), 6).alias("avg_disc"),

@@ -77,7 +77,7 @@ def tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
            COUNT(*) AS n_events,
-           ROUND(AVG(value), 6) AS mean_value
+           ROUND(ROUND(SUM(value), 4) / COUNT(*), 6) AS mean_value
     FROM assigned
     GROUP BY window_start
     ORDER BY window_start
@@ -93,7 +93,16 @@ def sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.avg("value"), 6).alias("mean_value"),
+            # NOT round(avg(...)): each engine's running mean lands a
+            # different ulp from the true value, and window means sit
+            # exactly on rounding midpoints at bench scale. Rounding
+            # the SUM first (magnitude-safe at 4 dp) makes the
+            # dividend BIT-IDENTICAL across engines; identical
+            # dividend / identical integer count -> identical IEEE
+            # division -> identical final rounding, at every scale.
+            F.round(
+                F.round(F.sum("value"), 4) / F.count("*"), 6
+            ).alias("mean_value"),
         )
         .select(
             F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(

@@ -18,7 +18,9 @@ import duckdb
 import __spark_entry__ as entry
 from citeconnect_datapipeline_spark.session import get_spark
 
-SF_DIR = "/root/testdata/sf0.01"
+import os as _os
+
+SF_DIR = _os.environ.get("AUDIT_SF_DIR", "/root/testdata/sf0.01")
 TABLES = (
     "region nation customer supplier part orders lineitem events "
     "documents embeddings"
