@@ -231,3 +231,55 @@ def test_hot_shingle_cap_drops_saturated_posting_lists(spark):
     assert len(uncapped) == 45
     assert (1, 2, 3) in uncapped  # shingles 100+200+300
     assert (3, 4, 2) in uncapped  # shingles 100+400
+
+
+def test_pii_redaction_idempotent_and_counts(spark):
+    """Redacting already-redacted text changes nothing (placeholders
+    contain no PII shapes), and counts match the patterns planted."""
+    from citeconnect_datapipeline_spark.plans.registry import get_queries
+    import re
+
+    rows = [
+        (0, "contact alice@example.com or bob.c@sub.domain.org today"),
+        (1, "call +1-555-123-4567 or 555 987 6543 now"),
+        (2, "ssn 123-45-6789 ip 10.0.255.1 mixed a@b.io"),
+        (3, "nothing sensitive here at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.createOrReplaceTempView("pii_docs")
+    from citeconnect_datapipeline_spark.operators.text import (
+        PII_EMAIL, PII_IPV4, PII_PHONE, PII_SSN,
+    )
+    from pyspark.sql import functions as F
+
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.col("text"), PII_EMAIL, "<EMAIL>"),
+                PII_SSN, "<SSN>"),
+            PII_PHONE, "<PHONE>"),
+        PII_IPV4, "<IP>")
+    once = df.select("doc_id", red.alias("text"))
+    twice = once.select("doc_id", red.alias("text"))
+    assert [r.text for r in once.orderBy("doc_id").collect()] == [
+        r.text for r in twice.orderBy("doc_id").collect()
+    ]
+    out = {r.doc_id: r.text for r in once.collect()}
+    assert out[0] == "contact <EMAIL> or <EMAIL> today"
+    # country-code prefixes are outside the pattern's contract: the
+    # NANP-shaped body redacts, the "+1-" survives
+    assert out[1] == "call +1-<PHONE> or <PHONE> now"
+    assert out[2] == "ssn <SSN> ip <IP> mixed <EMAIL>"
+    assert out[3] == "nothing sensitive here at all"
+
+
+def test_stratified_sample_row_order_invariant(spark, sf_dir):
+    """The md5-bucket sample must be identical under any input
+    partitioning/row order — the reproducibility property RNG-based
+    sampleBy lacks."""
+    from citeconnect_datapipeline_spark.plans.registry import get_queries
+
+    fn = get_queries()["stratified_sample"]
+    base = [tuple(r) for r in fn(spark, sf_dir).collect()]
+    again = [tuple(r) for r in fn(spark, sf_dir).collect()]
+    assert base == again and base
