@@ -148,3 +148,53 @@ def test_sentence_chunker_spark_matches_core(spark, sf_dir):
             )
     want.sort(key=lambda x: (x[0], x[1]))
     assert got == want
+
+
+def test_gopher_flags_edge_shapes(spark):
+    """Degenerate documents the lake never contains: empty text,
+    symbol-only text, and a single repeated word must all be dropped
+    by the right rule, without nulls or division errors."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        (0, "", 0),
+        (1, "!!! ??? *** %%% ###", 19),
+        (2, " ".join(["word"] * 200), 999),          # zero diversity
+        (3, " ".join(f"w{i}" for i in range(200)), 600),  # healthy
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, n_chars int")
+    df.createOrReplaceTempView("documents_edge")
+
+    words = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda x: x != ""
+    )
+    n_words = F.size(words)
+    ttr = F.size(F.array_distinct(words)) / F.greatest(
+        n_words, F.lit(1)
+    ).cast("double")
+    out = {
+        r.doc_id: (r.n_words, round(r.ttr, 4))
+        for r in df.select(
+            "doc_id", n_words.alias("n_words"), ttr.alias("ttr")
+        ).collect()
+    }
+    assert out[0] == (0, 0.0)       # empty: no words, defined ttr
+    assert out[1] == (0, 0.0)       # symbols only: filtered to zero
+    assert out[2][0] == 200 and out[2][1] == 0.005  # 1 distinct / 200
+    assert out[3] == (200, 1.0)
+
+    # the registered query's keep verdict on these shapes
+    import citeconnect_datapipeline_spark.operators.text as text_mod
+
+    orig = text_mod.load_table  # the module-bound name the query uses
+    try:
+        text_mod.load_table = lambda s, d, n: df  # inject edge corpus
+        flags = {
+            r.doc_id: r.keep
+            for r in text_mod.gopher_quality_flags(
+                spark, "unused"
+            ).collect()
+        }
+    finally:
+        text_mod.load_table = orig
+    assert flags == {0: False, 1: False, 2: False, 3: True}
