@@ -257,6 +257,40 @@ def exact_hash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def jaccard_scored_pairs(docs: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, common, n_a, n_b, jaccard) for every pair of
+    documents sharing at least one (non-hot) shingle — the shared
+    core of ``ngram_jaccard_topk`` and ``neardup_components``.
+
+    NO broadcast hint on ``sizes``: it is one row PER DOCUMENT, so a
+    forced broadcast ships O(N) rows to every executor at 100 TB (a
+    driver/executor OOM hiding behind a hint). The genuinely small
+    side is the pair table (O(near-dups) post-cap); size-aware AQE
+    broadcasts whichever side actually fits — the pair table at
+    scale, either at verification SF. A plan test asserts the hint
+    stays gone (tests/test_plan_hygiene.py)."""
+    sh = _shingle_hashes(docs)
+    sizes = _shingle_set_sizes(docs)
+    pairs = _pair_overlap_counts(sh)
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        pairs.join(sa, pairs.doc_a == F.col("sa.doc_id"))
+        .join(sb, pairs.doc_b == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "common",
+            F.col("sa.n").alias("n_a"),
+            F.col("sb.n").alias("n_b"),
+            (
+                F.col("common").cast("double")
+                / (F.col("sa.n") + F.col("sb.n") - F.col("common"))
+            ).alias("jaccard"),
+        )
+    )
+
+
 @query(
     "ngram_jaccard_topk",
     oracle="""
@@ -301,23 +335,12 @@ def ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 64-bit shingle hashes, computed in the shingling lambda: same
     # pairs (collision odds ~ |shingles|^2 / 2^64), a fraction of the
     # shuffle bytes and allocation of string shingles.
-    sh = _shingle_hashes(docs)
-    # per-doc set size from the array expression — no groupBy shuffle
-    sizes = _shingle_set_sizes(docs)
-    pairs = _pair_overlap_counts(sh)
-    sa = F.broadcast(sizes).alias("sa")
-    sb = F.broadcast(sizes).alias("sb")
     return (
-        pairs.join(sa, pairs.doc_a == F.col("sa.doc_id"))
-        .join(sb, pairs.doc_b == F.col("sb.doc_id"))
+        jaccard_scored_pairs(docs)
         .select(
             "doc_a",
             "doc_b",
-            F.round(
-                F.col("common").cast("double")
-                / (F.col("sa.n") + F.col("sb.n") - F.col("common")),
-                6,
-            ).alias("jaccard"),
+            F.round(F.col("jaccard"), 6).alias("jaccard"),
         )
         .orderBy(F.desc("jaccard"), "doc_a", "doc_b")
         .limit(20)
@@ -506,19 +529,9 @@ def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     transitive-closure CTE -- tractable on the oracle's scale, while
     the Spark side's per-round cost is linear in edges."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = _shingle_hashes(docs)
-    sizes = _shingle_set_sizes(docs)
-    overlap = _pair_overlap_counts(sh)
-    sa = F.broadcast(sizes).alias("sa")
-    sb = F.broadcast(sizes).alias("sb")
     jpairs = (
-        overlap.join(sa, overlap.doc_a == F.col("sa.doc_id"))
-        .join(sb, overlap.doc_b == F.col("sb.doc_id"))
-        .filter(
-            F.col("common").cast("double")
-            / (F.col("sa.n") + F.col("sb.n") - F.col("common"))
-            >= NEARDUP_JACCARD
-        )
+        jaccard_scored_pairs(docs)
+        .filter(F.col("jaccard") >= NEARDUP_JACCARD)
         .select("doc_a", "doc_b")
     )
     edges = (
@@ -639,29 +652,51 @@ def fuzzy_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     {FUZZY_MAX_DIST} — the classic blocked record-linkage join (title
     /author fuzzy matching in the reference's domain).
 
-    Scale shape: the block key (lang) turns the quadratic comparison
-    into per-block equi-join partitions; Spark's THRESHOLDED
-    ``levenshtein(l, r, k)`` runs the banded O(len*k) DP and bails at
-    k+1, so the per-pair cost is bounded regardless of text length.
-    At 100 TB the block key would widen to (lang, length-band,
-    phonetic/first-token key) — same plan, finer blocks; the
-    length-band guard below already discards most non-candidates
-    before the DP runs."""
+    Scale shape: a SHUFFLED equi-join on the widened block key
+    (lang, length-band) — never a broadcast of the doc-prefix table,
+    which is one row per document and would ship O(N) rows to every
+    executor at 100 TB. The banding is LOSSLESS for the predicate:
+    edit distance <= k implies |len(a)-len(b)| <= k, and with band
+    width k+1 that bounds the pair to the same or an adjacent band,
+    so the probe side explodes each row into its three candidate
+    bands (band-1, band, band+1) and the equi-join on (lang, band)
+    recovers exactly the oracle's lang-blocked pair set. Each pair
+    matches exactly once (the build row's band is a single value).
+    Spark's THRESHOLDED ``levenshtein(l, r, k)`` runs the banded
+    O(len*k) DP and bails at k+1, so the per-pair cost is bounded
+    regardless of text length. At 100 TB the band key would tighten
+    further (finer length bands, first-token key where semantics
+    allow) — same plan, finer blocks."""
     docs = load_table(spark, sf_dir, "documents")
+    band_w = FUZZY_MAX_DIST + 1
     d = docs.select(
         "doc_id",
         "lang",
         F.substring(F.lower(F.col("text")), 1, FUZZY_PREFIX_LEN).alias(
             "pre"
         ),
+    ).withColumn(
+        "band", (F.length("pre") / band_w).cast("int")
     )
-    # The broadcast join's parallelism equals the PROBE side's
-    # partition count; a compact one-file source would run every DP
-    # on one task. Spread the probe, broadcast the (tiny) build side.
+    # The join's parallelism equals its shuffle partitioning; a
+    # compact one-file source would still fan out through the
+    # exchange, but spread the probe anyway so the explode below
+    # runs on every core at small SF.
     from ..sources.tables import spread_small_source
 
-    a = spread_small_source(d, "doc_id").alias("a")
-    b = F.broadcast(d).alias("b")
+    a = (
+        spread_small_source(d, "doc_id")
+        .withColumn(
+            "jband",
+            F.explode(
+                F.array(
+                    F.col("band") - 1, F.col("band"), F.col("band") + 1
+                )
+            ),
+        )
+        .alias("a")
+    )
+    b = d.alias("b")
     # Thresholded levenshtein returns -1 past the cutoff, so ONE
     # `!= -1` comparison is the whole similarity predicate — written
     # as two range checks it gets pushed into the join condition as
@@ -671,6 +706,7 @@ def fuzzy_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(
             b,
             (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.jband") == F.col("b.band"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
             # cheap guard: |len(a)-len(b)| > k already implies dist > k
             & (
