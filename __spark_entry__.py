@@ -32,25 +32,19 @@ def entry(spark: SparkSession) -> DataFrame:
     return get_queries()["papers_pipeline_e2e"](spark, _SMOKE_SF_DIR)
 
 
-# Queries with a green hash-MATCH row in CORRECTNESS_r01/r02 (the
-# driver verifies a prefix window of queries(); these rotate to the
-# BACK so every registered query accumulates at least one driver-
-# verified row across rounds). enrich_documents / array_semi_filter
-# failed those rounds (array-typed outputs, fixed since) and go FIRST
-# so the fix lands in the next correctness artifact.
-#
-# ROUND 4 MAINTENANCE: after CORRECTNESS_r03.json lands, add its
-# green query names to _DRIVER_VERIFIED (and clear _RECHECK_FIRST if
-# both re-checks flipped green) so the next window reaches the ~22
-# still-unverified queries. Every oracled query already MATCHes in
-# the local strict audit at sf0.01 AND sf0.1 (AUDIT_LOCAL.md), so
-# rotation is about driver-side evidence, not expected failures.
-_RECHECK_FIRST = (
-    "enrich_documents",
-    "array_semi_filter",
-)
+# Queries with a green hash-MATCH row in an earlier round's
+# CORRECTNESS artifact (r1/r2 sets + the 50 greens of r3). The
+# driver verifies a prefix window of queries(); never-verified
+# queries go FIRST so every registered query accumulates at least
+# one driver-verified row across rounds. Behind them the window is
+# filled with RE-verification: queries materially rewritten this
+# round (_REVERIFY_FIRST), then a round-rotated sample of the rest
+# of the verified set — so a regression in an already-green query
+# stays externally detectable instead of hiding behind a stale
+# green row (round-3 ADVICE).
 _DRIVER_VERIFIED = frozenset(
     {
+        # r1/r2 greens
         "bias_slice_disparity", "pricing_summary", "value_counts",
         "group_size_median", "column_stats", "top_decile_mean",
         "pivot_mean", "conditional_agg_anomaly", "group_describe",
@@ -70,32 +64,78 @@ _DRIVER_VERIFIED = frozenset(
         "media_decode_features", "video_frame_samples",
         "expectations_report", "union_all_entities",
         "distinct_union_ids", "except_ids", "intersect_ids",
+        # r3 greens (CORRECTNESS_r03.json, 50/50 MATCH)
+        "enrich_documents", "array_semi_filter", "chunk_exact_dedup",
+        "copurchase_triangles", "except_all_rows",
+        "intersect_distinct_rows", "topk_by_score",
+        "sort_by_aggregate", "priority_sort", "sort_index_counts",
+        "grouped_moments", "quantiles_by_group", "price_histogram",
+        "bitmap_exact_distinct", "metric_trend_fit",
+        "late_ship_priority_dist", "small_qty_part_revenue",
+        "idle_rich_customers", "large_volume_orders",
+        "min_cost_supplier_per_part", "sessionize_events",
+        "funnel_conversion", "cohort_retention", "daily_gap_fill",
+        "ewma_anomaly", "topk_per_group", "run_over_run_anomaly",
+        "rank_ntile_analytics", "cumulative_by_group",
+        "range_frame_agg", "customer_order_profile",
+        "relative_rank_dist", "chunk_documents",
+        "chunk_documents_udtf", "word_freq_topk",
+        "explode_count_by_group", "lang_id_heuristic",
+        "quality_score", "doc_fingerprint", "doc_repetition_topk",
+        "tfidf_top_terms", "pii_redaction", "gopher_quality_flags",
+        "cosine_topk", "embedding_neardup_pairs", "train_test_split",
+        "benchmark_contamination", "class_balance_sample",
+        "distribution_psi_drift", "stratified_sample",
     }
 )
+
+# Verified queries whose implementation changed materially THIS round
+# — they jump the re-verification queue so the driver re-checks the
+# rewrite, not a stale green row.
+_REVERIFY_FIRST = (
+    "ngram_jaccard_topk",    # sizes-broadcast hint removed (r4)
+    "neardup_components",    # shares jaccard_scored_pairs (r4)
+    "fuzzy_prefix_pairs",    # length-band shuffled join (r4)
+    "pii_redaction",         # trailing global sort dropped (r4)
+)
+
+
+def _round_index() -> int:
+    """Current round, inferred from the driver's own artifacts —
+    deterministic, and advances exactly once per round."""
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    return len(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))) + 1
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md SS2, ordered
-    so the driver's prefix-window correctness check reaches queries
-    that don't yet have a verified row (see _DRIVER_VERIFIED).
-    Within the unverified set, ORACLED queries come before rows-only
-    ones — a hash-MATCH row is the stronger evidence, so it earns the
-    window slot first."""
+    so the driver's prefix-window correctness check spends its slots
+    where they buy the most evidence:
+
+    1. never-verified ORACLED queries (hash-MATCH is the strongest
+       evidence, so they earn the slot first),
+    2. never-verified rows-only queries,
+    3. queries rewritten this round (_REVERIFY_FIRST),
+    4. the remaining verified set, ROTATED by round index so each
+       round re-checks a different slice and every green row is
+       eventually refreshed (regression detection, round-3 ADVICE).
+    """
     qs = get_queries()
     oracled = set(get_oracles())
-    unverified = [
-        n
-        for n in qs
-        if n not in _DRIVER_VERIFIED and n not in _RECHECK_FIRST
-    ]
-    order = [n for n in _RECHECK_FIRST if n in qs]
-    order += [n for n in unverified if n in oracled]
+    unverified = [n for n in qs if n not in _DRIVER_VERIFIED]
+    reverify = [n for n in _REVERIFY_FIRST if n in qs]
+    rest = sorted(
+        n for n in qs if n in _DRIVER_VERIFIED and n not in reverify
+    )
+    if rest:
+        k = (_round_index() * 17) % len(rest)
+        rest = rest[k:] + rest[:k]
+    order = [n for n in unverified if n in oracled]
     order += [n for n in unverified if n not in oracled]
-    order += [
-        n
-        for n in qs
-        if n in _DRIVER_VERIFIED and n not in _RECHECK_FIRST
-    ]
+    order += reverify
+    order += rest
     return {n: qs[n] for n in order}
 
 

@@ -147,14 +147,28 @@ def vacuum_zone(zone_path: str, keep_latest: int = 3) -> list[str]:
     return doomed
 
 
-def write_json_artifact(df: DataFrame, path: str) -> None:
+def write_json_artifact(
+    df: DataFrame, path: str, max_rows: int = 100_000
+) -> None:
     """K6: small-aggregate JSON artifact (schema snapshots, slice
     summaries — schema_validator.py:388-396, slicing_bias_analysis.py:
     43-72). These are driver-sized BY CONSTRUCTION (post-aggregation);
-    the collect is the intended pattern, not a scale bug. Written
-    atomically via tmp+rename so a concurrent reader never sees a
-    partial artifact."""
-    rows = [r.asDict(recursive=True) for r in df.collect()]
+    the collect is the intended pattern, not a scale bug — and the
+    ``max_rows`` guard makes a misuse (pointing this at an
+    unaggregated table) fail fast with a clear error instead of
+    OOMing the driver. Written atomically via tmp+rename so a
+    concurrent reader never sees a partial artifact."""
+    # limit(max_rows + 1) bounds the fetch itself: the guard must not
+    # collect the oversized input to discover it is oversized.
+    rows = [
+        r.asDict(recursive=True) for r in df.limit(max_rows + 1).collect()
+    ]
+    if len(rows) > max_rows:
+        raise ValueError(
+            f"write_json_artifact: input exceeds {max_rows} rows — "
+            "JSON artifacts are for driver-sized aggregates; write a "
+            "parquet zone for table-sized data"
+        )
     tmp = f"{path}.tmp"
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     with open(tmp, "w") as f:

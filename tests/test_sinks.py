@@ -140,6 +140,17 @@ def test_json_artifact(spark, tmp_path):
     assert not os.path.exists(path + ".tmp")
 
 
+def test_json_artifact_size_guard(spark, tmp_path):
+    # Misuse (unaggregated / table-sized input) must fail fast, not
+    # OOM the driver, and must not leave a partial artifact behind.
+    path = str(tmp_path / "artifacts" / "too_big.json")
+    big = spark.range(10)
+    with pytest.raises(ValueError, match="exceeds 5 rows"):
+        write_json_artifact(big, path, max_rows=5)
+    assert not os.path.exists(path)
+    assert not os.path.exists(path + ".tmp")
+
+
 # ---------------------------------------------------------------------
 # upsert
 # ---------------------------------------------------------------------
