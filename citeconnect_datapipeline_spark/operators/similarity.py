@@ -276,15 +276,20 @@ def _train_ivf_centroids(emb: DataFrame, k: int) -> "object":
     This is the standard IVF recipe (FAISS trains its coarse quantizer
     on a sample too): training touches ``IVF_TRAIN_SAMPLE`` rows no
     matter the table size, so the driver-side collect is O(k*d) --
-    bounded, not a scan. Determinism: the sample is the lowest
-    ``vec_id`` rows, init is an even-stride slice of the sample, and
-    Lloyd iterations are pure numpy -- same data, same centroids, on
-    any cluster."""
+    bounded, not a scan. Determinism WITHOUT bias: the sample is the
+    lowest ``xxhash64(vec_id)`` rows -- in any real lake vec_id
+    correlates with ingest time/domain, so the previous lowest-vec_id
+    sample trained centroids on one biased corner of the corpus and
+    recall degraded at scale; hashing first keeps the choice
+    deterministic (same data, same sample, any cluster, any row
+    order) while making it uniform over the corpus. Init is an
+    even-stride slice of the sample and Lloyd iterations are pure
+    numpy."""
     import numpy as np
 
     sample = (
         emb.select("vec_id", "embedding")
-        .orderBy("vec_id")
+        .orderBy(F.xxhash64(F.col("vec_id")), F.col("vec_id"))
         .limit(IVF_TRAIN_SAMPLE)
         .collect()
     )

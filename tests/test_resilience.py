@@ -200,3 +200,81 @@ def test_ann_ivf_recall_and_pruning(spark):
         f"probing {IVF_NPROBE}/{IVF_LISTS} lists scans {largest_probe}"
         f"/{total} rows — no pruning"
     )
+
+
+def test_ivf_training_unbiased_on_skewed_layout(spark):
+    """Centroid training must sample uniformly over the corpus even
+    when vec_id order correlates with content — the layout every real
+    lake has (ids assigned by ingest time, one domain at a time). The
+    adversarial layout here puts a single tight cluster in the first
+    600 ids (more than IVF_TRAIN_SAMPLE) and five other clusters
+    after; lowest-id sampling would train every centroid on cluster 0
+    and recall for a late-id query would collapse. Hash-ordered
+    sampling must keep centroids spread across all clusters and give
+    high recall for a query in the LAST cluster."""
+    import numpy as np
+
+    from citeconnect_datapipeline_spark.operators.similarity import (
+        IVF_LISTS,
+        IVF_NPROBE,
+        IVF_TRAIN_SAMPLE,
+        _ivf_assignments,
+        _train_ivf_centroids,
+    )
+
+    rng = np.random.default_rng(7)
+    n_clusters, dim = 6, 16
+    bases = rng.normal(size=(n_clusters, dim))
+    bases /= np.linalg.norm(bases, axis=1, keepdims=True)
+    rows, cluster_of = [], {}
+    vid = 0
+    # ids 0..599: all cluster 0 (covers the whole train sample);
+    # ids 600+: clusters 1..5, 280 vectors each.
+    for cluster, count in [(0, 600)] + [(c, 280) for c in range(1, 6)]:
+        for _ in range(count):
+            v = bases[cluster] + 0.05 * rng.normal(size=dim)
+            v /= np.linalg.norm(v)
+            rows.append((vid, [float(x) for x in v]))
+            cluster_of[vid] = cluster
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    cents = _train_ivf_centroids(emb, IVF_LISTS)
+    assert len(cents) == IVF_LISTS
+    # The training sample is smaller than the cluster-0 prefix, so a
+    # biased (lowest-id) sampler could not have seen clusters 1-5 at
+    # all. Unbiased centroids must separate them: every cluster base
+    # should have a centroid very close to it.
+    worst = min(float((cents @ bases[c]).max()) for c in range(n_clusters))
+    assert worst > 0.9, (
+        f"a cluster has no nearby centroid (best dot {worst:.3f}) — "
+        "training sample is biased"
+    )
+
+    # Recall for a query in the LAST cluster (highest ids): probe the
+    # nearest lists and check the exact top-10 within probed rows
+    # covers >= 0.8 of the true brute-force top-10.
+    qid = vid - 1
+    qv = np.asarray(rows[qid][1], dtype="float64")
+    qv /= np.linalg.norm(qv)
+    all_mat = np.stack([np.asarray(r[1], dtype="float64") for r in rows])
+    all_mat /= np.linalg.norm(all_mat, axis=1, keepdims=True)
+    sims = all_mat @ qv
+    sims[qid] = -2.0
+    truth = set(np.argsort(-sims)[:10].tolist())
+
+    probe_lists = set(np.argsort(-(cents @ qv))[:IVF_NPROBE].tolist())
+    assigned = {
+        r.vec_id: r.list_id
+        for r in _ivf_assignments(emb, cents).collect()
+    }
+    probed = [
+        v for v in range(vid)
+        if assigned[v] in probe_lists and v != qid
+    ]
+    approx = set(
+        sorted(probed, key=lambda v: -sims[v])[:10]
+    )
+    recall = len(truth & approx) / 10
+    assert recall >= 0.8, f"skewed-layout IVF recall {recall}"
+    assert len(rows) > IVF_TRAIN_SAMPLE
