@@ -411,7 +411,14 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cab") >= 2)
         .select("u", "v")
     )
-    e = pair_counts.persist()
+    # No persist: the three self-join scans of `e` are identical
+    # subplans, so Catalyst's ReusedExchange computes the pair-count
+    # shuffle once (plan-asserted in tests/test_plans.py). A persist
+    # here leaked one edge-sized cache per invocation (round-3
+    # ADVICE) — and unpersisting safely would force materializing the
+    # result at construction time, which plan-only callers don't
+    # want.
+    e = pair_counts
     e1 = e.alias("e1")
     e2 = e.alias("e2")
     e3 = e.alias("e3")

@@ -145,6 +145,7 @@ def jdbc_upsert(
     on_conflict: str = "nothing",
     max_retries: int = 3,
     retry_backoff_s: float = 0.1,
+    exact_batch_rowcount: bool = True,
 ) -> dict:
     """K3's real text path: per-partition batched
     ``INSERT ... ON CONFLICT (key) DO NOTHING | DO UPDATE`` through a
@@ -164,6 +165,19 @@ def jdbc_upsert(
       inserted, so skipped = batch - rowcount — the reference's
       'skipped' statistic without its per-row existing_ids set
       (which would be O(all ids) driver state at scale).
+      DRIVER REQUIREMENT: this is exact only for drivers whose
+      ``executemany`` reports the TOTAL affected rows (psycopg 3,
+      most JDBC bridges). psycopg2's executemany reports only the
+      last statement's rowcount; with such a driver pass
+      ``exact_batch_rowcount=False`` and the batch path counts
+      every batch row as inserted (per-row accounting stays exact
+      in the fallback path either way).
+    * Transactional hygiene: any failed statement leaves a real
+      DB-API connection in an aborted-transaction state, so the
+      fallback ROLLS BACK before isolating rows and after every
+      failed per-row execute — without that, every subsequent
+      execute on psycopg/Postgres fails with 'current transaction
+      is aborted' and the whole batch is miscounted as failed.
     * A batch that raises ``TransientWriteError`` retries up to
       ``max_retries`` with linear backoff, then — like any other
       exception — falls back to row-at-a-time execution so one bad
@@ -199,6 +213,15 @@ def jdbc_upsert(
         cur = conn.cursor()
         attempted = inserted = skipped = failed = retried = 0
 
+        def rollback() -> None:
+            # A failed statement leaves the transaction aborted on
+            # real drivers; reset before issuing anything else. Test
+            # doubles without rollback() are tolerated.
+            try:
+                conn.rollback()
+            except Exception:
+                pass
+
         def flush(batch: list[tuple]) -> None:
             nonlocal inserted, skipped, failed, retried
             if not batch:
@@ -207,16 +230,21 @@ def jdbc_upsert(
                 try:
                     cur.executemany(sql, batch)
                     conn.commit()
-                    n = cur.rowcount if cur.rowcount >= 0 else len(batch)
+                    if exact_batch_rowcount and cur.rowcount >= 0:
+                        n = cur.rowcount
+                    else:
+                        n = len(batch)
                     inserted += n
                     skipped += len(batch) - n
                     return
                 except TransientWriteError:
+                    rollback()
                     if attempt == max_retries:
                         break  # exhausted: isolate rows below
                     retried += 1
                     _time.sleep(retry_backoff_s * (attempt + 1))
                 except Exception:
+                    rollback()
                     break  # data error somewhere in the batch
             # row-at-a-time fallback: one bad row = one 'failed'
             for row in batch:
@@ -227,6 +255,7 @@ def jdbc_upsert(
                     inserted += n
                     skipped += 1 - n
                 except Exception:
+                    rollback()
                     failed += 1
 
         batch: list[tuple] = []
@@ -298,12 +327,30 @@ def merge_parquet(
     A batch may carry SEVERAL changes for one key (insert then
     correct, update then retract): only the LAST one wins, ordered by
     ``seq_col`` if given (a CDC LSN / event timestamp), else by the
-    batch's own row order — the same fold a row-by-row apply would
-    produce. The swap is crash-recoverable: interrupted runs are
-    rolled forward/back by ``_recover_swap`` before the merge reads
-    the target (see its docstring for the protocol).
+    batch's own row order. ROW-ORDER CAVEAT: the fallback encodes row
+    order with ``monotonically_increasing_id()``, i.e. (partition,
+    offset) — faithful only for an order-preserving single-lineage
+    input (a straight file/stream read). After a shuffle, union, or
+    repartition the 'latest' change per key is arbitrary, so callers
+    MUST pass ``seq_col`` for such inputs; the merge detects an
+    exchange/union in the plan and warns when they don't. The swap is
+    crash-recoverable: interrupted runs are rolled forward/back by
+    ``_recover_swap`` before the merge reads the target (see its
+    docstring for the protocol).
     """
     _recover_swap(target_path)
+    if seq_col is None:
+        plan = changes._jdf.queryExecution().executedPlan().toString()
+        if "Exchange" in plan or "Union" in plan:
+            import warnings
+
+            warnings.warn(
+                "merge_parquet: `changes` has been shuffled/unioned "
+                "and no seq_col was given — batch row order is not "
+                "well-defined, so the surviving change per key is "
+                "arbitrary. Pass seq_col (CDC LSN / event time).",
+                stacklevel=2,
+            )
     # Collapse to the latest change per key BEFORE classifying:
     # without this, two upserts for one key both union into the
     # target (duplicate key rows) and an upsert+delete pair applies

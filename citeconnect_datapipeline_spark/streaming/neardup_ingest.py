@@ -45,8 +45,20 @@ def ingest_batch(
     text rows to ``{store_dir}/docs`` and their band keys to
     ``{store_dir}/index``. Returns {attempted, accepted, rejected}.
 
-    Within-batch ordering is deterministic: the smaller doc_id of a
-    colliding pair wins, matching every keep-first in the engine.
+    Within-batch semantics are deterministic and DELIBERATELY
+    TRANSITIVE: a doc is rejected when it shares a band with ANY
+    lower-id doc of the batch, including one that was itself
+    rejected. For a collision chain a<b<c where b collides with a
+    and c only with b, exact greedy keep-first would accept c;
+    transitive rejection drops it. This is a conservative
+    over-rejection chosen on purpose: it is a single self-join (the
+    exact greedy resolution is an iterative independent-set loop —
+    one job per chain hop), it can never ADMIT a duplicate, and
+    band-collision chains that are not cliques are rare in practice
+    (near-dup similarity is close to transitive at the thresholds
+    used). The trade is documented here so callers needing exact
+    greedy semantics know to run the batch through
+    ``operators.dedup.neardup_components`` offline instead.
     """
     docs_dir = os.path.join(store_dir, "docs")
     index_dir = os.path.join(store_dir, "index")
@@ -99,6 +111,54 @@ def ingest_batch(
     }
 
 
+def reconcile_store(spark: SparkSession, store_dir: str) -> int:
+    """Heal the crash window the append ordering leaves open: index
+    rows land BEFORE doc rows, so a crash between the two appends
+    leaves band keys whose doc_id is absent from the docs store.
+    Replays then re-reject that doc against its own orphaned index
+    rows — silently dropping it forever. Run this at stream startup
+    (``neardup_ingest_stream`` does) to delete orphaned index rows;
+    the doc's next delivery is then accepted normally.
+
+    Returns the number of orphaned index rows removed. The index
+    rewrite swaps directories atomically (staging -> rename dance)
+    and rolls an interrupted previous swap forward/back first, so a
+    crash DURING reconciliation never loses accepted docs' index
+    rows either."""
+    import shutil
+
+    index_dir = os.path.join(store_dir, "index")
+    docs_dir = os.path.join(store_dir, "docs")
+    old, staging = f"{index_dir}.old", f"{index_dir}.staging"
+    # recover an interrupted swap: old+index -> drop old (post-
+    # commit); old alone -> restore (pre-commit)
+    if os.path.isdir(old):
+        if os.path.isdir(index_dir):
+            shutil.rmtree(old)
+        else:
+            os.rename(old, index_dir)
+    if os.path.isdir(staging):
+        shutil.rmtree(staging)
+    if not os.path.isdir(index_dir):
+        return 0
+    if not os.path.isdir(docs_dir):
+        # nothing ever committed to docs: the whole index is orphaned
+        index = spark.read.parquet(index_dir)
+        n = index.count()
+        shutil.rmtree(index_dir)
+        return n
+    index = spark.read.parquet(index_dir)
+    doc_ids = spark.read.parquet(docs_dir).select("doc_id").distinct()
+    n_orphans = index.join(doc_ids, "doc_id", "left_anti").count()
+    if n_orphans == 0:
+        return 0
+    index.join(doc_ids, "doc_id", "left_semi").write.parquet(staging)
+    os.rename(index_dir, old)
+    os.rename(staging, index_dir)
+    shutil.rmtree(old)
+    return n_orphans
+
+
 def neardup_ingest_stream(
     stream_df: DataFrame,
     store_dir: str,
@@ -107,9 +167,12 @@ def neardup_ingest_stream(
 ) -> StreamingQuery:
     """Streaming wrapper: each micro-batch flows through
     ``ingest_batch`` under the stream checkpoint's offset tracking.
-    Drains with availableNow so a finite backlog processes
-    deterministically in tests; a production run drops the trigger
-    for continuous micro-batches."""
+    Startup first RECONCILES the store (drops index rows orphaned by
+    a crash between the index and docs appends — see
+    ``reconcile_store``). Drains with availableNow so a finite
+    backlog processes deterministically in tests; a production run
+    drops the trigger for continuous micro-batches."""
+    reconcile_store(stream_df.sparkSession, store_dir)
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():

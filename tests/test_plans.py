@@ -365,3 +365,23 @@ def test_spread_small_source_is_conditional(spark):
     wide = spark.range(0, 1000, 1, p + 4).selectExpr("id", "id * 2 AS v")
     out = spread_small_source(wide)
     assert out is wide  # pass-through, not a new plan node
+
+
+def test_triangles_reuse_exchange_and_leave_no_cache(spark):
+    """copurchase_triangles self-joins the pruned edge table three
+    times. Instead of a persist (which leaked one edge-sized cache
+    per invocation — round-3 ADVICE), the three identical subplans
+    must collapse into ONE computed shuffle via ReusedExchange, and
+    the query must leave nothing persisted behind."""
+    from citeconnect_datapipeline_spark.operators.graph import (
+        copurchase_triangles,
+    )
+
+    before = set(spark.sparkContext._jsc.getPersistentRDDs().keySet())
+    df = copurchase_triangles(spark, "/root/testdata/sf0.001")
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan, "edge self-joins recompute the shuffle"
+    assert "InMemoryRelation" not in plan, "unexpected cache in plan"
+    after = set(spark.sparkContext._jsc.getPersistentRDDs().keySet())
+    assert after <= before, "copurchase_triangles leaked a persisted RDD"

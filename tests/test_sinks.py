@@ -694,3 +694,129 @@ def test_jdbc_upsert_poison_row_isolated(spark, tmp_path):
     assert stats["inserted"] == 20
     assert stats["failed"] == 1
     assert stats["retried"] == 0
+
+
+def _aborting_pg_factory(state_file):
+    """Strict double modeling psycopg/Postgres transaction semantics:
+    after ANY failed statement the connection is in an aborted
+    transaction and every subsequent statement raises until
+    rollback() is called. Against this double, poison-row isolation
+    only works if jdbc_upsert actually rolls back before (and
+    during) the fallback loop."""
+
+    class Cursor:
+        def __init__(self, conn):
+            self.conn = conn
+            self.rowcount = -1
+
+        def _run(self, rows):
+            if self.conn.aborted:
+                raise RuntimeError(
+                    "current transaction is aborted, commands ignored"
+                )
+            if any(str(r[0]) == "BOOM" for r in rows):
+                self.conn.aborted = True
+                raise ValueError("poison row")
+            existing = set()
+            import os as _os
+
+            if _os.path.exists(state_file):
+                existing = {
+                    ln.strip() for ln in open(state_file) if ln.strip()
+                }
+            n = 0
+            with open(state_file, "a") as f:
+                for r in rows:
+                    if str(r[0]) not in existing:
+                        f.write(str(r[0]) + "\n")
+                        existing.add(str(r[0]))
+                        n += 1
+            self.rowcount = n
+
+        def executemany(self, sql, rows):
+            self._run(list(rows))
+
+        def execute(self, sql, row):
+            self._run([row])
+
+    class Conn:
+        def __init__(self):
+            self.aborted = False
+
+        def cursor(self):
+            return Cursor(self)
+
+        def commit(self):
+            if self.aborted:
+                raise RuntimeError("cannot commit aborted transaction")
+
+        def rollback(self):
+            self.aborted = False
+
+        def close(self):
+            pass
+
+    return Conn
+
+
+def test_jdbc_upsert_rolls_back_aborted_transaction(spark, tmp_path):
+    """Against a driver with real aborted-transaction semantics, the
+    row-at-a-time fallback must still isolate exactly the poison rows
+    — which requires a rollback after the failed batch AND after each
+    failed per-row execute (round-3 ADVICE)."""
+    from citeconnect_datapipeline_spark.sinks.upsert import jdbc_upsert
+
+    state = str(tmp_path / "pg_state.txt")
+    rows = (
+        [(str(i), i) for i in range(10)]
+        + [("BOOM", 1)]
+        + [(str(i), i) for i in range(10, 20)]
+        + [("BOOM", 2)]
+        + [(str(i), i) for i in range(20, 25)]
+    )
+    df = spark.createDataFrame(
+        rows, "paper_id string, score int"
+    ).coalesce(1)
+    stats = jdbc_upsert(
+        df, "papers", "paper_id", _aborting_pg_factory(state),
+        batch_size=100,
+    )
+    assert stats["attempted"] == 27
+    assert stats["inserted"] == 25
+    assert stats["failed"] == 2
+    stored = {ln.strip() for ln in open(state) if ln.strip()}
+    assert stored == {str(i) for i in range(25)}
+
+
+def test_merge_parquet_warns_on_shuffled_changes_without_seq(
+    spark, tmp_path
+):
+    """Row-order 'last wins' is undefined after a shuffle/union; the
+    merge must tell the caller to pass seq_col instead of silently
+    picking an arbitrary survivor."""
+    import warnings
+
+    from citeconnect_datapipeline_spark.sinks.upsert import merge_parquet
+
+    target = str(tmp_path / "t")
+    a = spark.createDataFrame(
+        [("k1", 1, "upsert")], "paper_id string, score int, _op string"
+    )
+    b = spark.createDataFrame(
+        [("k1", 2, "upsert")], "paper_id string, score int, _op string"
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        merge_parquet(spark, a.unionByName(b), target, "paper_id")
+    assert any("seq_col" in str(x.message) for x in w)
+
+    # with seq_col given: no warning, deterministic survivor
+    c = a.selectExpr("paper_id", "score", "_op", "1 AS seq").unionByName(
+        b.selectExpr("paper_id", "score", "_op", "2 AS seq")
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        merge_parquet(spark, c, target, "paper_id", seq_col="seq")
+    assert not any("seq_col" in str(x.message) for x in w)
+    out = spark.read.parquet(target).collect()
+    assert [(r.paper_id, r.score) for r in out] == [("k1", 2)]

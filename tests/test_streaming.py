@@ -420,3 +420,56 @@ def test_neardup_ingest_stream_rejects_cross_batch_dups(spark, tmp_path):
     stats = ingest_batch(spark, first, store)
     assert stats["accepted"] == 0
     assert stats["rejected"] == stats["attempted"]
+
+
+def test_neardup_ingest_reconciles_crash_window(spark, tmp_path):
+    """Crash between the index append and the docs append leaves
+    index rows with no doc ('index-without-doc'); a replay would then
+    re-reject the doc against its own orphaned band keys forever.
+    reconcile_store must delete exactly those rows so the doc's next
+    delivery is accepted."""
+    from citeconnect_datapipeline_spark.operators.dedup import (
+        minhash_band_hashes,
+    )
+    from citeconnect_datapipeline_spark.sources.tables import load_table
+    from citeconnect_datapipeline_spark.streaming.neardup_ingest import (
+        ingest_batch,
+        reconcile_store,
+    )
+
+    docs = (
+        load_table(spark, "/root/testdata/sf0.001", "documents")
+        .select("doc_id", "text")
+    )
+    store = str(tmp_path / "store")
+    first = docs.filter(F.col("doc_id") < 10)
+    ingest_batch(spark, first, store)
+    n_index_before = spark.read.parquet(f"{store}/index").count()
+
+    # simulate the crash: index rows for a brand-new doc land, the
+    # doc row never does (synthetic text so the victim is near-dup of
+    # nothing in the store — only its own orphaned index rows)
+    unique_text = " ".join(f"zw{i}qx kv{i}jh pt{i}om" for i in range(12))
+    victim = spark.createDataFrame(
+        [(5000, unique_text)], "doc_id long, text string"
+    )
+    minhash_band_hashes(victim).write.mode("append").parquet(
+        f"{store}/index"
+    )
+    # un-reconciled, a replay of the victim is rejected by its own
+    # orphaned index rows
+    assert ingest_batch(spark, victim, store)["accepted"] == 0
+    # ... and that rejected replay adds nothing, so the orphans remain
+    removed = reconcile_store(spark, store)
+    assert removed > 0
+    assert spark.read.parquet(f"{store}/index").count() == n_index_before
+    # post-reconcile the victim's next delivery is accepted
+    stats = ingest_batch(spark, victim, store)
+    assert stats["accepted"] == 1
+    stored = {
+        r.doc_id
+        for r in spark.read.parquet(f"{store}/docs").select("doc_id").collect()
+    }
+    assert 5000 in stored
+    # a healthy store reconciles to a no-op
+    assert reconcile_store(spark, store) == 0
