@@ -507,83 +507,28 @@ def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster a dedup pass would keep. Docs with no near-dup never enter
     the edge list (they are trivially canonical).
 
-    Components run as iterative min-label propagation: each round a
-    vertex takes the min of its own label and its neighbors', until a
-    fixpoint -- the join-based restatement of GraphX's Pregel loop.
-    Two job-count optimizations keep the serial chain short (serial
-    jobs are the scarce resource when the suite runs concurrently):
-    the label table is SEEDED with ``min(v, min(neighbors))`` in the
-    same aggregation that builds the vertex set (near-dup clusters
-    are tiny cliques, so the seed is already the fixpoint and the
-    loop exits after one confirming round), and each round carries
-    the previous label alongside the new one so the convergence COUNT
-    filters the propagated frame directly instead of re-joining new
-    vs old labels -- one job per round, not two. Rounds = graph
-    diameter (bounded at 15); at 100 TB the standard hardening is
-    alternating large-star/small-star steps plus checkpointing every
-    few rounds to cut lineage -- same plan shape, fewer rounds on
-    skewed star graphs. The driver loop carries only a convergence
-    COUNT per round, never data.
+    Components run through ``operators.graph.connected_components``
+    — alternating large-star/small-star (the hardening this
+    docstring promised since round 2, now implemented): O(log^2 n)
+    rounds on ANY graph shape including 10k-spoke stars and long
+    chains, groupBy-min + equi-join per step (no collect_set, so a
+    hub never materializes one giant row), localCheckpoint lineage
+    cuts every few rounds, and a RAISE on non-convergence instead of
+    silently-partial components. The driver loop carries only a
+    convergence checksum per round, never data.
 
     The DuckDB oracle computes the same components with a recursive
     transitive-closure CTE -- tractable on the oracle's scale, while
     the Spark side's per-round cost is linear in edges."""
+    from .graph import connected_components
+
     docs = load_table(spark, sf_dir, "documents")
     jpairs = (
         jaccard_scored_pairs(docs)
         .filter(F.col("jaccard") >= NEARDUP_JACCARD)
         .select("doc_a", "doc_b")
     )
-    edges = (
-        jpairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .unionByName(
-            jpairs.select(
-                F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
-            )
-        )
-        .persist()
-    )
-    # Seed: every vertex appears as dst (edges are symmetric), so one
-    # groupBy yields both the vertex set and the round-0 label.
-    cached = (
-        edges.groupBy(F.col("dst").alias("v"))
-        .agg(F.min("src").alias("m"))
-        .select("v", F.least(F.col("v"), F.col("m")).alias("label"))
-        .persist()
-    )
-    labels = cached
-    for _ in range(15):
-        nbr_min = (
-            edges.join(labels, edges.src == labels.v)
-            .groupBy(F.col("dst").alias("v2"))
-            .agg(F.min("label").alias("nbr_label"))
-        )
-        propagated = (
-            labels.join(nbr_min, labels.v == nbr_min.v2, "left")
-            .select(
-                "v",
-                F.col("label").alias("prev"),
-                F.least(
-                    F.col("label"), F.coalesce("nbr_label", "label")
-                ).alias("label"),
-            )
-            .persist()
-        )
-        changed = propagated.filter(F.col("label") != F.col("prev")).count()
-        cached.unpersist()
-        cached = propagated
-        labels = propagated.select("v", "label")
-        if changed == 0:
-            break
-    # Cut lineage AND release every loop cache before returning: the
-    # final round's persist otherwise outlives the query (each suite
-    # run leaked one vertex-sized cache, compounding into executor
-    # memory pressure across a 100-query session). labels is
-    # vertex-sized; localCheckpoint is already materialized by the
-    # convergence count's job, so this is a cheap copy, not a rerun.
-    labels = labels.localCheckpoint()
-    cached.unpersist()
-    edges.unpersist()
+    labels = connected_components(jpairs, src="doc_a", dst="doc_b")
     return labels.select(
         F.col("v").alias("doc_id"),
         F.col("label").alias("component"),

@@ -385,3 +385,94 @@ def test_triangles_reuse_exchange_and_leave_no_cache(spark):
     assert "InMemoryRelation" not in plan, "unexpected cache in plan"
     after = set(spark.sparkContext._jsc.getPersistentRDDs().keySet())
     assert after <= before, "copurchase_triangles leaked a persisted RDD"
+
+
+def _cc_oracle(pairs):
+    """Union-find ground truth for connected_components tests."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in pairs:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    return {x: find(x) for x in parent}
+
+
+def test_connected_components_star_graph_fast_convergence(spark):
+    """The skew case the large-star/small-star hardening exists for:
+    1 hub, 10k spokes (hub id LARGEST, the worst orientation for
+    min-label propagation). Must converge in <= 5 rounds — plain
+    label propagation is fine here too, but a hub must never funnel
+    through one giant collected row, and round count is the
+    observable contract of the star algorithm."""
+    from citeconnect_datapipeline_spark.operators.graph import (
+        connected_components,
+    )
+
+    hub = 10_000
+    edges = spark.range(hub).selectExpr(
+        f"CAST({hub} AS BIGINT) AS src", "id AS dst"
+    )
+    stats = {}
+    labels = {
+        r.v: r.label
+        for r in connected_components(edges, stats=stats).collect()
+    }
+    assert stats["rounds"] <= 5, f"star took {stats['rounds']} rounds"
+    assert len(labels) == hub + 1
+    assert set(labels.values()) == {0}
+
+
+def test_connected_components_long_path_logarithmic(spark):
+    """A 512-hop path has diameter 512: plain min-label propagation
+    needs ~512 rounds; alternating stars must finish in O(log^2 n) —
+    assert a generous <= 20. Labels must still be exact."""
+    from citeconnect_datapipeline_spark.operators.graph import (
+        connected_components,
+    )
+
+    n = 512
+    edges = spark.range(n - 1).selectExpr("id AS src", "id + 1 AS dst")
+    stats = {}
+    labels = {
+        r.v: r.label
+        for r in connected_components(edges, stats=stats).collect()
+    }
+    assert stats["rounds"] <= 20, f"path took {stats['rounds']} rounds"
+    assert len(labels) == n
+    assert set(labels.values()) == {0}
+
+
+def test_connected_components_random_graphs_match_union_find(spark):
+    """Exact component labels on assorted shapes (multi-component
+    random graph, cliques, isolated pairs) vs a union-find oracle;
+    component id must be the min member."""
+    import random
+
+    from citeconnect_datapipeline_spark.operators.graph import (
+        connected_components,
+    )
+
+    rng = random.Random(11)
+    pairs = set()
+    # 3 random clusters over disjoint id ranges + stray pairs
+    for base in (0, 1000, 2000):
+        ids = list(range(base, base + 60))
+        for _ in range(80):
+            pairs.add((rng.choice(ids), rng.choice(ids)))
+    pairs |= {(5000, 5001), (6000, 6001), (6001, 6002)}
+    pairs = [(u, v) for u, v in pairs if u != v]
+    truth = _cc_oracle(pairs)
+
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    got = {
+        r.v: r.label for r in connected_components(edges).collect()
+    }
+    assert got == truth
