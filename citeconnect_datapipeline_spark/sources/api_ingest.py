@@ -54,6 +54,45 @@ class TransportError(Exception):
         self.status = status
 
 
+def make_http_transport(
+    base_url: str, timeout_s: float = 30.0
+) -> Transport:
+    """Real HTTP transport over stdlib urllib — the production
+    implementation of the Transport seam the fakes stand in for
+    (reference semantic_scholar_client.py:8-196 is aiohttp; urllib
+    keeps the engine dependency-free, and a closure over a string is
+    picklable to executors). GETs ``base_url/endpoint`` with params
+    urlencoded, decodes the JSON body, and maps HTTP failures to
+    ``TransportError(status)`` so the client's retry/backoff/shrink
+    ladder sees exactly the statuses it was built for. Accepts the
+    optional ``headers`` kwarg, so ``ApiClient`` key rotation sends
+    x-api-key on the wire. Exercised against a real loopback socket
+    in tests/test_api_ingest.py (no external network anywhere)."""
+
+    def transport(
+        endpoint: str,
+        params: dict[str, Any],
+        headers: dict[str, str] | None = None,
+    ) -> dict[str, Any]:
+        import json as _json
+        import urllib.error
+        import urllib.parse
+        import urllib.request
+
+        url = base_url.rstrip("/") + "/" + endpoint.lstrip("/")
+        if params:
+            url += "?" + urllib.parse.urlencode(params)
+        req = urllib.request.Request(url, headers=headers or {})
+        try:
+            with urllib.request.urlopen(req, timeout=timeout_s) as resp:
+                body = resp.read().decode("utf-8")
+                return _json.loads(body) if body else {}
+        except urllib.error.HTTPError as exc:
+            raise TransportError(exc.code, str(exc.reason)) from exc
+
+    return transport
+
+
 class TokenBucket:
     """Classic token-bucket rate limiter.
 

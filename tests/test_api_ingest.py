@@ -340,3 +340,187 @@ def test_fetch_papers_distributed_key_rotation_adaptive(spark, tmp_path):
     assert rows == {f"p{i}" for i in range(20)}
     used = set(open(log).read().split())
     assert used == {"k1", "k2"}
+
+
+# ---------------------------------------------------------------------
+# Real-socket loopback transport (closes the fake-transport seam:
+# everything above runs against in-process doubles; this section runs
+# the SAME client mechanics through make_http_transport against an
+# http.server bound to the loopback interface — no external network).
+# ---------------------------------------------------------------------
+
+
+class _LoopbackApi:
+    """Tiny paged paper API served over a real socket, with scripted
+    failures: per-path counters drive 429-then-succeed and
+    limit-too-big -> 400 behaviors; every request's x-api-key header
+    is recorded for rotation asserts."""
+
+    def __init__(self, n_papers: int = 35, max_limit: int = 100):
+        import http.server
+        import json as _json
+        import threading
+        import urllib.parse
+
+        api = self
+        self.papers = [
+            {"paperId": f"p{i:03d}", "title": f"t{i}", "year": 2000 + i % 5}
+            for i in range(n_papers)
+        ]
+        self.seen_keys: list[str | None] = []
+        self.rate_limit_budget = 0  # N next /search hits get 429
+        self.server_err_budget = 0  # N next /search hits get 500
+        self.max_limit = max_limit
+        self.requests: list[dict] = []
+
+        class Handler(http.server.BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet
+                pass
+
+            def do_GET(self):
+                parsed = urllib.parse.urlparse(self.path)
+                q = {
+                    k: v[0]
+                    for k, v in urllib.parse.parse_qs(parsed.query).items()
+                }
+                api.seen_keys.append(self.headers.get("x-api-key"))
+                api.requests.append({"path": parsed.path, **q})
+
+                def send(code, payload=None):
+                    self.send_response(code)
+                    self.send_header("Content-Type", "application/json")
+                    self.end_headers()
+                    if payload is not None:
+                        self.wfile.write(_json.dumps(payload).encode())
+
+                if parsed.path == "/search":
+                    if api.rate_limit_budget > 0:
+                        api.rate_limit_budget -= 1
+                        return send(429)
+                    if api.server_err_budget > 0:
+                        api.server_err_budget -= 1
+                        return send(500)
+                    limit = int(q.get("limit", 10))
+                    if limit > api.max_limit:
+                        return send(400)
+                    off = int(q.get("offset", 0))
+                    rows = api.papers[off : off + limit]
+                    return send(
+                        200, {"data": rows, "total": len(api.papers)}
+                    )
+                if parsed.path == "/paper":
+                    pid = q.get("id")
+                    hit = [p for p in api.papers if p["paperId"] == pid]
+                    if not hit:
+                        return send(404)
+                    return send(200, hit[0])
+                return send(404)
+
+        self.httpd = http.server.ThreadingHTTPServer(
+            ("127.0.0.1", 0), Handler
+        )
+        self.port = self.httpd.server_address[1]
+        self.thread = threading.Thread(
+            target=self.httpd.serve_forever, daemon=True
+        )
+        self.thread.start()
+
+    @property
+    def base_url(self) -> str:
+        host = "127.0.0.1"
+        return f"http://{host}:{self.port}"
+
+    def close(self):
+        self.httpd.shutdown()
+        self.httpd.server_close()
+
+
+@pytest.fixture()
+def loopback_api():
+    api = _LoopbackApi()
+    yield api
+    api.close()
+
+
+def _loopback_client(api, **cfg) -> ApiClient:
+    from citeconnect_datapipeline_spark.sources.api_ingest import (
+        make_http_transport,
+    )
+
+    cfg.setdefault("rate_per_sec", 10_000.0)
+    cfg.setdefault("burst", 100)
+    return ApiClient(
+        make_http_transport(api.base_url),
+        ApiClientConfig(**cfg),
+        sleeper=no_sleep,
+    )
+
+
+def test_loopback_paged_search_real_socket(loopback_api):
+    """S1 pagination over a real socket: all rows, correct page
+    cadence, stop at total."""
+    client = _loopback_client(loopback_api, page_limit=10)
+    rows = list(client.search("any", max_results=100))
+    assert [r["paperId"] for r in rows] == [
+        f"p{i:03d}" for i in range(35)
+    ]
+    offsets = [
+        int(r["offset"]) for r in loopback_api.requests
+        if r["path"] == "/search"
+    ]
+    assert offsets == [0, 10, 20, 30]
+
+
+def test_loopback_retry_backoff_and_server_errors(loopback_api):
+    """429s and 500s on the wire retry with backoff and then succeed;
+    retry_count reflects every failed round-trip."""
+    loopback_api.rate_limit_budget = 2
+    loopback_api.server_err_budget = 1
+    client = _loopback_client(loopback_api, page_limit=50)
+    rows = list(client.search("any", max_results=5))
+    assert len(rows) == 5
+    assert client.retry_count == 3
+
+
+def test_loopback_adaptive_page_shrink(loopback_api):
+    """A 400 for an oversized limit halves the page size until the
+    server accepts — the reference's adaptive shrink, over a real
+    socket."""
+    loopback_api.max_limit = 20
+    client = _loopback_client(loopback_api, page_limit=100)
+    rows = list(client.search("any", max_results=35))
+    assert len(rows) == 35
+    limits = [
+        int(r["limit"]) for r in loopback_api.requests
+        if r["path"] == "/search"
+    ]
+    assert limits[0] == 35  # asked big
+    assert 25 in limits or 17 in limits  # halved until accepted
+    assert all(lim <= 20 for lim in limits[-2:])
+
+
+def test_loopback_key_rotation_on_the_wire(loopback_api):
+    """ApiKeyPool keys must actually reach the server as x-api-key
+    headers, rotating round-robin per request."""
+    from citeconnect_datapipeline_spark.sources.api_ingest import (
+        ApiKeyPool,
+        make_http_transport,
+    )
+
+    client = ApiClient(
+        make_http_transport(loopback_api.base_url),
+        ApiClientConfig(rate_per_sec=10_000.0, burst=100, page_limit=10),
+        sleeper=no_sleep,
+        key_pool=ApiKeyPool(["k1", "k2", "k3"]),
+    )
+    list(client.search("any", max_results=30))
+    assert loopback_api.seen_keys[:3] == ["k1", "k2", "k3"]
+    assert set(loopback_api.seen_keys) == {"k1", "k2", "k3"}
+
+
+def test_loopback_point_lookup_and_404(loopback_api):
+    """S2 over the wire: hit returns the paper, miss maps 404 ->
+    None (not an exception)."""
+    client = _loopback_client(loopback_api)
+    assert client.get_paper("p003")["title"] == "t3"
+    assert client.get_paper("nope") is None
