@@ -820,3 +820,95 @@ def test_merge_parquet_warns_on_shuffled_changes_without_seq(
     assert not any("seq_col" in str(x.message) for x in w)
     out = spark.read.parquet(target).collect()
     assert [(r.paper_id, r.score) for r in out] == [("k1", 2)]
+
+
+# ---------------------------------------------------------------------
+# K7/K8 report sinks
+# ---------------------------------------------------------------------
+
+
+def test_plot_slices_svg_default(spark, tmp_path):
+    """K7: a small aggregate renders to a standalone SVG with one bar
+    per row, atomically written."""
+    from citeconnect_datapipeline_spark.sinks.report import plot_slices
+
+    agg = spark.createDataFrame(
+        [("ml", 0.82), ("bio", 0.44), ("cs", 0.91)],
+        "domain string, mean_score double",
+    )
+    path = str(tmp_path / "plots" / "slices.svg")
+    out = plot_slices(agg, path, x="domain", y="mean_score", title="slices")
+    svg = open(out).read()
+    assert svg.startswith("<svg") and svg.endswith("</svg>")
+    assert svg.count("<rect") == 3
+    for label in ("ml", "bio", "cs"):
+        assert label in svg
+    assert not os.path.exists(path + ".tmp")
+    # deterministic: same input, same bytes
+    assert open(plot_slices(agg, path, x="domain", y="mean_score",
+                            title="slices")).read() == svg
+
+
+def test_plot_slices_injected_renderer_and_guard(spark, tmp_path):
+    """The renderer seam takes a matplotlib-style callable returning
+    bytes; table-sized input is refused."""
+    from citeconnect_datapipeline_spark.sinks.report import plot_slices
+
+    agg = spark.createDataFrame([("a", 1.0)], "k string, v double")
+    calls = []
+
+    def fake_png(rows, x, y, title):
+        calls.append((rows, x, y, title))
+        return b"\x89PNG-fake"
+
+    path = str(tmp_path / "p.png")
+    plot_slices(agg, path, x="k", y="v", renderer=fake_png)
+    assert open(path, "rb").read() == b"\x89PNG-fake"
+    assert calls[0][0] == [{"k": "a", "v": 1.0}]
+
+    with pytest.raises(ValueError, match="exceeds 3 rows"):
+        plot_slices(
+            spark.range(10).selectExpr("cast(id as string) k", "id v"),
+            path, x="k", y="v", max_rows=3,
+        )
+
+
+def test_alert_email_through_injected_smtp(spark):
+    """K8: HTML alert with severity-sorted rows and an inline image,
+    sent through an injected SMTP double — recipients, body table,
+    and cid attachment all observable."""
+    from citeconnect_datapipeline_spark.sinks.report import alert_email
+
+    sent = []
+
+    class FakeSMTP:
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+        def sendmail(self, sender, to, body):
+            sent.append((sender, to, body))
+
+    stats = spark.createDataFrame(
+        [("row_count_drop", 0.4), ("null_spike", 0.9)],
+        "anomaly string, severity double",
+    )
+    out = alert_email(
+        stats,
+        subject="lake anomalies",
+        sender="pipeline@example.invalid",
+        recipients=["oncall@example.invalid"],
+        smtp_factory=FakeSMTP,
+        severity_col="severity",
+        inline_images={"plot1": b"\x89PNG-fake"},
+    )
+    assert out["n_rows"] == 2
+    sender, to, body = sent[0]
+    assert to == ["oncall@example.invalid"]
+    assert "lake anomalies" in body
+    # severity sort: null_spike (0.9) before row_count_drop (0.4)
+    assert body.index("null_spike") < body.index("row_count_drop")
+    assert 'src="cid:plot1"' in body
+    assert "Content-ID: <plot1>" in body
