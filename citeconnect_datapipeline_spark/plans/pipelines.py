@@ -204,6 +204,72 @@ def mitigation_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def run_mitigation_cycle(
+    spark: SparkSession,
+    recommendations: DataFrame,
+    reingest=None,
+    max_fetch_per_domain: int = 1000,
+) -> DataFrame:
+    """Close the bias-mitigation feedback loop (§3.1 stage 5): the
+    ``mitigation_recommendations`` aggregate drives a PARAMETERIZED
+    re-ingest — one targeted collection per under-represented domain,
+    capped at that domain's ``papers_needed`` — and returns the
+    fetched papers tagged with ``target_domain``, ready to union into
+    the corpus and re-slice. The reference's
+    ``run_full_mitigation_cycle``
+    (databias/bias_mitigation_collector.py:378-457) re-invokes its
+    whole collection pipeline per recommendation through process
+    environment mutation; here every parameter is EXPLICIT (SURVEY
+    §7.4): term and limit flow as DataSource options, nothing reads
+    env state.
+
+    ``reingest(spark, term, cap) -> DataFrame`` defaults to the
+    registered ``paper_search`` DataSource (S1) with term/limit
+    options — the fully idiomatic re-collection path whose scan fans
+    out one rate-limited task per term. The driver loop is over the
+    RECOMMENDATIONS (one row per domain slice — a bounded aggregate
+    by construction, guarded at 10k), never over data; each fetch is
+    its own distributed scan, exactly the reference's
+    per-recommendation re-invocation without the process hop."""
+    if reingest is None:
+
+        def reingest(sp: SparkSession, term: str, cap: int) -> DataFrame:
+            return (
+                sp.read.format("paper_search")
+                .option("terms", term)
+                .option("max_results", str(cap))
+                .load()
+            )
+
+    recs = [
+        r.asDict()
+        for r in recommendations.select(
+            "domain", "papers_needed"
+        ).limit(10_001).collect()
+    ]
+    if len(recs) > 10_000:
+        raise ValueError(
+            "run_mitigation_cycle: recommendations must be a per-slice "
+            "aggregate, not a table"
+        )
+    fetched: DataFrame | None = None
+    for rec in recs:
+        cap = min(int(rec["papers_needed"]), max_fetch_per_domain)
+        if cap <= 0:
+            continue
+        part = reingest(spark, rec["domain"], cap).withColumn(
+            "target_domain", F.lit(rec["domain"])
+        )
+        fetched = part if fetched is None else fetched.unionByName(part)
+    if fetched is None:
+        from ..sources.api_ingest import PAPER_SCHEMA
+
+        return spark.createDataFrame(
+            [], PAPER_SCHEMA.add("target_domain", "string")
+        )
+    return fetched
+
+
 @query("chunk_embed_search_e2e")  # rows-only: model inference not SQL
 def chunk_embed_search_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The embedding service end-to-end (§3.3): select content ->

@@ -151,3 +151,92 @@ def test_mitigation_feedback_loop(spark):
         f"{disparity_before} -> {disparity_after} (before={before}, "
         f"after={after})"
     )
+
+
+def test_run_mitigation_cycle_via_paper_search_source(spark):
+    """The loop as an ENGINE function, not test choreography:
+    mitigation_recommendations -> run_mitigation_cycle (default
+    path = the registered paper_search DataSource, term/limit as
+    explicit options) -> union tagged fetches into the corpus ->
+    re-slice -> disparity strictly shrinks. Also asserts the
+    per-domain caps were respected on the wire."""
+    from citeconnect_datapipeline_spark.plans.pipelines import (
+        _first_keyword_domain,
+        mitigation_recommendations,
+        run_mitigation_cycle,
+    )
+    from citeconnect_datapipeline_spark.sources.paper_search_datasource import (
+        PaperSearchDataSource,
+    )
+    from citeconnect_datapipeline_spark.sources.tables import load_table
+
+    spark.dataSource.register(PaperSearchDataSource)
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+
+    recs_df = mitigation_recommendations(spark, sf)
+    recs = {r.domain: r.papers_needed for r in recs_df.collect()}
+    assert recs, "no under-represented domains found"
+
+    fetched = run_mitigation_cycle(spark, recs_df)
+    got = {
+        r.target_domain: r.n
+        for r in fetched.groupBy("target_domain")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    # every recommended domain was re-collected, capped by
+    # papers_needed and by the 50-paper fake corpus
+    assert set(got) == set(recs)
+    for domain, needed in recs.items():
+        assert got[domain] == min(needed, 50)
+
+    # re-slice: recollected rows belong to the slice they were
+    # COLLECTED FOR (the reference tags by search term too)
+    base = docs.select(
+        _first_keyword_domain(F.lower(F.col("text"))).alias("domain")
+    )
+    merged = base.unionByName(
+        fetched.select(F.col("target_domain").alias("domain"))
+    )
+
+    def disparity(d):
+        counts = [r.n for r in d.groupBy("domain").agg(
+            F.count("*").alias("n")).collect()]
+        return max(counts) - min(counts)
+
+    assert disparity(merged) < disparity(base)
+
+
+def test_run_mitigation_cycle_explicit_params_no_env(spark):
+    """Loop parameters flow as explicit (term, cap) arguments to the
+    injected reingest — never env mutation — and a balanced corpus
+    (empty recommendations) fetches nothing."""
+    from citeconnect_datapipeline_spark.plans.pipelines import (
+        run_mitigation_cycle,
+    )
+
+    seen = []
+
+    def fake_reingest(sp, term, cap):
+        seen.append((term, cap))
+        return sp.createDataFrame(
+            [(f"{term}-{i}",) for i in range(cap)], "paperId string"
+        )
+
+    recs = spark.createDataFrame(
+        [("analytics", 7), ("streaming", 3), ("dedup", 0)],
+        "domain string, papers_needed long",
+    )
+    out = run_mitigation_cycle(
+        spark, recs, reingest=fake_reingest, max_fetch_per_domain=5
+    )
+    assert sorted(seen) == [("analytics", 5), ("streaming", 3)]
+    assert out.count() == 8  # 5 + 3; zero-need domain skipped
+
+    empty = spark.createDataFrame(
+        [], "domain string, papers_needed long"
+    )
+    none_fetched = run_mitigation_cycle(spark, empty)
+    assert none_fetched.count() == 0
+    assert "target_domain" in none_fetched.columns
