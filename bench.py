@@ -19,7 +19,13 @@ Env:
                         (the sum of individual latencies, inflated by
                         contention under concurrency) is also emitted;
                         run BENCH_CONCURRENCY=1 to measure isolated
-                        per-query latency.
+                        per-query latency for the whole suite.
+  BENCH_ISOLATED_BUDGET wall-clock seconds (default 240) for the
+                        post-suite sequential re-measure of over-2x
+                        candidates when BENCH_CONCURRENCY>1; isolated
+                        numbers land in BENCH_DETAIL.json.
+  BENCH_REPEATS         suite passes (default 2); headline wall-clock
+                        is the best pass, labeled ``suite_best_of``.
 
 Each query is forced with the noop sink (full computation, no driver
 collect, no disk write) -- the closest local analogue to "execute the
@@ -94,10 +100,10 @@ def main() -> None:
     repeats = max(int(os.environ.get("BENCH_REPEATS", "2")), 1)
     timings: dict[str, float] = {}
 
-    def run_one(name: str, session) -> None:
+    def run_one(name: str, session, out: dict[str, float]) -> None:
         fn = queries.get(name)
         if fn is None:
-            timings[name] = -1.0
+            out[name] = -1.0
             print(f"BENCH_ERROR {name}: not a registered query", file=sys.stderr)
             return
         t0 = time.monotonic()
@@ -105,17 +111,17 @@ def main() -> None:
             df = fn(session, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             t = round(time.monotonic() - t0, 3)
-            prev = timings.get(name)
-            timings[name] = t if prev is None or prev < 0 else min(prev, t)
+            prev = out.get(name)
+            out[name] = t if prev is None or prev < 0 else min(prev, t)
         except Exception as exc:  # keep the bench line parseable
-            timings[name] = -1.0
+            out[name] = -1.0
             print(f"BENCH_ERROR {name}: {exc}", file=sys.stderr)
 
     def run_suite() -> float:
         t0 = time.monotonic()
         if concurrency == 1:
             for name in names:
-                run_one(name, spark)
+                run_one(name, spark, timings)
         else:
             import threading
             from concurrent.futures import ThreadPoolExecutor
@@ -128,7 +134,7 @@ def main() -> None:
             def worker(name: str) -> None:
                 if not hasattr(tls, "session"):
                     tls.session = spark.newSession()
-                run_one(name, tls.session)
+                run_one(name, tls.session, timings)
 
             with ThreadPoolExecutor(max_workers=concurrency) as pool:
                 for _ in pool.map(worker, names):
@@ -180,21 +186,48 @@ def main() -> None:
     # scheduling floor (~0.3 s/query, amortized away on a cluster).
     # Only meaningful from ISOLATED latencies: under concurrent
     # submission every per-query time is inflated by deliberate
-    # contention (16 queries share 32 cores), so the comparison
-    # list is emitted only at BENCH_CONCURRENCY=1.
+    # contention (16 queries share 32 cores). So the over-2x list is
+    # always computed from isolated runs: at BENCH_CONCURRENCY=1 the
+    # suite pass IS isolated; otherwise re-measure, sequentially, the
+    # CANDIDATE set — queries whose CONTENDED time already fails the
+    # 2x test (a strict superset of the true offenders, since
+    # contention only inflates) — worst ratio first, under a wall-
+    # clock budget (BENCH_ISOLATED_BUDGET seconds, default 240).
+    # Candidates the budget did not reach are reported, not dropped
+    # silently.
     floor = 0.3
-    over2x: list[str] = []
+
+    def _fails_2x(t: float, d: float) -> bool:
+        return t >= 0 and d >= 0 and t > 2 * d + floor
+
+    isolated: dict[str, float] = {}
+    isolated_skipped: list[str] = []
     if concurrency == 1:
-        over2x = sorted(
+        isolated = dict(timings)
+    else:
+        budget = float(os.environ.get("BENCH_ISOLATED_BUDGET", "240"))
+        candidates = sorted(
             (
                 n
                 for n, t in timings.items()
-                if t >= 0
-                and duck_timings.get(n, -1.0) >= 0
-                and t > 2 * duck_timings[n] + floor
+                if _fails_2x(t, duck_timings.get(n, -1.0))
             ),
             key=lambda n: -(timings[n] / max(duck_timings[n], 1e-3)),
         )
+        t_start = time.monotonic()
+        for n in candidates:
+            if time.monotonic() - t_start > budget:
+                isolated_skipped.append(n)
+                continue
+            run_one(n, spark, isolated)
+    over2x = sorted(
+        (
+            n
+            for n, t in isolated.items()
+            if _fails_2x(t, duck_timings.get(n, -1.0))
+        ),
+        key=lambda n: -(isolated[n] / max(duck_timings[n], 1e-3)),
+    )
 
     detail = {
         "metric": "suite_wall_clock",
@@ -202,10 +235,13 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "duck_queries": duck_timings,
+        "isolated_queries": isolated,
+        "isolated_skipped": isolated_skipped,
         "per_query_sum": per_query_sum,
         "duck_sum": duck_sum,
         "over2x_net_floor": over2x,
         "concurrency": concurrency,
+        "suite_best_of": repeats,
         "sf": sf,
     }
     detail_path = os.path.join(
@@ -238,7 +274,9 @@ def main() -> None:
         "n_errors": len(errors),
         "errors": errors[:5],
         "over2x": over2x[:8],
+        "n_isolated_skipped": len(isolated_skipped),
         "concurrency": concurrency,
+        "suite_best_of": repeats,
         "sf": sf,
         "detail": "BENCH_DETAIL.json",
     }
