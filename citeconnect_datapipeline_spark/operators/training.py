@@ -389,3 +389,321 @@ def seq_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket_lo")
     )
+
+
+# Concat-and-chunk packing: token budget per pack, packs cut inside
+# fixed shards so packing parallelizes (each shard is an independent
+# token stream; a global stream would serialize the cumsum).
+PACK_BUDGET = 2048
+PACK_SHARDS = 8
+
+
+@query(
+    "pack_sequences",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               doc_id % {PACK_SHARDS} AS shard,
+               CAST(length(text) // 4 AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    placed AS (
+        SELECT shard, n_tokens,
+               SUM(n_tokens) OVER (
+                   PARTITION BY shard ORDER BY doc_id
+               ) - n_tokens AS start
+        FROM toks
+    ),
+    packs AS (
+        SELECT shard,
+               start // {PACK_BUDGET} AS pack,
+               COUNT(*) AS docs_in_pack,
+               SUM(n_tokens) AS pack_tokens,
+               SUM(CASE WHEN start % {PACK_BUDGET} + n_tokens
+                        > {PACK_BUDGET} THEN 1 ELSE 0 END) AS straddlers
+        FROM placed
+        GROUP BY shard, pack
+    )
+    SELECT shard,
+           CAST(SUM(docs_in_pack) AS BIGINT) AS n_docs,
+           COUNT(*) AS n_packs,
+           CAST(SUM(straddlers) AS BIGINT) AS n_straddlers,
+           ROUND(AVG(docs_in_pack), 4) AS avg_docs_per_pack,
+           CAST(SUM(pack_tokens) AS BIGINT) AS total_tokens
+    FROM packs
+    GROUP BY shard
+    ORDER BY shard
+    """,
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing, the standard LLM pretraining
+    batching step: documents are concatenated in key order and the
+    token stream is sliced into fixed {PACK_BUDGET}-token packs; a doc
+    belongs to the pack containing its start offset, and a doc whose
+    span crosses a pack boundary is a straddler (it will be split
+    across two training examples). Reports per-shard pack counts,
+    docs-per-pack, straddler counts, and token mass.
+
+    Scale shape: packing is a running sum, which is inherently serial
+    per stream -- so the corpus is split into {PACK_SHARDS} hash
+    shards and each shard packs independently (exactly how a real
+    pipeline packs per output shard). The window partitions by shard:
+    no global sort, no single-partition window, and adding shards adds
+    parallelism without changing any pack's contents."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.floor(F.length("text") / 4).cast("long")
+    toks = docs.select(
+        "doc_id",
+        (F.col("doc_id") % PACK_SHARDS).alias("shard"),
+        n_tokens.alias("n_tokens"),
+    )
+    w = Window.partitionBy("shard").orderBy("doc_id")
+    placed = toks.select(
+        "shard",
+        "n_tokens",
+        (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("start"),
+    )
+    packs = (
+        placed.groupBy(
+            "shard",
+            F.expr(f"start div {PACK_BUDGET}").alias("pack"),
+        )
+        .agg(
+            F.count("*").alias("docs_in_pack"),
+            F.sum("n_tokens").alias("pack_tokens"),
+            F.sum(
+                (
+                    F.col("start") % PACK_BUDGET + F.col("n_tokens")
+                    > PACK_BUDGET
+                ).cast("long")
+            ).alias("straddlers"),
+        )
+    )
+    return (
+        packs.groupBy("shard")
+        .agg(
+            F.sum("docs_in_pack").cast("long").alias("n_docs"),
+            F.count("*").alias("n_packs"),
+            F.sum("straddlers").cast("long").alias("n_straddlers"),
+            F.round(F.avg("docs_in_pack"), 4).alias("avg_docs_per_pack"),
+            F.sum("pack_tokens").cast("long").alias("total_tokens"),
+        )
+        .orderBy("shard")
+    )
+
+
+@query(
+    "domain_mixture_sample",
+    oracle="""
+    WITH counts AS (
+        SELECT source,
+               CASE WHEN CAST(substr(source, 4) AS INT) < 5
+                    THEN 3 ELSE 1 END AS raw_w,
+               COUNT(*) AS n_avail
+        FROM documents
+        GROUP BY 1, 2
+    ),
+    total_w AS (SELECT SUM(raw_w) AS r FROM counts),
+    caps AS (
+        SELECT r, MIN(n_avail * r // raw_w) AS t
+        FROM counts, total_w
+        GROUP BY r
+    ),
+    quota AS (
+        SELECT c.source, c.n_avail,
+               c.raw_w * t // r AS k_s,
+               c.raw_w * 100.0 / r AS target_pct
+        FROM counts c, caps
+    ),
+    ranked AS (
+        SELECT doc_id, source,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rn
+        FROM documents
+    )
+    SELECT q.source,
+           CAST(q.n_avail AS BIGINT) AS n_avail,
+           COUNT(*) AS n_kept,
+           ROUND(q.target_pct, 4) AS target_pct,
+           ROUND(COUNT(*) * 100.0 / SUM(COUNT(*)) OVER (), 4)
+               AS achieved_pct
+    FROM ranked r
+    JOIN quota q ON r.source = q.source AND r.rn <= q.k_s
+    GROUP BY q.source, q.n_avail, q.target_pct
+    ORDER BY q.source
+    """,
+)
+def domain_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture sampling: hit a target per-domain token/doc
+    mixture (here: sources 0-4 weighted 3x the long tail, the usual
+    'upweight curated domains' move) by taking the LARGEST total
+    sample that satisfies every domain's target share with the docs
+    it actually has, then keeping each domain's quota in md5-of-key
+    order. All quota arithmetic is integer (exact in both engines);
+    the sample is deterministic, re-run-stable and shard-parallel --
+    no RNG, no row order, same contract as stratified_sample.
+
+    Plan shape: one count rollup (rows = |domains|, broadcast), one
+    rank window per domain, one filter join. The dominant-domain rank
+    window is the skew watch item, same as class_balance_sample."""
+    docs = load_table(spark, sf_dir, "documents")
+    raw_w = F.when(
+        F.substring("source", 4, 10).cast("int") < 5, F.lit(3)
+    ).otherwise(F.lit(1))
+    counts = (
+        docs.groupBy("source")
+        .agg(F.count("*").alias("n_avail"))
+        .withColumn("raw_w", raw_w)
+    )
+    total_w = counts.agg(F.sum("raw_w").alias("r"))
+    caps = (
+        counts.join(F.broadcast(total_w))
+        .groupBy("r")
+        .agg(F.min(F.expr("n_avail * r div raw_w")).alias("t"))
+    )
+    quota = F.broadcast(
+        counts.join(F.broadcast(caps))
+        .select(
+            "source",
+            "n_avail",
+            F.expr("raw_w * t div r").alias("k_s"),
+            (F.col("raw_w") * 100.0 / F.col("r")).alias("target_pct"),
+        )
+    )
+    rank_w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    ranked = docs.select(
+        "doc_id", "source", F.row_number().over(rank_w).alias("rn")
+    )
+    total = Window.partitionBy()
+    return (
+        ranked.join(quota, "source")
+        .filter(F.col("rn") <= F.col("k_s"))
+        .groupBy("source", "n_avail", "target_pct")
+        .agg(F.count("*").alias("n_kept"))
+        .select(
+            "source",
+            F.col("n_avail").cast("long").alias("n_avail"),
+            "n_kept",
+            F.round("target_pct", 4).alias("target_pct"),
+            F.round(
+                F.col("n_kept") * 100.0 / F.sum("n_kept").over(total), 4
+            ).alias("achieved_pct"),
+        )
+        .orderBy("source")
+    )
+
+
+# A 3-word phrase is corpus boilerplate when it appears in at least
+# this many distinct documents (CCNet/C4 remove over-frequent lines;
+# this corpus has no line structure, so the phrase IS the line).
+BOILER_MIN_DF = 6
+
+
+@query(
+    "boilerplate_phrase_stats",
+    oracle=f"""
+    WITH words AS (
+        SELECT doc_id,
+               string_split_regex(lower(text), '[^a-z0-9]+') AS w
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, i, len(w) AS n_words,
+               array_to_string(list_slice(w, i, i + 2), ' ') AS g
+        FROM words, UNNEST(range(1, greatest(len(w) - 1, 2))) AS t(i)
+        WHERE array_to_string(list_slice(w, i, i + 2), ' ') <> ''
+    ),
+    boiler AS (
+        SELECT g FROM grams GROUP BY g
+        HAVING COUNT(DISTINCT doc_id) >= {BOILER_MIN_DF}
+    ),
+    covered AS (
+        SELECT DISTINCT gr.doc_id, p
+        FROM grams gr
+        JOIN boiler b ON gr.g = b.g,
+        UNNEST(range(gr.i, least(gr.i + 2, gr.n_words) + 1)) AS c(p)
+    )
+    SELECT w.doc_id,
+           CAST(len(w.w) AS BIGINT) AS n_words,
+           COUNT(c.p) AS n_boiler_words,
+           ROUND(COUNT(c.p) * 1.0 / len(w.w), 6) AS boiler_ratio
+    FROM words w LEFT JOIN covered c ON w.doc_id = c.doc_id
+    GROUP BY w.doc_id, len(w.w)
+    ORDER BY boiler_ratio DESC, w.doc_id
+    LIMIT 20
+    """,
+)
+def boilerplate_phrase_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level boilerplate removal (the C4/CCNet 'drop lines that
+    repeat across many pages' rule, phrased over 3-word shingles since
+    this corpus has no line structure): a phrase occurring in >=
+    {BOILER_MIN_DF} distinct docs is boilerplate; every word position
+    covered by a boilerplate occurrence is removable. Reports the 20
+    most boilerplate-heavy docs with exact removable-word counts.
+
+    Scale shape: the phrase-frequency table is ONE groupBy over the
+    shingle stream (map-side partials); the boilerplate set is tiny
+    (over-frequent phrases are rare by construction) so its join back
+    broadcasts, and coverage dedup is a distinct on (doc, position) --
+    keyed by doc, never all-pairs. This is the cross-corpus complement
+    of chunk_exact_dedup (which drops whole duplicate chunks; this
+    strips high-frequency spans from every doc in place)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+").alias("w"),
+    )
+    grams = words.select(
+        "doc_id",
+        F.size("w").alias("n_words"),
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(w) - 2, 1)), "
+                "i -> struct(i AS i, "
+                "concat_ws(' ', w[i-1], w[i], w[i+1]) AS g))"
+            )
+        ).alias("x"),
+    ).select("doc_id", "n_words", F.col("x.i").alias("i"), F.col("x.g").alias("g"))
+    grams = grams.filter(F.col("g") != "")
+    boiler = F.broadcast(
+        grams.groupBy("g")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= BOILER_MIN_DF)
+        .select("g")
+    )
+    covered = (
+        grams.join(boiler, "g")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(
+                    F.col("i"), F.least(F.col("i") + 2, F.col("n_words"))
+                )
+            ).alias("p"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_boiler_words"))
+    )
+    return (
+        words.select("doc_id", F.size("w").cast("long").alias("n_words"))
+        .join(covered, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_words",
+            F.coalesce("n_boiler_words", F.lit(0)).alias(
+                "n_boiler_words"
+            ),
+            F.round(
+                F.coalesce("n_boiler_words", F.lit(0)) * 1.0
+                / F.col("n_words"),
+                6,
+            ).alias("boiler_ratio"),
+        )
+        .orderBy(F.desc("boiler_ratio"), "doc_id")
+        .limit(20)
+    )

@@ -26,6 +26,8 @@ NESTED_LOOP_OK = {
     "copurchase_pmi_topk",  # PMI denominator: 1-row broadcast (was a
     # driver-side distinct-count barrier before round 3)
     "cosine_topk",
+    "domain_mixture_sample",  # total-weight R and cap T: two 1-row
+    # scalar broadcasts feeding the integer quota arithmetic
     "graph_2hop_frontier",
     "mitigation_recommendations",
     "theta_audience_overlap",
