@@ -41,8 +41,10 @@ NESTED_LOOP_OK = {
 # dedicated tests instead.
 BUILD_EXECUTES = {
     "ann_ivf_topk",
+    "kmeans_clusters",  # k-means fit collects k*d centroid partials
     "neardup_components",
     "part_copurchase_pagerank",
+    "semantic_dedup",  # same k-means fit feeds the cluster blocking
 }
 
 
