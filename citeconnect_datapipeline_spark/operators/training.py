@@ -707,3 +707,94 @@ def boilerplate_phrase_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("boiler_ratio"), "doc_id")
         .limit(20)
     )
+
+
+N_OUT_SHARDS = 16
+
+
+@query(
+    "interleave_shards",
+    oracle=f"""
+    WITH src AS (
+        SELECT source,
+               DENSE_RANK() OVER (ORDER BY source) - 1 AS src_idx,
+               COUNT(*) OVER () AS n_total
+        FROM (SELECT DISTINCT source FROM documents)
+    ),
+    ranked AS (
+        SELECT d.doc_id, d.source, s.src_idx,
+               (SELECT COUNT(*) FROM src) AS n_src,
+               ROW_NUMBER() OVER (
+                   PARTITION BY d.source
+                   ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id
+               ) - 1 AS rnk
+        FROM documents d JOIN src s ON d.source = s.source
+    ),
+    sharded AS (
+        SELECT doc_id, source,
+               (rnk * n_src + src_idx) % {N_OUT_SHARDS} AS shard
+        FROM ranked
+    )
+    SELECT shard,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT source) AS n_sources,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id
+    FROM sharded
+    GROUP BY shard
+    ORDER BY shard
+    """,
+)
+def interleave_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic domain interleaving into output shards -- the
+    'global shuffle' step before training, done without an actual
+    global shuffle: docs are ranked WITHIN their domain in md5-of-key
+    order, then shard = (rank * n_domains + domain_index) mod
+    {N_OUT_SHARDS}, which round-robins every domain across every
+    shard. A trainer reading any shard (or any shard prefix) sees a
+    domain mix statistically matching the corpus -- no run of
+    same-domain examples -- yet the assignment is pure arithmetic:
+    re-run-stable, shard-parallel, no RNG and no global sort (the
+    usual implementation, ORDER BY rand(), is neither reproducible
+    nor cheap at 100 TB).
+
+    Plan shape: a tiny distinct-domains rollup broadcast back, one
+    rank window per domain (same skew watch item as
+    class_balance_sample), one groupBy on the shard key."""
+    docs = load_table(spark, sf_dir, "documents")
+    src = (
+        docs.select("source")
+        .distinct()
+        .select(
+            "source",
+            (F.dense_rank().over(Window.orderBy("source")) - 1).alias(
+                "src_idx"
+            ),
+        )
+    )
+    n_src = src.agg(F.count("*").alias("n_src"))
+    rank_w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    sharded = (
+        docs.select("doc_id", "source")
+        .withColumn("rnk", F.row_number().over(rank_w) - 1)
+        .join(F.broadcast(src), "source")
+        .join(F.broadcast(n_src))
+        .select(
+            "doc_id",
+            "source",
+            (
+                (F.col("rnk") * F.col("n_src") + F.col("src_idx"))
+                % N_OUT_SHARDS
+            ).alias("shard"),
+        )
+    )
+    return (
+        sharded.groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+            F.min("doc_id").cast("long").alias("min_doc_id"),
+        )
+        .orderBy("shard")
+    )

@@ -29,6 +29,7 @@ NESTED_LOOP_OK = {
     "domain_mixture_sample",  # total-weight R and cap T: two 1-row
     # scalar broadcasts feeding the integer quota arithmetic
     "graph_2hop_frontier",
+    "interleave_shards",  # domain-count n_src: 1-row scalar broadcast
     "mitigation_recommendations",
     "theta_audience_overlap",
     "tfidf_top_terms",  # corpus-size 1-row broadcast (was a
