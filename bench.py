@@ -117,10 +117,10 @@ def main() -> None:
             out[name] = -1.0
             print(f"BENCH_ERROR {name}: {exc}", file=sys.stderr)
 
-    def run_suite() -> float:
+    def run_suite(order: list[str]) -> float:
         t0 = time.monotonic()
         if concurrency == 1:
-            for name in names:
+            for name in order:
                 run_one(name, spark, timings)
         else:
             import threading
@@ -137,11 +137,21 @@ def main() -> None:
                 run_one(name, tls.session, timings)
 
             with ThreadPoolExecutor(max_workers=concurrency) as pool:
-                for _ in pool.map(worker, names):
+                for _ in pool.map(worker, order):
                     pass
         return round(time.monotonic() - t0, 3)
 
-    suite_wall = min(run_suite() for _ in range(repeats))
+    # Longest-processing-time-first makespan scheduling: pass 1 runs
+    # in name order and measures; later passes submit the heaviest
+    # queries first so the long pole (iterative near-dup/pagerank)
+    # starts at t=0 instead of queueing behind a swarm of sub-second
+    # queries. Classic LPT bound: makespan <= 4/3 * optimum.
+    suite_wall = run_suite(names)
+    for _ in range(repeats - 1):
+        by_cost = sorted(
+            names, key=lambda n: -timings.get(n, 0.0)
+        )
+        suite_wall = min(suite_wall, run_suite(by_cost))
 
     per_query_sum = round(sum(t for t in timings.values() if t >= 0), 3)
 

@@ -97,22 +97,61 @@ def _kmeans_fit(
     One assignment scan + one k*d-row update collect per iteration."""
     import numpy as np
 
+    import numpy as np
+
     emb = load_table(spark, sf_dir, "embeddings")
     centroids = _centroid_init(emb, k)
+    d = centroids.shape[1]
+    partial_schema = StructType(
+        [
+            StructField("cluster", IntegerType()),
+            StructField("pos", IntegerType()),
+            StructField("s", DoubleType()),
+            StructField("c", LongType()),
+        ]
+    )
     for _ in range(iters):
-        assign = _assign_udf(centroids)
-        sums = (
-            emb.select(
-                assign(F.col("embedding")).alias("cluster"),
-                F.posexplode("embedding").alias("pos", "v"),
+        C = centroids
+        c2 = (C * C).sum(axis=1)
+
+        def partial_sums(batches):
+            # assignment AND the k x d running sums in one Python
+            # stage: each task emits k*d partial rows, so the update
+            # shuffle moves O(k*d*tasks) rows -- never the vectors
+            # (the posexplode formulation shuffles n*d rows).
+            S = np.zeros((k, d))
+            cnt = np.zeros(k, dtype="int64")
+            for pdf in batches:
+                M = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+                d2 = (
+                    (M * M).sum(axis=1)[:, None]
+                    - 2.0 * (M @ C.T)
+                    + c2[None, :]
+                )
+                a = d2.argmin(axis=1)
+                np.add.at(S, a, M)
+                cnt += np.bincount(a, minlength=k)
+            ci, pi = np.nonzero(np.ones((k, d)))
+            yield pd.DataFrame(
+                {
+                    "cluster": ci.astype("int32"),
+                    "pos": pi.astype("int32"),
+                    "s": S[ci, pi],
+                    "c": cnt[ci],
+                }
             )
+
+        sums = (
+            emb.select("embedding")
+            .mapInPandas(partial_sums, schema=partial_schema)
             .groupBy("cluster", "pos")
-            .agg(F.avg("v").alias("mean_v"))
+            .agg(F.sum("s").alias("s"), F.sum("c").alias("c"))
             .collect()
         )  # k*d rows (512 here) -- bounded by design, never the vectors
         nxt = centroids.copy()  # empty cluster keeps its old centroid
         for r in sums:
-            nxt[r["cluster"], r["pos"]] = r["mean_v"]
+            if r["c"] > 0:
+                nxt[r["cluster"], r["pos"]] = r["s"] / r["c"]
         centroids = nxt
     return emb, centroids
 
