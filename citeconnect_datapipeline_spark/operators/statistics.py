@@ -112,15 +112,20 @@ def quantiles_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     for a fixed-size sketch that merges map-side."""
     orders = load_table(spark, sf_dir, "orders")
     pct = [0.25, 0.50, 0.75, 0.90]
-    q = {p: F.percentile("o_totalprice", F.lit(p)) for p in pct}
+    # ONE array-form percentile aggregate, not one per cut point:
+    # Percentile is an object aggregate that buffers the whole group,
+    # so N separate calls buffer (and merge) the group N times over.
+    qs = F.percentile("o_totalprice", F.array(*[F.lit(p) for p in pct]))
     return (
         orders.groupBy(F.col("o_orderpriority").alias("priority"))
-        .agg(
-            F.round(q[0.25], 4).alias("p25"),
-            F.round(q[0.50], 4).alias("p50"),
-            F.round(q[0.75], 4).alias("p75"),
-            F.round(q[0.90], 4).alias("p90"),
-            F.round(q[0.75] - q[0.25], 4).alias("iqr"),
+        .agg(qs.alias("qs"))
+        .select(
+            "priority",
+            F.round(F.col("qs")[0], 4).alias("p25"),
+            F.round(F.col("qs")[1], 4).alias("p50"),
+            F.round(F.col("qs")[2], 4).alias("p75"),
+            F.round(F.col("qs")[3], 4).alias("p90"),
+            F.round(F.col("qs")[2] - F.col("qs")[0], 4).alias("iqr"),
         )
         .orderBy("priority")
     )
