@@ -97,6 +97,7 @@ _REVERIFY_FIRST = (
     "neardup_components",    # shares jaccard_scored_pairs (r4)
     "fuzzy_prefix_pairs",    # length-band shuffled join (r4)
     "pii_redaction",         # trailing global sort dropped (r4)
+    "quantiles_by_group",    # array-form percentile rewrite (r4)
 )
 
 
