@@ -391,16 +391,15 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("embed_documents")  # rows-only: model inference is not SQL
-def embed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batched embedding inference (T4): the sentence-transformers
-    encode stage as Arrow-batched ``mapInPandas``. The real model is
-    not in this container, so the encoder is a deterministic fake
-    (hash-seeded 16-dim unit vector per text); the Spark plumbing --
-    schema, batch shape, executor-local "model" singleton, partition
-    parallelism -- is exactly the production pattern: swap
-    ``_FakeModel`` for a sentence-transformers load guarded by a
-    per-worker cache and nothing else changes."""
+def embed_with_model(docs: DataFrame, model_factory) -> DataFrame:
+    """The embedding-inference stage with an INJECTED model: the same
+    seam pattern as the media codec (multimodal.RealMediaCodec) so the
+    production swap is a one-argument change and is testable without
+    the real weights. ``model_factory`` is called ONCE PER PYTHON
+    WORKER (executor-local singleton, the mapInPandas analogue of the
+    reference's module-level model, local_embedder.py:36-44) and must
+    return an object with ``.encode(list[str]) -> list[list[float]]``
+    and ``.name``; a sentence-transformers load goes here unchanged."""
     schema = StructType(
         [
             StructField("doc_id", LongType()),
@@ -410,10 +409,7 @@ def embed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def encode_batches(batches):
-        # Executor-local singleton: load once per python worker, reuse
-        # across Arrow batches (the mapInPandas analogue of the
-        # reference's module-level model, local_embedder.py:36-44).
-        model = _FakeModel.get()
+        model = model_factory()
         for pdf in batches:
             vecs = model.encode(pdf["text"].tolist())
             yield pd.DataFrame(
@@ -424,8 +420,23 @@ def embed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return docs.mapInPandas(encode_batches, schema).orderBy("doc_id")
+    return docs.select("doc_id", "text").mapInPandas(
+        encode_batches, schema
+    )
+
+
+@query("embed_documents")  # rows-only: model inference is not SQL
+def embed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched embedding inference (T4): the sentence-transformers
+    encode stage as Arrow-batched ``mapInPandas``. The real model is
+    not in this container, so the registered query injects the
+    deterministic fake (hash-seeded 16-dim unit vector per text); the
+    Spark plumbing -- schema, batch shape, executor-local model
+    singleton, partition parallelism -- is exactly the production
+    pattern and is exercised with a SECOND injected model in
+    tests/test_properties.py (the codec-style seam test)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return embed_with_model(docs, _FakeModel.get).orderBy("doc_id")
 
 
 class _FakeModel:

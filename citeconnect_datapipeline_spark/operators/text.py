@@ -924,3 +924,81 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ok_word_count") & ok_len & ok_sym & ok_ttr
         ).alias("keep"),
     ).orderBy("doc_id")
+
+
+VOCAB_TOP_K = 24  # corpus vocab is ~31 words; 24 leaves a real OOV tail
+
+
+@query(
+    "vocab_coverage",
+    oracle=f"""
+    WITH words AS (
+        SELECT doc_id, lang, lower(w) AS w
+        FROM documents,
+             UNNEST(string_split_regex(lower(text), '[^a-z0-9]+'))
+                 AS t(w)
+        WHERE w <> ''
+    ),
+    vocab AS (
+        SELECT w FROM words
+        GROUP BY w
+        ORDER BY COUNT(*) DESC, w
+        LIMIT {VOCAB_TOP_K}
+    )
+    SELECT words.lang,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(CASE WHEN vocab.w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           ROUND(SUM(CASE WHEN vocab.w IS NULL THEN 1.0 ELSE 0 END)
+                 / COUNT(*), 6) AS oov_rate
+    FROM words LEFT JOIN vocab ON words.w = vocab.w
+    GROUP BY words.lang
+    ORDER BY words.lang
+    """,
+)
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage / out-of-vocabulary rate per language
+    against the corpus's own top-{VOCAB_TOP_K} vocabulary -- the
+    tokenizer-fit diagnostic run before committing a vocab: a slice
+    with a high OOV rate will fragment into byte-fallback tokens and
+    train poorly. In production the vocab list is the tokenizer's;
+    here it is derived from the corpus so the query is self-contained.
+
+    Plan shape: one token-frequency groupBy (map-side combined) ->
+    top-k (tiny, broadcast back) -> one map-side left join over the
+    token stream + per-lang rollup. No shuffle touches the token
+    stream except its own frequency aggregation; the vocab side is
+    {VOCAB_TOP_K} rows at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "lang",
+        F.explode(
+            F.split(F.lower(F.col("text")), "[^a-z0-9]+")
+        ).alias("w"),
+    ).filter(F.col("w") != "")
+    vocab = F.broadcast(
+        words.groupBy("w")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "w")
+        .limit(VOCAB_TOP_K)
+        .select("w", F.lit(True).alias("in_vocab"))
+    )
+    return (
+        words.join(vocab, "w", "left")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("in_vocab").isNull(), 1).otherwise(0)
+            ).alias("n_oov"),
+            F.round(
+                F.sum(
+                    F.when(F.col("in_vocab").isNull(), 1.0).otherwise(
+                        0.0
+                    )
+                )
+                / F.count("*"),
+                6,
+            ).alias("oov_rate"),
+        )
+        .orderBy("lang")
+    )
