@@ -757,3 +757,218 @@ def chunk_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rn")
         .orderBy("doc_id", "pos")
     )
+
+
+# --- Incremental-ingest dedup: bounded-broadcast Bloom prefilter ----------
+
+# Two-hash Bloom bucket space. The broadcast side of the prefilter is
+# the DISTINCT bucket-id set, so it is bounded by BLOOM_BITS rows (8-byte
+# longs) PER HASH no matter how large the existing corpus grows — the
+# property that makes this the 100 TB replacement for shipping the full
+# content-hash set to every executor.
+BLOOM_BITS = 1 << 16
+
+
+@query(
+    "bloom_prefilter_dedup",
+    oracle="""
+    WITH existing AS (
+        SELECT md5(lower(text)) AS content_hash
+        FROM documents WHERE doc_id % 10 < 8
+    ),
+    batch AS (
+        SELECT doc_id, md5(lower(text)) AS content_hash
+        FROM documents WHERE doc_id % 10 >= 8
+    )
+    SELECT b.doc_id, b.content_hash
+    FROM batch b
+    WHERE NOT EXISTS (
+        SELECT 1 FROM existing e WHERE e.content_hash = b.content_hash
+    )
+    ORDER BY b.doc_id
+    """,
+)
+def bloom_prefilter_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest exact dedup with a BOUNDED-broadcast Bloom
+    prefilter: admit only batch documents whose content hash is not
+    already in the existing corpus (here: doc_id % 10 < 8 plays the
+    corpus, the rest the incoming batch; the reference's equivalent is
+    the upload-time `ON CONFLICT DO NOTHING` guard,
+    Processing/upload_papers_to_supabase.py:306-316, which pushes every
+    row to the store to find out).
+
+    Why not a plain anti-join? At 100 TB the existing-corpus hash set
+    is billions of rows, and EVERY batch row must shuffle against it.
+    The Bloom pass splits the batch first:
+
+    * build k=2 bucket sets from the existing hashes —
+      ``pmod(xxhash64(hash, seed), BLOOM_BITS)`` distinct values, at
+      most BLOOM_BITS longs per seed REGARDLESS of corpus size — and
+      broadcast them (Spark's own runtime-filter rewrite does exactly
+      this with an InBloomFilter, but only for equi-joins it plans
+      itself; ``bloom_filter_agg`` is not a public routine);
+    * a batch row missing from EITHER bucket set is **definitely new**
+      — emitted with no shuffle at all (map-side semi-join against the
+      broadcast buckets);
+    * only rows present in both bucket sets — true duplicates plus the
+      false-positive sliver (~(fill_ratio)^2) — pay the exact
+      anti-join, so the shuffled confirm stage carries O(dups), not
+      O(batch).
+
+    The exact confirm makes the result IDENTICAL to the plain
+    anti-join (Bloom false positives are re-checked, negatives are
+    exact by construction), which is what the oracle asserts. The two
+    branches deliberately re-scan the batch side rather than funnel
+    both through one outer join: a single-pass variant would hash all
+    definitely-new rows to one NULL-key partition — a skew trap.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    hashed = docs.select(
+        "doc_id", F.md5(F.lower(F.col("text"))).alias("content_hash")
+    )
+    existing = hashed.filter(F.col("doc_id") % 10 < 8).select(
+        "content_hash"
+    )
+    batch = hashed.filter(F.col("doc_id") % 10 >= 8)
+
+    def bucket(col, seed):
+        return F.pmod(F.xxhash64(col, F.lit(seed)), F.lit(BLOOM_BITS))
+
+    probes = batch.withColumn(
+        "b1", bucket(F.col("content_hash"), 1)
+    ).withColumn("b2", bucket(F.col("content_hash"), 2))
+    set1 = F.broadcast(
+        existing.select(bucket(F.col("content_hash"), 1).alias("b1"))
+        .distinct()
+    )
+    set2 = F.broadcast(
+        existing.select(bucket(F.col("content_hash"), 2).alias("b2"))
+        .distinct()
+    )
+    # Definitely new: misses at least one bucket set. Two broadcast
+    # anti-joins; no shuffle of the batch.
+    fresh = probes.join(set1, "b1", "left_anti").unionByName(
+        probes.join(set1, "b1", "left_semi").join(
+            set2, "b2", "left_anti"
+        )
+    )
+    # Possible duplicates: hit BOTH bucket sets; exact confirm.
+    suspect = probes.join(set1, "b1", "left_semi").join(
+        set2, "b2", "left_semi"
+    )
+    confirmed_new = suspect.join(existing, "content_hash", "left_anti")
+    return (
+        fresh.select("doc_id", "content_hash")
+        .unionByName(confirmed_new.select("doc_id", "content_hash"))
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "duplicate_span_merge",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, string_split_regex(lower(text), '[^a-z0-9]+') AS w
+        FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id,
+               CAST(t.i AS INTEGER) AS pos,
+               array_to_string(
+                   list_slice(w, 1 + t.i * 15,
+                              20 + t.i * 15), ' '
+               ) AS chunk_text
+        FROM words,
+             UNNEST(range(0, GREATEST(
+                 CAST(CEIL((len(w) - 20) / 15.0)
+                     AS BIGINT) + 1, 1))) AS t(i)
+    ),
+    hashed AS (
+        SELECT doc_id, pos, md5(chunk_text) AS chunk_hash
+        FROM chunks WHERE chunk_text <> ''
+    ),
+    dup AS (
+        SELECT doc_id, pos
+        FROM hashed
+        WHERE chunk_hash IN (
+            SELECT chunk_hash FROM hashed
+            GROUP BY chunk_hash HAVING COUNT(*) > 1
+        )
+    ),
+    isl AS (
+        SELECT doc_id, pos,
+               pos - ROW_NUMBER() OVER (
+                   PARTITION BY doc_id ORDER BY pos
+               ) AS grp
+        FROM dup
+    )
+    SELECT doc_id,
+           CAST(MIN(pos) * 15 AS BIGINT) AS span_start_word,
+           CAST(MAX(pos) * 15 + 20 AS BIGINT) AS span_end_word,
+           CAST(COUNT(*) AS BIGINT) AS n_windows
+    FROM isl
+    GROUP BY doc_id, grp
+    ORDER BY doc_id, span_start_word
+    """,
+)
+def duplicate_span_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAXIMAL duplicated spans per document — the window-grain
+    approximation of suffix-array exact-substring dedup (Lee et al.
+    2022's ExactSubstr): a sliding 20-word window (stride 15, the
+    corpus chunk grain) is *duplicated* when its hash occurs more than
+    once anywhere in the corpus; overlapping duplicated windows within
+    a document merge into one span via gaps-and-islands
+    (``pos - row_number()`` grouping — stride < width, so consecutive
+    positions overlap by construction). Output is the per-doc span
+    table curation acts on: clip the span, or drop the doc when
+    spans cover most of it.
+
+    Two shuffles, both well-keyed: corpus-wide window copy counts
+    shuffle on chunk_hash (uniform — md5), island merge shuffles on
+    doc_id. Span extents are pure integer arithmetic over window
+    positions, so both engines agree exactly. The same hot-key
+    reasoning as `_pair_overlap_counts` does NOT apply: counts per
+    hash are a scalar aggregate, never a pair expansion."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split(F.lower(F.col("text")), "[^a-z0-9]+")
+    n_chunks = F.greatest(
+        F.ceil((F.size(w) - CHUNK_W) / CHUNK_S) + 1, F.lit(1)
+    )
+    chunk_arr = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(" ", F.slice(w, i * CHUNK_S + 1, CHUNK_W)),
+    )
+    chunks = (
+        docs.select(
+            "doc_id", F.posexplode(chunk_arr).alias("pos", "chunk_text")
+        )
+        .filter(F.col("chunk_text") != "")
+        .select("doc_id", "pos", F.md5("chunk_text").alias("chunk_hash"))
+    )
+    copies = Window.partitionBy("chunk_hash")
+    dup = (
+        chunks.withColumn("n_copies", F.count("*").over(copies))
+        .filter(F.col("n_copies") > 1)
+        .select("doc_id", "pos")
+    )
+    isl = dup.withColumn(
+        "grp",
+        F.col("pos")
+        - F.row_number().over(
+            Window.partitionBy("doc_id").orderBy("pos")
+        ),
+    )
+    return (
+        isl.groupBy("doc_id", "grp")
+        .agg(
+            (F.min("pos") * CHUNK_S).cast("bigint").alias(
+                "span_start_word"
+            ),
+            (F.max("pos") * CHUNK_S + CHUNK_W)
+            .cast("bigint")
+            .alias("span_end_word"),
+            F.count("*").alias("n_windows"),
+        )
+        .drop("grp")
+        .orderBy("doc_id", "span_start_word")
+    )

@@ -1002,3 +1002,140 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --- CCNet-style LM quality bucketing -------------------------------------
+
+
+@query(
+    "lm_perplexity_buckets",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, source,
+               list_filter(
+                   string_split_regex(lower(text), '[^a-z0-9]+'),
+                   x -> x <> ''
+               ) AS w
+        FROM documents
+    ),
+    bg AS (
+        SELECT doc_id, source,
+               w[CAST(t.i AS BIGINT)] AS w1,
+               w[CAST(t.i AS BIGINT) + 1] AS w2
+        FROM words, UNNEST(range(1, len(w))) AS t(i)
+    ),
+    cb AS (
+        SELECT w1, w2, COUNT(*) AS cb
+        FROM bg WHERE source = 'src0'
+        GROUP BY w1, w2
+    ),
+    cu AS (
+        SELECT w1, SUM(cb) AS cu FROM cb GROUP BY w1
+    ),
+    v AS (SELECT COUNT(*) AS v FROM cu),
+    scored AS (
+        SELECT b.doc_id,
+               COUNT(*) AS n_bigrams,
+               ROUND(AVG(-ln(
+                   (COALESCE(cb.cb, 0) + 1.0)
+                   / (COALESCE(cu.cu, 0) + v.v)
+               )), 6) AS avg_nll
+        FROM bg b
+        LEFT JOIN cb ON b.w1 = cb.w1 AND b.w2 = cb.w2
+        LEFT JOIN cu ON b.w1 = cu.w1
+        CROSS JOIN v
+        GROUP BY b.doc_id
+    )
+    SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams, avg_nll,
+           CASE NTILE(3) OVER (ORDER BY avg_nll, doc_id)
+               WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+               ELSE 'tail' END AS ppl_bucket
+    FROM scored
+    ORDER BY doc_id
+    """,
+)
+def lm_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style language-model quality bucketing (Wenzek et al.
+    2020): train a Laplace-smoothed bigram model on a trusted slice
+    (``source = 'src0'`` plays Wikipedia), score every document by its
+    average negative log-likelihood, and split the corpus into
+    head / middle / tail thirds — the buckets CCNet uses to keep the
+    head, sample the middle, and drop the tail before LM training.
+    The reference has no model-based quality gate at all; its quality
+    score is rule-arithmetic (databias/bias_detection_engine.py) —
+    this is the learned-statistics upgrade, with the 5-gram KenLM of
+    the paper swapped for a bigram model the engine can train
+    IN-PLANE: counts are plain aggregates, so "training" is two
+    groupBys and no Python.
+
+    Shape at 100 TB: bigram/context counts shuffle on the word keys
+    (Zipf skew is bounded — each bucket is a scalar count, never a
+    pair expansion); scoring is a shuffled LEFT JOIN of exploded doc
+    bigrams against the count tables (AQE broadcasts them while they
+    fit; at web-corpus vocabulary they stay shuffled — no forced
+    hint); the smoothing denominator V rides a 1-row scalar broadcast.
+    Scores are rounded to 6 dp BEFORE the tertile ranking on BOTH
+    engines so fp association noise cannot flip a bucket boundary.
+    The final NTILE runs over per-DOC aggregates (already 6 orders of
+    magnitude reduced); the documented scale swap is fixed thresholds
+    from `percentile_approx` instead of a global rank."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+        lambda x: x != F.lit(""),
+    )
+    # Adjacent-pair array; F.get returns NULL past the end (never
+    # throws under ANSI), and the filter drops the padded slot a
+    # 0/1-token doc produces.
+    bigram_arr = F.filter(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(w) - 1, F.lit(1))),
+            lambda i: F.struct(
+                F.get(w, i - 1).alias("w1"), F.get(w, i).alias("w2")
+            ),
+        ),
+        lambda s: s["w2"].isNotNull(),
+    )
+    bg = docs.select(
+        "doc_id", "source", F.explode(bigram_arr).alias("b")
+    ).select("doc_id", "source", "b.w1", "b.w2")
+    cb = (
+        bg.filter(F.col("source") == "src0")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("cb"))
+    )
+    cu = cb.groupBy("w1").agg(F.sum("cb").alias("cu"))
+    v = cu.agg(F.count("*").alias("v"))
+    scored = (
+        bg.join(cb, ["w1", "w2"], "left")
+        .join(cu, "w1", "left")
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(
+                F.avg(
+                    -F.log(
+                        (F.coalesce(F.col("cb"), F.lit(0)) + F.lit(1.0))
+                        / (
+                            F.coalesce(F.col("cu"), F.lit(0))
+                            + F.col("v")
+                        )
+                    )
+                ),
+                6,
+            ).alias("avg_nll"),
+        )
+    )
+    tert = F.ntile(3).over(Window.orderBy("avg_nll", "doc_id"))
+    return (
+        scored.withColumn(
+            "ppl_bucket",
+            F.when(tert == 1, "head")
+            .when(tert == 2, "middle")
+            .otherwise("tail"),
+        )
+        .orderBy("doc_id")
+    )

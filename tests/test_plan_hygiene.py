@@ -30,6 +30,7 @@ NESTED_LOOP_OK = {
     # scalar broadcasts feeding the integer quota arithmetic
     "graph_2hop_frontier",
     "interleave_shards",  # domain-count n_src: 1-row scalar broadcast
+    "lm_perplexity_buckets",  # smoothing denominator V: 1-row scalar
     "mitigation_recommendations",
     "theta_audience_overlap",
     "tfidf_top_terms",  # corpus-size 1-row broadcast (was a

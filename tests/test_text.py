@@ -198,3 +198,134 @@ def test_gopher_flags_edge_shapes(spark):
     finally:
         text_mod.load_table = orig
     assert flags == {0: False, 1: False, 2: False, 3: True}
+
+
+def test_duplicate_span_merge_islands(spark):
+    """Two identical 50-word docs: every window (pos 0..2) is
+    duplicated and overlapping, so each doc reports ONE merged span
+    covering words 0..50; a unique doc contributes no span rows."""
+    import citeconnect_datapipeline_spark.operators.dedup as dedup_mod
+
+    shared = " ".join(f"s{i}" for i in range(50))
+    unique = " ".join(f"u{i}" for i in range(50))
+    df = spark.createDataFrame(
+        [(0, shared), (1, shared), (2, unique)],
+        "doc_id long, text string",
+    )
+    orig = dedup_mod.load_table
+    try:
+        dedup_mod.load_table = lambda s, d, n: df
+        rows = sorted(
+            (r.doc_id, r.span_start_word, r.span_end_word, r.n_windows)
+            for r in dedup_mod.duplicate_span_merge(
+                spark, "unused"
+            ).collect()
+        )
+    finally:
+        dedup_mod.load_table = orig
+    assert rows == [(0, 0, 50, 3), (1, 0, 50, 3)]
+
+
+def test_duplicate_span_merge_splits_disjoint_runs(spark):
+    """A duplicated window separated from another duplicated window by
+    a unique stretch must NOT merge: two docs share windows at the
+    START and END of a 95-word doc but differ in the middle, giving
+    two distinct spans per doc."""
+    import citeconnect_datapipeline_spark.operators.dedup as dedup_mod
+
+    head = [f"h{i}" for i in range(20)]     # pos-0 window, shared
+    tail = [f"t{i}" for i in range(20)]     # final window, shared
+    mid_a = [f"a{i}" for i in range(55)]
+    mid_b = [f"b{i}" for i in range(55)]
+    doc_a = " ".join(head + mid_a + tail)   # 95 words -> pos 0..5
+    doc_b = " ".join(head + mid_b + tail)
+    df = spark.createDataFrame(
+        [(0, doc_a), (1, doc_b)], "doc_id long, text string"
+    )
+    orig = dedup_mod.load_table
+    try:
+        dedup_mod.load_table = lambda s, d, n: df
+        out = dedup_mod.duplicate_span_merge(spark, "unused").collect()
+    finally:
+        dedup_mod.load_table = orig
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(
+            (r.span_start_word, r.span_end_word)
+        )
+    # 95 words, stride 15, width 20 -> positions 0..5; only pos 0
+    # (pure head) and pos 5 (75..95, pure tail) are shared verbatim.
+    assert by_doc[0] == [(0, 20), (75, 95)]
+    assert by_doc[1] == [(0, 20), (75, 95)]
+
+
+def test_bloom_prefilter_matches_plain_antijoin(spark):
+    """The Bloom prefilter must be results-invisible: new-vs-existing
+    output identical to the direct anti-join, with the bucket tables
+    (not the existing-hash table) as the broadcast sides."""
+    import citeconnect_datapipeline_spark.operators.dedup as dedup_mod
+    from pyspark.sql import functions as F
+
+    # 40 existing docs (doc_id 0..39 via %10<8 on 0..49), batch of 10
+    # where two duplicate existing texts.
+    rows = []
+    for i in range(50):
+        if i % 10 >= 8 and i % 20 == 8:
+            text = f"existing text {i - 8}"   # dup of an existing doc
+        else:
+            text = f"existing text {i}" if i % 10 < 8 else f"new {i}"
+        rows.append((i, text))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    orig = dedup_mod.load_table
+    try:
+        dedup_mod.load_table = lambda s, d, n: df
+        got = sorted(
+            r.doc_id
+            for r in dedup_mod.bloom_prefilter_dedup(
+                spark, "unused"
+            ).collect()
+        )
+        plan = (
+            dedup_mod.bloom_prefilter_dedup(spark, "unused")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+    finally:
+        dedup_mod.load_table = orig
+
+    hashed = df.select(
+        "doc_id", F.md5(F.lower(F.col("text"))).alias("h")
+    )
+    existing = hashed.filter(F.col("doc_id") % 10 < 8).select("h")
+    want = sorted(
+        r.doc_id
+        for r in hashed.filter(F.col("doc_id") % 10 >= 8)
+        .join(existing, "h", "left_anti")
+        .collect()
+    )
+    assert got == want and len(got) < 10  # the planted dups are gone
+    # bounded-broadcast shape: the bucket semi/anti joins broadcast
+    assert plan.count("BroadcastHashJoin") >= 4
+
+
+def test_lm_perplexity_buckets_are_balanced_and_ordered(spark, sf_dir):
+    """Tertiles are count-balanced (sizes differ by <=1) and ordered:
+    every head doc scores <= every tail doc after the shared 6-dp
+    rounding (rank ties broken by doc_id stay within adjacent
+    buckets)."""
+    from citeconnect_datapipeline_spark.operators.text import (
+        lm_perplexity_buckets,
+    )
+
+    out = lm_perplexity_buckets(spark, sf_dir).collect()
+    sizes = {}
+    scores = {"head": [], "middle": [], "tail": []}
+    for r in out:
+        sizes[r.ppl_bucket] = sizes.get(r.ppl_bucket, 0) + 1
+        scores[r.ppl_bucket].append(r.avg_nll)
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+    assert max(scores["head"]) <= min(scores["tail"])
+    assert max(scores["head"]) <= min(scores["middle"]) or not scores[
+        "middle"
+    ]
