@@ -544,3 +544,153 @@ def search_ivf_index(
         .orderBy(F.desc("similarity"), "vec_id")
         .limit(k)
     )
+
+
+# --- Product quantization: the memory-compression ANN path ----------------
+
+PQ_M = 8            # subspaces (64-dim -> 8 x 8-dim)
+PQ_K = 16           # codes per subspace -> 4 bits each, 32 bits/vector
+PQ_TRAIN_SAMPLE = 512
+PQ_KMEANS_ITERS = 8
+
+
+def _train_pq_codebooks(emb: DataFrame, dim: int):
+    """Train the M per-subspace codebooks on a bounded, hash-ordered
+    driver sample (the FAISS recipe: PQ codebooks come from a sample,
+    never a full scan). Same determinism-without-bias move as the IVF
+    coarse quantizer: lowest ``xxhash64(vec_id)`` rows are uniform
+    over the corpus yet reproducible on any cluster/row order. The
+    collect is O(sample * d); the codebooks are M*K*(d/M) floats —
+    a few KB riding the encode closure."""
+    import numpy as np
+
+    ds = dim // PQ_M
+    sample = (
+        emb.select("vec_id", "embedding")
+        .orderBy(F.xxhash64(F.col("vec_id")), F.col("vec_id"))
+        .limit(PQ_TRAIN_SAMPLE)
+        .collect()
+    )
+    mat = np.stack([r.embedding for r in sample]).astype("float64")
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    books = np.zeros((PQ_M, PQ_K, ds))
+    for m in range(PQ_M):
+        sub = mat[:, m * ds : (m + 1) * ds]
+        cents = sub[:: max(len(sub) // PQ_K, 1)][:PQ_K].copy()
+        for _ in range(PQ_KMEANS_ITERS):
+            d2 = (
+                (sub * sub).sum(axis=1)[:, None]
+                - 2.0 * (sub @ cents.T)
+                + (cents * cents).sum(axis=1)[None, :]
+            )
+            assign = d2.argmin(axis=1)
+            for c in range(PQ_K):
+                members = sub[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+        books[m] = cents
+    return books
+
+
+@query("ann_pq_topk")  # rows-only: codebooks are engine-local floats
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via PRODUCT QUANTIZATION (Jegou et al. 2011) — the
+    memory-compression scale path that complements the IVF
+    partition-pruning path: each unit-normalized vector is encoded as
+    M=8 sub-space code indices of 4 bits each, i.e. **32 bits
+    replacing 256 bytes of floats** (64x), so a 100 TB embedding
+    store's codes fit in ~0.2 % of the space and the full-corpus scan
+    at query time reads longs, not float arrays.
+
+    Query-time shape (asymmetric distance computation):
+
+    * driver builds the M x K lookup table of squared distances from
+      the query's sub-vectors to every codebook entry — 128 floats,
+      rides the closure;
+    * ONE mapInPandas scan encodes each batch (a GEMM per subspace)
+      and accumulates the ADC distance by table lookup — per-row work
+      is M adds. At ingest the codes would be precomputed once and
+      this stage becomes a pure lookup scan (the `packed_code` column
+      in the output is that storable 32-bit word, proving the
+      compression claim);
+    * TakeOrdered pulls the ``CANDIDATE_POOL`` smallest ADC
+      distances — no shuffle — and only that pool is re-ranked with
+      exact cosine, same refine step as `ann_lsh_topk`/FAISS
+      IVFPQ-refine.
+
+    Unit-normalizing first makes L2 rank order equal cosine rank
+    order, so the exact re-rank and the brute-force oracle in tests
+    agree on what "nearest" means. Rows-only by contract; recall@10
+    vs `cosine_topk` and the 32-bit code-width claim are asserted in
+    tests/test_clustering.py."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    ds = dim // PQ_M
+    books = _train_pq_codebooks(emb, dim)
+
+    qrow = (
+        emb.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select("embedding")
+        .first()[0]
+    )
+    qv = np.asarray(qrow, dtype="float64")
+    qv /= np.linalg.norm(qv) or 1.0
+    # ADC lookup table: ||q_m - book[m][c]||^2 for every (m, c).
+    table = np.stack(
+        [
+            ((qv[m * ds : (m + 1) * ds][None, :] - books[m]) ** 2).sum(
+                axis=1
+            )
+            for m in range(PQ_M)
+        ]
+    )
+    b2 = (books * books).sum(axis=2)  # (M, K) for encode distances
+
+    def encode_adc(batches):
+        for pdf in batches:
+            mat = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+            mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+            adc = np.zeros(len(mat))
+            packed = np.zeros(len(mat), dtype="int64")
+            for m in range(PQ_M):
+                sub = mat[:, m * ds : (m + 1) * ds]
+                d2 = (
+                    (sub * sub).sum(axis=1)[:, None]
+                    - 2.0 * (sub @ books[m].T)
+                    + b2[m][None, :]
+                )
+                codes = d2.argmin(axis=1)
+                adc += table[m][codes]
+                packed |= codes.astype("int64") << (4 * m)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "packed_code": packed,
+                    "adc_dist": adc,
+                }
+            )
+
+    coded = emb.select("vec_id", "embedding").mapInPandas(
+        encode_adc, "vec_id long, packed_code long, adc_dist double"
+    )
+    cand = (
+        coded.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .orderBy("adc_dist", "vec_id")
+        .limit(CANDIDATE_POOL)
+    )
+    qlit = F.array(*[F.lit(float(x)) for x in qv])
+    return (
+        cand.join(emb, "vec_id")
+        .select(
+            "vec_id",
+            "label",
+            "packed_code",
+            F.round(
+                _cosine(F.col("embedding").cast("array<double>"), qlit), 6
+            ).alias("similarity"),
+        )
+        .orderBy(F.desc("similarity"), "vec_id")
+        .limit(10)
+    )

@@ -278,3 +278,26 @@ def test_ivf_training_unbiased_on_skewed_layout(spark):
     recall = len(truth & approx) / 10
     assert recall >= 0.8, f"skewed-layout IVF recall {recall}"
     assert len(rows) > IVF_TRAIN_SAMPLE
+
+
+def test_ann_pq_recall_and_code_width(spark):
+    """Product-quantization ANN: the ADC-pooled exact re-rank must
+    recover most of the true top-10 (recall >= 0.5; the 150-candidate
+    refine pool typically makes it ~1.0), every emitted code must fit
+    the advertised 32 bits (M=8 subspaces x 4-bit codes — the 64x
+    compression claim), and reruns must be deterministic."""
+    from citeconnect_datapipeline_spark.operators.similarity import (
+        ann_pq_topk,
+        cosine_topk,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    truth = {r.vec_id for r in cosine_topk(spark, sf).collect()}
+    rows = ann_pq_topk(spark, sf).collect()
+    approx = {r.vec_id for r in rows}
+    assert len(approx) == 10
+    recall = len(truth & approx) / len(truth)
+    assert recall >= 0.5, f"PQ recall degenerated: {recall}"
+    assert all(0 <= r.packed_code < (1 << 32) for r in rows)
+    rerun = {r.vec_id for r in ann_pq_topk(spark, sf).collect()}
+    assert rerun == approx
