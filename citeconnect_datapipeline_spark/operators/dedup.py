@@ -972,3 +972,66 @@ def duplicate_span_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("grp")
         .orderBy("doc_id", "span_start_word")
     )
+
+
+@query(
+    "ngram_novelty",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, string_split_regex(lower(text), '[^a-z0-9]+') AS w
+        FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(list_slice(w, i, i + 2), ' ') AS shingle
+        FROM words, UNNEST(range(1, greatest(len(w) - 1, 2))) AS t(i)
+        WHERE array_to_string(list_slice(w, i, i + 2), ' ') <> ''
+    ),
+    first_seen AS (
+        SELECT shingle, MIN(doc_id) AS first_doc
+        FROM sh GROUP BY shingle
+    )
+    SELECT s.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN f.first_doc = s.doc_id
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+           ROUND(SUM(CASE WHEN f.first_doc = s.doc_id
+                          THEN 1.0 ELSE 0.0 END) / COUNT(*), 6)
+               AS novelty_rate
+    FROM sh s JOIN first_seen f ON s.shingle = f.shingle
+    GROUP BY s.doc_id
+    ORDER BY s.doc_id
+    """,
+)
+def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document CONTENT NOVELTY against the corpus-so-far: the
+    fraction of a document's distinct 3-word shingles whose FIRST
+    occurrence (min doc_id = ingest order) is in that document. A
+    crawl's value decays as novelty falls; curation uses the rate
+    both as a per-doc keep signal (near-zero novelty = recombined
+    boilerplate even when no single pair-wise near-dup fires) and as
+    the corpus-level saturation curve that tells a 100 TB pipeline
+    when another crawl of the same sources stops buying new tokens.
+    Complements the pair-wise near-dup family: novelty is linear in
+    corpus size where pair generation is output-bound.
+
+    Shape: distinct shingle hashes per doc (in-row, no shuffle), one
+    groupBy(shingle) window for first-occurrence, one groupBy(doc)
+    for the rate — both uniform keys (shingle equality classes match
+    the oracle's string shingles; first_seen rides the same exchange
+    as the window, not a join back)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingle_hashes(docs)
+    first = F.min("doc_id").over(Window.partitionBy("sh"))
+    return (
+        sh.withColumn("novel", (first == F.col("doc_id")).cast("int"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum("novel").cast("bigint").alias("n_novel"),
+            F.round(
+                F.sum(F.col("novel").cast("double")) / F.count("*"), 6
+            ).alias("novelty_rate"),
+        )
+        .orderBy("doc_id")
+    )
