@@ -1,0 +1,139 @@
+"""In-engine BPE tokenizer training (Sennrich et al. 2016).
+
+The reference counts whitespace tokens and stops there
+(Processing/data_transformation.py token estimates); a training-data
+pipeline also has to TRAIN the tokenizer on the corpus it just
+curated. This module runs byte-pair-encoding merge learning as a
+Spark loop with the classic trainer's state split the same way the
+engine's other iterative fits do it (k-means, PageRank): the MODEL
+(the learned merge table — one row per round) lives on the driver,
+the DATA (the word-frequency vocabulary) stays distributed and is
+transformed in place each round.
+
+Why this is the right 100 TB shape:
+
+* BPE trainers never iterate the corpus — they iterate the
+  word-frequency DICTIONARY (Heaps' law: ~1M distinct words for a
+  web-scale corpus vs trillions of tokens). The corpus is touched
+  exactly once, by the word-count aggregation; every merge round
+  then explodes adjacent symbol pairs of the VOCAB table only.
+* Worst-case web garbage (random strings make the dictionary grow
+  linearly) is bounded by ``VOCAB_CAP``: keep the top-N words by
+  (count, word) — the exact prefix every practical trainer
+  (SentencePiece, HF tokenizers) trains on. A no-op on this lake
+  (distinct words << cap), deterministic everywhere.
+* Per round: one explode + one groupBy of the vocab, a ONE-ROW
+  collect (the argmax pair — model state, never data), and an
+  in-row fold that applies the merge left-to-right with no shuffle.
+  ``localCheckpoint`` every ``CHECKPOINT_EVERY`` rounds truncates
+  the per-round lineage growth (same fix PageRank needed).
+
+Non-SQL-expressible (loop-carried vocabulary state) -> rows-only
+driver check; parity against a pure-Python reference trainer and
+determinism are pinned in tests/test_text.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.registry import query
+from ..sources.tables import load_table
+
+N_MERGES = 12
+VOCAB_CAP = 65536
+CHECKPOINT_EVERY = 4
+
+
+def _word_vocab(docs: DataFrame, cap: int = VOCAB_CAP) -> DataFrame:
+    """(word, cnt, symbols) — the trainer's working set. One corpus
+    aggregation; everything after iterates this table only."""
+    words = docs.select(
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+                lambda x: x != F.lit(""),
+            )
+        ).alias("word")
+    )
+    return (
+        words.groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "word")
+        .limit(cap)
+        .withColumn("symbols", F.split(F.col("word"), ""))
+    )
+
+
+def _apply_merge(symbols, left: str, right: str):
+    """Left-to-right non-overlapping merge of adjacent (left, right)
+    into one symbol — a single in-row fold, no shuffle. The fold
+    compares the accumulator's LAST element: a freshly merged token
+    (left||right) can never equal ``left`` again (right is
+    non-empty), so overlap handling ('aaa' + (a,a) -> [aa, a]) is
+    correct by construction."""
+    return F.aggregate(
+        symbols,
+        F.expr("CAST(array() AS array<string>)"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (s == F.lit(right)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.concat(F.element_at(acc, -1), s)),
+            ),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
+def train_bpe_merges(
+    docs: DataFrame, n_merges: int = N_MERGES
+) -> list[tuple[int, str, str, int]]:
+    """Learn ``n_merges`` BPE merges; returns
+    [(rank, left, right, weighted_pair_count), ...]. Ties break
+    deterministically by (count DESC, left, right) — same rule in
+    the Python parity reference."""
+    vocab = _word_vocab(docs)
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(n_merges):
+        n = F.size("symbols")
+        ln = F.greatest(n - 1, F.lit(0))
+        pair = F.explode(
+            F.arrays_zip(
+                F.slice("symbols", 1, ln).alias("a"),
+                F.slice("symbols", 2, ln).alias("b"),
+            )
+        ).alias("p")
+        top = (
+            vocab.select("cnt", pair)
+            .select("cnt", "p.a", "p.b")
+            .groupBy("a", "b")
+            .agg(F.sum("cnt").alias("pc"))
+            .orderBy(F.desc("pc"), "a", "b")
+            .limit(1)
+            .collect()
+        )  # ONE row: the argmax pair — model state, never data
+        if not top:
+            break
+        a, b, pc = top[0]["a"], top[0]["b"], int(top[0]["pc"])
+        merges.append((rank, a, b, pc))
+        vocab = vocab.withColumn(
+            "symbols", _apply_merge(F.col("symbols"), a, b)
+        )
+        if (rank + 1) % CHECKPOINT_EVERY == 0:
+            vocab = vocab.localCheckpoint(eager=False)
+    return merges
+
+
+@query("bpe_merge_ranks")  # rows-only: loop-carried vocabulary state
+def bpe_merge_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned merge table, rank-ordered — what a tokenizer ships
+    as ``merges.txt``. See module docstring for the scale argument;
+    parity vs a pure-Python BPE trainer is pinned in tests."""
+    docs = load_table(spark, sf_dir, "documents")
+    merges = train_bpe_merges(docs)
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, pair_count long"
+    ).orderBy("rank")

@@ -56,6 +56,7 @@ def _load_all() -> None:
         statistics,
         subqueries,
         timeseries,
+        tokenizer,
         windows,
         text,
         similarity,

@@ -43,6 +43,7 @@ NESTED_LOOP_OK = {
 # dedicated tests instead.
 BUILD_EXECUTES = {
     "ann_ivf_topk",
+    "bpe_merge_ranks",  # merge loop collects 1 argmax row per round
     "kmeans_clusters",  # k-means fit collects k*d centroid partials
     "neardup_components",
     "part_copurchase_pagerank",

@@ -329,3 +329,59 @@ def test_lm_perplexity_buckets_are_balanced_and_ordered(spark, sf_dir):
     assert max(scores["head"]) <= min(scores["middle"]) or not scores[
         "middle"
     ]
+
+
+def test_bpe_merges_match_python_trainer(spark):
+    """The Spark BPE loop must learn the exact merge sequence a
+    pure-Python reference trainer learns on the same corpus — same
+    pairs, same order, same weighted counts (tie-break: count DESC,
+    then (left, right) lexicographic)."""
+    import re
+    from collections import Counter
+
+    from citeconnect_datapipeline_spark.operators.tokenizer import (
+        N_MERGES,
+        train_bpe_merges,
+    )
+    from citeconnect_datapipeline_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    got = train_bpe_merges(docs)
+
+    # reference trainer
+    freq = Counter()
+    for r in docs.select("text").collect():
+        for w in re.split("[^a-z0-9]+", r.text.lower()):
+            if w:
+                freq[w] += 1
+    vocab = {w: tuple(w) for w in freq}
+    want = []
+    for rank in range(N_MERGES):
+        pairs = Counter()
+        for w, syms in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += freq[w]
+        if not pairs:
+            break
+        (a, b), pc = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        want.append((rank, a, b, pc))
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == a
+                    and syms[i + 1] == b
+                ):
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = tuple(out)
+    assert got == want
+    # reruns deterministic
+    assert train_bpe_merges(docs) == got
