@@ -1150,3 +1150,90 @@ def lm_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+ZIPF_HEAD_RANKS = 100
+
+
+@query(
+    "zipf_alpha_fit",
+    oracle=f"""
+    WITH tok AS (
+        SELECT lang, t.w
+        FROM (
+            SELECT lang,
+                   list_filter(
+                       string_split_regex(lower(text), '[^a-z0-9]+'),
+                       x -> x <> ''
+                   ) AS ws
+            FROM documents
+        ), UNNEST(ws) AS t(w)
+    ),
+    wc AS (
+        SELECT lang, w, COUNT(*) AS c FROM tok GROUP BY lang, w
+    ),
+    ranked AS (
+        SELECT lang, c,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang ORDER BY c DESC, w
+               ) AS r
+        FROM wc
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_ranks,
+           ROUND(-REGR_SLOPE(ln(CAST(c AS DOUBLE)),
+                             ln(CAST(r AS DOUBLE))), 6) AS zipf_alpha,
+           ROUND(REGR_R2(ln(CAST(c AS DOUBLE)),
+                         ln(CAST(r AS DOUBLE))), 6) AS fit_r2
+    FROM ranked
+    WHERE r <= {ZIPF_HEAD_RANKS}
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def zipf_alpha_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-exponent fit per language: OLS slope of ln(frequency)
+    against ln(rank) over the top-{ZIPF_HEAD_RANKS} word ranks —
+    natural language sits near alpha = 1, so a slice whose alpha
+    collapses toward 0 (flat head = keyword stuffing / template spam)
+    or blows past ~1.5 (a few tokens dominating = boilerplate
+    repetition) is machine-generated or corrupted BEFORE any
+    model-based scorer runs. The corpus-shape sibling of
+    [[vocab_coverage]]'s OOV rate and the distribution-level check
+    the reference's rule-based quality score cannot see.
+
+    One token-count aggregation (shuffle on (lang, word), uniform),
+    one per-lang ranking window over the COUNTS table (vocab-sized,
+    not corpus-sized), and REGR_* streaming accumulators over the
+    {ZIPF_HEAD_RANKS}-row head per language — map-side combinable,
+    nothing driver-side."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "lang",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+                lambda x: x != F.lit(""),
+            )
+        ).alias("w"),
+    )
+    wc = tok.groupBy("lang", "w").agg(F.count("*").alias("c"))
+    ranked = wc.withColumn(
+        "r",
+        F.row_number().over(
+            Window.partitionBy("lang").orderBy(F.desc("c"), "w")
+        ),
+    ).filter(F.col("r") <= ZIPF_HEAD_RANKS)
+    lnc = F.log(F.col("c").cast("double"))
+    lnr = F.log(F.col("r").cast("double"))
+    return (
+        ranked.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_ranks"),
+            F.round(-F.regr_slope(lnc, lnr), 6).alias("zipf_alpha"),
+            F.round(F.regr_r2(lnc, lnr), 6).alias("fit_r2"),
+        )
+        .orderBy("lang")
+    )
