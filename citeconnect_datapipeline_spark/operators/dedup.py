@@ -1035,3 +1035,149 @@ def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- Portable (oracle-verified) MinHash-LSH -------------------------------
+
+PMH_NUM_HASHES = 16
+PMH_BAND_SIZE = 4
+PMH_NUM_BANDS = PMH_NUM_HASHES // PMH_BAND_SIZE
+
+_PMH_MIN_COLS = ",\n               ".join(
+    f"MIN(md5('{i}:' || s)) AS m{i}" for i in range(PMH_NUM_HASHES)
+)
+_PMH_BAND_SELECTS = "\n        UNION ALL\n".join(
+    "        SELECT doc_id, {b} AS band_idx, md5({cat}) AS band_hash"
+    " FROM mh".format(
+        b=b,
+        cat=" || '|' || ".join(
+            f"m{b * PMH_BAND_SIZE + j}" for j in range(PMH_BAND_SIZE)
+        ),
+    )
+    for b in range(PMH_NUM_BANDS)
+)
+
+
+@query(
+    "minhash_lsh_portable",
+    oracle=f"""
+    WITH words AS (
+        SELECT doc_id, string_split_regex(lower(text), '[^a-z0-9]+') AS w
+        FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(list_slice(w, i, i + 2), ' ') AS s
+        FROM words, UNNEST(range(1, greatest(len(w) - 1, 2))) AS t(i)
+        WHERE array_to_string(list_slice(w, i, i + 2), ' ') <> ''
+    ),
+    mh AS (
+        SELECT doc_id,
+               {_PMH_MIN_COLS}
+        FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+{_PMH_BAND_SELECTS}
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+     AND a.doc_id < b.doc_id
+    ORDER BY doc_a, doc_b
+    """,
+)
+def minhash_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + banded LSH with ENGINE-PORTABLE hashes — the
+    hash-verified twin of ``minhash_lsh_candidates``.
+
+    The fast variant's xxhash64 signatures are Spark-specific, so its
+    correctness evidence is rows-only + a pytest recall bound. This
+    variant swaps every hash for md5 over the SAME 3-word string
+    shingles the green n-gram-Jaccard oracles use (Broder's
+    min-wise scheme with h_i(s) = md5('i:' || s), minimum taken in
+    lexicographic hex order — identical in Spark and DuckDB), so the
+    ENTIRE pipeline — shingling, 16-way signature fold, 4x4 banding,
+    bucket-join pair generation — is verified value-for-value by the
+    DuckDB oracle, closing the "hash functions not portable SQL" gap
+    the rows-only twin documents. Reference parity: same
+    drop-duplicates intent as Ingestion/main.py:576-595, lifted to
+    near-dup grain (SURVEY.md T9).
+
+    Shape at 100 TB (same as the fast twin, ONE extra shuffle):
+    exploded distinct shingles groupBy(doc_id) into 16 min
+    aggregates — partial map-side mins mean the exchange carries 16
+    fixed-width digests per doc per mapper, never the shingles;
+    band hashing is in-row; candidate generation is a posting-list
+    groupBy on (band_idx, band_hash) — one shuffle of 4 rows per
+    doc, pairs emitted map-side per bucket, O(near-dups) not O(n^2).
+    md5 costs ~4x xxhash64 per shingle, which is why the xxhash64
+    twin remains the production path and this one the verification
+    path."""
+    from ..sources.tables import spread_small_source
+
+    docs = spread_small_source(load_table(spark, sf_dir, "documents"))
+    w = F.split(F.lower(F.col("text")), "[^a-z0-9]+")
+    sh_arr = F.array_distinct(
+        F.filter(
+            F.transform(
+                F.sequence(
+                    F.lit(1), F.greatest(F.size(w) - 2, F.lit(1))
+                ),
+                lambda i: F.concat_ws(" ", F.slice(w, i, 3)),
+            ),
+            lambda s: s != F.lit(""),
+        )
+    )
+    sh = docs.select("doc_id", F.explode(sh_arr).alias("s"))
+    sigs = sh.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.md5(F.concat(F.lit(f"{i}:"), F.col("s")))
+            ).alias(f"m{i}")
+            for i in range(PMH_NUM_HASHES)
+        ]
+    )
+    bands = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            *[
+                                F.col(f"m{b * PMH_BAND_SIZE + j}")
+                                for j in range(PMH_BAND_SIZE)
+                            ],
+                        )
+                    )
+                    for b in range(PMH_NUM_BANDS)
+                ]
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    buckets = (
+        bands.groupBy("band_idx", "band_hash")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "ds",
+                    lambda x, i: F.transform(
+                        F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))),
+                        lambda y: F.struct(
+                            x.alias("doc_a"), y.alias("doc_b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return (
+        pairs.select("p.doc_a", "p.doc_b")
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )

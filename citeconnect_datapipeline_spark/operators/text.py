@@ -1237,3 +1237,72 @@ def zipf_alpha_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --- Token-entropy quality signal ------------------------------------------
+
+
+@query(
+    "token_entropy",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, unnest(list_filter(
+            string_split_regex(lower(text), '[^a-z0-9]+'),
+            x -> x <> ''
+        )) AS word
+        FROM documents
+    ),
+    wc AS (
+        SELECT doc_id, word, COUNT(*) AS c
+        FROM words GROUP BY doc_id, word
+    )
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           ROUND(ln(SUM(c)) - SUM(c * ln(c)) / SUM(c), 6) AS entropy
+    FROM wc
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram Shannon entropy — the information-density
+    quality gate that catches what ratio rules miss: keyword-stuffed
+    spam and template boilerplate score LOW (a few tokens dominate),
+    MT gibberish and encoding garbage score anomalously HIGH for
+    their length. Used alongside gopher_quality_flags /
+    doc_repetition the way CCNet-era pipelines pair perplexity with
+    repetition filters; the reference's quality score is length/null
+    arithmetic only (databias/bias_detection_engine.py) — entropy is
+    the distribution-shape upgrade at token grain, complementing
+    zipf_alpha_fit's corpus grain.
+
+    H = -sum(p_w ln p_w) is computed in the algebraically stable
+    form ln(n) - sum(c ln c)/n, so ONE aggregate over per-doc word
+    counts suffices. Shape at 100 TB: groupBy(doc_id, word) then
+    groupBy(doc_id) — both shuffles keyed per document (bounded by
+    doc length, no corpus-wide hot key; partial map-side combine
+    collapses each doc's words before the exchange). Entropy is
+    rounded to 6 dp on both engines (float contract)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+        lambda x: x != F.lit(""),
+    )
+    wc = (
+        docs.select("doc_id", F.explode(w).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("c"))
+    )
+    n = F.sum("c")
+    return (
+        wc.groupBy("doc_id")
+        .agg(
+            n.cast("bigint").alias("n_tokens"),
+            F.count("*").alias("n_distinct"),
+            F.round(
+                F.log(n) - F.sum(F.col("c") * F.log("c")) / n, 6
+            ).alias("entropy"),
+        )
+        .orderBy("doc_id")
+    )

@@ -798,3 +798,128 @@ def interleave_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+# --- DSIR: data selection via importance resampling ------------------------
+
+DSIR_SMOOTH = 1.0  # Laplace alpha on both bag-of-buckets models
+DSIR_N_BUCKETS = 256  # 2 hex chars of md5(word) -> 256 feature buckets
+
+
+@query(
+    "dsir_importance_weights",
+    oracle=f"""
+    WITH feats AS (
+        SELECT doc_id, source, substr(md5(word), 1, 2) AS b
+        FROM (
+            SELECT doc_id, source, unnest(list_filter(
+                string_split_regex(lower(text), '[^a-z0-9]+'),
+                x -> x <> ''
+            )) AS word
+            FROM documents
+        )
+    ),
+    stats AS (
+        SELECT b,
+               COUNT(*) AS cr,
+               COUNT(*) FILTER (WHERE source = 'src0') AS ct
+        FROM feats GROUP BY b
+    ),
+    lr AS (
+        SELECT b,
+               ln((ct + {DSIR_SMOOTH}) /
+                  (SUM(ct) OVER () + {DSIR_SMOOTH} * {DSIR_N_BUCKETS}))
+             - ln((cr + {DSIR_SMOOTH}) /
+                  (SUM(cr) OVER () + {DSIR_SMOOTH} * {DSIR_N_BUCKETS}))
+               AS log_ratio
+        FROM stats
+    ),
+    scored AS (
+        SELECT f.doc_id,
+               COUNT(*) AS n_tokens,
+               ROUND(AVG(lr.log_ratio), 6) AS avg_log_ratio
+        FROM feats f JOIN lr ON f.b = lr.b
+        GROUP BY f.doc_id
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, avg_log_ratio,
+           NTILE(4) OVER (ORDER BY avg_log_ratio DESC, doc_id) = 1
+               AS selected
+    FROM scored
+    ORDER BY doc_id
+    """,
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every raw
+    document by the log importance weight ln(p_target/p_raw) under
+    two hashed bag-of-ngrams models — the target model trained on a
+    trusted slice (``source = 'src0'``, the same Wikipedia stand-in
+    lm_perplexity_buckets uses), the raw model on the whole corpus —
+    then mark the top importance quartile as selected. The paper
+    hashes n-grams into 10k buckets; here the bucket is the first 2
+    hex chars of md5(word) (256 buckets), chosen because BOTH engines
+    compute the identical bucket, making the whole selection
+    hash-verified by the oracle, not just row-counted.
+
+    Why this operator matters at 100 TB: DSIR is the published
+    answer to "which 5% of the crawl do I train on" — and its
+    entire model state is the bucket-count table, which is AT MOST
+    {DSIR_N_BUCKETS} rows REGARDLESS of corpus size. Training both
+    models is one groupBy over exploded words (conditional count for
+    the target slice rides the same aggregate — one shuffle, not
+    two); per-bucket log-ratios fold the totals in with an
+    unpartitioned window over the 256-row table (a single task on
+    256 rows, never a scalar cross-join); scoring re-joins the
+    exploded words against the 256-row table (AQE auto-broadcasts a
+    bounded build side — no hint needed) and averages per doc. The
+    final quartile NTILE runs over per-DOC rows; the documented
+    scale swap is a fixed threshold from percentile_approx, exactly
+    as in lm_perplexity_buckets. Scores are rounded to 6 dp BEFORE
+    the quartile rank on both engines so fp noise cannot flip a
+    selection boundary. The reference has no learned selection at
+    all (its filters are rule-based: databias/
+    bias_detection_engine.py); this is the importance-sampling
+    upgrade."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+        lambda x: x != F.lit(""),
+    )
+    feats = docs.select(
+        "doc_id", "source", F.explode(w).alias("word")
+    ).select(
+        "doc_id",
+        "source",
+        F.substring(F.md5("word"), 1, 2).alias("b"),
+    )
+    stats = feats.groupBy("b").agg(
+        F.count("*").alias("cr"),
+        F.count(F.when(F.col("source") == "src0", 1)).alias("ct"),
+    )
+    tot = Window.partitionBy()
+    denom_t = F.sum("ct").over(tot) + DSIR_SMOOTH * DSIR_N_BUCKETS
+    denom_r = F.sum("cr").over(tot) + DSIR_SMOOTH * DSIR_N_BUCKETS
+    lr = stats.select(
+        "b",
+        (
+            F.log((F.col("ct") + DSIR_SMOOTH) / denom_t)
+            - F.log((F.col("cr") + DSIR_SMOOTH) / denom_r)
+        ).alias("log_ratio"),
+    )
+    scored = (
+        feats.join(lr, "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg("log_ratio"), 6).alias("avg_log_ratio"),
+        )
+    )
+    quart = F.ntile(4).over(
+        Window.orderBy(F.desc("avg_log_ratio"), "doc_id")
+    )
+    return (
+        scored.withColumn("selected", quart == 1)
+        .orderBy("doc_id")
+    )
