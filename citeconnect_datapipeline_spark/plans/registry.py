@@ -43,6 +43,7 @@ def _load_all() -> None:
         aggregates,
         analytics,
         asof,
+        classifier,
         clustering,
         dedup,
         enrichment,

@@ -47,6 +47,7 @@ BUILD_EXECUTES = {
     "kmeans_clusters",  # k-means fit collects k*d centroid partials
     "neardup_components",
     "part_copurchase_pagerank",
+    "quality_classifier",  # LR fit collects 257 gradient rows/round
     "semantic_dedup",  # same k-means fit feeds the cluster blocking
 }
 
