@@ -137,3 +137,76 @@ def bpe_merge_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "rank int, left string, right string, pair_count long"
     ).orderBy("rank")
+
+
+def encode_word_vocab(docs: DataFrame, merges) -> DataFrame:
+    """(word, n_tokens): every distinct corpus word encoded with the
+    learned merge table.
+
+    Encoding iterates the merge list in RANK ORDER with one
+    exhaustive left-to-right pass each (exactly subword-nmt's
+    ``apply_bpe``) — equivalent to the merge-lowest-rank-present
+    loop because a pair learned at rank r has both constituent
+    symbols created before r, and applying a later merge can only
+    create adjacencies involving its own new symbol, whose pairs all
+    rank higher still. So the whole encode is ``len(merges)``
+    chained in-row folds in ONE projection: no loop state, no
+    shuffle, and it runs over the DISTINCT-WORD vocabulary (Heaps'
+    law — ~1M rows at web scale), never the corpus."""
+    sym = F.split(F.col("word"), "")
+    for _, a, b, _ in merges:
+        sym = _apply_merge(sym, a, b)
+    words = docs.select(
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+                lambda x: x != F.lit(""),
+            )
+        ).alias("word")
+    ).distinct()
+    return words.select("word", F.size(sym).alias("n_tokens"))
+
+
+@query("bpe_encode_stats")  # rows-only: loop-carried trainer state
+def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train BPE on the corpus, ENCODE the corpus with it, and report
+    per-document token statistics — the apply half of the tokenizer
+    lifecycle (train_bpe_merges is the learn half), and the real
+    token accounting a data pipeline bills by (token_counts's
+    whitespace estimate is the cheap proxy; this is the learned
+    vocabulary's answer).
+
+    Scale shape: encoding happens once per DISTINCT word (in-row
+    fold chain, no shuffle), then per-doc stats are one exploded-
+    words equi-join against that vocabulary and one groupBy(doc_id).
+    The vocab side is Heaps-law bounded, so AQE broadcasts it while
+    it fits and shuffles on the word key beyond that — the same
+    Zipf-hot-key shape tfidf_top_terms and vocab_coverage carry
+    (scalar aggregates per key, no pair expansion, so skew is
+    bounded)."""
+    docs = load_table(spark, sf_dir, "documents")
+    merges = train_bpe_merges(docs)
+    vocab_tok = encode_word_vocab(docs, merges)
+    words = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+                lambda x: x != F.lit(""),
+            )
+        ).alias("word"),
+    )
+    return (
+        words.join(vocab_tok, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_tokens").alias("n_bpe_tokens"),
+            F.round(
+                F.sum(F.length("word"))
+                / F.sum("n_tokens").cast("double"),
+                6,
+            ).alias("chars_per_token"),
+        )
+        .orderBy("doc_id")
+    )

@@ -385,3 +385,54 @@ def test_bpe_merges_match_python_trainer(spark):
     assert got == want
     # reruns deterministic
     assert train_bpe_merges(docs) == got
+
+
+def test_bpe_encode_matches_python_encoder(spark):
+    """Per-doc BPE token counts must equal a pure-Python apply_bpe
+    (rank-order merges, exhaustive left-to-right passes) using the
+    SAME learned merge table."""
+    import re
+    from collections import defaultdict
+
+    from citeconnect_datapipeline_spark.operators.tokenizer import (
+        bpe_encode_stats,
+        train_bpe_merges,
+    )
+    from citeconnect_datapipeline_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    merges = [(a, b) for _, a, b, _ in train_bpe_merges(docs)]
+
+    def encode(word):
+        syms = list(word)
+        for a, b in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return len(syms)
+
+    want = defaultdict(lambda: [0, 0, 0])  # words, bpe toks, chars
+    for r in docs.select("doc_id", "text").collect():
+        for w in re.split("[^a-z0-9]+", r.text.lower()):
+            if w:
+                acc = want[r.doc_id]
+                acc[0] += 1
+                acc[1] += encode(w)
+                acc[2] += len(w)
+
+    got = bpe_encode_stats(spark, sf).collect()
+    assert len(got) == len(want)
+    for row in got:
+        n_words, n_tok, n_chars = want[row.doc_id]
+        assert row.n_words == n_words
+        assert row.n_bpe_tokens == n_tok
+        assert row.chars_per_token == round(n_chars / n_tok, 6)
+        # encoding never expands past chars nor shrinks below words
+        assert n_words <= row.n_bpe_tokens <= n_chars
