@@ -1037,7 +1037,33 @@ def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- Portable (oracle-verified) MinHash-LSH -------------------------------
+# --- Portable (oracle-verified) MinHash-LSH + SimHash ---------------------
+
+
+def _portable_string_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, s): exploded DISTINCT 3-word STRING shingles,
+    identical to the DuckDB oracles' ``array_to_string(list_slice(w,
+    i, i+2), ' ')`` form — the shared front half of the
+    hash-verified near-dup twins, which need the literal shingle
+    text because their md5 digests must match the oracle's
+    value-for-value (the xxhash64 production paths never do)."""
+    from ..sources.tables import spread_small_source
+
+    docs = spread_small_source(load_table(spark, sf_dir, "documents"))
+    w = F.split(F.lower(F.col("text")), "[^a-z0-9]+")
+    sh_arr = F.array_distinct(
+        F.filter(
+            F.transform(
+                F.sequence(
+                    F.lit(1), F.greatest(F.size(w) - 2, F.lit(1))
+                ),
+                lambda i: F.concat_ws(" ", F.slice(w, i, 3)),
+            ),
+            lambda s: s != F.lit(""),
+        )
+    )
+    return docs.select("doc_id", F.explode(sh_arr).alias("s"))
+
 
 PMH_NUM_HASHES = 16
 PMH_BAND_SIZE = 4
@@ -1115,20 +1141,7 @@ def minhash_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     path."""
     from ..sources.tables import spread_small_source
 
-    docs = spread_small_source(load_table(spark, sf_dir, "documents"))
-    w = F.split(F.lower(F.col("text")), "[^a-z0-9]+")
-    sh_arr = F.array_distinct(
-        F.filter(
-            F.transform(
-                F.sequence(
-                    F.lit(1), F.greatest(F.size(w) - 2, F.lit(1))
-                ),
-                lambda i: F.concat_ws(" ", F.slice(w, i, 3)),
-            ),
-            lambda s: s != F.lit(""),
-        )
-    )
-    sh = docs.select("doc_id", F.explode(sh_arr).alias("s"))
+    sh = _portable_string_shingles(spark, sf_dir)
     sigs = sh.groupBy("doc_id").agg(
         *[
             F.min(
@@ -1181,3 +1194,84 @@ def minhash_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("doc_a", "doc_b")
     )
+
+
+SIMHASH_PORTABLE_BITS = 32
+
+_SPH_SUMS = ",\n               ".join(
+    f"SUM(CASE WHEN substr(h, {j + 1}, 1) >= '8' THEN 1 ELSE -1 END)"
+    f" AS b{j}"
+    for j in range(SIMHASH_PORTABLE_BITS)
+)
+_SPH_FP = " + ".join(
+    f"(CASE WHEN b{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+    for j in range(SIMHASH_PORTABLE_BITS)
+)
+
+
+@query(
+    "simhash_portable",
+    oracle=f"""
+    WITH words AS (
+        SELECT doc_id, string_split_regex(lower(text), '[^a-z0-9]+') AS w
+        FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(list_slice(w, i, i + 2), ' ') AS s
+        FROM words, UNNEST(range(1, greatest(len(w) - 1, 2))) AS t(i)
+        WHERE array_to_string(list_slice(w, i, i + 2), ' ') <> ''
+    ),
+    hashed AS (SELECT doc_id, md5(s) AS h FROM sh),
+    votes AS (
+        SELECT doc_id, COUNT(*) AS n_shingles,
+               {_SPH_SUMS}
+        FROM hashed GROUP BY doc_id
+    )
+    SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
+           {_SPH_FP} AS simhash
+    FROM votes
+    ORDER BY doc_id
+    """,
+)
+def simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash (Charikar 2002) with ENGINE-PORTABLE bits — the
+    hash-verified twin of ``simhash_fingerprints``, same role the
+    portable MinHash twin plays for LSH: the production path votes
+    on xxhash64 bits (rows-only evidence), this one votes on the 32
+    hex nibbles of md5(shingle) — bit j is the nibble's high bit,
+    tested portably as ``substr(h, j+1, 1) >= '8'`` (hex digits
+    order '0'<'1'<...<'9'<'a'<...<'f' in both engines) — so every
+    fingerprint value is verified by the DuckDB oracle.
+
+    Same aggregate shape as the production twin: 32 conditional sums
+    in ONE doc-keyed groupBy (partial map-side combine; the exchange
+    carries 33 longs per doc per mapper), fingerprint assembly is
+    in-row integer arithmetic. No joins, no pair expansion."""
+    sh = _portable_string_shingles(spark, sf_dir)
+    h = sh.select("doc_id", F.md5("s").alias("h"))
+    votes = h.groupBy("doc_id").agg(
+        F.count("*").alias("n_shingles"),
+        *[
+            F.sum(
+                F.when(
+                    F.substring("h", j + 1, 1) >= F.lit("8"), 1
+                ).otherwise(-1)
+            ).alias(f"b{j}")
+            for j in range(SIMHASH_PORTABLE_BITS)
+        ],
+    )
+    fingerprint = None
+    for j in range(SIMHASH_PORTABLE_BITS):
+        term = (
+            F.when(F.col(f"b{j}") > 0, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            * F.lit(1 << j).cast("long")
+        )
+        fingerprint = term if fingerprint is None else fingerprint + term
+    return votes.select(
+        "doc_id",
+        F.col("n_shingles").cast("bigint").alias("n_shingles"),
+        fingerprint.alias("simhash"),
+    ).orderBy("doc_id")
