@@ -1275,3 +1275,189 @@ def simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_shingles").cast("bigint").alias("n_shingles"),
         fingerprint.alias("simhash"),
     ).orderBy("doc_id")
+
+
+@query(
+    "clip_duplicate_spans",
+    oracle=f"""
+    WITH words AS (
+        SELECT doc_id, string_split_regex(lower(text), '[^a-z0-9]+') AS w
+        FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id,
+               CAST(t.i AS INTEGER) AS pos,
+               array_to_string(
+                   list_slice(w, 1 + t.i * {CHUNK_S},
+                              {CHUNK_W} + t.i * {CHUNK_S}), ' '
+               ) AS chunk_text
+        FROM words,
+             UNNEST(range(0, GREATEST(
+                 CAST(CEIL((len(w) - {CHUNK_W}) / {CHUNK_S}.0)
+                     AS BIGINT) + 1, 1))) AS t(i)
+    ),
+    hashed AS (
+        SELECT doc_id, pos, md5(chunk_text) AS chunk_hash,
+               lpad(CAST(doc_id AS VARCHAR), 12, '0') || ':' ||
+               lpad(CAST(pos AS VARCHAR), 8, '0') AS occ
+        FROM chunks WHERE chunk_text <> ''
+    ),
+    marked AS (
+        SELECT doc_id, pos,
+               COUNT(*) OVER (PARTITION BY chunk_hash) AS n_copies,
+               MIN(occ) OVER (PARTITION BY chunk_hash) AS first_occ,
+               occ
+        FROM hashed
+    ),
+    foreign_dup AS (
+        SELECT doc_id, pos FROM marked
+        WHERE n_copies > 1 AND occ <> first_occ
+    ),
+    isl AS (
+        SELECT doc_id, pos,
+               pos - ROW_NUMBER() OVER (
+                   PARTITION BY doc_id ORDER BY pos
+               ) AS grp
+        FROM foreign_dup
+    ),
+    spans AS (
+        SELECT doc_id,
+               MIN(pos) * {CHUNK_S} + 1 AS w_start,
+               MAX(pos) * {CHUNK_S} + {CHUNK_W} AS w_end
+        FROM isl GROUP BY doc_id, grp
+    ),
+    pw AS (
+        SELECT doc_id, CAST(t.p AS BIGINT) AS p,
+               w[CAST(t.p AS BIGINT)] AS word
+        FROM words, UNNEST(range(1, len(w) + 1)) AS t(p)
+    ),
+    kept AS (
+        SELECT pw.doc_id, pw.p, pw.word
+        FROM pw
+        WHERE NOT EXISTS (
+            SELECT 1 FROM spans s
+            WHERE s.doc_id = pw.doc_id
+              AND pw.p BETWEEN s.w_start AND s.w_end
+        )
+    )
+    SELECT w.doc_id,
+           CAST(len(w.w) AS BIGINT) AS n_words,
+           CAST(len(w.w) - COUNT(kept.p) AS BIGINT) AS n_removed,
+           COALESCE(
+               string_agg(kept.word, ' ' ORDER BY kept.p), ''
+           ) AS clipped_text
+    FROM words w LEFT JOIN kept ON w.doc_id = kept.doc_id
+    GROUP BY w.doc_id, len(w.w)
+    ORDER BY w.doc_id
+    """,
+)
+def clip_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACT on corpus-wide duplicated spans: keep the FIRST occurrence
+    of every duplicated window, clip the rest, rebuild the text —
+    Lee et al. 2022's ExactSubstr semantics ("remove all but one
+    occurrence") at the window grain ``duplicate_span_merge``
+    detects. That query is the report; this one is the curation step
+    that produces the training corpus.
+
+    Keep-first is total and engine-portable: each window occurrence
+    gets the sortable key lpad(doc_id)||':'||lpad(pos), and only the
+    MIN key per chunk hash survives — the same deterministic
+    keep-first discipline every dedup in this module uses (pandas
+    row-order semantics restated, module docstring). Clipped word
+    ranges come from the same gaps-and-islands merge as
+    duplicate_span_merge; reconstruction keeps words whose 1-based
+    position falls in no clipped span and rejoins them with single
+    spaces (lowercased, separator-normalized — the canonical text
+    form every shingle/chunk operator in this suite already works
+    on).
+
+    Shape at 100 TB: window hashing and copy-count/min-occurrence
+    ride ONE shuffle keyed on chunk_hash (uniform md5 — scalar
+    window aggregates, no pair expansion); islands and
+    reconstruction shuffle on doc_id. The span predicate is a
+    per-doc range join: spans-per-doc is bounded (a doc has at most
+    len/stride windows), so the probe stays doc-local — never a
+    corpus-wide inequality join."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split(F.lower(F.col("text")), "[^a-z0-9]+")
+    n_chunks = F.greatest(
+        F.ceil((F.size(w) - CHUNK_W) / CHUNK_S) + 1, F.lit(1)
+    )
+    chunk_arr = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(" ", F.slice(w, i * CHUNK_S + 1, CHUNK_W)),
+    )
+    base = docs.select("doc_id", w.alias("w"))
+    hashed = (
+        docs.select(
+            "doc_id", F.posexplode(chunk_arr).alias("pos", "chunk_text")
+        )
+        .filter(F.col("chunk_text") != "")
+        .select(
+            "doc_id",
+            "pos",
+            F.md5("chunk_text").alias("chunk_hash"),
+            F.concat(
+                F.lpad(F.col("doc_id").cast("string"), 12, "0"),
+                F.lit(":"),
+                F.lpad(F.col("pos").cast("string"), 8, "0"),
+            ).alias("occ"),
+        )
+    )
+    per_hash = Window.partitionBy("chunk_hash")
+    foreign_dup = (
+        hashed.withColumn("n_copies", F.count("*").over(per_hash))
+        .withColumn("first_occ", F.min("occ").over(per_hash))
+        .filter(
+            (F.col("n_copies") > 1) & (F.col("occ") != F.col("first_occ"))
+        )
+        .select("doc_id", "pos")
+    )
+    isl = foreign_dup.withColumn(
+        "grp",
+        F.col("pos")
+        - F.row_number().over(
+            Window.partitionBy("doc_id").orderBy("pos")
+        ),
+    )
+    spans = isl.groupBy("doc_id", "grp").agg(
+        (F.min("pos") * CHUNK_S + 1).alias("w_start"),
+        (F.max("pos") * CHUNK_S + CHUNK_W).alias("w_end"),
+    )
+    pw = base.select(
+        "doc_id", F.posexplode("w").alias("p0", "word")
+    ).select("doc_id", (F.col("p0") + 1).alias("p"), "word")
+    kept = pw.join(
+        spans,
+        (pw["doc_id"] == spans["doc_id"])
+        & (F.col("p") >= F.col("w_start"))
+        & (F.col("p") <= F.col("w_end")),
+        "left_anti",
+    )
+    aggd = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "word"))),
+                lambda s: s["word"],
+            ),
+        ).alias("kept_text"),
+    )
+    # left join from the doc list so a FULLY clipped document still
+    # appears (clipped_text = '', everything removed)
+    return (
+        base.select("doc_id", F.size("w").cast("bigint").alias("n_words"))
+        .join(aggd, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_words",
+            (
+                F.col("n_words") - F.coalesce(F.col("n_kept"), F.lit(0))
+            ).cast("bigint").alias("n_removed"),
+            F.coalesce(F.col("kept_text"), F.lit("")).alias(
+                "clipped_text"
+            ),
+        )
+        .orderBy("doc_id")
+    )
