@@ -1461,3 +1461,117 @@ def clip_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "source_overlap_matrix",
+    oracle="""
+    WITH words AS (
+        SELECT source, string_split_regex(lower(text), '[^a-z0-9]+') AS w
+        FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT source,
+               array_to_string(list_slice(w, i, i + 2), ' ') AS s
+        FROM words, UNNEST(range(1, greatest(len(w) - 1, 2))) AS t(i)
+        WHERE array_to_string(list_slice(w, i, i + 2), ' ') <> ''
+    ),
+    sizes AS (SELECT source, COUNT(*) AS n FROM sh GROUP BY source),
+    common AS (
+        SELECT a.source AS src_a, b.source AS src_b,
+               COUNT(*) AS n_common
+        FROM sh a JOIN sh b
+          ON a.s = b.s AND a.source < b.source
+        GROUP BY a.source, b.source
+    )
+    SELECT c.src_a, c.src_b,
+           sa.n AS n_a, sb.n AS n_b,
+           CAST(c.n_common AS BIGINT) AS n_common,
+           ROUND(c.n_common /
+                 CAST(sa.n + sb.n - c.n_common AS DOUBLE), 6)
+               AS jaccard
+    FROM common c
+    JOIN sizes sa ON c.src_a = sa.source
+    JOIN sizes sb ON c.src_b = sb.source
+    ORDER BY src_a, src_b
+    """,
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-SOURCE content overlap: shingle-set Jaccard for every
+    source pair — the corpus-grain leakage diagnostic a mixture
+    curator reads before setting domain weights (two crawl snapshots
+    of the same sites, a dataset re-published inside another, eval
+    suites embedded in a crawl: all show up as an off-diagonal spike
+    long before doc-level dedup finds the pairs). Same per-pair
+    arithmetic as ngram_jaccard_topk one grain up; the reference has
+    no corpus-grain diagnostics at all.
+
+    Scale shape: per-source DISTINCT shingle hashes (one shuffle on
+    (source, hash) with map-side combine), then an inverted index on
+    the shingle — each posting list is the set of SOURCES sharing
+    that shingle, bounded by the source count (dozens), so pair
+    expansion is O(sources²) per shingle worst-case and needs no
+    hot-key cap. Counts agree with the oracle because only shingle
+    EQUALITY classes matter (xxhash64 on Spark, strings in SQL —
+    injective concat, same classes short of a 2^-64 collision), the
+    same contract every Jaccard query in this module uses."""
+    docs = load_table(spark, sf_dir, "documents")
+    from ..sources.tables import spread_small_source
+
+    docs = spread_small_source(docs)
+    sh = (
+        docs.filter(_nonempty_filter("text"))
+        .select(
+            "source", F.explode(_shingle_hash_expr("text", 3)).alias("sh")
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("source").agg(F.count("*").alias("n"))
+    postings = sh.groupBy("sh").agg(
+        F.sort_array(F.collect_set("source")).alias("ss")
+    ).filter(F.size("ss") > 1)
+    pairs = postings.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "ss",
+                    lambda x, i: F.transform(
+                        F.slice(F.col("ss"), i + 2, F.size(F.col("ss"))),
+                        lambda y: F.struct(
+                            x.alias("src_a"), y.alias("src_b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    common = (
+        pairs.select("p.src_a", "p.src_b")
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(
+        F.col("source").alias("src_a"), F.col("n").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col("source").alias("src_b"), F.col("n").alias("n_b")
+    )
+    return (
+        common.join(sa, "src_a")
+        .join(sb, "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_a",
+            "n_b",
+            F.col("n_common").cast("bigint").alias("n_common"),
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("src_a", "src_b")
+    )
