@@ -93,6 +93,7 @@ _DRIVER_VERIFIED = frozenset(
 # — they jump the re-verification queue so the driver re-checks the
 # rewrite, not a stale green row.
 _REVERIFY_FIRST = (
+    "minhash_lsh_candidates",  # posting-list pair expansion (r4)
     "ngram_jaccard_topk",    # sizes-broadcast hint removed (r4)
     "neardup_components",    # shares jaccard_scored_pairs (r4)
     "fuzzy_prefix_pairs",    # length-band shuffled join (r4)

@@ -426,25 +426,40 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle carries 16 longs per doc instead of every shingle.
 
     Entirely native Spark SQL (no UDF): per-row signature fold ->
-    band hashing (minhash_band_hashes) -> self-join on
-    (band_idx, band_hash). Deterministic given the data, but hash
-    values are engine-specific -> rows-only correctness check.
+    band hashing (minhash_band_hashes) -> posting-list pair
+    expansion on (band_idx, band_hash): ONE shuffle of the 4-rows-
+    per-doc band table (the self-join form shuffles it twice), each
+    bucket emits its sorted pair combinations map-side — the same
+    inverted-index core as _pair_overlap_counts, with no cap needed
+    because bucket size is bounded by the near-dup group size by
+    construction. Deterministic given the data, but hash values are
+    engine-specific -> rows-only correctness check (the value-
+    verified twin is minhash_lsh_portable).
     """
     docs = load_table(spark, sf_dir, "documents")
     bands = minhash_band_hashes(docs)
-    a = bands.alias("a")
-    b = bands.alias("b")
+    buckets = (
+        bands.groupBy("band_idx", "band_hash")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "ds",
+                    lambda x, i: F.transform(
+                        F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))),
+                        lambda y: F.struct(
+                            x.alias("doc_a"), y.alias("doc_b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-        )
+        pairs.select("p.doc_a", "p.doc_b")
         .distinct()
         .orderBy("doc_a", "doc_b")
     )
