@@ -95,8 +95,23 @@ def train_bpe_merges(
     [(rank, left, right, weighted_pair_count), ...]. Ties break
     deterministically by (count DESC, left, right) — same rule in
     the Python parity reference."""
-    vocab = _word_vocab(docs)
+    # Persist the trainer's working set: without it, every merge
+    # round's 1-row collect replays the corpus word-count aggregation
+    # through the lineage until the first localCheckpoint lands — a
+    # wash at sf0.1 (the re-agg is ~23k words) but the difference
+    # between 1 and CHECKPOINT_EVERY corpus scans at 100 TB. The
+    # cache holds the Heaps-bounded vocab only, never the corpus.
+    base = _word_vocab(docs).persist()
+    vocab = base
     merges: list[tuple[int, str, str, int]] = []
+    try:
+        _train_loop(vocab, merges, n_merges)
+    finally:
+        base.unpersist()
+    return merges
+
+
+def _train_loop(vocab, merges, n_merges) -> None:
     for rank in range(n_merges):
         n = F.size("symbols")
         ln = F.greatest(n - 1, F.lit(0))
@@ -124,7 +139,6 @@ def train_bpe_merges(
         )
         if (rank + 1) % CHECKPOINT_EVERY == 0:
             vocab = vocab.localCheckpoint(eager=False)
-    return merges
 
 
 @query("bpe_merge_ranks")  # rows-only: loop-carried vocabulary state
