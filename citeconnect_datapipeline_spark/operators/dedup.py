@@ -1590,3 +1590,142 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("src_a", "src_b")
     )
+
+
+@query(
+    "neardup_keep_best",
+    oracle=f"""
+    WITH RECURSIVE words AS (
+        SELECT doc_id, string_split_regex(lower(text), '[^a-z0-9]+') AS w
+        FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(list_slice(w, i, i + 2), ' ') AS shingle
+        FROM words, UNNEST(range(1, greatest(len(w) - 1, 2))) AS t(i)
+        WHERE array_to_string(list_slice(w, i, i + 2), ' ') <> ''
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    jpairs AS (
+        SELECT p.doc_a, p.doc_b
+        FROM (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+            FROM sh a JOIN sh b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ) p
+        JOIN sizes sa ON p.doc_a = sa.doc_id
+        JOIN sizes sb ON p.doc_b = sb.doc_id
+        WHERE CAST(p.common AS DOUBLE) / (sa.n + sb.n - p.common)
+              >= {NEARDUP_JACCARD}
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM jpairs
+        UNION
+        SELECT doc_b, doc_a FROM jpairs
+    ),
+    reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    comp AS (
+        SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component
+        FROM reach GROUP BY src
+    ),
+    q AS (
+        SELECT doc_id,
+               len(list_filter(w, x -> x <> '')) AS n_tokens,
+               ROUND(CAST(len(list_distinct(list_filter(w, x -> x <> '')))
+                          AS DOUBLE)
+                     / GREATEST(len(list_filter(w, x -> x <> '')), 1),
+                     6) AS ttr
+        FROM words
+    ),
+    labeled AS (
+        SELECT q.doc_id, COALESCE(c.component, q.doc_id) AS component,
+               q.n_tokens, q.ttr
+        FROM q LEFT JOIN comp c ON q.doc_id = c.doc_id
+    )
+    SELECT doc_id, component,
+           CAST(COUNT(*) OVER (PARTITION BY component) AS BIGINT)
+               AS cluster_size,
+           ttr,
+           ROW_NUMBER() OVER (
+               PARTITION BY component
+               ORDER BY ttr DESC, n_tokens DESC, doc_id
+           ) = 1 AS keep
+    FROM labeled
+    ORDER BY doc_id
+    """,
+)
+def neardup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup ACTION step over near-dup clusters: keep the
+    highest-QUALITY document per cluster, not the lowest id.
+    ``neardup_components`` answers "which docs are the same
+    content"; production curation then retains the best copy (the
+    cleanest extraction, the least-truncated crawl) — ranked here by
+    (type-token ratio DESC, token count DESC, doc_id) with the ratio
+    rounded to 6 dp on both engines BEFORE the rank so fp noise
+    cannot flip a winner. Every document appears: singletons are
+    their own cluster (LEFT join against the component labels,
+    component = own id) and keep themselves.
+
+    Scale shape: cluster discovery is the hardened alternating
+    large-star/small-star CC (O(log^2 n) rounds on any graph shape,
+    no hub materialization); quality keys are per-row arithmetic;
+    the final keep-rank and cluster-size windows SHARE one
+    component-keyed exchange. Nothing here touches the corpus more
+    than the shingle pass already does."""
+    from .graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_scored_pairs(docs).filter(
+        F.col("jaccard") >= NEARDUP_JACCARD
+    )
+    labels = connected_components(pairs, src="doc_a", dst="doc_b")
+    w = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+        lambda x: x != F.lit(""),
+    )
+    q = docs.select(
+        "doc_id",
+        F.size(w).alias("n_tokens"),
+        F.round(
+            F.size(F.array_distinct(w)).cast("double")
+            / F.greatest(F.size(w), F.lit(1)),
+            6,
+        ).alias("ttr"),
+    )
+    labeled = (
+        q.join(
+            labels.select(
+                F.col("v").alias("doc_id"),
+                F.col("label").alias("component"),
+            ),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.coalesce("component", "doc_id").alias("component"),
+            "n_tokens",
+            "ttr",
+        )
+    )
+    comp_w = Window.partitionBy("component")
+    rank_w = Window.partitionBy("component").orderBy(
+        F.desc("ttr"), F.desc("n_tokens"), "doc_id"
+    )
+    return (
+        labeled.select(
+            "doc_id",
+            "component",
+            F.count("*").over(comp_w).cast("bigint").alias(
+                "cluster_size"
+            ),
+            "ttr",
+            (F.row_number().over(rank_w) == 1).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )

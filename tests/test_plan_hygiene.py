@@ -46,6 +46,7 @@ BUILD_EXECUTES = {
     "bpe_merge_ranks",  # merge loop collects 1 argmax row per round
     "kmeans_clusters",  # k-means fit collects k*d centroid partials
     "neardup_components",
+    "neardup_keep_best",  # shares the CC loop
     "part_copurchase_pagerank",
     "quality_classifier",  # LR fit collects 257 gradient rows/round
     "semantic_dedup",  # same k-means fit feeds the cluster blocking
