@@ -296,3 +296,113 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(dedup_block, out_schema)
         .orderBy("cluster_id")
     )
+
+
+# --- ZCA whitening of the embedding space ----------------------------------
+
+PCA_EPS = 1e-6  # eigenvalue floor: keeps near-null directions finite
+
+
+def _mean_and_gram(emb: DataFrame):
+    """(mu, G, n): embedding mean, Gram matrix X'X and row count via
+    ONE Arrow-batched scan emitting d + d*d partial sums — the same
+    driver contract as the k-means update (collect moves O(d^2)
+    floats, never vectors). d=64 -> 4160 rows collected at ANY
+    corpus size."""
+    import numpy as np
+
+    d = len(emb.select("embedding").first()[0])
+    schema = StructType(
+        [
+            StructField("i", IntegerType()),
+            StructField("j", IntegerType()),
+            StructField("s", DoubleType()),
+            StructField("c", LongType()),
+        ]
+    )
+
+    def partials(batches):
+        for pdf in batches:
+            M = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+            G = M.T @ M
+            mu = M.sum(axis=0)
+            ii, jj = np.meshgrid(range(d), range(d), indexing="ij")
+            out = pd.DataFrame(
+                {
+                    "i": ii.ravel().astype("int32"),
+                    "j": jj.ravel().astype("int32"),
+                    "s": G.ravel(),
+                    "c": 0,
+                }
+            )
+            mean_rows = pd.DataFrame(
+                {
+                    "i": np.arange(d, dtype="int32"),
+                    "j": np.full(d, -1, dtype="int32"),
+                    "s": mu,
+                    "c": len(M),
+                }
+            )
+            yield pd.concat([out, mean_rows], ignore_index=True)
+
+    rows = (
+        emb.select("embedding")
+        .mapInPandas(partials, schema)
+        .groupBy("i", "j")
+        .agg(F.sum("s").alias("s"), F.sum("c").alias("c"))
+        .collect()
+    )
+    G = np.zeros((d, d))
+    mu_sum = np.zeros(d)
+    n = 0
+    for r in rows:
+        if r["j"] == -1:
+            mu_sum[r["i"]] = r["s"]
+            n += int(r["c"]) if r["i"] == 0 else 0
+        else:
+            G[r["i"], r["j"]] = r["s"]
+    return mu_sum / n, G, n
+
+
+@query("embedding_pca_whiten")  # rows-only: eigendecomposition state
+def embedding_pca_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZCA-whiten the embedding table: decorrelate and rescale the
+    space so every direction has unit variance — the standard
+    preprocessing before ANN indexing and cosine near-dup at scale
+    (anisotropic embedding spaces concentrate cosine mass in a few
+    dominant directions; whitening restores contrast — the same
+    motivation as OPQ's rotation in the PQ literature). ZCA
+    (W = U (Λ+eps)^-1/2 U') rather than plain PCA because ZCA is
+    invariant to eigenvector SIGN flips, so the output is
+    deterministic end-to-end: no sign convention needed.
+
+    Spark shape: ONE Arrow scan collects d + d² Gram/mean partials
+    (k-means update contract — O(d²) floats on the driver at any
+    corpus size), eigh of the 64x64 covariance runs on the driver,
+    and the projection streams back as a single pandas_udf GEMM per
+    batch. Components rounded to 6 dp for a stable row contract.
+
+    Non-SQL-expressible (matrix eigendecomposition) -> rows-only
+    driver check; numpy parity + whitened-covariance-is-identity
+    pinned in tests/test_clustering.py."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    mu, G, n = _mean_and_gram(emb)
+    cov = G / n - np.outer(mu, mu)
+    lam, U = np.linalg.eigh(cov)
+    W = (U * (1.0 / np.sqrt(np.maximum(lam, 0.0) + PCA_EPS))) @ U.T
+    mu_c = mu.copy()
+
+    @F.pandas_udf("array<double>")
+    def project(col: pd.Series) -> pd.Series:
+        M = np.stack(col.to_numpy()).astype("float64")
+        Y = (M - mu_c) @ W
+        return pd.Series([np.round(y, 6).tolist() for y in Y])
+
+    return (
+        emb.select(
+            "vec_id", "label", project(F.col("embedding")).alias("whitened")
+        )
+        .orderBy("vec_id")
+    )

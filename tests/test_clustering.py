@@ -92,3 +92,33 @@ def test_semantic_dedup_matches_bruteforce_greedy(spark, sf_dir, vecs):
         assert r["n_dropped"] == dropped
         total_checked += len(sel)
     assert total_checked == len(ids)
+
+
+def test_pca_whiten_matches_numpy_and_decorrelates(spark, sf_dir, vecs):
+    """ZCA whitening: Spark output must equal the numpy computation on
+    the same matrix (per-component to 6 dp), and the whitened sample
+    covariance must be ~identity (the definition of whitening)."""
+    from citeconnect_datapipeline_spark.operators.clustering import (
+        PCA_EPS,
+        embedding_pca_whiten,
+    )
+
+    ids, M = vecs
+    n = len(M)
+    mu = M.mean(axis=0)
+    cov = (M.T @ M) / n - np.outer(mu, mu)
+    lam, U = np.linalg.eigh(cov)
+    W = (U * (1.0 / np.sqrt(np.maximum(lam, 0.0) + PCA_EPS))) @ U.T
+    want = np.round((M - mu) @ W, 6)
+
+    rows = embedding_pca_whiten(spark, sf_dir).collect()
+    got = np.stack(
+        [np.asarray(r["whitened"]) for r in sorted(rows, key=lambda r: r["vec_id"])]
+    )
+    assert got.shape == want.shape
+    assert np.allclose(got, want, atol=2e-6)
+
+    wc = np.cov(got, rowvar=False, bias=True)
+    off = wc - np.diag(np.diag(wc))
+    assert np.abs(np.diag(wc) - 1.0).max() < 0.05
+    assert np.abs(off).max() < 0.05

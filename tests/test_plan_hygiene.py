@@ -44,6 +44,7 @@ NESTED_LOOP_OK = {
 BUILD_EXECUTES = {
     "ann_ivf_topk",
     "bpe_merge_ranks",  # merge loop collects 1 argmax row per round
+    "embedding_pca_whiten",  # collects d + d^2 Gram/mean partials
     "kmeans_clusters",  # k-means fit collects k*d centroid partials
     "neardup_components",
     "neardup_keep_best",  # shares the CC loop
