@@ -342,3 +342,98 @@ def metric_trend_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+MAD_K = 1.4826  # normal-consistency constant
+MAD_CUT = 3.0
+
+
+@query(
+    "mad_outlier_flags",
+    oracle=f"""
+    WITH med AS (
+        SELECT o_orderpriority AS priority,
+               MEDIAN(o_totalprice) AS med
+        FROM orders GROUP BY o_orderpriority
+    ),
+    mad AS (
+        SELECT o.o_orderpriority AS priority,
+               MEDIAN(ABS(o.o_totalprice - m.med)) AS mad
+        FROM orders o JOIN med m ON o.o_orderpriority = m.priority
+        GROUP BY o.o_orderpriority
+    )
+    SELECT o.o_orderpriority AS priority,
+           ROUND(m.med, 4) AS med,
+           ROUND(d.mad, 4) AS mad,
+           COUNT(*) AS n,
+           CAST(COUNT(*) FILTER (
+               WHERE ABS(o.o_totalprice - m.med)
+                     > {MAD_CUT} * {MAD_K} * d.mad
+           ) AS BIGINT) AS n_outliers,
+           ROUND(COUNT(*) FILTER (
+               WHERE ABS(o.o_totalprice - m.med)
+                     > {MAD_CUT} * {MAD_K} * d.mad
+           ) / CAST(COUNT(*) AS DOUBLE), 6) AS outlier_rate
+    FROM orders o
+    JOIN med m ON o.o_orderpriority = m.priority
+    JOIN mad d ON o.o_orderpriority = d.priority
+    GROUP BY o.o_orderpriority, m.med, d.mad
+    ORDER BY priority
+    """,
+)
+def mad_outlier_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group outlier detection: median absolute deviation
+    with the 1.4826 normal-consistency scale and a 3-sigma-equivalent
+    cut — the robust sibling of the z-score anomaly gates (A12/A13),
+    immune to the outliers it is hunting (a fat tail inflates a
+    stddev cut into blindness; the MAD barely moves). The reference's
+    anomaly checks are mean/std only (Validation/schema_validator
+    thresholds); this is the robust-statistics upgrade every metrics
+    pipeline eventually needs.
+
+    Two exact-median aggregates (group-keyed shuffles) with the tiny
+    per-group median/MAD tables joined back — AQE broadcasts them at
+    any group cardinality that fits, and both joins are on the same
+    group key so the exchanges reuse. At lake scale the documented
+    swap is ``percentile_approx`` for both medians (fixed-size
+    sketch, map-side merge), same as quantiles_by_group."""
+    orders = load_table(spark, sf_dir, "orders")
+    med = (
+        orders.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(F.percentile("o_totalprice", F.lit(0.5)).alias("med"))
+    )
+    joined = orders.select(
+        F.col("o_orderpriority").alias("priority"), "o_totalprice"
+    ).join(med, "priority")
+    mad = (
+        joined.groupBy("priority")
+        .agg(
+            F.percentile(
+                F.abs(F.col("o_totalprice") - F.col("med")), F.lit(0.5)
+            ).alias("mad")
+        )
+    )
+    flagged = joined.join(mad, "priority")
+    is_out = F.abs(F.col("o_totalprice") - F.col("med")) > (
+        F.lit(MAD_CUT * MAD_K) * F.col("mad")
+    )
+    return (
+        flagged.groupBy("priority", "med", "mad")
+        .agg(
+            F.count("*").alias("n"),
+            F.count(F.when(is_out, 1)).alias("n_outliers"),
+            F.round(
+                F.count(F.when(is_out, 1)) / F.count("*").cast("double"),
+                6,
+            ).alias("outlier_rate"),
+        )
+        .select(
+            "priority",
+            F.round("med", 4).alias("med"),
+            F.round("mad", 4).alias("mad"),
+            "n",
+            "n_outliers",
+            "outlier_rate",
+        )
+        .orderBy("priority")
+    )
