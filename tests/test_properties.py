@@ -323,3 +323,97 @@ def test_embed_model_seam_injects_alternate_model(spark):
     assert all(len(r["embedding"]) == 4 for r in out)
     # values flow through Arrow unchanged
     assert out[0]["embedding"][0] == float(len("alpha beta") % 7)
+
+
+def test_token_entropy_within_information_bounds(spark, sf_dir):
+    """0 <= H <= ln(n_distinct): the defining bounds of Shannon
+    entropy over a finite support (equality only for single-token /
+    uniform docs)."""
+    import math
+
+    from citeconnect_datapipeline_spark.operators.text import token_entropy
+
+    for r in token_entropy(spark, sf_dir).collect():
+        assert -1e-9 <= r["entropy"] <= math.log(r["n_distinct"]) + 1e-6
+        assert 1 <= r["n_distinct"] <= r["n_tokens"]
+
+
+def test_simhash_portable_fingerprint_range_and_agreement(spark, sf_dir):
+    """Portable fingerprints are 32-bit values, and near-identical
+    docs (the planted near-dup pairs found by Jaccard) have CLOSER
+    fingerprints (hamming) than random pairs on average — the
+    property simhash exists to provide."""
+    from citeconnect_datapipeline_spark.operators.dedup import (
+        NEARDUP_JACCARD,
+        jaccard_scored_pairs,
+        simhash_portable,
+    )
+    from citeconnect_datapipeline_spark.sources.tables import load_table
+
+    fp = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash_portable(spark, sf_dir).collect()
+    }
+    assert all(0 <= v < (1 << 32) for v in fp.values())
+
+    docs = load_table(spark, sf_dir, "documents")
+    near = [
+        (r["doc_a"], r["doc_b"])
+        for r in jaccard_scored_pairs(docs)
+        .filter("jaccard >= {}".format(NEARDUP_JACCARD))
+        .collect()
+    ]
+    assert near, "test data should contain planted near-dups"
+
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+
+    near_d = [ham(fp[a], fp[b]) for a, b in near if a in fp and b in fp]
+    ids = sorted(fp)
+    rand_d = [
+        ham(fp[ids[i]], fp[ids[(i * 7 + 13) % len(ids)]])
+        for i in range(0, len(ids), 5)
+    ]
+    assert sum(near_d) / len(near_d) < sum(rand_d) / len(rand_d) - 4
+
+
+def test_minhash_portable_recall_vs_jaccard(spark, sf_dir):
+    """The md5-portable LSH bands must recover at least half of the
+    true high-Jaccard pairs (16 hashes, 4x4 bands: P[candidate] =
+    1-(1-j^4)^4, ~0.98 at j=0.8) — same bar the production
+    xxhash64 variant is held to."""
+    from citeconnect_datapipeline_spark.operators.dedup import (
+        jaccard_scored_pairs,
+        minhash_lsh_portable,
+    )
+    from citeconnect_datapipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    truth = {
+        (r["doc_a"], r["doc_b"])
+        for r in jaccard_scored_pairs(docs).filter("jaccard >= 0.8").collect()
+    }
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_portable(spark, sf_dir).collect()
+    }
+    if truth:
+        assert len(truth & got) / len(truth) >= 0.5
+
+
+def test_clip_duplicate_spans_accounting(spark, sf_dir):
+    """Clipped text word count must equal n_words - n_removed, and at
+    least one non-first duplicated occurrence must actually be
+    clipped on the planted-dup corpus."""
+    from citeconnect_datapipeline_spark.operators.dedup import (
+        clip_duplicate_spans,
+    )
+
+    rows = clip_duplicate_spans(spark, sf_dir).collect()
+    removed_total = 0
+    for r in rows:
+        n_kept = len(r["clipped_text"].split(" ")) if r["clipped_text"] else 0
+        assert n_kept == r["n_words"] - r["n_removed"]
+        assert 0 <= r["n_removed"] <= r["n_words"]
+        removed_total += r["n_removed"]
+    assert removed_total > 0
