@@ -1263,6 +1263,12 @@ def simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     in ONE doc-keyed groupBy (partial map-side combine; the exchange
     carries 33 longs per doc per mapper), fingerprint assembly is
     in-row integer arithmetic. No joins, no pair expansion."""
+    return _portable_simhash(spark, sf_dir).orderBy("doc_id")
+
+
+def _portable_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_shingles, simhash): the md5-nibble SimHash votes —
+    shared by the fingerprint query and the banded hamming search."""
     sh = _portable_string_shingles(spark, sf_dir)
     h = sh.select("doc_id", F.md5("s").alias("h"))
     votes = h.groupBy("doc_id").agg(
@@ -1289,7 +1295,7 @@ def simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("n_shingles").cast("bigint").alias("n_shingles"),
         fingerprint.alias("simhash"),
-    ).orderBy("doc_id")
+    )
 
 
 @query(
@@ -1728,4 +1734,122 @@ def neardup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.row_number().over(rank_w) == 1).alias("keep"),
         )
         .orderBy("doc_id")
+    )
+
+
+SIMHASH_NIBBLES = SIMHASH_PORTABLE_BITS // 4
+SIMHASH_HAM_MAX = 3
+
+_SPH_PROJ = "\n        UNION ALL\n".join(
+    f"        SELECT doc_id, {k} AS k,"
+    f" simhash - ((simhash // {16 ** k}) % 16) * {16 ** k} AS masked,"
+    " simhash FROM fp"
+    for k in range(SIMHASH_NIBBLES)
+)
+
+
+@query(
+    "simhash_hamming_pairs",
+    oracle=f"""
+    WITH words AS (
+        SELECT doc_id, string_split_regex(lower(text), '[^a-z0-9]+') AS w
+        FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(list_slice(w, i, i + 2), ' ') AS s
+        FROM words, UNNEST(range(1, greatest(len(w) - 1, 2))) AS t(i)
+        WHERE array_to_string(list_slice(w, i, i + 2), ' ') <> ''
+    ),
+    hashed AS (SELECT doc_id, md5(s) AS h FROM sh),
+    votes AS (
+        SELECT doc_id,
+               {_SPH_SUMS}
+        FROM hashed GROUP BY doc_id
+    ),
+    fp AS (SELECT doc_id, {_SPH_FP} AS simhash FROM votes),
+    proj AS (
+{_SPH_PROJ}
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT)
+               AS hamming
+    FROM proj a JOIN proj b
+      ON a.k = b.k AND a.masked = b.masked AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_HAM_MAX}
+    ORDER BY doc_a, doc_b
+    """,
+)
+def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded hamming-neighbor retrieval over the SimHash space — the
+    RETRIEVAL half SimHash dedup needs at scale (the fingerprint
+    queries only produce the hashes). This is the multi-index
+    architecture perceptual-hash systems use (e.g. Facebook's PDQ
+    hamming search, Manku et al.'s simhash dedup at Google): a pair
+    within hamming {SIMHASH_HAM_MAX} whose differing bits fall in one
+    nibble is guaranteed to share one of the {SIMHASH_NIBBLES}
+    nibble-masked projections, so candidate generation is an
+    EQUI-join on 28-bit keys — never an all-pairs hamming scan — and
+    the exact bit_count(xor) filter keeps only true neighbors.
+    Missed pairs (differing bits spread over 2+ nibbles) are the
+    documented recall tradeoff; production raises recall by widening
+    masks (2-nibble omission), the same plan with more projections.
+
+    Scale shape: {SIMHASH_NIBBLES} projection rows per doc (in-row
+    arithmetic), ONE shuffle of that table into posting lists keyed
+    on (k, masked) — uniform md5-derived keys; bucket sizes are
+    near-dup-group sized, so pair expansion is bounded. Fingerprints
+    ride inside the posting structs, so the hamming filter needs no
+    join back. Fully portable bit arithmetic (md5 nibbles, integer
+    div/mod masking, bit_count-of-xor in both engines) -> the whole
+    index is value-verified by the oracle."""
+    fp = _portable_simhash(spark, sf_dir).select("doc_id", "simhash")
+    masked = F.array(
+        *[
+            F.col("simhash")
+            - (
+                F.shiftright(F.col("simhash"), 4 * k).bitwiseAND(15)
+                * F.lit(1 << (4 * k)).cast("long")
+            )
+            for k in range(SIMHASH_NIBBLES)
+        ]
+    )
+    proj = fp.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(masked).alias("k", "masked"),
+    )
+    buckets = (
+        proj.groupBy("k", "masked")
+        .agg(
+            F.sort_array(
+                F.collect_set(F.struct("doc_id", "simhash"))
+            ).alias("ds")
+        )
+        .filter(F.size("ds") > 1)
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "ds",
+                    lambda x, i: F.transform(
+                        F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))),
+                        lambda y: F.struct(
+                            x["doc_id"].alias("doc_a"),
+                            y["doc_id"].alias("doc_b"),
+                            F.bit_count(
+                                x["simhash"].bitwiseXOR(y["simhash"])
+                            ).cast("long").alias("hamming"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return (
+        pairs.select("p.doc_a", "p.doc_b", "p.hamming")
+        .filter(F.col("hamming") <= SIMHASH_HAM_MAX)
+        .distinct()
+        .orderBy("doc_a", "doc_b")
     )

@@ -1,0 +1,115 @@
+#!/usr/bin/env python
+"""Scaling probe: measure the north-star operator family at 1x / 3x /
+10x the bench corpus and report how runtime grows vs input size.
+
+PERFORMANCE EVIDENCE ONLY — correctness is gated exclusively on the
+driver's parquet at /root/testdata (TESTDATA.md). The scaled corpora
+here are DERIVED from the sf0.1 documents table (id-shifted replicas
+with a per-replica token prefix so replicas are near- but not
+exact-duplicates, preserving the dup structure the dedup family
+feeds on) and are written under /tmp, never under /root/testdata.
+
+Usage: python tools/scaling_probe.py [queries...]
+Writes one JSON line per (query, scale) and a final summary of
+runtime growth factors; a factor close to the scale factor means
+linear scaling, quadratic blowups show up as factor >> scale.
+"""
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BASE = os.environ.get("SCALE_PROBE_BASE", "/root/testdata/sf0.1")
+WORK = os.environ.get("SCALE_PROBE_WORK", "/tmp/scale_probe")
+SCALES = (1, 3, 10)
+DEFAULT_QUERIES = (
+    "exact_hash_dedup",
+    "minhash_lsh_candidates",
+    "ngram_jaccard_topk",
+    "simhash_fingerprints",
+    "token_entropy",
+    "dsir_importance_weights",
+    "clip_duplicate_spans",
+    "quality_classifier",
+)
+
+
+def build_scaled(spark, scale: int) -> str:
+    out = os.path.join(WORK, f"x{scale}")
+    if os.path.exists(os.path.join(out, "documents.parquet")):
+        return out
+    os.makedirs(out, exist_ok=True)
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(os.path.join(BASE, "documents.parquet"))
+    n = docs.count()
+    reps = spark.range(scale).select(F.col("id").alias("rep"))
+    scaled = (
+        docs.crossJoin(reps)
+        .select(
+            (F.col("doc_id") + F.col("rep") * n).alias("doc_id"),
+            # per-replica prefix: replicas stay near-dups of each
+            # other (the regime the family is built for), never
+            # byte-identical
+            F.concat(
+                F.lit("rep"), F.col("rep").cast("string"), F.lit(" "),
+                F.col("text"),
+            ).alias("text"),
+            "lang",
+            "source",
+            (F.col("n_chars") + 6).alias("n_chars"),
+        )
+    )
+    scaled.write.mode("overwrite").parquet(
+        os.path.join(out, "documents.parquet")
+    )
+    # the probes above only read documents; link the rest for loaders
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "embeddings"
+    ).split():
+        src = os.path.join(BASE, f"{t}.parquet")
+        dst = os.path.join(out, f"{t}.parquet")
+        if not os.path.exists(dst):
+            shutil.copyfile(src, dst)
+    return out
+
+
+def main() -> None:
+    from citeconnect_datapipeline_spark.session import get_spark
+    from __spark_entry__ import queries as get_queries
+
+    names = sys.argv[1:] or list(DEFAULT_QUERIES)
+    spark = get_spark(app_name="scaling-probe")
+    qs = get_queries()
+    results: dict[str, dict[int, float]] = {n: {} for n in names}
+    for scale in SCALES:
+        sf_dir = build_scaled(spark, scale) if scale > 1 else BASE
+        for n in names:
+            t0 = time.monotonic()
+            qs[n](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            dt = round(time.monotonic() - t0, 2)
+            results[n][scale] = dt
+            print(json.dumps({"query": n, "scale": scale, "sec": dt}))
+    summary = {}
+    for n in names:
+        r = results[n]
+        summary[n] = {
+            "x1": r[1],
+            "x3": r[3],
+            "x10": r[10],
+            "growth_3x": round(r[3] / max(r[1], 1e-3), 2),
+            "growth_10x": round(r[10] / max(r[1], 1e-3), 2),
+        }
+    print(json.dumps({"summary": summary}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
