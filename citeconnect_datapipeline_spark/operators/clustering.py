@@ -91,6 +91,7 @@ def _assign_udf(centroids):
 
 
 _KMEANS_CACHE: dict = {}
+_KMEANS_LOCK = __import__("threading").Lock()
 
 
 def _kmeans_fit(
@@ -105,11 +106,25 @@ def _kmeans_fit(
     ingest (as build_ivf_index materializes its index). The lake is
     immutable per TESTDATA.md, and the fit is deterministic
     (hash-ordered init), so entries cannot go stale or drift."""
-    import numpy as np
-
     key = (id(spark.sparkContext), sf_dir, k, iters)
     if key in _KMEANS_CACHE:
         return _KMEANS_CACHE[key]
+    # double-checked lock: concurrent consumers wait for one fit
+    # instead of racing duplicate Lloyd's loops
+    _KMEANS_LOCK.acquire()
+    if key in _KMEANS_CACHE:
+        _KMEANS_LOCK.release()
+        return _KMEANS_CACHE[key]
+    try:
+        return _kmeans_fit_locked(spark, sf_dir, k, iters, key)
+    finally:
+        _KMEANS_LOCK.release()
+
+
+def _kmeans_fit_locked(
+    spark: SparkSession, sf_dir: str, k: int, iters: int, key
+):
+    import numpy as np
 
     emb = load_table(spark, sf_dir, "embeddings")
     centroids = _centroid_init(emb, k)

@@ -469,6 +469,7 @@ NEARDUP_JACCARD = 0.5  # data is bimodal (planted dups ~0.95, noise <0.1)
 
 
 _NEARDUP_LABEL_CACHE: dict = {}
+_NEARDUP_LABEL_LOCK = __import__("threading").Lock()
 
 
 def _neardup_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -487,16 +488,21 @@ def _neardup_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .graph import connected_components
 
     key = (id(spark.sparkContext), sf_dir)
+    # double-checked lock: under concurrent submission (bench runs 16
+    # sessions), the first caller builds while the rest WAIT instead
+    # of all racing through the same pair-gen + propagation loop
     if key not in _NEARDUP_LABEL_CACHE:
-        docs = load_table(spark, sf_dir, "documents")
-        jpairs = (
-            jaccard_scored_pairs(docs)
-            .filter(F.col("jaccard") >= NEARDUP_JACCARD)
-            .select("doc_a", "doc_b")
-        )
-        _NEARDUP_LABEL_CACHE[key] = connected_components(
-            jpairs, src="doc_a", dst="doc_b"
-        )
+        with _NEARDUP_LABEL_LOCK:
+            if key not in _NEARDUP_LABEL_CACHE:
+                docs = load_table(spark, sf_dir, "documents")
+                jpairs = (
+                    jaccard_scored_pairs(docs)
+                    .filter(F.col("jaccard") >= NEARDUP_JACCARD)
+                    .select("doc_a", "doc_b")
+                )
+                _NEARDUP_LABEL_CACHE[key] = connected_components(
+                    jpairs, src="doc_a", dst="doc_b"
+                )
     return _NEARDUP_LABEL_CACHE[key]
 
 

@@ -46,6 +46,7 @@ VOCAB_CAP = 65536
 CHECKPOINT_EVERY = 4
 
 _MERGE_CACHE: dict = {}
+_MERGE_LOCK = __import__("threading").Lock()
 
 
 def _merges_for(spark: SparkSession, sf_dir: str):
@@ -58,10 +59,14 @@ def _merges_for(spark: SparkSession, sf_dir: str):
     the lake is immutable per TESTDATA.md. Direct callers of
     train_bpe_merges (tests, custom corpora) stay uncached."""
     key = (id(spark.sparkContext), sf_dir)
+    # double-checked lock: concurrent consumers wait for one trainer
+    # instead of racing duplicate 12-round fits
     if key not in _MERGE_CACHE:
-        _MERGE_CACHE[key] = train_bpe_merges(
-            load_table(spark, sf_dir, "documents")
-        )
+        with _MERGE_LOCK:
+            if key not in _MERGE_CACHE:
+                _MERGE_CACHE[key] = train_bpe_merges(
+                    load_table(spark, sf_dir, "documents")
+                )
     return _MERGE_CACHE[key]
 
 
