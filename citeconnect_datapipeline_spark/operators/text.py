@@ -1306,3 +1306,90 @@ def token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- Corpus datacard -------------------------------------------------------
+
+
+@query(
+    "corpus_datacard",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, source, lang, n_chars,
+               len(list_filter(
+                   string_split_regex(lower(text), '[^a-z0-9]+'),
+                   x -> x <> ''
+               )) AS n_tokens,
+               md5(lower(text)) AS content_hash
+        FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           COUNT(DISTINCT lang) AS n_langs,
+           ROUND(quantile_cont(n_tokens, 0.50), 4) AS p50_tokens,
+           ROUND(quantile_cont(n_tokens, 0.90), 4) AS p90_tokens,
+           ROUND(1.0 - COUNT(DISTINCT content_hash)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS exact_dup_rate
+    FROM words
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-source corpus DATACARD in one pass: volume (docs,
+    tokens, chars), language breadth, length distribution (exact
+    p50/p90 token quantiles) and exact-duplicate rate — the summary
+    table every training-data release publishes (Dodge et al.'s C4
+    audit, the Pile/Dolma datasheets) and the first thing a curator
+    reads before touching mixture weights. The reference publishes
+    no corpus-level summary at all; its stats are per-run validator
+    thresholds.
+
+    One groupBy(source) carries every aggregate: counts and sums are
+    plain partial aggregates, the token quantiles buffer per group
+    (documented percentile_approx swap at lake scale, as in
+    quantiles_by_group), and the dup rate rides COUNT(DISTINCT
+    content_hash) — Catalyst expands distinct aggregates into a
+    two-level aggregation keyed on (source, hash): shuffle-bounded,
+    uniform keys, no pair expansion."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+        lambda x: x != F.lit(""),
+    )
+    base = docs.select(
+        "source",
+        "lang",
+        "n_chars",
+        F.size(w).alias("n_tokens"),
+        F.md5(F.lower(F.col("text"))).alias("content_hash"),
+    )
+    qs = F.percentile("n_tokens", F.array(F.lit(0.5), F.lit(0.9)))
+    return (
+        base.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+            qs.alias("qs"),
+            F.countDistinct("content_hash").alias("n_distinct"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            "total_chars",
+            "n_langs",
+            F.round(F.col("qs")[0], 4).alias("p50_tokens"),
+            F.round(F.col("qs")[1], 4).alias("p90_tokens"),
+            F.round(
+                F.lit(1.0)
+                - F.col("n_distinct") / F.col("n_docs").cast("double"),
+                6,
+            ).alias("exact_dup_rate"),
+        )
+        .orderBy("source")
+    )

@@ -122,3 +122,23 @@ def test_pca_whiten_matches_numpy_and_decorrelates(spark, sf_dir, vecs):
     off = wc - np.diag(np.diag(wc))
     assert np.abs(np.diag(wc) - 1.0).max() < 0.05
     assert np.abs(off).max() < 0.05
+
+
+def test_materialized_intermediates_valid_across_sessions(spark, sf_dir):
+    """The bench runs 16 newSession clones over one SparkContext; the
+    shared materialized intermediates (CC labels, k-means centroids,
+    BPE merges) must produce identical results when consumed from a
+    DIFFERENT session than the one that built them."""
+    from citeconnect_datapipeline_spark.operators.dedup import (
+        _neardup_labels,
+    )
+
+    first = _neardup_labels(spark, sf_dir)
+    counts1 = sorted(
+        (r["v"], r["label"]) for r in first.collect()
+    )
+    clone = spark.newSession()
+    second = _neardup_labels(clone, sf_dir)
+    assert second is first  # same context id -> cache hit
+    counts2 = sorted((r["v"], r["label"]) for r in second.collect())
+    assert counts1 == counts2
