@@ -1,0 +1,113 @@
+"""Library facade: the engine's DataFrame-level operator surface.
+
+The query registry (``plans.registry``) binds every operator to the
+benchmark lake for the driver contract; THIS module is the surface a
+migrating user actually programs against — plain ``DataFrame ->
+DataFrame`` (or driver-model) functions that compose with any data the
+user already has, no lake layout required:
+
+    from citeconnect_datapipeline_spark import api
+
+    pairs  = api.dedup.jaccard_scored_pairs(my_docs)   # (doc_a, doc_b, jaccard)
+    labels = api.graph.connected_components(
+        pairs.filter("jaccard >= 0.8"), src="doc_a", dst="doc_b")
+    merges = api.tokenizer.train_bpe_merges(my_docs)
+    toks   = api.tokenizer.encode_word_vocab(my_docs, merges)
+    w, _   = api.classifier.logreg_fit(feats, labels_df)
+
+Every function here is re-exported verbatim from its operator module
+(one definition, one docstring, one test surface); this module only
+groups them. Input contracts: document frames carry ``doc_id`` +
+``text`` columns; embedding frames carry ``vec_id`` +
+``embedding: array<float>``; everything else is stated per function.
+``tests/test_api_facade.py`` drives the facade end-to-end on an
+in-memory DataFrame (no lake) to pin that none of these functions
+secretly depend on the benchmark layout.
+"""
+
+from __future__ import annotations
+
+from types import SimpleNamespace
+
+from .operators.asof import asof_join
+from .operators.classifier import logreg_fit, score_with_weights
+from .operators.dedup import jaccard_scored_pairs, minhash_band_hashes
+from .operators.graph import connected_components, pagerank
+from .operators.multimodal import with_media_columns
+from .operators.similarity import (
+    build_ivf_index,
+    embed_with_model,
+    search_ivf_index,
+)
+from .operators.skew import (
+    replicated_broadcast_join,
+    salted_count_by_key,
+    salted_sum_by_key,
+)
+from .operators.timeseries import sessionize
+from .operators.tokenizer import encode_word_vocab, train_bpe_merges
+from .sinks.report import alert_email, plot_slices
+from .sinks.upsert import jdbc_upsert, merge_parquet, scd2_merge, upsert_parquet
+from .sinks.zones import (
+    compact_zone,
+    read_run_asof,
+    read_zone,
+    vacuum_zone,
+    write_json_artifact,
+    write_zone,
+)
+
+dedup = SimpleNamespace(
+    jaccard_scored_pairs=jaccard_scored_pairs,
+    minhash_band_hashes=minhash_band_hashes,
+)
+graph = SimpleNamespace(
+    connected_components=connected_components,
+    pagerank=pagerank,
+)
+classifier = SimpleNamespace(
+    logreg_fit=logreg_fit,
+    score_with_weights=score_with_weights,
+)
+tokenizer = SimpleNamespace(
+    train_bpe_merges=train_bpe_merges,
+    encode_word_vocab=encode_word_vocab,
+)
+similarity = SimpleNamespace(
+    embed_with_model=embed_with_model,
+    build_ivf_index=build_ivf_index,
+    search_ivf_index=search_ivf_index,
+)
+multimodal = SimpleNamespace(with_media_columns=with_media_columns)
+timeseries = SimpleNamespace(sessionize=sessionize, asof_join=asof_join)
+skew = SimpleNamespace(
+    salted_count_by_key=salted_count_by_key,
+    salted_sum_by_key=salted_sum_by_key,
+    replicated_broadcast_join=replicated_broadcast_join,
+)
+sinks = SimpleNamespace(
+    write_zone=write_zone,
+    read_zone=read_zone,
+    read_run_asof=read_run_asof,
+    vacuum_zone=vacuum_zone,
+    compact_zone=compact_zone,
+    write_json_artifact=write_json_artifact,
+    upsert_parquet=upsert_parquet,
+    merge_parquet=merge_parquet,
+    scd2_merge=scd2_merge,
+    jdbc_upsert=jdbc_upsert,
+    plot_slices=plot_slices,
+    alert_email=alert_email,
+)
+
+__all__ = [
+    "dedup",
+    "graph",
+    "classifier",
+    "tokenizer",
+    "similarity",
+    "multimodal",
+    "timeseries",
+    "skew",
+    "sinks",
+]

@@ -1,0 +1,92 @@
+"""The api facade must work on ARBITRARY in-memory DataFrames — no
+benchmark-lake layout anywhere. This is the migrating user's surface;
+a function that secretly depends on sf_dir conventions fails here."""
+
+from __future__ import annotations
+
+import datetime
+
+from citeconnect_datapipeline_spark import api
+
+
+def _docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", "en"),
+        (2, "the quick brown fox jumps over the lazy cat", "en"),
+        (3, "completely unrelated text about spark planning", "en"),
+        (4, "one more disjoint document mentioning parquet files", "en"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_dedup_and_components_on_inmemory_docs(spark):
+    docs = _docs(spark)
+    pairs = api.dedup.jaccard_scored_pairs(docs)
+    found = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in pairs.collect()}
+    assert (1, 2) in found and found[(1, 2)] > 0.5
+    labels = api.graph.connected_components(
+        pairs.filter("jaccard >= 0.5"), src="doc_a", dst="doc_b"
+    )
+    got = {(r["v"], r["label"]) for r in labels.collect()}
+    assert (1, 1) in got and (2, 1) in got
+
+
+def test_tokenizer_roundtrip_on_inmemory_docs(spark):
+    docs = _docs(spark)
+    merges = api.tokenizer.train_bpe_merges(docs, n_merges=4)
+    assert len(merges) == 4
+    vocab = api.tokenizer.encode_word_vocab(docs, merges)
+    toks = {r["word"]: r["n_tokens"] for r in vocab.collect()}
+    # every word encodes to at least 1 and at most len(word) tokens
+    assert all(1 <= n <= len(w) for w, n in toks.items())
+    # the corpus's most frequent word ('the') benefits from merges
+    assert toks["the"] < len("the")
+
+
+def test_classifier_on_inmemory_features(spark):
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark)
+    from citeconnect_datapipeline_spark.operators.classifier import (
+        _bucket_features,
+    )
+
+    feats = _bucket_features(docs)
+    labels = docs.select(
+        "doc_id", F.when(F.col("doc_id") <= 2, 1.0).otherwise(0.0).alias("y")
+    )
+    w, losses = api.classifier.logreg_fit(feats, labels, iters=3)
+    assert len(w) == 257 and len(losses) == 3
+    scored = api.classifier.score_with_weights(feats, w)
+    assert scored.count() == 4
+
+
+def test_sessionize_on_inmemory_events(spark):
+    t0 = datetime.datetime(2026, 1, 1, 12, 0, 0)
+    rows = [
+        (1, t0, 100),
+        (1, t0 + datetime.timedelta(minutes=5), 101),
+        (1, t0 + datetime.timedelta(hours=2), 102),  # new session
+        (2, t0, 200),
+    ]
+    events = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long"
+    )
+    out = api.timeseries.sessionize(events)
+    from pyspark.sql import functions as F
+
+    per_user = {
+        r["user_id"]: r["n"]
+        for r in out.groupBy("user_id")
+        .agg(F.countDistinct("session_seq").alias("n"))
+        .collect()
+    }
+    assert per_user[1] == 2 and per_user[2] == 1
+
+
+def test_zone_roundtrip_on_inmemory_frame(spark, tmp_path):
+    df = spark.range(10).selectExpr("id", "id % 3 AS grp")
+    zone = str(tmp_path / "zone")
+    api.sinks.write_zone(df, zone, run_id="r1", partition_cols=("grp",))
+    back = api.sinks.read_zone(spark, zone)
+    assert back.count() == 10
