@@ -90,3 +90,29 @@ def test_zone_roundtrip_on_inmemory_frame(spark, tmp_path):
     api.sinks.write_zone(df, zone, run_id="r1", partition_cols=("grp",))
     back = api.sinks.read_zone(spark, zone)
     assert back.count() == 10
+
+
+def test_example_curation_script(spark, sf_dir, tmp_path):
+    """examples/curate_corpus.py is a living document: run its curate()
+    on the lake's documents and check the invariants (dedup shrinks,
+    zone written, token accounting positive)."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "curate_corpus",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "examples",
+            "curate_corpus.py",
+        ),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    docs = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    ).select("doc_id", "text")
+    summary = mod.curate(spark, docs, str(tmp_path))
+    assert summary["n_docs_kept"] < summary["n_docs_in"]
+    assert summary["total_bpe_tokens"] > 0
+    assert (tmp_path / "curated").exists()
