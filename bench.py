@@ -272,35 +272,39 @@ def main() -> None:
     isolated: dict[str, float] = {}
     isolated_skipped: list[str] = []
     if concurrency == 1:
+        # The suite pass IS isolated — seed with its timings. The
+        # candidate loop below still runs so n_jobs gets measured
+        # for every over-2x candidate (the per-job allowance is the
+        # same in both modes; without this, sequential runs would
+        # silently fall back to the jobs=1 allowance).
         isolated = dict(timings)
-    else:
-        budget = float(os.environ.get("BENCH_ISOLATED_BUDGET", "240"))
-        # Screen candidates with jobs=1 (the smallest allowance), a
-        # strict superset of the true offenders.
-        candidates = sorted(
-            (
-                n
-                for n, t in timings.items()
-                if _fails_2x(t, duck_timings.get(n, -1.0))
-            ),
-            key=lambda n: -(timings[n] / max(duck_timings[n], 1e-3)),
-        )
-        t_start = time.monotonic()
-        for n in candidates:
-            if time.monotonic() - t_start > budget:
-                isolated_skipped.append(n)
-                continue
-            run_isolated(n, 1)
-            # A single shot under background load can push a
-            # floor-bound query (true cost ~= the scheduling floor)
-            # past the 2x bar by a few hundred ms of noise. Confirm a
-            # failure with one retry — run_one keeps the min — so the
-            # over-2x list reports queries that fail TWICE, not
-            # queries that hit one GC pause.
-            if _fails_2x(
-                isolated[n], duck_timings.get(n, -1.0), n_jobs.get(n, 1)
-            ):
-                run_isolated(n, 2)
+    budget = float(os.environ.get("BENCH_ISOLATED_BUDGET", "240"))
+    # Screen candidates with jobs=1 (the smallest allowance), a
+    # strict superset of the true offenders.
+    candidates = sorted(
+        (
+            n
+            for n, t in timings.items()
+            if _fails_2x(t, duck_timings.get(n, -1.0))
+        ),
+        key=lambda n: -(timings[n] / max(duck_timings[n], 1e-3)),
+    )
+    t_start = time.monotonic()
+    for n in candidates:
+        if time.monotonic() - t_start > budget:
+            isolated_skipped.append(n)
+            continue
+        run_isolated(n, 1)
+        # A single shot under background load can push a
+        # floor-bound query (true cost ~= the scheduling floor)
+        # past the 2x bar by a few hundred ms of noise. Confirm a
+        # failure with one retry — run_one keeps the min — so the
+        # over-2x list reports queries that fail TWICE, not
+        # queries that hit one GC pause.
+        if _fails_2x(
+            isolated[n], duck_timings.get(n, -1.0), n_jobs.get(n, 1)
+        ):
+            run_isolated(n, 2)
     over2x = sorted(
         (
             n

@@ -106,13 +106,19 @@ def logreg_fit(
     iters: int = N_ITERS,
     lr: float = LEARNING_RATE,
     l2: float = L2_LAMBDA,
-) -> tuple[list[float], list[float]]:
+    keep_train: bool = False,
+):
     """Full-batch weighted logistic regression.
 
     ``feats``: (doc_id, b, x) long features; ``labels``: (doc_id, y)
     with y in {0.0, 1.0}. Returns (weights[257] with bias last,
     per-iteration mean weighted log-loss) — the loss history is what
-    the monotonicity test pins.
+    the monotonicity test pins. With ``keep_train=True`` the cached
+    per-doc training table (doc_id, y, fx) is NOT unpersisted and is
+    returned as a third element, so a caller can SCORE off the same
+    cache instead of re-deriving features with a second corpus scan
+    (quality_classifier does, via its materialized-intermediate
+    entry — the caller owns the cache's lifetime).
     """
     pos, tot = labels.agg(
         F.sum("y").alias("p"), F.count("*").alias("t")
@@ -217,7 +223,10 @@ def logreg_fit(
                 new_w.append(w - lr * g_tot / (math.sqrt(g2[i]) + 1e-12))
             weights = new_w
     finally:
-        train.unpersist()
+        if not keep_train:
+            train.unpersist()
+    if keep_train:
+        return weights, losses, train
     return weights, losses
 
 
@@ -239,22 +248,43 @@ def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     balanced) classifier rates more trusted-like than not
     (prob >= 0.5) — the kept set is the classifier-filtered corpus
     downstream curation (dedup, mixing, packing) consumes."""
-    docs = load_table(spark, sf_dir, "documents")
-    feats = _bucket_features(docs)
-    labels = docs.select(
-        "doc_id",
-        F.when(F.col("source") == TRUSTED_SOURCE, 1.0)
-        .otherwise(0.0)
-        .alias("y"),
-    )
-    weights, _ = logreg_fit(feats, labels)
-    scored = score_with_weights(feats, weights).join(labels, "doc_id")
-    return (
-        scored.select(
+    from ..memo import shared_intermediate
+
+    def build():
+        docs = load_table(spark, sf_dir, "documents")
+        feats = _bucket_features(docs)
+        labels = docs.select(
             "doc_id",
-            "quality_prob",
+            F.when(F.col("source") == TRUSTED_SOURCE, 1.0)
+            .otherwise(0.0)
+            .alias("y"),
+        )
+        weights, _, train = logreg_fit(feats, labels, keep_train=True)
+        return train, weights
+
+    # ONE corpus scan per process: fit and scoring both read the
+    # cached (doc_id, y, fx) table — scoring is the same in-row fold
+    # the training rounds use, no feature re-derivation, no join.
+    train, weights = shared_intermediate(
+        spark, "quality_classifier_fit", (sf_dir,), build
+    )
+    lit_w = F.array(*[F.lit(float(v)) for v in weights])
+    m = F.aggregate(
+        "fx",
+        F.lit(0.0),
+        lambda acc, f: acc + f["x"] * F.element_at(lit_w, f["b"] + 1),
+    )
+    prob = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-m)), 6)
+    return (
+        # fx always holds the synthetic bias element; >1 means the
+        # doc had at least one real token (the same nonempty gate the
+        # feature-table scoring applied)
+        train.filter(F.size("fx") > 1)
+        .select(
+            "doc_id",
+            prob.alias("quality_prob"),
             F.col("y").cast("int").alias("is_trusted_source"),
-            (F.col("quality_prob") >= 0.5).alias("keep"),
+            (prob >= 0.5).alias("keep"),
         )
         .orderBy("doc_id")
     )

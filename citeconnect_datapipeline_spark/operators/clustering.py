@@ -90,10 +90,6 @@ def _assign_udf(centroids):
     return assign
 
 
-_KMEANS_CACHE: dict = {}
-_KMEANS_LOCK = __import__("threading").Lock()
-
-
 def _kmeans_fit(
     spark: SparkSession, sf_dir: str, k: int = K_CLUSTERS, iters: int = N_ITERS
 ):
@@ -106,24 +102,17 @@ def _kmeans_fit(
     ingest (as build_ivf_index materializes its index). The lake is
     immutable per TESTDATA.md, and the fit is deterministic
     (hash-ordered init), so entries cannot go stale or drift."""
-    key = (id(spark.sparkContext), sf_dir, k, iters)
-    if key in _KMEANS_CACHE:
-        return _KMEANS_CACHE[key]
-    # double-checked lock: concurrent consumers wait for one fit
-    # instead of racing duplicate Lloyd's loops
-    _KMEANS_LOCK.acquire()
-    if key in _KMEANS_CACHE:
-        _KMEANS_LOCK.release()
-        return _KMEANS_CACHE[key]
-    try:
-        return _kmeans_fit_locked(spark, sf_dir, k, iters, key)
-    finally:
-        _KMEANS_LOCK.release()
+    from ..memo import shared_intermediate
+
+    return shared_intermediate(
+        spark,
+        "kmeans_fit",
+        (sf_dir, k, iters),
+        lambda: _kmeans_fit_impl(spark, sf_dir, k, iters),
+    )
 
 
-def _kmeans_fit_locked(
-    spark: SparkSession, sf_dir: str, k: int, iters: int, key
-):
+def _kmeans_fit_impl(spark: SparkSession, sf_dir: str, k: int, iters: int):
     import numpy as np
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -180,7 +169,6 @@ def _kmeans_fit_locked(
             if r["c"] > 0:
                 nxt[r["cluster"], r["pos"]] = r["s"] / r["c"]
         centroids = nxt
-    _KMEANS_CACHE[key] = (emb, centroids)
     return emb, centroids
 
 

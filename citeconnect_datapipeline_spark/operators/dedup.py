@@ -92,6 +92,44 @@ def _shingle_hashes(
     )
 
 
+def _posting_pairs(buckets: DataFrame, pair_struct) -> DataFrame:
+    """All ordered pairs from each posting list — one row per pair,
+    streamed through a NESTED explode.
+
+    ``buckets`` carries a sorted array column ``ds``;``pair_struct(x,
+    y)`` builds the output struct for a pair (x earlier than y in the
+    list). The outer explode emits one row per (element, rest-slice),
+    the inner explode one row per pair — so the largest intermediate
+    VALUE is one element's partner slice, O(m) per row, where the
+    previous flatten-into-one-array form materialized the whole
+    O(m^2) pair set of a bucket inside a single row: fine under a
+    posting cap, an executor OOM for the uncapped LSH buckets (a
+    boilerplate page duplicated 100k times puts every copy in ONE
+    band bucket — 5e9 structs in one array value). Total pair count
+    is the query's contract either way; this bounds per-row memory.
+    """
+    partners = buckets.select(
+        F.explode(
+            F.transform(
+                "ds",
+                lambda x, i: F.struct(
+                    x.alias("x"),
+                    F.slice(
+                        F.col("ds"), i + 2, F.size(F.col("ds"))
+                    ).alias("rest"),
+                ),
+            )
+        ).alias("e")
+    )
+    return partners.select(
+        F.explode(
+            F.transform(
+                "e.rest", lambda y: pair_struct(F.col("e.x"), y)
+            )
+        ).alias("p")
+    )
+
+
 def _pair_overlap_counts(
     sh: DataFrame, max_posting: int = 50
 ) -> DataFrame:
@@ -122,20 +160,9 @@ def _pair_overlap_counts(
             (F.size("ds") > 1) & (F.size("ds") <= F.lit(max_posting))
         )
     )
-    pairs = buckets.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    "ds",
-                    lambda x, i: F.transform(
-                        F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))),
-                        lambda y: F.struct(
-                            x.alias("doc_a"), y.alias("doc_b")
-                        ),
-                    ),
-                )
-            )
-        ).alias("p")
+    pairs = _posting_pairs(
+        buckets,
+        lambda x, y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
     )
     return (
         pairs.select("p.doc_a", "p.doc_b")
@@ -443,20 +470,9 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sort_array(F.collect_set("doc_id")).alias("ds"))
         .filter(F.size("ds") > 1)
     )
-    pairs = buckets.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    "ds",
-                    lambda x, i: F.transform(
-                        F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))),
-                        lambda y: F.struct(
-                            x.alias("doc_a"), y.alias("doc_b")
-                        ),
-                    ),
-                )
-            )
-        ).alias("p")
+    pairs = _posting_pairs(
+        buckets,
+        lambda x, y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
     )
     return (
         pairs.select("p.doc_a", "p.doc_b")
@@ -466,10 +482,6 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 NEARDUP_JACCARD = 0.5  # data is bimodal (planted dups ~0.95, noise <0.1)
-
-
-_NEARDUP_LABEL_CACHE: dict = {}
-_NEARDUP_LABEL_LOCK = __import__("threading").Lock()
 
 
 def _neardup_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -487,23 +499,20 @@ def _neardup_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     TESTDATA.md, so entries cannot go stale within a process."""
     from .graph import connected_components
 
-    key = (id(spark.sparkContext), sf_dir)
-    # double-checked lock: under concurrent submission (bench runs 16
-    # sessions), the first caller builds while the rest WAIT instead
-    # of all racing through the same pair-gen + propagation loop
-    if key not in _NEARDUP_LABEL_CACHE:
-        with _NEARDUP_LABEL_LOCK:
-            if key not in _NEARDUP_LABEL_CACHE:
-                docs = load_table(spark, sf_dir, "documents")
-                jpairs = (
-                    jaccard_scored_pairs(docs)
-                    .filter(F.col("jaccard") >= NEARDUP_JACCARD)
-                    .select("doc_a", "doc_b")
-                )
-                _NEARDUP_LABEL_CACHE[key] = connected_components(
-                    jpairs, src="doc_a", dst="doc_b"
-                )
-    return _NEARDUP_LABEL_CACHE[key]
+    from ..memo import shared_intermediate
+
+    def build() -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        jpairs = (
+            jaccard_scored_pairs(docs)
+            .filter(F.col("jaccard") >= NEARDUP_JACCARD)
+            .select("doc_a", "doc_b")
+        )
+        return connected_components(jpairs, src="doc_a", dst="doc_b")
+
+    return shared_intermediate(
+        spark, "neardup_labels", (sf_dir,), build
+    )
 
 
 @query(
@@ -1219,20 +1228,9 @@ def minhash_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sort_array(F.collect_set("doc_id")).alias("ds"))
         .filter(F.size("ds") > 1)
     )
-    pairs = buckets.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    "ds",
-                    lambda x, i: F.transform(
-                        F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))),
-                        lambda y: F.struct(
-                            x.alias("doc_a"), y.alias("doc_b")
-                        ),
-                    ),
-                )
-            )
-        ).alias("p")
+    pairs = _posting_pairs(
+        buckets,
+        lambda x, y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
     )
     return (
         pairs.select("p.doc_a", "p.doc_b")
@@ -1581,20 +1579,9 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     postings = sh.groupBy("sh").agg(
         F.sort_array(F.collect_set("source")).alias("ss")
     ).filter(F.size("ss") > 1)
-    pairs = postings.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    "ss",
-                    lambda x, i: F.transform(
-                        F.slice(F.col("ss"), i + 2, F.size(F.col("ss"))),
-                        lambda y: F.struct(
-                            x.alias("src_a"), y.alias("src_b")
-                        ),
-                    ),
-                )
-            )
-        ).alias("p")
+    pairs = _posting_pairs(
+        postings.withColumnRenamed("ss", "ds"),
+        lambda x, y: F.struct(x.alias("src_a"), y.alias("src_b")),
     )
     common = (
         pairs.select("p.src_a", "p.src_b")
@@ -1853,24 +1840,15 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.size("ds") > 1)
     )
-    pairs = buckets.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    "ds",
-                    lambda x, i: F.transform(
-                        F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))),
-                        lambda y: F.struct(
-                            x["doc_id"].alias("doc_a"),
-                            y["doc_id"].alias("doc_b"),
-                            F.bit_count(
-                                x["simhash"].bitwiseXOR(y["simhash"])
-                            ).cast("long").alias("hamming"),
-                        ),
-                    ),
-                )
-            )
-        ).alias("p")
+    pairs = _posting_pairs(
+        buckets,
+        lambda x, y: F.struct(
+            x["doc_id"].alias("doc_a"),
+            y["doc_id"].alias("doc_b"),
+            F.bit_count(
+                x["simhash"].bitwiseXOR(y["simhash"])
+            ).cast("long").alias("hamming"),
+        ),
     )
     return (
         pairs.select("p.doc_a", "p.doc_b", "p.hamming")

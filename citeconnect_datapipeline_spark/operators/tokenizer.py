@@ -45,10 +45,6 @@ N_MERGES = 12
 VOCAB_CAP = 65536
 CHECKPOINT_EVERY = 4
 
-_MERGE_CACHE: dict = {}
-_MERGE_LOCK = __import__("threading").Lock()
-
-
 def _merges_for(spark: SparkSession, sf_dir: str):
     """Materialized-intermediate cache: the learned merge table for a
     lake dir, trained once per process and shared by the learn-side
@@ -58,16 +54,16 @@ def _merges_for(spark: SparkSession, sf_dir: str):
     benchmarking an anti-pattern. Keyed by (context id, sf_dir);
     the lake is immutable per TESTDATA.md. Direct callers of
     train_bpe_merges (tests, custom corpora) stay uncached."""
-    key = (id(spark.sparkContext), sf_dir)
-    # double-checked lock: concurrent consumers wait for one trainer
-    # instead of racing duplicate 12-round fits
-    if key not in _MERGE_CACHE:
-        with _MERGE_LOCK:
-            if key not in _MERGE_CACHE:
-                _MERGE_CACHE[key] = train_bpe_merges(
-                    load_table(spark, sf_dir, "documents")
-                )
-    return _MERGE_CACHE[key]
+    from ..memo import shared_intermediate
+
+    return shared_intermediate(
+        spark,
+        "bpe_merges",
+        (sf_dir,),
+        lambda: train_bpe_merges(
+            load_table(spark, sf_dir, "documents")
+        ),
+    )
 
 
 def _word_vocab(docs: DataFrame, cap: int = VOCAB_CAP) -> DataFrame:

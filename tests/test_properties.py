@@ -417,3 +417,29 @@ def test_clip_duplicate_spans_accounting(spark, sf_dir):
         assert 0 <= r["n_removed"] <= r["n_words"]
         removed_total += r["n_removed"]
     assert removed_total > 0
+
+
+def test_posting_pairs_streams_large_buckets(spark):
+    """A single 3000-member posting bucket: the old flatten form built
+    all ~4.5M pair structs inside ONE array value in ONE row (executor
+    OOM risk for uncapped LSH buckets); the nested-explode helper
+    streams one row per pair with at most O(m) per row — and must
+    still emit exactly C(m,2) ordered pairs."""
+    from pyspark.sql import functions as F
+
+    from citeconnect_datapipeline_spark.operators.dedup import (
+        _posting_pairs,
+    )
+
+    m = 3000
+    buckets = spark.range(1).select(
+        F.sequence(F.lit(0), F.lit(m - 1)).alias("ds")
+    )
+    pairs = _posting_pairs(
+        buckets,
+        lambda x, y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+    )
+    out = pairs.select("p.doc_a", "p.doc_b")
+    assert out.count() == m * (m - 1) // 2
+    # ordering invariant: doc_a always precedes doc_b in the list
+    assert out.filter("doc_a >= doc_b").count() == 0

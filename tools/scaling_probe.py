@@ -61,7 +61,12 @@ def build_scaled(spark, scale: int) -> str:
             ).alias("text"),
             "lang",
             "source",
-            (F.col("n_chars") + 6).alias("n_chars"),
+            # prefix is 'rep<k> ': 4 chars + the digits of k
+            (
+                F.col("n_chars")
+                + 4
+                + F.length(F.col("rep").cast("string"))
+            ).alias("n_chars"),
         )
     )
     scaled.write.mode("overwrite").parquet(
