@@ -46,6 +46,12 @@ from .operators.skew import (
 )
 from .operators.timeseries import sessionize
 from .operators.tokenizer import encode_word_vocab, train_bpe_merges
+from .sinks.models import (
+    load_bpe_merges,
+    load_classifier_weights,
+    save_bpe_merges,
+    save_classifier_weights,
+)
 from .sinks.report import alert_email, plot_slices
 from .sinks.upsert import jdbc_upsert, merge_parquet, scd2_merge, upsert_parquet
 from .sinks.zones import (
@@ -85,6 +91,12 @@ skew = SimpleNamespace(
     salted_sum_by_key=salted_sum_by_key,
     replicated_broadcast_join=replicated_broadcast_join,
 )
+models = SimpleNamespace(
+    save_bpe_merges=save_bpe_merges,
+    load_bpe_merges=load_bpe_merges,
+    save_classifier_weights=save_classifier_weights,
+    load_classifier_weights=load_classifier_weights,
+)
 sinks = SimpleNamespace(
     write_zone=write_zone,
     read_zone=read_zone,
@@ -109,5 +121,6 @@ __all__ = [
     "multimodal",
     "timeseries",
     "skew",
+    "models",
     "sinks",
 ]

@@ -1,0 +1,58 @@
+"""Model-artifact persistence: the trained state the engine's
+iterative fits produce (BPE merge tables, classifier weight vectors)
+saved to and loaded from the lake as plain parquet.
+
+Why parquet and not pickle: the artifacts are TABLES (a merge table
+is literally what a tokenizer ships as merges.txt; a weight vector is
+257 indexed doubles), so storing them as parquet keeps them
+queryable, schema-checked, portable across engines, and writable with
+the same committer semantics as every other zone write — no Python
+object graphs in the lake. Reference parity: the reference persists
+nothing learned (it has no learned state); this is the registry every
+production pipeline grows the moment training moves in-engine.
+
+Round-trip identity is pinned in tests/test_sinks.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+
+def save_bpe_merges(
+    spark: SparkSession, merges: list[tuple[int, str, str, int]], path: str
+) -> None:
+    """Persist a learned merge table (the output of
+    ``train_bpe_merges``) as rank-ordered parquet."""
+    spark.createDataFrame(
+        merges, "rank int, left string, right string, pair_count long"
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_bpe_merges(
+    spark: SparkSession, path: str
+) -> list[tuple[int, str, str, int]]:
+    """Load a merge table in training order — directly consumable by
+    ``encode_word_vocab``."""
+    rows = spark.read.parquet(path).orderBy("rank").collect()
+    return [
+        (r["rank"], r["left"], r["right"], r["pair_count"]) for r in rows
+    ]
+
+
+def save_classifier_weights(
+    spark: SparkSession, weights: list[float], path: str
+) -> None:
+    """Persist an LR weight vector (bias in the last slot) as
+    (slot, weight) parquet."""
+    spark.createDataFrame(
+        list(enumerate(weights)), "slot int, weight double"
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_classifier_weights(spark: SparkSession, path: str) -> list[float]:
+    """Load a weight vector — directly consumable by
+    ``score_with_weights``."""
+    rows = spark.read.parquet(path).orderBy("slot").collect()
+    assert [r["slot"] for r in rows] == list(range(len(rows)))
+    return [float(r["weight"]) for r in rows]

@@ -912,3 +912,45 @@ def test_alert_email_through_injected_smtp(spark):
     assert body.index("null_spike") < body.index("row_count_drop")
     assert 'src="cid:plot1"' in body
     assert "Content-ID: <plot1>" in body
+
+
+def test_model_artifacts_roundtrip(spark, tmp_path):
+    """BPE merge tables and classifier weight vectors must round-trip
+    through their parquet artifacts bit-for-bit, and the loaded forms
+    must be directly consumable by the apply-side functions."""
+    from citeconnect_datapipeline_spark.operators.classifier import (
+        N_BUCKETS,
+        score_with_weights,
+    )
+    from citeconnect_datapipeline_spark.operators.tokenizer import (
+        encode_word_vocab,
+        train_bpe_merges,
+    )
+    from citeconnect_datapipeline_spark.sinks.models import (
+        load_bpe_merges,
+        load_classifier_weights,
+        save_bpe_merges,
+        save_classifier_weights,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "aa ab aa ab ba"), (2, "aa aa ab ab bb")],
+        "doc_id long, text string",
+    )
+    merges = train_bpe_merges(docs, n_merges=3)
+    save_bpe_merges(spark, merges, str(tmp_path / "merges"))
+    loaded = load_bpe_merges(spark, str(tmp_path / "merges"))
+    assert loaded == merges
+    enc = encode_word_vocab(docs, loaded)
+    assert enc.count() > 0
+
+    weights = [0.001 * i for i in range(N_BUCKETS + 1)]
+    save_classifier_weights(spark, weights, str(tmp_path / "w"))
+    lw = load_classifier_weights(spark, str(tmp_path / "w"))
+    assert lw == weights
+    from citeconnect_datapipeline_spark.operators.classifier import (
+        _bucket_features,
+    )
+
+    scored = score_with_weights(_bucket_features(docs), lw)
+    assert scored.count() == 2
