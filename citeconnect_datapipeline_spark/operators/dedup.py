@@ -1856,3 +1856,84 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("doc_a", "doc_b")
     )
+
+
+@query(
+    "neardup_threshold_sweep",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, string_split_regex(lower(text), '[^a-z0-9]+') AS w
+        FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(list_slice(w, i, i + 2), ' ') AS shingle
+        FROM words, UNNEST(range(1, greatest(len(w) - 1, 2))) AS t(i)
+        WHERE array_to_string(list_slice(w, i, i + 2), ' ') <> ''
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    jac AS (
+        SELECT CAST(p.common AS DOUBLE)
+               / (sa.n + sb.n - p.common) AS j
+        FROM (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   COUNT(*) AS common
+            FROM sh a JOIN sh b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ) p
+        JOIN sizes sa ON p.doc_a = sa.doc_id
+        JOIN sizes sb ON p.doc_b = sb.doc_id
+    ),
+    buckets AS (
+        SELECT LEAST(FLOOR(j * 10), 9) AS bucket, COUNT(*) AS n
+        FROM jac GROUP BY 1
+    ),
+    spine AS (SELECT UNNEST(range(0, 10)) AS bucket)
+    SELECT ROUND(s.bucket / 10.0, 1) AS threshold,
+           CAST(COALESCE(b.n, 0) AS BIGINT) AS n_pairs_in_bucket,
+           CAST(SUM(COALESCE(b.n, 0)) OVER (
+               ORDER BY s.bucket DESC
+           ) AS BIGINT) AS n_pairs_at_or_above
+    FROM spine s LEFT JOIN buckets b ON s.bucket = b.bucket
+    ORDER BY threshold
+    """,
+)
+def neardup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup-threshold KNOB CURVE: how many near-dup pairs exist
+    at or above every Jaccard cut, in one pass — what a curator reads
+    before choosing NEARDUP_JACCARD (too low merges topical
+    neighbors, too high misses template edits; the bimodal gap shows
+    up as a flat stretch in the cumulative column). One extra
+    aggregate over the pair table every other dedup query already
+    builds — no new scan, no new shuffle shape; the 10-bucket
+    histogram + spine + reverse cumulative are driver-trivial."""
+    docs = load_table(spark, sf_dir, "documents")
+    jac = jaccard_scored_pairs(docs).select("jaccard")
+    buckets = (
+        jac.select(
+            F.least(
+                F.floor(F.col("jaccard") * 10), F.lit(9)
+            ).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+    )
+    spine = spark.range(10).select(F.col("id").cast("long").alias("bucket"))
+    w_desc = Window.orderBy(F.desc("bucket")).rangeBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        spine.join(buckets, "bucket", "left")
+        .select(
+            F.round(F.col("bucket") / 10.0, 1).alias("threshold"),
+            F.coalesce("n", F.lit(0)).cast("bigint").alias(
+                "n_pairs_in_bucket"
+            ),
+            F.sum(F.coalesce("n", F.lit(0)))
+            .over(w_desc)
+            .cast("bigint")
+            .alias("n_pairs_at_or_above"),
+        )
+        .orderBy("threshold")
+    )

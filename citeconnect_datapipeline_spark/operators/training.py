@@ -923,3 +923,80 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("selected", quart == 1)
         .orderBy("doc_id")
     )
+
+
+# --- Temperature-based mixture weights -------------------------------------
+
+MIXTURE_ALPHA = 0.3  # mT5's alpha: upsample the tail, damp the head
+
+
+@query(
+    "mixture_temperature_weights",
+    oracle=f"""
+    WITH sizes AS (
+        SELECT source,
+               COUNT(*) AS n_docs,
+               SUM(len(list_filter(
+                   string_split_regex(lower(text), '[^a-z0-9]+'),
+                   x -> x <> ''
+               ))) AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    powed AS (
+        SELECT source, n_docs, n_tokens,
+               POW(n_tokens, {MIXTURE_ALPHA}) AS p
+        FROM sizes
+    )
+    SELECT source,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           ROUND(n_tokens / SUM(n_tokens) OVER (), 6) AS natural_share,
+           ROUND(p / SUM(p) OVER (), 6) AS sample_weight,
+           ROUND((p / SUM(p) OVER ())
+                 / (n_tokens / SUM(n_tokens) OVER ()), 6) AS upsample_factor
+    FROM powed
+    ORDER BY source
+    """,
+)
+def mixture_temperature_weights(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Temperature-based mixture weights per source — the mT5/XLM-R
+    alpha-sampling rule (w_s ∝ tokens_s^alpha, alpha={MIXTURE_ALPHA}):
+    the head corpus is damped and the tail upsampled so small sources
+    are not drowned during training. Emits the natural token share,
+    the sampling weight, and the implied up/down-sampling factor —
+    the table a curator hands to domain_mixture_sample /
+    interleave_shards as target shares. The reference has no mixture
+    control at all.
+
+    Shape: one groupBy(source) for token totals (map-side combined),
+    then pure arithmetic over the per-source table with unpartitioned
+    windows for the two normalizers — the per-source table is dozens
+    of rows at any corpus size, so the single-task window is free."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+        lambda x: x != F.lit(""),
+    )
+    sizes = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(w)).alias("n_tokens"),
+    )
+    tot = Window.partitionBy()
+    p = F.pow(F.col("n_tokens").cast("double"), F.lit(MIXTURE_ALPHA))
+    nat = F.col("n_tokens") / F.sum("n_tokens").over(tot)
+    sw = p / F.sum(p).over(tot)
+    return (
+        sizes.select(
+            "source",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.round(nat, 6).alias("natural_share"),
+            F.round(sw, 6).alias("sample_weight"),
+            F.round(sw / nat, 6).alias("upsample_factor"),
+        )
+        .orderBy("source")
+    )
