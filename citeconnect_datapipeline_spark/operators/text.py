@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
@@ -1392,4 +1392,75 @@ def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("exact_dup_rate"),
         )
         .orderBy("source")
+    )
+
+
+@query(
+    "lang_confusion_matrix",
+    oracle=f"""
+    WITH words AS (
+        SELECT lang,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS w
+        FROM documents
+    ),
+    pred AS (
+        SELECT lang,
+               CASE WHEN CAST(len(list_filter(w,
+                   x -> list_contains({list(STOPWORDS)!r}, x))) AS DOUBLE)
+                   / GREATEST(len(w), 1) >= 0.05
+                    THEN 'en' ELSE 'other' END AS predicted_lang
+        FROM words
+    )
+    SELECT lang, predicted_lang,
+           COUNT(*) AS n,
+           ROUND(COUNT(*) / CAST(SUM(COUNT(*)) OVER (
+               PARTITION BY lang
+           ) AS DOUBLE), 6) AS share_of_lang
+    FROM pred
+    GROUP BY lang, predicted_lang
+    ORDER BY lang, predicted_lang
+    """,
+)
+def lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the language-ID heuristic against the
+    labeled ``lang`` column — the EVALUATION every classifier-driven
+    filter owes its users before anyone trusts its keep decisions
+    (a language filter that silently drops 30% of German is a
+    mixture bug that only a per-label share table surfaces). Rows:
+    (label, prediction, count, share-of-label). The reference
+    evaluates none of its heuristics; this is the audit table.
+
+    Shape: the per-doc prediction is in-row arithmetic; one
+    groupBy(lang, predicted) whose output is |langs| x 2 rows, then
+    an unpartitioned-window normalizer over that tiny table."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+        lambda x: x != F.lit(""),
+    )
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    ratio = F.size(
+        F.filter(w, lambda x: F.array_contains(stop_arr, x))
+    ).cast("double") / F.greatest(F.size(w), F.lit(1))
+    pred = docs.select(
+        "lang",
+        F.when(ratio >= 0.05, "en").otherwise("other").alias(
+            "predicted_lang"
+        ),
+    )
+    per_lang = Window.partitionBy("lang")
+    counted = pred.groupBy("lang", "predicted_lang").agg(
+        F.count("*").alias("n")
+    )
+    return (
+        counted.select(
+            "lang",
+            "predicted_lang",
+            "n",
+            F.round(
+                F.col("n") / F.sum("n").over(per_lang).cast("double"), 6
+            ).alias("share_of_lang"),
+        )
+        .orderBy("lang", "predicted_lang")
     )
