@@ -288,3 +288,34 @@ def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query("classifier_eval")  # rows-only: consumes the trained model
+def classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion table for the LR quality filter against its own
+    training labels (trusted-source vs rest) — keep-decision counts,
+    share-of-label, and the headline precision/recall a curator
+    checks before trusting the kept corpus (same audit contract as
+    lang_confusion_matrix; a filter is only as good as its published
+    error rates). Reads the SAME memoized fit quality_classifier
+    uses — no extra training, one tiny aggregate over the scored
+    table."""
+    from pyspark.sql import Window
+
+    scored = quality_classifier(spark, sf_dir)
+    per_label = Window.partitionBy("is_trusted_source")
+    return (
+        scored.groupBy("is_trusted_source", "keep")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "is_trusted_source",
+            "keep",
+            "n",
+            F.round(
+                F.col("n")
+                / F.sum("n").over(per_label).cast("double"),
+                6,
+            ).alias("share_of_label"),
+        )
+        .orderBy("is_trusted_source", "keep")
+    )

@@ -50,6 +50,7 @@ BUILD_EXECUTES = {
     "neardup_keep_best",  # shares the CC loop
     "part_copurchase_pagerank",
     "quality_classifier",  # LR fit collects 257 gradient rows/round
+    "classifier_eval",  # consumes the same memoized fit
     "semantic_dedup",  # same k-means fit feeds the cluster blocking
 }
 
