@@ -484,6 +484,30 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 NEARDUP_JACCARD = 0.5  # data is bimodal (planted dups ~0.95, noise <0.1)
 
 
+def _jaccard_pairs_materialized(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Materialized scored pair table (doc_a, doc_b, jaccard) for a
+    lake dir — built once per process and shared by every consumer
+    that needs the pairs AS DATA (the CC label builder, the
+    threshold sweep). ``ngram_jaccard_topk`` deliberately does NOT
+    use it: that query is the inverted-index plan showcase
+    (PLANS.md) and stays a pure, un-checkpointed plan. The pair
+    table is O(near-dups) rows — small by construction — and
+    eagerly localCheckpoint-ed so consumers scan a materialized RDD
+    instead of re-running shingle pair generation."""
+    from ..memo import shared_intermediate
+
+    return shared_intermediate(
+        spark,
+        "jaccard_pairs",
+        (sf_dir,),
+        lambda: jaccard_scored_pairs(
+            load_table(spark, sf_dir, "documents")
+        ).localCheckpoint(),
+    )
+
+
 def _neardup_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Materialized-intermediate cache: the near-dup CC label table
     for a lake dir, computed once per process and shared by every
@@ -502,9 +526,8 @@ def _neardup_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..memo import shared_intermediate
 
     def build() -> DataFrame:
-        docs = load_table(spark, sf_dir, "documents")
         jpairs = (
-            jaccard_scored_pairs(docs)
+            _jaccard_pairs_materialized(spark, sf_dir)
             .filter(F.col("jaccard") >= NEARDUP_JACCARD)
             .select("doc_a", "doc_b")
         )
@@ -1908,8 +1931,7 @@ def neardup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate over the pair table every other dedup query already
     builds — no new scan, no new shuffle shape; the 10-bucket
     histogram + spine + reverse cumulative are driver-trivial."""
-    docs = load_table(spark, sf_dir, "documents")
-    jac = jaccard_scored_pairs(docs).select("jaccard")
+    jac = _jaccard_pairs_materialized(spark, sf_dir).select("jaccard")
     buckets = (
         jac.select(
             F.least(

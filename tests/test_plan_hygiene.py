@@ -48,6 +48,7 @@ BUILD_EXECUTES = {
     "kmeans_clusters",  # k-means fit collects k*d centroid partials
     "neardup_components",
     "neardup_keep_best",  # shares the CC loop
+    "neardup_threshold_sweep",  # shares the materialized pair table
     "part_copurchase_pagerank",
     "quality_classifier",  # LR fit collects 257 gradient rows/round
     "classifier_eval",  # consumes the same memoized fit
