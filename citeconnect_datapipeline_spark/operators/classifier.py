@@ -300,8 +300,6 @@ def classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     error rates). Reads the SAME memoized fit quality_classifier
     uses — no extra training, one tiny aggregate over the scored
     table."""
-    from pyspark.sql import Window
-
     scored = quality_classifier(spark, sf_dir)
     per_label = Window.partitionBy("is_trusted_source")
     return (

@@ -493,9 +493,14 @@ def _jaccard_pairs_materialized(
     threshold sweep). ``ngram_jaccard_topk`` deliberately does NOT
     use it: that query is the inverted-index plan showcase
     (PLANS.md) and stays a pure, un-checkpointed plan. The pair
-    table is O(near-dups) rows — small by construction — and
-    eagerly localCheckpoint-ed so consumers scan a materialized RDD
-    instead of re-running shingle pair generation."""
+    table is O(co-shingled pairs) — every pair sharing at least one
+    non-hot shingle, bounded per shingle by the posting cap but
+    strictly larger than the near-dup set on a non-bimodal corpus —
+    and eagerly localCheckpoint-ed so consumers scan a materialized
+    RDD instead of re-running shingle pair generation. That pinned
+    storage is a deliberate trade at verification scale; a 100 TB
+    deployment materializes the pair table to a ZONE at ingest
+    (write_zone) rather than process memory, same consumers."""
     from ..memo import shared_intermediate
 
     return shared_intermediate(

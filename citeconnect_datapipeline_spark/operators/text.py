@@ -488,15 +488,17 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     hits = F.size(
         F.filter(w, lambda x: x.isin(*STOPWORDS))
     )
-    ratio = F.round(
-        hits.cast("double") / F.greatest(F.size(w), F.lit(1)), 6
-    )
+    # threshold the RAW ratio (what the oracle and the confusion
+    # matrix do); only the DISPLAYED ratio is rounded — thresholding
+    # the rounded value would flip a doc whose raw ratio sits in
+    # [0.0499995, 0.05), silently diverging from the oracle
+    raw = hits.cast("double") / F.greatest(F.size(w), F.lit(1))
     return (
         docs.select(
             "doc_id",
             F.col("lang").alias("labeled_lang"),
-            ratio.alias("en_stopword_ratio"),
-            F.when(ratio >= 0.05, "en").otherwise("other").alias(
+            F.round(raw, 6).alias("en_stopword_ratio"),
+            F.when(raw >= 0.05, "en").otherwise("other").alias(
                 "predicted_lang"
             ),
         )

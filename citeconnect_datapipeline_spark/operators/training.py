@@ -962,7 +962,7 @@ def mixture_temperature_weights(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """Temperature-based mixture weights per source — the mT5/XLM-R
-    alpha-sampling rule (w_s ∝ tokens_s^alpha, alpha={MIXTURE_ALPHA}):
+    alpha-sampling rule (w_s ∝ tokens_s^alpha, alpha=MIXTURE_ALPHA=0.3):
     the head corpus is damped and the tail upsampled so small sources
     are not drowned during training. Emits the natural token share,
     the sampling weight, and the implied up/down-sampling factor —

@@ -46,7 +46,8 @@ def save_classifier_weights(
     """Persist an LR weight vector (bias in the last slot) as
     (slot, weight) parquet."""
     spark.createDataFrame(
-        list(enumerate(weights)), "slot int, weight double"
+        [(i, float(w)) for i, w in enumerate(weights)],
+        "slot int, weight double",
     ).coalesce(1).write.mode("overwrite").parquet(path)
 
 
@@ -54,5 +55,8 @@ def load_classifier_weights(spark: SparkSession, path: str) -> list[float]:
     """Load a weight vector — directly consumable by
     ``score_with_weights``."""
     rows = spark.read.parquet(path).orderBy("slot").collect()
-    assert [r["slot"] for r in rows] == list(range(len(rows)))
+    if [r["slot"] for r in rows] != list(range(len(rows))):
+        raise ValueError(
+            f"corrupt weight artifact at {path}: slots not contiguous"
+        )
     return [float(r["weight"]) for r in rows]
