@@ -94,6 +94,7 @@ _DRIVER_VERIFIED = frozenset(
 # rewrite, not a stale green row.
 _REVERIFY_FIRST = (
     "minhash_lsh_candidates",  # posting-list pair expansion (r4)
+    "lang_id_heuristic",     # raw-ratio thresholding (r4, late)
     "ngram_jaccard_topk",    # sizes-broadcast hint removed (r4)
     "neardup_components",    # shares jaccard_scored_pairs (r4)
     "fuzzy_prefix_pairs",    # length-band shuffled join (r4)
