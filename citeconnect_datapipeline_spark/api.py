@@ -46,6 +46,7 @@ from .operators.skew import (
 )
 from .operators.timeseries import sessionize
 from .operators.tokenizer import encode_word_vocab, train_bpe_merges
+from .sources.jsonl import ingest_jsonl_to_zone, read_jsonl
 from .sinks.models import (
     load_bpe_merges,
     load_classifier_weights,
@@ -91,6 +92,10 @@ skew = SimpleNamespace(
     salted_sum_by_key=salted_sum_by_key,
     replicated_broadcast_join=replicated_broadcast_join,
 )
+sources = SimpleNamespace(
+    read_jsonl=read_jsonl,
+    ingest_jsonl_to_zone=ingest_jsonl_to_zone,
+)
 models = SimpleNamespace(
     save_bpe_merges=save_bpe_merges,
     load_bpe_merges=load_bpe_merges,
@@ -121,6 +126,7 @@ __all__ = [
     "multimodal",
     "timeseries",
     "skew",
+    "sources",
     "models",
     "sinks",
 ]

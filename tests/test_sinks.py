@@ -954,3 +954,46 @@ def test_model_artifacts_roundtrip(spark, tmp_path):
 
     scored = score_with_weights(_bucket_features(docs), lw)
     assert scored.count() == 2
+
+
+def test_jsonl_ingest_quarantines_malformed_lines(spark, tmp_path):
+    """JSONL source: valid lines land typed, malformed lines become
+    quarantine ROWS (never task failures), and the zone ingest writes
+    both sides."""
+    import gzip
+    import json as _json
+
+    from citeconnect_datapipeline_spark.sources.jsonl import (
+        ingest_jsonl_to_zone,
+        read_jsonl,
+    )
+
+    shard = tmp_path / "shard0.jsonl"
+    lines = [
+        _json.dumps({"doc_id": 1, "text": "hello world", "lang": "en",
+                     "source": "s0", "n_chars": 11}),
+        '{"doc_id": 2, "text": "truncated...',  # malformed JSON
+        _json.dumps({"doc_id": 3, "text": "ok", "lang": "de",
+                     "source": "s1", "n_chars": 2}),
+        "not json at all",
+    ]
+    shard.write_text("\n".join(lines))
+    # a gzip shard alongside: codec from extension
+    with gzip.open(tmp_path / "shard1.jsonl.gz", "wt") as fh:
+        fh.write(_json.dumps({"doc_id": 4, "text": "gz", "lang": "en",
+                              "source": "s0", "n_chars": 2}))
+
+    valid, quarantine = read_jsonl(spark, str(tmp_path / "shard*"))
+    got = {r["doc_id"] for r in valid.collect()}
+    assert got == {1, 3, 4}
+    assert dict(valid.dtypes)["doc_id"] == "bigint"
+    bad = quarantine.collect()
+    assert len(bad) == 2
+    assert all(r["raw_record"] and r["src_file"] for r in bad)
+
+    out = ingest_jsonl_to_zone(
+        spark, str(tmp_path / "shard*"), str(tmp_path / "zone"), "r1"
+    )
+    assert out == {"n_valid": 3, "n_quarantined": 2}
+    back = spark.read.parquet(str(tmp_path / "zone" / "run_id=r1"))
+    assert back.count() == 3
