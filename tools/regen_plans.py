@@ -15,7 +15,9 @@ PICKS = {
     "late_ship_priority_dist": "EXISTS decorrelated to left-semi",
     "small_qty_part_revenue": "correlated scalar decorrelated to agg+join",
     "sessionize_events": "one exchange feeds lag + running sum + session agg",
-    "ngram_jaccard_topk": "inverted-index pair generation",
+    # rendered from the pair-generation CORE (jaccard_scored_pairs);
+    # the registered query scans the shared materialized pair table
+    "ngram_jaccard_topk": "inverted-index pair generation (core stage)",
     "curation_pipeline_e2e": "composed pipeline, two hash exchanges",
     "cosine_topk": "similarity top-k as TakeOrdered",
 }
@@ -48,7 +50,19 @@ def main() -> None:
         return line if len(line) <= 140 else line[:137] + "..."
 
     for name, why in PICKS.items():
-        df = queries[name](spark, sf)
+        if name == "ngram_jaccard_topk":
+            # the registered query scans the shared materialized pair
+            # table; the plan worth showing is the pair-generation core
+            from citeconnect_datapipeline_spark.operators.dedup import (
+                jaccard_scored_pairs,
+            )
+            from citeconnect_datapipeline_spark.sources.tables import (
+                load_table,
+            )
+
+            df = jaccard_scored_pairs(load_table(spark, sf, "documents"))
+        else:
+            df = queries[name](spark, sf)
         plan = df._jdf.queryExecution().executedPlan().toString()
         lines = [clean(l) for l in plan.splitlines() if KEEP.search(l)][:18]
         out.append(f"## {name} — {why}\n")
