@@ -694,3 +694,85 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("similarity"), "vec_id")
         .limit(10)
     )
+
+
+@query(
+    "embedding_sq_int8",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id,
+               CAST(unnest(embedding) AS DOUBLE) AS val,
+               generate_subscripts(embedding, 1) AS dim
+        FROM embeddings
+    ),
+    d AS (
+        SELECT dim, min(val) AS mn, max(val) AS mx FROM e GROUP BY dim
+    ),
+    c AS (
+        SELECT vec_id, val, mn, mx,
+               CASE WHEN mx > mn
+                    THEN round(round((val - mn) / (mx - mn) * 255, 6))
+                    ELSE 0 END AS code
+        FROM e JOIN d USING (dim)
+    )
+    SELECT vec_id,
+           CAST(sum(code) AS BIGINT) AS code_sum,
+           ROUND(avg(pow(val - (mn + code / 255.0 * (mx - mn)), 2)), 6)
+               AS mse,
+           ROUND(max(abs(val - (mn + code / 255.0 * (mx - mn)))), 6)
+               AS max_abs_err
+    FROM c
+    GROUP BY vec_id
+    ORDER BY vec_id
+    """,
+)
+def embedding_sq_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INT8 scalar quantization of the embedding store — the simple,
+    oracled compression sibling of `ann_pq_topk`: each dimension gets
+    a corpus-wide [min, max] range and every float becomes
+    ``round(255 * (x - min) / (max - min))``, a 4x shrink (the
+    industry-default "SQ8" codec in FAISS / vector stores; reference
+    stores raw floats, `embeddings/local_embedder.py:46-90`).
+
+    Output is the per-vector quantization QA table a curator acts on:
+    the exact code checksum (proves the codes, value-for-value, in
+    both engines) plus reconstruction MSE / max-abs-error.
+
+    Scale shape: posexplode -> per-DIM min/max (the fit is a d-row
+    aggregate, d = dimensionality, corpus-size-independent) ->
+    broadcast that d-row table back onto the exploded values (codegen
+    equi-join, no shuffle of the big side beyond the one re-agg by
+    vec_id). The d-row broadcast is bounded by the model's dimension
+    count at ANY corpus size — unlike a per-document broadcast this
+    cannot OOM. fp guard: the scaled value is rounded to 6 dp on both
+    engines BEFORE the integer round so float noise can't flip a code
+    boundary (same contract as the portable-hash oracles)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "val")
+    ).select("vec_id", "dim", F.col("val").cast("double").alias("val"))
+    dims = flat.groupBy("dim").agg(
+        F.min("val").alias("mn"), F.max("val").alias("mx")
+    )
+    rng = F.col("mx") - F.col("mn")
+    code = (
+        F.when(
+            rng > 0,
+            F.round(F.round((F.col("val") - F.col("mn")) / rng * 255, 6), 0),
+        )
+        .otherwise(F.lit(0.0))
+        .cast("long")
+    )
+    recon = F.col("mn") + code.cast("double") / 255.0 * rng
+    err = F.col("val") - recon
+    return (
+        flat.join(F.broadcast(dims), "dim")
+        .select("vec_id", code.alias("code"), err.alias("err"))
+        .groupBy("vec_id")
+        .agg(
+            F.sum("code").alias("code_sum"),
+            F.round(F.avg(F.col("err") * F.col("err")), 6).alias("mse"),
+            F.round(F.max(F.abs("err")), 6).alias("max_abs_err"),
+        )
+        .orderBy("vec_id")
+    )

@@ -1466,3 +1466,166 @@ def lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "predicted_lang")
     )
+
+
+@query(
+    "filter_attrition_funnel",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, n_chars,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS words,
+               len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS n_symbols,
+               len(regexp_extract_all(text, '[a-zA-Z0-9]+')) AS n_alnum_runs
+        FROM documents
+    ),
+    m AS (
+        SELECT len(words) AS n_words,
+               ROUND(CAST(n_chars AS DOUBLE)
+                     / GREATEST(len(words), 1), 4) AS mean_word_len,
+               ROUND(CAST(n_symbols AS DOUBLE)
+                     / GREATEST(n_alnum_runs, 1), 4) AS symbol_ratio,
+               ROUND(CAST(len(list_distinct(words)) AS DOUBLE)
+                     / GREATEST(len(words), 1), 4) AS ttr
+        FROM w
+    ),
+    f AS (
+        SELECT n_words,
+               n_words BETWEEN 50 AND 100000 AS ok1,
+               mean_word_len BETWEEN 3 AND 10 AS ok2,
+               symbol_ratio <= 0.1 AS ok3,
+               ttr >= 0.3 AS ok4
+        FROM m
+    ),
+    a AS (
+        SELECT CAST(count(*) AS BIGINT) AS d0,
+               CAST(COALESCE(sum(n_words), 0) AS BIGINT) AS w0,
+               CAST(count(*) FILTER (WHERE ok1) AS BIGINT) AS d1,
+               CAST(COALESCE(sum(n_words) FILTER (WHERE ok1), 0)
+                    AS BIGINT) AS w1,
+               CAST(count(*) FILTER (WHERE ok1 AND ok2) AS BIGINT) AS d2,
+               CAST(COALESCE(sum(n_words) FILTER (WHERE ok1 AND ok2), 0)
+                    AS BIGINT) AS w2,
+               CAST(count(*) FILTER (WHERE ok1 AND ok2 AND ok3)
+                    AS BIGINT) AS d3,
+               CAST(COALESCE(
+                    sum(n_words) FILTER (WHERE ok1 AND ok2 AND ok3), 0)
+                    AS BIGINT) AS w3,
+               CAST(count(*) FILTER (WHERE ok1 AND ok2 AND ok3 AND ok4)
+                    AS BIGINT) AS d4,
+               CAST(COALESCE(
+                    sum(n_words)
+                        FILTER (WHERE ok1 AND ok2 AND ok3 AND ok4), 0)
+                    AS BIGINT) AS w4
+        FROM f
+    )
+    SELECT stage_idx, stage, docs, words,
+           ROUND(CAST(docs AS DOUBLE) / GREATEST(d0, 1), 6) AS doc_share,
+           ROUND(CAST(words AS DOUBLE) / GREATEST(w0, 1), 6)
+               AS word_share
+    FROM (
+        SELECT 0 AS stage_idx, 'ingest' AS stage,
+               d0 AS docs, w0 AS words, d0, w0 FROM a
+        UNION ALL SELECT 1, 'word_count', d1, w1, d0, w0 FROM a
+        UNION ALL SELECT 2, 'word_len', d2, w2, d0, w0 FROM a
+        UNION ALL SELECT 3, 'symbols', d3, w3, d0, w0 FROM a
+        UNION ALL SELECT 4, 'diversity', d4, w4, d0, w0 FROM a
+    )
+    ORDER BY stage_idx
+    """,
+)
+def filter_attrition_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stage attrition funnel through the Gopher quality gates —
+    the curation deliverable every corpus release publishes next to
+    the rules themselves (C4 / RefinedWeb / Dolma report exactly this
+    table): after each gate applied IN ORDER, how many documents and
+    how much token mass survive, as counts and as shares of ingest.
+    `gopher_quality_flags` gives per-document observability; this
+    gives the corpus-level cost of each threshold, which is what a
+    curator tunes against.
+
+    Scale shape: the same ONE narrow scan as the flags query (no
+    explode), folded into a single 1-row aggregate of conditional
+    sums, then `stack`ed into 5 presentation rows on the driver-side
+    1-row result — corpus-size-independent memory past the scan, no
+    shuffle except the 1-row agg exchange. At 100 TB this is the
+    cheapest possible full-corpus pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+        lambda x: x != "",
+    )
+    n_words = F.size(words)
+    n_symbols = F.size(
+        F.regexp_extract_all("text", F.lit("[^a-zA-Z0-9 ]"), F.lit(0))
+    )
+    n_alnum = F.size(
+        F.regexp_extract_all("text", F.lit("[a-zA-Z0-9]+"), F.lit(0))
+    )
+    mean_word_len = F.round(
+        F.col("n_chars") / F.greatest(n_words, F.lit(1)), 4
+    )
+    symbol_ratio = F.round(
+        n_symbols / F.greatest(n_alnum, F.lit(1)).cast("double"), 4
+    )
+    ttr = F.round(
+        F.size(F.array_distinct(words))
+        / F.greatest(n_words, F.lit(1)).cast("double"),
+        4,
+    )
+    f = docs.select(
+        n_words.cast("long").alias("n_words"),
+        ((n_words >= 50) & (n_words <= 100000)).alias("ok1"),
+        mean_word_len.between(3, 10).alias("ok2"),
+        (symbol_ratio <= 0.1).alias("ok3"),
+        (ttr >= 0.3).alias("ok4"),
+    )
+
+    def surv(cond, tag):
+        return [
+            F.count(F.when(cond, True)).alias(f"d{tag}"),
+            F.coalesce(
+                F.sum(F.when(cond, F.col("n_words"))), F.lit(0)
+            ).alias(f"w{tag}"),
+        ]
+
+    keep1 = F.col("ok1")
+    keep2 = keep1 & F.col("ok2")
+    keep3 = keep2 & F.col("ok3")
+    keep4 = keep3 & F.col("ok4")
+    agg = f.agg(
+        F.count(F.lit(1)).alias("d0"),
+        F.coalesce(F.sum("n_words"), F.lit(0)).alias("w0"),
+        *surv(keep1, "1"),
+        *surv(keep2, "2"),
+        *surv(keep3, "3"),
+        *surv(keep4, "4"),
+    )
+    staged = agg.select(
+        F.expr(
+            "stack(5,"
+            " 0, 'ingest',     d0, w0,"
+            " 1, 'word_count', d1, w1,"
+            " 2, 'word_len',   d2, w2,"
+            " 3, 'symbols',    d3, w3,"
+            " 4, 'diversity',  d4, w4"
+            ") AS (stage_idx, stage, docs, words)"
+        ),
+        "d0",
+        "w0",
+    )
+    return staged.select(
+        "stage_idx",
+        "stage",
+        "docs",
+        "words",
+        F.round(
+            F.col("docs") / F.greatest(F.col("d0"), F.lit(1)).cast("double"),
+            6,
+        ).alias("doc_share"),
+        F.round(
+            F.col("words")
+            / F.greatest(F.col("w0"), F.lit(1)).cast("double"),
+            6,
+        ).alias("word_share"),
+    ).orderBy("stage_idx")
