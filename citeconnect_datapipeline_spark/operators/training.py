@@ -1000,3 +1000,251 @@ def mixture_temperature_weights(
         )
         .orderBy("source")
     )
+
+
+@query(
+    "label_outlier_flags",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, label,
+               CAST(unnest(embedding) AS DOUBLE) AS val,
+               generate_subscripts(embedding, 1) AS dim
+        FROM embeddings
+    ),
+    c AS (
+        SELECT label AS clabel, dim, avg(val) AS cval
+        FROM e GROUP BY 1, 2
+    ),
+    cn AS (
+        SELECT clabel, sqrt(sum(cval * cval)) AS cnorm FROM c GROUP BY 1
+    ),
+    vn AS (
+        SELECT vec_id, sqrt(sum(val * val)) AS vnorm FROM e GROUP BY 1
+    ),
+    cos AS (
+        SELECT d.vec_id, d.clabel,
+               ROUND(d.dot / (vn.vnorm * cn.cnorm), 6) AS cos_sim
+        FROM (
+            SELECT vec_id, clabel, sum(val * cval) AS dot
+            FROM e JOIN c USING (dim)
+            GROUP BY 1, 2
+        ) d
+        JOIN vn USING (vec_id) JOIN cn USING (clabel)
+    ),
+    labeled AS (
+        SELECT cos.vec_id, emb.label, cos.clabel, cos.cos_sim
+        FROM cos JOIN embeddings emb ON cos.vec_id = emb.vec_id
+    ),
+    own AS (
+        SELECT vec_id, label, cos_sim AS own_cos
+        FROM labeled WHERE clabel = label
+    ),
+    best_other AS (
+        SELECT vec_id, clabel AS best_other_label,
+               cos_sim AS best_other_cos
+        FROM (
+            SELECT vec_id, clabel, cos_sim,
+                   row_number() OVER (
+                       PARTITION BY vec_id
+                       ORDER BY cos_sim DESC, clabel
+                   ) AS rn
+            FROM labeled WHERE clabel <> label
+        ) WHERE rn = 1
+    )
+    SELECT o.vec_id, o.label, o.own_cos,
+           b.best_other_label, b.best_other_cos,
+           CAST(b.best_other_cos > o.own_cos AS BOOLEAN) AS mislabel
+    FROM own o JOIN best_other b USING (vec_id)
+    ORDER BY vec_id
+    """,
+)
+def label_outlier_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confident-learning-style LABEL QA over the labeled embedding
+    store (Northcutt et al. 2021's signal, reduced to its geometric
+    core): a vector whose cosine to some OTHER class centroid exceeds
+    the cosine to its own class centroid is flagged as a probable
+    mislabel. Curation pipelines run exactly this gate before
+    training classifiers on weak labels; the reference's bias module
+    reports slice disparities but never audits the labels themselves.
+
+    Scale shape: centroids are an (L x d)-row aggregate (L = label
+    count, corpus-size-independent) broadcast back onto the exploded
+    vectors; the per-vector x per-label dot products re-aggregate in
+    ONE shuffle keyed by (vec_id, label). Total expansion is a factor
+    of L over the exploded scan — bounded by the label-space size, not
+    the corpus. Cosines are rounded to 6 dp BEFORE the best-other
+    argmax (tie-broken by label asc) on both engines, so fp summation
+    order can't flip the winner."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("dim", "val"),
+    ).select(
+        "vec_id", "label", "dim", F.col("val").cast("double").alias("val")
+    )
+    cents = flat.groupBy(
+        F.col("label").alias("clabel"), "dim"
+    ).agg(F.avg("val").alias("cval"))
+    cnorm = cents.groupBy("clabel").agg(
+        F.sqrt(F.sum(F.col("cval") * F.col("cval"))).alias("cnorm")
+    )
+    vnorm = flat.groupBy("vec_id").agg(
+        F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("vnorm")
+    )
+    dots = (
+        flat.join(F.broadcast(cents), "dim")
+        .groupBy("vec_id", "label", "clabel")
+        .agg(F.sum(F.col("val") * F.col("cval")).alias("dot"))
+    )
+    cos = (
+        dots.join(vnorm, "vec_id")
+        .join(F.broadcast(cnorm), "clabel")
+        .select(
+            "vec_id",
+            "label",
+            "clabel",
+            F.round(
+                F.col("dot") / (F.col("vnorm") * F.col("cnorm")), 6
+            ).alias("cos_sim"),
+        )
+    )
+    own = cos.filter(F.col("clabel") == F.col("label")).select(
+        "vec_id", "label", F.col("cos_sim").alias("own_cos")
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("cos_sim"), F.asc("clabel")
+    )
+    best_other = (
+        cos.filter(F.col("clabel") != F.col("label"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            F.col("clabel").alias("best_other_label"),
+            F.col("cos_sim").alias("best_other_cos"),
+        )
+    )
+    return (
+        own.join(best_other, "vec_id")
+        .select(
+            "vec_id",
+            "label",
+            "own_cos",
+            "best_other_label",
+            "best_other_cos",
+            (F.col("best_other_cos") > F.col("own_cos")).alias("mislabel"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+CONTAM_MIN_SHARED = 5
+
+
+@query(
+    "decontaminate_corpus",
+    oracle=f"""
+    WITH words AS (
+        SELECT doc_id, string_split_regex(lower(text), '[^a-z0-9]+') AS w
+        FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(list_slice(w, i, i + 2), ' ') AS shingle
+        FROM words, UNNEST(range(1, greatest(len(w) - 1, 2))) AS t(i)
+        WHERE array_to_string(list_slice(w, i, i + 2), ' ') <> ''
+    ),
+    pair AS (
+        SELECT c.doc_id, b.doc_id AS bench_id, COUNT(*) AS n_shared
+        FROM sh c JOIN sh b USING (shingle)
+        WHERE b.doc_id % {BENCHMARK_STRIDE} = 0
+          AND c.doc_id % {BENCHMARK_STRIDE} <> 0
+        GROUP BY 1, 2
+    ),
+    shared AS (
+        SELECT doc_id, MAX(n_shared) AS max_shared
+        FROM pair GROUP BY 1
+    ),
+    flags AS (
+        SELECT d.source, d.n_chars,
+               COALESCE(s.max_shared, 0) >= {CONTAM_MIN_SHARED} AS dropped
+        FROM documents d LEFT JOIN shared s USING (doc_id)
+        WHERE d.doc_id % {BENCHMARK_STRIDE} <> 0
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS docs_total,
+           CAST(COUNT(*) FILTER (WHERE dropped) AS BIGINT)
+               AS docs_dropped,
+           CAST(COUNT(*) FILTER (WHERE NOT dropped) AS BIGINT)
+               AS docs_kept,
+           CAST(COALESCE(sum(n_chars) FILTER (WHERE NOT dropped), 0)
+                AS BIGINT) AS chars_kept,
+           ROUND(CAST(COUNT(*) FILTER (WHERE dropped) AS DOUBLE)
+                 / COUNT(*), 6) AS drop_share
+    FROM flags
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def decontaminate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ACTING step on top of `benchmark_contamination` (which only
+    ranks): drop every candidate training doc that shares at least
+    CONTAM_MIN_SHARED (=5) distinct 3-word shingles with any SINGLE
+    benchmark doc — the per-eval-example grain GPT-3's 13-gram and
+    Llama's token-overlap decontamination use (a union-of-benchmark
+    criterion saturates: common phrases accumulate across eval docs
+    until most of the corpus trips it) — and publish the per-source
+    attrition a release datasheet reports (docs kept/dropped,
+    surviving char mass, drop share).
+
+    Scale: the benchmark shingle table broadcasts at ANY corpus size
+    (a real eval set is KBs), so candidates are filtered map-side off
+    the one exploded scan; only the per-(doc,bench) count re-agg and
+    the final per-source rollup shuffle — both keyed, both small."""
+    from .dedup import _shingle_hashes
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingle_hashes(docs)
+    bench_sh = F.broadcast(
+        sh.filter(F.col("doc_id") % BENCHMARK_STRIDE == 0)
+        .withColumnRenamed("doc_id", "bench_id")
+    )
+    shared = (
+        sh.filter(F.col("doc_id") % BENCHMARK_STRIDE != 0)
+        .join(bench_sh, "sh")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count("*").alias("n_shared"))
+        .groupBy("doc_id")
+        .agg(F.max("n_shared").alias("max_shared"))
+    )
+    flags = (
+        docs.filter(F.col("doc_id") % BENCHMARK_STRIDE != 0)
+        .join(shared, "doc_id", "left")
+        .select(
+            "source",
+            "n_chars",
+            (
+                F.coalesce(F.col("max_shared"), F.lit(0))
+                >= CONTAM_MIN_SHARED
+            ).alias("dropped"),
+        )
+    )
+    kept = ~F.col("dropped")
+    return (
+        flags.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("docs_total"),
+            F.count(F.when(F.col("dropped"), True)).alias("docs_dropped"),
+            F.count(F.when(kept, True)).alias("docs_kept"),
+            F.coalesce(
+                F.sum(F.when(kept, F.col("n_chars"))), F.lit(0)
+            ).cast("long").alias("chars_kept"),
+            F.round(
+                F.count(F.when(F.col("dropped"), True))
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("drop_share"),
+        )
+        .orderBy("source")
+    )
