@@ -1629,3 +1629,107 @@ def filter_attrition_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("word_share"),
     ).orderBy("stage_idx")
+
+
+BM25_TERMS = ("hash", "join", "vector")
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+@query(
+    "bm25_search",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS words
+        FROM documents
+    ),
+    dl AS (SELECT doc_id, len(words) AS dl, words FROM d),
+    s AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl
+    ),
+    tf AS (
+        SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf
+        FROM (SELECT doc_id, dl, unnest(words) AS term FROM dl)
+        WHERE term IN ('hash', 'join', 'vector')
+        GROUP BY 1, 2, 3
+    ),
+    df AS (
+        SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+        FROM tf GROUP BY 1
+    )
+    SELECT tf.doc_id,
+           CAST(count(*) AS BIGINT) AS matched_terms,
+           ROUND(SUM(
+               ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+               * tf.tf * ({BM25_K1} + 1)
+               / (tf.tf + {BM25_K1}
+                  * (1 - {BM25_B} + {BM25_B} * tf.dl / s.avgdl))
+           ), 6) AS score
+    FROM tf JOIN df USING (term), s
+    GROUP BY tf.doc_id
+    ORDER BY score DESC, doc_id
+    LIMIT 20
+    """,
+)
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical retrieval over the corpus: Okapi BM25 (Robertson's
+    formula with Lucene's non-negative idf) for a fixed conjunctive
+    term set, top-20 by score — the keyword-search complement of
+    `cosine_topk`'s dense retrieval; production search is exactly this
+    pair plus a fusion step.
+
+    Scale shape is the inverted-index one: ONE tokenize+explode scan
+    whose term filter is pushed directly above the generate (posting
+    lists for the query terms only survive), a (doc,term) count
+    shuffle, a |terms|-row document-frequency broadcast joined back,
+    and the corpus stats (N, avg doc length) as a 1-row scalar
+    broadcast — no per-document table ever ships. Scores are rounded
+    to 6 dp BEFORE the rank/limit and tie-broken by doc_id, so ULP
+    differences between JVM and libm ln() can't reorder the top-k."""
+    from ..sources.tables import spread_small_source
+
+    docs = spread_small_source(load_table(spark, sf_dir, "documents"))
+    words = F.array_remove(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"), ""
+    )
+    base = docs.select(
+        "doc_id", words.alias("words"), F.size(words).alias("dl")
+    )
+    stats = F.broadcast(
+        base.agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.avg("dl").alias("avgdl"),
+        )
+    )
+    tf = (
+        base.select("doc_id", "dl", F.explode("words").alias("term"))
+        .filter(F.col("term").isin(*BM25_TERMS))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    df = F.broadcast(
+        tf.groupBy("term").agg(
+            F.countDistinct("doc_id").cast("double").alias("df")
+        )
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = F.col("tf") + BM25_K1 * (
+        1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")
+    )
+    term_score = idf * F.col("tf") * (BM25_K1 + 1.0) / denom
+    return (
+        tf.join(df, "term")
+        .crossJoin(stats)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("matched_terms"),
+            F.round(F.sum(term_score), 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(20)
+    )

@@ -22,6 +22,7 @@ SF_DIR = "/root/testdata/sf0.001"
 NESTED_LOOP_OK = {
     "ann_ivf_topk",
     "ann_lsh_topk",
+    "bm25_search",  # corpus stats (N, avgdl): 1-row scalar broadcast
     "class_balance_sample",
     "copurchase_pmi_topk",  # PMI denominator: 1-row broadcast (was a
     # driver-side distinct-count barrier before round 3)
