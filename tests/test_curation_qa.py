@@ -1,0 +1,189 @@
+"""Behavioral tests for the round-4 curation/retrieval additions on
+CRAFTED corpora (the oracle audit proves engine parity on the driver
+tables; these prove the operators detect what they claim to detect).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+DOC_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+        StructField("source", StringType()),
+        StructField("n_chars", LongType()),
+    ]
+)
+EMB_SCHEMA = StructType(
+    [
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(FloatType())),
+        StructField("label", IntegerType()),
+    ]
+)
+
+
+def _write_docs(spark, tmp_path, rows):
+    rows = [
+        (int(i), t, "en", "src", len(t)) for i, t in rows
+    ]
+    spark.createDataFrame(rows, DOC_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(str(tmp_path), "documents.parquet"))
+    return str(tmp_path)
+
+
+def _write_embs(spark, tmp_path, rows):
+    rows = [(int(i), [float(x) for x in v], int(lb)) for i, v, lb in rows]
+    spark.createDataFrame(rows, EMB_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(str(tmp_path), "embeddings.parquet"))
+    return str(tmp_path)
+
+
+def test_bm25_ranks_term_dense_doc_first(spark, tmp_path):
+    from citeconnect_datapipeline_spark.operators.text import bm25_search
+
+    filler = "alpha beta gamma delta " * 30
+    rows = [
+        (0, "hash join vector " * 20),           # dense in all terms
+        (1, filler + "hash join vector"),         # one mention each
+        (2, filler),                              # no query terms
+        (3, filler + "hash hash"),                # one term only
+    ]
+    out = bm25_search(spark, _write_docs(spark, tmp_path, rows)).collect()
+    ids = [r["doc_id"] for r in out]
+    assert ids[0] == 0, "term-dense doc must rank first"
+    assert 2 not in ids, "doc without any query term must not match"
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[0]["matched_terms"] == 3
+    assert by_id[3]["matched_terms"] == 1
+    assert all(r["score"] > 0 for r in out)
+
+
+def test_label_outlier_flags_planted_mislabel(spark, tmp_path):
+    from citeconnect_datapipeline_spark.operators.training import (
+        label_outlier_flags,
+    )
+
+    # Two tight clusters on orthogonal axes; vec 99 sits in cluster B
+    # but carries cluster A's label.
+    rows = []
+    for i in range(10):
+        rows.append((i, [1.0, 0.01 * i, 0.0, 0.0], 0))
+    for i in range(10, 20):
+        rows.append((i, [0.0, 0.01 * i, 1.0, 0.0], 1))
+    rows.append((99, [0.0, 0.05, 1.0, 0.0], 0))  # mislabeled
+    out = label_outlier_flags(
+        spark, _write_embs(spark, tmp_path, rows)
+    ).collect()
+    flags = {r["vec_id"]: r["mislabel"] for r in out}
+    assert flags[99] is True
+    assert sum(flags[i] for i in range(20)) == 0, (
+        "clean cluster members must not be flagged"
+    )
+    planted = next(r for r in out if r["vec_id"] == 99)
+    assert planted["best_other_label"] == 1
+
+
+def test_attrition_funnel_is_monotone_and_anchored(spark, sf_dir):
+    from citeconnect_datapipeline_spark.operators.text import (
+        filter_attrition_funnel,
+    )
+
+    rows = filter_attrition_funnel(spark, sf_dir).collect()
+    assert [r["stage_idx"] for r in rows] == [0, 1, 2, 3, 4]
+    docs = [r["docs"] for r in rows]
+    words = [r["words"] for r in rows]
+    assert all(a >= b for a, b in zip(docs, docs[1:]))
+    assert all(a >= b for a, b in zip(words, words[1:]))
+    assert rows[0]["doc_share"] == 1.0 and rows[0]["word_share"] == 1.0
+    # funnel head equals the corpus, tail equals the gopher keep count
+    from citeconnect_datapipeline_spark.operators.text import (
+        gopher_quality_flags,
+    )
+
+    g = gopher_quality_flags(spark, sf_dir)
+    assert rows[0]["docs"] == g.count()
+    assert rows[4]["docs"] == g.filter("keep").count()
+
+
+def test_sq8_codes_bounded_and_lossless_on_constant_dims(spark, tmp_path):
+    from citeconnect_datapipeline_spark.operators.similarity import (
+        embedding_sq_int8,
+    )
+
+    rows = [
+        (0, [0.0, 5.0, -1.0], 0),
+        (1, [1.0, 5.0, 1.0], 0),
+        (2, [0.5, 5.0, 3.0], 0),
+    ]
+    out = embedding_sq_int8(
+        spark, _write_embs(spark, tmp_path, rows)
+    ).collect()
+    d = len(rows[0][1])
+    for r in out:
+        assert 0 <= r["code_sum"] <= 255 * d
+        assert r["mse"] >= 0 and r["max_abs_err"] >= 0
+        # 8-bit grid on ranges of width <= 4 keeps error under half a
+        # quantization step of the widest dim
+        assert r["max_abs_err"] <= 4.0 / 255 / 2 + 1e-9
+    # a row sitting on the grid in every dim is lossless: row 0 is the
+    # per-dim minimum everywhere (constant dim included)
+    by_id = {r["vec_id"]: r for r in out}
+    assert by_id[0]["max_abs_err"] == 0.0
+
+
+def test_decontaminate_drops_benchmark_copy_only(spark, tmp_path):
+    from citeconnect_datapipeline_spark.operators.training import (
+        decontaminate_corpus,
+    )
+
+    bench_text = (
+        "quick brown fox jumps over the lazy dog near the riverbank "
+        "while seven wizards mix potent elixirs at midnight"
+    )
+    clean = "totally unrelated prose about spark plans and shuffles "
+    rows = [
+        (50, bench_text),          # benchmark doc (id % 50 == 0)
+        (1, bench_text + " extra"),  # near-copy -> dropped
+        (2, clean * 5),             # clean -> kept
+        (3, clean * 3 + " another clean body of words"),
+    ]
+    out = decontaminate_corpus(
+        spark, _write_docs(spark, tmp_path, rows)
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["docs_total"] == 3  # benchmark doc itself excluded
+    assert r["docs_dropped"] == 1
+    assert r["docs_kept"] == 2
+    assert r["docs_total"] == r["docs_dropped"] + r["docs_kept"]
+    assert 0.0 <= r["drop_share"] <= 1.0
+
+
+def test_bm25_idf_downweights_ubiquitous_term(spark, tmp_path):
+    from citeconnect_datapipeline_spark.operators.text import bm25_search
+
+    # 'hash' appears once in EVERY doc; 'vector' once in ONE doc. Same
+    # tf, same doc length -> the rare term must contribute more.
+    filler = "alpha beta gamma delta epsilon zeta " * 10
+    rows = [(i, filler + "hash") for i in range(9)]
+    rows.append((9, filler + "vector"))
+    out = bm25_search(spark, _write_docs(spark, tmp_path, rows)).collect()
+    by_id = {r["doc_id"]: r["score"] for r in out}
+    assert by_id[9] > by_id[0]
