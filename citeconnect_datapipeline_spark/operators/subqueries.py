@@ -275,3 +275,77 @@ def min_cost_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY p.p_partkey, s.s_name
         """
     )
+
+
+_Q21_SQL = """
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+"""
+
+
+@query("sole_failed_supplier_wait", oracle=_Q21_SQL)
+def sole_failed_supplier_wait(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (the hardest decorrelation case in the suite):
+    suppliers who were the SOLE supplier with returned lineitems in a
+    finished multi-supplier order — one correlated EXISTS and one
+    correlated NOT EXISTS over the same fact table, both correlated on
+    the order key with a supplier inequality. Catalyst rewrites the
+    pair into a left-semi and a left-anti join against lineitem
+    (RewritePredicateSubquery); all three lineitem legs shuffle on
+    l_orderkey, so AQE reuses one exchange layout instead of
+    re-scanning. (The classic Q21 predicate compares receipt and
+    commit dates; this lake has no such columns, so `l_returnflag='R'`
+    plays the 'failed delivery' role — the subquery STRUCTURE, which
+    is what exercises the optimizer, is unchanged.)"""
+    _views(spark, sf_dir, "supplier", "lineitem", "orders")
+    return spark.sql(_Q21_SQL)
+
+
+_Q20_SQL = """
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    WHERE s.s_suppkey IN (
+        SELECT sp.l_suppkey FROM (
+            SELECT l_partkey, l_suppkey, SUM(l_quantity) AS q
+            FROM lineitem GROUP BY l_partkey, l_suppkey
+        ) sp
+        WHERE sp.l_partkey IN (
+            SELECT p_partkey FROM part WHERE p_size >= 40
+        )
+          AND sp.q > (
+            SELECT 0.1 * SUM(l2.l_quantity) FROM lineitem l2
+            WHERE l2.l_partkey = sp.l_partkey
+          )
+    )
+    ORDER BY s.s_suppkey
+"""
+
+
+@query("dominant_part_suppliers", oracle=_Q20_SQL)
+def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: an IN whose subquery itself contains BOTH a
+    nested IN (parts over a size gate) and a correlated scalar
+    aggregate (each supplier's shipped quantity of a part vs 10% of
+    that part's corpus-wide total — the availqty-vs-half-of-demand
+    test, re-expressed over lineitem because this lake has no
+    partsupp). Catalyst decorrelates the scalar into an aggregate
+    joined on l_partkey and turns both INs into semi joins; the two
+    lineitem aggregations group on the same l_partkey prefix, so the
+    shuffle layout is shared. Quantities are integral, so the double
+    sums are exact and the 0.1x threshold compares identically in
+    both engines."""
+    _views(spark, sf_dir, "supplier", "lineitem", "part")
+    return spark.sql(_Q20_SQL)
