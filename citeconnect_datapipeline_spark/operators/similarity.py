@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
@@ -775,4 +775,118 @@ def embedding_sq_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max(F.abs("err")), 6).alias("max_abs_err"),
         )
         .orderBy("vec_id")
+    )
+
+
+RRF_K = 60
+
+
+@query(
+    "hybrid_rrf_search",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS words
+        FROM documents
+    ),
+    dl AS (SELECT doc_id, len(words) AS dl, words FROM d),
+    s AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl
+    ),
+    tf AS (
+        SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf
+        FROM (SELECT doc_id, dl, unnest(words) AS term FROM dl)
+        WHERE term IN ('hash', 'join', 'vector')
+        GROUP BY 1, 2, 3
+    ),
+    dfreq AS (
+        SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+        FROM tf GROUP BY 1
+    ),
+    bm AS (
+        SELECT tf.doc_id,
+               ROUND(SUM(
+                   ln(1 + (s.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                   * tf.tf * 2.2
+                   / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / s.avgdl))
+               ), 6) AS score
+        FROM tf JOIN dfreq USING (term), s
+        GROUP BY tf.doc_id
+        ORDER BY score DESC, doc_id
+        LIMIT 20
+    ),
+    bmr AS (
+        SELECT doc_id AS id,
+               CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                    AS BIGINT) AS lex_rank
+        FROM bm
+    ),
+    q AS (
+        SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0
+    ),
+    cs AS (
+        SELECT e.vec_id,
+               ROUND(list_cosine_similarity(
+                   CAST(e.embedding AS DOUBLE[]), CAST(q.qvec AS DOUBLE[])
+               ), 6) AS sim
+        FROM embeddings e, q
+        WHERE e.vec_id <> 0
+        ORDER BY sim DESC, e.vec_id
+        LIMIT 10
+    ),
+    csr AS (
+        SELECT vec_id AS id,
+               CAST(row_number() OVER (ORDER BY sim DESC, vec_id)
+                    AS BIGINT) AS sem_rank
+        FROM cs
+    )
+    SELECT COALESCE(b.id, c.id) AS id,
+           ROUND(COALESCE(1.0 / ({RRF_K} + b.lex_rank), 0)
+                 + COALESCE(1.0 / ({RRF_K} + c.sem_rank), 0), 6)
+               AS rrf_score,
+           b.lex_rank, c.sem_rank
+    FROM bmr b FULL OUTER JOIN csr c ON b.id = c.id
+    ORDER BY rrf_score DESC, id
+    LIMIT 20
+    """,
+)
+def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion (Cormack et al. 2009,
+    k=60 — the production-standard hybrid-search combiner in
+    Elasticsearch/Weaviate/Vespa) of the engine's LEXICAL leg
+    (`bm25_search` top-20) and DENSE leg (`cosine_topk` top-10,
+    vector ids addressing the same corpus id space). Docs surfacing
+    in both legs sum both reciprocal ranks; single-leg docs keep one
+    term — the full outer join is the fusion's defining shape.
+
+    Scale: each leg is already scale-shaped (inverted index /
+    brute-force-with-ANN-escape); fusion itself touches only the two
+    top-k result sets — constant-size work regardless of corpus size.
+    Ranks derive from scores ROUNDED to 6 dp with id tie-breaks, so
+    both engines rank identically before the fusion arithmetic."""
+    from .text import bm25_search
+
+    bm = bm25_search(spark, sf_dir)
+    w_lex = Window.orderBy(F.desc("score"), "doc_id")
+    bmr = bm.select(
+        F.col("doc_id").alias("id"),
+        F.row_number().over(w_lex).cast("long").alias("lex_rank"),
+    )
+    cs = cosine_topk(spark, sf_dir)
+    w_sem = Window.orderBy(F.desc("similarity"), "vec_id")
+    csr = cs.select(
+        F.col("vec_id").alias("id"),
+        F.row_number().over(w_sem).cast("long").alias("sem_rank"),
+    )
+    rrf = F.round(
+        F.coalesce(1.0 / (RRF_K + F.col("lex_rank")), F.lit(0.0))
+        + F.coalesce(1.0 / (RRF_K + F.col("sem_rank")), F.lit(0.0)),
+        6,
+    )
+    return (
+        bmr.join(csr, "id", "full_outer")
+        .select("id", rrf.alias("rrf_score"), "lex_rank", "sem_rank")
+        .orderBy(F.desc("rrf_score"), "id")
+        .limit(20)
     )

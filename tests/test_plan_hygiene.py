@@ -23,6 +23,8 @@ NESTED_LOOP_OK = {
     "ann_ivf_topk",
     "ann_lsh_topk",
     "bm25_search",  # corpus stats (N, avgdl): 1-row scalar broadcast
+    "hybrid_rrf_search",  # inherits bm25's stats row + cosine's 1-row
+    # query-vector broadcast
     "class_balance_sample",
     "copurchase_pmi_topk",  # PMI denominator: 1-row broadcast (was a
     # driver-side distinct-count barrier before round 3)
