@@ -38,7 +38,10 @@ from .operators.similarity import (
     build_ivf_index,
     embed_with_model,
     search_ivf_index,
+    sq8_quantization_report,
 )
+from .operators.text import bm25_rank
+from .operators.training import decontaminate, label_outliers
 from .operators.skew import (
     replicated_broadcast_join,
     salted_count_by_key,
@@ -84,6 +87,12 @@ similarity = SimpleNamespace(
     embed_with_model=embed_with_model,
     build_ivf_index=build_ivf_index,
     search_ivf_index=search_ivf_index,
+    sq8_quantization_report=sq8_quantization_report,
+)
+retrieval = SimpleNamespace(bm25_rank=bm25_rank)
+curation = SimpleNamespace(
+    decontaminate=decontaminate,
+    label_outliers=label_outliers,
 )
 multimodal = SimpleNamespace(with_media_columns=with_media_columns)
 timeseries = SimpleNamespace(sessionize=sessionize, asof_join=asof_join)
@@ -123,6 +132,8 @@ __all__ = [
     "classifier",
     "tokenizer",
     "similarity",
+    "retrieval",
+    "curation",
     "multimodal",
     "timeseries",
     "skew",

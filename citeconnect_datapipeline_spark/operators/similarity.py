@@ -747,7 +747,15 @@ def embedding_sq_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     cannot OOM. fp guard: the scaled value is rounded to 6 dp on both
     engines BEFORE the integer round so float noise can't flip a code
     boundary (same contract as the portable-hash oracles)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    return sq8_quantization_report(load_table(spark, sf_dir, "embeddings"))
+
+
+def sq8_quantization_report(emb: DataFrame) -> DataFrame:
+    """DataFrame-level core of ``embedding_sq_int8`` (see its
+    docstring): int8 scalar quantization QA over any
+    ``vec_id``/``embedding: array<float>`` frame — per-vector code
+    checksum plus reconstruction MSE / max-abs-error against the
+    corpus-wide per-dim [min, max] grid."""
     flat = emb.select(
         "vec_id", F.posexplode("embedding").alias("dim", "val")
     ).select("vec_id", "dim", F.col("val").cast("double").alias("val"))

@@ -1636,6 +1636,66 @@ BM25_K1 = 1.2
 BM25_B = 0.75
 
 
+def bm25_rank(
+    docs: DataFrame,
+    terms=BM25_TERMS,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    top_k: int = 20,
+) -> DataFrame:
+    """DataFrame-level Okapi BM25 (Lucene non-negative idf) over a
+    ``doc_id``/``text`` frame for a fixed term set — the library core
+    behind the ``bm25_search`` registry query; see its docstring for
+    the inverted-index scale shape. Returns top_k rows of
+    (doc_id, matched_terms, score) with scores rounded to 6 dp before
+    the rank and doc_id tie-breaks."""
+    from ..sources.tables import spread_small_source
+
+    docs = spread_small_source(docs)
+    words = F.array_remove(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"), ""
+    )
+    base = docs.select(
+        "doc_id", words.alias("words"), F.size(words).alias("dl")
+    )
+    stats = F.broadcast(
+        base.agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.avg("dl").alias("avgdl"),
+        )
+    )
+    tf = (
+        base.select("doc_id", "dl", F.explode("words").alias("term"))
+        .filter(F.col("term").isin(*terms))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    df = F.broadcast(
+        tf.groupBy("term").agg(
+            F.countDistinct("doc_id").cast("double").alias("df")
+        )
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = F.col("tf") + k1 * (
+        1.0 - b + b * F.col("dl") / F.col("avgdl")
+    )
+    term_score = idf * F.col("tf") * (k1 + 1.0) / denom
+    return (
+        tf.join(df, "term")
+        .crossJoin(stats)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("matched_terms"),
+            F.round(F.sum(term_score), 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(top_k)
+    )
+
+
 @query(
     "bm25_search",
     oracle=f"""
@@ -1688,48 +1748,4 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast — no per-document table ever ships. Scores are rounded
     to 6 dp BEFORE the rank/limit and tie-broken by doc_id, so ULP
     differences between JVM and libm ln() can't reorder the top-k."""
-    from ..sources.tables import spread_small_source
-
-    docs = spread_small_source(load_table(spark, sf_dir, "documents"))
-    words = F.array_remove(
-        F.split(F.lower(F.col("text")), "[^a-z0-9]+"), ""
-    )
-    base = docs.select(
-        "doc_id", words.alias("words"), F.size(words).alias("dl")
-    )
-    stats = F.broadcast(
-        base.agg(
-            F.count(F.lit(1)).cast("double").alias("n"),
-            F.avg("dl").alias("avgdl"),
-        )
-    )
-    tf = (
-        base.select("doc_id", "dl", F.explode("words").alias("term"))
-        .filter(F.col("term").isin(*BM25_TERMS))
-        .groupBy("doc_id", "dl", "term")
-        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
-    )
-    df = F.broadcast(
-        tf.groupBy("term").agg(
-            F.countDistinct("doc_id").cast("double").alias("df")
-        )
-    )
-    idf = F.log(
-        F.lit(1.0)
-        + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
-    )
-    denom = F.col("tf") + BM25_K1 * (
-        1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")
-    )
-    term_score = idf * F.col("tf") * (BM25_K1 + 1.0) / denom
-    return (
-        tf.join(df, "term")
-        .crossJoin(stats)
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("matched_terms"),
-            F.round(F.sum(term_score), 6).alias("score"),
-        )
-        .orderBy(F.desc("score"), "doc_id")
-        .limit(20)
-    )
+    return bm25_rank(load_table(spark, sf_dir, "documents"))

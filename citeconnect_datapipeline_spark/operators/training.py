@@ -1075,7 +1075,13 @@ def label_outlier_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus. Cosines are rounded to 6 dp BEFORE the best-other
     argmax (tie-broken by label asc) on both engines, so fp summation
     order can't flip the winner."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    return label_outliers(load_table(spark, sf_dir, "embeddings"))
+
+
+def label_outliers(emb: DataFrame) -> DataFrame:
+    """DataFrame-level core of ``label_outlier_flags`` (see its
+    docstring): centroid-cosine mislabel QA over any
+    ``vec_id``/``embedding: array<float>``/``label`` frame."""
     flat = emb.select(
         "vec_id",
         "label",
@@ -1202,16 +1208,29 @@ def decontaminate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     (a real eval set is KBs), so candidates are filtered map-side off
     the one exploded scan; only the per-(doc,bench) count re-agg and
     the final per-source rollup shuffle — both keyed, both small."""
+    docs = load_table(spark, sf_dir, "documents")
+    return decontaminate(
+        docs.filter(F.col("doc_id") % BENCHMARK_STRIDE != 0),
+        docs.filter(F.col("doc_id") % BENCHMARK_STRIDE == 0),
+    )
+
+
+def decontaminate(
+    cand_docs: DataFrame,
+    bench_docs: DataFrame,
+    min_shared: int = CONTAM_MIN_SHARED,
+) -> DataFrame:
+    """DataFrame-level core of ``decontaminate_corpus`` (see its
+    docstring): per-eval-example shingle-overlap decontamination of a
+    candidate ``doc_id``/``text``/``source``/``n_chars`` frame
+    against a (small) benchmark frame, reported per source."""
     from .dedup import _shingle_hashes
 
-    docs = load_table(spark, sf_dir, "documents")
-    sh = _shingle_hashes(docs)
     bench_sh = F.broadcast(
-        sh.filter(F.col("doc_id") % BENCHMARK_STRIDE == 0)
-        .withColumnRenamed("doc_id", "bench_id")
+        _shingle_hashes(bench_docs).withColumnRenamed("doc_id", "bench_id")
     )
     shared = (
-        sh.filter(F.col("doc_id") % BENCHMARK_STRIDE != 0)
+        _shingle_hashes(cand_docs)
         .join(bench_sh, "sh")
         .groupBy("doc_id", "bench_id")
         .agg(F.count("*").alias("n_shared"))
@@ -1219,14 +1238,13 @@ def decontaminate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("n_shared").alias("max_shared"))
     )
     flags = (
-        docs.filter(F.col("doc_id") % BENCHMARK_STRIDE != 0)
-        .join(shared, "doc_id", "left")
+        cand_docs.join(shared, "doc_id", "left")
         .select(
             "source",
             "n_chars",
             (
                 F.coalesce(F.col("max_shared"), F.lit(0))
-                >= CONTAM_MIN_SHARED
+                >= min_shared
             ).alias("dropped"),
         )
     )

@@ -116,3 +116,51 @@ def test_example_curation_script(spark, sf_dir, tmp_path):
     assert summary["n_docs_kept"] < summary["n_docs_in"]
     assert summary["total_bpe_tokens"] > 0
     assert (tmp_path / "curated").exists()
+
+
+def test_retrieval_and_curation_on_inmemory_frames(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "hash join vector hash join", "en", "a", 26),
+            (2, "the quick brown fox keeps no query terms", "en", "a", 40),
+            (3, "vector once amid other words here", "en", "b", 33),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    ranked = api.retrieval.bm25_rank(docs, top_k=5).collect()
+    assert [r["doc_id"] for r in ranked][0] == 1
+    assert all(r["doc_id"] != 2 for r in ranked)
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox keeps no query terms", "en", "q", 40)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rep = {
+        r["source"]: r
+        for r in api.curation.decontaminate(docs, bench, min_shared=3)
+        .collect()
+    }
+    assert rep["a"]["docs_dropped"] == 1  # doc 2 is the benchmark copy
+    assert rep["b"]["docs_dropped"] == 0
+
+
+def test_embedding_qa_on_inmemory_frames(spark):
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0], 0),
+            (1, [0.9, 0.1], 0),
+            (2, [0.0, 1.0], 1),
+            (3, [0.1, 0.9], 1),
+            (4, [0.0, 0.95], 0),  # planted mislabel
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    flags = {
+        r["vec_id"]: r["mislabel"]
+        for r in api.curation.label_outliers(emb).collect()
+    }
+    assert flags[4] is True and flags[0] is False
+
+    qa = api.similarity.sq8_quantization_report(emb).collect()
+    assert len(qa) == 5
+    assert all(r["mse"] >= 0 for r in qa)
