@@ -437,3 +437,92 @@ def mad_outlier_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+@query(
+    "spearman_signal_correlation",
+    oracle="""
+    WITH m AS (
+        SELECT doc_id, source,
+               ROUND(CAST(len(list_distinct(words)) AS DOUBLE)
+                     / GREATEST(len(words), 1), 6) AS ttr,
+               ROUND(CAST(n_chars AS DOUBLE)
+                     / GREATEST(len(words), 1), 6) AS mwl
+        FROM (
+            SELECT doc_id, source, n_chars,
+                   list_filter(
+                       string_split_regex(lower(text), '[^a-z0-9]+'),
+                       x -> x <> '') AS words
+            FROM documents
+        )
+    ),
+    r AS (
+        SELECT source,
+               CAST(row_number() OVER (
+                   PARTITION BY source ORDER BY ttr, doc_id
+               ) AS DOUBLE) AS r1,
+               CAST(row_number() OVER (
+                   PARTITION BY source ORDER BY mwl, doc_id
+               ) AS DOUBLE) AS r2
+        FROM m
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           ROUND(1 - 6 * sum((r1 - r2) * (r1 - r2))
+                     / (count(*) * (count(*) * count(*) - 1.0)), 6)
+               AS spearman_rho
+    FROM r
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def spearman_signal_correlation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-source SPEARMAN rank correlation between two per-document
+    quality signals (type-token ratio vs mean word length) — the
+    signal-agreement diagnostic a curator runs before trusting a
+    cheap proxy signal to stand in for an expensive one (FineWeb's
+    ablation methodology distilled to a query). rho = 1 - 6·Σd²/
+    (n(n²-1)) over tie-broken ranks.
+
+    Scale shape: signals are per-row arithmetic off one narrow scan;
+    the two rank windows and the final rollup all partition by
+    source, so everything rides ONE shuffle keyed on source (rank
+    d² sums are integral — exact in double in both engines). Signals
+    are rounded to 6 dp BEFORE ranking with doc_id tie-breaks, the
+    same fp guard as every ranked oracle here."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.array_remove(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"), ""
+    )
+    nw = F.greatest(F.size(words), F.lit(1))
+    m = docs.select(
+        "doc_id",
+        "source",
+        F.round(
+            F.size(F.array_distinct(words)) / nw.cast("double"), 6
+        ).alias("ttr"),
+        F.round(F.col("n_chars") / nw.cast("double"), 6).alias("mwl"),
+    )
+    from pyspark.sql import Window
+
+    w1 = Window.partitionBy("source").orderBy("ttr", "doc_id")
+    w2 = Window.partitionBy("source").orderBy("mwl", "doc_id")
+    r = m.select(
+        "source",
+        F.row_number().over(w1).cast("double").alias("r1"),
+        F.row_number().over(w2).cast("double").alias("r2"),
+    )
+    n = F.count(F.lit(1))
+    d2 = (F.col("r1") - F.col("r2")) * (F.col("r1") - F.col("r2"))
+    return (
+        r.groupBy("source")
+        .agg(
+            n.alias("n_docs"),
+            F.round(
+                1 - 6 * F.sum(d2) / (n * (n * n - F.lit(1.0))), 6
+            ).alias("spearman_rho"),
+        )
+        .orderBy("source")
+    )
