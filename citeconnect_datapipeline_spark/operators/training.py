@@ -1266,3 +1266,107 @@ def decontaminate(
         )
         .orderBy("source")
     )
+
+
+TOKEN_BUDGET = 1_000_000
+
+
+@query(
+    "token_budget_allocation",
+    oracle=f"""
+    WITH sizes AS (
+        SELECT source,
+               SUM(len(list_filter(
+                   string_split_regex(lower(text), '[^a-z0-9]+'),
+                   x -> x <> ''
+               ))) AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    powed AS (
+        SELECT source, n_tokens,
+               POW(n_tokens, {MIXTURE_ALPHA}) AS p
+        FROM sizes
+    ),
+    wtd AS (
+        SELECT source, n_tokens,
+               ROUND(p / SUM(p) OVER (), 6) AS weight
+        FROM powed
+    ),
+    q AS (
+        SELECT source, n_tokens, weight,
+               CAST(round({TOKEN_BUDGET} * weight) AS BIGINT) AS raw_quota,
+               row_number() OVER (ORDER BY weight DESC, source)
+                   AS adj_rank
+        FROM wtd
+    )
+    SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens, weight,
+           CAST(raw_quota
+                + CASE WHEN adj_rank = 1
+                       THEN {TOKEN_BUDGET} - SUM(raw_quota) OVER ()
+                       ELSE 0 END AS BIGINT) AS quota_tokens,
+           CAST(adj_rank = 1 AS BOOLEAN) AS absorbed_residual,
+           ROUND((raw_quota
+                  + CASE WHEN adj_rank = 1
+                         THEN {TOKEN_BUDGET} - SUM(raw_quota) OVER ()
+                         ELSE 0 END) / CAST(n_tokens AS DOUBLE), 6)
+               AS epochs
+    FROM q
+    ORDER BY source
+    """,
+)
+def token_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ACTING step on `mixture_temperature_weights`: convert the
+    alpha-sampling weights into EXACT integer per-source token quotas
+    for a fixed training budget (TOKEN_BUDGET=1M). Each source gets
+    round(B * weight) — an integer by construction since weights
+    carry 6 decimals and B = 10^6, so nearest-round recovers it
+    identically in both engines — and the heaviest source absorbs the
+    few-token rounding residual so the quotas sum to B exactly.
+    ``epochs`` > 1 means the source repeats during training (the
+    tail-upsampling the temperature rule exists to produce).
+
+    Shape: one groupBy(source) token count; everything after runs on
+    the per-source table (dozens of rows at any corpus size) under
+    unpartitioned windows — free at 100 TB."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+        lambda x: x != F.lit(""),
+    )
+    sizes = docs.groupBy("source").agg(
+        F.sum(F.size(w)).alias("n_tokens")
+    )
+    tot = Window.partitionBy()
+    p = F.pow(F.col("n_tokens").cast("double"), F.lit(MIXTURE_ALPHA))
+    wtd = sizes.select(
+        "source",
+        "n_tokens",
+        F.round(p / F.sum(p).over(tot), 6).alias("weight"),
+    )
+    q = wtd.select(
+        "source",
+        "n_tokens",
+        "weight",
+        F.round(TOKEN_BUDGET * F.col("weight"), 0)
+        .cast("long")
+        .alias("raw_quota"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("weight"), "source"))
+        .alias("adj_rank"),
+    )
+    residual = F.lit(TOKEN_BUDGET) - F.sum("raw_quota").over(tot)
+    quota = F.col("raw_quota") + F.when(
+        F.col("adj_rank") == 1, residual
+    ).otherwise(F.lit(0))
+    return q.select(
+        "source",
+        "n_tokens",
+        "weight",
+        quota.cast("long").alias("quota_tokens"),
+        (F.col("adj_rank") == 1).alias("absorbed_residual"),
+        F.round(quota / F.col("n_tokens").cast("double"), 6).alias(
+            "epochs"
+        ),
+    ).orderBy("source")
