@@ -280,7 +280,6 @@ def exact_hash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         hashed.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .drop("rn")
-        .orderBy("doc_id")
     )
 
 
@@ -650,10 +649,7 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         bit = F.when(F.col(f"b{i}") > 0, F.lit(1)).otherwise(F.lit(0))
         term = (bit * F.lit(2**i)).cast("long")
         fingerprint = term if fingerprint is None else fingerprint + term
-    return (
-        votes.select("doc_id", fingerprint.alias("simhash"))
-        .orderBy("doc_id")
-    )
+    return votes.select("doc_id", fingerprint.alias("simhash"))
 
 
 FUZZY_PREFIX_LEN = 40
@@ -946,7 +942,6 @@ def bloom_prefilter_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         fresh.select("doc_id", "content_hash")
         .unionByName(confirmed_new.select("doc_id", "content_hash"))
-        .orderBy("doc_id")
     )
 
 
@@ -1056,7 +1051,6 @@ def duplicate_span_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_windows"),
         )
         .drop("grp")
-        .orderBy("doc_id", "span_start_word")
     )
 
 
@@ -1119,7 +1113,6 @@ def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.col("novel").cast("double")) / F.count("*"), 6
             ).alias("novelty_rate"),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -1323,7 +1316,7 @@ def simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     in ONE doc-keyed groupBy (partial map-side combine; the exchange
     carries 33 longs per doc per mapper), fingerprint assembly is
     in-row integer arithmetic. No joins, no pair expansion."""
-    return _portable_simhash(spark, sf_dir).orderBy("doc_id")
+    return _portable_simhash(spark, sf_dir)
 
 
 def _portable_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1540,7 +1533,6 @@ def clip_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "clipped_text"
             ),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -1777,7 +1769,6 @@ def neardup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ttr",
             (F.row_number().over(rank_w) == 1).alias("keep"),
         )
-        .orderBy("doc_id")
     )
 
 

@@ -502,7 +502,6 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "predicted_lang"
             ),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -561,7 +560,6 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise("low")
             .alias("quality_band"),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -587,7 +585,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.md5(norm).alias("fingerprint"),
         F.length(norm).alias("norm_len"),
-    ).orderBy("doc_id")
+    )
 
 
 @query(
@@ -925,7 +923,7 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             F.col("ok_word_count") & ok_len & ok_sym & ok_ttr
         ).alias("keep"),
-    ).orderBy("doc_id")
+    )
 
 
 VOCAB_TOP_K = 24  # corpus vocab is ~31 words; 24 leaves a real OOV tail
@@ -1047,12 +1045,17 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         LEFT JOIN cu ON b.w1 = cu.w1
         CROSS JOIN v
         GROUP BY b.doc_id
+    ),
+    cuts AS (
+        SELECT quantile_cont(avg_nll, CAST(1 AS DOUBLE)/3) AS c1,
+               quantile_cont(avg_nll, CAST(2 AS DOUBLE)/3) AS c2
+        FROM scored
     )
     SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams, avg_nll,
-           CASE NTILE(3) OVER (ORDER BY avg_nll, doc_id)
-               WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
-               ELSE 'tail' END AS ppl_bucket
-    FROM scored
+           CASE WHEN avg_nll <= c1 THEN 'head'
+                WHEN avg_nll <= c2 THEN 'middle'
+                ELSE 'tail' END AS ppl_bucket
+    FROM scored CROSS JOIN cuts
     ORDER BY doc_id
     """,
 )
@@ -1076,13 +1079,20 @@ def lm_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigrams against the count tables (AQE broadcasts them while they
     fit; at web-corpus vocabulary they stay shuffled — no forced
     hint); the smoothing denominator V rides a 1-row scalar broadcast.
-    Scores are rounded to 6 dp BEFORE the tertile ranking on BOTH
-    engines so fp association noise cannot flip a bucket boundary.
-    The final NTILE runs over per-DOC aggregates (already 6 orders of
-    magnitude reduced); the documented scale swap is fixed thresholds
-    from `percentile_approx` instead of a global rank."""
-    from pyspark.sql import Window
-
+    Bucketing is THRESHOLD-based, never rank-based: the two tertile
+    cutoffs are a 1-row exact-`percentile` aggregate (its partial
+    state is a count-map over DISTINCT 6-dp scores — bounded, fully
+    distributed) broadcast back over the doc-grain rows, so no
+    per-document row ever passes through an unpartitioned WindowExec.
+    Scores are rounded to 6 dp BEFORE the cutoff computation on BOTH
+    engines, and the cutoffs either equal a data value exactly (both
+    engines return the order statistic verbatim) or fall strictly
+    inside a >=1e-6-wide gap between adjacent rounded scores — so fp
+    noise in the interpolation cannot flip a bucket. Ties at a cutoff
+    share a bucket (CCNet semantics: the bucket is a quality BAND,
+    not an exact third). At web scale swap `percentile` for
+    `percentile_approx` — the cutoffs stop being exact but the plan
+    shape is already the scalable one."""
     docs = load_table(spark, sf_dir, "documents")
     w = F.filter(
         F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
@@ -1142,15 +1152,23 @@ def lm_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_nll"),
         )
     )
-    tert = F.ntile(3).over(Window.orderBy("avg_nll", "doc_id"))
+    cuts = scored.agg(
+        F.expr(
+            "percentile(avg_nll, array(cast(1 as double)/3,"
+            " cast(2 as double)/3))"
+        ).alias("cs")
+    ).select(
+        F.col("cs")[0].alias("_c1"), F.col("cs")[1].alias("_c2")
+    )
     return (
-        scored.withColumn(
+        scored.crossJoin(F.broadcast(cuts))
+        .withColumn(
             "ppl_bucket",
-            F.when(tert == 1, "head")
-            .when(tert == 2, "middle")
+            F.when(F.col("avg_nll") <= F.col("_c1"), "head")
+            .when(F.col("avg_nll") <= F.col("_c2"), "middle")
             .otherwise("tail"),
         )
-        .orderBy("doc_id")
+        .drop("_c1", "_c2")
     )
 
 
@@ -1306,7 +1324,6 @@ def token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.log(n) - F.sum(F.col("c") * F.log("c")) / n, 6
             ).alias("entropy"),
         )
-        .orderBy("doc_id")
     )
 
 

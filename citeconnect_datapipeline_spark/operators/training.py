@@ -840,11 +840,13 @@ DSIR_N_BUCKETS = 256  # 2 hex chars of md5(word) -> 256 feature buckets
                ROUND(AVG(lr.log_ratio), 6) AS avg_log_ratio
         FROM feats f JOIN lr ON f.b = lr.b
         GROUP BY f.doc_id
+    ),
+    cuts AS (
+        SELECT quantile_cont(avg_log_ratio, 0.75) AS c75 FROM scored
     )
     SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, avg_log_ratio,
-           NTILE(4) OVER (ORDER BY avg_log_ratio DESC, doc_id) = 1
-               AS selected
-    FROM scored
+           avg_log_ratio >= c75 AS selected
+    FROM scored CROSS JOIN cuts
     ORDER BY doc_id
     """,
 )
@@ -871,15 +873,22 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     unpartitioned window over the 256-row table (a single task on
     256 rows, never a scalar cross-join); scoring re-joins the
     exploded words against the 256-row table (AQE auto-broadcasts a
-    bounded build side — no hint needed) and averages per doc. The
-    final quartile NTILE runs over per-DOC rows; the documented
-    scale swap is a fixed threshold from percentile_approx, exactly
-    as in lm_perplexity_buckets. Scores are rounded to 6 dp BEFORE
-    the quartile rank on both engines so fp noise cannot flip a
-    selection boundary. The reference has no learned selection at
-    all (its filters are rule-based: databias/
-    bias_detection_engine.py); this is the importance-sampling
-    upgrade."""
+    bounded build side — no hint needed) and averages per doc.
+    Selection is a THRESHOLD, not a rank — exactly what the paper
+    does (resample above an importance cutoff): the 75th-percentile
+    cutoff is a 1-row exact-`percentile` aggregate (partial state =
+    count-map over distinct 6-dp scores, bounded and distributed)
+    broadcast back over the doc rows, so no per-document row passes
+    through an unpartitioned WindowExec. Scores are rounded to 6 dp
+    BEFORE the cutoff on both engines; the cutoff is either an exact
+    order statistic or strictly inside a >=1e-6 gap between adjacent
+    rounded scores, so interpolation fp noise cannot flip a
+    selection. Ties at the cutoff are all selected (threshold
+    semantics). At web scale swap `percentile` for
+    `percentile_approx`; the plan shape is already the scalable one.
+    The reference has no learned selection at all (its filters are
+    rule-based: databias/bias_detection_engine.py); this is the
+    importance-sampling upgrade."""
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
@@ -916,12 +925,13 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("log_ratio"), 6).alias("avg_log_ratio"),
         )
     )
-    quart = F.ntile(4).over(
-        Window.orderBy(F.desc("avg_log_ratio"), "doc_id")
+    cuts = scored.agg(
+        F.expr("percentile(avg_log_ratio, 0.75)").alias("_c75")
     )
     return (
-        scored.withColumn("selected", quart == 1)
-        .orderBy("doc_id")
+        scored.crossJoin(F.broadcast(cuts))
+        .withColumn("selected", F.col("avg_log_ratio") >= F.col("_c75"))
+        .drop("_c75")
     )
 
 

@@ -31,9 +31,12 @@ NESTED_LOOP_OK = {
     "cosine_topk",
     "domain_mixture_sample",  # total-weight R and cap T: two 1-row
     # scalar broadcasts feeding the integer quota arithmetic
+    "dsir_importance_weights",  # 75th-pct selection cutoff: 1-row
+    # scalar broadcast (replaced the r4 global ntile)
     "graph_2hop_frontier",
     "interleave_shards",  # domain-count n_src: 1-row scalar broadcast
-    "lm_perplexity_buckets",  # smoothing denominator V: 1-row scalar
+    "lm_perplexity_buckets",  # smoothing denominator V + tertile
+    # cutoffs: 1-row scalar broadcasts (replaced the r4 global ntile)
     "mitigation_recommendations",
     "theta_audience_overlap",
     "tfidf_top_terms",  # corpus-size 1-row broadcast (was a
@@ -58,6 +61,62 @@ BUILD_EXECUTES = {
     "classifier_eval",  # consumes the same memoized fit
     "semantic_dedup",  # same k-means fit feeds the cluster blocking
 }
+
+
+# Queries whose plans contain a Window with NO partition spec —
+# WindowExec moves ALL input rows to a single partition, so this is
+# only acceptable above a BOUNDED input (a per-group aggregate, a
+# top-k, a run-history table), never above per-document /
+# per-lineitem grain. Each entry inspected; the bounded input is
+# named. Round-4's two doc-grain global ntiles
+# (lm_perplexity_buckets, dsir_importance_weights over per-DOC
+# scores) were exactly the failure this guard exists to catch — both
+# now use 1-row percentile-threshold broadcasts and must NOT appear
+# here at doc grain.
+UNPARTITIONED_WINDOW_OK = {
+    "bias_slice_disparity",  # over per-slice aggregates
+    "domain_mixture_sample",  # quota arithmetic over per-source rows
+    "dsir_importance_weights",  # totals fold over the 256-row
+    # bucket-count model table (bounded by construction)
+    "ewma_anomaly",  # over the per-run history table
+    "extraction_method_distribution",  # share-of-total over
+    # per-method counts
+    "group_size_median",  # median over per-mktsegment counts
+    "hybrid_rrf_search",  # ranks over two top-k candidate sets
+    "interleave_shards",  # over per-source counts
+    "mixture_temperature_weights",  # over per-source rows
+    "range_frame_agg",  # 7-day range frame over per-DAY aggregates
+    "run_over_run_anomaly",  # over the per-run history table
+    "seq_length_histogram",  # cumulative share over histogram bins
+    "token_budget_allocation",  # quota arithmetic over per-source rows
+}
+
+
+def _unpartitioned_window_count(df) -> int:
+    import json as _json
+
+    nodes = _json.loads(df._jdf.queryExecution().optimizedPlan().toJSON())
+    return sum(
+        1
+        for n in nodes
+        if n.get("class", "").endswith("logical.Window")
+        and not n.get("partitionSpec")
+    )
+
+
+@pytest.mark.parametrize("name", sorted(set(queries()) - BUILD_EXECUTES))
+def test_no_unpartitioned_window_outside_allowlist(spark, name):
+    df = queries()[name](spark, SF_DIR)
+    n = _unpartitioned_window_count(df)
+    if name not in UNPARTITIONED_WINDOW_OK:
+        assert n == 0, (
+            f"{name} plans {n} Window(s) with no partition spec — a"
+            " single-partition sort of its whole input at scale. Either"
+            " rewrite as a threshold/broadcast (see"
+            " lm_perplexity_buckets) or, if the input is provably"
+            " bounded, add it to UNPARTITIONED_WINDOW_OK with the"
+            " bounded input named."
+        )
 
 
 @pytest.mark.parametrize("name", sorted(set(queries()) - BUILD_EXECUTES))
