@@ -26,6 +26,14 @@ Env:
                         numbers land in BENCH_DETAIL.json.
   BENCH_REPEATS         suite passes (default 2); headline wall-clock
                         is the best pass, labeled ``suite_best_of``.
+  BENCH_COLD            1 (default) re-measures every memo-consuming
+                        query with the process memo cache invalidated
+                        first, publishing ``isolated_cold`` in
+                        BENCH_DETAIL.json; the over-2x gate uses the
+                        COLD figure for those queries so a warm shared
+                        intermediate can never flatter a per-query
+                        number. 0 disables. BENCH_COLD_BUDGET seconds
+                        (default 240) bounds the pass.
 
 Each query is forced with the noop sink (full computation, no driver
 collect, no disk write) -- the closest local analogue to "execute the
@@ -248,10 +256,19 @@ def main() -> None:
     # DuckDB pays no such cost (in-process, no scheduler), which is
     # exactly why sub-second local-mode latencies are not a data-path
     # comparison.
+    # The allowance is CAPPED at JOBS_CAP jobs (r4 ADVICE): without a
+    # cap, a query scheduling dozens of AQE stages would earn an
+    # arbitrarily large allowance and trivially pass. 12 covers every
+    # measured non-iterative plan in BENCH_DETAIL.json history (max
+    # observed: 13 jobs, an outlier within noise of the cap);
+    # genuinely iterative queries are judged by their data-path time
+    # like everything else.
+    JOBS_CAP = 12
     n_jobs: dict[str, int] = {}
 
     def _fails_2x(t: float, d: float, jobs: int = 1) -> bool:
-        return t >= 0 and d >= 0 and t > 2 * d + floor * max(jobs, 1)
+        allowance = floor * min(max(jobs, 1), JOBS_CAP)
+        return t >= 0 and d >= 0 and t > 2 * d + allowance
 
     def run_isolated(n: str, attempt: int) -> None:
         sc = spark.sparkContext
@@ -305,13 +322,64 @@ def main() -> None:
             isolated[n], duck_timings.get(n, -1.0), n_jobs.get(n, 1)
         ):
             run_isolated(n, 2)
+    # Memo-COLD isolated timings (r4 verdict #4): queries that consume
+    # a process-memoized shared intermediate (the near-dup pair table,
+    # the k-means fit, the classifier fit, the BPE merge table) can
+    # hit it warm in the passes above, so their published per-query
+    # number would silently credit a one-time build to whichever query
+    # ran first. Re-measure each with the memo cache INVALIDATED
+    # immediately before, sequentially, so isolated_cold is the true
+    # from-scratch cost; the over-2x gate below uses the COLD figure
+    # for these queries.
+    MEMO_CONSUMERS = [
+        "ngram_jaccard_topk", "neardup_components", "neardup_keep_best",
+        "neardup_threshold_sweep", "semantic_dedup", "kmeans_clusters",
+        "quality_classifier", "classifier_eval", "bpe_merge_ranks",
+        "bpe_encode_stats",
+    ]
+    isolated_cold: dict[str, float] = {}
+    cold_skipped: list[str] = []
+    if os.environ.get("BENCH_COLD", "1") != "0":
+        from citeconnect_datapipeline_spark import memo
+
+        cold_budget = float(os.environ.get("BENCH_COLD_BUDGET", "240"))
+        t_cold = time.monotonic()
+        for n in MEMO_CONSUMERS:
+            if n not in timings:
+                continue
+            if time.monotonic() - t_cold > cold_budget:
+                cold_skipped.append(n)
+                continue
+            memo.invalidate()
+            sc = spark.sparkContext
+            group = f"bench-cold-{n}"
+            sc.setJobGroup(group, n)
+            try:
+                run_one(n, spark, isolated_cold)
+            finally:
+                sc.setJobGroup("bench-cold-done", "idle")
+            try:
+                ids = sc.statusTracker().getJobIdsForGroup(group)
+                n_jobs[n] = max(len(ids), 1)
+            except Exception:
+                n_jobs.setdefault(n, 1)
+        memo.invalidate()
+
+    def _gate_time(n: str) -> float:
+        if n in isolated_cold:
+            return isolated_cold[n]
+        return isolated.get(n, -1.0)
+
+    gate_names = set(isolated) | set(isolated_cold)
     over2x = sorted(
         (
             n
-            for n, t in isolated.items()
-            if _fails_2x(t, duck_timings.get(n, -1.0), n_jobs.get(n, 1))
+            for n in gate_names
+            if _fails_2x(
+                _gate_time(n), duck_timings.get(n, -1.0), n_jobs.get(n, 1)
+            )
         ),
-        key=lambda n: -(isolated[n] / max(duck_timings[n], 1e-3)),
+        key=lambda n: -(_gate_time(n) / max(duck_timings.get(n, 1e-3), 1e-3)),
     )
 
     detail = {
@@ -321,7 +389,10 @@ def main() -> None:
         "queries": timings,
         "duck_queries": duck_timings,
         "isolated_queries": isolated,
+        "isolated_cold": isolated_cold,
+        "isolated_cold_skipped": cold_skipped,
         "isolated_n_jobs": n_jobs,
+        "jobs_cap": JOBS_CAP,
         "isolated_skipped": isolated_skipped,
         "per_query_sum": per_query_sum,
         "duck_sum": duck_sum,

@@ -45,11 +45,31 @@ def shared_intermediate(
     return _CACHE[key]
 
 
+def _unpersist_artifact(obj: Any) -> None:
+    """Release executor storage held by an evicted artifact: cached
+    DataFrames / localCheckpointed RDD-backed frames respond to
+    ``unpersist``; tuples/lists of them are walked; everything else
+    (driver-side plain data: merge tables, centroid arrays) has no
+    pinned storage to free."""
+    if isinstance(obj, (tuple, list)):
+        for member in obj:
+            _unpersist_artifact(member)
+        return
+    unpersist = getattr(obj, "unpersist", None)
+    if callable(unpersist):
+        try:
+            unpersist()
+        except Exception:
+            pass  # a stopped SparkContext: storage is already gone
+
+
 def invalidate(name: str | None = None) -> None:
-    """Drop cached entries (all, or those matching ``name``)."""
+    """Drop cached entries (all, or those matching ``name``),
+    unpersisting any DataFrame-typed artifacts so the eviction frees
+    executor storage too, not just the dict slot (r4 ADVICE)."""
     with _GLOBAL:
         for k in [
             k for k in _CACHE if name is None or k[1] == name
         ]:
-            _CACHE.pop(k, None)
+            _unpersist_artifact(_CACHE.pop(k, None))
             _LOCKS.pop(k, None)

@@ -468,9 +468,10 @@ def mad_outlier_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT source,
            CAST(count(*) AS BIGINT) AS n_docs,
-           ROUND(1 - 6 * sum((r1 - r2) * (r1 - r2))
-                     / (count(*) * (count(*) * count(*) - 1.0)), 6)
-               AS spearman_rho
+           CASE WHEN count(*) >= 2 THEN
+               ROUND(1 - 6 * sum((r1 - r2) * (r1 - r2))
+                         / (count(*) * (count(*) * count(*) - 1.0)), 6)
+           END AS spearman_rho
     FROM r
     GROUP BY source
     ORDER BY source
@@ -520,8 +521,15 @@ def spearman_signal_correlation(
         r.groupBy("source")
         .agg(
             n.alias("n_docs"),
-            F.round(
-                1 - 6 * F.sum(d2) / (n * (n * n - F.lit(1.0))), 6
+            # rho is undefined for a 1-doc source: the denominator
+            # n(n^2-1) is 0, and the engines disagree on 0/0 (Spark
+            # NULL, DuckDB NaN/inf) — emit NULL explicitly on both
+            # (r4 ADVICE).
+            F.when(
+                n >= 2,
+                F.round(
+                    1 - 6 * F.sum(d2) / (n * (n * n - F.lit(1.0))), 6
+                ),
             ).alias("spearman_rho"),
         )
         .orderBy("source")

@@ -73,7 +73,22 @@ def read_jsonl(
         F.col(_CORRUPT).alias("raw_record"),
         F.col("_src_file").alias("src_file"),
     )
+    # Hand the caller the cache handle: the split only works off this
+    # cached relation, so its lifetime is the caller's to end (see
+    # ingest_jsonl_to_zone, which unpersists once both sides landed).
+    valid._jsonl_parse_cache = raw
+    quarantine._jsonl_parse_cache = raw
     return valid, quarantine
+
+
+def quarantine_path(zone_path: str) -> str:
+    """Sibling root for quarantine rows. NOT inside ``zone_path``: a
+    zone is a homogeneous ``run_id=*/part-*.parquet`` tree, and a
+    ``quarantine/`` subdir with a different schema inside it makes
+    every subsequent zone read fail partition discovery
+    (CONFLICTING_DIRECTORY_STRUCTURES) — the quarantine store is its
+    own zone-shaped tree next door."""
+    return zone_path.rstrip("/") + "_quarantine"
 
 
 def ingest_jsonl_to_zone(
@@ -85,17 +100,32 @@ def ingest_jsonl_to_zone(
 ) -> dict:
     """JSONL shards -> parquet zone in one pass: valid rows land as a
     zone run (``sinks.zones.write_zone`` layout), quarantine rows
-    land beside them under ``quarantine/`` so a re-run can replay
-    just the bad lines. Returns counts (driver-sized)."""
+    land in the SIBLING ``<zone>_quarantine/run_id=<id>`` tree (see
+    :func:`quarantine_path`) so a re-run can replay just the bad
+    lines without poisoning the zone's own partition discovery.
+    Returns counts (driver-sized). The cached parse relation backing
+    the valid/quarantine split is unpersisted before returning — the
+    counts have already materialized both sides, so repeated ingests
+    in one process do not accumulate pinned storage."""
     import os
 
     from ..sinks.zones import write_zone
 
     valid, quarantine = read_jsonl(spark, path, schema)
-    write_zone(valid, zone_path, run_id=run_id)
-    n_bad = quarantine.count()
-    if n_bad:
-        quarantine.write.mode("overwrite").parquet(
-            os.path.join(zone_path, "quarantine", f"run_id={run_id}")
-        )
-    return {"n_valid": valid.count(), "n_quarantined": n_bad}
+    try:
+        write_zone(valid, zone_path, run_id=run_id)
+        n_bad = quarantine.count()
+        if n_bad:
+            quarantine.write.mode("overwrite").parquet(
+                os.path.join(
+                    quarantine_path(zone_path), f"run_id={run_id}"
+                )
+            )
+        return {"n_valid": valid.count(), "n_quarantined": n_bad}
+    finally:
+        # the split shares one cached PERMISSIVE parse of the raw
+        # shards (read_jsonl); both sides are written/counted by now,
+        # so release it — repeated ingests must not pin storage.
+        cached = getattr(valid, "_jsonl_parse_cache", None)
+        if cached is not None:
+            cached.unpersist()

@@ -997,3 +997,52 @@ def test_jsonl_ingest_quarantines_malformed_lines(spark, tmp_path):
     assert out == {"n_valid": 3, "n_quarantined": 2}
     back = spark.read.parquet(str(tmp_path / "zone" / "run_id=r1"))
     assert back.count() == 3
+
+
+def test_jsonl_quarantine_does_not_poison_zone_reads(spark, tmp_path):
+    """Regression (r4 ADVICE, high): quarantine parquet used to land
+    INSIDE the zone root, so the first malformed line made every
+    subsequent read_zone/read_latest_run fail partition discovery
+    with CONFLICTING_DIRECTORY_STRUCTURES. Quarantine now lives in
+    the sibling <zone>_quarantine tree; the zone readers must work
+    on a zone that HAS quarantined rows."""
+    import json as _json
+
+    from citeconnect_datapipeline_spark.sinks.zones import (
+        read_latest_run,
+        read_zone,
+    )
+    from citeconnect_datapipeline_spark.sources.jsonl import (
+        ingest_jsonl_to_zone,
+        quarantine_path,
+    )
+
+    shard = tmp_path / "shard0.jsonl"
+    shard.write_text(
+        "\n".join(
+            [
+                _json.dumps({"doc_id": 1, "text": "a", "lang": "en",
+                             "source": "s0", "n_chars": 1}),
+                "BROKEN {not json",
+            ]
+        )
+    )
+    zone = str(tmp_path / "zone")
+    out = ingest_jsonl_to_zone(spark, str(shard), zone, "r1")
+    assert out == {"n_valid": 1, "n_quarantined": 1}
+
+    # the whole-zone and latest-run readers must both survive
+    assert read_zone(spark, zone).count() == 1
+    assert read_latest_run(spark, zone).count() == 1
+
+    # quarantine rows are still fully addressable, run-partitioned
+    q = spark.read.parquet(
+        str(tmp_path / "zone_quarantine" / "run_id=r1")
+    )
+    assert q.count() == 1
+    assert quarantine_path(zone) == zone + "_quarantine"
+
+    # a second ingest into the same zone keeps both trees disjoint
+    out2 = ingest_jsonl_to_zone(spark, str(shard), zone, "r2")
+    assert out2["n_quarantined"] == 1
+    assert read_zone(spark, zone).count() == 2
