@@ -46,6 +46,62 @@ def _hash_bucket(key):
     ) % 100
 
 
+SALT_CHARS = 2  # md5-prefix salt width: 16^2 = 256 subpartitions
+
+
+def salted_group_rank(
+    df: DataFrame,
+    group_col: str,
+    key_col: str = "doc_id",
+    out: str = "rn",
+    salt_chars: int = SALT_CHARS,
+) -> DataFrame:
+    """``row_number() OVER (PARTITION BY group ORDER BY md5(key),
+    key)`` — the samplers' deterministic in-group order — WITHOUT the
+    single-task-per-group skew hazard: a dominant group (95% of a web
+    corpus can be one language) would otherwise sort on one task.
+
+    Two-phase salted rank, exact same output as the global window:
+
+    1. rank within ``(group, salt)`` where salt is the first
+       ``salt_chars`` hex chars of md5(key). The salt is a PREFIX of
+       the sort key, so ordering within salts concatenated in salt
+       order IS the global md5 order — no semantics change.
+    2. add each salt's offset = total count of lexicographically
+       smaller salts in the same group, computed on the bounded
+       ``|groups| * 16^salt_chars`` count table (a windowed running
+       sum over that tiny table) and broadcast back.
+
+    The dominant group now sorts across 256 tasks; the only global
+    structure is the count table, which is size-independent of the
+    corpus. Property-tested equal to the unsalted window under a
+    95%-mass group (tests/test_curation_qa.py)."""
+    h = F.md5(F.col(key_col).cast("string"))
+    tagged = df.withColumn("_h", h).withColumn(
+        "_salt", F.substring("_h", 1, salt_chars)
+    )
+    w_in = Window.partitionBy(group_col, "_salt").orderBy("_h", key_col)
+    counts = tagged.groupBy(group_col, "_salt").agg(
+        F.count("*").alias("_n")
+    )
+    w_off = (
+        Window.partitionBy(group_col)
+        .orderBy("_salt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        group_col,
+        "_salt",
+        F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off"),
+    )
+    return (
+        tagged.withColumn("_rn_in", F.row_number().over(w_in))
+        .join(F.broadcast(offsets), [group_col, "_salt"])
+        .withColumn(out, (F.col("_off") + F.col("_rn_in")).cast("int"))
+        .select(*df.columns, out)  # keep the caller's column order
+    )
+
+
 @query(
     "train_test_split",
     oracle=f"""
@@ -174,24 +230,20 @@ def class_balance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     that loop in-engine.
 
     Plan shape: one groupBy for sizes (rows = |groups|, broadcast
-    back), one window shuffle on the group key. Skewed groups are the
-    watch item at 100 TB -- the window partitions by class, so a
-    dominant class lands on one task; production splits it with a
-    salted two-phase rank or samples pre-aggregated shards."""
+    back), then the two-phase SALTED rank (salted_group_rank): a
+    dominant class sorts across 256 salt subpartitions instead of one
+    task, with byte-identical rank output to the naive per-class
+    window (the skew fix the r4 docstring promised)."""
     docs = load_table(spark, sf_dir, "documents")
     target = F.broadcast(
         docs.groupBy("lang")
         .count()
         .agg(F.min("count").alias("t"))
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("lang").orderBy(
-        F.md5(F.col("doc_id").cast("string")), "doc_id"
-    )
     return (
-        docs.select("doc_id", "lang", "n_chars")
-        .withColumn("rn", F.row_number().over(w))
+        salted_group_rank(
+            docs.select("doc_id", "lang", "n_chars"), "lang"
+        )
         .join(target)
         .filter(F.col("rn") <= F.col("t"))
         .groupBy("lang")
@@ -545,9 +597,9 @@ def domain_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     the sample is deterministic, re-run-stable and shard-parallel --
     no RNG, no row order, same contract as stratified_sample.
 
-    Plan shape: one count rollup (rows = |domains|, broadcast), one
-    rank window per domain, one filter join. The dominant-domain rank
-    window is the skew watch item, same as class_balance_sample."""
+    Plan shape: one count rollup (rows = |domains|, broadcast), the
+    two-phase salted in-domain rank (salted_group_rank — dominant
+    domains split across 256 salt subpartitions), one filter join."""
     docs = load_table(spark, sf_dir, "documents")
     raw_w = F.when(
         F.substring("source", 4, 10).cast("int") < 5, F.lit(3)
@@ -572,12 +624,7 @@ def domain_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("raw_w") * 100.0 / F.col("r")).alias("target_pct"),
         )
     )
-    rank_w = Window.partitionBy("source").orderBy(
-        F.md5(F.col("doc_id").cast("string")), "doc_id"
-    )
-    ranked = docs.select(
-        "doc_id", "source", F.row_number().over(rank_w).alias("rn")
-    )
+    ranked = salted_group_rank(docs.select("doc_id", "source"), "source")
     total = Window.partitionBy()
     return (
         ranked.join(quota, "source")
@@ -757,9 +804,10 @@ def interleave_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     usual implementation, ORDER BY rand(), is neither reproducible
     nor cheap at 100 TB).
 
-    Plan shape: a tiny distinct-domains rollup broadcast back, one
-    rank window per domain (same skew watch item as
-    class_balance_sample), one groupBy on the shard key."""
+    Plan shape: a tiny distinct-domains rollup broadcast back, the
+    two-phase salted in-domain rank (salted_group_rank — a dominant
+    domain sorts across 256 salt subpartitions, not one task), one
+    groupBy on the shard key."""
     docs = load_table(spark, sf_dir, "documents")
     src = (
         docs.select("source")
@@ -772,12 +820,10 @@ def interleave_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     n_src = src.agg(F.count("*").alias("n_src"))
-    rank_w = Window.partitionBy("source").orderBy(
-        F.md5(F.col("doc_id").cast("string")), "doc_id"
-    )
     sharded = (
-        docs.select("doc_id", "source")
-        .withColumn("rnk", F.row_number().over(rank_w) - 1)
+        salted_group_rank(docs.select("doc_id", "source"), "source")
+        .withColumn("rnk", F.col("rn") - 1)
+        .drop("rn")
         .join(F.broadcast(src), "source")
         .join(F.broadcast(n_src))
         .select(

@@ -443,3 +443,93 @@ def test_posting_pairs_streams_large_buckets(spark):
     assert out.count() == m * (m - 1) // 2
     # ordering invariant: doc_a always precedes doc_b in the list
     assert out.filter("doc_a >= doc_b").count() == 0
+
+
+def test_embed_model_per_worker_singleton_and_arrow_batch_flow(
+    spark, tmp_path
+):
+    """Model-injection proof for the embed seam (r4 verdict #7),
+    mirroring the codec seam's recorded fake: a model distributed as
+    a real importable module records (a) every CONSTRUCTION with its
+    worker pid and (b) every Arrow batch it encodes. With more tasks
+    than workers, reused workers must NOT reconstruct the model —
+    exactly the per-worker-singleton contract a sentence-transformers
+    load relies on (reference embeddings/local_embedder.py:36-44) —
+    and rows must arrive as multi-row Arrow batches, not row-at-a-
+    time."""
+    import os
+    import uuid
+
+    rec = tmp_path / "rec"
+    rec.mkdir()
+    mod = tmp_path / f"recmodel_{uuid.uuid4().hex[:8]}.py"
+    mod.write_text(
+        f'''
+import os, uuid
+
+RECORD_DIR = {str(rec)!r}
+
+
+class RecordedModel:
+    name = "recorded-2d"
+    _instance = None
+
+    @classmethod
+    def get(cls):
+        if cls._instance is None:
+            tag = f"construct-{{os.getpid()}}-{{uuid.uuid4().hex}}"
+            open(os.path.join(RECORD_DIR, tag), "w").close()
+            cls._instance = cls()
+        return cls._instance
+
+    def encode(self, texts):
+        tag = f"batch-{{os.getpid()}}-{{uuid.uuid4().hex}}"
+        with open(os.path.join(RECORD_DIR, tag), "w") as fh:
+            fh.write(str(len(texts)))
+        return [[1.0, float(len(t))] for t in texts]
+'''
+    )
+    spark.sparkContext.addPyFile(str(mod))
+    mod_name = mod.stem
+
+    from citeconnect_datapipeline_spark.operators.similarity import (
+        embed_with_model,
+    )
+
+    n_rows, n_tasks = 1280, 64
+    docs = spark.createDataFrame(
+        [(i, "text %d" % i) for i in range(n_rows)],
+        "doc_id long, text string",
+    ).repartition(n_tasks)
+
+    def factory(_mod=mod_name):
+        import importlib
+
+        return importlib.import_module(_mod).RecordedModel.get()
+
+    out = embed_with_model(docs, factory)
+    assert out.count() == n_rows
+
+    files = os.listdir(rec)
+    constructs = [f for f in files if f.startswith("construct-")]
+    batches = [f for f in files if f.startswith("batch-")]
+    c_pids = {f.split("-")[1] for f in constructs}
+    b_pids = {f.split("-")[1] for f in batches}
+
+    # one construction per worker PROCESS, never per task/batch: with
+    # 64 tasks on <=32 local cores, reused workers must hit the
+    # cached singleton
+    assert len(constructs) == len(c_pids), (
+        "a worker process constructed the model more than once"
+    )
+    assert len(constructs) < n_tasks, (
+        "constructions == tasks: the singleton seam is not caching"
+    )
+    # every worker that encoded batches constructed exactly once
+    assert b_pids == c_pids
+    # Arrow batch flow: all rows arrive, vectorized (multi-row
+    # batches), never a pandas frame per row
+    sizes = [int(open(rec / f).read()) for f in batches]
+    assert sum(sizes) == n_rows
+    assert max(sizes) > 1
+    assert len(batches) < n_rows

@@ -33,6 +33,7 @@ DEFAULT_QUERIES = (
     "simhash_fingerprints",
     "token_entropy",
     "dsir_importance_weights",
+    "lm_perplexity_buckets",
     "clip_duplicate_spans",
     "quality_classifier",
 )
@@ -91,6 +92,18 @@ def main() -> None:
     names = sys.argv[1:] or list(DEFAULT_QUERIES)
     spark = get_spark(app_name="scaling-probe")
     qs = get_queries()
+    # Warm the JVM/codegen/Python workers at smoke scale so the first
+    # measured (query, x1) cell is not inflated by the ~5 s
+    # first-job session cost (it measured 9.9 s vs 1.9 s warm).
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir):
+        for n in names:
+            try:
+                qs[n](spark, warm_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            except Exception:
+                pass
     results: dict[str, dict[int, float]] = {n: {} for n in names}
     for scale in SCALES:
         sf_dir = build_scaled(spark, scale) if scale > 1 else BASE
