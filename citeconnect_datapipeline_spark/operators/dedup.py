@@ -1264,6 +1264,189 @@ def minhash_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PMH_EQ_SUM = " + ".join(
+    f"(CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END)"
+    for i in range(PMH_NUM_HASHES)
+)
+
+
+@query(
+    "minhash_jaccard_estimate",
+    oracle=f"""
+    WITH words AS (
+        SELECT doc_id, string_split_regex(lower(text), '[^a-z0-9]+') AS w
+        FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(list_slice(w, i, i + 2), ' ') AS s
+        FROM words, UNNEST(range(1, greatest(len(w) - 1, 2))) AS t(i)
+        WHERE array_to_string(list_slice(w, i, i + 2), ' ') <> ''
+    ),
+    mh AS (
+        SELECT doc_id,
+               {_PMH_MIN_COLS}
+        FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+{_PMH_BAND_SELECTS}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id
+    ),
+    est AS (
+        SELECT c.doc_a, c.doc_b,
+               ({_PMH_EQ_SUM}) / {PMH_NUM_HASHES}.0 AS est
+        FROM cand c
+        JOIN mh a ON c.doc_a = a.doc_id
+        JOIN mh b ON c.doc_b = b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS n_shared
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.doc_a
+        JOIN sh b ON b.doc_id = c.doc_b AND a.s = b.s
+        GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT e.doc_a, e.doc_b,
+           ROUND(e.est, 6) AS est_jaccard,
+           ROUND(COALESCE(i.n_shared, 0) * 1.0
+                 / (sa.n + sb.n - COALESCE(i.n_shared, 0)), 6)
+               AS true_jaccard,
+           ROUND(ABS(e.est
+                 - COALESCE(i.n_shared, 0) * 1.0
+                   / (sa.n + sb.n - COALESCE(i.n_shared, 0))), 6)
+               AS abs_err
+    FROM est e
+    LEFT JOIN inter i ON e.doc_a = i.doc_a AND e.doc_b = i.doc_b
+    JOIN sizes sa ON sa.doc_id = e.doc_a
+    JOIN sizes sb ON sb.doc_id = e.doc_b
+    ORDER BY e.doc_a, e.doc_b
+    """,
+)
+def minhash_jaccard_estimate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sketch CALIBRATION for the MinHash pipeline: for every banded-
+    LSH candidate pair, the Jaccard similarity the 16-component
+    signature ESTIMATES (fraction of equal min-hashes — Broder's
+    unbiased estimator) side-by-side with the EXACT shingle-set
+    Jaccard, plus the absolute error. This is the audit a curation
+    team runs before trusting a sketch-based dedup threshold at
+    100 TB: it answers "how far off is k=16 on OUR corpus", which no
+    recall unit test on synthetic data can.
+
+    Every hash is the portable md5 construction of
+    ``minhash_lsh_portable``, so estimator AND ground truth are
+    value-verified by the DuckDB oracle. Shape at scale: signatures
+    and candidates are the LSH pipeline unchanged (O(near-dups)
+    pairs); the exact-Jaccard confirm joins candidate pairs back to
+    the shingle table KEYED on (doc, shingle) — the same
+    suspects-pay-the-exact-check economics as bloom_prefilter_dedup,
+    so the expensive verify touches only the candidate sliver."""
+    sh = _portable_string_shingles(spark, sf_dir)
+    sigs = sh.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.md5(F.concat(F.lit(f"{i}:"), F.col("s")))
+            ).alias(f"m{i}")
+            for i in range(PMH_NUM_HASHES)
+        ]
+    )
+    bands = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            *[
+                                F.col(f"m{b * PMH_BAND_SIZE + j}")
+                                for j in range(PMH_BAND_SIZE)
+                            ],
+                        )
+                    )
+                    for b in range(PMH_NUM_BANDS)
+                ]
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    buckets = (
+        bands.groupBy("band_idx", "band_hash")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
+    cand = (
+        _posting_pairs(
+            buckets,
+            lambda x, y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+        )
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
+    )
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"m{i}").alias(f"a{i}") for i in range(PMH_NUM_HASHES)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"m{i}").alias(f"b{i}") for i in range(PMH_NUM_HASHES)],
+    )
+    eq = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(PMH_NUM_HASHES)
+    )
+    est = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            (eq / float(PMH_NUM_HASHES)).alias("est"),
+        )
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    inter = (
+        cand.join(
+            sh.select(F.col("doc_id").alias("doc_a"), "s"), "doc_a"
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("doc_b"), "s"),
+            ["doc_b", "s"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    shared = F.coalesce(F.col("n_shared"), F.lit(0))
+    true_j = shared * 1.0 / (F.col("na") + F.col("nb") - shared)
+    return (
+        est.join(inter, ["doc_a", "doc_b"], "left")
+        .join(
+            sizes.select(
+                F.col("doc_id").alias("doc_a"), F.col("n").alias("na")
+            ),
+            "doc_a",
+        )
+        .join(
+            sizes.select(
+                F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round("est", 6).alias("est_jaccard"),
+            F.round(true_j, 6).alias("true_jaccard"),
+            F.round(F.abs(F.col("est") - true_j), 6).alias("abs_err"),
+        )
+    )
+
+
 SIMHASH_PORTABLE_BITS = 32
 
 _SPH_SUMS = ",\n               ".join(

@@ -534,3 +534,79 @@ def spearman_signal_correlation(
         )
         .orderBy("source")
     )
+
+
+@query(
+    "ks_drift_statistic",
+    oracle="""
+    WITH b AS (
+        SELECT CAST(FLOOR(value) AS BIGINT) AS bin,
+               COUNT(*) FILTER (WHERE user_id % 2 = 0) AS n0,
+               COUNT(*) FILTER (WHERE user_id % 2 = 1) AS n1
+        FROM events GROUP BY 1
+    ),
+    t AS (SELECT SUM(n0) AS t0, SUM(n1) AS t1 FROM b),
+    c AS (
+        SELECT bin,
+               ROUND(ABS(SUM(n0) OVER (ORDER BY bin) * 1.0 / t0
+                     - SUM(n1) OVER (ORDER BY bin) * 1.0 / t1), 6) AS d
+        FROM b CROSS JOIN t
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM b) AS n_bins,
+           d AS ks_stat,
+           bin AS ks_at_bin
+    FROM c
+    ORDER BY d DESC, bin
+    LIMIT 1
+    """,
+)
+def ks_drift_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift between the same even/odd
+    user cohorts ``distribution_psi_drift`` compares — but over a
+    CONTINUOUS metric (event value), where PSI's categorical form
+    does not apply. D = max |ECDF_0 - ECDF_1| evaluated on unit
+    histogram bins: the binned KS is the standard streaming/-scale
+    variant (exact KS needs a global sort of raw values; binning
+    bounds the state at any corpus size, and the bin width is the
+    resolution knob). Returns the statistic, the bin where the gap
+    peaks (WHERE the distributions diverge — the actionable part),
+    and the bin count.
+
+    Scale shape: one map-side-combinable groupBy to the bin grain
+    (bounded: value-range/width rows), then cumulative windows OVER
+    THE BIN TABLE only (unpartitioned window over a bounded
+    aggregate — allowlisted), a 1-row totals broadcast, and a
+    TakeOrdered(1) argmax. The raw-event scan never sorts."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    b = (
+        ev.groupBy(
+            F.floor("value").cast("long").alias("bin")
+        ).agg(
+            F.count(F.when(F.col("user_id") % 2 == 0, 1)).alias("n0"),
+            F.count(F.when(F.col("user_id") % 2 == 1, 1)).alias("n1"),
+        )
+    )
+    t = b.agg(F.sum("n0").alias("t0"), F.sum("n1").alias("t1"))
+    nb = b.agg(F.count("*").cast("long").alias("n_bins"))
+    w = Window.orderBy("bin")
+    d = F.round(
+        F.abs(
+            F.sum("n0").over(w) * 1.0 / F.col("t0")
+            - F.sum("n1").over(w) * 1.0 / F.col("t1")
+        ),
+        6,
+    )
+    return (
+        b.crossJoin(F.broadcast(t))
+        .select("bin", d.alias("d"))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "n_bins",
+            F.col("d").alias("ks_stat"),
+            F.col("bin").alias("ks_at_bin"),
+        )
+        .orderBy(F.desc("ks_stat"), "ks_at_bin")
+        .limit(1)
+    )

@@ -981,6 +981,126 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Per-source KL divergence vs the corpus ---------------------------------
+
+
+@query(
+    "source_kl_divergence",
+    oracle=f"""
+    WITH feats AS (
+        SELECT source, substr(md5(word), 1, 2) AS b
+        FROM (
+            SELECT source, unnest(list_filter(
+                string_split_regex(lower(text), '[^a-z0-9]+'),
+                x -> x <> ''
+            )) AS word
+            FROM documents
+        )
+    ),
+    sb AS (
+        SELECT source, b, COUNT(*) AS c FROM feats GROUP BY source, b
+    ),
+    stot AS (
+        SELECT source, SUM(c) AS n_s FROM sb GROUP BY source
+    ),
+    allb AS (
+        SELECT printf('%02x', i) AS b
+        FROM UNNEST(range({DSIR_N_BUCKETS})) AS t(i)
+    ),
+    corpus AS (
+        SELECT a.b, COALESCE(SUM(x.c), 0) AS cc
+        FROM allb a LEFT JOIN sb x ON a.b = x.b
+        GROUP BY a.b
+    ),
+    ctot AS (SELECT SUM(cc) AS n FROM corpus),
+    grid AS (
+        SELECT s.source, s.n_s, c.b, c.cc, t.n,
+               COALESCE(x.c, 0) AS c
+        FROM stot s
+        CROSS JOIN corpus c
+        CROSS JOIN ctot t
+        LEFT JOIN sb x ON x.source = s.source AND x.b = c.b
+    )
+    SELECT source,
+           CAST(n_s AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           ROUND(SUM(
+               ((c + {DSIR_SMOOTH}) / (n_s + {DSIR_SMOOTH} * {DSIR_N_BUCKETS}))
+               * ln(((c + {DSIR_SMOOTH}) / (n_s + {DSIR_SMOOTH} * {DSIR_N_BUCKETS}))
+                    / ((cc + {DSIR_SMOOTH}) / (n + {DSIR_SMOOTH} * {DSIR_N_BUCKETS})))
+           ), 6) AS kl_divergence
+    FROM grid
+    GROUP BY source, n_s
+    ORDER BY source
+    """,
+)
+def source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source domain-shift score: KL(P_source || P_corpus) over
+    the same 256 md5 word buckets DSIR uses, Laplace-smoothed on both
+    sides. This is the standard "how far is this domain from the
+    mixture" diagnostic (the quantity DoReMi/DSIR-style selection
+    reasons about): ~0 for sources that look like the corpus, large
+    for outlier domains — the ranking a curation team uses to decide
+    which sources need their own mixture weight or a dedicated
+    quality gate. The reference has no distributional source
+    diagnostics at all (its per-source stats are counts:
+    databias/slicing_bias_analysis.py).
+
+    Scale shape: ONE shuffle — the (source, bucket) count groupBy
+    over exploded words (map-side combinable; |sources| * 256 output
+    rows at ANY corpus size). Everything after operates on that
+    bounded table: source totals, corpus totals, and the full
+    source x bucket grid (so absent buckets contribute their smoothed
+    mass — required for a well-defined KL) are cheap joins over
+    <= |sources| * 256 rows. No per-doc state anywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+        lambda x: x != F.lit(""),
+    )
+    feats = docs.select(
+        "source", F.explode(w).alias("word")
+    ).select("source", F.substring(F.md5("word"), 1, 2).alias("b"))
+    sb = feats.groupBy("source", "b").agg(F.count("*").alias("c"))
+    stot = sb.groupBy("source").agg(F.sum("c").alias("n_s"))
+    # ALL 256 buckets, not just the observed ones: with partial
+    # support p and q would not sum to 1 and the truncated "KL"
+    # could go negative — the smoothed masses of absent buckets are
+    # part of both distributions.
+    allb = spark.range(DSIR_N_BUCKETS).select(
+        F.format_string("%02x", F.col("id")).alias("b")
+    )
+    corpus = (
+        allb.join(sb.groupBy("b").agg(F.sum("c").alias("cc")), "b", "left")
+        .select("b", F.coalesce(F.col("cc"), F.lit(0)).alias("cc"))
+    )
+    ctot = corpus.agg(F.sum("cc").alias("n"))
+    grid = (
+        stot.crossJoin(F.broadcast(corpus))
+        .crossJoin(F.broadcast(ctot))
+        .join(sb, ["source", "b"], "left")
+        .withColumn("c", F.coalesce(F.col("c"), F.lit(0)))
+    )
+    a = float(DSIR_SMOOTH)
+    k = a * DSIR_N_BUCKETS
+    p = (F.col("c") + a) / (F.col("n_s") + k)
+    q = (F.col("cc") + a) / (F.col("n") + k)
+    return (
+        grid.groupBy("source", "n_s")
+        .agg(
+            F.count("*").alias("n_buckets"),
+            F.round(F.sum(p * F.log(p / q)), 6).alias("kl_divergence"),
+        )
+        .select(
+            "source",
+            F.col("n_s").cast("long").alias("n_tokens"),
+            F.col("n_buckets").cast("long"),
+            "kl_divergence",
+        )
+        .orderBy("source")
+    )
+
+
 # --- Temperature-based mixture weights -------------------------------------
 
 MIXTURE_ALPHA = 0.3  # mT5's alpha: upsample the tail, damp the head

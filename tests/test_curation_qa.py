@@ -243,3 +243,116 @@ def test_salted_group_rank_dense_from_one(spark):
     for r in out.collect():
         assert r["lo"] == 1
         assert r["hi"] == r["n"] == r["nd"]
+
+
+def _write_docs_src(spark, tmp_path, rows):
+    """rows: (doc_id, text, source)"""
+    rows = [(int(i), t, "en", s, len(t)) for i, t, s in rows]
+    spark.createDataFrame(rows, DOC_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(str(tmp_path), "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_minhash_estimate_exact_dup_and_error_bounds(spark, tmp_path):
+    """An exact duplicate pair must estimate Jaccard 1.0 with zero
+    error; every row's estimate and truth live in [0, 1] and the
+    error column is |est - true|."""
+    from citeconnect_datapipeline_spark.operators.dedup import (
+        minhash_jaccard_estimate,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta " * 6
+    rows = [
+        (1, base, "s0"),
+        (2, base, "s0"),  # exact dup of 1
+        (3, base + " iota kappa mu nu xi", "s0"),  # near-dup
+        (4, "completely different words entirely other tokens", "s1"),
+    ]
+    out = minhash_jaccard_estimate(
+        spark, _write_docs_src(spark, tmp_path, rows)
+    ).collect()
+    pairs = {(r["doc_a"], r["doc_b"]): r for r in out}
+    assert (1, 2) in pairs
+    r12 = pairs[(1, 2)]
+    assert r12["est_jaccard"] == 1.0
+    assert r12["true_jaccard"] == 1.0
+    assert r12["abs_err"] == 0.0
+    for r in out:
+        assert 0.0 <= r["est_jaccard"] <= 1.0
+        assert 0.0 <= r["true_jaccard"] <= 1.0
+        assert abs(
+            r["abs_err"] - abs(r["est_jaccard"] - r["true_jaccard"])
+        ) < 2e-6
+
+
+def test_source_kl_zero_for_identical_and_larger_for_outlier(
+    spark, tmp_path
+):
+    """A source textually identical to the corpus majority scores
+    near-zero KL; a disjoint-vocabulary source scores strictly
+    higher. Smoothing keeps every KL finite and >= 0 (Gibbs)."""
+    from citeconnect_datapipeline_spark.operators.training import (
+        source_kl_divergence,
+    )
+
+    common = "spark shuffle partition join filter scan " * 20
+    rows = [(i, common, "same%d" % (i % 2)) for i in range(20)]
+    rows += [
+        (100 + i, "zz%d qq%d ww%d " % (i, i, i) * 30, "outlier")
+        for i in range(3)
+    ]
+    out = source_kl_divergence(
+        spark, _write_docs_src(spark, tmp_path, rows)
+    ).collect()
+    kl = {r["source"]: r["kl_divergence"] for r in out}
+    # Gibbs: KL >= 0 always (holds only because the grid covers ALL
+    # 256 buckets — a truncated support made this negative)
+    assert all(v >= 0.0 for v in kl.values())
+    # the two textually identical sources must score identically
+    # (up to rounding), and far below the disjoint-vocabulary one
+    assert abs(kl["same0"] - kl["same1"]) < 1e-4
+    assert kl["outlier"] > 5 * kl["same0"]
+    assert all(r["n_buckets"] == 256 for r in out)
+
+
+def test_ks_drift_separated_cohorts_hits_one(spark, tmp_path):
+    """If every even-user value is below every odd-user value, the
+    ECDF gap reaches 1.0 exactly at the boundary bin."""
+    import datetime
+
+    from citeconnect_datapipeline_spark.operators.statistics import (
+        ks_drift_statistic,
+    )
+    from pyspark.sql.types import (
+        DoubleType,
+        StringType as _S,
+        StructField as _F,
+        StructType as _T,
+        TimestampType,
+    )
+
+    ts = datetime.datetime(2024, 1, 1)
+    schema = _T(
+        [
+            _F("event_id", LongType()),
+            _F("ts", TimestampType()),
+            _F("user_id", LongType()),
+            _F("event_type", _S()),
+            _F("value", DoubleType()),
+            _F("props", _S()),
+        ]
+    )
+    rows = [
+        (i, ts, i, "e", float(5 + (i % 2) * 100), "{}")
+        for i in range(200)
+    ]
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(str(tmp_path), "events.parquet"))
+    out = ks_drift_statistic(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["ks_stat"] == 1.0
+    assert r["ks_at_bin"] == 5  # gap peaks at the even cohort's bin
+    assert r["n_bins"] == 2

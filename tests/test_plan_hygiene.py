@@ -35,8 +35,12 @@ NESTED_LOOP_OK = {
     # scalar broadcast (replaced the r4 global ntile)
     "graph_2hop_frontier",
     "interleave_shards",  # domain-count n_src: 1-row scalar broadcast
+    "ks_drift_statistic",  # cohort totals + bin count: two 1-row
+    # scalar broadcasts over the bounded bin table
     "lm_perplexity_buckets",  # smoothing denominator V + tertile
     # cutoffs: 1-row scalar broadcasts (replaced the r4 global ntile)
+    "source_kl_divergence",  # 256-row corpus-bucket table + 1-row
+    # total: bounded broadcasts building the source x bucket grid
     "mitigation_recommendations",
     "theta_audience_overlap",
     "tfidf_top_terms",  # corpus-size 1-row broadcast (was a
@@ -84,6 +88,7 @@ UNPARTITIONED_WINDOW_OK = {
     "group_size_median",  # median over per-mktsegment counts
     "hybrid_rrf_search",  # ranks over two top-k candidate sets
     "interleave_shards",  # over per-source counts
+    "ks_drift_statistic",  # ECDF cumsums over the bounded bin table
     "mixture_temperature_weights",  # over per-source rows
     "range_frame_agg",  # 7-day range frame over per-DAY aggregates
     "run_over_run_anomaly",  # over the per-run history table
