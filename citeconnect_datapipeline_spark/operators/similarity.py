@@ -898,3 +898,92 @@ def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rrf_score"), "id")
         .limit(20)
     )
+
+
+HARDNEG_QUERY_STRIDE = 50  # every 50th vector anchors a mining query
+HARDNEG_TOPK = 3
+
+
+@query(
+    "hard_negative_mining",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS q_id, label AS q_label, embedding AS qvec
+        FROM embeddings WHERE vec_id % {HARDNEG_QUERY_STRIDE} = 0
+    ),
+    scored AS (
+        SELECT q.q_id, q.q_label, e.vec_id AS neg_id,
+               e.label AS neg_label,
+               ROUND(list_cosine_similarity(
+                   CAST(e.embedding AS DOUBLE[]), CAST(q.qvec AS DOUBLE[])
+               ), 6) AS similarity
+        FROM embeddings e CROSS JOIN q
+        WHERE e.label <> q.q_label
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY q_id
+                   ORDER BY similarity DESC, neg_id
+               ) AS rnk
+        FROM scored
+    )
+    SELECT q_id, q_label, neg_id, neg_label, similarity,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= {HARDNEG_TOPK}
+    ORDER BY q_id, rnk
+    """,
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training (the DPR /
+    sentence-transformers recipe): for each anchor vector, the top-k
+    most-similar vectors carrying a DIFFERENT label — the negatives
+    that actually move a contrastive loss, vs the easy random ones.
+    Anchors are a deterministic stride sample (every 50th vec_id)
+    standing in for the training batch being mined — the anchor side
+    is bounded by the MINING CONTRACT (you mine negatives for a
+    batch, not for the whole corpus), which is what makes its
+    broadcast legitimate at any corpus size.
+
+    Shape at scale: the bounded anchor batch broadcasts; candidates
+    stream through the scan once, scoring against all anchors in-row
+    (native zip_with/aggregate fold, no Python), and the per-anchor
+    top-k rank runs after a label-mismatch filter on the
+    (anchor-partitioned) window — each anchor's partition is the
+    candidate set, so the skew unit is one anchor's scan, split
+    across anchors. Brute-force is the calibration baseline; the
+    production path blocks candidates through `ann_ivf_topk`'s
+    pruned lists first and pays this exact scoring only inside the
+    probed cells. Similarities are rounded BEFORE ranking on both
+    engines so fp association noise cannot reorder a boundary
+    negative."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(
+        F.col("vec_id") % HARDNEG_QUERY_STRIDE == 0
+    ).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("qvec"),
+    )
+    vec = F.col("embedding").cast("array<double>")
+    qvec = F.col("qvec").cast("array<double>")
+    scored = (
+        emb.join(F.broadcast(q))
+        .filter(F.col("label") != F.col("q_label"))
+        .select(
+            "q_id",
+            "q_label",
+            F.col("vec_id").alias("neg_id"),
+            F.col("label").alias("neg_label"),
+            F.round(_cosine(vec, qvec), 6).alias("similarity"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.desc("similarity"), "neg_id"
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= HARDNEG_TOPK)
+        .orderBy("q_id", "rnk")
+    )

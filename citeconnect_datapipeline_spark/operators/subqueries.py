@@ -349,3 +349,67 @@ def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines."""
     _views(spark, sf_dir, "supplier", "lineitem", "part")
     return spark.sql(_Q20_SQL)
+
+
+_Q15_SQL = """
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 4)
+                   AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    ORDER BY s.s_suppkey
+"""
+
+
+@query("top_supplier_revenue", oracle=_Q15_SQL)
+def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) achieving the maximum
+    3-month revenue, via an uncorrelated scalar subquery over a
+    reused CTE (the spec's CREATE VIEW, expressed as a WITH). The
+    ties-included max-selection is the part ORDER BY/LIMIT 1 gets
+    wrong. Catalyst evaluates the scalar subquery as a 1-row
+    broadcast against the re-used revenue aggregate; the lineitem
+    scan carries the ship-date range down to parquet row groups.
+    Revenue is ROUNDED (4 dp) inside the CTE BEFORE the max
+    comparison so double-sum association order cannot make the two
+    engines disagree about who holds the maximum."""
+    _views(spark, sf_dir, "supplier", "lineitem")
+    return spark.sql(_Q15_SQL)
+
+
+_Q16_SQL = """
+    SELECT p.p_brand, p.p_size,
+           COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
+    WHERE p.p_type <> 'SMALL'
+      AND l.l_suppkey NOT IN (
+            SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+          )
+    GROUP BY p.p_brand, p.p_size
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_size
+"""
+
+
+@query("part_supplier_type_counts", oracle=_Q16_SQL)
+def part_supplier_type_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier breadth per part
+    (brand, size) bucket, excluding a NOT IN blocklist subquery
+    (negative-balance suppliers stand in for the spec's complaint
+    filter; this lake has no partsupp, so supply relationships come
+    from lineitem). Catalyst turns the NOT IN into a null-aware
+    anti join whose build side is the tiny blocklist; the
+    COUNT(DISTINCT) expands to a two-level aggregate on the same
+    (brand, size) shuffle. The ORDER BY ... DESC over the aggregate
+    output is a bounded presentation sort (|brands| x |sizes|
+    rows)."""
+    _views(spark, sf_dir, "part", "lineitem", "supplier")
+    return spark.sql(_Q16_SQL)

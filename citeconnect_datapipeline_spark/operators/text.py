@@ -1766,3 +1766,151 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     to 6 dp BEFORE the rank/limit and tie-broken by doc_id, so ULP
     differences between JVM and libm ln() can't reorder the top-k."""
     return bm25_rank(load_table(spark, sf_dir, "documents"))
+
+
+def _rep_cte(n: int) -> str:
+    """DuckDB CTE trio for within-doc duplicated n-gram coverage."""
+    return f"""
+    g{n} AS (
+        SELECT doc_id, i AS pos, len(w) AS nw,
+               array_to_string(list_slice(w, i, i + {n - 1}), ' ') AS g
+        FROM words,
+             UNNEST(range(1, greatest(len(w) - {n - 2}, 2))) AS t(i)
+        WHERE array_to_string(list_slice(w, i, i + {n - 1}), ' ') <> ''
+    ),
+    d{n} AS (
+        SELECT doc_id, g FROM g{n}
+        GROUP BY doc_id, g HAVING COUNT(*) >= 2
+    ),
+    c{n} AS (
+        SELECT DISTINCT x.doc_id, p
+        FROM g{n} x
+        JOIN d{n} d ON x.doc_id = d.doc_id AND x.g = d.g,
+        UNNEST(range(x.pos, least(x.pos + {n - 1}, x.nw) + 1)) AS c(p)
+    ),
+    r{n} AS (SELECT doc_id, COUNT(*) AS cov FROM c{n} GROUP BY doc_id)"""
+
+
+@query(
+    "gopher_repetition_ratios",
+    oracle=f"""
+    WITH words AS (
+        SELECT doc_id,
+               list_filter(
+                   string_split_regex(lower(text), '[^a-z0-9]+'),
+                   x -> x <> ''
+               ) AS w
+        FROM documents
+    ),{_rep_cte(2)},{_rep_cte(3)}
+    SELECT w.doc_id,
+           CAST(len(w.w) AS BIGINT) AS n_words,
+           ROUND(COALESCE(r2.cov, 0) * 1.0
+                 / greatest(len(w.w), 1), 6) AS dup2_ratio,
+           ROUND(COALESCE(r3.cov, 0) * 1.0
+                 / greatest(len(w.w), 1), 6) AS dup3_ratio
+    FROM words w
+    LEFT JOIN r2 ON w.doc_id = r2.doc_id
+    LEFT JOIN r3 ON w.doc_id = r3.doc_id
+    ORDER BY w.doc_id
+    """,
+)
+def gopher_repetition_ratios(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """WITHIN-document repetition, the Gopher/MassiveText "fraction
+    of content in duplicate n-grams" family (Rae et al. 2021, Table
+    A1): for n = 2 and 3, the fraction of word POSITIONS covered by
+    an n-gram occurring at least twice in the SAME document. High
+    ratios flag degenerate text — keyword stuffing, boilerplate
+    loops, decode failures — that per-corpus dedup never sees
+    because the repetition is internal. Complements
+    `doc_repetition_topk` (which ranks docs by one shingle stat)
+    with the per-doc coverage ratios Gopher actually thresholds on,
+    and `boilerplate_phrase_stats` (cross-corpus phrases) with the
+    within-doc grain.
+
+    Scale shape: everything is keyed on doc_id — the n-gram
+    explode, the per-(doc, gram) duplicate count, the position
+    coverage union, and the final rollup all shuffle on the document
+    key (or run map-side after the first doc-keyed exchange), so the
+    operator is embarrassingly doc-parallel: no corpus-wide state,
+    no broadcast, no window. Gram construction is the portable
+    slice/concat form shared with the shingle oracles, so coverage
+    is value-verified in DuckDB."""
+    from ..sources.tables import spread_small_source
+
+    docs = spread_small_source(load_table(spark, sf_dir, "documents"))
+    w = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+        lambda x: x != F.lit(""),
+    )
+    base = docs.select("doc_id", w.alias("w")).select(
+        "doc_id", "w", F.size("w").alias("nw")
+    )
+
+    def covered(n: int) -> DataFrame:
+        grams = (
+            base.select(
+                "doc_id",
+                "nw",
+                F.explode(
+                    F.filter(
+                        F.transform(
+                            F.sequence(
+                                F.lit(1),
+                                F.greatest(
+                                    F.col("nw") - (n - 1), F.lit(1)
+                                ),
+                            ),
+                            lambda i: F.struct(
+                                i.alias("pos"),
+                                F.concat_ws(
+                                    " ", F.slice("w", i, n)
+                                ).alias("g"),
+                            ),
+                        ),
+                        lambda s: s["g"] != F.lit(""),
+                    )
+                ).alias("e"),
+            )
+            .select("doc_id", "nw", "e.pos", "e.g")
+        )
+        dup = (
+            grams.groupBy("doc_id", "g")
+            .agg(F.count("*").alias("c"))
+            .filter(F.col("c") >= 2)
+            .select("doc_id", "g")
+        )
+        return (
+            grams.join(dup, ["doc_id", "g"])
+            .select(
+                "doc_id",
+                F.explode(
+                    F.sequence(
+                        F.col("pos"),
+                        F.least(F.col("pos") + (n - 1), F.col("nw")),
+                    )
+                ).alias("p"),
+            )
+            .distinct()
+            .groupBy("doc_id")
+            .agg(F.count("*").alias(f"cov{n}"))
+        )
+
+    ratio = lambda c: F.round(  # noqa: E731
+        F.coalesce(c, F.lit(0))
+        * 1.0
+        / F.greatest(F.col("nw"), F.lit(1)),
+        6,
+    )
+    return (
+        base.select("doc_id", "nw")
+        .join(covered(2), "doc_id", "left")
+        .join(covered(3), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("nw").cast("long").alias("n_words"),
+            ratio(F.col("cov2")).alias("dup2_ratio"),
+            ratio(F.col("cov3")).alias("dup3_ratio"),
+        )
+    )

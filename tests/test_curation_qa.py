@@ -356,3 +356,52 @@ def test_ks_drift_separated_cohorts_hits_one(spark, tmp_path):
     assert r["ks_stat"] == 1.0
     assert r["ks_at_bin"] == 5  # gap peaks at the even cohort's bin
     assert r["n_bins"] == 2
+
+
+def test_repetition_ratios_degenerate_vs_clean(spark, tmp_path):
+    """A pure 2-token loop is fully covered at both gram sizes; an
+    all-distinct doc scores 0; ratios live in [0, 1]."""
+    from citeconnect_datapipeline_spark.operators.text import (
+        gopher_repetition_ratios,
+    )
+
+    rows = [
+        (1, "spam ham " * 20, "s0"),  # degenerate loop
+        (2, "one two three four five six seven eight nine ten", "s0"),
+        (3, "x y z x y z padding words here now", "s0"),  # partial
+    ]
+    out = gopher_repetition_ratios(
+        spark, _write_docs_src(spark, tmp_path, rows)
+    ).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[1]["dup2_ratio"] == 1.0
+    assert by_id[1]["dup3_ratio"] == 1.0
+    assert by_id[2]["dup2_ratio"] == 0.0
+    assert by_id[2]["dup3_ratio"] == 0.0
+    r3 = by_id[3]
+    assert 0.0 < r3["dup2_ratio"] < 1.0
+    for r in out:
+        assert 0.0 <= r["dup3_ratio"] <= r["dup2_ratio"] + 1e-9
+
+
+def test_hard_negatives_never_share_anchor_label(spark, sf_dir):
+    """Every mined negative carries a different label than its
+    anchor, ranks are dense 1..k, and similarities are
+    non-increasing within an anchor."""
+    from citeconnect_datapipeline_spark.operators.similarity import (
+        HARDNEG_TOPK,
+        hard_negative_mining,
+    )
+
+    rows = hard_negative_mining(spark, sf_dir).collect()
+    assert rows
+    by_q = {}
+    for r in rows:
+        assert r["neg_label"] != r["q_label"]
+        by_q.setdefault(r["q_id"], []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r["rnk"])
+        assert [r["rnk"] for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= HARDNEG_TOPK
+        sims = [r["similarity"] for r in rs]
+        assert sims == sorted(sims, reverse=True)

@@ -34,6 +34,8 @@ NESTED_LOOP_OK = {
     "dsir_importance_weights",  # 75th-pct selection cutoff: 1-row
     # scalar broadcast (replaced the r4 global ntile)
     "graph_2hop_frontier",
+    "hard_negative_mining",  # anchor batch broadcast: bounded by the
+    # mining contract (a training batch, never the corpus)
     "interleave_shards",  # domain-count n_src: 1-row scalar broadcast
     "ks_drift_statistic",  # cohort totals + bin count: two 1-row
     # scalar broadcasts over the bounded bin table
