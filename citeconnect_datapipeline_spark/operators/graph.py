@@ -467,6 +467,44 @@ def copurchase_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _support_pruned_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered (u < v) co-purchase edges with support >= 2 — the
+    shared graph front half of `copurchase_triangles` and
+    `copurchase_link_prediction`. In-basket pair expansion happens
+    inside one row (transform over the sorted part set), so the only
+    shuffles are the basket groupBy and the (u, v) support count."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    )
+    return (
+        baskets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "ps",
+                        lambda x, i: F.transform(
+                            F.slice(
+                                F.col("ps"), i + 2, F.size(F.col("ps"))
+                            ),
+                            lambda y: F.struct(
+                                x.alias("u"), y.alias("v")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.u", "p.v")
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("cab"))
+        .filter(F.col("cab") >= 2)
+        .select("u", "v")
+    )
+
+
 @query(
     "copurchase_triangles",
     oracle="""
@@ -512,36 +550,7 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     its three vertices gets one count. Two shuffles on vertex keys +
     the final rollup; at 100 TB the ordered-edge trick (join only the
     higher-degree-ordered direction) is the classic skew guard."""
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey"
-    )
-    baskets = li.groupBy("l_orderkey").agg(
-        F.sort_array(F.collect_set("l_partkey")).alias("ps")
-    )
-    pair_counts = (
-        baskets.select(
-            F.explode(
-                F.flatten(
-                    F.transform(
-                        "ps",
-                        lambda x, i: F.transform(
-                            F.slice(
-                                F.col("ps"), i + 2, F.size(F.col("ps"))
-                            ),
-                            lambda y: F.struct(
-                                x.alias("u"), y.alias("v")
-                            ),
-                        ),
-                    )
-                )
-            ).alias("p")
-        )
-        .select("p.u", "p.v")
-        .groupBy("u", "v")
-        .agg(F.count("*").alias("cab"))
-        .filter(F.col("cab") >= 2)
-        .select("u", "v")
-    )
+    pair_counts = _support_pruned_edges(spark, sf_dir)
     # No persist: the three self-join scans of `e` are identical
     # subplans, so Catalyst's ReusedExchange computes the pair-count
     # shuffle once (plan-asserted in tests/test_plans.py). A persist
@@ -578,3 +587,114 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
     )
     return out
+
+
+@query(
+    "copurchase_link_prediction",
+    oracle="""
+    WITH baskets AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    pair_n AS (
+        SELECT a.l_partkey AS u, b.l_partkey AS v, COUNT(*) AS cab
+        FROM baskets a JOIN baskets b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+    ),
+    e AS (SELECT u, v FROM pair_n WHERE cab >= 2),
+    und AS (
+        SELECT u AS a, v AS b FROM e
+        UNION ALL SELECT v AS a, u AS b FROM e
+    ),
+    deg AS (SELECT a AS vtx, COUNT(*) AS d FROM und GROUP BY a),
+    wedge AS (
+        SELECT n1.a AS x, n2.a AS y, COUNT(*) AS common
+        FROM und n1 JOIN und n2
+          ON n1.b = n2.b AND n1.a < n2.a
+        GROUP BY n1.a, n2.a
+    ),
+    cand AS (
+        SELECT w.x, w.y, w.common
+        FROM wedge w
+        LEFT JOIN e ON e.u = w.x AND e.v = w.y
+        WHERE e.u IS NULL
+    )
+    SELECT c.x AS part_a, c.y AS part_b,
+           CAST(c.common AS BIGINT) AS common_neighbors,
+           ROUND(c.common * 1.0 / (da.d + db.d - c.common), 6)
+               AS jaccard_score
+    FROM cand c
+    JOIN deg da ON da.vtx = c.x
+    JOIN deg db ON db.vtx = c.y
+    ORDER BY common_neighbors DESC, jaccard_score DESC,
+             part_a, part_b
+    LIMIT 20
+    """,
+)
+def copurchase_link_prediction(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Common-neighbors link prediction over the support-pruned
+    co-purchase graph: the top pairs of parts that are NOT yet
+    co-purchased together but share the most co-purchase neighbors
+    (with the neighborhood-Jaccard score as the normalized
+    tie-breaker) — the classic "customers who bought these also
+    bought..." candidate generator, and the graph-native sibling of
+    the recommendation joins the reference builds imperatively
+    (citation overlap in analysis/citation_analyzer.py).
+
+    Same wedge join as `copurchase_triangles` (cost sum(deg^2),
+    bounded by the support->=2 prune cutting degree first), minus the
+    closing-edge join, plus an anti join against the existing edge
+    set — predicted links are by definition the OPEN wedges. Degree
+    table is |vertices| rows on the same vertex key. Scores are
+    int-ratio exact, so both engines rank identically; top-20 is a
+    TakeOrdered."""
+    e = _support_pruned_edges(spark, sf_dir)
+    und = e.select(
+        F.col("u").alias("a"), F.col("v").alias("b")
+    ).unionByName(e.select(F.col("v").alias("a"), F.col("u").alias("b")))
+    deg = und.groupBy(F.col("a").alias("vtx")).agg(
+        F.count("*").alias("d")
+    )
+    n1 = und.select(F.col("a").alias("x"), "b")
+    n2 = und.select(F.col("a").alias("y"), "b")
+    wedge = (
+        n1.join(n2, "b")
+        .filter(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count("*").alias("common"))
+    )
+    cand = wedge.join(
+        e,
+        (F.col("x") == F.col("u")) & (F.col("y") == F.col("v")),
+        "left_anti",
+    )
+    return (
+        cand.join(
+            deg.select(F.col("vtx").alias("x"), F.col("d").alias("da")),
+            "x",
+        )
+        .join(
+            deg.select(F.col("vtx").alias("y"), F.col("d").alias("db")),
+            "y",
+        )
+        .select(
+            F.col("x").alias("part_a"),
+            F.col("y").alias("part_b"),
+            F.col("common").cast("long").alias("common_neighbors"),
+            F.round(
+                F.col("common")
+                * 1.0
+                / (F.col("da") + F.col("db") - F.col("common")),
+                6,
+            ).alias("jaccard_score"),
+        )
+        .orderBy(
+            F.desc("common_neighbors"),
+            F.desc("jaccard_score"),
+            "part_a",
+            "part_b",
+        )
+        .limit(20)
+    )

@@ -610,3 +610,89 @@ def ks_drift_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("ks_stat"), "ks_at_bin")
         .limit(1)
     )
+
+
+WINSOR_LO, WINSOR_HI = 0.05, 0.95
+
+
+@query(
+    "winsorized_stats",
+    oracle=f"""
+    WITH cuts AS (
+        SELECT o_orderpriority AS priority,
+               quantile_cont(o_totalprice, {WINSOR_LO}) AS lo,
+               quantile_cont(o_totalprice, {WINSOR_HI}) AS hi
+        FROM orders GROUP BY o_orderpriority
+    ),
+    clamped AS (
+        SELECT c.priority,
+               LEAST(GREATEST(o.o_totalprice, c.lo), c.hi) AS v,
+               CASE WHEN o.o_totalprice < c.lo
+                      OR o.o_totalprice > c.hi
+                    THEN 1 ELSE 0 END AS clipped
+        FROM orders o JOIN cuts c ON o.o_orderpriority = c.priority
+    )
+    SELECT priority,
+           COUNT(*) AS n,
+           ROUND(AVG(v), 4) AS wins_mean,
+           ROUND(STDDEV_SAMP(v), 4) AS wins_stddev,
+           CAST(SUM(clipped) AS BIGINT) AS n_clipped,
+           ROUND(SUM(clipped) * 1.0 / COUNT(*), 6) AS clip_share
+    FROM clamped
+    GROUP BY priority
+    ORDER BY priority
+    """,
+)
+def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (5%/95%-clamped) mean and stddev of order value per
+    priority class — the robust-moments sibling of
+    `mad_outlier_flags`: instead of FLAGGING the fat tail it CLAMPS
+    it, which is what monitoring dashboards need when a handful of
+    mega-orders would otherwise swamp a mean-shift alert. Reports the
+    clamp counts so the clipping itself is auditable.
+
+    Two passes over the group, both keyed on the group column: the
+    exact per-group percentile aggregate (|groups| x 2 cutoff rows,
+    broadcast back by AQE on the same key), then the clamped-moment
+    aggregate (map-side combinable). Both engines use type-7
+    interpolated quantiles, so the cutoffs — and therefore every
+    clamped value — agree exactly; at 100 TB the one-line swap is
+    `percentile_approx`, same as every exact-percentile query here."""
+    orders = load_table(spark, sf_dir, "orders")
+    qs = F.percentile(
+        "o_totalprice", F.array(F.lit(WINSOR_LO), F.lit(WINSOR_HI))
+    )
+    cuts = (
+        orders.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(qs.alias("qs"))
+        .select(
+            "priority",
+            F.col("qs")[0].alias("lo"),
+            F.col("qs")[1].alias("hi"),
+        )
+    )
+    v = F.least(
+        F.greatest(F.col("o_totalprice"), F.col("lo")), F.col("hi")
+    )
+    clipped = (
+        (F.col("o_totalprice") < F.col("lo"))
+        | (F.col("o_totalprice") > F.col("hi"))
+    ).cast("int")
+    return (
+        orders.join(
+            cuts,
+            orders["o_orderpriority"] == cuts["priority"],
+        )
+        .select("priority", v.alias("v"), clipped.alias("clipped"))
+        .groupBy("priority")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("v"), 4).alias("wins_mean"),
+            F.round(F.stddev_samp("v"), 4).alias("wins_stddev"),
+            F.sum("clipped").cast("long").alias("n_clipped"),
+            F.round(
+                F.sum("clipped") * 1.0 / F.count("*"), 6
+            ).alias("clip_share"),
+        )
+        .orderBy("priority")
+    )

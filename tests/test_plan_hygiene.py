@@ -21,6 +21,7 @@ SF_DIR = "/root/testdata/sf0.001"
 #   small sketch-pair expansion.
 NESTED_LOOP_OK = {
     "ann_ivf_topk",
+    "ann_ivfpq_topk",
     "ann_lsh_topk",
     "bm25_search",  # corpus stats (N, avgdl): 1-row scalar broadcast
     "hybrid_rrf_search",  # inherits bm25's stats row + cosine's 1-row
@@ -55,6 +56,7 @@ NESTED_LOOP_OK = {
 # dedicated tests instead.
 BUILD_EXECUTES = {
     "ann_ivf_topk",
+    "ann_ivfpq_topk",  # IVF centroid + PQ codebook sample fits
     "bpe_merge_ranks",  # merge loop collects 1 argmax row per round
     "embedding_pca_whiten",  # collects d + d^2 Gram/mean partials
     "kmeans_clusters",  # k-means fit collects k*d centroid partials

@@ -301,3 +301,43 @@ def test_ann_pq_recall_and_code_width(spark):
     assert all(0 <= r.packed_code < (1 << 32) for r in rows)
     rerun = {r.vec_id for r in ann_pq_topk(spark, sf).collect()}
     assert rerun == approx
+
+
+def test_ann_ivfpq_recall_pruning_and_code_width(spark):
+    """The composed IVF+PQ+refine path: recall@10 vs brute force must
+    hold, the PQ stage must only see the probed sliver (the IVF
+    contract), and every packed code must fit the advertised 32 bits
+    (M=8 subspaces x 4 bits)."""
+    from citeconnect_datapipeline_spark.operators.similarity import (
+        IVF_LISTS,
+        IVF_NPROBE,
+        ann_ivfpq_topk,
+        cosine_topk,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    truth = {r.vec_id for r in cosine_topk(spark, sf).collect()}
+    rows = ann_ivfpq_topk(spark, sf).collect()
+    approx = {r.vec_id for r in rows}
+    assert len(approx) == 10
+    recall = len(truth & approx) / len(truth)
+    assert recall >= 0.5, f"IVFPQ recall degenerated: {recall}"
+    for r in rows:
+        assert 0 <= r.packed_code < (1 << 32), "code exceeds 32 bits"
+    # the ADC stage must run on the probed lists only, not the corpus:
+    # nprobe/nlists of a balanced index, bounded well under the table
+    from citeconnect_datapipeline_spark.operators.similarity import (
+        _ivf_assignments,
+        _train_ivf_centroids,
+    )
+    from citeconnect_datapipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf, "embeddings")
+    cents = _train_ivf_centroids(emb, IVF_LISTS)
+    per_list = (
+        _ivf_assignments(emb, cents).groupBy("list_id").count().collect()
+    )
+    worst_probe = sum(
+        sorted((r["count"] for r in per_list), reverse=True)[:IVF_NPROBE]
+    )
+    assert worst_probe < 0.8 * emb.count()
