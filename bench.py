@@ -333,7 +333,8 @@ def main() -> None:
     # for these queries.
     MEMO_CONSUMERS = [
         "ngram_jaccard_topk", "neardup_components", "neardup_keep_best",
-        "neardup_threshold_sweep", "semantic_dedup", "kmeans_clusters",
+        "neardup_threshold_sweep", "neardup_cluster_histogram",
+        "semantic_dedup", "kmeans_clusters",
         "quality_classifier", "classifier_eval", "bpe_merge_ranks",
         "bpe_encode_stats",
     ]

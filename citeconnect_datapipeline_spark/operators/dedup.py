@@ -2142,3 +2142,101 @@ def neardup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("threshold")
     )
+
+
+@query(
+    "neardup_cluster_histogram",
+    oracle=f"""
+    WITH RECURSIVE words AS (
+        SELECT doc_id, string_split_regex(lower(text), '[^a-z0-9]+') AS w
+        FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(list_slice(w, i, i + 2), ' ') AS shingle
+        FROM words, UNNEST(range(1, greatest(len(w) - 1, 2))) AS t(i)
+        WHERE array_to_string(list_slice(w, i, i + 2), ' ') <> ''
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    jpairs AS (
+        SELECT p.doc_a, p.doc_b
+        FROM (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   COUNT(*) AS common
+            FROM sh a JOIN sh b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ) p
+        JOIN sizes sa ON p.doc_a = sa.doc_id
+        JOIN sizes sb ON p.doc_b = sb.doc_id
+        WHERE CAST(p.common AS DOUBLE) / (sa.n + sb.n - p.common)
+              >= {NEARDUP_JACCARD}
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM jpairs
+        UNION
+        SELECT doc_b, doc_a FROM jpairs
+    ),
+    reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    comp AS (
+        SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component
+        FROM reach GROUP BY src
+    ),
+    csize AS (
+        SELECT component, COUNT(*) AS cluster_size
+        FROM comp GROUP BY component
+    )
+    SELECT cluster_size,
+           COUNT(*) AS n_clusters,
+           CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs,
+           CAST(cluster_size * COUNT(*) - COUNT(*) AS BIGINT)
+               AS n_removable
+    FROM csize
+    GROUP BY cluster_size
+    ORDER BY cluster_size
+    """,
+)
+def neardup_cluster_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cluster-size distribution of the near-dup components — the
+    FIRST thing read off a dedup run at scale: how many pair
+    clusters vs. how many pathological 10k-copy boilerplate
+    clusters, and how many docs a keep-one policy would remove
+    (``n_removable`` = docs minus one canonical per cluster summed
+    per size). A fat tail here is what turns a dedup pass from a
+    cleanup into a 30% corpus cut, and it is the number quoted in
+    every dataset paper's dedup section.
+
+    Consumes the SAME memoized component-label table as
+    `neardup_components` / `neardup_keep_best` (one CC run per
+    process, the shared-intermediate pattern); on top of it this is
+    two bounded groupBys: component -> size, size -> cluster count.
+    The oracle recomputes components with the recursive-CTE
+    transitive closure."""
+    labels = _neardup_labels(spark, sf_dir)
+    csize = labels.groupBy(F.col("label").alias("component")).agg(
+        F.count("*").alias("cluster_size")
+    )
+    return (
+        csize.groupBy("cluster_size")
+        .agg(F.count("*").alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters"))
+            .cast("long")
+            .alias("n_docs"),
+            (
+                F.col("cluster_size") * F.col("n_clusters")
+                - F.col("n_clusters")
+            )
+            .cast("long")
+            .alias("n_removable"),
+        )
+        .orderBy("cluster_size")
+    )

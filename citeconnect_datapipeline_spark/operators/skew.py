@@ -75,3 +75,89 @@ def replicated_broadcast_join(
         F.broadcast(replicated_dim), on=[key, "_salt"], how="left"
     )
     return out.drop("_salt")
+
+
+from pyspark.sql import SparkSession  # noqa: E402
+
+from ..plans.registry import query  # noqa: E402
+from ..sources.tables import load_table  # noqa: E402
+
+SKEW_TOPK = 5
+
+
+@query(
+    "join_key_skew_report",
+    oracle=f"""
+    WITH kc AS (
+        SELECT l_partkey AS key, COUNT(*) AS n
+        FROM lineitem GROUP BY l_partkey
+    ),
+    tot AS (
+        SELECT SUM(n) AS total, COUNT(*) AS n_keys,
+               MAX(n) AS max_n,
+               quantile_cont(n, CAST(1 AS DOUBLE)/2) AS med_n
+        FROM kc
+    ),
+    ranked AS (
+        SELECT key, n,
+               ROW_NUMBER() OVER (ORDER BY n DESC, key) AS rnk
+        FROM kc
+    )
+    SELECT r.rnk AS hot_rank, r.key AS hot_key,
+           CAST(r.n AS BIGINT) AS n_rows,
+           ROUND(r.n * 1.0 / t.total, 6) AS share,
+           ROUND(r.n / t.med_n, 6) AS x_median,
+           CAST(t.n_keys AS BIGINT) AS n_keys
+    FROM ranked r CROSS JOIN tot t
+    WHERE r.rnk <= {SKEW_TOPK}
+    ORDER BY r.rnk
+    """,
+)
+def join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The diagnostic that decides WHEN the salting in this module is
+    worth its extra reduce: the top-{SKEW_TOPK} heaviest values of a
+    join/groupBy key (here lineitem.l_partkey, the co-purchase join
+    key) with each hot key's row share and its multiple of the
+    median key size — 'x_median >> 1' is the number a perf engineer
+    reads before choosing between AQE skew-split, salting, or a
+    broadcast. Runs BEFORE a 100 TB join, on the key-count table
+    (|distinct keys| rows), not the fact table.
+
+    Shape: one map-side-combinable key count, a 1-row stats
+    aggregate (exact median over key counts — swap percentile_approx
+    at web scale) broadcast back, and a top-k rank over... not the
+    full key table: ORDER BY n DESC LIMIT k plans as TakeOrdered on
+    the key-count table. The rank window in the oracle is spelled
+    with ROW_NUMBER for determinism; the Spark side gets the same
+    order from the sort columns directly."""
+    li = load_table(spark, sf_dir, "lineitem")
+    kc = li.groupBy(F.col("l_partkey").alias("key")).agg(
+        F.count("*").alias("n")
+    )
+    tot = kc.agg(
+        F.sum("n").alias("total"),
+        F.count("*").alias("n_keys"),
+        F.expr("percentile(n, cast(1 as double)/2)").alias("med_n"),
+    )
+    top = (
+        kc.orderBy(F.desc("n"), "key")
+        .limit(SKEW_TOPK)
+        .crossJoin(F.broadcast(tot))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("n"), "key")
+    return (
+        top.withColumn("hot_rank", F.row_number().over(w))
+        .select(
+            "hot_rank",
+            F.col("key").alias("hot_key"),
+            F.col("n").cast("long").alias("n_rows"),
+            F.round(F.col("n") * 1.0 / F.col("total"), 6).alias(
+                "share"
+            ),
+            F.round(F.col("n") / F.col("med_n"), 6).alias("x_median"),
+            F.col("n_keys").cast("long"),
+        )
+        .orderBy("hot_rank")
+    )

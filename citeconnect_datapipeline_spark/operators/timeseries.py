@@ -367,3 +367,76 @@ def ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ewma, 4).alias("ewma"),
         F.round(F.abs(F.col("mean_v") - ewma) / ewma, 4).alias("rel_dev"),
     ).orderBy("wd")
+
+
+@query(
+    "event_transition_matrix",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS next_type
+        FROM events
+    ),
+    trans AS (
+        SELECT event_type AS from_type, next_type AS to_type,
+               COUNT(*) AS n
+        FROM seq WHERE next_type IS NOT NULL
+        GROUP BY event_type, next_type
+    ),
+    tot AS (
+        SELECT from_type, SUM(n) AS row_total FROM trans
+        GROUP BY from_type
+    )
+    SELECT t.from_type, t.to_type,
+           CAST(t.n AS BIGINT) AS n_transitions,
+           ROUND(t.n * 1.0 / o.row_total, 6) AS prob
+    FROM trans t JOIN tot o ON t.from_type = o.from_type
+    ORDER BY t.from_type, t.to_type
+    """,
+)
+def event_transition_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    streams: for every (from, to) event-type pair, the transition
+    count and row-normalized probability. The behavioral-analytics
+    primitive under funnels and anomaly detection (a shifted
+    transition row IS a behavior change — the sequence-level
+    complement of `distribution_psi_drift`'s marginal view), and the
+    reference's event log has nothing sequence-aware at all.
+
+    One shuffle on user_id for the LEAD window (each user's history
+    sorts within its own partition — user grain, naturally
+    parallel), then a count rollup to the |event_types|^2 transition
+    grain, which is bounded at any corpus size; the row-total join
+    runs on that bounded table. Probabilities are int-ratio exact,
+    identical in both engines."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+    ).filter(F.col("next_type").isNotNull())
+    trans = seq.groupBy(
+        F.col("event_type").alias("from_type"),
+        F.col("next_type").alias("to_type"),
+    ).agg(F.count("*").alias("n"))
+    tot = trans.groupBy("from_type").agg(
+        F.sum("n").alias("row_total")
+    )
+    return (
+        trans.join(tot, "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            F.col("n").cast("long").alias("n_transitions"),
+            F.round(F.col("n") * 1.0 / F.col("row_total"), 6).alias(
+                "prob"
+            ),
+        )
+        .orderBy("from_type", "to_type")
+    )

@@ -53,6 +53,7 @@ def _load_all() -> None:
         multimodal,
         quality,
         setops,
+        skew,
         sorts,
         statistics,
         subqueries,

@@ -38,6 +38,7 @@ NESTED_LOOP_OK = {
     "hard_negative_mining",  # anchor batch broadcast: bounded by the
     # mining contract (a training batch, never the corpus)
     "interleave_shards",  # domain-count n_src: 1-row scalar broadcast
+    "join_key_skew_report",  # key-count stats: 1-row scalar broadcast
     "ks_drift_statistic",  # cohort totals + bin count: two 1-row
     # scalar broadcasts over the bounded bin table
     "lm_perplexity_buckets",  # smoothing denominator V + tertile
@@ -60,6 +61,7 @@ BUILD_EXECUTES = {
     "bpe_merge_ranks",  # merge loop collects 1 argmax row per round
     "embedding_pca_whiten",  # collects d + d^2 Gram/mean partials
     "kmeans_clusters",  # k-means fit collects k*d centroid partials
+    "neardup_cluster_histogram",  # shares the CC loop
     "neardup_components",
     "neardup_keep_best",  # shares the CC loop
     "neardup_threshold_sweep",  # shares the materialized pair table
@@ -92,6 +94,7 @@ UNPARTITIONED_WINDOW_OK = {
     "group_size_median",  # median over per-mktsegment counts
     "hybrid_rrf_search",  # ranks over two top-k candidate sets
     "interleave_shards",  # over per-source counts
+    "join_key_skew_report",  # rank over the top-k limited key slice
     "ks_drift_statistic",  # ECDF cumsums over the bounded bin table
     "mixture_temperature_weights",  # over per-source rows
     "range_frame_agg",  # 7-day range frame over per-DAY aggregates
