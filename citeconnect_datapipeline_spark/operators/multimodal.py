@@ -243,3 +243,87 @@ def video_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "frame_idx")
     )
+
+
+AUDIO_CHUNK_SEC = 30.0  # Whisper-style fixed inference windows
+
+
+@query(
+    "audio_chunk_windows",
+    oracle="""
+    WITH media AS (
+        SELECT doc_id, octet_length(encode(text)) AS n
+        FROM documents
+        WHERE doc_id % 3 = 1
+    ),
+    a AS (
+        SELECT doc_id, ROUND(n / 100.0, 2) AS duration_sec FROM media
+    ),
+    chunks AS (
+        SELECT doc_id, duration_sec,
+               unnest(range(0,
+                   CAST(ceil(duration_sec / 30.0) AS BIGINT)
+               )) AS chunk_idx
+        FROM a
+    )
+    SELECT doc_id, duration_sec,
+           CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           ROUND(chunk_idx * 30.0, 2) AS start_sec,
+           ROUND(LEAST(chunk_idx * 30.0 + 30.0, duration_sec), 2)
+               AS end_sec
+    FROM chunks
+    ORDER BY doc_id, chunk_idx
+    """,
+)
+def audio_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio chunking (1 clip -> N fixed windows): split each audio
+    payload's duration into 30-second inference windows — the
+    Whisper/wav2vec batching step, and the audio sibling of
+    `video_frame_samples` (that one samples positions, this one
+    tiles intervals; together with the decode stage the
+    image/audio/video triple is covered). The last window is
+    clipped to the clip's true end, so window durations are
+    auditable against the metadata.
+
+    Native ``explode(sequence(...))`` after a metadata-only filter —
+    only audio rows expand and payload bytes never move; the actual
+    sample EXTRACTION (bytes per window) is the mapInPandas codec
+    stage exactly as in `media_decode_features`, behind the same
+    RealMediaCodec seam. Durations are rounded to 2 dp BEFORE the
+    ceil/chunk arithmetic on both engines, so chunk counts agree
+    exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = with_media_columns(docs).filter(
+        F.col("media_type") == "audio"
+    )
+    dur = F.round(F.col("size_bytes") / 100.0, 2)
+    n_chunks = F.ceil(
+        F.col("duration_sec") / AUDIO_CHUNK_SEC
+    ).cast("long")
+    start = F.col("chunk_idx") * AUDIO_CHUNK_SEC
+    return (
+        media.select("doc_id", dur.alias("duration_sec"))
+        .select(
+            "doc_id",
+            "duration_sec",
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("long"),
+                    F.greatest(n_chunks, F.lit(1).cast("long")) - 1,
+                )
+            ).alias("chunk_idx"),
+        )
+        .select(
+            "doc_id",
+            "duration_sec",
+            "chunk_idx",
+            F.round(start, 2).alias("start_sec"),
+            F.round(
+                F.least(
+                    start + AUDIO_CHUNK_SEC, F.col("duration_sec")
+                ),
+                2,
+            ).alias("end_sec"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
