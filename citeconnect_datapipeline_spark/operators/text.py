@@ -1914,3 +1914,108 @@ def gopher_repetition_ratios(
             ratio(F.col("cov3")).alias("dup3_ratio"),
         )
     )
+
+
+NPMI_MIN_COUNT = 5
+
+
+@query(
+    "word_collocation_npmi",
+    oracle=f"""
+    WITH words AS (
+        SELECT doc_id,
+               list_filter(
+                   string_split_regex(lower(text), '[^a-z0-9]+'),
+                   x -> x <> ''
+               ) AS w
+        FROM documents
+    ),
+    bg AS (
+        SELECT w[i] AS w1, w[i + 1] AS w2
+        FROM words, UNNEST(range(1, greatest(len(w), 2))) AS t(i)
+        WHERE i < len(w)
+    ),
+    pc AS (
+        SELECT w1, w2, COUNT(*) AS c FROM bg GROUP BY w1, w2
+    ),
+    uc AS (
+        SELECT w1 AS wrd, SUM(c) AS u FROM pc GROUP BY w1
+    ),
+    n AS (SELECT SUM(c) AS n FROM pc),
+    scored AS (
+        SELECT p.w1, p.w2, p.c,
+               ROUND(
+                   ln((p.c * n.n * 1.0) / (a.u * b.u))
+                   / (-ln(p.c * 1.0 / n.n)), 6) AS npmi
+        FROM pc p
+        JOIN uc a ON p.w1 = a.wrd
+        JOIN uc b ON p.w2 = b.wrd
+        CROSS JOIN n
+        WHERE p.c >= {NPMI_MIN_COUNT}
+    )
+    SELECT w1, w2, CAST(c AS BIGINT) AS n_cooccur, npmi
+    FROM scored
+    ORDER BY npmi DESC, w1, w2
+    LIMIT 20
+    """,
+)
+def word_collocation_npmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase mining via normalized pointwise mutual information
+    (Bouma 2009): the top word bigrams whose co-occurrence beats
+    chance, NPMI-normalized to [-1, 1] so scores are comparable
+    across corpus sizes — the statistic used to decide which word
+    pairs become single tokenizer units ("new york"-style merges,
+    the data-driven complement of `bpe_merge_ranks`' frequency-only
+    merges) and to seed stop-phrase lists. Word-level sibling of
+    `copurchase_pmi_topk` (items in baskets there, adjacent words
+    here); the min-count gate keeps one-off typo pairs out of the
+    numerator.
+
+    Shape: bigram explode -> one (w1, w2) count shuffle (map-side
+    combinable, Zipf skew bounded because each key is a scalar
+    count), unigram marginals re-aggregated FROM the pair counts
+    (no second corpus pass), 1-row total broadcast, TakeOrdered
+    top-20. ln() ratios of integer counts agree across engines;
+    scores rounded before the rank."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+        lambda x: x != F.lit(""),
+    )
+    ln_ = F.greatest(F.size("w") - 1, F.lit(0))
+    bg_arr = F.arrays_zip(
+        F.slice("w", 1, ln_).alias("w1"),
+        F.slice("w", 2, ln_).alias("w2"),
+    )
+    bg = docs.select(w.alias("w")).select(
+        F.explode(bg_arr).alias("b")
+    ).select("b.w1", "b.w2")
+    pc = bg.groupBy("w1", "w2").agg(F.count("*").alias("c"))
+    uc = pc.groupBy(F.col("w1").alias("wrd")).agg(
+        F.sum("c").alias("u")
+    )
+    n = pc.agg(F.sum("c").alias("n"))
+    pmi = F.log(
+        F.col("c") * F.col("n") * 1.0 / (F.col("ua") * F.col("ub"))
+    )
+    denom = -F.log(F.col("c") * 1.0 / F.col("n"))
+    return (
+        pc.filter(F.col("c") >= NPMI_MIN_COUNT)
+        .join(
+            uc.select(F.col("wrd").alias("w1"), F.col("u").alias("ua")),
+            "w1",
+        )
+        .join(
+            uc.select(F.col("wrd").alias("w2"), F.col("u").alias("ub")),
+            "w2",
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "w1",
+            "w2",
+            F.col("c").cast("long").alias("n_cooccur"),
+            F.round(pmi / denom, 6).alias("npmi"),
+        )
+        .orderBy(F.desc("npmi"), "w1", "w2")
+        .limit(20)
+    )

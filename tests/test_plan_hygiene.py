@@ -50,6 +50,7 @@ NESTED_LOOP_OK = {
     "tfidf_top_terms",  # corpus-size 1-row broadcast (was a
     # driver-side docs.count() barrier before round 3)
     "top_decile_mean",
+    "word_collocation_npmi",  # bigram-total N: 1-row scalar broadcast
 }
 
 # construction itself runs Spark jobs (iterative label propagation /
