@@ -20,6 +20,10 @@ PICKS = {
     "ngram_jaccard_topk": "inverted-index pair generation (core stage)",
     "curation_pipeline_e2e": "composed pipeline, two hash exchanges",
     "cosine_topk": "similarity top-k as TakeOrdered",
+    "lm_perplexity_buckets": "r5 rewrite: percentile-threshold 1-row "
+    "broadcast replaces the global-ntile WindowExec",
+    "class_balance_sample": "r5 rewrite: salted two-phase rank — the "
+    "window partitions on (group, salt), never the group alone",
 }
 KEEP = re.compile(
     r"Scan parquet|BatchScan|BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin"
