@@ -6,10 +6,16 @@ engine over the same lake must answer the deep multi-join questions
 its bias/slicing module would need once the paper corpus is
 normalized into fact + dimension tables (papers ~ orders/lineitem,
 domain/venue dims ~ nation/region). These queries are the classic
-TPC-H shapes (Q3/Q5/Q8) because they exercise exactly what matters at
-100 TB: Catalyst join reordering, broadcast-hash selection for
-dimension tables, filter pushdown below joins, and map-side partial
-aggregation before the one unavoidable shuffle.
+TPC-H shapes (Q3/Q5/Q7/Q8/Q9/Q10/Q12/Q14/Q19 here; with the
+subquery suite in operators/subqueries.py and the Q1/Q6/Q13-family
+aggregates, all 22 canonical shapes are covered) because they
+exercise exactly what matters at 100 TB: Catalyst join reordering,
+broadcast-hash selection for dimension tables, filter pushdown below
+joins — including disjunctive predicates (Q19) — and map-side
+partial aggregation before the one unavoidable shuffle. Columns the
+lake lacks (l_shipmode, l_commitdate, p_container, partsupp) are
+substituted with available ones carrying the same shape; each
+docstring notes its substitution.
 
 Scale notes (local[32] tested, 1000-executor design):
 - Dimension tables (region/nation/supplier-sized) are explicitly
@@ -205,4 +211,355 @@ def market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("asia_supplier_share")
         )
         .orderBy("order_year")
+    )
+
+
+@query(
+    "nation_trade_volume",
+    oracle="""
+    SELECT supp_nation, cust_nation, l_year,
+           ROUND(SUM(volume), 4) AS revenue
+    FROM (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(EXTRACT(year FROM l.l_shipdate) AS INT) AS l_year,
+               l.l_extendedprice * (1 - l.l_discount) AS volume
+        FROM supplier s
+        JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+        WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+          AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l.l_shipdate < TIMESTAMP '1998-01-01'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between two nations by
+    ship year — the supplier's nation comes through lineitem, the
+    customer's through orders, and the disjunctive nation-pair
+    predicate couples the two dimension legs.
+
+    Both nation joins are broadcasts; the pair predicate CANNOT be
+    pushed below either join alone (it references both sides), but
+    Catalyst infers the single-side IN('NATION_1','NATION_2')
+    constraints and pushes those into the two dimension scans, so
+    each broadcast build holds 2 of 25 nations and the fact rows
+    drop at the first join touch. The only shuffle is
+    orders >< lineitem on orderkey; the year groupBy output is
+    |pairs| x |years| — dimension-bounded. Same plan at 100 TB."""
+    supplier = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    pair = ["NATION_1", "NATION_2"]
+    n1 = nation.filter(F.col("n_name").isin(pair)).select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.filter(F.col("n_name").isin(pair)).select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    supp = supplier.join(
+        F.broadcast(n1), supplier.s_nationkey == F.col("n1_key")
+    ).select("s_suppkey", "supp_nation")
+    cust = customer.join(
+        F.broadcast(n2), customer.c_nationkey == F.col("n2_key")
+    ).select("c_custkey", "cust_nation")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(supp), li.l_suppkey == F.col("s_suppkey"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == F.col("c_custkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@query(
+    "product_type_profit",
+    oracle="""
+    SELECT nation, o_year, ROUND(SUM(amount), 4) AS sum_profit
+    FROM (
+        SELECT n.n_name AS nation,
+               CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS o_year,
+               l.l_extendedprice * (1 - l.l_discount)
+                 - 0.5 * p.p_retailprice * l.l_quantity AS amount
+        FROM part p
+        JOIN lineitem l ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        WHERE p.p_name LIKE '%widget%'
+    ) profit
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+)
+def product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: per-nation, per-year profit on one product
+    family, where profit nets revenue against cost across two fact
+    touches. (This lake has no partsupp, so supply cost is the
+    spec-plausible proxy 0.5 * p_retailprice per unit — the plan
+    shape, a 5-way join with a LIKE-filtered part leg, is what
+    matters.)
+
+    The '%widget%' LIKE cannot use an index but DOES push into the
+    part parquet scan as a row-group filter; the surviving partkeys
+    broadcast onto lineitem, so the selective leg prunes the fact
+    before the orders shuffle. supplier->nation folds into one
+    broadcast map. One orderkey shuffle + one (nation, year) agg
+    shuffle of dimension-bounded width. Same plan at 100 TB."""
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    widget = part.filter(F.col("p_name").like("%widget%")).select(
+        "p_partkey", "p_retailprice"
+    )
+    supp_nation = supplier.join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        supplier.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey", F.col("n_name").alias("nation"))
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.5 * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(widget), li.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(supp_nation), li.l_suppkey == F.col("s_suppkey"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            "nation", F.year("o_orderdate").cast("int").alias("o_year")
+        )
+        .agg(F.round(F.sum(amount), 4).alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+@query(
+    "returned_item_report",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+           c.c_acctbal, n.n_name AS nation
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-10-01'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def returned_item_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: the 20 customers who returned the most
+    revenue in a quarter — the 'who is hurting us' ranked report.
+    Both selective predicates sit on base tables (date window on
+    orders, returnflag on lineitem) and push into their scans; the
+    quarter-pruned orders side shrinks enough that the orderkey join
+    probes a fraction of lineitem's row groups. customer and nation
+    broadcast. Top-20 by ROUNDED revenue with custkey tie-break is a
+    TakeOrdered — no global sort of the grouped output."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = customer.join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        customer.c_nationkey == F.col("n_nationkey"),
+    ).select("c_custkey", "c_name", "c_acctbal", F.col("n_name").alias("nation"))
+    return (
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(
+            li.filter(F.col("l_returnflag") == "R"),
+            F.col("o_orderkey") == li.l_orderkey,
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "nation")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "nation")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "linestatus_priority_split",
+    oracle="""
+    SELECT l.l_linestatus AS ship_bucket,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1997-01-01'
+      AND l.l_returnflag = 'N'
+    GROUP BY l.l_linestatus
+    ORDER BY l.l_linestatus
+    """,
+)
+def linestatus_priority_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: per-shipping-bucket counts of high- vs
+    low-priority lines in a ship-date year — the conditional
+    pivot-to-two-counts aggregate. (The lake has no l_shipmode or
+    commit/receipt dates; l_linestatus plays the bucket and the
+    returnflag filter plays the spec's lateness predicate — the
+    CASE-sum structure over a fact-fact join is the shape under
+    test.)
+
+    Both filters push to the lineitem scan; the filtered fact joins
+    orders on orderkey (the one shuffle) carrying only
+    (orderkey, linestatus); the CASE pair folds into ONE aggregate
+    pass — no self-join, no second scan. Output is |linestatus|
+    rows. The 100 TB plan is identical with the orderkey exchange
+    bucketed away."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_returnflag") == "N")
+        )
+        .join(orders, F.col("l_orderkey") == orders.o_orderkey)
+        .groupBy(F.col("l_linestatus").alias("ship_bucket"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("ship_bucket")
+    )
+
+
+@query(
+    "promo_revenue_share",
+    oracle="""
+    SELECT ROUND(
+             100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
+                              THEN l.l_extendedprice * (1 - l.l_discount)
+                              ELSE 0 END)
+             / SUM(l.l_extendedprice * (1 - l.l_discount)), 4
+           ) AS promo_revenue_pct
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-09-01'
+      AND l.l_shipdate < TIMESTAMP '1996-10-01'
+    """,
+)
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: the share of one month's revenue that came
+    from promotional parts — a ratio of conditional sums in a single
+    aggregate pass (no self-join; the naive two-query form scans
+    lineitem twice). The one-month predicate prunes lineitem row
+    groups at the scan; part projected to (partkey, is_promo flag)
+    broadcasts; the global aggregate is a map-side partial + 1-row
+    final. Ratio rounded at 4 dp — ratios of float sums drift past
+    6 dp across engines (registry contract)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+        )
+        .join(
+            F.broadcast(part.select("p_partkey", "p_type")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+@query(
+    "disjunctive_discount_revenue",
+    oracle="""
+    SELECT ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 1 AND 20)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 11 AND 25
+           AND l.l_quantity BETWEEN 10 AND 35)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 26 AND 50
+           AND l.l_quantity BETWEEN 20 AND 50)
+    """,
+)
+def disjunctive_discount_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q19 shape: revenue matching three OR'd brand/size/
+    quantity bundles — the canonical disjunctive-predicate test.
+    (p_size stands in for the spec's p_container buckets; the lake
+    has no container column.)
+
+    What Catalyst must get right, and the plan test asserts: the
+    join itself stays a single equi hash join on partkey (the OR
+    must NOT degrade it to a nested loop), and the per-side
+    implications of the disjunction ARE extracted and pushed — part
+    scans with brand IN (1,2,3) + size BETWEEN 1 AND 50, lineitem
+    with quantity BETWEEN 1 AND 50 — so both scans prune before the
+    join evaluates the full residual OR. part (3 brands) broadcasts;
+    the aggregate is a 1-row global."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    joined = li.join(
+        F.broadcast(part.select("p_partkey", "p_brand", "p_size")),
+        li.l_partkey == F.col("p_partkey"),
+    )
+    bundle = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(1, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(11, 25)
+        & F.col("l_quantity").between(10, 35)
+    ) | (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(26, 50)
+        & F.col("l_quantity").between(20, 50)
+    )
+    return joined.filter(bundle).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+        ).alias("revenue")
     )
