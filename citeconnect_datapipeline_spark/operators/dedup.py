@@ -2230,3 +2230,76 @@ def neardup_cluster_histogram(
         )
         .orderBy("cluster_size")
     )
+
+
+@query(
+    "ngram_containment_topk",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, string_split_regex(lower(text), '[^a-z0-9]+') AS w
+        FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(list_slice(w, i, i + 2), ' ') AS shingle
+        FROM words, UNNEST(range(1, greatest(len(w) - 1, 2))) AS t(i)
+        WHERE array_to_string(list_slice(w, i, i + 2), ' ') <> ''
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT p.doc_a, p.doc_b,
+           ROUND(CAST(p.common AS DOUBLE) / sa.n, 6) AS contain_a_in_b,
+           ROUND(CAST(p.common AS DOUBLE) / sb.n, 6) AS contain_b_in_a,
+           ROUND(CAST(p.common AS DOUBLE) / (sa.n + sb.n - p.common), 6)
+               AS jaccard
+    FROM pairs p
+    JOIN sizes sa ON p.doc_a = sa.doc_id
+    JOIN sizes sb ON p.doc_b = sb.doc_id
+    ORDER BY greatest(ROUND(CAST(p.common AS DOUBLE) / sa.n, 6),
+                      ROUND(CAST(p.common AS DOUBLE) / sb.n, 6)) DESC,
+             p.doc_a, p.doc_b
+    LIMIT 20
+    """,
+)
+def ngram_containment_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle CONTAINMENT (Broder's other coefficient:
+    C(A,B) = |A∩B| / |A|) for the top-20 most-contained pairs —
+    what Jaccard misses: a short document quoted wholesale inside a
+    long one scores low Jaccard (the union is big) but containment
+    ~1 in the short->long direction. This is the quote/subset
+    detector that decides KEEP-the-superset in dedup, where
+    symmetric Jaccard would keep both.
+
+    Reuses the once-per-process materialized pair table
+    (common, n_a, n_b per co-shingled pair) shared with
+    `ngram_jaccard_topk`'s family — zero new shuffles beyond the
+    final 20-row TakeOrdered; both directional containments are
+    per-row arithmetic on the pair row. 100 TB shape = the pair
+    table's (inverted index + posting cap, see
+    jaccard_scored_pairs)."""
+    pairs = _jaccard_pairs_materialized(spark, sf_dir)
+    c_ab = F.round(F.col("common").cast("double") / F.col("n_a"), 6)
+    c_ba = F.round(F.col("common").cast("double") / F.col("n_b"), 6)
+    return (
+        pairs.select(
+            "doc_a",
+            "doc_b",
+            c_ab.alias("contain_a_in_b"),
+            c_ba.alias("contain_b_in_a"),
+            F.round(F.col("jaccard"), 6).alias("jaccard"),
+        )
+        .orderBy(
+            F.desc(
+                F.greatest(
+                    F.col("contain_a_in_b"), F.col("contain_b_in_a")
+                )
+            ),
+            "doc_a",
+            "doc_b",
+        )
+        .limit(20)
+    )

@@ -1094,3 +1094,109 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("similarity"), "vec_id")
         .limit(10)
     )
+
+
+@query(
+    "mrl_truncation_eval",
+    oracle=f"""
+    WITH q AS (
+        SELECT embedding AS qvec FROM embeddings WHERE vec_id = {QUERY_VEC_ID}
+    ),
+    dims AS (SELECT unnest([8, 16, 32, 64]) AS trunc_dim),
+    scored AS (
+        SELECT d.trunc_dim, e.vec_id,
+               ROUND(list_cosine_similarity(
+                   CAST(list_slice(e.embedding, 1, d.trunc_dim)
+                        AS DOUBLE[]),
+                   CAST(list_slice(q.qvec, 1, d.trunc_dim) AS DOUBLE[])
+               ), 6) AS cos
+        FROM embeddings e CROSS JOIN q CROSS JOIN dims d
+        WHERE e.vec_id <> {QUERY_VEC_ID}
+    ),
+    top AS (
+        SELECT trunc_dim, vec_id, cos
+        FROM scored
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY trunc_dim ORDER BY cos DESC, vec_id
+        ) <= 10
+    ),
+    full_set AS (SELECT vec_id FROM top WHERE trunc_dim = 64)
+    SELECT t.trunc_dim,
+           ROUND(SUM(CASE WHEN f.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                 / 10.0, 6) AS recall_at_10,
+           ROUND(AVG(t.cos), 6) AS mean_cos
+    FROM top t LEFT JOIN full_set f ON t.vec_id = f.vec_id
+    GROUP BY t.trunc_dim
+    ORDER BY t.trunc_dim
+    """,
+)
+def mrl_truncation_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka (MRL) truncation evaluation: how much retrieval
+    quality survives when the 64-d embedding is truncated to its
+    first 8/16/32 dims — recall@10 of each truncated top-10 against
+    the full-dimension top-10, plus the mean truncated cosine of the
+    kept set. This is the dimension-vs-quality trade curve a team
+    reads before shipping truncated vectors to cut ANN index cost
+    4-8x (Kusupati et al.'s matryoshka evaluation, as a query).
+
+    Shape: ONE scan of embeddings exploded x4 over the dim ladder
+    (the slice + cosine are per-row expressions; no UDF), then a
+    top-10 per trunc_dim via ranked window. The window partitions on
+    trunc_dim (4 groups over the whole corpus) — safe at scale
+    because the rank<=10 filter physical-plans to WindowGroupLimit:
+    each input partition pre-prunes to its local top-10 before the
+    4-way shuffle, so the final partitions see 10 x n_partitions
+    rows, not the corpus (same contract as topk_per_group). The
+    recall join touches two 10-row sets."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qvec")
+    )
+    d = F.col("trunc_dim")
+    vec_d = F.slice(F.col("embedding").cast("array<double>"), F.lit(1), d)
+    qvec_d = F.slice(F.col("qvec").cast("array<double>"), F.lit(1), d)
+    scored = (
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .join(F.broadcast(q))
+        .select(
+            F.explode(
+                F.array(F.lit(8), F.lit(16), F.lit(32), F.lit(64))
+            ).alias("trunc_dim"),
+            "vec_id",
+            "embedding",
+            "qvec",
+        )
+        .select(
+            "trunc_dim",
+            "vec_id",
+            F.round(_cosine(vec_d, qvec_d), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("trunc_dim").orderBy(F.desc("cos"), "vec_id")
+    top = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .drop("rn")
+    )
+    full_set = top.filter(F.col("trunc_dim") == 64).select(
+        F.col("vec_id").alias("full_vec_id")
+    )
+    return (
+        top.join(
+            F.broadcast(full_set),
+            top.vec_id == F.col("full_vec_id"),
+            "left",
+        )
+        .groupBy("trunc_dim")
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("full_vec_id").isNotNull(), 1).otherwise(0)
+                )
+                / 10.0,
+                6,
+            ).alias("recall_at_10"),
+            F.round(F.avg("cos"), 6).alias("mean_cos"),
+        )
+        .orderBy("trunc_dim")
+    )

@@ -696,3 +696,114 @@ def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+@query(
+    "cms_heavy_hitters",
+    oracle="""
+    WITH w AS (
+        SELECT word FROM (
+            SELECT unnest(list_filter(
+                string_split_regex(lower(text), '[^a-z0-9]+'),
+                x -> x <> ''
+            )) AS word
+            FROM documents
+        )
+    ),
+    exact AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+        FROM w GROUP BY word
+    ),
+    top AS (
+        SELECT word, exact_cnt FROM exact
+        ORDER BY exact_cnt DESC, word LIMIT 20
+    ),
+    rows_j AS (SELECT unnest([0, 1, 2]) AS j),
+    cms AS (
+        SELECT j,
+               substr(md5('cms' || j || ':' || word), 1, 2) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM w CROSS JOIN rows_j
+        GROUP BY j, bucket
+    ),
+    est AS (
+        SELECT t.word, MIN(c.cnt) AS cms_est
+        FROM top t
+        CROSS JOIN rows_j s
+        JOIN cms c
+          ON c.j = s.j
+         AND c.bucket = substr(md5('cms' || s.j || ':' || t.word), 1, 2)
+        GROUP BY t.word
+    )
+    SELECT t.word, t.exact_cnt, e.cms_est,
+           e.cms_est - t.exact_cnt AS overestimate
+    FROM top t JOIN est e ON t.word = e.word
+    ORDER BY t.exact_cnt DESC, t.word
+    """,
+)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch frequency estimation, validated against exact
+    counts for the top-20 heavy hitters (Cormode & Muthukrishnan;
+    the streaming-frequency primitive behind every "top queries /
+    top tokens without a full groupBy" dashboard).
+
+    Sketch: d=3 hash rows x w=256 buckets, the (j, bucket) cell
+    holding the total occurrence count of all words landing there;
+    a word's estimate is the MIN over its 3 cells — always an
+    OVERestimate (collisions only add), which the `overestimate`
+    column makes visible. Buckets are the first 2 hex chars of
+    md5('cms'||j||':'||word) — the engine-portable hash
+    (portable-oracle contract), string-keyed to avoid hex->int.
+
+    Scale shape — the whole point of CMS at 100 TB: the sketch is
+    a CONSTANT 768 cells regardless of corpus size, built in one
+    map-side-combinable pass over the exploded words (the explode x3
+    rides the same scan); the exact side here exists only to grade
+    the estimate. The top-20 probe set joins the 768-row sketch as
+    a broadcast. In production the exact groupBy is the thing you
+    DROP — the sketch alone answers point frequency queries with
+    eps=e/256 additive error at delta=e^-3 confidence."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(
+            F.array_remove(
+                F.split(F.lower(F.col("text")), "[^a-z0-9]+"), ""
+            )
+        ).alias("word")
+    )
+    exact = words.groupBy("word").agg(F.count("*").alias("exact_cnt"))
+    top = exact.orderBy(F.desc("exact_cnt"), "word").limit(20)
+    rows_j = F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("j")
+    bucket_of = lambda word_col: F.substring(  # noqa: E731
+        F.md5(
+            F.concat(
+                F.lit("cms"),
+                F.col("j").cast("string"),
+                F.lit(":"),
+                word_col,
+            )
+        ),
+        1,
+        2,
+    )
+    cms = (
+        words.select("word", rows_j)
+        .select("j", bucket_of(F.col("word")).alias("bucket"))
+        .groupBy("j", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+    probe = top.select("word", "exact_cnt", rows_j).select(
+        "word", "exact_cnt", "j", bucket_of(F.col("word")).alias("bucket")
+    )
+    return (
+        probe.join(F.broadcast(cms), ["j", "bucket"])
+        .groupBy("word", "exact_cnt")
+        .agg(F.min("cnt").alias("cms_est"))
+        .select(
+            "word",
+            "exact_cnt",
+            "cms_est",
+            (F.col("cms_est") - F.col("exact_cnt")).alias("overestimate"),
+        )
+        .orderBy(F.desc("exact_cnt"), "word")
+    )

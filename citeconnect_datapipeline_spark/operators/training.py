@@ -1546,3 +1546,107 @@ def token_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "epochs"
         ),
     ).orderBy("source")
+
+
+@query(
+    "source_upsampling_plan",
+    oracle=f"""
+    WITH sizes AS (
+        SELECT source,
+               COUNT(*) AS n_docs,
+               SUM(len(list_filter(
+                   string_split_regex(lower(text), '[^a-z0-9]+'),
+                   x -> x <> ''
+               ))) AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    powed AS (
+        SELECT source, n_docs, n_tokens,
+               POW(n_tokens, {MIXTURE_ALPHA}) AS p
+        FROM sizes
+    ),
+    plan AS (
+        SELECT source,
+               CAST(n_docs AS BIGINT) AS n_docs,
+               CAST(LEAST(GREATEST(CEIL(ROUND(
+                   (p / SUM(p) OVER ())
+                   / (n_tokens * 1.0 / SUM(n_tokens) OVER ()), 6)), 1), 4)
+                   AS INT) AS repeat_factor
+        FROM powed
+    )
+    SELECT source, n_docs, repeat_factor,
+           CAST(n_docs * repeat_factor AS BIGINT) AS rows_after,
+           ROUND(n_docs * repeat_factor * 1.0
+                 / SUM(n_docs * repeat_factor) OVER (), 6) AS final_share
+    FROM plan
+    ORDER BY source
+    """,
+)
+def source_upsampling_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-materialized upsampling: turn the temperature mixture
+    weights into INTEGER per-source repeat factors (ceil of the
+    upsample factor, clamped to [1, 4] — data-constrained repetition
+    a la Muennighoff's 4-epoch rule) and MATERIALIZE the repeated
+    corpus with explode(sequence(1, r)) — the executable form of
+    "epochs" that sequence packing and shard interleaving consume
+    downstream. `rows_after` counts the rows the explode actually
+    produced (not arithmetic): the oracle's n_docs x r equality IS
+    the verification that materialization matches plan.
+
+    Scale: the plan table is one row per source (broadcast onto the
+    corpus scan); explode multiplies rows map-side with NO shuffle —
+    a 100 TB corpus upsampled to 4 epochs is one narrow generate
+    per partition. The final-share window runs over the per-source
+    table (dozens of rows; allowlisted bounded input)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+        lambda x: x != F.lit(""),
+    )
+    sizes = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(w)).alias("n_tokens"),
+    )
+    tot = Window.partitionBy()
+    p = F.pow(F.col("n_tokens").cast("double"), F.lit(MIXTURE_ALPHA))
+    nat = F.col("n_tokens") / F.sum("n_tokens").over(tot)
+    sw = p / F.sum(p).over(tot)
+    plan = sizes.select(
+        "source",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.least(
+            F.greatest(F.ceil(F.round(sw / nat, 6)), F.lit(1)), F.lit(4)
+        )
+        .cast("int")
+        .alias("repeat_factor"),
+    )
+    materialized = (
+        docs.select("source")
+        .join(F.broadcast(plan.select("source", "repeat_factor")), "source")
+        .select(
+            "source",
+            F.explode(
+                F.sequence(F.lit(1), F.col("repeat_factor"))
+            ).alias("epoch"),
+        )
+    )
+    rows_after = materialized.groupBy("source").agg(
+        F.count("*").alias("rows_after")
+    )
+    return (
+        plan.join(rows_after, "source")
+        .select(
+            "source",
+            "n_docs",
+            "repeat_factor",
+            "rows_after",
+            F.round(
+                F.col("rows_after")
+                / F.sum("rows_after").over(tot).cast("double"),
+                6,
+            ).alias("final_share"),
+        )
+        .orderBy("source")
+    )

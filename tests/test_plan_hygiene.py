@@ -46,6 +46,8 @@ NESTED_LOOP_OK = {
     "source_kl_divergence",  # 256-row corpus-bucket table + 1-row
     # total: bounded broadcasts building the source x bucket grid
     "mitigation_recommendations",
+    "mrl_truncation_eval",  # 1-row query-vector broadcast (cosine_topk's
+    # probe shape) x the 4-value dim ladder
     "theta_audience_overlap",
     "tfidf_top_terms",  # corpus-size 1-row broadcast (was a
     # driver-side docs.count() barrier before round 3)
@@ -101,6 +103,7 @@ UNPARTITIONED_WINDOW_OK = {
     "range_frame_agg",  # 7-day range frame over per-DAY aggregates
     "run_over_run_anomaly",  # over the per-run history table
     "seq_length_histogram",  # cumulative share over histogram bins
+    "source_upsampling_plan",  # share-of-total over per-source rows
     "token_budget_allocation",  # quota arithmetic over per-source rows
 }
 
