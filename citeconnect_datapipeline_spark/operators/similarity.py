@@ -1200,3 +1200,175 @@ def mrl_truncation_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("trunc_dim")
     )
+
+
+MMR_LAMBDA = 0.7  # relevance weight; 1-lambda penalizes redundancy
+MMR_POOL = 8  # candidate page the reranker diversifies over
+MMR_K = 4  # picks
+
+
+def _mmr_oracle() -> str:
+    """Unrolled-CTE DuckDB oracle for mmr_diversified_topk: greedy
+    selection is inherently sequential, so the K=4 steps are spelled
+    out (s1..s4), each an argmax over `remaining` of
+    lambda*rel - (1-lambda)*max_sim_to_selected on 6-dp-rounded
+    inputs with vec_id tie-breaks."""
+    lam = MMR_LAMBDA
+    head = f"""
+    WITH q AS (
+        SELECT embedding AS qvec FROM embeddings WHERE vec_id = {QUERY_VEC_ID}
+    ),
+    cand AS (
+        SELECT e.vec_id,
+               ROUND(list_cosine_similarity(
+                   CAST(e.embedding AS DOUBLE[]), CAST(q.qvec AS DOUBLE[])
+               ), 6) AS rel,
+               e.embedding
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id <> {QUERY_VEC_ID}
+        ORDER BY rel DESC, e.vec_id LIMIT {MMR_POOL}
+    ),
+    sims AS (
+        SELECT a.vec_id AS va, b.vec_id AS vb,
+               ROUND(list_cosine_similarity(
+                   CAST(a.embedding AS DOUBLE[]),
+                   CAST(b.embedding AS DOUBLE[])
+               ), 6) AS sim
+        FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
+    ),
+    s1 AS (
+        SELECT vec_id, rel, ROUND({lam} * rel, 6) AS mmr
+        FROM cand ORDER BY rel DESC, vec_id LIMIT 1
+    )"""
+    steps = []
+    prev_sets = ["s1"]
+    for t in range(2, MMR_K + 1):
+        sel_union = " UNION ALL ".join(
+            f"SELECT vec_id FROM {s}" for s in prev_sets
+        )
+        steps.append(f""",
+    r{t} AS (
+        SELECT c.vec_id, c.rel,
+               ROUND({lam} * c.rel - {round(1 - lam, 10)} * MAX(s.sim), 6)
+                   AS mmr
+        FROM cand c
+        JOIN sims s ON s.va = c.vec_id
+                   AND s.vb IN ({sel_union})
+        WHERE c.vec_id NOT IN ({sel_union})
+        GROUP BY c.vec_id, c.rel
+    ),
+    s{t} AS (SELECT * FROM r{t} ORDER BY mmr DESC, vec_id LIMIT 1)""")
+        prev_sets.append(f"s{t}")
+    tail = " UNION ALL ".join(
+        f"SELECT {i + 1} AS pick_order, vec_id, rel AS relevance,"
+        f" mmr AS mmr_score FROM s{i + 1}"
+        for i in range(MMR_K)
+    )
+    return head + "".join(steps) + f"\n    SELECT * FROM ({tail}) ORDER BY pick_order"
+
+
+@query("mmr_diversified_topk", oracle=_mmr_oracle())
+def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-rank (Carbonell & Goldstein):
+    from the cosine top-8 page, greedily pick 4 results maximizing
+    lambda*relevance - (1-lambda)*max-similarity-to-already-picked —
+    the diversity re-ranker every RAG retrieval stack runs on its
+    candidate page so near-duplicate passages don't crowd out
+    coverage. lambda=0.7.
+
+    Greedy selection is sequential by definition, so the K=4 steps
+    are UNROLLED as declarative plan stages (argmax = TakeOrdered
+    limit 1 on the 6-dp-rounded score with vec_id tie-break), all
+    over the bounded 8-row candidate page: anti joins against the
+    <=3-row picked set and a semi-joined max over the 56-row
+    pairwise-sim table. Scale contract: the corpus-sized work is
+    ONLY the initial top-8 (TakeOrdered over the brute or ANN leg);
+    everything after operates on the page — the 100 TB cost is
+    identical to cosine_topk's. The oracle spells the same unrolled
+    greedy in CTEs."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vec = F.col("embedding").cast("array<double>")
+    qvec = F.col("qvec").cast("array<double>")
+    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qvec")
+    )
+    cand = (
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .join(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(_cosine(vec, qvec), 6).alias("rel"),
+            "embedding",
+        )
+        .orderBy(F.desc("rel"), "vec_id")
+        .limit(MMR_POOL)
+    )
+    a = cand.select(
+        F.col("vec_id").alias("va"), F.col("embedding").alias("ea")
+    )
+    b = cand.select(
+        F.col("vec_id").alias("vb"), F.col("embedding").alias("eb")
+    )
+    sims = (
+        a.join(F.broadcast(b), F.col("va") != F.col("vb"))
+        .select(
+            "va",
+            "vb",
+            F.round(
+                _cosine(
+                    F.col("ea").cast("array<double>"),
+                    F.col("eb").cast("array<double>"),
+                ),
+                6,
+            ).alias("sim"),
+        )
+    )
+    lam = F.lit(MMR_LAMBDA)
+    picked = (
+        cand.orderBy(F.desc("rel"), "vec_id")
+        .limit(1)
+        .select(
+            F.lit(1).alias("pick_order"),
+            "vec_id",
+            F.col("rel"),
+            F.round(lam * F.col("rel"), 6).alias("mmr"),
+        )
+    )
+    for t in range(2, MMR_K + 1):
+        sel_ids = picked.select("vec_id")
+        remaining = cand.join(F.broadcast(sel_ids), "vec_id", "left_anti")
+        step = (
+            remaining.join(
+                F.broadcast(
+                    sims.join(
+                        F.broadcast(
+                            sel_ids.select(F.col("vec_id").alias("vb"))
+                        ),
+                        "vb",
+                        "left_semi",
+                    )
+                ),
+                remaining.vec_id == F.col("va"),
+            )
+            .groupBy("vec_id", "rel")
+            .agg(F.max("sim").alias("max_sim"))
+            .select(
+                F.lit(t).alias("pick_order"),
+                "vec_id",
+                "rel",
+                F.round(
+                    lam * F.col("rel")
+                    - (1 - MMR_LAMBDA) * F.col("max_sim"),
+                    6,
+                ).alias("mmr"),
+            )
+            .orderBy(F.desc("mmr"), "vec_id")
+            .limit(1)
+        )
+        picked = picked.unionByName(step)
+    return picked.select(
+        "pick_order",
+        "vec_id",
+        F.col("rel").alias("relevance"),
+        F.col("mmr").alias("mmr_score"),
+    ).orderBy("pick_order")

@@ -46,6 +46,8 @@ NESTED_LOOP_OK = {
     "source_kl_divergence",  # 256-row corpus-bucket table + 1-row
     # total: bounded broadcasts building the source x bucket grid
     "mitigation_recommendations",
+    "mmr_diversified_topk",  # 1-row query-vector broadcast + the 8-row
+    # candidate-page self-pairing — every non-equi side is page-bounded
     "mrl_truncation_eval",  # 1-row query-vector broadcast (cosine_topk's
     # probe shape) x the 4-value dim ladder
     "theta_audience_overlap",
