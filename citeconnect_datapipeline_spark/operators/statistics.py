@@ -807,3 +807,73 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("exact_cnt"), "word")
     )
+
+
+@query(
+    "equidepth_histogram",
+    oracle="""
+    WITH cuts AS (
+        SELECT o_orderpriority,
+               ROUND(quantile_cont(o_totalprice, 0.25), 6) AS c1,
+               ROUND(quantile_cont(o_totalprice, 0.50), 6) AS c2,
+               ROUND(quantile_cont(o_totalprice, 0.75), 6) AS c3
+        FROM orders GROUP BY o_orderpriority
+    ),
+    bucketed AS (
+        SELECT o.o_orderpriority,
+               CASE WHEN o.o_totalprice <= c.c1 THEN 1
+                    WHEN o.o_totalprice <= c.c2 THEN 2
+                    WHEN o.o_totalprice <= c.c3 THEN 3
+                    ELSE 4 END AS bucket,
+               o.o_totalprice
+        FROM orders o JOIN cuts c
+          ON o.o_orderpriority = c.o_orderpriority
+    )
+    SELECT o_orderpriority, bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(MIN(o_totalprice), 6) AS lo,
+           ROUND(MAX(o_totalprice), 6) AS hi
+    FROM bucketed
+    GROUP BY o_orderpriority, bucket
+    ORDER BY o_orderpriority, bucket
+    """,
+)
+def equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram per group: quartile cutoffs computed as
+    per-group aggregates, broadcast back, rows bucketed with CASE —
+    each bucket holds ~25% of its group (the optimizer-statistics
+    histogram form; `price_histogram` is the equi-WIDTH sibling).
+
+    This is the percentile-threshold-broadcast pattern the round-5
+    selection-query rewrites established (lm_perplexity_buckets),
+    promoted to a first-class operator: NO global rank, NO
+    unpartitioned window — the only corpus-grain work is one
+    percentile aggregate per group (map-side partial) and one
+    broadcast-join + CASE pass. At 100 TB swap `percentile` for
+    `percentile_approx` (same shape, bounded memory; documented
+    trade per SURVEY §2.5). Cutoffs rounded at 6 dp before the
+    boundary compare on BOTH engines so edge rows bucket
+    identically."""
+    orders = load_table(spark, sf_dir, "orders")
+    cuts = orders.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.25)), 6).alias("c1"),
+        F.round(F.percentile("o_totalprice", F.lit(0.50)), 6).alias("c2"),
+        F.round(F.percentile("o_totalprice", F.lit(0.75)), 6).alias("c3"),
+    )
+    bucket = (
+        F.when(F.col("o_totalprice") <= F.col("c1"), 1)
+        .when(F.col("o_totalprice") <= F.col("c2"), 2)
+        .when(F.col("o_totalprice") <= F.col("c3"), 3)
+        .otherwise(4)
+    )
+    return (
+        orders.join(F.broadcast(cuts), "o_orderpriority")
+        .select("o_orderpriority", bucket.alias("bucket"), "o_totalprice")
+        .groupBy("o_orderpriority", "bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("o_totalprice"), 6).alias("lo"),
+            F.round(F.max("o_totalprice"), 6).alias("hi"),
+        )
+        .orderBy("o_orderpriority", "bucket")
+    )

@@ -440,3 +440,84 @@ def event_transition_matrix(
         )
         .orderBy("from_type", "to_type")
     )
+
+
+@query(
+    "seasonal_decompose_daily",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               dayofweek(CAST(ts AS DATE)) AS dow,
+               ROUND(SUM(value), 6) AS total
+        FROM events GROUP BY 1, 2
+    ),
+    trended AS (
+        SELECT day, dow, total,
+               ROUND(AVG(total) OVER (
+                   ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING
+               ), 6) AS trend
+        FROM daily
+    ),
+    detrended AS (
+        SELECT day, dow, total, trend,
+               ROUND(total - trend, 6) AS detr
+        FROM trended
+    ),
+    seasonal AS (
+        SELECT dow, ROUND(AVG(detr), 6) AS seasonal FROM detrended
+        GROUP BY dow
+    )
+    SELECT strftime(d.day, '%Y-%m-%d') AS day,
+           d.dow, d.total, d.trend, s.seasonal,
+           ROUND(d.detr - s.seasonal, 6) AS residual
+    FROM detrended d JOIN seasonal s ON d.dow = s.dow
+    ORDER BY ABS(ROUND(d.detr - s.seasonal, 6)) DESC, d.day
+    LIMIT 10
+    """,
+)
+def seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-lite seasonal decomposition of the daily event-value
+    series: trend = 7-day centered moving average, seasonal =
+    day-of-week mean of the detrended series, residual = what's left
+    — and the top-10 days by |residual| are the anomalies a naive
+    threshold check (ewma_anomaly's level logic) would misflag on
+    weekends. This is the additive decomposition behind every
+    traffic-anomaly dashboard (Cleveland's STL, one iteration,
+    means for loess).
+
+    Scale: the raw scan reduces to DAY grain immediately (one
+    map-side-combinable groupBy); every window after that runs on
+    the per-day table — 365 rows/year regardless of corpus size, the
+    same bounded-aggregate contract as range_frame_agg (allowlisted
+    unpartitioned window). Day-of-week is computed portably: Spark
+    dayofweek()-1 == DuckDB dayofweek() (0=Sunday..6=Saturday).
+    Every arithmetic step rounds at 6 dp BEFORE the next comparison
+    so the |residual| ranking cannot diverge between engines."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.col("ts").cast("date").alias("day"),
+        (F.dayofweek(F.col("ts").cast("date")) - 1).alias("dow"),
+    ).agg(F.round(F.sum("value"), 6).alias("total"))
+    w_ma = Window.orderBy("day").rowsBetween(-3, 3)
+    detrended = daily.select(
+        "day",
+        "dow",
+        "total",
+        F.round(F.avg("total").over(w_ma), 6).alias("trend"),
+    ).withColumn("detr", F.round(F.col("total") - F.col("trend"), 6))
+    seasonal = detrended.groupBy("dow").agg(
+        F.round(F.avg("detr"), 6).alias("seasonal")
+    )
+    return (
+        detrended.join(F.broadcast(seasonal), "dow")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "dow",
+            "total",
+            "trend",
+            "seasonal",
+            F.round(F.col("detr") - F.col("seasonal"), 6).alias("residual"),
+        )
+        .orderBy(F.abs(F.col("residual")).desc(), "day")
+        .limit(10)
+    )

@@ -104,6 +104,8 @@ UNPARTITIONED_WINDOW_OK = {
     "mixture_temperature_weights",  # over per-source rows
     "range_frame_agg",  # 7-day range frame over per-DAY aggregates
     "run_over_run_anomaly",  # over the per-run history table
+    "seasonal_decompose_daily",  # 7-day moving average over the
+    # per-DAY aggregate (365 rows/year at any corpus size)
     "seq_length_histogram",  # cumulative share over histogram bins
     "source_upsampling_plan",  # share-of-total over per-source rows
     "token_budget_allocation",  # quota arithmetic over per-source rows
