@@ -521,3 +521,151 @@ def seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.abs(F.col("residual")).desc(), "day")
         .limit(10)
     )
+
+
+@query(
+    "interevent_gap_histogram",
+    oracle="""
+    WITH gaps AS (
+        SELECT epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS gap_us
+        FROM events
+    ),
+    bucketed AS (
+        SELECT CAST(FLOOR(ROUND(
+                   LOG2(gap_us / 1000000.0 + 1.0), 6)) AS INT) AS bucket,
+               gap_us / 1000000.0 AS gap_sec
+        FROM gaps WHERE gap_us IS NOT NULL
+    )
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           ROUND(MIN(gap_sec), 6) AS min_gap_sec,
+           ROUND(MAX(gap_sec), 6) AS max_gap_sec
+    FROM bucketed
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+)
+def interevent_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-bucketed histogram of per-user inter-event gaps — the
+    distribution a session-gap threshold (SESSION_GAP_MIN) should be
+    READ OFF rather than guessed: the bimodal valley between
+    within-session and between-session gaps is visible as a count
+    dip across buckets (each bucket b holds gaps in [2^b - 1,
+    2^(b+1) - 1) seconds).
+
+    Shape: ONE user-keyed shuffle for the lag window (partition-
+    local thereafter, same contract as sessionize_events), then a
+    groupBy onto ~40 log buckets — bounded output at any corpus
+    size. Gaps are computed in integer microseconds (exact on both
+    engines); log2 is rounded at 6 dp BEFORE floor so a gap of
+    exactly 2^k seconds cannot floor differently across engines."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = events.select(
+        (
+            F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+        ).alias("gap_us")
+    ).filter(F.col("gap_us").isNotNull())
+    gap_sec = F.col("gap_us") / 1000000.0
+    return (
+        gaps.select(
+            F.floor(F.round(F.log2(gap_sec + 1.0), 6))
+            .cast("int")
+            .alias("bucket"),
+            gap_sec.alias("gap_sec"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_gaps"),
+            F.round(F.min("gap_sec"), 6).alias("min_gap_sec"),
+            F.round(F.max("gap_sec"), 6).alias("max_gap_sec"),
+        )
+        .orderBy("bucket")
+    )
+
+
+ATTRIBUTION_WINDOW_DAYS = 7
+
+
+@query(
+    "last_touch_attribution",
+    oracle=f"""
+    WITH stream AS (
+        SELECT user_id, ts, event_id, event_type, value,
+               last_value(CASE WHEN event_type = 'click'
+                               THEN epoch_us(ts) END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS last_click_us
+        FROM events
+        WHERE event_type IN ('click', 'purchase')
+    )
+    SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(CASE WHEN last_click_us IS NOT NULL
+                          AND epoch_us(ts) - last_click_us
+                              <= CAST({ATTRIBUTION_WINDOW_DAYS} AS BIGINT) * 86400 * 1000000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_attributed,
+           ROUND(SUM(CASE WHEN last_click_us IS NOT NULL
+                           AND epoch_us(ts) - last_click_us
+                               <= CAST({ATTRIBUTION_WINDOW_DAYS} AS BIGINT) * 86400 * 1000000
+                          THEN value ELSE 0 END), 6) AS attributed_value
+    FROM stream
+    WHERE event_type = 'purchase'
+    GROUP BY day
+    ORDER BY day
+    """,
+)
+def last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: every purchase credits the
+    user's most recent click within a 7-day lookback. Computed the
+    STREAMING way — one pass over the merged click+purchase stream
+    carrying `last(click_ts, ignorenulls)` forward per user — rather
+    than a purchase><click as-of join (`asof_join_events` shows that
+    form): the single-pass form does ONE user-keyed shuffle and no
+    join at all, which is also exactly how the stateful streaming
+    version would hold it (one ValueState per user).
+
+    The event-type filter pushes to the scan (2 of 5 types read);
+    timestamps compare in integer microseconds (exact both engines);
+    the per-day rollup output is bounded by the date range."""
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    window_us = ATTRIBUTION_WINDOW_DAYS * 86400 * 1000000
+    stream = events.filter(
+        F.col("event_type").isin("click", "purchase")
+    ).withColumn(
+        "last_click_us",
+        F.last(
+            F.when(
+                F.col("event_type") == "click", F.unix_micros("ts")
+            ),
+            ignorenulls=True,
+        ).over(w),
+    )
+    attributed = F.col("last_click_us").isNotNull() & (
+        F.unix_micros("ts") - F.col("last_click_us") <= window_us
+    )
+    return (
+        stream.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd").alias(
+                "day"
+            )
+        )
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.sum(F.when(attributed, 1).otherwise(0)).alias(
+                "n_attributed"
+            ),
+            F.round(
+                F.sum(F.when(attributed, F.col("value")).otherwise(0)), 6
+            ).alias("attributed_value"),
+        )
+        .orderBy("day")
+    )

@@ -24,6 +24,10 @@ PICKS = {
     "broadcast replaces the global-ntile WindowExec",
     "class_balance_sample": "r5 rewrite: salted two-phase rank — the "
     "window partitions on (group, salt), never the group alone",
+    "disjunctive_discount_revenue": "Q19 shape: the OR'd bundles stay "
+    "one equi broadcast join; per-side implications pushed to both scans",
+    "equidepth_histogram": "percentile-threshold broadcast as a "
+    "first-class operator — per-group cutoffs, no global rank",
 }
 KEEP = re.compile(
     r"Scan parquet|BatchScan|BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin"
