@@ -1372,3 +1372,148 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rel").alias("relevance"),
         F.col("mmr").alias("mmr_score"),
     ).orderBy("pick_order")
+
+
+RP_BITS = 8  # random-projection signature width
+
+
+def _rp_signs(dim: int = 64) -> list:
+    """Deterministic ±1 projection matrix (RP_BITS x dim), derived
+    from md5 so both engines embed the IDENTICAL literals — the
+    portable-oracle trick applied to hyperplane LSH (no RNG, no
+    engine hash)."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(
+                hashlib.md5(f"rp{j}:{i}".encode()).hexdigest()[0], 16
+            )
+            >= 8
+            else -1.0
+            for i in range(dim)
+        ]
+        for j in range(RP_BITS)
+    ]
+
+
+def _rp_oracle() -> str:
+    signs = _rp_signs()
+    def arr(j):
+        return "CAST([" + ", ".join(str(v) for v in signs[j]) + "] AS DOUBLE[])"
+    bit = lambda tbl, j: (  # noqa: E731
+        f"CASE WHEN list_dot_product(CAST({tbl}.embedding AS DOUBLE[]),"
+        f" {arr(j)}) >= 0 THEN '1' ELSE '0' END"
+    )
+    sig = lambda tbl: " || ".join(bit(tbl, j) for j in range(RP_BITS))  # noqa: E731
+    ham = " + ".join(
+        f"(CASE WHEN substr(e.sig, {j + 1}, 1) <> substr(p.sig, {j + 1}, 1)"
+        " THEN 1 ELSE 0 END)"
+        for j in range(RP_BITS)
+    )
+    return f"""
+    WITH sigs AS (
+        SELECT vec_id, embedding, {sig('e')} AS sig
+        FROM embeddings e
+    ),
+    p AS (SELECT sig, embedding AS qvec FROM sigs WHERE vec_id = {QUERY_VEC_ID}),
+    cand AS (
+        SELECT e.vec_id, e.embedding, ({ham}) AS sig_hamming, p.qvec
+        FROM sigs e CROSS JOIN p
+        WHERE e.vec_id <> {QUERY_VEC_ID}
+    )
+    SELECT vec_id,
+           ROUND(list_cosine_similarity(
+               CAST(embedding AS DOUBLE[]), CAST(qvec AS DOUBLE[])
+           ), 6) AS cosine,
+           CAST(sig_hamming AS INT) AS sig_hamming
+    FROM cand
+    WHERE sig_hamming <= 1
+    ORDER BY cosine DESC, vec_id
+    LIMIT 5
+    """
+
+
+@query("ann_rp_lsh_portable", oracle=_rp_oracle())
+def ann_rp_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH ANN (Charikar's SimHash-for-vectors),
+    fully value-verified: 8 sign bits of dot products against a
+    FIXED md5-derived ±1 matrix form the bucket signature; the
+    search visits only the probe's bucket plus its 8 hamming-1
+    neighbors (standard multi-probe), then exact-cosine re-ranks the
+    candidates for the top-5. The portable-oracle answer to the ANN
+    family's rows-only gap: the production twins (ann_lsh_topk /
+    ann_ivf_topk) use engine hashes and trained centroids, this twin
+    hash-matches DuckDB value-for-value on the SAME bucketed-search
+    plan shape.
+
+    Scale shape: signatures are per-row arithmetic (8 sequential-
+    fold dot products, no shuffle); the 9 probe signatures are a
+    9-row broadcast semi join — the index-lookup form (at 100 TB the
+    signature is the partition/bucket key, so the semi join is
+    partition PRUNING, as build_ivf_index materializes); only the
+    in-bucket sliver pays the exact rerank."""
+    signs = _rp_signs()
+    emb = load_table(spark, sf_dir, "embeddings")
+    vec = F.col("embedding").cast("array<double>")
+
+    def bit(j):
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(v) for v in signs[j]]),
+                lambda x, y: x * y,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        return F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0"))
+
+    sigs = emb.select(
+        "vec_id",
+        "embedding",
+        F.concat(*[bit(j) for j in range(RP_BITS)]).alias("sig"),
+    )
+    probe = sigs.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("sig").alias("psig"), F.col("embedding").alias("qvec")
+    )
+    # The probe bucket + its 8 hamming-1 neighbors, as data (no collect).
+    flips = probe.select(
+        "qvec",
+        "psig",
+        F.explode(
+            F.array(
+                F.col("psig"),
+                *[
+                    F.concat(
+                        F.substring("psig", 1, j),
+                        F.when(
+                            F.substring("psig", j + 1, 1) == "1", "0"
+                        ).otherwise("1"),
+                        F.substring("psig", j + 2, RP_BITS - j - 1),
+                    )
+                    for j in range(RP_BITS)
+                ],
+            )
+        ).alias("sig"),
+    )
+    qvec = F.col("qvec").cast("array<double>")
+    ham = sum(
+        F.when(
+            F.substring("sig", j + 1, 1) != F.substring("psig", j + 1, 1),
+            1,
+        ).otherwise(0)
+        for j in range(RP_BITS)
+    )
+    return (
+        sigs.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .join(F.broadcast(flips), "sig")
+        .select(
+            "vec_id",
+            F.round(_cosine(vec, qvec), 6).alias("cosine"),
+            ham.cast("int").alias("sig_hamming"),
+        )
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(5)
+    )
