@@ -422,3 +422,202 @@ def embedding_pca_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+KMP_K = 4  # portable-twin cluster count
+KMP_ITERS = 2  # unrolled Lloyd rounds
+
+
+def _kmp_oracle() -> str:
+    """Unrolled-CTE oracle for kmeans_portable: Lloyd's iteration is
+    loop-carried, so KMP_ITERS rounds are spelled out. Distances use
+    the |v|^2 - 2 v.c + |c|^2 expansion; every centroid component and
+    every distance is rounded at 6 dp before any comparison (the
+    registry float contract), so argmin assignment cannot diverge
+    between engines."""
+    head = f"""
+    WITH seeds AS (
+        SELECT vec_id, embedding,
+               ROW_NUMBER() OVER (
+                   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+               ) AS cluster
+        FROM embeddings
+        QUALIFY cluster <= {KMP_K}
+    ),
+    vdim AS (
+        SELECT vec_id,
+               generate_subscripts(embedding, 1) AS dim,
+               CAST(unnest(embedding) AS DOUBLE) AS val
+        FROM embeddings
+    ),
+    v2 AS (SELECT vec_id, SUM(val * val) AS v2 FROM vdim GROUP BY 1),
+    c0 AS (
+        SELECT cluster,
+               generate_subscripts(embedding, 1) AS dim,
+               CAST(unnest(embedding) AS DOUBLE) AS cval
+        FROM seeds
+    )"""
+    steps = []
+    prev = "c0"
+    for t in range(1, KMP_ITERS + 1):
+        steps.append(f""",
+    n{t} AS (
+        SELECT cluster, SUM(cval * cval) AS c2 FROM {prev} GROUP BY 1
+    ),
+    s{t} AS (
+        SELECT v.vec_id, c.cluster, SUM(v.val * c.cval) AS dot
+        FROM vdim v JOIN {prev} c USING (dim)
+        GROUP BY 1, 2
+    ),
+    a{t} AS (
+        SELECT s.vec_id, s.cluster,
+               ROUND(v2.v2 - 2 * s.dot + n{t}.c2, 6) AS d2
+        FROM s{t} s
+        JOIN v2 USING (vec_id)
+        JOIN n{t} USING (cluster)
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY s.vec_id
+            ORDER BY ROUND(v2.v2 - 2 * s.dot + n{t}.c2, 6), s.cluster
+        ) = 1
+    ),
+    c{t} AS (
+        SELECT a.cluster, v.dim, ROUND(AVG(v.val), 6) AS cval
+        FROM a{t} a JOIN vdim v USING (vec_id)
+        GROUP BY 1, 2
+    )""")
+        prev = f"c{t}"
+    last = f"a{KMP_ITERS}"
+    return head + "".join(steps) + f""",
+    lab AS (
+        SELECT a.cluster, e.label, COUNT(*) AS n
+        FROM {last} a JOIN embeddings e USING (vec_id)
+        GROUP BY 1, 2
+    ),
+    mode AS (
+        SELECT cluster, label AS top_label, n AS top_n
+        FROM lab
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY cluster ORDER BY n DESC, label
+        ) = 1
+    )
+    SELECT a.cluster,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           ROUND(SUM(a.d2), 6) AS inertia,
+           m.top_label,
+           ROUND(m.top_n * 1.0 / COUNT(*), 6) AS purity
+    FROM {last} a JOIN mode m USING (cluster)
+    GROUP BY a.cluster, m.top_label, m.top_n
+    ORDER BY a.cluster
+    """
+
+
+@query("kmeans_portable", oracle=_kmp_oracle())
+def kmeans_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-verified k-means twin: {KMP_ITERS} Lloyd rounds with
+    k={KMP_K}, md5(vec_id)-order seeding (the SAME init rule as the
+    production `kmeans_clusters` loop above), unrolled as declarative
+    plan stages so DuckDB can replay it CTE-for-CTE — the clustering
+    family's answer to the minhash/simhash portable twins: the
+    production loop keeps its driver-held k x d matrix and GEMM
+    assignment (rows-only by contract), this twin hash-verifies the
+    Lloyd semantics value-for-value (assignments, inertia, label
+    purity per cluster).
+
+    In-plane form: vectors exploded to (vec_id, dim, val) ONCE;
+    each round is dim-keyed join against the 256-row centroid table
+    (broadcast), a (vec, cluster) partial-sum shuffle, an argmin
+    window partitioned by vec_id, and a (cluster, dim) mean — all
+    corpus-linear, no driver state, no per-round collect. Distances
+    use |v|^2 - 2v.c + |c|^2 with 6-dp rounding before every argmin
+    so fp association order cannot flip an assignment."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vec = F.col("embedding").cast("array<double>")
+    seeds = (
+        emb.select("vec_id", "embedding")
+        .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(KMP_K)
+    )
+    w_seed = Window.orderBy(
+        F.md5(F.col("vec_id").cast("string")), "vec_id"
+    )
+    seeded = seeds.select(
+        F.row_number().over(w_seed).alias("cluster"), "embedding"
+    )
+    vdim = emb.select("vec_id", F.posexplode(vec)).select(
+        "vec_id",
+        (F.col("pos") + 1).alias("dim"),
+        F.col("col").alias("val"),
+    )
+    v2 = vdim.groupBy("vec_id").agg(
+        F.sum(F.col("val") * F.col("val")).alias("v2")
+    )
+    cdim = seeded.select(
+        "cluster", F.posexplode(F.col("embedding").cast("array<double>"))
+    ).select(
+        "cluster",
+        (F.col("pos") + 1).alias("dim"),
+        F.col("col").alias("cval"),
+    )
+    assign = None
+    for _ in range(KMP_ITERS):
+        c2 = cdim.groupBy("cluster").agg(
+            F.sum(F.col("cval") * F.col("cval")).alias("c2")
+        )
+        dots = (
+            vdim.join(F.broadcast(cdim), "dim")
+            .groupBy("vec_id", "cluster")
+            .agg(F.sum(F.col("val") * F.col("cval")).alias("dot"))
+        )
+        d2 = (
+            dots.join(v2, "vec_id")
+            .join(F.broadcast(c2), "cluster")
+            .select(
+                "vec_id",
+                "cluster",
+                F.round(
+                    F.col("v2") - 2 * F.col("dot") + F.col("c2"), 6
+                ).alias("d2"),
+            )
+        )
+        w_min = Window.partitionBy("vec_id").orderBy("d2", "cluster")
+        assign = (
+            d2.withColumn("rn", F.row_number().over(w_min))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        cdim = (
+            assign.join(vdim, "vec_id")
+            .groupBy("cluster", "dim")
+            .agg(F.round(F.avg("val"), 6).alias("cval"))
+        )
+    lab = (
+        assign.join(emb.select("vec_id", "label"), "vec_id")
+        .groupBy("cluster", "label")
+        .agg(F.count("*").alias("n"))
+    )
+    w_mode = Window.partitionBy("cluster").orderBy(F.desc("n"), "label")
+    mode = (
+        lab.withColumn("rn", F.row_number().over(w_mode))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster",
+            F.col("label").alias("top_label"),
+            F.col("n").alias("top_n"),
+        )
+    )
+    return (
+        assign.groupBy("cluster")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.round(F.sum("d2"), 6).alias("inertia"),
+        )
+        .join(F.broadcast(mode), "cluster")
+        .select(
+            "cluster",
+            "n_vecs",
+            "inertia",
+            "top_label",
+            F.round(F.col("top_n") / F.col("n_vecs"), 6).alias("purity"),
+        )
+        .orderBy("cluster")
+    )

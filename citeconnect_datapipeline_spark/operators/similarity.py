@@ -1292,6 +1292,12 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
         F.col("embedding").alias("qvec")
     )
+    # Materialize the 8-row candidate page ONCE (eager localCheckpoint):
+    # the K unrolled steps below each reference it several times, and
+    # without pinning, every limit(1) subplan would re-run the
+    # corpus-wide top-k scan (measured 10.2 s -> ~1 s contended at
+    # sf0.1). The page is the reranker's whole working set — pinning
+    # 8 rows is the contract, not a cache band-aid.
     cand = (
         emb.filter(F.col("vec_id") != QUERY_VEC_ID)
         .join(F.broadcast(q))
@@ -1302,6 +1308,7 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("rel"), "vec_id")
         .limit(MMR_POOL)
+        .localCheckpoint()
     )
     a = cand.select(
         F.col("vec_id").alias("va"), F.col("embedding").alias("ea")

@@ -69,7 +69,9 @@ BUILD_EXECUTES = {
     "neardup_cluster_histogram",  # shares the CC loop
     "neardup_components",
     "neardup_keep_best",  # shares the CC loop
+    "mmr_diversified_topk",  # pins the 8-row candidate page eagerly
     "neardup_threshold_sweep",  # shares the materialized pair table
+    "ngram_containment_topk",  # same shared pair table
     "ngram_jaccard_topk",  # same shared pair table
     "part_copurchase_pagerank",
     "quality_classifier",  # LR fit collects 257 gradient rows/round
@@ -100,6 +102,8 @@ UNPARTITIONED_WINDOW_OK = {
     "hybrid_rrf_search",  # ranks over two top-k candidate sets
     "interleave_shards",  # over per-source counts
     "join_key_skew_report",  # rank over the top-k limited key slice
+    "kmeans_portable",  # seed numbering over the 4-row md5-order
+    # limit (bounded by k); assignment/mode windows are partitioned
     "ks_drift_statistic",  # ECDF cumsums over the bounded bin table
     "mixture_temperature_weights",  # over per-source rows
     "range_frame_agg",  # 7-day range frame over per-DAY aggregates
