@@ -1524,3 +1524,94 @@ def ann_rp_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cosine"), "vec_id")
         .limit(5)
     )
+
+
+EMB16_DIM = 16  # _FakeModel.dim — the hash-encoder width
+
+
+def _emb16_sql(texpr: str) -> str:
+    """DuckDB expression: the _FakeModel 16-dim hash embedding of
+    ``texpr`` as an UNNORMALIZED DOUBLE[] (sha256 hex -> sixteen
+    big-endian int16s, exactly _FakeModel.encode's raw stage).
+    Normalization happens at the cosine (norms divide out), keeping
+    the SQL and the fold order identical to the Spark twin."""
+    hx = (
+        lambda p: f"(strpos('0123456789abcdef', substr(h, {p}, 1)) - 1)"
+    )
+    comps = ", ".join(
+        f"CAST({hx(4 * i + 1)} * 4096 + {hx(4 * i + 2)} * 256 + "
+        f"{hx(4 * i + 3)} * 16 + {hx(4 * i + 4)} - 32768 AS DOUBLE)"
+        for i in range(EMB16_DIM)
+    )
+    return f"(SELECT [{comps}] FROM (SELECT sha256({texpr}) AS h))"
+
+
+@query(
+    "embed_search_portable",
+    oracle=f"""
+    WITH q AS (
+        SELECT {_emb16_sql('text')} AS qv
+        FROM documents WHERE doc_id = 0
+    ),
+    docs AS (
+        SELECT doc_id, {_emb16_sql('text')} AS dv
+        FROM documents WHERE doc_id <> 0
+    )
+    SELECT doc_id,
+           ROUND(list_dot_product(dv, qv)
+                 / (sqrt(list_dot_product(dv, dv))
+                    * sqrt(list_dot_product(qv, qv))), 6) AS cosine
+    FROM docs CROSS JOIN q
+    ORDER BY cosine DESC, doc_id
+    LIMIT 5
+    """,
+)
+def embed_search_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-verified embed->search e2e: the deterministic hash
+    encoder (_FakeModel: sha256 -> sixteen big-endian int16 components
+    -> L2-normalized, the injection seam the production
+    sentence-transformers model drops into) re-expressed as PURE
+    column expressions — sha2 + locate + arithmetic, no UDF, no
+    Python boundary — then brute-force cosine top-5 against doc 0's
+    vector. DuckDB replays the identical hash math (sha256 hex parity
+    verified), so the entire inference->retrieval pipeline is
+    hash-MATCHed value-for-value: the oracle answer to
+    `chunk_embed_search_e2e`'s rows-only contract.
+
+    Normalization divides out of cosine, so both engines fold the
+    UNNORMALIZED integer components (exact in double) and the only
+    fp-sensitive step is the final dot/norm ratio, rounded at 6 dp
+    before ranking. Scale: per-row hashing rides the scan
+    (whole-stage codegen); top-5 is TakeOrdered."""
+    docs = load_table(spark, sf_dir, "documents")
+
+    def emb(df, out):
+        def comp(i):
+            # conv(hex4, 16, 10): the same big-endian int16 the oracle
+            # assembles char-by-char with strpos (DuckDB has no conv)
+            return (
+                F.conv(F.substring(F.col("h"), 4 * i + 1, 4), 16, 10)
+                .cast("long")
+                - 32768
+            ).cast("double")
+
+        return df.withColumn("h", F.sha2(F.col("text"), 256)).select(
+            "doc_id",
+            F.array(*[comp(i) for i in range(EMB16_DIM)]).alias(out),
+        )
+
+    q = emb(docs.filter(F.col("doc_id") == 0), "qv").select("qv")
+    dv = emb(docs.filter(F.col("doc_id") != 0), "dv")
+    a = F.col("dv")
+    b = F.col("qv")
+    return (
+        dv.join(F.broadcast(q))
+        .select(
+            "doc_id",
+            F.round(
+                _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b))), 6
+            ).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), "doc_id")
+        .limit(5)
+    )

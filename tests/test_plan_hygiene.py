@@ -32,6 +32,8 @@ NESTED_LOOP_OK = {
     "cosine_topk",
     "domain_mixture_sample",  # total-weight R and cap T: two 1-row
     # scalar broadcasts feeding the integer quota arithmetic
+    "embed_search_portable",  # 1-row query-vector broadcast
+    # (cosine_topk's probe shape) over the in-plane hash embedding
     "dsir_importance_weights",  # 75th-pct selection cutoff: 1-row
     # scalar broadcast (replaced the r4 global ntile)
     "graph_2hop_frontier",
