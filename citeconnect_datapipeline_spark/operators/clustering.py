@@ -621,3 +621,168 @@ def kmeans_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+
+PCA_ITERS = 3  # unrolled power-iteration rounds
+
+
+def _pca_oracle() -> str:
+    """Unrolled-CTE oracle for pca_power_portable. Each round
+    computes z = Cov.v without materializing the d x d covariance:
+    y_i = x_i.v - m.v per row, then z_d = (sum_i y_i x_id)/n
+    - m_d (sum_i y_i)/n — two corpus passes of per-dim sums. The
+    next v is z normalized and ROUNDED to 6 dp per component, which
+    re-synchronizes both engines after every round (row-order fp
+    noise cannot accumulate)."""
+    head = """
+    WITH xdim AS (
+        SELECT vec_id,
+               generate_subscripts(embedding, 1) AS dim,
+               CAST(unnest(embedding) AS DOUBLE) AS val
+        FROM embeddings
+    ),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM embeddings),
+    m AS (SELECT dim, AVG(val) AS mval FROM xdim GROUP BY dim),
+    totvar AS (
+        SELECT SUM(sq / n.n - mval * mval) AS tv
+        FROM (
+            SELECT x.dim, SUM(x.val * x.val) AS sq
+            FROM xdim x GROUP BY x.dim
+        ) s JOIN m USING (dim) CROSS JOIN n
+    ),
+    v0 AS (SELECT dim, 0.125 AS vd FROM m)"""
+    steps = []
+    prev = "v0"
+    for t in range(1, PCA_ITERS + 1):
+        steps.append(f""",
+    mv{t} AS (
+        SELECT SUM(m.mval * v.vd) AS mdotv
+        FROM m JOIN {prev} v USING (dim)
+    ),
+    y{t} AS (
+        SELECT x.vec_id, SUM(x.val * v.vd) - ANY_VALUE(mv.mdotv) AS y
+        FROM xdim x JOIN {prev} v USING (dim) CROSS JOIN mv{t} mv
+        GROUP BY x.vec_id
+    ),
+    ysum{t} AS (SELECT SUM(y) AS ys FROM y{t}),
+    z{t} AS (
+        SELECT x.dim,
+               SUM(y.y * x.val) / ANY_VALUE(n.n)
+                   - ANY_VALUE(m.mval) * ANY_VALUE(ys.ys)
+                     / ANY_VALUE(n.n) AS zd
+        FROM xdim x
+        JOIN y{t} y USING (vec_id)
+        JOIN m ON m.dim = x.dim
+        CROSS JOIN n CROSS JOIN ysum{t} ys
+        GROUP BY x.dim
+    ),
+    zn{t} AS (SELECT SQRT(SUM(zd * zd)) AS zn FROM z{t}),
+    v{t} AS (
+        SELECT z.dim, ROUND(z.zd / zn.zn, 6) AS vd
+        FROM z{t} z CROSS JOIN zn{t} zn
+    )""")
+        prev = f"v{t}"
+    last = PCA_ITERS
+    return head + "".join(steps) + f"""
+    SELECT v.dim,
+           v.vd AS loading,
+           ROUND(zn.zn, 6) AS lambda_1,
+           ROUND(zn.zn / tv.tv, 6) AS explained_ratio
+    FROM v{last} v CROSS JOIN zn{last} zn CROSS JOIN totvar tv
+    ORDER BY ABS(v.vd) DESC, v.dim
+    LIMIT 5
+    """
+
+
+@query("pca_power_portable", oracle=_pca_oracle())
+def pca_power_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-verified top principal component via {PCA_ITERS} unrolled
+    power-iteration rounds — the portable twin of
+    `embedding_pca_whiten`'s rows-only Gram-matrix fit. Each round
+    applies the covariance WITHOUT materializing d x d: per-row
+    centered scores y_i = x_i.v - m.v (one dim-keyed join + vec-keyed
+    sum), then per-dim z_d = (sum y_i x_id)/n - m_d (sum y_i)/n —
+    everything is corpus-linear aggregates; model state is the d-row
+    direction vector. The next direction is normalized and ROUNDED at
+    6 dp per component, so row-order fp noise is re-synchronized
+    between engines after every round instead of compounding.
+    Output: the top-5 |loading| dims of v{PCA_ITERS}, the Rayleigh
+    estimate lambda_1 = ||z|| and its explained-variance share.
+
+    100 TB shape: per round, two shuffles keyed on vec_id / dim and
+    a 64-row broadcast — the same scan-per-iteration contract as the
+    production PCA and k-means fits, with zero driver-held state."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vec = F.col("embedding").cast("array<double>")
+    xdim = emb.select("vec_id", F.posexplode(vec)).select(
+        "vec_id",
+        (F.col("pos") + 1).alias("dim"),
+        F.col("col").alias("val"),
+    )
+    n_row = emb.agg(
+        F.count("*").cast("double").alias("n")
+    )  # 1-row scalar
+    m = xdim.groupBy("dim").agg(F.avg("val").alias("mval"))
+    sq = xdim.groupBy("dim").agg(
+        F.sum(F.col("val") * F.col("val")).alias("sq")
+    )
+    totvar = (
+        sq.join(m, "dim")
+        .join(F.broadcast(n_row))
+        .agg(
+            F.sum(
+                F.col("sq") / F.col("n") - F.col("mval") * F.col("mval")
+            ).alias("tv")
+        )
+    )
+    v = m.select("dim", F.lit(0.125).alias("vd"))
+    zn = None
+    for _ in range(PCA_ITERS):
+        mdotv = (
+            m.join(F.broadcast(v), "dim")
+            .agg(F.sum(F.col("mval") * F.col("vd")).alias("mdotv"))
+        )
+        y = (
+            xdim.join(F.broadcast(v), "dim")
+            .groupBy("vec_id")
+            .agg(F.sum(F.col("val") * F.col("vd")).alias("dot"))
+            .join(F.broadcast(mdotv))
+            .select(
+                "vec_id", (F.col("dot") - F.col("mdotv")).alias("y")
+            )
+        )
+        ysum = y.agg(F.sum("y").alias("ys"))
+        z = (
+            xdim.join(y, "vec_id")
+            .groupBy("dim")
+            .agg(F.sum(F.col("y") * F.col("val")).alias("yx"))
+            .join(m, "dim")
+            .join(F.broadcast(n_row))
+            .join(F.broadcast(ysum))
+            .select(
+                "dim",
+                (
+                    F.col("yx") / F.col("n")
+                    - F.col("mval") * F.col("ys") / F.col("n")
+                ).alias("zd"),
+            )
+        )
+        zn = z.agg(F.sqrt(F.sum(F.col("zd") * F.col("zd"))).alias("zn"))
+        v = (
+            z.join(F.broadcast(zn))
+            .select(
+                "dim", F.round(F.col("zd") / F.col("zn"), 6).alias("vd")
+            )
+        )
+    return (
+        v.join(F.broadcast(zn))
+        .join(F.broadcast(totvar))
+        .select(
+            "dim",
+            F.col("vd").alias("loading"),
+            F.round(F.col("zn"), 6).alias("lambda_1"),
+            F.round(F.col("zn") / F.col("tv"), 6).alias("explained_ratio"),
+        )
+        .orderBy(F.abs(F.col("loading")).desc(), "dim")
+        .limit(5)
+    )

@@ -37,6 +37,8 @@ NESTED_LOOP_OK = {
     "dsir_importance_weights",  # 75th-pct selection cutoff: 1-row
     # scalar broadcast (replaced the r4 global ntile)
     "graph_2hop_frontier",
+    "pca_power_portable",  # n / m.v / sum-y / ||z|| / total-var: five
+    # 1-row (or 64-row) scalar broadcasts per power-iteration round
     "hard_negative_mining",  # anchor batch broadcast: bounded by the
     # mining contract (a training batch, never the corpus)
     "interleave_shards",  # domain-count n_src: 1-row scalar broadcast
