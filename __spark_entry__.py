@@ -112,6 +112,32 @@ _DRIVER_VERIFIED = frozenset(
         "tumbling_window_agg", "variant_json_stats",
         "vocab_coverage", "zipf_alpha_fit",
         "classifier_eval", "kmeans_clusters", "quality_classifier",
+        # r5 rows (CORRECTNESS_r05.json: 35 hash-MATCH + 13
+        # contractual rows-only, all with sane row counts; the two
+        # r5 err rows — embed_documents, embedding_pca_whiten — are
+        # NOT here: rewritten r6, queued via _REVERIFY_FIRST)
+        "ann_ivf_topk", "ann_ivfpq_topk", "ann_lsh_topk",
+        "ann_pq_topk", "ann_rp_lsh_portable", "audio_chunk_windows",
+        "bpe_encode_stats", "bpe_merge_ranks",
+        "chunk_documents_sentences", "chunk_embed_search_e2e",
+        "cms_heavy_hitters", "copurchase_link_prediction",
+        "disjunctive_discount_revenue", "embed_search_portable",
+        "equidepth_histogram", "event_transition_matrix",
+        "gopher_repetition_ratios", "hard_negative_mining",
+        "interevent_gap_histogram", "join_key_skew_report",
+        "kmeans_portable", "ks_drift_statistic",
+        "last_touch_attribution", "linestatus_priority_split",
+        "minhash_jaccard_estimate", "mmr_diversified_topk",
+        "mrl_truncation_eval", "nation_trade_volume",
+        "neardup_cluster_histogram", "ngram_containment_topk",
+        "part_supplier_type_counts", "pca_power_portable",
+        "product_type_profit", "promo_revenue_share",
+        "returned_item_report", "seasonal_decompose_daily",
+        "semantic_dedup", "sentence_chunk_embed_e2e",
+        "sketch_rollup", "source_kl_divergence",
+        "source_upsampling_plan", "theta_audience_overlap",
+        "top_supplier_revenue", "winsorized_stats",
+        "word_collocation_npmi",
     }
 )
 
@@ -119,13 +145,14 @@ _DRIVER_VERIFIED = frozenset(
 # — they jump the re-verification queue so the driver re-checks the
 # rewrite, not a stale green row.
 _REVERIFY_FIRST = (
-    # r5 rewrites: global ntile -> percentile-threshold broadcast
-    "lm_perplexity_buckets",
-    "dsir_importance_weights",
-    # r4 rewrites the r4 window never reached (it was full with new
-    # queries) — the driver artifact trail still has no post-rewrite
-    # row for them (r4 verdict, What's wrong #4):
-    "minhash_lsh_candidates",  # posting-list pair expansion (r4)
+    # r6 rewrites:
+    "pca_power_portable",    # per-round direction vector now pinned
+    # (collect O(d) + literal re-injection; r5 verdict #1)
+    "embed_documents",       # vector serialized to 6 dp CSV so the
+    "embedding_pca_whiten",  # driver canonicalizer can hash the rows
+    # (both were hard `err` in r5; r5 verdict #2)
+    # r4 rewrites whose post-rewrite driver row is still missing
+    # (r4/r5 windows were full with new queries; r5 verdict #3):
     "lang_id_heuristic",     # raw-ratio thresholding (r4, late)
     "ngram_jaccard_topk",    # sizes-broadcast hint removed (r4)
     "neardup_components",    # shares jaccard_scored_pairs (r4)
@@ -151,8 +178,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     1. never-verified ORACLED queries (hash-MATCH is the strongest
        evidence, so they earn the slot first),
-    2. never-verified rows-only queries,
-    3. queries rewritten this round (_REVERIFY_FIRST),
+    2. queries rewritten this round (_REVERIFY_FIRST) — ahead of
+       never-verified rows-only since a rewrite of green code is a
+       bigger regression risk than a rows-only count (r5 verdict #3),
+    3. never-verified rows-only queries,
     4. the remaining verified set, ROTATED by round index so each
        round re-checks a different slice and every green row is
        eventually refreshed (regression detection, round-3 ADVICE).
@@ -167,9 +196,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     if rest:
         k = (_round_index() * 17) % len(rest)
         rest = rest[k:] + rest[:k]
-    order = [n for n in unverified if n in oracled]
-    order += [n for n in unverified if n not in oracled]
+    order = [n for n in unverified if n in oracled and n not in reverify]
     order += reverify
+    order += [n for n in unverified if n not in oracled and n not in reverify]
     order += rest
     return {n: qs[n] for n in order}
 

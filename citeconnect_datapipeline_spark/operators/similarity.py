@@ -434,9 +434,25 @@ def embed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark plumbing -- schema, batch shape, executor-local model
     singleton, partition parallelism -- is exactly the production
     pattern and is exercised with a SECOND injected model in
-    tests/test_properties.py (the codec-style seam test)."""
+    tests/test_properties.py (the codec-style seam test).
+
+    The registered output serializes the vector to a deterministic
+    6 dp CSV string: the driver's canonicalizer sorts rows with
+    pandas and dies on raw list cells (round-5 verdict #2), so raw
+    array columns stay library-only (``embed_with_model``)."""
     docs = load_table(spark, sf_dir, "documents")
-    return embed_with_model(docs, _FakeModel.get).orderBy("doc_id")
+    out = embed_with_model(docs, _FakeModel.get)
+    return out.select(
+        "doc_id",
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.col("embedding").cast("array<double>"),
+                lambda x: F.format_string("%.6f", x),
+            ),
+        ).alias("embedding_csv"),
+        "model_name",
+    ).orderBy("doc_id")
 
 
 class _FakeModel:

@@ -37,8 +37,6 @@ NESTED_LOOP_OK = {
     "dsir_importance_weights",  # 75th-pct selection cutoff: 1-row
     # scalar broadcast (replaced the r4 global ntile)
     "graph_2hop_frontier",
-    "pca_power_portable",  # n / m.v / sum-y / ||z|| / total-var: five
-    # 1-row (or 64-row) scalar broadcasts per power-iteration round
     "hard_negative_mining",  # anchor batch broadcast: bounded by the
     # mining contract (a training batch, never the corpus)
     "interleave_shards",  # domain-count n_src: 1-row scalar broadcast
@@ -78,6 +76,8 @@ BUILD_EXECUTES = {
     "ngram_containment_topk",  # same shared pair table
     "ngram_jaccard_topk",  # same shared pair table
     "part_copurchase_pagerank",
+    "pca_power_portable",  # power iteration collects the 64-row
+    # direction vector per round (O(d) model, k-means contract)
     "quality_classifier",  # LR fit collects 257 gradient rows/round
     "classifier_eval",  # consumes the same memoized fit
     "semantic_dedup",  # same k-means fit feeds the cluster blocking
