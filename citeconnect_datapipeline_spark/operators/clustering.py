@@ -536,8 +536,8 @@ def _kmp_oracle() -> str:
 
 @query("kmeans_portable", oracle=_kmp_oracle())
 def kmeans_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Value-verified k-means twin: {KMP_ITERS} Lloyd rounds with
-    k={KMP_K}, md5(vec_id)-order seeding (the SAME init rule as the
+    """Value-verified k-means twin: 2 Lloyd rounds with k=4,
+    md5(vec_id)-order seeding (the SAME init rule as the
     production `kmeans_clusters` loop above), unrolled as declarative
     plan stages so DuckDB can replay it CTE-for-CTE — the clustering
     family's answer to the minhash/simhash portable twins: the
@@ -549,10 +549,18 @@ def kmeans_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     In-plane form: vectors exploded to (vec_id, dim, val) ONCE;
     each round is dim-keyed join against the 256-row centroid table
     (broadcast), a (vec, cluster) partial-sum shuffle, an argmin
-    window partitioned by vec_id, and a (cluster, dim) mean — all
-    corpus-linear, no driver state, no per-round collect. Distances
+    window partitioned by vec_id, and a (cluster, dim) mean.
+    The per-round centroid table is COLLECTED (k x d = 256 doubles,
+    the k-means O(model)-per-round contract) and re-injected as a
+    local relation: leaving it lazy made every downstream reference
+    re-derive all prior rounds, compounding to 25 scans of the base
+    relation in the optimized plan (the same disease the round-5
+    verdict flagged on pca_power_portable; caught for this query by
+    tests/test_plan_hygiene.py's scan-count guard). Distances
     use |v|^2 - 2v.c + |c|^2 with 6-dp rounding before every argmin
-    so fp association order cannot flip an assignment."""
+    so fp association order cannot flip an assignment; centroid
+    means are rounded at 6 dp on both engines BEFORE collection, so
+    the pinned literals are bit-identical to the lazy values."""
     emb = load_table(spark, sf_dir, "embeddings")
     vec = F.col("embedding").cast("array<double>")
     seeds = (
@@ -574,15 +582,31 @@ def kmeans_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     v2 = vdim.groupBy("vec_id").agg(
         F.sum(F.col("val") * F.col("val")).alias("v2")
     )
-    cdim = seeded.select(
-        "cluster", F.posexplode(F.col("embedding").cast("array<double>"))
-    ).select(
-        "cluster",
-        (F.col("pos") + 1).alias("dim"),
-        F.col("col").alias("cval"),
+
+    def _pin(cdf: DataFrame) -> DataFrame:
+        # O(model) collect: k*d rows -> a LocalRelation literal.
+        rows = [
+            (int(r["cluster"]), int(r["dim"]), float(r["cval"]))
+            for r in cdf.collect()
+        ]
+        return spark.createDataFrame(
+            rows, "cluster int, dim int, cval double"
+        )
+
+    cdim = _pin(
+        seeded.select(
+            "cluster",
+            F.posexplode(F.col("embedding").cast("array<double>")),
+        ).select(
+            "cluster",
+            (F.col("pos") + 1).alias("dim"),
+            F.col("col").alias("cval"),
+        )
     )
     assign = None
-    for _ in range(KMP_ITERS):
+    for it in range(KMP_ITERS):
+        if it > 0:
+            cdim = _pin(cdim)
         c2 = cdim.groupBy("cluster").agg(
             F.sum(F.col("cval") * F.col("cval")).alias("c2")
         )

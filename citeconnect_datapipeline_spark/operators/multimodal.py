@@ -258,6 +258,7 @@ AUDIO_CHUNK_SEC = 30.0  # Whisper-style fixed inference windows
     ),
     a AS (
         SELECT doc_id, ROUND(n / 100.0, 2) AS duration_sec FROM media
+        WHERE ROUND(n / 100.0, 2) > 0
     ),
     chunks AS (
         SELECT doc_id, duration_sec,
@@ -283,7 +284,10 @@ def audio_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiles intervals; together with the decode stage the
     image/audio/video triple is covered). The last window is
     clipped to the clip's true end, so window durations are
-    auditable against the metadata.
+    auditable against the metadata. Zero-duration clips are filtered
+    on BOTH engines (r5 ADVICE: Spark's former greatest(n,1) clamp
+    emitted a degenerate [0,0] window for duration 0 while the
+    oracle's range() emitted none — a latent hash mismatch).
 
     Native ``explode(sequence(...))`` after a metadata-only filter —
     only audio rows expand and payload bytes never move; the actual
@@ -303,14 +307,12 @@ def audio_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     start = F.col("chunk_idx") * AUDIO_CHUNK_SEC
     return (
         media.select("doc_id", dur.alias("duration_sec"))
+        .filter(F.col("duration_sec") > 0)
         .select(
             "doc_id",
             "duration_sec",
             F.explode(
-                F.sequence(
-                    F.lit(0).cast("long"),
-                    F.greatest(n_chunks, F.lit(1).cast("long")) - 1,
-                )
+                F.sequence(F.lit(0).cast("long"), n_chunks - 1)
             ).alias("chunk_idx"),
         )
         .select(

@@ -68,6 +68,7 @@ BUILD_EXECUTES = {
     "bpe_merge_ranks",  # merge loop collects 1 argmax row per round
     "embedding_pca_whiten",  # collects d + d^2 Gram/mean partials
     "kmeans_clusters",  # k-means fit collects k*d centroid partials
+    "kmeans_portable",  # pins the k*d centroid table per Lloyd round
     "neardup_cluster_histogram",  # shares the CC loop
     "neardup_components",
     "neardup_keep_best",  # shares the CC loop
@@ -106,8 +107,6 @@ UNPARTITIONED_WINDOW_OK = {
     "hybrid_rrf_search",  # ranks over two top-k candidate sets
     "interleave_shards",  # over per-source counts
     "join_key_skew_report",  # rank over the top-k limited key slice
-    "kmeans_portable",  # seed numbering over the 4-row md5-order
-    # limit (bounded by k); assignment/mode windows are partitioned
     "ks_drift_statistic",  # ECDF cumsums over the bounded bin table
     "mixture_temperature_weights",  # over per-source rows
     "range_frame_agg",  # 7-day range frame over per-DAY aggregates
@@ -118,6 +117,60 @@ UNPARTITIONED_WINDOW_OK = {
     "source_upsampling_plan",  # share-of-total over per-source rows
     "token_budget_allocation",  # quota arithmetic over per-source rows
 }
+
+
+# Iterative-recomputation guard (round-5 verdict #4): an unrolled
+# iterative DataFrame loop that never pins its per-round model makes
+# every downstream reference re-derive all prior rounds, so the SAME
+# base relation appears again and again in the optimized plan —
+# pca_power_portable hit 42 jobs / 67 s this way, and the unpinned
+# kmeans_portable planned 25 scans of the embeddings relation. A
+# fixed small self-join constant is fine (triangles enumerate a
+# 3-way edge self-join); unbounded-in-iterations growth is not. The
+# ceiling is 8 scans of any one relation; the allowlist names every
+# inspected query above it with the bounded reason.
+MAX_RELATION_SCANS = 8
+RELATION_SCAN_OK = {
+    "bloom_prefilter_dedup": 9,  # bloom build + probe + keep-first
+    # passes over documents: a fixed pipeline constant, not per-round
+    "copurchase_link_prediction": 9,  # common-neighbor scoring:
+    # 3-way self-join of the co-purchase edge list (fixed unroll)
+    "copurchase_triangles": 9,  # triangle enumeration = 3-way edge
+    # self-join; edges derive from one lineitem scan each
+}
+
+
+def _max_relation_scan_count(df) -> int:
+    """Max number of times any single base relation (keyed by its
+    output column set) appears as a LogicalRelation leaf in the
+    optimized plan. InMemoryRelation / LocalRelation leaves are
+    excluded: cached or literal inputs re-read for free."""
+    import json as _json
+    from collections import Counter
+
+    nodes = _json.loads(df._jdf.queryExecution().optimizedPlan().toJSON())
+    c: Counter = Counter()
+    for n in nodes:
+        if n.get("class", "").endswith(".LogicalRelation"):
+            out = n.get("output") or []
+            c[tuple(sorted(a[0]["name"] for a in out))] += 1
+    return max(c.values(), default=0)
+
+
+@pytest.mark.parametrize("name", sorted(queries()))
+def test_no_iterative_recomputation(spark, name):
+    df = queries()[name](spark, SF_DIR)
+    n = _max_relation_scan_count(df)
+    cap = RELATION_SCAN_OK.get(name, MAX_RELATION_SCANS)
+    assert n <= cap, (
+        f"{name} scans one base relation {n}x in its optimized plan"
+        f" (cap {cap}) — at scale every redundant scan re-reads the"
+        " full input. If this is an unrolled iterative loop, pin the"
+        " per-round model (collect O(model) and re-inject as a"
+        " literal, see kmeans_portable/pca_power_portable); if the"
+        " fan-out is a fixed bounded self-join, add it to"
+        " RELATION_SCAN_OK with the reason."
+    )
 
 
 def _unpartitioned_window_count(df) -> int:

@@ -36,13 +36,24 @@ DEFAULT_QUERIES = (
     "lm_perplexity_buckets",
     "clip_duplicate_spans",
     "quality_classifier",
+    # iterative / bucketed portable twins (round-5 verdict #5): each
+    # pins its per-round model, so growth should track input size
+    "kmeans_portable",
+    "pca_power_portable",
+    "ann_rp_lsh_portable",
+    "embed_search_portable",
 )
 
 
 def build_scaled(spark, scale: int) -> str:
     out = os.path.join(WORK, f"x{scale}")
-    if os.path.exists(os.path.join(out, "documents.parquet")):
+    emb_out = os.path.join(out, "embeddings.parquet")
+    if os.path.exists(
+        os.path.join(out, "documents.parquet")
+    ) and os.path.isdir(emb_out):
         return out
+    if os.path.isfile(emb_out):  # pre-r6 cache: 1x copy, not scaled
+        os.remove(emb_out)
     os.makedirs(out, exist_ok=True)
     from pyspark.sql import functions as F
 
@@ -73,10 +84,23 @@ def build_scaled(spark, scale: int) -> str:
     scaled.write.mode("overwrite").parquet(
         os.path.join(out, "documents.parquet")
     )
-    # the probes above only read documents; link the rest for loaders
+    # embeddings scale the same way (id-shifted replicas; vector
+    # values reused — the probe measures runtime growth, not recall)
+    emb = spark.read.parquet(os.path.join(BASE, "embeddings.parquet"))
+    n_emb = emb.count()
+    (
+        emb.crossJoin(reps)
+        .select(
+            (F.col("vec_id") + F.col("rep") * n_emb).alias("vec_id"),
+            "embedding",
+            "label",
+        )
+        .write.mode("overwrite")
+        .parquet(os.path.join(out, "embeddings.parquet"))
+    )
+    # the probes above only read documents/embeddings; link the rest
     for t in (
-        "region nation customer supplier part orders lineitem events "
-        "embeddings"
+        "region nation customer supplier part orders lineitem events"
     ).split():
         src = os.path.join(BASE, f"{t}.parquet")
         dst = os.path.join(out, f"{t}.parquet")
