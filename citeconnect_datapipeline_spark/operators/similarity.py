@@ -1542,6 +1542,182 @@ def ann_rp_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PQP_M = 4   # portable-twin subspaces (64-dim -> 4 x 16-dim)
+PQP_K = 4   # codebook entries per subspace
+PQP_POOL = 20  # ADC candidate pool re-ranked with exact cosine
+
+
+def _pqp_oracle() -> str:
+    """Unrolled-CTE oracle for ann_pq_portable. The codebook is
+    DATA-DERIVED and portable: entry c of every subspace is the
+    sub-vector of the c-th vector in md5(vec_id) order (the
+    kmeans_portable seeding rule), so both engines construct the
+    identical M x K codebook with no RNG and no engine hash. Every
+    squared distance is rounded at 6 dp before the argmin / sum, so
+    fp association order cannot flip a code assignment."""
+    return f"""
+    WITH vdim AS MATERIALIZED (
+        SELECT vec_id,
+               generate_subscripts(embedding, 1) AS dim,
+               CAST(unnest(embedding) AS DOUBLE) AS val
+        FROM embeddings
+    ),
+    seeds AS (
+        SELECT vec_id,
+               ROW_NUMBER() OVER (
+                   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+               ) AS c
+        FROM embeddings
+        QUALIFY c <= {PQP_K}
+    ),
+    book AS MATERIALIZED (
+        SELECT (v.dim - 1) // {64 // PQP_M} AS m, s.c, v.dim,
+               v.val AS bval
+        FROM vdim v JOIN seeds s USING (vec_id)
+    ),
+    d2 AS MATERIALIZED (
+        SELECT v.vec_id, b.m, b.c,
+               ROUND(SUM((v.val - b.bval) * (v.val - b.bval)), 6) AS d2
+        FROM vdim v JOIN book b ON v.dim = b.dim
+        GROUP BY 1, 2, 3
+    ),
+    codes AS (
+        SELECT vec_id, m, c AS code
+        FROM d2
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY vec_id, m ORDER BY d2, c
+        ) = 1
+    ),
+    qtab AS (SELECT m, c, d2 FROM d2 WHERE vec_id = {QUERY_VEC_ID}),
+    adc AS (
+        SELECT cd.vec_id, ROUND(SUM(qt.d2), 6) AS adc_dist
+        FROM codes cd
+        JOIN qtab qt ON cd.m = qt.m AND cd.code = qt.c
+        WHERE cd.vec_id <> {QUERY_VEC_ID}
+        GROUP BY 1
+    ),
+    pool AS (
+        SELECT vec_id, adc_dist FROM adc
+        ORDER BY adc_dist, vec_id LIMIT {PQP_POOL}
+    ),
+    q AS (
+        SELECT embedding AS qvec FROM embeddings
+        WHERE vec_id = {QUERY_VEC_ID}
+    )
+    SELECT p.vec_id, p.adc_dist,
+           ROUND(list_cosine_similarity(
+               CAST(e.embedding AS DOUBLE[]), CAST(q.qvec AS DOUBLE[])
+           ), 6) AS cosine
+    FROM pool p JOIN embeddings e USING (vec_id) CROSS JOIN q
+    ORDER BY cosine DESC, p.vec_id
+    LIMIT 5
+    """
+
+
+@query("ann_pq_portable", oracle=_pqp_oracle())
+def ann_pq_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-verified PRODUCT-QUANTIZATION search — the portable
+    oracled twin of `ann_pq_topk` (whose numpy-trained codebooks are
+    engine-local floats, hence rows-only). Same Jegou et al. ADC
+    query shape, spelled so DuckDB replays it CTE-for-CTE:
+
+    * codebook: entry c of subspace m is the m-th sub-vector of the
+      c-th vector in md5(vec_id) order — data-derived, no RNG, no
+      engine hash (the kmeans_portable seeding rule); collected ONCE
+      (M x K x ds = 256 doubles, O(model)) and re-injected as a
+      literal local relation so the returned plan stays flat;
+    * encode: per (vector, subspace) argmin over the K rounded
+      squared distances, tie-broken on code index;
+    * ADC: the query is NOT quantized — its 16-entry (m, c) distance
+      table rides a broadcast, and each row's asymmetric distance is
+      the M-term table-lookup sum;
+    * the {PQP_POOL}-row ADC pool is re-ranked with exact cosine for
+      the top-5 (the FAISS IVFPQ-refine step, same as ann_lsh_topk).
+
+    Scale shape: one (vec_id, m, c)-grain shuffle over the exploded
+    corpus for encoding (corpus-linear x M·K), one broadcast of the
+    16-row query table, one TakeOrdered pool — codes would be
+    precomputed at ingest and the scan reads ints, which is the
+    entire point of PQ at 100 TB. Distances rounded at 6 dp before
+    every argmin/sum on both engines."""
+    ds = 64 // PQP_M
+    emb = load_table(spark, sf_dir, "embeddings")
+    vec = F.col("embedding").cast("array<double>")
+    vdim = emb.select("vec_id", F.posexplode(vec)).select(
+        "vec_id",
+        (F.col("pos") + 1).alias("dim"),
+        F.col("col").alias("val"),
+    )
+    w_seed = Window.orderBy(
+        F.md5(F.col("vec_id").cast("string")), "vec_id"
+    )
+    seeded = (
+        emb.select("vec_id", "embedding")
+        .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(PQP_K)
+        .select(F.row_number().over(w_seed).alias("c"), "embedding")
+    )
+    book_rows = [
+        (int((d - 1) // ds), int(r["c"]), int(d), float(x))
+        for r in seeded.collect()
+        for d, x in enumerate(
+            [float(v) for v in r["embedding"]], start=1
+        )
+    ]
+    book = spark.createDataFrame(
+        book_rows, "m int, c int, dim int, bval double"
+    )
+    d2 = (
+        vdim.join(F.broadcast(book), "dim")
+        .groupBy("vec_id", "m", "c")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("val") - F.col("bval"))
+                    * (F.col("val") - F.col("bval"))
+                ),
+                6,
+            ).alias("d2")
+        )
+    )
+    w_code = Window.partitionBy("vec_id", "m").orderBy("d2", "c")
+    codes = (
+        d2.withColumn("rn", F.row_number().over(w_code))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "m", F.col("c").alias("code"))
+    )
+    qtab = d2.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("m").alias("qm"),
+        F.col("c").alias("qc"),
+        F.col("d2").alias("qd2"),
+    )
+    adc = (
+        codes.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .join(
+            F.broadcast(qtab),
+            (F.col("m") == F.col("qm")) & (F.col("code") == F.col("qc")),
+        )
+        .groupBy("vec_id")
+        .agg(F.round(F.sum("qd2"), 6).alias("adc_dist"))
+    )
+    pool = adc.orderBy("adc_dist", "vec_id").limit(PQP_POOL)
+    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qvec")
+    )
+    qvec = F.col("qvec").cast("array<double>")
+    return (
+        pool.join(emb.select("vec_id", "embedding"), "vec_id")
+        .join(F.broadcast(q))
+        .select(
+            "vec_id",
+            "adc_dist",
+            F.round(_cosine(vec, qvec), 6).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(5)
+    )
+
+
 EMB16_DIM = 16  # _FakeModel.dim — the hash-encoder width
 
 
