@@ -563,3 +563,187 @@ def disjunctive_discount_revenue(
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
         ).alias("revenue")
     )
+
+
+@query(
+    "supplier_h_index",
+    oracle="""
+    WITH cites AS (
+        SELECT l_suppkey AS s_suppkey, l_partkey AS p, COUNT(*) AS c
+        FROM lineitem GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT s_suppkey, c,
+               ROW_NUMBER() OVER (
+                   PARTITION BY s_suppkey ORDER BY c DESC, p
+               ) AS rn
+        FROM cites
+    )
+    SELECT s_suppkey,
+           CAST(MAX(CASE WHEN c >= rn THEN rn ELSE 0 END) AS BIGINT)
+               AS h_index,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(c) AS BIGINT) AS total_refs
+    FROM ranked
+    GROUP BY s_suppkey
+    ORDER BY h_index DESC, total_refs DESC, s_suppkey
+    LIMIT 20
+    """,
+)
+def supplier_h_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hirsch h-index per supplier over part reference counts — the
+    canonical citation-impact metric (the reference computes per-
+    author citation impact in its citation analysis module;
+    supplier~author, part~paper, lineitem~citation in this lake):
+    h = the largest h such that the supplier supplies >= h parts each
+    referenced >= h times. Top-20 suppliers by h.
+
+    Shape: one (supplier, part) count aggregate, a rank window
+    PARTITIONED BY supplier (never global), and the h fold as a
+    conditional MAX in the same per-supplier aggregate — two keyed
+    shuffles total, both on the supplier key, so the plan
+    co-partitions and scales with suppliers x parts-per-supplier."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    cites = (
+        li.groupBy(
+            F.col("l_suppkey").alias("s_suppkey"),
+            F.col("l_partkey").alias("p"),
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    w = Window.partitionBy("s_suppkey").orderBy(F.desc("c"), "p")
+    ranked = cites.withColumn(
+        "rn", F.row_number().over(w).cast("long")
+    )
+    return (
+        ranked.groupBy("s_suppkey")
+        .agg(
+            F.max(
+                F.when(F.col("c") >= F.col("rn"), F.col("rn")).otherwise(
+                    F.lit(0).cast("long")
+                )
+            ).alias("h_index"),
+            F.count("*").alias("n_parts"),
+            F.sum("c").alias("total_refs"),
+        )
+        .orderBy(
+            F.desc("h_index"), F.desc("total_refs"), "s_suppkey"
+        )
+        .limit(20)
+    )
+
+
+@query(
+    "rfm_segments",
+    oracle="""
+    WITH maxd AS (
+        SELECT MAX(CAST(o_orderdate AS DATE)) AS d0 FROM orders
+    ),
+    rfm AS (
+        SELECT o.o_custkey,
+               date_diff('day', MAX(CAST(o.o_orderdate AS DATE)),
+                         ANY_VALUE(maxd.d0)) AS recency_days,
+               COUNT(*) AS frequency,
+               ROUND(SUM(o.o_totalprice), 2) AS monetary
+        FROM orders o CROSS JOIN maxd
+        GROUP BY 1
+    ),
+    cuts AS (
+        SELECT ROUND(quantile_cont(recency_days, 0.25), 6) AS r1,
+               ROUND(quantile_cont(recency_days, 0.50), 6) AS r2,
+               ROUND(quantile_cont(recency_days, 0.75), 6) AS r3,
+               ROUND(quantile_cont(frequency, 0.25), 6) AS f1,
+               ROUND(quantile_cont(frequency, 0.50), 6) AS f2,
+               ROUND(quantile_cont(frequency, 0.75), 6) AS f3,
+               ROUND(quantile_cont(monetary, 0.25), 6) AS m1,
+               ROUND(quantile_cont(monetary, 0.50), 6) AS m2,
+               ROUND(quantile_cont(monetary, 0.75), 6) AS m3
+        FROM rfm
+    ),
+    coded AS (
+        SELECT
+            5 - (1 + CAST(recency_days > c.r1 AS INT)
+                   + CAST(recency_days > c.r2 AS INT)
+                   + CAST(recency_days > c.r3 AS INT)) AS r_score,
+            1 + CAST(frequency > c.f1 AS INT)
+              + CAST(frequency > c.f2 AS INT)
+              + CAST(frequency > c.f3 AS INT) AS f_score,
+            1 + CAST(monetary > c.m1 AS INT)
+              + CAST(monetary > c.m2 AS INT)
+              + CAST(monetary > c.m3 AS INT) AS m_score,
+            monetary
+        FROM rfm CROSS JOIN cuts c
+    )
+    SELECT r_score, f_score, m_score,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(SUM(monetary), 2) AS total_monetary
+    FROM coded
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3
+    """,
+)
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation —
+    the classic curation-style cohorting the reference's analysis
+    layer does per-author (activity recency x output count x
+    impact): each customer's three metrics are scored into quartiles
+    and the 64-cell segment grid reports counts + average spend.
+
+    Scale shape: the quartile cutoffs are ONE 1-row exact-percentile
+    aggregate broadcast back over customer rows (the
+    dsir_importance_weights threshold pattern — no global ntile, no
+    unpartitioned WindowExec at customer grain); recency folds the
+    1-row max-date scalar in the same way. Cutoffs and metrics are
+    rounded (6 dp / 2 dp) BEFORE every comparison on both engines,
+    so quartile boundaries cannot flip."""
+    orders = load_table(spark, sf_dir, "orders")
+    maxd = orders.agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("d0")
+    )
+    rfm = (
+        orders.join(F.broadcast(maxd))
+        .groupBy("o_custkey")
+        .agg(
+            F.datediff(
+                F.first("d0"), F.max(F.col("o_orderdate").cast("date"))
+            ).alias("recency_days"),
+            F.count("*").alias("frequency"),
+            F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+        )
+    )
+    cuts = rfm.agg(
+        *[
+            F.round(
+                F.expr(f"percentile({col}, {q})"), 6
+            ).alias(f"{col[0]}{i}")
+            for col in ("recency_days", "frequency", "monetary")
+            for i, q in ((1, 0.25), (2, 0.50), (3, 0.75))
+        ]
+    )
+    gt = lambda c, t: F.col(c).cast("double") > F.col(t)  # noqa: E731
+    score = lambda c, p: (  # noqa: E731
+        F.lit(1)
+        + gt(c, f"{p}1").cast("int")
+        + gt(c, f"{p}2").cast("int")
+        + gt(c, f"{p}3").cast("int")
+    )
+    coded = rfm.join(F.broadcast(cuts)).select(
+        (F.lit(5) - score("recency_days", "r")).alias("r_score"),
+        score("frequency", "f").alias("f_score"),
+        score("monetary", "m").alias("m_score"),
+        "monetary",
+    )
+    return (
+        coded.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count("*").alias("n_customers"),
+            # SUM, not AVG: the mean of 2-dp values lands on exact
+            # decimal half-cents (x.365) where binary association
+            # order flips the 2-dp round between engines; the sum of
+            # 2-dp decimals never sits on a 2-dp half-boundary.
+            F.round(F.sum("monetary"), 2).alias("total_monetary"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )

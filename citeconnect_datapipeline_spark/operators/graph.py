@@ -698,3 +698,87 @@ def copurchase_link_prediction(
         )
         .limit(20)
     )
+
+
+BIB_POSTING_CAP = 50  # max citing orders per part in the pair stage
+
+
+@query(
+    "bib_coupling_topk",
+    oracle=f"""
+    WITH cohort AS (
+        SELECT o_orderkey FROM orders
+        WHERE o_orderpriority = '1-URGENT'
+    ),
+    posting AS (
+        SELECT DISTINCT l.l_partkey AS p, l.l_orderkey AS o
+        FROM lineitem l JOIN cohort c ON l.l_orderkey = c.o_orderkey
+    ),
+    bounded AS (
+        SELECT p, o FROM posting
+        QUALIFY COUNT(*) OVER (PARTITION BY p) <= {BIB_POSTING_CAP}
+    ),
+    pairs AS (
+        SELECT a.o AS o1, b.o AS o2,
+               CAST(COUNT(*) AS BIGINT) AS shared_parts
+        FROM bounded a JOIN bounded b ON a.p = b.p AND a.o < b.o
+        GROUP BY 1, 2
+    )
+    SELECT o1, o2, shared_parts
+    FROM pairs
+    WHERE shared_parts >= 2
+    ORDER BY shared_parts DESC, o1, o2
+    LIMIT 20
+    """,
+)
+def bib_coupling_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bibliographic coupling: the top order pairs by number of
+    SHARED parts — the dual of the co-purchase/co-citation family
+    (two papers are coupled when they cite the same references;
+    order~paper, part~reference; the reference scores exactly this
+    overlap imperatively in its citation analyzer). Pairs sharing
+    >= 2 parts, top-20, computed WITHIN the urgent-priority cohort —
+    coupling is a cohort analysis by construction (papers of one
+    venue/field), and the cohort predicate is what keeps the
+    order-side pair expansion tractable: posting lists shrink by the
+    cohort's selectivity and the pair volume by its square (~25x
+    here), the same lever the hot-key cap provides per-part.
+
+    Scale shape: the inverted-index pair expansion of the dedup
+    family applied to the ORDER side — ONE groupBy builds the
+    distinct posting list per part (collect_set folds the dedup into
+    the same shuffle), pairs stream out map-side as TWO nested
+    codegen explodes (generator nodes, not interpreted lambdas —
+    this pair volume is ~450 pairs/part, where the dedup family's
+    per-bucket slice form pays interpreted-HOF cost per element),
+    and ONE (o1, o2) count shuffle finishes — two exchanges total
+    where the self-join form pays four. The posting CAP (drop parts
+    cited by > {BIB_POSTING_CAP} orders) bounds the quadratic term
+    exactly like the hot-shingle cap: a part in millions of orders
+    contributes O(M^2) pairs and zero coupling signal. No broadcast
+    hints — both sides are corpus-grain."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cohort = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    buckets = (
+        li.join(cohort, li.l_orderkey == F.col("o_orderkey"))
+        .groupBy(F.col("l_partkey").alias("p"))
+        .agg(F.collect_set("l_orderkey").alias("ds"))
+        .filter(
+            (F.size("ds") > 1) & (F.size("ds") <= BIB_POSTING_CAP)
+        )
+    )
+    e1 = buckets.select("ds", F.explode("ds").alias("o1"))
+    pairs = e1.select("o1", F.explode("ds").alias("o2")).filter(
+        F.col("o1") < F.col("o2")
+    )
+    return (
+        pairs.groupBy("o1", "o2")
+        .agg(F.count("*").alias("shared_parts"))
+        .filter(F.col("shared_parts") >= 2)
+        .orderBy(F.desc("shared_parts"), "o1", "o2")
+        .limit(20)
+    )

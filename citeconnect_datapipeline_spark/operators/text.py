@@ -2019,3 +2019,70 @@ def word_collocation_npmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("npmi"), "w1", "w2")
         .limit(20)
     )
+
+
+@query(
+    "tokenizer_fertility_by_lang",
+    oracle="""
+    WITH per_doc AS (
+        SELECT lang,
+               len(regexp_extract_all(text,
+                   '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS toks,
+               length(text) AS chars
+        FROM documents
+        WHERE length(text) > 0
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(toks) AS BIGINT) AS total_tokens,
+           ROUND(SUM(toks) * 1.0 / SUM(chars), 6) AS fertility,
+           ROUND(quantile_cont(ROUND(toks * 1.0 / chars, 6), 0.5), 6)
+               AS p50_fertility
+    FROM per_doc
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def tokenizer_fertility_by_lang(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Tokenizer fertility (tokens per character) per language — the
+    multilingual-budget report: languages a tokenizer segments
+    poorly consume disproportionate sequence length per unit of
+    text, so mixture weights and per-language token budgets key on
+    exactly this table (the per-corpus rollup of token_counts'
+    per-doc accounting, with the same portable BPE-ish lexer).
+
+    Scale shape: the regex lex is per-row codegen over a two-column
+    scan; one lang-grain aggregate (map-side partials); the median
+    is the exact-`percentile` fold whose partial state is a
+    count-map over distinct 6 dp ratios — swap for
+    percentile_approx at web scale, same plan."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.size(
+        F.regexp_extract_all(
+            "text", F.lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"), F.lit(0)
+        )
+    )
+    per_doc = docs.filter(F.length("text") > 0).select(
+        "lang",
+        toks.cast("long").alias("toks"),
+        F.length("text").cast("long").alias("chars"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("toks").alias("total_tokens"),
+            F.round(
+                F.sum("toks") / F.sum("chars").cast("double"), 6
+            ).alias("fertility"),
+            F.round(
+                F.expr(
+                    "percentile(round(toks * 1.0 / chars, 6), 0.5)"
+                ),
+                6,
+            ).alias("p50_fertility"),
+        )
+        .orderBy("lang")
+    )

@@ -669,3 +669,74 @@ def last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "ship_latency_histogram",
+    oracle="""
+    WITH lat AS (
+        SELECT date_diff('day', CAST(o.o_orderdate AS DATE),
+                         CAST(l.l_shipdate AS DATE)) AS days
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    hist AS (
+        SELECT CAST(days // 7 AS BIGINT) AS week_bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_items
+        FROM lat WHERE days >= 0
+        GROUP BY 1
+    )
+    SELECT week_bucket, n_items,
+           ROUND(n_items * 1.0 / SUM(n_items) OVER (), 6) AS share,
+           ROUND(SUM(n_items) OVER (ORDER BY week_bucket)
+                 * 1.0 / SUM(n_items) OVER (), 6) AS cum_share
+    FROM hist
+    ORDER BY week_bucket
+    """,
+)
+def ship_latency_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency histogram in week buckets with share and
+    cumulative share — the fulfilment-latency SLO curve, and the
+    citation-age-distribution shape from the reference's citation
+    analysis (order~citing paper date, ship~cited activity date).
+
+    Scale shape: one fact-fact equi join on orderkey (bucketable,
+    exchange-free under the bucketed layout), latency bucketing
+    map-side, then a week-grain aggregate — the share/cumulative
+    windows run over the BOUNDED bucket table (tens of rows at any
+    corpus size), the allowlisted unpartitioned-window pattern of
+    seq_length_histogram."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    lat = li.join(
+        orders.select("o_orderkey", "o_orderdate"),
+        li.l_orderkey == F.col("o_orderkey"),
+    ).select(
+        F.datediff(
+            F.col("l_shipdate").cast("date"),
+            F.col("o_orderdate").cast("date"),
+        ).alias("days")
+    )
+    hist = (
+        lat.filter(F.col("days") >= 0)
+        .groupBy(
+            F.floor(F.col("days") / 7).cast("long").alias("week_bucket")
+        )
+        .agg(F.count("*").alias("n_items"))
+    )
+    w_all = Window.partitionBy()
+    w_cum = Window.orderBy("week_bucket")
+    return (
+        hist.select(
+            "week_bucket",
+            "n_items",
+            F.round(
+                F.col("n_items") / F.sum("n_items").over(w_all), 6
+            ).alias("share"),
+            F.round(
+                F.sum("n_items").over(w_cum)
+                / F.sum("n_items").over(w_all),
+                6,
+            ).alias("cum_share"),
+        )
+        .orderBy("week_bucket")
+    )

@@ -1650,3 +1650,79 @@ def source_upsampling_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+ES_SAMPLE_K = 20  # weighted-sample-without-replacement size
+
+
+@query(
+    "weighted_sample_es",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT doc_id, n_chars,
+               ROUND(
+                   -ln((
+                       (strpos('0123456789abcdef',
+                               substr(md5('es:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 65536.0
+                     + (strpos('0123456789abcdef',
+                               substr(md5('es:' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 4096.0
+                     + (strpos('0123456789abcdef',
+                               substr(md5('es:' || CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 256.0
+                     + (strpos('0123456789abcdef',
+                               substr(md5('es:' || CAST(doc_id AS VARCHAR)), 4, 1)) - 1) * 16.0
+                     + (strpos('0123456789abcdef',
+                               substr(md5('es:' || CAST(doc_id AS VARCHAR)), 5, 1)) - 1)
+                     + 0.5
+                   ) / 1048576.0) * 100000.0 / n_chars,
+               6) AS es_key
+        FROM documents
+        WHERE n_chars > 0
+    )
+    SELECT doc_id, n_chars AS weight, es_key
+    FROM keyed
+    ORDER BY es_key, doc_id
+    LIMIT {ES_SAMPLE_K}
+    """,
+)
+def weighted_sample_es(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via Efraimidis-Spirakis
+    exponential keys — the scale-canonical way to draw a
+    length-weighted training sample in one distributed pass: each
+    doc draws u ~ U(0,1) and the sample is the k smallest
+    -ln(u)/w keys (equivalent to ranking u^(1/w); here w = n_chars,
+    so longer documents are proportionally likelier). One pass, no
+    state, restart-safe: u is DERIVED from md5('es:' || doc_id)
+    (first 5 hex nibbles + 0.5, over 16^5 — exact in a double, never
+    zero), so both engines and any re-run draw the IDENTICAL sample
+    — the determinism contract every resumable ingest needs.
+
+    Scale shape: per-row arithmetic + ONE TakeOrdered(k) — no
+    shuffle, no window; the 6 dp rounding of the key before the
+    rank keeps the ordering identical across engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.lit("es:"), F.col("doc_id").cast("string")))
+    nib = lambda i: (  # noqa: E731
+        F.position(
+            F.substring(h, i, 1), F.lit("0123456789abcdef")
+        ).cast("double")
+        - 1.0
+    )
+    u = (
+        nib(1) * 65536.0
+        + nib(2) * 4096.0
+        + nib(3) * 256.0
+        + nib(4) * 16.0
+        + nib(5)
+        + 0.5
+    ) / 1048576.0
+    es_key = F.round(-F.log(u) * 100000.0 / F.col("n_chars"), 6)
+    return (
+        docs.filter(F.col("n_chars") > 0)
+        .select(
+            "doc_id",
+            F.col("n_chars").alias("weight"),
+            es_key.alias("es_key"),
+        )
+        .orderBy("es_key", "doc_id")
+        .limit(ES_SAMPLE_K)
+    )

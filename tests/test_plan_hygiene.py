@@ -48,6 +48,8 @@ NESTED_LOOP_OK = {
     "source_kl_divergence",  # 256-row corpus-bucket table + 1-row
     # total: bounded broadcasts building the source x bucket grid
     "mitigation_recommendations",
+    "rfm_segments",  # 1-row max-date + 1-row quartile-cutoff
+    # broadcasts folded over customer rows (dsir threshold pattern)
     "mmr_diversified_topk",  # 1-row query-vector broadcast + the 8-row
     # candidate-page self-pairing — every non-equi side is page-bounded
     "mrl_truncation_eval",  # 1-row query-vector broadcast (cosine_topk's
@@ -115,6 +117,8 @@ UNPARTITIONED_WINDOW_OK = {
     "seasonal_decompose_daily",  # 7-day moving average over the
     # per-DAY aggregate (365 rows/year at any corpus size)
     "seq_length_histogram",  # cumulative share over histogram bins
+    "ship_latency_histogram",  # share/cum-share over the week-grain
+    # bucket table (bounded by the date span, never corpus-grain)
     "source_upsampling_plan",  # share-of-total over per-source rows
     "token_budget_allocation",  # quota arithmetic over per-source rows
 }
