@@ -594,7 +594,7 @@ def _neardup_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
 def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clustering end-to-end (T9's final step, SURVEY.md
     SS2.10: "approxSimilarityJoin -> connected components keep-first"):
-    Jaccard>={NEARDUP_JACCARD} pairs become an undirected graph;
+    Jaccard>=0.5 (NEARDUP_JACCARD) pairs become an undirected graph;
     connected components assign every near-dup doc a cluster id (the
     min doc_id reachable); ``is_canonical`` marks the one row per
     cluster a dedup pass would keep. Docs with no near-dup never enter
@@ -675,8 +675,8 @@ def fuzzy_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance near-dup pairs (the fuzzy-matching member of the
     dedup family: exact -> shingle/MinHash/SimHash -> embedding ->
     EDIT DISTANCE): documents in the same language whose lowercased
-    {FUZZY_PREFIX_LEN}-char prefixes are within Levenshtein distance
-    {FUZZY_MAX_DIST} — the classic blocked record-linkage join (title
+    40-char (FUZZY_PREFIX_LEN) prefixes are within Levenshtein distance
+    10 (FUZZY_MAX_DIST) — the classic blocked record-linkage join (title
     /author fuzzy matching in the reference's domain).
 
     Scale shape: a SHUFFLED equi-join on the widened block key
@@ -1994,8 +1994,8 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries only produce the hashes). This is the multi-index
     architecture perceptual-hash systems use (e.g. Facebook's PDQ
     hamming search, Manku et al.'s simhash dedup at Google): a pair
-    within hamming {SIMHASH_HAM_MAX} whose differing bits fall in one
-    nibble is guaranteed to share one of the {SIMHASH_NIBBLES}
+    within hamming 3 (SIMHASH_HAM_MAX) whose differing bits fall in one
+    nibble is guaranteed to share one of the 8 (SIMHASH_NIBBLES)
     nibble-masked projections, so candidate generation is an
     EQUI-join on 28-bit keys — never an all-pairs hamming scan — and
     the exact bit_count(xor) filter keeps only true neighbors.
@@ -2003,7 +2003,7 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     documented recall tradeoff; production raises recall by widening
     masks (2-nibble omission), the same plan with more projections.
 
-    Scale shape: {SIMHASH_NIBBLES} projection rows per doc (in-row
+    Scale shape: 8 (SIMHASH_NIBBLES) projection rows per doc (in-row
     arithmetic), ONE shuffle of that table into posting lists keyed
     on (k, masked) — uniform md5-derived keys; bucket sizes are
     near-dup-group sized, so pair expansion is bounded. Fingerprints

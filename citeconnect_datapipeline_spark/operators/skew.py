@@ -115,7 +115,7 @@ SKEW_TOPK = 5
 )
 def join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The diagnostic that decides WHEN the salting in this module is
-    worth its extra reduce: the top-{SKEW_TOPK} heaviest values of a
+    worth its extra reduce: the top-5 (SKEW_TOPK) heaviest values of a
     join/groupBy key (here lineitem.l_partkey, the co-purchase join
     key) with each hot key's row share and its multiple of the
     median key size — 'x_median >> 1' is the number a perf engineer

@@ -62,7 +62,7 @@ SESSION_GAP_MIN = 30
 )
 def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gaps-and-islands sessionization: a new session starts when a
-    user's inter-event gap exceeds {SESSION_GAP_MIN} minutes; the
+    user's inter-event gap exceeds 30 (SESSION_GAP_MIN) minutes; the
     running sum of session starts numbers the islands. This is the
     batch twin of ``session_window_agg`` (same gap, same semantics)
     computed with plain window functions.

@@ -912,7 +912,7 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     Why this operator matters at 100 TB: DSIR is the published
     answer to "which 5% of the crawl do I train on" — and its
     entire model state is the bucket-count table, which is AT MOST
-    {DSIR_N_BUCKETS} rows REGARDLESS of corpus size. Training both
+    256 (DSIR_N_BUCKETS) rows REGARDLESS of corpus size. Training both
     models is one groupBy over exploded words (conditional count for
     the target slice rides the same aggregate — one shuffle, not
     two); per-bucket log-ratios fold the totals in with an

@@ -151,7 +151,7 @@ def sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Session windows with a {SESSION_GAP_MIN}-minute inactivity gap,
+    """Session windows with a 10-minute (SESSION_GAP_MIN) inactivity gap,
     per user. Spark's ``session_window`` merges events whose gap is
     strictly below the timeout; window end = last event + gap. The
     oracle reproduces exactly that with gaps-and-islands SQL, which is
