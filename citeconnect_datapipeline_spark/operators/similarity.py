@@ -1807,3 +1807,154 @@ def embed_search_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cosine"), "doc_id")
         .limit(5)
     )
+
+
+IVFP_K = 8       # portable-IVF coarse lists
+IVFP_NPROBE = 2  # lists visited at query time
+
+
+def _ivfp_oracle() -> str:
+    """Unrolled-CTE oracle for ann_ivf_portable: the coarse quantizer
+    is the md5(vec_id)-order seed set (no training loop — the
+    kmeans_portable seeding rule), so both engines derive the
+    identical K centroids from data alone; every distance is rounded
+    at 6 dp before the argmin / probe ranking."""
+    return f"""
+    WITH vdim AS MATERIALIZED (
+        SELECT vec_id,
+               generate_subscripts(embedding, 1) AS dim,
+               CAST(unnest(embedding) AS DOUBLE) AS val
+        FROM embeddings
+    ),
+    seeds AS (
+        SELECT vec_id,
+               ROW_NUMBER() OVER (
+                   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+               ) AS c
+        FROM embeddings
+        QUALIFY c <= {IVFP_K}
+    ),
+    cdim AS MATERIALIZED (
+        SELECT s.c, v.dim, v.val AS cval
+        FROM vdim v JOIN seeds s USING (vec_id)
+    ),
+    d2 AS MATERIALIZED (
+        SELECT v.vec_id, c.c,
+               ROUND(SUM((v.val - c.cval) * (v.val - c.cval)), 6) AS d2
+        FROM vdim v JOIN cdim c USING (dim)
+        GROUP BY 1, 2
+    ),
+    assign AS (
+        SELECT vec_id, c AS list_id
+        FROM d2
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY vec_id ORDER BY d2, c
+        ) = 1
+    ),
+    probe AS (
+        SELECT c AS list_id FROM d2
+        WHERE vec_id = {QUERY_VEC_ID}
+        ORDER BY d2, c LIMIT {IVFP_NPROBE}
+    ),
+    q AS (
+        SELECT embedding AS qvec FROM embeddings
+        WHERE vec_id = {QUERY_VEC_ID}
+    )
+    SELECT a.vec_id, CAST(a.list_id AS INT) AS list_id,
+           ROUND(list_cosine_similarity(
+               CAST(e.embedding AS DOUBLE[]), CAST(q.qvec AS DOUBLE[])
+           ), 6) AS cosine
+    FROM assign a
+    JOIN probe p ON a.list_id = p.list_id
+    JOIN embeddings e ON e.vec_id = a.vec_id
+    CROSS JOIN q
+    WHERE a.vec_id <> {QUERY_VEC_ID}
+    ORDER BY cosine DESC, a.vec_id
+    LIMIT 5
+    """
+
+
+@query("ann_ivf_portable", oracle=_ivfp_oracle())
+def ann_ivf_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-verified IVF (inverted-file) ANN — the portable oracled
+    twin of `ann_ivf_topk`, whose numpy-trained coarse centroids are
+    engine-local (rows-only). Same partition-pruned search shape:
+    every vector is assigned to its nearest of K coarse lists, the
+    query visits only its 2 (IVFP_NPROBE) closest lists, and the
+    in-list sliver is exact-cosine re-ranked for the top-5. The
+    coarse quantizer here is the md5(vec_id)-order seed set (the
+    kmeans_portable seeding rule) rather than a trained k-means —
+    quantizer quality changes recall, not the search algebra, so
+    DuckDB replays assignment, probe selection, and re-rank
+    CTE-for-CTE and the whole IVF path is hash-verified.
+
+    Scale shape: assignment is one (vec, list) distance aggregate +
+    a vec-partitioned argmin window (corpus-linear x K); the probe
+    set is a 2-row broadcast join = PARTITION PRUNING when lists are
+    the storage partition key (exactly what build_ivf_index
+    materializes); only the probed lists pay the exact re-rank.
+    Distances rounded at 6 dp before argmin/probe on both engines,
+    fully lazy — no driver state at all."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vec = F.col("embedding").cast("array<double>")
+    vdim = emb.select("vec_id", F.posexplode(vec)).select(
+        "vec_id",
+        (F.col("pos") + 1).alias("dim"),
+        F.col("col").alias("val"),
+    )
+    w_seed = Window.orderBy(
+        F.md5(F.col("vec_id").cast("string")), "vec_id"
+    )
+    seeded = (
+        emb.select("vec_id", "embedding")
+        .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(IVFP_K)
+        .select(F.row_number().over(w_seed).alias("c"), "embedding")
+    )
+    cdim = seeded.select(
+        "c", F.posexplode(F.col("embedding").cast("array<double>"))
+    ).select(
+        "c", (F.col("pos") + 1).alias("dim"), F.col("col").alias("cval")
+    )
+    d2 = (
+        vdim.join(F.broadcast(cdim), "dim")
+        .groupBy("vec_id", "c")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("val") - F.col("cval"))
+                    * (F.col("val") - F.col("cval"))
+                ),
+                6,
+            ).alias("d2")
+        )
+    )
+    w_min = Window.partitionBy("vec_id").orderBy("d2", "c")
+    assign = (
+        d2.withColumn("rn", F.row_number().over(w_min))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("c").alias("list_id"))
+    )
+    probe = (
+        d2.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .orderBy("d2", "c")
+        .limit(IVFP_NPROBE)
+        .select(F.col("c").alias("list_id"))
+    )
+    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qvec")
+    )
+    qvec = F.col("qvec").cast("array<double>")
+    return (
+        assign.join(F.broadcast(probe), "list_id")
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .join(emb.select("vec_id", "embedding"), "vec_id")
+        .join(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.col("list_id").cast("int").alias("list_id"),
+            F.round(_cosine(vec, qvec), 6).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(5)
+    )

@@ -20,6 +20,8 @@ SF_DIR = "/root/testdata/sf0.001"
 #   count triples, decile/threshold scalars, single query vectors,
 #   small sketch-pair expansion.
 NESTED_LOOP_OK = {
+    "ann_ivf_portable",  # 1-row query-vector broadcast (cosine_topk's
+    # probe shape) over the probed-list sliver
     "ann_ivf_topk",
     "ann_ivfpq_topk",
     "ann_lsh_topk",
@@ -99,6 +101,9 @@ BUILD_EXECUTES = {
 # now use 1-row percentile-threshold broadcasts and must NOT appear
 # here at doc grain.
 UNPARTITIONED_WINDOW_OK = {
+    "ann_ivf_portable",  # seed numbering over the 8-row md5-order
+    # limit (bounded by K); the assignment argmin window is
+    # partitioned by vec_id
     "bias_slice_disparity",  # over per-slice aggregates
     "domain_mixture_sample",  # quota arithmetic over per-source rows
     "dsir_importance_weights",  # totals fold over the 256-row
