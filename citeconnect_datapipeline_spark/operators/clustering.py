@@ -866,3 +866,216 @@ def pca_power_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.abs(F.col("loading")).desc(), "dim")
     )
+
+
+SDP_K = 8          # portable SemDeDup coarse clusters (seed rule)
+SDP_TAU = 0.35     # same cosine threshold as the production greedy
+SDP_MAX_CLUSTER = 2000  # pair stage skips clusters above this size
+
+
+def _sdp_oracle() -> str:
+    """Unrolled-CTE oracle for semantic_dedup_portable: seed-centroid
+    clustering (the ann_ivf_portable quantizer), within-cluster pair
+    cosines via the dim-exploded dot join, and the any-earlier-witness
+    drop rule — every cosine rounded at 6 dp before the threshold."""
+    return f"""
+    WITH vdim AS MATERIALIZED (
+        SELECT vec_id,
+               generate_subscripts(embedding, 1) AS dim,
+               CAST(unnest(embedding) AS DOUBLE) AS val
+        FROM embeddings
+    ),
+    seeds AS (
+        SELECT vec_id,
+               ROW_NUMBER() OVER (
+                   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+               ) AS c
+        FROM embeddings
+        QUALIFY c <= {SDP_K}
+    ),
+    cdim AS MATERIALIZED (
+        SELECT s.c, v.dim, v.val AS cval
+        FROM vdim v JOIN seeds s USING (vec_id)
+    ),
+    d2 AS (
+        SELECT v.vec_id, c.c,
+               ROUND(SUM((v.val - c.cval) * (v.val - c.cval)), 6) AS d2
+        FROM vdim v JOIN cdim c USING (dim)
+        GROUP BY 1, 2
+    ),
+    assign AS MATERIALIZED (
+        SELECT vec_id, c AS cluster_id
+        FROM d2
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY vec_id ORDER BY d2, c
+        ) = 1
+    ),
+    sized AS MATERIALIZED (
+        SELECT a.vec_id, a.cluster_id
+        FROM assign a
+        QUALIFY COUNT(*) OVER (PARTITION BY cluster_id)
+                <= {SDP_MAX_CLUSTER}
+    ),
+    v2 AS MATERIALIZED (
+        SELECT vec_id, SUM(val * val) AS v2 FROM vdim GROUP BY 1
+    ),
+    avdim AS MATERIALIZED (
+        SELECT s.cluster_id, v.vec_id, v.dim, v.val
+        FROM vdim v JOIN sized s USING (vec_id)
+    ),
+    cos AS MATERIALIZED (
+        SELECT a.cluster_id, a.vec_id AS va, b.vec_id AS vb,
+               ROUND(SUM(a.val * b.val)
+                     / SQRT(ANY_VALUE(x.v2) * ANY_VALUE(y.v2)),
+                     6) AS cos
+        FROM avdim a
+        JOIN avdim b ON a.cluster_id = b.cluster_id
+                    AND a.dim = b.dim AND a.vec_id < b.vec_id
+        JOIN v2 x ON x.vec_id = a.vec_id
+        JOIN v2 y ON y.vec_id = b.vec_id
+        GROUP BY 1, 2, 3
+    ),
+    witness AS (
+        SELECT cluster_id, vb,
+               MAX(cos) AS best
+        FROM cos GROUP BY 1, 2
+    )
+    SELECT s.cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(CASE WHEN w.best >= {SDP_TAU} THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_dropped,
+           ROUND(MAX(COALESCE(w.best, -1.0)), 6) AS max_within_cos
+    FROM sized s
+    LEFT JOIN witness w
+           ON w.cluster_id = s.cluster_id AND w.vb = s.vec_id
+    GROUP BY s.cluster_id
+    ORDER BY s.cluster_id
+    """
+
+
+@query("semantic_dedup_portable", oracle=_sdp_oracle())
+def semantic_dedup_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-verified SemDeDup twin — the oracled sibling of the
+    rows-only `semantic_dedup` (whose k-means fit and loop-carried
+    greedy keep-set are engine-local). Two substitutions make it
+    portable while keeping the recipe's structure: (1) clusters come
+    from the md5-order SEED quantizer (ann_ivf_portable's rule — no
+    training loop), and (2) the drop rule is ANY-EARLIER-WITNESS —
+    drop a vector iff SOME lower-id vector in its cluster sits at
+    cosine >= 0.35 (SDP_TAU) — a slightly more aggressive,
+    closed-form variant of the greedy kept-set rule (every greedy
+    drop is also an any-earlier drop). Reports per cluster: size,
+    drops, and the max within-cluster cosine, all hash-verified.
+
+    Scale shape: clustering bounds the quadratic term to
+    within-cluster blocks (the whole point of SemDeDup); the pair
+    cosines ride a (cluster, dim)-keyed codegen self-join + one
+    (va, vb) sum shuffle — no interpreted per-element lambdas on the
+    pair stream — and clusters above 2000 (SDP_MAX_CLUSTER) vectors
+    are excluded from the pair stage on BOTH engines (the hot-bucket
+    cap; at 100 TB you raise K so blocks stay bounded, same lever).
+    Cosines rounded at 6 dp before the threshold on both engines."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vec = F.col("embedding").cast("array<double>")
+    vdim = emb.select("vec_id", F.posexplode(vec)).select(
+        "vec_id",
+        (F.col("pos") + 1).alias("dim"),
+        F.col("col").alias("val"),
+    )
+    w_seed = Window.orderBy(
+        F.md5(F.col("vec_id").cast("string")), "vec_id"
+    )
+    seeded = (
+        emb.select("vec_id", "embedding")
+        .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(SDP_K)
+        .select(F.row_number().over(w_seed).alias("c"), "embedding")
+    )
+    cdim = seeded.select(
+        "c", F.posexplode(F.col("embedding").cast("array<double>"))
+    ).select(
+        "c", (F.col("pos") + 1).alias("dim"), F.col("col").alias("cval")
+    )
+    d2 = (
+        vdim.join(F.broadcast(cdim), "dim")
+        .groupBy("vec_id", "c")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("val") - F.col("cval"))
+                    * (F.col("val") - F.col("cval"))
+                ),
+                6,
+            ).alias("d2")
+        )
+    )
+    w_min = Window.partitionBy("vec_id").orderBy("d2", "c")
+    assign = (
+        d2.withColumn("rn", F.row_number().over(w_min))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("c").alias("cluster_id"))
+    )
+    w_size = Window.partitionBy("cluster_id")
+    sized = (
+        assign.withColumn("csz", F.count("*").over(w_size))
+        .filter(F.col("csz") <= SDP_MAX_CLUSTER)
+        .drop("csz")
+    )
+    v2 = vdim.groupBy("vec_id").agg(
+        F.sum(F.col("val") * F.col("val")).alias("v2")
+    )
+    avdim = vdim.join(sized, "vec_id").select(
+        "cluster_id", "vec_id", "dim", "val"
+    )
+    a = avdim.select(
+        "cluster_id", F.col("vec_id").alias("va"), "dim",
+        F.col("val").alias("va_val"),
+    )
+    b = avdim.select(
+        F.col("cluster_id").alias("cb"), F.col("vec_id").alias("vb"),
+        F.col("dim").alias("db"), F.col("val").alias("vb_val"),
+    )
+    cos = (
+        a.join(
+            b,
+            (F.col("cluster_id") == F.col("cb"))
+            & (F.col("dim") == F.col("db"))
+            & (F.col("va") < F.col("vb")),
+        )
+        .groupBy("cluster_id", "va", "vb")
+        .agg(F.sum(F.col("va_val") * F.col("vb_val")).alias("dot"))
+        .join(v2.select(F.col("vec_id").alias("va"), F.col("v2").alias("v2a")), "va")
+        .join(v2.select(F.col("vec_id").alias("vb"), F.col("v2").alias("v2b")), "vb")
+        .select(
+            "cluster_id", "va", "vb",
+            F.round(
+                F.col("dot") / F.sqrt(F.col("v2a") * F.col("v2b")), 6
+            ).alias("cos"),
+        )
+    )
+    witness = cos.groupBy("cluster_id", "vb").agg(
+        F.max("cos").alias("best")
+    ).select(
+        F.col("cluster_id").alias("wc"),
+        F.col("vb").alias("wv"),
+        "best",
+    )
+    return (
+        sized.join(
+            witness,
+            (F.col("cluster_id") == F.col("wc"))
+            & (F.col("vec_id") == F.col("wv")),
+            "left",
+        )
+        .groupBy("cluster_id")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.sum(
+                F.when(F.col("best") >= SDP_TAU, 1).otherwise(0)
+            ).alias("n_dropped"),
+            F.round(
+                F.max(F.coalesce(F.col("best"), F.lit(-1.0))), 6
+            ).alias("max_within_cos"),
+        )
+        .orderBy("cluster_id")
+    )

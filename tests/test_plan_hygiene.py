@@ -119,6 +119,9 @@ UNPARTITIONED_WINDOW_OK = {
     "mixture_temperature_weights",  # over per-source rows
     "range_frame_agg",  # 7-day range frame over per-DAY aggregates
     "run_over_run_anomaly",  # over the per-run history table
+    "semantic_dedup_portable",  # seed numbering over the 8-row
+    # md5-order limit (bounded by K), replicated by the self-join
+    # legs; argmin/size windows are partitioned
     "seasonal_decompose_daily",  # 7-day moving average over the
     # per-DAY aggregate (365 rows/year at any corpus size)
     "seq_length_histogram",  # cumulative share over histogram bins
@@ -147,6 +150,10 @@ RELATION_SCAN_OK = {
     # 3-way self-join of the co-purchase edge list (fixed unroll)
     "copurchase_triangles": 9,  # triangle enumeration = 3-way edge
     # self-join; edges derive from one lineitem scan each
+    "semantic_dedup_portable": 12,  # the within-cluster pair stage
+    # references the (assignment o vdim) lineage once per self-join
+    # leg plus the final size rollup — a FIXED fan-out constant (no
+    # per-iteration growth; there is no loop in this query)
 }
 
 
