@@ -782,3 +782,87 @@ def bib_coupling_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("shared_parts"), "o1", "o2")
         .limit(20)
     )
+
+
+HITS_ROUNDS = 2  # unrolled hub/authority refinement rounds
+
+
+@query(
+    "hits_authorities",
+    oracle=f"""
+    WITH edges AS MATERIALIZED (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        FROM lineitem
+    ),
+    a1 AS MATERIALIZED (
+        SELECT p, CAST(COUNT(*) AS DOUBLE) AS a
+        FROM edges GROUP BY p
+    ),
+    h1 AS MATERIALIZED (
+        SELECT e.o, ROUND(SUM(a1.a), 6) AS h
+        FROM edges e JOIN a1 ON a1.p = e.p
+        GROUP BY e.o
+    ),
+    a2 AS MATERIALIZED (
+        SELECT e.p, ROUND(SUM(h1.h), 6) AS a
+        FROM edges e JOIN h1 ON h1.o = e.o
+        GROUP BY e.p
+    ),
+    tot AS (SELECT SUM(a) AS t FROM a2)
+    SELECT a2.p AS p_partkey,
+           a2.a AS authority,
+           ROUND(a2.a / tot.t, 6) AS authority_share
+    FROM a2 CROSS JOIN tot
+    ORDER BY a2.a DESC, a2.p
+    LIMIT 10
+    """,
+)
+def hits_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS (Kleinberg) hub/authority scoring over the order->part
+    bipartite citation graph, 2 (HITS_ROUNDS) refinement rounds
+    unrolled declaratively: a1 = in-degree, h1(order) = sum of its
+    parts' authorities, a2(part) = sum of its orders' hub scores —
+    i.e. one step of power iteration on the co-citation matrix
+    A^T A, the companion of `part_copurchase_pagerank` (authority =
+    'cited by well-read papers', the reference's citation-impact
+    notion beyond raw counts). Scores stay UN-normalized through the
+    rounds (scale-invariant ranking; per-round 6 dp rounding
+    re-synchronizes engines) and the output reports each top-10
+    authority's share of the total, folded in as a 1-row broadcast.
+
+    Scale shape: each round is one edge-keyed join + one keyed
+    aggregate (corpus-linear, map-side partials); no windows, no
+    driver state, no collect — the whole 2-round chain is a single
+    lazy plan whose relation fan-out is fixed by the unroll depth
+    (under the scan-count guard's ceiling), exactly the shape that
+    needs localCheckpoint pinning only when rounds grow."""
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a1 = edges.groupBy("p").agg(
+        F.count("*").cast("double").alias("a")
+    )
+    h1 = (
+        edges.join(a1, "p")
+        .groupBy("o")
+        .agg(F.round(F.sum("a"), 6).alias("h"))
+    )
+    a2 = (
+        edges.join(h1, "o")
+        .groupBy("p")
+        .agg(F.round(F.sum("h"), 6).alias("a"))
+    )
+    tot = a2.agg(F.sum("a").alias("t"))
+    return (
+        a2.join(F.broadcast(tot))
+        .select(
+            F.col("p").alias("p_partkey"),
+            F.col("a").alias("authority"),
+            F.round(F.col("a") / F.col("t"), 6).alias(
+                "authority_share"
+            ),
+        )
+        .orderBy(F.desc("authority"), "p_partkey")
+        .limit(10)
+    )

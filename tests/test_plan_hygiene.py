@@ -39,6 +39,8 @@ NESTED_LOOP_OK = {
     "dsir_importance_weights",  # 75th-pct selection cutoff: 1-row
     # scalar broadcast (replaced the r4 global ntile)
     "graph_2hop_frontier",
+    "hits_authorities",  # authority-total: 1-row scalar broadcast
+    # folded over the top-10 limit
     "hard_negative_mining",  # anchor batch broadcast: bounded by the
     # mining contract (a training batch, never the corpus)
     "interleave_shards",  # domain-count n_src: 1-row scalar broadcast

@@ -320,3 +320,31 @@ def test_fertility_is_exact_on_crafted_texts(spark, tmp_path):
     assert got["bb"]["total_tokens"] == 3
     assert abs(got["bb"]["fertility"] - 1.0) < 1e-9
     assert got["aa"]["n_docs"] == 1 and got["bb"]["n_docs"] == 1
+
+
+def test_hits_authority_beats_raw_indegree_via_hub_quality(
+    spark, tmp_path
+):
+    from citeconnect_datapipeline_spark.operators.graph import (
+        hits_authorities,
+    )
+
+    li = []
+    ok = 0
+    # part 1 and part 2 both have in-degree 3. But part 1's citing
+    # orders are HUBS (each also cites the popular parts 10..14),
+    # while part 2's citers cite nothing else. HITS must rank part 1
+    # above part 2; raw in-degree cannot separate them.
+    for _ in range(3):
+        ok += 1
+        li.append(_li(ok, 1, 1))
+        for p in range(10, 15):
+            li.append(_li(ok, p, 1))
+    for _ in range(3):
+        ok += 1
+        li.append(_li(ok, 2, 1))
+    sf = _write(spark, tmp_path, "lineitem", LINEITEM_SCHEMA, li)
+    got = {r["p_partkey"]: r for r in hits_authorities(spark, sf).collect()}
+    assert got[1]["authority"] > got[2]["authority"]
+    shares = [r["authority_share"] for r in got.values()]
+    assert all(0 < x <= 1 for x in shares)
