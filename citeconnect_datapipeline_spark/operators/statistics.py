@@ -24,7 +24,7 @@ shuffle the group's values once; at 100 TB swap `percentile` for
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..plans.registry import query
@@ -877,3 +877,181 @@ def equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority", "bucket")
     )
+
+
+KMV_K = 64  # k-minimum-values sketch size for the portable theta twin
+
+
+def _kmv_oracle() -> str:
+    """Unrolled oracle for theta_overlap_portable: KMV sketches over
+    md5 hex strings (identical in both engines, and hex chars sort
+    the same), pairwise theta = the lexicographic MIN of the two
+    sketch thresholds, set algebra on the surviving values. A side
+    with fewer than K distinct members keeps an 'exact' sentinel
+    threshold ('g' sorts above every hex char) so its values are all
+    retained and the estimator degrades to the exact count."""
+    nib = lambda p: (  # noqa: E731
+        f"(strpos('0123456789abcdef', substr(th, {p}, 1)) - 1)"
+    )
+    frac = (
+        f"(({nib(1)} * 65536.0 + {nib(2)} * 4096.0 + {nib(3)} * 256.0"
+        f" + {nib(4)} * 16.0 + {nib(5)} + 0.5) / 1048576.0)"
+    )
+    return f"""
+    WITH du AS (
+        SELECT DISTINCT event_type AS t, user_id AS u FROM events
+    ),
+    hs AS (
+        SELECT t, md5('u:' || CAST(u AS VARCHAR)) AS h FROM du
+    ),
+    sk AS MATERIALIZED (
+        SELECT t, h FROM hs
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY t ORDER BY h)
+                <= {KMV_K}
+    ),
+    th AS (
+        SELECT t,
+               CASE WHEN COUNT(*) >= {KMV_K} THEN MAX(h)
+                    ELSE 'g' END AS theta_h
+        FROM sk GROUP BY t
+    ),
+    pairs AS (
+        SELECT a.t AS a, b.t AS b,
+               LEAST(ta.theta_h, tb.theta_h) AS th
+        FROM (SELECT DISTINCT t FROM sk) a
+        JOIN (SELECT DISTINCT t FROM sk) b ON a.t < b.t
+        JOIN th ta ON ta.t = a.t
+        JOIN th tb ON tb.t = b.t
+    ),
+    m AS (
+        SELECT p.a, p.b, p.th, s.h,
+               MAX(CASE WHEN s.t = p.a THEN 1 ELSE 0 END) AS in_a,
+               MAX(CASE WHEN s.t = p.b THEN 1 ELSE 0 END) AS in_b
+        FROM pairs p
+        JOIN sk s ON s.t IN (p.a, p.b) AND s.h < p.th
+        GROUP BY 1, 2, 3, 4
+    ),
+    est AS (
+        SELECT a, b,
+               CASE WHEN ANY_VALUE(th) = 'g' THEN 1.0
+                    ELSE (SELECT {frac.replace("th", "x.th")}
+                          FROM (SELECT ANY_VALUE(m.th) AS th) x)
+               END AS theta,
+               COUNT(*) AS u_cnt,
+               SUM(in_a * in_b) AS i_cnt,
+               SUM(in_a * (1 - in_b)) AS d_cnt
+        FROM m GROUP BY a, b
+    )
+    SELECT a, b,
+           ROUND(u_cnt / theta, 4) AS union_est,
+           ROUND(i_cnt / theta, 4) AS intersect_est,
+           ROUND(d_cnt / theta, 4) AS a_minus_b_est
+    FROM est
+    ORDER BY a, b
+    """
+
+
+@query("theta_overlap_portable", oracle=_kmv_oracle())
+def theta_overlap_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-verified theta-sketch set algebra — the portable oracled
+    twin of `theta_audience_overlap` (whose Spark 4.1 Theta sketch
+    binaries are engine-local). Same union / intersection /
+    difference estimates per event-type pair, built from first
+    principles as K-MINIMUM-VALUES sketches: each audience keeps its
+    64 (KMV_K) lexicographically smallest md5(user) hex values; a
+    pair's theta is the smaller of the two sketch thresholds; the
+    values below theta form an unbiased sample of the union, and
+    counting which side(s) each belongs to yields all three
+    estimates as count/theta — the original theta-sketch estimator
+    (Dasgupta et al.), replayed hash-for-hash by DuckDB because md5
+    hex strings and their sort order are identical in both engines.
+
+    Scale shape: ONE distinct + per-type top-K (partitioned window
+    over the audience key); everything downstream operates on K
+    rows per type — sketches are the mergeable ingest-time state,
+    exactly like the production theta rollup. A side with < K
+    members keeps the 'g' sentinel threshold (sorts above any hex),
+    making its estimates exact — the KMV small-set contract."""
+    events = load_table(spark, sf_dir, "events")
+    du = events.select(
+        F.col("event_type").alias("t"), F.col("user_id").alias("u")
+    ).distinct()
+    hs = du.select(
+        "t", F.md5(F.concat(F.lit("u:"), F.col("u").cast("string"))).alias("h")
+    )
+    w = Window.partitionBy("t").orderBy("h")
+    sk = (
+        hs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KMV_K)
+        .drop("rn")
+    )
+    th = sk.groupBy("t").agg(
+        F.when(F.count("*") >= KMV_K, F.max("h"))
+        .otherwise(F.lit("g"))
+        .alias("theta_h")
+    )
+    types = sk.select("t").distinct()
+    pairs = (
+        types.select(F.col("t").alias("a"))
+        .join(types.select(F.col("t").alias("b")), F.col("a") < F.col("b"))
+        .join(
+            F.broadcast(th.select(F.col("t").alias("a"), F.col("theta_h").alias("tha"))),
+            "a",
+        )
+        .join(
+            F.broadcast(th.select(F.col("t").alias("b"), F.col("theta_h").alias("thb"))),
+            "b",
+        )
+        .select("a", "b", F.least("tha", "thb").alias("th"))
+    )
+    m = (
+        pairs.join(
+            sk.select(F.col("t").alias("st"), "h"),
+            (
+                (F.col("st") == F.col("a")) | (F.col("st") == F.col("b"))
+            )
+            & (F.col("h") < F.col("th")),
+        )
+        .groupBy("a", "b", "th", "h")
+        .agg(
+            F.max(
+                F.when(F.col("st") == F.col("a"), 1).otherwise(0)
+            ).alias("in_a"),
+            F.max(
+                F.when(F.col("st") == F.col("b"), 1).otherwise(0)
+            ).alias("in_b"),
+        )
+    )
+    nibp = lambda p: (  # noqa: E731
+        F.position(
+            F.substring(F.col("th"), p, 1), F.lit("0123456789abcdef")
+        ).cast("double")
+        - 1.0
+    )
+    frac = (
+        nibp(1) * 65536.0
+        + nibp(2) * 4096.0
+        + nibp(3) * 256.0
+        + nibp(4) * 16.0
+        + nibp(5)
+        + 0.5
+    ) / 1048576.0
+    est = m.groupBy("a", "b").agg(
+        F.when(F.first("th") == "g", F.lit(1.0))
+        .otherwise(F.first(frac))
+        .alias("theta"),
+        F.count("*").alias("u_cnt"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("i_cnt"),
+        F.sum(F.col("in_a") * (1 - F.col("in_b"))).alias("d_cnt"),
+    )
+    return est.select(
+        "a",
+        "b",
+        F.round(F.col("u_cnt") / F.col("theta"), 4).alias("union_est"),
+        F.round(F.col("i_cnt") / F.col("theta"), 4).alias(
+            "intersect_est"
+        ),
+        F.round(F.col("d_cnt") / F.col("theta"), 4).alias(
+            "a_minus_b_est"
+        ),
+    ).orderBy("a", "b")

@@ -59,6 +59,9 @@ NESTED_LOOP_OK = {
     "mrl_truncation_eval",  # 1-row query-vector broadcast (cosine_topk's
     # probe shape) x the 4-value dim ladder
     "theta_audience_overlap",
+    "theta_overlap_portable",  # pair grid over the handful of event
+    # types x the K-row-per-type KMV sketch — both sides sketch-
+    # bounded (K=64/type at any corpus size), never corpus-grain
     "tfidf_top_terms",  # corpus-size 1-row broadcast (was a
     # driver-side docs.count() barrier before round 3)
     "top_decile_mean",

@@ -348,3 +348,54 @@ def test_hits_authority_beats_raw_indegree_via_hub_quality(
     assert got[1]["authority"] > got[2]["authority"]
     shares = [r["authority_share"] for r in got.values()]
     assert all(0 < x <= 1 for x in shares)
+
+
+def test_kmv_theta_estimates_track_exact_overlap(spark, tmp_path):
+    """Two audiences with a planted 50% overlap: the KMV estimates
+    must land within theta-sketch error of the exact counts (K=64,
+    relative error ~ 1/sqrt(K) ~ 12.5%; allow 3x that)."""
+    import datetime as dt
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from citeconnect_datapipeline_spark.operators.statistics import (
+        theta_overlap_portable,
+    )
+
+    EVENT_SCHEMA = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+    base = dt.datetime(1995, 1, 1)
+    rows = []
+    eid = 0
+    # click: users 0..999; buy: users 500..1499 -> exact overlap 500,
+    # union 1500, click-minus-buy 500
+    for u in range(1000):
+        eid += 1
+        rows.append((eid, base, u, "click", 1.0, "{}"))
+    for u in range(500, 1500):
+        eid += 1
+        rows.append((eid, base, u, "buy", 1.0, "{}"))
+    sf = _write(spark, tmp_path, "events", EVENT_SCHEMA, rows)
+    got = theta_overlap_portable(spark, sf).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["a"], r["b"]) == ("buy", "click")
+    tol = 3 / math.sqrt(64)
+    assert abs(r["union_est"] - 1500) <= 1500 * tol
+    assert abs(r["intersect_est"] - 500) <= 1500 * tol
+    assert abs(r["a_minus_b_est"] - 500) <= 1500 * tol
