@@ -399,3 +399,49 @@ def test_kmv_theta_estimates_track_exact_overlap(spark, tmp_path):
     assert abs(r["union_est"] - 1500) <= 1500 * tol
     assert abs(r["intersect_est"] - 500) <= 1500 * tol
     assert abs(r["a_minus_b_est"] - 500) <= 1500 * tol
+
+
+def test_hll_estimate_within_error_bound_on_planted_cardinality(
+    spark, tmp_path
+):
+    """5000 distinct users in one audience, 100 in another: estimates
+    must track exact counts within ~3x the m=256 standard error
+    (1.04/sqrt(256) ~ 6.5%), and the small audience — on the
+    linear-counting path — should be near exact."""
+    import datetime as dt
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from citeconnect_datapipeline_spark.operators.statistics import (
+        hll_distinct_portable,
+    )
+
+    EVENT_SCHEMA = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+    base = dt.datetime(1995, 1, 1)
+    rows = [(i + 1, base, i, "big", 1.0, "{}") for i in range(5000)]
+    rows += [
+        (10_000 + i, base, i, "small", 1.0, "{}") for i in range(100)
+    ]
+    sf = _write(spark, tmp_path, "events", EVENT_SCHEMA, rows)
+    got = {r["event_type"]: r for r in hll_distinct_portable(spark, sf).collect()}
+    assert got["big"]["exact_users"] == 5000
+    assert got["big"]["rel_err"] <= 3 * 1.04 / math.sqrt(256)
+    assert got["small"]["exact_users"] == 100
+    # 100 << 2.5*m -> linear counting with most registers empty
+    assert got["small"]["rel_err"] <= 0.10
