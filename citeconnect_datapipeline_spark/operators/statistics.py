@@ -1221,3 +1221,102 @@ def hll_distinct_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+BKQ_K = 256  # bottom-k uniform-sample size for the quantile twin
+
+
+@query(
+    "bottomk_sample_quantiles",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT o_totalprice,
+               md5('q:' || CAST(o_orderkey AS VARCHAR)) AS h
+        FROM orders
+    ),
+    sample AS (
+        SELECT o_totalprice FROM keyed
+        QUALIFY ROW_NUMBER() OVER (ORDER BY h) <= {BKQ_K}
+    ),
+    est AS (
+        SELECT ROUND(quantile_cont(o_totalprice, 0.25), 4) AS e25,
+               ROUND(quantile_cont(o_totalprice, 0.50), 4) AS e50,
+               ROUND(quantile_cont(o_totalprice, 0.75), 4) AS e75,
+               ROUND(quantile_cont(o_totalprice, 0.90), 4) AS e90
+        FROM sample
+    ),
+    exact AS (
+        SELECT ROUND(quantile_cont(o_totalprice, 0.50), 4) AS x50,
+               ROUND(quantile_cont(o_totalprice, 0.90), 4) AS x90
+        FROM orders
+    )
+    SELECT e.e25 AS p25_est, e.e50 AS p50_est,
+           e.e75 AS p75_est, e.e90 AS p90_est,
+           x.x50 AS p50_exact, x.x90 AS p90_exact,
+           ROUND(ABS(e.e50 - x.x50) / x.x50, 4) AS p50_rel_err,
+           ROUND(ABS(e.e90 - x.x90) / x.x90, 4) AS p90_rel_err
+    FROM est e CROSS JOIN exact x
+    """,
+)
+def bottomk_sample_quantiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Value-verified mergeable quantile estimation — the portable
+    oracled twin of `sketch_rollup`'s KLL leg (whose compaction
+    randomness is engine-local). The sketch here is the BOTTOM-K
+    sample: the 256 (BKQ_K) rows with the smallest md5(orderkey) —
+    a uniform sample of the table that is deterministic, mergeable
+    (union two sketches, keep the k smallest keys), and identical in
+    both engines; quantiles interpolated over the sample estimate
+    the population's, and the published exact p50/p90 with relative
+    errors make the accuracy auditable per run (~1/sqrt(k) class
+    error, like KLL at similar budget).
+
+    Scale shape: ONE TakeOrdered(k) over per-row hashes builds the
+    sketch (map-side top-k partials, no full shuffle), the estimate
+    folds 256 rows; the exact side exists only for the audit and
+    would be dropped in production."""
+    orders = load_table(spark, sf_dir, "orders")
+    keyed = orders.select(
+        "o_totalprice",
+        F.md5(
+            F.concat(F.lit("q:"), F.col("o_orderkey").cast("string"))
+        ).alias("h"),
+    )
+    sample = keyed.orderBy("h").limit(BKQ_K)
+    pct = [0.25, 0.50, 0.75, 0.90]
+    qs = F.percentile(
+        "o_totalprice", F.array(*[F.lit(p) for p in pct])
+    )
+    est = sample.agg(qs.alias("qs")).select(
+        F.round(F.col("qs")[0], 4).alias("p25_est"),
+        F.round(F.col("qs")[1], 4).alias("p50_est"),
+        F.round(F.col("qs")[2], 4).alias("p75_est"),
+        F.round(F.col("qs")[3], 4).alias("p90_est"),
+    )
+    exact = orders.agg(
+        F.percentile(
+            "o_totalprice", F.array(F.lit(0.50), F.lit(0.90))
+        ).alias("xs")
+    ).select(
+        F.round(F.col("xs")[0], 4).alias("p50_exact"),
+        F.round(F.col("xs")[1], 4).alias("p90_exact"),
+    )
+    return est.join(F.broadcast(exact)).select(
+        "p25_est",
+        "p50_est",
+        "p75_est",
+        "p90_est",
+        "p50_exact",
+        "p90_exact",
+        F.round(
+            F.abs(F.col("p50_est") - F.col("p50_exact"))
+            / F.col("p50_exact"),
+            4,
+        ).alias("p50_rel_err"),
+        F.round(
+            F.abs(F.col("p90_est") - F.col("p90_exact"))
+            / F.col("p90_exact"),
+            4,
+        ).alias("p90_rel_err"),
+    )

@@ -28,6 +28,8 @@ NESTED_LOOP_OK = {
     "bm25_search",  # corpus stats (N, avgdl): 1-row scalar broadcast
     "hybrid_rrf_search",  # inherits bm25's stats row + cosine's 1-row
     # query-vector broadcast
+    "bottomk_sample_quantiles",  # 1-row exact-quantile scalar
+    # broadcast joined to the 1-row sample estimate (audit columns)
     "class_balance_sample",
     "copurchase_pmi_topk",  # PMI denominator: 1-row broadcast (was a
     # driver-side distinct-count barrier before round 3)
