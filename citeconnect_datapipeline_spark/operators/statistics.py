@@ -916,15 +916,19 @@ def _kmv_oracle() -> str:
         FROM sk GROUP BY t
     ),
     pairs AS (
-        SELECT a.t AS a, b.t AS b,
-               LEAST(ta.theta_h, tb.theta_h) AS th
-        FROM (SELECT DISTINCT t FROM sk) a
-        JOIN (SELECT DISTINCT t FROM sk) b ON a.t < b.t
-        JOIN th ta ON ta.t = a.t
-        JOIN th tb ON tb.t = b.t
+        SELECT a, b, th,
+               CASE WHEN th = 'g' THEN 1.0 ELSE {frac} END AS theta
+        FROM (
+            SELECT a.t AS a, b.t AS b,
+                   LEAST(ta.theta_h, tb.theta_h) AS th
+            FROM (SELECT DISTINCT t FROM sk) a
+            JOIN (SELECT DISTINCT t FROM sk) b ON a.t < b.t
+            JOIN th ta ON ta.t = a.t
+            JOIN th tb ON tb.t = b.t
+        )
     ),
     m AS (
-        SELECT p.a, p.b, p.th, s.h,
+        SELECT p.a, p.b, p.theta, s.h,
                MAX(CASE WHEN s.t = p.a THEN 1 ELSE 0 END) AS in_a,
                MAX(CASE WHEN s.t = p.b THEN 1 ELSE 0 END) AS in_b
         FROM pairs p
@@ -933,10 +937,7 @@ def _kmv_oracle() -> str:
     ),
     est AS (
         SELECT a, b,
-               CASE WHEN ANY_VALUE(th) = 'g' THEN 1.0
-                    ELSE (SELECT {frac.replace("th", "x.th")}
-                          FROM (SELECT ANY_VALUE(m.th) AS th) x)
-               END AS theta,
+               ANY_VALUE(theta) AS theta,
                COUNT(*) AS u_cnt,
                SUM(in_a * in_b) AS i_cnt,
                SUM(in_a * (1 - in_b)) AS d_cnt

@@ -28,6 +28,14 @@ PICKS = {
     "one equi broadcast join; per-side implications pushed to both scans",
     "equidepth_histogram": "percentile-threshold broadcast as a "
     "first-class operator — per-group cutoffs, no global rank",
+    "ann_ivf_portable": "r6: IVF probe = 2-row broadcast semi join "
+    "(partition pruning) + exact re-rank of the probed sliver",
+    "bib_coupling_topk": "r6: cohort-pruned inverted-index pair "
+    "expansion — two exchanges, nested codegen explodes in between",
+    "hits_authorities": "r6: two unrolled HITS rounds = edge-keyed "
+    "joins + keyed aggregates, no windows, fixed relation fan-out",
+    "theta_overlap_portable": "r6: KMV sketch set algebra — per-type "
+    "top-K window, then K-row-bounded joins only",
 }
 KEEP = re.compile(
     r"Scan parquet|BatchScan|BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin"

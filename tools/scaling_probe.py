@@ -42,18 +42,33 @@ DEFAULT_QUERIES = (
     "pca_power_portable",
     "ann_rp_lsh_portable",
     "embed_search_portable",
+    # graph / sketch families over the scaled fact tables (round 6):
+    # posting caps, bounded sketches, and corpus-linear aggregates
+    # are what should show up as sub-linear growth here
+    "bib_coupling_topk",
+    "hits_authorities",
+    "theta_overlap_portable",
+    "hll_distinct_portable",
+    "semantic_dedup_portable",
 )
 
 
 def build_scaled(spark, scale: int) -> str:
     out = os.path.join(WORK, f"x{scale}")
     emb_out = os.path.join(out, "embeddings.parquet")
-    if os.path.exists(
-        os.path.join(out, "documents.parquet")
-    ) and os.path.isdir(emb_out):
+    li_out = os.path.join(out, "lineitem.parquet")
+    if (
+        os.path.exists(os.path.join(out, "documents.parquet"))
+        and os.path.isdir(emb_out)
+        and os.path.isdir(li_out)
+    ):
         return out
-    if os.path.isfile(emb_out):  # pre-r6 cache: 1x copy, not scaled
-        os.remove(emb_out)
+    for stale in (emb_out, li_out) + tuple(
+        os.path.join(out, f"{t}.parquet")
+        for t in ("orders", "events")
+    ):
+        if os.path.isfile(stale):  # pre-r6 cache: 1x copy, not scaled
+            os.remove(stale)
     os.makedirs(out, exist_ok=True)
     from pyspark.sql import functions as F
 
@@ -98,9 +113,50 @@ def build_scaled(spark, scale: int) -> str:
         .write.mode("overwrite")
         .parquet(os.path.join(out, "embeddings.parquet"))
     )
-    # the probes above only read documents/embeddings; link the rest
+    # fact tables scale with id-shifted replicas too — orderkeys shift
+    # together in lineitem and orders (referential integrity holds),
+    # PART keys stay fixed so per-part posting lists GROW with scale
+    # (the hot-key regime the caps exist for); event/user ids shift so
+    # distinct cardinalities grow linearly (the sketch regime).
+    li = spark.read.parquet(os.path.join(BASE, "lineitem.parquet"))
+    orders = spark.read.parquet(os.path.join(BASE, "orders.parquet"))
+    events = spark.read.parquet(os.path.join(BASE, "events.parquet"))
+    ok_shift = orders.agg(F.max("o_orderkey")).first()[0] + 1
+    ev_shift = events.agg(F.max("event_id")).first()[0] + 1
+    u_shift = events.agg(F.max("user_id")).first()[0] + 1
+    (
+        li.crossJoin(reps)
+        .withColumn(
+            "l_orderkey", F.col("l_orderkey") + F.col("rep") * ok_shift
+        )
+        .drop("rep")
+        .write.mode("overwrite")
+        .parquet(li_out)
+    )
+    (
+        orders.crossJoin(reps)
+        .withColumn(
+            "o_orderkey", F.col("o_orderkey") + F.col("rep") * ok_shift
+        )
+        .drop("rep")
+        .write.mode("overwrite")
+        .parquet(os.path.join(out, "orders.parquet"))
+    )
+    (
+        events.crossJoin(reps)
+        .withColumn(
+            "event_id", F.col("event_id") + F.col("rep") * ev_shift
+        )
+        .withColumn(
+            "user_id", F.col("user_id") + F.col("rep") * u_shift
+        )
+        .drop("rep")
+        .write.mode("overwrite")
+        .parquet(os.path.join(out, "events.parquet"))
+    )
+    # remaining dims are lookup-only; link them unscaled
     for t in (
-        "region nation customer supplier part orders lineitem events"
+        "region nation customer supplier part"
     ).split():
         src = os.path.join(BASE, f"{t}.parquet")
         dst = os.path.join(out, f"{t}.parquet")
