@@ -122,3 +122,59 @@ def expectations_report_orders(
     return expectations_report(
         load_table(spark, sf_dir, "orders"), ORDER_CHECKS
     )
+
+
+K_ANON = 5  # minimum safe quasi-identifier group size
+
+
+@query(
+    "k_anonymity_audit",
+    oracle=f"""
+    WITH cells AS (
+        SELECT c_nationkey, c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS group_size
+        FROM customer
+        GROUP BY 1, 2
+    ),
+    tot AS (SELECT SUM(group_size) AS n FROM cells)
+    SELECT c.c_nationkey, c.c_mktsegment, c.group_size,
+           CASE WHEN c.group_size < {K_ANON} THEN 1 ELSE 0 END
+               AS at_risk,
+           ROUND(c.group_size * 1.0 / t.n, 6) AS pop_share
+    FROM cells c CROSS JOIN tot t
+    ORDER BY c.group_size, c.c_nationkey, c.c_mktsegment
+    """,
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over quasi-identifiers — the privacy gate a
+    corpus release runs beside `pii_redaction`: any combination of
+    quasi-identifying attributes (here nation x market segment)
+    shared by fewer than 5 (K_ANON) records re-identifies its
+    members by linkage (Sweeney's k-anonymity). Reports every
+    equivalence cell with its size, at-risk flag, and population
+    share, smallest first — the table a release either suppresses or
+    generalizes until no at_risk rows remain.
+
+    Scale shape: ONE map-side-combinable aggregate at qid grain (the
+    cell table is bounded by the qid domain, not the corpus) and a
+    1-row total broadcast for shares."""
+    cust = load_table(spark, sf_dir, "customer")
+    cells = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count("*").alias("group_size")
+    )
+    tot = cells.agg(F.sum("group_size").alias("n"))
+    return (
+        cells.join(F.broadcast(tot))
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "group_size",
+            F.when(F.col("group_size") < K_ANON, 1)
+            .otherwise(0)
+            .alias("at_risk"),
+            F.round(F.col("group_size") / F.col("n"), 6).alias(
+                "pop_share"
+            ),
+        )
+        .orderBy("group_size", "c_nationkey", "c_mktsegment")
+    )

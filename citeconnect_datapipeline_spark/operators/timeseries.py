@@ -702,9 +702,10 @@ def ship_latency_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one fact-fact equi join on orderkey (bucketable,
     exchange-free under the bucketed layout), latency bucketing
     map-side, then a week-grain aggregate — the share/cumulative
-    windows run over the BOUNDED bucket table (tens of rows at any
-    corpus size), the allowlisted unpartitioned-window pattern of
-    seq_length_histogram."""
+    windows run over the BOUNDED bucket table (one row per latency
+    week — bounded by the date span, ~360 at this lake's range,
+    never corpus-grain), the allowlisted unpartitioned-window
+    pattern of seq_length_histogram."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     lat = li.join(

@@ -47,6 +47,8 @@ NESTED_LOOP_OK = {
     # mining contract (a training batch, never the corpus)
     "interleave_shards",  # domain-count n_src: 1-row scalar broadcast
     "join_key_skew_report",  # key-count stats: 1-row scalar broadcast
+    "k_anonymity_audit",  # 1-row population-total scalar broadcast
+    # over the qid-grain cell table
     "ks_drift_statistic",  # cohort totals + bin count: two 1-row
     # scalar broadcasts over the bounded bin table
     "lm_perplexity_buckets",  # smoothing denominator V + tertile

@@ -445,3 +445,43 @@ def test_hll_estimate_within_error_bound_on_planted_cardinality(
     assert got["small"]["exact_users"] == 100
     # 100 << 2.5*m -> linear counting with most registers empty
     assert got["small"]["rel_err"] <= 0.10
+
+
+def test_k_anonymity_flags_the_planted_small_cell(spark, tmp_path):
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from citeconnect_datapipeline_spark.operators.quality import (
+        k_anonymity_audit,
+    )
+
+    CUST_SCHEMA = StructType(
+        [
+            StructField("c_custkey", LongType()),
+            StructField("c_name", StringType()),
+            StructField("c_nationkey", IntegerType()),
+            StructField("c_acctbal", DoubleType()),
+            StructField("c_mktsegment", StringType()),
+        ]
+    )
+    rows = []
+    ck = 0
+    # cell (1, BULK): 20 members -> safe; cell (2, RARE): 2 -> at risk
+    for _ in range(20):
+        ck += 1
+        rows.append((ck, f"c{ck}", 1, 0.0, "BULK"))
+    for _ in range(2):
+        ck += 1
+        rows.append((ck, f"c{ck}", 2, 0.0, "RARE"))
+    sf = _write(spark, tmp_path, "customer", CUST_SCHEMA, rows)
+    got = {(r["c_nationkey"], r["c_mktsegment"]): r for r in k_anonymity_audit(spark, sf).collect()}
+    assert got[(2, "RARE")]["at_risk"] == 1
+    assert got[(2, "RARE")]["group_size"] == 2
+    assert got[(1, "BULK")]["at_risk"] == 0
+    assert abs(got[(1, "BULK")]["pop_share"] - round(20 / 22, 6)) < 1e-9
