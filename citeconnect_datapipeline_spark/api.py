@@ -41,7 +41,13 @@ from .operators.similarity import (
     sq8_quantization_report,
 )
 from .operators.text import bm25_rank
-from .operators.training import decontaminate, label_outliers
+from .operators.analytics import h_index_by
+from .operators.quality import k_anonymity_cells
+from .operators.training import (
+    decontaminate,
+    es_weighted_sample,
+    label_outliers,
+)
 from .operators.skew import (
     replicated_broadcast_join,
     salted_count_by_key,
@@ -74,6 +80,7 @@ dedup = SimpleNamespace(
 graph = SimpleNamespace(
     connected_components=connected_components,
     pagerank=pagerank,
+    h_index=h_index_by,
 )
 classifier = SimpleNamespace(
     logreg_fit=logreg_fit,
@@ -93,6 +100,8 @@ retrieval = SimpleNamespace(bm25_rank=bm25_rank)
 curation = SimpleNamespace(
     decontaminate=decontaminate,
     label_outliers=label_outliers,
+    weighted_sample=es_weighted_sample,
+    k_anonymity_cells=k_anonymity_cells,
 )
 multimodal = SimpleNamespace(with_media_columns=with_media_columns)
 timeseries = SimpleNamespace(sessionize=sessionize, asof_join=asof_join)

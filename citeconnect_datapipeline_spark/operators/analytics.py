@@ -565,6 +565,35 @@ def disjunctive_discount_revenue(
     )
 
 
+def h_index_by(
+    refs: DataFrame, entity_col: str, item_col: str
+) -> DataFrame:
+    """Library core of `supplier_h_index` (api.graph.h_index):
+    Hirsch h-index per entity over reference-grain rows (one row per
+    reference to an item) — h = the largest h such that the entity
+    has >= h items referenced >= h times. Returns (entity, h_index,
+    n_items, total_refs); two shuffles, both keyed on the entity."""
+    from pyspark.sql import Window
+
+    cites = refs.groupBy(
+        F.col(entity_col).alias("entity"),
+        F.col(item_col).alias("item"),
+    ).agg(F.count("*").alias("c"))
+    w = Window.partitionBy("entity").orderBy(F.desc("c"), "item")
+    ranked = cites.withColumn(
+        "rn", F.row_number().over(w).cast("long")
+    )
+    return ranked.groupBy("entity").agg(
+        F.max(
+            F.when(F.col("c") >= F.col("rn"), F.col("rn")).otherwise(
+                F.lit(0).cast("long")
+            )
+        ).alias("h_index"),
+        F.count("*").alias("n_items"),
+        F.sum("c").alias("total_refs"),
+    )
+
+
 @query(
     "supplier_h_index",
     oracle="""
@@ -590,6 +619,8 @@ def disjunctive_discount_revenue(
     LIMIT 20
     """,
 )
+
+
 def supplier_h_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hirsch h-index per supplier over part reference counts — the
     canonical citation-impact metric (the reference computes per-
@@ -606,27 +637,13 @@ def supplier_h_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     li = load_table(spark, sf_dir, "lineitem")
-    cites = (
-        li.groupBy(
-            F.col("l_suppkey").alias("s_suppkey"),
-            F.col("l_partkey").alias("p"),
-        )
-        .agg(F.count("*").alias("c"))
-    )
-    w = Window.partitionBy("s_suppkey").orderBy(F.desc("c"), "p")
-    ranked = cites.withColumn(
-        "rn", F.row_number().over(w).cast("long")
-    )
     return (
-        ranked.groupBy("s_suppkey")
-        .agg(
-            F.max(
-                F.when(F.col("c") >= F.col("rn"), F.col("rn")).otherwise(
-                    F.lit(0).cast("long")
-                )
-            ).alias("h_index"),
-            F.count("*").alias("n_parts"),
-            F.sum("c").alias("total_refs"),
+        h_index_by(li, "l_suppkey", "l_partkey")
+        .select(
+            F.col("entity").alias("s_suppkey"),
+            "h_index",
+            F.col("n_items").alias("n_parts"),
+            "total_refs",
         )
         .orderBy(
             F.desc("h_index"), F.desc("total_refs"), "s_suppkey"

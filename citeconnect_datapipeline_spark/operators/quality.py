@@ -127,6 +127,33 @@ def expectations_report_orders(
 K_ANON = 5  # minimum safe quasi-identifier group size
 
 
+def k_anonymity_cells(
+    df: DataFrame, qid_cols: list, k: int = K_ANON
+) -> DataFrame:
+    """Library core of `k_anonymity_audit` (api.curation.
+    k_anonymity_cells): every quasi-identifier equivalence cell with
+    group_size, at_risk flag (< k) and population share, smallest
+    first. One qid-grain aggregate + a 1-row total broadcast."""
+    cells = df.groupBy(*qid_cols).agg(
+        F.count("*").alias("group_size")
+    )
+    tot = cells.agg(F.sum("group_size").alias("n"))
+    return (
+        cells.join(F.broadcast(tot))
+        .select(
+            *qid_cols,
+            "group_size",
+            F.when(F.col("group_size") < k, 1)
+            .otherwise(0)
+            .alias("at_risk"),
+            F.round(F.col("group_size") / F.col("n"), 6).alias(
+                "pop_share"
+            ),
+        )
+        .orderBy("group_size", *qid_cols)
+    )
+
+
 @query(
     "k_anonymity_audit",
     oracle=f"""
@@ -145,6 +172,8 @@ K_ANON = 5  # minimum safe quasi-identifier group size
     ORDER BY c.group_size, c.c_nationkey, c.c_mktsegment
     """,
 )
+
+
 def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-anonymity audit over quasi-identifiers — the privacy gate a
     corpus release runs beside `pii_redaction`: any combination of
@@ -159,22 +188,6 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell table is bounded by the qid domain, not the corpus) and a
     1-row total broadcast for shares."""
     cust = load_table(spark, sf_dir, "customer")
-    cells = cust.groupBy("c_nationkey", "c_mktsegment").agg(
-        F.count("*").alias("group_size")
-    )
-    tot = cells.agg(F.sum("group_size").alias("n"))
-    return (
-        cells.join(F.broadcast(tot))
-        .select(
-            "c_nationkey",
-            "c_mktsegment",
-            "group_size",
-            F.when(F.col("group_size") < K_ANON, 1)
-            .otherwise(0)
-            .alias("at_risk"),
-            F.round(F.col("group_size") / F.col("n"), 6).alias(
-                "pop_share"
-            ),
-        )
-        .orderBy("group_size", "c_nationkey", "c_mktsegment")
+    return k_anonymity_cells(
+        cust, ["c_nationkey", "c_mktsegment"]
     )

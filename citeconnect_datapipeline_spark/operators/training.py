@@ -1655,6 +1655,47 @@ def source_upsampling_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 ES_SAMPLE_K = 20  # weighted-sample-without-replacement size
 
 
+def es_weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    key_col: str,
+    k: int = ES_SAMPLE_K,
+    salt: str = "es:",
+    scale: float = 100000.0,
+) -> DataFrame:
+    """Library core of `weighted_sample_es` (api.curation.
+    weighted_sample): Efraimidis-Spirakis weighted sampling WITHOUT
+    replacement over any DataFrame — rows with ``weight_col`` <= 0
+    are excluded, u ~ U(0,1) derives from md5(salt || key) so the
+    draw is deterministic and restart-safe, and the k smallest
+    -ln(u)/w keys are the sample. Adds ``es_key``; one TakeOrdered
+    pass, no shuffle."""
+    h = F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+    nib = lambda i: (  # noqa: E731
+        F.position(
+            F.substring(h, i, 1), F.lit("0123456789abcdef")
+        ).cast("double")
+        - 1.0
+    )
+    u = (
+        nib(1) * 65536.0
+        + nib(2) * 4096.0
+        + nib(3) * 256.0
+        + nib(4) * 16.0
+        + nib(5)
+        + 0.5
+    ) / 1048576.0
+    es_key = F.round(
+        -F.log(u) * scale / F.col(weight_col), 6
+    )
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("es_key", es_key)
+        .orderBy("es_key", key_col)
+        .limit(k)
+    )
+
+
 @query(
     "weighted_sample_es",
     oracle=f"""
@@ -1700,29 +1741,8 @@ def weighted_sample_es(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle, no window; the 6 dp rounding of the key before the
     rank keeps the ordering identical across engines."""
     docs = load_table(spark, sf_dir, "documents")
-    h = F.md5(F.concat(F.lit("es:"), F.col("doc_id").cast("string")))
-    nib = lambda i: (  # noqa: E731
-        F.position(
-            F.substring(h, i, 1), F.lit("0123456789abcdef")
-        ).cast("double")
-        - 1.0
-    )
-    u = (
-        nib(1) * 65536.0
-        + nib(2) * 4096.0
-        + nib(3) * 256.0
-        + nib(4) * 16.0
-        + nib(5)
-        + 0.5
-    ) / 1048576.0
-    es_key = F.round(-F.log(u) * 100000.0 / F.col("n_chars"), 6)
-    return (
-        docs.filter(F.col("n_chars") > 0)
-        .select(
-            "doc_id",
-            F.col("n_chars").alias("weight"),
-            es_key.alias("es_key"),
-        )
-        .orderBy("es_key", "doc_id")
-        .limit(ES_SAMPLE_K)
+    return es_weighted_sample(
+        docs.select("doc_id", "n_chars"), "n_chars", "doc_id"
+    ).select(
+        "doc_id", F.col("n_chars").alias("weight"), "es_key"
     )

@@ -164,3 +164,48 @@ def test_embedding_qa_on_inmemory_frames(spark):
     qa = api.similarity.sq8_quantization_report(emb).collect()
     assert len(qa) == 5
     assert all(r["mse"] >= 0 for r in qa)
+
+
+def test_h_index_facade_on_in_memory_refs(spark):
+    from citeconnect_datapipeline_spark import api
+
+    refs = spark.createDataFrame(
+        [("a", "p1")] * 3 + [("a", "p2")] * 2 + [("a", "p3")]
+        + [("b", "q1")],
+        "author string, paper string",
+    )
+    got = {
+        r["entity"]: r
+        for r in api.graph.h_index(refs, "author", "paper").collect()
+    }
+    assert got["a"]["h_index"] == 2  # two papers with >= 2 refs
+    assert got["b"]["h_index"] == 1
+
+
+def test_weighted_sample_facade_is_deterministic_and_sized(spark):
+    from citeconnect_datapipeline_spark import api
+
+    df = spark.createDataFrame(
+        [(i, float(i + 1)) for i in range(50)], "id long, w double"
+    )
+    s1 = api.curation.weighted_sample(df, "w", "id", k=10).collect()
+    s2 = api.curation.weighted_sample(df, "w", "id", k=10).collect()
+    assert len(s1) == 10
+    assert [r["id"] for r in s1] == [r["id"] for r in s2]
+
+
+def test_k_anonymity_facade_flags_small_cells(spark):
+    from citeconnect_datapipeline_spark import api
+
+    df = spark.createDataFrame(
+        [("US", "A")] * 6 + [("FR", "B")] * 2,
+        "country string, seg string",
+    )
+    got = {
+        (r["country"], r["seg"]): r
+        for r in api.curation.k_anonymity_cells(
+            df, ["country", "seg"]
+        ).collect()
+    }
+    assert got[("FR", "B")]["at_risk"] == 1
+    assert got[("US", "A")]["at_risk"] == 0
