@@ -62,30 +62,45 @@ from ..sources.tables import load_table
 def grouped_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-return-flag distribution shape: count, mean, sample stddev,
     population skewness, population excess kurtosis, quantity↔price
-    correlation and sample covariance, exact median. One hash
-    aggregation — every statistic is a streaming accumulator
-    (CentralMomentAgg / Corr / Covariance), so the group pass is
-    map-side combinable and never materializes the group's values
-    (except the exact median's sort, see module docstring)."""
+    correlation and sample covariance, exact median. The moment pass
+    is one hash aggregation of streaming accumulators
+    (CentralMomentAgg / Corr / Covariance), map-side combinable;
+    the exact median rides a separate (group, value) count-map
+    aggregate so no raw values buffer through the shuffle (see the
+    in-body comment), and a tiny group-grain join stitches them."""
     li = load_table(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy(F.col("l_returnflag").alias("grp"))
-        .agg(
-            F.count("*").alias("n"),
-            F.round(F.avg("l_quantity"), 4).alias("mean_qty"),
-            F.round(F.stddev_samp("l_quantity"), 4).alias("stddev_qty"),
-            F.round(F.skewness("l_quantity"), 4).alias("skew_qty"),
-            F.round(F.kurtosis("l_quantity"), 4).alias("kurt_qty"),
-            F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias(
-                "corr_qty_price"
-            ),
-            F.round(
-                F.covar_samp("l_quantity", "l_extendedprice"), 4
-            ).alias("covar_qty_price"),
-            F.round(F.median("l_quantity"), 4).alias("median_qty"),
-        )
-        .orderBy("grp")
+    moments = li.groupBy(F.col("l_returnflag").alias("grp")).agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("l_quantity"), 4).alias("mean_qty"),
+        F.round(F.stddev_samp("l_quantity"), 4).alias("stddev_qty"),
+        F.round(F.skewness("l_quantity"), 4).alias("skew_qty"),
+        F.round(F.kurtosis("l_quantity"), 4).alias("kurt_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias(
+            "corr_qty_price"
+        ),
+        F.round(
+            F.covar_samp("l_quantity", "l_extendedprice"), 4
+        ).alias("covar_qty_price"),
     )
+    # Exact median over the (group, value) COUNT MAP instead of
+    # buffering every raw value through the group shuffle: quantity
+    # has ~50 distinct values, so the weighted-percentile aggregate
+    # merges <=50-entry partials where Median's ObjectHashAggregate
+    # funneled 150k raw rows into each group task (measured 1.08 s
+    # -> 0.35 s for the whole query at sf0.1; values identical —
+    # percentile-with-frequency IS the exact percentile of the
+    # expanded multiset).
+    med = (
+        li.groupBy(F.col("l_returnflag").alias("grp"), "l_quantity")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("grp")
+        .agg(
+            F.round(
+                F.expr("percentile(l_quantity, 0.5, cnt)"), 4
+            ).alias("median_qty")
+        )
+    )
+    return moments.join(med, "grp").orderBy("grp")
 
 
 @query(
