@@ -317,3 +317,305 @@ def classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("is_trusted_source", "keep")
     )
+
+
+LRP_EPS = 1e-12  # AdaGrad step denominator guard (same as logreg_fit)
+LRP_BIAS = "~bias"  # sorts after every hex bucket in both engines
+
+
+def _lrp_oracle() -> str:
+    """Unrolled-CTE oracle for logreg_adagrad_portable: 2 AdaGrad
+    rounds of weighted full-batch logistic regression spelled in
+    portable SQL. Every cross-engine float boundary is pinned by a
+    6-dp ROUND: the class weight, each round's gradient, each
+    round's weight, the per-doc margin, and the sigmoid — so fp
+    association order in the big sums cannot flip a downstream
+    comparison (the same contract kmeans_portable uses)."""
+    return f"""
+    WITH lab AS (
+        SELECT doc_id,
+               CASE WHEN source = '{TRUSTED_SOURCE}' THEN 1.0
+                    ELSE 0.0 END AS y
+        FROM documents
+        WHERE len(list_filter(
+            string_split_regex(lower(text), '[^a-z0-9]+'),
+            x -> x <> '')) > 0
+    ),
+    cw AS (
+        SELECT SUM(y) AS pos, COUNT(*) AS tot,
+               ROUND((COUNT(*) - SUM(y)) / SUM(y), 6) AS pw
+        FROM lab
+    ),
+    labw AS (
+        SELECT l.doc_id, l.y,
+               CASE WHEN l.y = 1.0 THEN c.pw ELSE 1.0 END AS wt
+        FROM lab l CROSS JOIN cw c
+    ),
+    wordfeat AS (
+        SELECT doc_id, substr(md5(word), 1, 2) AS b,
+               COUNT(*) AS c
+        FROM (
+            SELECT doc_id, unnest(list_filter(
+                string_split_regex(lower(text), '[^a-z0-9]+'),
+                x -> x <> '')) AS word
+            FROM documents
+        )
+        GROUP BY 1, 2
+    ),
+    feats AS (
+        SELECT doc_id, b,
+               c * 1.0 / SUM(c) OVER (PARTITION BY doc_id) AS x
+        FROM wordfeat
+        UNION ALL
+        SELECT DISTINCT doc_id, '{LRP_BIAS}' AS b, 1.0 AS x
+        FROM wordfeat
+    ),
+    dn AS (SELECT pos * pw + (tot - pos) AS denom FROM cw),
+    g1 AS (
+        SELECT f.b,
+               ROUND(SUM(l.wt * (0.5 - l.y) * f.x)
+                     / (SELECT denom FROM dn), 6) AS g1
+        FROM feats f JOIN labw l USING (doc_id)
+        GROUP BY f.b
+    ),
+    w1 AS (
+        SELECT b, g1,
+               ROUND(-{LEARNING_RATE} * g1
+                     / (sqrt(g1 * g1) + {LRP_EPS}), 6) AS w1
+        FROM g1
+    ),
+    m2 AS (
+        SELECT f.doc_id, ROUND(SUM(f.x * w.w1), 6) AS m
+        FROM feats f JOIN w1 w USING (b)
+        GROUP BY f.doc_id
+    ),
+    p2 AS (
+        SELECT l.doc_id, l.y, l.wt,
+               ROUND(1.0 / (1.0 + exp(-m2.m)), 6) AS p
+        FROM labw l JOIN m2 USING (doc_id)
+    ),
+    loss2 AS (
+        SELECT ROUND(SUM(wt * -(y * ln(p) + (1 - y) * ln(1 - p)))
+                     / (SELECT denom FROM dn), 6) AS loss_r2
+        FROM p2
+    ),
+    g2p AS (
+        SELECT f.b, SUM(p.wt * (p.p - p.y) * f.x) AS s
+        FROM feats f JOIN p2 p USING (doc_id)
+        GROUP BY f.b
+    ),
+    model AS (
+        SELECT w.b, w.g1, w.w1,
+               ROUND(g2p.s / (SELECT denom FROM dn)
+                     + CASE WHEN w.b = '{LRP_BIAS}' THEN 0.0
+                            ELSE {L2_LAMBDA} * w.w1 END, 6) AS g2
+        FROM w1 w JOIN g2p USING (b)
+    ),
+    model2 AS (
+        SELECT b, g1, w1, g2,
+               ROUND(w1 - {LEARNING_RATE} * g2
+                     / (sqrt(g1 * g1 + g2 * g2) + {LRP_EPS}), 6)
+                   AS w2
+        FROM model
+    ),
+    m3 AS (
+        SELECT f.doc_id, ROUND(SUM(f.x * model2.w2), 6) AS m
+        FROM feats f JOIN model2 USING (b)
+        GROUP BY f.doc_id
+    ),
+    p3 AS (
+        SELECT l.doc_id, l.y, l.wt,
+               ROUND(1.0 / (1.0 + exp(-m3.m)), 6) AS p
+        FROM labw l JOIN m3 USING (doc_id)
+    ),
+    loss3 AS (
+        SELECT ROUND(SUM(wt * -(y * ln(p) + (1 - y) * ln(1 - p)))
+                     / (SELECT denom FROM dn), 6) AS loss_final
+        FROM p3
+    )
+    SELECT m.b AS bucket, m.g1, m.w1, m.g2, m.w2,
+           l2.loss_r2, l3.loss_final
+    FROM model2 m CROSS JOIN loss2 l2 CROSS JOIN loss3 l3
+    ORDER BY abs(m.w2) DESC, m.b
+    LIMIT 20
+    """
+
+
+@query("logreg_adagrad_portable", oracle=_lrp_oracle())
+def logreg_adagrad_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-verified logistic-regression twin — the classifier
+    family's first hash-MATCHED member (the same move that gave the
+    ANN family ann_rp_lsh_portable and clustering kmeans_portable):
+    2 unrolled AdaGrad rounds of the EXACT update rule `logreg_fit`
+    runs for 10 (g/denom + l2*w, h += g^2, w -= lr*g/(sqrt(h)+eps),
+    bias unregularized, positives re-weighted by the class ratio),
+    replayed CTE-for-CTE by DuckDB so weights, gradients, and the
+    before/after training loss all hash-match value-for-value.
+
+    Differences from the production fit, chosen for portability and
+    documented here: buckets are the md5 2-hex-char STRING keys
+    (DSIR's portable bucketing) instead of conv()-to-int; 2 rounds
+    instead of 10; zero-token docs are excluded rather than trained
+    bias-only; the loss is the direct -[y ln p + (1-y) ln(1-p)] form
+    (margins here are bounded by lr, so the overflow-safe form is
+    unnecessary). Every float that crosses an engine boundary is
+    rounded at 6 dp IN-PLANE before use (class weight, per-round
+    gradient and weight, per-doc margin, sigmoid), so the collected
+    literals are bit-identical to the lazy values.
+
+    Scale shape: the per-round model is COLLECTED at O(model) — 257
+    rows of (bucket, gradient, weight) — and re-injected as a local
+    relation, never left lazy (the pca_power_portable lesson: an
+    unpinned round-t model makes every downstream reference re-derive
+    all prior rounds). Each round is one scan of the long feature
+    table + a 257-key map-side-combinable aggregate; the returned
+    plan computes the two loss scalars distributed (4 bounded scans)
+    and emits the top-20 weights by |w2|.
+
+    Reference anchor: the learned upgrade of the reference's rule
+    quality score (databias/bias_detection_engine.py:1-120); GPT-3
+    App. A / CCNet linear quality filters."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+        lambda x: x != F.lit(""),
+    )
+    lab = docs.filter(F.size(words) > 0).select(
+        "doc_id",
+        F.when(F.col("source") == TRUSTED_SOURCE, 1.0)
+        .otherwise(0.0)
+        .alias("y"),
+    )
+    cw = lab.agg(
+        F.sum("y").alias("pos"),
+        F.count("*").alias("tot"),
+        F.round((F.count("*") - F.sum("y")) / F.sum("y"), 6).alias("pw"),
+    ).first()
+    pos, tot, pw = float(cw["pos"]), int(cw["tot"]), float(cw["pw"])
+    denom = pos * pw + (tot - pos)
+    labw = lab.select(
+        "doc_id",
+        "y",
+        F.when(F.col("y") == 1.0, F.lit(pw)).otherwise(1.0).alias("wt"),
+    )
+    wordfeat = (
+        docs.select("doc_id", F.explode(words).alias("word"))
+        .select("doc_id", F.substring(F.md5("word"), 1, 2).alias("b"))
+        .groupBy("doc_id", "b")
+        .agg(F.count("*").alias("c"))
+    )
+    n_doc = Window.partitionBy("doc_id")
+    feats = (
+        wordfeat.select(
+            "doc_id",
+            "b",
+            (F.col("c") * 1.0 / F.sum("c").over(n_doc)).alias("x"),
+        )
+        .unionAll(
+            wordfeat.select("doc_id")
+            .distinct()
+            .select("doc_id", F.lit(LRP_BIAS).alias("b"), F.lit(1.0).alias("x"))
+        )
+    )
+
+    def _pin(mdf: DataFrame, schema: str) -> DataFrame:
+        # O(model) collect: <= 257 rows -> a LocalRelation literal.
+        return spark.createDataFrame(
+            [tuple(r) for r in mdf.collect()], schema
+        )
+
+    g1 = (
+        feats.join(labw, "doc_id")
+        .groupBy("b")
+        .agg(
+            F.round(
+                F.sum(F.col("wt") * (0.5 - F.col("y")) * F.col("x"))
+                / F.lit(denom),
+                6,
+            ).alias("g1")
+        )
+    )
+    w1 = _pin(
+        g1.select(
+            "b",
+            "g1",
+            F.round(
+                -LEARNING_RATE
+                * F.col("g1")
+                / (F.sqrt(F.col("g1") * F.col("g1")) + LRP_EPS),
+                6,
+            ).alias("w1"),
+        ),
+        "b string, g1 double, w1 double",
+    )
+    m2 = (
+        feats.join(F.broadcast(w1), "b")
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(F.col("x") * F.col("w1")), 6).alias("m"))
+    )
+    p2 = labw.join(m2, "doc_id").select(
+        "doc_id",
+        "y",
+        "wt",
+        F.round(1.0 / (1.0 + F.exp(-F.col("m"))), 6).alias("p"),
+    )
+    ll = F.col("wt") * -(
+        F.col("y") * F.log("p") + (1.0 - F.col("y")) * F.log(1.0 - F.col("p"))
+    )
+    loss2 = p2.agg(F.round(F.sum(ll) / F.lit(denom), 6).alias("loss_r2"))
+    g2p = (
+        feats.join(p2, "doc_id")
+        .groupBy("b")
+        .agg(F.sum(F.col("wt") * (F.col("p") - F.col("y")) * F.col("x")).alias("s"))
+    )
+    model2 = _pin(
+        F.broadcast(w1)
+        .join(g2p, "b")
+        .select(
+            "b",
+            "g1",
+            "w1",
+            F.round(
+                F.col("s") / F.lit(denom)
+                + F.when(F.col("b") == LRP_BIAS, 0.0).otherwise(
+                    L2_LAMBDA * F.col("w1")
+                ),
+                6,
+            ).alias("g2"),
+        )
+        .select(
+            "b",
+            "g1",
+            "w1",
+            "g2",
+            F.round(
+                F.col("w1")
+                - LEARNING_RATE
+                * F.col("g2")
+                / (
+                    F.sqrt(F.col("g1") * F.col("g1") + F.col("g2") * F.col("g2"))
+                    + LRP_EPS
+                ),
+                6,
+            ).alias("w2"),
+        ),
+        "b string, g1 double, w1 double, g2 double, w2 double",
+    )
+    m3 = (
+        feats.join(F.broadcast(model2.select("b", "w2")), "b")
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(F.col("x") * F.col("w2")), 6).alias("m"))
+    )
+    p3 = labw.join(m3, "doc_id").select(
+        "y",
+        "wt",
+        F.round(1.0 / (1.0 + F.exp(-F.col("m"))), 6).alias("p"),
+    )
+    loss3 = p3.agg(F.round(F.sum(ll) / F.lit(denom), 6).alias("loss_final"))
+    return (
+        model2.select(F.col("b").alias("bucket"), "g1", "w1", "g2", "w2")
+        .crossJoin(F.broadcast(loss2))
+        .crossJoin(F.broadcast(loss3))
+        .orderBy(F.abs(F.col("w2")).desc(), "bucket")
+        .limit(20)
+    )

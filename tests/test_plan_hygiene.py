@@ -83,6 +83,8 @@ BUILD_EXECUTES = {
     "embedding_pca_whiten",  # collects d + d^2 Gram/mean partials
     "kmeans_clusters",  # k-means fit collects k*d centroid partials
     "kmeans_portable",  # pins the k*d centroid table per Lloyd round
+    "logreg_adagrad_portable",  # pins the 257-row weight table per
+    # AdaGrad round (O(model) collect, the logreg_fit contract)
     "neardup_cluster_histogram",  # shares the CC loop
     "neardup_components",
     "neardup_keep_best",  # shares the CC loop
