@@ -741,3 +741,116 @@ def ship_latency_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("week_bucket")
     )
+
+
+EPD_MAX_PATH = 200  # events per session folded into the path string
+EPD_CONVERSION = "view.*click.*purchase"  # ordered-subsequence pattern
+EPD_BURST = "error>error"  # adjacent-repeat pattern
+
+
+@query(
+    "event_pattern_detect",
+    oracle=f"""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(LAG(ts) OVER w)
+                            > {SESSION_GAP_MIN} * 60 * 1000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+        SELECT user_id, ts, event_id, event_type,
+               CAST(SUM(is_new) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS session_seq
+        FROM flagged
+    ),
+    paths AS (
+        SELECT user_id, session_seq,
+               COUNT(*) AS n_events,
+               array_to_string(list_slice(
+                   list(event_type ORDER BY ts, event_id),
+                   1, {EPD_MAX_PATH}), '>') AS path
+        FROM numbered
+        GROUP BY user_id, session_seq
+    )
+    SELECT user_id, session_seq, n_events, path,
+           regexp_matches(path, '{EPD_CONVERSION}') AS has_conversion,
+           CAST(len(regexp_extract_all(path, '{EPD_BURST}'))
+                AS BIGINT) AS n_error_bursts
+    FROM paths
+    ORDER BY user_id, session_seq
+    """,
+)
+def event_pattern_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern detection over sessionized event streams —
+    the engine's MATCH_RECOGNIZE analogue (Flink CEP / Snowflake
+    MATCH_RECOGNIZE territory; the reference has nothing like it):
+    each user session (same 30-min gaps-and-islands rule as
+    `sessionize_events`) is folded into an ordered type-path string,
+    and patterns are evaluated as regexes over that path — an
+    ordered-SUBSEQUENCE pattern (view ... click ... purchase, any
+    events between) for conversion, and an ADJACENT-repeat pattern
+    (error>error, non-overlapping count) for error bursts. Regex
+    over a delimited path expresses the whole
+    any-gap/adjacency/repetition pattern algebra declaratively, and
+    the path string itself is part of the output, so the oracle
+    hash-verifies the fold order, not just the match flags.
+
+    Scale shape: one hash-partition by user_id feeds the lag flag,
+    the running session number, and the per-session fold (same key ⇒
+    one Exchange); the path is capped at 200 (EPD_MAX_PATH) events
+    per session on BOTH engines — a pattern window, not an unbounded
+    per-group collect — so state per session is bounded at any
+    corpus size. Patterns stay in whole-stage codegen (rlike /
+    regexp_count are JVM expressions)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = SESSION_GAP_MIN * 60 * 1_000_000
+    prev_us = F.unix_micros(F.lag("ts").over(w))
+    numbered = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.sum(
+            F.when(
+                prev_us.isNull()
+                | (F.unix_micros(F.col("ts")) - prev_us > gap_us),
+                1,
+            ).otherwise(0)
+        )
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("session_seq"),
+    )
+    paths = numbered.groupBy("user_id", "session_seq").agg(
+        F.count("*").alias("n_events"),
+        F.array_join(
+            F.transform(
+                F.slice(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("ts", "event_id", "event_type")
+                        )
+                    ),
+                    1,
+                    EPD_MAX_PATH,
+                ),
+                lambda x: x["event_type"],
+            ),
+            ">",
+        ).alias("path"),
+    )
+    return paths.select(
+        "user_id",
+        "session_seq",
+        "n_events",
+        "path",
+        F.col("path").rlike(EPD_CONVERSION).alias("has_conversion"),
+        F.regexp_count(F.col("path"), F.lit(EPD_BURST))
+        .cast("bigint")
+        .alias("n_error_bursts"),
+    ).orderBy("user_id", "session_seq")

@@ -59,3 +59,66 @@ def test_logreg_portable_learns_planted_separator(spark, tmp_path):
     assert out[_bucket("badword")]["w2"] < 0
     some = next(iter(out.values()))
     assert some["loss_final"] < some["loss_r2"] < 0.6932
+
+
+def test_event_pattern_detect_finds_planted_sequences(spark, tmp_path):
+    """A session holding view->click->purchase (with noise between)
+    must flag has_conversion; three adjacent errors count ONE
+    non-overlapping burst; a 31-minute gap splits the session so the
+    pattern does NOT match across it."""
+    import datetime
+
+    from pyspark.sql.types import (
+        DoubleType,
+        TimestampType,
+    )
+    from citeconnect_datapipeline_spark.operators.timeseries import (
+        event_pattern_detect,
+    )
+
+    EV_SCHEMA = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ev(eid, minutes, user, typ):
+        return (
+            eid,
+            t0 + datetime.timedelta(minutes=minutes),
+            user,
+            typ,
+            1.0,
+            "{}",
+        )
+
+    rows = [
+        # user 1, one session: view, signup, click, error x3, purchase
+        ev(1, 0, 1, "view"),
+        ev(2, 1, 1, "signup"),
+        ev(3, 2, 1, "click"),
+        ev(4, 3, 1, "error"),
+        ev(5, 4, 1, "error"),
+        ev(6, 5, 1, "error"),
+        ev(7, 6, 1, "purchase"),
+        # user 2: view+click, then a 31-min gap BEFORE purchase
+        ev(8, 0, 2, "view"),
+        ev(9, 1, 2, "click"),
+        ev(10, 33, 2, "purchase"),
+    ]
+    sf = _write(spark, tmp_path, "events", EV_SCHEMA, rows)
+    got = {
+        (r["user_id"], r["session_seq"]): r
+        for r in event_pattern_detect(spark, sf).collect()
+    }
+    s1 = got[(1, 1)]
+    assert s1["has_conversion"] and s1["n_error_bursts"] == 1
+    assert s1["path"] == "view>signup>click>error>error>error>purchase"
+    assert not got[(2, 1)]["has_conversion"]
+    assert not got[(2, 2)]["has_conversion"]
