@@ -161,3 +161,149 @@ def join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hot_rank")
     )
+
+
+ZORDER_BITS = 8  # bits per dimension -> 256 bins, 16-bit z-values
+ZORDER_FILE_SHIFT = 8  # file id = top 8 z-bits -> 256 z-range files
+_US_PER_DAY = 86400000000.0
+
+
+def zorder_value(bx, by) -> Column:
+    """16-bit Morton/Z-value from two 8-bit bin columns: bit i of bx
+    lands at position 2i+1, bit i of by at 2i. Pure integer bit
+    arithmetic — whole-stage codegen, no UDF."""
+    terms = " + ".join(
+        f"shiftleft(shiftright({bx}, {i}) & 1, {2 * i + 1})"
+        f" + shiftleft(shiftright({by}, {i}) & 1, {2 * i})"
+        for i in range(ZORDER_BITS)
+    )
+    return F.expr(terms)
+
+
+def _zsql() -> str:
+    """The identical interleave spelled for DuckDB."""
+    return " + ".join(
+        f"(((bx >> {i}) & 1) << {2 * i + 1})"
+        f" + (((by >> {i}) & 1) << {2 * i})"
+        for i in range(ZORDER_BITS)
+    )
+
+
+@query(
+    "zorder_layout_stats",
+    oracle=f"""
+    WITH bounds AS (
+        SELECT MIN(o_custkey) AS min_x, MAX(o_custkey) AS max_x,
+               MIN(FLOOR(epoch_us(o_orderdate) / {_US_PER_DAY})) AS min_y,
+               MAX(FLOOR(epoch_us(o_orderdate) / {_US_PER_DAY})) AS max_y
+        FROM orders
+    ),
+    binned AS (
+        SELECT CAST(FLOOR((o_custkey - b.min_x) * 256.0
+                          / (b.max_x - b.min_x + 1)) AS BIGINT) AS bx,
+               CAST(FLOOR((FLOOR(epoch_us(o_orderdate) / {_US_PER_DAY})
+                           - b.min_y) * 256.0
+                          / (b.max_y - b.min_y + 1)) AS BIGINT) AS by
+        FROM orders CROSS JOIN bounds b
+    ),
+    zed AS (
+        SELECT bx, by, ({{z}}) AS z FROM binned
+    ),
+    zfiles AS (
+        SELECT z >> {ZORDER_FILE_SHIFT} AS file_id,
+               COUNT(*) AS n_rows,
+               MAX(bx) - MIN(bx) + 1 AS x_span,
+               MAX(by) - MIN(by) + 1 AS y_span
+        FROM zed GROUP BY 1
+    ),
+    lfiles AS (
+        SELECT by AS file_id,
+               COUNT(*) AS n_rows,
+               MAX(bx) - MIN(bx) + 1 AS x_span,
+               MAX(by) - MIN(by) + 1 AS y_span
+        FROM zed GROUP BY 1
+    )
+    SELECT 'zorder' AS layout, CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+           ROUND(AVG(x_span / 256.0), 6) AS x_read_frac,
+           ROUND(AVG(y_span / 256.0), 6) AS y_read_frac
+    FROM zfiles
+    UNION ALL
+    SELECT 'linear', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(n_rows) AS BIGINT),
+           ROUND(AVG(x_span / 256.0), 6),
+           ROUND(AVG(y_span / 256.0), 6)
+    FROM lfiles
+    ORDER BY layout
+    """.replace("{z}", _zsql()),
+)
+def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) multi-dimensional clustering evaluated as a
+    LAYOUT decision — the Delta Z-ORDER / Iceberg sort-order move,
+    which no single-process reference needs but a 100 TB lake lives
+    by: bin two query dimensions (customer key, order day) to 8 bits
+    each, interleave the bits into a 16-bit z-value, and range-split
+    the z-space into files (top-8-bit tiles). For each candidate
+    layout — z-order tiles vs the usual time-linear layout (files =
+    date bins) — report every file's min/max span per dimension,
+    reduced to the expected FRACTION of the bin domain a file covers:
+    with uniform point predicates this is exactly the expected
+    fraction of files a zone-map (min/max) pruner must read. The
+    output is the two-row decision table: linear reads ~100% of
+    files for a customer-key predicate; z-order reads a few percent
+    on BOTH dimensions — the quantified case for re-clustering.
+
+    Scale shape: one 1-row bounds broadcast (min/max per dim), one
+    scan computing bins + the z-value in pure integer bit arithmetic
+    (whole-stage codegen, no UDF), and two file-grain aggregates —
+    file counts are layout constants (256), independent of corpus
+    size. Writing the layout is `df.repartitionByRange(z)` +
+    `sortWithinPartitions(z)`; this query is the evaluator that
+    justifies it."""
+    orders = load_table(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.min("o_custkey").alias("min_x"),
+        F.max("o_custkey").alias("max_x"),
+        F.min(
+            F.floor(F.unix_micros(F.col("o_orderdate")) / F.lit(_US_PER_DAY))
+        ).alias("min_y"),
+        F.max(
+            F.floor(F.unix_micros(F.col("o_orderdate")) / F.lit(_US_PER_DAY))
+        ).alias("max_y"),
+    )
+    day = F.floor(F.unix_micros(F.col("o_orderdate")) / F.lit(_US_PER_DAY))
+    binned = orders.crossJoin(F.broadcast(bounds)).select(
+        F.floor(
+            (F.col("o_custkey") - F.col("min_x"))
+            * 256.0
+            / (F.col("max_x") - F.col("min_x") + 1)
+        )
+        .cast("bigint")
+        .alias("bx"),
+        F.floor(
+            (day - F.col("min_y")) * 256.0 / (F.col("max_y") - F.col("min_y") + 1)
+        )
+        .cast("bigint")
+        .alias("by"),
+    )
+    zed = binned.select("bx", "by", zorder_value("bx", "by").alias("z"))
+
+    def _files(key) -> DataFrame:
+        return zed.groupBy(key.alias("file_id")).agg(
+            F.count("*").alias("n_rows"),
+            (F.max("bx") - F.min("bx") + 1).alias("x_span"),
+            (F.max("by") - F.min("by") + 1).alias("y_span"),
+        )
+
+    def _summary(files: DataFrame, name: str) -> DataFrame:
+        return files.agg(
+            F.lit(name).alias("layout"),
+            F.count("*").alias("n_files"),
+            F.sum("n_rows").alias("n_rows"),
+            F.round(F.avg(F.col("x_span") / 256.0), 6).alias("x_read_frac"),
+            F.round(F.avg(F.col("y_span") / 256.0), 6).alias("y_read_frac"),
+        )
+
+    zf = _summary(_files(F.shiftright(F.col("z"), ZORDER_FILE_SHIFT)), "zorder")
+    lf = _summary(_files(F.col("by")), "linear")
+    return zf.unionAll(lf).orderBy("layout")

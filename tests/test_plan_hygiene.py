@@ -70,6 +70,8 @@ NESTED_LOOP_OK = {
     # driver-side docs.count() barrier before round 3)
     "top_decile_mean",
     "word_collocation_npmi",  # bigram-total N: 1-row scalar broadcast
+    "zorder_layout_stats",  # 1-row per-dimension min/max bounds
+    # broadcast feeding the bin arithmetic
 }
 
 # construction itself runs Spark jobs (iterative label propagation /

@@ -122,3 +122,49 @@ def test_event_pattern_detect_finds_planted_sequences(spark, tmp_path):
     assert s1["path"] == "view>signup>click>error>error>error>purchase"
     assert not got[(2, 1)]["has_conversion"]
     assert not got[(2, 2)]["has_conversion"]
+
+
+def test_zorder_layout_beats_linear_on_the_off_axis(spark, tmp_path):
+    """On a uniform (custkey x day) grid, the time-linear layout must
+    span ~the whole custkey domain per file while z-order tiles stay
+    local on BOTH dimensions — the quantified case for re-clustering."""
+    import datetime
+
+    from pyspark.sql.types import DoubleType, TimestampType
+
+    from citeconnect_datapipeline_spark.operators.skew import (
+        zorder_layout_stats,
+    )
+
+    ORD_SCHEMA = StructType(
+        [
+            StructField("o_orderkey", LongType()),
+            StructField("o_custkey", LongType()),
+            StructField("o_orderstatus", StringType()),
+            StructField("o_totalprice", DoubleType()),
+            StructField("o_orderdate", TimestampType()),
+            StructField("o_orderpriority", StringType()),
+        ]
+    )
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    ok = 0
+    for day in range(64):
+        for cust in range(64):
+            ok += 1
+            rows.append(
+                (
+                    ok,
+                    cust * 16,
+                    "O",
+                    1.0,
+                    t0 + datetime.timedelta(days=day * 4),
+                    "1-URGENT",
+                )
+            )
+    sf = _write(spark, tmp_path, "orders", ORD_SCHEMA, rows)
+    got = {r["layout"]: r for r in zorder_layout_stats(spark, sf).collect()}
+    assert got["linear"]["x_read_frac"] > 0.7  # full-domain spans
+    assert got["zorder"]["x_read_frac"] < 0.3
+    assert got["zorder"]["y_read_frac"] < 0.3
+    assert got["linear"]["n_rows"] == got["zorder"]["n_rows"] == 64 * 64
