@@ -42,7 +42,7 @@ from .operators.similarity import (
 )
 from .operators.text import bm25_rank
 from .operators.analytics import h_index_by
-from .operators.quality import k_anonymity_cells
+from .operators.quality import k_anonymity_cells, l_diversity_cells
 from .operators.training import (
     decontaminate,
     es_weighted_sample,
@@ -102,6 +102,7 @@ curation = SimpleNamespace(
     label_outliers=label_outliers,
     weighted_sample=es_weighted_sample,
     k_anonymity_cells=k_anonymity_cells,
+    l_diversity_cells=l_diversity_cells,
 )
 multimodal = SimpleNamespace(with_media_columns=with_media_columns)
 timeseries = SimpleNamespace(sessionize=sessionize, asof_join=asof_join)

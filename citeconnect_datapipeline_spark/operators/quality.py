@@ -14,7 +14,7 @@ at 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..plans.registry import query
@@ -190,4 +190,93 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     return k_anonymity_cells(
         cust, ["c_nationkey", "c_mktsegment"]
+    )
+
+
+L_DIVERSE = 3  # minimum distinct sensitive values per qid cell
+
+
+def l_diversity_cells(
+    df: DataFrame, qid_cols: list, sensitive: str, l_min: int = L_DIVERSE
+) -> DataFrame:
+    """Library core of `l_diversity_audit` (api.curation.
+    l_diversity_cells): per quasi-identifier cell, the count of
+    DISTINCT sensitive values (distinct l-diversity) and the entropy
+    effective-number exp(H) (entropy l-diversity), with the at_risk
+    flag l < l_min. Two qid-grain aggregates (one at (qid, sensitive)
+    grain, one rollup) — bounded by the qid x sensitive domain."""
+    per_val = df.groupBy(*qid_cols, sensitive).agg(
+        F.count("*").alias("c")
+    )
+    tot = Window.partitionBy(*qid_cols)
+    p = F.col("c") / F.sum("c").over(tot)
+    return (
+        per_val.select(*qid_cols, "c", (-p * F.log(p)).alias("h"))
+        .groupBy(*qid_cols)
+        .agg(
+            F.sum("c").alias("group_size"),
+            F.count("*").alias("l_distinct"),
+            F.round(F.exp(F.sum("h")), 6).alias("entropy_l"),
+        )
+        .select(
+            *qid_cols,
+            "group_size",
+            "l_distinct",
+            "entropy_l",
+            F.when(F.col("l_distinct") < l_min, 1).otherwise(0).alias(
+                "at_risk"
+            ),
+        )
+        .orderBy("l_distinct", *qid_cols)
+    )
+
+
+@query(
+    "l_diversity_audit",
+    oracle=f"""
+    WITH per_val AS (
+        SELECT c_nationkey,
+               CAST(FLOOR(c_acctbal / 2000.0) AS BIGINT) AS bal_band,
+               c_mktsegment, COUNT(*) AS c
+        FROM customer
+        GROUP BY 1, 2, 3
+    ),
+    h AS (
+        SELECT c_nationkey, bal_band, c,
+               -(c * 1.0 / SUM(c) OVER (PARTITION BY c_nationkey, bal_band))
+               * ln(c * 1.0 / SUM(c) OVER (PARTITION BY c_nationkey, bal_band))
+                   AS hterm
+        FROM per_val
+    )
+    SELECT c_nationkey, bal_band,
+           CAST(SUM(c) AS BIGINT) AS group_size,
+           CAST(COUNT(*) AS BIGINT) AS l_distinct,
+           ROUND(exp(SUM(hterm)), 6) AS entropy_l,
+           CASE WHEN COUNT(*) < {L_DIVERSE} THEN 1 ELSE 0 END AS at_risk
+    FROM h
+    GROUP BY c_nationkey, bal_band
+    ORDER BY l_distinct, c_nationkey, bal_band
+    """,
+)
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — the escalation of `k_anonymity_audit`
+    (Machanavajjhala et al. 2007): a qid cell can be large (k-safe)
+    yet still leak if every member SHARES the sensitive value (the
+    homogeneity attack k-anonymity misses). Per (nation,
+    account-balance band) cell: distinct-l (how many sensitive
+    market segments appear), entropy-l as the effective number
+    exp(H) (robust to one dominant value), and the at_risk flag
+    l < 3 (L_DIVERSE). A release suppresses or generalizes flagged
+    cells exactly as with k-anonymity — the two audits run together.
+
+    Scale shape: one aggregate at (qid, sensitive) grain, an
+    entropy fold partitioned by the qid cell, and a qid-grain
+    rollup — every intermediate bounded by the attribute domain,
+    never corpus-grain."""
+    cust = load_table(spark, sf_dir, "customer").withColumn(
+        "bal_band",
+        F.floor(F.col("c_acctbal") / 2000.0).cast("bigint"),
+    )
+    return l_diversity_cells(
+        cust, ["c_nationkey", "bal_band"], "c_mktsegment"
     )

@@ -168,3 +168,43 @@ def test_zorder_layout_beats_linear_on_the_off_axis(spark, tmp_path):
     assert got["zorder"]["x_read_frac"] < 0.3
     assert got["zorder"]["y_read_frac"] < 0.3
     assert got["linear"]["n_rows"] == got["zorder"]["n_rows"] == 64 * 64
+
+
+def test_l_diversity_flags_homogeneous_cell(spark, tmp_path):
+    """A k-safe cell whose members all share one sensitive value must
+    flag at_risk with l_distinct=1 and entropy_l=1; a diverse cell of
+    3 equally-split segments must clear with entropy_l ~ 3."""
+    from pyspark.sql.types import DoubleType, IntegerType
+
+    from citeconnect_datapipeline_spark.operators.quality import (
+        l_diversity_audit,
+    )
+
+    CUST_SCHEMA = StructType(
+        [
+            StructField("c_custkey", LongType()),
+            StructField("c_name", StringType()),
+            StructField("c_nationkey", IntegerType()),
+            StructField("c_acctbal", DoubleType()),
+            StructField("c_mktsegment", StringType()),
+        ]
+    )
+    rows = []
+    ck = 0
+    for _ in range(10):  # k-safe but homogeneous: all BULK
+        ck += 1
+        rows.append((ck, f"c{ck}", 1, 100.0, "BULK"))
+    for seg in ("A", "B", "C") * 4:  # diverse cell
+        ck += 1
+        rows.append((ck, f"c{ck}", 2, 100.0, seg))
+    sf = _write(spark, tmp_path, "customer", CUST_SCHEMA, rows)
+    got = {
+        (r["c_nationkey"], r["bal_band"]): r
+        for r in l_diversity_audit(spark, sf).collect()
+    }
+    homog = got[(1, 0)]
+    assert homog["at_risk"] == 1 and homog["l_distinct"] == 1
+    assert abs(homog["entropy_l"] - 1.0) < 1e-6
+    div = got[(2, 0)]
+    assert div["at_risk"] == 0 and div["l_distinct"] == 3
+    assert abs(div["entropy_l"] - 3.0) < 1e-6
