@@ -43,6 +43,7 @@ from .operators.similarity import (
 from .operators.text import bm25_rank
 from .operators.analytics import h_index_by
 from .operators.quality import k_anonymity_cells, l_diversity_cells
+from .operators.statistics import categorical_mi
 from .operators.training import (
     decontaminate,
     es_weighted_sample,
@@ -106,6 +107,7 @@ curation = SimpleNamespace(
 )
 multimodal = SimpleNamespace(with_media_columns=with_media_columns)
 timeseries = SimpleNamespace(sessionize=sessionize, asof_join=asof_join)
+stats = SimpleNamespace(categorical_mi=categorical_mi)
 skew = SimpleNamespace(
     salted_count_by_key=salted_count_by_key,
     salted_sum_by_key=salted_sum_by_key,
@@ -144,6 +146,7 @@ __all__ = [
     "similarity",
     "retrieval",
     "curation",
+    "stats",
     "multimodal",
     "timeseries",
     "skew",

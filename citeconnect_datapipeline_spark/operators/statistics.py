@@ -1336,3 +1336,139 @@ def bottomk_sample_quantiles(
             4,
         ).alias("p90_rel_err"),
     )
+
+
+def categorical_mi(df: DataFrame, a: str, b: str, label: str) -> DataFrame:
+    """Library core of `categorical_mutual_information` (api.stats.
+    categorical_mi): one summary row with the mutual information
+    I(a;b), the marginal entropies H(a)/H(b) (nats), and the
+    normalized MI I/sqrt(H(a)H(b)) for a pair of categorical
+    columns. Three aggregates at joint/marginal grain (bounded by
+    the category domains) + 1-row scalar broadcasts."""
+    joint = df.groupBy(a, b).agg(F.count("*").alias("c"))
+    ja = df.groupBy(a).agg(F.count("*").alias("ca"))
+    jb = df.groupBy(b).agg(F.count("*").alias("cb"))
+    n = df.agg(F.count("*").alias("n"))
+    mi = (
+        joint.join(F.broadcast(ja), a)
+        .join(F.broadcast(jb), b)
+        .crossJoin(F.broadcast(n))
+        .agg(
+            F.sum(
+                (F.col("c") / F.col("n"))
+                * F.log(
+                    F.col("c")
+                    * F.col("n")
+                    / (F.col("ca") * F.col("cb"))
+                )
+            ).alias("mi_raw")
+        )
+    )
+
+    def _h(m: DataFrame, cnt: str, out: str) -> DataFrame:
+        p = F.col(cnt) / F.col("n")
+        return m.crossJoin(F.broadcast(n)).agg(
+            F.sum(-p * F.log(p)).alias(out)
+        )
+
+    return (
+        mi.crossJoin(F.broadcast(_h(ja, "ca", "ha_raw")))
+        .crossJoin(F.broadcast(_h(jb, "cb", "hb_raw")))
+        .select(
+            F.lit(label).alias("pair"),
+            F.round("mi_raw", 6).alias("mi"),
+            F.round("ha_raw", 6).alias("h_a"),
+            F.round("hb_raw", 6).alias("h_b"),
+            F.round(
+                F.col("mi_raw")
+                / F.sqrt(F.col("ha_raw") * F.col("hb_raw")),
+                6,
+            ).alias("nmi"),
+        )
+    )
+
+
+def _mi_sql(table: str, a: str, b: str, label: str) -> str:
+    return f"""
+    SELECT '{label}' AS pair,
+           ROUND(SUM((c * 1.0 / n) * ln(c * 1.0 * n / (ca * cb))), 6)
+               AS mi,
+           ROUND((SELECT SUM(-(ca * 1.0 / n) * ln(ca * 1.0 / n))
+                  FROM (SELECT {a}, COUNT(*) AS ca FROM {table}
+                        GROUP BY 1)
+                  CROSS JOIN (SELECT COUNT(*) AS n FROM {table})), 6)
+               AS h_a,
+           ROUND((SELECT SUM(-(cb * 1.0 / n) * ln(cb * 1.0 / n))
+                  FROM (SELECT {b}, COUNT(*) AS cb FROM {table}
+                        GROUP BY 1)
+                  CROSS JOIN (SELECT COUNT(*) AS n FROM {table})), 6)
+               AS h_b,
+           ROUND(SUM((c * 1.0 / n) * ln(c * 1.0 * n / (ca * cb)))
+                 / sqrt((SELECT SUM(-(ca * 1.0 / n) * ln(ca * 1.0 / n))
+                         FROM (SELECT {a}, COUNT(*) AS ca FROM {table}
+                               GROUP BY 1)
+                         CROSS JOIN (SELECT COUNT(*) AS n FROM {table}))
+                        * (SELECT SUM(-(cb * 1.0 / n) * ln(cb * 1.0 / n))
+                           FROM (SELECT {b}, COUNT(*) AS cb FROM {table}
+                                 GROUP BY 1)
+                           CROSS JOIN (SELECT COUNT(*) AS n
+                                       FROM {table}))), 6) AS nmi
+    FROM (
+        SELECT j.c, ma.ca, mb.cb, t.n
+        FROM (SELECT {a}, {b}, COUNT(*) AS c FROM {table}
+              GROUP BY 1, 2) j
+        JOIN (SELECT {a}, COUNT(*) AS ca FROM {table} GROUP BY 1) ma
+             USING ({a})
+        JOIN (SELECT {b}, COUNT(*) AS cb FROM {table} GROUP BY 1) mb
+             USING ({b})
+        CROSS JOIN (SELECT COUNT(*) AS n FROM {table}) t
+    )
+    """
+
+
+@query(
+    "categorical_mutual_information",
+    oracle=(
+        _mi_sql("documents", "lang", "source", "documents:lang~source")
+        + " UNION ALL "
+        + _mi_sql(
+            "orders",
+            "o_orderstatus",
+            "o_orderpriority",
+            "orders:status~priority",
+        )
+        + " ORDER BY pair"
+    ),
+)
+def categorical_mutual_information(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Mutual information between categorical column pairs — the
+    association screen a curator runs before trusting a slice or a
+    stratification: I(a;b) in nats says how much knowing one column
+    narrows the other (0 = independent), and the normalized
+    I/sqrt(H(a)H(b)) makes pairs comparable across domains (the
+    feature-selection score scikit's mutual_info / a chi-square
+    screen approximate). Audited here: does a document's language
+    predict its source (sampling entanglement a mixture plan must
+    break), and does an order's status predict its priority.
+
+    Scale shape: everything computes on joint/marginal aggregates
+    bounded by the category domains (|a| x |b| rows, never
+    corpus-grain); the corpus is scanned once per aggregate with
+    map-side combine, and all joins are broadcasts of those bounded
+    tables."""
+    docs = load_table(spark, sf_dir, "documents")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        categorical_mi(docs, "lang", "source", "documents:lang~source")
+        .unionAll(
+            categorical_mi(
+                orders,
+                "o_orderstatus",
+                "o_orderpriority",
+                "orders:status~priority",
+            )
+        )
+        .orderBy("pair")
+    )

@@ -30,6 +30,8 @@ NESTED_LOOP_OK = {
     # query-vector broadcast
     "bottomk_sample_quantiles",  # 1-row exact-quantile scalar
     # broadcast joined to the 1-row sample estimate (audit columns)
+    "categorical_mutual_information",  # 1-row corpus-total broadcasts
+    # over joint/marginal tables bounded by the category domains
     "class_balance_sample",
     "copurchase_pmi_topk",  # PMI denominator: 1-row broadcast (was a
     # driver-side distinct-count barrier before round 3)

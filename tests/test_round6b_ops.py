@@ -208,3 +208,46 @@ def test_l_diversity_flags_homogeneous_cell(spark, tmp_path):
     div = got[(2, 0)]
     assert div["at_risk"] == 0 and div["l_distinct"] == 3
     assert abs(div["entropy_l"] - 3.0) < 1e-6
+
+
+def test_mutual_information_separates_dependence_from_independence(
+    spark, tmp_path
+):
+    """lang==source bijection must give NMI ~ 1 (documents pair);
+    independent status x priority must give MI ~ 0 (orders pair)."""
+    import datetime
+
+    from pyspark.sql.types import DoubleType, TimestampType
+
+    from citeconnect_datapipeline_spark.operators.statistics import (
+        categorical_mutual_information,
+    )
+
+    ORD_SCHEMA = StructType(
+        [
+            StructField("o_orderkey", LongType()),
+            StructField("o_custkey", LongType()),
+            StructField("o_orderstatus", StringType()),
+            StructField("o_totalprice", DoubleType()),
+            StructField("o_orderdate", TimestampType()),
+            StructField("o_orderpriority", StringType()),
+        ]
+    )
+    doc_rows = []
+    for i in range(40):
+        lang = ["en", "de", "fr", "es"][i % 4]
+        doc_rows.append((i, "text", lang, f"src-{lang}", 4))
+    t0 = datetime.datetime(2024, 1, 1)
+    ord_rows = []
+    for i in range(40):  # full product grid -> independent
+        ord_rows.append(
+            (i, i, ["O", "F"][i % 2], 1.0, t0, ["HI", "LO"][(i // 2) % 2])
+        )
+    sf = _write(spark, tmp_path, "documents", DOC_SCHEMA, doc_rows)
+    _write(spark, tmp_path, "orders", ORD_SCHEMA, ord_rows)
+    got = {
+        r["pair"]: r
+        for r in categorical_mutual_information(spark, sf).collect()
+    }
+    assert abs(got["documents:lang~source"]["nmi"] - 1.0) < 1e-6
+    assert abs(got["orders:status~priority"]["mi"]) < 1e-6
