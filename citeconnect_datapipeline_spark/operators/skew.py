@@ -307,3 +307,114 @@ def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     zf = _summary(_files(F.shiftright(F.col("z"), ZORDER_FILE_SHIFT)), "zorder")
     lf = _summary(_files(F.col("by")), "linear")
     return zf.unionAll(lf).orderBy("layout")
+
+
+SHARDS_BEFORE = 8  # resharding scenario: grow 8 -> 9
+SHARDS_AFTER = 9
+_HEX = "0123456789abcdef"
+
+
+@query(
+    "shard_rebalance_report",
+    oracle=f"""
+    WITH keyed AS (SELECT DISTINCT p_partkey AS k FROM part),
+    weights AS (
+        SELECT k, s, md5(CAST(s AS VARCHAR) || ':' || CAST(k AS VARCHAR))
+                   AS w
+        FROM keyed CROSS JOIN (SELECT unnest(range({SHARDS_AFTER})) AS s)
+    ),
+    hrw AS (
+        SELECT k,
+               arg_max(s, w) FILTER (WHERE s < {SHARDS_BEFORE})
+                   AS shard_before,
+               arg_max(s, w) AS shard_after
+        FROM weights GROUP BY k
+    ),
+    modh AS (
+        SELECT k,
+               (strpos('{_HEX}', substr(md5(CAST(k AS VARCHAR)), 1, 1)) - 1)
+                   * 16
+               + strpos('{_HEX}', substr(md5(CAST(k AS VARCHAR)), 2, 1)) - 1
+                   AS h
+        FROM keyed
+    )
+    SELECT 'rendezvous' AS strategy,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(COUNT(*) FILTER (WHERE shard_before <> shard_after)
+                AS BIGINT) AS moved,
+           ROUND(COUNT(*) FILTER (WHERE shard_before <> shard_after)
+                 * 1.0 / COUNT(*), 6) AS moved_frac
+    FROM hrw
+    UNION ALL
+    SELECT 'mod', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) FILTER (WHERE h % {SHARDS_BEFORE}
+                                 <> h % {SHARDS_AFTER}) AS BIGINT),
+           ROUND(COUNT(*) FILTER (WHERE h % {SHARDS_BEFORE}
+                                  <> h % {SHARDS_AFTER})
+                 * 1.0 / COUNT(*), 6)
+    FROM modh
+    ORDER BY strategy DESC
+    """,
+)
+def shard_rebalance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resharding-cost planner: when a keyed store grows from 8 to 9
+    shards (SHARDS_BEFORE/AFTER — a vector-store partition set, a
+    streaming state store, a bucketed table), how many rows must
+    MOVE? Compares the two placement disciplines side by side:
+    rendezvous/HRW hashing (per (key, shard) weight = md5(shard:key),
+    key lives on the argmax shard — moves ONLY keys the new shard
+    wins, the theoretical 1/K_after minimum) against mod-hashing
+    (shard = hash % K — remapping nearly everything). The output is
+    the migration bill: ~11% of keys move under rendezvous, ~89%
+    under mod — the quantified case for consistent placement before
+    the first resharding event, not after.
+
+    Portable by construction: weights are md5 strings (identical in
+    both engines, lexicographic argmax), and the mod hash builds its
+    integer from md5 hex chars via strpos — no conv(), no
+    engine-specific hash. Scale shape: a K_after-way row explode of
+    the key set (a layout constant, not corpus growth), one
+    per-key argmax aggregate, and two bounded summary rows;
+    everything map-side-combinable, no window, no driver state."""
+    keys = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").cast("string").alias("k")
+    ).distinct()
+    shards = F.array(*[F.lit(s) for s in range(SHARDS_AFTER)])
+    weights = keys.select(
+        "k", F.explode(shards).alias("s")
+    ).select(
+        "k",
+        "s",
+        F.md5(F.concat_ws(":", F.col("s"), F.col("k"))).alias("w"),
+    )
+    hrw = weights.groupBy("k").agg(
+        F.max_by(
+            F.when(F.col("s") < SHARDS_BEFORE, F.col("s")),
+            F.when(F.col("s") < SHARDS_BEFORE, F.col("w")),
+        ).alias("shard_before"),
+        F.max_by("s", "w").alias("shard_after"),
+    )
+    idx1 = F.instr(F.lit(_HEX), F.substring(F.md5("k"), 1, 1)) - 1
+    idx2 = F.instr(F.lit(_HEX), F.substring(F.md5("k"), 2, 1)) - 1
+    modh = keys.select((idx1 * 16 + idx2).alias("h"))
+    moved_hrw = F.sum(
+        F.when(F.col("shard_before") != F.col("shard_after"), 1).otherwise(0)
+    )
+    r1 = hrw.agg(
+        F.lit("rendezvous").alias("strategy"),
+        F.count("*").alias("n_keys"),
+        moved_hrw.alias("moved"),
+        F.round(moved_hrw * 1.0 / F.count("*"), 6).alias("moved_frac"),
+    )
+    moved_mod = F.sum(
+        F.when(
+            F.col("h") % SHARDS_BEFORE != F.col("h") % SHARDS_AFTER, 1
+        ).otherwise(0)
+    )
+    r2 = modh.agg(
+        F.lit("mod").alias("strategy"),
+        F.count("*").alias("n_keys"),
+        moved_mod.alias("moved"),
+        F.round(moved_mod * 1.0 / F.count("*"), 6).alias("moved_frac"),
+    )
+    return r1.unionAll(r2).orderBy(F.desc("strategy"))

@@ -251,3 +251,40 @@ def test_mutual_information_separates_dependence_from_independence(
     }
     assert abs(got["documents:lang~source"]["nmi"] - 1.0) < 1e-6
     assert abs(got["orders:status~priority"]["mi"]) < 1e-6
+
+
+def test_rendezvous_resharding_moves_only_to_the_new_shard(spark, tmp_path):
+    """HRW minimal disruption: every key that moves when growing 8->9
+    shards must land ON the new shard (id 8), and far fewer keys move
+    than under mod-hashing."""
+    from pyspark.sql.types import DoubleType, IntegerType
+
+    from citeconnect_datapipeline_spark.operators.skew import (
+        SHARDS_BEFORE,
+        shard_rebalance_report,
+    )
+
+    PART_SCHEMA = StructType(
+        [
+            StructField("p_partkey", LongType()),
+            StructField("p_name", StringType()),
+            StructField("p_brand", StringType()),
+            StructField("p_type", StringType()),
+            StructField("p_size", IntegerType()),
+            StructField("p_retailprice", DoubleType()),
+        ]
+    )
+    rows = [(i, f"part {i}", "B", "T", 1, 1.0) for i in range(500)]
+    sf = _write(spark, tmp_path, "part", PART_SCHEMA, rows)
+    got = {r["strategy"]: r for r in shard_rebalance_report(spark, sf).collect()}
+    hrw, mod = got["rendezvous"], got["mod"]
+    assert hrw["n_keys"] == mod["n_keys"] == 500
+    # ~1/9 of keys move under HRW; most move under mod
+    assert hrw["moved_frac"] < 0.25 < 0.6 < mod["moved_frac"]
+    # minimal-disruption invariant, checked per key
+    md = hashlib.md5
+    for k in range(500):
+        w = [md(f"{s}:{k}".encode()).hexdigest() for s in range(9)]
+        before = max(range(SHARDS_BEFORE), key=lambda s: w[s])
+        after = max(range(9), key=lambda s: w[s])
+        assert after == before or after == 8
