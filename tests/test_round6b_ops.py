@@ -288,3 +288,32 @@ def test_rendezvous_resharding_moves_only_to_the_new_shard(spark, tmp_path):
         before = max(range(SHARDS_BEFORE), key=lambda s: w[s])
         after = max(range(9), key=lambda s: w[s])
         assert after == before or after == 8
+
+
+def test_readability_counts_and_bands_on_crafted_text(spark, tmp_path):
+    """Hand-countable sentences/words/syllables must come out exact,
+    consonant-only tokens count one syllable, and a long polysyllabic
+    run lands in a harder band than short simple sentences."""
+    from citeconnect_datapipeline_spark.operators.text import (
+        readability_scores,
+    )
+
+    easy = "The cat sat. The dog ran. It was fun."
+    hard = (
+        "Extraordinary organizational miscommunication perpetually "
+        "characterizes bureaucratic administration"
+    )
+    rows = [
+        (1, easy, "en", "s", len(easy)),
+        (2, hard, "en", "s", len(hard)),
+        (3, "xyz qrst", "en", "s", 8),  # no vowels: 1 syllable each
+    ]
+    sf = _write(spark, tmp_path, "documents", DOC_SCHEMA, rows)
+    got = {r["doc_id"]: r for r in readability_scores(spark, sf).collect()}
+    assert got[1]["n_sentences"] == 3 and got[1]["n_words"] == 9
+    # the cat sat the dog ran it was fun -> all monosyllabic
+    assert got[1]["n_syllables"] == 9
+    assert got[1]["band"] == "easy"
+    assert got[3]["n_syllables"] == 2  # consonant-only correction
+    assert got[2]["band"] == "difficult"
+    assert got[2]["fk_grade"] > got[1]["fk_grade"]
