@@ -418,3 +418,152 @@ def shard_rebalance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(moved_mod * 1.0 / F.count("*"), 6).alias("moved_frac"),
     )
     return r1.unionAll(r2).orderBy(F.desc("strategy"))
+
+
+JSE_SAMPLE_HEX = "0"  # keep keys whose md5 starts with this -> 1/16
+JSE_RATE = 16
+
+
+def _jse_sql(a: str, ka: str, b: str, kb: str, label: str) -> str:
+    return f"""
+    SELECT label, method, exact_rows, est_rows,
+           ROUND(ABS(est_rows - exact_rows) / exact_rows, 6) AS rel_err
+    FROM (
+        WITH ca AS (SELECT {ka} AS k, COUNT(*) AS c FROM {a} GROUP BY 1),
+        cb AS (SELECT {kb} AS k, COUNT(*) AS c FROM {b} GROUP BY 1),
+        j AS (
+            SELECT ca.k, ca.c * cb.c AS pairs
+            FROM ca JOIN cb USING (k)
+        ),
+        ex AS (SELECT CAST(SUM(pairs) AS BIGINT) AS exact_rows FROM j)
+        SELECT '{label}' AS label, 'key_sample' AS method,
+               ex.exact_rows,
+               CAST({JSE_RATE} * SUM(CASE WHEN substr(
+                        md5(CAST(j.k AS VARCHAR)), 1, 1)
+                        = '{JSE_SAMPLE_HEX}' THEN j.pairs ELSE 0 END)
+                    AS DOUBLE) AS est_rows
+        FROM j CROSS JOIN ex GROUP BY ex.exact_rows
+        UNION ALL
+        SELECT '{label}', 'independence', ex.exact_rows,
+               (SELECT SUM(c) FROM ca) * 1.0
+               * (SELECT SUM(c) FROM cb)
+               / GREATEST((SELECT COUNT(*) FROM ca),
+                          (SELECT COUNT(*) FROM cb))
+        FROM ex
+    )
+    """
+
+
+@query(
+    "join_size_estimate",
+    oracle=(
+        _jse_sql("customer", "c_custkey", "orders", "o_custkey",
+                 "customer~orders")
+        + " UNION ALL "
+        + _jse_sql("part", "p_partkey", "lineitem", "l_partkey",
+                   "part~lineitem")
+        + " ORDER BY label, method"
+    ),
+)
+def join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation — the number a cost-based planner
+    must get right before choosing broadcast vs shuffle vs skew
+    mitigation, computed here three ways so the estimators can be
+    graded against truth WITHOUT executing the join: (1) exact
+    |A join B| = sum over keys of cA*cB from the two key-count
+    tables; (2) a deterministic 1/16 KEY-sample estimate (keep keys
+    whose md5 starts '0', scale by 16 — sampling KEYS, not rows,
+    keeps each key's degree product intact, the property row-level
+    Bernoulli sampling destroys); (3) the textbook independence
+    estimate |A|*|B|/max(ndv_A, ndv_B) that every System-R
+    descendant (and Catalyst's stats) uses. The output rows carry
+    each estimate's relative error — on the test lake the key-sample
+    lands within a few percent while independence is exact only
+    because the FK is uniform; on skewed keys the sample wins, which
+    is why runtime re-planning (AQE) exists.
+
+    Scale shape: key-grain count tables (the same bounded statistics
+    a planner maintains), one equi-join between them, and 1-row
+    rollups — the fact tables are scanned once each and never
+    joined."""
+    spark_sf = sf_dir
+
+    def one(a: str, ka: str, b: str, kb: str, label: str) -> DataFrame:
+        ca = (
+            load_table(spark, spark_sf, a)
+            .groupBy(F.col(ka).alias("k"))
+            .agg(F.count("*").alias("ca"))
+        )
+        cb = (
+            load_table(spark, spark_sf, b)
+            .groupBy(F.col(kb).alias("k"))
+            .agg(F.count("*").alias("cb"))
+        )
+        j = ca.join(cb, "k").select(
+            "k", (F.col("ca") * F.col("cb")).alias("pairs")
+        )
+        stats_a = ca.agg(
+            F.sum("ca").alias("na"), F.count("*").alias("ndva")
+        )
+        stats_b = cb.agg(
+            F.sum("cb").alias("nb"), F.count("*").alias("ndvb")
+        )
+        ex = j.agg(F.sum("pairs").cast("bigint").alias("exact_rows"))
+        samp = j.agg(
+            (
+                JSE_RATE
+                * F.sum(
+                    F.when(
+                        F.substring(F.md5(F.col("k").cast("string")), 1, 1)
+                        == JSE_SAMPLE_HEX,
+                        F.col("pairs"),
+                    ).otherwise(0)
+                )
+            )
+            .cast("double")
+            .alias("est_rows")
+        )
+        r1 = (
+            F.broadcast(ex)
+            .crossJoin(samp)
+            .select(
+                F.lit(label).alias("label"),
+                F.lit("key_sample").alias("method"),
+                "exact_rows",
+                "est_rows",
+            )
+        )
+        r2 = (
+            F.broadcast(ex)
+            .crossJoin(F.broadcast(stats_a))
+            .crossJoin(F.broadcast(stats_b))
+            .select(
+                F.lit(label).alias("label"),
+                F.lit("independence").alias("method"),
+                "exact_rows",
+                (
+                    F.col("na")
+                    * 1.0
+                    * F.col("nb")
+                    / F.greatest(F.col("ndva"), F.col("ndvb"))
+                ).alias("est_rows"),
+            )
+        )
+        return r1.unionAll(r2)
+
+    out = one(
+        "customer", "c_custkey", "orders", "o_custkey", "customer~orders"
+    ).unionAll(
+        one("part", "p_partkey", "lineitem", "l_partkey", "part~lineitem")
+    )
+    return out.select(
+        "label",
+        "method",
+        "exact_rows",
+        "est_rows",
+        F.round(
+            F.abs(F.col("est_rows") - F.col("exact_rows"))
+            / F.col("exact_rows"),
+            6,
+        ).alias("rel_err"),
+    ).orderBy("label", "method")

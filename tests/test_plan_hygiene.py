@@ -49,6 +49,8 @@ NESTED_LOOP_OK = {
     # mining contract (a training batch, never the corpus)
     "interleave_shards",  # domain-count n_src: 1-row scalar broadcast
     "join_key_skew_report",  # key-count stats: 1-row scalar broadcast
+    "join_size_estimate",  # exact/sample/ndv 1-row stat broadcasts
+    # over key-grain count tables
     "k_anonymity_audit",  # 1-row population-total scalar broadcast
     # over the qid-grain cell table
     "ks_drift_statistic",  # cohort totals + bin count: two 1-row
