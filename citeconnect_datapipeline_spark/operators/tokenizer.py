@@ -243,3 +243,153 @@ def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+BPP_ROUNDS = 3  # unrolled merge rounds in the portable twin
+_BPP_PH = [chr(0xE000 + i) for i in range(BPP_ROUNDS)]  # private-use
+_BPP_DISPLAY = [f"[m{i}]" for i in range(BPP_ROUNDS)]
+
+
+def _bpp_oracle() -> str:
+    """Unrolled-CTE oracle for bpe_portable. Each round: position-
+    exploded char bigrams weighted by word frequency (overlapping
+    adjacents counted, the classic get_stats), argmax with the
+    (count DESC, pair ASC) tie-break, then one left-to-right
+    non-overlapping replace of the winning pair with that round's
+    private-use placeholder char — which keeps every symbol ONE
+    character, so round r+1 is again plain char bigrams."""
+    ctes = ["""
+    WITH vocab AS (
+        SELECT word, COUNT(*) AS cnt FROM (
+            SELECT unnest(list_filter(
+                string_split_regex(lower(text), '[^a-z0-9]+'),
+                x -> x <> '')) AS word
+            FROM documents
+        ) GROUP BY 1
+    ),
+    v0 AS (SELECT word AS w, cnt FROM vocab)"""]
+    for r in range(BPP_ROUNDS):
+        ph = 0xE000 + r
+        ctes.append(f"""
+    p{r} AS (
+        SELECT substr(w, CAST(i AS INTEGER), 2) AS pair,
+               SUM(cnt) AS pc
+        FROM (SELECT w, cnt, unnest(range(1, length(w))) AS i
+              FROM v{r})
+        GROUP BY 1
+    ),
+    m{r} AS (SELECT pair, pc FROM p{r} ORDER BY pc DESC, pair LIMIT 1),
+    v{r + 1} AS (
+        SELECT replace(w, (SELECT pair FROM m{r}), chr({ph})) AS w,
+               cnt
+        FROM v{r}
+    )""")
+    disp = "pair"
+    for r in range(BPP_ROUNDS):
+        disp = f"replace({disp}, chr({0xE000 + r}), '[m{r}]')"
+    rows = " UNION ALL ".join(
+        f"""
+        SELECT {r} AS rank, {disp} AS pair, CAST(pc AS BIGINT)
+                   AS pair_count,
+               (SELECT CAST(SUM(cnt * length(w)) AS BIGINT)
+                FROM v{r + 1}) AS tokens_after
+        FROM m{r}"""
+        for r in range(BPP_ROUNDS)
+    )
+    return ",".join(ctes) + rows + " ORDER BY rank"
+
+
+@query("bpe_portable", oracle=_bpp_oracle())
+def bpe_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-verified BPE twin — the tokenizer family's hash-MATCHED
+    member beside the production loop's Python-parity tests: 3
+    unrolled merge rounds with the EXACT trainer semantics of
+    `train_bpe_merges` (pair counts weighted by word frequency with
+    overlapping adjacents counted; argmax tie-broken by (count DESC,
+    pair ASC); merge applied left-to-right non-overlapping), made
+    SQL-expressible by ONE representational trick: each round's
+    merged pair is replaced by a reserved PRIVATE-USE character
+    (U+E000+r), so every symbol stays a single char and the next
+    round's pair scan is again plain position-indexed char bigrams —
+    no loop-carried array state. Left-to-right non-overlap is then
+    exactly string replace() semantics in both engines ('aaa' +
+    (a,a) -> [aa][a]). The merge table is isomorphic to the
+    production trainer's (symbols renamed through placeholders);
+    output maps placeholders to [m0]/[m1]/[m2] for display and adds
+    the post-round corpus token count, so the COMPRESSION the merge
+    buys is verified too, not just the argmax.
+
+    Scale shape: identical to the production trainer — the corpus is
+    scanned once into the Heaps-bounded word-frequency vocab; each
+    round explodes char positions of the VOCAB only, collects ONE
+    argmax row (O(model)), and re-injects it as a replace literal.
+
+    Reference anchor: tokenizer-training upgrade of the reference's
+    whitespace token estimates (Processing/data_transformation.py);
+    Sennrich et al. 2016."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+                    lambda x: x != F.lit(""),
+                )
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+    )
+    merges: list[tuple[str, int]] = []
+    v = vocab
+    rounds = []
+    for r in range(BPP_ROUNDS):
+        pairs = (
+            # length-1 words carry no pairs; the filter also dodges
+            # Spark's descending sequence(1, 0) for them (DuckDB's
+            # range(1, 1) is empty, Spark's sequence is [1, 0] and
+            # would manufacture phantom single-char pairs)
+            v.filter(F.length("w") >= 2)
+            .select(
+                "cnt",
+                F.explode(
+                    F.sequence(F.lit(1), F.length("w") - 1)
+                ).alias("i"),
+                "w",
+            )
+            .select(
+                F.expr("substr(w, i, 2)").alias("pair"), F.col("cnt")
+            )
+            .groupBy("pair")
+            .agg(F.sum("cnt").alias("pc"))
+            .orderBy(F.desc("pc"), "pair")
+            .limit(1)
+            .collect()
+        )  # ONE row: the argmax merge — model state, never data
+        pair, pc = pairs[0]["pair"], int(pairs[0]["pc"])
+        merges.append((pair, pc))
+        v = v.select(
+            F.replace(
+                F.col("w"), F.lit(pair), F.lit(_BPP_PH[r])
+            ).alias("w"),
+            "cnt",
+        )
+        rounds.append(v)
+
+    def _display(pair: str) -> str:
+        for ph, d in zip(_BPP_PH, _BPP_DISPLAY):
+            pair = pair.replace(ph, d)
+        return pair
+
+    out = None
+    for r, ((pair, pc), vr) in enumerate(zip(merges, rounds)):
+        row = vr.agg(
+            F.lit(r).alias("rank"),
+            F.lit(_display(pair)).alias("pair"),
+            F.lit(pc).cast("bigint").alias("pair_count"),
+            F.sum(F.col("cnt") * F.length("w"))
+            .cast("bigint")
+            .alias("tokens_after"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out.orderBy("rank")

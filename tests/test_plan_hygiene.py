@@ -86,6 +86,7 @@ BUILD_EXECUTES = {
     "ann_ivfpq_topk",  # IVF centroid + PQ codebook sample fits
     "ann_pq_portable",  # collects the M*K*ds=256-double codebook once
     "bpe_merge_ranks",  # merge loop collects 1 argmax row per round
+    "bpe_portable",  # same contract: 1 argmax row per unrolled round
     "embedding_pca_whiten",  # collects d + d^2 Gram/mean partials
     "kmeans_clusters",  # k-means fit collects k*d centroid partials
     "kmeans_portable",  # pins the k*d centroid table per Lloyd round

@@ -394,3 +394,26 @@ def test_join_size_estimators_on_planted_skew(spark, tmp_path):
     assert ks["est_rows"] == 16 * sampled
     pl = got[("part~lineitem", "independence")]
     assert pl["exact_rows"] == 20 and abs(pl["est_rows"] - 20.0) < 1e-9
+
+
+def test_bpe_portable_hand_computed_merges(spark, tmp_path):
+    """Corpus 'abab x3, ab x2, aaa x1': merge 0 must be (a,b) with
+    overlap-counted weight 8, merge 1 the merged-pair bigram
+    [m0][m0], merge 2 'aa' with 'aaa' collapsing left-to-right to
+    two symbols; per-round corpus token counts must shrink 11->8->7."""
+    from citeconnect_datapipeline_spark.operators.tokenizer import (
+        bpe_portable,
+    )
+
+    text = "abab abab abab ab ab aaa"
+    sf = _write(
+        spark, tmp_path, "documents", DOC_SCHEMA,
+        [(1, text, "en", "s", len(text))],
+    )
+    got = {r["rank"]: r for r in bpe_portable(spark, sf).collect()}
+    assert (got[0]["pair"], got[0]["pair_count"]) == ("ab", 8)
+    assert got[0]["tokens_after"] == 11
+    assert (got[1]["pair"], got[1]["pair_count"]) == ("[m0][m0]", 3)
+    assert got[1]["tokens_after"] == 8
+    assert (got[2]["pair"], got[2]["pair_count"]) == ("aa", 2)
+    assert got[2]["tokens_after"] == 7
