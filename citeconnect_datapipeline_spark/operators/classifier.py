@@ -516,6 +516,12 @@ def logreg_adagrad_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
             .select("doc_id", F.lit(LRP_BIAS).alias("b"), F.lit(1.0).alias("x"))
         )
+        # Materialize the long feature table ONCE (the production
+        # fit's persist contract: features are the only corpus-wide
+        # pass). Without this every gradient/margin/loss reference
+        # re-runs the word explode + per-doc shuffle — measured 4.7 s
+        # isolated at sf0.1 vs ~1.5 s pinned.
+        .localCheckpoint(eager=True)
     )
 
     def _pin(mdf: DataFrame, schema: str) -> DataFrame:
