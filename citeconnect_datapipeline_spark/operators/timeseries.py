@@ -854,3 +854,149 @@ def event_pattern_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_error_bursts"),
     ).orderBy("user_id", "session_seq")
+
+
+DEBOUNCE_SEC = 5  # bursts: consecutive same-signal gaps under this
+
+
+@query(
+    "event_debounce",
+    oracle=f"""
+    WITH flagged AS (
+        SELECT event_type,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(LAG(ts) OVER w)
+                            > {DEBOUNCE_SEC} * 1000000
+                    THEN 1 ELSE 0 END AS keep
+        FROM events
+        WINDOW w AS (PARTITION BY user_id, event_type
+                     ORDER BY ts, event_id)
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(keep) AS BIGINT) AS n_kept,
+           ROUND(1.0 - SUM(keep) * 1.0 / COUNT(*), 6) AS drop_frac
+    FROM flagged
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def event_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debounce/throttle for telemetry streams — the ingest-hygiene
+    operator every event pipeline runs before counting anything:
+    within a (user, event_type) signal, only the FIRST event of each
+    burst survives, where a burst is a run of consecutive events
+    each within 5 s (DEBOUNCE_SEC) of the previous one (double-fires,
+    retry storms, button mashing). Same gaps-and-islands machinery
+    as `sessionize_events` at a tighter grain, reduced keep-first;
+    reports per-type kept/dropped volume — the drop_frac a
+    billing/alerting consumer signs off on before the filter ships.
+
+    Scale shape: one hash-partition by (user_id, event_type) feeds
+    the lag flag, then a bounded per-type rollup; no corpus-grain
+    state, no unpartitioned window. The streaming twin is the same
+    flag inside `applyInPandasWithState` per key."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    prev_us = F.unix_micros(F.lag("ts").over(w))
+    flagged = ev.select(
+        "event_type",
+        F.when(
+            prev_us.isNull()
+            | (
+                F.unix_micros(F.col("ts")) - prev_us
+                > DEBOUNCE_SEC * 1_000_000
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("keep"),
+    )
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("keep").alias("n_kept"),
+            F.round(1.0 - F.sum("keep") * 1.0 / F.count("*"), 6).alias(
+                "drop_frac"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "conversion_latency_quantiles",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id,
+               MIN(ts) FILTER (WHERE event_type = 'view') AS first_view,
+               MIN(ts) FILTER (WHERE event_type = 'purchase')
+                   AS first_purchase
+        FROM events
+        GROUP BY user_id
+    ),
+    lat AS (
+        SELECT (epoch_us(first_purchase) - epoch_us(first_view))
+               / 1000000.0 AS lat_sec
+        FROM firsts
+        WHERE first_view IS NOT NULL
+          AND first_purchase IS NOT NULL
+          AND first_purchase >= first_view
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+           ROUND(quantile_cont(lat_sec, 0.25), 6) AS p25_sec,
+           ROUND(quantile_cont(lat_sec, 0.50), 6) AS p50_sec,
+           ROUND(quantile_cont(lat_sec, 0.75), 6) AS p75_sec,
+           ROUND(quantile_cont(lat_sec, 0.90), 6) AS p90_sec
+    FROM lat
+    """,
+)
+def conversion_latency_quantiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Time-to-convert distribution — the latency companion of
+    `funnel_conversion`'s counts: per user, the gap between the
+    FIRST view and the FIRST purchase (converters only, purchase not
+    before view), summarized as exact interpolated p25/p50/p75/p90
+    seconds. The shape of this curve decides attribution windows
+    (`last_touch_attribution`'s 7 days) and session gaps; counts
+    alone can't.
+
+    Scale shape: one user-grain conditional-MIN aggregate
+    (map-side-combinable), then a single bounded percentile reduce
+    over one row per converter. At 100 TB the documented swap is
+    percentile_approx on the same plan."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "first_view"
+        ),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("first_purchase"),
+    )
+    lat = firsts.filter(
+        F.col("first_view").isNotNull()
+        & F.col("first_purchase").isNotNull()
+        & (F.col("first_purchase") >= F.col("first_view"))
+    ).select(
+        (
+            (
+                F.unix_micros("first_purchase")
+                - F.unix_micros("first_view")
+            )
+            / 1_000_000.0
+        ).alias("lat_sec")
+    )
+    pct = F.percentile("lat_sec", F.array(*[F.lit(q) for q in
+                                            (0.25, 0.5, 0.75, 0.9)]))
+    return lat.agg(
+        F.count("*").alias("n_converted"),
+        F.round(F.element_at(pct, 1), 6).alias("p25_sec"),
+        F.round(F.element_at(pct, 2), 6).alias("p50_sec"),
+        F.round(F.element_at(pct, 3), 6).alias("p75_sec"),
+        F.round(F.element_at(pct, 4), 6).alias("p90_sec"),
+    )

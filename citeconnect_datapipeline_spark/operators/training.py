@@ -1746,3 +1746,138 @@ def weighted_sample_es(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id", F.col("n_chars").alias("weight"), "es_key"
     )
+
+
+@query(
+    "source_divergence_panel",
+    oracle=f"""
+    WITH feats AS (
+        SELECT source, substr(md5(word), 1, 2) AS b
+        FROM (
+            SELECT source, unnest(list_filter(
+                string_split_regex(lower(text), '[^a-z0-9]+'),
+                x -> x <> ''
+            )) AS word
+            FROM documents
+        )
+    ),
+    sb AS (
+        SELECT source, b, COUNT(*) AS c FROM feats GROUP BY source, b
+    ),
+    stot AS (
+        SELECT source, SUM(c) AS n_s FROM sb GROUP BY source
+    ),
+    allb AS (
+        SELECT printf('%02x', i) AS b
+        FROM UNNEST(range({DSIR_N_BUCKETS})) AS t(i)
+    ),
+    corpus AS (
+        SELECT a.b, COALESCE(SUM(x.c), 0) AS cc
+        FROM allb a LEFT JOIN sb x ON a.b = x.b
+        GROUP BY a.b
+    ),
+    ctot AS (SELECT SUM(cc) AS n FROM corpus),
+    grid AS (
+        SELECT s.source, s.n_s,
+               (COALESCE(x.c, 0) + {DSIR_SMOOTH})
+                   / (s.n_s + {DSIR_SMOOTH} * {DSIR_N_BUCKETS}) AS p,
+               (c.cc + {DSIR_SMOOTH})
+                   / (t.n + {DSIR_SMOOTH} * {DSIR_N_BUCKETS}) AS q
+        FROM stot s
+        CROSS JOIN corpus c
+        CROSS JOIN ctot t
+        LEFT JOIN sb x ON x.source = s.source AND x.b = c.b
+    )
+    SELECT source,
+           CAST(n_s AS BIGINT) AS n_tokens,
+           ROUND(SUM(0.5 * p * ln(p / ((p + q) / 2))
+                     + 0.5 * q * ln(q / ((p + q) / 2))), 6) AS jsd,
+           ROUND(0.5 * SUM(ABS(p - q)), 6) AS total_variation,
+           ROUND(sqrt(GREATEST(0.0, 1.0 - SUM(sqrt(p * q)))), 6)
+               AS hellinger
+    FROM grid
+    GROUP BY source, n_s
+    ORDER BY source
+    """,
+)
+def source_divergence_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The drift-measure panel beside `source_kl_divergence`: per
+    source, Jensen-Shannon divergence (symmetric, bounded by ln 2 —
+    the measure mixture papers actually report), total variation
+    (the worst-case probability an acceptance test can be fooled
+    by), and Hellinger distance (the one with the tensorization
+    bound), all over the same smoothed 256-bucket md5 word
+    distributions. KL alone over-weights tail buckets and is
+    asymmetric; a curation decision usually quotes JSD/TV next to
+    it — now all four come off the SAME bounded (source x bucket)
+    grid in one pass.
+
+    Scale shape: identical to the KL query — one map-side-combinable
+    (source, bucket) count shuffle, then arithmetic over the
+    <= |sources| x 256 grid with broadcast corpus/total tables."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+        lambda x: x != F.lit(""),
+    )
+    feats = docs.select(
+        "source", F.explode(w).alias("word")
+    ).select("source", F.substring(F.md5("word"), 1, 2).alias("b"))
+    sb = feats.groupBy("source", "b").agg(F.count("*").alias("c"))
+    stot = sb.groupBy("source").agg(F.sum("c").alias("n_s"))
+    allb = spark.range(DSIR_N_BUCKETS).select(
+        F.format_string("%02x", F.col("id")).alias("b")
+    )
+    corpus = (
+        allb.join(sb.groupBy("b").agg(F.sum("c").alias("cc")), "b", "left")
+        .select("b", F.coalesce(F.col("cc"), F.lit(0)).alias("cc"))
+    )
+    ctot = corpus.agg(F.sum("cc").alias("n"))
+    a = float(DSIR_SMOOTH)
+    k = a * DSIR_N_BUCKETS
+    grid = (
+        stot.crossJoin(F.broadcast(corpus))
+        .crossJoin(F.broadcast(ctot))
+        .join(sb, ["source", "b"], "left")
+        .select(
+            "source",
+            "n_s",
+            ((F.coalesce(F.col("c"), F.lit(0)) + a) / (F.col("n_s") + k)).alias(
+                "p"
+            ),
+            ((F.col("cc") + a) / (F.col("n") + k)).alias("q"),
+        )
+    )
+    m = (F.col("p") + F.col("q")) / 2
+    return (
+        grid.groupBy("source", "n_s")
+        .agg(
+            F.round(
+                F.sum(
+                    0.5 * F.col("p") * F.log(F.col("p") / m)
+                    + 0.5 * F.col("q") * F.log(F.col("q") / m)
+                ),
+                6,
+            ).alias("jsd"),
+            F.round(0.5 * F.sum(F.abs(F.col("p") - F.col("q"))), 6).alias(
+                "total_variation"
+            ),
+            F.round(
+                F.sqrt(
+                    F.greatest(
+                        F.lit(0.0),
+                        1.0 - F.sum(F.sqrt(F.col("p") * F.col("q"))),
+                    )
+                ),
+                6,
+            ).alias("hellinger"),
+        )
+        .select(
+            "source",
+            F.col("n_s").cast("long").alias("n_tokens"),
+            "jsd",
+            "total_variation",
+            "hellinger",
+        )
+        .orderBy("source")
+    )

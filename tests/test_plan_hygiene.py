@@ -57,6 +57,7 @@ NESTED_LOOP_OK = {
     # scalar broadcasts over the bounded bin table
     "lm_perplexity_buckets",  # smoothing denominator V + tertile
     # cutoffs: 1-row scalar broadcasts (replaced the r4 global ntile)
+    "source_divergence_panel",  # same bounded grid as the KL query
     "source_kl_divergence",  # 256-row corpus-bucket table + 1-row
     # total: bounded broadcasts building the source x bucket grid
     "mitigation_recommendations",

@@ -417,3 +417,105 @@ def test_bpe_portable_hand_computed_merges(spark, tmp_path):
     assert got[1]["tokens_after"] == 8
     assert (got[2]["pair"], got[2]["pair_count"]) == ("aa", 2)
     assert got[2]["tokens_after"] == 7
+
+
+def _ev_schema():
+    import datetime  # noqa: F401
+
+    from pyspark.sql.types import DoubleType, TimestampType
+
+    return StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+
+
+def test_event_debounce_keeps_first_of_each_burst(spark, tmp_path):
+    """A 4-fire burst at 1 s spacing keeps exactly its first event; a
+    6 s gap starts a new burst; different signals never debounce each
+    other."""
+    import datetime
+
+    from citeconnect_datapipeline_spark.operators.timeseries import (
+        event_debounce,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ev(eid, sec, user, typ):
+        return (eid, t0 + datetime.timedelta(seconds=sec), user, typ, 1.0, "{}")
+
+    rows = [
+        ev(1, 0, 1, "click"), ev(2, 1, 1, "click"),
+        ev(3, 2, 1, "click"), ev(4, 3, 1, "click"),  # burst -> keep 1
+        ev(5, 10, 1, "click"),  # 7 s gap -> new burst
+        ev(6, 0, 1, "view"),  # other signal, same instant window
+        ev(7, 0, 2, "click"),  # other user
+    ]
+    sf = _write(spark, tmp_path, "events", _ev_schema(), rows)
+    got = {r["event_type"]: r for r in event_debounce(spark, sf).collect()}
+    assert got["click"]["n_events"] == 6
+    assert got["click"]["n_kept"] == 3  # u1 burst1, u1 burst2, u2
+    assert got["view"]["n_kept"] == 1
+
+
+def test_conversion_latency_quantiles_exact_interpolation(spark, tmp_path):
+    """Latencies 10/20/30/40 s across four converters: p50 must
+    interpolate to 25 s; a purchase-before-view user is excluded."""
+    import datetime
+
+    from citeconnect_datapipeline_spark.operators.timeseries import (
+        conversion_latency_quantiles,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def ev(eid, sec, user, typ):
+        return (eid, t0 + datetime.timedelta(seconds=sec), user, typ, 1.0, "{}")
+
+    rows = []
+    eid = 0
+    for u, lat in ((1, 10), (2, 20), (3, 30), (4, 40)):
+        eid += 1
+        rows.append(ev(eid, 0, u, "view"))
+        eid += 1
+        rows.append(ev(eid, lat, u, "purchase"))
+    rows.append(ev(98, 5, 9, "purchase"))  # purchase before view
+    rows.append(ev(99, 9, 9, "view"))
+    sf = _write(spark, tmp_path, "events", _ev_schema(), rows)
+    row = conversion_latency_quantiles(spark, sf).collect()[0]
+    assert row["n_converted"] == 4
+    assert abs(row["p50_sec"] - 25.0) < 1e-6
+    assert abs(row["p25_sec"] - 17.5) < 1e-6
+
+
+def test_divergence_panel_orders_shifted_source_above_clone(spark, tmp_path):
+    """A source sampled from the corpus's own vocabulary must sit
+    near zero on every measure; a disjoint-vocabulary source must be
+    far on all three, with TV and JSD respecting their bounds."""
+    from citeconnect_datapipeline_spark.operators.training import (
+        source_divergence_panel,
+    )
+
+    base = "alpha beta gamma delta " * 4
+    shift = "zulu yankee xray whisky " * 4
+    rows = []
+    for i in range(100):
+        rows.append((i, base, "en", "src0", len(base)))
+    for i in range(100, 200):
+        rows.append((i, base, "en", "srcA", len(base)))
+    for i in range(200, 300):
+        rows.append((i, shift, "en", "srcB", len(shift)))
+    sf = _write(spark, tmp_path, "documents", DOC_SCHEMA, rows)
+    got = {r["source"]: r for r in source_divergence_panel(spark, sf).collect()}
+    clone, shifted = got["srcA"], got["srcB"]
+    for m in ("jsd", "total_variation", "hellinger"):
+        assert shifted[m] > clone[m] + 0.1
+        assert 0.0 <= clone[m] and shifted[m] <= 1.0
+    assert shifted["jsd"] <= 0.6932  # ln 2 bound
