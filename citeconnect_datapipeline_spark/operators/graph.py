@@ -866,3 +866,105 @@ def hits_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("authority"), "p_partkey")
         .limit(10)
     )
+
+
+KCORE_K = 3  # peel target: the 3-core
+KCORE_ROUNDS = 2  # unrolled peel rounds in the portable query
+
+
+@query(
+    "kcore_peel_stats",
+    oracle=f"""
+    WITH baskets AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    pair_n AS (
+        SELECT a.l_partkey AS u, b.l_partkey AS v, COUNT(*) AS cab
+        FROM baskets a JOIN baskets b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+    ),
+    e0 AS (SELECT u, v FROM pair_n WHERE cab >= 2),
+    d0 AS (
+        SELECT vtx, COUNT(*) AS deg FROM (
+            SELECT u AS vtx FROM e0 UNION ALL SELECT v FROM e0
+        ) GROUP BY vtx
+    ),
+    s1 AS (SELECT vtx FROM d0 WHERE deg >= {KCORE_K}),
+    e1 AS (
+        SELECT e.u, e.v FROM e0 e
+        JOIN s1 a ON e.u = a.vtx JOIN s1 b ON e.v = b.vtx
+    ),
+    d1 AS (
+        SELECT vtx, COUNT(*) AS deg FROM (
+            SELECT u AS vtx FROM e1 UNION ALL SELECT v FROM e1
+        ) GROUP BY vtx
+    ),
+    s2 AS (SELECT vtx FROM d1 WHERE deg >= {KCORE_K}),
+    e2 AS (
+        SELECT e.u, e.v FROM e1 e
+        JOIN s2 a ON e.u = a.vtx JOIN s2 b ON e.v = b.vtx
+    ),
+    d2 AS (
+        SELECT vtx, COUNT(*) AS deg FROM (
+            SELECT u AS vtx FROM e2 UNION ALL SELECT v FROM e2
+        ) GROUP BY vtx
+    )
+    SELECT 0 AS round, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM e0) AS n_edges,
+           CAST(MIN(deg) AS BIGINT) AS min_degree FROM d0
+    UNION ALL
+    SELECT 1, CAST(COUNT(*) AS BIGINT),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM e1),
+           CAST(MIN(deg) AS BIGINT) FROM d1
+    UNION ALL
+    SELECT 2, CAST(COUNT(*) AS BIGINT),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM e2),
+           CAST(MIN(deg) AS BIGINT) FROM d2
+    ORDER BY round
+    """,
+)
+def kcore_peel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core peeling over the support-pruned co-purchase graph —
+    the density primitive the rest of the graph family lacks:
+    PageRank ranks, triangles count closure, components find
+    reachability, but "which subgraph is DENSE enough to trust"
+    (spam-farm detection, community cores, the usual prefilter
+    before expensive clique work) is the k-core. Two unrolled peel
+    rounds toward the 3-core (KCORE_K): each round drops nodes with
+    degree < k and their edges; the output is the shrinkage curve
+    (nodes, edges, min degree per round) — min_degree climbing
+    toward k is the convergence certificate.
+
+    Scale shape: the edge list is pinned ONCE (eager localCheckpoint
+    — the CC-loop contract; unpinned, every round re-derives the
+    basket explode), then each round is a degree aggregate + two
+    semi-join filters keyed on the vertex — the exact shape
+    distributed k-core runs at any scale. Fixpoint peeling is the
+    production loop (same rounds, while-changed); 2 rounds unrolled
+    keep the twin SQL-replayable."""
+    e = _support_pruned_edges(spark, sf_dir).localCheckpoint(eager=True)
+    rows = None
+    for r in range(KCORE_ROUNDS + 1):
+        deg = (
+            e.select(F.col("u").alias("vtx"))
+            .unionAll(e.select(F.col("v").alias("vtx")))
+            .groupBy("vtx")
+            .agg(F.count("*").alias("deg"))
+        )
+        stats = deg.agg(
+            F.lit(r).alias("round"),
+            F.count("*").alias("n_nodes"),
+            F.min("deg").cast("bigint").alias("min_degree"),
+        ).crossJoin(F.broadcast(e.agg(F.count("*").alias("n_edges"))))
+        stats = stats.select("round", "n_nodes", "n_edges", "min_degree")
+        rows = stats if rows is None else rows.unionAll(stats)
+        if r < KCORE_ROUNDS:
+            surv = deg.filter(F.col("deg") >= KCORE_K).select("vtx")
+            e = (
+                e.join(surv.withColumnRenamed("vtx", "u"), "u", "semi")
+                .join(surv.withColumnRenamed("vtx", "v"), "v", "semi")
+                .select("u", "v")
+                .localCheckpoint(eager=True)
+            )
+    return rows.orderBy("round")

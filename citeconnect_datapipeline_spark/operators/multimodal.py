@@ -329,3 +329,98 @@ def audio_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "chunk_idx")
     )
+
+
+TILE_PX = 224  # ViT-style square patch size
+
+
+@query(
+    "image_tile_grid",
+    oracle=f"""
+    WITH media AS (
+        SELECT doc_id, octet_length(encode(text)) AS n
+        FROM documents
+        WHERE doc_id % 3 = 0
+    ),
+    dims AS (
+        SELECT doc_id,
+               64 + (n * 3) % 1857 AS w,
+               64 + (n * 7) % 1017 AS h
+        FROM media
+    ),
+    tiles AS (
+        SELECT doc_id, w, h,
+               unnest(range(0, CAST(ceil(w * 1.0 / {TILE_PX}) AS BIGINT)))
+                   AS tx
+        FROM dims
+    ),
+    grid AS (
+        SELECT doc_id, w, h, tx,
+               unnest(range(0, CAST(ceil(h * 1.0 / {TILE_PX}) AS BIGINT)))
+                   AS ty
+        FROM tiles
+    )
+    SELECT doc_id, CAST(tx AS BIGINT) AS tile_x,
+           CAST(ty AS BIGINT) AS tile_y,
+           CAST(tx * {TILE_PX} AS BIGINT) AS x0,
+           CAST(ty * {TILE_PX} AS BIGINT) AS y0,
+           CAST(LEAST({TILE_PX}, w - tx * {TILE_PX}) AS BIGINT)
+               AS tile_w,
+           CAST(LEAST({TILE_PX}, h - ty * {TILE_PX}) AS BIGINT)
+               AS tile_h
+    FROM grid
+    ORDER BY doc_id, tile_x, tile_y
+    """,
+)
+def image_tile_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Patch tiling plan for the image modality — the third leg of
+    the per-modality staging triple (audio → `audio_chunk_windows`,
+    video → `video_frame_samples`, image → THIS): every image asset
+    expands to its ceil(w/224) x ceil(h/224) grid of ViT-style tiles
+    with pixel offsets and edge-clipped tile sizes — the exact work
+    list a vision encoder's mapInPandas crop stage consumes (payload,
+    x0, y0, tile_w, tile_h). Sampling plans are Spark's job; the
+    pixel crop itself rides the RealMediaCodec seam.
+
+    Scale shape: metadata-only filter (only image rows expand), then
+    a native double explode(sequence) — no Python, no shuffle; the
+    ~1→N fan-out is bounded by the tile grid of the largest image."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = with_media_columns(docs).filter(
+        F.col("media_type") == "image"
+    )
+    dims = media.select(
+        "doc_id",
+        (64 + (F.col("size_bytes") * 3) % 1857).alias("w"),
+        (64 + (F.col("size_bytes") * 7) % 1017).alias("h"),
+    )
+    nx = F.ceil(F.col("w") * 1.0 / TILE_PX).cast("long")
+    ny = F.ceil(F.col("h") * 1.0 / TILE_PX).cast("long")
+    grid = dims.select(
+        "doc_id",
+        "w",
+        "h",
+        F.explode(F.sequence(F.lit(0).cast("long"), nx - 1)).alias("tx"),
+        ny.alias("ny"),
+    ).select(
+        "doc_id",
+        "w",
+        "h",
+        "tx",
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.col("ny") - 1)
+        ).alias("ty"),
+    )
+    return grid.select(
+        "doc_id",
+        F.col("tx").alias("tile_x"),
+        F.col("ty").alias("tile_y"),
+        (F.col("tx") * TILE_PX).alias("x0"),
+        (F.col("ty") * TILE_PX).alias("y0"),
+        F.least(F.lit(TILE_PX), F.col("w") - F.col("tx") * TILE_PX)
+        .cast("long")
+        .alias("tile_w"),
+        F.least(F.lit(TILE_PX), F.col("h") - F.col("ty") * TILE_PX)
+        .cast("long")
+        .alias("tile_h"),
+    ).orderBy("doc_id", "tile_x", "tile_y")

@@ -89,6 +89,8 @@ BUILD_EXECUTES = {
     "bpe_merge_ranks",  # merge loop collects 1 argmax row per round
     "bpe_portable",  # same contract: 1 argmax row per unrolled round
     "embedding_pca_whiten",  # collects d + d^2 Gram/mean partials
+    "kcore_peel_stats",  # eager-checkpoints the edge list per peel
+    # round (the CC-loop contract)
     "kmeans_clusters",  # k-means fit collects k*d centroid partials
     "kmeans_portable",  # pins the k*d centroid table per Lloyd round
     "logreg_adagrad_portable",  # pins the 257-row weight table per

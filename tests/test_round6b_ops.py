@@ -519,3 +519,61 @@ def test_divergence_panel_orders_shifted_source_above_clone(spark, tmp_path):
         assert shifted[m] > clone[m] + 0.1
         assert 0.0 <= clone[m] and shifted[m] <= 1.0
     assert shifted["jsd"] <= 0.6932  # ln 2 bound
+
+
+def test_image_tile_grid_covers_and_clips(spark, tmp_path):
+    """Tile offsets must tile the full image with edge clipping: one
+    image doc's grid is hand-computable from the fake codec's dims."""
+    from citeconnect_datapipeline_spark.operators.multimodal import (
+        image_tile_grid,
+    )
+
+    text = "x" * 300  # doc 0 -> image; w = 64+900%1857 = 964,
+    # h = 64+2100%1017 = 130 -> 5x1 grid, last tile 964-4*224=68 wide
+    sf = _write(
+        spark, tmp_path, "documents", DOC_SCHEMA,
+        [(0, text, "en", "s", len(text))],
+    )
+    tiles = image_tile_grid(spark, sf).collect()
+    assert len(tiles) == 5
+    assert all(t["tile_h"] == 130 for t in tiles)
+    assert [t["tile_w"] for t in tiles] == [224, 224, 224, 224, 68]
+    assert sum(t["tile_w"] for t in tiles) == 964
+
+
+def test_kcore_peel_removes_the_pendant_chain(spark, tmp_path):
+    """A 4-clique with support-2 edges plus a pendant path must lose
+    the pendant nodes over two 3-core peels while the clique (all
+    degrees 3) survives intact."""
+    from pyspark.sql.types import IntegerType
+
+    from citeconnect_datapipeline_spark.operators.graph import (
+        kcore_peel_stats,
+    )
+
+    LI_SCHEMA = StructType(
+        [
+            StructField("l_orderkey", LongType()),
+            StructField("l_partkey", LongType()),
+        ]
+    )
+    rows = []
+    ok = 0
+
+    def basket(parts, times=2):  # support >= 2 per co-occurrence
+        nonlocal ok
+        for _ in range(times):
+            ok += 1
+            rows.extend((ok, p) for p in parts)
+
+    basket([1, 2, 3, 4])  # 4-clique: every pair support 2
+    basket([4, 5])  # pendant chain 4-5-6
+    basket([5, 6])
+    sf = _write(spark, tmp_path, "lineitem", LI_SCHEMA, rows)
+    got = {r["round"]: r for r in kcore_peel_stats(spark, sf).collect()}
+    assert got[0]["n_nodes"] == 6 and got[0]["n_edges"] == 8
+    # peel 1 removes 5 and 6 (deg 2, 1); edge 4-5, 5-6 gone
+    assert got[1]["n_nodes"] == 4 and got[1]["n_edges"] == 6
+    assert got[1]["min_degree"] == 3
+    # stable: the 4-clique IS the 3-core
+    assert got[2]["n_nodes"] == 4 and got[2]["min_degree"] == 3
