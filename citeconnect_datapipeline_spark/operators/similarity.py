@@ -1958,3 +1958,150 @@ def ann_ivf_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cosine"), "vec_id")
         .limit(5)
     )
+
+
+JL_OUT_DIM = 16  # JL target dimension (from 64)
+JL_SAMPLE_K = 64  # calibration vectors -> 2016 audit pairs
+
+
+def _jl_signs(dim: int = 64) -> list:
+    """Deterministic ±1 JL projection matrix (JL_OUT_DIM x dim) from
+    md5 — same portable construction as _rp_signs, distinct salt."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(
+                hashlib.md5(f"jl{j}:{i}".encode()).hexdigest()[0], 16
+            )
+            >= 8
+            else -1.0
+            for i in range(dim)
+        ]
+        for j in range(JL_OUT_DIM)
+    ]
+
+
+def _jl_oracle() -> str:
+    signs = _jl_signs()
+    scale = 1.0 / (JL_OUT_DIM ** 0.5)
+
+    def arr(j):
+        return (
+            "CAST(["
+            + ", ".join(str(v) for v in signs[j])
+            + "] AS DOUBLE[])"
+        )
+
+    proj = ", ".join(
+        f"ROUND(list_dot_product(CAST(embedding AS DOUBLE[]),"
+        f" {arr(j)}) * {scale}, 6)"
+        for j in range(JL_OUT_DIM)
+    )
+    return f"""
+    WITH samp AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x,
+               [{proj}] AS y
+        FROM embeddings
+        WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) = '0'
+        ORDER BY vec_id
+        LIMIT {JL_SAMPLE_K}
+    ),
+    pairs AS (
+        SELECT list_distance(a.y, b.y)
+               / list_distance(a.x, b.x) AS distortion
+        FROM samp a JOIN samp b ON a.vec_id < b.vec_id
+        WHERE list_distance(a.x, b.x) > 0
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(AVG(distortion), 6) AS mean_distortion,
+           ROUND(quantile_cont(distortion, 0.05), 6) AS p05,
+           ROUND(quantile_cont(distortion, 0.50), 6) AS p50,
+           ROUND(quantile_cont(distortion, 0.95), 6) AS p95
+    FROM pairs
+    """
+
+
+@query("jl_distortion_audit", oracle=_jl_oracle())
+def jl_distortion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss dimension reduction with its error bar:
+    project 64-d embeddings to 16 dims (JL_OUT_DIM) through the
+    md5-derived ±1 matrix (scaled 1/sqrt(k) — the database-friendly
+    JL variant Achlioptas proved), then MEASURE what the lemma
+    promises on a deterministic calibration sample: the distribution
+    of pairwise-distance distortion ||f(a)-f(b)|| / ||a-b|| over
+    2016 pairs of 64 md5-sampled vectors. The p05/p95 band is the
+    certificate a 4x-cheaper vector store ships with — the
+    distortion-aware counterpart of `mrl_truncation_eval`'s
+    recall@k, and the storage story beside SQ8 (`embedding_sq_int8`).
+
+    Scale shape: projection is an in-row fold against literal sign
+    arrays (no shuffle, no matrix table); the quadratic audit runs
+    on a BOUNDED sample (64 vectors at any corpus size, TakeOrdered
+    off a 1/16 hash sliver), so the pair join is a 64-row
+    self-pairing, never corpus-grain. Distances fold left-to-right
+    in-row on both engines, so only the final stats need rounding."""
+    signs = _jl_signs()
+    scale = 1.0 / (JL_OUT_DIM ** 0.5)
+    vec = F.col("embedding").cast("array<double>")
+
+    def dot(v, lit_arr):
+        return F.aggregate(
+            F.zip_with(v, lit_arr, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    proj = F.array(
+        *[
+            F.round(
+                dot(vec, F.array(*[F.lit(s) for s in signs[j]])) * scale,
+                6,
+            )
+            for j in range(JL_OUT_DIM)
+        ]
+    )
+    samp = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(
+            F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1)
+            == "0"
+        )
+        .select("vec_id", vec.alias("x"), proj.alias("y"))
+        .orderBy("vec_id")
+        .limit(JL_SAMPLE_K)
+    )
+
+    def dist(a, b):
+        return F.sqrt(
+            F.aggregate(
+                F.zip_with(a, b, lambda p, q: (p - q) * (p - q)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+
+    a = samp.select(
+        F.col("vec_id").alias("ia"), F.col("x").alias("xa"), F.col("y").alias("ya")
+    )
+    b = samp.select(
+        F.col("vec_id").alias("ib"), F.col("x").alias("xb"), F.col("y").alias("yb")
+    )
+    pairs = (
+        a.join(F.broadcast(b), F.col("ia") < F.col("ib"))
+        .select(
+            (dist(F.col("ya"), F.col("yb"))
+             / dist(F.col("xa"), F.col("xb"))).alias("distortion"),
+            dist(F.col("xa"), F.col("xb")).alias("d0"),
+        )
+        .filter(F.col("d0") > 0)
+    )
+    pcts = F.percentile("distortion", F.array(*[F.lit(q) for q in (0.05, 0.5, 0.95)]))
+    return pairs.agg(
+        F.count("*").alias("n_pairs"),
+        F.round(F.avg("distortion"), 6).alias("mean_distortion"),
+        F.round(F.element_at(pcts, 1), 6).alias("p05"),
+        F.round(F.element_at(pcts, 2), 6).alias("p50"),
+        F.round(F.element_at(pcts, 3), 6).alias("p95"),
+    )

@@ -1000,3 +1000,178 @@ def conversion_latency_quantiles(
         F.round(F.element_at(pct, 3), 6).alias("p75_sec"),
         F.round(F.element_at(pct, 4), 6).alias("p90_sec"),
     )
+
+
+@query(
+    "late_arrival_audit",
+    oracle="""
+    WITH lat AS (
+        SELECT GREATEST(0,
+                   MAX(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING)
+                   - epoch_us(ts)) / 1000000.0 AS late_sec
+        FROM events
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(*) FILTER (WHERE late_sec > 0) AS BIGINT)
+               AS n_late,
+           ROUND(COUNT(*) FILTER (WHERE late_sec > 0) * 1.0
+                 / COUNT(*), 6) AS late_frac,
+           ROUND(quantile_cont(late_sec, 0.50) FILTER (WHERE late_sec > 0),
+                 6) AS p50_late_sec,
+           ROUND(quantile_cont(late_sec, 0.99) FILTER (WHERE late_sec > 0),
+                 6) AS p99_late_sec,
+           ROUND(MAX(late_sec), 6) AS max_late_sec
+    FROM lat
+    """,
+)
+def late_arrival_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time disorder profile — the measurement that SIZES a
+    streaming watermark instead of guessing it: replaying the log in
+    arrival order (event_id), an event is late by how far the
+    latest event time already seen on its key exceeds its own.
+    Reports late volume and the p50/p99/max lateness seconds —
+    `withWatermark(p99_late_sec)` keeps 99% of late data while
+    bounding state, and max_late_sec is the loss bound a tighter
+    watermark accepts. Pairs with the streaming jobs in
+    `streaming/jobs.py`, which currently hard-code their delay.
+
+    Scale shape: one hash-partition by user_id feeds the running-max
+    frame (per-key disorder — the same grain Spark's watermark state
+    is kept at), then a single bounded percentile reduce. No
+    unpartitioned window, no corpus-grain state."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    lat = ev.select(
+        (
+            F.greatest(
+                F.lit(0),
+                F.max(F.unix_micros("ts")).over(w)
+                - F.unix_micros("ts"),
+            )
+            / 1_000_000.0
+        ).alias("late_sec")
+    )
+    late_only = F.when(F.col("late_sec") > 0, F.col("late_sec"))
+    pcts = F.percentile(late_only, F.array(F.lit(0.5), F.lit(0.99)))
+    return lat.agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.when(F.col("late_sec") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_late"),
+        F.round(
+            F.sum(F.when(F.col("late_sec") > 0, 1).otherwise(0))
+            * 1.0
+            / F.count("*"),
+            6,
+        ).alias("late_frac"),
+        F.round(F.element_at(pcts, 1), 6).alias("p50_late_sec"),
+        F.round(F.element_at(pcts, 2), 6).alias("p99_late_sec"),
+        F.round(F.max("late_sec"), 6).alias("max_late_sec"),
+    )
+
+
+@query(
+    "top_session_paths",
+    oracle=f"""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(LAG(ts) OVER w)
+                            > {SESSION_GAP_MIN} * 60 * 1000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+        SELECT user_id, ts, event_id, event_type,
+               SUM(is_new) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_seq
+        FROM flagged
+    ),
+    paths AS (
+        SELECT user_id, session_seq,
+               array_to_string(list_slice(
+                   list(event_type ORDER BY ts, event_id),
+                   1, {EPD_MAX_PATH}), '>') AS path
+        FROM numbered
+        GROUP BY user_id, session_seq
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM paths)
+    SELECT p.path, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           ROUND(COUNT(*) * 1.0 / MAX(t.n), 6) AS session_share
+    FROM paths p CROSS JOIN tot t
+    GROUP BY p.path
+    ORDER BY n_sessions DESC, p.path
+    LIMIT 10
+    """,
+)
+def top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path analysis — the aggregate view over
+    `event_pattern_detect`'s per-session paths: the 10 most common
+    session type-sequences with their share of all sessions, the
+    table a product/funnel review starts from (which journeys
+    actually happen, not which patterns we thought to regex for).
+
+    Scale shape: shares the pattern query's single user-keyed
+    exchange and capped per-session fold; the rollup is a
+    map-side-combinable count by path string + a 1-row total
+    broadcast, reduced to a TakeOrdered(10)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = SESSION_GAP_MIN * 60 * 1_000_000
+    prev_us = F.unix_micros(F.lag("ts").over(w))
+    numbered = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.sum(
+            F.when(
+                prev_us.isNull()
+                | (F.unix_micros(F.col("ts")) - prev_us > gap_us),
+                1,
+            ).otherwise(0)
+        )
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("session_seq"),
+    )
+    paths = numbered.groupBy("user_id", "session_seq").agg(
+        F.array_join(
+            F.transform(
+                F.slice(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("ts", "event_id", "event_type")
+                        )
+                    ),
+                    1,
+                    EPD_MAX_PATH,
+                ),
+                lambda x: x["event_type"],
+            ),
+            ">",
+        ).alias("path"),
+    )
+    tot = paths.agg(F.count("*").alias("n"))
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_sessions"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "path",
+            "n_sessions",
+            F.round(F.col("n_sessions") * 1.0 / F.col("n"), 6).alias(
+                "session_share"
+            ),
+        )
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(10)
+    )

@@ -48,6 +48,8 @@ NESTED_LOOP_OK = {
     "hard_negative_mining",  # anchor batch broadcast: bounded by the
     # mining contract (a training batch, never the corpus)
     "interleave_shards",  # domain-count n_src: 1-row scalar broadcast
+    "jl_distortion_audit",  # 64-row calibration-sample self-pairing
+    # (bounded by JL_SAMPLE_K at any corpus size)
     "join_key_skew_report",  # key-count stats: 1-row scalar broadcast
     "join_size_estimate",  # exact/sample/ndv 1-row stat broadcasts
     # over key-grain count tables
@@ -74,6 +76,7 @@ NESTED_LOOP_OK = {
     "tfidf_top_terms",  # corpus-size 1-row broadcast (was a
     # driver-side docs.count() barrier before round 3)
     "top_decile_mean",
+    "top_session_paths",  # 1-row session-total scalar broadcast
     "word_collocation_npmi",  # bigram-total N: 1-row scalar broadcast
     "zorder_layout_stats",  # 1-row per-dimension min/max bounds
     # broadcast feeding the bin arithmetic

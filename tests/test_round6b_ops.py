@@ -577,3 +577,93 @@ def test_kcore_peel_removes_the_pendant_chain(spark, tmp_path):
     assert got[1]["min_degree"] == 3
     # stable: the 4-clique IS the 3-core
     assert got[2]["n_nodes"] == 4 and got[2]["min_degree"] == 3
+
+
+def test_late_arrival_audit_measures_planted_disorder(spark, tmp_path):
+    """Arrival order (event_id) with one event 30 s behind the
+    running max must report exactly one late event with 30 s p99."""
+    import datetime
+
+    from citeconnect_datapipeline_spark.operators.timeseries import (
+        late_arrival_audit,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def ev(eid, sec, user, typ="view"):
+        return (eid, t0 + datetime.timedelta(seconds=sec), user, typ, 1.0, "{}")
+
+    rows = [
+        ev(1, 0, 1), ev(2, 60, 1), ev(3, 30, 1),  # 30 s late
+        ev(4, 90, 1),  # in order again
+        ev(5, 0, 2), ev(6, 10, 2),  # other user, ordered
+    ]
+    sf = _write(spark, tmp_path, "events", _ev_schema(), rows)
+    row = late_arrival_audit(spark, sf).collect()[0]
+    assert row["n_events"] == 6 and row["n_late"] == 1
+    assert abs(row["p99_late_sec"] - 30.0) < 1e-6
+    assert abs(row["max_late_sec"] - 30.0) < 1e-6
+
+
+def test_jl_distortion_concentrates_near_one(spark, tmp_path):
+    """On isotropic-ish vectors the JL distortion distribution must
+    bracket 1 with a moderate band (the lemma's promise), and the
+    pair count must be the full sample pairing."""
+    import random
+
+    from pyspark.sql.types import (
+        ArrayType,
+        FloatType,
+        IntegerType,
+    )
+
+    from citeconnect_datapipeline_spark.operators.similarity import (
+        JL_SAMPLE_K,
+        jl_distortion_audit,
+    )
+
+    EMB = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(FloatType())),
+            StructField("label", IntegerType()),
+        ]
+    )
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.gauss(0.0, 1.0) for _ in range(64)], i % 3)
+        for i in range(2000)
+    ]
+    sf = _write(spark, tmp_path, "embeddings", EMB, rows)
+    row = jl_distortion_audit(spark, sf).collect()[0]
+    assert row["n_pairs"] == JL_SAMPLE_K * (JL_SAMPLE_K - 1) // 2
+    assert 0.9 < row["p50"] < 1.1
+    assert 0.6 < row["p05"] and row["p95"] < 1.5
+
+
+def test_top_session_paths_ranks_planted_journeys(spark, tmp_path):
+    """Three identical view>click sessions must outrank a single
+    purchase session, with shares summing over the session total."""
+    import datetime
+
+    from citeconnect_datapipeline_spark.operators.timeseries import (
+        top_session_paths,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for u in (1, 2, 3):
+        eid += 1
+        rows.append((eid, t0, u, "view", 1.0, "{}"))
+        eid += 1
+        rows.append(
+            (eid, t0 + datetime.timedelta(seconds=5), u, "click", 1.0, "{}")
+        )
+    eid += 1
+    rows.append((eid, t0, 4, "purchase", 1.0, "{}"))
+    sf = _write(spark, tmp_path, "events", _ev_schema(), rows)
+    got = top_session_paths(spark, sf).collect()
+    assert got[0]["path"] == "view>click" and got[0]["n_sessions"] == 3
+    assert abs(got[0]["session_share"] - 0.75) < 1e-6
+    assert got[1]["path"] == "purchase" and got[1]["n_sessions"] == 1
