@@ -1472,3 +1472,172 @@ def categorical_mutual_information(
         )
         .orderBy("pair")
     )
+
+
+BOOT_REPS = 64  # deterministic Poisson bootstrap replicates
+_BOOT_HEX = "0123456789abcdef"
+# 256-bucket quantization of Poisson(1): P(0)=94/256, P(1)=94/256,
+# P(2)=47/256, P(3)=16/256, P(4)=4/256, P(5)=1/256
+_BOOT_CUTS = [(94, 0), (188, 1), (235, 2), (251, 3), (255, 4), (256, 5)]
+
+
+def _boot_w_sql(h: str) -> str:
+    return (
+        "CASE "
+        + " ".join(
+            f"WHEN {h} < {cut} THEN {w}" for cut, w in _BOOT_CUTS
+        )
+        + " END"
+    )
+
+
+@query(
+    "ab_lift_bootstrap",
+    oracle=f"""
+    WITH base AS (
+        SELECT o_orderkey AS id, o_totalprice AS x,
+               CASE WHEN substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)
+                    < '8' THEN 'A' ELSE 'B' END AS cohort
+        FROM orders
+    ),
+    obs AS (
+        SELECT
+            CAST(COUNT(*) FILTER (WHERE cohort = 'A') AS BIGINT) AS n_a,
+            CAST(COUNT(*) FILTER (WHERE cohort = 'B') AS BIGINT) AS n_b,
+            ROUND(AVG(x) FILTER (WHERE cohort = 'A'), 2) AS mean_a,
+            ROUND(AVG(x) FILTER (WHERE cohort = 'B'), 2) AS mean_b
+        FROM base
+    ),
+    weighted AS (
+        SELECT b.cohort, r.r,
+               (strpos('{_BOOT_HEX}', substr(
+                    md5(CAST(r.r AS VARCHAR) || ':'
+                        || CAST(b.id AS VARCHAR)), 1, 1)) - 1) * 16
+               + strpos('{_BOOT_HEX}', substr(
+                    md5(CAST(r.r AS VARCHAR) || ':'
+                        || CAST(b.id AS VARCHAR)), 2, 1)) - 1 AS h,
+               b.x
+        FROM base b
+        CROSS JOIN (SELECT unnest(range({BOOT_REPS})) AS r) r
+    ),
+    reps AS (
+        SELECT r,
+               ROUND(SUM(CASE WHEN cohort = 'A'
+                              THEN {_boot_w_sql('h')} * x END)
+                     / SUM(CASE WHEN cohort = 'A'
+                                THEN {_boot_w_sql('h')} END), 2) AS ma,
+               ROUND(SUM(CASE WHEN cohort = 'B'
+                              THEN {_boot_w_sql('h')} * x END)
+                     / SUM(CASE WHEN cohort = 'B'
+                                THEN {_boot_w_sql('h')} END), 2) AS mb
+        FROM weighted
+        GROUP BY r
+    ),
+    ci AS (
+        SELECT ROUND(quantile_cont((mb - ma) / ma, 0.025), 6) AS ci_lo,
+               ROUND(quantile_cont((mb - ma) / ma, 0.975), 6) AS ci_hi
+        FROM reps
+    )
+    SELECT o.n_a, o.n_b, o.mean_a, o.mean_b,
+           ROUND((o.mean_b - o.mean_a) / o.mean_a, 6) AS lift,
+           c.ci_lo, c.ci_hi,
+           (c.ci_lo > 0 OR c.ci_hi < 0) AS significant
+    FROM obs o CROSS JOIN ci c
+    """,
+)
+def ab_lift_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lift with a bootstrap confidence interval — the
+    uncertainty quantification every A/B readout and every
+    data-mixture comparison needs before acting on a mean
+    difference. RNG-free and shuffle-stable by construction: the
+    64-replicate Poisson bootstrap (the streaming-friendly bootstrap
+    — per-row weight ~ Poisson(1), no resampling pass) draws each
+    weight from a 256-bucket md5 quantization of the Poisson(1) pmf
+    (94/94/47/16/4/1), so both engines, and any re-run at any
+    parallelism, produce the IDENTICAL interval. Replicate means
+    round at 2 dp (a money metric) before the lift ratio so
+    cross-engine fp association noise in the big sums cannot flip a
+    quantile. Reports observed means, lift, the 95% percentile CI,
+    and the decision flag (CI excludes 0).
+
+    Scale shape: one 64x explode (a generate, no shuffle) into a
+    map-side-combinable (replicate, cohort) aggregate — 128 output
+    rows at ANY corpus size — then a bounded percentile over 64
+    replicate lifts. This is the bag-of-little-bootstraps shape:
+    resampling cost rides the existing scan."""
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        F.col("o_orderkey").alias("id"),
+        F.col("o_totalprice").alias("x"),
+        F.when(
+            F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1)
+            < "8",
+            "A",
+        )
+        .otherwise("B")
+        .alias("cohort"),
+    )
+    obs = base.agg(
+        F.sum(F.when(F.col("cohort") == "A", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_a"),
+        F.sum(F.when(F.col("cohort") == "B", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_b"),
+        F.round(F.avg(F.when(F.col("cohort") == "A", F.col("x"))), 2).alias(
+            "mean_a"
+        ),
+        F.round(F.avg(F.when(F.col("cohort") == "B", F.col("x"))), 2).alias(
+            "mean_b"
+        ),
+    )
+    h_md5 = F.md5(F.concat_ws(":", F.col("r"), F.col("id")))
+    h = (
+        (F.instr(F.lit(_BOOT_HEX), F.substring(h_md5, 1, 1)) - 1) * 16
+        + F.instr(F.lit(_BOOT_HEX), F.substring(h_md5, 2, 1))
+        - 1
+    )
+    w = F.when(h < 94, 0)
+    for cut, wv in _BOOT_CUTS[1:]:
+        w = w.when(h < cut, wv)
+    weighted = base.select(
+        "id",
+        "cohort",
+        "x",
+        F.explode(F.sequence(F.lit(0), F.lit(BOOT_REPS - 1))).alias("r"),
+    ).select("cohort", "x", "r", w.alias("w"))
+    reps = weighted.groupBy("r").agg(
+        F.round(
+            F.sum(F.when(F.col("cohort") == "A", F.col("w") * F.col("x")))
+            / F.sum(F.when(F.col("cohort") == "A", F.col("w"))),
+            2,
+        ).alias("ma"),
+        F.round(
+            F.sum(F.when(F.col("cohort") == "B", F.col("w") * F.col("x")))
+            / F.sum(F.when(F.col("cohort") == "B", F.col("w"))),
+            2,
+        ).alias("mb"),
+    )
+    lift_r = (F.col("mb") - F.col("ma")) / F.col("ma")
+    pct = F.percentile(lift_r, F.array(F.lit(0.025), F.lit(0.975)))
+    ci = reps.agg(
+        F.round(F.element_at(pct, 1), 6).alias("ci_lo"),
+        F.round(F.element_at(pct, 2), 6).alias("ci_hi"),
+    )
+    return (
+        obs.crossJoin(F.broadcast(ci))
+        .select(
+            "n_a",
+            "n_b",
+            "mean_a",
+            "mean_b",
+            F.round(
+                (F.col("mean_b") - F.col("mean_a")) / F.col("mean_a"), 6
+            ).alias("lift"),
+            "ci_lo",
+            "ci_hi",
+            ((F.col("ci_lo") > 0) | (F.col("ci_hi") < 0)).alias(
+                "significant"
+            ),
+        )
+    )

@@ -28,6 +28,7 @@ NESTED_LOOP_OK = {
     "bm25_search",  # corpus stats (N, avgdl): 1-row scalar broadcast
     "hybrid_rrf_search",  # inherits bm25's stats row + cosine's 1-row
     # query-vector broadcast
+    "ab_lift_bootstrap",  # 1-row observed-means x 1-row CI broadcast
     "bottomk_sample_quantiles",  # 1-row exact-quantile scalar
     # broadcast joined to the 1-row sample estimate (audit columns)
     "categorical_mutual_information",  # 1-row corpus-total broadcasts

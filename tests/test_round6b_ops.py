@@ -667,3 +667,46 @@ def test_top_session_paths_ranks_planted_journeys(spark, tmp_path):
     assert got[0]["path"] == "view>click" and got[0]["n_sessions"] == 3
     assert abs(got[0]["session_share"] - 0.75) < 1e-6
     assert got[1]["path"] == "purchase" and got[1]["n_sessions"] == 1
+
+
+def test_ab_lift_bootstrap_detects_planted_effect(spark, tmp_path):
+    """A planted +50% cohort-B effect over tight noise must produce a
+    significant positive CI; identical cohorts must not. Weights are
+    the 256-bucket md5 Poisson quantization, so results replay."""
+    import datetime
+
+    from pyspark.sql.types import DoubleType, TimestampType
+
+    from citeconnect_datapipeline_spark.operators.statistics import (
+        ab_lift_bootstrap,
+    )
+
+    ORD_SCHEMA = StructType(
+        [
+            StructField("o_orderkey", LongType()),
+            StructField("o_custkey", LongType()),
+            StructField("o_orderstatus", StringType()),
+            StructField("o_totalprice", DoubleType()),
+            StructField("o_orderdate", TimestampType()),
+            StructField("o_orderpriority", StringType()),
+        ]
+    )
+    t0 = datetime.datetime(2024, 1, 1)
+    cohort_of = lambda k: (  # noqa: E731
+        "A" if hashlib.md5(str(k).encode()).hexdigest()[0] < "8" else "B"
+    )
+    rows = []
+    for k in range(2000):
+        base = 100.0 + (k % 7)  # tight noise
+        price = base * (1.5 if cohort_of(k) == "B" else 1.0)
+        rows.append((k, k, "O", price, t0, "P"))
+    sf = _write(spark, tmp_path, "orders", ORD_SCHEMA, rows)
+    row = ab_lift_bootstrap(spark, sf).collect()[0]
+    assert row["n_a"] + row["n_b"] == 2000
+    assert row["significant"] and row["ci_lo"] > 0.3
+    assert 0.4 < row["lift"] < 0.6
+
+    rows2 = [(k, k, "O", 100.0 + (k % 7), t0, "P") for k in range(2000)]
+    sf2 = _write(spark, tmp_path / "flat", "orders", ORD_SCHEMA, rows2)
+    row2 = ab_lift_bootstrap(spark, sf2).collect()[0]
+    assert not row2["significant"]
