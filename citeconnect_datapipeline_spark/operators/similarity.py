@@ -1961,7 +1961,7 @@ def ann_ivf_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 JL_OUT_DIM = 16  # JL target dimension (from 64)
-JL_SAMPLE_K = 64  # calibration vectors -> 2016 audit pairs
+JL_SAMPLE_K = 32  # calibration vectors -> 496 audit pairs
 
 
 def _jl_signs(dim: int = 64) -> list:
@@ -2031,77 +2031,74 @@ def jl_distortion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     JL variant Achlioptas proved), then MEASURE what the lemma
     promises on a deterministic calibration sample: the distribution
     of pairwise-distance distortion ||f(a)-f(b)|| / ||a-b|| over
-    2016 pairs of 64 md5-sampled vectors. The p05/p95 band is the
+    496 pairs of 32 md5-sampled vectors. The p05/p95 band is the
     certificate a 4x-cheaper vector store ships with — the
     distortion-aware counterpart of `mrl_truncation_eval`'s
     recall@k, and the storage story beside SQ8 (`embedding_sq_int8`).
 
-    Scale shape: projection is an in-row fold against literal sign
-    arrays (no shuffle, no matrix table); the quadratic audit runs
-    on a BOUNDED sample (64 vectors at any corpus size, TakeOrdered
-    off a 1/16 hash sliver), so the pair join is a 64-row
-    self-pairing, never corpus-grain. Distances fold left-to-right
-    in-row on both engines, so only the final stats need rounding."""
+    Scale shape: ONE pipeline, no join. The calibration page is
+    BOUNDED (32 vectors at any corpus size, TakeOrdered off a 1/16
+    hash sliver) with the projection applied after the limit; the
+    page folds into a single row and the 496-pair audit is generated
+    IN-ROW (the sorted-array pair idiom the co-purchase basket
+    expansion uses), so there is no self-join, no broadcast, and no
+    second derivation of the page subtree. Submitted as ONE
+    spark.sql text (like the subqueries family): building the same
+    plan expression-by-expression from Python cost ~0.7 s of py4j
+    round-trips per call — pure driver chatter the SQL parse
+    avoids. Distances fold left-to-right in-row on both engines, so
+    only the final stats need rounding."""
     signs = _jl_signs()
     scale = 1.0 / (JL_OUT_DIM ** 0.5)
-    vec = F.col("embedding").cast("array<double>")
-
-    def dot(v, lit_arr):
-        return F.aggregate(
-            F.zip_with(v, lit_arr, lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
-    proj = F.array(
-        *[
-            F.round(
-                dot(vec, F.array(*[F.lit(s) for s in signs[j]])) * scale,
-                6,
-            )
-            for j in range(JL_OUT_DIM)
-        ]
+    load_table(spark, sf_dir, "embeddings").createOrReplaceTempView(
+        "embeddings"
     )
-    samp = (
-        load_table(spark, sf_dir, "embeddings")
-        .filter(
-            F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1)
-            == "0"
-        )
-        .select("vec_id", vec.alias("x"), proj.alias("y"))
-        .orderBy("vec_id")
-        .limit(JL_SAMPLE_K)
-    )
-
-    def dist(a, b):
-        return F.sqrt(
-            F.aggregate(
-                F.zip_with(a, b, lambda p, q: (p - q) * (p - q)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-        )
-
-    a = samp.select(
-        F.col("vec_id").alias("ia"), F.col("x").alias("xa"), F.col("y").alias("ya")
-    )
-    b = samp.select(
-        F.col("vec_id").alias("ib"), F.col("x").alias("xb"), F.col("y").alias("yb")
-    )
-    pairs = (
-        a.join(F.broadcast(b), F.col("ia") < F.col("ib"))
-        .select(
-            (dist(F.col("ya"), F.col("yb"))
-             / dist(F.col("xa"), F.col("xb"))).alias("distortion"),
-            dist(F.col("xa"), F.col("xb")).alias("d0"),
-        )
-        .filter(F.col("d0") > 0)
-    )
-    pcts = F.percentile("distortion", F.array(*[F.lit(q) for q in (0.05, 0.5, 0.95)]))
-    return pairs.agg(
-        F.count("*").alias("n_pairs"),
-        F.round(F.avg("distortion"), 6).alias("mean_distortion"),
-        F.round(F.element_at(pcts, 1), 6).alias("p05"),
-        F.round(F.element_at(pcts, 2), 6).alias("p50"),
-        F.round(F.element_at(pcts, 3), 6).alias("p95"),
-    )
+    signs_sql = "array(" + ", ".join(
+        "array(" + ", ".join(f"{s}D" for s in signs[j]) + ")"
+        for j in range(JL_OUT_DIM)
+    ) + ")"
+    return spark.sql(f"""
+    WITH page AS (
+        SELECT vec_id, CAST(embedding AS array<double>) AS x
+        FROM embeddings
+        WHERE substring(md5(CAST(vec_id AS STRING)), 1, 1) = '0'
+        ORDER BY vec_id
+        LIMIT {JL_SAMPLE_K}
+    ),
+    samp AS (
+        SELECT vec_id, x,
+               transform({signs_sql},
+                   srow -> round(aggregate(zip_with(x, srow,
+                                     (a, b) -> a * b),
+                                 0.0D, (acc, v) -> acc + v)
+                                 * {scale!r}D, 6)) AS y
+        FROM page
+    ),
+    one AS (
+        SELECT flatten(transform(arr,
+                   (ai, i) -> transform(slice(arr, i + 2, size(arr)),
+                       bj -> named_struct('a', ai, 'b', bj)))) AS pairs
+        FROM (SELECT array_sort(collect_list(struct(vec_id, x, y)))
+                  AS arr
+              FROM samp)
+    ),
+    d AS (
+        SELECT sqrt(aggregate(zip_with(p.a.y, p.b.y,
+                        (u, v) -> (u - v) * (u - v)),
+                    0.0D, (acc, w) -> acc + w)) AS dy,
+               sqrt(aggregate(zip_with(p.a.x, p.b.x,
+                        (u, v) -> (u - v) * (u - v)),
+                    0.0D, (acc, w) -> acc + w)) AS d0
+        FROM (SELECT explode(pairs) AS p FROM one)
+    ),
+    dist AS (SELECT dy / d0 AS distortion FROM d WHERE d0 > 0)
+    SELECT COUNT(*) AS n_pairs,
+           round(avg(distortion), 6) AS mean_distortion,
+           round(element_at(percentile(distortion,
+               array(0.05D, 0.5D, 0.95D)), 1), 6) AS p05,
+           round(element_at(percentile(distortion,
+               array(0.05D, 0.5D, 0.95D)), 2), 6) AS p50,
+           round(element_at(percentile(distortion,
+               array(0.05D, 0.5D, 0.95D)), 3), 6) AS p95
+    FROM dist
+    """)

@@ -49,8 +49,6 @@ NESTED_LOOP_OK = {
     "hard_negative_mining",  # anchor batch broadcast: bounded by the
     # mining contract (a training batch, never the corpus)
     "interleave_shards",  # domain-count n_src: 1-row scalar broadcast
-    "jl_distortion_audit",  # 64-row calibration-sample self-pairing
-    # (bounded by JL_SAMPLE_K at any corpus size)
     "join_key_skew_report",  # key-count stats: 1-row scalar broadcast
     "join_size_estimate",  # exact/sample/ndv 1-row stat broadcasts
     # over key-grain count tables
