@@ -29,7 +29,7 @@ from __future__ import annotations
 
 from types import SimpleNamespace
 
-from .operators.asof import asof_join
+from .operators.asof import asof_join, asof_join_forward
 from .operators.classifier import logreg_fit, score_with_weights
 from .operators.dedup import jaccard_scored_pairs, minhash_band_hashes
 from .operators.graph import connected_components, pagerank
@@ -106,7 +106,11 @@ curation = SimpleNamespace(
     l_diversity_cells=l_diversity_cells,
 )
 multimodal = SimpleNamespace(with_media_columns=with_media_columns)
-timeseries = SimpleNamespace(sessionize=sessionize, asof_join=asof_join)
+timeseries = SimpleNamespace(
+    sessionize=sessionize,
+    asof_join=asof_join,
+    asof_join_forward=asof_join_forward,
+)
 stats = SimpleNamespace(categorical_mi=categorical_mi)
 skew = SimpleNamespace(
     salted_count_by_key=salted_count_by_key,

@@ -163,3 +163,130 @@ def range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+ASOF_FWD_TOL_US = 7 * 24 * 3600 * 1_000_000  # 7-day forward window
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts: str,
+    order_col: str,
+    right_cols: list[str],
+    tol_us: int = ASOF_FWD_TOL_US,
+) -> DataFrame:
+    """Forward as-of join: for each left row, the FIRST right row with
+    ``right.ts >= left.ts`` per key, within a tolerance — the
+    did-it-convert direction of `asof_join` (click -> next purchase,
+    alert -> next deploy). Same scalable restatement: union + ONE
+    window, here first(ignorenulls) over the FORWARD frame; equal
+    timestamps count as matches (left sorts before right on the tag),
+    ties among rights break on ``order_col``. Rows whose match falls
+    outside ``tol_us`` get NULLs. One shuffle on (key), linear scan —
+    no per-row range probe."""
+    lt = left.withColumn("_side", F.lit(0))
+    rt = right.select(key, ts, order_col, *right_cols).withColumn(
+        "_side", F.lit(1)
+    )
+    merged = lt.unionByName(rt, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(key)
+        .orderBy(ts, "_side", order_col)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    rmark = F.when(F.col("_side") == 1, F.unix_micros(F.col(ts)))
+    carried = merged.select(
+        "*",
+        F.first(rmark, ignorenulls=True).over(w).alias("_rts_us"),
+        *[
+            F.first(
+                F.when(F.col("_side") == 1, F.col(c)), ignorenulls=True
+            )
+            .over(w)
+            .alias(f"next_{c}")
+            for c in right_cols
+        ],
+    )
+    gap = F.col("_rts_us") - F.unix_micros(F.col(ts))
+    in_tol = F.col("_rts_us").isNotNull() & (gap <= tol_us)
+    return (
+        carried.filter(F.col("_side") == 0)
+        .select(
+            *left.columns,
+            F.when(in_tol, gap).alias("gap_us"),
+            *[
+                F.when(in_tol, F.col(f"next_{c}")).alias(f"next_{c}")
+                for c in right_cols
+            ],
+        )
+    )
+
+
+@query(
+    "asof_forward_attribution",
+    oracle=f"""
+    WITH clicks AS (
+        SELECT user_id, ts, event_id FROM events
+        WHERE event_type = 'click'
+    ), purchases AS (
+        SELECT user_id, ts, event_id, value FROM events
+        WHERE event_type = 'purchase'
+    ), matched AS (
+        SELECT c.event_id, c.user_id,
+               n.gap_us, n.purchase_value
+        FROM clicks c LEFT JOIN LATERAL (
+            SELECT epoch_us(p.ts) - epoch_us(c.ts) AS gap_us,
+                   p.value AS purchase_value
+            FROM purchases p
+            WHERE p.user_id = c.user_id AND p.ts >= c.ts
+            ORDER BY p.ts, p.event_id
+            LIMIT 1
+        ) n ON TRUE
+    )
+    SELECT event_id, user_id,
+           CASE WHEN gap_us <= {ASOF_FWD_TOL_US}
+                THEN gap_us END AS gap_us,
+           CASE WHEN gap_us <= {ASOF_FWD_TOL_US}
+                THEN ROUND(purchase_value, 6) END
+               AS next_purchase_value
+    FROM matched
+    ORDER BY event_id
+    """,
+)
+def asof_forward_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Forward attribution: every click joined to the FIRST purchase
+    at-or-after it by the same user within 7 days — the conversion
+    question `last_touch_attribution` answers from the purchase side,
+    here from the exposure side, and the forward complement of
+    `asof_join_events`. The oracle is a correlated LATERAL
+    first-match (a per-row probe DuckDB can afford at oracle scale);
+    the engine runs the union + one forward window restatement that
+    stays linear per key at 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.col("value").alias("purchase_value"),
+    )
+    out = asof_join_forward(
+        clicks,
+        purchases,
+        key="user_id",
+        ts="ts",
+        order_col="event_id",
+        right_cols=["purchase_value"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "gap_us",
+        F.round("next_purchase_value", 6).alias("next_purchase_value"),
+    ).orderBy("event_id")

@@ -710,3 +710,37 @@ def test_ab_lift_bootstrap_detects_planted_effect(spark, tmp_path):
     sf2 = _write(spark, tmp_path / "flat", "orders", ORD_SCHEMA, rows2)
     row2 = ab_lift_bootstrap(spark, sf2).collect()[0]
     assert not row2["significant"]
+
+
+def test_asof_forward_matches_first_purchase_within_tolerance(
+    spark, tmp_path
+):
+    """Equal-timestamp purchases count; ties break on event_id; a
+    match past 7 days nulls out; users without purchases null out."""
+    import datetime
+
+    from citeconnect_datapipeline_spark.operators.timeseries import (  # noqa: F401
+        SESSION_GAP_MIN,
+    )
+    from citeconnect_datapipeline_spark.operators.asof import (
+        asof_forward_attribution,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def ev(eid, sec, user, typ, val=1.0):
+        return (eid, t0 + datetime.timedelta(seconds=sec), user, typ, val, "{}")
+
+    rows = [
+        ev(1, 0, 1, "click"),
+        ev(2, 0, 1, "purchase", 5.0),   # same instant: matches
+        ev(3, 0, 1, "purchase", 9.0),   # same ts, larger event_id: loses
+        ev(10, 0, 2, "click"),
+        ev(11, 8 * 24 * 3600, 2, "purchase", 7.0),  # 8 days: out of tol
+        ev(20, 0, 3, "click"),  # no purchase at all
+    ]
+    sf = _write(spark, tmp_path, "events", _ev_schema(), rows)
+    got = {r["event_id"]: r for r in asof_forward_attribution(spark, sf).collect()}
+    assert got[1]["next_purchase_value"] == 5.0 and got[1]["gap_us"] == 0
+    assert got[10]["next_purchase_value"] is None
+    assert got[20]["gap_us"] is None
