@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""Pre-release audit battery with the library facade (api.py).
+
+Before a curated corpus ships, a release manager runs four audits:
+the two privacy gates (k-anonymity cell sizes, l-diversity of the
+sensitive attribute within each cell), a column-association screen
+(does an innocuous attribute predict the sensitive one?), and a
+forward as-of check that the release's event log can attribute
+conversions. All expressed against ``api.*`` DataFrame functions —
+no benchmark lake layout.
+
+Usage:
+    python examples/release_audits.py
+"""
+
+import datetime
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+
+def audit(spark, people, events):
+    """people(region, age_band, condition) + events(user_id, ts,
+    event_id, kind, amount) -> dict of audit DataFrames."""
+    from citeconnect_datapipeline_spark import api
+
+    k_cells = api.curation.k_anonymity_cells(
+        people, ["region", "age_band"]
+    )
+    l_cells = api.curation.l_diversity_cells(
+        people, ["region", "age_band"], "condition"
+    )
+    assoc = api.stats.categorical_mi(
+        people, "region", "condition", "region~condition"
+    )
+    exposures = events.filter(F.col("kind") == "exposure")
+    outcomes = events.filter(F.col("kind") == "outcome").select(
+        "user_id", "ts", "event_id", F.col("amount").alias("outcome_amount")
+    )
+    attributed = api.timeseries.asof_join_forward(
+        exposures,
+        outcomes,
+        key="user_id",
+        ts="ts",
+        order_col="event_id",
+        right_cols=["outcome_amount"],
+    )
+    return {
+        "k_anonymity": k_cells,
+        "l_diversity": l_cells,
+        "association": assoc,
+        "attribution": attributed,
+    }
+
+
+def main() -> None:
+    from citeconnect_datapipeline_spark.session import get_spark
+
+    spark = get_spark()
+    people = spark.createDataFrame(
+        [
+            ("west", "30-39", "a"),
+            ("west", "30-39", "b"),
+            ("west", "30-39", "c"),
+            ("west", "30-39", "a"),
+            ("west", "30-39", "b"),
+            ("east", "40-49", "a"),
+            ("east", "40-49", "a"),  # k-safe only if k <= 2; homogeneous
+        ],
+        "region string, age_band string, condition string",
+    )
+    t0 = datetime.datetime(2024, 1, 1)
+    events = spark.createDataFrame(
+        [
+            (1, t0, 100, "exposure", 0.0),
+            (1, t0 + datetime.timedelta(hours=2), 101, "outcome", 9.5),
+            (2, t0, 102, "exposure", 0.0),
+        ],
+        "user_id long, ts timestamp, event_id long, kind string,"
+        " amount double",
+    )
+    for name, df in audit(spark, people, events).items():
+        print(f"== {name}")
+        df.show(truncate=False)
+
+
+if __name__ == "__main__":
+    main()

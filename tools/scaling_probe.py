@@ -50,6 +50,16 @@ DEFAULT_QUERIES = (
     "theta_overlap_portable",
     "hll_distinct_portable",
     "semantic_dedup_portable",
+    # round-6 second-session operators: the LR twin pins a 257-row
+    # model per round (growth = feature-pass cost), BPE iterates the
+    # Heaps-bounded vocab (sub-linear), k-core peels the support-
+    # pruned edge list, and the session/pattern family is one
+    # user-keyed window pass (linear)
+    "logreg_adagrad_portable",
+    "bpe_portable",
+    "kcore_peel_stats",
+    "event_pattern_detect",
+    "ab_lift_bootstrap",
 )
 
 
