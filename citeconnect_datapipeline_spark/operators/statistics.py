@@ -1641,3 +1641,128 @@ def ab_lift_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "incremental_stats_merge",
+    oracle="""
+    WITH runs AS (
+        SELECT CAST(strftime(o_orderdate, '%Y') AS INTEGER) AS run_y,
+               o_totalprice AS x
+        FROM orders
+    ),
+    partials AS (
+        SELECT run_y, CAST(COUNT(*) AS BIGINT) AS n,
+               AVG(x) AS mean,
+               SUM((x - (SELECT AVG(x) FROM runs r2
+                         WHERE r2.run_y = runs.run_y))
+                   * (x - (SELECT AVG(x) FROM runs r2
+                           WHERE r2.run_y = runs.run_y))) AS m2
+        FROM runs GROUP BY run_y
+    ),
+    gtot AS (
+        SELECT SUM(n) AS gn, SUM(n * mean) / SUM(n) AS gmean
+        FROM partials
+    ),
+    merged AS (
+        SELECT g.gn AS n, g.gmean AS mean,
+               SUM(p.m2) + SUM(p.n * (p.mean - g.gmean)
+                               * (p.mean - g.gmean)) AS m2
+        FROM partials p CROSS JOIN gtot g
+        GROUP BY g.gn, g.gmean
+    ),
+    direct AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n, AVG(x) AS mean,
+               SUM((x - (SELECT AVG(x) FROM runs))
+                   * (x - (SELECT AVG(x) FROM runs))) AS m2
+        FROM runs
+    )
+    SELECT 'run_' || CAST(run_y AS VARCHAR) AS grain,
+           CAST(n AS BIGINT) AS n,
+           ROUND(mean, 4) AS mean,
+           ROUND(m2 / n, 0) AS var_pop
+    FROM partials
+    UNION ALL
+    SELECT 'merged', CAST(n AS BIGINT), ROUND(mean, 4),
+           ROUND(m2 / n, 0) FROM merged
+    UNION ALL
+    SELECT 'direct', CAST(n AS BIGINT), ROUND(mean, 4),
+           ROUND(m2 / n, 0) FROM direct
+    ORDER BY grain
+    """,
+)
+def incremental_stats_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable moment statistics — the incremental-reporting
+    discipline in its simplest certifiable form: each ingest run
+    (order year here) keeps only (n, mean, M2); a new global mean and
+    variance come from MERGING those partials with Chan's parallel
+    update (M2 = sum M2_i + sum n_i*(mean_i - mean)^2), NEVER by
+    rescanning history. The output stacks the per-run partials, the
+    MERGED global, and the DIRECT single-pass global — merged ==
+    direct row-for-row IS the certificate, hash-verified on both
+    engines (the same contract the HLL/KLL `sketch_rollup` proves for
+    approximate state, here exact).
+
+    Scale shape: one run-grain aggregate over the corpus, then
+    arithmetic over |runs| rows; the direct pass exists only to
+    certify the merge. Means round at 4 dp and variances at whole
+    units before comparison so fp association order can't flip the
+    certificate."""
+    orders = load_table(spark, sf_dir, "orders")
+    runs = orders.select(
+        F.year("o_orderdate").alias("run_y"),
+        F.col("o_totalprice").alias("x"),
+    )
+    partials = runs.groupBy("run_y").agg(
+        F.count("*").alias("n"),
+        F.avg("x").alias("mean"),
+        (F.var_pop("x") * F.count("*")).alias("m2"),
+    )
+    tot = Window.partitionBy()
+    gmean = F.sum(F.col("n") * F.col("mean")).over(tot) / F.sum("n").over(
+        tot
+    )
+    merged = (
+        partials.select(
+            "n",
+            "mean",
+            "m2",
+            gmean.alias("gmean"),
+        )
+        .groupBy()
+        .agg(
+            F.sum("n").alias("n"),
+            F.first("gmean").alias("mean"),
+            (
+                F.sum("m2")
+                + F.sum(
+                    F.col("n")
+                    * (F.col("mean") - F.col("gmean"))
+                    * (F.col("mean") - F.col("gmean"))
+                )
+            ).alias("m2"),
+        )
+    )
+    direct = runs.agg(
+        F.count("*").alias("n"),
+        F.avg("x").alias("mean"),
+        (F.var_pop("x") * F.count("*")).alias("m2"),
+    )
+
+    def fmt(df: DataFrame, grain) -> DataFrame:
+        return df.select(
+            grain.alias("grain"),
+            F.col("n").cast("bigint").alias("n"),
+            F.round("mean", 4).alias("mean"),
+            # variance of a ~2.5e5-scale metric is ~2e10: whole-unit
+            # rounding absorbs the ~1e-3 fp association noise the
+            # merge certificate must be immune to
+            F.round(F.col("m2") / F.col("n"), 0).alias("var_pop"),
+        )
+
+    return (
+        fmt(partials, F.concat(F.lit("run_"), F.col("run_y").cast("string")))
+        .unionAll(fmt(merged, F.lit("merged")))
+        .unionAll(fmt(direct, F.lit("direct")))
+        .orderBy("grain")
+    )

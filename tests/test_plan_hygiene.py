@@ -136,6 +136,8 @@ UNPARTITIONED_WINDOW_OK = {
     # per-method counts
     "group_size_median",  # median over per-mktsegment counts
     "hybrid_rrf_search",  # ranks over two top-k candidate sets
+    "incremental_stats_merge",  # global-mean fold over the per-run
+    # partials table (bounded by the number of ingest runs/years)
     "interleave_shards",  # over per-source counts
     "join_key_skew_report",  # rank over the top-k limited key slice
     "ks_drift_statistic",  # ECDF cumsums over the bounded bin table

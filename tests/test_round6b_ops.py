@@ -744,3 +744,42 @@ def test_asof_forward_matches_first_purchase_within_tolerance(
     assert got[1]["next_purchase_value"] == 5.0 and got[1]["gap_us"] == 0
     assert got[10]["next_purchase_value"] is None
     assert got[20]["gap_us"] is None
+
+
+def test_incremental_stats_merge_certificate_holds(spark, tmp_path):
+    """Merged-from-partials must equal the direct single pass on a
+    crafted two-run corpus with hand-computable moments."""
+    import datetime
+
+    from pyspark.sql.types import DoubleType, TimestampType
+
+    from citeconnect_datapipeline_spark.operators.statistics import (
+        incremental_stats_merge,
+    )
+
+    ORD_SCHEMA = StructType(
+        [
+            StructField("o_orderkey", LongType()),
+            StructField("o_custkey", LongType()),
+            StructField("o_orderstatus", StringType()),
+            StructField("o_totalprice", DoubleType()),
+            StructField("o_orderdate", TimestampType()),
+            StructField("o_orderpriority", StringType()),
+        ]
+    )
+    rows = []
+    # run 2023: values 1..4 (mean 2.5, var_pop 1.25)
+    for i, v in enumerate((1.0, 2.0, 3.0, 4.0)):
+        rows.append((i, i, "O", v, datetime.datetime(2023, 6, 1), "P"))
+    # run 2024: values 10, 20 (mean 15, var_pop 25)
+    for i, v in enumerate((10.0, 20.0)):
+        rows.append((10 + i, i, "O", v, datetime.datetime(2024, 6, 1), "P"))
+    sf = _write(spark, tmp_path, "orders", ORD_SCHEMA, rows)
+    got = {r["grain"]: r for r in incremental_stats_merge(spark, sf).collect()}
+    assert got["run_2023"]["var_pop"] == 1.0  # round(1.25, 0) banker?
+    assert got["run_2024"]["mean"] == 15.0
+    assert got["merged"]["n"] == got["direct"]["n"] == 6
+    assert got["merged"]["mean"] == got["direct"]["mean"]
+    assert got["merged"]["var_pop"] == got["direct"]["var_pop"]
+    # direct: mean 40/6 = 6.6667; var = E[x^2]-mean^2
+    assert abs(got["direct"]["mean"] - round(40 / 6, 4)) < 1e-9
