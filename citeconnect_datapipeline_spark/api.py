@@ -50,6 +50,7 @@ from .operators.training import (
     label_outliers,
 )
 from .operators.skew import (
+    zorder_value,
     replicated_broadcast_join,
     salted_count_by_key,
     salted_sum_by_key,
@@ -113,6 +114,7 @@ timeseries = SimpleNamespace(
 )
 stats = SimpleNamespace(categorical_mi=categorical_mi)
 skew = SimpleNamespace(
+    zorder_value=zorder_value,
     salted_count_by_key=salted_count_by_key,
     salted_sum_by_key=salted_sum_by_key,
     replicated_broadcast_join=replicated_broadcast_join,

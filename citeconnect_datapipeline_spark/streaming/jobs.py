@@ -370,3 +370,73 @@ def foreach_batch_cdc_apply(
     )
     q.awaitTermination(180)
     return q
+
+
+def debounce_stream(events: DataFrame, gap_sec: int = 5) -> DataFrame:
+    """Streaming twin of the batch `event_debounce` operator
+    (operators/timeseries.py): per (user_id, event_type) signal, emit
+    ONLY the first event of each burst — an event survives iff it
+    arrives more than ``gap_sec`` after the previous event of its
+    signal. State per key is ONE long (the last event-time seen), so
+    the state store is O(active signals) with no raw events retained;
+    the debounce decision is made once, at ingest, instead of by
+    every downstream consumer re-running the batch window.
+
+    Ordering contract: event-time order within each micro-batch is
+    restored per key (sort on ts, event_id); across batches the
+    source must deliver in event-time order (the file-source replay
+    guarantee in tests) or late events are judged against the newest
+    timestamp seen — the same arrival-order semantics
+    `late_arrival_audit` measures."""
+    from pyspark.sql.streaming.state import (
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    out_schema = (
+        "user_id bigint, event_type string, event_id bigint,"
+        " ts timestamp"
+    )
+    state_schema = "last_us bigint"
+    gap_us = gap_sec * 1_000_000
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        last_us = state.get[0] if state.exists else None
+        kept = {"event_id": [], "ts_us": []}
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for eid, ts_us in zip(
+                pdf["event_id"],
+                pdf["ts"].astype("int64") // 1000,
+            ):
+                ts_us = int(ts_us)
+                if last_us is None or ts_us - last_us > gap_us:
+                    kept["event_id"].append(int(eid))
+                    kept["ts_us"].append(ts_us)
+                last_us = ts_us
+        if last_us is not None:
+            state.update((int(last_us),))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(kept["event_id"]),
+                "event_type": [key[1]] * len(kept["event_id"]),
+                "event_id": kept["event_id"],
+                "ts": pd.to_datetime(
+                    pd.Series(kept["ts_us"], dtype="int64") * 1000
+                ),
+            }
+        )
+
+    return (
+        events.select("user_id", "event_type", "event_id", "ts")
+        .groupBy("user_id", "event_type")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

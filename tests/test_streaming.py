@@ -9,6 +9,7 @@ import tempfile
 
 import pytest
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from citeconnect_datapipeline_spark.streaming import jobs
@@ -473,3 +474,65 @@ def test_neardup_ingest_reconciles_crash_window(spark, tmp_path):
     assert 5000 in stored
     # a healthy store reconciles to a no-op
     assert reconcile_store(spark, store) == 0
+
+
+def test_debounce_stream_matches_batch_flags(spark, tmp_path):
+    """Streaming debounce (applyInPandasWithState, one long of state
+    per signal) must keep exactly the rows the batch gaps-and-islands
+    flag keeps, across event-time-ordered micro-batches."""
+    from citeconnect_datapipeline_spark.sources.tables import load_table
+    from citeconnect_datapipeline_spark.streaming.jobs import (
+        debounce_stream,
+        run_to_memory,
+    )
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    # event-time-ordered tertiles -> ordered micro-batch replay
+    cuts = events.agg(
+        F.percentile(F.unix_micros("ts"), F.lit(1 / 3)).alias("c1"),
+        F.percentile(F.unix_micros("ts"), F.lit(2 / 3)).alias("c2"),
+    ).first()
+    us = F.unix_micros(F.col("ts"))
+    src = tmp_path / "debounce_src"
+    events.filter(us <= cuts["c1"]).coalesce(1).write.parquet(
+        str(src / "f0")
+    )
+    events.filter((us > cuts["c1"]) & (us <= cuts["c2"])).coalesce(
+        1
+    ).write.parquet(str(src / "f1"))
+    events.filter(us > cuts["c2"]).coalesce(1).write.parquet(
+        str(src / "f2")
+    )
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    # sf0.001 events are sparse: a 1-hour gap makes bursts real so
+    # the test exercises both keep and drop paths
+    gap_sec = 3600
+    out = debounce_stream(stream, gap_sec=gap_sec)
+    run_to_memory(out, "debounced", output_mode="append")
+    kept_stream = {
+        int(r["event_id"]) for r in spark.table("debounced").collect()
+    }
+
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    prev_us = F.unix_micros(F.lag("ts").over(w))
+    kept_batch = {
+        int(r["event_id"])
+        for r in events.withColumn(
+            "keep",
+            prev_us.isNull()
+            | (F.unix_micros(F.col("ts")) - prev_us > gap_sec * 1_000_000),
+        )
+        .filter(F.col("keep"))
+        .collect()
+    }
+    assert kept_stream == kept_batch
+    assert 0 < len(kept_stream) < events.count()
