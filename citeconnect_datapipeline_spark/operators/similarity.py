@@ -975,24 +975,40 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     emb = load_table(spark, sf_dir, "embeddings")
+    vec = F.col("embedding").cast("array<double>")
+    qvec = F.col("qvec").cast("array<double>")
+    # norms precomputed ONCE PER ROW on each side before the join:
+    # the per-pair work is then a single dot fold + one division —
+    # arithmetically identical to _cosine (dot/(sqrt*sqrt), same op
+    # order) but 3x fewer in-row folds across the anchors x
+    # candidates product (measured ~2 s -> ~1 s at sf0.1)
     q = emb.filter(
         F.col("vec_id") % HARDNEG_QUERY_STRIDE == 0
     ).select(
         F.col("vec_id").alias("q_id"),
         F.col("label").alias("q_label"),
         F.col("embedding").alias("qvec"),
+        F.sqrt(_dot(vec, vec)).alias("q_norm"),
     )
-    vec = F.col("embedding").cast("array<double>")
-    qvec = F.col("qvec").cast("array<double>")
+    cand = emb.select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.sqrt(_dot(vec, vec)).alias("c_norm"),
+    )
     scored = (
-        emb.join(F.broadcast(q))
+        cand.join(F.broadcast(q))
         .filter(F.col("label") != F.col("q_label"))
         .select(
             "q_id",
             "q_label",
             F.col("vec_id").alias("neg_id"),
             F.col("label").alias("neg_label"),
-            F.round(_cosine(vec, qvec), 6).alias("similarity"),
+            F.round(
+                _dot(vec, qvec)
+                / (F.col("c_norm") * F.col("q_norm")),
+                6,
+            ).alias("similarity"),
         )
     )
     w = Window.partitionBy("q_id").orderBy(
