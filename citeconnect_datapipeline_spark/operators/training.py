@@ -1881,3 +1881,219 @@ def source_divergence_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+KFOLD_K = 5
+_KF_HEX = "0123456789abcdef"
+
+
+@query(
+    "kfold_assignment_audit",
+    oracle=f"""
+    WITH ev AS (
+        SELECT event_id, user_id,
+               (strpos('{_KF_HEX}', substr(
+                    md5(CAST(user_id AS VARCHAR)), 1, 1)) - 1)
+                   % {KFOLD_K} AS gfold,
+               (strpos('{_KF_HEX}', substr(
+                    md5(CAST(event_id AS VARCHAR)), 1, 1)) - 1)
+                   % {KFOLD_K} AS rfold
+        FROM events
+    ),
+    assigned AS (
+        SELECT 'grouped' AS method, gfold AS fold, event_id, user_id
+        FROM ev
+        UNION ALL
+        SELECT 'record', rfold, event_id, user_id FROM ev
+    ),
+    leak AS (
+        SELECT method,
+               ROUND(AVG(nf), 6) AS mean_folds_per_user
+        FROM (
+            SELECT method, user_id,
+                   COUNT(DISTINCT fold) AS nf
+            FROM assigned GROUP BY method, user_id
+        ) GROUP BY method
+    )
+    SELECT a.method, CAST(a.fold AS BIGINT) AS fold,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users,
+           l.mean_folds_per_user
+    FROM assigned a JOIN leak l USING (method)
+    GROUP BY a.method, a.fold, l.mean_folds_per_user
+    ORDER BY a.method, a.fold
+    """,
+)
+def kfold_assignment_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped k-fold assignment with its leakage certificate — the
+    cross-validation split an ML pipeline must use when rows share an
+    entity (all of a user's events belong to ONE fold, or the model
+    grades itself on users it has seen): folds come from md5 of the
+    GROUP key, deterministic and engine-portable, side-by-side with
+    the naive record-level assignment. The per-method
+    mean_folds_per_user column IS the audit: exactly 1.0 for grouped
+    (no user crosses a fold boundary), ~{KFOLD_K} - the birthday slack
+    for record-level — the quantified reason sklearn's GroupKFold
+    exists, here as a lake-scale operator.
+
+    Scale shape: fold assignment is per-row hash arithmetic in
+    codegen; the audit aggregates are (method, user) then (method,
+    fold) grain — two map-side-combinable shuffles, no window, no
+    broadcast of anything unbounded."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def fold_of(col):
+        return (
+            F.instr(F.lit(_KF_HEX), F.substring(F.md5(col.cast("string")), 1, 1))
+            - 1
+        ) % KFOLD_K
+
+    base = ev.select(
+        "event_id",
+        "user_id",
+        fold_of(F.col("user_id")).alias("gfold"),
+        fold_of(F.col("event_id")).alias("rfold"),
+    )
+    assigned = base.select(
+        F.lit("grouped").alias("method"),
+        F.col("gfold").alias("fold"),
+        "event_id",
+        "user_id",
+    ).unionAll(
+        base.select(
+            F.lit("record").alias("method"),
+            F.col("rfold").alias("fold"),
+            "event_id",
+            "user_id",
+        )
+    )
+    leak = (
+        assigned.groupBy("method", "user_id")
+        .agg(F.countDistinct("fold").alias("nf"))
+        .groupBy("method")
+        .agg(F.round(F.avg("nf"), 6).alias("mean_folds_per_user"))
+    )
+    return (
+        assigned.groupBy("method", "fold")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .join(F.broadcast(leak), "method")
+        .select(
+            "method",
+            F.col("fold").cast("bigint").alias("fold"),
+            "n_events",
+            "n_users",
+            "mean_folds_per_user",
+        )
+        .orderBy("method", "fold")
+    )
+
+
+TS_SPLIT_Q = 0.8  # train fraction by event time
+TS_EMBARGO_US = 86400000000  # 1-day purge window after the cutoff
+
+
+@query(
+    "temporal_split_audit",
+    oracle=f"""
+    WITH cut AS (
+        SELECT quantile_cont(epoch_us(ts), {TS_SPLIT_Q}) AS c
+        FROM events
+    ),
+    labeled AS (
+        SELECT e.user_id, e.ts,
+               CASE WHEN epoch_us(e.ts) <= c.c THEN 'train'
+                    WHEN epoch_us(e.ts) <= c.c + {TS_EMBARGO_US}
+                        THEN 'embargo'
+                    ELSE 'test' END AS split
+        FROM events e CROSS JOIN cut c
+    ),
+    xing AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS users_in_train_and_test
+        FROM (
+            SELECT user_id FROM labeled GROUP BY user_id
+            HAVING COUNT(DISTINCT split) FILTER (
+                WHERE split IN ('train', 'test')) = 2
+        )
+    )
+    SELECT l.split, CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(COUNT(*) * 1.0 / SUM(COUNT(*)) OVER (), 6) AS share,
+           strftime(MIN(l.ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
+           strftime(MAX(l.ts), '%Y-%m-%d %H:%M:%S') AS last_ts,
+           x.users_in_train_and_test
+    FROM labeled l CROSS JOIN xing x
+    GROUP BY l.split, x.users_in_train_and_test
+    ORDER BY l.split
+    """,
+)
+def temporal_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based train/test split with an EMBARGO — the split
+    financial-ML and forecasting pipelines require (a random split
+    leaks the future into training; rows straddling the boundary
+    leak through label horizons): train = events up to the 80th
+    time percentile, then a 1-day embargo purged entirely, test =
+    the rest. The output is the audit a reviewer signs: per-split
+    volume, share, and time range (the embargo row shows what the
+    purge cost), plus the count of users present in BOTH train and
+    test — the entity-overlap figure that says whether user-level
+    memorization can masquerade as forecasting skill (pair with
+    `kfold_assignment_audit`'s grouped folds when it must be zero).
+
+    Scale shape: one percentile reduce for the cutoff (1-row
+    broadcast, the dsir-threshold pattern), one labeling pass in
+    codegen, user-grain and split-grain aggregates — no window over
+    raw rows, no unbounded state."""
+    ev = load_table(spark, sf_dir, "events")
+    cut = ev.agg(
+        F.percentile(F.unix_micros("ts"), F.lit(TS_SPLIT_Q)).alias("c")
+    )
+    us = F.unix_micros(F.col("ts"))
+    labeled = ev.crossJoin(F.broadcast(cut)).select(
+        "user_id",
+        "ts",
+        F.when(us <= F.col("c"), "train")
+        .when(us <= F.col("c") + TS_EMBARGO_US, "embargo")
+        .otherwise("test")
+        .alias("split"),
+    )
+    xing = (
+        labeled.filter(F.col("split").isin("train", "test"))
+        .groupBy("user_id")
+        .agg(F.countDistinct("split").alias("ns"))
+        .filter(F.col("ns") == 2)
+        .agg(F.count("*").alias("users_in_train_and_test"))
+    )
+    tot = Window.partitionBy()
+    return (
+        labeled.groupBy("split")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "first_ts"
+            ),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "last_ts"
+            ),
+        )
+        .select(
+            "split",
+            "n_events",
+            F.round(
+                F.col("n_events") * 1.0 / F.sum("n_events").over(tot), 6
+            ).alias("share"),
+            "first_ts",
+            "last_ts",
+        )
+        .crossJoin(F.broadcast(xing))
+        .select(
+            "split",
+            "n_events",
+            "share",
+            "first_ts",
+            "last_ts",
+            "users_in_train_and_test",
+        )
+        .orderBy("split")
+    )

@@ -54,6 +54,8 @@ NESTED_LOOP_OK = {
     # over key-grain count tables
     "k_anonymity_audit",  # 1-row population-total scalar broadcast
     # over the qid-grain cell table
+    "kfold_assignment_audit",  # per-method leak-metric broadcast
+    # (bounded by the method x fold grid)
     "ks_drift_statistic",  # cohort totals + bin count: two 1-row
     # scalar broadcasts over the bounded bin table
     "lm_perplexity_buckets",  # smoothing denominator V + tertile
@@ -72,6 +74,8 @@ NESTED_LOOP_OK = {
     "theta_overlap_portable",  # pair grid over the handful of event
     # types x the K-row-per-type KMV sketch — both sides sketch-
     # bounded (K=64/type at any corpus size), never corpus-grain
+    "temporal_split_audit",  # 1-row percentile cutoff + 1-row
+    # crossing-users broadcasts (dsir threshold pattern)
     "tfidf_top_terms",  # corpus-size 1-row broadcast (was a
     # driver-side docs.count() barrier before round 3)
     "top_decile_mean",
@@ -136,6 +140,8 @@ UNPARTITIONED_WINDOW_OK = {
     # per-method counts
     "group_size_median",  # median over per-mktsegment counts
     "hybrid_rrf_search",  # ranks over two top-k candidate sets
+    "temporal_split_audit",  # share-of-total over the 3-row split
+    # table (bounded by the split labels)
     "incremental_stats_merge",  # global-mean fold over the per-run
     # partials table (bounded by the number of ingest runs/years)
     "interleave_shards",  # over per-source counts

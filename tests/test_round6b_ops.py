@@ -783,3 +783,62 @@ def test_incremental_stats_merge_certificate_holds(spark, tmp_path):
     assert got["merged"]["var_pop"] == got["direct"]["var_pop"]
     # direct: mean 40/6 = 6.6667; var = E[x^2]-mean^2
     assert abs(got["direct"]["mean"] - round(40 / 6, 4)) < 1e-9
+
+
+def test_kfold_grouped_assignment_never_splits_a_user(spark, tmp_path):
+    """Grouped folds must report mean_folds_per_user exactly 1.0;
+    record-level folding of a many-event user must exceed it."""
+    import datetime
+
+    from citeconnect_datapipeline_spark.operators.training import (
+        kfold_assignment_audit,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for user in range(1, 6):  # 5 users x 40 events each
+        for _ in range(40):
+            rows.append((eid, t0, user, "view", 1.0, "{}"))
+            eid += 1
+    sf = _write(spark, tmp_path, "events", _ev_schema(), rows)
+    got = kfold_assignment_audit(spark, sf).collect()
+    by_method = {}
+    for r in got:
+        by_method.setdefault(r["method"], []).append(r)
+    g = by_method["grouped"][0]
+    assert g["mean_folds_per_user"] == 1.0
+    # 40 record-folded events per user touch nearly every fold
+    assert by_method["record"][0]["mean_folds_per_user"] > 3.0
+    assert sum(r["n_events"] for r in by_method["grouped"]) == 200
+
+
+def test_temporal_split_embargo_and_ranges(spark, tmp_path):
+    """The embargo must swallow exactly the day after the cutoff,
+    splits must be time-ordered, and the train∩test user count must
+    surface the planted straddling user."""
+    import datetime
+
+    from citeconnect_datapipeline_spark.operators.training import (
+        temporal_split_audit,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    # user 1: 10 train-era events (hours 0..9) + 1 far test event;
+    # 80th pct of the 13 epochs interpolates to ~15.6h, so the
+    # hour-20 event falls INSIDE the 1-day embargo
+    for eid in range(10):
+        rows.append((eid, t0 + datetime.timedelta(hours=eid), 1, "v", 1.0, "{}"))
+    rows.append((10, t0 + datetime.timedelta(hours=20), 2, "v", 1.0, "{}"))
+    rows.append((11, t0 + datetime.timedelta(days=40), 3, "v", 1.0, "{}"))
+    rows.append((12, t0 + datetime.timedelta(days=41), 1, "v", 1.0, "{}"))
+    sf = _write(spark, tmp_path, "events", _ev_schema(), rows)
+    got = {r["split"]: r for r in temporal_split_audit(spark, sf).collect()}
+    assert set(got) == {"train", "embargo", "test"}
+    assert got["train"]["n_events"] == 10
+    assert got["embargo"]["n_events"] == 1
+    assert got["test"]["n_events"] == 2
+    assert got["train"]["last_ts"] <= got["embargo"]["first_ts"]
+    assert got["embargo"]["last_ts"] <= got["test"]["first_ts"]
+    assert got["train"]["users_in_train_and_test"] == 1  # user 1
