@@ -1079,3 +1079,110 @@ def semantic_dedup_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+@query(
+    "label_centroid_geometry",
+    oracle="""
+    WITH dims AS (
+        SELECT label, u.dim, u.val
+        FROM embeddings,
+             LATERAL (SELECT generate_subscripts(
+                          CAST(embedding AS DOUBLE[]), 1) AS dim,
+                      unnest(CAST(embedding AS DOUBLE[])) AS val) u
+    ),
+    cent AS (
+        SELECT label, dim, AVG(val) AS c
+        FROM dims GROUP BY label, dim
+    ),
+    pair AS (
+        SELECT a.label AS label_a, b.label AS label_b,
+               ROUND(SUM(a.c * b.c)
+                     / (sqrt(SUM(a.c * a.c)) * sqrt(SUM(b.c * b.c))),
+                     6) AS centroid_cosine
+        FROM cent a JOIN cent b ON a.dim = b.dim
+                    AND a.label < b.label
+        GROUP BY a.label, b.label
+    ),
+    disp AS (
+        SELECT d.label,
+               ROUND(AVG((d.val - c.c) * (d.val - c.c)), 6)
+                   AS within_var
+        FROM dims d JOIN cent c ON d.label = c.label
+                    AND d.dim = c.dim
+        GROUP BY d.label
+    )
+    SELECT p.label_a, p.label_b, p.centroid_cosine,
+           da.within_var AS var_a, db.within_var AS var_b
+    FROM pair p
+    JOIN disp da ON da.label = p.label_a
+    JOIN disp db ON db.label = p.label_b
+    ORDER BY p.label_a, p.label_b
+    """,
+)
+def label_centroid_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space class geometry — the representation-quality
+    check run before trusting labels for retrieval eval or
+    classifier training: per label-pair, the cosine between class
+    CENTROIDS (how separated the classes are directionally) beside
+    each class's within-class per-dimension variance (how tight).
+    High centroid cosine + high variance = labels that won't
+    separate; the embedding-space sibling of the token-space
+    `source_divergence_panel`.
+
+    Scale shape: one explode to (label, dim, val), a
+    (label, dim)-grain mean (bounded by |labels| x d), pair cosines
+    over that tiny table, and a dim-keyed join back for the
+    variance — the corpus is scanned twice, every other intermediate
+    is model-sized."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")),
+    ).select("label", (F.col("pos") + 1).alias("dim"), F.col("col").alias("val"))
+    cent = dims.groupBy("label", "dim").agg(F.avg("val").alias("c"))
+    a = cent.select(
+        F.col("label").alias("label_a"), "dim", F.col("c").alias("ca")
+    )
+    b = cent.select(
+        F.col("label").alias("label_b"), "dim", F.col("c").alias("cb")
+    )
+    pair = (
+        a.join(b, ["dim"])
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.round(
+                F.sum(F.col("ca") * F.col("cb"))
+                / (
+                    F.sqrt(F.sum(F.col("ca") * F.col("ca")))
+                    * F.sqrt(F.sum(F.col("cb") * F.col("cb")))
+                ),
+                6,
+            ).alias("centroid_cosine")
+        )
+    )
+    disp = (
+        dims.join(F.broadcast(cent), ["label", "dim"])
+        .groupBy("label")
+        .agg(
+            F.round(
+                F.avg((F.col("val") - F.col("c")) * (F.col("val") - F.col("c"))),
+                6,
+            ).alias("within_var")
+        )
+    )
+    return (
+        pair.join(
+            F.broadcast(disp.select(F.col("label").alias("label_a"),
+                                    F.col("within_var").alias("var_a"))),
+            "label_a",
+        )
+        .join(
+            F.broadcast(disp.select(F.col("label").alias("label_b"),
+                                    F.col("within_var").alias("var_b"))),
+            "label_b",
+        )
+        .select("label_a", "label_b", "centroid_cosine", "var_a", "var_b")
+        .orderBy("label_a", "label_b")
+    )

@@ -15,6 +15,8 @@ query probes a few buckets instead of every row.
 
 from __future__ import annotations
 
+import math
+
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -2118,3 +2120,128 @@ def jl_distortion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                array(0.05D, 0.5D, 0.95D)), 3), 6) AS p95
     FROM dist
     """)
+
+
+RETR_EVAL_STRIDE = 100  # every 100th vector is an eval query
+RETR_EVAL_K = 10
+
+
+@query(
+    "retrieval_ndcg_eval",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS q_id, label AS q_label,
+               CAST(embedding AS DOUBLE[]) AS qvec
+        FROM embeddings
+        WHERE vec_id % {RETR_EVAL_STRIDE} = 0
+    ),
+    scored AS (
+        SELECT q.q_id, q.q_label, e.vec_id, e.label,
+               ROUND(list_cosine_similarity(
+                   CAST(e.embedding AS DOUBLE[]), q.qvec), 6) AS sim
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id <> q.q_id
+    ),
+    ranked AS (
+        SELECT q_id, q_label, label,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY sim DESC, vec_id) AS rnk
+        FROM scored
+    ),
+    topk AS (
+        SELECT q_id,
+               CASE WHEN label = q_label THEN 1.0 ELSE 0.0 END AS rel,
+               rnk
+        FROM ranked WHERE rnk <= {RETR_EVAL_K}
+    ),
+    per_q AS (
+        SELECT t.q_id,
+               SUM(t.rel / log2(t.rnk + 1))
+               / (SELECT SUM(1.0 / log2(i + 1))
+                  FROM (SELECT unnest(range(1, {RETR_EVAL_K} + 1)) AS i))
+                   AS ndcg,
+               COALESCE(MAX(CASE WHEN t.rel = 1.0
+                                 THEN 1.0 / t.rnk END), 0.0) AS rr,
+               SUM(t.rel) / {RETR_EVAL_K} AS prec
+        FROM topk t GROUP BY t.q_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+           ROUND(AVG(ndcg), 6) AS mean_ndcg,
+           ROUND(AVG(rr), 6) AS mrr,
+           ROUND(AVG(prec), 6) AS mean_precision
+    FROM per_q
+    """,
+)
+def retrieval_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-quality evaluation for the retrieval family — the
+    harness that turns `cosine_topk`/`ann_*` from "returns rows"
+    into a measured system: every 100th vector becomes an eval query
+    whose relevant set is its own label; exact-cosine top-10 is
+    scored with nDCG@10 (graded position discount), MRR (first-hit
+    reciprocal rank), and precision@10. These are the numbers an ANN
+    or embedding swap must NOT regress — the recall tests in
+    tests/test_plans.py check the index finds the brute-force page;
+    this operator grades whether the page itself is any good.
+
+    Scale shape: the hard_negative_mining contract — a bounded query
+    batch broadcasts, candidates stream once with norms hoisted
+    per-row, ranks ride the anchor-partitioned window, and the
+    metrics reduce to one row. IDCG is a literal (binary relevance,
+    top-k fully relevant) identical in both engines."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vec = F.col("embedding").cast("array<double>")
+    qvec = F.col("qvec").cast("array<double>")
+    q = emb.filter(F.col("vec_id") % RETR_EVAL_STRIDE == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("qvec"),
+        F.sqrt(_dot(vec, vec)).alias("q_norm"),
+    )
+    cand = emb.select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.sqrt(_dot(vec, vec)).alias("c_norm"),
+    )
+    scored = (
+        cand.join(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "q_label",
+            "vec_id",
+            "label",
+            F.round(
+                _dot(vec, qvec) / (F.col("c_norm") * F.col("q_norm")), 6
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), "vec_id")
+    topk = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= RETR_EVAL_K)
+        .select(
+            "q_id",
+            F.when(F.col("label") == F.col("q_label"), 1.0)
+            .otherwise(0.0)
+            .alias("rel"),
+            "rnk",
+        )
+    )
+    idcg = sum(1.0 / math.log2(i + 1) for i in range(1, RETR_EVAL_K + 1))
+    per_q = topk.groupBy("q_id").agg(
+        (F.sum(F.col("rel") / F.log2(F.col("rnk") + 1)) / F.lit(idcg)).alias(
+            "ndcg"
+        ),
+        F.coalesce(
+            F.max(F.when(F.col("rel") == 1.0, 1.0 / F.col("rnk"))),
+            F.lit(0.0),
+        ).alias("rr"),
+        (F.sum("rel") / RETR_EVAL_K).alias("prec"),
+    )
+    return per_q.agg(
+        F.count("*").alias("n_queries"),
+        F.round(F.avg("ndcg"), 6).alias("mean_ndcg"),
+        F.round(F.avg("rr"), 6).alias("mrr"),
+        F.round(F.avg("prec"), 6).alias("mean_precision"),
+    )

@@ -64,6 +64,8 @@ NESTED_LOOP_OK = {
     "source_kl_divergence",  # 256-row corpus-bucket table + 1-row
     # total: bounded broadcasts building the source x bucket grid
     "mitigation_recommendations",
+    "retrieval_ndcg_eval",  # bounded eval-query batch broadcast
+    # (the hard_negative_mining contract)
     "rfm_segments",  # 1-row max-date + 1-row quartile-cutoff
     # broadcasts folded over customer rows (dsir threshold pattern)
     "mmr_diversified_topk",  # 1-row query-vector broadcast + the 8-row

@@ -842,3 +842,76 @@ def test_temporal_split_embargo_and_ranges(spark, tmp_path):
     assert got["train"]["last_ts"] <= got["embargo"]["first_ts"]
     assert got["embargo"]["last_ts"] <= got["test"]["first_ts"]
     assert got["train"]["users_in_train_and_test"] == 1  # user 1
+
+
+def test_retrieval_ndcg_eval_on_planted_geometry(spark, tmp_path):
+    """One eval query whose label-mates are its nearest neighbors
+    must score ndcg=mrr=1; precision@10 = share of relevant in the
+    top-10 (5 mates planted among 20 candidates)."""
+    from pyspark.sql.types import ArrayType, FloatType, IntegerType
+
+    from citeconnect_datapipeline_spark.operators.similarity import (
+        retrieval_ndcg_eval,
+    )
+
+    EMB = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(FloatType())),
+            StructField("label", IntegerType()),
+        ]
+    )
+    rows = [(0, [1.0, 0.0, 0.0, 0.0], 7)]  # the eval query (id % 100 == 0)
+    vid = 1
+    for k in range(5):  # label-mates hugging the query direction
+        rows.append((vid, [1.0, 0.01 * (k + 1), 0.0, 0.0], 7))
+        vid += 1
+    for k in range(15):  # off-label, orthogonal-ish
+        rows.append((vid, [0.1, 0.0, 1.0, 0.05 * k], 1))
+        vid += 1
+    sf = _write(spark, tmp_path, "embeddings", EMB, rows)
+    row = retrieval_ndcg_eval(spark, sf).collect()[0]
+    assert row["n_queries"] == 1
+    assert row["mrr"] == 1.0
+    assert row["mean_precision"] == 0.5  # 5 relevant of top-10
+    # all 5 mates occupy ranks 1-5 -> ndcg = sum(1/log2(i+1), i<=5)/idcg
+    import math as m
+
+    idcg = sum(1 / m.log2(i + 1) for i in range(1, 11))
+    dcg = sum(1 / m.log2(i + 1) for i in range(1, 6))
+    assert abs(row["mean_ndcg"] - round(dcg / idcg, 6)) < 1e-6
+
+
+def test_label_centroid_geometry_separates_classes(spark, tmp_path):
+    """Orthogonal tight classes must show ~0 centroid cosine and ~0
+    within-variance; a class parallel to another must show ~1."""
+    from pyspark.sql.types import ArrayType, FloatType, IntegerType
+
+    from citeconnect_datapipeline_spark.operators.clustering import (
+        label_centroid_geometry,
+    )
+
+    EMB = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(FloatType())),
+            StructField("label", IntegerType()),
+        ]
+    )
+    rows = []
+    vid = 0
+    for _ in range(10):  # label 0: +x, tight
+        rows.append((vid, [1.0, 0.0], 0)); vid += 1
+    for _ in range(10):  # label 1: +y, tight
+        rows.append((vid, [0.0, 1.0], 1)); vid += 1
+    for k in range(10):  # label 2: +x but scaled (parallel to 0)
+        rows.append((vid, [2.0 + 0.1 * k, 0.0], 2)); vid += 1
+    sf = _write(spark, tmp_path, "embeddings", EMB, rows)
+    got = {
+        (r["label_a"], r["label_b"]): r
+        for r in label_centroid_geometry(spark, sf).collect()
+    }
+    assert abs(got[(0, 1)]["centroid_cosine"]) < 1e-6
+    assert abs(got[(0, 2)]["centroid_cosine"] - 1.0) < 1e-6
+    assert got[(0, 1)]["var_a"] == 0.0
+    assert got[(0, 2)]["var_b"] > 0.0
