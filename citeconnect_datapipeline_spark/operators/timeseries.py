@@ -1175,3 +1175,153 @@ def top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_sessions"), "path")
         .limit(10)
     )
+
+
+@query(
+    "peak_concurrency_by_day",
+    oracle=f"""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(LAG(ts) OVER w)
+                            > {SESSION_GAP_MIN} * 60 * 1000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT user_id, session_seq,
+               MIN(epoch_us(ts)) AS s_us, MAX(epoch_us(ts)) AS e_us
+        FROM (
+            SELECT user_id, ts,
+                   SUM(is_new) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING)
+                       AS session_seq
+            FROM flagged
+        )
+        GROUP BY user_id, session_seq
+    ),
+    per_day AS (
+        SELECT s.user_id, s.session_seq, d.day,
+               GREATEST(s.s_us, d.day * 86400000000) AS cs,
+               LEAST(s.e_us, (d.day + 1) * 86400000000 - 1) AS ce
+        FROM sessions s CROSS JOIN LATERAL (
+            SELECT unnest(range(s.s_us // 86400000000,
+                                s.e_us // 86400000000 + 1)) AS day
+        ) d
+    ),
+    sweep AS (
+        SELECT day, cs AS t_us, 1 AS delta, user_id, session_seq
+        FROM per_day
+        UNION ALL
+        SELECT day, ce, -1, user_id, session_seq FROM per_day
+    ),
+    running AS (
+        SELECT day,
+               SUM(delta) OVER (PARTITION BY day
+                                ORDER BY t_us, delta DESC,
+                                         user_id, session_seq
+                                ROWS UNBOUNDED PRECEDING) AS conc
+        FROM sweep
+    )
+    SELECT strftime(make_timestamp(r.day * 86400000000),
+                    '%Y-%m-%d') AS day,
+           CAST(COUNT(DISTINCT (p.user_id, p.session_seq)) AS BIGINT)
+               AS n_sessions,
+           CAST(MAX(r.conc) AS BIGINT) AS peak_concurrency
+    FROM (SELECT day, MAX(conc) AS conc FROM running GROUP BY day) r
+    JOIN per_day p USING (day)
+    GROUP BY r.day, r.conc
+    ORDER BY day
+    """,
+)
+def peak_concurrency_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line peak concurrency — the interval-overlap analytic
+    (max simultaneous sessions per day) that sizes connection pools,
+    rate limits, and stateful-stream memory, and which no groupBy
+    can answer: each session interval (the same 30-min
+    gaps-and-islands sessions as `sessionize_events`) is clipped to
+    the days it spans, then each day's +1/-1 boundary events are
+    swept with a running sum whose maximum is the day's peak. Ties
+    process starts before ends (touching sessions count as
+    concurrent), and the remaining tie-break is total, so the prefix
+    maximum is deterministic on both engines.
+
+    Scale shape: session building rides the user-keyed window;
+    the sweep partitions by DAY (bounded rows per partition = that
+    day's session boundaries, never the corpus) — the day key is
+    what makes a global sweep-line distributable."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = SESSION_GAP_MIN * 60 * 1_000_000
+    prev_us = F.unix_micros(F.lag("ts").over(w))
+    numbered = ev.select(
+        "user_id",
+        "ts",
+        F.sum(
+            F.when(
+                prev_us.isNull()
+                | (F.unix_micros(F.col("ts")) - prev_us > gap_us),
+                1,
+            ).otherwise(0)
+        )
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("session_seq"),
+    )
+    day_us = 86_400_000_000
+    sessions = numbered.groupBy("user_id", "session_seq").agg(
+        F.min(F.unix_micros("ts")).alias("s_us"),
+        F.max(F.unix_micros("ts")).alias("e_us"),
+    )
+    per_day = sessions.select(
+        "user_id",
+        "session_seq",
+        F.explode(
+            F.sequence(
+                (F.col("s_us") / day_us).cast("long"),
+                (F.col("e_us") / day_us).cast("long"),
+            )
+        ).alias("day"),
+        "s_us",
+        "e_us",
+    ).select(
+        "user_id",
+        "session_seq",
+        "day",
+        F.greatest(F.col("s_us"), F.col("day") * day_us).alias("cs"),
+        F.least(F.col("e_us"), (F.col("day") + 1) * day_us - 1).alias("ce"),
+    )
+    sweep = per_day.select(
+        "day", F.col("cs").alias("t_us"), F.lit(1).alias("delta"),
+        "user_id", "session_seq",
+    ).unionAll(
+        per_day.select(
+            "day", F.col("ce").alias("t_us"), F.lit(-1).alias("delta"),
+            "user_id", "session_seq",
+        )
+    )
+    ws = (
+        Window.partitionBy("day")
+        .orderBy("t_us", F.desc("delta"), "user_id", "session_seq")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    peaks = (
+        sweep.withColumn("conc", F.sum("delta").over(ws))
+        .groupBy("day")
+        .agg(F.max("conc").cast("bigint").alias("peak_concurrency"))
+    )
+    counts = per_day.groupBy("day").agg(
+        F.countDistinct("user_id", "session_seq").alias("n_sessions")
+    )
+    return (
+        peaks.join(counts, "day")
+        .select(
+            F.date_format(
+                F.timestamp_micros(F.col("day") * day_us), "yyyy-MM-dd"
+            ).alias("day"),
+            "n_sessions",
+            "peak_concurrency",
+        )
+        .orderBy("day")
+    )

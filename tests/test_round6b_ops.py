@@ -915,3 +915,36 @@ def test_label_centroid_geometry_separates_classes(spark, tmp_path):
     assert abs(got[(0, 2)]["centroid_cosine"] - 1.0) < 1e-6
     assert got[(0, 1)]["var_a"] == 0.0
     assert got[(0, 2)]["var_b"] > 0.0
+
+
+def test_peak_concurrency_counts_overlapping_sessions(spark, tmp_path):
+    """Three users online together at noon must peak at 3; a lone
+    evening session keeps the count (4 sessions) but not the peak;
+    touching boundaries count as concurrent."""
+    import datetime
+
+    from citeconnect_datapipeline_spark.operators.timeseries import (
+        peak_concurrency_by_day,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    rows = []
+    eid = 0
+
+    def sess(user, start_min, end_min):
+        nonlocal eid
+        eid += 1
+        rows.append((eid, t0 + datetime.timedelta(minutes=start_min), user, "v", 1.0, "{}"))
+        eid += 1
+        rows.append((eid, t0 + datetime.timedelta(minutes=end_min), user, "v", 1.0, "{}"))
+
+    sess(1, 0, 20)
+    sess(2, 10, 25)   # overlaps 1
+    sess(3, 20, 40)   # touches 1's end -> concurrent
+    sess(4, 300, 310)  # lone evening session
+    sf = _write(spark, tmp_path, "events", _ev_schema(), rows)
+    got = peak_concurrency_by_day(spark, sf).collect()
+    assert len(got) == 1
+    assert got[0]["day"] == "2024-01-01"
+    assert got[0]["n_sessions"] == 4
+    assert got[0]["peak_concurrency"] == 3
