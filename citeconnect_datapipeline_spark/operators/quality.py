@@ -280,3 +280,86 @@ def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return l_diversity_cells(
         cust, ["c_nationkey", "bal_band"], "c_mktsegment"
     )
+
+
+DP_EPSILON = 1.0  # per-release privacy budget (Laplace scale = 1/eps)
+_DP_HEX = "0123456789abcdef"
+
+
+def _dp_u_sql(key: str) -> str:
+    """Uniform (0,1) from 4 md5 hex chars — engine-portable, no
+    conv(): u = (h1*4096 + h2*256 + h3*16 + h4 + 1) / 65537."""
+    terms = " + ".join(
+        f"(strpos('{_DP_HEX}', substr(md5({key}), {i + 1}, 1)) - 1)"
+        f" * {16 ** (3 - i)}"
+        for i in range(4)
+    )
+    return f"(({terms}) + 1.0) / 65537.0"
+
+
+@query(
+    "dp_noisy_counts",
+    oracle=f"""
+    WITH cells AS (
+        SELECT c_mktsegment AS segment, COUNT(*) AS n
+        FROM customer GROUP BY 1
+    ),
+    noised AS (
+        SELECT segment, n,
+               {_dp_u_sql("'dp:' || segment")} AS u
+        FROM cells
+    )
+    SELECT segment,
+           CAST(n + ROUND(
+               -(1.0 / {DP_EPSILON})
+               * CASE WHEN u >= 0.5 THEN 1.0 ELSE -1.0 END
+               * ln(1.0 - 2.0 * ABS(u - 0.5)), 0) AS BIGINT)
+               AS noisy_count,
+           {DP_EPSILON} AS epsilon,
+           ROUND(1.0 / {DP_EPSILON}, 6) AS laplace_scale
+    FROM noised
+    ORDER BY segment
+    """,
+)
+def dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private release counts — the third privacy
+    gate beside `k_anonymity_audit` and `l_diversity_audit`: each
+    published cell count carries Laplace(1/epsilon) noise, and every
+    row carries the epsilon it spent (the budget LEDGER a release
+    process accumulates across queries — counts with epsilon=1 spend
+    1; ask twice, spend 2). Noise here is drawn by inverse-CDF from
+    an md5-derived uniform — DETERMINISTIC so the release is
+    hash-verifiable and replayable in both engines; the documented
+    production swap is a sealed RNG seed per release (the mechanism,
+    sensitivity=1 for counts, and the ledger arithmetic are what
+    this operator pins — a deterministic seed is exactly how a DP
+    release is made auditable anyway).
+
+    Scale shape: one map-side-combinable aggregate at cell grain;
+    noise is per-cell arithmetic in codegen. No corpus-grain state,
+    no window."""
+    cust = load_table(spark, sf_dir, "customer")
+    cells = cust.groupBy(
+        F.col("c_mktsegment").alias("segment")
+    ).agg(F.count("*").alias("n"))
+    h = F.md5(F.concat(F.lit("dp:"), F.col("segment")))
+    u_terms = sum(
+        (
+            (F.instr(F.lit(_DP_HEX), F.substring(h, i + 1, 1)) - 1)
+            * (16 ** (3 - i))
+            for i in range(4)
+        ),
+        F.lit(0),
+    )
+    u = (u_terms + 1.0) / 65537.0
+    lap = (
+        -(1.0 / DP_EPSILON)
+        * F.when(u >= 0.5, 1.0).otherwise(-1.0)
+        * F.log(1.0 - 2.0 * F.abs(u - 0.5))
+    )
+    return cells.select(
+        "segment",
+        (F.col("n") + F.round(lap, 0)).cast("bigint").alias("noisy_count"),
+        F.lit(float(DP_EPSILON)).alias("epsilon"),
+        F.round(F.lit(1.0 / DP_EPSILON), 6).alias("laplace_scale"),
+    ).orderBy("segment")

@@ -948,3 +948,43 @@ def test_peak_concurrency_counts_overlapping_sessions(spark, tmp_path):
     assert got[0]["day"] == "2024-01-01"
     assert got[0]["n_sessions"] == 4
     assert got[0]["peak_concurrency"] == 3
+
+
+def test_dp_noisy_counts_are_replayable_and_near_truth(spark, tmp_path):
+    """The md5-seeded Laplace mechanism must be exactly replayable
+    (two runs identical), carry the epsilon ledger, and keep noise
+    within the inverse-CDF's worst case for 16-bit uniforms."""
+    import math as m
+
+    from pyspark.sql.types import DoubleType, IntegerType
+
+    from citeconnect_datapipeline_spark.operators.quality import (
+        dp_noisy_counts,
+    )
+
+    CUST_SCHEMA = StructType(
+        [
+            StructField("c_custkey", LongType()),
+            StructField("c_name", StringType()),
+            StructField("c_nationkey", IntegerType()),
+            StructField("c_acctbal", DoubleType()),
+            StructField("c_mktsegment", StringType()),
+        ]
+    )
+    rows = []
+    truth = {"A": 100, "B": 40, "C": 7}
+    ck = 0
+    for seg, n in truth.items():
+        for _ in range(n):
+            ck += 1
+            rows.append((ck, f"c{ck}", 1, 0.0, seg))
+    sf = _write(spark, tmp_path, "customer", CUST_SCHEMA, rows)
+    got1 = {r["segment"]: r for r in dp_noisy_counts(spark, sf).collect()}
+    got2 = {r["segment"]: r for r in dp_noisy_counts(spark, sf).collect()}
+    assert got1 == got2  # replayable release
+    # worst-case |noise| for u quantized to (1..65536)/65537:
+    bound = m.log(65537.0 / 2.0) + 1
+    for seg, n in truth.items():
+        r = got1[seg]
+        assert r["epsilon"] == 1.0 and r["laplace_scale"] == 1.0
+        assert abs(r["noisy_count"] - n) <= bound
