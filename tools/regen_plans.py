@@ -36,6 +36,18 @@ PICKS = {
     "joins + keyed aggregates, no windows, fixed relation fan-out",
     "theta_overlap_portable": "r6: KMV sketch set algebra — per-type "
     "top-K window, then K-row-bounded joins only",
+    "logreg_adagrad_portable": "r6b: pinned AdaGrad rounds — the "
+    "returned plan reads LocalRelation weights; corpus scans only "
+    "feed the two loss scalars",
+    "event_pattern_detect": "r6b: one user-keyed exchange feeds "
+    "session numbering AND the capped path fold; patterns are "
+    "codegen rlike/regexp_count",
+    "zorder_layout_stats": "r6b: 1-row bounds broadcast, codegen bit "
+    "interleave, two layout-constant aggregates",
+    "ab_lift_bootstrap": "r6b: 64x generate (no shuffle) into a "
+    "128-row map-side-combinable replicate aggregate",
+    "peak_concurrency_by_day": "r6b: sweep-line running sum "
+    "partitioned by DAY — bounded partitions make it distributable",
 }
 KEEP = re.compile(
     r"Scan parquet|BatchScan|BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin"
