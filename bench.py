@@ -378,6 +378,28 @@ def main() -> None:
                 n_jobs[n] = max(len(ids), 1)
             except Exception:
                 n_jobs.setdefault(n, 1)
+        # Confirm-failure retries, mirroring the isolated pass: a
+        # single cold sample under residual load can push a memo
+        # consumer past the bar by noise alone; since the gate
+        # PREFERS the cold figure, an unretried one-shot here would
+        # flag queries a quiet re-measure clears. run_one keeps the
+        # min across attempts.
+        for n in list(isolated_cold):
+            for _attempt in (2, 3):
+                if _fails_2x(
+                    isolated_cold[n],
+                    duck_timings.get(n, -1.0),
+                    n_jobs.get(n, 1),
+                ):
+                    if time.monotonic() - t_cold > 2 * cold_budget:
+                        break
+                    memo.invalidate()
+                    try:
+                        sc._jvm.System.gc()
+                    except Exception:
+                        pass
+                    time.sleep(0.2)
+                    run_one(n, spark, isolated_cold)
         memo.invalidate()
 
     def _gate_time(n: str) -> float:
