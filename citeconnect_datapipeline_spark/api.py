@@ -30,6 +30,7 @@ from __future__ import annotations
 from types import SimpleNamespace
 
 from .operators.asof import asof_join, asof_join_forward
+from .operators.joins import interval_overlap_join
 from .operators.classifier import logreg_fit, score_with_weights
 from .operators.dedup import jaccard_scored_pairs, minhash_band_hashes
 from .operators.graph import connected_components, pagerank
@@ -111,6 +112,7 @@ timeseries = SimpleNamespace(
     sessionize=sessionize,
     asof_join=asof_join,
     asof_join_forward=asof_join_forward,
+    interval_overlap=interval_overlap_join,
 )
 stats = SimpleNamespace(categorical_mi=categorical_mi)
 skew = SimpleNamespace(

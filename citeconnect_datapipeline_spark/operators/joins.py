@@ -391,3 +391,166 @@ def run_diff_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+_IOJ_DAY_US = 86_400_000_000
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str] | None = None,
+    suffixes: tuple[str, str] = ("_l", "_r"),
+) -> DataFrame:
+    """Generic interval x interval OVERLAP join (api.timeseries.
+    interval_overlap): both sides carry (s_us, e_us) microsecond
+    intervals; returns pairs whose intervals intersect (inclusive),
+    with the overlap length. The scalable restatement of the
+    quadratic range predicate: each interval explodes to the DAY
+    bins it spans, the join runs as an EQUI join on (day [+ on
+    keys]) with the overlap condition as a post-filter, and pairs
+    spanning several shared days are deduplicated by keeping the
+    pair's FIRST shared day (min-day filter, no distinct shuffle).
+    Bin width is a tuning constant: intervals much longer than a day
+    explode to more bins; much shorter, each bin holds more
+    candidates — same trade as every spatial grid join."""
+    on = on or []
+
+    def binned(df: DataFrame, sfx: str) -> DataFrame:
+        cols = [
+            F.col(c).alias(c if c in on else f"{c}{sfx}")
+            for c in df.columns
+        ]
+        return df.select(
+            *cols,
+            F.explode(
+                F.sequence(
+                    (F.col("s_us") / _IOJ_DAY_US).cast("long"),
+                    (F.col("e_us") / _IOJ_DAY_US).cast("long"),
+                )
+            ).alias("_day"),
+        )
+
+    l_, r_ = suffixes
+    lb, rb = binned(left, l_), binned(right, r_)
+    sl, el = f"s_us{l_}", f"e_us{l_}"
+    sr, er = f"s_us{r_}", f"e_us{r_}"
+    joined = lb.join(rb, ["_day", *on]).filter(
+        (F.col(sl) <= F.col(er)) & (F.col(sr) <= F.col(el))
+    )
+    first_shared = F.greatest(
+        (F.col(sl) / _IOJ_DAY_US).cast("long"),
+        (F.col(sr) / _IOJ_DAY_US).cast("long"),
+    )
+    return joined.filter(F.col("_day") == first_shared).select(
+        *[c for c in joined.columns if c != "_day"],
+        (
+            F.least(F.col(el), F.col(er))
+            - F.greatest(F.col(sl), F.col(sr))
+        ).alias("overlap_us"),
+    )
+
+
+@query(
+    "session_overlap_pairs",
+    oracle=f"""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(LAG(ts) OVER w)
+                            > 30 * 60 * 1000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT user_id, session_seq,
+               MIN(epoch_us(ts)) AS s_us, MAX(epoch_us(ts)) AS e_us
+        FROM (
+            SELECT user_id, ts,
+                   SUM(is_new) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING)
+                       AS session_seq
+            FROM flagged
+        )
+        GROUP BY user_id, session_seq
+        HAVING MAX(epoch_us(ts)) > MIN(epoch_us(ts))
+    ),
+    pairs AS (
+        SELECT a.user_id AS user_a, b.user_id AS user_b,
+               LEAST(a.e_us, b.e_us) - GREATEST(a.s_us, b.s_us)
+                   AS overlap_us
+        FROM sessions a JOIN sessions b
+          ON a.user_id < b.user_id
+         AND a.s_us <= b.e_us AND b.s_us <= a.e_us
+    )
+    SELECT user_a, user_b,
+           CAST(COUNT(*) AS BIGINT) AS n_overlaps,
+           CAST(SUM(overlap_us) AS BIGINT) AS total_overlap_us
+    FROM pairs
+    GROUP BY user_a, user_b
+    ORDER BY total_overlap_us DESC, user_a, user_b
+    LIMIT 20
+    """,
+)
+def session_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Who is online together: the interval x interval OVERLAP join
+    (the pair-enumerating sibling of `peak_concurrency_by_day`'s
+    sweep-line count), reported as the top-20 user pairs by total
+    concurrent-session time — the co-presence signal behind
+    collusion/fraud screens and collaborative-session analytics.
+    Zero-length sessions are excluded (a single event carries no
+    duration to overlap). The oracle spells the quadratic range
+    predicate directly (fine at oracle scale); the engine runs
+    `interval_overlap_join`'s day-binned equi rewrite with
+    first-shared-day dedup — no nested loop, no distinct shuffle.
+
+    Scale shape: sessions ride the user-keyed window; the pair join
+    shuffles on the DAY bin, so the skew unit is one day's
+    concurrent sessions — the same boundedness argument as the
+    sweep-line's."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = 30 * 60 * 1_000_000
+    prev_us = F.unix_micros(F.lag("ts").over(w))
+    numbered = ev.select(
+        "user_id",
+        "ts",
+        F.sum(
+            F.when(
+                prev_us.isNull()
+                | (F.unix_micros(F.col("ts")) - prev_us > gap_us),
+                1,
+            ).otherwise(0)
+        )
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("session_seq"),
+    )
+    intervals = (
+        numbered.groupBy("user_id", "session_seq")
+        .agg(
+            F.min(F.unix_micros("ts")).alias("s_us"),
+            F.max(F.unix_micros("ts")).alias("e_us"),
+        )
+        .filter(F.col("e_us") > F.col("s_us"))
+    )
+    pairs = interval_overlap_join(
+        intervals.select("user_id", "s_us", "e_us"),
+        intervals.select("user_id", "s_us", "e_us"),
+    ).filter(F.col("user_id_l") < F.col("user_id_r"))
+    return (
+        pairs.groupBy(
+            F.col("user_id_l").alias("user_a"),
+            F.col("user_id_r").alias("user_b"),
+        )
+        .agg(
+            F.count("*").alias("n_overlaps"),
+            F.sum("overlap_us").cast("bigint").alias("total_overlap_us"),
+        )
+        .orderBy(F.desc("total_overlap_us"), "user_a", "user_b")
+        .limit(20)
+    )

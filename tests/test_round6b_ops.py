@@ -988,3 +988,31 @@ def test_dp_noisy_counts_are_replayable_and_near_truth(spark, tmp_path):
         r = got1[seg]
         assert r["epsilon"] == 1.0 and r["laplace_scale"] == 1.0
         assert abs(r["noisy_count"] - n) <= bound
+
+
+def test_interval_overlap_join_dedups_multiday_pairs(spark):
+    """A pair overlapping across three shared days must appear ONCE
+    with the exact overlap length; touching intervals count;
+    disjoint ones don't."""
+    from citeconnect_datapipeline_spark.operators.joins import (
+        interval_overlap_join,
+    )
+
+    DAY = 86_400_000_000
+    left = spark.createDataFrame(
+        [(1, 0, 3 * DAY)], "id long, s_us long, e_us long"
+    )
+    right = spark.createDataFrame(
+        [
+            (10, DAY, 5 * DAY),      # overlaps days 1-3 -> once
+            (11, 3 * DAY, 4 * DAY),  # touches at exactly 3*DAY
+            (12, 6 * DAY, 7 * DAY),  # disjoint
+        ],
+        "id long, s_us long, e_us long",
+    )
+    got = {
+        r["id_r"]: r for r in interval_overlap_join(left, right).collect()
+    }
+    assert set(got) == {10, 11}
+    assert got[10]["overlap_us"] == 2 * DAY
+    assert got[11]["overlap_us"] == 0  # single shared instant
