@@ -533,3 +533,102 @@ class RecordedModel:
     assert sum(sizes) == n_rows
     assert max(sizes) > 1
     assert len(batches) < n_rows
+
+
+INTERVALS = st.lists(
+    st.tuples(st.integers(0, 40), st.integers(0, 30)),
+    min_size=1,
+    max_size=12,
+)
+_DAY = 86_400_000_000
+
+
+@settings(max_examples=8, deadline=None)
+@given(left=INTERVALS, right=INTERVALS)
+def test_interval_overlap_join_matches_python(spark, left, right):
+    """Day-binned equi rewrite == the O(n^2) overlap predicate, with
+    each overlapping pair produced exactly once regardless of how
+    many day bins it spans (intervals up to ~4 days here)."""
+    from citeconnect_datapipeline_spark.operators.joins import (
+        interval_overlap_join,
+    )
+
+    def mk(rows):
+        # (start_tenth_days, length_tenth_days) -> us intervals
+        return [
+            (i, s * _DAY // 10, (s + d) * _DAY // 10)
+            for i, (s, d) in enumerate(rows)
+        ]
+
+    lrows, rrows = mk(left), mk(right)
+    ldf = spark.createDataFrame(lrows, "id long, s_us long, e_us long")
+    rdf = spark.createDataFrame(rrows, "id long, s_us long, e_us long")
+    got = {
+        (r["id_l"], r["id_r"]): r["overlap_us"]
+        for r in interval_overlap_join(ldf, rdf).collect()
+    }
+    want = {
+        (li, ri): min(le, re_) - max(ls, rs)
+        for (li, ls, le) in lrows
+        for (ri, rs, re_) in rrows
+        if ls <= re_ and rs <= le
+    }
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(1, 3),  # user
+            st.integers(0, 2000),  # left ts offset sec
+            st.booleans(),  # side
+        ),
+        min_size=2,
+        max_size=20,
+    )
+)
+def test_asof_forward_matches_python(spark, rows):
+    """union + forward window == the per-row 'first right at-or-after
+    within tolerance' definition."""
+    import datetime
+
+    from citeconnect_datapipeline_spark.operators.asof import (
+        asof_join_forward,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    lefts, rights = [], []
+    for i, (u, sec, side) in enumerate(rows):
+        rec = (u, t0 + datetime.timedelta(seconds=sec), i)
+        (rights if side else lefts).append(rec)
+    if not lefts or not rights:
+        return
+    ldf = spark.createDataFrame(
+        lefts, "user_id long, ts timestamp, event_id long"
+    )
+    rdf = spark.createDataFrame(
+        [(u, ts, i, float(i)) for (u, ts, i) in rights],
+        "user_id long, ts timestamp, event_id long, val double",
+    )
+    tol_us = 600 * 1_000_000  # 10 minutes
+    got = {
+        r["event_id"]: (r["gap_us"], r["next_val"])
+        for r in asof_join_forward(
+            ldf, rdf, key="user_id", ts="ts",
+            order_col="event_id", right_cols=["val"], tol_us=tol_us,
+        ).collect()
+    }
+    for (u, ts, i) in lefts:
+        cands = sorted(
+            (
+                (rts, ri)
+                for (ru, rts, ri) in rights
+                if ru == u and rts >= ts
+            ),
+        )
+        if cands and int((cands[0][0] - ts).total_seconds() * 1e6) <= tol_us:
+            gap = int((cands[0][0] - ts).total_seconds() * 1e6)
+            assert got[i] == (gap, float(cands[0][1]))
+        else:
+            assert got[i] == (None, None)
