@@ -12,7 +12,7 @@ formulation that survives 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..plans.registry import query
@@ -115,4 +115,107 @@ def sort_index_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.groupBy(F.year("o_orderdate").cast("long").alias("year"))
         .agg(F.count("*").alias("n"))
         .orderBy("year")
+    )
+
+
+TREND_HALFLIFE_DAYS = 30.0  # decay half-life for trending scores
+TREND_TOPK = 20
+
+
+@query(
+    "trending_parts_decayed",
+    oracle=f"""
+    WITH mx AS (SELECT MAX(o_orderdate) AS now FROM orders),
+    li AS (
+        SELECT l.l_partkey,
+               (epoch_us(m.now) - epoch_us(o.o_orderdate))
+               / 86400000000.0 AS age_days
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        CROSS JOIN mx m
+    ),
+    scored AS (
+        SELECT l_partkey,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               ROUND(SUM(POWER(0.5,
+                   age_days / {TREND_HALFLIFE_DAYS})), 6)
+                   AS decayed_score
+        FROM li GROUP BY l_partkey
+    ),
+    ranked AS (
+        SELECT l_partkey, n_orders, decayed_score,
+               ROW_NUMBER() OVER (ORDER BY decayed_score DESC,
+                                  l_partkey) AS trend_rank,
+               ROW_NUMBER() OVER (ORDER BY n_orders DESC, l_partkey)
+                   AS alltime_rank
+        FROM scored
+    )
+    SELECT l_partkey, n_orders, decayed_score,
+           CAST(trend_rank AS BIGINT) AS trend_rank,
+           CAST(alltime_rank AS BIGINT) AS alltime_rank,
+           CAST(alltime_rank - trend_rank AS BIGINT) AS rank_gain
+    FROM ranked
+    WHERE trend_rank <= {TREND_TOPK}
+    ORDER BY trend_rank
+    """,
+)
+def trending_parts_decayed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decayed popularity — the ranking primitive behind every
+    "trending now" surface: each order contributes
+    0.5^(age/30-days) to its part's score (exponential decay,
+    half-life 30 days, anchored at the corpus's newest order so the
+    query is deterministic), reported beside the all-time count rank
+    so rank_gain exposes what decay CHANGES — rising items an
+    all-time top-k structurally cannot surface. The streaming twin
+    folds the same decay into state multiplicatively
+    (score *= 0.5^(dt/hl) + 1 per event); this is its batch
+    replay.
+
+    Scale shape: the decay weight is per-row codegen arithmetic on
+    the fact scan (anchor = 1-row broadcast), one part-grain
+    map-side-combinable aggregate, and rank windows over the
+    part-grain table (bounded by the part domain, allowlisted);
+    TakeOrdered emits the page."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    mx = orders.agg(F.max("o_orderdate").alias("now"))
+    age_days = (
+        F.unix_micros("now") - F.unix_micros("o_orderdate")
+    ) / 86_400_000_000.0
+    scored = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .crossJoin(F.broadcast(mx))
+        .groupBy("l_partkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(
+                F.sum(F.pow(F.lit(0.5), age_days / TREND_HALFLIFE_DAYS)),
+                6,
+            ).alias("decayed_score"),
+        )
+    )
+    wt = Window.orderBy(F.desc("decayed_score"), "l_partkey")
+    wa = Window.orderBy(F.desc("n_orders"), "l_partkey")
+    return (
+        scored.select(
+            "l_partkey",
+            "n_orders",
+            "decayed_score",
+            F.row_number().over(wt).cast("bigint").alias("trend_rank"),
+            F.row_number().over(wa).cast("bigint").alias("alltime_rank"),
+        )
+        .filter(F.col("trend_rank") <= TREND_TOPK)
+        .select(
+            "l_partkey",
+            "n_orders",
+            "decayed_score",
+            "trend_rank",
+            "alltime_rank",
+            (F.col("alltime_rank") - F.col("trend_rank")).alias("rank_gain"),
+        )
+        .orderBy("trend_rank")
     )

@@ -82,6 +82,7 @@ NESTED_LOOP_OK = {
     # driver-side docs.count() barrier before round 3)
     "top_decile_mean",
     "top_session_paths",  # 1-row session-total scalar broadcast
+    "trending_parts_decayed",  # 1-row newest-order anchor broadcast
     "word_collocation_npmi",  # bigram-total N: 1-row scalar broadcast
     "zorder_layout_stats",  # 1-row per-dimension min/max bounds
     # broadcast feeding the bin arithmetic
@@ -158,6 +159,8 @@ UNPARTITIONED_WINDOW_OK = {
     "seasonal_decompose_daily",  # 7-day moving average over the
     # per-DAY aggregate (365 rows/year at any corpus size)
     "seq_length_histogram",  # cumulative share over histogram bins
+    "trending_parts_decayed",  # trend/alltime ranks over the
+    # part-grain score table (bounded by the part domain)
     "ship_latency_histogram",  # share/cum-share over the week-grain
     # bucket table (bounded by the date span, never corpus-grain)
     "source_upsampling_plan",  # share-of-total over per-source rows

@@ -1016,3 +1016,52 @@ def test_interval_overlap_join_dedups_multiday_pairs(spark):
     assert set(got) == {10, 11}
     assert got[10]["overlap_us"] == 2 * DAY
     assert got[11]["overlap_us"] == 0  # single shared instant
+
+
+def test_trending_decay_promotes_recent_items(spark, tmp_path):
+    """A recently-hot part must out-rank an all-time-popular but
+    stale part on decayed score while trailing it on raw counts —
+    rank_gain exposes exactly that flip."""
+    import datetime
+
+    from pyspark.sql.types import DoubleType, TimestampType
+
+    from citeconnect_datapipeline_spark.operators.sorts import (
+        trending_parts_decayed,
+    )
+
+    ORD_SCHEMA = StructType(
+        [
+            StructField("o_orderkey", LongType()),
+            StructField("o_custkey", LongType()),
+            StructField("o_orderstatus", StringType()),
+            StructField("o_totalprice", DoubleType()),
+            StructField("o_orderdate", TimestampType()),
+            StructField("o_orderpriority", StringType()),
+        ]
+    )
+    LI_SCHEMA = StructType(
+        [
+            StructField("l_orderkey", LongType()),
+            StructField("l_partkey", LongType()),
+        ]
+    )
+    t_new = datetime.datetime(2024, 6, 1)
+    t_old = datetime.datetime(2023, 6, 1)  # ~12 half-lives stale
+    orders, li = [], []
+    ok = 0
+    for _ in range(20):  # part 1: stale but popular
+        ok += 1
+        orders.append((ok, 1, "O", 1.0, t_old, "P"))
+        li.append((ok, 1))
+    for _ in range(5):  # part 2: recent
+        ok += 1
+        orders.append((ok, 1, "O", 1.0, t_new, "P"))
+        li.append((ok, 2))
+    sf = _write(spark, tmp_path, "orders", ORD_SCHEMA, orders)
+    _write(spark, tmp_path, "lineitem", LI_SCHEMA, li)
+    got = {r["l_partkey"]: r for r in trending_parts_decayed(spark, sf).collect()}
+    assert got[2]["trend_rank"] == 1 and got[2]["alltime_rank"] == 2
+    assert got[1]["trend_rank"] == 2 and got[1]["alltime_rank"] == 1
+    assert got[2]["rank_gain"] == 1 and got[1]["rank_gain"] == -1
+    assert abs(got[2]["decayed_score"] - 5.0) < 1e-6  # age 0
