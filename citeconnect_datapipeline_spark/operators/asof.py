@@ -196,28 +196,32 @@ def asof_join_forward(
         .orderBy(ts, "_side", order_col)
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
-    rmark = F.when(F.col("_side") == 1, F.unix_micros(F.col(ts)))
+    # Carry ONE struct holding the first right row's timestamp AND
+    # payload, so every carried field comes from the SAME row. A
+    # per-column first(ignorenulls) would skip ahead to a LATER right
+    # row for any payload column that is NULL in the first match —
+    # an inconsistent composite that diverges from first-match
+    # (LATERAL ... LIMIT 1) semantics on nullable right columns.
+    rstruct = F.when(
+        F.col("_side") == 1,
+        F.struct(
+            F.unix_micros(F.col(ts)).alias("_rts_us"),
+            *[F.col(c).alias(c) for c in right_cols],
+        ),
+    )
     carried = merged.select(
         "*",
-        F.first(rmark, ignorenulls=True).over(w).alias("_rts_us"),
-        *[
-            F.first(
-                F.when(F.col("_side") == 1, F.col(c)), ignorenulls=True
-            )
-            .over(w)
-            .alias(f"next_{c}")
-            for c in right_cols
-        ],
+        F.first(rstruct, ignorenulls=True).over(w).alias("_nxt"),
     )
-    gap = F.col("_rts_us") - F.unix_micros(F.col(ts))
-    in_tol = F.col("_rts_us").isNotNull() & (gap <= tol_us)
+    gap = F.col("_nxt._rts_us") - F.unix_micros(F.col(ts))
+    in_tol = F.col("_nxt").isNotNull() & (gap <= tol_us)
     return (
         carried.filter(F.col("_side") == 0)
         .select(
             *left.columns,
             F.when(in_tol, gap).alias("gap_us"),
             *[
-                F.when(in_tol, F.col(f"next_{c}")).alias(f"next_{c}")
+                F.when(in_tol, F.col(f"_nxt.{c}")).alias(f"next_{c}")
                 for c in right_cols
             ],
         )

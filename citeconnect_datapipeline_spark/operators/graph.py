@@ -753,7 +753,7 @@ def bib_coupling_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-bucket slice form pays interpreted-HOF cost per element),
     and ONE (o1, o2) count shuffle finishes — two exchanges total
     where the self-join form pays four. The posting CAP (drop parts
-    cited by > {BIB_POSTING_CAP} orders) bounds the quadratic term
+    cited by > BIB_POSTING_CAP=50 orders) bounds the quadratic term
     exactly like the hot-shingle cap: a part in millions of orders
     contributes O(M^2) pairs and zero coupling signal. No broadcast
     hints — both sides are corpus-grain."""

@@ -401,6 +401,8 @@ def interval_overlap_join(
     right: DataFrame,
     on: list[str] | None = None,
     suffixes: tuple[str, str] = ("_l", "_r"),
+    s_col: str = "s_us",
+    e_col: str = "e_us",
 ) -> DataFrame:
     """Generic interval x interval OVERLAP join (api.timeseries.
     interval_overlap): both sides carry (s_us, e_us) microsecond
@@ -413,8 +415,25 @@ def interval_overlap_join(
     pair's FIRST shared day (min-day filter, no distinct shuffle).
     Bin width is a tuning constant: intervals much longer than a day
     explode to more bins; much shorter, each bin holds more
-    candidates — same trade as every spatial grid join."""
+    candidates — same trade as every spatial grid join.
+
+    Binning uses F.floor, NOT a long cast: cast truncates toward
+    zero, so pre-1970 (negative-microsecond) intervals would land in
+    the wrong bin and the first-shared-day dedup would drop or
+    duplicate pairs. Floor keeps bins monotone across the epoch and
+    matches the SQL-oracle floor-division semantics."""
     on = on or []
+    for df, side in ((left, "left"), (right, "right")):
+        missing = {s_col, e_col} - set(df.columns)
+        if missing:
+            raise ValueError(
+                f"interval_overlap_join: {side} input lacks interval "
+                f"column(s) {sorted(missing)}; pass s_col/e_col to "
+                "name them"
+            )
+
+    def day_bin(col: str):
+        return F.floor(F.col(col) / _IOJ_DAY_US).cast("long")
 
     def binned(df: DataFrame, sfx: str) -> DataFrame:
         cols = [
@@ -424,24 +443,18 @@ def interval_overlap_join(
         return df.select(
             *cols,
             F.explode(
-                F.sequence(
-                    (F.col("s_us") / _IOJ_DAY_US).cast("long"),
-                    (F.col("e_us") / _IOJ_DAY_US).cast("long"),
-                )
+                F.sequence(day_bin(s_col), day_bin(e_col))
             ).alias("_day"),
         )
 
     l_, r_ = suffixes
     lb, rb = binned(left, l_), binned(right, r_)
-    sl, el = f"s_us{l_}", f"e_us{l_}"
-    sr, er = f"s_us{r_}", f"e_us{r_}"
+    sl, el = f"{s_col}{l_}", f"{e_col}{l_}"
+    sr, er = f"{s_col}{r_}", f"{e_col}{r_}"
     joined = lb.join(rb, ["_day", *on]).filter(
         (F.col(sl) <= F.col(er)) & (F.col(sr) <= F.col(el))
     )
-    first_shared = F.greatest(
-        (F.col(sl) / _IOJ_DAY_US).cast("long"),
-        (F.col(sr) / _IOJ_DAY_US).cast("long"),
-    )
+    first_shared = F.greatest(day_bin(sl), day_bin(sr))
     return joined.filter(F.col("_day") == first_shared).select(
         *[c for c in joined.columns if c != "_day"],
         (

@@ -297,6 +297,59 @@ def _dp_u_sql(key: str) -> str:
     return f"(({terms}) + 1.0) / 65537.0"
 
 
+_DP_DEMO_SALT = "spark-graft-demo-release"  # PUBLIC — demo/ledger only
+
+
+def dp_noisy_counts_release(
+    cells: DataFrame,
+    group_col: str,
+    *,
+    salt: str,
+    epsilon: float = DP_EPSILON,
+) -> DataFrame:
+    """Laplace-noised release of per-cell counts with an epsilon
+    ledger column. ``cells`` must carry (``group_col``, ``n``).
+
+    The noise is drawn by inverse-CDF from an md5-derived uniform
+    over ``salt || ':' || cell`` — ``salt`` is REQUIRED and is the
+    entire privacy guarantee: with a per-release SECRET salt the
+    noise is unpredictable to consumers (a sealed seed, the standard
+    way a DP release is made auditable-yet-private), while with a
+    public or derivable salt anyone can recompute and subtract the
+    noise, so the output is a FORMAT/LEDGER DEMO with zero
+    differential privacy. The epsilon ledger arithmetic (counts have
+    sensitivity 1; ask twice, spend 2) is meaningful only in the
+    secret-salt regime. Keep the salt out of the published table.
+
+    Scale shape: per-cell arithmetic in codegen over an already
+    cell-grain input. No corpus-grain state, no window."""
+    h = F.md5(
+        F.concat(
+            F.lit("dp:"), F.lit(salt), F.lit(":"), F.col(group_col)
+        )
+    )
+    u_terms = sum(
+        (
+            (F.instr(F.lit(_DP_HEX), F.substring(h, i + 1, 1)) - 1)
+            * (16 ** (3 - i))
+            for i in range(4)
+        ),
+        F.lit(0),
+    )
+    u = (u_terms + 1.0) / 65537.0
+    lap = (
+        -(1.0 / epsilon)
+        * F.when(u >= 0.5, 1.0).otherwise(-1.0)
+        * F.log(1.0 - 2.0 * F.abs(u - 0.5))
+    )
+    return cells.select(
+        group_col,
+        (F.col("n") + F.round(lap, 0)).cast("bigint").alias("noisy_count"),
+        F.lit(float(epsilon)).alias("epsilon"),
+        F.round(F.lit(1.0 / epsilon), 6).alias("laplace_scale"),
+    ).orderBy(group_col)
+
+
 @query(
     "dp_noisy_counts",
     oracle=f"""
@@ -306,7 +359,7 @@ def _dp_u_sql(key: str) -> str:
     ),
     noised AS (
         SELECT segment, n,
-               {_dp_u_sql("'dp:' || segment")} AS u
+               {_dp_u_sql(f"'dp:{_DP_DEMO_SALT}:' || segment")} AS u
         FROM cells
     )
     SELECT segment,
@@ -322,44 +375,27 @@ def _dp_u_sql(key: str) -> str:
     """,
 )
 def dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Differentially-private release counts — the third privacy
-    gate beside `k_anonymity_audit` and `l_diversity_audit`: each
-    published cell count carries Laplace(1/epsilon) noise, and every
-    row carries the epsilon it spent (the budget LEDGER a release
-    process accumulates across queries — counts with epsilon=1 spend
-    1; ask twice, spend 2). Noise here is drawn by inverse-CDF from
-    an md5-derived uniform — DETERMINISTIC so the release is
-    hash-verifiable and replayable in both engines; the documented
-    production swap is a sealed RNG seed per release (the mechanism,
-    sensitivity=1 for counts, and the ledger arithmetic are what
-    this operator pins — a deterministic seed is exactly how a DP
-    release is made auditable anyway).
+    """Laplace-count release format + epsilon ledger, demonstrated
+    beside `k_anonymity_audit` and `l_diversity_audit`: each
+    published cell count carries Laplace(1/epsilon) noise and the
+    epsilon it spent (the budget LEDGER a release process
+    accumulates across queries).
 
-    Scale shape: one map-side-combinable aggregate at cell grain;
-    noise is per-cell arithmetic in codegen. No corpus-grain state,
-    no window."""
+    IMPORTANT: this registered query runs `dp_noisy_counts_release`
+    with the repo-public ``_DP_DEMO_SALT`` so both engines can
+    hash-verify it — that makes THIS row a format/ledger DEMO, not a
+    DP release (a consumer of this table could recompute the noise).
+    The operator itself requires a salt; production callers pass a
+    per-release SECRET salt, which is what turns the same arithmetic
+    into an actual differentially-private mechanism (sensitivity-1
+    Laplace, sealed seed).
+
+    Scale shape: one map-side-combinable aggregate at cell grain,
+    then `dp_noisy_counts_release`'s per-cell codegen arithmetic."""
     cust = load_table(spark, sf_dir, "customer")
     cells = cust.groupBy(
         F.col("c_mktsegment").alias("segment")
     ).agg(F.count("*").alias("n"))
-    h = F.md5(F.concat(F.lit("dp:"), F.col("segment")))
-    u_terms = sum(
-        (
-            (F.instr(F.lit(_DP_HEX), F.substring(h, i + 1, 1)) - 1)
-            * (16 ** (3 - i))
-            for i in range(4)
-        ),
-        F.lit(0),
+    return dp_noisy_counts_release(
+        cells, "segment", salt=_DP_DEMO_SALT
     )
-    u = (u_terms + 1.0) / 65537.0
-    lap = (
-        -(1.0 / DP_EPSILON)
-        * F.when(u >= 0.5, 1.0).otherwise(-1.0)
-        * F.log(1.0 - 2.0 * F.abs(u - 0.5))
-    )
-    return cells.select(
-        "segment",
-        (F.col("n") + F.round(lap, 0)).cast("bigint").alias("noisy_count"),
-        F.lit(float(DP_EPSILON)).alias("epsilon"),
-        F.round(F.lit(1.0 / DP_EPSILON), 6).alias("laplace_scale"),
-    ).orderBy("segment")

@@ -1649,7 +1649,7 @@ def ann_pq_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     * ADC: the query is NOT quantized — its 16-entry (m, c) distance
       table rides a broadcast, and each row's asymmetric distance is
       the M-term table-lookup sum;
-    * the {PQP_POOL}-row ADC pool is re-ranked with exact cosine for
+    * the PQP_POOL=20-row ADC pool is re-ranked with exact cosine for
       the top-5 (the FAISS IVFPQ-refine step, same as ann_lsh_topk).
 
     Scale shape: one (vec_id, m, c)-grain shuffle over the exploded

@@ -957,7 +957,7 @@ VOCAB_TOP_K = 24  # corpus vocab is ~31 words; 24 leaves a real OOV tail
 )
 def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary coverage / out-of-vocabulary rate per language
-    against the corpus's own top-{VOCAB_TOP_K} vocabulary -- the
+    against the corpus's own top-VOCAB_TOP_K=24 vocabulary -- the
     tokenizer-fit diagnostic run before committing a vocab: a slice
     with a high OOV rate will fragment into byte-fallback tokens and
     train poorly. In production the vocab list is the tokenizer's;
@@ -967,7 +967,7 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-k (tiny, broadcast back) -> one map-side left join over the
     token stream + per-lang rollup. No shuffle touches the token
     stream except its own frequency aggregation; the vocab side is
-    {VOCAB_TOP_K} rows at any corpus size."""
+    VOCAB_TOP_K rows at any corpus size."""
     docs = load_table(spark, sf_dir, "documents")
     words = docs.select(
         "lang",
@@ -1213,7 +1213,7 @@ ZIPF_HEAD_RANKS = 100
 )
 def zipf_alpha_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zipf-exponent fit per language: OLS slope of ln(frequency)
-    against ln(rank) over the top-{ZIPF_HEAD_RANKS} word ranks —
+    against ln(rank) over the top-ZIPF_HEAD_RANKS=100 word ranks —
     natural language sits near alpha = 1, so a slice whose alpha
     collapses toward 0 (flat head = keyword stuffing / template spam)
     or blows past ~1.5 (a few tokens dominating = boilerplate
@@ -1225,7 +1225,7 @@ def zipf_alpha_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     One token-count aggregation (shuffle on (lang, word), uniform),
     one per-lang ranking window over the COUNTS table (vocab-sized,
     not corpus-sized), and REGR_* streaming accumulators over the
-    {ZIPF_HEAD_RANKS}-row head per language — map-side combinable,
+    ZIPF_HEAD_RANKS-row head per language — map-side combinable,
     nothing driver-side."""
     from pyspark.sql import Window
 

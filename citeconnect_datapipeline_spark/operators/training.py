@@ -173,7 +173,7 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked by the number of distinct 3-word shingles they share with
     any benchmark doc (top-20, total tie-break). Same blocked-join
     shape as ngram_jaccard_topk but asymmetric: the benchmark side is
-    tiny (1/{BENCHMARK_STRIDE} of docs; a real eval set is KBs, not
+    tiny (1/BENCHMARK_STRIDE = 1/50 of docs; a real eval set is KBs, not
     TBs), so at scale its shingle table broadcasts and the check is a
     map-side join over the candidate scan -- no candidate-side
     shuffle. Shared-shingle counts are identical between the hashed
@@ -490,14 +490,14 @@ PACK_SHARDS = 8
 def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-chunk sequence packing, the standard LLM pretraining
     batching step: documents are concatenated in key order and the
-    token stream is sliced into fixed {PACK_BUDGET}-token packs; a doc
+    token stream is sliced into fixed PACK_BUDGET=2048-token packs; a doc
     belongs to the pack containing its start offset, and a doc whose
     span crosses a pack boundary is a straddler (it will be split
     across two training examples). Reports per-shard pack counts,
     docs-per-pack, straddler counts, and token mass.
 
     Scale shape: packing is a running sum, which is inherently serial
-    per stream -- so the corpus is split into {PACK_SHARDS} hash
+    per stream -- so the corpus is split into PACK_SHARDS=8 hash
     shards and each shard packs independently (exactly how a real
     pipeline packs per output shard). The window partitions by shard:
     no global sort, no single-partition window, and adding shards adds
@@ -688,7 +688,7 @@ def boilerplate_phrase_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level boilerplate removal (the C4/CCNet 'drop lines that
     repeat across many pages' rule, phrased over 3-word shingles since
     this corpus has no line structure): a phrase occurring in >=
-    {BOILER_MIN_DF} distinct docs is boilerplate; every word position
+    BOILER_MIN_DF=6 distinct docs is boilerplate; every word position
     covered by a boilerplate occurrence is removable. Reports the 20
     most boilerplate-heavy docs with exact removable-word counts.
 
@@ -796,7 +796,7 @@ def interleave_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     'global shuffle' step before training, done without an actual
     global shuffle: docs are ranked WITHIN their domain in md5-of-key
     order, then shard = (rank * n_domains + domain_index) mod
-    {N_OUT_SHARDS}, which round-robins every domain across every
+    N_OUT_SHARDS=16, which round-robins every domain across every
     shard. A trainer reading any shard (or any shard prefix) sees a
     domain mix statistically matching the corpus -- no run of
     same-domain examples -- yet the assignment is pure arithmetic:
@@ -1932,9 +1932,9 @@ def kfold_assignment_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP key, deterministic and engine-portable, side-by-side with
     the naive record-level assignment. The per-method
     mean_folds_per_user column IS the audit: exactly 1.0 for grouped
-    (no user crosses a fold boundary), ~{KFOLD_K} - the birthday slack
-    for record-level — the quantified reason sklearn's GroupKFold
-    exists, here as a lake-scale operator.
+    (no user crosses a fold boundary), near k=KFOLD_K (minus the
+    birthday slack) for record-level — the quantified reason
+    sklearn's GroupKFold exists, here as a lake-scale operator.
 
     Scale shape: fold assignment is per-row hash arithmetic in
     codegen; the audit aggregates are (method, user) then (method,

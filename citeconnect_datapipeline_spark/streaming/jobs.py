@@ -405,17 +405,27 @@ def debounce_stream(events: DataFrame, gap_sec: int = 5) -> DataFrame:
 
         last_us = state.get[0] if state.exists else None
         kept = {"event_id": [], "ts_us": []}
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"])
-            for eid, ts_us in zip(
-                pdf["event_id"],
-                pdf["ts"].astype("int64") // 1000,
-            ):
-                ts_us = int(ts_us)
-                if last_us is None or ts_us - last_us > gap_us:
-                    kept["event_id"].append(int(eid))
-                    kept["ts_us"].append(ts_us)
-                last_us = ts_us
+        # A key's micro-batch rows arrive as MULTIPLE Arrow chunks
+        # (default 10k rows) with no cross-chunk ordering guarantee,
+        # so event-time order must be restored over the WHOLE batch:
+        # materialize every chunk first, then one concat + sort.
+        # Sorting per chunk would mis-keep/mis-drop events whenever a
+        # burst straddles a chunk boundary.
+        chunks = list(pdfs)
+        pdf = (
+            pd.concat(chunks, ignore_index=True)
+            if len(chunks) > 1
+            else chunks[0]
+        ).sort_values(["ts", "event_id"])
+        for eid, ts_us in zip(
+            pdf["event_id"],
+            pdf["ts"].astype("int64") // 1000,
+        ):
+            ts_us = int(ts_us)
+            if last_us is None or ts_us - last_us > gap_us:
+                kept["event_id"].append(int(eid))
+                kept["ts_us"].append(ts_us)
+            last_us = ts_us
         if last_us is not None:
             state.update((int(last_us),))
         yield pd.DataFrame(

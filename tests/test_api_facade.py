@@ -209,3 +209,46 @@ def test_k_anonymity_facade_flags_small_cells(spark):
     }
     assert got[("FR", "B")]["at_risk"] == 1
     assert got[("US", "A")]["at_risk"] == 0
+
+
+def test_no_uninterpolated_docstring_placeholders():
+    """Every rendered docstring in the package must be free of raw
+    uppercase-constant placeholders like ``{KFOLD_K}`` — those mean a
+    docstring meant to interpolate a module constant never did (the
+    round-6 ADVICE class of bug). Scans module, class, and function
+    __doc__ across the whole package."""
+    import importlib
+    import inspect
+    import pkgutil
+    import re
+
+    import citeconnect_datapipeline_spark as pkg
+
+    placeholder = re.compile(r"\{[A-Z][A-Z0-9_]{2,}\}")
+    offenders = []
+    for mod_info in pkgutil.walk_packages(
+        pkg.__path__, pkg.__name__ + "."
+    ):
+        mod = importlib.import_module(mod_info.name)
+        seen = [(mod_info.name, mod.__doc__)]
+        for _, obj in inspect.getmembers(mod):
+            if (
+                inspect.isfunction(obj) or inspect.isclass(obj)
+            ) and getattr(obj, "__module__", None) == mod_info.name:
+                seen.append((f"{mod_info.name}.{obj.__name__}", obj.__doc__))
+                if inspect.isclass(obj):
+                    for mname, m in inspect.getmembers(
+                        obj, inspect.isfunction
+                    ):
+                        seen.append(
+                            (
+                                f"{mod_info.name}.{obj.__name__}.{mname}",
+                                m.__doc__,
+                            )
+                        )
+        for name, doc in seen:
+            if doc and placeholder.search(doc):
+                offenders.append(
+                    (name, placeholder.findall(doc))
+                )
+    assert not offenders, f"raw docstring placeholders: {offenders}"

@@ -536,7 +536,10 @@ class RecordedModel:
 
 
 INTERVALS = st.lists(
-    st.tuples(st.integers(0, 40), st.integers(0, 30)),
+    # start can be NEGATIVE (pre-1970 epoch microseconds): cast-long
+    # binning truncates toward zero there, floor binning doesn't —
+    # the property must hold on both sides of the epoch.
+    st.tuples(st.integers(-40, 40), st.integers(0, 30)),
     min_size=1,
     max_size=12,
 )
@@ -548,7 +551,8 @@ _DAY = 86_400_000_000
 def test_interval_overlap_join_matches_python(spark, left, right):
     """Day-binned equi rewrite == the O(n^2) overlap predicate, with
     each overlapping pair produced exactly once regardless of how
-    many day bins it spans (intervals up to ~4 days here)."""
+    many day bins it spans (intervals up to ~4 days here), including
+    intervals straddling or entirely before the epoch."""
     from citeconnect_datapipeline_spark.operators.joins import (
         interval_overlap_join,
     )
@@ -574,6 +578,41 @@ def test_interval_overlap_join_matches_python(spark, left, right):
         if ls <= re_ and rs <= le
     }
     assert got == want
+
+
+def test_interval_overlap_join_negative_epoch_and_named_cols(spark):
+    """Pinned pre-1970 case (cast-long binning would put -0.5 day in
+    bin 0 alongside +0.5 day and break first-shared-day dedup) plus
+    the s_col/e_col contract: custom interval column names work, and
+    a missing interval column raises instead of failing mid-plan."""
+    import pytest
+
+    from citeconnect_datapipeline_spark.operators.joins import (
+        interval_overlap_join,
+    )
+
+    half = _DAY // 2
+    # left interval [-1.5d, -0.5d], right [-0.6d, +0.4d]: overlap of
+    # 0.1 day entirely in NEGATIVE time, spanning the epoch on the
+    # right — exactly one output pair with overlap_us = 0.1 day
+    ldf = spark.createDataFrame(
+        [(0, -3 * half, -half)], "id long, begin_us long, fin_us long"
+    )
+    rdf = spark.createDataFrame(
+        [(0, -int(0.6 * _DAY), int(0.4 * _DAY))],
+        "id long, begin_us long, fin_us long",
+    )
+    rows = interval_overlap_join(
+        ldf, rdf, s_col="begin_us", e_col="fin_us"
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0]["overlap_us"] == _DAY // 10
+
+    with pytest.raises(ValueError, match="right input lacks"):
+        interval_overlap_join(
+            ldf, rdf.withColumnRenamed("begin_us", "start_us"),
+            s_col="begin_us", e_col="fin_us",
+        )
 
 
 @settings(max_examples=8, deadline=None)
@@ -632,3 +671,34 @@ def test_asof_forward_matches_python(spark, rows):
             assert got[i] == (gap, float(cands[0][1]))
         else:
             assert got[i] == (None, None)
+
+
+def test_asof_forward_null_right_payload_stays_on_first_match(spark):
+    """All carried fields must come from the SAME first right row:
+    when the first forward match has a NULL payload column, the
+    output carries that NULL (first-match semantics), not a value
+    scavenged from a later right row."""
+    import datetime
+
+    from citeconnect_datapipeline_spark.operators.asof import (
+        asof_join_forward,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def sec(s):
+        return t0 + datetime.timedelta(seconds=s)
+
+    ldf = spark.createDataFrame(
+        [(1, sec(0), 100)], "user_id long, ts timestamp, event_id long"
+    )
+    rdf = spark.createDataFrame(
+        [(1, sec(1), 0, None), (1, sec(2), 1, 7.0)],
+        "user_id long, ts timestamp, event_id long, val double",
+    )
+    [row] = asof_join_forward(
+        ldf, rdf, key="user_id", ts="ts",
+        order_col="event_id", right_cols=["val"],
+    ).collect()
+    assert row["gap_us"] == 1_000_000  # matched the t0+1s row...
+    assert row["next_val"] is None  # ...and carried ITS (null) payload

@@ -536,3 +536,60 @@ def test_debounce_stream_matches_batch_flags(spark, tmp_path):
     }
     assert kept_stream == kept_batch
     assert 0 < len(kept_stream) < events.count()
+
+
+def test_debounce_stream_multichunk_group_ordering(spark, tmp_path):
+    """applyInPandasWithState delivers a key's micro-batch rows as
+    MULTIPLE Arrow chunks with no cross-chunk ordering guarantee; the
+    debounce scan must restore event-time order over the whole batch,
+    not per chunk. One hot key, 120 rows written in md5-shuffled
+    order, Arrow batches forced down to 7 rows -> ~18 unordered
+    chunks for the single group. A per-chunk sort mis-keeps burst
+    followers and mis-drops burst leaders; the concat-then-sort scan
+    must match the batch gaps-and-islands flag exactly."""
+    import pandas as pd
+
+    from citeconnect_datapipeline_spark.streaming.jobs import (
+        debounce_stream,
+        run_to_memory,
+    )
+
+    base_us = 1_600_000_000_000_000
+    rows = []
+    for burst in range(12):
+        for j in range(10):
+            i = burst * 10 + j
+            # bursts of 10 events 1 s apart, 100 s between bursts
+            rows.append((i, base_us + burst * 100_000_000 + j * 1_000_000))
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts_us"])
+    events = (
+        spark.createDataFrame(pdf)
+        .select(
+            F.col("event_id").cast("long"),
+            F.timestamp_micros("ts_us").alias("ts"),
+            F.lit(1).cast("long").alias("user_id"),
+            F.lit("click").alias("event_type"),
+        )
+        # shuffle on-disk row order so Arrow chunks arrive unordered
+        .orderBy(F.md5(F.col("event_id").cast("string")))
+    )
+    src = tmp_path / "debounce_chunks"
+    events.coalesce(1).write.parquet(str(src))
+    stream = spark.readStream.schema(events.schema).parquet(str(src))
+    old_chunk = spark.conf.get(
+        "spark.sql.execution.arrow.maxRecordsPerBatch", "10000"
+    )
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        out = debounce_stream(stream, gap_sec=5)
+        run_to_memory(out, "debounced_chunks", output_mode="append")
+    finally:
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", old_chunk
+        )
+    kept = {
+        int(r["event_id"])
+        for r in spark.table("debounced_chunks").collect()
+    }
+    # exactly the 12 burst leaders survive
+    assert kept == {b * 10 for b in range(12)}
