@@ -138,27 +138,57 @@ _DRIVER_VERIFIED = frozenset(
         "source_upsampling_plan", "theta_audience_overlap",
         "top_supplier_revenue", "winsorized_stats",
         "word_collocation_npmi",
+        # r6 rows (CORRECTNESS_r06.json: 48 hash-MATCH + the 2
+        # contractual rows-only embedding queries, both 500 rows —
+        # the r5 err rows are fixed and green)
+        "ab_lift_bootstrap", "ann_ivf_portable", "ann_pq_portable",
+        "asof_forward_attribution", "bib_coupling_topk",
+        "bottomk_sample_quantiles", "bpe_portable",
+        "categorical_mutual_information",
+        "conversion_latency_quantiles", "dp_noisy_counts",
+        "embed_documents", "embedding_pca_whiten", "event_debounce",
+        "event_pattern_detect", "hits_authorities",
+        "hll_distinct_portable", "image_tile_grid",
+        "incremental_stats_merge", "jl_distortion_audit",
+        "join_size_estimate", "k_anonymity_audit", "kcore_peel_stats",
+        "kfold_assignment_audit", "l_diversity_audit",
+        "label_centroid_geometry", "late_arrival_audit",
+        "logreg_adagrad_portable", "peak_concurrency_by_day",
+        "readability_scores", "retrieval_ndcg_eval", "rfm_segments",
+        "semantic_dedup_portable", "session_overlap_pairs",
+        "shard_rebalance_report", "ship_latency_histogram",
+        "source_divergence_panel", "supplier_h_index",
+        "temporal_split_audit", "theta_overlap_portable",
+        "tokenizer_fertility_by_lang", "top_session_paths",
+        "trending_parts_decayed", "weighted_sample_es",
+        "zorder_layout_stats",
     }
 )
 
 # Verified queries whose implementation changed materially THIS round
 # — they jump the re-verification queue so the driver re-checks the
-# rewrite, not a stale green row.
+# rewrite, not a stale green row. AGE RULE (r6 verdict #3): an entry
+# that has waited >= 2 rounds outranks everything, including
+# never-verified new queries — it goes at the very front.
+# Reverify entries that have ALREADY waited >= 2 rounds: they outrank
+# even never-verified new queries (r6 verdict #3 — a 3-round-old
+# rewrite of green code is a bigger evidence hole than a new query's
+# first row).
+_REVERIFY_AGED = (
+    "quantiles_by_group",    # array-form percentile rewrite (r4);
+    # squeezed out of the r4/r5/r6 windows — 3 rounds waiting
+)
+
 _REVERIFY_FIRST = (
-    # r6 rewrites:
-    "pca_power_portable",    # per-round direction vector now pinned
-    # (collect O(d) + literal re-injection; r5 verdict #1)
-    "embed_documents",       # vector serialized to 6 dp CSV so the
-    "embedding_pca_whiten",  # driver canonicalizer can hash the rows
-    # (both were hard `err` in r5; r5 verdict #2)
-    # r4 rewrites whose post-rewrite driver row is still missing
-    # (r4/r5 windows were full with new queries; r5 verdict #3):
-    "lang_id_heuristic",     # raw-ratio thresholding (r4, late)
-    "ngram_jaccard_topk",    # sizes-broadcast hint removed (r4)
-    "neardup_components",    # shares jaccard_scored_pairs (r4)
-    "fuzzy_prefix_pairs",    # length-band shuffled join (r4)
-    "pii_redaction",         # trailing global sort dropped (r4)
-    "quantiles_by_group",    # array-form percentile rewrite (r4)
+    # r7 rewrites:
+    "asof_forward_attribution",  # single-struct first-match carry
+    # (all payload cols now from the SAME first right row; r6 ADVICE)
+    "session_overlap_pairs",  # floor day-binning (pre-1970 safe) +
+    # parameterized interval columns (r6 ADVICE)
+    "dp_noisy_counts",       # required-salt release hash
+    # ('dp:<salt>:<cell>' on both engines; r6 ADVICE)
+    "semantic_dedup_portable",  # oracle text trimmed (r6 verdict #2)
+    "kcore_peel_stats",         # oracle text trimmed (r6 verdict #2)
 )
 
 
@@ -176,29 +206,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     so the driver's prefix-window correctness check spends its slots
     where they buy the most evidence:
 
-    1. never-verified ORACLED queries (hash-MATCH is the strongest
-       evidence, so they earn the slot first),
-    2. queries rewritten this round (_REVERIFY_FIRST) — ahead of
+    1. reverify entries that have WAITED >= 2 rounds
+       (_REVERIFY_AGED) — nothing may starve them again
+       (r6 verdict #3),
+    2. never-verified ORACLED queries (hash-MATCH is the strongest
+       evidence, so they earn the slot next),
+    3. queries rewritten this round (_REVERIFY_FIRST) — ahead of
        never-verified rows-only since a rewrite of green code is a
        bigger regression risk than a rows-only count (r5 verdict #3),
-    3. never-verified rows-only queries,
-    4. the remaining verified set, ROTATED by round index so each
+    4. never-verified rows-only queries,
+    5. the remaining verified set, ROTATED by round index so each
        round re-checks a different slice and every green row is
        eventually refreshed (regression detection, round-3 ADVICE).
+
+    Freshness cadence: the driver window is ~50 slots/round; with
+    ~240 registered queries and few new/reverify entries per round,
+    the rotation in (5) re-checks every verified query roughly every
+    5 rounds — that is the staleness bound on any green row.
     """
     qs = get_queries()
     oracled = set(get_oracles())
+    aged = [n for n in _REVERIFY_AGED if n in qs]
     unverified = [n for n in qs if n not in _DRIVER_VERIFIED]
     reverify = [n for n in _REVERIFY_FIRST if n in qs]
+    head = set(aged) | set(reverify)
     rest = sorted(
-        n for n in qs if n in _DRIVER_VERIFIED and n not in reverify
+        n for n in qs if n in _DRIVER_VERIFIED and n not in head
     )
     if rest:
         k = (_round_index() * 17) % len(rest)
         rest = rest[k:] + rest[:k]
-    order = [n for n in unverified if n in oracled and n not in reverify]
+    order = list(aged)
+    order += [n for n in unverified if n in oracled and n not in head]
     order += reverify
-    order += [n for n in unverified if n not in oracled and n not in reverify]
+    order += [n for n in unverified if n not in oracled and n not in head]
     order += rest
     return {n: qs[n] for n in order}
 

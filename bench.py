@@ -20,10 +20,14 @@ Env:
                         contention under concurrency) is also emitted;
                         run BENCH_CONCURRENCY=1 to measure isolated
                         per-query latency for the whole suite.
-  BENCH_ISOLATED_BUDGET wall-clock seconds (default 240) for the
+  BENCH_ISOLATED_BUDGET wall-clock seconds (default 480) for the
                         post-suite sequential re-measure of over-2x
                         candidates when BENCH_CONCURRENCY>1; isolated
-                        numbers land in BENCH_DETAIL.json.
+                        numbers land in BENCH_DETAIL.json. The 10
+                        slowest suite entries are ALWAYS re-measured,
+                        before and regardless of the budget, so the
+                        heaviest queries never go a round without an
+                        isolated figure.
   BENCH_REPEATS         suite passes (default 2); headline wall-clock
                         is the best pass, labeled ``suite_best_of``.
   BENCH_COLD            1 (default) re-measures every memo-consuming
@@ -305,20 +309,29 @@ def main() -> None:
         # same in both modes; without this, sequential runs would
         # silently fall back to the jobs=1 allowance).
         isolated = dict(timings)
-    budget = float(os.environ.get("BENCH_ISOLATED_BUDGET", "240"))
-    # Screen candidates with jobs=1 (the smallest allowance), a
-    # strict superset of the true offenders.
-    candidates = sorted(
+    budget = float(os.environ.get("BENCH_ISOLATED_BUDGET", "480"))
+    # The TOP-10 suite entries always get an isolated row, budget or
+    # not (r6 verdict #1: the heaviest queries are exactly the ones
+    # whose scale claims must be measured, and the contended suite
+    # figure is not a measurement) — they run first, slowest first,
+    # exempt from the budget cutoff.
+    top_suite = set(
+        sorted(timings, key=lambda n: -timings[n])[:10]
+    )
+    # Then the over-2x screen (jobs=1, the smallest allowance — a
+    # strict superset of the true offenders), worst ratio first.
+    candidates = sorted(top_suite, key=lambda n: -timings[n]) + sorted(
         (
             n
             for n, t in timings.items()
-            if _fails_2x(t, duck_timings.get(n, -1.0))
+            if n not in top_suite
+            and _fails_2x(t, duck_timings.get(n, -1.0))
         ),
         key=lambda n: -(timings[n] / max(duck_timings[n], 1e-3)),
     )
     t_start = time.monotonic()
     for n in candidates:
-        if time.monotonic() - t_start > budget:
+        if n not in top_suite and time.monotonic() - t_start > budget:
             isolated_skipped.append(n)
             continue
         run_isolated(n, 1)

@@ -508,10 +508,10 @@ def _support_pruned_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "copurchase_triangles",
     oracle="""
-    WITH baskets AS (
+    WITH baskets AS MATERIALIZED (
         SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
     ),
-    pair_n AS (
+    pair_n AS MATERIALIZED (
         SELECT a.l_partkey AS u, b.l_partkey AS v, COUNT(*) AS cab
         FROM baskets a JOIN baskets b
           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
@@ -592,10 +592,10 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "copurchase_link_prediction",
     oracle="""
-    WITH baskets AS (
+    WITH baskets AS MATERIALIZED (
         SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
     ),
-    pair_n AS (
+    pair_n AS MATERIALIZED (
         SELECT a.l_partkey AS u, b.l_partkey AS v, COUNT(*) AS cab
         FROM baskets a JOIN baskets b
           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
@@ -875,33 +875,36 @@ KCORE_ROUNDS = 2  # unrolled peel rounds in the portable query
 @query(
     "kcore_peel_stats",
     oracle=f"""
-    WITH baskets AS (
+    WITH baskets AS MATERIALIZED (
         SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
     ),
-    pair_n AS (
+    pair_n AS MATERIALIZED (
         SELECT a.l_partkey AS u, b.l_partkey AS v, COUNT(*) AS cab
         FROM baskets a JOIN baskets b
           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
         GROUP BY 1, 2
     ),
-    e0 AS (SELECT u, v FROM pair_n WHERE cab >= 2),
-    d0 AS (
+    -- every CTE below is referenced 2-3x (degree agg, next peel,
+    -- scalar edge count); MATERIALIZED stops DuckDB re-inlining the
+    -- quadratic pair join per reference (14 s -> <1 s at sf0.1)
+    e0 AS MATERIALIZED (SELECT u, v FROM pair_n WHERE cab >= 2),
+    d0 AS MATERIALIZED (
         SELECT vtx, COUNT(*) AS deg FROM (
             SELECT u AS vtx FROM e0 UNION ALL SELECT v FROM e0
         ) GROUP BY vtx
     ),
     s1 AS (SELECT vtx FROM d0 WHERE deg >= {KCORE_K}),
-    e1 AS (
+    e1 AS MATERIALIZED (
         SELECT e.u, e.v FROM e0 e
         JOIN s1 a ON e.u = a.vtx JOIN s1 b ON e.v = b.vtx
     ),
-    d1 AS (
+    d1 AS MATERIALIZED (
         SELECT vtx, COUNT(*) AS deg FROM (
             SELECT u AS vtx FROM e1 UNION ALL SELECT v FROM e1
         ) GROUP BY vtx
     ),
     s2 AS (SELECT vtx FROM d1 WHERE deg >= {KCORE_K}),
-    e2 AS (
+    e2 AS MATERIALIZED (
         SELECT e.u, e.v FROM e1 e
         JOIN s2 a ON e.u = a.vtx JOIN s2 b ON e.v = b.vtx
     ),
