@@ -1043,9 +1043,21 @@ def late_arrival_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     is kept at), then a single bounded percentile reduce. No
     unpartitioned window, no corpus-grain state."""
     ev = load_table(spark, sf_dir, "events")
+    return lateness_profile(ev)
+
+
+def lateness_profile(
+    ev: DataFrame, key: str = "user_id", order_col: str = "event_id"
+) -> DataFrame:
+    """Reusable core of `late_arrival_audit`: the 1-row event-time
+    disorder profile (n_events / n_late / late_frac / p50 / p99 /
+    max lateness seconds) of any keyed event frame, replayed in
+    ``order_col`` arrival order. `streaming.jobs.
+    watermark_from_late_audit` turns this row into a `withWatermark`
+    delay — measure, size, stream: the watermark-sizing loop."""
     w = (
-        Window.partitionBy("user_id")
-        .orderBy("event_id")
+        Window.partitionBy(key)
+        .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     lat = ev.select(

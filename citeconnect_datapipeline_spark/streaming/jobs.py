@@ -77,6 +77,24 @@ def tumbling_counts_stream(
     )
 
 
+def watermark_from_late_audit(
+    audit: DataFrame, safety: float = 1.0
+) -> str:
+    """Close the watermark-sizing loop (M5): turn the 1-row lateness
+    profile from `operators.timeseries.lateness_profile` (the
+    `late_arrival_audit` core) into a `withWatermark` delay string —
+    ceil(p99_late_sec * safety) seconds. A p99-sized watermark admits
+    ~99% of late data while keeping window state bounded; raise
+    ``safety`` to trade state for completeness, and the audit's
+    max_late_sec is the loss bound of whatever you pick. The audit
+    frame is 1 row by construction, so the collect is O(1)."""
+    import math
+
+    row = audit.first()
+    p99 = float(row["p99_late_sec"] or 0.0)
+    return f"{int(math.ceil(p99 * safety))} seconds"
+
+
 def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Streaming dedup on event_id within the watermark horizon (M2):
     the incremental skip-existing upsert as bounded-state

@@ -593,3 +593,150 @@ def test_debounce_stream_multichunk_group_ordering(spark, tmp_path):
     }
     # exactly the 12 burst leaders survive
     assert kept == {b * 10 for b in range(12)}
+
+
+def test_watermark_sizing_loop_stream_matches_batch_prediction(
+    spark, tmp_path
+):
+    """The watermark-sizing LOOP (M5): measure disorder with the
+    late_arrival_audit core, feed its p99 into withWatermark, replay
+    event-time-disordered micro-batches, and assert the stream keeps
+    exactly the rows the batch audit predicts — the ~99% of late data
+    inside the p99 horizon survive, the tail beyond it is dropped.
+
+    Traffic: 60 in-order events (10 per 1-hour window, 6 windows),
+    then a late burst of 100 events 1-29 s late (inside the p99
+    horizon, all still in the open last window) plus ONE event ~5.9 h
+    late (the tail). p99 of the 101 lateness values = 29 s exactly,
+    so the sized watermark is '29 seconds': every burst row's window
+    is still open on arrival (admitted), while the tail row's window
+    end sits hours behind the watermark (dropped, and its long-closed
+    window is NOT re-emitted — the append contract). A sentinel batch
+    far in the future closes all real windows.
+
+    Replay uses a LIVE processingTime trigger with one file fed per
+    micro-batch, waiting for each batch to commit before feeding the
+    next: in this Spark build availableNow replays the whole backlog
+    under the run-start watermark (late rows are NOT dropped
+    mid-replay — verified empirically), so only a live trigger
+    exercises the cross-batch watermark advance this loop is about."""
+    import glob
+    import shutil
+    import time as _time
+
+    from citeconnect_datapipeline_spark.operators.timeseries import (
+        lateness_profile,
+    )
+    from citeconnect_datapipeline_spark.streaming.jobs import (
+        tumbling_counts_stream,
+        watermark_from_late_audit,
+    )
+
+    t0 = 1_600_000_000  # epoch seconds
+    rows = []  # (event_id = arrival order, ts_sec)
+    eid = 0
+    for i in range(60):  # in-order: 10 per hour over 6 hours
+        rows.append((eid, t0 + i * 360))
+        eid += 1
+    gm0 = t0 + 59 * 360  # max event time of the in-order batch
+    batch0_end = eid
+    for j in range(100):  # small-late burst: 1..29 s late, cycled
+        rows.append((eid, gm0 - (j % 29 + 1)))
+        eid += 1
+    rows.append((eid, t0 + 100))  # the tail: ~5.9 h late
+    eid += 1
+    batch1_end = eid
+    rows.append((eid, t0 + 86_400))  # sentinel: closes every window
+
+    def mk_df(slc):
+        return spark.createDataFrame(
+            [(i, ts) for i, ts in slc], "event_id long, ts_sec long"
+        ).select(
+            "event_id",
+            F.timestamp_seconds("ts_sec").alias("ts"),
+            F.lit(1).cast("long").alias("user_id"),
+            F.lit("click").alias("event_type"),
+            F.lit(1.0).alias("value"),
+        )
+
+    real = mk_df(rows[:batch1_end])  # the actual traffic, no sentinel
+    audit = lateness_profile(real)
+    delay = watermark_from_late_audit(audit)
+    assert delay == "29 seconds"  # p99 of 100x(1..29 s) + 1x huge
+
+    src = tmp_path / "wm_src"
+    src.mkdir()
+    stream = (
+        spark.readStream.schema(real.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = tumbling_counts_stream(stream, watermark=delay)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("wm_sized")
+        .outputMode("append")
+        .trigger(processingTime="300 milliseconds")
+        .start()
+    )
+    try:
+        fed = 0
+
+        def total_processed():
+            return sum(p["numInputRows"] for p in q.recentProgress)
+
+        def feed(slc, n_file):
+            nonlocal fed
+            tmp = tmp_path / f"stage{n_file}"
+            mk_df(slc).coalesce(1).write.parquet(str(tmp))
+            [part] = glob.glob(str(tmp / "part*"))
+            shutil.copy(part, str(src / f"part-{n_file:03d}.parquet"))
+            fed += len(slc)
+            deadline = _time.monotonic() + 60
+            while total_processed() < fed:
+                assert _time.monotonic() < deadline, "batch not committed"
+                _time.sleep(0.2)
+
+        feed(rows[:batch0_end], 0)
+        feed(rows[batch0_end:batch1_end], 1)
+        feed(rows[batch1_end:], 2)
+        # final no-data batch: watermark from the sentinel evicts and
+        # emits every real window
+        deadline = _time.monotonic() + 60
+        while spark.table("wm_sized").count() < 7:
+            assert _time.monotonic() < deadline, "windows not emitted"
+            _time.sleep(0.3)
+        dropped = sum(
+            so.get("numRowsDroppedByWatermark", 0)
+            for p in q.recentProgress
+            for so in p["stateOperators"]
+        )
+    finally:
+        q.stop()
+    got = {
+        r["window_start"]: int(r["n_events"])
+        for r in spark.table("wm_sized").collect()
+    }
+
+    # Batch-side prediction under Spark's published semantics: the
+    # watermark advances to (max event time of committed batches -
+    # delay), a row is admitted iff its window end is past the
+    # watermark of its batch, and append emits a window once the
+    # watermark passes its end. Here: every burst row lands in the
+    # still-open last window (admitted), the single tail row's window
+    # closed hours earlier (dropped), the sentinel's own window never
+    # closes (not emitted).
+    import datetime as _dt
+
+    predicted = {}
+    for i, ts in rows[:batch1_end]:
+        if i == batch1_end - 1:
+            continue  # the tail event: beyond the sized watermark
+        w_start = ts - ts % 3600
+        key = _dt.datetime.fromtimestamp(
+            w_start, tz=_dt.timezone.utc
+        ).strftime("%Y-%m-%d %H:%M:%S")
+        predicted[key] = predicted.get(key, 0) + 1
+    assert got == predicted
+    assert sum(got.values()) == 160  # 161 real events, 1 dropped
+    assert dropped == 1  # the engine counted exactly the tail
