@@ -399,3 +399,90 @@ def dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dp_noisy_counts_release(
         cells, "segment", salt=_DP_DEMO_SALT
     )
+
+
+# round(log10(1 + 1/d), 6) for d = 1..9 — injected as identical
+# literals into BOTH engines so the chi-square terms are bit-equal
+BENFORD_EXPECTED = {
+    1: 0.30103, 2: 0.176091, 3: 0.124939, 4: 0.09691, 5: 0.079181,
+    6: 0.066947, 7: 0.057992, 8: 0.051153, 9: 0.045757,
+}
+
+
+@query(
+    "benford_digit_audit",
+    oracle=f"""
+    WITH cells AS (
+        SELECT substr(CAST(CAST(FLOOR(l_extendedprice) AS BIGINT)
+                       AS VARCHAR), 1, 1) AS digit,
+               COUNT(*) AS n
+        FROM lineitem
+        WHERE l_extendedprice > 0
+        GROUP BY 1
+    ),
+    tot AS (SELECT SUM(n) AS tot FROM cells),
+    expected(digit, exp_frac) AS (
+        VALUES {", ".join(f"('{d}', {v})" for d, v in BENFORD_EXPECTED.items())}
+    )
+    SELECT c.digit, CAST(c.n AS BIGINT) AS n,
+           ROUND(c.n * 1.0 / t.tot, 6) AS obs_frac,
+           e.exp_frac,
+           ROUND(POWER(ROUND(c.n * 1.0 / t.tot, 6) - e.exp_frac, 2)
+                 / e.exp_frac, 6) AS chi2_term
+    FROM cells c CROSS JOIN tot t
+    JOIN expected e ON e.digit = c.digit
+    ORDER BY c.digit
+    """,
+)
+def benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit — the numeric-quality screen a lake
+    runs over money/measure columns before trusting them (fabricated
+    or unit-mangled figures drift from Benford's logarithmic digit
+    law; auditors and data-quality suites use exactly this test):
+    observed first-significant-digit fractions of l_extendedprice
+    against log10(1 + 1/d), with the per-digit chi-square
+    contribution so the failing digits are visible, not just a
+    summary stat. The first digit comes from the integer part's
+    string head (exact) rather than log10 arithmetic (whose float
+    slack misclassifies exact powers of 10).
+
+    Scale shape: one map-side-combinable 9-cell aggregate over the
+    fact scan; the total and the expected-law table ride 1-row/9-row
+    broadcasts. Per-row work is codegen substring arithmetic."""
+    li = load_table(spark, sf_dir, "lineitem")
+    digit = F.substring(
+        F.floor(F.col("l_extendedprice")).cast("bigint").cast("string"),
+        1,
+        1,
+    )
+    cells = (
+        li.filter(F.col("l_extendedprice") > 0)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = cells.agg(F.sum("n").alias("tot"))
+    exp_frac = F.element_at(
+        F.create_map(
+            *[
+                F.lit(x)
+                for d, v in BENFORD_EXPECTED.items()
+                for x in (str(d), v)
+            ]
+        ),
+        F.col("digit"),
+    )
+    obs = F.round(F.col("n") * 1.0 / F.col("tot"), 6)
+    return (
+        cells.join(F.broadcast(tot))
+        .select(
+            "digit",
+            "n",
+            obs.alias("obs_frac"),
+            exp_frac.alias("exp_frac"),
+            F.round(
+                F.pow(obs - exp_frac, 2) / exp_frac, 6
+            ).alias("chi2_term"),
+        )
+        .orderBy("digit")
+    )

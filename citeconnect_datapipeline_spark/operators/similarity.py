@@ -2245,3 +2245,89 @@ def retrieval_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("rr"), 6).alias("mrr"),
         F.round(F.avg("prec"), 6).alias("mean_precision"),
     )
+
+
+@query(
+    "embedding_isotropy_audit",
+    oracle="""
+    WITH vdim AS MATERIALIZED (
+        SELECT vec_id,
+               generate_subscripts(embedding, 1) AS dim,
+               CAST(unnest(embedding) AS DOUBLE) AS val
+        FROM embeddings
+    ),
+    dim_sum AS (
+        SELECT dim, ROUND(SUM(val), 6) AS s FROM vdim GROUP BY dim
+    ),
+    vec_norm AS (
+        SELECT vec_id, ROUND(SUM(val * val), 6) AS v2
+        FROM vdim GROUP BY vec_id
+    ),
+    parts AS (
+        SELECT (SELECT COUNT(*) FROM vec_norm) AS n,
+               (SELECT ROUND(SUM(s * s), 6) FROM dim_sum) AS s2,
+               (SELECT ROUND(SUM(v2), 6) FROM vec_norm) AS sum_v2
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           ROUND(sum_v2 / n, 6) AS mean_sq_norm,
+           ROUND(s2 / (CAST(n AS DOUBLE) * n), 6) AS norm_sq_of_mean,
+           ROUND(ROUND(s2 / (CAST(n AS DOUBLE) * n), 6)
+                 / ROUND(sum_v2 / n, 6), 6) AS isotropy_ratio,
+           ROUND((s2 - sum_v2) / (CAST(n AS DOUBLE) * (n - 1)), 6)
+               AS avg_pairwise_dot
+    FROM parts
+    """,
+)
+def embedding_isotropy_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Embedding-space isotropy audit — the geometry health check run
+    before trusting cosine retrieval (Ethayarajh 2019, Mu & Viswanath
+    2018: contextual embedding spaces are ANISOTROPIC — vectors share
+    a large common direction, so cosine similarity saturates and
+    ranking degrades; the standard fix is mean-centering, which
+    `embedding_pca_whiten` applies). Reports ||mean vector||^2
+    against the mean squared norm: their ratio is ~0 for an
+    isotropic cloud and grows toward 1 as a common bias direction
+    dominates, and the average pairwise dot product — computed
+    EXACTLY at any scale via the sum-of-sums identity
+    sum_{i != j} <v_i, v_j> = ||sum v||^2 - sum ||v||^2, no pair
+    enumeration.
+
+    Scale shape: two corpus-linear aggregates over the dim-exploded
+    scan (one at dim grain — 64 rows out, one at vec grain) folded
+    into a 1-row report; the quadratic pair sum never materializes.
+    Per-dim and per-vec partials are 6-dp pinned on both engines
+    before the scalar arithmetic so the hash is stable."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vdim = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "val")
+    ).select("vec_id", "dim", F.col("val").cast("double").alias("val"))
+    dim_sum = vdim.groupBy("dim").agg(
+        F.round(F.sum("val"), 6).alias("s")
+    )
+    vec_norm = vdim.groupBy("vec_id").agg(
+        F.round(F.sum(F.col("val") * F.col("val")), 6).alias("v2")
+    )
+    s2 = dim_sum.agg(
+        F.round(F.sum(F.col("s") * F.col("s")), 6).alias("s2")
+    )
+    totals = vec_norm.agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("v2"), 6).alias("sum_v2"),
+    )
+    nd = F.col("n").cast("double")
+    mean_sq_norm = F.round(F.col("sum_v2") / F.col("n"), 6)
+    norm_sq_of_mean = F.round(F.col("s2") / (nd * F.col("n")), 6)
+    return totals.join(F.broadcast(s2)).select(
+        F.col("n").cast("bigint").alias("n"),
+        mean_sq_norm.alias("mean_sq_norm"),
+        norm_sq_of_mean.alias("norm_sq_of_mean"),
+        F.round(norm_sq_of_mean / mean_sq_norm, 6).alias(
+            "isotropy_ratio"
+        ),
+        F.round(
+            (F.col("s2") - F.col("sum_v2")) / (nd * (F.col("n") - 1)),
+            6,
+        ).alias("avg_pairwise_dot"),
+    )

@@ -219,3 +219,154 @@ def trending_parts_decayed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("trend_rank")
     )
+
+
+RBO_P = 0.9  # rank-biased overlap persistence (top-weightedness)
+
+
+@query(
+    "rank_biased_overlap",
+    oracle=f"""
+    WITH mx AS (SELECT MAX(o_orderdate) AS now FROM orders),
+    li AS (
+        SELECT l.l_partkey,
+               (epoch_us(m.now) - epoch_us(o.o_orderdate))
+               / 86400000000.0 AS age_days
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        CROSS JOIN mx m
+    ),
+    scored AS (
+        SELECT l_partkey,
+               COUNT(*) AS n_orders,
+               ROUND(SUM(POWER(0.5,
+                   age_days / {TREND_HALFLIFE_DAYS})), 6)
+                   AS decayed_score
+        FROM li GROUP BY l_partkey
+    ),
+    ranked AS MATERIALIZED (
+        SELECT l_partkey,
+               ROW_NUMBER() OVER (ORDER BY decayed_score DESC,
+                                  l_partkey) AS trend_rank,
+               ROW_NUMBER() OVER (ORDER BY n_orders DESC, l_partkey)
+                   AS alltime_rank
+        FROM scored
+    ),
+    in_both AS (
+        SELECT GREATEST(trend_rank, alltime_rank) AS m
+        FROM ranked
+        WHERE trend_rank <= {TREND_TOPK}
+          AND alltime_rank <= {TREND_TOPK}
+    ),
+    grid AS (
+        SELECT d.d,
+               (SELECT COUNT(*) FROM in_both b WHERE b.m <= d.d)
+                   AS n_overlap
+        FROM generate_series(1, {TREND_TOPK}) AS d(d)
+    ),
+    contrib AS (
+        SELECT d, n_overlap,
+               ROUND(n_overlap * 1.0 / d, 6) AS agreement,
+               ROUND((1.0 - {RBO_P}) * POWER({RBO_P}, d - 1)
+                     * n_overlap / d, 6) AS contribution
+        FROM grid
+    )
+    SELECT CAST(d AS BIGINT) AS depth,
+           CAST(n_overlap AS BIGINT) AS n_overlap,
+           agreement, contribution,
+           ROUND(SUM(contribution) OVER (ORDER BY d
+                 ROWS UNBOUNDED PRECEDING), 6) AS rbo_cum
+    FROM contrib
+    ORDER BY depth
+    """,
+)
+def rank_biased_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap (Webber et al. 2010) between the decayed
+    trending ranking and the all-time popularity ranking — the
+    ranking-drift metric `trending_parts_decayed` motivates: RBO
+    weights prefix agreement geometrically (persistence p=0.9, so
+    depth-1 agreement matters most), which is how ranking changes
+    are compared in IR and how a feed team quantifies "how different
+    is today's ranking". Emits the full depth profile (overlap,
+    agreement, per-depth contribution, cumulative RBO@d) so the
+    divergence DEPTH is visible, not just the scalar.
+
+    Scale shape: both rankings come from one part-grain aggregate
+    (the same plan as `trending_parts_decayed`); everything after
+    operates on two 20-row prefixes — the depth grid, the overlap
+    counts, and the running RBO sum are all bounded by TREND_TOPK,
+    never by the corpus."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    mx = orders.agg(F.max("o_orderdate").alias("now"))
+    age_days = (
+        F.unix_micros("now") - F.unix_micros("o_orderdate")
+    ) / 86_400_000_000.0
+    scored = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .crossJoin(F.broadcast(mx))
+        .groupBy("l_partkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(
+                F.sum(F.pow(F.lit(0.5), age_days / TREND_HALFLIFE_DAYS)),
+                6,
+            ).alias("decayed_score"),
+        )
+    )
+    wt = Window.orderBy(F.desc("decayed_score"), "l_partkey")
+    wa = Window.orderBy(F.desc("n_orders"), "l_partkey")
+    in_both = (
+        scored.select(
+            F.row_number().over(wt).alias("trend_rank"),
+            F.row_number().over(wa).alias("alltime_rank"),
+        )
+        .filter(
+            (F.col("trend_rank") <= TREND_TOPK)
+            & (F.col("alltime_rank") <= TREND_TOPK)
+        )
+        .select(
+            F.greatest("trend_rank", "alltime_rank").alias("m")
+        )
+    )
+    grid = spark.range(1, TREND_TOPK + 1).select(
+        F.col("id").alias("depth")
+    )
+    overlap = (
+        grid.join(
+            F.broadcast(in_both), F.col("m") <= F.col("depth"), "left"
+        )
+        .groupBy("depth")
+        .agg(F.count("m").alias("n_overlap"))
+    )
+    contribution = F.round(
+        (1.0 - RBO_P)
+        * F.pow(F.lit(RBO_P), F.col("depth") - 1)
+        * F.col("n_overlap")
+        / F.col("depth"),
+        6,
+    )
+    wcum = Window.orderBy("depth").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        overlap.select(
+            F.col("depth").cast("bigint").alias("depth"),
+            F.col("n_overlap").cast("bigint").alias("n_overlap"),
+            F.round(F.col("n_overlap") * 1.0 / F.col("depth"), 6).alias(
+                "agreement"
+            ),
+            contribution.alias("contribution"),
+        )
+        .select(
+            "*",
+            F.round(F.sum("contribution").over(wcum), 6).alias(
+                "rbo_cum"
+            ),
+        )
+        .orderBy("depth")
+    )

@@ -2185,3 +2185,132 @@ def readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("difficult")
         .alias("band"),
     ).orderBy("doc_id")
+
+
+CHI2_MIN_DF = 30  # terms in fewer docs carry no selection signal
+CHI2_TOPK = 20
+
+
+@query(
+    "chi2_term_selection",
+    oracle=f"""
+    WITH pres AS MATERIALIZED (
+        SELECT DISTINCT d.doc_id, d.source, w.word
+        FROM documents d,
+             unnest(string_split_regex(lower(d.text), '[^a-z0-9]+'))
+                 AS w(word)
+        WHERE length(w.word) >= 3
+          AND w.word NOT IN {STOPWORDS!r}
+    ),
+    n_total AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+    class_sz AS (
+        SELECT source, COUNT(DISTINCT doc_id) AS n_class
+        FROM documents GROUP BY source
+    ),
+    term_df AS (
+        SELECT word, COUNT(*) AS df FROM pres GROUP BY word
+    ),
+    cell AS (
+        SELECT word, source, COUNT(*) AS n11
+        FROM pres GROUP BY word, source
+    ),
+    scored AS (
+        SELECT c.word, c.source,
+               c.n11,
+               s.n_class - c.n11 AS n10,
+               t.df - c.n11 AS n01,
+               n.n - s.n_class - (t.df - c.n11) AS n00,
+               ROUND(
+                   n.n
+                   * POWER(CAST(c.n11 AS DOUBLE)
+                           * (n.n - s.n_class - (t.df - c.n11))
+                           - CAST(s.n_class - c.n11 AS DOUBLE)
+                           * (t.df - c.n11), 2)
+                   / (CAST(s.n_class AS DOUBLE) * (n.n - s.n_class)
+                      * t.df * (n.n - t.df)),
+                   6) AS chi2
+        FROM cell c
+        JOIN class_sz s USING (source)
+        JOIN term_df t USING (word)
+        CROSS JOIN n_total n
+        WHERE t.df >= {CHI2_MIN_DF} AND t.df < n.n
+    )
+    SELECT word, source, CAST(n11 AS BIGINT) AS n11,
+           CAST(n10 AS BIGINT) AS n10, CAST(n01 AS BIGINT) AS n01,
+           CAST(n00 AS BIGINT) AS n00, chi2
+    FROM scored
+    ORDER BY chi2 DESC, word, source
+    LIMIT {CHI2_TOPK}
+    """,
+)
+def chi2_term_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square feature selection — the classic term-vs-class
+    independence screen (sklearn's chi2 / the selection step before
+    training `quality_classifier`-style models): for each (term,
+    source) one-vs-rest 2x2 contingency over DOCUMENT PRESENCE, the
+    chi-square statistic N*(n11*n00 - n10*n01)^2 / (row and column
+    marginals), top-20. Terms below 30 (CHI2_MIN_DF) doc-frequency
+    are screened out (no signal, and the long tail is where the term
+    table's size lives).
+
+    Scale shape: presence = one explode -> distinct at (doc, term)
+    grain (the only corpus-sized shuffle); everything after is
+    term-grain and (term, class)-grain with the class sizes and the
+    1-row total riding broadcasts. The contingency arithmetic is
+    integer codegen; doubles only enter for the final statistic."""
+    docs = load_table(spark, sf_dir, "documents")
+    pres = (
+        docs.select(
+            "doc_id", "source", F.explode(_words()).alias("word")
+        )
+        .filter(
+            (F.length("word") >= 3) & (~F.col("word").isin(*STOPWORDS))
+        )
+        .distinct()
+    )
+    n_total = docs.agg(
+        F.count_distinct("doc_id").alias("n")
+    )
+    class_sz = docs.groupBy("source").agg(
+        F.count_distinct("doc_id").alias("n_class")
+    )
+    term_df = pres.groupBy("word").agg(F.count("*").alias("df"))
+    cell = pres.groupBy("word", "source").agg(
+        F.count("*").alias("n11")
+    )
+    n11 = F.col("n11")
+    n10 = F.col("n_class") - n11
+    n01 = F.col("df") - n11
+    n00 = F.col("n") - F.col("n_class") - n01
+    chi2 = F.round(
+        F.col("n")
+        * F.pow(
+            n11.cast("double") * n00 - n10.cast("double") * n01, 2
+        )
+        / (
+            F.col("n_class").cast("double")
+            * (F.col("n") - F.col("n_class"))
+            * F.col("df")
+            * (F.col("n") - F.col("df"))
+        ),
+        6,
+    )
+    return (
+        cell.join(F.broadcast(class_sz), "source")
+        .join(term_df, "word")
+        .crossJoin(F.broadcast(n_total))
+        .filter(
+            (F.col("df") >= CHI2_MIN_DF) & (F.col("df") < F.col("n"))
+        )
+        .select(
+            "word",
+            "source",
+            n11.cast("bigint").alias("n11"),
+            n10.cast("bigint").alias("n10"),
+            n01.cast("bigint").alias("n01"),
+            n00.cast("bigint").alias("n00"),
+            chi2.alias("chi2"),
+        )
+        .orderBy(F.desc("chi2"), "word", "source")
+        .limit(CHI2_TOPK)
+    )

@@ -54,6 +54,14 @@ NESTED_LOOP_OK = {
     # over key-grain count tables
     "k_anonymity_audit",  # 1-row population-total scalar broadcast
     # over the qid-grain cell table
+    "benford_digit_audit",  # 1-row grand-total scalar broadcast over
+    # the 9-row digit-cell table
+    "chi2_term_selection",  # 1-row corpus doc-count broadcast over
+    # the (term, class)-grain contingency table
+    "embedding_isotropy_audit",  # 1-row sum-of-dim-sums scalar
+    # broadcast joined to the 1-row vec-grain totals
+    "rank_biased_overlap",  # <=20-row both-prefixes broadcast range-
+    # joined to the 20-row depth grid (bounded by TREND_TOPK twice)
     "kfold_assignment_audit",  # per-method leak-metric broadcast
     # (bounded by the method x fold grid)
     "ks_drift_statistic",  # cohort totals + bin count: two 1-row
@@ -161,6 +169,8 @@ UNPARTITIONED_WINDOW_OK = {
     "seq_length_histogram",  # cumulative share over histogram bins
     "trending_parts_decayed",  # trend/alltime ranks over the
     # part-grain score table (bounded by the part domain)
+    "rank_biased_overlap",  # same two part-grain rank windows as
+    # trending_parts_decayed + a cumsum over the 20-row depth grid
     "ship_latency_histogram",  # share/cum-share over the week-grain
     # bucket table (bounded by the date span, never corpus-grain)
     "source_upsampling_plan",  # share-of-total over per-source rows

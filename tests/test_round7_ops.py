@@ -1,0 +1,154 @@
+"""Crafted behavioral tests for the round-7 operators.
+
+Each test either plants a distribution where the operator's defining
+property is FORCED or asserts the mathematical invariants the
+statistic must satisfy on real data — complementing the oracle
+hash-match, which checks engine agreement but not intent.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_benford_digit_audit_invariants(spark):
+    """Digits are '1'..'9' (the string-head extraction can never
+    yield '0' or a sign for positive prices), observed fractions sum
+    to 1, expected fractions are the Benford law, and every
+    chi-square term is the (obs-exp)^2/exp of its own row."""
+    from citeconnect_datapipeline_spark.operators.quality import (
+        BENFORD_EXPECTED,
+        benford_digit_audit,
+    )
+
+    rows = benford_digit_audit(spark, SF).collect()
+    assert [r["digit"] for r in rows] == [str(d) for d in range(1, 10)]
+    assert abs(sum(r["obs_frac"] for r in rows) - 1.0) < 1e-5
+    for r in rows:
+        assert r["exp_frac"] == BENFORD_EXPECTED[int(r["digit"])]
+        want = (r["obs_frac"] - r["exp_frac"]) ** 2 / r["exp_frac"]
+        assert abs(r["chi2_term"] - want) < 1e-6
+        assert r["n"] > 0
+
+
+def test_benford_digit_audit_flags_planted_uniform(spark, tmp_path):
+    """A uniformly-digited column (anti-Benford) must show its
+    largest chi-square contribution on digit 1 — the digit Benford
+    expects 30% of and uniform data gives ~11% of."""
+    import shutil
+
+    from citeconnect_datapipeline_spark.operators.quality import (
+        benford_digit_audit,
+    )
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    # first digits cycle 1..9 uniformly
+    spark.range(900).select(
+        ((F.col("id") % 9 + 1) * 100 + F.col("id") % 100)
+        .cast("double")
+        .alias("l_extendedprice")
+    ).write.parquet(str(sf / "lineitem.parquet"))
+    for t in (
+        "region nation customer supplier part orders events "
+        "documents embeddings"
+    ).split():
+        shutil.copyfile(
+            f"{SF}/{t}.parquet", str(sf / f"{t}.parquet")
+        )
+    rows = {
+        r["digit"]: r for r in benford_digit_audit(spark, str(sf)).collect()
+    }
+    assert abs(rows["1"]["obs_frac"] - 1 / 9) < 0.01
+    top = max(rows.values(), key=lambda r: r["chi2_term"])
+    assert top["digit"] == "1"
+
+
+def test_chi2_term_selection_contingency_consistency(spark):
+    """Every output row's 2x2 cells are non-negative and sum to the
+    corpus doc count, and the statistic recomputes from its own
+    cells."""
+    from citeconnect_datapipeline_spark.operators.text import (
+        chi2_term_selection,
+    )
+    from citeconnect_datapipeline_spark.sources.tables import load_table
+
+    n_docs = load_table(spark, SF, "documents").count()
+    rows = chi2_term_selection(spark, SF).collect()
+    assert rows
+    prev = math.inf
+    for r in rows:
+        cells = (r["n11"], r["n10"], r["n01"], r["n00"])
+        assert all(c >= 0 for c in cells)
+        assert sum(cells) == n_docs
+        n11, n10, n01, n00 = cells
+        n = n_docs
+        want = (
+            n
+            * (n11 * n00 - n10 * n01) ** 2
+            / ((n11 + n10) * (n01 + n00) * (n11 + n01) * (n10 + n00))
+        )
+        assert abs(r["chi2"] - want) < 1e-4
+        assert r["chi2"] <= prev + 1e-9  # sorted by statistic
+        prev = r["chi2"]
+
+
+def test_embedding_isotropy_audit_invariants(spark):
+    """The ratio is ||mean||^2 / mean||v||^2 in [0, 1], and the
+    exact pairwise-dot identity reproduces a brute-force average on
+    the small fixture."""
+    from citeconnect_datapipeline_spark.operators.similarity import (
+        embedding_isotropy_audit,
+    )
+    from citeconnect_datapipeline_spark.sources.tables import load_table
+
+    [row] = embedding_isotropy_audit(spark, SF).collect()
+    assert row["n"] > 1
+    assert 0.0 <= row["isotropy_ratio"] <= 1.0
+    assert (
+        abs(
+            row["isotropy_ratio"]
+            - row["norm_sq_of_mean"] / row["mean_sq_norm"]
+        )
+        < 1e-5
+    )
+    vecs = [
+        [float(x) for x in r["embedding"]]
+        for r in load_table(spark, SF, "embeddings").collect()
+    ]
+    n = len(vecs)
+    dim_sums = [sum(v[d] for v in vecs) for d in range(len(vecs[0]))]
+    s2 = sum(s * s for s in dim_sums)
+    sum_v2 = sum(sum(x * x for x in v) for v in vecs)
+    brute_avg_dot = (s2 - sum_v2) / (n * (n - 1))
+    assert abs(row["avg_pairwise_dot"] - brute_avg_dot) < 1e-4
+    assert abs(row["mean_sq_norm"] - sum_v2 / n) < 1e-4
+
+
+def test_rank_biased_overlap_invariants(spark):
+    """Per-depth agreement in [0,1], overlap non-decreasing by at
+    most 2 per depth (one new item per list prefix), contributions
+    follow the (1-p) p^(d-1) weighting of their own agreement, and
+    cumulative RBO is non-decreasing and <= 1."""
+    from citeconnect_datapipeline_spark.operators.sorts import (
+        RBO_P,
+        rank_biased_overlap,
+    )
+
+    rows = rank_biased_overlap(spark, SF).collect()
+    assert [r["depth"] for r in rows] == list(range(1, 21))
+    prev_overlap, prev_cum = 0, 0.0
+    for r in rows:
+        d = r["depth"]
+        assert prev_overlap <= r["n_overlap"] <= prev_overlap + 2
+        assert r["n_overlap"] <= d
+        assert 0.0 <= r["agreement"] <= 1.0
+        want = (1 - RBO_P) * RBO_P ** (d - 1) * r["n_overlap"] / d
+        assert abs(r["contribution"] - want) < 1e-6
+        assert r["rbo_cum"] >= prev_cum - 1e-9
+        prev_overlap, prev_cum = r["n_overlap"], r["rbo_cum"]
+    assert prev_cum <= 1.0 + 1e-9

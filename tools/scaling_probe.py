@@ -25,7 +25,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 BASE = os.environ.get("SCALE_PROBE_BASE", "/root/testdata/sf0.1")
 WORK = os.environ.get("SCALE_PROBE_WORK", "/tmp/scale_probe")
-SCALES = (1, 3, 10)
+# SCALE_PROBE_SCALES=1,3,10,30 probes deeper: a super-linear term
+# (posting-cap tail, day-bin skew, generate amplification) shows at
+# 30x before it shows in production (r6 verdict #5).
+SCALES = tuple(
+    int(s)
+    for s in os.environ.get("SCALE_PROBE_SCALES", "1,3,10").split(",")
+)
 DEFAULT_QUERIES = (
     "exact_hash_dedup",
     "minhash_lsh_candidates",
@@ -208,13 +214,30 @@ def main() -> None:
     summary = {}
     for n in names:
         r = results[n]
-        summary[n] = {
-            "x1": r[1],
-            "x3": r[3],
-            "x10": r[10],
-            "growth_3x": round(r[3] / max(r[1], 1e-3), 2),
-            "growth_10x": round(r[10] / max(r[1], 1e-3), 2),
-        }
+        row = {f"x{s}": r[s] for s in SCALES}
+        base_scale = SCALES[0]
+        for s in SCALES[1:]:
+            row[f"growth_{s}x"] = round(
+                r[s] / max(r[base_scale], 1e-3), 2
+            )
+        # fitted growth exponent: OLS slope of log(sec) vs log(scale)
+        # — runtime ~ scale^alpha. alpha <= 1 is (sub-)linear; the
+        # floor term makes small-scale cells flatter, so alpha is a
+        # conservative (over-)estimate of the data-path exponent.
+        if len(SCALES) >= 2:
+            import math
+
+            xs = [math.log(s) for s in SCALES]
+            ys = [math.log(max(r[s], 1e-3)) for s in SCALES]
+            mx = sum(xs) / len(xs)
+            my = sum(ys) / len(ys)
+            denom = sum((x - mx) ** 2 for x in xs)
+            row["alpha"] = round(
+                sum((x - mx) * (y - my) for x, y in zip(xs, ys))
+                / max(denom, 1e-9),
+                2,
+            )
+        summary[n] = row
     print(json.dumps({"summary": summary}))
     spark.stop()
 
