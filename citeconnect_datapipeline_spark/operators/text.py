@@ -2314,3 +2314,95 @@ def chi2_term_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("chi2"), "word", "source")
         .limit(CHI2_TOPK)
     )
+
+
+@query(
+    "token_gini_by_source",
+    oracle=f"""
+    WITH words AS (
+        SELECT d.source, w.word
+        FROM documents d,
+             unnest(string_split_regex(lower(d.text), '[^a-z0-9]+'))
+                 AS w(word)
+        WHERE length(w.word) >= 3
+          AND w.word NOT IN {STOPWORDS!r}
+    ),
+    counts AS (
+        SELECT source, word, COUNT(*) AS c
+        FROM words GROUP BY source, word
+    ),
+    ranked AS (
+        SELECT source, c,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY c, word) AS i,
+               c * 1.0 / SUM(c) OVER (PARTITION BY source) AS p
+        FROM counts
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           ROUND(2.0 * SUM(i * c) / (COUNT(*) * SUM(c))
+                 - (COUNT(*) + 1.0) / COUNT(*), 6) AS gini,
+           ROUND(SUM(p * p), 6) AS simpson,
+           ROUND(-SUM(p * ln(p)), 6) AS entropy
+    FROM ranked
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def token_gini_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution concentration per source — the corpus
+    diversity panel a mixture designer reads beside
+    `zipf_alpha_fit`: the Gini coefficient of the word-frequency
+    distribution (0 = perfectly even vocabulary use, ->1 = a few
+    tokens dominate, the boilerplate/template signature), the
+    Simpson index sum p^2 (collision probability of two random
+    tokens), and Shannon entropy — three lenses on the same
+    concentration question, each preferring different tails.
+    Gini comes from the rank identity
+    2*sum(i*c_i)/(n*sum c) - (n+1)/n over ASC-sorted counts —
+    integer arithmetic until the final division.
+
+    Scale shape: one (source, word) count shuffle (vocab grain),
+    then a rank window and the rollup both PARTITIONED BY source
+    over the vocab-grain table — bounded by vocabulary size (Heaps
+    sub-linear), never corpus rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select("source", F.explode(_words()).alias("word"))
+        .filter(
+            (F.length("word") >= 3) & (~F.col("word").isin(*STOPWORDS))
+        )
+        .groupBy("source", "word")
+        .agg(F.count("*").alias("c"))
+    )
+    wr = Window.partitionBy("source").orderBy("c", "word")
+    wtot = Window.partitionBy("source")
+    p = F.col("c") * 1.0 / F.sum("c").over(wtot)
+    ranked = counts.select(
+        "source",
+        "c",
+        F.row_number().over(wr).alias("i"),
+        p.alias("p"),
+    )
+    n = F.count("*")
+    tot = F.sum("c")
+    return (
+        ranked.groupBy("source")
+        .agg(
+            n.cast("bigint").alias("n_distinct"),
+            tot.cast("bigint").alias("n_tokens"),
+            F.round(
+                2.0 * F.sum(F.col("i") * F.col("c")) / (n * tot)
+                - (n + 1.0) / n,
+                6,
+            ).alias("gini"),
+            F.round(F.sum(F.col("p") * F.col("p")), 6).alias(
+                "simpson"
+            ),
+            F.round(
+                -F.sum(F.col("p") * F.log(F.col("p"))), 6
+            ).alias("entropy"),
+        )
+        .orderBy("source")
+    )

@@ -1337,3 +1337,94 @@ def peak_concurrency_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+PH_DELTA = 0.5  # Page-Hinkley drift tolerance (metric units/day)
+PH_LAMBDA = 5.0  # alarm threshold on the PH statistic
+
+
+@query(
+    "page_hinkley_drift",
+    oracle=f"""
+    WITH daily AS (
+        SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                   AS wd,
+               AVG(value) AS x
+        FROM events GROUP BY 1
+    ),
+    run AS (
+        SELECT wd, x,
+               ROUND(AVG(x) OVER (ORDER BY wd
+                     ROWS UNBOUNDED PRECEDING), 6) AS xbar
+        FROM daily
+    ),
+    dev AS (
+        SELECT wd, x, xbar,
+               ROUND(x - xbar - {PH_DELTA}, 6) AS d
+        FROM run
+    ),
+    cum AS (
+        SELECT wd, x, xbar,
+               ROUND(SUM(d) OVER (ORDER BY wd
+                     ROWS UNBOUNDED PRECEDING), 6) AS m
+        FROM dev
+    )
+    SELECT CAST(wd AS BIGINT) AS wd,
+           ROUND(x, 6) AS mean_value,
+           xbar AS running_mean,
+           ROUND(m - MIN(m) OVER (ORDER BY wd
+                 ROWS UNBOUNDED PRECEDING), 6) AS ph_stat,
+           CASE WHEN m - MIN(m) OVER (ORDER BY wd
+                     ROWS UNBOUNDED PRECEDING) > {PH_LAMBDA}
+                THEN 1 ELSE 0 END AS alarm
+    FROM cum
+    ORDER BY wd
+    """,
+)
+def page_hinkley_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley drift detection over the daily metric series —
+    the sequential change-point test (Page 1954; the drift detector
+    in river/MOA) beside the retrospective screens
+    (`distribution_psi_drift`, `ks_drift_statistic`) and the
+    smoothing baseline (`ewma_anomaly`): the statistic accumulates
+    each day's deviation from the RUNNING mean minus a tolerance
+    delta, and subtracts the running minimum — a sustained upward
+    shift makes it climb past lambda (alarm) while zero-mean noise
+    keeps it near 0. Emitted per day with the alarm flag so the
+    DETECTION DAY is visible, which is the point of a sequential
+    test.
+
+    Scale shape: one aggregation to the daily grain, then three
+    prefix windows over the day-grain series (running mean, cumsum,
+    running min) — per-day rows at any corpus size; a multi-metric
+    deployment partitions the windows by metric id (same rewrite as
+    every W-family query). Intermediates are 6-dp pinned before each
+    cumulative step so both engines fold identical values."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.unix_date(F.to_date("ts")).alias("wd")
+    ).agg(F.avg("value").alias("x"))
+    wp = Window.orderBy("wd").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    run = daily.select(
+        "wd", "x", F.round(F.avg("x").over(wp), 6).alias("xbar")
+    )
+    dev = run.select(
+        "*",
+        F.round(F.col("x") - F.col("xbar") - PH_DELTA, 6).alias("d"),
+    )
+    cum = dev.select(
+        "wd",
+        "x",
+        "xbar",
+        F.round(F.sum("d").over(wp), 6).alias("m"),
+    )
+    ph = F.col("m") - F.min("m").over(wp)
+    return cum.select(
+        F.col("wd").cast("bigint").alias("wd"),
+        F.round("x", 6).alias("mean_value"),
+        F.col("xbar").alias("running_mean"),
+        F.round(ph, 6).alias("ph_stat"),
+        F.when(ph > PH_LAMBDA, 1).otherwise(0).alias("alarm"),
+    ).orderBy("wd")

@@ -166,6 +166,9 @@ UNPARTITIONED_WINDOW_OK = {
     # legs; argmin/size windows are partitioned
     "seasonal_decompose_daily",  # 7-day moving average over the
     # per-DAY aggregate (365 rows/year at any corpus size)
+    "page_hinkley_drift",  # running mean/cumsum/min prefixes over
+    # the per-DAY series (365 rows/year; multi-metric deployments
+    # partition by metric id)
     "seq_length_histogram",  # cumulative share over histogram bins
     "trending_parts_decayed",  # trend/alltime ranks over the
     # part-grain score table (bounded by the part domain)

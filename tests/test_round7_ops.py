@@ -152,3 +152,104 @@ def test_rank_biased_overlap_invariants(spark):
         assert r["rbo_cum"] >= prev_cum - 1e-9
         prev_overlap, prev_cum = r["n_overlap"], r["rbo_cum"]
     assert prev_cum <= 1.0 + 1e-9
+
+
+def test_page_hinkley_fires_on_planted_level_shift(spark, tmp_path):
+    """A clean level shift (value 10/event for 20 days, then
+    50/event) must push the PH statistic over lambda AFTER the shift
+    day and never before — the defining sequential-detection
+    property."""
+    import shutil
+
+    from citeconnect_datapipeline_spark.operators.timeseries import (
+        page_hinkley_drift,
+    )
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    rows = []
+    for day in range(30):
+        for k in range(5):
+            rows.append(
+                (
+                    day * 5 + k,
+                    1_600_000_000 + day * 86_400 + k,
+                    k,
+                    "click",
+                    10.0 if day < 20 else 50.0,
+                )
+            )
+    spark.createDataFrame(
+        rows, "event_id long, ts_sec long, user_id long,"
+        " event_type string, value double"
+    ).select(
+        "event_id",
+        F.timestamp_seconds("ts_sec").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+    ).write.parquet(str(sf / "events.parquet"))
+    for t in (
+        "region nation customer supplier part orders lineitem "
+        "documents embeddings"
+    ).split():
+        shutil.copyfile(
+            f"{SF}/{t}.parquet", str(sf / f"{t}.parquet")
+        )
+    out = page_hinkley_drift(spark, str(sf)).collect()
+    alarm_days = [r["wd"] for r in out if r["alarm"] == 1]
+    shift_wd = out[20]["wd"]
+    assert alarm_days, "level shift never detected"
+    assert min(alarm_days) >= shift_wd  # no false alarm before
+    assert min(alarm_days) <= shift_wd + 2  # detected promptly
+
+
+def test_token_gini_extremes_on_planted_sources(spark, tmp_path):
+    """A source using one word everywhere must show near-0 gini
+    (even use of its single type is trivially equal) and simpson=1;
+    a source with every word distinct must show gini ~= 0 and
+    simpson = 1/n — and a skewed source sits strictly between on
+    simpson. Pins the direction of all three indices."""
+    import shutil
+
+    from citeconnect_datapipeline_spark.operators.text import (
+        token_gini_by_source,
+    )
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    docs = []
+    # source A: one word, 100 occurrences -> simpson 1, entropy 0
+    docs.append((0, "alpha " * 100, "en", "A", 600))
+    # source B: 50 distinct words once each -> simpson 1/50, gini 0
+    docs.append(
+        (1, " ".join(f"word{i:02d}" for i in range(50)), "en", "B", 400)
+    )
+    # source C: skewed 60/30/10 over three words
+    docs.append(
+        (2, "xxx " * 60 + "yyy " * 30 + "zzz " * 10, "en", "C", 500)
+    )
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    ).write.parquet(str(sf / "documents.parquet"))
+    for t in (
+        "region nation customer supplier part orders lineitem "
+        "events embeddings"
+    ).split():
+        shutil.copyfile(
+            f"{SF}/{t}.parquet", str(sf / f"{t}.parquet")
+        )
+    got = {
+        r["source"]: r for r in token_gini_by_source(spark, str(sf)).collect()
+    }
+    assert got["A"]["n_distinct"] == 1
+    assert got["A"]["simpson"] == 1.0
+    assert got["A"]["entropy"] == 0.0
+    assert got["A"]["gini"] == 0.0
+    assert got["B"]["n_distinct"] == 50
+    assert abs(got["B"]["simpson"] - 1 / 50) < 1e-6
+    assert got["B"]["gini"] == 0.0  # perfectly even counts
+    assert got["C"]["n_distinct"] == 3
+    assert 1 / 3 < got["C"]["simpson"] < 1.0  # between even and single
+    assert got["C"]["gini"] > 0.2  # concentration visible
