@@ -48,6 +48,18 @@ PICKS = {
     "128-row map-side-combinable replicate aggregate",
     "peak_concurrency_by_day": "r6b: sweep-line running sum "
     "partitioned by DAY — bounded partitions make it distributable",
+    "embedding_isotropy_audit": "r7: exact average pairwise dot via "
+    "the sum-of-sums identity — two linear aggregates, NO pair join "
+    "anywhere in the plan",
+    "chi2_term_selection": "r7: presence distinct is the only "
+    "corpus-sized exchange; class sizes and the doc total ride "
+    "broadcasts into the contingency arithmetic",
+    "rank_biased_overlap": "r7: part-grain rank windows, then every "
+    "operator bounded by the 20-row prefixes (broadcast range join "
+    "against the depth grid)",
+    "page_hinkley_drift": "r7: day-grain aggregate feeds three "
+    "prefix windows — the sequential test is one partition-local "
+    "scan at any corpus size",
 }
 KEEP = re.compile(
     r"Scan parquet|BatchScan|BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin"
