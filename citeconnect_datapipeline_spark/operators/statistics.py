@@ -1766,3 +1766,94 @@ def incremental_stats_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(fmt(direct, F.lit("direct")))
         .orderBy("grain")
     )
+
+
+HILL_KS = (25, 50, 100)  # tail order statistics per estimate
+
+
+@query(
+    "hill_tail_index",
+    oracle=f"""
+    WITH topv AS MATERIALIZED (
+        SELECT o_totalprice AS x,
+               ROW_NUMBER() OVER (ORDER BY o_totalprice DESC,
+                                  o_orderkey) AS r
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT {max(HILL_KS) + 1}
+    )
+    SELECT k.k AS tail_k,
+           ROUND(MAX(CASE WHEN t.r = k.k + 1 THEN t.x END), 6)
+               AS x_threshold,
+           ROUND(1.0 / (SUM(CASE WHEN t.r <= k.k
+                    THEN ln(t.x / ROUND((SELECT x FROM topv
+                         WHERE r = k.k + 1), 6)) END) / k.k), 6)
+               AS hill_alpha
+    FROM (VALUES {", ".join(f"({k})" for k in HILL_KS)}) AS k(k)
+    JOIN topv t ON t.r <= k.k + 1
+    GROUP BY k.k
+    ORDER BY k.k
+    """,
+)
+def hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the tail exponent — the heavy-tail audit
+    for numeric columns (the value-domain companion of
+    `zipf_alpha_fit`'s rank-domain exponent): alpha_hat(k) =
+    k / sum_{i<=k} ln(x_(i) / x_(k+1)) over the k largest order
+    statistics, emitted on a k ladder (25/50/100) because Hill's
+    bias-variance trade shows as instability across k — a stable
+    alpha near 1-2 means Pareto-like spend/size tails (plan capacity
+    by quantile, not mean), a large alpha means the tail is thin and
+    mean-based planning is safe.
+
+    Scale shape: the ONLY corpus-touching operator is a distributed
+    TakeOrdered(max_k + 1) — no global sort, no corpus-grain window;
+    ranking, the threshold lookup, and the log folds all run on the
+    101-row head. The threshold is 6-dp pinned before the ratio so
+    both engines fold identical logs."""
+    orders = load_table(spark, sf_dir, "orders")
+    kmax = max(HILL_KS)
+    topv = (
+        orders.select(
+            F.col("o_totalprice").alias("x"), "o_orderkey"
+        )
+        .orderBy(F.desc("x"), "o_orderkey")
+        .limit(kmax + 1)
+        .select(
+            "x",
+            F.row_number()
+            .over(Window.orderBy(F.desc("x"), "o_orderkey"))
+            .alias("r"),
+        )
+    )
+    grid = spark.createDataFrame(
+        [(k,) for k in HILL_KS], "tail_k long"
+    )
+    thresh = F.round(
+        F.max(F.when(F.col("r") == F.col("tail_k") + 1, F.col("x"))),
+        6,
+    )
+    logsum = F.sum(
+        F.when(
+            F.col("r") <= F.col("tail_k"),
+            F.log(F.col("x") / F.col("x_thr")),
+        )
+    )
+    thr_map = topv.select(
+        F.col("r").alias("thr_r"), F.round("x", 6).alias("x_thr")
+    )
+    return (
+        grid.join(
+            F.broadcast(thr_map),
+            F.col("thr_r") == F.col("tail_k") + 1,
+        )
+        .join(F.broadcast(topv), F.col("r") <= F.col("tail_k") + 1)
+        .groupBy("tail_k")
+        .agg(
+            thresh.alias("x_threshold"),
+            F.round(1.0 / (logsum / F.col("tail_k")), 6).alias(
+                "hill_alpha"
+            ),
+        )
+        .orderBy("tail_k")
+    )

@@ -2406,3 +2406,94 @@ def token_gini_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+VOCAB_CURVE_KS = (1, 2, 4, 8, 16, 32, 64)
+
+
+@query(
+    "vocab_sizing_curve",
+    oracle=f"""
+    WITH words AS (
+        SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+'))
+            AS word
+        FROM documents
+    ),
+    counts AS (
+        SELECT word, COUNT(*) AS c FROM words
+        WHERE length(word) >= 3
+          AND word NOT IN {STOPWORDS!r}
+        GROUP BY word
+    ),
+    ranked AS MATERIALIZED (
+        SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, word) AS r
+        FROM counts
+    ),
+    tot AS (SELECT SUM(c) AS tot, COUNT(*) AS n_distinct FROM ranked)
+    SELECT k.k AS vocab_k,
+           CAST(COALESCE(SUM(rk.c), 0) AS BIGINT) AS covered_tokens,
+           ROUND(COALESCE(SUM(rk.c), 0) * 1.0 / MAX(t.tot), 6)
+               AS coverage_frac,
+           ROUND(1.0 - COALESCE(SUM(rk.c), 0) * 1.0 / MAX(t.tot), 6)
+               AS oov_frac
+    FROM (VALUES {", ".join(f"({k})" for k in VOCAB_CURVE_KS)}) AS k(k)
+    LEFT JOIN ranked rk ON rk.r <= k.k
+    CROSS JOIN tot t
+    GROUP BY k.k
+    ORDER BY k.k
+    """,
+)
+def vocab_sizing_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary sizing curve — the coverage-vs-size trade a
+    tokenizer team reads before fixing a vocab budget (the marginal
+    token-mass each doubling of the vocabulary buys; the knee of
+    this curve IS the vocab size decision): for k in 1,2,4,...,64,
+    the fraction of all token occurrences covered by the top-k
+    words, with the OOV remainder that would fall to byte-fallback.
+    The single-k variant is `vocab_coverage`; this emits the whole
+    doubling grid in one plan.
+
+    Scale shape: one word-count shuffle (vocab grain, Heaps
+    sub-linear), a rank window over the vocab-grain count table,
+    and a 7-row grid range-joined to the ranked head — the grid and
+    the output are bounded by the k ladder, the corpus appears only
+    in the first aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(_words()).alias("word"))
+        .filter(
+            (F.length("word") >= 3) & (~F.col("word").isin(*STOPWORDS))
+        )
+        .groupBy("word")
+        .agg(F.count("*").alias("c"))
+    )
+    ranked = counts.select(
+        "c",
+        F.row_number()
+        .over(Window.orderBy(F.desc("c"), "word"))
+        .alias("r"),
+    )
+    tot = ranked.agg(F.sum("c").alias("tot"))
+    grid = spark.createDataFrame(
+        [(k,) for k in VOCAB_CURVE_KS], "vocab_k long"
+    )
+    covered = F.coalesce(F.sum("c"), F.lit(0))
+    return (
+        grid.join(
+            F.broadcast(ranked), F.col("r") <= F.col("vocab_k"), "left"
+        )
+        .groupBy("vocab_k")
+        .agg(covered.cast("bigint").alias("covered_tokens"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "vocab_k",
+            "covered_tokens",
+            F.round(
+                F.col("covered_tokens") * 1.0 / F.col("tot"), 6
+            ).alias("coverage_frac"),
+            F.round(
+                1.0 - F.col("covered_tokens") * 1.0 / F.col("tot"), 6
+            ).alias("oov_frac"),
+        )
+        .orderBy("vocab_k")
+    )

@@ -62,6 +62,10 @@ NESTED_LOOP_OK = {
     # broadcast joined to the 1-row vec-grain totals
     "rank_biased_overlap",  # <=20-row both-prefixes broadcast range-
     # joined to the 20-row depth grid (bounded by TREND_TOPK twice)
+    "vocab_sizing_curve",  # vocab-grain ranked head broadcast range-
+    # joined to the 7-row k ladder + 1-row total broadcast
+    "hill_tail_index",  # 101-row TakeOrdered head broadcast range-
+    # joined to the 3-row k ladder (threshold + log folds)
     "kfold_assignment_audit",  # per-method leak-metric broadcast
     # (bounded by the method x fold grid)
     "ks_drift_statistic",  # cohort totals + bin count: two 1-row
@@ -169,6 +173,9 @@ UNPARTITIONED_WINDOW_OK = {
     "page_hinkley_drift",  # running mean/cumsum/min prefixes over
     # the per-DAY series (365 rows/year; multi-metric deployments
     # partition by metric id)
+    "vocab_sizing_curve",  # rank over the vocab-grain count table
+    # (Heaps-bounded, the same boundedness as zipf_alpha_fit's head)
+    "hill_tail_index",  # rank over the 101-row TakeOrdered head
     "seq_length_histogram",  # cumulative share over histogram bins
     "trending_parts_decayed",  # trend/alltime ranks over the
     # part-grain score table (bounded by the part domain)
