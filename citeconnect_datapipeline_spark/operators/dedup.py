@@ -1494,34 +1494,53 @@ def simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _portable_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, n_shingles, simhash): the md5-nibble SimHash votes —
-    shared by the fingerprint query and the banded hamming search."""
-    sh = _portable_string_shingles(spark, sf_dir)
-    h = sh.select("doc_id", F.md5("s").alias("h"))
-    votes = h.groupBy("doc_id").agg(
-        F.count("*").alias("n_shingles"),
-        *[
-            F.sum(
-                F.when(
-                    F.substring("h", j + 1, 1) >= F.lit("8"), 1
-                ).otherwise(-1)
-            ).alias(f"b{j}")
-            for j in range(SIMHASH_PORTABLE_BITS)
-        ],
+    shared by the fingerprint query and the banded hamming search.
+
+    Submitted as ONE spark.sql text: the 32 conditional-sum columns
+    and the 32-term fingerprint chain are ~100 Column constructions
+    in the DataFrame form, ~0.65 s of py4j chatter per build (the
+    jl_distortion_audit lesson) — parsed JVM-side in one round trip
+    here. Plan shape unchanged: shingles explode in-row
+    (array_distinct before explode, so per-doc dedup never
+    shuffles), ONE doc-keyed aggregate with map-side partials."""
+    from ..sources.tables import spread_small_source
+
+    spread_small_source(
+        load_table(spark, sf_dir, "documents")
+    ).createOrReplaceTempView("_sph_docs")
+    sums = ",\n               ".join(
+        f"SUM(IF(substring(h, {j + 1}, 1) >= '8', 1, -1)) AS b{j}"
+        for j in range(SIMHASH_PORTABLE_BITS)
     )
-    fingerprint = None
-    for j in range(SIMHASH_PORTABLE_BITS):
-        term = (
-            F.when(F.col(f"b{j}") > 0, F.lit(1))
-            .otherwise(F.lit(0))
-            .cast("long")
-            * F.lit(1 << j).cast("long")
+    fp = " + ".join(
+        f"CAST(IF(b{j} > 0, 1, 0) AS BIGINT) * {1 << j}"
+        for j in range(SIMHASH_PORTABLE_BITS)
+    )
+    return spark.sql(f"""
+        WITH words AS (
+            SELECT doc_id, split(lower(text), '[^a-z0-9]+') AS w
+            FROM _sph_docs
+        ),
+        sh AS (
+            SELECT doc_id,
+                   explode(array_distinct(filter(
+                       transform(
+                           sequence(1, greatest(size(w) - 2, 1)),
+                           i -> concat_ws(' ', slice(w, i, 3))),
+                       s -> s != ''))) AS s
+            FROM words
+        ),
+        hashed AS (SELECT doc_id, md5(s) AS h FROM sh),
+        votes AS (
+            SELECT doc_id, COUNT(*) AS n_shingles,
+               {sums}
+            FROM hashed GROUP BY doc_id
         )
-        fingerprint = term if fingerprint is None else fingerprint + term
-    return votes.select(
-        "doc_id",
-        F.col("n_shingles").cast("bigint").alias("n_shingles"),
-        fingerprint.alias("simhash"),
-    )
+        SELECT doc_id,
+               CAST(n_shingles AS BIGINT) AS n_shingles,
+               {fp} AS simhash
+        FROM votes
+    """)
 
 
 @query(

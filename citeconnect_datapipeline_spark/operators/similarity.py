@@ -1494,70 +1494,77 @@ def ann_rp_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     9-row broadcast semi join — the index-lookup form (at 100 TB the
     signature is the partition/bucket key, so the semi join is
     partition PRUNING, as build_ivf_index materializes); only the
-    in-bucket sliver pays the exact rerank."""
+    in-bucket sliver pays the exact rerank.
+
+    Submitted as ONE spark.sql text: the 8x64 ±1 matrix enters as a
+    SQL array literal parsed JVM-side in one round trip — built
+    lit-by-lit it cost ~0.7 s of py4j chatter PER BUILD (the
+    jl_distortion_audit lesson), which dominated this query's
+    floor-bound bench figure."""
     signs = _rp_signs()
-    emb = load_table(spark, sf_dir, "embeddings")
-    vec = F.col("embedding").cast("array<double>")
+    load_table(spark, sf_dir, "embeddings").createOrReplaceTempView(
+        "_rp_emb"
+    )
 
-    def bit(j):
-        proj = F.aggregate(
-            F.zip_with(
-                vec,
-                F.array(*[F.lit(v) for v in signs[j]]),
-                lambda x, y: x * y,
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        return F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0"))
+    def arr(j):
+        vals = ", ".join(str(v) for v in signs[j])
+        return f"CAST(array({vals}) AS ARRAY<DOUBLE>)"
 
-    sigs = emb.select(
-        "vec_id",
-        "embedding",
-        F.concat(*[bit(j) for j in range(RP_BITS)]).alias("sig"),
+    dot = (
+        "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D,"
+        " (acc, v) -> acc + v)"
     )
-    probe = sigs.filter(F.col("vec_id") == QUERY_VEC_ID).select(
-        F.col("sig").alias("psig"), F.col("embedding").alias("qvec")
-    )
-    # The probe bucket + its 8 hamming-1 neighbors, as data (no collect).
-    flips = probe.select(
-        "qvec",
-        "psig",
-        F.explode(
-            F.array(
-                F.col("psig"),
-                *[
-                    F.concat(
-                        F.substring("psig", 1, j),
-                        F.when(
-                            F.substring("psig", j + 1, 1) == "1", "0"
-                        ).otherwise("1"),
-                        F.substring("psig", j + 2, RP_BITS - j - 1),
-                    )
-                    for j in range(RP_BITS)
-                ],
-            )
-        ).alias("sig"),
-    )
-    qvec = F.col("qvec").cast("array<double>")
-    ham = sum(
-        F.when(
-            F.substring("sig", j + 1, 1) != F.substring("psig", j + 1, 1),
-            1,
-        ).otherwise(0)
+    bits = ", ".join(
+        "CASE WHEN "
+        + dot.format(a="CAST(embedding AS ARRAY<DOUBLE>)", b=arr(j))
+        + " >= 0 THEN '1' ELSE '0' END"
         for j in range(RP_BITS)
     )
-    return (
-        sigs.filter(F.col("vec_id") != QUERY_VEC_ID)
-        .join(F.broadcast(flips), "sig")
-        .select(
-            "vec_id",
-            F.round(_cosine(vec, qvec), 6).alias("cosine"),
-            ham.cast("int").alias("sig_hamming"),
-        )
-        .orderBy(F.desc("cosine"), "vec_id")
-        .limit(5)
+    flip_exprs = ", ".join(
+        f"concat(substring(psig, 1, {j}),"
+        f" IF(substring(psig, {j + 1}, 1) = '1', '0', '1'),"
+        f" substring(psig, {j + 2}, {RP_BITS - j - 1}))"
+        for j in range(RP_BITS)
     )
+    ham = " + ".join(
+        f"IF(substring(sig, {j + 1}, 1) <> substring(psig, {j + 1}, 1),"
+        " 1, 0)"
+        for j in range(RP_BITS)
+    )
+    cos = (
+        dot.format(a="v", b="q")
+        + f" / (SQRT({dot.format(a='v', b='v')})"
+        + f" * SQRT({dot.format(a='q', b='q')}))"
+    )
+    return spark.sql(f"""
+        WITH sigs AS (
+            SELECT vec_id, embedding, concat({bits}) AS sig
+            FROM _rp_emb
+        ),
+        probe AS (
+            SELECT sig AS psig, embedding AS qvec
+            FROM sigs WHERE vec_id = {QUERY_VEC_ID}
+        ),
+        flips AS (
+            SELECT qvec, psig,
+                   explode(array(psig, {flip_exprs})) AS sig
+            FROM probe
+        ),
+        cand AS (
+            SELECT /*+ BROADCAST(f) */ e.vec_id,
+                   CAST(e.embedding AS ARRAY<DOUBLE>) AS v,
+                   CAST(f.qvec AS ARRAY<DOUBLE>) AS q,
+                   ({ham}) AS sig_hamming
+            FROM sigs e JOIN flips f USING (sig)
+            WHERE e.vec_id <> {QUERY_VEC_ID}
+        )
+        SELECT vec_id,
+               ROUND({cos}, 6) AS cosine,
+               CAST(sig_hamming AS INT) AS sig_hamming
+        FROM cand
+        ORDER BY cosine DESC, vec_id
+        LIMIT 5
+    """)
 
 
 PQP_M = 4   # portable-twin subspaces (64-dim -> 4 x 16-dim)
