@@ -167,9 +167,10 @@ def trending_parts_decayed(spark: SparkSession, sf_dir: str) -> DataFrame:
     query is deterministic), reported beside the all-time count rank
     so rank_gain exposes what decay CHANGES — rising items an
     all-time top-k structurally cannot surface. The streaming twin
-    folds the same decay into state multiplicatively
-    (score *= 0.5^(dt/hl) + 1 per event); this is its batch
-    replay.
+    (`streaming.jobs.decayed_popularity_stream`) folds the same
+    decay into state multiplicatively (score = score * 0.5^(dt/hl)
+    + 1 per event; stream==batch parity in tests/test_streaming.py);
+    this is its batch replay.
 
     Scale shape: the decay weight is per-row codegen arithmetic on
     the fact scan (anchor = 1-row broadcast), one part-grain

@@ -468,3 +468,71 @@ def debounce_stream(events: DataFrame, gap_sec: int = 5) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def decayed_popularity_stream(
+    orders: DataFrame, halflife_days: float = 30.0
+) -> DataFrame:
+    """Streaming twin of the batch `trending_parts_decayed` decay
+    (operators/sorts.py): per part, ONE (last_event_us, score) pair
+    of state folds every arriving order multiplicatively —
+    score = score * 0.5^(dt / halflife) + 1 — so the state store is
+    O(active parts) with no event history retained, and any reader
+    can renormalize a part's score to a common anchor with one more
+    multiplication (the batch query's MAX-orderdate anchor). Emits
+    the refreshed (part, last_event_us, score) rows each
+    micro-batch (update mode).
+
+    Ordering contract: like `debounce_stream`, a key's micro-batch
+    rows arrive as multiple unordered Arrow chunks — ALL chunks are
+    materialized, concatenated, and sorted once on (ts, order key)
+    before folding; across batches the source must deliver in
+    event-time order, the same arrival discipline the batch twin's
+    anchor math assumes."""
+    from pyspark.sql.streaming.state import (
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    out_schema = "l_partkey bigint, last_us bigint, score double"
+    state_schema = "last_us bigint, score double"
+    hl_us = halflife_days * 86_400_000_000.0
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        last_us, score = (
+            state.get if state.exists else (None, 0.0)
+        )
+        chunks = list(pdfs)
+        pdf = (
+            pd.concat(chunks, ignore_index=True)
+            if len(chunks) > 1
+            else chunks[0]
+        ).sort_values(["ts", "l_orderkey"])
+        for ts_us in pdf["ts"].astype("int64") // 1000:
+            ts_us = int(ts_us)
+            if last_us is not None:
+                score = score * 0.5 ** ((ts_us - last_us) / hl_us)
+            score += 1.0
+            last_us = ts_us
+        state.update((int(last_us), float(score)))
+        yield pd.DataFrame(
+            {
+                "l_partkey": [key[0]],
+                "last_us": [last_us],
+                "score": [score],
+            }
+        )
+
+    return (
+        orders.select("l_partkey", "l_orderkey", "ts")
+        .groupBy("l_partkey")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

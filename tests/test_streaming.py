@@ -740,3 +740,90 @@ def test_watermark_sizing_loop_stream_matches_batch_prediction(
     assert got == predicted
     assert sum(got.values()) == 160  # 161 real events, 1 dropped
     assert dropped == 1  # the engine counted exactly the tail
+
+
+def test_decayed_popularity_stream_matches_batch_scores(spark, tmp_path):
+    """Streaming decayed popularity (one (last_ts, score) pair of
+    state per part) must equal the batch trending decay exactly:
+    each part's final stream state, renormalized to the batch
+    query's global MAX-orderdate anchor with one multiplication,
+    equals sum over its orders of 0.5^(age/halflife) — the
+    multiplicative-fold identity the operator is built on. Replayed
+    across 3 event-time-ordered micro-batches so state genuinely
+    carries between triggers."""
+    from citeconnect_datapipeline_spark.sources.tables import load_table
+    from citeconnect_datapipeline_spark.streaming.jobs import (
+        decayed_popularity_stream,
+        run_to_memory,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    hl_days = 30.0
+    li = load_table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    orders = load_table(spark, sf, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    fact = li.join(
+        orders, li.l_orderkey == orders.o_orderkey
+    ).select("l_partkey", "l_orderkey", F.col("o_orderdate").alias("ts"))
+
+    # event-time-ordered tertiles -> ordered micro-batch replay
+    cuts = fact.agg(
+        F.percentile(F.unix_micros("ts"), F.lit(1 / 3)).alias("c1"),
+        F.percentile(F.unix_micros("ts"), F.lit(2 / 3)).alias("c2"),
+    ).first()
+    us = F.unix_micros(F.col("ts"))
+    src = tmp_path / "decay_src"
+    fact.filter(us <= cuts["c1"]).coalesce(1).write.parquet(
+        str(src / "f0")
+    )
+    fact.filter((us > cuts["c1"]) & (us <= cuts["c2"])).coalesce(
+        1
+    ).write.parquet(str(src / "f1"))
+    fact.filter(us > cuts["c2"]).coalesce(1).write.parquet(
+        str(src / "f2")
+    )
+    stream = (
+        spark.readStream.schema(fact.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    out = decayed_popularity_stream(stream, halflife_days=hl_days)
+    run_to_memory(out, "decayed_pop", output_mode="update")
+    emitted = spark.table("decayed_pop").toPandas()
+    # update mode re-emits refreshed parts each batch; keep the last
+    # (= highest last_us, then highest score) emission per part
+    final = (
+        emitted.sort_values(["l_partkey", "last_us", "score"])
+        .groupby("l_partkey")
+        .tail(1)
+        .set_index("l_partkey")
+    )
+
+    hl_us = hl_days * 86_400_000_000.0
+    anchor_us = orders.agg(
+        F.unix_micros(F.max("o_orderdate"))
+    ).first()[0]
+    batch = {
+        r["l_partkey"]: r["score"]
+        for r in fact.select(
+            "l_partkey",
+            F.pow(
+                F.lit(0.5),
+                (F.lit(anchor_us) - F.unix_micros("ts")) / hl_us,
+            ).alias("w"),
+        )
+        .groupBy("l_partkey")
+        .agg(F.sum("w").alias("score"))
+        .collect()
+    }
+    assert len(final) == len(batch)
+    assert (emitted.groupby("l_partkey").size() > 1).any()  # state carried
+    for pk, want in batch.items():
+        got = final.loc[pk, "score"] * 0.5 ** (
+            (anchor_us - final.loc[pk, "last_us"]) / hl_us
+        )
+        assert abs(got - want) < 1e-6 * max(1.0, want), pk
