@@ -38,13 +38,23 @@ from .operators.multimodal import with_media_columns
 from .operators.similarity import (
     build_ivf_index,
     embed_with_model,
+    embedding_isotropy,
     search_ivf_index,
     sq8_quantization_report,
 )
-from .operators.text import bm25_rank
+from .operators.text import (
+    bm25_rank,
+    chi2_term_selection_frame,
+    token_concentration_by,
+)
 from .operators.analytics import h_index_by
-from .operators.quality import k_anonymity_cells, l_diversity_cells
-from .operators.statistics import categorical_mi
+from .operators.quality import (
+    benford_digit_cells,
+    dp_noisy_counts_release,
+    k_anonymity_cells,
+    l_diversity_cells,
+)
+from .operators.statistics import categorical_mi, hill_tail_profile
 from .operators.training import (
     decontaminate,
     es_weighted_sample,
@@ -56,7 +66,11 @@ from .operators.skew import (
     salted_count_by_key,
     salted_sum_by_key,
 )
-from .operators.timeseries import sessionize
+from .operators.timeseries import (
+    lateness_profile,
+    page_hinkley_series,
+    sessionize,
+)
 from .operators.tokenizer import encode_word_vocab, train_bpe_merges
 from .sources.jsonl import ingest_jsonl_to_zone, read_jsonl
 from .sinks.models import (
@@ -95,6 +109,7 @@ tokenizer = SimpleNamespace(
 )
 similarity = SimpleNamespace(
     embed_with_model=embed_with_model,
+    embedding_isotropy=embedding_isotropy,
     build_ivf_index=build_ivf_index,
     search_ivf_index=search_ivf_index,
     sq8_quantization_report=sq8_quantization_report,
@@ -102,19 +117,28 @@ similarity = SimpleNamespace(
 retrieval = SimpleNamespace(bm25_rank=bm25_rank)
 curation = SimpleNamespace(
     decontaminate=decontaminate,
+    chi2_term_selection=chi2_term_selection_frame,
+    token_concentration_by=token_concentration_by,
+    dp_noisy_counts_release=dp_noisy_counts_release,
     label_outliers=label_outliers,
     weighted_sample=es_weighted_sample,
     k_anonymity_cells=k_anonymity_cells,
     l_diversity_cells=l_diversity_cells,
+    benford_digit_cells=benford_digit_cells,
 )
 multimodal = SimpleNamespace(with_media_columns=with_media_columns)
 timeseries = SimpleNamespace(
     sessionize=sessionize,
+    lateness_profile=lateness_profile,
+    page_hinkley=page_hinkley_series,
     asof_join=asof_join,
     asof_join_forward=asof_join_forward,
     interval_overlap=interval_overlap_join,
 )
-stats = SimpleNamespace(categorical_mi=categorical_mi)
+stats = SimpleNamespace(
+    categorical_mi=categorical_mi,
+    hill_tail_profile=hill_tail_profile,
+)
 skew = SimpleNamespace(
     zorder_value=zorder_value,
     salted_count_by_key=salted_count_by_key,

@@ -450,13 +450,24 @@ def benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact scan; the total and the expected-law table ride 1-row/9-row
     broadcasts. Per-row work is codegen substring arithmetic."""
     li = load_table(spark, sf_dir, "lineitem")
+    return benford_digit_cells(li, "l_extendedprice")
+
+
+def benford_digit_cells(df: DataFrame, value_col: str) -> DataFrame:
+    """Library core of `benford_digit_audit` (api.quality.
+    benford_digit_cells): the Benford first-digit screen over any
+    positive numeric column — per digit 1-9, observed fraction vs
+    log10(1 + 1/d) and the chi-square contribution. First digit from
+    the integer part's string head (exact; log10 float slack
+    misclassifies exact powers of 10). Rows with value <= 0 are
+    excluded (no first significant digit)."""
     digit = F.substring(
-        F.floor(F.col("l_extendedprice")).cast("bigint").cast("string"),
+        F.floor(F.col(value_col)).cast("bigint").cast("string"),
         1,
         1,
     )
     cells = (
-        li.filter(F.col("l_extendedprice") > 0)
+        df.filter(F.col(value_col) > 0)
         .select(digit.alias("digit"))
         .groupBy("digit")
         .agg(F.count("*").alias("n"))

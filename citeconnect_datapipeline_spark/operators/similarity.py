@@ -2307,6 +2307,15 @@ def embedding_isotropy_audit(
     Per-dim and per-vec partials are 6-dp pinned on both engines
     before the scalar arithmetic so the hash is stable."""
     emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_isotropy(emb)
+
+
+def embedding_isotropy(emb: DataFrame) -> DataFrame:
+    """Library core of `embedding_isotropy_audit` (api.similarity.
+    embedding_isotropy): the 1-row isotropy report over any
+    (``vec_id``, ``embedding``) frame — mean squared norm, squared
+    norm of the mean, their ratio, and the EXACT average pairwise
+    dot via ||sum v||^2 - sum ||v||^2 (no pair enumeration)."""
     vdim = emb.select(
         "vec_id", F.posexplode("embedding").alias("dim", "val")
     ).select("vec_id", "dim", F.col("val").cast("double").alias("val"))

@@ -1812,10 +1812,28 @@ def hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     101-row head. The threshold is 6-dp pinned before the ratio so
     both engines fold identical logs."""
     orders = load_table(spark, sf_dir, "orders")
-    kmax = max(HILL_KS)
+    return hill_tail_profile(
+        orders, "o_totalprice", "o_orderkey", ks=HILL_KS
+    )
+
+
+def hill_tail_profile(
+    df: DataFrame,
+    value_col: str,
+    tiebreak_col: str,
+    ks: tuple = HILL_KS,
+) -> DataFrame:
+    """Library core of `hill_tail_index` (api.stats.
+    hill_tail_profile): the Hill tail-exponent ladder over any
+    positive numeric column — alpha_hat(k) = k / sum ln(x_(i)/
+    x_(k+1)) for each k in ``ks``, with the (k+1)-th order statistic
+    as the reported threshold. Only a TakeOrdered(max(ks)+1) touches
+    the input."""
+    kmax = max(ks)
     topv = (
-        orders.select(
-            F.col("o_totalprice").alias("x"), "o_orderkey"
+        df.select(
+            F.col(value_col).alias("x"),
+            F.col(tiebreak_col).alias("o_orderkey"),
         )
         .orderBy(F.desc("x"), "o_orderkey")
         .limit(kmax + 1)
@@ -1826,8 +1844,8 @@ def hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("r"),
         )
     )
-    grid = spark.createDataFrame(
-        [(k,) for k in HILL_KS], "tail_k long"
+    grid = df.sparkSession.createDataFrame(
+        [(k,) for k in ks], "tail_k long"
     )
     thresh = F.round(
         F.max(F.when(F.col("r") == F.col("tail_k") + 1, F.col("x"))),

@@ -2259,9 +2259,25 @@ def chi2_term_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-row total riding broadcasts. The contingency arithmetic is
     integer codegen; doubles only enter for the final statistic."""
     docs = load_table(spark, sf_dir, "documents")
+    return chi2_term_selection_frame(docs)
+
+
+def chi2_term_selection_frame(
+    docs: DataFrame,
+    class_col: str = "source",
+    min_df: int = CHI2_MIN_DF,
+    topk: int = CHI2_TOPK,
+) -> DataFrame:
+    """Library core of `chi2_term_selection` (api.curation.
+    chi2_term_selection): one-vs-rest chi-square term selection over
+    any (``doc_id``, ``text``, ``class_col``) frame — document-
+    presence 2x2 contingency per (term, class), min-df screened,
+    top-k by statistic."""
     pres = (
         docs.select(
-            "doc_id", "source", F.explode(_words()).alias("word")
+            "doc_id",
+            F.col(class_col).alias("source"),
+            F.explode(_words()).alias("word"),
         )
         .filter(
             (F.length("word") >= 3) & (~F.col("word").isin(*STOPWORDS))
@@ -2271,7 +2287,9 @@ def chi2_term_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_total = docs.agg(
         F.count_distinct("doc_id").alias("n")
     )
-    class_sz = docs.groupBy("source").agg(
+    class_sz = docs.groupBy(
+        F.col(class_col).alias("source")
+    ).agg(
         F.count_distinct("doc_id").alias("n_class")
     )
     term_df = pres.groupBy("word").agg(F.count("*").alias("df"))
@@ -2300,7 +2318,7 @@ def chi2_term_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(term_df, "word")
         .crossJoin(F.broadcast(n_total))
         .filter(
-            (F.col("df") >= CHI2_MIN_DF) & (F.col("df") < F.col("n"))
+            (F.col("df") >= min_df) & (F.col("df") < F.col("n"))
         )
         .select(
             "word",
@@ -2312,7 +2330,7 @@ def chi2_term_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
             chi2.alias("chi2"),
         )
         .orderBy(F.desc("chi2"), "word", "source")
-        .limit(CHI2_TOPK)
+        .limit(topk)
     )
 
 
@@ -2368,8 +2386,21 @@ def token_gini_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the vocab-grain table — bounded by vocabulary size (Heaps
     sub-linear), never corpus rows."""
     docs = load_table(spark, sf_dir, "documents")
+    return token_concentration_by(docs)
+
+
+def token_concentration_by(
+    docs: DataFrame, group_col: str = "source"
+) -> DataFrame:
+    """Library core of `token_gini_by_source` (api.curation.
+    token_concentration_by): the Gini/Simpson/entropy concentration
+    panel of the word distribution per ``group_col`` over any
+    (``text``, ``group_col``) frame."""
     counts = (
-        docs.select("source", F.explode(_words()).alias("word"))
+        docs.select(
+            F.col(group_col).alias("source"),
+            F.explode(_words()).alias("word"),
+        )
         .filter(
             (F.length("word") >= 3) & (~F.col("word").isin(*STOPWORDS))
         )

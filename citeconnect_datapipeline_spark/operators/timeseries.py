@@ -1404,27 +1404,49 @@ def page_hinkley_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = events.groupBy(
         F.unix_date(F.to_date("ts")).alias("wd")
     ).agg(F.avg("value").alias("x"))
-    wp = Window.orderBy("wd").rowsBetween(
+    return page_hinkley_series(daily)
+
+
+def page_hinkley_series(
+    series: DataFrame,
+    ord_col: str = "wd",
+    val_col: str = "x",
+    delta: float = PH_DELTA,
+    lamb: float = PH_LAMBDA,
+) -> DataFrame:
+    """Library core of `page_hinkley_drift` (api.timeseries.
+    page_hinkley): the sequential test over any ordered
+    (``ord_col``, ``val_col``) series — cumulative deviation from
+    the running mean minus ``delta``, less its running minimum;
+    alarm where the statistic exceeds ``lamb``. Three prefix windows
+    over the series grain; partition them by metric id upstream for
+    a multi-metric deployment."""
+    wp = Window.orderBy(ord_col).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    run = daily.select(
-        "wd", "x", F.round(F.avg("x").over(wp), 6).alias("xbar")
+    run = series.select(
+        F.col(ord_col).alias("wd"),
+        F.col(val_col).alias("x"),
+        F.round(F.avg(val_col).over(wp), 6).alias("xbar"),
+    )
+    wp2 = Window.orderBy("wd").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
     )
     dev = run.select(
         "*",
-        F.round(F.col("x") - F.col("xbar") - PH_DELTA, 6).alias("d"),
+        F.round(F.col("x") - F.col("xbar") - delta, 6).alias("d"),
     )
     cum = dev.select(
         "wd",
         "x",
         "xbar",
-        F.round(F.sum("d").over(wp), 6).alias("m"),
+        F.round(F.sum("d").over(wp2), 6).alias("m"),
     )
-    ph = F.col("m") - F.min("m").over(wp)
+    ph = F.col("m") - F.min("m").over(wp2)
     return cum.select(
         F.col("wd").cast("bigint").alias("wd"),
         F.round("x", 6).alias("mean_value"),
         F.col("xbar").alias("running_mean"),
         F.round(ph, 6).alias("ph_stat"),
-        F.when(ph > PH_LAMBDA, 1).otherwise(0).alias("alarm"),
+        F.when(ph > lamb, 1).otherwise(0).alias("alarm"),
     ).orderBy("wd")

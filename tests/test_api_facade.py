@@ -252,3 +252,76 @@ def test_no_uninterpolated_docstring_placeholders():
                     (name, placeholder.findall(doc))
                 )
     assert not offenders, f"raw docstring placeholders: {offenders}"
+
+
+def test_round7_cores_on_inmemory_frames(spark):
+    """Round-7 library cores run on plain in-memory frames (no lake
+    layout): Benford cells over any numeric column, Hill tail ladder
+    over any positive column, chi-square selection and the
+    concentration panel over any (doc_id, text, class) frame,
+    isotropy over any embedding frame, Page-Hinkley over any ordered
+    series, lateness profile over any keyed event frame, and a
+    salted DP release."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from citeconnect_datapipeline_spark import api
+
+    nums = spark.range(1, 1001).select(
+        (F.col("id") * 7.3 + 1).alias("v"), F.col("id").alias("k")
+    )
+    ben = api.curation.benford_digit_cells(nums, "v").collect()
+    assert len(ben) == 9
+    assert abs(sum(r["obs_frac"] for r in ben) - 1.0) < 1e-4
+
+    hill = api.stats.hill_tail_profile(nums, "v", "k", ks=(10, 20)).collect()
+    assert [r["tail_k"] for r in hill] == [10, 20]
+    assert all(r["hill_alpha"] > 0 for r in hill)
+
+    docs = spark.createDataFrame(
+        [(i, ("alpha beta " * 40) if i % 2 else ("gamma delta " * 40), "A" if i % 2 else "B")
+         for i in range(80)],
+        "doc_id long, text string, source string",
+    )
+    chi = api.curation.chi2_term_selection(docs, min_df=10, topk=4).collect()
+    assert chi and all(r["chi2"] > 0 for r in chi)
+    conc = {
+        r["source"]: r
+        for r in api.curation.token_concentration_by(docs).collect()
+    }
+    assert conc["A"]["n_distinct"] == 2 and conc["A"]["gini"] == 0.0
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 3), 1.0, -0.5]) for i in range(12)],
+        "vec_id long, embedding array<float>",
+    )
+    [iso] = api.similarity.embedding_isotropy(emb).collect()
+    assert iso["n"] == 12 and 0.0 <= iso["isotropy_ratio"] <= 1.0
+
+    series = spark.createDataFrame(
+        [(d, 1.0 if d < 10 else 9.0) for d in range(20)], "wd long, x double"
+    )
+    ph = api.timeseries.page_hinkley(series).collect()
+    assert any(r["alarm"] == 1 for r in ph if r["wd"] >= 10)
+    assert all(r["alarm"] == 0 for r in ph if r["wd"] < 10)
+
+    t0 = datetime.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [
+            (1, t0 + datetime.timedelta(seconds=s), i)
+            for i, s in enumerate([0, 10, 5, 20])  # one 5s-late event
+        ],
+        "user_id long, ts timestamp, event_id long",
+    )
+    [lat] = api.timeseries.lateness_profile(ev).collect()
+    assert lat["n_late"] == 1 and lat["max_late_sec"] == 5.0
+
+    cells = spark.createDataFrame(
+        [("x", 100), ("y", 50)], "seg string, n long"
+    )
+    rel = api.curation.dp_noisy_counts_release(
+        cells, "seg", salt="secret-123"
+    ).collect()
+    assert {r["seg"] for r in rel} == {"x", "y"}
+    assert all(r["epsilon"] == 1.0 for r in rel)
