@@ -48,11 +48,27 @@ def audit(spark, people, events):
         order_col="event_id",
         right_cols=["outcome_amount"],
     )
+    # numeric integrity + release privacy: the amount column's digit
+    # law, a salted DP count release of the condition cells, and the
+    # event stream's disorder profile (what withWatermark should be)
+    benford = api.curation.benford_digit_cells(
+        events.filter(F.col("amount") > 0), "amount"
+    )
+    cond_cells = people.groupBy(
+        F.col("condition").alias("cell")
+    ).agg(F.count("*").alias("n"))
+    dp_release = api.curation.dp_noisy_counts_release(
+        cond_cells, "cell", salt="rotate-me-per-release"
+    )
+    lateness = api.timeseries.lateness_profile(events)
     return {
         "k_anonymity": k_cells,
         "l_diversity": l_cells,
         "association": assoc,
         "attribution": attributed,
+        "benford": benford,
+        "dp_release": dp_release,
+        "lateness": lateness,
     }
 
 
