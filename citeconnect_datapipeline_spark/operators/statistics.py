@@ -1875,3 +1875,107 @@ def hill_tail_profile(
         )
         .orderBy("tail_k")
     )
+
+
+SRM_CHI2_95 = 3.841459  # chi-square 95th percentile, 1 dof
+
+
+@query(
+    "ab_srm_audit",
+    oracle=f"""
+    WITH assigned AS (
+        SELECT
+            CASE WHEN substr(md5(CAST(c_custkey AS VARCHAR)), 1, 1)
+                 < '8' THEN 'A' ELSE 'B' END AS fair_arm,
+            CASE WHEN substr(md5(CAST(c_custkey AS VARCHAR)), 1, 1)
+                 < '9' THEN 'A' ELSE 'B' END AS biased_arm
+        FROM customer
+    ),
+    per_method AS (
+        SELECT 'fair_hash' AS method, fair_arm AS arm, COUNT(*) AS n
+        FROM assigned GROUP BY fair_arm
+        UNION ALL
+        SELECT 'biased_hash', biased_arm, COUNT(*)
+        FROM assigned GROUP BY biased_arm
+    ),
+    tot AS (
+        SELECT method, SUM(n) AS n_tot FROM per_method GROUP BY method
+    ),
+    chi AS (
+        SELECT p.method,
+               ROUND(SUM(POWER(p.n - t.n_tot * 0.5, 2)
+                         / (t.n_tot * 0.5)), 6) AS chi2
+        FROM per_method p JOIN tot t USING (method)
+        GROUP BY p.method
+    )
+    SELECT p.method, p.arm, CAST(p.n AS BIGINT) AS n,
+           ROUND(p.n * 1.0 / t.n_tot, 6) AS obs_frac,
+           c.chi2,
+           CASE WHEN c.chi2 > {SRM_CHI2_95} THEN 1 ELSE 0 END
+               AS srm_flag
+    FROM per_method p
+    JOIN tot t USING (method)
+    JOIN chi c USING (method)
+    ORDER BY p.method, p.arm
+    """,
+)
+def ab_srm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch audit — the FIRST check an
+    experimentation platform runs before reading any A/B result
+    (Kohavi: a biased split invalidates the experiment regardless of
+    the metric): chi-square of observed arm counts against the
+    intended 50/50 split, shown for two hash assignments
+    side-by-side — the fair one (half the md5 hex space per arm,
+    passes) and a deliberately skewed one (9/16 vs 7/16, flagged) —
+    the same pass/fail-pair presentation as
+    `kfold_assignment_audit`. Feeds `ab_lift_bootstrap`: a cohort
+    split that fails SRM makes its confidence interval meaningless.
+
+    Scale shape: assignment is per-row md5 codegen; everything after
+    the ONE map-side-combinable (method x arm) aggregate is 4-row
+    arithmetic."""
+    cust = load_table(spark, sf_dir, "customer")
+    h1 = F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 1)
+    assigned = cust.select(
+        F.when(h1 < "8", "A").otherwise("B").alias("fair_arm"),
+        F.when(h1 < "9", "A").otherwise("B").alias("biased_arm"),
+    )
+    per_method = (
+        assigned.groupBy(F.col("fair_arm").alias("arm"))
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("fair_hash").alias("method"), "arm", "n")
+        .unionByName(
+            assigned.groupBy(F.col("biased_arm").alias("arm"))
+            .agg(F.count("*").alias("n"))
+            .select(F.lit("biased_hash").alias("method"), "arm", "n")
+        )
+    )
+    tot = per_method.groupBy("method").agg(
+        F.sum("n").alias("n_tot")
+    )
+    joined = per_method.join(F.broadcast(tot), "method")
+    chi = joined.groupBy("method").agg(
+        F.round(
+            F.sum(
+                F.pow(F.col("n") - F.col("n_tot") * 0.5, 2)
+                / (F.col("n_tot") * 0.5)
+            ),
+            6,
+        ).alias("chi2")
+    )
+    return (
+        joined.join(F.broadcast(chi), "method")
+        .select(
+            "method",
+            "arm",
+            F.col("n").cast("bigint").alias("n"),
+            F.round(F.col("n") * 1.0 / F.col("n_tot"), 6).alias(
+                "obs_frac"
+            ),
+            "chi2",
+            F.when(F.col("chi2") > SRM_CHI2_95, 1)
+            .otherwise(0)
+            .alias("srm_flag"),
+        )
+        .orderBy("method", "arm")
+    )

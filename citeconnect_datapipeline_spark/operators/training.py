@@ -2097,3 +2097,122 @@ def temporal_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+CONF_ALPHA = 0.1  # target 90% coverage
+
+
+@query(
+    "conformal_coverage_audit",
+    oracle=f"""
+    WITH base AS (
+        SELECT l_orderkey * 10 + l_linenumber AS id,
+               CAST(l_quantity AS INT) AS qty,
+               l_extendedprice AS y,
+               CASE WHEN substr(md5(CAST(l_orderkey * 10 + l_linenumber
+                    AS VARCHAR)), 1, 1) < '8'
+                    THEN 'calib' ELSE 'test' END AS split
+        FROM lineitem
+    ),
+    model AS (
+        SELECT qty, ROUND(AVG(y), 6) AS pred
+        FROM base WHERE split = 'calib' GROUP BY qty
+    ),
+    scored AS (
+        SELECT b.split, b.y, m.pred,
+               ROUND(ABS(b.y - m.pred), 6) AS resid
+        FROM base b LEFT JOIN model m USING (qty)
+    ),
+    qhat AS (
+        SELECT ROUND(quantile_cont(resid, {1 - CONF_ALPHA}), 6) AS q
+        FROM scored WHERE split = 'calib'
+    )
+    SELECT
+        CAST(COUNT(*) FILTER (WHERE s.split = 'calib') AS BIGINT)
+            AS n_calib,
+        CAST(COUNT(*) FILTER (WHERE s.split = 'test') AS BIGINT)
+            AS n_test,
+        CAST(COUNT(*) FILTER (WHERE s.split = 'test'
+             AND s.pred IS NULL) AS BIGINT) AS n_unpredicted,
+        MAX(q.q) AS q_hat,
+        ROUND(COUNT(*) FILTER (WHERE s.split = 'test'
+              AND s.resid <= q.q) * 1.0
+              / COUNT(*) FILTER (WHERE s.split = 'test'), 6)
+            AS coverage,
+        ROUND(1.0 - COUNT(*) FILTER (WHERE s.split = 'test'
+              AND s.resid <= q.q) * 1.0
+              / COUNT(*) FILTER (WHERE s.split = 'test'), 6)
+            AS miscoverage
+    FROM scored s CROSS JOIN qhat q
+    """,
+)
+def conformal_coverage_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Split-conformal prediction-interval audit — the
+    distribution-free coverage check an ML serving pipeline runs on
+    a lake of predictions (Vovk; Angelopoulos & Bates 2021): hash-
+    split rows into calibration/test, fit a point model on
+    calibration ONLY (here the per-quantity price mean — any model
+    plugs in, the audit sees only residuals), take the 90th
+    percentile of calibration |residuals| as the interval half-width
+    q_hat, and report TEST coverage of pred ± q_hat. Exchangeable
+    data guarantees coverage >= 90% up to the O(1/n) finite-sample
+    correction (absorbed here by using the plain percentile at lake
+    n — the correction is a half-rank). Unpredictable test rows
+    (feature value unseen in calibration) are counted, not silently
+    dropped.
+
+    Scale shape: the model is a feature-grain aggregate joined back
+    map-side (broadcast at real feature cardinality), q_hat is one
+    percentile reduce riding a 1-row broadcast, coverage is one
+    conditional aggregate. No window touches row grain."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rid = F.col("l_orderkey") * 10 + F.col("l_linenumber")
+    base = li.select(
+        rid.alias("id"),
+        F.col("l_quantity").cast("int").alias("qty"),
+        F.col("l_extendedprice").alias("y"),
+        F.when(
+            F.substring(F.md5(rid.cast("string")), 1, 1) < "8",
+            "calib",
+        )
+        .otherwise("test")
+        .alias("split"),
+    )
+    model = (
+        base.filter(F.col("split") == "calib")
+        .groupBy("qty")
+        .agg(F.round(F.avg("y"), 6).alias("pred"))
+    )
+    scored = base.join(F.broadcast(model), "qty", "left").select(
+        "split",
+        "pred",
+        F.round(F.abs(F.col("y") - F.col("pred")), 6).alias("resid"),
+    )
+    qhat = scored.filter(F.col("split") == "calib").agg(
+        F.round(
+            F.percentile("resid", F.lit(1 - CONF_ALPHA)), 6
+        ).alias("q")
+    )
+    is_test = F.col("split") == "test"
+    covered = F.sum(
+        F.when(is_test & (F.col("resid") <= F.col("q")), 1).otherwise(
+            0
+        )
+    )
+    n_test = F.sum(F.when(is_test, 1).otherwise(0))
+    return scored.join(F.broadcast(qhat)).agg(
+        F.sum(F.when(F.col("split") == "calib", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_calib"),
+        n_test.cast("bigint").alias("n_test"),
+        F.sum(
+            F.when(is_test & F.col("pred").isNull(), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_unpredicted"),
+        F.max("q").alias("q_hat"),
+        F.round(covered * 1.0 / n_test, 6).alias("coverage"),
+        F.round(1.0 - covered * 1.0 / n_test, 6).alias("miscoverage"),
+    )

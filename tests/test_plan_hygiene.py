@@ -66,6 +66,8 @@ NESTED_LOOP_OK = {
     # joined to the 7-row k ladder + 1-row total broadcast
     "hill_tail_index",  # 101-row TakeOrdered head broadcast range-
     # joined to the 3-row k ladder (threshold + log folds)
+    "conformal_coverage_audit",  # 1-row q_hat percentile broadcast
+    # over the scored scan (dsir threshold pattern)
     "kfold_assignment_audit",  # per-method leak-metric broadcast
     # (bounded by the method x fold grid)
     "ks_drift_statistic",  # cohort totals + bin count: two 1-row

@@ -253,3 +253,40 @@ def test_token_gini_extremes_on_planted_sources(spark, tmp_path):
     assert got["C"]["n_distinct"] == 3
     assert 1 / 3 < got["C"]["simpson"] < 1.0  # between even and single
     assert got["C"]["gini"] > 0.2  # concentration visible
+
+
+def test_ab_srm_audit_flags_only_the_biased_split(spark):
+    """The fair half-the-hex-space assignment must pass SRM and the
+    deliberate 9/16 skew must be flagged — the pass/fail pair is the
+    operator's contract. Runs at sf0.01 (1500 customers): the chi2
+    test needs n for power — at the 150-customer smoke fixture a
+    6-point skew is statistically invisible, which is itself the
+    reason platforms run SRM on full assignment logs."""
+    from citeconnect_datapipeline_spark.operators.statistics import (
+        ab_srm_audit,
+    )
+
+    rows = ab_srm_audit(spark, "/root/testdata/sf0.01").collect()
+    flags = {r["method"]: r["srm_flag"] for r in rows}
+    assert flags == {"fair_hash": 0, "biased_hash": 1}
+    for r in rows:
+        assert abs(r["obs_frac"] - 0.5) < 0.12
+        assert r["chi2"] >= 0
+
+
+def test_conformal_coverage_near_target(spark):
+    """Split-conformal coverage on exchangeable data must land near
+    the 1-alpha target (90%) — the distribution-free guarantee the
+    audit exists to verify — and every count must reconcile."""
+    from citeconnect_datapipeline_spark.operators.training import (
+        conformal_coverage_audit,
+    )
+    from citeconnect_datapipeline_spark.sources.tables import load_table
+
+    [row] = conformal_coverage_audit(spark, SF).collect()
+    n = load_table(spark, SF, "lineitem").count()
+    assert row["n_calib"] + row["n_test"] == n
+    assert row["n_unpredicted"] == 0  # quantity grid fully covered
+    assert 0.85 <= row["coverage"] <= 0.95
+    assert abs(row["coverage"] + row["miscoverage"] - 1.0) < 1e-6
+    assert row["q_hat"] > 0
