@@ -19,7 +19,7 @@ why persist()+count() is not sufficient for iterative plans.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..plans.registry import query
@@ -971,3 +971,131 @@ def kcore_peel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .localCheckpoint(eager=True)
             )
     return rows.orderBy("round")
+
+
+ASSOC_MIN_PAIR = 3  # min co-purchase baskets for a rule
+ASSOC_TOPK = 20
+ASSOC_POSTING_CAP = 50  # same hot-item pair-stage cap as bib coupling
+
+
+@query(
+    "assoc_rules_topk",
+    oracle=f"""
+    WITH baskets AS MATERIALIZED (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        QUALIFY COUNT(*) OVER (PARTITION BY l_partkey)
+                <= {ASSOC_POSTING_CAP}
+    ),
+    item_n AS (
+        SELECT l_partkey, COUNT(*) AS cnt FROM baskets GROUP BY 1
+    ),
+    n_b AS (
+        SELECT COUNT(DISTINCT l_orderkey) AS n FROM baskets
+    ),
+    pair_n AS MATERIALIZED (
+        SELECT a.l_partkey AS x, b.l_partkey AS y, COUNT(*) AS cxy
+        FROM baskets a JOIN baskets b
+          ON a.l_orderkey = b.l_orderkey
+         AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {ASSOC_MIN_PAIR}
+    ),
+    directed AS (
+        SELECT x AS ante, y AS conseq, cxy FROM pair_n
+        UNION ALL
+        SELECT y, x, cxy FROM pair_n
+    ),
+    rules AS (
+        SELECT d.ante, d.conseq, d.cxy,
+               ROUND(d.cxy * 1.0 / n.n, 6) AS support,
+               ROUND(d.cxy * 1.0 / ia.cnt, 6) AS confidence,
+               ROUND((d.cxy * 1.0 / ia.cnt)
+                     / (ic.cnt * 1.0 / n.n), 6) AS lift
+        FROM directed d
+        JOIN item_n ia ON ia.l_partkey = d.ante
+        JOIN item_n ic ON ic.l_partkey = d.conseq
+        CROSS JOIN n_b n
+    )
+    SELECT ante, conseq, CAST(cxy AS BIGINT) AS n_baskets,
+           support, confidence, lift
+    FROM rules
+    ORDER BY lift DESC, ante, conseq
+    LIMIT {ASSOC_TOPK}
+    """,
+)
+def assoc_rules_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules (Agrawal market-basket mining) over the
+    co-purchase graph: directed A->B rules with support (basket
+    share), confidence (P(B|A)) and lift (confidence over B's base
+    rate) — the recommendation primitive beside
+    `copurchase_pmi_topk` (PMI is symmetric log-lift; rules add
+    DIRECTION and the confidence a merchandiser acts on). Pairs
+    below 3 (ASSOC_MIN_PAIR) co-baskets are dropped before the
+    arithmetic; the hot-item posting cap (50, as in
+    `bib_coupling_topk`) bounds the quadratic pair stage.
+
+    Scale shape: one distinct on (basket, item), capped inverted
+    pair expansion (the shared near-dup/coupling shape), then
+    item-grain broadcast joins onto the pair table and a top-k
+    TakeOrdered. No corpus-grain window, no uncapped self-join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_partkey")
+    baskets = (
+        li.select("l_orderkey", "l_partkey")
+        .distinct()
+        .withColumn("_deg", F.count("*").over(w))
+        .filter(F.col("_deg") <= ASSOC_POSTING_CAP)
+        .drop("_deg")
+    )
+    item_n = baskets.groupBy("l_partkey").agg(
+        F.count("*").alias("cnt")
+    )
+    n_b = baskets.agg(
+        F.count_distinct("l_orderkey").alias("n")
+    )
+    a = baskets.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("x")
+    )
+    b = baskets.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("y")
+    )
+    pair_n = (
+        a.join(b, (a.o == b.o) & (F.col("x") < F.col("y")))
+        .groupBy("x", "y")
+        .agg(F.count("*").alias("cxy"))
+        .filter(F.col("cxy") >= ASSOC_MIN_PAIR)
+    )
+    directed = pair_n.select(
+        F.col("x").alias("ante"), F.col("y").alias("conseq"), "cxy"
+    ).unionByName(
+        pair_n.select(
+            F.col("y").alias("ante"), F.col("x").alias("conseq"), "cxy"
+        )
+    )
+    ia = item_n.select(
+        F.col("l_partkey").alias("ante"), F.col("cnt").alias("cnt_a")
+    )
+    ic = item_n.select(
+        F.col("l_partkey").alias("conseq"),
+        F.col("cnt").alias("cnt_c"),
+    )
+    conf = F.col("cxy") * 1.0 / F.col("cnt_a")
+    return (
+        directed.join(F.broadcast(ia), "ante")
+        .join(F.broadcast(ic), "conseq")
+        .crossJoin(F.broadcast(n_b))
+        .select(
+            "ante",
+            "conseq",
+            F.col("cxy").cast("bigint").alias("n_baskets"),
+            F.round(F.col("cxy") * 1.0 / F.col("n"), 6).alias(
+                "support"
+            ),
+            F.round(conf, 6).alias("confidence"),
+            F.round(
+                conf / (F.col("cnt_c") * 1.0 / F.col("n")), 6
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "ante", "conseq")
+        .limit(ASSOC_TOPK)
+    )

@@ -1979,3 +1979,113 @@ def ab_srm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("method", "arm")
     )
+
+
+WELCH_Z_95 = 1.959964  # normal 97.5th pct; Welch dof is huge at lake n
+
+
+@query(
+    "welch_ttest_slices",
+    oracle=f"""
+    WITH s AS (
+        SELECT l_returnflag AS slice,
+               COUNT(*) AS n1,
+               SUM(l_extendedprice) AS s1,
+               SUM(l_extendedprice * l_extendedprice) AS q1
+        FROM lineitem GROUP BY 1
+    ),
+    g AS (
+        SELECT SUM(n1) AS n, SUM(s1) AS s, SUM(q1) AS q FROM s
+    ),
+    stats AS (
+        SELECT slice, n1, g.n - n1 AS n2,
+               ROUND(s1 / n1, 6) AS mean1,
+               ROUND((g.s - s1) / (g.n - n1), 6) AS mean2,
+               ROUND((q1 - s1 * s1 / n1) / (n1 - 1), 6) AS var1,
+               ROUND(((g.q - q1) - (g.s - s1) * (g.s - s1)
+                      / (g.n - n1)) / (g.n - n1 - 1), 6) AS var2
+        FROM s CROSS JOIN g
+    )
+    SELECT slice, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           mean1, mean2,
+           ROUND(mean1 - mean2, 6) AS mean_diff,
+           ROUND((mean1 - mean2)
+                 / SQRT(var1 / n1 + var2 / n2), 6) AS welch_t,
+           CASE WHEN ABS(ROUND((mean1 - mean2)
+                / SQRT(var1 / n1 + var2 / n2), 6)) > {WELCH_Z_95}
+                THEN 1 ELSE 0 END AS significant
+    FROM stats
+    ORDER BY slice
+    """,
+)
+def welch_ttest_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test, each slice against the rest
+    of the corpus — the parametric screen beside `ab_lift_bootstrap`
+    (closed-form, one pass, no resampling) and the significance
+    upgrade of `bias_slice_disparity`'s raw means: does this slice's
+    mean differ beyond sampling noise? The rest-of-corpus moments
+    come from the GLOBAL sums minus the slice sums, so the whole
+    panel is ONE slice-grain aggregate + a 1-row global broadcast —
+    never a second scan per slice. At lake n the Welch degrees of
+    freedom are huge, so the normal 1.96 threshold stands in for the
+    t quantile (documented approximation).
+
+    Scale shape: one map-side-combinable aggregate at slice grain
+    carrying (n, sum, sum-of-squares) — the mergeable-moments trick
+    `incremental_stats_merge` pins — then per-slice arithmetic."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = li.groupBy(F.col("l_returnflag").alias("slice")).agg(
+        F.count("*").alias("n1"),
+        F.sum("l_extendedprice").alias("s1"),
+        F.sum(
+            F.col("l_extendedprice") * F.col("l_extendedprice")
+        ).alias("q1"),
+    )
+    g = s.agg(
+        F.sum("n1").alias("n"),
+        F.sum("s1").alias("s"),
+        F.sum("q1").alias("q"),
+    )
+    st = s.join(F.broadcast(g)).select(
+        "slice",
+        "n1",
+        (F.col("n") - F.col("n1")).alias("n2"),
+        F.round(F.col("s1") / F.col("n1"), 6).alias("mean1"),
+        F.round(
+            (F.col("s") - F.col("s1")) / (F.col("n") - F.col("n1")), 6
+        ).alias("mean2"),
+        F.round(
+            (F.col("q1") - F.col("s1") * F.col("s1") / F.col("n1"))
+            / (F.col("n1") - 1),
+            6,
+        ).alias("var1"),
+        F.round(
+            (
+                (F.col("q") - F.col("q1"))
+                - (F.col("s") - F.col("s1"))
+                * (F.col("s") - F.col("s1"))
+                / (F.col("n") - F.col("n1"))
+            )
+            / (F.col("n") - F.col("n1") - 1),
+            6,
+        ).alias("var2"),
+    )
+    t = F.round(
+        (F.col("mean1") - F.col("mean2"))
+        / F.sqrt(
+            F.col("var1") / F.col("n1") + F.col("var2") / F.col("n2")
+        ),
+        6,
+    )
+    return st.select(
+        "slice",
+        F.col("n1").cast("bigint").alias("n1"),
+        F.col("n2").cast("bigint").alias("n2"),
+        "mean1",
+        "mean2",
+        F.round(F.col("mean1") - F.col("mean2"), 6).alias("mean_diff"),
+        t.alias("welch_t"),
+        F.when(F.abs(t) > WELCH_Z_95, 1).otherwise(0).alias(
+            "significant"
+        ),
+    ).orderBy("slice")

@@ -68,6 +68,10 @@ NESTED_LOOP_OK = {
     # joined to the 3-row k ladder (threshold + log folds)
     "conformal_coverage_audit",  # 1-row q_hat percentile broadcast
     # over the scored scan (dsir threshold pattern)
+    "welch_ttest_slices",  # 1-row global-moments broadcast over the
+    # slice-grain (n, sum, sumsq) table
+    "assoc_rules_topk",  # 1-row basket-count broadcast over the
+    # capped pair table (support/lift denominators)
     "kfold_assignment_audit",  # per-method leak-metric broadcast
     # (bounded by the method x fold grid)
     "ks_drift_statistic",  # cohort totals + bin count: two 1-row

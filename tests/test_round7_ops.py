@@ -290,3 +290,54 @@ def test_conformal_coverage_near_target(spark):
     assert 0.85 <= row["coverage"] <= 0.95
     assert abs(row["coverage"] + row["miscoverage"] - 1.0) < 1e-6
     assert row["q_hat"] > 0
+
+
+def test_welch_ttest_recomputes_from_slice_moments(spark):
+    """Each slice's t statistic reconciles with a brute-force Welch
+    computation from the raw rows, and slice+rest counts cover the
+    corpus."""
+    from citeconnect_datapipeline_spark.operators.statistics import (
+        welch_ttest_slices,
+    )
+    from citeconnect_datapipeline_spark.sources.tables import load_table
+
+    rows = welch_ttest_slices(spark, SF).collect()
+    li = [
+        (r["l_returnflag"], float(r["l_extendedprice"]))
+        for r in load_table(spark, SF, "lineitem")
+        .select("l_returnflag", "l_extendedprice")
+        .collect()
+    ]
+    n_all = len(li)
+    for r in rows:
+        xs = [v for f, v in li if f == r["slice"]]
+        ys = [v for f, v in li if f != r["slice"]]
+        assert r["n1"] == len(xs) and r["n2"] == len(ys)
+        assert r["n1"] + r["n2"] == n_all
+        m1 = sum(xs) / len(xs)
+        m2 = sum(ys) / len(ys)
+        v1 = sum((x - m1) ** 2 for x in xs) / (len(xs) - 1)
+        v2 = sum((y - m2) ** 2 for y in ys) / (len(ys) - 1)
+        t = (m1 - m2) / (v1 / len(xs) + v2 / len(ys)) ** 0.5
+        assert abs(r["welch_t"] - t) < 1e-3
+
+
+def test_assoc_rules_confidence_and_lift_identities(spark):
+    """Every rule's confidence is P(B|A) from its own counts, lift is
+    symmetric within an (A,B) pair (same joint, same denominators up
+    to direction), and support <= confidence."""
+    from citeconnect_datapipeline_spark.operators.graph import (
+        assoc_rules_topk,
+    )
+
+    rows = assoc_rules_topk(spark, SF).collect()
+    assert rows
+    by_pair = {}
+    for r in rows:
+        assert 0 < r["support"] <= r["confidence"] <= 1.0
+        assert r["lift"] > 0
+        key = tuple(sorted((r["ante"], r["conseq"])))
+        by_pair.setdefault(key, []).append(r["lift"])
+    for lifts in by_pair.values():
+        if len(lifts) == 2:  # both directions surfaced
+            assert abs(lifts[0] - lifts[1]) < 1e-4  # lift is symmetric
