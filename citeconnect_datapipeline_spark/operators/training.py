@@ -2216,3 +2216,99 @@ def conformal_coverage_audit(
         F.round(covered * 1.0 / n_test, 6).alias("coverage"),
         F.round(1.0 - covered * 1.0 / n_test, 6).alias("miscoverage"),
     )
+
+
+@query("pack_sequences_bestfit")  # rows-only: the bin state is an
+# inherently sequential fold per shard, not SQL-expressible; the
+# companion oracled query is `pack_sequences` (concat-and-chunk on
+# the same shards), and the property tests pin FFD's guarantees
+def pack_sequences_bestfit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """First-fit-decreasing sequence packing — the no-straddler
+    alternative to `pack_sequences`' concat-and-chunk: documents
+    never split across training examples (the attention-mask-clean
+    regime); instead docs sort by token count descending and each
+    drops into the first pack with room, a classic bin-packing
+    heuristic with the 11/9 OPT + 1 guarantee. Docs longer than the
+    budget are counted out separately (they must be chunked first).
+    Emits per-shard packing stats: packs used, the exact
+    ceil(tokens/budget) lower bound, waste fraction, and mean docs
+    per pack.
+
+    Scale shape: the bin state is sequential PER SHARD, so the corpus
+    hash-splits into PACK_SHARDS independent groups and each packs
+    inside one `applyInPandas` call (Arrow-batched, vectorized token
+    counting upstream in codegen) — adding shards adds parallelism,
+    exactly how a real pipeline packs per output shard. The
+    first-fit scan is O(docs x open bins) per shard; shard size is
+    the knob that bounds it."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.col("doc_id"),
+        (F.pmod(F.conv(F.substring(F.md5(F.col("doc_id")
+            .cast("string")), 1, 8), 16, 10).cast("long"),
+            F.lit(PACK_SHARDS))).alias("shard"),
+        F.size(F.split(F.lower("text"), "[^a-z0-9]+")).alias(
+            "n_tokens"
+        ),
+    )
+
+    schema = (
+        "shard long, n_docs bigint, n_oversize bigint,"
+        " total_tokens bigint, n_packs bigint, lower_bound bigint,"
+        " waste_frac double, mean_docs_per_pack double"
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["n_tokens", "doc_id"], ascending=[False, True]
+        )
+        budget = PACK_BUDGET
+        remaining: list[int] = []
+        packed_docs = 0
+        oversize = 0
+        packable_tokens = 0
+        for t in pdf["n_tokens"]:
+            t = int(t)
+            if t > budget:
+                oversize += 1
+                continue
+            packable_tokens += t
+            packed_docs += 1
+            for i, r in enumerate(remaining):
+                if r >= t:
+                    remaining[i] = r - t
+                    break
+            else:
+                remaining.append(budget - t)
+        n_packs = len(remaining)
+        lb = -(-packable_tokens // budget) if packable_tokens else 0
+        return pd.DataFrame(
+            {
+                "shard": [int(pdf["shard"].iloc[0])],
+                "n_docs": [len(pdf)],
+                "n_oversize": [oversize],
+                "total_tokens": [packable_tokens],
+                "n_packs": [n_packs],
+                "lower_bound": [lb],
+                "waste_frac": [
+                    round(
+                        1.0 - packable_tokens / (n_packs * budget), 6
+                    )
+                    if n_packs
+                    else 0.0
+                ],
+                "mean_docs_per_pack": [
+                    round(packed_docs / n_packs, 6) if n_packs else 0.0
+                ],
+            }
+        )
+
+    return (
+        toks.groupBy("shard")
+        .applyInPandas(pack, schema=schema)
+        .orderBy("shard")
+    )

@@ -341,3 +341,54 @@ def test_assoc_rules_confidence_and_lift_identities(spark):
     for lifts in by_pair.values():
         if len(lifts) == 2:  # both directions surfaced
             assert abs(lifts[0] - lifts[1]) < 1e-4  # lift is symmetric
+
+
+def test_pack_bestfit_bounds_and_planted_improvement(spark, tmp_path):
+    """FFD packing invariants on the real fixture (lower bound <=
+    packs <= 2*lower_bound + 1, exact token accounting) plus a
+    planted case where decreasing order provably beats arrival-order
+    first-fit: sizes [6,5,4,3,2,1,...]*budget/10 pack into the
+    optimal bin count under FFD while arrival order [1,2,...] wastes
+    a bin."""
+    import shutil
+
+    from citeconnect_datapipeline_spark.operators.training import (
+        PACK_BUDGET,
+        pack_sequences_bestfit,
+    )
+
+    rows = pack_sequences_bestfit(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["lower_bound"] <= r["n_packs"] <= 2 * r["lower_bound"] + 1
+        assert 0.0 <= r["waste_frac"] < 1.0
+        assert r["n_oversize"] >= 0
+        # waste identity: tokens + waste = packs * budget
+        used = r["n_packs"] * PACK_BUDGET * (1 - r["waste_frac"])
+        assert abs(used - r["total_tokens"]) < PACK_BUDGET * 1e-4
+
+    # planted: one shard, sizes 0.6B, 0.5B, 0.4B, 0.3B, 0.2B in words
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    fracs = [0.6, 0.5, 0.4, 0.3, 0.2]
+    docs = [
+        (i, "w " * int(PACK_BUDGET * f), "en", "S", 100)
+        for i, f in enumerate(fracs)
+    ]
+    spark.createDataFrame(
+        docs,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).write.parquet(str(sf / "documents.parquet"))
+    for t in (
+        "region nation customer supplier part orders lineitem "
+        "events embeddings"
+    ).split():
+        shutil.copyfile(f"{SF}/{t}.parquet", str(sf / f"{t}.parquet"))
+    got = pack_sequences_bestfit(spark, str(sf)).collect()
+    # all 5 docs, total 2.0 budgets -> FFD reaches the lower bound 2:
+    # (0.6+0.4), (0.5+0.3+0.2); arrival-order would need 3
+    assert sum(r["n_docs"] for r in got) == 5
+    assert sum(r["n_packs"] for r in got) == sum(
+        r["lower_bound"] for r in got
+    )
