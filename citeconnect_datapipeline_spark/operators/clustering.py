@@ -1025,53 +1025,55 @@ def semantic_dedup_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("csz") <= SDP_MAX_CLUSTER)
         .drop("csz")
     )
-    v2 = vdim.groupBy("vec_id").agg(
-        F.sum(F.col("val") * F.col("val")).alias("v2")
-    )
-    avdim = vdim.join(sized, "vec_id").select(
-        "cluster_id", "vec_id", "dim", "val"
-    )
-    a = avdim.select(
-        "cluster_id", F.col("vec_id").alias("va"), "dim",
-        F.col("val").alias("va_val"),
-    )
-    b = avdim.select(
-        F.col("cluster_id").alias("cb"), F.col("vec_id").alias("vb"),
-        F.col("dim").alias("db"), F.col("val").alias("vb_val"),
-    )
-    cos = (
-        a.join(
-            b,
-            (F.col("cluster_id") == F.col("cb"))
-            & (F.col("dim") == F.col("db"))
-            & (F.col("va") < F.col("vb")),
+    # Pair stage: blocked GEMM per cluster (the embedding_neardup
+    # pattern) instead of a 64x dim-exploded self-join — at sf0.1 the
+    # exploded form pushed ~100M rows through the pair exchange
+    # (4.5 s); one numpy matmul per cluster block is milliseconds,
+    # and the cap (SDP_MAX_CLUSTER) bounds the block exactly as it
+    # bounded the exploded join. Each vector's ANY-EARLIER-WITNESS
+    # max folds inside the block too, so only O(vectors) rows leave
+    # the stage. Cosines are 6-dp rounded BEFORE the max, matching
+    # the oracle's per-pair rounding.
+    avec = emb.select("vec_id", vec.alias("v")).join(sized, "vec_id")
+
+    def _block_witness(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values("vec_id")
+        m = np.array(pdf["v"].tolist(), dtype="float64")
+        norms = np.sqrt((m * m).sum(axis=1))
+        cos = np.round((m @ m.T) / np.outer(norms, norms), 6)
+        n = len(pdf)
+        best = np.full(n, np.nan)
+        if n > 1:
+            iu = np.triu(cos, 1)  # strictly-upper: va < vb by id
+            # column j's max over rows i<j = the earlier-witness max
+            with np.errstate(invalid="ignore"):
+                best[1:] = np.max(iu[:, 1:] + np.where(
+                    np.triu(np.ones((n, n)), 1)[:, 1:] == 1, 0.0,
+                    -np.inf), axis=0)
+        return pd.DataFrame(
+            {
+                "cluster_id": pdf["cluster_id"].iloc[:1].repeat(n).values,
+                "vec_id": pdf["vec_id"].values,
+                # explicit None (NULL), not NaN: Spark orders NaN
+                # ABOVE every number, so a NaN would satisfy
+                # best >= tau and miscount the cluster's first vector
+                # as dropped
+                "best": pd.array(
+                    [None if np.isnan(x) else float(x) for x in best],
+                    dtype="Float64",
+                ),
+            }
         )
-        .groupBy("cluster_id", "va", "vb")
-        .agg(F.sum(F.col("va_val") * F.col("vb_val")).alias("dot"))
-        .join(v2.select(F.col("vec_id").alias("va"), F.col("v2").alias("v2a")), "va")
-        .join(v2.select(F.col("vec_id").alias("vb"), F.col("v2").alias("v2b")), "vb")
-        .select(
-            "cluster_id", "va", "vb",
-            F.round(
-                F.col("dot") / F.sqrt(F.col("v2a") * F.col("v2b")), 6
-            ).alias("cos"),
-        )
-    )
-    witness = cos.groupBy("cluster_id", "vb").agg(
-        F.max("cos").alias("best")
-    ).select(
-        F.col("cluster_id").alias("wc"),
-        F.col("vb").alias("wv"),
-        "best",
+
+    witness = avec.groupBy("cluster_id").applyInPandas(
+        _block_witness,
+        schema="cluster_id int, vec_id long, best double",
     )
     return (
-        sized.join(
-            witness,
-            (F.col("cluster_id") == F.col("wc"))
-            & (F.col("vec_id") == F.col("wv")),
-            "left",
-        )
-        .groupBy("cluster_id")
+        witness.groupBy("cluster_id")
         .agg(
             F.count("*").alias("n_vecs"),
             F.sum(
