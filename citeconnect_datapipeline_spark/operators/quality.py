@@ -497,3 +497,108 @@ def benford_digit_cells(df: DataFrame, value_col: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+_PROFILE_COLS = (  # (column, kind) — documents table profile
+    ("doc_id", "numeric"),
+    ("text", "string"),
+    ("lang", "string"),
+    ("source", "string"),
+    ("n_chars", "numeric"),
+)
+
+
+@query(
+    "column_null_profile",
+    oracle=f"""
+    WITH wide AS (
+        SELECT COUNT(*) AS n,
+               {", ".join(
+                   f'''COUNT(*) FILTER (WHERE {c} IS NULL)
+                       AS null_{c},
+                   COUNT(*) FILTER (WHERE {
+                       f"TRIM(CAST({c} AS VARCHAR)) = ''"
+                       if k == "string" else f"{c} <= 0"
+                   }) AS degen_{c},
+                   COUNT(DISTINCT {c}) AS nd_{c}'''
+                   for c, k in _PROFILE_COLS
+               )}
+        FROM documents
+    )
+    SELECT u.col, wide.n AS n_rows,
+           CAST(u.n_null AS BIGINT) AS n_null,
+           ROUND(u.n_null * 1.0 / wide.n, 6) AS null_frac,
+           CAST(u.n_degenerate AS BIGINT) AS n_degenerate,
+           CAST(u.n_distinct AS BIGINT) AS n_distinct
+    FROM wide, (
+        {" UNION ALL ".join(
+            f"SELECT '{c}' AS col, null_{c} AS n_null,"
+            f" degen_{c} AS n_degenerate, nd_{c} AS n_distinct"
+            " FROM wide"
+            for c, _ in _PROFILE_COLS
+        )}
+    ) u
+    ORDER BY u.col
+    """,
+)
+def column_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling in ONE scan — the table a data engineer
+    pulls before trusting any column (the profiling half of
+    `expectations_report`, which asserts; this one DESCRIBES): per
+    column, the null count/fraction, the degenerate count (blank
+    after trim for strings, <= 0 for numerics — the values that are
+    technically non-null but carry no information), and the exact
+    distinct cardinality. Adding a column adds expressions to one
+    aggregate — never another table pass, the O(checks) vs O(1)
+    scans distinction the expectations suite pins.
+
+    Scale shape: one aggregate with conditional counts plus exact
+    COUNT(DISTINCT) per profiled column (Spark plans the distincts
+    via expand — cost scales with profiled-column count, which is
+    the operator's knob; swap approx_count_distinct in when exact
+    cardinality isn't worth the expand), then a bounded unpivot."""
+    docs = load_table(spark, sf_dir, "documents")
+    aggs = [F.count("*").alias("n")]
+    for c, kind in _PROFILE_COLS:
+        degen = (
+            F.trim(F.col(c).cast("string")) == ""
+            if kind == "string"
+            else F.col(c) <= 0
+        )
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(
+                f"null_{c}"
+            ),
+            F.sum(
+                F.when(F.coalesce(degen, F.lit(False)), 1).otherwise(0)
+            ).alias(f"degen_{c}"),
+            F.count_distinct(F.col(c)).alias(f"nd_{c}"),
+        ]
+    wide = docs.agg(*aggs)
+    stack_args: list = []
+    for c, _ in _PROFILE_COLS:
+        stack_args += [
+            F.lit(c),
+            F.col(f"null_{c}"),
+            F.col(f"degen_{c}"),
+            F.col(f"nd_{c}"),
+        ]
+    return (
+        wide.select(
+            "n",
+            F.stack(
+                F.lit(len(_PROFILE_COLS)), *stack_args
+            ).alias("col", "n_null", "n_degenerate", "n_distinct"),
+        )
+        .select(
+            "col",
+            F.col("n").alias("n_rows"),
+            F.col("n_null").cast("bigint").alias("n_null"),
+            F.round(F.col("n_null") * 1.0 / F.col("n"), 6).alias(
+                "null_frac"
+            ),
+            F.col("n_degenerate").cast("bigint").alias("n_degenerate"),
+            F.col("n_distinct").cast("bigint").alias("n_distinct"),
+        )
+        .orderBy("col")
+    )

@@ -2089,3 +2089,92 @@ def welch_ttest_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
             "significant"
         ),
     ).orderBy("slice")
+
+
+LORENZ_BUCKETS = 10  # decile grid for the concentration curve
+
+
+@query(
+    "revenue_lorenz_deciles",
+    oracle=f"""
+    WITH per_part AS (
+        SELECT l_partkey,
+               SUM(l_extendedprice * (1 - l_discount)) AS rev
+        FROM lineitem GROUP BY 1
+    ),
+    ranked AS (
+        SELECT rev,
+               NTILE({LORENZ_BUCKETS}) OVER (ORDER BY rev, l_partkey)
+                   AS decile
+        FROM per_part
+    ),
+    tot AS (SELECT SUM(rev) AS t, COUNT(*) AS n FROM ranked),
+    cells AS (
+        SELECT decile, COUNT(*) AS n_parts, SUM(rev) AS rev
+        FROM ranked GROUP BY decile
+    )
+    SELECT CAST(c.decile AS BIGINT) AS decile,
+           CAST(c.n_parts AS BIGINT) AS n_parts,
+           ROUND(c.rev / t.t, 6) AS rev_share,
+           ROUND(SUM(c.rev) OVER (ORDER BY c.decile
+                 ROWS UNBOUNDED PRECEDING) / t.t, 6)
+               AS cum_rev_share,
+           ROUND(SUM(c.n_parts) OVER (ORDER BY c.decile
+                 ROWS UNBOUNDED PRECEDING) * 1.0 / t.n, 6)
+               AS cum_pop_share
+    FROM cells c CROSS JOIN tot t
+    ORDER BY decile
+    """,
+)
+def revenue_lorenz_deciles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Lorenz concentration curve of part revenue — the
+    inequality-curve companion of `token_gini_by_source`'s scalar
+    Gini, in the value domain `hill_tail_index` screens: parts sort
+    into revenue deciles and the curve reports each decile's revenue
+    share plus the cumulative (population share, revenue share)
+    points — the 'bottom 80% of parts earn X% of revenue' table a
+    catalog/assortment review reads directly. The diagonal is
+    perfect equality; sag measures concentration.
+
+    Scale shape: one part-grain revenue aggregate, an NTILE over the
+    PART-grain table (bounded by the part domain — the same
+    allowlisted boundedness as trending's ranks), then 10-row
+    arithmetic with a 1-row total broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        ).alias("rev")
+    )
+    ranked = per_part.select(
+        "rev",
+        F.ntile(LORENZ_BUCKETS)
+        .over(Window.orderBy("rev", "l_partkey"))
+        .alias("decile"),
+    )
+    tot = ranked.agg(
+        F.sum("rev").alias("t"), F.count("*").alias("n")
+    )
+    cells = ranked.groupBy("decile").agg(
+        F.count("*").alias("n_parts"), F.sum("rev").alias("rev")
+    )
+    wcum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        cells.join(F.broadcast(tot))
+        .select(
+            F.col("decile").cast("bigint").alias("decile"),
+            F.col("n_parts").cast("bigint").alias("n_parts"),
+            F.round(F.col("rev") / F.col("t"), 6).alias("rev_share"),
+            F.round(
+                F.sum("rev").over(wcum) / F.col("t"), 6
+            ).alias("cum_rev_share"),
+            F.round(
+                F.sum("n_parts").over(wcum) * 1.0 / F.col("n"), 6
+            ).alias("cum_pop_share"),
+        )
+        .orderBy("decile")
+    )

@@ -72,6 +72,8 @@ NESTED_LOOP_OK = {
     # slice-grain (n, sum, sumsq) table
     "assoc_rules_topk",  # 1-row basket-count broadcast over the
     # capped pair table (support/lift denominators)
+    "revenue_lorenz_deciles",  # 1-row (total revenue, part count)
+    # broadcast over the 10-row decile cells
     "kfold_assignment_audit",  # per-method leak-metric broadcast
     # (bounded by the method x fold grid)
     "ks_drift_statistic",  # cohort totals + bin count: two 1-row
@@ -182,6 +184,9 @@ UNPARTITIONED_WINDOW_OK = {
     "vocab_sizing_curve",  # rank over the vocab-grain count table
     # (Heaps-bounded, the same boundedness as zipf_alpha_fit's head)
     "hill_tail_index",  # rank over the 101-row TakeOrdered head
+    "revenue_lorenz_deciles",  # NTILE + cumsums over the PART-grain
+    # revenue table and the 10-row decile cells (trending's
+    # boundedness argument)
     "seq_length_histogram",  # cumulative share over histogram bins
     "trending_parts_decayed",  # trend/alltime ranks over the
     # part-grain score table (bounded by the part domain)

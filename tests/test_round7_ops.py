@@ -392,3 +392,100 @@ def test_pack_bestfit_bounds_and_planted_improvement(spark, tmp_path):
     assert sum(r["n_packs"] for r in got) == sum(
         r["lower_bound"] for r in got
     )
+
+
+def test_lorenz_curve_monotone_convex_and_complete(spark):
+    """The Lorenz curve must be monotone in both axes, end at
+    (1.0, 1.0), stay under the diagonal (cumulative revenue share <=
+    cumulative population share never, since low deciles earn less),
+    and its decile shares must sum to 1."""
+    from citeconnect_datapipeline_spark.operators.statistics import (
+        revenue_lorenz_deciles,
+    )
+
+    rows = revenue_lorenz_deciles(spark, SF).collect()
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    prev_rev, prev_pop = 0.0, 0.0
+    for r in rows:
+        assert r["cum_rev_share"] >= prev_rev - 1e-9
+        assert r["cum_pop_share"] >= prev_pop - 1e-9
+        # ASC-sorted deciles: curve sags under the diagonal
+        assert r["cum_rev_share"] <= r["cum_pop_share"] + 1e-6
+        prev_rev, prev_pop = r["cum_rev_share"], r["cum_pop_share"]
+    assert abs(prev_rev - 1.0) < 1e-5 and abs(prev_pop - 1.0) < 1e-5
+    assert abs(sum(r["rev_share"] for r in rows) - 1.0) < 1e-4
+
+
+def test_degree_fit_recovers_planted_power_law(spark, tmp_path):
+    """A synthetic graph with an exact n(d) ~ d^-2 degree histogram
+    must fit alpha ~= 2 with R^2 ~= 1 — the estimator estimates what
+    it claims."""
+    import shutil
+
+    from citeconnect_datapipeline_spark.operators.graph import (
+        degree_distribution_fit,
+    )
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    # for degree d in 1..12: floor(1200/d^2) parts with that degree
+    rows = []
+    part = 0
+    order = 0
+    for d in range(1, 13):
+        for _ in range(1200 // (d * d)):
+            for _ in range(d):
+                rows.append((order, part))
+                order += 1
+            part += 1
+    spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long"
+    ).write.parquet(str(sf / "lineitem.parquet"))
+    for t in (
+        "region nation customer supplier part orders events "
+        "documents embeddings"
+    ).split():
+        shutil.copyfile(f"{SF}/{t}.parquet", str(sf / f"{t}.parquet"))
+    [row] = degree_distribution_fit(spark, str(sf)).collect()
+    assert 1.8 <= row["powerlaw_alpha"] <= 2.2
+    assert row["fit_r2"] > 0.98
+    assert row["max_degree"] == 12
+
+
+def test_column_null_profile_counts_planted_defects(spark, tmp_path):
+    """Planted nulls, blanks, and non-positive numerics must land in
+    the right cells of the profile."""
+    import shutil
+
+    from citeconnect_datapipeline_spark.operators.quality import (
+        column_null_profile,
+    )
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    docs = [
+        (1, "hello", "en", "web", 5),
+        (2, None, "en", "  ", 0),       # null text, blank source, 0 chars
+        (3, "", None, "web", -4),       # blank text, null lang, neg chars
+        (4, "ok", "fr", "web", 2),
+    ]
+    spark.createDataFrame(
+        docs,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).write.parquet(str(sf / "documents.parquet"))
+    for t in (
+        "region nation customer supplier part orders lineitem "
+        "events embeddings"
+    ).split():
+        shutil.copyfile(f"{SF}/{t}.parquet", str(sf / f"{t}.parquet"))
+    got = {
+        r["col"]: r for r in column_null_profile(spark, str(sf)).collect()
+    }
+    assert got["text"]["n_null"] == 1
+    assert got["text"]["n_degenerate"] == 1  # the empty string
+    assert got["lang"]["n_null"] == 1
+    assert got["source"]["n_degenerate"] == 1  # whitespace-only
+    assert got["n_chars"]["n_degenerate"] == 2  # 0 and -4
+    assert got["doc_id"]["n_distinct"] == 4
+    assert all(r["n_rows"] == 4 for r in got.values())
