@@ -2322,3 +2322,92 @@ def ngram_containment_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(20)
     )
+
+
+@query(
+    "dedup_source_flow",
+    oracle=f"""
+    WITH words AS (
+        SELECT doc_id, string_split_regex(lower(text), '[^a-z0-9]+') AS w
+        FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(list_slice(w, i, i + 2), ' ') AS shingle
+        FROM words, UNNEST(range(1, greatest(len(w) - 1, 2))) AS t(i)
+        WHERE array_to_string(list_slice(w, i, i + 2), ' ') <> ''
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle
+                           AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    scored AS (
+        SELECT p.doc_a, p.doc_b,
+               ROUND(CAST(p.common AS DOUBLE)
+                     / (sa.n + sb.n - p.common), 6) AS jaccard
+        FROM pairs p
+        JOIN sizes sa ON p.doc_a = sa.doc_id
+        JOIN sizes sb ON p.doc_b = sb.doc_id
+        WHERE ROUND(CAST(p.common AS DOUBLE)
+                    / (sa.n + sb.n - p.common), 6)
+              >= {NEARDUP_JACCARD}
+    )
+    SELECT LEAST(da.source, db.source) AS source_lo,
+           GREATEST(da.source, db.source) AS source_hi,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(SUM(s.jaccard), 6) AS sum_jaccard
+    FROM scored s
+    JOIN documents da ON da.doc_id = s.doc_a
+    JOIN documents db ON db.doc_id = s.doc_b
+    GROUP BY 1, 2
+    ORDER BY n_pairs DESC, source_lo, source_hi
+    """,
+)
+def dedup_source_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Where duplication FLOWS between sources — the near-dup pair
+    table rolled up to (source, source) cells: diagonal cells are
+    within-source duplication (template reuse, re-crawls), off-
+    diagonal cells are cross-source contamination (mirror sites,
+    syndication) — the matrix a mixture designer reads before
+    setting per-source sampling weights, since duplicated mass
+    inflates a source's apparent size. Same pair semantics as
+    `neardup_components` (Jaccard >= 0.5 on 3-word shingles).
+
+    Scale shape: consumes the once-per-process materialized pair
+    table (the CC/threshold-sweep intermediate — a 100 TB deployment
+    reads the pair ZONE), then two doc-keyed source-lookup joins and
+    one cell-grain aggregate bounded by the source-domain square."""
+    pairs = _jaccard_pairs_materialized(spark, sf_dir).filter(
+        F.col("jaccard") >= NEARDUP_JACCARD
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source"
+    )
+    da = docs.select(
+        F.col("doc_id").alias("doc_a"), F.col("source").alias("sa")
+    )
+    db = docs.select(
+        F.col("doc_id").alias("doc_b"), F.col("source").alias("sb")
+    )
+    return (
+        pairs.join(da, "doc_a")
+        .join(db, "doc_b")
+        .groupBy(
+            F.least("sa", "sb").alias("source_lo"),
+            F.greatest("sa", "sb").alias("source_hi"),
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            # SUM of per-pair 6-dp-rounded scores (the oracle's
+            # grain — the memoized table stores raw ratios), not AVG:
+            # means of 6-dp values land on rounding midpoints where
+            # the engines' half-rounding disagrees
+            F.round(F.sum(F.round("jaccard", 6)), 6).alias(
+                "sum_jaccard"
+            ),
+        )
+        .orderBy(F.desc("n_pairs"), "source_lo", "source_hi")
+    )

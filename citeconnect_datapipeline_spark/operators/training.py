@@ -2312,3 +2312,95 @@ def pack_sequences_bestfit(
         .applyInPandas(pack, schema=schema)
         .orderBy("shard")
     )
+
+
+CTX_LADDER = (16, 32, 64, 128, 256)  # context budgets (words); the
+# synthetic docs run 10-99 words, so the ladder brackets the corpus
+# the way 512..8192 brackets a real one
+
+
+@query(
+    "context_fit_curve",
+    oracle=f"""
+    WITH toks AS (
+        SELECT len(string_split_regex(lower(text), '[^a-z0-9]+'))
+                   AS n_tokens
+        FROM documents
+    ),
+    tot AS (
+        SELECT COUNT(*) AS n_docs, SUM(n_tokens) AS n_tokens
+        FROM toks
+    )
+    SELECT L.ctx AS ctx_budget,
+           CAST(COUNT(*) FILTER (WHERE t.n_tokens <= L.ctx)
+               AS BIGINT) AS n_docs_fit,
+           ROUND(COUNT(*) FILTER (WHERE t.n_tokens <= L.ctx) * 1.0
+                 / MAX(g.n_docs), 6) AS frac_docs_fit,
+           CAST(SUM(LEAST(t.n_tokens, L.ctx)) AS BIGINT)
+               AS tokens_kept,
+           ROUND(1.0 - SUM(LEAST(t.n_tokens, L.ctx)) * 1.0
+                 / MAX(g.n_tokens), 6) AS token_loss_frac
+    FROM toks t
+    CROSS JOIN (VALUES {", ".join(f"({k})" for k in CTX_LADDER)})
+        AS L(ctx)
+    CROSS JOIN tot g
+    GROUP BY L.ctx
+    ORDER BY L.ctx
+    """,
+)
+def context_fit_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length budget curve — the truncation-cost table read
+    before fixing a model's sequence length (the sibling decision to
+    `vocab_sizing_curve`'s vocab budget): for each candidate context
+    length, how many documents fit whole, and what fraction of total
+    token mass a hard truncation at that length discards. The knee
+    of token_loss_frac is the budget decision; `pack_sequences`
+    then packs to whatever is chosen.
+
+    Scale shape: token counts are per-row codegen on the scan; the
+    ladder rides a 5-row broadcast cross join (5x generate, no
+    shuffle) into ONE map-side-combinable budget-grain aggregate
+    with the 1-row corpus totals broadcast in."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.size(F.split(F.lower("text"), "[^a-z0-9]+")).alias(
+            "n_tokens"
+        )
+    )
+    tot = toks.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("tot_tokens"),
+    )
+    ladder = spark.createDataFrame(
+        [(k,) for k in CTX_LADDER], "ctx_budget long"
+    )
+    fit = F.sum(
+        F.when(F.col("n_tokens") <= F.col("ctx_budget"), 1).otherwise(0)
+    )
+    kept = F.sum(F.least(F.col("n_tokens"), F.col("ctx_budget")))
+    return (
+        toks.crossJoin(F.broadcast(ladder))
+        .groupBy("ctx_budget")
+        .agg(
+            fit.cast("bigint").alias("n_docs_fit"),
+            kept.cast("bigint").alias("tokens_kept"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "ctx_budget",
+            "n_docs_fit",
+            F.round(
+                F.col("n_docs_fit") * 1.0 / F.col("n_docs"), 6
+            ).alias("frac_docs_fit"),
+            "tokens_kept",
+            F.round(
+                1.0 - F.col("tokens_kept") * 1.0 / F.col("tot_tokens"),
+                6,
+            ).alias("token_loss_frac"),
+        )
+        .select(
+            "ctx_budget", "n_docs_fit", "frac_docs_fit",
+            "tokens_kept", "token_loss_frac",
+        )
+        .orderBy("ctx_budget")
+    )

@@ -74,6 +74,8 @@ NESTED_LOOP_OK = {
     # capped pair table (support/lift denominators)
     "revenue_lorenz_deciles",  # 1-row (total revenue, part count)
     # broadcast over the 10-row decile cells
+    "context_fit_curve",  # 5-row ladder broadcast over the token
+    # scan + 1-row corpus-totals broadcast
     "kfold_assignment_audit",  # per-method leak-metric broadcast
     # (bounded by the method x fold grid)
     "ks_drift_statistic",  # cohort totals + bin count: two 1-row

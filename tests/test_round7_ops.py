@@ -489,3 +489,48 @@ def test_column_null_profile_counts_planted_defects(spark, tmp_path):
     assert got["n_chars"]["n_degenerate"] == 2  # 0 and -4
     assert got["doc_id"]["n_distinct"] == 4
     assert all(r["n_rows"] == 4 for r in got.values())
+
+
+def test_context_fit_curve_monotone_and_exact_at_extremes(spark):
+    """Coverage must be monotone in the budget, the largest budget
+    keeps everything on this corpus (docs max out under 256 words),
+    and per-row identities hold (kept tokens never exceed the
+    total, loss + kept fraction = 1)."""
+    from citeconnect_datapipeline_spark.operators.training import (
+        CTX_LADDER,
+        context_fit_curve,
+    )
+
+    rows = context_fit_curve(spark, SF).collect()
+    assert [r["ctx_budget"] for r in rows] == list(CTX_LADDER)
+    prev_fit, prev_kept = -1, -1
+    for r in rows:
+        assert r["n_docs_fit"] >= prev_fit
+        assert r["tokens_kept"] >= prev_kept
+        assert 0.0 <= r["token_loss_frac"] <= 1.0
+        prev_fit, prev_kept = r["n_docs_fit"], r["tokens_kept"]
+    assert rows[-1]["frac_docs_fit"] == 1.0
+    assert rows[-1]["token_loss_frac"] == 0.0
+
+
+def test_dedup_source_flow_pairs_reconcile_with_components(spark):
+    """The flow matrix's total pair count equals the thresholded
+    pair table's row count (every near-dup pair lands in exactly one
+    (source_lo, source_hi) cell), and cells are canonically
+    ordered."""
+    from citeconnect_datapipeline_spark.operators.dedup import (
+        NEARDUP_JACCARD,
+        _jaccard_pairs_materialized,
+        dedup_source_flow,
+    )
+
+    rows = dedup_source_flow(spark, SF).collect()
+    n_pairs = (
+        _jaccard_pairs_materialized(spark, SF)
+        .filter(F.col("jaccard") >= NEARDUP_JACCARD)
+        .count()
+    )
+    assert sum(r["n_pairs"] for r in rows) == n_pairs
+    for r in rows:
+        assert r["source_lo"] <= r["source_hi"]
+        assert r["sum_jaccard"] >= NEARDUP_JACCARD * r["n_pairs"] - 1e-6
