@@ -1450,3 +1450,170 @@ def page_hinkley_series(
         F.round(ph, 6).alias("ph_stat"),
         F.when(ph > lamb, 1).otherwise(0).alias("alarm"),
     ).orderBy("wd")
+
+
+@query(
+    "survival_km_curve",
+    oracle="""
+    WITH anchor AS (SELECT MAX(ts) AS mx FROM events),
+    first_signup AS (
+        SELECT user_id, MIN(ts) AS t0 FROM events
+        WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    first_purchase AS (
+        SELECT e.user_id, MIN(e.ts) AS tp
+        FROM events e JOIN first_signup s ON e.user_id = s.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > s.t0
+        GROUP BY e.user_id
+    ),
+    subjects AS (
+        SELECT s.user_id,
+               CASE WHEN p.tp IS NOT NULL THEN 1 ELSE 0 END AS event,
+               CAST(FLOOR((epoch_us(COALESCE(p.tp, a.mx))
+                    - epoch_us(s.t0)) / 86400000000.0) AS BIGINT)
+                   AS t_day
+        FROM first_signup s
+        LEFT JOIN first_purchase p ON p.user_id = s.user_id
+        CROSS JOIN anchor a
+    ),
+    n_total AS (SELECT COUNT(*) AS n FROM subjects),
+    risk AS (
+        SELECT t_day,
+               SUM(event) AS d,
+               (SELECT n FROM n_total)
+               - COALESCE(SUM(COUNT(*)) OVER (ORDER BY t_day
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING), 0) AS n_risk
+        FROM subjects
+        GROUP BY t_day
+    ),
+    km AS (
+        SELECT t_day, d, n_risk,
+               EXP(SUM(CASE WHEN d < n_risk
+                        THEN LN(1.0 - CAST(d AS DOUBLE) / n_risk)
+                        ELSE 0.0 END)
+                   OVER (ORDER BY t_day
+                         ROWS UNBOUNDED PRECEDING)) AS s_pos,
+               MAX(CASE WHEN d >= n_risk THEN 1 ELSE 0 END)
+                   OVER (ORDER BY t_day
+                         ROWS UNBOUNDED PRECEDING) AS hit_zero
+        FROM risk
+        WHERE d > 0
+    )
+    SELECT t_day, CAST(d AS BIGINT) AS n_events,
+           CAST(n_risk AS BIGINT) AS n_at_risk,
+           ROUND(CASE WHEN hit_zero = 1 THEN 0.0 ELSE s_pos END, 6)
+               AS survival
+    FROM km
+    ORDER BY t_day
+    """,
+)
+def survival_km_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve for time-to-first-purchase after
+    signup — THE estimator for time-to-event questions with
+    censoring (churn, conversion latency, component failure): users
+    who never purchase are right-CENSORED at the corpus horizon
+    instead of being dropped (dropping them is the classic bias —
+    `conversion_latency_quantiles` reports the converters-only view;
+    this curve is the population view). S(t) = prod over event days
+    of (1 - d_i / n_i), computed as exp of a running log-sum so the
+    product is one ordered window, with the at-risk count n_i
+    derived from the cumulative subjects who already left.
+
+    Scale shape: two user-keyed aggregates build the subjects table
+    (one row per user); the KM table then lives at DAY grain —
+    the running sums are prefix windows over event days, the same
+    boundedness as `page_hinkley_drift`'s series (partition by
+    cohort for a multi-cohort deployment)."""
+    ev = load_table(spark, sf_dir, "events")
+    anchor = ev.agg(F.max("ts").alias("mx"))
+    s0 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    fp = (
+        ev.join(s0, "user_id")
+        .filter(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts") > F.col("t0"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tp"))
+    )
+    subjects = (
+        s0.join(fp, "user_id", "left")
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            F.when(F.col("tp").isNotNull(), 1).otherwise(0).alias(
+                "event"
+            ),
+            F.floor(
+                (
+                    F.unix_micros(F.coalesce("tp", "mx"))
+                    - F.unix_micros("t0")
+                )
+                / 86_400_000_000.0
+            )
+            .cast("bigint")
+            .alias("t_day"),
+        )
+    )
+    n_total = subjects.agg(F.count("*").alias("n"))
+    w_prev = Window.orderBy("t_day").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    risk = (
+        subjects.groupBy("t_day")
+        .agg(
+            F.sum("event").alias("d"),
+            F.count("*").alias("leaving"),
+        )
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "t_day",
+            "d",
+            (
+                F.col("n")
+                - F.coalesce(
+                    F.sum("leaving").over(w_prev), F.lit(0)
+                )
+            ).alias("n_risk"),
+        )
+    )
+    w_cum = Window.orderBy("t_day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # the last event day can consume the whole risk set (d = n_i):
+    # its factor is exactly 0, so the running product is split into
+    # a guarded log-sum over d < n_i days and a sticky zero flag —
+    # ln(0) is an error on both engines
+    factor_log = F.when(
+        F.col("d") < F.col("n_risk"),
+        F.log(1.0 - F.col("d").cast("double") / F.col("n_risk")),
+    ).otherwise(F.lit(0.0))
+    hit_zero = F.max(
+        F.when(F.col("d") >= F.col("n_risk"), 1).otherwise(0)
+    ).over(w_cum)
+    return (
+        risk.filter(F.col("d") > 0)
+        .select(
+            "t_day",
+            "d",
+            "n_risk",
+            F.exp(F.sum(factor_log).over(w_cum)).alias("s_pos"),
+            hit_zero.alias("hit_zero"),
+        )
+        .select(
+            "t_day",
+            F.col("d").cast("bigint").alias("n_events"),
+            F.col("n_risk").cast("bigint").alias("n_at_risk"),
+            F.round(
+                F.when(F.col("hit_zero") == 1, 0.0).otherwise(
+                    F.col("s_pos")
+                ),
+                6,
+            ).alias("survival"),
+        )
+        .orderBy("t_day")
+    )

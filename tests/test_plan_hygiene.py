@@ -76,6 +76,8 @@ NESTED_LOOP_OK = {
     # broadcast over the 10-row decile cells
     "context_fit_curve",  # 5-row ladder broadcast over the token
     # scan + 1-row corpus-totals broadcast
+    "survival_km_curve",  # 1-row horizon anchor + 1-row cohort-size
+    # broadcasts over the user-grain subjects table
     "kfold_assignment_audit",  # per-method leak-metric broadcast
     # (bounded by the method x fold grid)
     "ks_drift_statistic",  # cohort totals + bin count: two 1-row
@@ -189,6 +191,9 @@ UNPARTITIONED_WINDOW_OK = {
     "revenue_lorenz_deciles",  # NTILE + cumsums over the PART-grain
     # revenue table and the 10-row decile cells (trending's
     # boundedness argument)
+    "survival_km_curve",  # risk-set and log-sum prefixes over the
+    # DAY-grain event table (page_hinkley's boundedness; partition
+    # by cohort in a multi-cohort deployment)
     "seq_length_histogram",  # cumulative share over histogram bins
     "trending_parts_decayed",  # trend/alltime ranks over the
     # part-grain score table (bounded by the part domain)

@@ -534,3 +534,72 @@ def test_dedup_source_flow_pairs_reconcile_with_components(spark):
     for r in rows:
         assert r["source_lo"] <= r["source_hi"]
         assert r["sum_jaccard"] >= NEARDUP_JACCARD * r["n_pairs"] - 1e-6
+
+
+def test_km_survival_matches_textbook_on_planted_cohort(spark, tmp_path):
+    """Textbook KM check: 4 signups; purchases at day 1 (u1), day 3
+    (u2); u3, u4 censored at the horizon (day 5, no purchase).
+    S(1) = 1 - 1/4 = 0.75; S(3) = 0.75 * (1 - 1/3) = 0.5; censored
+    users reduce the risk set without dropping the curve to 0."""
+    import shutil
+
+    from citeconnect_datapipeline_spark.operators.timeseries import (
+        survival_km_curve,
+    )
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    day = 86_400
+    t0 = 1_600_000_000
+    rows = [
+        # (event_id, ts_sec, user_id, event_type, value)
+        (1, t0, 1, "signup", 0.0),
+        (2, t0 + 1 * day, 1, "purchase", 5.0),
+        (3, t0, 2, "signup", 0.0),
+        (4, t0 + 3 * day, 2, "purchase", 5.0),
+        (5, t0, 3, "signup", 0.0),
+        (6, t0, 4, "signup", 0.0),
+        (7, t0 + 5 * day, 9, "click", 0.0),  # sets the horizon
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts_sec long, user_id long,"
+        " event_type string, value double",
+    ).select(
+        "event_id",
+        F.timestamp_seconds("ts_sec").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+    ).write.parquet(str(sf / "events.parquet"))
+    for t in (
+        "region nation customer supplier part orders lineitem "
+        "documents embeddings"
+    ).split():
+        shutil.copyfile(f"{SF}/{t}.parquet", str(sf / f"{t}.parquet"))
+    got = {
+        r["t_day"]: r for r in survival_km_curve(spark, str(sf)).collect()
+    }
+    assert set(got) == {1, 3}
+    assert got[1]["n_at_risk"] == 4 and got[1]["n_events"] == 1
+    assert abs(got[1]["survival"] - 0.75) < 1e-6
+    assert got[3]["n_at_risk"] == 3 and got[3]["n_events"] == 1
+    assert abs(got[3]["survival"] - 0.5) < 1e-6
+
+
+def test_km_survival_monotone_on_real_fixture(spark):
+    """On the lake: survival is non-increasing, within (0, 1], the
+    risk set shrinks monotonically, and the curve never outlives the
+    cohort."""
+    from citeconnect_datapipeline_spark.operators.timeseries import (
+        survival_km_curve,
+    )
+
+    rows = survival_km_curve(spark, SF).collect()
+    assert rows
+    prev_s, prev_risk = 1.0 + 1e-9, float("inf")
+    for r in rows:
+        assert 0.0 <= r["survival"] <= prev_s + 1e-9
+        assert r["n_at_risk"] <= prev_risk
+        assert 0 < r["n_events"] <= r["n_at_risk"]
+        prev_s, prev_risk = r["survival"], r["n_at_risk"]
