@@ -174,9 +174,13 @@ def trending_parts_decayed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the decay weight is per-row codegen arithmetic on
     the fact scan (anchor = 1-row broadcast), one part-grain
-    map-side-combinable aggregate, and rank windows over the
-    part-grain table (bounded by the part domain, allowlisted);
-    TakeOrdered emits the page."""
+    map-side-combinable aggregate, then a distributed
+    TakeOrdered(20) — never a global sort or a part-grain window —
+    so the trend rank window runs on the 20-row head; alltime_rank
+    is a rank-by-count: the 20-row head broadcast theta-joined back
+    against the part-grain score table counts the rows ordered
+    ahead of each head part (an O(parts x 20) comparison scan, no
+    single-partition sort of the part domain)."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
     )
@@ -199,17 +203,35 @@ def trending_parts_decayed(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("decayed_score"),
         )
     )
-    wt = Window.orderBy(F.desc("decayed_score"), "l_partkey")
-    wa = Window.orderBy(F.desc("n_orders"), "l_partkey")
-    return (
-        scored.select(
+    head = (
+        scored.orderBy(F.desc("decayed_score"), "l_partkey")
+        .limit(TREND_TOPK)
+        .select(
             "l_partkey",
             "n_orders",
             "decayed_score",
-            F.row_number().over(wt).cast("bigint").alias("trend_rank"),
-            F.row_number().over(wa).cast("bigint").alias("alltime_rank"),
+            F.row_number()
+            .over(Window.orderBy(F.desc("decayed_score"), "l_partkey"))
+            .cast("bigint")
+            .alias("trend_rank"),
         )
-        .filter(F.col("trend_rank") <= TREND_TOPK)
+    )
+    # alltime_rank by counting, per head part, the parts ordered at
+    # or ahead of it in (n_orders DESC, l_partkey) — the part itself
+    # matches its own predicate, so COUNT(*) over the inner theta
+    # join IS the 1-based rank (identical to ROW_NUMBER over a total
+    # order, without sorting the part domain in one task).
+    ahead = scored.select(
+        F.col("n_orders").alias("s_n"), F.col("l_partkey").alias("s_pk")
+    )
+    at_or_ahead = (F.col("s_n") > F.col("n_orders")) | (
+        (F.col("s_n") == F.col("n_orders"))
+        & (F.col("s_pk") <= F.col("l_partkey"))
+    )
+    return (
+        ahead.join(F.broadcast(head), at_or_ahead)
+        .groupBy("l_partkey", "n_orders", "decayed_score", "trend_rank")
+        .agg(F.count("*").cast("bigint").alias("alltime_rank"))
         .select(
             "l_partkey",
             "n_orders",
@@ -293,10 +315,12 @@ def rank_biased_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     divergence DEPTH is visible, not just the scalar.
 
     Scale shape: both rankings come from one part-grain aggregate
-    (the same plan as `trending_parts_decayed`); everything after
-    operates on two 20-row prefixes — the depth grid, the overlap
-    counts, and the running RBO sum are all bounded by TREND_TOPK,
-    never by the corpus."""
+    (the same plan as `trending_parts_decayed`), and each prefix is
+    a distributed TakeOrdered(20) ranked AFTER the limit — no
+    part-grain window, no global sort; everything after operates on
+    two 20-row prefixes — the depth grid, the overlap counts, and
+    the running RBO sum are all bounded by TREND_TOPK, never by the
+    corpus."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
     )
@@ -319,20 +343,28 @@ def rank_biased_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("decayed_score"),
         )
     )
-    wt = Window.orderBy(F.desc("decayed_score"), "l_partkey")
-    wa = Window.orderBy(F.desc("n_orders"), "l_partkey")
-    in_both = (
-        scored.select(
-            F.row_number().over(wt).alias("trend_rank"),
-            F.row_number().over(wa).alias("alltime_rank"),
-        )
-        .filter(
-            (F.col("trend_rank") <= TREND_TOPK)
-            & (F.col("alltime_rank") <= TREND_TOPK)
-        )
+    trend_head = (
+        scored.orderBy(F.desc("decayed_score"), "l_partkey")
+        .limit(TREND_TOPK)
         .select(
-            F.greatest("trend_rank", "alltime_rank").alias("m")
+            "l_partkey",
+            F.row_number()
+            .over(Window.orderBy(F.desc("decayed_score"), "l_partkey"))
+            .alias("trend_rank"),
         )
+    )
+    alltime_head = (
+        scored.orderBy(F.desc("n_orders"), "l_partkey")
+        .limit(TREND_TOPK)
+        .select(
+            "l_partkey",
+            F.row_number()
+            .over(Window.orderBy(F.desc("n_orders"), "l_partkey"))
+            .alias("alltime_rank"),
+        )
+    )
+    in_both = trend_head.join(alltime_head, "l_partkey").select(
+        F.greatest("trend_rank", "alltime_rank").alias("m")
     )
     grid = spark.range(1, TREND_TOPK + 1).select(
         F.col("id").alias("depth")

@@ -2099,20 +2099,27 @@ LORENZ_BUCKETS = 10  # decile grid for the concentration curve
     oracle=f"""
     WITH per_part AS (
         SELECT l_partkey,
-               SUM(l_extendedprice * (1 - l_discount)) AS rev
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 6)
+                   AS rev
         FROM lineitem GROUP BY 1
     ),
-    ranked AS (
-        SELECT rev,
-               NTILE({LORENZ_BUCKETS}) OVER (ORDER BY rev, l_partkey)
-                   AS decile
+    bnd AS (
+        SELECT {", ".join(
+            f"ROUND(quantile_cont(rev, {d / 10.0}), 6) AS b{d}"
+            for d in range(1, LORENZ_BUCKETS)
+        )}
         FROM per_part
     ),
-    tot AS (SELECT SUM(rev) AS t, COUNT(*) AS n FROM ranked),
     cells AS (
-        SELECT decile, COUNT(*) AS n_parts, SUM(rev) AS rev
-        FROM ranked GROUP BY decile
-    )
+        SELECT 1 {" ".join(
+            f"+ CAST(rev > b{d} AS INT)"
+            for d in range(1, LORENZ_BUCKETS)
+        )} AS decile,
+               COUNT(*) AS n_parts, SUM(rev) AS rev
+        FROM per_part CROSS JOIN bnd
+        GROUP BY 1
+    ),
+    tot AS (SELECT SUM(rev) AS t, COUNT(*) AS n FROM per_part)
     SELECT CAST(c.decile AS BIGINT) AS decile,
            CAST(c.n_parts AS BIGINT) AS n_parts,
            ROUND(c.rev / t.t, 6) AS rev_share,
@@ -2136,29 +2143,45 @@ def revenue_lorenz_deciles(
     share plus the cumulative (population share, revenue share)
     points — the 'bottom 80% of parts earn X% of revenue' table a
     catalog/assortment review reads directly. The diagonal is
-    perfect equality; sag measures concentration.
+    perfect equality; sag measures concentration. Deciles are cut
+    at the 6-dp-pinned revenue percentile boundaries (a part lands
+    in decile 1 + #boundaries strictly below its revenue), so
+    boundary-tied parts share a decile instead of being split by an
+    arbitrary row order — bucket sizes are near-equal, not
+    forced-equal.
 
-    Scale shape: one part-grain revenue aggregate, an NTILE over the
-    PART-grain table (bounded by the part domain — the same
-    allowlisted boundedness as trending's ranks), then 10-row
-    arithmetic with a 1-row total broadcast."""
+    Scale shape: one part-grain revenue aggregate, one 1-row
+    percentile-boundary aggregate broadcast back over it (the
+    `equidepth_histogram` pattern — NO part-grain NTILE/sort; at
+    100 TB swap `percentile` for `percentile_approx`, same shape,
+    bounded memory), then 10-row arithmetic with a 1-row total
+    broadcast."""
     li = load_table(spark, sf_dir, "lineitem")
     per_part = li.groupBy("l_partkey").agg(
-        F.sum(
-            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+            6,
         ).alias("rev")
     )
-    ranked = per_part.select(
-        "rev",
-        F.ntile(LORENZ_BUCKETS)
-        .over(Window.orderBy("rev", "l_partkey"))
-        .alias("decile"),
+    bnd = per_part.agg(
+        *[
+            F.round(F.percentile("rev", F.lit(d / 10.0)), 6).alias(
+                f"b{d}"
+            )
+            for d in range(1, LORENZ_BUCKETS)
+        ]
     )
-    tot = ranked.agg(
+    decile = F.lit(1)
+    for d in range(1, LORENZ_BUCKETS):
+        decile = decile + (F.col("rev") > F.col(f"b{d}")).cast("int")
+    tot = per_part.agg(
         F.sum("rev").alias("t"), F.count("*").alias("n")
     )
-    cells = ranked.groupBy("decile").agg(
-        F.count("*").alias("n_parts"), F.sum("rev").alias("rev")
+    cells = (
+        per_part.crossJoin(F.broadcast(bnd))
+        .select(decile.alias("decile"), "rev")
+        .groupBy("decile")
+        .agg(F.count("*").alias("n_parts"), F.sum("rev").alias("rev"))
     )
     wcum = Window.orderBy("decile").rowsBetween(
         Window.unboundedPreceding, Window.currentRow

@@ -2485,10 +2485,13 @@ def vocab_sizing_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubling grid in one plan.
 
     Scale shape: one word-count shuffle (vocab grain, Heaps
-    sub-linear), a rank window over the vocab-grain count table,
-    and a 7-row grid range-joined to the ranked head — the grid and
-    the output are bounded by the k ladder, the corpus appears only
-    in the first aggregate."""
+    sub-linear), then a distributed TakeOrdered(max k) — never a
+    global sort or a full-vocab window — so the rank window and the
+    broadcast both operate on the <=64-row head (the
+    `hill_tail_profile` pattern); the total-token scalar is a
+    separate 1-row aggregate. The grid and the output are bounded
+    by the k ladder, the corpus appears only in the first
+    aggregate."""
     docs = load_table(spark, sf_dir, "documents")
     counts = (
         docs.select(F.explode(_words()).alias("word"))
@@ -2498,13 +2501,18 @@ def vocab_sizing_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count("*").alias("c"))
     )
-    ranked = counts.select(
-        "c",
-        F.row_number()
-        .over(Window.orderBy(F.desc("c"), "word"))
-        .alias("r"),
+    kmax = max(VOCAB_CURVE_KS)
+    ranked = (
+        counts.orderBy(F.desc("c"), "word")
+        .limit(kmax)
+        .select(
+            "c",
+            F.row_number()
+            .over(Window.orderBy(F.desc("c"), "word"))
+            .alias("r"),
+        )
     )
-    tot = ranked.agg(F.sum("c").alias("tot"))
+    tot = counts.agg(F.sum("c").alias("tot"))
     grid = spark.createDataFrame(
         [(k,) for k in VOCAB_CURVE_KS], "vocab_k long"
     )

@@ -62,7 +62,7 @@ NESTED_LOOP_OK = {
     # broadcast joined to the 1-row vec-grain totals
     "rank_biased_overlap",  # <=20-row both-prefixes broadcast range-
     # joined to the 20-row depth grid (bounded by TREND_TOPK twice)
-    "vocab_sizing_curve",  # vocab-grain ranked head broadcast range-
+    "vocab_sizing_curve",  # 64-row TakeOrdered head broadcast range-
     # joined to the 7-row k ladder + 1-row total broadcast
     "hill_tail_index",  # 101-row TakeOrdered head broadcast range-
     # joined to the 3-row k ladder (threshold + log folds)
@@ -72,8 +72,9 @@ NESTED_LOOP_OK = {
     # slice-grain (n, sum, sumsq) table
     "assoc_rules_topk",  # 1-row basket-count broadcast over the
     # capped pair table (support/lift denominators)
-    "revenue_lorenz_deciles",  # 1-row (total revenue, part count)
-    # broadcast over the 10-row decile cells
+    "revenue_lorenz_deciles",  # 1-row percentile-boundary + 1-row
+    # (total revenue, part count) broadcasts over the part-grain
+    # table and the 10-row decile cells
     "context_fit_curve",  # 5-row ladder broadcast over the token
     # scan + 1-row corpus-totals broadcast
     "survival_km_curve",  # 1-row horizon anchor + 1-row cohort-size
@@ -107,6 +108,8 @@ NESTED_LOOP_OK = {
     "top_decile_mean",
     "top_session_paths",  # 1-row session-total scalar broadcast
     "trending_parts_decayed",  # 1-row newest-order anchor broadcast
+    # + the 20-row trend-head broadcast theta-joined against the
+    # part-grain score table (distributed rank-by-count, r8)
     "word_collocation_npmi",  # bigram-total N: 1-row scalar broadcast
     "zorder_layout_stats",  # 1-row per-dimension min/max bounds
     # broadcast feeding the bin arithmetic
@@ -185,20 +188,21 @@ UNPARTITIONED_WINDOW_OK = {
     "page_hinkley_drift",  # running mean/cumsum/min prefixes over
     # the per-DAY series (365 rows/year; multi-metric deployments
     # partition by metric id)
-    "vocab_sizing_curve",  # rank over the vocab-grain count table
-    # (Heaps-bounded, the same boundedness as zipf_alpha_fit's head)
+    "vocab_sizing_curve",  # rank over the 64-row TakeOrdered head
+    # (bounded by the k ladder, the hill_tail_index shape)
     "hill_tail_index",  # rank over the 101-row TakeOrdered head
-    "revenue_lorenz_deciles",  # NTILE + cumsums over the PART-grain
-    # revenue table and the 10-row decile cells (trending's
-    # boundedness argument)
+    "revenue_lorenz_deciles",  # cumsums over the 10-row decile-cell
+    # table only (bounded by the decile grid; the part-grain NTILE
+    # was replaced by percentile-boundary broadcasts in r8)
     "survival_km_curve",  # risk-set and log-sum prefixes over the
     # DAY-grain event table (page_hinkley's boundedness; partition
     # by cohort in a multi-cohort deployment)
     "seq_length_histogram",  # cumulative share over histogram bins
-    "trending_parts_decayed",  # trend/alltime ranks over the
-    # part-grain score table (bounded by the part domain)
-    "rank_biased_overlap",  # same two part-grain rank windows as
-    # trending_parts_decayed + a cumsum over the 20-row depth grid
+    "trending_parts_decayed",  # trend rank over the 20-row
+    # TakeOrdered head (bounded by TREND_TOPK, r8 rewrite)
+    "rank_biased_overlap",  # ranks over two 20-row TakeOrdered
+    # heads + a cumsum over the 20-row depth grid (all TREND_TOPK-
+    # bounded, r8 rewrite)
     "ship_latency_histogram",  # share/cum-share over the week-grain
     # bucket table (bounded by the date span, never corpus-grain)
     "source_upsampling_plan",  # share-of-total over per-source rows
