@@ -982,7 +982,12 @@ ASSOC_POSTING_CAP = 50  # same hot-item pair-stage cap as bib coupling
     "assoc_rules_topk",
     oracle=f"""
     WITH baskets AS MATERIALIZED (
-        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        -- cap over the DISTINCT frame: DuckDB evaluates QUALIFY
+        -- windows before DISTINCT, so the subquery is required for
+        -- the cap to count distinct baskets like the Spark side
+        SELECT * FROM (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        )
         QUALIFY COUNT(*) OVER (PARTITION BY l_partkey)
                 <= {ASSOC_POSTING_CAP}
     ),

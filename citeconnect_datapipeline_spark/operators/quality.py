@@ -412,12 +412,23 @@ BENFORD_EXPECTED = {
 @query(
     "benford_digit_audit",
     oracle=f"""
-    WITH cells AS (
-        SELECT substr(CAST(CAST(FLOOR(l_extendedprice) AS BIGINT)
-                       AS VARCHAR), 1, 1) AS digit,
-               COUNT(*) AS n
+    WITH scaled AS (
+        SELECT CASE WHEN l_extendedprice >= 1 THEN l_extendedprice
+               {" ".join(
+                   f"WHEN l_extendedprice >= 1e-{k}"
+                   f" THEN l_extendedprice * 1e{k}"
+                   for k in range(1, 19)
+               )}
+               END AS m
         FROM lineitem
         WHERE l_extendedprice > 0
+    ),
+    cells AS (
+        SELECT substr(CAST(CAST(FLOOR(m) AS BIGINT)
+                       AS VARCHAR), 1, 1) AS digit,
+               COUNT(*) AS n
+        FROM scaled
+        WHERE m IS NOT NULL
         GROUP BY 1
     ),
     tot AS (SELECT SUM(n) AS tot FROM cells),
@@ -442,9 +453,11 @@ def benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     observed first-significant-digit fractions of l_extendedprice
     against log10(1 + 1/d), with the per-digit chi-square
     contribution so the failing digits are visible, not just a
-    summary stat. The first digit comes from the integer part's
-    string head (exact) rather than log10 arithmetic (whose float
-    slack misclassifies exact powers of 10).
+    summary stat. The first SIGNIFICANT digit is exact down to
+    1e-18: sub-1 values are scaled up by a power-of-10 CASE ladder
+    (exact IEEE compares/multiplies) before the integer part's
+    string head — never log10 arithmetic (whose float slack
+    misclassifies exact powers of 10).
 
     Scale shape: one map-side-combinable 9-cell aggregate over the
     fact scan; the total and the expected-law table ride 1-row/9-row
@@ -457,17 +470,28 @@ def benford_digit_cells(df: DataFrame, value_col: str) -> DataFrame:
     """Library core of `benford_digit_audit` (api.quality.
     benford_digit_cells): the Benford first-digit screen over any
     positive numeric column — per digit 1-9, observed fraction vs
-    log10(1 + 1/d) and the chi-square contribution. First digit from
-    the integer part's string head (exact; log10 float slack
-    misclassifies exact powers of 10). Rows with value <= 0 are
-    excluded (no first significant digit)."""
+    log10(1 + 1/d) and the chi-square contribution. The first
+    SIGNIFICANT digit is exact for any value in [1e-18, inf):
+    values in (0, 1) are scaled into [1, 10^18) by a CASE ladder of
+    exact power-of-10 thresholds (IEEE multiply/compare, identical
+    in every engine — no log10, whose float slack misclassifies
+    exact powers of 10), then the digit is the integer part's
+    string head. Rows with value <= 0 (no first significant digit)
+    or below 1e-18 (outside the ladder's documented domain) are
+    excluded."""
+    v = F.col(value_col)
+    scaled = F.when(v >= 1, v)
+    for k in range(1, 19):
+        scaled = scaled.when(
+            v >= float(f"1e-{k}"), v * float(f"1e{k}")
+        )
     digit = F.substring(
-        F.floor(F.col(value_col)).cast("bigint").cast("string"),
-        1,
-        1,
+        F.floor(F.col("_m")).cast("bigint").cast("string"), 1, 1
     )
     cells = (
-        df.filter(F.col(value_col) > 0)
+        df.filter(v > 0)
+        .select(scaled.alias("_m"))
+        .filter(F.col("_m").isNotNull())
         .select(digit.alias("digit"))
         .groupBy("digit")
         .agg(F.count("*").alias("n"))

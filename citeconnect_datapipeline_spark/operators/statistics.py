@@ -1790,7 +1790,7 @@ HILL_KS = (25, 50, 100)  # tail order statistics per estimate
                          WHERE r = k.k + 1), 6)) END) / k.k), 6)
                AS hill_alpha
     FROM (VALUES {", ".join(f"({k})" for k in HILL_KS)}) AS k(k)
-    JOIN topv t ON t.r <= k.k + 1
+    LEFT JOIN topv t ON t.r <= k.k + 1
     GROUP BY k.k
     ORDER BY k.k
     """,
@@ -1860,12 +1860,21 @@ def hill_tail_profile(
     thr_map = topv.select(
         F.col("r").alias("thr_r"), F.round("x", 6).alias("x_thr")
     )
+    # LEFT joins so a k rung whose (k+1)-th order statistic does not
+    # exist (input smaller than the ladder) still emits its row with
+    # NULL x_threshold / hill_alpha — truncation must be visible to
+    # library callers, never a silently vanished rung.
     return (
         grid.join(
             F.broadcast(thr_map),
             F.col("thr_r") == F.col("tail_k") + 1,
+            "left",
         )
-        .join(F.broadcast(topv), F.col("r") <= F.col("tail_k") + 1)
+        .join(
+            F.broadcast(topv),
+            F.col("r") <= F.col("tail_k") + 1,
+            "left",
+        )
         .groupBy("tail_k")
         .agg(
             thresh.alias("x_threshold"),
