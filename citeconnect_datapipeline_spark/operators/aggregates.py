@@ -635,7 +635,7 @@ def grouping_sets_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
     joined = orders.join(
-        F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+        customer.select("c_custkey", "c_mktsegment"),
         orders.o_custkey == F.col("c_custkey"),
     )
     joined.createOrReplaceTempView("gs_orders")

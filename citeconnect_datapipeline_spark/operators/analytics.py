@@ -18,8 +18,13 @@ substituted with available ones carrying the same shape; each
 docstring notes its substitution.
 
 Scale notes (local[32] tested, 1000-executor design):
-- Dimension tables (region/nation/supplier-sized) are explicitly
-  ``F.broadcast`` -- zero shuffle added regardless of fact size.
+- FIXED-cardinality dimensions (region: 5 rows, nation: 25) are
+  explicitly ``F.broadcast`` -- zero shuffle at any fact size.
+  Dimensions that SCALE with the lake (customer/supplier/part)
+  carry NO forced hint: size-aware planning (AQE) broadcasts them
+  while they fit and falls back to a shuffle join when they don't
+  -- a forced hint would OOM the executors at 100 TB (guarded by
+  tests/test_plan_hygiene.py::test_no_unbounded_forced_broadcast).
 - Fact-fact joins (orders >< lineitem) shuffle on the join key once;
   at the lake layer the bucketed layout in ``plans/layout.py`` makes
   even that exchange-free when both sides are bucketed on orderkey.
@@ -59,8 +64,10 @@ from ..sources.tables import load_table
 def shipping_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: 3-way fact join with selective dimension-side
     filter, grouped revenue, top-10. The segment filter prunes
-    customer at the scan; customer (post-filter, key-only) broadcasts
-    onto orders; orders >< lineitem is the single big shuffle and is
+    customer at the scan; customer (post-filter, key-only) joins
+    orders with AQE free to broadcast it while it fits (no forced
+    hint: customer scales with the lake); orders >< lineitem is the
+    single big shuffle and is
     exchange-free under the bucketed layout. TakeOrdered handles the
     limit without a global sort. Revenue is rounded before ORDER BY so
     the top-10 cut is identical across engines (float-sum order
@@ -74,7 +81,7 @@ def shipping_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cutoff = F.lit("1998-03-15").cast("timestamp")
     return (
         orders.filter(F.col("o_orderdate") < cutoff)
-        .join(F.broadcast(building), orders.o_custkey == building.c_custkey)
+        .join(building, orders.o_custkey == building.c_custkey)
         .join(
             li.filter(F.col("l_shipdate") > cutoff),
             F.col("o_orderkey") == li.l_orderkey,
@@ -143,12 +150,12 @@ def regional_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
         )
         .join(
-            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            customer.select("c_custkey", "c_nationkey"),
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .join(li, F.col("o_orderkey") == li.l_orderkey)
         .join(
-            F.broadcast(asia_supp),
+            asia_supp,
             (li.l_suppkey == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
@@ -199,7 +206,7 @@ def market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         orders.join(li, orders.o_orderkey == li.l_orderkey)
-        .join(F.broadcast(supp_region), li.l_suppkey == F.col("s_suppkey"))
+        .join(supp_region, li.l_suppkey == F.col("s_suppkey"))
         .groupBy(
             F.year("o_orderdate").cast("int").alias("order_year")
         )
@@ -275,9 +282,9 @@ def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
             & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
         )
-        .join(F.broadcast(supp), li.l_suppkey == F.col("s_suppkey"))
+        .join(supp, li.l_suppkey == F.col("s_suppkey"))
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == F.col("c_custkey"))
+        .join(cust, orders.o_custkey == F.col("c_custkey"))
         .filter(F.col("supp_nation") != F.col("cust_nation"))
         .groupBy(
             "supp_nation",
@@ -343,8 +350,8 @@ def product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_retailprice"
     ) * F.col("l_quantity")
     return (
-        li.join(F.broadcast(widget), li.l_partkey == F.col("p_partkey"))
-        .join(F.broadcast(supp_nation), li.l_suppkey == F.col("s_suppkey"))
+        li.join(widget, li.l_partkey == F.col("p_partkey"))
+        .join(supp_nation, li.l_suppkey == F.col("s_suppkey"))
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy(
             "nation", F.year("o_orderdate").cast("int").alias("o_year")
@@ -398,7 +405,7 @@ def returned_item_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             li.filter(F.col("l_returnflag") == "R"),
             F.col("o_orderkey") == li.l_orderkey,
         )
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "nation")
         .agg(
             F.round(
@@ -495,7 +502,7 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
         )
         .join(
-            F.broadcast(part.select("p_partkey", "p_type")),
+            part.select("p_partkey", "p_type"),
             F.col("l_partkey") == F.col("p_partkey"),
         )
         .agg(
@@ -542,7 +549,7 @@ def disjunctive_discount_revenue(
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     joined = li.join(
-        F.broadcast(part.select("p_partkey", "p_brand", "p_size")),
+        part.select("p_partkey", "p_brand", "p_size"),
         li.l_partkey == F.col("p_partkey"),
     )
     bundle = (

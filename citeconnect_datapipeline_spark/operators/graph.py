@@ -443,8 +443,11 @@ def copurchase_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = li.agg(
         F.countDistinct("l_orderkey").cast("double").alias("n_total")
     )
-    ca = F.broadcast(part_counts).alias("ca")
-    cb = F.broadcast(part_counts).alias("cb")
+    # item-keyed equi-joins, NO forced hint: part_counts is
+    # part-domain grain (linear in the lake), so size-aware AQE
+    # must pick broadcast vs shuffle (r8 guard)
+    ca = part_counts.alias("ca")
+    cb = part_counts.alias("cb")
     return (
         pair_counts.join(ca, pair_counts.pa == F.col("ca.l_partkey"))
         .join(cb, pair_counts.pb == F.col("cb.l_partkey"))
@@ -1086,8 +1089,8 @@ def assoc_rules_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     conf = F.col("cxy") * 1.0 / F.col("cnt_a")
     return (
-        directed.join(F.broadcast(ia), "ante")
-        .join(F.broadcast(ic), "conseq")
+        directed.join(ia, "ante")
+        .join(ic, "conseq")
         .crossJoin(F.broadcast(n_b))
         .select(
             "ante",

@@ -158,7 +158,7 @@ def array_semi_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     refs = li.select("l_orderkey", "l_partkey").distinct()
     flagged = refs.join(
-        F.broadcast(kept), refs.l_partkey == kept.p_partkey, "left"
+        kept, refs.l_partkey == kept.p_partkey, "left"
     )
     return (
         flagged.groupBy("l_orderkey")

@@ -704,11 +704,13 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan shape: one explode of the token arrays feeds BOTH the
     per-doc tf aggregate and (via per-row distinct terms) the df
-    aggregate; df is term-keyed and tiny relative to the corpus, so
-    it broadcasts back onto tf; the top-k is a per-doc window. At
-    100 TB df is the only global state and it is O(vocabulary) —
-    the classic two-aggregate scheme that needs no driver-side
-    vocabulary."""
+    aggregate; df joins back onto tf on the term key with NO forced
+    hint — at 100 TB the vocabulary is 10^7-10^8 terms, so AQE
+    broadcasts df while it fits and shuffle-joins when it does not
+    (r8: a forced broadcast here was the vocab_sizing_curve OOM
+    class); the top-k is a per-doc window. At 100 TB df is the only
+    global state and it is O(vocabulary) — the classic
+    two-aggregate scheme that needs no driver-side vocabulary."""
     docs = load_table(spark, sf_dir, "documents")
     w = F.filter(_words(), lambda x: x != "")
     tokens = docs.select(
@@ -728,7 +730,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the scoring stage could even be submitted.
     total = docs.agg(F.count("*").cast("double").alias("n_total"))
     scored = (
-        tf.join(F.broadcast(df_counts), "term")
+        tf.join(df_counts, "term")
         .crossJoin(F.broadcast(total))
         .select(
             "doc_id",

@@ -716,7 +716,10 @@ def boilerplate_phrase_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("x"),
     ).select("doc_id", "n_words", F.col("x.i").alias("i"), F.col("x.g").alias("g"))
     grams = grams.filter(F.col("g") != "")
-    boiler = F.broadcast(
+    # phrases above an ABSOLUTE min-df grow with the corpus, so
+    # no forced hint: AQE broadcasts the boilerplate set while it
+    # fits, shuffle-joins on g when it does not (r8 guard)
+    boiler = (
         grams.groupBy("g")
         .agg(F.countDistinct("doc_id").alias("df"))
         .filter(F.col("df") >= BOILER_MIN_DF)

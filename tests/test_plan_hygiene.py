@@ -340,3 +340,156 @@ def test_neardup_components_pair_stage_has_no_forced_broadcast(spark):
         .toString()
     )
     assert "ResolvedHint" not in analyzed
+
+
+# ---------------------------------------------------------------
+# Unbounded-broadcast guard (round-8 verdict #3). Round 7's one
+# engineering finding — vocab_sizing_curve broadcasting its FULL
+# vocab-grain ranked table when only the top-64 ranks were consumed
+# — was invisible to every guard above: the broadcast was an
+# explicit hint (so the nested-loop allowlist said nothing about
+# its SIZE) and the window sat on the build side. This guard makes
+# that class a commit-time failure: every ResolvedHint (forced
+# broadcast) in a registered query's ANALYZED plan must be provably
+# bounded — every path from the hint to a LogicalRelation leaf must
+# pass through a scalar aggregate (empty grouping = 1 row), a
+# limit, or terminate in a literal relation (LocalRelation / Range
+# / OneRowRelation). Grouped aggregates are NOT automatically
+# bounded (groupBy doc_id is corpus-grain), so queries whose
+# broadcast is a grouped aggregate at a genuinely bounded grain
+# carry an allowlist entry naming the domain that bounds it.
+# ---------------------------------------------------------------
+
+# Broadcast subtrees whose boundedness comes from a grouped
+# aggregate at a bounded DOMAIN (inspected; the domain is named).
+BROADCAST_GRAIN_OK = {
+    "ab_srm_audit",  # method x arm aggregate: 2 methods x 2 arms
+    "ann_ivf_portable",  # 1-row query-vector filter (unique vec_id)
+    "ann_lsh_topk",  # query-side LSH bucket rows derived from the
+    # 1-row probe filter
+    "benchmark_contamination",  # benchmark-suite n-grams: bounded
+    # by the eval-set contract, never the corpus
+    "bloom_prefilter_dedup",  # <= BLOOM_BITS distinct bucket ids
+    # per seed (pmod into a fixed bit space)
+    "bm25_search",  # DF rows restricted to the probe's query terms
+    # (isin filter: bounded by query length)
+    "categorical_mutual_information",  # joint/marginal grids at
+    # |lang| x |source| and |status| x |priority| — category domains
+    "chi2_term_selection",  # source-domain class counts
+    "class_balance_sample",  # lang x fixed-salt quota grid
+    "cms_heavy_hitters",  # CMS depth x width cell grid (constants)
+    "domain_mixture_sample",  # source-grain quota table (the source
+    # catalog is a curated registry, never corpus-grain)
+    "equidepth_histogram",  # o_orderpriority-grain cutoffs (5 fixed
+    # priority labels at every TPC-H SF)
+    "conformal_coverage_audit",  # qty-domain aggregate (TPC-H
+    # l_quantity: 50 discrete values at any SF)
+    "cosine_topk",  # 1-row query-vector filter (unique vec_id)
+    "decontaminate_corpus",  # benchmark-suite n-grams (eval-set
+    # bounded, same contract as benchmark_contamination)
+    "embed_search_portable",  # 1-row query-doc filter
+    "embedding_sq_int8",  # dim-grain (d=64) min/max table
+    "hard_negative_mining",  # bounded anchor training batch
+    "hybrid_rrf_search",  # query-term DF + 1-row query vector
+    "interleave_shards",  # source-grain count table (source catalog)
+    "kfold_assignment_audit",  # method-grain leakage audit (2 rows:
+    # grouped vs record)
+    "label_centroid_geometry",  # label x dim centroid grid
+    "label_outlier_flags",  # label x dim centroid grid
+    "mrl_truncation_eval",  # 1-row query vector + its top-k
+    # rank-filtered candidate page
+    "range_join_binned",  # window table literal-bounded to 20 keys
+    # (user_id < 20); unbounded callers use the bin-join form
+    "retrieval_ndcg_eval",  # bounded eval-query batch
+    "seasonal_decompose_daily",  # 7-row day-of-week seasonal means
+    "source_divergence_panel",  # source x 256-md5-bucket grid
+    # (DSIR_N_BUCKETS is a constant; sources are a curated registry)
+    "source_kl_divergence",  # 256-bucket corpus distribution +
+    # source-grain totals (same grids as the divergence panel)
+    "source_upsampling_plan",  # source-grain repeat-factor plan
+    "theta_audience_overlap",  # event-type-grain sketch rows
+    "theta_overlap_portable",  # KMV sketches: rank-filter keeps
+    # <= 64 rows per event type at any corpus size
+}
+
+_BOUNDING_CLASSES = (
+    "logical.GlobalLimit",
+    "logical.LocalLimit",
+    "logical.LocalRelation",
+    "logical.OneRowRelation",
+    "logical.Range",
+)
+
+# FIXED-cardinality dimension tables: region has 5 rows and nation
+# 25 at EVERY TPC-H scale factor (the spec pins them), so a scan of
+# either is a bounded broadcast side by construction — unlike
+# customer/supplier/part, which scale linearly with the lake and
+# must never carry a forced hint.
+_FIXED_DIM_COLS = {
+    "n_nationkey", "n_name", "n_regionkey", "n_comment",
+    "r_regionkey", "r_name", "r_comment",
+}
+
+
+def _build_tree(nodes):
+    it = iter(nodes)
+
+    def build():
+        n = next(it)
+        kids = [build() for _ in range(n.get("num-children", 0))]
+        return n, kids
+
+    root = build()
+    return root
+
+
+def _iter_nodes(tree):
+    node, kids = tree
+    yield tree
+    for k in kids:
+        yield from _iter_nodes(k)
+
+
+def _subtree_bounded(tree) -> bool:
+    node, kids = tree
+    cls = node.get("class", "")
+    if any(cls.endswith(b) for b in _BOUNDING_CLASSES):
+        return True
+    if cls.endswith("logical.Aggregate") and not node.get(
+        "groupingExpressions"
+    ):
+        return True  # scalar aggregate: exactly one row
+    if cls.endswith(".LogicalRelation"):
+        cols = {a[0]["name"] for a in (node.get("output") or [])}
+        # a nation/region scan is fixed-cardinality at any SF
+        return bool(cols) and cols <= _FIXED_DIM_COLS
+    if not kids:
+        return True  # literal leaf (e.g. an inline relation)
+    return all(_subtree_bounded(k) for k in kids)
+
+
+@pytest.mark.parametrize("name", sorted(set(queries()) - BUILD_EXECUTES))
+def test_no_unbounded_forced_broadcast(spark, name):
+    import json as _json
+
+    df = queries()[name](spark, SF_DIR)
+    nodes = _json.loads(df._jdf.queryExecution().analyzed().toJSON())
+    tree = _build_tree(nodes)
+    hints = [
+        t
+        for t in _iter_nodes(tree)
+        if t[0].get("class", "").endswith("logical.ResolvedHint")
+    ]
+    if name in BROADCAST_GRAIN_OK:
+        return  # inspected: grouped-aggregate grain named above
+    for hint in hints:
+        assert _subtree_bounded(hint), (
+            f"{name} force-broadcasts a subtree with an unbounded"
+            " path to a base relation — no limit, scalar aggregate,"
+            " or literal relation bounds it, so at scale the"
+            " broadcast ships corpus-grain data to every executor."
+            " Bound it (TakeOrdered head / percentile-threshold"
+            " scalar, see vocab_sizing_curve r8) or, if a grouped"
+            " aggregate at a bounded domain, add the query to"
+            " BROADCAST_GRAIN_OK naming the domain."
+        )
