@@ -468,9 +468,12 @@ def logreg_adagrad_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     relation, never left lazy (the pca_power_portable lesson: an
     unpinned round-t model makes every downstream reference re-derive
     all prior rounds). Each round is one scan of the long feature
-    table + a 257-key map-side-combinable aggregate; the returned
-    plan computes the two loss scalars distributed (4 bounded scans)
-    and emits the top-20 weights by |w2|.
+    table + a 257-key map-side-combinable aggregate; the round-2
+    loss rides the bias bucket of the gradient aggregate (each doc
+    has exactly one bias row) so it falls out of the same O(model)
+    collect, and the returned plan computes only the FINAL loss
+    distributed (2 bounded scans) before emitting the top-20
+    weights by |w2|.
 
     Reference anchor: the learned upgrade of the reference's rule
     quality score (databias/bias_detection_engine.py:1-120); GPT-3
@@ -568,13 +571,23 @@ def logreg_adagrad_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     ll = F.col("wt") * -(
         F.col("y") * F.log("p") + (1.0 - F.col("y")) * F.log(1.0 - F.col("p"))
     )
-    loss2 = p2.agg(F.round(F.sum(ll) / F.lit(denom), 6).alias("loss_r2"))
+    # The round-2 loss RIDES the gradient aggregate (the logreg_fit
+    # bias-bucket trick): every doc contributes exactly one bias
+    # feature row (x = 1), so summing ll over the LRP_BIAS group
+    # counts each doc once — the p2 subtree executes ONCE, inside
+    # the O(model) pin, instead of re-running lazily in the
+    # returned plan (r8: two feats scans and ~6 jobs saved).
     g2p = (
         feats.join(p2, "doc_id")
         .groupBy("b")
-        .agg(F.sum(F.col("wt") * (F.col("p") - F.col("y")) * F.col("x")).alias("s"))
+        .agg(
+            F.sum(F.col("wt") * (F.col("p") - F.col("y")) * F.col("x")).alias("s"),
+            F.round(
+                F.sum(F.when(F.col("b") == LRP_BIAS, ll)) / F.lit(denom), 6
+            ).alias("lr2"),
+        )
     )
-    model2 = _pin(
+    model2_rows = (
         F.broadcast(w1)
         .join(g2p, "b")
         .select(
@@ -588,6 +601,7 @@ def logreg_adagrad_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
                 6,
             ).alias("g2"),
+            "lr2",
         )
         .select(
             "b",
@@ -604,7 +618,15 @@ def logreg_adagrad_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
                 6,
             ).alias("w2"),
-        ),
+            "lr2",
+        )
+        .collect()
+    )
+    loss_r2 = next(
+        float(r["lr2"]) for r in model2_rows if r["b"] == LRP_BIAS
+    )
+    model2 = spark.createDataFrame(
+        [(r["b"], r["g1"], r["w1"], r["g2"], r["w2"]) for r in model2_rows],
         "b string, g1 double, w1 double, g2 double, w2 double",
     )
     m3 = (
@@ -619,8 +641,14 @@ def logreg_adagrad_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     loss3 = p3.agg(F.round(F.sum(ll) / F.lit(denom), 6).alias("loss_final"))
     return (
-        model2.select(F.col("b").alias("bucket"), "g1", "w1", "g2", "w2")
-        .crossJoin(F.broadcast(loss2))
+        model2.select(
+            F.col("b").alias("bucket"),
+            "g1",
+            "w1",
+            "g2",
+            "w2",
+            F.lit(loss_r2).alias("loss_r2"),
+        )
         .crossJoin(F.broadcast(loss3))
         .orderBy(F.abs(F.col("w2")).desc(), "bucket")
         .limit(20)
