@@ -162,6 +162,18 @@ _DRIVER_VERIFIED = frozenset(
         "tokenizer_fertility_by_lang", "top_session_paths",
         "trending_parts_decayed", "weighted_sample_es",
         "zorder_layout_stats",
+        # r7 rows (CORRECTNESS_r07.json: 48 hash-MATCH + the 2
+        # contractual rows-only entries, both nonzero rows; names
+        # already present above were re-verifications)
+        "ab_srm_audit", "assoc_rules_topk", "benford_digit_audit",
+        "chi2_term_selection", "column_null_profile",
+        "conformal_coverage_audit", "context_fit_curve",
+        "dedup_source_flow", "degree_distribution_fit",
+        "embedding_isotropy_audit", "hill_tail_index",
+        "pack_sequences_bestfit", "page_hinkley_drift",
+        "rank_biased_overlap", "revenue_lorenz_deciles",
+        "survival_km_curve", "token_gini_by_source",
+        "vocab_sizing_curve", "welch_ttest_slices",
     }
 )
 
@@ -174,21 +186,27 @@ _DRIVER_VERIFIED = frozenset(
 # even never-verified new queries (r6 verdict #3 — a 3-round-old
 # rewrite of green code is a bigger evidence hole than a new query's
 # first row).
-_REVERIFY_AGED = (
-    "quantiles_by_group",    # array-form percentile rewrite (r4);
-    # squeezed out of the r4/r5/r6 windows — 3 rounds waiting
-)
+_REVERIFY_AGED = ()  # r7 cleared the queue (quantiles_by_group landed)
 
 _REVERIFY_FIRST = (
-    # r7 rewrites:
-    "asof_forward_attribution",  # single-struct first-match carry
-    # (all payload cols now from the SAME first right row; r6 ADVICE)
-    "session_overlap_pairs",  # floor day-binning (pre-1970 safe) +
-    # parameterized interval columns (r6 ADVICE)
-    "dp_noisy_counts",       # required-salt release hash
-    # ('dp:<salt>:<cell>' on both engines; r6 ADVICE)
-    "semantic_dedup_portable",  # oracle text trimmed (r6 verdict #2)
-    "kcore_peel_stats",         # oracle text trimmed (r6 verdict #2)
+    # r8 rewrites (each already re-audited locally at sf0.01 AND
+    # sf0.1 this round; the driver row makes it externally visible):
+    "vocab_sizing_curve",     # TakeOrdered(kmax) head before the
+    # rank window + bounded broadcast (r7 verdict #1)
+    "trending_parts_decayed",  # TakeOrdered(TREND_TOPK) head
+    # replaces the part-grain global rank (r7 verdict #2)
+    "rank_biased_overlap",    # both rank lists now TakeOrdered
+    # heads (r7 verdict #2)
+    "revenue_lorenz_deciles",  # percentile-boundary broadcast
+    # replaces the part-grain NTILE (r7 verdict #2)
+    "benford_digit_audit",    # true first-significant-digit for
+    # values in (0,1) (r7 ADVICE #2)
+    "hill_tail_index",        # truncated ladder rungs now surface
+    # as NULL hill_alpha rows (r7 ADVICE #3)
+    "assoc_rules_topk",       # oracle posting cap moved to the
+    # distinct-basket frame (r7 ADVICE #1)
+    "logreg_adagrad_portable",  # round-2 loss rides the gradient
+    # aggregate's bias bucket (r7 verdict #4)
 )
 
 
