@@ -277,13 +277,6 @@ def stateful_user_stats_tws(events: DataFrame) -> DataFrame:
     exists)."""
     import pandas as pd
 
-    try:  # gate: TWS's Python state client speaks protobuf
-        from google.protobuf import descriptor  # noqa: F401
-    except ImportError as exc:
-        raise ImportError(
-            "transformWithStateInPandas requires the protobuf package"
-        ) from exc
-
     # Require — do not silently SET — the RocksDB provider: mutating
     # the caller's shared session conf would flip the state-store
     # implementation under every OTHER streaming query on the same
@@ -291,6 +284,9 @@ def stateful_user_stats_tws(events: DataFrame) -> DataFrame:
     # store format). The caller opts in on a session it owns:
     #   spark.conf.set("spark.sql.streaming.stateStore.providerClass",
     #                  _ROCKSDB_PROVIDER)   # or a newSession() clone
+    # Checked BEFORE the protobuf import so each precondition is
+    # independently testable (the provider gate must be exercisable
+    # in containers that lack protobuf).
     rocksdb = (
         "org.apache.spark.sql.execution.streaming.state."
         "RocksDBStateStoreProvider"
@@ -304,6 +300,13 @@ def stateful_user_stats_tws(events: DataFrame) -> DataFrame:
             "store; set spark.sql.streaming.stateStore.providerClass "
             f"to {rocksdb} on the session that owns this stream"
         )
+
+    try:  # gate: TWS's Python state client speaks protobuf
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as exc:
+        raise ImportError(
+            "transformWithStateInPandas requires the protobuf package"
+        ) from exc
 
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
