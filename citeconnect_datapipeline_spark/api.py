@@ -54,7 +54,11 @@ from .operators.quality import (
     k_anonymity_cells,
     l_diversity_cells,
 )
-from .operators.statistics import categorical_mi, hill_tail_profile
+from .operators.statistics import (
+    categorical_mi,
+    hill_tail_profile,
+    mannwhitney_u,
+)
 from .operators.training import (
     decontaminate,
     es_weighted_sample,
@@ -67,6 +71,7 @@ from .operators.skew import (
     salted_sum_by_key,
 )
 from .operators.timeseries import (
+    cusum_series,
     lateness_profile,
     page_hinkley_series,
     sessionize,
@@ -131,6 +136,7 @@ timeseries = SimpleNamespace(
     sessionize=sessionize,
     lateness_profile=lateness_profile,
     page_hinkley=page_hinkley_series,
+    cusum=cusum_series,
     asof_join=asof_join,
     asof_join_forward=asof_join_forward,
     interval_overlap=interval_overlap_join,
@@ -138,6 +144,7 @@ timeseries = SimpleNamespace(
 stats = SimpleNamespace(
     categorical_mi=categorical_mi,
     hill_tail_profile=hill_tail_profile,
+    mannwhitney_u=mannwhitney_u,
 )
 skew = SimpleNamespace(
     zorder_value=zorder_value,

@@ -2210,3 +2210,182 @@ def revenue_lorenz_deciles(
         )
         .orderBy("decile")
     )
+
+
+MWU_Z_95 = 1.959964  # two-sided 95% normal quantile (Welch's constant)
+
+
+@query(
+    "mannwhitney_u_test",
+    oracle=f"""
+    WITH base AS (
+        SELECT 'quantity' AS metric, l_quantity AS v,
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 2 END AS g
+        FROM lineitem WHERE l_returnflag IN ('R', 'N')
+        UNION ALL
+        SELECT 'discount', ROUND(l_discount, 2),
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 2 END
+        FROM lineitem WHERE l_returnflag IN ('R', 'N')
+        UNION ALL
+        SELECT 'doc_chars_q25', CAST(n_chars // 25 AS DOUBLE),
+               CASE WHEN lang = 'zh' THEN 1 ELSE 2 END
+        FROM documents WHERE lang IN ('zh', 'en')
+    ),
+    cells AS (
+        SELECT metric, v,
+               CAST(COUNT(*) FILTER (WHERE g = 1) AS DOUBLE) AS c1,
+               CAST(COUNT(*) FILTER (WHERE g = 2) AS DOUBLE) AS c2
+        FROM base GROUP BY metric, v
+    ),
+    walk AS (
+        SELECT metric, v, c1, c2,
+               COALESCE(SUM(c2) OVER (
+                   PARTITION BY metric ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS lt2
+        FROM cells
+    ),
+    agg AS (
+        SELECT metric,
+               SUM(c1) AS n1, SUM(c2) AS n2,
+               SUM(c1 * (lt2 + 0.5 * c2)) AS u1,
+               SUM((c1 + c2) * (c1 + c2) * (c1 + c2) - (c1 + c2))
+                   AS tie3
+        FROM walk GROUP BY metric
+    )
+    SELECT metric,
+           CAST(n1 AS BIGINT) AS n1,
+           CAST(n2 AS BIGINT) AS n2,
+           ROUND(u1, 1) AS u_stat,
+           ROUND((u1 - n1 * n2 / 2)
+                 / SQRT(n1 * n2 / 12.0
+                        * ((n1 + n2 + 1)
+                           - tie3 / ((n1 + n2) * (n1 + n2 - 1)))),
+                 6) AS mw_z,
+           CASE WHEN ABS(ROUND((u1 - n1 * n2 / 2)
+                 / SQRT(n1 * n2 / 12.0
+                        * ((n1 + n2 + 1)
+                           - tie3 / ((n1 + n2) * (n1 + n2 - 1)))),
+                 6)) > {MWU_Z_95} THEN 1 ELSE 0 END AS significant
+    FROM agg ORDER BY metric
+    """,
+)
+def mannwhitney_u_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) two-sample test — the
+    NON-parametric sibling of `welch_ttest_slices`: does the returned
+    cohort's distribution stochastically dominate the delivered one?
+    Rank tests are what a curator reaches for when the metric is
+    skewed or ordinal (quality scores, latencies, token counts) and
+    a mean test would chase outliers; the normal approximation with
+    the tie correction is exact enough at lake n that z replaces the
+    exact U tables (same stance as Welch's 1.96).
+
+    Scale shape — NO global rank window: on a discrete metric the
+    rank-sum reduces to VALUE-GRAIN arithmetic, U = Σ_v c1(v) ·
+    (lt2(v) + c2(v)/2), so the corpus is touched by ONE map-side-
+    combinable (metric, value) aggregate; the ordered walk and the
+    tie correction operate on the bounded value table (50 quantity
+    values, 11 discounts at any SF — both pinned by the TPC-H
+    generator). A global row-number over 600M lineitems would plan a
+    single-partition sort; this form never ranks a row. Continuous
+    metrics plug in by quantizing first (`equidepth_histogram`'s
+    boundary move), which changes the test to its binned form — the
+    documented trade.
+
+    Reference anchor: upgrades the reference's fixed-threshold bias
+    checks (databias/bias_detection_engine.py) with a distribution-
+    free significance screen it has no equivalent of."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isin("R", "N")
+    )
+    rf_g = F.when(F.col("l_returnflag") == "R", 1).otherwise(2)
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("lang").isin("zh", "en")
+    )
+    base = (
+        li.select(
+            F.lit("quantity").alias("metric"),
+            F.col("l_quantity").cast("double").alias("v"),
+            rf_g.alias("g"),
+        )
+        .unionAll(
+            li.select(
+                F.lit("discount").alias("metric"),
+                F.round("l_discount", 2).cast("double").alias("v"),
+                rf_g.alias("g"),
+            )
+        )
+        .unionAll(
+            docs.select(
+                F.lit("doc_chars_q25").alias("metric"),
+                (F.col("n_chars") / 25)
+                .cast("long")
+                .cast("double")
+                .alias("v"),
+                F.when(F.col("lang") == "zh", 1).otherwise(2).alias("g"),
+            )
+        )
+    )
+    return mannwhitney_u(base)
+
+
+def mannwhitney_u(
+    samples: DataFrame,
+    metric_col: str = "metric",
+    value_col: str = "v",
+    group_col: str = "g",
+) -> DataFrame:
+    """Library core of `mannwhitney_u_test` (api.stats.mannwhitney_u):
+    the tie-corrected normal-approximation U test over any
+    (``metric_col``, ``value_col``, ``group_col``) sample table with
+    group labels 1 and 2. Reduces the rank-sum to value-grain
+    arithmetic — one (metric, value) aggregate over the input, an
+    ordered walk over the bounded value table, no global rank — so
+    quantize continuous metrics upstream."""
+    cells = samples.groupBy(metric_col, value_col).agg(
+        F.count(F.when(F.col(group_col) == 1, 1))
+        .cast("double")
+        .alias("c1"),
+        F.count(F.when(F.col(group_col) == 2, 1))
+        .cast("double")
+        .alias("c2"),
+    )
+    w_lt = (
+        Window.partitionBy(metric_col)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    walk = cells.select(
+        metric_col,
+        "c1",
+        "c2",
+        F.coalesce(F.sum("c2").over(w_lt), F.lit(0.0)).alias("lt2"),
+    )
+    t = F.col("c1") + F.col("c2")
+    agg = walk.groupBy(metric_col).agg(
+        F.sum("c1").alias("n1"),
+        F.sum("c2").alias("n2"),
+        F.sum(F.col("c1") * (F.col("lt2") + 0.5 * F.col("c2"))).alias(
+            "u1"
+        ),
+        F.sum(t * t * t - t).alias("tie3"),
+    )
+    n = F.col("n1") + F.col("n2")
+    z = F.round(
+        (F.col("u1") - F.col("n1") * F.col("n2") / 2)
+        / F.sqrt(
+            F.col("n1")
+            * F.col("n2")
+            / 12.0
+            * ((n + 1) - F.col("tie3") / (n * (n - 1)))
+        ),
+        6,
+    )
+    return agg.select(
+        metric_col,
+        F.col("n1").cast("bigint").alias("n1"),
+        F.col("n2").cast("bigint").alias("n2"),
+        F.round("u1", 1).alias("u_stat"),
+        z.alias("mw_z"),
+        F.when(F.abs(z) > MWU_Z_95, 1).otherwise(0).alias("significant"),
+    ).orderBy(metric_col)

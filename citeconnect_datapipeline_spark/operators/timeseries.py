@@ -1617,3 +1617,171 @@ def survival_km_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("t_day")
     )
+
+
+CUSUM_K = 0.5  # slack, in sigma units (tuned for a 1-sigma shift)
+CUSUM_H = 4.0  # alarm threshold, in sigma units (ARL ~ 168 at k=0.5)
+CUSUM_BASELINE = 52  # phase-I window: mu/sigma from the first year
+
+
+@query(
+    "cusum_drift_chart",
+    oracle=f"""
+    WITH weekly AS (
+        SELECT CAST(date_diff('day', DATE '1970-01-01',
+                              CAST(o_orderdate AS DATE)) // 7
+               AS BIGINT) AS wk,
+               ROUND(SUM(o_totalprice), 6) AS x
+        FROM orders GROUP BY 1
+    ),
+    scal AS (
+        SELECT ROUND(AVG(x), 6) AS mu,
+               ROUND(STDDEV_POP(x), 6) AS sd
+        FROM weekly
+        WHERE wk < (SELECT MIN(wk) FROM weekly) + {CUSUM_BASELINE}
+    ),
+    z AS (
+        SELECT wk, x,
+               CASE WHEN sd = 0 THEN 0.0
+                    ELSE ROUND((x - mu) / sd, 6) END AS z
+        FROM weekly CROSS JOIN scal
+    ),
+    walk AS (
+        SELECT wk, x, z,
+               SUM(ROUND(z - {CUSUM_K}, 6)) OVER (
+                   ORDER BY wk ROWS UNBOUNDED PRECEDING) AS wp,
+               SUM(ROUND(-z - {CUSUM_K}, 6)) OVER (
+                   ORDER BY wk ROWS UNBOUNDED PRECEDING) AS wn
+        FROM z
+    ),
+    stat AS (
+        SELECT wk, x, z,
+               ROUND(wp - LEAST(0, MIN(wp) OVER (
+                   ORDER BY wk ROWS UNBOUNDED PRECEDING)), 6)
+                   AS cusum_pos,
+               ROUND(wn - LEAST(0, MIN(wn) OVER (
+                   ORDER BY wk ROWS UNBOUNDED PRECEDING)), 6)
+                   AS cusum_neg
+        FROM walk
+    )
+    SELECT wk, x AS weekly_revenue, z AS z_score,
+           cusum_pos, cusum_neg,
+           CASE WHEN cusum_pos > {CUSUM_H}
+                  OR cusum_neg > {CUSUM_H}
+                THEN 1 ELSE 0 END AS alarm
+    FROM stat ORDER BY wk
+    """,
+)
+def cusum_drift_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided tabular CUSUM control chart over the weekly revenue
+    series — the SPC change detector (Page 1954's other half) beside
+    `page_hinkley_drift`: where Page-Hinkley tracks deviation from
+    the RUNNING mean one-sidedly, CUSUM standardizes against a fixed
+    phase-I baseline (mu/sigma from the first 52 weeks) and
+    accumulates BOTH directions, so a
+    sustained shift of ~1 sigma crosses h=4 within a handful of
+    periods while in-control noise resets to 0. The recursive
+    max(0, s + z - k) fold is computed CLOSED-FORM as the running
+    cumsum minus its running minimum (floored at 0) — the same
+    prefix identity `page_hinkley_drift` pins — so no stateful UDF
+    is needed.
+
+    Scale shape: one map-side-combinable week-grain aggregate over
+    orders, a 1-row min-week scalar and a 1-row mu/sigma scalar
+    (both broadcast; the phase-I filter runs on the bounded week
+    table), then prefix windows
+    over the ~week-count-sized series (bounded by the calendar, not
+    the corpus; partition by metric id for a multi-metric panel).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    weekly = orders.groupBy(
+        (F.unix_date(F.to_date("o_orderdate")) / 7)
+        .cast("long")
+        .alias("wk")
+    ).agg(F.round(F.sum("o_totalprice"), 6).alias("x"))
+    return cusum_series(weekly).select(
+        "wk",
+        F.col("x").alias("weekly_revenue"),
+        F.col("z").alias("z_score"),
+        "cusum_pos",
+        "cusum_neg",
+        "alarm",
+    )
+
+
+def cusum_series(
+    series: DataFrame,
+    ord_col: str = "wk",
+    val_col: str = "x",
+    k: float = CUSUM_K,
+    h: float = CUSUM_H,
+    baseline: int = CUSUM_BASELINE,
+) -> DataFrame:
+    """Library core of `cusum_drift_chart` (api.timeseries.cusum):
+    the two-sided standardized tabular CUSUM over any ordered
+    (``ord_col``, ``val_col``) series, via the cumsum-minus-running-
+    min prefix identity. mu/sigma are PHASE-I estimates from the
+    first ``baseline`` periods — standardizing against the whole
+    retrospective series would let a large persistent shift
+    contaminate its own baseline (the pre-shift segment then sits a
+    constant z off center and the wrong chart ramps; caught by the
+    planted-shift test). Partition upstream by metric id for a
+    multi-metric panel."""
+    weekly = series.select(
+        F.col(ord_col).alias("wk"), F.col(val_col).alias("x")
+    )
+    mn = weekly.agg(F.min("wk").alias("mn"))
+    scal = (
+        weekly.crossJoin(F.broadcast(mn))
+        .filter(F.col("wk") < F.col("mn") + baseline)
+        .agg(
+            F.round(F.avg("x"), 6).alias("mu"),
+            F.round(F.stddev_pop("x"), 6).alias("sd"),
+        )
+    )
+    z = weekly.crossJoin(F.broadcast(scal)).select(
+        "wk",
+        "x",
+        # a zero-variance series carries no signal: z = 0 everywhere
+        # (instead of a divide-by-zero null poisoning the cumsums)
+        F.when(F.col("sd") == 0.0, F.lit(0.0))
+        .otherwise(F.round((F.col("x") - F.col("mu")) / F.col("sd"), 6))
+        .alias("z"),
+    )
+    wp = Window.orderBy("wk").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    walk = z.select(
+        "wk",
+        "x",
+        "z",
+        F.sum(F.round(F.col("z") - k, 6)).over(wp).alias("wpos"),
+        F.sum(F.round(-F.col("z") - k, 6)).over(wp).alias("wneg"),
+    )
+    stat = walk.select(
+        "wk",
+        "x",
+        "z",
+        F.round(
+            F.col("wpos")
+            - F.least(F.lit(0.0), F.min("wpos").over(wp)),
+            6,
+        ).alias("cusum_pos"),
+        F.round(
+            F.col("wneg")
+            - F.least(F.lit(0.0), F.min("wneg").over(wp)),
+            6,
+        ).alias("cusum_neg"),
+    )
+    return stat.select(
+        "wk",
+        "x",
+        "z",
+        "cusum_pos",
+        "cusum_neg",
+        F.when(
+            (F.col("cusum_pos") > h) | (F.col("cusum_neg") > h), 1
+        )
+        .otherwise(0)
+        .alias("alarm"),
+    ).orderBy("wk")

@@ -26,6 +26,8 @@ NESTED_LOOP_OK = {
     "ann_ivfpq_topk",
     "ann_lsh_topk",
     "bm25_search",  # corpus stats (N, avgdl): 1-row scalar broadcast
+    "cusum_drift_chart",  # 1-row min-week + 1-row mu/sigma scalar
+    # broadcasts onto the week-grain series
     "hybrid_rrf_search",  # inherits bm25's stats row + cosine's 1-row
     # query-vector broadcast
     "ab_lift_bootstrap",  # 1-row observed-means x 1-row CI broadcast
@@ -188,6 +190,8 @@ UNPARTITIONED_WINDOW_OK = {
     "page_hinkley_drift",  # running mean/cumsum/min prefixes over
     # the per-DAY series (365 rows/year; multi-metric deployments
     # partition by metric id)
+    "cusum_drift_chart",  # cumsum/running-min prefixes over the
+    # week-grain series (52 rows/year; page_hinkley's boundedness)
     "vocab_sizing_curve",  # rank over the 64-row TakeOrdered head
     # (bounded by the k ladder, the hill_tail_index shape)
     "hill_tail_index",  # rank over the 101-row TakeOrdered head

@@ -1,137 +1,114 @@
-"""Crafted behavioral tests for the round-8 fixes and operators.
+"""Crafted behavioral tests for the round-8 operators.
 
-Each test plants a distribution where the operator's defining
-property is FORCED and asserts the operator finds exactly it —
-complementing the oracle hash-match, which checks engine agreement
-but not intent.
+Each test either plants a distribution where the operator's defining
+property is FORCED or asserts the mathematical invariants the
+statistic must satisfy — complementing the oracle hash-match, which
+checks engine agreement but not intent.
 """
 
 from __future__ import annotations
 
-import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
 
 
-# ---------------------------------------------------------------
-# benford_digit_cells: first SIGNIFICANT digit for values in (0, 1)
-# (round-8 ADVICE: floor() of a sub-1 value is 0, which is not a
-# significant digit — the cells must bucket 0.025 under '2')
-# ---------------------------------------------------------------
+# ------------------------- Mann-Whitney U -------------------------
 
 
-def test_benford_first_significant_digit_sub_one(spark):
-    from citeconnect_datapipeline_spark.operators.quality import (
-        benford_digit_cells,
-    )
+def _mwu(spark, rows):
+    from citeconnect_datapipeline_spark.api import stats
 
-    rows = [
-        (0.025,),  # -> 2
-        (0.9,),  # -> 9
-        (0.1,),  # -> 1 (exact power of ten, the classic slack trap)
-        (0.001,),  # -> 1
-        (3.7,),  # -> 3
-        (1000.0,),  # -> 1
-        (0.0,),  # excluded: no significant digit
-        (-5.0,),  # excluded: negative
-        (1e-19,),  # excluded: below the documented 1e-18 domain
+    df = spark.createDataFrame(rows, "metric string, v double, g int")
+    return {r["metric"]: r for r in stats.mannwhitney_u(df).collect()}
+
+
+def test_mannwhitney_detects_planted_dominance(spark):
+    # group 1 strictly above group 2 -> U1 = n1*n2 (every pair won),
+    # z large positive, significant
+    rows = [("m", float(100 + i), 1) for i in range(40)] + [
+        ("m", float(i), 2) for i in range(40)
     ]
-    df = spark.createDataFrame(rows, "amount double")
-    got = {
-        r["digit"]: r["n"]
-        for r in benford_digit_cells(df, "amount").collect()
-    }
-    assert got == {"1": 3, "2": 1, "3": 1, "9": 1}
+    r = _mwu(spark, rows)["m"]
+    assert r["u_stat"] == 40.0 * 40.0
+    assert r["mw_z"] > 1.96 and r["significant"] == 1
 
 
-def test_benford_no_null_expected_rows(spark):
-    # every emitted digit must hit the expected-law map: no row may
-    # carry a NULL exp_frac/chi2_term (the pre-fix failure mode)
-    from citeconnect_datapipeline_spark.operators.quality import (
-        benford_digit_cells,
-    )
+def test_mannwhitney_null_on_identical_samples(spark):
+    # the SAME discrete distribution in both groups -> U = n1*n2/2
+    # exactly (all mass in ties), z = 0, not significant
+    rows = [
+        ("m", float(v), g) for v in range(10) for g in (1, 2) for _ in range(5)
+    ]
+    r = _mwu(spark, rows)["m"]
+    assert r["u_stat"] == (50.0 * 50.0) / 2
+    assert r["mw_z"] == 0.0 and r["significant"] == 0
+
+
+def test_mannwhitney_u1_plus_u2_identity(spark):
+    # swapping the group labels must give U2 = n1*n2 - U1 (the
+    # defining identity of the two-sample U pair)
+    import random
+
+    rnd = random.Random(8)
+    rows = [
+        ("m", float(rnd.randint(0, 20)), 1 + (i % 3 == 0))
+        for i in range(300)
+    ]
+    swapped = [(m, v, 3 - g) for (m, v, g) in rows]
+    a = _mwu(spark, rows)["m"]
+    b = _mwu(spark, swapped)["m"]
+    assert a["n1"] == b["n2"] and a["n2"] == b["n1"]
+    assert abs(a["u_stat"] + b["u_stat"] - a["n1"] * a["n2"]) < 1e-6
+    assert abs(a["mw_z"] + b["mw_z"]) < 2e-6  # antisymmetric
+
+
+# ----------------------------- CUSUM ------------------------------
+
+
+def _cusum(spark, xs, **kw):
+    from citeconnect_datapipeline_spark.api import timeseries
 
     df = spark.createDataFrame(
-        [(0.004,), (0.25,), (7.0,)], "amount double"
+        [(i, float(x)) for i, x in enumerate(xs)], "wk long, x double"
     )
-    out = benford_digit_cells(df, "amount").collect()
-    assert len(out) == 3
-    assert all(r["exp_frac"] is not None for r in out)
-    assert all(r["chi2_term"] is not None for r in out)
+    return timeseries.cusum(df, **kw).orderBy("wk").collect()
 
 
-# ---------------------------------------------------------------
-# hill_tail_profile: truncated ladders must stay visible
-# (round-8 ADVICE: an input smaller than k+1 silently dropped the
-# whole k rung; it must now emit the rung with NULL hill_alpha)
-# ---------------------------------------------------------------
+def test_cusum_fires_after_planted_level_shift(spark):
+    # 30 in-control points then a +3-sigma sustained shift: no alarm
+    # before the shift, alarm within a few points after it
+    base = [10.0, 10.2, 9.8, 10.1, 9.9] * 6
+    shifted = [13.0, 13.2, 12.8, 13.1, 12.9] * 4
+    out = _cusum(spark, base + shifted, baseline=30)
+    alarms = [r["wk"] for r in out if r["alarm"] == 1]
+    assert alarms, "sustained shift never alarmed"
+    assert min(alarms) >= 30, "alarm fired during the in-control run"
+    assert min(alarms) <= 36, "detection delay too long for a 3-sigma shift"
 
 
-def test_hill_tail_profile_truncated_rung_is_visible(spark):
-    from citeconnect_datapipeline_spark.operators.statistics import (
-        hill_tail_profile,
-    )
-
-    # 10 rows: k=5 computable, k=25/100 rungs lack a (k+1)-th order
-    # statistic and must surface with NULL alpha, not vanish.
-    df = spark.createDataFrame(
-        [(float(100 - i), i) for i in range(10)],
-        "x double, o_orderkey long",
-    )
-    out = {
-        r["tail_k"]: r
-        for r in hill_tail_profile(
-            df, "x", "o_orderkey", ks=(5, 25, 100)
-        ).collect()
-    }
-    assert sorted(out) == [5, 25, 100]
-    assert out[5]["hill_alpha"] is not None
-    assert out[5]["x_threshold"] == pytest.approx(95.0)
-    for k in (25, 100):
-        assert out[k]["hill_alpha"] is None
-        assert out[k]["x_threshold"] is None
+def test_cusum_negative_side_catches_downward_shift(spark):
+    base = [10.0, 10.2, 9.8, 10.1, 9.9] * 6
+    shifted = [7.0, 7.2, 6.8, 7.1, 6.9] * 4
+    out = _cusum(spark, base + shifted, baseline=30)
+    fired = [r for r in out if r["alarm"] == 1]
+    assert fired and all(
+        r["cusum_neg"] > r["cusum_pos"] for r in fired
+    ), "downward shift must alarm on the negative chart"
 
 
-def test_hill_tail_profile_empty_input_emits_ladder(spark):
-    from citeconnect_datapipeline_spark.operators.statistics import (
-        hill_tail_profile,
-    )
-
-    df = spark.createDataFrame([], "x double, o_orderkey long")
-    out = hill_tail_profile(df, "x", "o_orderkey", ks=(5, 25)).collect()
-    assert sorted(r["tail_k"] for r in out) == [5, 25]
-    assert all(r["hill_alpha"] is None for r in out)
+def test_cusum_constant_series_is_silent(spark):
+    # zero variance -> z pinned to 0 (no divide-by-zero), no alarm
+    out = _cusum(spark, [5.0] * 40)
+    assert all(r["alarm"] == 0 for r in out)
+    assert all(r["z"] == 0.0 for r in out)
+    assert all(r["cusum_pos"] == 0.0 for r in out)
 
 
-# ---------------------------------------------------------------
-# revenue_lorenz_deciles boundary rule: ties share a decile
-# ---------------------------------------------------------------
+def test_cusum_resets_to_zero_floor(spark):
+    # the one-sided statistics never go negative (the max(0, .) fold)
+    import random
 
-
-def test_lorenz_boundary_ties_share_a_decile(spark):
-    # the r8 percentile-boundary rule puts equal revenues in the
-    # same decile (NTILE would have split them arbitrarily)
-    import pyspark.sql.functions as F
-
-    from citeconnect_datapipeline_spark.operators.statistics import (
-        LORENZ_BUCKETS,
-    )
-
-    assert LORENZ_BUCKETS == 10
-    from __spark_entry__ import queries
-
-    out = (
-        queries()["revenue_lorenz_deciles"](
-            spark, "/root/testdata/sf0.001"
-        )
-        .orderBy("decile")
-        .collect()
-    )
-    assert 1 <= len(out) <= 10
-    # cumulative shares are monotone and end at 1
-    cum = [r["cum_rev_share"] for r in out]
-    assert cum == sorted(cum)
-    assert cum[-1] == pytest.approx(1.0, abs=1e-4)
-    assert out[-1]["cum_pop_share"] == pytest.approx(1.0, abs=1e-4)
-    # Lorenz dominance: cumulative revenue share never exceeds
-    # cumulative population share (lowest-revenue deciles first)
-    for r in out[:-1]:
-        assert r["cum_rev_share"] <= r["cum_pop_share"] + 1e-6
+    rnd = random.Random(8)
+    out = _cusum(spark, [10 + rnd.gauss(0, 1) for _ in range(100)])
+    assert all(r["cusum_pos"] >= 0 and r["cusum_neg"] >= 0 for r in out)
