@@ -45,6 +45,7 @@ from .operators.similarity import (
 from .operators.text import (
     bm25_rank,
     chi2_term_selection_frame,
+    lexical_diversity_by,
     token_concentration_by,
 )
 from .operators.analytics import h_index_by
@@ -130,6 +131,7 @@ curation = SimpleNamespace(
     k_anonymity_cells=k_anonymity_cells,
     l_diversity_cells=l_diversity_cells,
     benford_digit_cells=benford_digit_cells,
+    lexical_diversity_by=lexical_diversity_by,
 )
 multimodal = SimpleNamespace(with_media_columns=with_media_columns)
 timeseries = SimpleNamespace(

@@ -112,3 +112,44 @@ def test_cusum_resets_to_zero_floor(spark):
     rnd = random.Random(8)
     out = _cusum(spark, [10 + rnd.gauss(0, 1) for _ in range(100)])
     assert all(r["cusum_pos"] >= 0 and r["cusum_neg"] >= 0 for r in out)
+
+
+# ----------------------- lexical diversity ------------------------
+
+
+def test_mattr_extremes_on_planted_sources(spark):
+    from citeconnect_datapipeline_spark.api import curation
+
+    # 'loop': one 5-token template repeated -> every 25-token window
+    # holds exactly 5 types (mattr = 0.2); 'fresh': all-distinct
+    # tokens -> every window holds 25 types (mattr = 1.0)
+    loop_text = " ".join(["alpha beta gamma delta epsilon"] * 20)
+    fresh_text = " ".join(f"w{i:04d}" for i in range(100))
+    rows = [(i, "loop", loop_text) for i in range(4)] + [
+        (i + 10, "fresh", fresh_text) for i in range(4)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {
+        r["source"]: r
+        for r in curation.lexical_diversity_by(df, "source").collect()
+    }
+    assert out["loop"]["mattr"] == 0.2
+    assert out["fresh"]["mattr"] == 1.0
+    assert out["loop"]["n_chunks"] == 4 * 4  # 100 tokens -> 4 full chunks
+    # the CONTRAST diagnostic: the repetitive source's naive TTR is
+    # also its corpus-level tell here (5 types / 400 tokens)
+    assert out["loop"]["naive_ttr"] < 0.05 < out["fresh"]["naive_ttr"]
+
+
+def test_mattr_drops_partial_tail_chunks(spark):
+    from citeconnect_datapipeline_spark.api import curation
+
+    # 30 tokens -> exactly ONE full 25-token chunk; the 5-token tail
+    # must not dilute mattr
+    text = " ".join(f"t{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [(1, "s", text)], "doc_id long, source string, text string"
+    )
+    r = curation.lexical_diversity_by(df, "source").collect()[0]
+    assert r["n_chunks"] == 1 and r["mattr"] == 1.0
+    assert r["token_count"] == 30  # naive still sees every token
