@@ -32,7 +32,7 @@ from types import SimpleNamespace
 from .operators.asof import asof_join, asof_join_forward
 from .operators.joins import interval_overlap_join
 from .operators.classifier import logreg_fit, score_with_weights
-from .operators.dedup import jaccard_scored_pairs, minhash_band_hashes
+from .operators.dedup import edit_neighbor_pairs, jaccard_scored_pairs, minhash_band_hashes
 from .operators.graph import connected_components, pagerank
 from .operators.multimodal import with_media_columns
 from .operators.similarity import (
@@ -99,6 +99,7 @@ from .sinks.zones import (
 dedup = SimpleNamespace(
     jaccard_scored_pairs=jaccard_scored_pairs,
     minhash_band_hashes=minhash_band_hashes,
+    edit_neighbor_pairs=edit_neighbor_pairs,
 )
 graph = SimpleNamespace(
     connected_components=connected_components,

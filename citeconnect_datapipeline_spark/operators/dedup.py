@@ -2411,3 +2411,194 @@ def dedup_source_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("n_pairs"), "source_lo", "source_hi")
     )
+
+
+TYPO_MIN_LEN = 4  # shorter words alias too easily at distance 2
+TYPO_VARIANT_CAP = 50  # posting cap per deletion variant (hot-key guard)
+TYPO_RATIO = 0.1  # rare/frequent count ratio marking a typo suspect
+
+
+@query(
+    "typo_candidate_pairs",
+    oracle=f"""
+    WITH vocab AS (
+        SELECT w AS word, COUNT(*) AS c
+        FROM (
+            SELECT unnest(list_filter(
+                string_split_regex(lower(text), '[^a-z0-9]+'),
+                x -> x <> '')) AS w
+            FROM documents
+        ) WHERE len(w) >= {TYPO_MIN_LEN}
+        GROUP BY 1
+    ),
+    d1 AS (
+        SELECT word, c,
+               list_transform(range(1, len(word) + 1),
+                   i -> substr(word, 1, i - 1)
+                        || substr(word, i + 1, len(word))) AS del1
+        FROM vocab
+    ),
+    expanded AS (
+        SELECT word, c,
+               list_distinct(list_concat(list_concat([word], del1),
+                   flatten(list_transform(del1,
+                       v -> list_transform(range(1, len(v) + 1),
+                           j -> substr(v, 1, j - 1)
+                                || substr(v, j + 1, len(v)))))))
+                   AS variants
+        FROM d1
+    ),
+    post0 AS (
+        SELECT unnest(variants) AS variant, word, c FROM expanded
+    ),
+    posting AS MATERIALIZED (
+        SELECT * FROM post0
+        QUALIFY COUNT(*) OVER (PARTITION BY variant)
+                <= {TYPO_VARIANT_CAP}
+    ),
+    pairs AS (
+        SELECT DISTINCT a.word AS word_a, b.word AS word_b,
+               a.c AS count_a, b.c AS count_b
+        FROM posting a JOIN posting b
+          ON a.variant = b.variant AND a.word < b.word
+    )
+    SELECT word_a, word_b,
+           CAST(levenshtein(word_a, word_b) AS INT) AS dist,
+           count_a, count_b,
+           ROUND(LEAST(count_a, count_b) * 1.0
+                 / GREATEST(count_a, count_b), 6) AS count_ratio,
+           CASE WHEN LEAST(count_a, count_b) * 1.0
+                     / GREATEST(count_a, count_b) <= {TYPO_RATIO}
+                THEN 1 ELSE 0 END AS suspected_typo
+    FROM pairs
+    WHERE levenshtein(word_a, word_b) <= 2
+    ORDER BY dist, word_a, word_b
+    """,
+)
+def typo_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-level fuzzy join: every word pair within edit
+    distance 2, found SymSpell-style (Garbe's deletion-neighborhood
+    trick: two words are within edit distance k iff they share a
+    string reachable by deleting <= k chars from each, so the
+    quadratic all-pairs levenshtein becomes an EQUI-join on
+    deletion variants + an exact confirm on the tiny candidate
+    set). The count ratio marks typo/OCR-artifact suspects — a rare
+    word one edit from a frequent one is the classic correction
+    candidate a corpus cleaner normalizes before tokenizer
+    training (the long-tail-vocab reduction move).
+
+    Scale shape: everything is VOCAB grain (Heaps sub-linear in the
+    corpus): one token explode + word count, ~len^2/2 deletion
+    variants per word (bounded by max word length), an equi-join on
+    the variant key — never a cross join — with a posting cap per
+    variant (the assoc_rules hot-key guard, here for short variants
+    shared by many words), and levenshtein only on surviving
+    candidates. A length-band/first-char blocking scheme misses
+    substitution pairs; deletion neighborhoods are exact for
+    distance <= 2 by the SymSpell theorem.
+
+    Reference anchor: the reference normalizes text but has no
+    vocabulary-level near-match mining
+    (processing/text_cleaner.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+        lambda x: x != "",
+    )
+    vocab = (
+        docs.select(F.explode(w).alias("word"))
+        .filter(F.length("word") >= TYPO_MIN_LEN)
+        .groupBy("word")
+        .agg(F.count("*").alias("c"))
+    )
+    return edit_neighbor_pairs(vocab)
+
+
+def edit_neighbor_pairs(
+    vocab: DataFrame,
+    word_col: str = "word",
+    count_col: str = "c",
+    variant_cap: int = TYPO_VARIANT_CAP,
+    typo_ratio: float = TYPO_RATIO,
+) -> DataFrame:
+    """Library core of `typo_candidate_pairs`
+    (api.dedup.edit_neighbor_pairs): SymSpell deletion-neighborhood
+    join over any (word, count) vocabulary — every pair within edit
+    distance 2, with the rare/frequent ratio flag."""
+    vocab = vocab.select(
+        F.col(word_col).alias("word"), F.col(count_col).alias("c")
+    )
+    d1 = vocab.withColumn(
+        "del1",
+        F.expr(
+            "transform(sequence(1, length(word)), i ->"
+            " concat(substring(word, 1, i - 1),"
+            " substring(word, i + 1, length(word))))"
+        ),
+    )
+    expanded = d1.select(
+        "word",
+        "c",
+        F.array_distinct(
+            F.concat(
+                F.array("word"),
+                F.col("del1"),
+                F.expr(
+                    "flatten(transform(del1, v ->"
+                    " transform(sequence(1, length(v)), j ->"
+                    " concat(substring(v, 1, j - 1),"
+                    " substring(v, j + 1, length(v))))))"
+                ),
+            )
+        ).alias("variants"),
+    )
+    per_variant = Window.partitionBy("variant")
+    posting = (
+        # explode_OUTER on purpose: plain explode implies a
+        # size(variants) > 0 filter that Catalyst pushes BELOW the
+        # vocab aggregate, re-evaluating the nested interpreted
+        # variant-construction HOF per TOKEN OCCURRENCE instead of
+        # per vocab word (measured 3x the query cost at sf0.1); the
+        # array always contains the word itself, so outer == inner
+        expanded.select(
+            F.explode_outer("variants").alias("variant"), "word", "c"
+        )
+        .withColumn("n_post", F.count("*").over(per_variant))
+        .filter(F.col("n_post") <= variant_cap)
+        .drop("n_post")
+    )
+    a = posting.alias("a")
+    b = posting.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.variant") == F.col("b.variant"))
+            & (F.col("a.word") < F.col("b.word")),
+        )
+        .select(
+            F.col("a.word").alias("word_a"),
+            F.col("b.word").alias("word_b"),
+            F.col("a.c").alias("count_a"),
+            F.col("b.c").alias("count_b"),
+        )
+        .distinct()
+    )
+    dist = F.levenshtein("word_a", "word_b")
+    ratio = F.least("count_a", "count_b") * 1.0 / F.greatest(
+        "count_a", "count_b"
+    )
+    return (
+        pairs.filter(dist <= 2)
+        .select(
+            "word_a",
+            "word_b",
+            dist.cast("int").alias("dist"),
+            "count_a",
+            "count_b",
+            F.round(ratio, 6).alias("count_ratio"),
+            F.when(ratio <= typo_ratio, 1).otherwise(0).alias(
+                "suspected_typo"
+            ),
+        )
+        .orderBy("dist", "word_a", "word_b")
+    )

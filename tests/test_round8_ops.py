@@ -153,3 +153,53 @@ def test_mattr_drops_partial_tail_chunks(spark):
     r = curation.lexical_diversity_by(df, "source").collect()[0]
     assert r["n_chunks"] == 1 and r["mattr"] == 1.0
     assert r["token_count"] == 30  # naive still sees every token
+
+
+# -------------------- deletion-neighborhood join -------------------
+
+
+def _typo_pairs(spark, vocab_rows, **kw):
+    from citeconnect_datapipeline_spark.api import dedup
+
+    df = spark.createDataFrame(vocab_rows, "word string, c long")
+    return dedup.edit_neighbor_pairs(df, **kw).collect()
+
+
+def test_typo_pairs_completeness_at_distance_two(spark):
+    # the SymSpell guarantee: deletion neighborhoods find EVERY pair
+    # within edit distance 2 — including the double-substitution case
+    # a length-band or prefix blocking scheme misses
+    rows = [
+        ("tokenizer", 1000),
+        ("tokenzer", 3),     # 1 deletion
+        ("carbon", 500),
+        ("cardan", 480),     # 2 substitutions
+        ("weight", 400),
+        ("wright", 390),     # 1 substitution
+        ("omega", 100),      # far from everything
+    ]
+    out = _typo_pairs(spark, rows)
+    got = {(r["word_a"], r["word_b"]): r for r in out}
+    assert ("tokenizer", "tokenzer") in got  # word_a < word_b
+    assert got[("tokenizer", "tokenzer")]["dist"] == 1
+    assert got[("tokenizer", "tokenzer")]["suspected_typo"] == 1
+    assert ("carbon", "cardan") in got  # double substitution found
+    assert got[("carbon", "cardan")]["dist"] == 2
+    assert got[("carbon", "cardan")]["suspected_typo"] == 0
+    assert ("weight", "wright") in got
+    assert not any("omega" in p for p in got)
+
+
+def test_typo_pairs_excludes_distance_three(spark):
+    out = _typo_pairs(spark, [("alpha", 10), ("alproxy", 10)])
+    assert out == []  # distance 4: shares no <=2-deletion variant
+
+
+def test_typo_pairs_variant_cap_drops_hot_buckets(spark):
+    # 9 words all sharing the deletion variant 'wrd0' (one-char
+    # suffixes) exceed a cap of 8 postings -> the hot bucket is
+    # dropped and no pairs emit THROUGH it; with the default cap the
+    # pairs exist
+    rows = [(f"wrd{i}", 10) for i in range(9)]
+    assert _typo_pairs(spark, rows, variant_cap=4) == []
+    assert len(_typo_pairs(spark, rows)) == 36  # C(9,2), all dist<=2
