@@ -2602,3 +2602,191 @@ def edit_neighbor_pairs(
         )
         .orderBy("dist", "word_a", "word_b")
     )
+
+
+BAND_TUNE_SCHEMES = (1, 2, 4, 8, 16)  # rows-per-band ladder over 16
+BAND_TUNE_CAP = 256  # posting cap per bucket (hot-key guard)
+
+
+def _band_tune_band_selects() -> str:
+    legs = []
+    for r in BAND_TUNE_SCHEMES:
+        for b in range(PMH_NUM_HASHES // r):
+            cat = " || '|' || ".join(
+                f"m{b * r + j}" for j in range(r)
+            )
+            legs.append(
+                f"        SELECT {r} AS rpb, doc_id, {b} AS band_idx,"
+                f" md5({cat}) AS band_hash FROM mh"
+            )
+    return "\n        UNION ALL\n".join(legs)
+
+
+@query(
+    "minhash_band_tuning",
+    oracle=f"""
+    WITH words AS (
+        SELECT doc_id, string_split_regex(lower(text), '[^a-z0-9]+') AS w
+        FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(list_slice(w, i, i + 2), ' ') AS s
+        FROM words, UNNEST(range(1, greatest(len(w) - 1, 2))) AS t(i)
+        WHERE array_to_string(list_slice(w, i, i + 2), ' ') <> ''
+    ),
+    mh AS MATERIALIZED (
+        SELECT doc_id,
+               {_PMH_MIN_COLS}
+        FROM sh GROUP BY doc_id
+    ),
+    allbands AS (
+{_band_tune_band_selects()}
+    ),
+    sized AS MATERIALIZED (
+        SELECT rpb, band_idx, band_hash, doc_id,
+               COUNT(*) OVER (
+                   PARTITION BY rpb, band_idx, band_hash) AS sz
+        FROM allbands
+    ),
+    kept AS MATERIALIZED (
+        SELECT * FROM sized
+        WHERE sz >= 2 AND sz <= {BAND_TUNE_CAP}
+    ),
+    pairs AS (
+        SELECT DISTINCT a.rpb, a.doc_id AS da, b.doc_id AS db
+        FROM kept a JOIN kept b
+          ON a.rpb = b.rpb AND a.band_idx = b.band_idx
+         AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+    ),
+    pc AS (SELECT rpb, COUNT(*) AS np FROM pairs GROUP BY 1),
+    bc AS (
+        SELECT rpb, COUNT(*) AS nb FROM (
+            SELECT DISTINCT rpb, band_idx, band_hash FROM kept
+        ) GROUP BY 1
+    ),
+    grid AS (
+        SELECT unnest([{", ".join(str(r) for r in BAND_TUNE_SCHEMES)}])
+               AS rpb
+    )
+    SELECT g.rpb AS rows_per_band,
+           CAST({PMH_NUM_HASHES} // g.rpb AS BIGINT) AS n_bands,
+           ROUND(POWER(g.rpb * 1.0 / {PMH_NUM_HASHES},
+                       1.0 / g.rpb), 6) AS sim_threshold,
+           CAST(COALESCE(bc.nb, 0) AS BIGINT) AS n_multi_buckets,
+           CAST(COALESCE(pc.np, 0) AS BIGINT) AS n_candidate_pairs
+    FROM grid g
+    LEFT JOIN pc ON pc.rpb = g.rpb
+    LEFT JOIN bc ON bc.rpb = g.rpb
+    ORDER BY rows_per_band
+    """,
+)
+def minhash_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding calibration curve — the (bands x rows) trade a
+    dedup owner reads before fixing the near-dup gate: for every
+    banding of the 16 MinHash functions (16x1 ... 1x16), the number
+    of multi-doc buckets and DISTINCT candidate pairs generated,
+    beside the scheme's S-curve similarity threshold (1/b)^(1/r) —
+    the jaccard at which a pair's candidate probability hits 50%.
+    Small r floods verification with low-similarity candidates
+    (threshold 0.0625 at 16x1); large r misses all but
+    near-identical pairs (0.917 at 1x16). The measured pair counts
+    ARE the verification-cost axis of that dial, on the corpus's own
+    duplicate structure rather than the textbook curve.
+
+    Scale shape: reuses the once-per-process memoized signature
+    table (corpus scanned once); every scheme's bands ride ONE
+    posexplode union (31 band rows per doc, constant), buckets are a
+    (scheme, band, hash) groupBy with a posting cap — the identical
+    cap on BOTH engines makes the counts comparable — and pairs
+    stream through the nested posting explode, never a per-bucket
+    pair array. Output is 5 rows at any corpus size.
+
+    Reference anchor: the reference hardcodes one banding in its
+    duplicate detector (processing/duplication_detector.py); this is
+    the tuning panel that justifies a choice."""
+    sigs = _portable_minhash_sigs(spark, sf_dir)
+
+    def band_arr(r: int):
+        return F.array(
+            *[
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[F.col(f"m{b * r + j}") for j in range(r)],
+                    )
+                )
+                for b in range(PMH_NUM_HASHES // r)
+            ]
+        )
+
+    legs = [
+        sigs.select(
+            F.lit(r).alias("rpb"),
+            "doc_id",
+            F.posexplode(band_arr(r)).alias("band_idx", "band_hash"),
+        )
+        for r in BAND_TUNE_SCHEMES
+    ]
+    bands = legs[0]
+    for leg in legs[1:]:
+        bands = bands.unionAll(leg)
+    buckets = (
+        bands.groupBy("rpb", "band_idx", "band_hash")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ds"))
+        .filter(
+            (F.size("ds") >= 2) & (F.size("ds") <= BAND_TUNE_CAP)
+        )
+    )
+    partners = buckets.select(
+        "rpb",
+        F.explode(
+            F.transform(
+                "ds",
+                lambda x, i: F.struct(
+                    x.alias("x"),
+                    F.slice(
+                        F.col("ds"), i + 2, F.size(F.col("ds"))
+                    ).alias("rest"),
+                ),
+            )
+        ).alias("e"),
+    )
+    pairs = partners.select(
+        "rpb",
+        F.col("e.x").alias("da"),
+        F.explode("e.rest").alias("db"),
+    ).distinct()
+    pc = pairs.groupBy("rpb").agg(
+        F.count("*").cast("bigint").alias("n_candidate_pairs")
+    )
+    bc = buckets.groupBy("rpb").agg(
+        F.count("*").cast("bigint").alias("n_multi_buckets")
+    )
+    grid = spark.createDataFrame(
+        [(r,) for r in BAND_TUNE_SCHEMES], "rpb int"
+    )
+    return (
+        grid.join(F.broadcast(bc), "rpb", "left")
+        .join(F.broadcast(pc), "rpb", "left")
+        .select(
+            F.col("rpb").alias("rows_per_band"),
+            (F.lit(PMH_NUM_HASHES) / F.col("rpb"))
+            .cast("bigint")
+            .alias("n_bands"),
+            F.round(
+                F.pow(
+                    F.col("rpb") * 1.0 / PMH_NUM_HASHES,
+                    1.0 / F.col("rpb"),
+                ),
+                6,
+            ).alias("sim_threshold"),
+            F.coalesce("n_multi_buckets", F.lit(0)).alias(
+                "n_multi_buckets"
+            ),
+            F.coalesce("n_candidate_pairs", F.lit(0)).alias(
+                "n_candidate_pairs"
+            ),
+        )
+        .orderBy("rows_per_band")
+    )

@@ -400,6 +400,8 @@ BROADCAST_GRAIN_OK = {
     # grouped vs record)
     "label_centroid_geometry",  # label x dim centroid grid
     "label_outlier_flags",  # label x dim centroid grid
+    "minhash_band_tuning",  # per-scheme bucket/pair counts: grouped
+    # aggregates at the 5-row banding-scheme grain
     "mrl_truncation_eval",  # 1-row query vector + its top-k
     # rank-filtered candidate page
     "range_join_binned",  # window table literal-bounded to 20 keys

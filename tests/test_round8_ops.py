@@ -203,3 +203,52 @@ def test_typo_pairs_variant_cap_drops_hot_buckets(spark):
     rows = [(f"wrd{i}", 10) for i in range(9)]
     assert _typo_pairs(spark, rows, variant_cap=4) == []
     assert len(_typo_pairs(spark, rows)) == 36  # C(9,2), all dist<=2
+
+
+# ----------------------- LSH band tuning --------------------------
+
+
+def test_band_tuning_nested_schemes_and_planted_dups(spark, tmp_path):
+    """The 16-hash bands nest dyadically (a size-2r band is the
+    concatenation of two size-r bands), so the candidate sets are
+    nested and pair counts must be monotone non-increasing in
+    rows_per_band; an exact duplicate pair survives every scheme,
+    a half-overlapping pair only the permissive ones."""
+    from citeconnect_datapipeline_spark.operators.dedup import (
+        minhash_band_tuning,
+    )
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    dup = "alpha beta gamma delta epsilon zeta eta theta " * 8
+    half = (
+        "alpha beta gamma delta epsilon zeta eta theta " * 4
+        + "iota kappa lambda mu nu xi omicron pi " * 4
+    )
+    fillers = [
+        " ".join(f"w{d}x{i}" for i in range(40)) for d in range(5)
+    ]
+    rows = [
+        (1, dup), (2, dup), (3, half),
+        *[(10 + d, t) for d, t in enumerate(fillers)],
+    ]
+    spark.createDataFrame(
+        [(i, t, "en", "src0", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).write.parquet(str(sf / "documents.parquet"))
+    out = {
+        r["rows_per_band"]: r
+        for r in minhash_band_tuning(spark, str(sf)).collect()
+    }
+    assert set(out) == {1, 2, 4, 8, 16}
+    # exact dup pair: identical signatures survive even the 1x16 band
+    assert out[16]["n_candidate_pairs"] == 1
+    # the half-overlap pair shows up at the permissive end
+    assert out[1]["n_candidate_pairs"] >= 2
+    # dyadic nesting -> monotone non-increasing candidate counts
+    counts = [out[r]["n_candidate_pairs"] for r in (1, 2, 4, 8, 16)]
+    assert all(a >= b for a, b in zip(counts, counts[1:]))
+    # thresholds are the textbook S-curve ladder
+    assert out[1]["sim_threshold"] == 0.0625
+    assert out[16]["sim_threshold"] == 1.0
