@@ -2347,3 +2347,206 @@ def embedding_isotropy(emb: DataFrame) -> DataFrame:
             6,
         ).alias("avg_pairwise_dot"),
     )
+
+
+IVFR_TOPK = 10  # ground-truth depth for the recall curve
+IVFR_LADDER = (1, 2, 4, 8)  # nprobe values swept (up to IVFP_K)
+
+
+def _ivf_recall_oracle() -> str:
+    """Unrolled-CTE oracle for ivf_nprobe_recall: the same
+    seed-quantizer IVF as ann_ivf_portable, swept over the nprobe
+    ladder against the exact brute-force top-10."""
+    ladder = ", ".join(str(n) for n in IVFR_LADDER)
+    return f"""
+    WITH vdim AS MATERIALIZED (
+        SELECT vec_id,
+               generate_subscripts(embedding, 1) AS dim,
+               CAST(unnest(embedding) AS DOUBLE) AS val
+        FROM embeddings
+    ),
+    seeds AS (
+        SELECT vec_id,
+               ROW_NUMBER() OVER (
+                   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+               ) AS c
+        FROM embeddings
+        QUALIFY c <= {IVFP_K}
+    ),
+    cdim AS MATERIALIZED (
+        SELECT s.c, v.dim, v.val AS cval
+        FROM vdim v JOIN seeds s USING (vec_id)
+    ),
+    d2 AS MATERIALIZED (
+        SELECT v.vec_id, c.c,
+               ROUND(SUM((v.val - c.cval) * (v.val - c.cval)), 6) AS d2
+        FROM vdim v JOIN cdim c USING (dim)
+        GROUP BY 1, 2
+    ),
+    assign AS MATERIALIZED (
+        SELECT vec_id, c AS list_id
+        FROM d2
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY vec_id ORDER BY d2, c
+        ) = 1
+    ),
+    qrank AS MATERIALIZED (
+        SELECT c AS list_id,
+               ROW_NUMBER() OVER (ORDER BY d2, c) AS qr
+        FROM d2 WHERE vec_id = {QUERY_VEC_ID}
+    ),
+    q AS (
+        SELECT embedding AS qvec FROM embeddings
+        WHERE vec_id = {QUERY_VEC_ID}
+    ),
+    truth AS MATERIALIZED (
+        SELECT e.vec_id
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id <> {QUERY_VEC_ID}
+        ORDER BY ROUND(list_cosine_similarity(
+            CAST(e.embedding AS DOUBLE[]), CAST(q.qvec AS DOUBLE[])
+        ), 6) DESC, e.vec_id
+        LIMIT {IVFR_TOPK}
+    ),
+    truth_rank AS (
+        SELECT t.vec_id, r.qr
+        FROM truth t
+        JOIN assign a ON a.vec_id = t.vec_id
+        JOIN qrank r ON r.list_id = a.list_id
+    ),
+    list_sizes AS (
+        SELECT r.qr, COUNT(*) AS sz
+        FROM assign a JOIN qrank r ON r.list_id = a.list_id
+        WHERE a.vec_id <> {QUERY_VEC_ID}
+        GROUP BY 1
+    ),
+    grid AS (SELECT unnest([{ladder}]) AS nprobe)
+    SELECT g.nprobe,
+           CAST((SELECT COALESCE(SUM(sz), 0) FROM list_sizes
+                 WHERE qr <= g.nprobe) AS BIGINT) AS n_candidates,
+           ROUND((SELECT COUNT(*) FROM truth_rank
+                  WHERE qr <= g.nprobe) * 1.0 / {IVFR_TOPK}, 6)
+               AS recall_at_10
+    FROM grid g ORDER BY g.nprobe
+    """
+
+
+@query("ivf_nprobe_recall", oracle=_ivf_recall_oracle())
+def ivf_nprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF nprobe tuning curve — recall@10 vs candidates scanned as
+    the probe count sweeps 1..K: THE dial an ANN deployment tunes
+    (probe few lists = fast but blind to neighbors whose list wasn't
+    visited; probe all K = brute force with extra steps). Ground
+    truth is the exact brute-force top-10, so each rung's recall is
+    measured, not modeled — the production analogue reads the same
+    curve off a sample of queries before fixing nprobe. Uses the
+    portable seed quantizer (ann_ivf_portable's), so both engines
+    replay the whole sweep value-for-value.
+
+    Scale shape: assignment is the corpus-linear (vec, list)
+    distance aggregate + per-vec argmin (shared with
+    ann_ivf_portable's plan); the ground truth is ONE distributed
+    TakeOrdered(10) over exact cosines (the brute-force baseline a
+    recall audit pays ONCE per query sample); everything after —
+    truth ranks, per-list sizes, the 4-rung ladder — is arithmetic
+    over <= K + topk rows. Output is |ladder| rows at any corpus
+    size.
+
+    Reference anchor: the reference's vector search has no recall
+    instrumentation at all (storage/vector_store_client.py)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vec = F.col("embedding").cast("array<double>")
+    vdim = emb.select("vec_id", F.posexplode(vec)).select(
+        "vec_id",
+        (F.col("pos") + 1).alias("dim"),
+        F.col("col").alias("val"),
+    )
+    w_seed = Window.orderBy(
+        F.md5(F.col("vec_id").cast("string")), "vec_id"
+    )
+    seeded = (
+        emb.select("vec_id", "embedding")
+        .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(IVFP_K)
+        .select(F.row_number().over(w_seed).alias("c"), "embedding")
+    )
+    cdim = seeded.select(
+        "c", F.posexplode(F.col("embedding").cast("array<double>"))
+    ).select(
+        "c", (F.col("pos") + 1).alias("dim"), F.col("col").alias("cval")
+    )
+    d2 = (
+        vdim.join(F.broadcast(cdim), "dim")
+        .groupBy("vec_id", "c")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("val") - F.col("cval"))
+                    * (F.col("val") - F.col("cval"))
+                ),
+                6,
+            ).alias("d2")
+        )
+    )
+    w_min = Window.partitionBy("vec_id").orderBy("d2", "c")
+    assign = (
+        d2.withColumn("rn", F.row_number().over(w_min))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("c").alias("list_id"))
+    )
+    w_q = Window.orderBy("d2", "c")
+    qrank = (
+        d2.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select("c", "d2")
+        .withColumn("qr", F.row_number().over(w_q))
+        .select(F.col("c").alias("list_id"), "qr")
+    )
+    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qvec")
+    )
+    qvec = F.col("qvec").cast("array<double>")
+    truth = (
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .join(F.broadcast(q))
+        .select("vec_id", F.round(_cosine(vec, qvec), 6).alias("cos"))
+        .orderBy(F.desc("cos"), "vec_id")
+        .limit(IVFR_TOPK)
+        .select("vec_id")
+    )
+    # ONE pass over the assignment carries both curve inputs: the
+    # 10-row truth set rides as a broadcast flag, so per-list sizes
+    # and per-list truth hits come out of the same K-row aggregate
+    # (the separate truth_rank/list_sizes form re-derived the whole
+    # assignment lineage twice — 10 scans of embeddings vs 6 here).
+    per_qr = (
+        assign.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .join(F.broadcast(qrank), "list_id")
+        .join(
+            F.broadcast(truth.withColumn("is_truth", F.lit(1))),
+            "vec_id",
+            "left",
+        )
+        .groupBy("qr")
+        .agg(
+            F.count("*").alias("sz"),
+            F.coalesce(F.sum("is_truth"), F.lit(0)).alias("nt"),
+        )
+    )
+    grid = spark.createDataFrame(
+        [(n,) for n in IVFR_LADDER], "nprobe int"
+    )
+    return (
+        grid.join(
+            F.broadcast(per_qr), F.col("qr") <= F.col("nprobe"), "left"
+        )
+        .groupBy("nprobe")
+        .agg(
+            F.coalesce(F.sum("sz"), F.lit(0))
+            .cast("bigint")
+            .alias("n_candidates"),
+            F.round(
+                F.coalesce(F.sum("nt"), F.lit(0)) * 1.0 / IVFR_TOPK, 6
+            ).alias("recall_at_10"),
+        )
+        .orderBy("nprobe")
+    )

@@ -51,6 +51,10 @@ NESTED_LOOP_OK = {
     "hard_negative_mining",  # anchor batch broadcast: bounded by the
     # mining contract (a training batch, never the corpus)
     "interleave_shards",  # domain-count n_src: 1-row scalar broadcast
+    "ivf_nprobe_recall",  # K-row probe-rank table + 10-row truth
+    # set range-joined to the 4-rung nprobe ladder (all K/topk/
+    # ladder-bounded; the 1-row query-vector broadcast is
+    # cosine_topk's probe shape)
     "join_key_skew_report",  # key-count stats: 1-row scalar broadcast
     "join_size_estimate",  # exact/sample/ndv 1-row stat broadcasts
     # over key-grain count tables
@@ -163,6 +167,9 @@ UNPARTITIONED_WINDOW_OK = {
     "ann_ivf_portable",  # seed numbering over the 8-row md5-order
     # limit (bounded by K); the assignment argmin window is
     # partitioned by vec_id
+    "ivf_nprobe_recall",  # the same 8-row seed numbering + the
+    # query's K-row probe-rank numbering (both bounded by IVFP_K);
+    # the assignment argmin window is partitioned by vec_id
     "bias_slice_disparity",  # over per-slice aggregates
     "domain_mixture_sample",  # quota arithmetic over per-source rows
     "dsir_importance_weights",  # totals fold over the 256-row
@@ -396,6 +403,8 @@ BROADCAST_GRAIN_OK = {
     "hard_negative_mining",  # bounded anchor training batch
     "hybrid_rrf_search",  # query-term DF + 1-row query vector
     "interleave_shards",  # source-grain count table (source catalog)
+    "ivf_nprobe_recall",  # K-row probe ranks (1-row query filter x
+    # K lists), 10-row TakeOrdered truth set, K-row per-rank stats
     "kfold_assignment_audit",  # method-grain leakage audit (2 rows:
     # grouped vs record)
     "label_centroid_geometry",  # label x dim centroid grid

@@ -252,3 +252,32 @@ def test_band_tuning_nested_schemes_and_planted_dups(spark, tmp_path):
     # thresholds are the textbook S-curve ladder
     assert out[1]["sim_threshold"] == 0.0625
     assert out[16]["sim_threshold"] == 1.0
+
+
+# ----------------------- IVF recall curve -------------------------
+
+
+def test_ivf_nprobe_recall_monotone_and_complete(spark):
+    """Recall and candidate counts are monotone in nprobe, and
+    probing all K lists IS brute force: recall exactly 1.0 with
+    every non-query vector a candidate."""
+    from citeconnect_datapipeline_spark.operators.similarity import (
+        IVFP_K,
+        ivf_nprobe_recall,
+    )
+
+    out = (
+        ivf_nprobe_recall(spark, SF)
+        .orderBy("nprobe")
+        .collect()
+    )
+    assert [r["nprobe"] for r in out] == [1, 2, 4, 8]
+    recalls = [r["recall_at_10"] for r in out]
+    cands = [r["n_candidates"] for r in out]
+    assert all(a <= b for a, b in zip(recalls, recalls[1:]))
+    assert all(a <= b for a, b in zip(cands, cands[1:]))
+    full = out[-1]
+    assert full["nprobe"] == IVFP_K
+    assert full["recall_at_10"] == 1.0
+    n_emb = spark.read.parquet(f"{SF}/embeddings.parquet").count()
+    assert full["n_candidates"] == n_emb - 1  # everything but the query
