@@ -2407,3 +2407,122 @@ def context_fit_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ctx_budget")
     )
+
+
+W1_BIN = 25  # doc-length quantization (chars per bin)
+
+
+@query(
+    "wasserstein_drift",
+    oracle=f"""
+    WITH binned AS (
+        SELECT source, CAST(n_chars // {W1_BIN} AS BIGINT) AS bin
+        FROM documents
+    ),
+    sb AS (
+        SELECT source, bin, COUNT(*) AS c
+        FROM binned GROUP BY 1, 2
+    ),
+    stot AS (SELECT source, SUM(c) AS n_s FROM sb GROUP BY 1),
+    ctot AS (SELECT SUM(c) AS n FROM sb),
+    cb AS (SELECT bin, SUM(c) AS cc FROM sb GROUP BY 1),
+    grid AS (
+        SELECT s.source, s.n_s, b.bin, b.cc, t.n,
+               COALESCE(x.c, 0) AS c
+        FROM stot s
+        CROSS JOIN cb b
+        CROSS JOIN ctot t
+        LEFT JOIN sb x ON x.source = s.source AND x.bin = b.bin
+    ),
+    cdf AS (
+        SELECT source, n_s, bin,
+               COALESCE(LEAD(bin) OVER (
+                   PARTITION BY source ORDER BY bin) - bin, 0)
+                   AS width,
+               ROUND(SUM(c * 1.0 / n_s) OVER (
+                   PARTITION BY source ORDER BY bin
+                   ROWS UNBOUNDED PRECEDING), 6) AS f_s,
+               ROUND(SUM(cc * 1.0 / n) OVER (
+                   PARTITION BY source ORDER BY bin
+                   ROWS UNBOUNDED PRECEDING), 6) AS f_c
+        FROM grid
+    )
+    SELECT source,
+           CAST(MAX(n_s) AS BIGINT) AS n_docs,
+           ROUND(SUM(ABS(f_s - f_c) * width), 6) AS w1_bins,
+           ROUND(SUM(ABS(f_s - f_c) * width) * {W1_BIN}, 6) AS w1_chars
+    FROM cdf
+    GROUP BY source
+    ORDER BY w1_bins DESC, source
+    """,
+)
+def wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-Wasserstein (earth-mover) drift of each source's document-
+    length distribution against the whole corpus — the panel member
+    PSI/KS/KL cannot replace: KS sees only the worst single point,
+    PSI/KL are support-blind (a shift of one bin and a shift of
+    twenty bins with the same mass score identically), while W1 =
+    integral |F_source - F_corpus| prices drift BY HOW FAR the mass
+    moved, in interpretable units (characters here). The top of this
+    ranking is the source whose length profile a mixture rebalance
+    or a chunking config must treat specially.
+
+    Scale shape: one (source, bin) count aggregate (map-side
+    combinable; |sources| x |bins| rows at any corpus size), the
+    full source x bin grid built from bounded broadcasts so absent
+    bins contribute their zero mass (the source_kl_divergence move
+    — a truncated CDF would under-price tail drift), then cumsum
+    windows PARTITIONED BY SOURCE over the bin-grain table. The
+    1-D closed form (W1 = sum of CDF gaps) needs no transport
+    solver.
+
+    Reference anchor: upgrades the reference's per-source count
+    z-scores (databias/slicing_bias_analysis.py) to a
+    distribution-shape drift score."""
+    docs = load_table(spark, sf_dir, "documents")
+    sb = docs.groupBy(
+        "source",
+        (F.col("n_chars") / W1_BIN).cast("long").alias("bin"),
+    ).agg(F.count("*").alias("c"))
+    stot = sb.groupBy("source").agg(F.sum("c").alias("n_s"))
+    ctot = sb.agg(F.sum("c").alias("n"))
+    cb = sb.groupBy("bin").agg(F.sum("c").alias("cc"))
+    grid = (
+        stot.crossJoin(F.broadcast(cb))
+        .crossJoin(F.broadcast(ctot))
+        .join(sb, ["source", "bin"], "left")
+        .withColumn("c", F.coalesce(F.col("c"), F.lit(0)))
+    )
+    w_cdf = (
+        Window.partitionBy("source")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_lead = Window.partitionBy("source").orderBy("bin")
+    cdf = grid.select(
+        "source",
+        "n_s",
+        # gap to the NEXT support bin: the CDF difference persists
+        # over that whole interval, so each |gap| is width-weighted
+        # (support-only summation would be exactly the
+        # support-blindness this metric exists to fix)
+        F.coalesce(
+            F.lead("bin").over(w_lead) - F.col("bin"), F.lit(0)
+        ).alias("width"),
+        F.round(
+            F.sum(F.col("c") * 1.0 / F.col("n_s")).over(w_cdf), 6
+        ).alias("f_s"),
+        F.round(
+            F.sum(F.col("cc") * 1.0 / F.col("n")).over(w_cdf), 6
+        ).alias("f_c"),
+    )
+    gap = F.abs(F.col("f_s") - F.col("f_c")) * F.col("width")
+    return (
+        cdf.groupBy("source")
+        .agg(
+            F.max("n_s").cast("bigint").alias("n_docs"),
+            F.round(F.sum(gap), 6).alias("w1_bins"),
+            F.round(F.sum(gap) * W1_BIN, 6).alias("w1_chars"),
+        )
+        .orderBy(F.desc("w1_bins"), "source")
+    )

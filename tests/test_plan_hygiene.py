@@ -116,6 +116,8 @@ NESTED_LOOP_OK = {
     "trending_parts_decayed",  # 1-row newest-order anchor broadcast
     # + the 20-row trend-head broadcast theta-joined against the
     # part-grain score table (distributed rank-by-count, r8)
+    "wasserstein_drift",  # 1-row corpus-total + bin-grain corpus-CDF
+    # broadcasts building the source x bin grid (the KL-query shape)
     "word_collocation_npmi",  # bigram-total N: 1-row scalar broadcast
     "zorder_layout_stats",  # 1-row per-dimension min/max bounds
     # broadcast feeding the bin arithmetic
@@ -419,6 +421,9 @@ BROADCAST_GRAIN_OK = {
     "seasonal_decompose_daily",  # 7-row day-of-week seasonal means
     "source_divergence_panel",  # source x 256-md5-bucket grid
     # (DSIR_N_BUCKETS is a constant; sources are a curated registry)
+    "wasserstein_drift",  # bin-grain corpus histogram (doc length /
+    # 25-char bins: bounded by the extraction length cap, never
+    # corpus-grain) broadcast into the source x bin grid
     "source_kl_divergence",  # 256-bucket corpus distribution +
     # source-grain totals (same grids as the divergence panel)
     "source_upsampling_plan",  # source-grain repeat-factor plan

@@ -281,3 +281,59 @@ def test_ivf_nprobe_recall_monotone_and_complete(spark):
     assert full["recall_at_10"] == 1.0
     n_emb = spark.read.parquet(f"{SF}/embeddings.parquet").count()
     assert full["n_candidates"] == n_emb - 1  # everything but the query
+
+
+# ----------------------- Wasserstein drift ------------------------
+
+
+def test_wasserstein_prices_shift_distance(spark, tmp_path):
+    """W1's defining property vs PSI/KL: moving the same mass
+    FARTHER scores strictly higher. Three sources: one at the corpus
+    center, one shifted +2 bins, one shifted +8 bins."""
+    import shutil
+
+    from citeconnect_datapipeline_spark.operators.training import (
+        wasserstein_drift,
+    )
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    rows = []
+    did = 0
+    for src, base in (("mid", 100), ("near", 150), ("far", 300)):
+        for i in range(200):
+            did += 1
+            rows.append((did, "x", "en", src, base + (i % 2)))
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).write.parquet(str(sf / "documents.parquet"))
+    out = {r["source"]: r for r in wasserstein_drift(spark, str(sf)).collect()}
+    # distances from the mixture CDF grow with how far the mass sits
+    assert out["far"]["w1_bins"] > out["near"]["w1_bins"] > 0
+    assert out["mid"]["w1_bins"] < out["far"]["w1_bins"]
+    # units contract: w1_chars = w1_bins * bin width
+    for r in out.values():
+        assert abs(r["w1_chars"] - r["w1_bins"] * 25) < 1e-6
+
+
+def test_wasserstein_zero_for_identical_sources(spark, tmp_path):
+    from citeconnect_datapipeline_spark.operators.training import (
+        wasserstein_drift,
+    )
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    rows = [
+        (i, "x", "en", f"s{i % 2}", 100 + ((i // 2) % 4) * 25)
+        for i in range(400)
+    ]
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).write.parquet(str(sf / "documents.parquet"))
+    out = wasserstein_drift(spark, str(sf)).collect()
+    # both sources ARE the corpus distribution -> W1 exactly 0
+    assert all(r["w1_bins"] == 0.0 for r in out)
