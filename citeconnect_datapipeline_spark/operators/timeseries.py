@@ -1785,3 +1785,92 @@ def cusum_series(
         .otherwise(0)
         .alias("alarm"),
     ).orderBy("wk")
+
+
+SLO_BUDGET = 0.25  # error-share budget (events fixture: ~20% base)
+SLO_PAGE_BURN = 1.1   # page: short AND medium window both above
+SLO_TICKET_BURN = 1.05  # ticket: medium AND long window both above
+
+
+@query(
+    "slo_burn_alerts",
+    oracle=f"""
+    WITH hourly AS (
+        SELECT CAST(date_diff('hour', TIMESTAMP '1970-01-01',
+                              ts) AS BIGINT) AS hr,
+               COUNT(*) AS n,
+               COUNT(*) FILTER (WHERE event_type = 'error') AS ne
+        FROM events GROUP BY 1
+    ),
+    win AS (
+        SELECT hr, n, ne,
+               SUM(ne) OVER w6 * 1.0 / SUM(n) OVER w6 AS r6,
+               SUM(ne) OVER w72 * 1.0 / SUM(n) OVER w72 AS r72
+        FROM hourly
+        WINDOW
+            w6 AS (ORDER BY hr
+                   RANGE BETWEEN 5 PRECEDING AND CURRENT ROW),
+            w72 AS (ORDER BY hr
+                    RANGE BETWEEN 71 PRECEDING AND CURRENT ROW)
+    )
+    SELECT hr, CAST(n AS BIGINT) AS n_events,
+           ROUND(ne * 1.0 / n / {SLO_BUDGET}, 6) AS burn_1h,
+           ROUND(r6 / {SLO_BUDGET}, 6) AS burn_6h,
+           ROUND(r72 / {SLO_BUDGET}, 6) AS burn_72h,
+           CASE WHEN ne * 1.0 / n / {SLO_BUDGET} >= {SLO_PAGE_BURN}
+                 AND r6 / {SLO_BUDGET} >= {SLO_PAGE_BURN}
+                THEN 1 ELSE 0 END AS page_alert,
+           CASE WHEN r6 / {SLO_BUDGET} >= {SLO_TICKET_BURN}
+                 AND r72 / {SLO_BUDGET} >= {SLO_TICKET_BURN}
+                THEN 1 ELSE 0 END AS ticket_alert
+    FROM win ORDER BY hr
+    """,
+)
+def slo_burn_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-window error-budget burn-rate alerts (the SRE workbook
+    policy): per hour, the error share divided by the SLO budget
+    over the 1 h / 6 h / 72 h trailing windows; a PAGE needs the
+    short AND medium window both burning (fast + sustained — a
+    single bad scrape cannot page), a TICKET the medium AND long.
+    The two-window AND is the point of the design: it bounds both
+    detection time and false-page rate, which a single-threshold
+    alert cannot do.
+
+    Scale shape: one hour-grain aggregate over events (map-side
+    combinable), then RANGE-frame windows over the hour series
+    (range, not rows: an empty hour must not stretch the window) —
+    8760 rows/year at any corpus size; a multi-service deployment
+    partitions every window by service id.
+
+    Reference anchor: turns the reference's fixed-threshold alert
+    emails (reporting/alert_manager.py) into budget-relative
+    multi-window policy."""
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        (F.unix_timestamp("ts") / 3600).cast("long").alias("hr")
+    ).agg(
+        F.count("*").alias("n"),
+        F.count(F.when(F.col("event_type") == "error", 1)).alias("ne"),
+    )
+    w6 = Window.orderBy("hr").rangeBetween(-5, 0)
+    w72 = Window.orderBy("hr").rangeBetween(-71, 0)
+    r1 = F.col("ne") * 1.0 / F.col("n") / SLO_BUDGET
+    r6 = (
+        F.sum("ne").over(w6) * 1.0 / F.sum("n").over(w6) / SLO_BUDGET
+    )
+    r72 = (
+        F.sum("ne").over(w72) * 1.0 / F.sum("n").over(w72) / SLO_BUDGET
+    )
+    return hourly.select(
+        "hr",
+        F.col("n").cast("bigint").alias("n_events"),
+        F.round(r1, 6).alias("burn_1h"),
+        F.round(r6, 6).alias("burn_6h"),
+        F.round(r72, 6).alias("burn_72h"),
+        F.when((r1 >= SLO_PAGE_BURN) & (r6 >= SLO_PAGE_BURN), 1)
+        .otherwise(0)
+        .alias("page_alert"),
+        F.when((r6 >= SLO_TICKET_BURN) & (r72 >= SLO_TICKET_BURN), 1)
+        .otherwise(0)
+        .alias("ticket_alert"),
+    ).orderBy("hr")

@@ -201,6 +201,8 @@ UNPARTITIONED_WINDOW_OK = {
     # partition by metric id)
     "cusum_drift_chart",  # cumsum/running-min prefixes over the
     # week-grain series (52 rows/year; page_hinkley's boundedness)
+    "slo_burn_alerts",  # trailing range frames over the hour-grain
+    # series (8760 rows/year; partition by service id multi-service)
     "vocab_sizing_curve",  # rank over the 64-row TakeOrdered head
     # (bounded by the k ladder, the hill_tail_index shape)
     "hill_tail_index",  # rank over the 101-row TakeOrdered head

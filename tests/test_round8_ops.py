@@ -337,3 +337,66 @@ def test_wasserstein_zero_for_identical_sources(spark, tmp_path):
     out = wasserstein_drift(spark, str(sf)).collect()
     # both sources ARE the corpus distribution -> W1 exactly 0
     assert all(r["w1_bins"] == 0.0 for r in out)
+
+
+# ------------------------ SLO burn alerts -------------------------
+
+
+def _slo_events(spark, tmp_path, hours):
+    """hours: list of (n_ok, n_err) per consecutive hour."""
+    import shutil
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    rows, eid = [], 0
+    for h, (n_ok, n_err) in enumerate(hours):
+        for k in range(n_ok + n_err):
+            eid += 1
+            rows.append(
+                (
+                    eid,
+                    f"2026-01-01 {h:02d}:00:{k % 60:02d}"
+                    if h < 24
+                    else f"2026-01-02 {h - 24:02d}:00:{k % 60:02d}",
+                    eid % 50,
+                    "error" if k < n_err else "view",
+                    1.0,
+                    "{}",
+                )
+            )
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).selectExpr(
+        "event_id", "CAST(ts AS TIMESTAMP) AS ts", "user_id",
+        "event_type", "value", "props"
+    )
+    df.write.parquet(str(sf / "events.parquet"))
+    return str(sf)
+
+
+def test_slo_single_blip_never_pages(spark, tmp_path):
+    """The two-window AND: one moderately bad hour inside a quiet
+    run exceeds the 1h burn but not the 6h — no page."""
+    from citeconnect_datapipeline_spark.operators.timeseries import (
+        slo_burn_alerts,
+    )
+
+    hours = [(80, 20)] * 6 + [(70, 30)] + [(80, 20)] * 6
+    out = slo_burn_alerts(spark, _slo_events(spark, tmp_path, hours)).collect()
+    blip = [r for r in out if r["n_events"] == 100 and r["burn_1h"] == 1.2]
+    assert blip and all(r["page_alert"] == 0 for r in out)
+
+
+def test_slo_sustained_burn_pages(spark, tmp_path):
+    from citeconnect_datapipeline_spark.operators.timeseries import (
+        slo_burn_alerts,
+    )
+
+    hours = [(80, 20)] * 8 + [(65, 35)] * 6 + [(80, 20)] * 4
+    out = slo_burn_alerts(spark, _slo_events(spark, tmp_path, hours)).collect()
+    pages = [r for r in out if r["page_alert"] == 1]
+    assert pages, "a 6-hour sustained burn must page"
+    # pages only during/after the burst, never in the leading quiet run
+    assert min(r["hr"] for r in pages) >= min(r["hr"] for r in out) + 8
