@@ -52,6 +52,7 @@ from .operators.analytics import h_index_by
 from .operators.quality import (
     benford_digit_cells,
     dp_noisy_counts_release,
+    dp_user_counts_release,
     k_anonymity_cells,
     l_diversity_cells,
 )
@@ -127,6 +128,7 @@ curation = SimpleNamespace(
     chi2_term_selection=chi2_term_selection_frame,
     token_concentration_by=token_concentration_by,
     dp_noisy_counts_release=dp_noisy_counts_release,
+    dp_user_counts_release=dp_user_counts_release,
     label_outliers=label_outliers,
     weighted_sample=es_weighted_sample,
     k_anonymity_cells=k_anonymity_cells,

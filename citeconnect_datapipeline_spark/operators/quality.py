@@ -626,3 +626,112 @@ def column_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("col")
     )
+
+
+DP_USER_CAP = 4  # per-user contribution bound C per cell
+
+
+def dp_user_counts_release(
+    events: DataFrame,
+    group_col: str,
+    user_col: str,
+    *,
+    salt: str,
+    cap: int = DP_USER_CAP,
+    epsilon: float = DP_EPSILON,
+) -> DataFrame:
+    """USER-level DP noisy counts with bounded contribution
+    (api.curation.dp_user_counts_release) — the upgrade
+    `dp_noisy_counts_release` (row-level, sensitivity 1) cannot
+    honestly make on event data: when one user can contribute many
+    rows to a cell, removing that user moves the raw count by their
+    whole activity, so the Laplace scale must grow with the
+    contribution bound. This clips each user's per-cell
+    contribution at ``cap`` FIRST (the standard user-level DP move:
+    utility loss for the heavy users, bounded sensitivity for
+    everyone), then noises the clipped sum at scale cap/epsilon.
+    ``n_users_clipped`` is the utility audit a DP engineer reads to
+    tune the cap — publish it only in the secret-salt regime with
+    its own budget, or keep it internal. The salt contract is
+    dp_noisy_counts_release's: REQUIRED, secret in production,
+    public only for the demo/ledger.
+
+    Scale shape: one (cell, user) aggregate (map-side combinable),
+    one LEAST() clip in codegen, one cell-grain rollup, per-cell
+    noise arithmetic. No window, no corpus-grain state."""
+    per_user = events.groupBy(
+        F.col(group_col).alias("cell"), F.col(user_col).alias("u")
+    ).agg(F.count("*").alias("nu"))
+    clipped = per_user.groupBy("cell").agg(
+        F.sum(F.least(F.col("nu"), F.lit(cap))).alias("n"),
+        F.count(F.when(F.col("nu") > cap, 1)).alias("n_users_clipped"),
+    )
+    h = F.md5(
+        F.concat(F.lit("dpu:"), F.lit(salt), F.lit(":"), F.col("cell"))
+    )
+    u_terms = sum(
+        (
+            (F.instr(F.lit(_DP_HEX), F.substring(h, i + 1, 1)) - 1)
+            * (16 ** (3 - i))
+            for i in range(4)
+        ),
+        F.lit(0),
+    )
+    u = (u_terms + 1.0) / 65537.0
+    lap = (
+        -(float(cap) / epsilon)
+        * F.when(u >= 0.5, 1.0).otherwise(-1.0)
+        * F.log(1.0 - 2.0 * F.abs(u - 0.5))
+    )
+    return clipped.select(
+        F.col("cell"),
+        (F.col("n") + F.round(lap, 0)).cast("bigint").alias("noisy_count"),
+        F.col("n_users_clipped").cast("bigint").alias("n_users_clipped"),
+        F.lit(float(epsilon)).alias("epsilon"),
+        F.lit(cap).cast("int").alias("sensitivity"),
+        F.round(F.lit(float(cap) / epsilon), 6).alias("laplace_scale"),
+    ).orderBy("cell")
+
+
+@query(
+    "dp_user_activity_counts",
+    oracle=f"""
+    WITH per_user AS (
+        SELECT event_type AS cell, user_id AS u, COUNT(*) AS nu
+        FROM events GROUP BY 1, 2
+    ),
+    clipped AS (
+        SELECT cell,
+               SUM(LEAST(nu, {DP_USER_CAP})) AS n,
+               COUNT(*) FILTER (WHERE nu > {DP_USER_CAP})
+                   AS n_users_clipped
+        FROM per_user GROUP BY 1
+    ),
+    noised AS (
+        SELECT cell, n, n_users_clipped,
+               {_dp_u_sql(f"'dpu:{_DP_DEMO_SALT}:' || cell")} AS u
+        FROM clipped
+    )
+    SELECT cell,
+           CAST(n + ROUND(
+               -({DP_USER_CAP}.0 / {DP_EPSILON})
+               * (CASE WHEN u >= 0.5 THEN 1.0 ELSE -1.0 END)
+               * LN(1.0 - 2.0 * ABS(u - 0.5)), 0) AS BIGINT)
+               AS noisy_count,
+           CAST(n_users_clipped AS BIGINT) AS n_users_clipped,
+           {DP_EPSILON} AS epsilon,
+           CAST({DP_USER_CAP} AS INT) AS sensitivity,
+           ROUND({DP_USER_CAP}.0 / {DP_EPSILON}, 6) AS laplace_scale
+    FROM noised ORDER BY cell
+    """,
+)
+def dp_user_activity_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type activity counts released under USER-level DP
+    with bounded contribution — see `dp_user_counts_release` for the
+    clip/sensitivity argument and the salt contract (the repo-public
+    demo salt keeps this oracle-checkable; a real release swaps in a
+    sealed secret salt and the same plan shape)."""
+    events = load_table(spark, sf_dir, "events")
+    return dp_user_counts_release(
+        events, "event_type", "user_id", salt=_DP_DEMO_SALT
+    )

@@ -400,3 +400,48 @@ def test_slo_sustained_burn_pages(spark, tmp_path):
     assert pages, "a 6-hour sustained burn must page"
     # pages only during/after the burst, never in the leading quiet run
     assert min(r["hr"] for r in pages) >= min(r["hr"] for r in out) + 8
+
+
+# --------------------- user-level DP counts -----------------------
+
+
+def test_dp_user_counts_clip_bounds_heavy_user(spark):
+    """A single hyper-active user moves the clipped sum by at most
+    the cap — the bounded-sensitivity property row-level DP lacks on
+    event data."""
+    from citeconnect_datapipeline_spark.api import curation
+
+    base = [(i, "a", i) for i in range(50)]  # 50 users, 1 event each
+    whale = [(1000 + k, "a", 7) for k in range(500)]  # user 7 x500
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "event_id long, event_type string, user_id long"
+    )
+    quiet = curation.dp_user_counts_release(
+        mk(base), "event_type", "user_id", salt="t", cap=4
+    ).collect()[0]
+    loud = curation.dp_user_counts_release(
+        mk(base + whale), "event_type", "user_id", salt="t", cap=4
+    ).collect()[0]
+    # same salt + same cell -> identical noise; the released counts
+    # differ by exactly the whale's CLIPPED contribution (4 - 1 = 3)
+    assert loud["noisy_count"] - quiet["noisy_count"] == 3
+    assert loud["n_users_clipped"] == 1 and quiet["n_users_clipped"] == 0
+    assert loud["sensitivity"] == 4 and loud["laplace_scale"] == 4.0
+
+
+def test_dp_user_counts_noise_scale_tracks_cap(spark):
+    """Raising the cap raises the declared Laplace scale (cap/eps):
+    the utility/privacy dial is explicit in the ledger columns."""
+    from citeconnect_datapipeline_spark.api import curation
+
+    df = spark.createDataFrame(
+        [(i, "a", i % 10) for i in range(100)],
+        "event_id long, event_type string, user_id long",
+    )
+    r4 = curation.dp_user_counts_release(
+        df, "event_type", "user_id", salt="t", cap=4
+    ).collect()[0]
+    r16 = curation.dp_user_counts_release(
+        df, "event_type", "user_id", salt="t", cap=16
+    ).collect()[0]
+    assert r16["laplace_scale"] == 4 * r4["laplace_scale"]
