@@ -2526,3 +2526,101 @@ def wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("w1_bins"), "source")
     )
+
+
+@query(
+    "shuffle_quality_audit",
+    oracle="""
+    WITH pairs AS (
+        SELECT a.source AS s1, b.source AS s2
+        FROM documents a JOIN documents b
+          ON b.doc_id = a.doc_id + 1
+    ),
+    obs AS (
+        SELECT COUNT(*) AS n_pairs,
+               SUM(CASE WHEN s1 = s2 THEN 1 ELSE 0 END) AS n_same
+        FROM pairs
+    ),
+    shares AS (
+        SELECT SUM(p * p) AS p_same FROM (
+            SELECT COUNT(*) * 1.0
+                   / (SELECT COUNT(*) FROM documents) AS p
+            FROM documents GROUP BY source
+        )
+    )
+    SELECT CAST(n_pairs AS BIGINT) AS n_pairs,
+           CAST(n_same AS BIGINT) AS n_same,
+           ROUND(n_same * 1.0 / n_pairs, 6) AS obs_same_frac,
+           ROUND(p_same, 6) AS exp_same_frac,
+           ROUND((n_same * 1.0 / n_pairs - p_same)
+                 / SQRT(p_same * (1 - p_same) / n_pairs), 6)
+               AS clump_z,
+           CASE WHEN (n_same * 1.0 / n_pairs - p_same)
+                     / SQRT(p_same * (1 - p_same) / n_pairs) > 3
+                THEN 1 ELSE 0 END AS needs_reshuffle
+    FROM obs CROSS JOIN shares
+    """,
+)
+def shuffle_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Is the training corpus actually shuffled? Lag-1 source
+    agreement along the write order (doc_id) against the
+    independence expectation sum p_s^2 — a well-shuffled dataset
+    matches it, while source-clumped data (files written
+    source-by-source, the default failure of an append pipeline)
+    shows a clump_z in the hundreds. Run-of-same-source batches are
+    what make an LM's loss curve sawtooth (the classic 'forgot to
+    shuffle the shards' signature), and THIS is the one-number
+    pre-flight that catches it before a training run does.
+
+    Scale shape: the lag is a consecutive-id EQUI-join (b.doc_id =
+    a.doc_id + 1) — a shuffle join both sides partition identically,
+    NO global order-by/window over the corpus (the naive lag()
+    window would single-partition 100 TB); the expectation is a
+    source-grain share aggregate. Two scalars out. With gapped ids,
+    join on the row-adjacent key your layout provides (file + row
+    index from _metadata), same shape.
+
+    Reference anchor: the reference's loaders stream in listing
+    order with no shuffle audit anywhere (ingestion/batch_loader.py).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    a = docs.select(F.col("doc_id").alias("ida"), F.col("source").alias("s1"))
+    b = docs.select(
+        (F.col("doc_id") - 1).alias("ida"), F.col("source").alias("s2")
+    )
+    obs = (
+        a.join(b, "ida")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum(
+                F.when(F.col("s1") == F.col("s2"), 1).otherwise(0)
+            ).alias("n_same"),
+        )
+    )
+    # sum p_s^2 computed fully in-plane: sum n_s^2 / N^2 — no
+    # driver-side count() barrier in the builder
+    shares = (
+        docs.groupBy("source")
+        .agg(F.count("*").alias("n_s"))
+        .agg(
+            F.sum(F.col("n_s") * F.col("n_s")).alias("ss"),
+            F.sum("n_s").alias("tot"),
+        )
+        .select(
+            (F.col("ss") * 1.0 / (F.col("tot") * F.col("tot"))).alias(
+                "p_same"
+            )
+        )
+    )
+    of = F.col("n_same") * 1.0 / F.col("n_pairs")
+    z = (of - F.col("p_same")) / F.sqrt(
+        F.col("p_same") * (1 - F.col("p_same")) / F.col("n_pairs")
+    )
+    return obs.crossJoin(F.broadcast(shares)).select(
+        F.col("n_pairs").cast("bigint").alias("n_pairs"),
+        F.col("n_same").cast("bigint").alias("n_same"),
+        F.round(of, 6).alias("obs_same_frac"),
+        F.round("p_same", 6).alias("exp_same_frac"),
+        F.round(z, 6).alias("clump_z"),
+        F.when(z > 3, 1).otherwise(0).alias("needs_reshuffle"),
+    )

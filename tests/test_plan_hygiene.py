@@ -91,6 +91,8 @@ NESTED_LOOP_OK = {
     # scalar broadcasts over the bounded bin table
     "lm_perplexity_buckets",  # smoothing denominator V + tertile
     # cutoffs: 1-row scalar broadcasts (replaced the r4 global ntile)
+    "shuffle_quality_audit",  # 1-row independence-expectation scalar
+    # broadcast crossed with the 1-row observed-agreement scalar
     "source_divergence_panel",  # same bounded grid as the KL query
     "source_kl_divergence",  # 256-row corpus-bucket table + 1-row
     # total: bounded broadcasts building the source x bucket grid

@@ -445,3 +445,49 @@ def test_dp_user_counts_noise_scale_tracks_cap(spark):
         df, "event_type", "user_id", salt="t", cap=16
     ).collect()[0]
     assert r16["laplace_scale"] == 4 * r4["laplace_scale"]
+
+
+# ---------------------- shuffle quality audit ---------------------
+
+
+def _shuffle_docs(spark, tmp_path, order):
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    rows = [
+        (i, "x", "en", src, 100) for i, src in enumerate(order)
+    ]
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).write.parquet(str(sf / "documents.parquet"))
+    return str(sf)
+
+
+def test_shuffle_audit_flags_source_clumped_order(spark, tmp_path):
+    from citeconnect_datapipeline_spark.operators.training import (
+        shuffle_quality_audit,
+    )
+
+    # 4 sources written file-by-file: nearly every lag-1 pair agrees
+    order = [f"s{k}" for k in range(4) for _ in range(100)]
+    r = shuffle_quality_audit(
+        spark, _shuffle_docs(spark, tmp_path, order)
+    ).collect()[0]
+    assert r["needs_reshuffle"] == 1 and r["clump_z"] > 10
+    assert r["obs_same_frac"] > 0.9 and abs(r["exp_same_frac"] - 0.25) < 0.01
+
+
+def test_shuffle_audit_passes_interleaved_order(spark, tmp_path):
+    from citeconnect_datapipeline_spark.operators.training import (
+        shuffle_quality_audit,
+    )
+
+    # perfect round-robin: NO lag-1 pair ever agrees -> clump_z is
+    # strongly negative (anti-clumped), and must not flag
+    order = [f"s{i % 4}" for i in range(400)]
+    r = shuffle_quality_audit(
+        spark, _shuffle_docs(spark, tmp_path, order)
+    ).collect()[0]
+    assert r["needs_reshuffle"] == 0
+    assert r["n_same"] == 0 and r["clump_z"] < -3
