@@ -2624,3 +2624,94 @@ def shuffle_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 6).alias("clump_z"),
         F.when(z > 3, 1).otherwise(0).alias("needs_reshuffle"),
     )
+
+
+EPOCH_SHARDS = 8  # shards per epoch in the demo plan
+_ES_HEX = "0123456789abcdef"
+
+
+@query(
+    "epoch_shuffle_plan",
+    oracle=f"""
+    WITH assigned AS (
+        SELECT doc_id,
+               (strpos('{_ES_HEX}', substr(
+                    md5('e0:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1)
+                   % {EPOCH_SHARDS} AS s0,
+               (strpos('{_ES_HEX}', substr(
+                    md5('e1:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1)
+                   % {EPOCH_SHARDS} AS s1
+        FROM documents
+    ),
+    e0 AS (
+        SELECT s0 AS shard, COUNT(*) AS n_epoch0,
+               SUM(CASE WHEN s0 = s1 THEN 1 ELSE 0 END) AS n_stay
+        FROM assigned GROUP BY 1
+    ),
+    e1 AS (SELECT s1 AS shard, COUNT(*) AS n_epoch1
+           FROM assigned GROUP BY 1)
+    SELECT e0.shard, CAST(n_epoch0 AS BIGINT) AS n_epoch0,
+           CAST(n_epoch1 AS BIGINT) AS n_epoch1,
+           ROUND(n_stay * 1.0 / n_epoch0, 6) AS stay_frac
+    FROM e0 JOIN e1 ON e0.shard = e1.shard
+    ORDER BY e0.shard
+    """,
+)
+def epoch_shuffle_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch reshuffle plan with its own audit —
+    the other half of `shuffle_quality_audit`: every epoch e orders
+    and shards the corpus by md5('e<e>:' || doc_id), so the shuffle
+    is (a) reproducible byte-for-byte from the epoch number alone
+    (resume a crashed epoch 3 without storing a permutation), (b)
+    shard-parallel with no coordination, and (c) DECORRELATED
+    across epochs — stay_frac (docs landing in the same shard twice)
+    sits at 1/shards, which is exactly what breaks the
+    same-neighborhood-every-epoch batch correlation a fixed shard
+    layout inflicts on training. This is the curriculum-free version
+    of the data-order story; per-shard in-file order is
+    md5-of-the-same-key ORDER BY at write time.
+
+    Scale shape: two hash columns per row in codegen, one
+    (shard0)-grain aggregate carrying the stay count, one
+    shard1-grain count, a |shards|-row join. No window, no
+    driver state, nothing corpus-grain after the scan.
+
+    Reference anchor: the reference trains nothing and streams in
+    listing order (ingestion/batch_loader.py); this is the layer a
+    training consumer needs above it."""
+    docs = load_table(spark, sf_dir, "documents")
+
+    def shard(epoch: int):
+        h = F.md5(
+            F.concat(
+                F.lit(f"e{epoch}:"), F.col("doc_id").cast("string")
+            )
+        )
+        return (
+            F.instr(F.lit(_ES_HEX), F.substring(h, 1, 1)) - 1
+        ) % EPOCH_SHARDS
+
+    assigned = docs.select(
+        shard(0).alias("s0"), shard(1).alias("s1")
+    )
+    e0 = assigned.groupBy(F.col("s0").alias("shard")).agg(
+        F.count("*").cast("bigint").alias("n_epoch0"),
+        F.sum(
+            F.when(F.col("s0") == F.col("s1"), 1).otherwise(0)
+        ).alias("n_stay"),
+    )
+    e1 = assigned.groupBy(F.col("s1").alias("shard")).agg(
+        F.count("*").cast("bigint").alias("n_epoch1")
+    )
+    return (
+        e0.join(e1, "shard")
+        .select(
+            "shard",
+            "n_epoch0",
+            "n_epoch1",
+            F.round(
+                F.col("n_stay") * 1.0 / F.col("n_epoch0"), 6
+            ).alias("stay_frac"),
+        )
+        .orderBy("shard")
+    )

@@ -491,3 +491,49 @@ def test_shuffle_audit_passes_interleaved_order(spark, tmp_path):
     ).collect()[0]
     assert r["needs_reshuffle"] == 0
     assert r["n_same"] == 0 and r["clump_z"] < -3
+
+
+# ----------------------- epoch shuffle plan -----------------------
+
+
+def test_epoch_shuffle_balanced_and_decorrelated(spark, tmp_path):
+    from citeconnect_datapipeline_spark.operators.training import (
+        EPOCH_SHARDS,
+        epoch_shuffle_plan,
+    )
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    n = 4000
+    spark.range(n).selectExpr(
+        "id AS doc_id", "'x' AS text", "'en' AS lang",
+        "'s0' AS source", "100 AS n_chars"
+    ).write.parquet(str(sf / "documents.parquet"))
+    out = epoch_shuffle_plan(spark, str(sf)).collect()
+    assert len(out) == EPOCH_SHARDS
+    assert sum(r["n_epoch0"] for r in out) == n
+    assert sum(r["n_epoch1"] for r in out) == n
+    # balanced within ~5 sigma of the binomial expectation
+    exp = n / EPOCH_SHARDS
+    sd = (n * (1 / EPOCH_SHARDS) * (1 - 1 / EPOCH_SHARDS)) ** 0.5
+    for r in out:
+        assert abs(r["n_epoch0"] - exp) < 5 * sd
+        assert abs(r["n_epoch1"] - exp) < 5 * sd
+        # cross-epoch decorrelation: stay fraction ~ 1/shards
+        assert abs(r["stay_frac"] - 1 / EPOCH_SHARDS) < 0.06
+
+
+def test_epoch_shuffle_is_reproducible(spark, tmp_path):
+    from citeconnect_datapipeline_spark.operators.training import (
+        epoch_shuffle_plan,
+    )
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    spark.range(500).selectExpr(
+        "id AS doc_id", "'x' AS text", "'en' AS lang",
+        "'s0' AS source", "100 AS n_chars"
+    ).write.parquet(str(sf / "documents.parquet"))
+    a = [tuple(r) for r in epoch_shuffle_plan(spark, str(sf)).collect()]
+    b = [tuple(r) for r in epoch_shuffle_plan(spark, str(sf)).collect()]
+    assert a == b  # the permutation is a pure function of (epoch, id)
