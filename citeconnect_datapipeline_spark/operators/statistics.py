@@ -2389,3 +2389,107 @@ def mannwhitney_u(
         z.alias("mw_z"),
         F.when(F.abs(z) > MWU_Z_95, 1).otherwise(0).alias("significant"),
     ).orderBy(metric_col)
+
+
+QSA_ACCURACIES = (1000, 10000)  # percentile_approx accuracy ladder
+QSA_PERCENTILES = (0.5, 0.9, 0.99)
+
+
+@query("quantile_sketch_accuracy")  # rows-only: percentile_approx's
+# GK sketch is Spark-internal (no DuckDB equivalent to replay); the
+# exact side is hash-verified via quantiles_by_group, and the error
+# bound here is pinned by tests/test_round8_ops.py
+def quantile_sketch_accuracy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Measured exact-vs-approximate quantile error across the
+    accuracy ladder — the audit behind this engine's own repeated
+    advice ('at 100 TB swap percentile for percentile_approx'):
+    percentile_approx is a Greenwald-Khanna sketch whose RANK error
+    is bounded by 1/accuracy, so the trade should be priced, not
+    asserted. For each (accuracy, p): both values and the realized
+    rank error |rank(approx) - p| (rank of the approx value measured
+    against the true CDF), which the GK contract bounds by
+    1/accuracy.
+
+    Scale shape: one aggregate computes every exact and approximate
+    percentile in a single pass (the exact side's partial state is a
+    value-count map, the approx side a GK sketch — both mergeable);
+    the rank check is one more scan with 6 bounded count columns. At
+    a true 100 TB the exact side is the one you drop — which is the
+    point of measuring what that costs in rank error first."""
+    orders = load_table(spark, sf_dir, "orders")
+    aggs = []
+    for acc in QSA_ACCURACIES:
+        for p in QSA_PERCENTILES:
+            tag = f"{acc}_{str(p).replace('.', '')}"
+            aggs.append(
+                F.round(
+                    F.percentile_approx(
+                        "o_totalprice", F.lit(p), F.lit(acc)
+                    ),
+                    6,
+                ).alias(f"a_{tag}")
+            )
+    for p in QSA_PERCENTILES:
+        aggs.append(
+            F.round(
+                F.percentile("o_totalprice", F.lit(p)), 6
+            ).alias(f"e_{str(p).replace('.', '')}")
+        )
+    aggs.append(F.count("*").alias("n"))
+    one = orders.agg(*aggs)
+    ranks = orders.crossJoin(F.broadcast(one)).agg(
+        *[
+            (
+                F.count(
+                    F.when(
+                        F.col("o_totalprice")
+                        <= F.col(
+                            f"a_{acc}_{str(p).replace('.', '')}"
+                        ),
+                        1,
+                    )
+                )
+                * 1.0
+                / F.max("n")
+            ).alias(f"r_{acc}_{str(p).replace('.', '')}")
+            for acc in QSA_ACCURACIES
+            for p in QSA_PERCENTILES
+        ],
+        *[
+            F.max(f"a_{acc}_{str(p).replace('.', '')}").alias(
+                f"a_{acc}_{str(p).replace('.', '')}"
+            )
+            for acc in QSA_ACCURACIES
+            for p in QSA_PERCENTILES
+        ],
+        *[
+            F.max(f"e_{str(p).replace('.', '')}").alias(
+                f"e_{str(p).replace('.', '')}"
+            )
+            for p in QSA_PERCENTILES
+        ],
+    )
+    rows = []
+    for acc in QSA_ACCURACIES:
+        for p in QSA_PERCENTILES:
+            tag = f"{acc}_{str(p).replace('.', '')}"
+            et = f"e_{str(p).replace('.', '')}"
+            rows.append(
+                F.struct(
+                    F.lit(acc).alias("accuracy"),
+                    F.lit(p).alias("p"),
+                    F.col(f"a_{tag}").alias("approx_value"),
+                    F.col(et).alias("exact_value"),
+                    F.round(
+                        F.abs(F.col(f"r_{tag}") - F.lit(p)), 6
+                    ).alias("rank_error"),
+                    F.round(F.lit(1.0 / acc), 6).alias("gk_bound"),
+                )
+            )
+    return (
+        ranks.select(F.explode(F.array(*rows)).alias("r"))
+        .select("r.*")
+        .orderBy("accuracy", "p")
+    )

@@ -66,6 +66,8 @@ NESTED_LOOP_OK = {
     # the (term, class)-grain contingency table
     "embedding_isotropy_audit",  # 1-row sum-of-dim-sums scalar
     # broadcast joined to the 1-row vec-grain totals
+    "quantile_sketch_accuracy",  # 1-row exact+approx percentile
+    # panel broadcast back over the scan for the rank check
     "rank_biased_overlap",  # <=20-row both-prefixes broadcast range-
     # joined to the 20-row depth grid (bounded by TREND_TOPK twice)
     "vocab_sizing_curve",  # 64-row TakeOrdered head broadcast range-

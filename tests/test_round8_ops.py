@@ -537,3 +537,27 @@ def test_epoch_shuffle_is_reproducible(spark, tmp_path):
     a = [tuple(r) for r in epoch_shuffle_plan(spark, str(sf)).collect()]
     b = [tuple(r) for r in epoch_shuffle_plan(spark, str(sf)).collect()]
     assert a == b  # the permutation is a pure function of (epoch, id)
+
+
+# --------------------- quantile sketch accuracy --------------------
+
+
+def test_quantile_sketch_error_within_gk_bound(spark):
+    """The realized rank error of percentile_approx must respect the
+    Greenwald-Khanna contract (<= 1/accuracy, up to the 6-dp
+    rounding the panel applies) and tighten with accuracy."""
+    from citeconnect_datapipeline_spark.operators.statistics import (
+        quantile_sketch_accuracy,
+    )
+
+    out = quantile_sketch_accuracy(spark, SF).collect()
+    assert len(out) == 6
+    for r in out:
+        assert r["rank_error"] <= r["gk_bound"] + 1e-6, (
+            r["accuracy"], r["p"], r["rank_error"])
+    # higher accuracy never does worse at the same percentile
+    by_p = {}
+    for r in out:
+        by_p.setdefault(r["p"], {})[r["accuracy"]] = r["rank_error"]
+    for p, d in by_p.items():
+        assert d[10000] <= d[1000] + 1e-6
