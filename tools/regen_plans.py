@@ -60,6 +60,19 @@ PICKS = {
     "page_hinkley_drift": "r7: day-grain aggregate feeds three "
     "prefix windows — the sequential test is one partition-local "
     "scan at any corpus size",
+    "vocab_sizing_curve": "r8 rewrite: TakeOrdered(64) head BEFORE "
+    "the rank window — the broadcast side is k-bounded, the "
+    "vocab-grain global sort is gone",
+    "typo_candidate_pairs": "r8: SymSpell deletion-neighborhood "
+    "EQUI-join on variants (never a cross join); explode_outer "
+    "keeps the variant HOF above the vocab aggregate",
+    "mannwhitney_u_test": "r8: rank-sum as value-grain arithmetic — "
+    "one (metric, value) aggregate, windows only over the bounded "
+    "value table",
+    "ivf_nprobe_recall": "r8: one augmented assignment pass carries "
+    "sizes AND truth hits; TakeOrdered(10) brute-force baseline",
+    "shuffle_quality_audit": "r8: lag-1 as a consecutive-id "
+    "equi-join — no global order window over the corpus",
 }
 KEEP = re.compile(
     r"Scan parquet|BatchScan|BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin"
