@@ -1874,3 +1874,100 @@ def slo_burn_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("ticket_alert"),
     ).orderBy("hr")
+
+
+@query(
+    "theilsen_trend",
+    oracle="""
+    WITH weekly AS (
+        SELECT CAST(date_diff('day', DATE '1970-01-01',
+                              CAST(o_orderdate AS DATE)) // 7
+               AS BIGINT) AS wk,
+               ROUND(SUM(o_totalprice), 6) AS x
+        FROM orders GROUP BY 1
+    ),
+    slopes AS (
+        SELECT ROUND((b.x - a.x) / (b.wk - a.wk), 6) AS s
+        FROM weekly a JOIN weekly b ON a.wk < b.wk
+    ),
+    ts AS (SELECT ROUND(quantile_cont(s, 0.5), 6) AS ts_slope
+           FROM slopes),
+    ols AS (
+        SELECT ROUND(regr_slope(x, wk), 6) AS ols_slope,
+               CAST(COUNT(*) AS BIGINT) AS n_weeks
+        FROM weekly
+    ),
+    res AS (
+        SELECT ROUND(quantile_cont(x - ts_slope * wk, 0.5), 6)
+                   AS ts_intercept
+        FROM weekly CROSS JOIN ts
+    )
+    SELECT n_weeks, ts_slope, ts_intercept, ols_slope,
+           ROUND(ts_slope - ols_slope, 6) AS slope_gap
+    FROM ols CROSS JOIN ts CROSS JOIN res
+    """,
+)
+def theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of the weekly revenue series — the
+    median of all pairwise slopes, beside the OLS slope
+    (`metric_trend_fit`'s estimator) it corrects: OLS has breakdown
+    point 0 (one corrupted week — a backfill, an outage, a currency
+    bug — drags the fitted trend arbitrarily), Theil-Sen tolerates
+    ~29% corrupted points before moving. slope_gap IS the health
+    check: near 0 when the series is clean, large exactly when the
+    OLS number on a dashboard is lying.
+
+    Scale shape: the pair set is CALENDAR-squared, not corpus-sized
+    (344 weeks -> 59k slope pairs regardless of row count; the
+    corpus appears only in the first week-grain aggregate), so the
+    O(n^2) estimator is safe HERE by construction — for decade-long
+    daily series, cap the pair span or switch to the repeated-median
+    variant, and partition everything by metric id. Medians are
+    exact percentiles over the bounded slope table.
+
+    Reference anchor: robustifies the reference's trend arithmetic
+    (reporting/metrics_tracker.py), which is a plain two-point
+    delta."""
+    orders = load_table(spark, sf_dir, "orders")
+    weekly = orders.groupBy(
+        (F.unix_date(F.to_date("o_orderdate")) / 7)
+        .cast("long")
+        .alias("wk")
+    ).agg(F.round(F.sum("o_totalprice"), 6).alias("x"))
+    a = weekly.select(F.col("wk").alias("wa"), F.col("x").alias("xa"))
+    b = weekly.select(F.col("wk").alias("wb"), F.col("x").alias("xb"))
+    slopes = a.join(b, F.col("wa") < F.col("wb")).select(
+        F.round(
+            (F.col("xb") - F.col("xa")) / (F.col("wb") - F.col("wa")),
+            6,
+        ).alias("s")
+    )
+    ts = slopes.agg(
+        F.round(F.percentile("s", F.lit(0.5)), 6).alias("ts_slope")
+    )
+    ols = weekly.agg(
+        F.round(F.regr_slope("x", "wk"), 6).alias("ols_slope"),
+        F.count("*").cast("bigint").alias("n_weeks"),
+    )
+    res = weekly.crossJoin(F.broadcast(ts)).agg(
+        F.round(
+            F.percentile(
+                F.col("x") - F.col("ts_slope") * F.col("wk"),
+                F.lit(0.5),
+            ),
+            6,
+        ).alias("ts_intercept")
+    )
+    return (
+        ols.crossJoin(F.broadcast(ts))
+        .crossJoin(F.broadcast(res))
+        .select(
+            "n_weeks",
+            "ts_slope",
+            "ts_intercept",
+            "ols_slope",
+            F.round(
+                F.col("ts_slope") - F.col("ols_slope"), 6
+            ).alias("slope_gap"),
+        )
+    )

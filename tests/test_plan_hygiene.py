@@ -107,6 +107,9 @@ NESTED_LOOP_OK = {
     # candidate-page self-pairing — every non-equi side is page-bounded
     "mrl_truncation_eval",  # 1-row query-vector broadcast (cosine_topk's
     # probe shape) x the 4-value dim ladder
+    "theilsen_trend",  # week x week slope pairs: both sides are the
+    # CALENDAR-bounded weekly aggregate (344 rows at any corpus
+    # size), plus 1-row median/OLS scalar broadcasts
     "theta_audience_overlap",
     "theta_overlap_portable",  # pair grid over the handful of event
     # types x the K-row-per-type KMV sketch — both sides sketch-

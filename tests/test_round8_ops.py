@@ -561,3 +561,39 @@ def test_quantile_sketch_error_within_gk_bound(spark):
         by_p.setdefault(r["p"], {})[r["accuracy"]] = r["rank_error"]
     for p, d in by_p.items():
         assert d[10000] <= d[1000] + 1e-6
+
+
+# ------------------------ Theil-Sen trend -------------------------
+
+
+def test_theilsen_shrugs_off_planted_outlier(spark, tmp_path):
+    """One corrupted week drags OLS but not the median-of-slopes:
+    slope_gap is the health check."""
+    from citeconnect_datapipeline_spark.operators.timeseries import (
+        theilsen_trend,
+    )
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    rows = []
+    oid = 0
+    for w in range(40):
+        # clean linear series: one order per week, price 100 + 10*w;
+        # week 20 is corrupted by a 100x backfill spike
+        oid += 1
+        price = 100.0 + 10 * w if w != 20 else 30000.0
+        rows.append((oid, f"2025-01-{1 + 0:02d}", price, w))
+    df = spark.createDataFrame(
+        [(o, p, w) for (o, _, p, w) in rows],
+        "o_orderkey long, o_totalprice double, w int",
+    ).selectExpr(
+        "o_orderkey",
+        "CAST(timestampadd(WEEK, w, TIMESTAMP '2025-01-01') AS"
+        " TIMESTAMP) AS o_orderdate",
+        "o_totalprice",
+    )
+    df.write.parquet(str(sf / "orders.parquet"))
+    r = theilsen_trend(spark, str(sf)).collect()[0]
+    assert abs(r["ts_slope"] - 10.0) < 0.5, r  # robust: true slope
+    assert r["ols_slope"] > 12.0  # OLS dragged by the spike
+    assert abs(r["slope_gap"]) > 2.0
