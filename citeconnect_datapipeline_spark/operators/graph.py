@@ -1169,3 +1169,121 @@ def degree_distribution_fit(
         ),
         F.round(F.regr_r2(ln_n, ln_d), 6).alias("fit_r2"),
     )
+
+
+LCC_MIN_DEG = 3  # clustering coefficient needs enough wedges to mean
+
+
+@query(
+    "clustering_coefficient_topk",
+    oracle=f"""
+    WITH baskets AS MATERIALIZED (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    pair_n AS MATERIALIZED (
+        SELECT a.l_partkey AS u, b.l_partkey AS v, COUNT(*) AS cab
+        FROM baskets a JOIN baskets b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+    ),
+    e AS MATERIALIZED (SELECT u, v FROM pair_n WHERE cab >= 2),
+    tri AS (
+        SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM e e1
+        JOIN e e2 ON e1.v = e2.u
+        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    t_per AS (
+        SELECT vtx, COUNT(*) AS t FROM (
+            SELECT a AS vtx FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri
+        ) GROUP BY vtx
+    ),
+    deg AS (
+        SELECT vtx, COUNT(*) AS d FROM (
+            SELECT u AS vtx FROM e UNION ALL SELECT v FROM e
+        ) GROUP BY vtx
+    )
+    SELECT d.vtx, CAST(d.d AS BIGINT) AS degree,
+           CAST(COALESCE(t.t, 0) AS BIGINT) AS n_triangles,
+           ROUND(2.0 * COALESCE(t.t, 0) / (d.d * (d.d - 1)), 6)
+               AS local_cc
+    FROM deg d LEFT JOIN t_per t ON t.vtx = d.vtx
+    WHERE d.d >= {LCC_MIN_DEG}
+    ORDER BY local_cc DESC, degree DESC, d.vtx
+    LIMIT 20
+    """,
+)
+def clustering_coefficient_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Local clustering coefficient per vertex — how CLIQUE-like a
+    part's co-purchase neighborhood is (2T(v)/deg(deg-1): the
+    fraction of a vertex's neighbor pairs that also co-occur),
+    ranked top-20. This separates the two kinds of hub the triangle
+    COUNT conflates: a bundle anchor inside a buying clique (high
+    LCC) vs a broad staple touching many unrelated baskets (high
+    degree, LCC near 0) — the distinction a recommender or a
+    negative-sampling scheme actually needs. Degree-gated at >= 3 so
+    single-wedge vertices cannot post a trivial 1.0.
+
+    Scale shape: shares the support-pruned ordered-edge lineage of
+    `copurchase_triangles` (Catalyst reuses the pair-count exchange
+    across the three triangle legs and the degree rollup); per-vertex
+    triangle and degree tables are vertex-grain; the top-20 is a
+    TakeOrdered. Support pruning bounds sum(deg^2) before any wedge
+    is built — the same guard the triangle query documents.
+
+    Reference anchor: the reference's citation-network metrics stop
+    at degree (analytics/citation_network_analyzer.py); LCC is the
+    cohesion upgrade."""
+    e = _support_pruned_edges(spark, sf_dir)
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u"))
+            & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .select(
+            F.col("e1.u").alias("a"),
+            F.col("e1.v").alias("b"),
+            F.col("e2.v").alias("c"),
+        )
+    )
+    # explode-an-array instead of a 3-leg union: each union leg
+    # re-plans the whole triangle lineage (3 lineitem scans each, 11
+    # total); the explode keeps ONE reference (4 scans total)
+    t_per = (
+        tri.select(
+            F.explode(F.array("a", "b", "c")).alias("vtx")
+        )
+        .groupBy("vtx")
+        .agg(F.count("*").alias("t"))
+    )
+    deg = (
+        e.select(F.explode(F.array("u", "v")).alias("vtx"))
+        .groupBy("vtx")
+        .agg(F.count("*").alias("d"))
+    )
+    return (
+        deg.join(t_per, "vtx", "left")
+        .filter(F.col("d") >= LCC_MIN_DEG)
+        .select(
+            "vtx",
+            F.col("d").cast("bigint").alias("degree"),
+            F.coalesce(F.col("t"), F.lit(0))
+            .cast("bigint")
+            .alias("n_triangles"),
+            F.round(
+                2.0
+                * F.coalesce(F.col("t"), F.lit(0))
+                / (F.col("d") * (F.col("d") - 1)),
+                6,
+            ).alias("local_cc"),
+        )
+        .orderBy(F.desc("local_cc"), F.desc("degree"), "vtx")
+        .limit(20)
+    )
