@@ -539,3 +539,84 @@ def decayed_popularity_stream(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def cusum_stream(
+    series: DataFrame,
+    mu: float,
+    sd: float,
+    k: float = 0.5,
+    h: float = 4.0,
+) -> DataFrame:
+    """Streaming twin of the batch `cusum_drift_chart`
+    (operators/timeseries.py): per metric key, the two-sided
+    standardized CUSUM folds each arriving (wk, x) point into four
+    state scalars — the running cumsums W+/W- and their running
+    minimums — so the state store is O(metrics), no history
+    retained, and the emitted statistic is EXACTLY the batch form's
+    cumsum-minus-running-min at every point. ``mu``/``sd`` are the
+    phase-I baseline the batch side computed and pinned (a stream
+    cannot see its own future; shipping the baseline as parameters
+    is the deployment contract, same as the batch query's
+    first-52-weeks rule).
+
+    Ordering contract: like `debounce_stream`, ALL of a key's Arrow
+    chunks in a micro-batch are concatenated and sorted on (wk)
+    before folding; across batches the source must deliver in series
+    order (the availableNow file-per-batch discipline the parity
+    test uses)."""
+    from pyspark.sql.streaming.state import (
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    out_schema = (
+        "metric string, wk bigint, x double, z double,"
+        " cusum_pos double, cusum_neg double, alarm int"
+    )
+    state_schema = "wp double, wn double, mp double, mn double"
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        wp, wn, mp, mn = (
+            state.get if state.exists else (0.0, 0.0, 0.0, 0.0)
+        )
+        chunks = list(pdfs)
+        pdf = (
+            pd.concat(chunks, ignore_index=True)
+            if len(chunks) > 1
+            else chunks[0]
+        ).sort_values("wk")
+        out = {c: [] for c in (
+            "wk", "x", "z", "cusum_pos", "cusum_neg", "alarm")}
+        for wk, x in zip(pdf["wk"], pdf["x"]):
+            z = 0.0 if sd == 0.0 else round((x - mu) / sd, 6)
+            wp += round(z - k, 6)
+            wn += round(-z - k, 6)
+            # fold the current point into the running minimum BEFORE
+            # emitting: the batch window frame includes the current
+            # row, so a new global minimum must emit exactly 0
+            mp = min(mp, wp)
+            mn = min(mn, wn)
+            cp = round(wp - min(0.0, mp), 6)
+            cn = round(wn - min(0.0, mn), 6)
+            out["wk"].append(int(wk))
+            out["x"].append(float(x))
+            out["z"].append(z)
+            out["cusum_pos"].append(cp)
+            out["cusum_neg"].append(cn)
+            out["alarm"].append(int(cp > h or cn > h))
+        state.update((float(wp), float(wn), float(mp), float(mn)))
+        yield pd.DataFrame({"metric": key[0], **out})
+
+    return (
+        series.groupBy("metric")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -846,3 +846,57 @@ def test_decayed_popularity_stream_matches_batch_scores(spark, tmp_path):
             (anchor_us - final.loc[pk, "last_us"]) / hl_us
         )
         assert abs(got - want) < 1e-6 * max(1.0, want), pk
+
+
+def test_cusum_stream_matches_batch_chart(spark, tmp_path):
+    """The streaming CUSUM fold must equal the batch
+    cumsum-minus-running-min form point-for-point across micro-batch
+    boundaries, including through a planted level shift."""
+    from citeconnect_datapipeline_spark.operators.timeseries import (
+        cusum_series,
+    )
+    from citeconnect_datapipeline_spark.streaming.jobs import (
+        cusum_stream,
+        run_to_memory,
+    )
+
+    xs = [10.0, 10.2, 9.8, 10.1, 9.9] * 6 + [13.0, 13.2, 12.8, 13.1, 12.9] * 4
+    series = spark.createDataFrame(
+        [("m", i, float(x)) for i, x in enumerate(xs)],
+        "metric string, wk long, x double",
+    )
+    batch = {
+        r["wk"]: r
+        for r in cusum_series(
+            series.select("wk", "x"), baseline=30
+        ).collect()
+    }
+    # phase-I baseline, pinned exactly as the batch core computes it
+    import statistics as st
+
+    base = xs[:30]
+    mu = round(sum(base) / len(base), 6)
+    sd = round(st.pstdev(base), 6)
+    src = tmp_path / "cusum_src"
+    for b in range(3):  # 3 ordered micro-batches of 20, 20, 10 points
+        lo, hi = b * 20, min((b + 1) * 20, len(xs))
+        series.filter(
+            (F.col("wk") >= lo) & (F.col("wk") < hi)
+        ).coalesce(1).write.parquet(str(src / f"b{b}"))
+    stream = (
+        spark.readStream.schema(series.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    run_to_memory(cusum_stream(stream, mu=mu, sd=sd), "cusum_stream_t")
+    got = {r["wk"]: r for r in spark.table("cusum_stream_t").collect()}
+    assert len(got) == len(xs) == len(batch)
+    for wk, b in batch.items():
+        g = got[wk]
+        assert abs(g["z"] - b["z"]) < 1e-9, wk
+        assert abs(g["cusum_pos"] - b["cusum_pos"]) < 1e-9, wk
+        assert abs(g["cusum_neg"] - b["cusum_neg"]) < 1e-9, wk
+        assert g["alarm"] == b["alarm"], wk
+    # the planted shift actually alarms in the streamed output too
+    assert any(r["alarm"] == 1 for r in got.values())
