@@ -1971,3 +1971,102 @@ def theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("slope_gap"),
         )
     )
+
+
+MASE_SEASON = 7  # weekly seasonality lag for the seasonal-naive model
+
+
+@query(
+    "forecast_backtest_mase",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(date_diff('day', DATE '1970-01-01',
+                              CAST(ts AS DATE)) AS BIGINT) AS d,
+               ROUND(AVG(value), 6) AS x
+        FROM events GROUP BY 1
+    ),
+    lagged AS (
+        SELECT d, x,
+               LAG(x, 1) OVER (ORDER BY d) AS p_naive,
+               LAG(x, {MASE_SEASON}) OVER (ORDER BY d) AS p_seasonal
+        FROM daily
+    ),
+    scored AS (
+        SELECT * FROM lagged
+        WHERE p_naive IS NOT NULL AND p_seasonal IS NOT NULL
+    ),
+    m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+               ROUND(AVG(ABS(x - p_naive)), 6) AS mae_naive,
+               ROUND(AVG(ABS(x - p_seasonal)), 6) AS mae_seasonal
+        FROM scored
+    )
+    SELECT model, n_days, mae,
+           ROUND(mae / mae_naive, 6) AS mase
+    FROM (
+        SELECT 'naive_1' AS model, n_days, mae_naive AS mae,
+               mae_naive FROM m
+        UNION ALL
+        SELECT 'seasonal_{MASE_SEASON}', n_days, mae_seasonal,
+               mae_naive FROM m
+    )
+    ORDER BY model
+    """,
+)
+def forecast_backtest_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-step forecast backtest with MASE — the scale-free forecast
+    accuracy metric (Hyndman & Koehler 2006) every capacity-planning
+    or anomaly-threshold pipeline should publish before trusting a
+    model: MAE of each candidate over the SAME in-sample one-step
+    horizon, divided by the naive-1 MAE, so MASE < 1 means 'beats
+    persistence' in any units. Backtested here: naive-1 (MASE 1.0 by
+    construction — the sanity anchor) and seasonal-naive at lag 7,
+    which wins exactly when the series has real weekly structure
+    (`seasonal_decompose_daily` shows the structure; this prices it).
+    Both models score only where BOTH have a prediction, so the
+    comparison is same-support.
+
+    Scale shape: one day-grain aggregate, two lag windows over the
+    calendar-bounded series, one scalar rollup — 2 rows out at any
+    corpus size; partition by metric/service id for a panel.
+
+    Reference anchor: the reference trends raw deltas with no
+    forecast baseline at all (reporting/metrics_tracker.py)."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.unix_date(F.to_date("ts")).alias("d")
+    ).agg(F.round(F.avg("value"), 6).alias("x"))
+    w = Window.orderBy("d")
+    lagged = daily.select(
+        "x",
+        F.lag("x", 1).over(w).alias("p_naive"),
+        F.lag("x", MASE_SEASON).over(w).alias("p_seasonal"),
+    ).filter(
+        F.col("p_naive").isNotNull() & F.col("p_seasonal").isNotNull()
+    )
+    m = lagged.agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.round(F.avg(F.abs(F.col("x") - F.col("p_naive"))), 6).alias(
+            "mae_naive"
+        ),
+        F.round(
+            F.avg(F.abs(F.col("x") - F.col("p_seasonal"))), 6
+        ).alias("mae_seasonal"),
+    )
+    naive = m.select(
+        F.lit("naive_1").alias("model"),
+        "n_days",
+        F.col("mae_naive").alias("mae"),
+        F.round(F.col("mae_naive") / F.col("mae_naive"), 6).alias(
+            "mase"
+        ),
+    )
+    seasonal = m.select(
+        F.lit(f"seasonal_{MASE_SEASON}").alias("model"),
+        "n_days",
+        F.col("mae_seasonal").alias("mae"),
+        F.round(F.col("mae_seasonal") / F.col("mae_naive"), 6).alias(
+            "mase"
+        ),
+    )
+    return naive.unionAll(seasonal).orderBy("model")

@@ -184,6 +184,8 @@ UNPARTITIONED_WINDOW_OK = {
     "dsir_importance_weights",  # totals fold over the 256-row
     # bucket-count model table (bounded by construction)
     "ewma_anomaly",  # over the per-run history table
+    "forecast_backtest_mase",  # two lag windows over the day-grain
+    # series (365 rows/year; partition by metric id for a panel)
     "extraction_method_distribution",  # share-of-total over
     # per-method counts
     "group_size_median",  # median over per-mktsegment counts

@@ -597,3 +597,41 @@ def test_theilsen_shrugs_off_planted_outlier(spark, tmp_path):
     assert abs(r["ts_slope"] - 10.0) < 0.5, r  # robust: true slope
     assert r["ols_slope"] > 12.0  # OLS dragged by the spike
     assert abs(r["slope_gap"]) > 2.0
+
+
+# ---------------------- MASE forecast backtest --------------------
+
+
+def test_mase_seasonal_wins_on_planted_weekly_cycle(spark, tmp_path):
+    """On a clean weekly cycle the seasonal-naive error is ~0 while
+    naive-1 keeps paying the day-to-day swing: MASE(seasonal) << 1,
+    MASE(naive_1) == 1 by construction."""
+    from citeconnect_datapipeline_spark.operators.timeseries import (
+        forecast_backtest_mase,
+    )
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    cycle = [10.0, 50.0, 20.0, 60.0, 30.0, 70.0, 40.0]
+    rows = []
+    for day in range(70):
+        for k in range(3):
+            rows.append(
+                (day * 10 + k, day, day % 97, "view",
+                 cycle[day % 7], "{}")
+            )
+    spark.createDataFrame(
+        rows,
+        "event_id long, d int, user_id long, event_type string,"
+        " value double, props string",
+    ).selectExpr(
+        "event_id",
+        "CAST(timestampadd(DAY, d, TIMESTAMP '2025-01-01') AS"
+        " TIMESTAMP) AS ts",
+        "user_id", "event_type", "value", "props",
+    ).write.parquet(str(sf / "events.parquet"))
+    out = {r["model"]: r for r in
+           forecast_backtest_mase(spark, str(sf)).collect()}
+    assert out["naive_1"]["mase"] == 1.0
+    assert out["seasonal_7"]["mase"] < 0.01  # perfect weekly structure
+    assert out["seasonal_7"]["n_days"] == out["naive_1"]["n_days"]
