@@ -2666,3 +2666,122 @@ def lexical_diversity_by(
         )
         .orderBy("source")
     )
+
+
+TPL_POSITIONS = 8  # leading token positions audited for templating
+
+
+@query(
+    "positional_template_score",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, pos - 1 AS pos, word
+        FROM (
+            SELECT doc_id,
+                   unnest(ws) AS word,
+                   generate_subscripts(ws, 1) AS pos
+            FROM (
+                SELECT doc_id,
+                       list_filter(
+                           string_split_regex(lower(text),
+                                              '[^a-z0-9]+'),
+                           x -> x <> '') AS ws
+                FROM documents
+            )
+        ) WHERE pos <= {TPL_POSITIONS}
+    ),
+    cells AS (
+        SELECT pos, word, COUNT(*) AS c
+        FROM toks GROUP BY 1, 2
+    ),
+    ptot AS (
+        SELECT pos, SUM(c) AS n, MAX(c) AS topc
+        FROM cells GROUP BY 1
+    ),
+    ent AS (
+        SELECT c.pos,
+               ROUND(-SUM((c.c * 1.0 / t.n)
+                     * LN(c.c * 1.0 / t.n)), 6) AS entropy_nats,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct
+        FROM cells c JOIN ptot t ON c.pos = t.pos
+        GROUP BY c.pos
+    ),
+    top1 AS (
+        SELECT c.pos, MIN(c.word) AS top_token,
+               ROUND(MAX(c.c) * 1.0 / MAX(t.n), 6) AS top_share
+        FROM cells c
+        JOIN ptot t ON c.pos = t.pos AND c.c = t.topc
+        GROUP BY c.pos
+    )
+    SELECT e.pos, e.n_distinct, e.entropy_nats,
+           t.top_token, t.top_share,
+           CASE WHEN t.top_share >= 0.5 THEN 1 ELSE 0 END
+               AS templated
+    FROM ent e JOIN top1 t ON e.pos = t.pos
+    ORDER BY e.pos
+    """,
+)
+def positional_template_score(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-position token entropy over the first 8 token slots — the
+    template detector that catches what document-LEVEL repetition
+    scores miss: a corpus where every page opens 'terms of service
+    for ...' has normal whole-doc diversity but near-zero entropy at
+    positions 0-3, and boilerplate openings are exactly what an LM
+    memorizes first. Each position reports its token entropy,
+    distinct count, dominant token and its share; share >= 0.5 flags
+    the slot as templated (the prefix a cleaner strips or a
+    dedup-by-prefix keys on). Complements `boilerplate_phrase_stats`
+    (corpus-wide n-grams) and `ttr_lexical_diversity` (within-doc
+    windows) with the POSITIONAL axis.
+
+    Scale shape: one posexplode limited to 8 positions per doc (the
+    filter rides the explode), a (position, word) count aggregate —
+    8 x vocabulary rows at worst, Heaps-bounded — then position-grain
+    arithmetic; ties on the dominant token break on MIN(word) in
+    both engines. Output is 8 rows at any corpus size.
+
+    Reference anchor: the reference's cleaner strips known literals
+    only (processing/text_cleaner.py); this measures where unknown
+    templates live."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.filter(_words(), lambda x: x != "")
+    toks = (
+        docs.select("doc_id", F.posexplode(w).alias("pos", "word"))
+        .filter(F.col("pos") < TPL_POSITIONS)
+    )
+    cells = toks.groupBy("pos", "word").agg(F.count("*").alias("c"))
+    ptot = cells.groupBy("pos").agg(
+        F.sum("c").alias("n"), F.max("c").alias("topc")
+    )
+    joined = cells.join(F.broadcast(ptot), "pos")
+    p = F.col("c") * 1.0 / F.col("n")
+    ent = joined.groupBy("pos").agg(
+        F.round(-F.sum(p * F.log(p)), 6).alias("entropy_nats"),
+        F.count("*").cast("bigint").alias("n_distinct"),
+    )
+    top1 = (
+        joined.filter(F.col("c") == F.col("topc"))
+        .groupBy("pos")
+        .agg(
+            F.min("word").alias("top_token"),
+            F.round(
+                F.max("c") * 1.0 / F.max("n"), 6
+            ).alias("top_share"),
+        )
+    )
+    return (
+        ent.join(top1, "pos")
+        .select(
+            "pos",
+            "n_distinct",
+            "entropy_nats",
+            "top_token",
+            "top_share",
+            F.when(F.col("top_share") >= 0.5, 1)
+            .otherwise(0)
+            .alias("templated"),
+        )
+        .orderBy("pos")
+    )

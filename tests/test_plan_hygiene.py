@@ -66,6 +66,8 @@ NESTED_LOOP_OK = {
     # the (term, class)-grain contingency table
     "embedding_isotropy_audit",  # 1-row sum-of-dim-sums scalar
     # broadcast joined to the 1-row vec-grain totals
+    "positional_template_score",  # position-grain (8 slots) totals
+    # broadcast onto the (position, word) cell table
     "quantile_sketch_accuracy",  # 1-row exact+approx percentile
     # panel broadcast back over the scan for the rank check
     "rank_biased_overlap",  # <=20-row both-prefixes broadcast range-
@@ -430,6 +432,8 @@ BROADCAST_GRAIN_OK = {
     # (user_id < 20); unbounded callers use the bin-join form
     "retrieval_ndcg_eval",  # bounded eval-query batch
     "seasonal_decompose_daily",  # 7-row day-of-week seasonal means
+    "positional_template_score",  # position-grain totals: 8 fixed
+    # leading token slots at any corpus size
     "source_divergence_panel",  # source x 256-md5-bucket grid
     # (DSIR_N_BUCKETS is a constant; sources are a curated registry)
     "wasserstein_drift",  # bin-grain corpus histogram (doc length /

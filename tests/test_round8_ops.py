@@ -635,3 +635,47 @@ def test_mase_seasonal_wins_on_planted_weekly_cycle(spark, tmp_path):
     assert out["naive_1"]["mase"] == 1.0
     assert out["seasonal_7"]["mase"] < 0.01  # perfect weekly structure
     assert out["seasonal_7"]["n_days"] == out["naive_1"]["n_days"]
+
+
+# -------------------- positional template score --------------------
+
+
+def test_positional_template_flags_planted_prefix(spark, tmp_path):
+    """A corpus whose docs all open with the same 3-token preamble
+    must flag positions 0-2 as templated while the body positions
+    stay diverse."""
+    from citeconnect_datapipeline_spark.operators.text import (
+        positional_template_score,
+    )
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    rows = [
+        (
+            i,
+            "terms of service "
+            + " ".join(f"body{i}w{j}" for j in range(8)),
+            "en",
+            "s0",
+            100,
+        )
+        for i in range(50)
+    ]
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).write.parquet(str(sf / "documents.parquet"))
+    out = {
+        r["pos"]: r
+        for r in positional_template_score(spark, str(sf)).collect()
+    }
+    for pos, tok in ((0, "terms"), (1, "of"), (2, "service")):
+        assert out[pos]["templated"] == 1
+        assert out[pos]["top_token"] == tok
+        assert out[pos]["entropy_nats"] == 0.0
+        assert out[pos]["top_share"] == 1.0
+    # body positions: every doc contributes a unique token
+    for pos in (3, 4, 5):
+        assert out[pos]["templated"] == 0
+        assert out[pos]["n_distinct"] == 50
