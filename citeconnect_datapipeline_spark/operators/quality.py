@@ -735,3 +735,160 @@ def dp_user_activity_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dp_user_counts_release(
         events, "event_type", "user_id", salt=_DP_DEMO_SALT
     )
+
+
+KAPPA_REDUNDANT = 0.6  # Landis-Koch 'substantial agreement' line
+
+
+@query(
+    "filter_agreement_kappa",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, n_chars,
+               list_filter(string_split_regex(lower(text),
+                                              '[^a-z0-9]+'),
+                           x -> x <> '') AS words,
+               len(regexp_extract_all(text, '[^a-zA-Z0-9 ]'))
+                   AS n_symbols,
+               len(regexp_extract_all(text, '[a-zA-Z0-9]+'))
+                   AS n_alnum_runs
+        FROM documents
+    ),
+    flags AS (
+        SELECT doc_id,
+               CAST(len(words) BETWEEN 50 AND 100000
+                    AND ROUND(CAST(n_chars AS DOUBLE)
+                        / GREATEST(len(words), 1), 4)
+                        BETWEEN 3 AND 10
+                    AND ROUND(CAST(n_symbols AS DOUBLE)
+                        / GREATEST(n_alnum_runs, 1), 4) <= 0.1
+                    AND ROUND(CAST(len(list_distinct(words)) AS DOUBLE)
+                        / GREATEST(len(words), 1), 4) >= 0.3
+                    AS INT) AS a,
+               CAST(len(words) >= 20 AS INT) AS b
+        FROM w
+    ),
+    cells AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(a * b) AS DOUBLE) AS n11,
+               CAST(SUM((1 - a) * (1 - b)) AS DOUBLE) AS n00,
+               CAST(SUM(a * (1 - b)) AS DOUBLE) AS n10,
+               CAST(SUM((1 - a) * b) AS DOUBLE) AS n01
+        FROM flags
+    ),
+    k AS (
+        SELECT n, n11, n00, n10, n01,
+               (n11 + n00) / n AS po,
+               ((n11 + n10) / n) * ((n11 + n01) / n)
+               + ((n00 + n01) / n) * ((n00 + n10) / n) AS pe
+        FROM cells
+    )
+    SELECT CAST(n AS BIGINT) AS n_docs,
+           CAST(n11 AS BIGINT) AS n_both_keep,
+           CAST(n00 AS BIGINT) AS n_both_drop,
+           CAST(n10 AS BIGINT) AS n_only_gopher,
+           CAST(n01 AS BIGINT) AS n_only_band,
+           ROUND(po, 6) AS observed_agreement,
+           CASE WHEN pe >= 1.0 THEN 0.0
+                ELSE ROUND((po - pe) / (1.0 - pe), 6) END AS kappa,
+           CASE WHEN pe < 1.0
+                 AND (po - pe) / (1.0 - pe) >= {KAPPA_REDUNDANT}
+                THEN 1 ELSE 0 END AS redundant
+    FROM k
+    """,
+)
+def filter_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two independent quality filters — the
+    chance-corrected agreement a curation owner reads before
+    STACKING filters: raw agreement is inflated whenever both
+    filters keep most documents, kappa subtracts the agreement two
+    coin-flips with the same marginals would get. High kappa (>= 0.6,
+    Landis-Koch 'substantial') means the second filter is mostly
+    re-deciding the first one's calls — drop it or tune it to a
+    different failure mode; near-zero kappa means the filters carve
+    the corpus on genuinely different axes and the off-diagonal
+    counts (kept by exactly one) are the review queue worth human
+    eyes. Compared here: the Gopher rule bundle vs the
+    length-band gate (`quality_score`'s medium+ line).
+
+    Scale shape: both filters are per-row codegen over ONE text
+    projection (no explode, no join), the 2x2 table is a scalar
+    aggregate, kappa is arithmetic on 5 numbers. Scan-speed at any
+    corpus size.
+
+    Reference anchor: the reference runs its quality rules as an
+    unexamined conjunction (databias/bias_detection_engine.py); this
+    measures whether each conjunct earns its place."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+        lambda x: x != "",
+    )
+    n_words = F.size(words)
+    mean_word_len = F.round(
+        F.col("n_chars") / F.greatest(n_words, F.lit(1)), 4
+    )
+    symbol_ratio = F.round(
+        F.size(
+            F.regexp_extract_all(
+                "text", F.lit("[^a-zA-Z0-9 ]"), F.lit(0)
+            )
+        )
+        / F.greatest(
+            F.size(
+                F.regexp_extract_all(
+                    "text", F.lit("[a-zA-Z0-9]+"), F.lit(0)
+                )
+            ),
+            F.lit(1),
+        ).cast("double"),
+        4,
+    )
+    ttr = F.round(
+        F.size(F.array_distinct(words))
+        / F.greatest(n_words, F.lit(1)).cast("double"),
+        4,
+    )
+    a = (
+        (n_words >= 50)
+        & (n_words <= 100000)
+        & (mean_word_len >= 3)
+        & (mean_word_len <= 10)
+        & (symbol_ratio <= 0.1)
+        & (ttr >= 0.3)
+    ).cast("int")
+    b = (n_words >= 20).cast("int")
+    cells = docs.select(a.alias("a"), b.alias("b")).agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(F.col("a") * F.col("b")).cast("double").alias("n11"),
+        F.sum((1 - F.col("a")) * (1 - F.col("b")))
+        .cast("double")
+        .alias("n00"),
+        F.sum(F.col("a") * (1 - F.col("b")))
+        .cast("double")
+        .alias("n10"),
+        F.sum((1 - F.col("a")) * F.col("b"))
+        .cast("double")
+        .alias("n01"),
+    )
+    po = (F.col("n11") + F.col("n00")) / F.col("n")
+    pe = ((F.col("n11") + F.col("n10")) / F.col("n")) * (
+        (F.col("n11") + F.col("n01")) / F.col("n")
+    ) + ((F.col("n00") + F.col("n01")) / F.col("n")) * (
+        (F.col("n00") + F.col("n10")) / F.col("n")
+    )
+    kappa = (po - pe) / (1.0 - pe)
+    return cells.select(
+        F.col("n").cast("bigint").alias("n_docs"),
+        F.col("n11").cast("bigint").alias("n_both_keep"),
+        F.col("n00").cast("bigint").alias("n_both_drop"),
+        F.col("n10").cast("bigint").alias("n_only_gopher"),
+        F.col("n01").cast("bigint").alias("n_only_band"),
+        F.round(po, 6).alias("observed_agreement"),
+        F.when(pe >= 1.0, F.lit(0.0))
+        .otherwise(F.round(kappa, 6))
+        .alias("kappa"),
+        F.when((pe < 1.0) & (kappa >= KAPPA_REDUNDANT), 1)
+        .otherwise(0)
+        .alias("redundant"),
+    )

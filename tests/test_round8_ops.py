@@ -679,3 +679,60 @@ def test_positional_template_flags_planted_prefix(spark, tmp_path):
     for pos in (3, 4, 5):
         assert out[pos]["templated"] == 0
         assert out[pos]["n_distinct"] == 50
+
+
+# ---------------------- filter agreement kappa --------------------
+
+
+def test_kappa_zero_when_one_filter_is_constant(spark, tmp_path):
+    """If the band gate keeps EVERYTHING, raw agreement equals the
+    gopher keep-rate but kappa must be ~0 — the chance correction is
+    the whole point."""
+    from citeconnect_datapipeline_spark.operators.quality import (
+        filter_agreement_kappa,
+    )
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    # all docs >= 20 words (band keeps all); only half pass gopher's
+    # 50-word floor
+    mk = lambda n, i: " ".join(  # noqa: E731
+        f"w{i}x{j}" for j in range(n)
+    )
+    rows = [(i, mk(30 if i % 2 else 60, i), "en", "s0", 0) for i in range(40)]
+    rows = [(i, t, l, s, len(t)) for (i, t, l, s, _) in rows]
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).write.parquet(str(sf / "documents.parquet"))
+    r = filter_agreement_kappa(spark, str(sf)).collect()[0]
+    assert r["n_only_band"] > 0 and r["n_both_drop"] == 0
+    assert abs(r["kappa"]) < 1e-6 and r["redundant"] == 0
+    assert 0.4 < r["observed_agreement"] < 0.6
+
+
+def test_kappa_one_when_filters_coincide(spark, tmp_path):
+    """Filters that carve the corpus identically score kappa 1."""
+    from citeconnect_datapipeline_spark.operators.quality import (
+        filter_agreement_kappa,
+    )
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    # short docs (< 20 words) fail BOTH filters; 60-word docs pass both
+    mk = lambda n, i: " ".join(  # noqa: E731
+        f"w{i}x{j}" for j in range(n)
+    )
+    rows = [
+        (i, mk(60 if i % 2 else 5, i), "en", "s0", 0) for i in range(40)
+    ]
+    rows = [(i, t, l, s, len(t)) for (i, t, l, s, _) in rows]
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).write.parquet(str(sf / "documents.parquet"))
+    r = filter_agreement_kappa(spark, str(sf)).collect()[0]
+    assert r["kappa"] == 1.0 and r["redundant"] == 1
+    assert r["n_only_gopher"] == 0 and r["n_only_band"] == 0
