@@ -53,6 +53,7 @@ from .operators.quality import (
     benford_digit_cells,
     dp_noisy_counts_release,
     dp_user_counts_release,
+    fd_violations,
     k_anonymity_cells,
     l_diversity_cells,
 )
@@ -129,6 +130,7 @@ curation = SimpleNamespace(
     token_concentration_by=token_concentration_by,
     dp_noisy_counts_release=dp_noisy_counts_release,
     dp_user_counts_release=dp_user_counts_release,
+    fd_violations=fd_violations,
     label_outliers=label_outliers,
     weighted_sample=es_weighted_sample,
     k_anonymity_cells=k_anonymity_cells,

@@ -892,3 +892,96 @@ def filter_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("redundant"),
     )
+
+
+def fd_violations(
+    df: DataFrame, lhs: str, rhs: str, fd_name: str
+) -> DataFrame:
+    """Library core of `functional_dependency_audit`
+    (api.curation.fd_violations): does ``lhs -> rhs`` hold in ``df``?
+    One (lhs)-grain countDistinct aggregate, then a 1-row rollup —
+    map-side combinable, no window, corpus appears once."""
+    per_key = df.groupBy(F.col(lhs).alias("k")).agg(
+        F.countDistinct(F.col(rhs)).alias("n_rhs")
+    )
+    return per_key.agg(
+        F.lit(fd_name).alias("fd"),
+        F.count("*").cast("bigint").alias("n_keys"),
+        F.sum(F.when(F.col("n_rhs") > 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_violating_keys"),
+        F.round(
+            F.sum(F.when(F.col("n_rhs") > 1, 1).otherwise(0))
+            * 1.0
+            / F.count("*"),
+            6,
+        ).alias("violation_rate"),
+        F.max("n_rhs").cast("bigint").alias("max_rhs_per_key"),
+        F.when(F.max("n_rhs") <= 1, 1).otherwise(0).alias("holds"),
+    )
+
+
+def _fd_sql(table: str, lhs: str, rhs: str) -> str:
+    return f"""
+        SELECT '{table}.{lhs}->{rhs}' AS fd,
+               CAST(COUNT(*) AS BIGINT) AS n_keys,
+               CAST(SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_violating_keys,
+               ROUND(SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END)
+                     * 1.0 / COUNT(*), 6) AS violation_rate,
+               CAST(MAX(n_rhs) AS BIGINT) AS max_rhs_per_key,
+               CASE WHEN MAX(n_rhs) <= 1 THEN 1 ELSE 0 END AS holds
+        FROM (
+            SELECT {lhs} AS k, COUNT(DISTINCT {rhs}) AS n_rhs
+            FROM {table} GROUP BY 1
+        )"""
+
+
+_FD_PANEL = (
+    ("documents", "source", "lang"),
+    ("documents", "lang", "source"),
+    ("nation", "n_nationkey", "n_regionkey"),
+    ("orders", "o_custkey", "o_orderpriority"),
+    ("customer", "c_nationkey", "c_mktsegment"),
+)
+
+
+@query(
+    "functional_dependency_audit",
+    oracle="\n    UNION ALL\n".join(
+        _fd_sql(t, a, b) for t, a, b in _FD_PANEL
+    )
+    + "\n    ORDER BY fd",
+)
+def functional_dependency_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Functional-dependency audit — does column A determine column
+    B? The schema-inference / data-quality primitive behind
+    normalization checks (a 'holds' FD is a join key you can factor
+    out), silent-corruption alarms (an FD that held last run and
+    breaks today means an upstream merge went wrong), and
+    stratification safety (stratifying on A while B varies within A
+    leaks). The panel audits the lake's interesting pairs: document
+    source does NOT pin language (and vice versa) — so a mixture
+    plan must treat them as independent axes — while the nation ->
+    region hierarchy holds exactly.
+
+    Scale shape: per FD, one lhs-grain countDistinct aggregate
+    (map-side combinable) and a 1-row rollup; the panel is a
+    unionAll of 1-row frames. No window, no join, each table
+    scanned once per FD it appears in.
+
+    Reference anchor: the reference validates presence/type only
+    (utils/data_validation.py); FDs are the relationship layer it
+    never checks."""
+    frames = []
+    for table, lhs, rhs in _FD_PANEL:
+        df = load_table(spark, sf_dir, table)
+        frames.append(
+            fd_violations(df, lhs, rhs, f"{table}.{lhs}->{rhs}")
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionAll(f)
+    return out.orderBy("fd")

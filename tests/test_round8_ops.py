@@ -736,3 +736,40 @@ def test_kappa_one_when_filters_coincide(spark, tmp_path):
     r = filter_agreement_kappa(spark, str(sf)).collect()[0]
     assert r["kappa"] == 1.0 and r["redundant"] == 1
     assert r["n_only_gopher"] == 0 and r["n_only_band"] == 0
+
+
+# ------------------ functional dependency audit -------------------
+
+
+def test_fd_violations_planted_hold_and_break(spark):
+    from citeconnect_datapipeline_spark.api import curation
+
+    clean = spark.createDataFrame(
+        [(i, i % 5, (i % 5) * 10) for i in range(100)],
+        "id long, a int, b int",
+    )
+    r = curation.fd_violations(clean, "a", "b", "t.a->b").collect()[0]
+    assert r["holds"] == 1 and r["n_violating_keys"] == 0
+    assert r["max_rhs_per_key"] == 1 and r["n_keys"] == 5
+    dirty = clean.union(
+        spark.createDataFrame([(999, 0, 777)], "id long, a int, b int")
+    )
+    r2 = curation.fd_violations(dirty, "a", "b", "t.a->b").collect()[0]
+    assert r2["holds"] == 0 and r2["n_violating_keys"] == 1
+    assert r2["max_rhs_per_key"] == 2 and r2["violation_rate"] == 0.2
+
+
+def test_fd_panel_knows_the_lake(spark):
+    """The fixture's ground truth: nation->region holds, source and
+    lang do not determine each other."""
+    from citeconnect_datapipeline_spark.operators.quality import (
+        functional_dependency_audit,
+    )
+
+    out = {
+        r["fd"]: r
+        for r in functional_dependency_audit(spark, SF).collect()
+    }
+    assert out["nation.n_nationkey->n_regionkey"]["holds"] == 1
+    assert out["documents.source->lang"]["holds"] == 0
+    assert out["documents.lang->source"]["holds"] == 0
