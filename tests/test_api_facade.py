@@ -325,3 +325,59 @@ def test_round7_cores_on_inmemory_frames(spark):
     ).collect()
     assert {r["seg"] for r in rel} == {"x", "y"}
     assert all(r["epsilon"] == 1.0 for r in rel)
+
+
+def test_example_health_checks_script(spark):
+    """examples/pipeline_health_checks.py is a living document: run
+    its health_checks() on planted frames and check each monitor
+    fires on the planted defect and only there."""
+    import importlib.util
+    import os
+
+    from pyspark.sql import functions as F
+
+    spec = importlib.util.spec_from_file_location(
+        "pipeline_health_checks",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "examples",
+            "pipeline_health_checks.py",
+        ),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    body = " ".join(f"tok{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [
+            (i, f"src{i % 3}", "en",
+             ("tokenizer " if i % 25 else "tokenzer ") + body,
+             200 + (i % 5) * 25, i // 50)
+            for i in range(100)
+        ],
+        "doc_id long, source string, lang string, text string,"
+        " n_chars long, week int",
+    )
+    intake = spark.createDataFrame(
+        [(d, float(40 + d % 3 + (10 if d > 20 else 0))) for d in range(28)],
+        "day long, n_docs double",
+    )
+    checks = mod.health_checks(spark, docs, intake)
+    assert set(checks) == {
+        "intake_cusum", "length_shift_mwu", "fd_source_lang",
+        "lexical_diversity", "typo_suspects",
+    }
+    # the planted +10/day level shift after day 20 alarms the CUSUM
+    cus = checks["intake_cusum"].collect()
+    assert any(r["alarm"] == 1 and r["wk"] > 20 for r in cus)
+    assert all(r["alarm"] == 0 for r in cus if r["wk"] <= 20)
+    # identical length distributions across weeks: no false positive
+    mwu = checks["length_shift_mwu"].collect()[0]
+    assert mwu["significant"] == 0
+    # source->lang holds in the fixture
+    assert checks["fd_source_lang"].collect()[0]["holds"] == 1
+    # the planted rare 'tokenzer' misspelling is caught
+    typos = checks["typo_suspects"].collect()
+    assert any(
+        {r["word_a"], r["word_b"]} == {"tokenizer", "tokenzer"}
+        for r in typos
+    )
