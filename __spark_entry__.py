@@ -174,6 +174,18 @@ _DRIVER_VERIFIED = frozenset(
         "rank_biased_overlap", "revenue_lorenz_deciles",
         "survival_km_curve", "token_gini_by_source",
         "vocab_sizing_curve", "welch_ttest_slices",
+        # r8 rows (CORRECTNESS_r08.json: 47 hash-MATCH + the 3
+        # contractual rows-only entries, all nonzero rows; the 8
+        # _REVERIFY_FIRST rewrites all came back green)
+        "clustering_coefficient_topk", "cusum_drift_chart",
+        "dp_user_activity_counts", "epoch_shuffle_plan",
+        "filter_agreement_kappa", "forecast_backtest_mase",
+        "functional_dependency_audit", "ivf_nprobe_recall",
+        "mannwhitney_u_test", "minhash_band_tuning",
+        "positional_template_score", "quantile_sketch_accuracy",
+        "shuffle_quality_audit", "slo_burn_alerts",
+        "theilsen_trend", "ttr_lexical_diversity",
+        "typo_candidate_pairs", "wasserstein_drift",
     }
 )
 
@@ -186,27 +198,20 @@ _DRIVER_VERIFIED = frozenset(
 # even never-verified new queries (r6 verdict #3 — a 3-round-old
 # rewrite of green code is a bigger evidence hole than a new query's
 # first row).
-_REVERIFY_AGED = ()  # r7 cleared the queue (quantiles_by_group landed)
+_REVERIFY_AGED = ()  # r8 cleared the queue (all 8 rewrites green)
 
 _REVERIFY_FIRST = (
-    # r8 rewrites (each already re-audited locally at sf0.01 AND
-    # sf0.1 this round; the driver row makes it externally visible):
-    "vocab_sizing_curve",     # TakeOrdered(kmax) head before the
-    # rank window + bounded broadcast (r7 verdict #1)
-    "trending_parts_decayed",  # TakeOrdered(TREND_TOPK) head
-    # replaces the part-grain global rank (r7 verdict #2)
-    "rank_biased_overlap",    # both rank lists now TakeOrdered
-    # heads (r7 verdict #2)
-    "revenue_lorenz_deciles",  # percentile-boundary broadcast
-    # replaces the part-grain NTILE (r7 verdict #2)
-    "benford_digit_audit",    # true first-significant-digit for
-    # values in (0,1) (r7 ADVICE #2)
-    "hill_tail_index",        # truncated ladder rungs now surface
-    # as NULL hill_alpha rows (r7 ADVICE #3)
-    "assoc_rules_topk",       # oracle posting cap moved to the
-    # distinct-basket frame (r7 ADVICE #1)
-    "logreg_adagrad_portable",  # round-2 loss rides the gradient
-    # aggregate's bias bucket (r7 verdict #4)
+    # r9 rewrites (each re-audited locally at sf0.01 AND sf0.1 this
+    # round; the driver row makes the rewrite externally visible):
+    "ab_lift_bootstrap",       # 4 md5 digests per row (16 two-hex
+    # Poisson draws sliced per digest) replace 64 (r8 verdict #2)
+    "dp_user_activity_counts",  # exact n_users_clipped no longer
+    # released with the noisy counts (r8 ADVICE #1)
+    "benford_digit_audit",     # scaled mantissa clamped >= 1.0 so
+    # a last-ulp scale keeps digits in 1..9 (r8 ADVICE #3)
+    "part_copurchase_pagerank",  # convergence check fused into the
+    # rank-update agg — fewer fixpoint jobs (r8 verdict #6)
+    "logreg_adagrad_portable",  # same job-floor fusion (r8 #6)
 )
 
 

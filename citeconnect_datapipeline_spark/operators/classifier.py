@@ -623,8 +623,16 @@ def logreg_adagrad_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     )
     loss_r2 = next(
-        float(r["lr2"]) for r in model2_rows if r["b"] == LRP_BIAS
+        (float(r["lr2"]) for r in model2_rows if r["b"] == LRP_BIAS),
+        None,
     )
+    if loss_r2 is None:
+        raise ValueError(
+            f"logreg round-2 model is missing the bias bucket "
+            f"'{LRP_BIAS}' ({len(model2_rows)} buckets collected) — "
+            "the feature table is empty or the corpus was filtered "
+            "to zero labeled docs, so no model can be fit"
+        )
     model2 = spark.createDataFrame(
         [(r["b"], r["g1"], r["w1"], r["g2"], r["w2"]) for r in model2_rows],
         "b string, g1 double, w1 double, g2 double, w2 double",

@@ -416,7 +416,7 @@ BENFORD_EXPECTED = {
         SELECT CASE WHEN l_extendedprice >= 1 THEN l_extendedprice
                {" ".join(
                    f"WHEN l_extendedprice >= 1e-{k}"
-                   f" THEN l_extendedprice * 1e{k}"
+                   f" THEN GREATEST(l_extendedprice * 1e{k}, 1.0)"
                    for k in range(1, 19)
                )}
                END AS m
@@ -453,11 +453,11 @@ def benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     observed first-significant-digit fractions of l_extendedprice
     against log10(1 + 1/d), with the per-digit chi-square
     contribution so the failing digits are visible, not just a
-    summary stat. The first SIGNIFICANT digit is exact down to
+    summary stat. The first SIGNIFICANT digit is computed down to
     1e-18: sub-1 values are scaled up by a power-of-10 CASE ladder
-    (exact IEEE compares/multiplies) before the integer part's
-    string head — never log10 arithmetic (whose float slack
-    misclassifies exact powers of 10).
+    with a greatest(.,1.0) last-ulp clamp (see benford_digit_cells)
+    before the integer part's string head — never log10 arithmetic
+    (whose float slack misclassifies exact powers of 10).
 
     Scale shape: one map-side-combinable 9-cell aggregate over the
     fact scan; the total and the expected-law table ride 1-row/9-row
@@ -471,19 +471,27 @@ def benford_digit_cells(df: DataFrame, value_col: str) -> DataFrame:
     benford_digit_cells): the Benford first-digit screen over any
     positive numeric column — per digit 1-9, observed fraction vs
     log10(1 + 1/d) and the chi-square contribution. The first
-    SIGNIFICANT digit is exact for any value in [1e-18, inf):
+    SIGNIFICANT digit is computed for any value in [1e-18, inf):
     values in (0, 1) are scaled into [1, 10^18) by a CASE ladder of
-    exact power-of-10 thresholds (IEEE multiply/compare, identical
-    in every engine — no log10, whose float slack misclassifies
-    exact powers of 10), then the digit is the integer part's
-    string head. Rows with value <= 0 (no first significant digit)
-    or below 1e-18 (outside the ladder's documented domain) are
-    excluded."""
+    power-of-10 thresholds (IEEE multiply/compare, identical in
+    every engine — no log10, whose float slack misclassifies exact
+    powers of 10), then the digit is the integer part's string
+    head. The multiply itself is a ROUNDED IEEE op, so a value
+    within 1 ulp below a threshold can scale to just under 1; a
+    greatest(scaled, 1.0) clamp (mirrored in the oracle) pins such
+    edge rows to digit 1, keeping the digits-1-9 output contract.
+    Rows with value <= 0 (no first significant digit) or below
+    1e-18 (outside the ladder's documented domain) are excluded."""
     v = F.col(value_col)
     scaled = F.when(v >= 1, v)
     for k in range(1, 19):
+        # greatest(., 1.0) guards the last-ulp case where the IEEE
+        # multiply of a value just under the 1e-k threshold lands
+        # fractionally below 1 and would emit digit '0' (r8 ADVICE
+        # #3) — the clamp keeps the documented digits-1-9 contract.
         scaled = scaled.when(
-            v >= float(f"1e-{k}"), v * float(f"1e{k}")
+            v >= float(f"1e-{k}"),
+            F.greatest(v * float(f"1e{k}"), F.lit(1.0)),
         )
     digit = F.substring(
         F.floor(F.col("_m")).cast("bigint").cast("string"), 1, 1
@@ -639,6 +647,7 @@ def dp_user_counts_release(
     salt: str,
     cap: int = DP_USER_CAP,
     epsilon: float = DP_EPSILON,
+    include_audit: bool = False,
 ) -> DataFrame:
     """USER-level DP noisy counts with bounded contribution
     (api.curation.dp_user_counts_release) — the upgrade
@@ -651,10 +660,13 @@ def dp_user_counts_release(
     utility loss for the heavy users, bounded sensitivity for
     everyone), then noises the clipped sum at scale cap/epsilon.
     ``n_users_clipped`` is the utility audit a DP engineer reads to
-    tune the cap — publish it only in the secret-salt regime with
-    its own budget, or keep it internal. The salt contract is
-    dp_noisy_counts_release's: REQUIRED, secret in production,
-    public only for the demo/ledger.
+    tune the cap — but it is a DETERMINISTIC function of the raw
+    data, so a frame containing it is NOT an epsilon-DP release.
+    The default therefore EXCLUDES it (``include_audit=False``);
+    pass ``include_audit=True`` only for the internal tuning frame
+    that never leaves the trust boundary (r8 ADVICE #1). The salt
+    contract is dp_noisy_counts_release's: REQUIRED, secret in
+    production, public only for the demo/ledger.
 
     Scale shape: one (cell, user) aggregate (map-side combinable),
     one LEAST() clip in codegen, one cell-grain rollup, per-cell
@@ -683,10 +695,15 @@ def dp_user_counts_release(
         * F.when(u >= 0.5, 1.0).otherwise(-1.0)
         * F.log(1.0 - 2.0 * F.abs(u - 0.5))
     )
+    audit_cols = (
+        [F.col("n_users_clipped").cast("bigint").alias("n_users_clipped")]
+        if include_audit
+        else []
+    )
     return clipped.select(
         F.col("cell"),
         (F.col("n") + F.round(lap, 0)).cast("bigint").alias("noisy_count"),
-        F.col("n_users_clipped").cast("bigint").alias("n_users_clipped"),
+        *audit_cols,
         F.lit(float(epsilon)).alias("epsilon"),
         F.lit(cap).cast("int").alias("sensitivity"),
         F.round(F.lit(float(cap) / epsilon), 6).alias("laplace_scale"),
@@ -718,7 +735,6 @@ def dp_user_counts_release(
                * (CASE WHEN u >= 0.5 THEN 1.0 ELSE -1.0 END)
                * LN(1.0 - 2.0 * ABS(u - 0.5)), 0) AS BIGINT)
                AS noisy_count,
-           CAST(n_users_clipped AS BIGINT) AS n_users_clipped,
            {DP_EPSILON} AS epsilon,
            CAST({DP_USER_CAP} AS INT) AS sensitivity,
            ROUND({DP_USER_CAP}.0 / {DP_EPSILON}, 6) AS laplace_scale
@@ -730,7 +746,10 @@ def dp_user_activity_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     with bounded contribution — see `dp_user_counts_release` for the
     clip/sensitivity argument and the salt contract (the repo-public
     demo salt keeps this oracle-checkable; a real release swaps in a
-    sealed secret salt and the same plan shape)."""
+    sealed secret salt and the same plan shape). Releases ONLY the
+    noisy counts + the public (epsilon, cap) ledger: the exact
+    n_users_clipped utility audit stays behind include_audit=True
+    and never ships in this frame (r8 ADVICE #1)."""
     events = load_table(spark, sf_dir, "events")
     return dp_user_counts_release(
         events, "event_type", "user_id", salt=_DP_DEMO_SALT

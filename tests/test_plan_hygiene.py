@@ -485,7 +485,19 @@ def _iter_nodes(tree):
         yield from _iter_nodes(k)
 
 
-def _subtree_bounded(tree) -> bool:
+def _cte_defs(tree) -> dict:
+    """cteId -> definition subtree, from the plan's WithCTE node —
+    lets the boundedness walk see THROUGH CTERelationRef leaves
+    instead of treating them as opaque (r8 ADVICE #2)."""
+    return {
+        t[0].get("id"): t[1][0]
+        for t in _iter_nodes(tree)
+        if t[0].get("class", "").endswith("CTERelationDef") and t[1]
+    }
+
+
+def _subtree_bounded(tree, defs=None) -> bool:
+    defs = defs or {}
     node, kids = tree
     cls = node.get("class", "")
     if any(cls.endswith(b) for b in _BOUNDING_CLASSES):
@@ -498,9 +510,93 @@ def _subtree_bounded(tree) -> bool:
         cols = {a[0]["name"] for a in (node.get("output") or [])}
         # a nation/region scan is fixed-cardinality at any SF
         return bool(cols) and cols <= _FIXED_DIM_COLS
+    if cls.endswith("CTERelationRef"):
+        d = defs.get(node.get("cteId"))
+        return d is not None and _subtree_bounded(d, defs)
+    if cls.endswith("logical.LogicalRDD"):
+        # driver-materialized rows (createDataFrame-from-pandas):
+        # bounded by construction — the data already fit on the
+        # driver. No operator in this repo wraps a distributed RDD
+        # in a LogicalRDD (RDD usage is banned in the hot path).
+        return True
     if not kids:
-        return True  # literal leaf (e.g. an inline relation)
-    return all(_subtree_bounded(k) for k in kids)
+        # an UNLISTED childless node is NOT bounded: a cached /
+        # in-memory corpus-grain relation is also childless, and a
+        # catch-all True would pass it as a 'literal leaf'
+        # (r8 ADVICE #2). Known literal classes are handled above.
+        return False
+    return all(_subtree_bounded(k, defs) for k in kids)
+
+
+def _has_bounded_grain_shape(tree) -> bool:
+    """True if the hinted subtree contains a grouped aggregate or a
+    Deduplicate — the only shapes BROADCAST_GRAIN_OK may excuse
+    (each entry names the bounded grouping/distinct domain). A
+    distinct is a grouped aggregate in disguise: output cardinality
+    = the named key domain, not the corpus."""
+    for t in _iter_nodes(tree):
+        cls = t[0].get("class", "")
+        if cls.endswith("logical.Aggregate") and t[0].get(
+            "groupingExpressions"
+        ):
+            return True
+        if cls.endswith("logical.Deduplicate"):
+            return True
+    return False
+
+
+def _all_scans_literal_filtered(tree, defs=None) -> bool:
+    """True if EVERY base-relation leaf under the hint sits below at
+    least one Filter whose condition contains a literal — the
+    'bounded eval batch' shape (query vectors `doc_id < 8`, a
+    benchmark slice, a literal-keyed window table). The filter pins
+    the broadcast side to a constant key range, so its size is
+    SF-independent even though no limit/aggregate node appears."""
+    defs = defs or {}
+
+    def walk(t, under_lit_filter):
+        node, kids = t
+        cls = node.get("class", "")
+        if cls.endswith("logical.Filter"):
+            cond = str(node.get("condition", ""))
+            if "Literal" in cond:
+                under_lit_filter = True
+        if cls.endswith("CTERelationRef"):
+            d = defs.get(node.get("cteId"))
+            return d is None or walk(d, under_lit_filter)
+        if cls.endswith(".LogicalRelation"):
+            cols = {a[0]["name"] for a in (node.get("output") or [])}
+            if cols and cols <= _FIXED_DIM_COLS:
+                return True
+            return under_lit_filter
+        return all(walk(k, under_lit_filter) for k in kids)
+
+    return walk(tree, False)
+
+
+# Queries whose forced-broadcast side is a LITERAL-FILTERED scan —
+# no aggregate bounds it structurally, but the filter key range is a
+# compile-time constant, so the broadcast is SF-independent. Each
+# entry names the literal bound. Checked PER HINT: the hint must
+# satisfy _all_scans_literal_filtered; other hints in the same query
+# are still asserted in full.
+BROADCAST_FILTER_OK = {
+    "ann_ivf_portable",  # query batch: embeddings doc_id < N_QUERIES
+    "ann_lsh_topk",  # same literal query batch
+    "ann_rp_lsh_portable",  # CTE over the literal query batch
+    "benchmark_contamination",  # benchmark slice: doc_id in a
+    # literal id range; its ngram explode stays benchmark-grain
+    "context_fit_curve",  # literal eval-pair frame
+    "cosine_topk",  # single literal query vector
+    "decontaminate_corpus",  # same benchmark slice as contamination
+    "embed_search_portable",  # literal query text rows
+    "hard_negative_mining",  # literal query batch
+    "hybrid_rrf_search",  # literal query vector + term row
+    "ivf_nprobe_recall",  # literal query batch (truth side is the
+    # grouped-aggregate hint, excused via BROADCAST_GRAIN_OK)
+    "mrl_truncation_eval",  # literal query batch at each dim rung
+    "retrieval_ndcg_eval",  # bounded literal eval-query batch
+}
 
 
 @pytest.mark.parametrize("name", sorted(set(queries()) - BUILD_EXECUTES))
@@ -510,21 +606,36 @@ def test_no_unbounded_forced_broadcast(spark, name):
     df = queries()[name](spark, SF_DIR)
     nodes = _json.loads(df._jdf.queryExecution().analyzed().toJSON())
     tree = _build_tree(nodes)
+    defs = _cte_defs(tree)
     hints = [
         t
         for t in _iter_nodes(tree)
         if t[0].get("class", "").endswith("logical.ResolvedHint")
     ]
-    if name in BROADCAST_GRAIN_OK:
-        return  # inspected: grouped-aggregate grain named above
+    # Allowlists are applied PER HINT, not per query (r8 ADVICE #2):
+    # a BROADCAST_GRAIN_OK entry excuses only grouped-agg/distinct
+    # subtrees, a BROADCAST_FILTER_OK entry only literal-filtered
+    # scans; any other forced hint in the same query is asserted.
     for hint in hints:
-        assert _subtree_bounded(hint), (
+        if _subtree_bounded(hint, defs):
+            continue
+        if name in BROADCAST_GRAIN_OK and _has_bounded_grain_shape(
+            hint
+        ):
+            continue
+        if name in BROADCAST_FILTER_OK and _all_scans_literal_filtered(
+            hint, defs
+        ):
+            continue
+        raise AssertionError(
             f"{name} force-broadcasts a subtree with an unbounded"
             " path to a base relation — no limit, scalar aggregate,"
             " or literal relation bounds it, so at scale the"
             " broadcast ships corpus-grain data to every executor."
             " Bound it (TakeOrdered head / percentile-threshold"
             " scalar, see vocab_sizing_curve r8) or, if a grouped"
-            " aggregate at a bounded domain, add the query to"
-            " BROADCAST_GRAIN_OK naming the domain."
+            " aggregate / distinct at a bounded domain or a"
+            " literal-filtered eval batch, add the query to"
+            " BROADCAST_GRAIN_OK / BROADCAST_FILTER_OK naming the"
+            " bound."
         )

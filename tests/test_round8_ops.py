@@ -417,16 +417,38 @@ def test_dp_user_counts_clip_bounds_heavy_user(spark):
         rows, "event_id long, event_type string, user_id long"
     )
     quiet = curation.dp_user_counts_release(
-        mk(base), "event_type", "user_id", salt="t", cap=4
+        mk(base), "event_type", "user_id", salt="t", cap=4,
+        include_audit=True,
     ).collect()[0]
     loud = curation.dp_user_counts_release(
-        mk(base + whale), "event_type", "user_id", salt="t", cap=4
+        mk(base + whale), "event_type", "user_id", salt="t", cap=4,
+        include_audit=True,
     ).collect()[0]
     # same salt + same cell -> identical noise; the released counts
     # differ by exactly the whale's CLIPPED contribution (4 - 1 = 3)
     assert loud["noisy_count"] - quiet["noisy_count"] == 3
     assert loud["n_users_clipped"] == 1 and quiet["n_users_clipped"] == 0
     assert loud["sensitivity"] == 4 and loud["laplace_scale"] == 4.0
+
+
+def test_dp_user_counts_default_release_has_no_exact_column(spark):
+    """The DEFAULT release frame must not carry n_users_clipped: it
+    is a deterministic function of the raw data, so shipping it
+    alongside the noisy counts voids the epsilon-DP claim (r8 ADVICE
+    #1). The audit column exists only behind include_audit=True."""
+    from citeconnect_datapipeline_spark.api import curation
+
+    df = spark.createDataFrame(
+        [(i, "a", i % 5) for i in range(20)],
+        "event_id long, event_type string, user_id long",
+    )
+    release = curation.dp_user_counts_release(
+        df, "event_type", "user_id", salt="t"
+    )
+    assert "n_users_clipped" not in release.columns
+    assert {"cell", "noisy_count", "epsilon", "sensitivity"} <= set(
+        release.columns
+    )
 
 
 def test_dp_user_counts_noise_scale_tracks_cap(spark):
