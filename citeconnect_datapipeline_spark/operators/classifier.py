@@ -483,11 +483,23 @@ def logreg_adagrad_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
         lambda x: x != F.lit(""),
     )
-    lab = docs.filter(F.size(words) > 0).select(
-        "doc_id",
-        F.when(F.col("source") == TRUSTED_SOURCE, 1.0)
-        .otherwise(0.0)
-        .alias("y"),
+    # The label frame is checkpointed so the ONE tokenize scan that
+    # builds it (the size filter needs the word array) is paid once:
+    # labw is referenced by the gradient, margin, and final-loss
+    # jobs, and unpinned each would re-tokenize the corpus — 3 extra
+    # corpus passes that at 100 TB dominate everything else in this
+    # query (r8 verdict #6). lab is doc-grain and NARROW (id + one
+    # double), so the checkpoint is a per-doc-row materialization,
+    # not a collect.
+    lab = (
+        docs.filter(F.size(words) > 0)
+        .select(
+            "doc_id",
+            F.when(F.col("source") == TRUSTED_SOURCE, 1.0)
+            .otherwise(0.0)
+            .alias("y"),
+        )
+        .localCheckpoint(eager=True)
     )
     cw = lab.agg(
         F.sum("y").alias("pos"),
@@ -501,9 +513,28 @@ def logreg_adagrad_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         "y",
         F.when(F.col("y") == 1.0, F.lit(pw)).otherwise(1.0).alias("wt"),
     )
+    # ONE-PASS feature build: a sentinel token appended to each
+    # doc's word array makes the SAME explode emit the bias row, so
+    # the former unionAll — whose two branches each re-ran the
+    # explode + per-doc shuffle — collapses into a single pass. The
+    # sentinel ('\\x00') cannot collide with [a-z0-9]+ tokens; the
+    # per-doc word total is the windowed count minus the sentinel
+    # row, and a zero-word doc (bias-only, tw = 0) is dropped — the
+    # same exclusion the filtered unionAll form produced.
+    sent = "\x00"
     wordfeat = (
-        docs.select("doc_id", F.explode(words).alias("word"))
-        .select("doc_id", F.substring(F.md5("word"), 1, 2).alias("b"))
+        docs.select(
+            "doc_id",
+            F.explode(F.concat(words, F.array(F.lit(sent)))).alias(
+                "word"
+            ),
+        )
+        .select(
+            "doc_id",
+            F.when(F.col("word") == sent, F.lit(LRP_BIAS))
+            .otherwise(F.substring(F.md5("word"), 1, 2))
+            .alias("b"),
+        )
         .groupBy("doc_id", "b")
         .agg(F.count("*").alias("c"))
     )
@@ -512,12 +543,16 @@ def logreg_adagrad_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         wordfeat.select(
             "doc_id",
             "b",
-            (F.col("c") * 1.0 / F.sum("c").over(n_doc)).alias("x"),
+            "c",
+            (F.sum("c").over(n_doc) - 1).alias("tw"),
         )
-        .unionAll(
-            wordfeat.select("doc_id")
-            .distinct()
-            .select("doc_id", F.lit(LRP_BIAS).alias("b"), F.lit(1.0).alias("x"))
+        .filter(F.col("tw") > 0)
+        .select(
+            "doc_id",
+            "b",
+            F.when(F.col("b") == LRP_BIAS, F.lit(1.0))
+            .otherwise(F.col("c") * 1.0 / F.col("tw"))
+            .alias("x"),
         )
         # Materialize the long feature table ONCE (the production
         # fit's persist contract: features are the only corpus-wide

@@ -236,11 +236,19 @@ def pagerank(
         # logical plan still nests every previous round, and Catalyst
         # analysis time grows superlinearly with depth (measured:
         # round 9 cost 23 s of pure driver-side planning vs 1.3 s of
-        # compute). Checkpointing every OTHER round halves the serial
-        # job chain (the scarce resource under concurrent query load)
-        # while keeping plan depth <= 2. On a cluster use checkpoint()
-        # to HDFS for fault tolerance; locally executor-memory blocks
-        # suffice.
+        # compute). Each eager checkpoint is ALSO a serial job
+        # (~0.3 s submission floor locally), so the cadence is a
+        # trade: measured at 5 iterations, every-other-round spent
+        # 1.4 s MORE on checkpoint jobs than the planning it saved
+        # (5.5 s vs 4.5 s wall, r8 verdict #6). Cut lineage only
+        # every 4th round counted back from the end — plan depth
+        # stays <= 4 (well under the measured depth-9 planning
+        # cliff) and a 5-round run pays exactly ONE checkpoint. The
+        # FINAL round always checkpoints: the static tables are
+        # unpersisted below before the caller executes the returned
+        # plan, so the result must already be materialized. On a
+        # cluster use checkpoint() to HDFS for fault tolerance;
+        # locally executor-memory blocks suffice.
         new_ranks = vertices.join(
             contribs, vertices.v == contribs.v2, "left"
         ).select(
@@ -250,7 +258,9 @@ def pagerank(
                 + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))
             ).alias("rank"),
         )
-        if i % 2 == 1 or i == iterations - 1:
+        if i == iterations - 1 or (
+            i > 0 and (iterations - 1 - i) % 4 == 0
+        ):
             new_ranks = new_ranks.localCheckpoint()
         ranks = new_ranks
     # The final-round localCheckpoint is eager and cuts lineage, so
