@@ -44,16 +44,54 @@ MEDIA_TYPES = ("image", "audio", "video")
 
 
 class RealMediaCodec:
-    """Production codec: decode bytes with PIL/librosa/pyav. The
-    libraries are not in this container; the stub preserves the exact
-    integration point."""
+    """Production codec seam. The IMAGE branch is implemented against
+    PIL (deferred import — per-worker singleton, same contract as
+    FakeMediaCodec.get); audio/video still need librosa/pyav, which
+    this container lacks, so those branches keep the documented
+    NotImplementedError. Where PIL is also absent (this container),
+    constructing the codec raises the documented ImportError, which
+    the runtime-gate test asserts; the skip-if-absent integration
+    test proves the image branch against a real PNG when PIL exists
+    (r8 verdict #5)."""
 
-    @staticmethod
-    def decode(media_type: str, payload: bytes) -> dict:
+    _instance = None
+
+    def __init__(self):
+        try:
+            from PIL import Image
+        except ImportError as e:  # pragma: no cover - env-dependent
+            raise ImportError(
+                "Pillow is not installed in this environment; media "
+                "decode can only run the injected FakeMediaCodec "
+                "here. Install Pillow on the cluster image and swap "
+                "RealMediaCodec.get into media_features()."
+            ) from e
+        self._image = Image
+
+    @classmethod
+    def get(cls) -> "RealMediaCodec":
+        # per-worker singleton, mirroring an expensive codec init
+        if cls._instance is None:
+            cls._instance = cls()
+        return cls._instance
+
+    def decode(self, media_type: str, payload: bytes) -> dict:
+        if media_type == "image":
+            import io
+
+            with self._image.open(io.BytesIO(payload)) as img:
+                n_frames = int(getattr(img, "n_frames", 1))
+                return {
+                    "width": int(img.width),
+                    "height": int(img.height),
+                    "duration_sec": 0.0,
+                    "n_frames": n_frames if n_frames > 1 else 0,
+                }
         raise NotImplementedError(
-            "real media decoding requires PIL/librosa/pyav, which are "
-            "not installed here; swap FakeMediaCodec for this class in "
-            "media_features() when they are"
+            f"real {media_type} decoding requires librosa/pyav, which "
+            "are not installed here; the image branch runs via PIL, "
+            "other types fall back to FakeMediaCodec in "
+            "media_features()"
         )
 
 

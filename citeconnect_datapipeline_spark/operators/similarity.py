@@ -493,6 +493,71 @@ class _FakeModel:
         return out
 
 
+class SentenceTransformerModel:
+    """REAL-model adapter for `embed_with_model` — the production
+    side of the injection seam `_FakeModel` fills in this container
+    (reference: src/DataPipeline/embeddings/local_embedder.py:46-90,
+    which module-level-caches a SentenceTransformer the same way).
+
+    Usage on a cluster with the library installed:
+
+        embed_with_model(
+            docs, SentenceTransformerModel.factory("all-MiniLM-L6-v2")
+        )
+
+    The factory closure is pickled to the executors; the heavy
+    import + weight load happen INSIDE `get()` on first call per
+    Python worker (the executor-local singleton contract
+    `embed_with_model` documents — the mapInPandas analogue of
+    Spark ML's predict_batch_udf cached-loader pattern). The import
+    is deferred so this module stays importable where
+    sentence-transformers is absent; calling `get()` there raises
+    the documented ImportError naming the seam, which the runtime
+    gate test asserts."""
+
+    _instances: dict = {}
+
+    def __init__(self, model_name: str, batch_size: int):
+        try:
+            from sentence_transformers import SentenceTransformer
+        except ImportError as e:  # pragma: no cover - env-dependent
+            raise ImportError(
+                "sentence-transformers is not installed in this "
+                "environment; embed_with_model can only run the "
+                "injected fake here (_FakeModel). Install "
+                "sentence-transformers on the cluster image and "
+                "pass SentenceTransformerModel.factory(name) to "
+                "run real inference."
+            ) from e
+        self._model = SentenceTransformer(model_name)
+        self._batch_size = batch_size
+        self.name = model_name
+
+    @classmethod
+    def get(
+        cls, model_name: str, batch_size: int = 64
+    ) -> "SentenceTransformerModel":
+        if model_name not in cls._instances:
+            cls._instances[model_name] = cls(model_name, batch_size)
+        return cls._instances[model_name]
+
+    @classmethod
+    def factory(cls, model_name: str, batch_size: int = 64):
+        """Picklable zero-arg factory for `embed_with_model`."""
+        import functools
+
+        return functools.partial(cls.get, model_name, batch_size)
+
+    def encode(self, texts: list[str]) -> list[list[float]]:
+        vecs = self._model.encode(
+            texts,
+            batch_size=self._batch_size,
+            show_progress_bar=False,
+            normalize_embeddings=True,
+        )
+        return [[float(x) for x in v] for v in vecs]
+
+
 # ---------------------------------------------------------------------
 # Persistent IVF index lifecycle: build once at ingest, search many
 # times with partition pruning. ann_ivf_topk builds its index inline

@@ -1,0 +1,133 @@
+"""Real-library integration seams (r8 verdict #4/#5).
+
+Two injection seams carry deterministic fakes in this container
+because the heavy libraries are absent: the embedding model
+(`embed_with_model` / `_FakeModel`) and the media codec
+(`media_features` / `FakeMediaCodec`). Each seam gets BOTH:
+
+- a runtime-GATE test that runs green HERE: constructing the real
+  adapter without the library raises the documented ImportError
+  naming the seam and the swap instruction (never an opaque
+  ModuleNotFoundError from deep inside a worker), and
+- a skip-if-absent INTEGRATION test that proves the real branch
+  (sentence-transformers encode shape / PIL PNG decode) when the
+  library IS installed — on a production image these run instead of
+  skipping, so the seam is verified on both sides of the boundary.
+"""
+import importlib.util
+
+import pytest
+
+HAS_ST = importlib.util.find_spec("sentence_transformers") is not None
+HAS_PIL = importlib.util.find_spec("PIL") is not None
+
+
+# ------------------- embedding model seam (T4) ---------------------
+
+
+@pytest.mark.skipif(
+    HAS_ST, reason="sentence-transformers installed: gate unreachable"
+)
+def test_sentence_transformer_adapter_gate_names_the_seam():
+    from citeconnect_datapipeline_spark.operators.similarity import (
+        SentenceTransformerModel,
+    )
+
+    with pytest.raises(ImportError, match="embed_with_model"):
+        SentenceTransformerModel.get("all-MiniLM-L6-v2")
+
+
+def test_sentence_transformer_factory_is_picklable():
+    """The factory closure must survive pickling to executors even
+    where the library is absent — the import is deferred to get()."""
+    import pickle
+
+    from citeconnect_datapipeline_spark.operators.similarity import (
+        SentenceTransformerModel,
+    )
+
+    f = SentenceTransformerModel.factory("all-MiniLM-L6-v2")
+    f2 = pickle.loads(pickle.dumps(f))
+    assert f2.args[0] == "all-MiniLM-L6-v2"
+
+
+@pytest.mark.skipif(
+    not HAS_ST, reason="sentence-transformers not installed"
+)
+def test_embed_with_real_model_end_to_end(spark):
+    """Real inference through the SAME plan the fake exercises:
+    mapInPandas, executor-local singleton, (n_texts -> n_vectors,
+    fixed dim) contract, normalized vectors."""
+    import math
+
+    from citeconnect_datapipeline_spark.operators.similarity import (
+        SentenceTransformerModel,
+        embed_with_model,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "spark shuffles data"), (2, "ducks quack loudly")],
+        "doc_id long, text string",
+    )
+    rows = embed_with_model(
+        docs, SentenceTransformerModel.factory("all-MiniLM-L6-v2")
+    ).collect()
+    assert len(rows) == 2
+    dims = {len(r["embedding"]) for r in rows}
+    assert len(dims) == 1 and dims.pop() > 0
+    for r in rows:
+        norm = math.sqrt(sum(x * x for x in r["embedding"]))
+        assert abs(norm - 1.0) < 1e-3  # normalize_embeddings=True
+        assert r["model_name"] == "all-MiniLM-L6-v2"
+
+
+# --------------------- media codec seam (§2.12) ---------------------
+
+
+@pytest.mark.skipif(HAS_PIL, reason="Pillow installed: gate unreachable")
+def test_real_media_codec_gate_names_the_seam():
+    from citeconnect_datapipeline_spark.operators.multimodal import (
+        RealMediaCodec,
+    )
+
+    RealMediaCodec._instance = None
+    with pytest.raises(ImportError, match="FakeMediaCodec"):
+        RealMediaCodec.get()
+
+
+@pytest.mark.skipif(not HAS_PIL, reason="Pillow not installed")
+def test_real_media_codec_decodes_png():
+    """The image branch against a real PNG: width/height from actual
+    pixels, single frame, zero duration — FakeMediaCodec's schema,
+    real values."""
+    import io
+
+    from PIL import Image
+
+    from citeconnect_datapipeline_spark.operators.multimodal import (
+        RealMediaCodec,
+    )
+
+    buf = io.BytesIO()
+    Image.new("RGB", (37, 21)).save(buf, format="PNG")
+    out = RealMediaCodec.get().decode("image", buf.getvalue())
+    assert out == {
+        "width": 37,
+        "height": 21,
+        "duration_sec": 0.0,
+        "n_frames": 0,
+    }
+
+
+def test_real_media_codec_audio_video_still_stubbed():
+    """audio/video need librosa/pyav regardless of PIL — the
+    NotImplementedError contract holds on every image-capable
+    install until those branches land."""
+    from citeconnect_datapipeline_spark.operators.multimodal import (
+        RealMediaCodec,
+    )
+
+    codec = object.__new__(RealMediaCodec)  # skip the PIL gate
+    codec._image = None
+    with pytest.raises(NotImplementedError, match="audio"):
+        codec.decode("audio", b"\x00")

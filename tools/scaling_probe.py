@@ -201,20 +201,40 @@ def main() -> None:
             except Exception:
                 pass
     results: dict[str, dict[int, float]] = {n: {} for n in names}
+    jobs: dict[str, dict[int, int]] = {n: {} for n in names}
+
+    def _last_job_id() -> int:
+        ids = spark.sparkContext.statusTracker().getJobIdsForGroup()
+        return max(ids) if ids else -1
+
     for scale in SCALES:
         sf_dir = build_scaled(spark, scale) if scale > 1 else BASE
         for n in names:
+            j0 = _last_job_id()
             t0 = time.monotonic()
             qs[n](spark, sf_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
             dt = round(time.monotonic() - t0, 2)
+            nj = _last_job_id() - j0
             results[n][scale] = dt
-            print(json.dumps({"query": n, "scale": scale, "sec": dt}))
+            jobs[n][scale] = nj
+            print(
+                json.dumps(
+                    {"query": n, "scale": scale, "sec": dt, "jobs": nj}
+                )
+            )
     summary = {}
     for n in names:
         r = results[n]
         row = {f"x{s}": r[s] for s in SCALES}
+        # job-count curve: a FLAT curve means the fixpoint/job
+        # structure is scale-independent (the submission floor
+        # amortizes on a cluster); a growing curve means the
+        # operator schedules MORE rounds/stages with data size —
+        # a scale smell even when wall-time looks fine (r8 verdict
+        # #1 asks for both curves).
+        row["jobs"] = {f"x{s}": jobs[n][s] for s in SCALES}
         base_scale = SCALES[0]
         for s in SCALES[1:]:
             row[f"growth_{s}x"] = round(
