@@ -696,3 +696,131 @@ def logreg_adagrad_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.abs(F.col("w2")).desc(), "bucket")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------
+# Calibration audit: once a score gates training data (keep/drop by
+# "confidence"), the pipeline must know whether that confidence MEANS
+# anything — the reliability diagram + ECE readout.
+# ---------------------------------------------------------------------
+
+ECE_BINS = 10  # standard reliability-diagram decile bins
+
+
+@query(
+    "score_calibration_ece",
+    oracle=f"""
+    WITH scored AS (
+        SELECT CASE WHEN source = '{TRUSTED_SOURCE}'
+                    THEN 1.0 ELSE 0.0 END AS y,
+               ROUND(CAST(len(list_distinct(list_filter(
+                         string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> ''))) AS DOUBLE)
+                     / GREATEST(len(list_filter(
+                         string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '')), 1), 6) AS conf
+        FROM documents
+    ),
+    binned AS (
+        SELECT LEAST(CAST(FLOOR(conf * {ECE_BINS}) AS INTEGER),
+                     {ECE_BINS} - 1) + 1 AS bin,
+               conf, y
+        FROM scored
+    ),
+    cells AS (
+        SELECT bin,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(AVG(conf), 6) AS mean_conf,
+               ROUND(AVG(y), 6) AS frac_pos
+        FROM binned GROUP BY bin
+    ),
+    tot AS (
+        SELECT SUM(n) AS nt,
+               ROUND(SUM(n * ABS(mean_conf - frac_pos)) / SUM(n), 6)
+                   AS ece
+        FROM cells
+    )
+    SELECT c.bin, c.n, c.mean_conf, c.frac_pos,
+           ROUND(c.frac_pos - c.mean_conf, 6) AS gap,
+           t.ece
+    FROM cells c CROSS JOIN tot t
+    ORDER BY c.bin
+    """,
+)
+def score_calibration_ece(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Reliability diagram + Expected Calibration Error for a score
+    used as a confidence — the audit that must precede ANY
+    threshold-by-confidence curation policy (Guo et al. 2017): if a
+    quality score of 0.8 does not mean '~80% of such docs are from
+    the trusted source', then 'keep everything above 0.8' is not
+    the policy its author believes it is. Here the audited score is
+    the type-token ratio (the quality_score family's confidence
+    proxy, already in [0,1]) against the trusted-source label the
+    classifier family trains on; the output is the standard
+    {ECE_BINS}-bin reliability table (count, mean confidence,
+    empirical positive rate, signed gap) plus the ECE scalar
+    (bin-weighted mean |gap|) repeated per row for the panel read.
+    Swapping in a learned model's sigmoid margin is a one-column
+    change — the audit shape is score-agnostic.
+
+    Scale shape: one corpus pass computes (bin, conf, y), one
+    {ECE_BINS}-cell aggregate, and the ECE total rides a 1-row
+    broadcast back onto the cells. No window, no pair stage."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+        lambda x: x != F.lit(""),
+    )
+    conf = F.round(
+        F.size(F.array_distinct(w)).cast("double")
+        / F.greatest(F.size(w), F.lit(1)),
+        6,
+    )
+    scored = docs.select(
+        F.when(F.col("source") == TRUSTED_SOURCE, 1.0)
+        .otherwise(0.0)
+        .alias("y"),
+        conf.alias("conf"),
+    )
+    binned = scored.select(
+        (
+            F.least(
+                F.floor(F.col("conf") * ECE_BINS).cast("int"),
+                F.lit(ECE_BINS - 1),
+            )
+            + 1
+        ).alias("bin"),
+        "conf",
+        "y",
+    )
+    cells = binned.groupBy("bin").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.round(F.avg("conf"), 6).alias("mean_conf"),
+        F.round(F.avg("y"), 6).alias("frac_pos"),
+    )
+    tot = cells.agg(
+        F.round(
+            F.sum(
+                F.col("n")
+                * F.abs(F.col("mean_conf") - F.col("frac_pos"))
+            )
+            / F.sum("n"),
+            6,
+        ).alias("ece")
+    )
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "n",
+            "mean_conf",
+            "frac_pos",
+            F.round(
+                F.col("frac_pos") - F.col("mean_conf"), 6
+            ).alias("gap"),
+            "ece",
+        )
+        .orderBy("bin")
+    )

@@ -2790,3 +2790,390 @@ def minhash_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rows_per_band")
     )
+
+
+# ---------------------------------------------------------------------
+# Blocking-scheme engineering: the metrics a dedup/record-linkage
+# pipeline reads BEFORE choosing its candidate-generation key. The
+# near-dup pair table is the ground truth; schemes are judged on how
+# many true pairs they co-block (pair completeness) vs how many
+# candidate comparisons they admit (reduction ratio).
+# ---------------------------------------------------------------------
+
+_BLOCK_EPS = 1e-6  # m/u smoothing, identical literal in the oracle
+
+_BLOCKING_ORACLE_HEAD = f"""
+    WITH words AS (
+        SELECT doc_id, lang, source, n_chars,
+               list_filter(string_split_regex(lower(text),
+                                              '[^a-z0-9]+'),
+                           x -> x <> '') AS w
+        FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(list_slice(w, i, i + 2), ' ') AS shingle
+        FROM words, UNNEST(range(1, greatest(len(w) - 1, 2))) AS t(i)
+        WHERE array_to_string(list_slice(w, i, i + 2), ' ') <> ''
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    cand AS (
+        SELECT p.doc_a, p.doc_b,
+               CAST(p.common AS DOUBLE) / (sa.n + sb.n - p.common)
+                   AS jaccard
+        FROM (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   COUNT(*) AS common
+            FROM sh a JOIN sh b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ) p
+        JOIN sizes sa ON p.doc_a = sa.doc_id
+        JOIN sizes sb ON p.doc_b = sb.doc_id
+    ),
+    keys AS (
+        SELECT doc_id,
+               array_to_string(list_slice(w, 1, 2), ' ') AS k_first2,
+               CAST(n_chars // 50 AS VARCHAR) AS k_len50,
+               lang || ':' || source AS k_langsrc
+        FROM words
+    )
+"""
+
+
+@query(
+    "blocking_quality_report",
+    oracle=_BLOCKING_ORACLE_HEAD
+    + f""",
+    truth AS (
+        SELECT doc_a, doc_b FROM cand WHERE jaccard >= {NEARDUP_JACCARD}
+    ),
+    truth_keys AS (
+        SELECT t.doc_a, t.doc_b,
+               ka.k_first2 = kb.k_first2 AS hit_first2,
+               ka.k_len50 = kb.k_len50 AS hit_len50,
+               ka.k_langsrc = kb.k_langsrc AS hit_langsrc
+        FROM truth t
+        JOIN keys ka ON t.doc_a = ka.doc_id
+        JOIN keys kb ON t.doc_b = kb.doc_id
+    ),
+    schemed AS (
+        SELECT 'first2words' AS scheme, k_first2 AS k FROM keys
+        UNION ALL
+        SELECT 'len50', k_len50 FROM keys
+        UNION ALL
+        SELECT 'langsrc', k_langsrc FROM keys
+    ),
+    blocks AS (
+        SELECT scheme, k, COUNT(*) AS c
+        FROM schemed GROUP BY 1, 2
+    ),
+    per_scheme AS (
+        SELECT scheme,
+               CAST(COUNT(*) FILTER (WHERE c > 1) AS BIGINT)
+                   AS n_blocks_multi,
+               CAST(SUM(c * (c - 1) / 2) AS BIGINT)
+                   AS n_candidate_pairs
+        FROM blocks GROUP BY scheme
+    ),
+    captured AS (
+        SELECT 'first2words' AS scheme,
+               CAST(COUNT(*) FILTER (WHERE hit_first2) AS BIGINT)
+                   AS n_captured,
+               CAST(COUNT(*) AS BIGINT) AS n_truth
+        FROM truth_keys
+        UNION ALL
+        SELECT 'len50', COUNT(*) FILTER (WHERE hit_len50), COUNT(*)
+        FROM truth_keys
+        UNION ALL
+        SELECT 'langsrc', COUNT(*) FILTER (WHERE hit_langsrc),
+               COUNT(*)
+        FROM truth_keys
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+    )
+    SELECT s.scheme, s.n_blocks_multi, s.n_candidate_pairs,
+           c.n_truth, c.n_captured,
+           ROUND(c.n_captured * 1.0 / GREATEST(c.n_truth, 1), 6)
+               AS pair_completeness,
+           ROUND(1.0 - s.n_candidate_pairs * 2.0
+                       / (t.n_docs * (t.n_docs - 1)), 6)
+               AS reduction_ratio
+    FROM per_scheme s
+    JOIN captured c ON s.scheme = c.scheme
+    CROSS JOIN tot t
+    ORDER BY s.scheme
+    """,
+)
+def blocking_quality_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Blocking-scheme quality panel — the measurement a dedup /
+    record-linkage engineer runs BEFORE committing to a candidate-
+    generation key (Christen's survey metrics): for each candidate
+    blocking scheme, PAIR COMPLETENESS (share of true near-dup pairs
+    the scheme co-blocks — recall of the candidate generator) and
+    REDUCTION RATIO (share of the N^2 comparison space the scheme
+    prunes). The truth set is the engine's own near-dup pair table
+    (shingle-overlap Jaccard >= the neardup threshold, the same
+    lineage `neardup_components` clusters); schemes under test:
+    first-2-words key, 50-char length bucket, (lang, source) cell.
+    The panel shows exactly the trade the LSH family automates:
+    cheap keys prune hard but miss true pairs whose edit touched the
+    key.
+
+    Scale shape: per-scheme candidate counts come from k*(k-1)/2
+    over block-size aggregates — the pair space is COUNTED, never
+    materialized; truth-pair capture is two doc-grain key joins on
+    the bounded (post-cap, post-threshold) truth table; output is
+    3 rows. The first2words grain rides Heaps' law, len50/langsrc
+    are fixed grids."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+        lambda x: x != F.lit(""),
+    )
+    keys = docs.select(
+        "doc_id",
+        F.concat_ws(" ", F.slice(w, 1, 2)).alias("k_first2"),
+        (F.col("n_chars") / 50).cast("bigint")
+        .cast("string")
+        .alias("k_len50"),
+        F.concat_ws(":", "lang", "source").alias("k_langsrc"),
+    )
+    schemed = keys.select(
+        "doc_id",
+        F.stack(
+            F.lit(3),
+            F.lit("first2words"), F.col("k_first2"),
+            F.lit("len50"), F.col("k_len50"),
+            F.lit("langsrc"), F.col("k_langsrc"),
+        ).alias("scheme", "k"),
+    )
+    per_scheme = (
+        schemed.groupBy("scheme", "k")
+        .agg(F.count("*").alias("c"))
+        .groupBy("scheme")
+        .agg(
+            F.sum(F.when(F.col("c") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_blocks_multi"),
+            F.sum(F.col("c") * (F.col("c") - 1) / 2)
+            .cast("bigint")
+            .alias("n_candidate_pairs"),
+        )
+    )
+    truth = _jaccard_pairs_materialized(spark, sf_dir).filter(
+        F.col("jaccard") >= NEARDUP_JACCARD
+    )
+    ka, kb = keys.alias("ka"), keys.alias("kb")
+    truth_keys = (
+        truth.join(ka, truth.doc_a == F.col("ka.doc_id"))
+        .join(kb, truth.doc_b == F.col("kb.doc_id"))
+        .select(
+            (F.col("ka.k_first2") == F.col("kb.k_first2")).alias(
+                "hit_first2"
+            ),
+            (F.col("ka.k_len50") == F.col("kb.k_len50")).alias(
+                "hit_len50"
+            ),
+            (F.col("ka.k_langsrc") == F.col("kb.k_langsrc")).alias(
+                "hit_langsrc"
+            ),
+        )
+    )
+    captured = truth_keys.agg(
+        F.count("*").cast("bigint").alias("n_truth"),
+        *[
+            F.sum(F.when(F.col(f"hit_{s}"), 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"cap_{s}")
+            for s in ("first2", "len50", "langsrc")
+        ],
+    ).select(
+        F.stack(
+            F.lit(3),
+            F.lit("first2words"), F.col("cap_first2"),
+            F.lit("len50"), F.col("cap_len50"),
+            F.lit("langsrc"), F.col("cap_langsrc"),
+        ).alias("scheme", "n_captured"),
+        "n_truth",
+    )
+    tot = docs.agg(F.count("*").cast("bigint").alias("n_docs"))
+    return (
+        per_scheme.join(F.broadcast(captured), "scheme")
+        .join(F.broadcast(tot))
+        .select(
+            "scheme",
+            "n_blocks_multi",
+            "n_candidate_pairs",
+            "n_truth",
+            "n_captured",
+            F.round(
+                F.col("n_captured")
+                * 1.0
+                / F.greatest(F.col("n_truth"), F.lit(1)),
+                6,
+            ).alias("pair_completeness"),
+            F.round(
+                1.0
+                - F.col("n_candidate_pairs")
+                * 2.0
+                / (F.col("n_docs") * (F.col("n_docs") - 1)),
+                6,
+            ).alias("reduction_ratio"),
+        )
+        .orderBy("scheme")
+    )
+
+
+@query(
+    "fellegi_sunter_weights",
+    oracle=_BLOCKING_ORACLE_HEAD
+    + f""",
+    pair_fields AS (
+        SELECT c.jaccard >= {NEARDUP_JACCARD} AS is_match,
+               ka.k_first2 = kb.k_first2 AS agree_first2,
+               ka.k_len50 = kb.k_len50 AS agree_len50,
+               ka.lang_f = kb.lang_f AS agree_lang,
+               ka.src_f = kb.src_f AS agree_source
+        FROM cand c
+        JOIN (SELECT k.doc_id, k.k_first2, k.k_len50,
+                     w.lang AS lang_f, w.source AS src_f
+              FROM keys k JOIN words w ON k.doc_id = w.doc_id) ka
+          ON c.doc_a = ka.doc_id
+        JOIN (SELECT k.doc_id, k.k_first2, k.k_len50,
+                     w.lang AS lang_f, w.source AS src_f
+              FROM keys k JOIN words w ON k.doc_id = w.doc_id) kb
+          ON c.doc_b = kb.doc_id
+    ),
+    wide AS (
+        SELECT
+            AVG(CASE WHEN is_match AND agree_first2 THEN 1.0
+                     WHEN is_match THEN 0.0 END) AS m_first2,
+            AVG(CASE WHEN NOT is_match AND agree_first2 THEN 1.0
+                     WHEN NOT is_match THEN 0.0 END) AS u_first2,
+            AVG(CASE WHEN is_match AND agree_len50 THEN 1.0
+                     WHEN is_match THEN 0.0 END) AS m_len50,
+            AVG(CASE WHEN NOT is_match AND agree_len50 THEN 1.0
+                     WHEN NOT is_match THEN 0.0 END) AS u_len50,
+            AVG(CASE WHEN is_match AND agree_lang THEN 1.0
+                     WHEN is_match THEN 0.0 END) AS m_lang,
+            AVG(CASE WHEN NOT is_match AND agree_lang THEN 1.0
+                     WHEN NOT is_match THEN 0.0 END) AS u_lang,
+            AVG(CASE WHEN is_match AND agree_source THEN 1.0
+                     WHEN is_match THEN 0.0 END) AS m_source,
+            AVG(CASE WHEN NOT is_match AND agree_source THEN 1.0
+                     WHEN NOT is_match THEN 0.0 END) AS u_source
+        FROM pair_fields
+    ),
+    stacked(field, m, u) AS (
+        SELECT 'first2words', m_first2, u_first2 FROM wide
+        UNION ALL SELECT 'len50', m_len50, u_len50 FROM wide
+        UNION ALL SELECT 'lang', m_lang, u_lang FROM wide
+        UNION ALL SELECT 'source', m_source, u_source FROM wide
+    )
+    SELECT field,
+           ROUND(m, 6) AS m_prob,
+           ROUND(u, 6) AS u_prob,
+           ROUND(log2((m + {_BLOCK_EPS}) / (u + {_BLOCK_EPS})), 6)
+               AS w_agree,
+           ROUND(log2((1.0 - m + {_BLOCK_EPS})
+                      / (1.0 - u + {_BLOCK_EPS})), 6) AS w_disagree
+    FROM stacked
+    ORDER BY field
+    """,
+)
+def fellegi_sunter_weights(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Fellegi-Sunter record-linkage weights — the probabilistic
+    scoring layer classical entity resolution puts on top of blocked
+    candidate pairs (Fellegi & Sunter 1969): per comparison field,
+    m = P(fields agree | pair is a true match) and u = P(agree |
+    non-match), giving the log-likelihood agreement weight
+    log2(m/u) and disagreement weight log2((1-m)/(1-u)) that sum
+    into each pair's match score. Here the candidate set is the
+    engine's own shingle-overlap pair table, the match label is the
+    near-dup Jaccard threshold (a deterministic supervisor — in
+    production, EM or clerical labels fill this seam), and the
+    fields are first-2-words, 50-char length bucket, lang, source.
+    eps-smoothed so single-field degenerate corpora stay finite.
+
+    Scale shape: m/u are ONE map-side-combinable aggregate over the
+    posting-capped candidate pair table (never the N^2 space),
+    stacked to a 4-row field panel; the field-key joins are
+    doc-grain. Output is 4 rows at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+        lambda x: x != F.lit(""),
+    )
+    fields = docs.select(
+        "doc_id",
+        F.concat_ws(" ", F.slice(w, 1, 2)).alias("k_first2"),
+        (F.col("n_chars") / 50).cast("bigint")
+        .cast("string")
+        .alias("k_len50"),
+        "lang",
+        "source",
+    )
+    cand = _jaccard_pairs_materialized(spark, sf_dir)
+    fa, fb = fields.alias("fa"), fields.alias("fb")
+    pair_fields = (
+        cand.join(fa, cand.doc_a == F.col("fa.doc_id"))
+        .join(fb, cand.doc_b == F.col("fb.doc_id"))
+        .select(
+            (F.col("jaccard") >= NEARDUP_JACCARD).alias("is_match"),
+            (F.col("fa.k_first2") == F.col("fb.k_first2")).alias(
+                "agree_first2"
+            ),
+            (F.col("fa.k_len50") == F.col("fb.k_len50")).alias(
+                "agree_len50"
+            ),
+            (F.col("fa.lang") == F.col("fb.lang")).alias("agree_lang"),
+            (F.col("fa.source") == F.col("fb.source")).alias(
+                "agree_source"
+            ),
+        )
+    )
+
+    def _mu(flag: str, match: bool):
+        cond = F.col("is_match") if match else ~F.col("is_match")
+        return F.avg(
+            F.when(cond & F.col(flag), 1.0).when(cond, 0.0)
+        )
+
+    wide = pair_fields.agg(
+        *[
+            _mu(f"agree_{s}", m).alias(
+                f"{'m' if m else 'u'}_{s}"
+            )
+            for s in ("first2", "len50", "lang", "source")
+            for m in (True, False)
+        ]
+    )
+    stacked = wide.select(
+        F.stack(
+            F.lit(4),
+            F.lit("first2words"), F.col("m_first2"), F.col("u_first2"),
+            F.lit("len50"), F.col("m_len50"), F.col("u_len50"),
+            F.lit("lang"), F.col("m_lang"), F.col("u_lang"),
+            F.lit("source"), F.col("m_source"), F.col("u_source"),
+        ).alias("field", "m", "u")
+    )
+    eps = F.lit(_BLOCK_EPS)
+    return stacked.select(
+        "field",
+        F.round("m", 6).alias("m_prob"),
+        F.round("u", 6).alias("u_prob"),
+        F.round(F.log2((F.col("m") + eps) / (F.col("u") + eps)), 6)
+        .alias("w_agree"),
+        F.round(
+            F.log2(
+                (1.0 - F.col("m") + eps) / (1.0 - F.col("u") + eps)
+            ),
+            6,
+        ).alias("w_disagree"),
+    ).orderBy("field")

@@ -2534,3 +2534,299 @@ def quantile_sketch_accuracy(
         .select("r.*")
         .orderBy("accuracy", "p")
     )
+
+
+# ---------------------------------------------------------------------
+# Multiple-testing control + rank correlation: the two readouts a
+# slice-scanning analytics layer needs once it runs MANY tests
+# (welch_ttest_slices does one family) or compares two rankings
+# (spearman needs interval ranks; Kendall reads raw concordance).
+# ---------------------------------------------------------------------
+
+BH_FDR_Q = 0.10  # target false-discovery rate
+_PHI_K = 1.702  # logistic approximation of the normal CDF:
+# Phi(z) ~ 1 / (1 + exp(-1.702 z)), max abs error < 0.0095 — the
+# SAME closed form on both engines, so p-values are bit-identical
+# (no erf in Spark SQL; the decision variable is the 6-dp-rounded p)
+
+
+@query(
+    "bh_fdr_slices",
+    oracle=f"""
+    WITH s AS (
+        SELECT p.p_brand AS brand,
+               COUNT(*) AS n1,
+               SUM(l.l_extendedprice) AS s1,
+               SUM(l.l_extendedprice * l.l_extendedprice) AS q1
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY 1
+    ),
+    g AS (SELECT SUM(n1) AS n, SUM(s1) AS s, SUM(q1) AS q FROM s),
+    z AS (
+        SELECT brand, n1,
+               ROUND((ROUND(s1 / n1, 6)
+                      - ROUND((g.s - s1) / (g.n - n1), 6))
+                 / SQRT(ROUND((q1 - s1 * s1 / n1) / (n1 - 1), 6) / n1
+                        + ROUND(((g.q - q1) - (g.s - s1) * (g.s - s1)
+                                 / (g.n - n1)) / (g.n - n1 - 1), 6)
+                          / (g.n - n1)), 6) AS welch_z
+        FROM s CROSS JOIN g
+    ),
+    p AS (
+        SELECT brand, n1, welch_z,
+               ROUND(2.0 / (1.0 + EXP({_PHI_K} * ABS(welch_z))), 6)
+                   AS p_value
+        FROM z
+    ),
+    ranked AS (
+        SELECT brand, n1, welch_z, p_value,
+               ROW_NUMBER() OVER (ORDER BY p_value, brand) AS bh_rank,
+               COUNT(*) OVER () AS m
+        FROM p
+    ),
+    cut AS (
+        SELECT COALESCE(MAX(bh_rank) FILTER (
+                   WHERE p_value <= bh_rank * {BH_FDR_Q} / m), 0) AS k
+        FROM ranked
+    )
+    SELECT r.brand, CAST(r.n1 AS BIGINT) AS n1, r.welch_z, r.p_value,
+           CAST(r.bh_rank AS BIGINT) AS bh_rank,
+           ROUND(r.bh_rank * {BH_FDR_Q} / r.m, 6) AS bh_threshold,
+           r.bh_rank <= c.k AS reject
+    FROM ranked r CROSS JOIN cut c
+    ORDER BY r.bh_rank
+    """,
+)
+def bh_fdr_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR control over a FAMILY of slice tests —
+    the correction `welch_ttest_slices` needs the moment it scans
+    many slices: at 25 brands and alpha=.05, one expected false
+    positive per panel is the default, and a naive per-test cutoff
+    ships noise alerts. Each brand's lineitem price is Welch-tested
+    against the rest of the corpus (same moments-from-global-sums
+    shape as welch_ttest_slices), the two-sided p comes from the
+    logistic normal-CDF approximation (identical closed form both
+    engines — no erf in Spark SQL), and BH's step-up rule rejects
+    the k smallest p-values where k = max{{i: p_(i) <= i*q/m}}.
+
+    Scale shape: ONE brand-grain aggregate over the fact join + a
+    1-row global broadcast; the rank window runs over the 25-row
+    brand panel (fixed by the brand domain, never corpus-grain),
+    and the step-up cut is a 1-row aggregate broadcast back. All
+    floats round at 6 dp before the rank so fp noise cannot reorder
+    the step-up."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    s = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count("*").alias("n1"),
+            F.sum("l_extendedprice").alias("s1"),
+            F.sum(
+                F.col("l_extendedprice") * F.col("l_extendedprice")
+            ).alias("q1"),
+        )
+    )
+    g = s.agg(
+        F.sum("n1").alias("n"),
+        F.sum("s1").alias("s"),
+        F.sum("q1").alias("q"),
+    )
+    mean1 = F.round(F.col("s1") / F.col("n1"), 6)
+    mean2 = F.round(
+        (F.col("s") - F.col("s1")) / (F.col("n") - F.col("n1")), 6
+    )
+    var1 = F.round(
+        (F.col("q1") - F.col("s1") * F.col("s1") / F.col("n1"))
+        / (F.col("n1") - 1),
+        6,
+    )
+    var2 = F.round(
+        (
+            (F.col("q") - F.col("q1"))
+            - (F.col("s") - F.col("s1"))
+            * (F.col("s") - F.col("s1"))
+            / (F.col("n") - F.col("n1"))
+        )
+        / (F.col("n") - F.col("n1") - 1),
+        6,
+    )
+    z = s.crossJoin(F.broadcast(g)).select(
+        "brand",
+        "n1",
+        F.round(
+            (mean1 - mean2)
+            / F.sqrt(
+                var1 / F.col("n1")
+                + var2 / (F.col("n") - F.col("n1"))
+            ),
+            6,
+        ).alias("welch_z"),
+    )
+    p = z.select(
+        "brand",
+        "n1",
+        "welch_z",
+        F.round(
+            2.0 / (1.0 + F.exp(F.lit(_PHI_K) * F.abs("welch_z"))), 6
+        ).alias("p_value"),
+    )
+    w_rank = Window.orderBy("p_value", "brand")
+    ranked = p.select(
+        "brand",
+        "n1",
+        "welch_z",
+        "p_value",
+        F.row_number().over(w_rank).alias("bh_rank"),
+        F.count("*").over(
+            Window.partitionBy()
+            .rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("m"),
+    )
+    cut = ranked.agg(
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.col("p_value")
+                    <= F.col("bh_rank") * BH_FDR_Q / F.col("m"),
+                    F.col("bh_rank"),
+                )
+            ),
+            F.lit(0),
+        ).alias("k")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(cut))
+        .select(
+            "brand",
+            F.col("n1").cast("bigint").alias("n1"),
+            "welch_z",
+            "p_value",
+            F.col("bh_rank").cast("bigint").alias("bh_rank"),
+            F.round(
+                F.col("bh_rank") * BH_FDR_Q / F.col("m"), 6
+            ).alias("bh_threshold"),
+            (F.col("bh_rank") <= F.col("k")).alias("reject"),
+        )
+        .orderBy("bh_rank")
+    )
+
+
+KENDALL_HEAD = 100  # tau over the top-N revenue parts (bounded pairs)
+
+
+@query(
+    "kendall_tau_topk",
+    oracle=f"""
+    WITH per_part AS (
+        SELECT l_partkey,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 6)
+                   AS rev,
+               CAST(SUM(l_quantity) AS BIGINT) AS qty
+        FROM lineitem GROUP BY 1
+    ),
+    head AS (
+        SELECT l_partkey, rev, qty FROM per_part
+        ORDER BY rev DESC, l_partkey LIMIT {KENDALL_HEAD}
+    ),
+    pairs AS (
+        SELECT CASE WHEN (a.rev - b.rev) * (a.qty - b.qty) > 0
+                    THEN 1 ELSE 0 END AS conc,
+               CASE WHEN (a.rev - b.rev) * (a.qty - b.qty) < 0
+                    THEN 1 ELSE 0 END AS disc,
+               CASE WHEN a.rev = b.rev THEN 1 ELSE 0 END AS tie_rev,
+               CASE WHEN a.qty = b.qty THEN 1 ELSE 0 END AS tie_qty
+        FROM head a JOIN head b ON a.l_partkey < b.l_partkey
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM head) AS n_items,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(conc) AS BIGINT) AS concordant,
+           CAST(SUM(disc) AS BIGINT) AS discordant,
+           CAST(SUM(tie_rev) AS BIGINT) AS ties_rev,
+           CAST(SUM(tie_qty) AS BIGINT) AS ties_qty,
+           ROUND((SUM(conc) - SUM(disc))
+                 / SQRT((COUNT(*) - SUM(tie_rev))
+                        * (COUNT(*) - SUM(tie_qty))), 6) AS tau_b
+    FROM pairs
+    """,
+)
+def kendall_tau_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b rank agreement between two metrics — do the
+    parts that earn the most revenue also move the most units? The
+    concordance companion of `spearman_signal_correlation` (Spearman
+    reads interval ranks; Kendall counts pair inversions, the
+    statistic that degrades gracefully under heavy ties) and the
+    continuous-metric sibling of `rank_biased_overlap` (RBO compares
+    two top-k LISTS; tau compares two METRICS on one population).
+    Computed over the top-{KENDALL_HEAD} revenue parts with tau-b's
+    tie correction: (C - D) / sqrt((n0 - t_rev)(n0 - t_qty)).
+
+    Scale shape: one part-grain aggregate, a TakeOrdered head of
+    {KENDALL_HEAD} rows, and the pair stage is a self-join of that
+    LITERAL-BOUNDED head (4,950 pairs at any corpus size — the
+    vocab_sizing_curve move applied to a quadratic statistic).
+    Revenue is 6-dp-rounded before comparison so fp association
+    noise cannot flip a concordance."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+            6,
+        ).alias("rev"),
+        F.sum("l_quantity").cast("bigint").alias("qty"),
+    )
+    head = per_part.orderBy(
+        F.desc("rev"), "l_partkey"
+    ).limit(KENDALL_HEAD)
+    a, b = head.alias("a"), head.alias("b")
+    sgn = (F.col("a.rev") - F.col("b.rev")) * (
+        F.col("a.qty") - F.col("b.qty")
+    )
+    pairs = a.join(
+        b, F.col("a.l_partkey") < F.col("b.l_partkey")
+    ).select(
+        F.when(sgn > 0, 1).otherwise(0).alias("conc"),
+        F.when(sgn < 0, 1).otherwise(0).alias("disc"),
+        F.when(F.col("a.rev") == F.col("b.rev"), 1)
+        .otherwise(0)
+        .alias("tie_rev"),
+        F.when(F.col("a.qty") == F.col("b.qty"), 1)
+        .otherwise(0)
+        .alias("tie_qty"),
+    )
+    head_n = head.agg(
+        F.count("*").cast("bigint").alias("n_items")
+    )
+    return (
+        head_n.crossJoin(
+            F.broadcast(
+                pairs.agg(
+                    F.count("*").cast("bigint").alias("n_pairs"),
+                    F.sum("conc").cast("bigint").alias("concordant"),
+                    F.sum("disc").cast("bigint").alias("discordant"),
+                    F.sum("tie_rev").cast("bigint").alias("ties_rev"),
+                    F.sum("tie_qty").cast("bigint").alias("ties_qty"),
+                    F.round(
+                        (F.sum("conc") - F.sum("disc"))
+                        / F.sqrt(
+                            (F.count("*") - F.sum("tie_rev"))
+                            * (F.count("*") - F.sum("tie_qty"))
+                        ),
+                        6,
+                    ).alias("tau_b"),
+                )
+            )
+        )
+        .select(
+            "n_items",
+            "n_pairs",
+            "concordant",
+            "discordant",
+            "ties_rev",
+            "ties_qty",
+            "tau_b",
+        )
+    )

@@ -2070,3 +2070,193 @@ def forecast_backtest_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return naive.unionAll(seasonal).orderBy("model")
+
+
+# ---------------------------------------------------------------------
+# Dependence-structure diagnostics: the ACF panel every forecasting /
+# anomaly pipeline reads before choosing model order, and the Fano
+# overdispersion screen for event streams.
+# ---------------------------------------------------------------------
+
+ACF_MAX_LAG = 7  # weekly structure shows at lag 7 on a daily series
+
+
+@query(
+    "acf_panel",
+    oracle=f"""
+    WITH daily AS (
+        SELECT o_orderdate AS d,
+               ROUND(SUM(o_totalprice), 6) AS x
+        FROM orders GROUP BY 1
+    ),
+    mu AS (
+        SELECT AVG(x) AS mu, COUNT(*) AS n,
+               SUM((x - (SELECT AVG(x) FROM daily))
+                   * (x - (SELECT AVG(x) FROM daily))) AS ss
+        FROM daily
+    ),
+    lags AS (
+        SELECT l.lag, a.x AS xa, b.x AS xb
+        FROM (SELECT unnest(range(1, {ACF_MAX_LAG} + 1)) AS lag) l
+        JOIN daily a ON TRUE
+        JOIN daily b ON b.d = a.d + to_days(CAST(l.lag AS INTEGER))
+    )
+    SELECT l.lag AS lag,
+           ROUND(SUM((l.xa - m.mu) * (l.xb - m.mu)) / m.ss, 6)
+               AS acf,
+           ROUND(1.96 / SQRT(m.n), 6) AS wn_band,
+           ABS(ROUND(SUM((l.xa - m.mu) * (l.xb - m.mu)) / m.ss, 6))
+               > ROUND(1.96 / SQRT(m.n), 6) AS significant
+    FROM lags l CROSS JOIN mu m
+    GROUP BY l.lag, m.mu, m.ss, m.n
+    ORDER BY lag
+    """,
+)
+def acf_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of daily revenue, lags 1..{lag} —
+    the first plot a forecaster reads (which AR order? is there
+    weekly structure? is the residual white?) and the dependence
+    screen `forecast_backtest_mase`'s naive anchors assume away.
+    Each lag's ACF uses the standard biased estimator (denominator =
+    total sum of squares, the form that keeps |acf| <= 1 and matches
+    statsmodels' default); the white-noise band is +-1.96/sqrt(n),
+    and `significant` flags lags outside it — on a calendar-joined
+    series, so date GAPS pair only true k-day-apart observations
+    instead of sliding over missing days.
+
+    Scale shape: the corpus collapses to the day-grain series first
+    (one map-side-combinable aggregate); the lag pairing is a
+    calendar-key equi-join of that bounded series against a 7-row
+    lag grid, and mean/SS ride a 1-row broadcast. Nothing downstream
+    of the first aggregate is corpus-grain.""".format(
+        lag=ACF_MAX_LAG
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.round(F.sum("o_totalprice"), 6).alias("x")
+    )
+    mu = daily.agg(
+        F.avg("x").alias("mu"), F.count("*").alias("n")
+    )
+    # SS computed against the exact mean in a second bounded pass
+    # over the day-grain series (two-pass variance: the one-pass
+    # q - n*mu^2 form loses 6-dp agreement on large magnitudes)
+    ss = daily.crossJoin(F.broadcast(mu)).agg(
+        F.sum(
+            (F.col("x") - F.col("mu")) * (F.col("x") - F.col("mu"))
+        ).alias("ss"),
+        F.first("mu").alias("mu"),
+        F.first("n").alias("n"),
+    )
+    lag_grid = spark.range(1, ACF_MAX_LAG + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    a = daily.alias("a")
+    b = daily.alias("b")
+    lags = lag_grid.join(
+        a, F.lit(True)
+    ).join(
+        b,
+        F.col("b.d")
+        == F.date_add(F.col("a.d"), F.col("lag")),
+    )
+    acf = F.round(
+        F.sum(
+            (F.col("a.x") - F.col("mu"))
+            * (F.col("b.x") - F.col("mu"))
+        )
+        / F.first("ss"),
+        6,
+    )
+    band = F.round(1.96 / F.sqrt(F.first("n")), 6)
+    return (
+        lags.crossJoin(F.broadcast(ss))
+        .groupBy("lag")
+        .agg(
+            acf.alias("acf"),
+            band.alias("wn_band"),
+            (F.abs(acf) > band).alias("significant"),
+        )
+        .orderBy("lag")
+    )
+
+
+@query(
+    "fano_burstiness",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               COUNT(*) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_days,
+               ROUND(AVG(c), 6) AS mean_daily,
+               ROUND(SUM((c - (SELECT AVG(c) FROM daily d2
+                          WHERE d2.event_type = daily.event_type))
+                         * (c - (SELECT AVG(c) FROM daily d2
+                            WHERE d2.event_type = daily.event_type)))
+                     / COUNT(*), 6) AS var_daily
+        FROM daily GROUP BY event_type
+    )
+    SELECT event_type, n_days, mean_daily, var_daily,
+           ROUND(var_daily / mean_daily, 6) AS fano,
+           ROUND(var_daily / mean_daily, 6)
+               > ROUND(1.0 + 2.0 * SQRT(2.0 / (n_days - 1)), 6)
+               AS overdispersed
+    FROM stats
+    ORDER BY event_type
+    """,
+)
+def fano_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fano-factor burstiness screen per event type — is arrival
+    volume Poisson-like (steady load, autoscaling and capacity math
+    hold) or BURSTY (variance-to-mean ratio >> 1: thundering herds,
+    retry storms, bot traffic)? The Fano factor var/mean of the
+    daily count series is exactly 1 under Poisson arrivals;
+    `overdispersed` flags types beyond 1 + 2*sqrt(2/(n-1)) — a
+    two-sigma bound from the chi-square dispersion test's variance
+    (2/(n-1) for the scaled dispersion index under H0). The
+    streaming-ops companion of `interevent_gap_histogram` (gaps
+    read within-day microstructure; Fano reads day-scale stability).
+
+    Scale shape: one (type, day) aggregate (map-side combinable),
+    then a type-grain rollup computing the two-pass population
+    variance in-plane; the flag threshold is row-local arithmetic.
+    Output is |event types| rows."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count("*").alias("c"))
+    mu = daily.groupBy("event_type").agg(
+        F.avg("c").alias("mu_t")
+    )
+    stats = (
+        daily.join(mu, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_days"),
+            F.round(F.avg("c"), 6).alias("mean_daily"),
+            F.round(
+                F.sum(
+                    (F.col("c") - F.col("mu_t"))
+                    * (F.col("c") - F.col("mu_t"))
+                )
+                / F.count("*"),
+                6,
+            ).alias("var_daily"),
+        )
+    )
+    fano = F.round(F.col("var_daily") / F.col("mean_daily"), 6)
+    thresh = F.round(
+        1.0 + 2.0 * F.sqrt(2.0 / (F.col("n_days") - 1)), 6
+    )
+    return stats.select(
+        "event_type",
+        "n_days",
+        "mean_daily",
+        "var_daily",
+        fano.alias("fano"),
+        (fano > thresh).alias("overdispersed"),
+    ).orderBy("event_type")

@@ -31,6 +31,16 @@ NESTED_LOOP_OK = {
     "hybrid_rrf_search",  # inherits bm25's stats row + cosine's 1-row
     # query-vector broadcast
     "ab_lift_bootstrap",  # 1-row observed-means x 1-row CI broadcast
+    "acf_panel",  # 7-row lag grid x the day-grain series + a 1-row
+    # mean/SS scalar broadcast (both sides calendar-bounded)
+    "bh_fdr_slices",  # 1-row global-moments + 1-row step-up-cut
+    # scalar broadcasts onto the 25-row brand panel
+    "blocking_quality_report",  # 3-row captured panel + 1-row doc
+    # count broadcast onto the 3-row scheme panel
+    "kendall_tau_topk",  # inequality self-join of the 100-row
+    # TakeOrdered revenue head (4,950 pairs at any corpus size)
+    "score_calibration_ece",  # 1-row ECE scalar broadcast onto the
+    # 10-row reliability-bin panel
     "bottomk_sample_quantiles",  # 1-row exact-quantile scalar
     # broadcast joined to the 1-row sample estimate (audit columns)
     "categorical_mutual_information",  # 1-row corpus-total broadcasts
@@ -181,6 +191,8 @@ UNPARTITIONED_WINDOW_OK = {
     "ivf_nprobe_recall",  # the same 8-row seed numbering + the
     # query's K-row probe-rank numbering (both bounded by IVFP_K);
     # the assignment argmin window is partitioned by vec_id
+    "bh_fdr_slices",  # p-value rank + family count over the 25-row
+    # brand panel (fixed by the brand domain, never corpus-grain)
     "bias_slice_disparity",  # over per-slice aggregates
     "domain_mixture_sample",  # quota arithmetic over per-source rows
     "dsir_importance_weights",  # totals fold over the 256-row

@@ -1,0 +1,328 @@
+"""Crafted behavioral tests for the round-9 operators.
+
+Each test plants a distribution where the operator's defining
+property is FORCED — complementing the oracle hash-match, which
+checks engine agreement but not intent. The round-9 operators are
+lake-shaped (they read named tables), so each test writes a tiny
+synthetic lake under tmp_path and runs the REGISTERED query
+end-to-end on it.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from __spark_entry__ import queries
+
+QS = queries()
+
+
+def _lake(spark, tmp_path, **tables):
+    sf = str(tmp_path / "lake")
+    for name, (rows, schema) in tables.items():
+        spark.createDataFrame(rows, schema).write.mode(
+            "overwrite"
+        ).parquet(f"{sf}/{name}.parquet")
+    return sf
+
+
+# --------------------------- Kendall tau ---------------------------
+
+
+def _kendall_lake(spark, tmp_path, qty_of):
+    rows = [
+        (i, float(1000 - i), 0.0, float(qty_of(i)))
+        for i in range(120)
+    ]
+    return _lake(
+        spark,
+        tmp_path,
+        lineitem=(
+            rows,
+            "l_partkey long, l_extendedprice double, "
+            "l_discount double, l_quantity double",
+        ),
+    )
+
+
+def test_kendall_perfect_agreement_is_plus_one(spark, tmp_path):
+    # qty strictly increases with revenue -> every pair concordant
+    sf = _kendall_lake(spark, tmp_path, lambda i: 2000 - i)
+    r = QS["kendall_tau_topk"](spark, sf).collect()[0]
+    assert r["tau_b"] == 1.0
+    assert r["n_items"] == 100 and r["n_pairs"] == 4950
+    assert r["discordant"] == 0 and r["ties_rev"] == 0
+
+
+def test_kendall_perfect_reversal_is_minus_one(spark, tmp_path):
+    sf = _kendall_lake(spark, tmp_path, lambda i: i)
+    r = QS["kendall_tau_topk"](spark, sf).collect()[0]
+    assert r["tau_b"] == -1.0 and r["concordant"] == 0
+
+
+def test_kendall_head_smaller_than_limit_reports_true_n(spark, tmp_path):
+    # 10 parts only: n_items must report 10, not the 100-row cap
+    rows = [(i, float(100 - i), 0.0, float(i)) for i in range(10)]
+    sf = _lake(
+        spark,
+        tmp_path,
+        lineitem=(
+            rows,
+            "l_partkey long, l_extendedprice double, "
+            "l_discount double, l_quantity double",
+        ),
+    )
+    r = QS["kendall_tau_topk"](spark, sf).collect()[0]
+    assert r["n_items"] == 10 and r["n_pairs"] == 45
+
+
+# ----------------------------- BH-FDR ------------------------------
+
+
+def _bh_lake(spark, tmp_path, shifts=None):
+    # Each slice is Welch-tested against the REST of the corpus, so
+    # a single planted shift contaminates every other slice's rest-
+    # mean; planting two OPPOSITE equal-size shifts keeps the clean
+    # slices' rest-mean unbiased (the contamination cancels).
+    shifts = shifts or {}
+    li, part = [], []
+    for b in range(6):
+        brand = f"B{b}"
+        part += [(b, brand)]
+        base = 1000.0 + shifts.get(brand, 0.0)
+        li += [
+            (b, base + (i % 7) * 3.0)  # deterministic jitter
+            for i in range(300)
+        ]
+    return _lake(
+        spark,
+        tmp_path,
+        lineitem=(li, "l_partkey long, l_extendedprice double"),
+        part=(part, "p_partkey long, p_brand string"),
+    )
+
+
+def test_bh_fdr_rejects_only_the_planted_shifts(spark, tmp_path):
+    sf = _bh_lake(spark, tmp_path, shifts={"B2": 500.0, "B4": -500.0})
+    out = {r["brand"]: r for r in QS["bh_fdr_slices"](spark, sf).collect()}
+    assert out["B2"]["reject"] is True
+    assert out["B4"]["reject"] is True  # two-sided: both tails
+    assert all(not out[f"B{b}"]["reject"] for b in (0, 1, 3, 5))
+    # the planted brands carry the smallest p-values
+    assert {out["B2"]["bh_rank"], out["B4"]["bh_rank"]} == {1, 2}
+
+
+def test_bh_fdr_all_null_rejects_nothing(spark, tmp_path):
+    sf = _bh_lake(spark, tmp_path)
+    out = QS["bh_fdr_slices"](spark, sf).collect()
+    assert all(r["reject"] is False for r in out)
+    # thresholds are the BH step-up ladder i*q/m
+    ranked = sorted(out, key=lambda r: r["bh_rank"])
+    assert [r["bh_threshold"] for r in ranked] == [
+        round((i + 1) * 0.10 / 6, 6) for i in range(6)
+    ]
+
+
+# ---------------------------- ACF panel ----------------------------
+
+
+def _orders_lake(spark, tmp_path, days, price_of):
+    d0 = datetime.date(2024, 1, 1)
+    rows = [
+        (i, d0 + datetime.timedelta(days=d), float(price_of(d)))
+        for i, d in enumerate(days)
+    ]
+    return _lake(
+        spark,
+        tmp_path,
+        orders=(
+            rows,
+            "o_orderkey long, o_orderdate date, o_totalprice double",
+        ),
+    )
+
+
+def test_acf_alternating_series_flips_sign_by_lag(spark, tmp_path):
+    # period-2 series: acf(odd lag) ~ -1, acf(even lag) ~ +1
+    sf = _orders_lake(
+        spark, tmp_path, range(60), lambda d: 100.0 if d % 2 else 200.0
+    )
+    out = {r["lag"]: r for r in QS["acf_panel"](spark, sf).collect()}
+    assert out[1]["acf"] < -0.9 and out[1]["significant"]
+    assert out[2]["acf"] > 0.9 and out[2]["significant"]
+    assert out[7]["acf"] < -0.8
+
+
+def test_acf_calendar_gaps_pair_true_day_distances(spark, tmp_path):
+    # series observed only on EVEN days: odd lags have no k-day-apart
+    # pair at all and are omitted from the panel (documented), even
+    # lags pair correctly
+    sf = _orders_lake(
+        spark,
+        tmp_path,
+        range(0, 60, 2),
+        lambda d: 100.0 if (d // 2) % 2 else 200.0,
+    )
+    out = {r["lag"]: r for r in QS["acf_panel"](spark, sf).collect()}
+    assert set(out) == {2, 4, 6}
+    assert out[2]["acf"] < -0.9  # alternating at 2-day cadence
+
+
+# ------------------------- Fano burstiness -------------------------
+
+
+def test_fano_flags_planted_burst_not_steady_load(spark, tmp_path):
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for d in range(20):  # steady: exactly 10/day
+        for k in range(10):
+            rows.append((eid, "steady", t0 + datetime.timedelta(days=d, minutes=k)))
+            eid += 1
+    for d in range(20):  # bursty: one 100-event day, else 1/day
+        n = 100 if d == 7 else 1
+        for k in range(n):
+            rows.append((eid, "bursty", t0 + datetime.timedelta(days=d, minutes=k)))
+            eid += 1
+    sf = _lake(
+        spark,
+        tmp_path,
+        events=(rows, "event_id long, event_type string, ts timestamp"),
+    )
+    out = {
+        r["event_type"]: r
+        for r in QS["fano_burstiness"](spark, sf).collect()
+    }
+    assert out["steady"]["fano"] == 0.0
+    assert out["steady"]["overdispersed"] is False
+    assert out["bursty"]["fano"] > 50
+    assert out["bursty"]["overdispersed"] is True
+    assert out["bursty"]["n_days"] == 20
+
+
+# ----------------------- calibration / ECE -------------------------
+
+
+def _doc(doc_id, n_words, n_distinct, source):
+    words = [f"w{i}" for i in range(n_distinct)] + ["w0"] * (
+        n_words - n_distinct
+    )
+    text = " ".join(words)
+    return (doc_id, text, "en", source, len(text))
+
+
+DOC_SCHEMA = (
+    "doc_id long, text string, lang string, source string, n_chars long"
+)
+
+
+def test_ece_zero_when_confidence_matches_frequency(spark, tmp_path):
+    # 10 docs at TTR=0.5, exactly 5 trusted -> bin gap 0, ECE 0
+    rows = [
+        _doc(i, 10, 5, "src0" if i < 5 else "src1") for i in range(10)
+    ]
+    sf = _lake(spark, tmp_path, documents=(rows, DOC_SCHEMA))
+    out = QS["score_calibration_ece"](spark, sf).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["mean_conf"] == 0.5 and r["frac_pos"] == 0.5
+    assert r["gap"] == 0.0 and r["ece"] == 0.0
+
+
+def test_ece_reads_planted_overconfidence(spark, tmp_path):
+    # high-TTR docs (conf ~0.95) but ZERO trusted -> gap ~ -0.95,
+    # ECE ~ 0.95: the score is maximally overconfident
+    rows = [_doc(i, 20, 19, "src1") for i in range(10)]
+    sf = _lake(spark, tmp_path, documents=(rows, DOC_SCHEMA))
+    r = QS["score_calibration_ece"](spark, sf).collect()[0]
+    assert r["frac_pos"] == 0.0
+    assert r["gap"] == -r["mean_conf"]
+    assert r["ece"] == r["mean_conf"] > 0.9
+
+
+# ---------------------- blocking quality report ---------------------
+
+
+def _neardup_pair_docs():
+    """Two 30-word texts differing ONLY in the first word (same
+    char length), plus unrelated filler docs. The pair is a true
+    near-dup (shingle Jaccard >> 0.5) that first-word blocking
+    MISSES and length blocking catches."""
+    body = " ".join(f"tok{i}" for i in range(29))
+    a = "alpha " + body
+    b = "betaa " + body
+    filler = [
+        " ".join(f"f{d}x{i}" for i in range(25)) for d in range(6)
+    ]
+    rows = [
+        (0, a, "en", "src0", len(a)),
+        (1, b, "en", "src0", len(b)),
+    ] + [
+        (10 + d, t, "en", "src1", len(t))
+        for d, t in enumerate(filler)
+    ]
+    return rows
+
+
+def test_blocking_first_word_misses_planted_neardup(spark, tmp_path):
+    sf = _lake(
+        spark, tmp_path, documents=(_neardup_pair_docs(), DOC_SCHEMA)
+    )
+    out = {
+        r["scheme"]: r
+        for r in QS["blocking_quality_report"](spark, sf).collect()
+    }
+    assert out["first2words"]["n_truth"] == 1
+    # the edit hit the blocking key -> recall 0
+    assert out["first2words"]["pair_completeness"] == 0.0
+    # equal-length texts share the 50-char bucket -> recall 1
+    assert out["len50"]["pair_completeness"] == 1.0
+    assert out["langsrc"]["pair_completeness"] == 1.0
+    # the edit-damaged key prunes EVERYTHING (all keys singleton) —
+    # perfect reduction, zero recall: the trade the panel exists to
+    # expose. (Coarse schemes on an 8-doc lake admit large blocks,
+    # so no global RR floor is asserted here.)
+    assert out["first2words"]["reduction_ratio"] == 1.0
+    assert out["first2words"]["n_candidate_pairs"] == 0
+    assert all(r["reduction_ratio"] >= 0.0 for r in out.values())
+
+
+# ---------------------- Fellegi-Sunter weights ----------------------
+
+
+def test_fs_weights_reward_discriminative_fields(spark, tmp_path):
+    """Matches (near-dup pairs) agree on lang; non-match candidates
+    (docs sharing one planted phrase, different lang) disagree ->
+    lang earns a positive agreement weight and a negative
+    disagreement weight."""
+    phrase = "shared anchor phrase"
+    # DISJOINT bodies per match pair: a shared body would make the
+    # cross pairs (0,2) etc. high-Jaccard matches too
+    body1 = " ".join(f"tok{i}" for i in range(29))
+    body2 = " ".join(f"yak{i}" for i in range(29))
+    rows = [
+        # two match pairs, same lang within each pair
+        (0, "alpha " + body1, "en", "src0", 200),
+        (1, "betaa " + body1, "en", "src0", 200),
+        (2, "gamma " + body2, "fr", "src0", 210),
+        (3, "delta " + body2, "fr", "src0", 210),
+    ]
+    # non-match candidates: share ONLY the anchor phrase, lang differs
+    for d in range(8):
+        t = f"{phrase} " + " ".join(f"n{d}w{i}" for i in range(22))
+        rows.append((20 + d, t, "en" if d % 2 else "de", "src1", len(t)))
+    sf = _lake(spark, tmp_path, documents=(rows, DOC_SCHEMA))
+    out = {
+        r["field"]: r
+        for r in QS["fellegi_sunter_weights"](spark, sf).collect()
+    }
+    assert out["lang"]["m_prob"] == 1.0
+    assert out["lang"]["u_prob"] < 0.6
+    assert out["lang"]["w_agree"] > 0
+    assert out["lang"]["w_disagree"] < 0
+    # first2words never agrees on matches here (the edit is in the
+    # key) -> strongly negative agreement evidence is impossible;
+    # the m-probability reads 0
+    assert out["first2words"]["m_prob"] == 0.0

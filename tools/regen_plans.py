@@ -73,6 +73,14 @@ PICKS = {
     "sizes AND truth hits; TakeOrdered(10) brute-force baseline",
     "shuffle_quality_audit": "r8: lag-1 as a consecutive-id "
     "equi-join — no global order window over the corpus",
+    "kendall_tau_topk": "r9: quadratic statistic bounded by a "
+    "TakeOrdered(100) head — the pair join is literal-bounded "
+    "nested-loop over 4,950 pairs at any SF",
+    "bh_fdr_slices": "r9: one fact-join aggregate + 1-row global "
+    "broadcast; the BH rank window runs over the 25-row brand panel",
+    "blocking_quality_report": "r9: pair space COUNTED via block-"
+    "size aggregates (k(k-1)/2), never materialized; truth capture "
+    "is doc-grain key joins on the capped pair table",
 }
 KEEP = re.compile(
     r"Scan parquet|BatchScan|BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin"
