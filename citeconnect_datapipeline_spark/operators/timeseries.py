@@ -2260,3 +2260,132 @@ def fano_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         fano.alias("fano"),
         (fano > thresh).alias("overdispersed"),
     ).orderBy("event_type")
+
+
+@query(
+    "stl_strength_panel",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               dayofweek(CAST(ts AS DATE)) AS dow,
+               ROUND(SUM(value), 6) AS total
+        FROM events GROUP BY 1, 2
+    ),
+    detr AS (
+        SELECT day, dow, total,
+               ROUND(AVG(total) OVER (ORDER BY day
+                     ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING), 6)
+                   AS trend
+        FROM daily
+    ),
+    comp AS (
+        SELECT d.day, d.total, d.trend,
+               ROUND(d.total - d.trend, 6) AS detrended,
+               s.seasonal,
+               ROUND(ROUND(d.total - d.trend, 6) - s.seasonal, 6)
+                   AS resid
+        FROM detr d
+        JOIN (SELECT dow, ROUND(AVG(ROUND(total - trend, 6)), 6)
+                     AS seasonal
+              FROM detr GROUP BY dow) s
+          ON d.dow = s.dow
+    ),
+    vars AS (
+        SELECT COUNT(*) AS n_days,
+               SUM((resid - (SELECT AVG(resid) FROM comp))
+                   * (resid - (SELECT AVG(resid) FROM comp)))
+                   AS v_r,
+               SUM((seasonal + resid
+                    - (SELECT AVG(seasonal + resid) FROM comp))
+                   * (seasonal + resid
+                      - (SELECT AVG(seasonal + resid) FROM comp)))
+                   AS v_sr,
+               SUM((trend + resid
+                    - (SELECT AVG(trend + resid) FROM comp))
+                   * (trend + resid
+                      - (SELECT AVG(trend + resid) FROM comp)))
+                   AS v_tr
+        FROM comp
+    )
+    SELECT CAST(n_days AS BIGINT) AS n_days,
+           ROUND(GREATEST(0.0, 1.0 - v_r / v_sr), 6)
+               AS seasonal_strength,
+           ROUND(GREATEST(0.0, 1.0 - v_r / v_tr), 6)
+               AS trend_strength
+    FROM vars
+    """,
+)
+def stl_strength_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal- and trend-strength of the daily event-value series —
+    the two scalars (Wang-Hyndman-Smith; the tsfeatures `stl_features`
+    readout) that tell a forecasting/anomaly pipeline WHICH structure
+    its models must carry: F_seasonal = max(0, 1 - Var(R)/Var(S+R))
+    and F_trend = max(0, 1 - Var(R)/Var(T+R)) over
+    `seasonal_decompose_daily`'s additive components (7-day moving-
+    average trend, day-of-week seasonal, residual). Near 0 = the
+    component is noise and modeling it is overfitting; near 1 =
+    dropping it (ewma_anomaly's level-only logic) misflags weekends.
+
+    Scale shape: the corpus reduces to the day grain immediately;
+    the decomposition windows run on the 365-row/year series (the
+    seasonal_decompose_daily boundedness), and the strength scalars
+    are one bounded two-pass variance aggregate. Output is 1 row."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.col("ts").cast("date").alias("day"),
+        (F.dayofweek(F.col("ts").cast("date")) - 1).alias("dow"),
+    ).agg(F.round(F.sum("value"), 6).alias("total"))
+    w_ma = Window.orderBy("day").rowsBetween(-3, 3)
+    detr = daily.select(
+        "day",
+        "dow",
+        "total",
+        F.round(F.avg("total").over(w_ma), 6).alias("trend"),
+    ).withColumn(
+        "detrended", F.round(F.col("total") - F.col("trend"), 6)
+    )
+    seasonal = detr.groupBy("dow").agg(
+        F.round(F.avg("detrended"), 6).alias("seasonal")
+    )
+    comp = detr.join(F.broadcast(seasonal), "dow").select(
+        "trend",
+        "seasonal",
+        F.round(F.col("detrended") - F.col("seasonal"), 6).alias(
+            "resid"
+        ),
+    )
+    means = comp.agg(
+        F.avg("resid").alias("m_r"),
+        F.avg(F.col("seasonal") + F.col("resid")).alias("m_sr"),
+        F.avg(F.col("trend") + F.col("resid")).alias("m_tr"),
+    )
+    vars_ = comp.crossJoin(F.broadcast(means)).agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.sum(
+            (F.col("resid") - F.col("m_r"))
+            * (F.col("resid") - F.col("m_r"))
+        ).alias("v_r"),
+        F.sum(
+            (F.col("seasonal") + F.col("resid") - F.col("m_sr"))
+            * (F.col("seasonal") + F.col("resid") - F.col("m_sr"))
+        ).alias("v_sr"),
+        F.sum(
+            (F.col("trend") + F.col("resid") - F.col("m_tr"))
+            * (F.col("trend") + F.col("resid") - F.col("m_tr"))
+        ).alias("v_tr"),
+    )
+    return vars_.select(
+        "n_days",
+        F.round(
+            F.greatest(
+                F.lit(0.0), 1.0 - F.col("v_r") / F.col("v_sr")
+            ),
+            6,
+        ).alias("seasonal_strength"),
+        F.round(
+            F.greatest(
+                F.lit(0.0), 1.0 - F.col("v_r") / F.col("v_tr")
+            ),
+            6,
+        ).alias("trend_strength"),
+    )

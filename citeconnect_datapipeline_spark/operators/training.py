@@ -2715,3 +2715,248 @@ def epoch_shuffle_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+# ---------------------------------------------------------------------
+# Batch-construction economics: padding waste per length-bucketing
+# scheme, and cross-source quantile normalization of a drifting
+# feature — two costs a training pipeline pays (in FLOPs and in
+# distribution shift) that must be measured before they are tuned.
+# ---------------------------------------------------------------------
+
+PAD_MULTIPLE = 64  # accelerator-friendly pad-to-multiple bucket width
+
+
+@query(
+    "padding_waste_report",
+    oracle=f"""
+    WITH lens AS (
+        SELECT len(list_filter(string_split_regex(lower(text),
+                                                  '[^a-z0-9]+'),
+                               x -> x <> '')) AS n_tok
+        FROM documents
+    ),
+    schemed AS (
+        SELECT 'global_max' AS scheme, 0 AS bucket, n_tok FROM lens
+        UNION ALL
+        SELECT 'pow2',
+               CAST(CEIL(LOG2(GREATEST(n_tok, 1))) AS INTEGER),
+               n_tok
+        FROM lens
+        UNION ALL
+        SELECT 'mult{PAD_MULTIPLE}',
+               CAST(CEIL(n_tok * 1.0 / {PAD_MULTIPLE}) AS INTEGER),
+               n_tok
+        FROM lens
+    ),
+    buckets AS (
+        SELECT scheme, bucket,
+               MAX(n_tok) AS bmax,
+               SUM(n_tok) AS btok,
+               COUNT(*) AS bn
+        FROM schemed GROUP BY 1, 2
+    ),
+    -- global_max pads every doc to the corpus max; bucketed schemes
+    -- pad to the bucket ceiling (the batch shape each bucket ships)
+    padded AS (
+        SELECT scheme,
+               CASE WHEN scheme = 'pow2'
+                    THEN SUM(bn * POWER(2, bucket))
+                    WHEN scheme = 'mult{PAD_MULTIPLE}'
+                    THEN SUM(bn * bucket * {PAD_MULTIPLE})
+                    ELSE SUM(bn * (SELECT MAX(bmax) FROM buckets))
+               END AS padded_tok,
+               SUM(btok) AS real_tok,
+               CAST(SUM(bn) AS BIGINT) AS n_docs,
+               CAST(COUNT(*) AS BIGINT) AS n_buckets
+        FROM buckets GROUP BY scheme
+    )
+    SELECT scheme, n_docs, n_buckets,
+           CAST(real_tok AS BIGINT) AS real_tokens,
+           CAST(padded_tok AS BIGINT) AS padded_tokens,
+           ROUND(1.0 - real_tok / padded_tok, 6) AS waste_frac
+    FROM padded
+    ORDER BY scheme
+    """,
+)
+def padding_waste_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Padding-waste economics of batch construction — the FLOPs
+    audit behind every 'bucket by length before batching' decision
+    (and the static-shape sibling of `pack_sequences`' packing
+    family: packing ELIMINATES padding by concatenation; bucketing
+    merely BOUNDS it while keeping one-doc-per-row semantics). For
+    each scheme — pad-everything-to-corpus-max, power-of-2 buckets,
+    pad-to-multiple-of-{PAD_MULTIPLE} — the report prices total
+    padded tokens vs real tokens: waste_frac IS the fraction of
+    attention FLOPs burned on pad tokens under that scheme.
+
+    Scale shape: one tokenize pass collapses the corpus to a length
+    column; each scheme is a bounded-grain (scheme, bucket)
+    aggregate (pow2 grain = log2(maxlen) buckets, mult grain =
+    maxlen/{PAD_MULTIPLE}); the global-max ceiling rides a 1-row
+    broadcast. Output is 3 rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+        lambda x: x != F.lit(""),
+    )
+    lens = docs.select(F.size(w).alias("n_tok"))
+    schemed = lens.select(
+        F.stack(
+            F.lit(3),
+            F.lit("global_max"), F.lit(0),
+            F.lit("pow2"),
+            F.ceil(F.log2(F.greatest("n_tok", F.lit(1))))
+            .cast("int"),
+            F.lit(f"mult{PAD_MULTIPLE}"),
+            F.ceil(F.col("n_tok") * 1.0 / PAD_MULTIPLE).cast("int"),
+        ).alias("scheme", "bucket"),
+        "n_tok",
+    )
+    buckets = schemed.groupBy("scheme", "bucket").agg(
+        F.max("n_tok").alias("bmax"),
+        F.sum("n_tok").alias("btok"),
+        F.count("*").alias("bn"),
+    )
+    gmax = buckets.agg(F.max("bmax").alias("gmax"))
+    padded = (
+        buckets.crossJoin(F.broadcast(gmax))
+        .groupBy("scheme")
+        .agg(
+            F.when(
+                F.first("scheme") == "pow2",
+                F.sum(F.col("bn") * F.pow(F.lit(2.0), F.col("bucket"))),
+            )
+            .when(
+                F.first("scheme") == f"mult{PAD_MULTIPLE}",
+                F.sum(F.col("bn") * F.col("bucket") * PAD_MULTIPLE),
+            )
+            .otherwise(F.sum(F.col("bn") * F.col("gmax")))
+            .alias("padded_tok"),
+            F.sum("btok").alias("real_tok"),
+            F.sum("bn").cast("bigint").alias("n_docs"),
+            F.count("*").cast("bigint").alias("n_buckets"),
+        )
+    )
+    return padded.select(
+        "scheme",
+        "n_docs",
+        "n_buckets",
+        F.col("real_tok").cast("bigint").alias("real_tokens"),
+        F.col("padded_tok").cast("bigint").alias("padded_tokens"),
+        F.round(
+            1.0 - F.col("real_tok") / F.col("padded_tok"), 6
+        ).alias("waste_frac"),
+    ).orderBy("scheme")
+
+
+QNORM_DECILES = [d / 10.0 for d in range(1, 10)]
+
+
+@query(
+    "quantile_norm_map",
+    oracle=f"""
+    WITH lens AS (
+        SELECT source,
+               len(list_filter(string_split_regex(lower(text),
+                                                  '[^a-z0-9]+'),
+                               x -> x <> '')) AS n_tok
+        FROM documents
+    ),
+    src_q AS (
+        SELECT source, {", ".join(
+            f"ROUND(quantile_cont(n_tok, {q}), 6) AS sq_{i}"
+            for i, q in enumerate(QNORM_DECILES)
+        )}
+        FROM lens GROUP BY source
+    ),
+    pool_q AS (
+        SELECT {", ".join(
+            f"ROUND(quantile_cont(n_tok, {q}), 6) AS pq_{i}"
+            for i, q in enumerate(QNORM_DECILES)
+        )}
+        FROM lens
+    ),
+    stacked AS (
+        {" UNION ALL ".join(
+            f"SELECT s.source, {d + 1} AS decile, {q} AS p,"
+            f" s.sq_{d} AS source_value, p.pq_{d} AS pooled_value"
+            f" FROM src_q s CROSS JOIN pool_q p"
+            for d, q in enumerate(QNORM_DECILES)
+        )}
+    )
+    SELECT source, CAST(decile AS INTEGER) AS decile, p,
+           source_value, pooled_value,
+           ROUND(pooled_value - source_value, 6) AS shift
+    FROM stacked
+    ORDER BY source, decile
+    """,
+)
+def quantile_norm_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source quantile-normalization map — the batch-effect
+    correction table a mixing pipeline applies when the SAME feature
+    (token length here) is distributed differently per source and a
+    downstream gate thresholds it globally (a 100-token cutoff that
+    drops 5% of one source and 40% of another is a hidden mixture
+    change; `source_divergence_panel` DETECTS that, this table
+    CORRECTS it). Per (source, decile): the source's own decile
+    boundary, the pooled corpus boundary it maps onto, and the
+    shift — applying the map (piecewise-linear interpolation between
+    rows) equalizes all sources' marginal distributions, the exact
+    microarray quantile-normalization move.
+
+    Scale shape: one tokenize pass to the length column, one
+    source-grain percentile aggregate + one 1-row pooled percentile
+    aggregate (both bounded: |sources| x 9 and 9 values), stacked to
+    the map grid in-plane. At 100 TB swap `percentile` for
+    `percentile_approx` — same shape, sketch memory."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+        lambda x: x != F.lit(""),
+    )
+    lens = docs.select("source", F.size(w).alias("n_tok"))
+    src_q = lens.groupBy("source").agg(
+        *[
+            F.round(
+                F.percentile("n_tok", F.lit(q)), 6
+            ).alias(f"sq_{i}")
+            for i, q in enumerate(QNORM_DECILES)
+        ]
+    )
+    pool_q = lens.agg(
+        *[
+            F.round(
+                F.percentile("n_tok", F.lit(q)), 6
+            ).alias(f"pq_{i}")
+            for i, q in enumerate(QNORM_DECILES)
+        ]
+    )
+    rows = [
+        F.struct(
+            F.lit(d + 1).alias("decile"),
+            F.lit(q).alias("p"),
+            F.col(f"sq_{d}").alias("source_value"),
+            F.col(f"pq_{d}").alias("pooled_value"),
+        )
+        for d, q in enumerate(QNORM_DECILES)
+    ]
+    return (
+        src_q.crossJoin(F.broadcast(pool_q))
+        .select(
+            "source", F.explode(F.array(*rows)).alias("r")
+        )
+        .select(
+            "source",
+            F.col("r.decile").cast("int").alias("decile"),
+            "r.p",
+            "r.source_value",
+            "r.pooled_value",
+            F.round(
+                F.col("r.pooled_value") - F.col("r.source_value"), 6
+            ).alias("shift"),
+        )
+        .orderBy("source", "decile")
+    )

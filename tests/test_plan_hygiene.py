@@ -41,6 +41,14 @@ NESTED_LOOP_OK = {
     # TakeOrdered revenue head (4,950 pairs at any corpus size)
     "score_calibration_ece",  # 1-row ECE scalar broadcast onto the
     # 10-row reliability-bin panel
+    "padding_waste_report",  # 1-row global-max ceiling broadcast
+    # onto the bounded (scheme, bucket) table
+    "quantile_norm_map",  # 1-row pooled-decile broadcast onto the
+    # source-grain decile table
+    "stl_strength_panel",  # 1-row component-means broadcast onto
+    # the day-grain component table
+    "t_closeness_audit",  # qid x sensitive grid: 25 nations x 5
+    # segments, both fixed domains
     "bottomk_sample_quantiles",  # 1-row exact-quantile scalar
     # broadcast joined to the 1-row sample estimate (audit columns)
     "categorical_mutual_information",  # 1-row corpus-total broadcasts
@@ -219,6 +227,8 @@ UNPARTITIONED_WINDOW_OK = {
     # legs; argmin/size windows are partitioned
     "seasonal_decompose_daily",  # 7-day moving average over the
     # per-DAY aggregate (365 rows/year at any corpus size)
+    "stl_strength_panel",  # the same 7-day moving average over the
+    # same per-DAY aggregate (seasonal_decompose_daily's lineage)
     "page_hinkley_drift",  # running mean/cumsum/min prefixes over
     # the per-DAY series (365 rows/year; multi-metric deployments
     # partition by metric id)
@@ -402,6 +412,11 @@ def test_neardup_components_pair_stage_has_no_forced_broadcast(spark):
 # aggregate at a bounded DOMAIN (inspected; the domain is named).
 BROADCAST_GRAIN_OK = {
     "ab_srm_audit",  # method x arm aggregate: 2 methods x 2 arms
+    "grubbs_outlier_test",  # brand-grain moments + max-deviation
+    # aggregates: 25 brands at any SF
+    "stl_strength_panel",  # day-of-week seasonal means: 7 rows
+    "t_closeness_audit",  # sensitive-domain marginal: |mktsegment|
+    # = 5 rows at any SF
     "ann_ivf_portable",  # 1-row query-vector filter (unique vec_id)
     "ann_lsh_topk",  # query-side LSH bucket rows derived from the
     # 1-row probe filter

@@ -326,3 +326,159 @@ def test_fs_weights_reward_discriminative_fields(spark, tmp_path):
     # key) -> strongly negative agreement evidence is impossible;
     # the m-probability reads 0
     assert out["first2words"]["m_prob"] == 0.0
+
+
+# ------------------------- t-closeness ----------------------------
+
+
+def test_t_closeness_flags_skewed_group_only(spark, tmp_path):
+    # nation 0 mirrors the global 50/50 segment split -> tvd ~ 0;
+    # nation 1 is 100% one segment -> tvd ~ 0.5 (violates t=0.2).
+    # A third, large balanced nation pins the global distribution.
+    rows = (
+        [(i, 0, "A" if i % 2 else "B") for i in range(40)]
+        + [(100 + i, 1, "A") for i in range(40)]
+        + [(200 + i, 2, "B" if i % 2 else "A") for i in range(40)]
+    )
+    sf = _lake(
+        spark,
+        tmp_path,
+        customer=(
+            rows,
+            "c_custkey long, c_nationkey long, c_mktsegment string",
+        ),
+    )
+    out = {
+        r["c_nationkey"]: r
+        for r in QS["t_closeness_audit"](spark, sf).collect()
+    }
+    # nation 1's all-A block shifts the GLOBAL marginal to (2/3,
+    # 1/3), so the balanced nations sit at tvd = 1/6 — inside t —
+    # while the skewed nation reads 1/3 and violates
+    assert out[0]["violates_t"] is False
+    assert out[0]["emd_tvd"] == round(1 / 6, 6)
+    assert out[1]["violates_t"] is True and out[1]["emd_tvd"] > 0.3
+    # the absent-cell mass is counted: nation 1 has NO 'B' rows, and
+    # its tvd must include the full |0 - P(B)| term
+    assert out[1]["emd_tvd"] == round(
+        0.5 * (abs(1 - 2 / 3) + abs(0 - 1 / 3)), 6
+    )
+
+
+# ------------------------ padding waste ----------------------------
+
+
+def test_padding_waste_bucketing_beats_global_max(spark, tmp_path):
+    # 10 docs of exactly 64 tokens + one 100-token doc: bucketed
+    # schemes pad only the long doc's bucket; global-max pads all
+    # 10 short docs to 100
+    def doc(i, n):
+        t = " ".join(f"w{i}x{k}" for k in range(n))
+        return (i, t, "en", "src0", len(t))
+
+    rows = [doc(i, 64) for i in range(10)] + [doc(10, 100)]
+    sf = _lake(spark, tmp_path, documents=(rows, DOC_SCHEMA))
+    out = {
+        r["scheme"]: r
+        for r in QS["padding_waste_report"](spark, sf).collect()
+    }
+    real = 10 * 64 + 100
+    assert all(r["real_tokens"] == real for r in out.values())
+    assert out["global_max"]["padded_tokens"] == 11 * 100
+    assert out["mult64"]["padded_tokens"] == 10 * 64 + 128
+    assert out["global_max"]["waste_frac"] > out["mult64"]["waste_frac"]
+    assert out["pow2"]["padded_tokens"] == 10 * 64 + 128
+
+
+# ----------------------- quantile norm map -------------------------
+
+
+def test_quantile_norm_map_shifts_toward_pool(spark, tmp_path):
+    # source A: short docs; source B: long docs. A's deciles map UP
+    # toward the pooled boundaries, B's map DOWN.
+    def doc(i, n, src):
+        t = " ".join(f"w{k}" for k in range(n))
+        return (i, t, "en", src, len(t))
+
+    rows = [doc(i, 10 + i % 10, "A") for i in range(50)] + [
+        doc(100 + i, 30 + i % 10, "B") for i in range(50)
+    ]
+    sf = _lake(spark, tmp_path, documents=(rows, DOC_SCHEMA))
+    out = QS["quantile_norm_map"](spark, sf).collect()
+    assert len(out) == 2 * 9
+    a = [r for r in out if r["source"] == "A"]
+    b = [r for r in out if r["source"] == "B"]
+    assert all(r["shift"] > 0 for r in a)
+    assert all(r["shift"] < 0 for r in b)
+    assert [r["decile"] for r in a] == list(range(1, 10))
+    # the map is the identity transform's audit: applying source
+    # boundary -> pooled boundary equalizes the marginals
+    assert all(
+        r["pooled_value"] == round(r["source_value"] + r["shift"], 6)
+        for r in out
+    )
+
+
+# ----------------------- STL strength panel ------------------------
+
+
+def test_stl_strength_reads_planted_weekly_cycle(spark, tmp_path):
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    for d in range(56):  # 8 full weeks, strong day-of-week cycle
+        v = 100.0 + (50.0 if d % 7 in (5, 6) else 0.0)
+        rows.append((d, "load", t0 + datetime.timedelta(days=d), v))
+    sf = _lake(
+        spark,
+        tmp_path,
+        events=(
+            rows,
+            "event_id long, event_type string, ts timestamp, "
+            "value double",
+        ),
+    )
+    r = QS["stl_strength_panel"](spark, sf).collect()[0]
+    assert r["n_days"] == 56
+    assert r["seasonal_strength"] > 0.8
+    # no trend was planted: trend strength stays well below the
+    # seasonal reading
+    assert r["trend_strength"] < r["seasonal_strength"]
+
+
+# -------------------------- Grubbs test ----------------------------
+
+
+def test_grubbs_flags_planted_typo_price(spark, tmp_path):
+    rows = [(i, "CLEAN", 100.0 + (i % 10)) for i in range(50)] + [
+        (100 + i, "TYPO", 100.0 + (i % 10)) for i in range(49)
+    ] + [(199, "TYPO", 99999.0)]  # the fat-finger entry
+    sf = _lake(
+        spark,
+        tmp_path,
+        part=(rows, "p_partkey long, p_brand string, p_retailprice double"),
+    )
+    out = {
+        r["brand"]: r
+        for r in QS["grubbs_outlier_test"](spark, sf).collect()
+    }
+    assert out["TYPO"]["is_outlier"] is True
+    assert out["TYPO"]["outlier_value"] == 99999.0
+    assert out["CLEAN"]["is_outlier"] is False
+    assert out["TYPO"]["g_stat"] > out["TYPO"]["g_crit"]
+
+
+# ------------------------ LPA communities --------------------------
+
+
+def test_lpa_separates_planted_cliques(spark, tmp_path):
+    # two disjoint basket cliques -> two communities labeled by each
+    # clique's minimum part id, sizes 4 and 3
+    li = [(1, p) for p in (10, 11, 12, 13)] + [
+        (2, p) for p in (20, 21, 22)
+    ]
+    sf = _lake(
+        spark, tmp_path, lineitem=(li, "l_orderkey long, l_partkey long")
+    )
+    out = QS["lpa_communities_topk"](spark, sf).collect()
+    got = {r["community"]: r["n_members"] for r in out}
+    assert got == {10: 4, 20: 3}
