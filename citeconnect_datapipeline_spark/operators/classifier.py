@@ -722,8 +722,8 @@ ECE_BINS = 10  # standard reliability-diagram decile bins
         FROM documents
     ),
     binned AS (
-        SELECT LEAST(CAST(FLOOR(conf * {ECE_BINS}) AS INTEGER),
-                     {ECE_BINS} - 1) + 1 AS bin,
+        SELECT LEAST(CAST(FLOOR(conf * 10) AS INTEGER),
+                     10 - 1) + 1 AS bin,
                conf, y
         FROM scored
     ),
@@ -759,14 +759,14 @@ def score_calibration_ece(
     the type-token ratio (the quality_score family's confidence
     proxy, already in [0,1]) against the trusted-source label the
     classifier family trains on; the output is the standard
-    {ECE_BINS}-bin reliability table (count, mean confidence,
+    10-bin reliability table (count, mean confidence,
     empirical positive rate, signed gap) plus the ECE scalar
     (bin-weighted mean |gap|) repeated per row for the panel read.
     Swapping in a learned model's sigmoid margin is a one-column
     change — the audit shape is score-agnostic.
 
     Scale shape: one corpus pass computes (bin, conf, y), one
-    {ECE_BINS}-cell aggregate, and the ECE total rides a 1-row
+    10-cell aggregate, and the ECE total rides a 1-row
     broadcast back onto the cells. No window, no pair stage."""
     docs = load_table(spark, sf_dir, "documents")
     w = F.filter(

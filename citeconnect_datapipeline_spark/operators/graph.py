@@ -1356,7 +1356,7 @@ def lpa_communities_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     vertices are connected': which parts form basket NEIGHBORHOODS
     (the cross-sell families a category manager or a sharding
     policy reads). Every vertex starts as its own label; each of
-    the {LPA_ROUNDS} SYNCHRONOUS rounds adopts the most frequent
+    the 3 (LPA_ROUNDS) SYNCHRONOUS rounds adopts the most frequent
     label among distinct neighbors, ties to the smallest label —
     fully deterministic (async LPA's update-order dependence is the
     documented reason for the synchronous variant), replayed

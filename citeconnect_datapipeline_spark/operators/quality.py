@@ -1052,7 +1052,7 @@ def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     group (nation), the Earth Mover's Distance of its market-segment
     distribution from the global distribution; for categoricals
     under uniform ground distance EMD reduces to total variation,
-    0.5 * L1. Groups beyond t = {T_CLOSE} need generalization or
+    0.5 * L1. Groups beyond t = 0.2 (T_CLOSE) need generalization or
     suppression before release.
 
     Scale shape: one (qid, sensitive) cell aggregate (bounded by the

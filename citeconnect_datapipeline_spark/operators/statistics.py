@@ -2761,11 +2761,11 @@ def kendall_tau_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     statistic that degrades gracefully under heavy ties) and the
     continuous-metric sibling of `rank_biased_overlap` (RBO compares
     two top-k LISTS; tau compares two METRICS on one population).
-    Computed over the top-{KENDALL_HEAD} revenue parts with tau-b's
+    Computed over the top-100 (KENDALL_HEAD) revenue parts with tau-b's
     tie correction: (C - D) / sqrt((n0 - t_rev)(n0 - t_qty)).
 
     Scale shape: one part-grain aggregate, a TakeOrdered head of
-    {KENDALL_HEAD} rows, and the pair stage is a self-join of that
+    100 rows, and the pair stage is a self-join of that
     LITERAL-BOUNDED head (4,950 pairs at any corpus size — the
     vocab_sizing_curve move applied to a quadratic statistic).
     Revenue is 6-dp-rounded before comparison so fp association
@@ -2886,7 +2886,7 @@ def grubbs_outlier_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grubbs' maximum-studentized-deviate test per brand — the
     principled one-outlier screen behind 'is this price a typo or a
     tail?': G = max|x - mean|/sd against the Grubbs critical value
-    at alpha = {GRUBBS_ALPHA} with a Bonferroni 1/(2n) correction
+    at alpha = 0.05 (GRUBBS_ALPHA) with a Bonferroni 1/(2n) correction
     per candidate. The t-quantile inside the critical value uses the
     SAME 1.702-logistic normal inverse both engines share (documented
     approximation: exact Grubbs uses the t distribution; the normal

@@ -2788,14 +2788,14 @@ def padding_waste_report(
     family: packing ELIMINATES padding by concatenation; bucketing
     merely BOUNDS it while keeping one-doc-per-row semantics). For
     each scheme — pad-everything-to-corpus-max, power-of-2 buckets,
-    pad-to-multiple-of-{PAD_MULTIPLE} — the report prices total
+    pad-to-multiple-of-64 — the report prices total
     padded tokens vs real tokens: waste_frac IS the fraction of
     attention FLOPs burned on pad tokens under that scheme.
 
     Scale shape: one tokenize pass collapses the corpus to a length
     column; each scheme is a bounded-grain (scheme, bucket)
     aggregate (pow2 grain = log2(maxlen) buckets, mult grain =
-    maxlen/{PAD_MULTIPLE}); the global-max ceiling rides a 1-row
+    maxlen/64); the global-max ceiling rides a 1-row
     broadcast. Output is 3 rows."""
     docs = load_table(spark, sf_dir, "documents")
     w = F.filter(
