@@ -2960,3 +2960,108 @@ def quantile_norm_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "decile")
     )
+
+
+CURRICULUM_EPOCHS = 3
+
+
+@query(
+    "curriculum_schedule_plan",
+    oracle="""
+    WITH lens AS (
+        SELECT doc_id,
+               len(list_filter(string_split_regex(lower(text),
+                                                  '[^a-z0-9]+'),
+                               x -> x <> '')) AS n_tok
+        FROM documents
+    ),
+    bnd AS (
+        SELECT ROUND(quantile_cont(n_tok, 1.0/3), 6) AS b1,
+               ROUND(quantile_cont(n_tok, 2.0/3), 6) AS b2
+        FROM lens
+    ),
+    staged AS (
+        SELECT l.doc_id, l.n_tok,
+               1 + CAST(l.n_tok > b.b1 AS INT)
+                 + CAST(l.n_tok > b.b2 AS INT) AS tercile
+        FROM lens l CROSS JOIN bnd b
+    ),
+    sched AS (
+        SELECT e.epoch, s.tercile,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(s.n_tok) AS BIGINT) AS total_tokens
+        FROM staged s
+        JOIN (SELECT unnest(range(1, 4)) AS epoch) e
+          ON s.tercile <= e.epoch
+        GROUP BY 1, 2
+    )
+    SELECT epoch, tercile, n_docs, total_tokens,
+           ROUND(total_tokens * 1.0 / SUM(total_tokens)
+                 OVER (PARTITION BY epoch), 6) AS epoch_token_share
+    FROM sched
+    ORDER BY epoch, tercile
+    """,
+)
+def curriculum_schedule_plan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Baby-steps curriculum schedule (Bengio et al. 2009; the
+    easy-first data-ORDER policy `epoch_shuffle_plan` is explicitly
+    free of): difficulty = token length, terciles cut at the
+    6-dp-pinned 1/3 and 2/3 percentile boundaries, and epoch e
+    admits terciles 1..e — epoch 1 trains on the easy third, epoch 3
+    sees the full corpus. The output is the admission LEDGER (docs
+    and tokens per (epoch, tercile) with each epoch's token mix), the
+    table a training launcher turns into per-epoch file manifests —
+    and the token-budget view shows the curriculum's real price:
+    early epochs are token-starved unless repeated.
+
+    Scale shape: one tokenize pass to the length column, a 1-row
+    percentile-boundary broadcast (equidepth_histogram's pattern, no
+    global rank), a 3-row epoch-grid join, and a bounded (epoch,
+    tercile) aggregate; the share window runs over <= 9 rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+        lambda x: x != F.lit(""),
+    )
+    lens = docs.select("doc_id", F.size(w).alias("n_tok"))
+    bnd = lens.agg(
+        F.round(F.percentile("n_tok", F.lit(1.0 / 3)), 6).alias("b1"),
+        F.round(F.percentile("n_tok", F.lit(2.0 / 3)), 6).alias("b2"),
+    )
+    staged = lens.crossJoin(F.broadcast(bnd)).select(
+        "n_tok",
+        (
+            F.lit(1)
+            + (F.col("n_tok") > F.col("b1")).cast("int")
+            + (F.col("n_tok") > F.col("b2")).cast("int")
+        ).alias("tercile"),
+    )
+    epochs = spark.range(1, CURRICULUM_EPOCHS + 1).select(
+        F.col("id").cast("int").alias("epoch")
+    )
+    sched = (
+        staged.join(
+            F.broadcast(epochs),
+            staged.tercile <= F.col("epoch"),
+        )
+        .groupBy("epoch", "tercile")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        )
+    )
+    w_epoch = Window.partitionBy("epoch")
+    return sched.select(
+        "epoch",
+        "tercile",
+        "n_docs",
+        "total_tokens",
+        F.round(
+            F.col("total_tokens")
+            * 1.0
+            / F.sum("total_tokens").over(w_epoch),
+            6,
+        ).alias("epoch_token_share"),
+    ).orderBy("epoch", "tercile")

@@ -31,6 +31,10 @@ NESTED_LOOP_OK = {
     "hybrid_rrf_search",  # inherits bm25's stats row + cosine's 1-row
     # query-vector broadcast
     "ab_lift_bootstrap",  # 1-row observed-means x 1-row CI broadcast
+    "curriculum_schedule_plan",  # 1-row tercile-boundary broadcast +
+    # the 3-row epoch-grid inequality join (both grids fixed)
+    "dp_median_release",  # 101-row public candidate grid x the
+    # bounded bucket histogram + 1-row total/max/Z broadcasts
     "acf_panel",  # 7-row lag grid x the day-grain series + a 1-row
     # mean/SS scalar broadcast (both sides calendar-bounded)
     "bh_fdr_slices",  # 1-row global-moments + 1-row step-up-cut
@@ -234,6 +238,8 @@ UNPARTITIONED_WINDOW_OK = {
     # partition by metric id)
     "cusum_drift_chart",  # cumsum/running-min prefixes over the
     # week-grain series (52 rows/year; page_hinkley's boundedness)
+    "dp_median_release",  # inverse-CDF cumsum over the 101-row
+    # public candidate grid (fixed by DPM_CELLS, never corpus-grain)
     "slo_burn_alerts",  # trailing range frames over the hour-grain
     # series (8760 rows/year; partition by service id multi-service)
     "vocab_sizing_curve",  # rank over the 64-row TakeOrdered head
@@ -412,6 +418,8 @@ def test_neardup_components_pair_stage_has_no_forced_broadcast(spark):
 # aggregate at a bounded DOMAIN (inspected; the domain is named).
 BROADCAST_GRAIN_OK = {
     "ab_srm_audit",  # method x arm aggregate: 2 methods x 2 arms
+    "dp_median_release",  # bucket histogram: 100 fixed public
+    # cells at any SF
     "grubbs_outlier_test",  # brand-grain moments + max-deviation
     # aggregates: 25 brands at any SF
     "stl_strength_panel",  # day-of-week seasonal means: 7 rows

@@ -482,3 +482,56 @@ def test_lpa_separates_planted_cliques(spark, tmp_path):
     out = QS["lpa_communities_topk"](spark, sf).collect()
     got = {r["community"]: r["n_members"] for r in out}
     assert got == {10: 4, 20: 3}
+
+
+# ---------------------- curriculum schedule ------------------------
+
+
+def test_curriculum_admits_terciles_cumulatively(spark, tmp_path):
+    # 30 docs: 10 short (5 tok), 10 medium (20 tok), 10 long (40 tok)
+    rows = (
+        [_doc(i, 5, 5, "src0") for i in range(10)]
+        + [_doc(10 + i, 20, 20, "src0") for i in range(10)]
+        + [_doc(20 + i, 40, 40, "src0") for i in range(10)]
+    )
+    sf = _lake(spark, tmp_path, documents=(rows, DOC_SCHEMA))
+    out = QS["curriculum_schedule_plan"](spark, sf).collect()
+    got = {(r["epoch"], r["tercile"]): r for r in out}
+    # epoch 1 sees ONLY the easy third; epoch 3 sees everything
+    assert set(got) == {
+        (1, 1), (2, 1), (2, 2), (3, 1), (3, 2), (3, 3)
+    }
+    assert got[(1, 1)]["n_docs"] == 10
+    assert got[(1, 1)]["epoch_token_share"] == 1.0
+    assert got[(3, 3)]["n_docs"] == 10
+    # epoch-3 token mix reflects the raw corpus: 50/200/400
+    assert got[(3, 3)]["epoch_token_share"] == round(400 / 650, 6)
+    # the curriculum's price: epoch 1 trains on 50 of 650 tokens
+    assert got[(1, 1)]["total_tokens"] == 50
+
+
+# ------------------------ DP median release ------------------------
+
+
+def test_dp_median_lands_near_true_median_and_leaks_nothing(
+    spark, tmp_path
+):
+    import datetime as _dt  # noqa: F401
+
+    # mass concentrated around 300k: with eps=1 and rank utility the
+    # mechanism all but surely picks a grid cell near the median
+    rows = [(i, float(290000 + (i % 21) * 1000)) for i in range(500)]
+    sf = _lake(
+        spark,
+        tmp_path,
+        orders=(rows, "o_orderkey long, o_totalprice double"),
+    )
+    df = QS["dp_median_release"](spark, sf)
+    # DP hygiene: no exact count/utility/probability column ships
+    assert set(df.columns) == {
+        "dp_median", "epsilon", "sensitivity", "domain_lo",
+        "domain_hi", "n_candidates",
+    }
+    r = df.collect()[0]
+    assert abs(r["dp_median"] - 300000.0) <= 12000.0  # within 2 cells
+    assert r["epsilon"] == 1.0 and r["n_candidates"] == 101
