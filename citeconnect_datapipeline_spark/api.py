@@ -31,9 +31,17 @@ from types import SimpleNamespace
 
 from .operators.asof import asof_join, asof_join_forward
 from .operators.joins import interval_overlap_join
-from .operators.classifier import logreg_fit, score_with_weights
+from .operators.classifier import (
+    calibration_cells,
+    logreg_fit,
+    score_with_weights,
+)
 from .operators.dedup import edit_neighbor_pairs, jaccard_scored_pairs, minhash_band_hashes
-from .operators.graph import connected_components, pagerank
+from .operators.graph import (
+    connected_components,
+    lpa_communities,
+    pagerank,
+)
 from .operators.multimodal import with_media_columns
 from .operators.similarity import (
     build_ivf_index,
@@ -51,15 +59,20 @@ from .operators.text import (
 from .operators.analytics import h_index_by
 from .operators.quality import (
     benford_digit_cells,
+    dp_median_exponential,
     dp_noisy_counts_release,
     dp_user_counts_release,
     fd_violations,
     k_anonymity_cells,
     l_diversity_cells,
+    t_closeness_cells,
 )
 from .operators.statistics import (
+    bh_fdr,
     categorical_mi,
+    grubbs_cells,
     hill_tail_profile,
+    kendall_tau_b,
     mannwhitney_u,
 )
 from .operators.training import (
@@ -74,7 +87,9 @@ from .operators.skew import (
     salted_sum_by_key,
 )
 from .operators.timeseries import (
+    acf_series,
     cusum_series,
+    fano_by,
     lateness_profile,
     page_hinkley_series,
     sessionize,
@@ -107,10 +122,12 @@ graph = SimpleNamespace(
     connected_components=connected_components,
     pagerank=pagerank,
     h_index=h_index_by,
+    lpa_communities=lpa_communities,
 )
 classifier = SimpleNamespace(
     logreg_fit=logreg_fit,
     score_with_weights=score_with_weights,
+    calibration_cells=calibration_cells,
 )
 tokenizer = SimpleNamespace(
     train_bpe_merges=train_bpe_merges,
@@ -137,6 +154,8 @@ curation = SimpleNamespace(
     l_diversity_cells=l_diversity_cells,
     benford_digit_cells=benford_digit_cells,
     lexical_diversity_by=lexical_diversity_by,
+    t_closeness_cells=t_closeness_cells,
+    dp_median_exponential=dp_median_exponential,
 )
 multimodal = SimpleNamespace(with_media_columns=with_media_columns)
 timeseries = SimpleNamespace(
@@ -144,6 +163,8 @@ timeseries = SimpleNamespace(
     lateness_profile=lateness_profile,
     page_hinkley=page_hinkley_series,
     cusum=cusum_series,
+    acf=acf_series,
+    fano_by=fano_by,
     asof_join=asof_join,
     asof_join_forward=asof_join_forward,
     interval_overlap=interval_overlap_join,
@@ -152,6 +173,9 @@ stats = SimpleNamespace(
     categorical_mi=categorical_mi,
     hill_tail_profile=hill_tail_profile,
     mannwhitney_u=mannwhitney_u,
+    bh_fdr=bh_fdr,
+    kendall_tau_b=kendall_tau_b,
+    grubbs_cells=grubbs_cells,
 )
 skew = SimpleNamespace(
     zorder_value=zorder_value,

@@ -707,6 +707,56 @@ def logreg_adagrad_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 ECE_BINS = 10  # standard reliability-diagram decile bins
 
 
+def calibration_cells(scored, bins: int = None):
+    """Library core of `score_calibration_ece` (api.classifier.
+    calibration_cells): the reliability table + ECE for any
+    (conf in [0,1], y in {0,1}) frame — bin counts, mean confidence,
+    empirical positive rate, signed gap, and the bin-weighted ECE
+    scalar broadcast onto every row. Score-agnostic: feed a model
+    sigmoid, a heuristic score, anything the pipeline thresholds."""
+    bins = ECE_BINS if bins is None else bins
+    binned = scored.select(
+        (
+            F.least(
+                F.floor(F.col("conf") * bins).cast("int"),
+                F.lit(bins - 1),
+            )
+            + 1
+        ).alias("bin"),
+        "conf",
+        "y",
+    )
+    cells = binned.groupBy("bin").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.round(F.avg("conf"), 6).alias("mean_conf"),
+        F.round(F.avg("y"), 6).alias("frac_pos"),
+    )
+    tot = cells.agg(
+        F.round(
+            F.sum(
+                F.col("n")
+                * F.abs(F.col("mean_conf") - F.col("frac_pos"))
+            )
+            / F.sum("n"),
+            6,
+        ).alias("ece")
+    )
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "n",
+            "mean_conf",
+            "frac_pos",
+            F.round(
+                F.col("frac_pos") - F.col("mean_conf"), 6
+            ).alias("gap"),
+            "ece",
+        )
+        .orderBy("bin")
+    )
+
+
 @query(
     "score_calibration_ece",
     oracle=f"""
@@ -784,43 +834,4 @@ def score_calibration_ece(
         .alias("y"),
         conf.alias("conf"),
     )
-    binned = scored.select(
-        (
-            F.least(
-                F.floor(F.col("conf") * ECE_BINS).cast("int"),
-                F.lit(ECE_BINS - 1),
-            )
-            + 1
-        ).alias("bin"),
-        "conf",
-        "y",
-    )
-    cells = binned.groupBy("bin").agg(
-        F.count("*").cast("bigint").alias("n"),
-        F.round(F.avg("conf"), 6).alias("mean_conf"),
-        F.round(F.avg("y"), 6).alias("frac_pos"),
-    )
-    tot = cells.agg(
-        F.round(
-            F.sum(
-                F.col("n")
-                * F.abs(F.col("mean_conf") - F.col("frac_pos"))
-            )
-            / F.sum("n"),
-            6,
-        ).alias("ece")
-    )
-    return (
-        cells.crossJoin(F.broadcast(tot))
-        .select(
-            "bin",
-            "n",
-            "mean_conf",
-            "frac_pos",
-            F.round(
-                F.col("frac_pos") - F.col("mean_conf"), 6
-            ).alias("gap"),
-            "ece",
-        )
-        .orderBy("bin")
-    )
+    return calibration_cells(scored, ECE_BINS)

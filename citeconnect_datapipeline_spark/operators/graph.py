@@ -1320,6 +1320,48 @@ def _lpa_round_sql(t: int) -> str:
     )"""
 
 
+def lpa_communities(edges, rounds: int = None):
+    """Library core of `lpa_communities_topk` (api.graph.
+    lpa_communities): synchronous label propagation over a directed
+    (src, dst) edge frame for a FIXED round count, ties to the
+    smallest label — deterministic by construction. Returns the full
+    (v, community) label table. The caller should pre-pin the edge
+    frame's layout (repartition on src + localCheckpoint) so rounds
+    reuse one shuffle; the registered query shows the pattern."""
+    rounds = LPA_ROUNDS if rounds is None else rounds
+    labels = edges.select(
+        F.col("src").alias("v")
+    ).distinct().select("v", F.col("v").alias("community"))
+    for _ in range(rounds):
+        counts = (
+            edges.join(
+                labels.hint("shuffle_hash"), edges.src == labels.v
+            )
+            .select(F.col("dst").alias("v2"), "community")
+            .groupBy("v2", "community")
+            .agg(F.count("*").alias("cnt"))
+        )
+        # argmax with (cnt desc, label asc) tie-break as ONE
+        # struct-max aggregate: max((cnt, -label)) — cheaper than a
+        # per-vertex rank window and identically deterministic
+        labels = (
+            counts.groupBy("v2")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("cnt").alias("c"),
+                        (-F.col("community")).alias("nl"),
+                    )
+                ).alias("m")
+            )
+            .select(
+                F.col("v2").alias("v"),
+                (-F.col("m.nl")).alias("community"),
+            )
+        )
+    return labels
+
+
 @query(
     "lpa_communities_topk",
     oracle="""
@@ -1407,38 +1449,8 @@ def lpa_communities_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint()
     )
-    labels = edges.select(F.col("src").alias("v")).distinct().select(
-        "v", F.col("v").alias("community")
-    )
-    for _ in range(LPA_ROUNDS):
-        counts = (
-            edges.join(
-                labels.hint("shuffle_hash"), edges.src == labels.v
-            )
-            .select(F.col("dst").alias("v2"), "community")
-            .groupBy("v2", "community")
-            .agg(F.count("*").alias("cnt"))
-        )
-        # argmax with (cnt desc, label asc) tie-break as ONE
-        # struct-max aggregate: max((cnt, -label)) — cheaper than a
-        # per-vertex rank window and identically deterministic
-        labels = (
-            counts.groupBy("v2")
-            .agg(
-                F.max(
-                    F.struct(
-                        F.col("cnt").alias("c"),
-                        (-F.col("community")).alias("nl"),
-                    )
-                ).alias("m")
-            )
-            .select(
-                F.col("v2").alias("v"),
-                (-F.col("m.nl")).alias("community"),
-            )
-        )
     return (
-        labels.groupBy("community")
+        lpa_communities(edges, LPA_ROUNDS).groupBy("community")
         .agg(F.count("*").cast("bigint").alias("n_members"))
         .orderBy(F.desc("n_members"), "community")
         .limit(20)

@@ -1009,6 +1009,55 @@ def functional_dependency_audit(
 T_CLOSE = 0.2  # standard t-closeness budget for categorical EMD
 
 
+def t_closeness_cells(
+    df, qid_col: str, sensitive_col: str, t: float = None
+):
+    """Library core of `t_closeness_audit` (api.curation.
+    t_closeness_cells): per qid group, the EMD (categorical uniform
+    ground distance => total variation) of the sensitive
+    distribution from the global one, with the violates_t flag.
+    Absent (qid, sensitive) cells contribute their full |0 - p|
+    mass via the domain-grid left join."""
+    t = T_CLOSE if t is None else t
+    cells = df.groupBy(qid_col, sensitive_col).agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    grp = cells.groupBy(qid_col).agg(F.sum("n").alias("ng"))
+    glob = cells.groupBy(sensitive_col).agg(F.sum("n").alias("ns"))
+    tot = cells.agg(F.sum("n").alias("nt"))
+    grid = (
+        grp.crossJoin(F.broadcast(glob))
+        .crossJoin(F.broadcast(tot))
+        .join(cells, [qid_col, sensitive_col], "left")
+        .select(
+            qid_col,
+            "ng",
+            "ns",
+            "nt",
+            F.coalesce("n", F.lit(0)).alias("n"),
+        )
+    )
+    tvd = F.round(
+        0.5
+        * F.sum(
+            F.abs(
+                F.col("n") * 1.0 / F.col("ng")
+                - F.col("ns") * 1.0 / F.col("nt")
+            )
+        ),
+        6,
+    )
+    return (
+        grid.groupBy(qid_col)
+        .agg(
+            F.max("ng").cast("bigint").alias("group_size"),
+            tvd.alias("emd_tvd"),
+            (tvd > t).alias("violates_t"),
+        )
+        .orderBy(qid_col)
+    )
+
+
 @query(
     "t_closeness_audit",
     oracle=f"""
@@ -1062,49 +1111,98 @@ def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     |0 - p| mass — dropping them understates the distance exactly
     for the most skewed (most dangerous) groups."""
     cust = load_table(spark, sf_dir, "customer")
-    cells = cust.groupBy("c_nationkey", "c_mktsegment").agg(
-        F.count("*").cast("bigint").alias("n")
-    )
-    grp = cells.groupBy("c_nationkey").agg(F.sum("n").alias("ng"))
-    glob = cells.groupBy("c_mktsegment").agg(F.sum("n").alias("ns"))
-    tot = cells.agg(F.sum("n").alias("nt"))
-    grid = (
-        grp.crossJoin(F.broadcast(glob))
-        .crossJoin(F.broadcast(tot))
-        .join(cells, ["c_nationkey", "c_mktsegment"], "left")
-        .select(
-            "c_nationkey",
-            "ng",
-            "ns",
-            "nt",
-            F.coalesce("n", F.lit(0)).alias("n"),
-        )
-    )
-    tvd = F.round(
-        0.5
-        * F.sum(
-            F.abs(
-                F.col("n") * 1.0 / F.col("ng")
-                - F.col("ns") * 1.0 / F.col("nt")
-            )
-        ),
-        6,
-    )
-    return (
-        grid.groupBy("c_nationkey")
-        .agg(
-            F.max("ng").cast("bigint").alias("group_size"),
-            tvd.alias("emd_tvd"),
-            (tvd > T_CLOSE).alias("violates_t"),
-        )
-        .orderBy("c_nationkey")
-    )
+    return t_closeness_cells(cust, "c_nationkey", "c_mktsegment")
 
 
 # Exponential-mechanism quantile release: PUBLIC output domain for
 # order totals — documented a-priori bounds, NOT derived from data
 # (deriving them would leak).
 DPM_LO, DPM_HI, DPM_CELLS = 0.0, 600000.0, 100
+
+
+def dp_median_exponential(
+    df,
+    value_col: str,
+    *,
+    salt: str,
+    release_key: str,
+    lo: float = DPM_LO,
+    hi: float = DPM_HI,
+    cells: int = DPM_CELLS,
+    epsilon: float = DP_EPSILON,
+):
+    """Library core of `dp_median_release` (api.curation.
+    dp_median_exponential): McSherry-Talwar exponential-mechanism
+    median over a PUBLIC [lo, hi] grid of ``cells`` candidates.
+    ``salt`` follows the dp_noisy_counts_release contract (REQUIRED,
+    secret in production); ``release_key`` names the release in the
+    draw key so two releases from one dataset draw independently.
+    Ships ONLY the selected value + the public ledger — utilities,
+    probabilities, and exact counts are deterministic functions of
+    the raw data and must not leave the trust boundary."""
+    spark = df.sparkSession
+    step = (hi - lo) / cells
+    bc = (
+        df.select(
+            F.least(
+                F.greatest(
+                    F.floor(
+                        (F.col(value_col) - lo) / step
+                    ).cast("int"),
+                    F.lit(0),
+                ),
+                F.lit(cells - 1),
+            ).alias("b")
+        )
+        .groupBy("b")
+        .agg(F.count("*").alias("c"))
+    )
+    tot = bc.agg(F.sum("c").alias("n"))
+    grid = spark.range(cells + 1).select(
+        F.col("id").cast("int").alias("gb")
+    )
+    below = (
+        grid.join(F.broadcast(bc), F.col("b") < F.col("gb"), "left")
+        .groupBy("gb")
+        .agg(F.coalesce(F.sum("c"), F.lit(0)).alias("below"))
+    )
+    util = below.crossJoin(F.broadcast(tot)).select(
+        "gb", (-F.abs(F.col("below") - F.col("n") / 2.0)).alias("u")
+    )
+    mx = util.agg(F.max("u").alias("umax"))
+    prob = util.crossJoin(F.broadcast(mx)).select(
+        "gb",
+        F.exp(epsilon * (F.col("u") - F.col("umax")) / 2.0).alias(
+            "p"
+        ),
+    )
+    z = prob.agg(F.sum("p").alias("z"))
+    w_cum = Window.orderBy("gb").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cdf = prob.crossJoin(F.broadcast(z)).select(
+        "gb", (F.sum("p").over(w_cum) / F.col("z")).alias("cum")
+    )
+    h = F.md5(F.lit(f"dpm:{salt}:{release_key}"))
+    u_draw = (
+        sum(
+            (
+                (F.instr(F.lit(_DP_HEX), F.substring(h, i + 1, 1)) - 1)
+                * (16 ** (3 - i))
+                for i in range(4)
+            ),
+            F.lit(0),
+        )
+        + 1.0
+    ) / 65537.0
+    return cdf.filter(F.col("cum") >= u_draw).agg(
+        F.round(lo + F.min("gb") * F.lit(step), 6).alias("dp_median"),
+        F.lit(float(epsilon)).alias("epsilon"),
+        F.lit(1).alias("sensitivity"),
+        F.lit(lo).alias("domain_lo"),
+        F.lit(hi).alias("domain_hi"),
+        F.lit(cells + 1).cast("bigint").alias("n_candidates"),
+    )
 
 
 @query(
@@ -1184,70 +1282,9 @@ def dp_median_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     101-row grid — max-shifted exponentials for underflow safety,
     a 101-row cumsum window, one inverse-CDF filter. Output 1 row."""
     orders = load_table(spark, sf_dir, "orders")
-    step = (DPM_HI - DPM_LO) / DPM_CELLS
-    bc = (
-        orders.select(
-            F.least(
-                F.greatest(
-                    F.floor(
-                        (F.col("o_totalprice") - DPM_LO) / step
-                    ).cast("int"),
-                    F.lit(0),
-                ),
-                F.lit(DPM_CELLS - 1),
-            ).alias("b")
-        )
-        .groupBy("b")
-        .agg(F.count("*").alias("c"))
-    )
-    tot = bc.agg(F.sum("c").alias("n"))
-    grid = spark.range(DPM_CELLS + 1).select(
-        F.col("id").cast("int").alias("gb")
-    )
-    below = (
-        grid.join(F.broadcast(bc), F.col("b") < F.col("gb"), "left")
-        .groupBy("gb")
-        .agg(F.coalesce(F.sum("c"), F.lit(0)).alias("below"))
-    )
-    util = below.crossJoin(F.broadcast(tot)).select(
-        "gb", (-F.abs(F.col("below") - F.col("n") / 2.0)).alias("u")
-    )
-    mx = util.agg(F.max("u").alias("umax"))
-    prob = util.crossJoin(F.broadcast(mx)).select(
-        "gb",
-        F.exp(DP_EPSILON * (F.col("u") - F.col("umax")) / 2.0).alias(
-            "p"
-        ),
-    )
-    z = prob.agg(F.sum("p").alias("z"))
-    w_cum = Window.orderBy("gb").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    cdf = prob.crossJoin(F.broadcast(z)).select(
-        "gb", (F.sum("p").over(w_cum) / F.col("z")).alias("cum")
-    )
-    h = F.md5(F.lit(f"dpm:{_DP_DEMO_SALT}:orders"))
-    u_draw = (
-        sum(
-            (
-                (F.instr(F.lit(_DP_HEX), F.substring(h, i + 1, 1)) - 1)
-                * (16 ** (3 - i))
-                for i in range(4)
-            ),
-            F.lit(0),
-        )
-        + 1.0
-    ) / 65537.0
-    return (
-        cdf.filter(F.col("cum") >= u_draw)
-        .agg(
-            F.round(
-                DPM_LO + F.min("gb") * F.lit(step), 6
-            ).alias("dp_median"),
-            F.lit(float(DP_EPSILON)).alias("epsilon"),
-            F.lit(1).alias("sensitivity"),
-            F.lit(DPM_LO).alias("domain_lo"),
-            F.lit(DPM_HI).alias("domain_hi"),
-            F.lit(DPM_CELLS + 1).cast("bigint").alias("n_candidates"),
-        )
+    return dp_median_exponential(
+        orders,
+        "o_totalprice",
+        salt=_DP_DEMO_SALT,
+        release_key="orders",
     )

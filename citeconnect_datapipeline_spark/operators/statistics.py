@@ -2550,6 +2550,48 @@ _PHI_K = 1.702  # logistic approximation of the normal CDF:
 # (no erf in Spark SQL; the decision variable is the 6-dp-rounded p)
 
 
+def bh_fdr(pvals, q: float = None):
+    """Library core of `bh_fdr_slices` (api.stats.bh_fdr): append
+    Benjamini-Hochberg step-up columns (bh_rank, bh_threshold,
+    reject) to any (keys..., p_value) frame. Ranks order by
+    (p_value, remaining columns) so ties break deterministically;
+    the step-up cut k = max{i: p_(i) <= i*q/m} rides a 1-row
+    broadcast. The panel is assumed BOUNDED (a test family, never
+    corpus-grain) — the rank window is panel-wide by design."""
+    q = BH_FDR_Q if q is None else q
+    keys = [c for c in pvals.columns if c != "p_value"]
+    w_rank = Window.orderBy("p_value", *keys)
+    ranked = pvals.select(
+        *pvals.columns,
+        F.row_number().over(w_rank).alias("bh_rank"),
+        F.count("*").over(
+            Window.partitionBy().rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("m"),
+    )
+    cut = ranked.agg(
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.col("p_value")
+                    <= F.col("bh_rank") * q / F.col("m"),
+                    F.col("bh_rank"),
+                )
+            ),
+            F.lit(0),
+        ).alias("k")
+    )
+    return ranked.crossJoin(F.broadcast(cut)).select(
+        *pvals.columns,
+        F.col("bh_rank").cast("bigint").alias("bh_rank"),
+        F.round(F.col("bh_rank") * q / F.col("m"), 6).alias(
+            "bh_threshold"
+        ),
+        (F.col("bh_rank") <= F.col("k")).alias("reject"),
+    )
+
+
 @query(
     "bh_fdr_slices",
     oracle=f"""
@@ -2672,50 +2714,62 @@ def bh_fdr_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
             2.0 / (1.0 + F.exp(F.lit(_PHI_K) * F.abs("welch_z"))), 6
         ).alias("p_value"),
     )
-    w_rank = Window.orderBy("p_value", "brand")
-    ranked = p.select(
-        "brand",
-        "n1",
-        "welch_z",
-        "p_value",
-        F.row_number().over(w_rank).alias("bh_rank"),
-        F.count("*").over(
-            Window.partitionBy()
-            .rowsBetween(
-                Window.unboundedPreceding, Window.unboundedFollowing
-            )
-        ).alias("m"),
+    p = p.select(
+        "brand", F.col("n1").cast("bigint").alias("n1"),
+        "welch_z", "p_value",
     )
-    cut = ranked.agg(
-        F.coalesce(
-            F.max(
-                F.when(
-                    F.col("p_value")
-                    <= F.col("bh_rank") * BH_FDR_Q / F.col("m"),
-                    F.col("bh_rank"),
-                )
-            ),
-            F.lit(0),
-        ).alias("k")
-    )
-    return (
-        ranked.crossJoin(F.broadcast(cut))
-        .select(
-            "brand",
-            F.col("n1").cast("bigint").alias("n1"),
-            "welch_z",
-            "p_value",
-            F.col("bh_rank").cast("bigint").alias("bh_rank"),
-            F.round(
-                F.col("bh_rank") * BH_FDR_Q / F.col("m"), 6
-            ).alias("bh_threshold"),
-            (F.col("bh_rank") <= F.col("k")).alias("reject"),
-        )
-        .orderBy("bh_rank")
-    )
+    # rank ties break on (p_value, brand): brand is the only key col
+    return bh_fdr(p, BH_FDR_Q).orderBy("bh_rank")
 
 
 KENDALL_HEAD = 100  # tau over the top-N revenue parts (bounded pairs)
+
+
+def kendall_tau_b(df, x_col: str, y_col: str, id_col: str):
+    """Library core of `kendall_tau_topk` (api.stats.kendall_tau_b):
+    tau-b with tie correction over a BOUNDED frame the caller has
+    already limited (a TakeOrdered head, an eval batch) — the pair
+    stage is a self-join on id inequality, O(n^2) by definition, so
+    boundedness is the caller's contract. Returns 1 row: n_items,
+    n_pairs, concordant, discordant, ties_x, ties_y, tau_b."""
+    a, b = df.alias("a"), df.alias("b")
+    ax, bx = F.col(f"a.{x_col}"), F.col(f"b.{x_col}")
+    ay, by = F.col(f"a.{y_col}"), F.col(f"b.{y_col}")
+    sgn = (ax - bx) * (ay - by)
+    pairs = a.join(
+        b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    ).select(
+        F.when(sgn > 0, 1).otherwise(0).alias("conc"),
+        F.when(sgn < 0, 1).otherwise(0).alias("disc"),
+        F.when(ax == bx, 1).otherwise(0).alias("tie_x"),
+        F.when(ay == by, 1).otherwise(0).alias("tie_y"),
+    )
+    head_n = df.agg(F.count("*").cast("bigint").alias("n_items"))
+    return (
+        head_n.crossJoin(
+            F.broadcast(
+                pairs.agg(
+                    F.count("*").cast("bigint").alias("n_pairs"),
+                    F.sum("conc").cast("bigint").alias("concordant"),
+                    F.sum("disc").cast("bigint").alias("discordant"),
+                    F.sum("tie_x").cast("bigint").alias("ties_x"),
+                    F.sum("tie_y").cast("bigint").alias("ties_y"),
+                    F.round(
+                        (F.sum("conc") - F.sum("disc"))
+                        / F.sqrt(
+                            (F.count("*") - F.sum("tie_x"))
+                            * (F.count("*") - F.sum("tie_y"))
+                        ),
+                        6,
+                    ).alias("tau_b"),
+                )
+            )
+        )
+        .select(
+            "n_items", "n_pairs", "concordant", "discordant",
+            "ties_x", "ties_y", "tau_b",
+        )
+    )
 
 
 @query(
@@ -2781,58 +2835,91 @@ def kendall_tau_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     head = per_part.orderBy(
         F.desc("rev"), "l_partkey"
     ).limit(KENDALL_HEAD)
-    a, b = head.alias("a"), head.alias("b")
-    sgn = (F.col("a.rev") - F.col("b.rev")) * (
-        F.col("a.qty") - F.col("b.qty")
-    )
-    pairs = a.join(
-        b, F.col("a.l_partkey") < F.col("b.l_partkey")
+    return kendall_tau_b(
+        head, x_col="rev", y_col="qty", id_col="l_partkey"
     ).select(
-        F.when(sgn > 0, 1).otherwise(0).alias("conc"),
-        F.when(sgn < 0, 1).otherwise(0).alias("disc"),
-        F.when(F.col("a.rev") == F.col("b.rev"), 1)
-        .otherwise(0)
-        .alias("tie_rev"),
-        F.when(F.col("a.qty") == F.col("b.qty"), 1)
-        .otherwise(0)
-        .alias("tie_qty"),
-    )
-    head_n = head.agg(
-        F.count("*").cast("bigint").alias("n_items")
-    )
-    return (
-        head_n.crossJoin(
-            F.broadcast(
-                pairs.agg(
-                    F.count("*").cast("bigint").alias("n_pairs"),
-                    F.sum("conc").cast("bigint").alias("concordant"),
-                    F.sum("disc").cast("bigint").alias("discordant"),
-                    F.sum("tie_rev").cast("bigint").alias("ties_rev"),
-                    F.sum("tie_qty").cast("bigint").alias("ties_qty"),
-                    F.round(
-                        (F.sum("conc") - F.sum("disc"))
-                        / F.sqrt(
-                            (F.count("*") - F.sum("tie_rev"))
-                            * (F.count("*") - F.sum("tie_qty"))
-                        ),
-                        6,
-                    ).alias("tau_b"),
-                )
-            )
-        )
-        .select(
-            "n_items",
-            "n_pairs",
-            "concordant",
-            "discordant",
-            "ties_rev",
-            "ties_qty",
-            "tau_b",
-        )
+        "n_items",
+        "n_pairs",
+        "concordant",
+        "discordant",
+        F.col("ties_x").alias("ties_rev"),
+        F.col("ties_y").alias("ties_qty"),
+        "tau_b",
     )
 
 
 GRUBBS_ALPHA = 0.05
+
+
+def grubbs_cells(
+    df, group_col: str, value_col: str, alpha: float = None
+):
+    """Library core of `grubbs_outlier_test` (api.stats.
+    grubbs_cells): per group, the max-studentized-deviate statistic,
+    the Bonferroni-corrected critical value (1.702-logistic normal
+    inverse — documented approximation of the t quantile), the
+    deterministic offending value (ties resolve to the smallest),
+    and the decision flag. Group grain is the caller's domain; all
+    aggregates are map-side combinable."""
+    alpha = GRUBBS_ALPHA if alpha is None else alpha
+    # internal key name is collision-proof: the caller's frame may
+    # legitimately carry a column named 'grp'
+    gk = "__grubbs_grp"
+    s = df.groupBy(F.col(group_col).alias(gk)).agg(
+        F.count("*").alias("n"),
+        F.avg(value_col).alias("mu"),
+        F.stddev_samp(value_col).alias("sd"),
+    )
+    dev = df.join(
+        F.broadcast(s), df[group_col] == s[gk]
+    ).select(
+        gk,
+        F.round(F.abs(F.col(value_col) - F.col("mu")), 6).alias(
+            "adev"
+        ),
+        F.col(value_col).alias("x"),
+    )
+    g = dev.groupBy(gk).agg(F.max("adev").alias("max_dev"))
+    val = (
+        dev.join(F.broadcast(g), gk)
+        .groupBy(gk)
+        .agg(
+            F.min(
+                F.when(F.col("adev") == F.col("max_dev"), F.col("x"))
+            ).alias("outlier_value")
+        )
+    )
+    z = (
+        F.log(
+            (1.0 - alpha / (2.0 * F.col("n")))
+            / (alpha / (2.0 * F.col("n")))
+        )
+        / _PHI_K
+    )
+    g_crit = F.round(
+        (F.col("n") - 1)
+        / F.sqrt(F.col("n"))
+        * F.sqrt(z * z / (F.col("n") - 2 + z * z)),
+        6,
+    )
+    return (
+        s.join(g, gk)
+        .join(val, gk)
+        .select(
+            F.col(gk).alias(group_col),
+            F.col("n").cast("bigint").alias("n"),
+            F.round("mu", 6).alias("mean_value"),
+            F.round("sd", 6).alias("sd_value"),
+            "outlier_value",
+            F.round(F.col("max_dev") / F.col("sd"), 6).alias(
+                "g_stat"
+            ),
+            g_crit.alias("g_crit"),
+            (F.round(F.col("max_dev") / F.col("sd"), 6) > g_crit)
+            .alias("is_outlier"),
+        )
+        .orderBy(group_col)
+    )
 
 
 @query(
@@ -2901,55 +2988,13 @@ def grubbs_outlier_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     combinable; critical values are row-local arithmetic on the
     25-row brand panel."""
     part = load_table(spark, sf_dir, "part")
-    s = part.groupBy(F.col("p_brand").alias("brand")).agg(
-        F.count("*").alias("n"),
-        F.avg("p_retailprice").alias("mu"),
-        F.stddev_samp("p_retailprice").alias("sd"),
-    )
-    dev = part.join(
-        F.broadcast(s), part.p_brand == s.brand
-    ).select(
-        "brand",
-        F.round(F.abs(F.col("p_retailprice") - F.col("mu")), 6)
-        .alias("adev"),
-        F.col("p_retailprice").alias("x"),
-    )
-    g = dev.groupBy("brand").agg(F.max("adev").alias("max_dev"))
-    val = (
-        dev.join(F.broadcast(g), "brand")
-        .groupBy("brand")
-        .agg(
-            F.min(
-                F.when(F.col("adev") == F.col("max_dev"), F.col("x"))
-            ).alias("outlier_value")
-        )
-    )
-    z = (
-        F.log(
-            (1.0 - GRUBBS_ALPHA / (2.0 * F.col("n")))
-            / (GRUBBS_ALPHA / (2.0 * F.col("n")))
-        )
-        / _PHI_K
-    )
-    g_crit = F.round(
-        (F.col("n") - 1)
-        / F.sqrt(F.col("n"))
-        * F.sqrt(z * z / (F.col("n") - 2 + z * z)),
-        6,
-    )
-    return (
-        s.join(g, "brand")
-        .join(val, "brand")
-        .select(
-            "brand",
-            F.col("n").cast("bigint").alias("n"),
-            F.round("mu", 6).alias("mean_price"),
-            F.round("sd", 6).alias("sd_price"),
-            "outlier_value",
-            F.round(F.col("max_dev") / F.col("sd"), 6).alias("g_stat"),
-            g_crit.alias("g_crit"),
-            (F.round(F.col("max_dev") / F.col("sd"), 6) > g_crit)
-            .alias("is_outlier"),
-        )
-        .orderBy("brand")
+    return grubbs_cells(part, "p_brand", "p_retailprice").select(
+        F.col("p_brand").alias("brand"),
+        "n",
+        F.col("mean_value").alias("mean_price"),
+        F.col("sd_value").alias("sd_price"),
+        "outlier_value",
+        "g_stat",
+        "g_crit",
+        "is_outlier",
     )

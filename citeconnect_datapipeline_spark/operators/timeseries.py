@@ -2081,6 +2081,93 @@ def forecast_backtest_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
 ACF_MAX_LAG = 7  # weekly structure shows at lag 7 on a daily series
 
 
+def acf_series(daily, max_lag: int = None):
+    """Library core of `acf_panel` (api.timeseries.acf_series): ACF
+    lags 1..max_lag of a (d: date, x: double) series with the
+    1.96/sqrt(n) white-noise band, on a CALENDAR join so gaps pair
+    only true k-day-apart points. Lags with no pair are omitted.
+    The series is assumed pre-aggregated to its grain (bounded)."""
+    max_lag = ACF_MAX_LAG if max_lag is None else max_lag
+    spark = daily.sparkSession
+    mu = daily.agg(
+        F.avg("x").alias("mu"), F.count("*").alias("n")
+    )
+    ss = daily.crossJoin(F.broadcast(mu)).agg(
+        F.sum(
+            (F.col("x") - F.col("mu")) * (F.col("x") - F.col("mu"))
+        ).alias("ss"),
+        F.first("mu").alias("mu"),
+        F.first("n").alias("n"),
+    )
+    lag_grid = spark.range(1, max_lag + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    a = daily.alias("a")
+    b = daily.alias("b")
+    lags = lag_grid.join(a, F.lit(True)).join(
+        b,
+        F.col("b.d") == F.date_add(F.col("a.d"), F.col("lag")),
+    )
+    acf = F.round(
+        F.sum(
+            (F.col("a.x") - F.col("mu"))
+            * (F.col("b.x") - F.col("mu"))
+        )
+        / F.first("ss"),
+        6,
+    )
+    band = F.round(1.96 / F.sqrt(F.first("n")), 6)
+    return (
+        lags.crossJoin(F.broadcast(ss))
+        .groupBy("lag")
+        .agg(
+            acf.alias("acf"),
+            band.alias("wn_band"),
+            (F.abs(acf) > band).alias("significant"),
+        )
+        .orderBy("lag")
+    )
+
+
+def fano_by(events, group_col: str, ts_col: str = "ts"):
+    """Library core of `fano_burstiness` (api.timeseries.fano_by):
+    per group, the Fano factor of the daily count series with the
+    1 + 2*sqrt(2/(n-1)) overdispersion flag. One (group, day)
+    aggregate + a group-grain two-pass variance rollup."""
+    daily = events.groupBy(
+        group_col, F.to_date(ts_col).alias("d")
+    ).agg(F.count("*").alias("c"))
+    mu = daily.groupBy(group_col).agg(F.avg("c").alias("mu_t"))
+    stats = (
+        daily.join(mu, group_col)
+        .groupBy(group_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_days"),
+            F.round(F.avg("c"), 6).alias("mean_daily"),
+            F.round(
+                F.sum(
+                    (F.col("c") - F.col("mu_t"))
+                    * (F.col("c") - F.col("mu_t"))
+                )
+                / F.count("*"),
+                6,
+            ).alias("var_daily"),
+        )
+    )
+    fano = F.round(F.col("var_daily") / F.col("mean_daily"), 6)
+    thresh = F.round(
+        1.0 + 2.0 * F.sqrt(2.0 / (F.col("n_days") - 1)), 6
+    )
+    return stats.select(
+        group_col,
+        "n_days",
+        "mean_daily",
+        "var_daily",
+        fano.alias("fano"),
+        (fano > thresh).alias("overdispersed"),
+    ).orderBy(group_col)
+
+
 @query(
     "acf_panel",
     oracle=f"""
@@ -2135,50 +2222,7 @@ def acf_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = orders.groupBy(F.col("o_orderdate").alias("d")).agg(
         F.round(F.sum("o_totalprice"), 6).alias("x")
     )
-    mu = daily.agg(
-        F.avg("x").alias("mu"), F.count("*").alias("n")
-    )
-    # SS computed against the exact mean in a second bounded pass
-    # over the day-grain series (two-pass variance: the one-pass
-    # q - n*mu^2 form loses 6-dp agreement on large magnitudes)
-    ss = daily.crossJoin(F.broadcast(mu)).agg(
-        F.sum(
-            (F.col("x") - F.col("mu")) * (F.col("x") - F.col("mu"))
-        ).alias("ss"),
-        F.first("mu").alias("mu"),
-        F.first("n").alias("n"),
-    )
-    lag_grid = spark.range(1, ACF_MAX_LAG + 1).select(
-        F.col("id").cast("int").alias("lag")
-    )
-    a = daily.alias("a")
-    b = daily.alias("b")
-    lags = lag_grid.join(
-        a, F.lit(True)
-    ).join(
-        b,
-        F.col("b.d")
-        == F.date_add(F.col("a.d"), F.col("lag")),
-    )
-    acf = F.round(
-        F.sum(
-            (F.col("a.x") - F.col("mu"))
-            * (F.col("b.x") - F.col("mu"))
-        )
-        / F.first("ss"),
-        6,
-    )
-    band = F.round(1.96 / F.sqrt(F.first("n")), 6)
-    return (
-        lags.crossJoin(F.broadcast(ss))
-        .groupBy("lag")
-        .agg(
-            acf.alias("acf"),
-            band.alias("wn_band"),
-            (F.abs(acf) > band).alias("significant"),
-        )
-        .orderBy("lag")
-    )
+    return acf_series(daily, ACF_MAX_LAG)
 
 
 @query(
@@ -2226,40 +2270,7 @@ def fano_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     variance in-plane; the flag threshold is row-local arithmetic.
     Output is |event types| rows."""
     events = load_table(spark, sf_dir, "events")
-    daily = events.groupBy(
-        "event_type", F.to_date("ts").alias("d")
-    ).agg(F.count("*").alias("c"))
-    mu = daily.groupBy("event_type").agg(
-        F.avg("c").alias("mu_t")
-    )
-    stats = (
-        daily.join(mu, "event_type")
-        .groupBy("event_type")
-        .agg(
-            F.count("*").cast("bigint").alias("n_days"),
-            F.round(F.avg("c"), 6).alias("mean_daily"),
-            F.round(
-                F.sum(
-                    (F.col("c") - F.col("mu_t"))
-                    * (F.col("c") - F.col("mu_t"))
-                )
-                / F.count("*"),
-                6,
-            ).alias("var_daily"),
-        )
-    )
-    fano = F.round(F.col("var_daily") / F.col("mean_daily"), 6)
-    thresh = F.round(
-        1.0 + 2.0 * F.sqrt(2.0 / (F.col("n_days") - 1)), 6
-    )
-    return stats.select(
-        "event_type",
-        "n_days",
-        "mean_daily",
-        "var_daily",
-        fano.alias("fano"),
-        (fano > thresh).alias("overdispersed"),
-    ).orderBy("event_type")
+    return fano_by(events, "event_type", "ts")
 
 
 @query(

@@ -381,3 +381,109 @@ def test_example_health_checks_script(spark):
         {r["word_a"], r["word_b"]} == {"tokenizer", "tokenzer"}
         for r in typos
     )
+
+
+def test_round9_cores_on_inmemory_frames(spark):
+    """Round-9 cores drive on caller frames, no lake layout."""
+    from citeconnect_datapipeline_spark import api
+    import datetime as dt
+
+    # BH-FDR on a hand-built p-value panel: step-up rejects the two
+    # tiny p's at q=0.1 with m=5 (thresholds 0.02/0.04/...)
+    pv = spark.createDataFrame(
+        [("a", 0.001), ("b", 0.03), ("c", 0.2), ("d", 0.5), ("e", 0.9)],
+        "key string, p_value double",
+    )
+    out = {r["key"]: r for r in api.stats.bh_fdr(pv, 0.1).collect()}
+    assert out["a"]["reject"] and out["b"]["reject"]
+    assert not out["c"]["reject"]
+
+    # Kendall tau-b on a 4-row frame: one discordant pair
+    df = spark.createDataFrame(
+        [(1, 1.0, 10.0), (2, 2.0, 20.0), (3, 3.0, 40.0), (4, 4.0, 30.0)],
+        "id long, x double, y double",
+    )
+    [tau] = api.stats.kendall_tau_b(df, "x", "y", "id").collect()
+    assert tau["n_pairs"] == 6 and tau["discordant"] == 1
+    assert tau["tau_b"] == round((5 - 1) / 6, 6)
+
+    # Grubbs on one group with a planted spike
+    g = spark.createDataFrame(
+        [(i, "g", 10.0 + (i % 3)) for i in range(30)]
+        + [(99, "g", 1000.0)],
+        "id long, grp string, v double",
+    )
+    [gr] = api.stats.grubbs_cells(g, "grp", "v").collect()
+    assert gr["is_outlier"] and gr["outlier_value"] == 1000.0
+
+    # ACF on an alternating 2-period series
+    d0 = dt.date(2024, 1, 1)
+    s = spark.createDataFrame(
+        [(d0 + dt.timedelta(days=i), 1.0 if i % 2 else 2.0)
+         for i in range(30)],
+        "d date, x double",
+    )
+    acf = {r["lag"]: r["acf"] for r in
+           api.timeseries.acf(s, 2).collect()}
+    assert acf[1] < -0.9 and acf[2] > 0.9
+
+    # Fano on a constant daily series: exactly Poisson-under
+    ev = spark.createDataFrame(
+        [(i, "t", dt.datetime(2024, 1, 1 + i % 10, 0, i % 60))
+         for i in range(100)],
+        "id long, k string, ts timestamp",
+    )
+    [fr] = api.timeseries.fano_by(ev, "k", "ts").collect()
+    assert fr["fano"] == 0.0 and not fr["overdispersed"]
+
+    # calibration: perfectly calibrated one-bin frame
+    sc = spark.createDataFrame(
+        [(0.5, 1.0), (0.5, 0.0)] * 5, "conf double, y double"
+    )
+    [cal] = api.classifier.calibration_cells(sc, 10).collect()
+    assert cal["ece"] == 0.0 and cal["gap"] == 0.0
+
+    # t-closeness: one skewed qid group violates, mirrored balanced
+    # groups keep the global marginal symmetric
+    tc = spark.createDataFrame(
+        [(i, "q1", "A" if i % 2 else "B") for i in range(20)]
+        + [(100 + i, "q2", "A") for i in range(10)]
+        + [(200 + i, "q3", "B") for i in range(10)],
+        "id long, qid string, s string",
+    )
+    rows = {r["qid"]: r for r in
+            api.curation.t_closeness_cells(tc, "qid", "s").collect()}
+    assert not rows["q1"]["violates_t"]
+    assert rows["q2"]["violates_t"] and rows["q3"]["violates_t"]
+
+    # LPA on two disjoint 3-cliques (directed both ways)
+    edges = []
+    for base in (0, 10):
+        for u in range(base, base + 3):
+            for v in range(base, base + 3):
+                if u != v:
+                    edges.append((u, v))
+    e = spark.createDataFrame(edges, "src long, dst long")
+    lab = {r["v"]: r["community"] for r in
+           api.graph.lpa_communities(e, 3).collect()}
+    assert all(lab[v] == 0 for v in (0, 1, 2))
+    assert all(lab[v] == 10 for v in (10, 11, 12))
+
+    # DP median: salt is REQUIRED and the release ships only the
+    # public ledger
+    # values must SPAN grid cells: if all mass sits inside one
+    # 6000-wide cell no candidate splits the data, every candidate
+    # ties at utility -n/2, and the mechanism (correctly) samples
+    # uniformly — spread ~8 rows per cell so utility peaks sharply
+    vals = spark.createDataFrame(
+        [(float(150000 + i * 750),) for i in range(400)], "v double"
+    )
+    rel = api.curation.dp_median_exponential(
+        vals, "v", salt="t", release_key="demo"
+    )
+    assert set(rel.columns) == {
+        "dp_median", "epsilon", "sensitivity", "domain_lo",
+        "domain_hi", "n_candidates",
+    }
+    [m] = rel.collect()
+    assert abs(m["dp_median"] - 300000.0) <= 12000.0

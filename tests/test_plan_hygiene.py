@@ -634,6 +634,25 @@ BROADCAST_FILTER_OK = {
 }
 
 
+def _hint_strategies(df) -> list:
+    """Strategy string per ResolvedHint, in the same PRE-ORDER the
+    JSON dump uses (toJSON serializes the tree pre-order with
+    identical child order, so index k here is index k there). The
+    JSON drops the `hints` payload, and only BROADCAST hints ship
+    data — a shuffle_hash/merge hint merely picks a join algorithm
+    and must not be asserted as a broadcast."""
+    out = []
+
+    def walk(jnode):
+        if jnode.getClass().getSimpleName() == "ResolvedHint":
+            out.append(jnode.hints().toString())
+        for i in range(jnode.children().size()):
+            walk(jnode.children().apply(i))
+
+    walk(df._jdf.queryExecution().analyzed())
+    return out
+
+
 @pytest.mark.parametrize("name", sorted(set(queries()) - BUILD_EXECUTES))
 def test_no_unbounded_forced_broadcast(spark, name):
     import json as _json
@@ -642,10 +661,17 @@ def test_no_unbounded_forced_broadcast(spark, name):
     nodes = _json.loads(df._jdf.queryExecution().analyzed().toJSON())
     tree = _build_tree(nodes)
     defs = _cte_defs(tree)
-    hints = [
+    strategies = _hint_strategies(df)
+    all_hints = [
         t
         for t in _iter_nodes(tree)
         if t[0].get("class", "").endswith("logical.ResolvedHint")
+    ]
+    assert len(all_hints) == len(strategies)
+    hints = [
+        t
+        for t, strat in zip(all_hints, strategies)
+        if "broadcast" in strat.lower()
     ]
     # Allowlists are applied PER HINT, not per query (r8 ADVICE #2):
     # a BROADCAST_GRAIN_OK entry excuses only grouped-agg/distinct
