@@ -1,13 +1,15 @@
 #!/usr/bin/env python
 """Pre-release audit battery with the library facade (api.py).
 
-Before a curated corpus ships, a release manager runs four audits:
-the two privacy gates (k-anonymity cell sizes, l-diversity of the
-sensitive attribute within each cell), a column-association screen
-(does an innocuous attribute predict the sensitive one?), and a
-forward as-of check that the release's event log can attribute
-conversions. All expressed against ``api.*`` DataFrame functions —
-no benchmark lake layout.
+Before a curated corpus ships, a release manager runs the audit
+battery: the three privacy gates (k-anonymity cell sizes,
+l-diversity and t-closeness of the sensitive attribute within each
+cell), a column-association screen (does an innocuous attribute
+predict the sensitive one?), DP releases for the numbers that ship
+(noisy counts; an exponential-mechanism median), and a forward
+as-of check that the release's event log can attribute conversions.
+All expressed against ``api.*`` DataFrame functions — no benchmark
+lake layout.
 
 Usage:
     python examples/release_audits.py
@@ -61,13 +63,31 @@ def audit(spark, people, events):
         cond_cells, "cell", salt="rotate-me-per-release"
     )
     lateness = api.timeseries.lateness_profile(events)
+    # round-9 rungs of the privacy ladder: does any region's
+    # condition DISTRIBUTION leak (t-closeness, the skew attack
+    # l-diversity misses), and a DP median of amounts via the
+    # exponential mechanism (quantiles need selection, not noise)
+    t_close = api.curation.t_closeness_cells(
+        people, "region", "condition"
+    )
+    dp_median = api.curation.dp_median_exponential(
+        events.filter(F.col("amount") > 0),
+        "amount",
+        salt="rotate-me-per-release",
+        release_key="amounts",
+        lo=0.0,
+        hi=100.0,
+        cells=100,
+    )
     return {
         "k_anonymity": k_cells,
         "l_diversity": l_cells,
+        "t_closeness": t_close,
         "association": assoc,
         "attribution": attributed,
         "benford": benford,
         "dp_release": dp_release,
+        "dp_median": dp_median,
         "lateness": lateness,
     }
 

@@ -487,3 +487,46 @@ def test_round9_cores_on_inmemory_frames(spark):
     }
     [m] = rel.collect()
     assert abs(m["dp_median"] - 300000.0) <= 12000.0
+
+
+def test_example_release_audits_script(spark):
+    """examples/release_audits.py is a living document: run its
+    audit() on planted frames and check the privacy ladder fires —
+    the homogeneous cell violates l-diversity AND t-closeness, the
+    DP releases ship only noisy/public columns."""
+    import datetime
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "release_audits",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "examples",
+            "release_audits.py",
+        ),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    people = spark.createDataFrame(
+        [("west", "30-39", c) for c in "aabbc" * 4]
+        + [("east", "40-49", "a")] * 10,  # homogeneous: leaks
+        "region string, age_band string, condition string",
+    )
+    t0 = datetime.datetime(2024, 1, 1)
+    events = spark.createDataFrame(
+        [
+            (1, t0, 100, "exposure", 0.0),
+            (1, t0 + datetime.timedelta(hours=2), 101, "outcome", 9.5),
+            (2, t0, 102, "exposure", 50.0),
+        ],
+        "user_id long, ts timestamp, event_id long, kind string,"
+        " amount double",
+    )
+    out = mod.audit(spark, people, events)
+    east = [r for r in out["t_closeness"].collect()
+            if r[0] == "east"][0]
+    assert east["violates_t"] is True
+    med = out["dp_median"]
+    assert "n" not in med.columns and "below" not in med.columns
+    assert out["k_anonymity"].count() > 0
