@@ -620,3 +620,117 @@ def cusum_stream(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def heavy_hitters_stream(
+    events: DataFrame, k: int = 8
+) -> DataFrame:
+    """Streaming heavy hitters per group via the SPACE-SAVING sketch
+    (Metwally et al. 2005) in ``applyInPandasWithState`` — the
+    cross-batch twin of the batch `cms_heavy_hitters` family: state
+    per group is EXACTLY k (item, count, err) counters regardless of
+    stream length, the invariant that makes top-k viable over an
+    unbounded stream. Arriving items increment their counter, fill a
+    free slot, or EVICT the minimum counter (inheriting its count as
+    the new item's error bound): any item with true frequency >
+    N/k is guaranteed present, and est - err is a lower bound on
+    the true count (``guaranteed`` flags summary rows whose lower
+    bound clears the next rank's estimate — those ranks are exact).
+
+    Determinism contract (the cusum_stream ordering rule): each
+    micro-batch's Arrow chunks are concatenated and sorted on
+    ``ord`` before folding, eviction ties resolve to the
+    lexicographically smallest item, and across batches the source
+    must deliver in ord order (the availableNow file-per-batch
+    discipline the parity test uses).
+
+    Input: (grp string, item string, ord long). Output per batch:
+    (grp, item, est_count, err, n_seen, rank, guaranteed)."""
+    from pyspark.sql.streaming.state import (
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    out_schema = (
+        "grp string, item string, est_count bigint, err bigint,"
+        " n_seen bigint, rank int, guaranteed boolean"
+    )
+    state_schema = (
+        "items array<string>, counts array<long>, errs array<long>,"
+        " n bigint"
+    )
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.exists:
+            items, counts, errs, n = state.get
+            items, counts, errs = list(items), list(counts), list(errs)
+        else:
+            items, counts, errs, n = [], [], [], 0
+        chunks = list(pdfs)
+        pdf = (
+            pd.concat(chunks, ignore_index=True)
+            if len(chunks) > 1
+            else chunks[0]
+        ).sort_values("ord")
+        idx = {it: i for i, it in enumerate(items)}
+        for it in pdf["item"]:
+            n += 1
+            i = idx.get(it)
+            if i is not None:
+                counts[i] += 1
+            elif len(items) < k:
+                idx[it] = len(items)
+                items.append(it)
+                counts.append(1)
+                errs.append(0)
+            else:
+                # evict the min counter; ties to the smallest item so
+                # replay at any chunking reproduces byte-for-byte
+                j = min(
+                    range(len(items)),
+                    key=lambda q: (counts[q], items[q]),
+                )
+                del idx[items[j]]
+                idx[it] = j
+                errs[j] = counts[j]
+                counts[j] += 1
+                items[j] = it
+        state.update(
+            (list(items), [int(c) for c in counts],
+             [int(e) for e in errs], int(n))
+        )
+        order = sorted(
+            range(len(items)), key=lambda q: (-counts[q], items[q])
+        )
+        rows = {c: [] for c in (
+            "item", "est_count", "err", "rank", "guaranteed")}
+        for r, q in enumerate(order):
+            nxt = counts[order[r + 1]] if r + 1 < len(order) else 0
+            rows["item"].append(items[q])
+            rows["est_count"].append(int(counts[q]))
+            rows["err"].append(int(errs[q]))
+            rows["rank"].append(r + 1)
+            rows["guaranteed"].append(
+                bool(counts[q] - errs[q] >= nxt)
+            )
+        yield pd.DataFrame(
+            {
+                "grp": key[0],
+                "item": rows["item"],
+                "est_count": rows["est_count"],
+                "err": rows["err"],
+                "n_seen": int(n),
+                "rank": rows["rank"],
+                "guaranteed": rows["guaranteed"],
+            }
+        )
+
+    return events.groupBy("grp").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

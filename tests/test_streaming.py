@@ -900,3 +900,101 @@ def test_cusum_stream_matches_batch_chart(spark, tmp_path):
         assert g["alarm"] == b["alarm"], wk
     # the planted shift actually alarms in the streamed output too
     assert any(r["alarm"] == 1 for r in got.values())
+
+
+def test_heavy_hitters_stream_contains_true_hitters_across_batches(
+    spark, tmp_path
+):
+    """Space-saving invariants across micro-batch boundaries: state
+    is k counters per group; every item with true count > N/k is in
+    the final summary; guaranteed ranks carry exact counts equal to
+    the batch groupBy truth."""
+    from citeconnect_datapipeline_spark.streaming.jobs import (
+        heavy_hitters_stream,
+        run_to_memory,
+    )
+
+    # well-separated frequencies: item t0 x120, t1 x60, t2 x30, then
+    # 20 singletons - truth top-3 unambiguous, N = 230
+    rows, o = [], 0
+    for it, c in (("t0", 120), ("t1", 60), ("t2", 30)):
+        for _ in range(c):
+            rows.append(("g", it, o)); o += 1
+    for s in range(20):
+        rows.append(("g", f"noise{s:02d}", o)); o += 1
+    # interleave deterministically so heavy items span all batches
+    rows.sort(key=lambda r: (r[2] * 7919) % 230)
+    rows = [("g", it, i) for i, (_, it, _) in enumerate(rows)]
+    df = spark.createDataFrame(
+        rows, "grp string, item string, ord long"
+    )
+    src = tmp_path / "hh_src"
+    n = len(rows)
+    for b in range(3):  # 3 ordered micro-batches
+        lo, hi = b * 80, min((b + 1) * 80, n)
+        df.filter(
+            (F.col("ord") >= lo) & (F.col("ord") < hi)
+        ).coalesce(1).write.parquet(str(src / f"b{b}"))
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    run_to_memory(heavy_hitters_stream(stream, k=8), "hh_stream_t")
+    out = spark.table("hh_stream_t").collect()
+    # the FINAL batch's summary = rows with the max n_seen
+    n_final = max(r["n_seen"] for r in out)
+    assert n_final == n
+    final = {r["item"]: r for r in out if r["n_seen"] == n_final}
+    assert len(final) == 8  # state is exactly k counters
+    truth = {"t0": 120, "t1": 60, "t2": 30}
+    # every item with true count > N/k = 28.75 must be present
+    for it, c in truth.items():
+        assert it in final, it
+        # lower bound est - err <= true <= est
+        assert final[it]["est_count"] - final[it]["err"] <= c
+        assert final[it]["est_count"] >= c
+    # the top-3 ranks are the true hitters in exact order and their
+    # guaranteed flags hold with EXACT counts (err 0: never evicted)
+    ranked = sorted(final.values(), key=lambda r: r["rank"])
+    assert [r["item"] for r in ranked[:3]] == ["t0", "t1", "t2"]
+    for r in ranked[:3]:
+        assert r["guaranteed"] and r["err"] == 0
+        assert r["est_count"] == truth[r["item"]]
+
+
+def test_heavy_hitters_stream_eviction_bounds_error(spark, tmp_path):
+    """An item arriving after the summary is full inherits the
+    evicted minimum as its error bound - est overestimates by at
+    most err, never under."""
+    from citeconnect_datapipeline_spark.streaming.jobs import (
+        heavy_hitters_stream,
+        run_to_memory,
+    )
+
+    rows = []
+    o = 0
+    for s in range(4):  # fill k=4 slots with singletons
+        rows.append(("g", f"a{s}", o)); o += 1
+    for _ in range(5):  # newcomer evicts a min-count slot
+        rows.append(("g", "late", o)); o += 1
+    df = spark.createDataFrame(
+        rows, "grp string, item string, ord long"
+    )
+    src = tmp_path / "hh2_src"
+    df.coalesce(1).write.parquet(str(src / "b0"))
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    run_to_memory(heavy_hitters_stream(stream, k=4), "hh2_stream_t")
+    final = {
+        r["item"]: r for r in spark.table("hh2_stream_t").collect()
+    }
+    late = final["late"]
+    assert late["est_count"] == 6 and late["err"] == 1  # 5 true + 1
+    assert late["est_count"] - late["err"] == 5  # exact lower bound
+    assert late["rank"] == 1
