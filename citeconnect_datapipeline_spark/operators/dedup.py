@@ -3177,3 +3177,192 @@ def fellegi_sunter_weights(
             6,
         ).alias("w_disagree"),
     ).orderBy("field")
+
+
+# ---------------------------------------------------------------------
+# Unsupervised Fellegi-Sunter: EM over the agreement-PATTERN table.
+# The supervised twin above uses the Jaccard threshold as labels;
+# real record linkage rarely has labels — Winkler's EM estimates
+# (p, m_f, u_f) from pattern counts alone. With F binary fields the
+# pattern table has 2^F rows, so the whole EM runs on a bounded
+# frame; the SAME generated SQL text executes on both engines.
+# ---------------------------------------------------------------------
+
+_FS_EM_FIELDS = ("first2", "len50", "lang", "source")
+_FS_EM_INIT = (0.1, 0.8, 0.2)  # p0, m0 (all fields), u0 (all fields)
+_FS_EM_ROUNDS = 2
+
+
+def _fs_em_sql() -> str:
+    """The EM arithmetic from a `patterns(a_first2, a_len50, a_lang,
+    a_source, c)` CTE — engine-portable SQL text (generated once,
+    run verbatim on Spark AND DuckDB). Every posterior/parameter is
+    6-dp-rounded before reuse so the two engines iterate on
+    bit-identical values."""
+    fs = _FS_EM_FIELDS
+    p0, m0, u0 = _FS_EM_INIT
+
+    def lik(prefix: str, pexpr: str, mexpr, uexpr) -> str:
+        num = " * ".join(
+            f"(CASE WHEN a_{f} THEN {mexpr(f)} "
+            f"ELSE 1.0 - {mexpr(f)} END)"
+            for f in fs
+        )
+        den = " * ".join(
+            f"(CASE WHEN a_{f} THEN {uexpr(f)} "
+            f"ELSE 1.0 - {uexpr(f)} END)"
+            for f in fs
+        )
+        return (
+            f"ROUND(({pexpr} * {num}) / ({pexpr} * {num}"
+            f" + (1.0 - {pexpr}) * {den}), 6) AS w"
+        )
+
+    sql = f"""
+    w1 AS (
+        SELECT c, {', '.join(f'a_{f}' for f in fs)},
+               {lik('r1', str(p0), lambda f: str(m0), lambda f: str(u0))}
+        FROM patterns
+    ),
+    m1 AS (
+        SELECT ROUND(SUM(c * w) / SUM(c), 6) AS p,
+               {', '.join(
+                   f"ROUND(SUM(CASE WHEN a_{f} THEN c * w ELSE 0 END)"
+                   f" / SUM(c * w), 6) AS m_{f},"
+                   f" ROUND(SUM(CASE WHEN a_{f} THEN c * (1.0 - w)"
+                   f" ELSE 0 END) / SUM(c * (1.0 - w)), 6) AS u_{f}"
+                   for f in fs)}
+        FROM w1
+    ),
+    w2 AS (
+        SELECT t.c, {', '.join(f't.a_{f}' for f in fs)},
+               {lik('r2', 'm1.p', lambda f: f'm1.m_{f}', lambda f: f'm1.u_{f}')}
+        FROM w1 t CROSS JOIN m1
+    ),
+    m2 AS (
+        SELECT ROUND(SUM(c * w) / SUM(c), 6) AS p,
+               {', '.join(
+                   f"ROUND(SUM(CASE WHEN a_{f} THEN c * w ELSE 0 END)"
+                   f" / SUM(c * w), 6) AS m_{f},"
+                   f" ROUND(SUM(CASE WHEN a_{f} THEN c * (1.0 - w)"
+                   f" ELSE 0 END) / SUM(c * (1.0 - w)), 6) AS u_{f}"
+                   for f in fs)}
+        FROM w2
+    ),
+    stacked AS (
+        {' UNION ALL '.join(
+            f"SELECT '{f}' AS field, m_{f} AS m_prob, u_{f} AS u_prob,"
+            f" p AS match_prior FROM m2"
+            for f in fs)}
+    )
+    SELECT field, m_prob, u_prob,
+           ROUND(LOG2((m_prob + {_BLOCK_EPS})
+                      / (u_prob + {_BLOCK_EPS})), 6) AS w_agree,
+           ROUND(LOG2((1.0 - m_prob + {_BLOCK_EPS})
+                      / (1.0 - u_prob + {_BLOCK_EPS})), 6)
+               AS w_disagree,
+           match_prior
+    FROM stacked
+    ORDER BY field
+    """
+    return sql
+
+
+@query(
+    "fellegi_sunter_em",
+    oracle=_BLOCKING_ORACLE_HEAD
+    + f""",
+    pair_fields AS (
+        SELECT ka.k_first2 = kb.k_first2 AS a_first2,
+               ka.k_len50 = kb.k_len50 AS a_len50,
+               ka.lang_f = kb.lang_f AS a_lang,
+               ka.src_f = kb.src_f AS a_source
+        FROM cand c
+        JOIN (SELECT k.doc_id, k.k_first2, k.k_len50,
+                     w.lang AS lang_f, w.source AS src_f
+              FROM keys k JOIN words w ON k.doc_id = w.doc_id) ka
+          ON c.doc_a = ka.doc_id
+        JOIN (SELECT k.doc_id, k.k_first2, k.k_len50,
+                     w.lang AS lang_f, w.source AS src_f
+              FROM keys k JOIN words w ON k.doc_id = w.doc_id) kb
+          ON c.doc_b = kb.doc_id
+    ),
+    patterns AS (
+        SELECT a_first2, a_len50, a_lang, a_source,
+               CAST(COUNT(*) AS DOUBLE) AS c
+        FROM pair_fields GROUP BY 1, 2, 3, 4
+    ),
+    {_fs_em_sql()}
+    """,
+)
+def fellegi_sunter_em(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNSUPERVISED Fellegi-Sunter parameter estimation — Winkler's
+    EM over agreement patterns, the estimator real record linkage
+    uses when no one has labeled pairs (the supervised twin
+    `fellegi_sunter_weights` borrows the near-dup threshold as its
+    supervisor; this one learns (match prior, m_f, u_f) from the
+    CO-OCCURRENCE STRUCTURE of field agreements alone, under the
+    conditional-independence model). Two EM rounds from the fixed
+    (p=0.1, m=0.8, u=0.2) init, every statistic 6-dp-rounded before
+    reuse; the EM arithmetic is ONE generated SQL text executed
+    verbatim by BOTH engines, so the iteration is bit-identical by
+    construction.
+
+    Scale shape: the corpus reduces to the 2^4-row agreement-PATTERN
+    table in one aggregate over the posting-capped candidate pairs;
+    the entire EM then runs on <= 16 rows (posterior weights are
+    row-local arithmetic, M-steps are 1-row aggregates, the
+    round-2 expansion is a 16-row cross join with a 1-row frame).
+    This is the bounded-pattern-table formulation that makes EM
+    linkage viable at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+        lambda x: x != F.lit(""),
+    )
+    fields = docs.select(
+        "doc_id",
+        F.concat_ws(" ", F.slice(w, 1, 2)).alias("k_first2"),
+        (F.col("n_chars") / 50).cast("bigint")
+        .cast("string")
+        .alias("k_len50"),
+        "lang",
+        "source",
+    )
+    cand = _jaccard_pairs_materialized(spark, sf_dir)
+    fa, fb = fields.alias("fa"), fields.alias("fb")
+    patterns = (
+        cand.join(fa, cand.doc_a == F.col("fa.doc_id"))
+        .join(fb, cand.doc_b == F.col("fb.doc_id"))
+        .select(
+            (F.col("fa.k_first2") == F.col("fb.k_first2")).alias(
+                "a_first2"
+            ),
+            (F.col("fa.k_len50") == F.col("fb.k_len50")).alias(
+                "a_len50"
+            ),
+            (F.col("fa.lang") == F.col("fb.lang")).alias("a_lang"),
+            (F.col("fa.source") == F.col("fb.source")).alias(
+                "a_source"
+            ),
+        )
+        .groupBy("a_first2", "a_len50", "a_lang", "a_source")
+        .agg(F.count("*").cast("double").alias("c"))
+    )
+    # The EM SQL references the pattern CTE many times (two weight
+    # rounds, two M-steps, a 4-way stacked panel): materialize the
+    # <= 16-row table ONCE so re-inlined references scan a tiny RDD
+    # instead of re-running the corpus-grain pattern aggregation.
+    patterns = patterns.localCheckpoint()
+    # Register the view on the PATTERN FRAME's own session and run
+    # the SQL there: the memoized pair table may belong to a sibling
+    # newSession() clone (bench runs each query in its own session),
+    # and temp views are session-scoped — registering on `spark`
+    # while the frame resolves against its parent session leaves the
+    # SQL unable to see the view.
+    ps = patterns.sparkSession
+    view = f"fs_em_patterns_{abs(hash(sf_dir)) % 10**8}"
+    patterns.createOrReplaceTempView(view)
+    return ps.sql(
+        f"WITH patterns AS (SELECT * FROM {view}), {_fs_em_sql()}"
+    )

@@ -39,6 +39,8 @@ NESTED_LOOP_OK = {
     # mean/SS scalar broadcast (both sides calendar-bounded)
     "bh_fdr_slices",  # 1-row global-moments + 1-row step-up-cut
     # scalar broadcasts onto the 25-row brand panel
+    "fellegi_sunter_em",  # 16-row pattern table x 1-row M-step
+    # frames: the whole EM runs on <= 2^4 rows
     "blocking_quality_report",  # 3-row captured panel + 1-row doc
     # count broadcast onto the 3-row scheme panel
     "kendall_tau_topk",  # inequality self-join of the 100-row
@@ -164,6 +166,8 @@ BUILD_EXECUTES = {
     "bpe_merge_ranks",  # merge loop collects 1 argmax row per round
     "bpe_portable",  # same contract: 1 argmax row per unrolled round
     "embedding_pca_whiten",  # collects d + d^2 Gram/mean partials
+    "fellegi_sunter_em",  # eager-checkpoints the 16-row agreement
+    # pattern table the EM SQL re-references
     "kcore_peel_stats",  # eager-checkpoints the edge list per peel
     # round (the CC-loop contract)
     "kmeans_clusters",  # k-means fit collects k*d centroid partials

@@ -535,3 +535,36 @@ def test_dp_median_lands_near_true_median_and_leaks_nothing(
     r = df.collect()[0]
     assert abs(r["dp_median"] - 300000.0) <= 12000.0  # within 2 cells
     assert r["epsilon"] == 1.0 and r["n_candidates"] == 101
+
+
+def test_fs_em_learns_mu_without_labels(spark, tmp_path):
+    """EM recovers the discriminative structure UNSUPERVISED: on the
+    planted lake (near-dup match pairs agree on lang; phrase-only
+    non-match candidates mostly disagree), two EM rounds must assign
+    lang a higher m than u and a positive agreement weight — without
+    ever seeing the Jaccard labels the supervised twin uses."""
+    phrase = "shared anchor phrase"
+    body1 = " ".join(f"tok{i}" for i in range(29))
+    body2 = " ".join(f"yak{i}" for i in range(29))
+    rows = [
+        (0, "alpha " + body1, "en", "src0", 200),
+        (1, "betaa " + body1, "en", "src0", 200),
+        (2, "gamma " + body2, "fr", "src0", 210),
+        (3, "delta " + body2, "fr", "src0", 210),
+    ]
+    for d in range(8):
+        t = f"{phrase} " + " ".join(f"n{d}w{i}" for i in range(22))
+        rows.append((20 + d, t, "en" if d % 2 else "de", "src1", len(t)))
+    sf = _lake(spark, tmp_path, documents=(rows, DOC_SCHEMA))
+    out = {
+        r["field"]: r
+        for r in QS["fellegi_sunter_em"](spark, sf).collect()
+    }
+    assert set(out) == {"first2words", "len50", "lang", "source"} or \
+        set(out) == {"first2", "len50", "lang", "source"}
+    lang = out.get("lang")
+    assert lang["m_prob"] > lang["u_prob"]
+    assert lang["w_agree"] > 0
+    # the match prior is a probability and is shared across rows
+    priors = {r["match_prior"] for r in out.values()}
+    assert len(priors) == 1 and 0.0 < priors.pop() < 1.0
