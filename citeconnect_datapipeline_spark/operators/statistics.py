@@ -2998,3 +2998,102 @@ def grubbs_outlier_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "g_crit",
         "is_outlier",
     )
+
+
+_Z_ALPHA2 = 1.959964  # two-sided 5%
+_Z_POWER = 0.841621  # 80% power
+POWER_LIFT_GRID = (0.01, 0.02, 0.05, 0.10)
+
+
+@query(
+    "ab_power_analysis",
+    oracle=f"""
+    WITH base AS (
+        SELECT o_totalprice AS x,
+               CASE WHEN substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)
+                    < '8' THEN 'A' ELSE 'B' END AS cohort
+        FROM orders
+    ),
+    mom AS (
+        SELECT AVG(x) AS mu,
+               VAR_SAMP(x) AS s2,
+               LEAST(COUNT(*) FILTER (WHERE cohort = 'A'),
+                     COUNT(*) FILTER (WHERE cohort = 'B')) AS n_arm
+        FROM base
+    )
+    SELECT g.lift,
+           ROUND(m.mu * g.lift, 6) AS delta,
+           CAST(CEIL(2.0 * POWER({_Z_ALPHA2} + {_Z_POWER}, 2) * m.s2
+                     / POWER(m.mu * g.lift, 2)) AS BIGINT)
+               AS n_required_per_arm,
+           CAST(m.n_arm AS BIGINT) AS n_available_per_arm,
+           CEIL(2.0 * POWER({_Z_ALPHA2} + {_Z_POWER}, 2) * m.s2
+                / POWER(m.mu * g.lift, 2)) <= m.n_arm AS powered,
+           ROUND(({_Z_ALPHA2} + {_Z_POWER})
+                 * SQRT(2.0 * m.s2 / m.n_arm) / m.mu, 6)
+               AS mde_at_n
+    FROM (SELECT unnest(ARRAY{list(POWER_LIFT_GRID)}) AS lift) g
+    CROSS JOIN mom m
+    ORDER BY g.lift
+    """,
+)
+def ab_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B power analysis over the experiment's OWN moments — the
+    question every readout must answer BEFORE `ab_lift_bootstrap`'s
+    interval or `welch_ttest_slices`' p-value means anything: could
+    this experiment even have detected the lift it cares about? Per
+    target lift (1/2/5/10%): the absolute effect, the required n per
+    arm at alpha=.05 two-sided / 80% power (the standard two-sample
+    normal approximation n = 2(z_a/2+z_b)^2 s^2/delta^2), whether
+    the CURRENT arms clear it, and the minimum detectable effect at
+    the current n. An unpowered 'not significant' is a non-answer —
+    this panel makes that visible as data.
+
+    Scale shape: ONE moments aggregate over the fact scan (mean,
+    sample variance, min arm size — all map-side combinable), then
+    arithmetic on a 4-row literal lift grid crossed with the 1-row
+    moments broadcast."""
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        F.col("o_totalprice").alias("x"),
+        F.when(
+            F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1)
+            < "8",
+            "A",
+        )
+        .otherwise("B")
+        .alias("cohort"),
+    )
+    mom = base.agg(
+        F.avg("x").alias("mu"),
+        F.var_samp("x").alias("s2"),
+        F.least(
+            F.sum(F.when(F.col("cohort") == "A", 1).otherwise(0)),
+            F.sum(F.when(F.col("cohort") == "B", 1).otherwise(0)),
+        ).alias("n_arm"),
+    )
+    grid = spark.createDataFrame(
+        [(float(lift),) for lift in POWER_LIFT_GRID], "lift double"
+    )
+    zsum2 = (_Z_ALPHA2 + _Z_POWER) ** 2
+    n_req = F.ceil(
+        2.0 * zsum2 * F.col("s2")
+        / F.pow(F.col("mu") * F.col("lift"), 2)
+    )
+    return (
+        grid.crossJoin(F.broadcast(mom))
+        .select(
+            "lift",
+            F.round(F.col("mu") * F.col("lift"), 6).alias("delta"),
+            n_req.cast("bigint").alias("n_required_per_arm"),
+            F.col("n_arm").cast("bigint").alias("n_available_per_arm"),
+            (n_req <= F.col("n_arm")).alias("powered"),
+            F.round(
+                (_Z_ALPHA2 + _Z_POWER)
+                * F.sqrt(2.0 * F.col("s2") / F.col("n_arm"))
+                / F.col("mu"),
+                6,
+            ).alias("mde_at_n"),
+        )
+        .orderBy("lift")
+    )

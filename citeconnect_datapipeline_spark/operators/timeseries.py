@@ -2400,3 +2400,151 @@ def stl_strength_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("trend_strength"),
     )
+
+
+MARKOV_SMOOTH_K = 0.5  # add-k smoothing for unseen transitions
+MARKOV_TOPK = 15
+
+
+@query(
+    "session_markov_surprisal",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS next_type
+        FROM events
+    ),
+    trans AS (
+        SELECT event_type AS from_type, next_type AS to_type,
+               COUNT(*) AS n
+        FROM seq WHERE next_type IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT from_type, SUM(n) AS row_total FROM trans GROUP BY 1
+    ),
+    v AS (SELECT COUNT(DISTINCT event_type) AS v FROM events),
+    probs AS (
+        SELECT t.from_type, t.to_type,
+               ROUND((t.n + {MARKOV_SMOOTH_K})
+                     / (o.row_total + {MARKOV_SMOOTH_K} * v.v), 6)
+                   AS p
+        FROM trans t
+        JOIN tot o ON t.from_type = o.from_type
+        CROSS JOIN v
+    ),
+    fallback AS (
+        SELECT o.from_type,
+               ROUND({MARKOV_SMOOTH_K}
+                     / (o.row_total + {MARKOV_SMOOTH_K} * v.v), 6)
+                   AS p_unseen
+        FROM tot o CROSS JOIN v
+    ),
+    scored AS (
+        SELECT s.user_id,
+               -LN(COALESCE(p.p, f.p_unseen)) AS nll
+        FROM seq s
+        JOIN fallback f ON s.event_type = f.from_type
+        LEFT JOIN probs p ON s.event_type = p.from_type
+                         AND s.next_type = p.to_type
+        WHERE s.next_type IS NOT NULL
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_transitions,
+           ROUND(AVG(nll), 6) AS mean_surprisal,
+           ROUND(EXP(AVG(nll)), 6) AS perplexity
+    FROM scored
+    GROUP BY user_id
+    ORDER BY mean_surprisal DESC, user_id
+    LIMIT {MARKOV_TOPK}
+    """,
+)
+def session_markov_surprisal(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-user sequence surprisal under the corpus's own first-order
+    Markov model — the behavioral-anomaly upgrade of
+    `event_transition_matrix`: the matrix says what transitions ARE,
+    this scores every user's stream against it and surfaces the
+    top-{topk} most IMPROBABLE sequences (bots walking impossible
+    paths, broken clients replaying, fraud scripts — the sequence
+    analogue of `lm_perplexity_buckets`' text scoring, with the
+    transition model in the LM's seat). Add-{k} smoothing prices
+    unseen transitions instead of zeroing them; the score is mean
+    transition negative log-likelihood and its exp (perplexity).
+
+    Scale shape: one user-keyed LEAD window (user grain, naturally
+    parallel), the transition model is a bounded |types|^2 table
+    joined back as a (from, to) equi-join (AQE broadcasts it), and
+    the per-user rollup is map-side combinable into a TakeOrdered
+    head. Model fit and scoring ride the SAME seq pass.""".format(
+        topk=MARKOV_TOPK, k=MARKOV_SMOOTH_K
+    )
+    events = load_table(spark, sf_dir, "events")
+    w_seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "user_id",
+        "event_type",
+        F.lead("event_type").over(w_seq).alias("next_type"),
+    )
+    trans = (
+        seq.filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    tot = trans.groupBy("from_type").agg(
+        F.sum("n").alias("row_total")
+    )
+    v = events.agg(
+        F.countDistinct("event_type").alias("v")
+    )
+    probs = (
+        trans.join(tot, "from_type")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "from_type",
+            "to_type",
+            F.round(
+                (F.col("n") + MARKOV_SMOOTH_K)
+                / (F.col("row_total") + MARKOV_SMOOTH_K * F.col("v")),
+                6,
+            ).alias("p"),
+        )
+    )
+    fallback = tot.crossJoin(F.broadcast(v)).select(
+        "from_type",
+        F.round(
+            MARKOV_SMOOTH_K
+            / (F.col("row_total") + MARKOV_SMOOTH_K * F.col("v")),
+            6,
+        ).alias("p_unseen"),
+    )
+    scored = (
+        seq.filter(F.col("next_type").isNotNull())
+        .join(fallback, seq.event_type == fallback.from_type)
+        .join(
+            probs.withColumnRenamed("from_type", "pf"),
+            (F.col("event_type") == F.col("pf"))
+            & (F.col("next_type") == F.col("to_type")),
+            "left",
+        )
+        .select(
+            "user_id",
+            (-F.log(F.coalesce("p", "p_unseen"))).alias("nll"),
+        )
+    )
+    return (
+        scored.groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_transitions"),
+            F.round(F.avg("nll"), 6).alias("mean_surprisal"),
+            F.round(F.exp(F.avg("nll")), 6).alias("perplexity"),
+        )
+        .orderBy(F.desc("mean_surprisal"), "user_id")
+        .limit(MARKOV_TOPK)
+    )

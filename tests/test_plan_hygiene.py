@@ -31,6 +31,10 @@ NESTED_LOOP_OK = {
     "hybrid_rrf_search",  # inherits bm25's stats row + cosine's 1-row
     # query-vector broadcast
     "ab_lift_bootstrap",  # 1-row observed-means x 1-row CI broadcast
+    "ab_power_analysis",  # 1-row moments broadcast x the 4-row
+    # literal lift grid
+    "session_markov_surprisal",  # 1-row vocabulary-size scalar
+    # broadcast onto the bounded |types|^2 transition model
     "curriculum_schedule_plan",  # 1-row tercile-boundary broadcast +
     # the 3-row epoch-grid inequality join (both grids fixed)
     "dp_median_release",  # 101-row public candidate grid x the

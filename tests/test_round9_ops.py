@@ -568,3 +568,68 @@ def test_fs_em_learns_mu_without_labels(spark, tmp_path):
     # the match prior is a probability and is shared across rows
     priors = {r["match_prior"] for r in out.values()}
     assert len(priors) == 1 and 0.0 < priors.pop() < 1.0
+
+
+# --------------------- session Markov surprisal --------------------
+
+
+def test_markov_surprisal_flags_the_impossible_walker(spark, tmp_path):
+    """Most users walk a->b->a->b...; one bot walks a->c->a->c, a
+    transition the corpus model makes vanishingly rare - the bot
+    must top the surprisal ranking."""
+    t0 = datetime.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    for u in range(10):  # normal users: strict a<->b alternation
+        for s in range(20):
+            rows.append(
+                (eid, "a" if s % 2 == 0 else "b", u,
+                 t0 + datetime.timedelta(minutes=eid))
+            ); eid += 1
+    for s in range(20):  # the bot: a<->c
+        rows.append(
+            (eid, "a" if s % 2 == 0 else "c", 99,
+             t0 + datetime.timedelta(minutes=eid))
+        ); eid += 1
+    sf = _lake(
+        spark,
+        tmp_path,
+        events=(
+            rows,
+            "event_id long, event_type string, user_id long,"
+            " ts timestamp",
+        ),
+    )
+    out = QS["session_markov_surprisal"](spark, sf).collect()
+    assert out[0]["user_id"] == 99
+    normals = [r for r in out if r["user_id"] != 99]
+    assert all(
+        out[0]["mean_surprisal"] > r["mean_surprisal"] for r in normals
+    )
+    assert out[0]["perplexity"] > 1.0
+
+
+# ------------------------ A/B power analysis -----------------------
+
+
+def test_power_analysis_monotone_and_mde_consistent(spark, tmp_path):
+    rows = [(i, 1000.0 + (i % 100)) for i in range(2000)]
+    sf = _lake(
+        spark,
+        tmp_path,
+        orders=(rows, "o_orderkey long, o_totalprice double"),
+    )
+    out = sorted(
+        QS["ab_power_analysis"](spark, sf).collect(),
+        key=lambda r: r["lift"],
+    )
+    # bigger target lifts need fewer subjects, monotonically
+    ns = [r["n_required_per_arm"] for r in out]
+    assert ns == sorted(ns, reverse=True)
+    # the MDE partitions the grid: lifts below it are unpowered,
+    # lifts above it are powered
+    mde = out[0]["mde_at_n"]
+    for r in out:
+        assert r["powered"] == (r["lift"] >= mde)
+    # tight distribution (sd ~29 vs mean ~1050): 10% lift is
+    # detectable with ~1000 per arm
+    assert out[-1]["powered"] is True
