@@ -1445,3 +1445,143 @@ def lpa_communities_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_members"), "community")
         .limit(20)
     )
+
+
+_LPA_ORACLE_HEAD = (
+    """
+    WITH baskets AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    pairs AS (
+        SELECT a.l_partkey AS src, b.l_partkey AS dst
+        FROM baskets a JOIN baskets b
+          ON a.l_orderkey = b.l_orderkey
+         AND a.l_partkey <> b.l_partkey
+        GROUP BY 1, 2
+    ),
+    edges AS (SELECT src, dst FROM pairs),
+    labels0 AS (
+        SELECT DISTINCT src AS v, src AS community FROM edges
+    ),
+    """
+    + ",\n    ".join(_lpa_round_sql(t) for t in range(1, LPA_ROUNDS + 1))
+)
+
+
+@query(
+    "community_modularity",
+    oracle=_LPA_ORACLE_HEAD
+    + f""",
+    el AS (
+        SELECT ls.community AS c_src, ld.community AS c_dst
+        FROM edges e
+        JOIN labels{LPA_ROUNDS} ls ON e.src = ls.v
+        JOIN labels{LPA_ROUNDS} ld ON e.dst = ld.v
+    ),
+    mm AS (SELECT CAST(COUNT(*) AS DOUBLE) AS m FROM el),
+    cells AS (
+        SELECT c_src AS community,
+               COUNT(*) AS degree,
+               SUM(CASE WHEN c_src = c_dst THEN 1 ELSE 0 END)
+                   AS internal
+        FROM el GROUP BY 1
+    ),
+    members AS (
+        SELECT community, COUNT(*) AS n_members
+        FROM labels{LPA_ROUNDS} GROUP BY 1
+    ),
+    q AS (
+        SELECT c.community, mem.n_members, c.internal, c.degree,
+               c.internal / mm.m
+                   - (c.degree / mm.m) * (c.degree / mm.m) AS qt
+        FROM cells c
+        JOIN members mem USING (community)
+        CROSS JOIN mm
+    ),
+    qtot AS (SELECT SUM(qt) AS q_total FROM q)
+    SELECT q.community,
+           CAST(q.n_members AS BIGINT) AS n_members,
+           CAST(q.internal AS BIGINT) AS internal_edges,
+           CAST(q.degree AS BIGINT) AS degree,
+           ROUND(q.qt, 6) AS q_term,
+           ROUND(qtot.q_total, 6) AS modularity
+    FROM q CROSS JOIN qtot
+    ORDER BY ROUND(q.qt, 6) DESC, q.community
+    LIMIT 20
+    """,
+)
+def community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the LPA communities over the co-purchase
+    graph — the EVALUATION capstone of the graph family: pagerank
+    says which vertices anchor, `lpa_communities_topk` says which
+    neighborhoods exist, this says whether that partition is BETTER
+    than chance (Q = sum_c [e_c/m - (d_c/m)^2], Newman 2004,
+    directed form; the co-purchase edge list is symmetric by
+    construction so per-community in-degree equals out-degree and
+    one degree column suffices — documented assumption, asserted by
+    the planted test). Top-20 communities by modularity
+    contribution, each row carrying the global Q — the number a
+    sharding or cross-sell review reads before trusting the
+    communities.
+
+    Scale shape: labels come from the same fixed-round synchronous
+    LPA over the process-shared memoized edge table (ONE extra pass
+    vs `lpa_communities_topk`); edges are labeled by two vertex-
+    grain shuffle-hash joins (never broadcast — vertex-grain state),
+    then everything is two map-side-combinable aggregates
+    (community-grain cells, 1-row m and Q totals broadcast back).
+    q_term arithmetic is exact-int ratios, so 6-dp rounding is
+    engine-stable; Q sums community-grain terms (~1e-15 float
+    noise, absorbed by the same pin)."""
+    edges = _copurchase_edges(spark, sf_dir)
+    labels = lpa_communities(edges, LPA_ROUNDS)
+    ls = labels.select(
+        F.col("v").alias("src"), F.col("community").alias("c_src")
+    )
+    ld = labels.select(
+        F.col("v").alias("dst"), F.col("community").alias("c_dst")
+    )
+    el = (
+        edges.join(ls.hint("shuffle_hash"), "src")
+        .join(ld.hint("shuffle_hash"), "dst")
+        .select("c_src", "c_dst")
+    )
+    mm = el.agg(F.count("*").cast("double").alias("m"))
+    cells = el.groupBy(F.col("c_src").alias("community")).agg(
+        F.count("*").alias("degree"),
+        F.sum(
+            F.when(F.col("c_src") == F.col("c_dst"), 1).otherwise(0)
+        ).alias("internal"),
+    )
+    members = labels.groupBy("community").agg(
+        F.count("*").alias("n_members")
+    )
+    q = (
+        cells.join(members, "community")
+        .crossJoin(F.broadcast(mm))
+        .select(
+            "community",
+            "n_members",
+            "internal",
+            "degree",
+            (
+                F.col("internal") / F.col("m")
+                - (F.col("degree") / F.col("m"))
+                * (F.col("degree") / F.col("m"))
+            ).alias("qt"),
+        )
+    )
+    qtot = q.agg(F.sum("qt").alias("q_total"))
+    return (
+        q.crossJoin(F.broadcast(qtot))
+        .select(
+            "community",
+            F.col("n_members").cast("bigint").alias("n_members"),
+            F.col("internal").cast("bigint").alias("internal_edges"),
+            F.col("degree").cast("bigint").alias("degree"),
+            F.round("qt", 6).alias("q_term"),
+            F.round("q_total", 6).alias("modularity"),
+        )
+        .orderBy(F.desc("q_term"), "community")
+        .limit(20)
+    )

@@ -20,6 +20,8 @@ SF_DIR = "/root/testdata/sf0.001"
 #   count triples, decile/threshold scalars, single query vectors,
 #   small sketch-pair expansion.
 NESTED_LOOP_OK = {
+    "community_modularity",  # 1-row edge-total m + 1-row global-Q
+    # scalar broadcasts onto the community-grain cell table
     "ann_ivf_portable",  # 1-row query-vector broadcast (cosine_topk's
     # probe shape) over the probed-list sliver
     "ann_ivf_topk",

@@ -698,3 +698,41 @@ def test_obf_boundaries_block_early_peek_but_pass_final_shift(
     crossed = [r for r in shift_out if r["crossed"]]
     assert crossed, "a 30-unit persistent shift must eventually cross"
     assert crossed[-1]["look"] == shift_out[-1]["look"]
+
+
+# ---------------------- community modularity -----------------------
+
+
+def test_modularity_two_cliques_is_four_ninths(spark, tmp_path):
+    # two disjoint basket cliques (4 + 3 parts): LPA labels each
+    # clique by its min part id; directed m = 12 + 6 = 18, each
+    # community's q_term = e/m - (d/m)^2 = 2/9, global Q = 4/9
+    li = [(1, p) for p in (10, 11, 12, 13)] + [
+        (2, p) for p in (20, 21, 22)
+    ]
+    sf = _lake(
+        spark, tmp_path, lineitem=(li, "l_orderkey long, l_partkey long")
+    )
+    out = QS["community_modularity"](spark, sf).collect()
+    assert [r["community"] for r in out] == [10, 20]
+    for r in out:
+        assert r["q_term"] == 0.222222
+        assert r["modularity"] == 0.444444
+    by = {r["community"]: r for r in out}
+    assert by[10]["n_members"] == 4 and by[10]["internal_edges"] == 12
+    assert by[20]["n_members"] == 3 and by[20]["degree"] == 6
+    # symmetric edge list: per-community degree equals internal here
+    # (no cross-community edges), the documented in==out assumption
+    assert all(r["internal_edges"] == r["degree"] for r in out)
+
+
+def test_modularity_single_community_is_zero(spark, tmp_path):
+    # one clique -> one community -> e/m=1, (d/m)^2=1, Q = 0 (the
+    # textbook degenerate case: no partition beats chance)
+    li = [(1, p) for p in (10, 11, 12)]
+    sf = _lake(
+        spark, tmp_path, lineitem=(li, "l_orderkey long, l_partkey long")
+    )
+    out = QS["community_modularity"](spark, sf).collect()
+    assert len(out) == 1
+    assert out[0]["q_term"] == 0.0 and out[0]["modularity"] == 0.0
