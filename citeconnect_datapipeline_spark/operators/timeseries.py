@@ -2548,3 +2548,155 @@ def session_markov_surprisal(
         .orderBy(F.desc("mean_surprisal"), "user_id")
         .limit(MARKOV_TOPK)
     )
+
+
+@query(
+    "changepoint_binary_seg",
+    oracle="""
+    WITH weekly AS (
+        SELECT o_orderpriority AS priority,
+               CAST(date_diff('day', DATE '1970-01-01',
+                              CAST(o_orderdate AS DATE)) // 7
+               AS BIGINT) AS wk,
+               ROUND(SUM(o_totalprice) / 1e6, 6) AS x
+        FROM orders GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT priority, wk, x,
+               ROW_NUMBER() OVER w AS i,
+               SUM(x) OVER w AS s,
+               SUM(x * x) OVER w AS q
+        FROM weekly
+        WINDOW w AS (PARTITION BY priority ORDER BY wk
+                     ROWS UNBOUNDED PRECEDING)
+    ),
+    tot AS (
+        SELECT priority, COUNT(*) AS n, SUM(x) AS ts, SUM(x * x) AS tq
+        FROM weekly GROUP BY 1
+    ),
+    gains AS (
+        SELECT c.priority, c.wk, c.i, t.n,
+               ROUND(
+                   (t.tq - t.ts * t.ts / t.n)
+                   - (c.q - c.s * c.s / c.i)
+                   - ((t.tq - c.q)
+                      - (t.ts - c.s) * (t.ts - c.s) / (t.n - c.i)),
+                   6) AS gain,
+               ROUND(c.s / c.i, 6) AS mean_left,
+               ROUND((t.ts - c.s) / (t.n - c.i), 6) AS mean_right
+        FROM cum c JOIN tot t USING (priority)
+        WHERE c.i < t.n
+    )
+    SELECT priority,
+           CAST(n AS BIGINT) AS n_weeks,
+           wk AS change_wk,
+           CAST(i AS BIGINT) AS n_left,
+           CAST(n - i AS BIGINT) AS n_right,
+           mean_left, mean_right, gain
+    FROM gains
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY priority
+                               ORDER BY gain DESC, wk) = 1
+    ORDER BY priority
+    """,
+)
+def changepoint_binary_seg(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Single-changepoint detection (the first round of binary
+    segmentation, Scott & Knott 1974 / PELT's building block) on the
+    weekly revenue series per order priority: the split that
+    maximizes the within-segment SSE reduction — the retrospective
+    'WHEN did this series change level' answer that complements the
+    sequential detectors (`cusum_drift_chart` watches forward,
+    `page_hinkley_drift` alarms online, this one localizes the break
+    after the fact; full binary segmentation recurses on the two
+    halves, each round this exact shape).
+
+    Gain arithmetic is the classic cumulative-moment identity:
+    SSE(a..b) = Q - S^2/n with one ordered prefix-sum pass, so the
+    whole scan of n-1 candidate splits costs ONE window over the
+    week-grain series (344 weeks here; bounded by the calendar at
+    any corpus size — the corpus appears only in the week-grain
+    aggregate). Ordered prefix sums evaluate in the same order on
+    both engines, so 6-dp rounding of the gain is engine-stable;
+    the argmax tie-breaks to the earliest week via struct-max on
+    (gain, -wk), mirrored by the oracle's QUALIFY rank.
+
+    Scale shape: one shuffle to week grain, windows PARTITIONED by
+    priority (never corpus-grain), a 5-row per-priority totals
+    broadcast, and a 5-row struct-max argmax. Multi-metric panels
+    partition by metric id, same plan."""
+    orders = load_table(spark, sf_dir, "orders")
+    weekly = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        (F.unix_date(F.to_date("o_orderdate")) / 7)
+        .cast("long")
+        .alias("wk"),
+    ).agg(F.round(F.sum("o_totalprice") / 1e6, 6).alias("x"))
+    w = (
+        Window.partitionBy("priority")
+        .orderBy("wk")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = weekly.select(
+        "priority",
+        "wk",
+        F.row_number().over(
+            Window.partitionBy("priority").orderBy("wk")
+        ).alias("i"),
+        F.sum("x").over(w).alias("s"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("q"),
+    )
+    tot = weekly.groupBy("priority").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("ts"),
+        F.sum(F.col("x") * F.col("x")).alias("tq"),
+    )
+    gains = (
+        cum.join(F.broadcast(tot), "priority")
+        .filter(F.col("i") < F.col("n"))
+        .select(
+            "priority",
+            "wk",
+            "i",
+            "n",
+            F.round(
+                (F.col("tq") - F.col("ts") * F.col("ts") / F.col("n"))
+                - (F.col("q") - F.col("s") * F.col("s") / F.col("i"))
+                - (
+                    (F.col("tq") - F.col("q"))
+                    - (F.col("ts") - F.col("s"))
+                    * (F.col("ts") - F.col("s"))
+                    / (F.col("n") - F.col("i"))
+                ),
+                6,
+            ).alias("gain"),
+            F.round(F.col("s") / F.col("i"), 6).alias("mean_left"),
+            F.round(
+                (F.col("ts") - F.col("s")) / (F.col("n") - F.col("i")),
+                6,
+            ).alias("mean_right"),
+        )
+    )
+    best = gains.groupBy("priority").agg(
+        F.max(
+            F.struct(
+                F.col("gain").alias("g"),
+                (-F.col("wk")).alias("nwk"),
+                F.col("n").alias("n"),
+                F.col("i").alias("i"),
+                F.col("mean_left").alias("ml"),
+                F.col("mean_right").alias("mr"),
+            )
+        ).alias("m")
+    )
+    return best.select(
+        "priority",
+        F.col("m.n").cast("bigint").alias("n_weeks"),
+        (-F.col("m.nwk")).alias("change_wk"),
+        F.col("m.i").cast("bigint").alias("n_left"),
+        (F.col("m.n") - F.col("m.i")).cast("bigint").alias("n_right"),
+        F.col("m.ml").alias("mean_left"),
+        F.col("m.mr").alias("mean_right"),
+        F.col("m.g").alias("gain"),
+    ).orderBy("priority")

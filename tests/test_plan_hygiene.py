@@ -432,6 +432,8 @@ def test_neardup_components_pair_stage_has_no_forced_broadcast(spark):
 # Broadcast subtrees whose boundedness comes from a grouped
 # aggregate at a bounded DOMAIN (inspected; the domain is named).
 BROADCAST_GRAIN_OK = {
+    "changepoint_binary_seg",  # priority-grain totals (n, S, Q):
+    # 5 fixed o_orderpriority labels at every TPC-H SF
     "ab_srm_audit",  # method x arm aggregate: 2 methods x 2 arms
     "dp_median_release",  # bucket histogram: 100 fixed public
     # cells at any SF

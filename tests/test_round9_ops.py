@@ -736,3 +736,55 @@ def test_modularity_single_community_is_zero(spark, tmp_path):
     out = QS["community_modularity"](spark, sf).collect()
     assert len(out) == 1
     assert out[0]["q_term"] == 0.0 and out[0]["modularity"] == 0.0
+
+
+# ---------------------- changepoint binary seg ---------------------
+
+
+def _shift_lake(spark, tmp_path, levels):
+    # one order per week, 7-day spacing -> distinct wk keys; x is in
+    # millions so o_totalprice = level * 1e6
+    base = datetime.date(1995, 1, 5)
+    rows = [
+        (
+            "1-URGENT",
+            (base + datetime.timedelta(days=7 * i)).isoformat(),
+            float(lv) * 1e6,
+        )
+        for i, lv in enumerate(levels)
+    ]
+    return _lake(
+        spark,
+        tmp_path,
+        orders=(
+            rows,
+            "o_orderpriority string, o_orderdate string, "
+            "o_totalprice double",
+        ),
+    )
+
+
+def test_changepoint_localizes_planted_level_shift(spark, tmp_path):
+    # 5 weeks at 1.0 then 5 weeks at 5.0: the SSE-gain argmax is the
+    # last left-segment week, with exact segment means and gain =
+    # SSE_total (both halves are constant, so residual SSE is 0) =
+    # n_l*n_r/n * (5-1)^2 = 2.5 * 16 = 40
+    sf = _shift_lake(spark, tmp_path, [1] * 5 + [5] * 5)
+    out = QS["changepoint_binary_seg"](spark, sf).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_weeks"] == 10
+    assert r["n_left"] == 5 and r["n_right"] == 5
+    assert r["mean_left"] == 1.0 and r["mean_right"] == 5.0
+    assert r["gain"] == 40.0
+
+
+def test_changepoint_constant_series_gain_zero_earliest_week(
+    spark, tmp_path
+):
+    # no change anywhere -> every split has gain 0; the (gain desc,
+    # wk asc) tie-break must pick the FIRST candidate split
+    sf = _shift_lake(spark, tmp_path, [2] * 8)
+    r = QS["changepoint_binary_seg"](spark, sf).collect()[0]
+    assert r["gain"] == 0.0
+    assert r["n_left"] == 1 and r["n_right"] == 7
