@@ -3366,3 +3366,135 @@ def fellegi_sunter_em(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ps.sql(
         f"WITH patterns AS (SELECT * FROM {view}), {_fs_em_sql()}"
     )
+
+
+SNM_WINDOW = 2  # sorted-neighborhood lookahead (window size w = 3)
+SNM_TOPK = 40  # deterministic result page
+
+
+@query(
+    "sorted_neighborhood_pairs",
+    oracle=f"""
+    WITH led AS (
+        SELECT c_custkey AS key_a, c_name AS name_a,
+               c_mktsegment AS seg_a, c_acctbal AS bal_a,
+               LEAD(c_custkey, 1) OVER w AS k1,
+               LEAD(c_name, 1) OVER w AS n1,
+               LEAD(c_mktsegment, 1) OVER w AS s1,
+               LEAD(c_acctbal, 1) OVER w AS b1,
+               LEAD(c_custkey, 2) OVER w AS k2,
+               LEAD(c_name, 2) OVER w AS n2,
+               LEAD(c_mktsegment, 2) OVER w AS s2,
+               LEAD(c_acctbal, 2) OVER w AS b2
+        FROM customer
+        WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_name, c_custkey)
+    ),
+    cand AS (
+        SELECT key_a, name_a, seg_a, bal_a,
+               k1 AS key_b, n1 AS name_b, s1 AS seg_b, b1 AS bal_b,
+               1 AS neighbor_offset
+        FROM led WHERE n1 IS NOT NULL
+        UNION ALL
+        SELECT key_a, name_a, seg_a, bal_a, k2, n2, s2, b2, 2
+        FROM led WHERE n2 IS NOT NULL
+    )
+    SELECT key_a, key_b, name_a, name_b,
+           CAST(levenshtein(name_a, name_b) AS BIGINT) AS lev_dist,
+           CAST(neighbor_offset AS BIGINT) AS neighbor_offset,
+           CAST(seg_a = seg_b AS INT) AS same_segment,
+           ROUND(ABS(bal_a - bal_b), 2) AS bal_gap
+    FROM cand
+    WHERE levenshtein(name_a, name_b) <= 1
+    ORDER BY lev_dist, name_a, name_b
+    LIMIT {SNM_TOPK}
+    """,
+)
+def sorted_neighborhood_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sorted-neighborhood candidate generation (Hernandez & Stolfo
+    1995 merge/purge) over customer records — THE classic linkage
+    blocking baseline beside the engine's key-equality blocking
+    (`blocking_quality_report`) and exact edit-distance join
+    (`typo_candidate_pairs`): sort records on a key within blocks,
+    slide a fixed window of w = 3, compare only neighbors. Names one
+    edit apart land adjacent in sort order, so near-duplicate
+    records (typo'd ids, re-registrations) surface at linear cost;
+    emitted features (edit distance, segment agreement, balance gap)
+    are exactly what the Fellegi-Sunter scorer
+    (`fellegi_sunter_weights`) consumes downstream. SNM's documented
+    miss class — FIRST-character errors — is why production runs
+    multi-pass with rotated keys; this is the single-pass primitive.
+
+    Scale shape: ONE shuffle to (nation, name)-sorted blocks, LEAD
+    1..2 window columns instead of a w x N pair expansion,
+    levenshtein only on adjacent candidates, deterministic 40-row
+    page out. At lake scale the block key generalizes to
+    repartitionByRange on the sort key (same plan: range exchange +
+    within-partition sort + LEAD), so no block ever holds more than
+    a partition's worth of records; the nation block here stands in
+    for that range partitioner at test scale."""
+    cust = load_table(spark, sf_dir, "customer")
+    win = Window.partitionBy("c_nationkey").orderBy(
+        "c_name", "c_custkey"
+    )
+    led = cust.select(
+        F.col("c_custkey").alias("key_a"),
+        F.col("c_name").alias("name_a"),
+        F.col("c_mktsegment").alias("seg_a"),
+        F.col("c_acctbal").alias("bal_a"),
+        *[
+            F.lead(c, o).over(win).alias(f"{a}{o}")
+            for o in (1, 2)
+            for c, a in (
+                ("c_custkey", "k"),
+                ("c_name", "n"),
+                ("c_mktsegment", "s"),
+                ("c_acctbal", "b"),
+            )
+        ],
+    )
+    cand = led.select(
+        "key_a",
+        "name_a",
+        "seg_a",
+        "bal_a",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.col(f"k{o}").alias("key_b"),
+                        F.col(f"n{o}").alias("name_b"),
+                        F.col(f"s{o}").alias("seg_b"),
+                        F.col(f"b{o}").alias("bal_b"),
+                        F.lit(o).alias("neighbor_offset"),
+                    )
+                    for o in (1, 2)
+                ]
+            )
+        ).alias("p"),
+    ).select(
+        "key_a", "name_a", "seg_a", "bal_a", "p.*"
+    )
+    lev = F.levenshtein(F.col("name_a"), F.col("name_b"))
+    return (
+        cand.filter(F.col("name_b").isNotNull() & (lev <= 1))
+        .select(
+            "key_a",
+            "key_b",
+            "name_a",
+            "name_b",
+            lev.cast("bigint").alias("lev_dist"),
+            F.col("neighbor_offset").cast("bigint").alias(
+                "neighbor_offset"
+            ),
+            (F.col("seg_a") == F.col("seg_b")).cast("int").alias(
+                "same_segment"
+            ),
+            F.round(F.abs(F.col("bal_a") - F.col("bal_b")), 2).alias(
+                "bal_gap"
+            ),
+        )
+        .orderBy("lev_dist", "name_a", "name_b")
+        .limit(SNM_TOPK)
+    )

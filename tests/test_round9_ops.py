@@ -788,3 +788,60 @@ def test_changepoint_constant_series_gain_zero_earliest_week(
     r = QS["changepoint_binary_seg"](spark, sf).collect()[0]
     assert r["gain"] == 0.0
     assert r["n_left"] == 1 and r["n_right"] == 7
+
+
+# --------------------- sorted neighborhood pairs -------------------
+
+
+def test_snm_catches_adjacent_typos_misses_first_letter(
+    spark, tmp_path
+):
+    # within one nation block: "smith-10x" variants are adjacent in
+    # sort order (lev 1 candidates); "zmith-100" is the same record
+    # with a FIRST-letter error -> sorts to the far end and is NOT
+    # generated (the documented single-pass SNM miss class)
+    rows = [
+        (1, "smith-100", 0, 10.0, "AUTO"),
+        (2, "smith-101", 0, 12.5, "AUTO"),
+        (3, "smith-102", 0, 99.0, "BUILDING"),
+        (4, "zmith-100", 0, 10.0, "AUTO"),
+        (5, "wholly-unrelated", 0, 1.0, "AUTO"),
+    ]
+    sf = _lake(
+        spark,
+        tmp_path,
+        customer=(
+            rows,
+            "c_custkey long, c_name string, c_nationkey int, "
+            "c_acctbal double, c_mktsegment string",
+        ),
+    )
+    out = QS["sorted_neighborhood_pairs"](spark, sf).collect()
+    pairs = {(r["name_a"], r["name_b"]) for r in out}
+    assert ("smith-100", "smith-101") in pairs
+    assert ("smith-101", "smith-102") in pairs
+    assert ("smith-100", "smith-102") in pairs  # offset-2 neighbor
+    assert not any("zmith-100" in p for p in pairs)
+    by = {(r["name_a"], r["name_b"]): r for r in out}
+    r = by[("smith-100", "smith-101")]
+    assert r["lev_dist"] == 1 and r["same_segment"] == 1
+    assert r["bal_gap"] == 2.5
+    assert by[("smith-101", "smith-102")]["same_segment"] == 0
+
+
+def test_snm_blocks_do_not_cross_nations(spark, tmp_path):
+    # identical-looking names in DIFFERENT nations are never paired
+    rows = [
+        (1, "acct-200", 0, 5.0, "AUTO"),
+        (2, "acct-201", 1, 5.0, "AUTO"),
+    ]
+    sf = _lake(
+        spark,
+        tmp_path,
+        customer=(
+            rows,
+            "c_custkey long, c_name string, c_nationkey int, "
+            "c_acctbal double, c_mktsegment string",
+        ),
+    )
+    assert QS["sorted_neighborhood_pairs"](spark, sf).count() == 0
