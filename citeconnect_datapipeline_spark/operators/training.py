@@ -3065,3 +3065,159 @@ def curriculum_schedule_plan(
             6,
         ).alias("epoch_token_share"),
     ).orderBy("epoch", "tercile")
+
+
+STC_BUCKETS = 10  # decile grid for the selection curve
+
+
+@query(
+    "selection_tradeoff_curve",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, n_chars,
+               len(list_filter(
+                   string_split_regex(lower(text), '[^a-z0-9]+'),
+                   x -> x <> '')) AS n_tok,
+               ROUND(
+                   0.5 * CAST(len(list_distinct(list_filter(
+                         string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> ''))) AS DOUBLE)
+                       / GREATEST(len(list_filter(
+                         string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '')), 1)
+                   + 0.3 * LEAST(len(list_filter(
+                         string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '')) / 100.0, 1.0)
+                   + 0.2 * LEAST(n_chars / 500.0, 1.0),
+                   6) AS score
+        FROM documents
+    ),
+    bnd AS (
+        SELECT {", ".join(
+            f"ROUND(quantile_cont(score, {d / 10.0}), 6) AS b{d}"
+            for d in range(1, 10)
+        )}
+        FROM scored
+    ),
+    cells AS (
+        SELECT 1 {" ".join(
+            f"+ CAST(score > b{d} AS INT)" for d in range(1, 10)
+        )} AS decile,
+               COUNT(*) AS n_docs,
+               SUM(n_tok) AS toks,
+               SUM(score) AS score_sum
+        FROM scored CROSS JOIN bnd
+        GROUP BY 1
+    ),
+    tot AS (SELECT SUM(n_tok) AS tt, COUNT(*) AS nd FROM scored)
+    SELECT CAST(11 - c.decile AS BIGINT) AS sel_rank,
+           CAST(c.n_docs AS BIGINT) AS n_docs,
+           CAST(c.toks AS BIGINT) AS tokens,
+           CAST(SUM(c.n_docs) OVER wsel AS BIGINT) AS cum_docs,
+           CAST(SUM(c.toks) OVER wsel AS BIGINT) AS cum_tokens,
+           ROUND(SUM(c.toks) OVER wsel * 1.0 / t.tt, 6)
+               AS cum_token_share,
+           ROUND(c.score_sum / c.n_docs, 6) AS mean_score,
+           ROUND(SUM(c.score_sum) OVER wsel
+                 / SUM(c.n_docs) OVER wsel, 6) AS cum_mean_score
+    FROM cells c CROSS JOIN tot t
+    WINDOW wsel AS (ORDER BY c.decile DESC ROWS UNBOUNDED PRECEDING)
+    ORDER BY sel_rank
+    """,
+)
+def selection_tradeoff_curve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Quality-vs-quantity selection curve — the curation KNOB chart
+    (Longpre et al. 2023's pretrainer's-guide question): if the
+    training budget keeps only the top-k quality deciles, how many
+    tokens survive and at what mean quality? Docs score on the
+    engine's composite proxy (0.5 TTR + 0.3 length-saturating token
+    credit + 0.2 char credit — the `quality_score` band inputs,
+    folded to one number), land in percentile-boundary deciles, and
+    the curve walks from the BEST decile down accumulating docs,
+    tokens, token share, and cumulative mean quality — where the
+    marginal decile's mean_score drops is where selection stops
+    paying (`dsir_importance_weights` then re-weights what stays;
+    `token_budget_allocation` spends the surviving tokens).
+
+    Scale shape: the lorenz-decile discipline end-to-end — ONE
+    doc-grain scoring pass, a 1-row nine-boundary percentile
+    aggregate broadcast back (never a doc-grain NTILE; swap
+    percentile for percentile_approx at 100 TB, same plan), a
+    10-row cell table, 1-row totals broadcast, and cumulative
+    windows over the fixed 10-row grid. Boundary-tied docs share a
+    decile on both engines (the 6-dp pin + type-7 interpolation
+    parity documented at `revenue_lorenz_deciles`)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+        lambda x: x != "",
+    )
+    n_tok = F.size(w)
+    score = F.round(
+        0.5
+        * (
+            F.size(F.array_distinct(w)).cast("double")
+            / F.greatest(n_tok, F.lit(1))
+        )
+        + 0.3 * F.least(n_tok / 100.0, F.lit(1.0))
+        + 0.2 * F.least(F.col("n_chars") / 500.0, F.lit(1.0)),
+        6,
+    )
+    scored = docs.select(
+        n_tok.alias("n_tok"), score.alias("score")
+    )
+    bnd = scored.agg(
+        *[
+            F.round(
+                F.percentile("score", F.lit(d / 10.0)), 6
+            ).alias(f"b{d}")
+            for d in range(1, STC_BUCKETS)
+        ]
+    )
+    decile = F.lit(1)
+    for d in range(1, STC_BUCKETS):
+        decile = decile + (F.col("score") > F.col(f"b{d}")).cast("int")
+    cells = (
+        scored.crossJoin(F.broadcast(bnd))
+        .select(decile.alias("decile"), "n_tok", "score")
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("toks"),
+            F.sum("score").alias("score_sum"),
+        )
+    )
+    tot = scored.agg(
+        F.sum("n_tok").alias("tt"), F.count("*").alias("nd")
+    )
+    wsel = Window.orderBy(F.desc("decile")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .select(
+            (11 - F.col("decile")).cast("bigint").alias("sel_rank"),
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("toks").cast("bigint").alias("tokens"),
+            F.sum("n_docs").over(wsel).cast("bigint").alias(
+                "cum_docs"
+            ),
+            F.sum("toks").over(wsel).cast("bigint").alias(
+                "cum_tokens"
+            ),
+            F.round(
+                F.sum("toks").over(wsel) * 1.0 / F.col("tt"), 6
+            ).alias("cum_token_share"),
+            F.round(F.col("score_sum") / F.col("n_docs"), 6).alias(
+                "mean_score"
+            ),
+            F.round(
+                F.sum("score_sum").over(wsel)
+                / F.sum("n_docs").over(wsel),
+                6,
+            ).alias("cum_mean_score"),
+        )
+        .orderBy("sel_rank")
+    )

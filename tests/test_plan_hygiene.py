@@ -20,6 +20,8 @@ SF_DIR = "/root/testdata/sf0.001"
 #   count triples, decile/threshold scalars, single query vectors,
 #   small sketch-pair expansion.
 NESTED_LOOP_OK = {
+    "selection_tradeoff_curve",  # 1-row percentile-boundary + 1-row
+    # token-total scalar broadcasts (the lorenz-decile shape)
     "community_modularity",  # 1-row edge-total m + 1-row global-Q
     # scalar broadcasts onto the community-grain cell table
     "ann_ivf_portable",  # 1-row query-vector broadcast (cosine_topk's
@@ -209,6 +211,8 @@ BUILD_EXECUTES = {
 # now use 1-row percentile-threshold broadcasts and must NOT appear
 # here at doc grain.
 UNPARTITIONED_WINDOW_OK = {
+    "selection_tradeoff_curve",  # cumulative selection walk over
+    # the fixed 10-row decile grid (lorenz-decile boundedness)
     "ann_ivf_portable",  # seed numbering over the 8-row md5-order
     # limit (bounded by K); the assignment argmin window is
     # partitioned by vec_id

@@ -845,3 +845,52 @@ def test_snm_blocks_do_not_cross_nations(spark, tmp_path):
         ),
     )
     assert QS["sorted_neighborhood_pairs"](spark, sf).count() == 0
+
+
+# ---------------------- selection tradeoff curve -------------------
+
+
+def test_selection_curve_walks_best_first_to_full_corpus(
+    spark, tmp_path
+):
+    # 10 rich docs (distinct words, long) vs 10 degenerate one-word
+    # docs: the curve must start at high mean quality, be monotone
+    # non-increasing in marginal mean_score, and end at the full
+    # corpus (share 1.0, all docs)
+    rich = [
+        (
+            i,
+            " ".join(f"tok{i}w{j}" for j in range(60)),
+            "en",
+            "src0",
+            600,
+        )
+        for i in range(10)
+    ]
+    junk = [
+        (100 + i, "spam " * 8, "en", "src0", 40) for i in range(10)
+    ]
+    sf = _lake(
+        spark,
+        tmp_path,
+        documents=(
+            rich + junk,
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long",
+        ),
+    )
+    out = QS["selection_tradeoff_curve"](spark, sf).collect()
+    # two distinct scores collapse to two occupied deciles; ranks
+    # stay strictly increasing best-first (sparse ids are inherent
+    # to boundary bucketing under ties, same on both engines)
+    ranks = [r["sel_rank"] for r in out]
+    assert ranks == sorted(ranks) and len(set(ranks)) == len(ranks)
+    scores = [r["mean_score"] for r in out]
+    assert scores == sorted(scores, reverse=True)
+    assert out[0]["mean_score"] > 0.8  # rich docs: TTR 1.0 + credits
+    last = out[-1]
+    assert last["cum_token_share"] == 1.0
+    assert last["cum_docs"] == 20
+    assert last["cum_tokens"] == 10 * 60 + 10 * 8
+    # cumulative mean dilutes as junk deciles join the selection
+    assert out[0]["cum_mean_score"] > last["cum_mean_score"]
