@@ -835,3 +835,183 @@ def score_calibration_ece(
         conf.alias("conf"),
     )
     return calibration_cells(scored, ECE_BINS)
+
+
+@query(
+    "decision_stump_portable",
+    oracle="""
+    WITH base AS (
+        SELECT 'quantity' AS feature, l_quantity AS v,
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        FROM lineitem
+        UNION ALL
+        SELECT 'discount', ROUND(l_discount, 2),
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END
+        FROM lineitem
+    ),
+    cells AS (
+        SELECT feature, v, COUNT(*) AS n, SUM(y) AS pos
+        FROM base GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT feature, v,
+               SUM(n) OVER w AS cn,
+               SUM(pos) OVER w AS cpos
+        FROM cells
+        WINDOW w AS (PARTITION BY feature ORDER BY v
+                     ROWS UNBOUNDED PRECEDING)
+    ),
+    tot AS (
+        SELECT feature, SUM(n) AS nn, SUM(pos) AS pp
+        FROM cells GROUP BY 1
+    ),
+    scored AS (
+        SELECT c.feature, c.v AS threshold,
+               c.cn AS n_left, t.nn - c.cn AS n_right,
+               ROUND(
+                   (c.cn * 1.0 / t.nn)
+                   * 2 * (c.cpos * 1.0 / c.cn)
+                   * (1 - c.cpos * 1.0 / c.cn)
+                   + ((t.nn - c.cn) * 1.0 / t.nn)
+                   * 2 * ((t.pp - c.cpos) * 1.0 / (t.nn - c.cn))
+                   * (1 - (t.pp - c.cpos) * 1.0 / (t.nn - c.cn)),
+                   6) AS gini_split,
+               ROUND(2 * (t.pp * 1.0 / t.nn)
+                     * (1 - t.pp * 1.0 / t.nn), 6) AS gini_root,
+               ROUND(
+                   (GREATEST(c.cpos, c.cn - c.cpos)
+                    + GREATEST(t.pp - c.cpos,
+                               (t.nn - c.cn) - (t.pp - c.cpos)))
+                   * 1.0 / t.nn, 6) AS stump_acc
+        FROM cum c JOIN tot t USING (feature)
+        WHERE c.cn < t.nn
+    )
+    SELECT feature, threshold,
+           CAST(n_left AS BIGINT) AS n_left,
+           CAST(n_right AS BIGINT) AS n_right,
+           gini_root, gini_split,
+           ROUND(gini_root - gini_split, 6) AS gini_gain,
+           stump_acc
+    FROM scored
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY feature
+                               ORDER BY gini_split, threshold) = 1
+    ORDER BY feature
+    """,
+)
+def decision_stump_portable(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """1R decision stump (Holte 1993) — the ML baseline every
+    classifier must beat, fit distributedly: for each numeric
+    feature, the single threshold v <= t minimizing the weighted
+    Gini impurity of the two sides, with the stump's majority-class
+    accuracy beside the logistic model's metrics
+    (`classifier_eval`) — if logreg barely beats the best stump,
+    the features are the problem, not the optimizer. Label:
+    l_returnflag = 'R' (the engine's standing binary target).
+
+    The scan over all candidate thresholds is NOT a per-threshold
+    pass: counts collapse to VALUE-grain cells (l_quantity has 50
+    distinct values, discount 11 — domain-bounded at any SF), one
+    cumulative window per feature turns prefix counts into
+    left/right class totals for EVERY threshold simultaneously (the
+    classic sorted-split-scan of decision-tree learners, as window
+    arithmetic), and a struct-min argmax picks the winner with
+    smallest-threshold ties. All ratios are exact-int divisions, so
+    6-dp rounding is engine-stable.
+
+    Scale shape: one map-side-combinable aggregate to value grain,
+    bounded windows, a 2-row per-feature totals broadcast, 2-row
+    output. Continuous features bucket to percentile-boundary
+    candidates first (the lorenz discipline), same plan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    y = F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+    base = li.select(
+        F.lit("quantity").alias("feature"),
+        F.col("l_quantity").alias("v"),
+        y.alias("y"),
+    ).unionAll(
+        li.select(
+            F.lit("discount"),
+            F.round("l_discount", 2),
+            y,
+        )
+    )
+    cells = base.groupBy("feature", "v").agg(
+        F.count("*").alias("n"), F.sum("y").alias("pos")
+    )
+    w = (
+        Window.partitionBy("feature")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = cells.select(
+        "feature",
+        "v",
+        F.sum("n").over(w).alias("cn"),
+        F.sum("pos").over(w).alias("cpos"),
+    )
+    tot = cells.groupBy("feature").agg(
+        F.sum("n").alias("nn"), F.sum("pos").alias("pp")
+    )
+    pl = F.col("cpos") * 1.0 / F.col("cn")
+    pr = (F.col("pp") - F.col("cpos")) * 1.0 / (
+        F.col("nn") - F.col("cn")
+    )
+    proot = F.col("pp") * 1.0 / F.col("nn")
+    scored = (
+        cum.join(F.broadcast(tot), "feature")
+        .filter(F.col("cn") < F.col("nn"))
+        .select(
+            "feature",
+            F.col("v").alias("threshold"),
+            F.col("cn").alias("n_left"),
+            (F.col("nn") - F.col("cn")).alias("n_right"),
+            F.round(
+                (F.col("cn") * 1.0 / F.col("nn")) * 2 * pl * (1 - pl)
+                + ((F.col("nn") - F.col("cn")) * 1.0 / F.col("nn"))
+                * 2
+                * pr
+                * (1 - pr),
+                6,
+            ).alias("gini_split"),
+            F.round(2 * proot * (1 - proot), 6).alias("gini_root"),
+            F.round(
+                (
+                    F.greatest(
+                        F.col("cpos"), F.col("cn") - F.col("cpos")
+                    )
+                    + F.greatest(
+                        F.col("pp") - F.col("cpos"),
+                        (F.col("nn") - F.col("cn"))
+                        - (F.col("pp") - F.col("cpos")),
+                    )
+                )
+                * 1.0
+                / F.col("nn"),
+                6,
+            ).alias("stump_acc"),
+        )
+    )
+    best = scored.groupBy("feature").agg(
+        F.min(
+            F.struct(
+                F.col("gini_split").alias("g"),
+                F.col("threshold").alias("t"),
+                F.col("n_left").alias("nl"),
+                F.col("n_right").alias("nr"),
+                F.col("gini_root").alias("gr"),
+                F.col("stump_acc").alias("acc"),
+            )
+        ).alias("m")
+    )
+    return best.select(
+        "feature",
+        F.col("m.t").alias("threshold"),
+        F.col("m.nl").cast("bigint").alias("n_left"),
+        F.col("m.nr").cast("bigint").alias("n_right"),
+        F.col("m.gr").alias("gini_root"),
+        F.col("m.g").alias("gini_split"),
+        F.round(F.col("m.gr") - F.col("m.g"), 6).alias("gini_gain"),
+        F.col("m.acc").alias("stump_acc"),
+    ).orderBy("feature")

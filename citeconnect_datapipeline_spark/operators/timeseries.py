@@ -2700,3 +2700,132 @@ def changepoint_binary_seg(
         F.col("m.mr").alias("mean_right"),
         F.col("m.g").alias("gain"),
     ).orderBy("priority")
+
+
+LB_LAGS = 6  # Ljung-Box portmanteau horizon (even -> closed-form chi2)
+
+
+@query(
+    "ljung_box_test",
+    oracle=f"""
+    WITH daily AS (
+        SELECT o_orderdate AS d,
+               ROUND(SUM(o_totalprice), 6) AS x
+        FROM orders GROUP BY 1
+    ),
+    mu AS (
+        SELECT AVG(x) AS mu, COUNT(*) AS n,
+               SUM((x - (SELECT AVG(x) FROM daily))
+                   * (x - (SELECT AVG(x) FROM daily))) AS ss
+        FROM daily
+    ),
+    rho AS (
+        SELECT l.lag,
+               ROUND(SUM((a.x - m.mu) * (b.x - m.mu)) / MAX(m.ss), 6)
+                   AS r,
+               MAX(m.n) AS n
+        FROM (SELECT unnest(range(1, {LB_LAGS} + 1)) AS lag) l
+        JOIN daily a ON TRUE
+        JOIN daily b ON b.d = a.d + to_days(CAST(l.lag AS INTEGER))
+        CROSS JOIN mu m
+        GROUP BY l.lag
+    ),
+    q AS (
+        SELECT MAX(n) AS n,
+               ROUND(MAX(n) * (MAX(n) + 2)
+                     * SUM(r * r / (n - lag)), 6) AS q_stat
+        FROM rho
+    )
+    SELECT CAST(n AS BIGINT) AS n_days,
+           CAST({LB_LAGS} AS BIGINT) AS n_lags,
+           q_stat,
+           ROUND(EXP(-q_stat / 2)
+                 * (1 + q_stat / 2
+                    + (q_stat / 2) * (q_stat / 2) / 2), 6)
+               AS p_value,
+           EXP(-q_stat / 2)
+               * (1 + q_stat / 2
+                  + (q_stat / 2) * (q_stat / 2) / 2) > 0.05
+               AS white_noise
+    FROM q
+    """,
+)
+def ljung_box_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau whiteness test on the daily revenue
+    series — the ONE-NUMBER verdict on `acf_panel`'s per-lag plot
+    (Ljung & Box 1978): Q = n(n+2) * sum_k rho_k^2/(n-k) over lags
+    1..6 is chi-square(6) under the white-noise null, so a small
+    p-value says the series has exploitable autocorrelation (fit an
+    AR / seasonal model; `forecast_backtest_mase`'s naive anchors
+    are beatable) and a large one says the residual is done. The
+    even dof makes the chi-square survival CLOSED FORM —
+    exp(-x/2) * sum_(i<dof/2) (x/2)^i/i! — the same no-erf
+    discipline as the Welch/BH constants, so both engines compute
+    the p-value exactly.
+
+    Scale shape: acf_panel's lineage end-to-end — corpus collapses
+    to the day-grain series, a 6-row lag grid calendar-joins it,
+    mean/SS ride a 1-row broadcast, and Q folds the 6-row rho table
+    into one row. Per-lag rho is 6-dp-pinned BEFORE entering Q so
+    the portmanteau sum is engine-deterministic."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.round(F.sum("o_totalprice"), 6).alias("x")
+    )
+    mu = daily.agg(
+        F.avg("x").alias("mu"),
+        F.count("*").alias("n"),
+        (
+            F.sum(F.col("x") * F.col("x"))
+            - F.count("*") * F.avg("x") * F.avg("x")
+        ).alias("ss"),
+    )
+    lag_grid = spark.range(1, LB_LAGS + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    a = daily.select(F.col("d").alias("da"), F.col("x").alias("xa"))
+    b = daily.select(F.col("d").alias("db"), F.col("x").alias("xb"))
+    pairs = (
+        F.broadcast(lag_grid)
+        .crossJoin(a)
+        .join(
+            b,
+            F.col("db")
+            == F.date_add(F.col("da"), F.col("lag")),
+        )
+    )
+    rho = (
+        pairs.crossJoin(F.broadcast(mu))
+        .groupBy("lag")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("xa") - F.col("mu"))
+                    * (F.col("xb") - F.col("mu"))
+                )
+                / F.max("ss"),
+                6,
+            ).alias("r"),
+            F.max("n").alias("n"),
+        )
+    )
+    q = rho.agg(
+        F.max("n").alias("n"),
+        F.round(
+            F.max("n")
+            * (F.max("n") + 2)
+            * F.sum(
+                F.col("r") * F.col("r") / (F.col("n") - F.col("lag"))
+            ),
+            6,
+        ).alias("q_stat"),
+    )
+    half = F.col("q_stat") / 2
+    surv = F.exp(-half) * (1 + half + half * half / 2)
+    return q.select(
+        F.col("n").cast("bigint").alias("n_days"),
+        F.lit(LB_LAGS).cast("bigint").alias("n_lags"),
+        "q_stat",
+        F.round(surv, 6).alias("p_value"),
+        (surv > 0.05).alias("white_noise"),
+    )

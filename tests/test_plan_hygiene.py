@@ -47,6 +47,8 @@ NESTED_LOOP_OK = {
     # bounded bucket histogram + 1-row total/max/Z broadcasts
     "acf_panel",  # 7-row lag grid x the day-grain series + a 1-row
     # mean/SS scalar broadcast (both sides calendar-bounded)
+    "ljung_box_test",  # acf_panel's lag-grid x day-grain join +
+    # 1-row mean/SS broadcast, folded to the 1-row portmanteau
     "bh_fdr_slices",  # 1-row global-moments + 1-row step-up-cut
     # scalar broadcasts onto the 25-row brand panel
     "fellegi_sunter_em",  # 16-row pattern table x 1-row M-step
@@ -436,6 +438,8 @@ def test_neardup_components_pair_stage_has_no_forced_broadcast(spark):
 # Broadcast subtrees whose boundedness comes from a grouped
 # aggregate at a bounded DOMAIN (inspected; the domain is named).
 BROADCAST_GRAIN_OK = {
+    "decision_stump_portable",  # per-feature totals: 2 rows (the
+    # fixed feature panel), built from value-grain cells
     "changepoint_binary_seg",  # priority-grain totals (n, S, Q):
     # 5 fixed o_orderpriority labels at every TPC-H SF
     "ab_srm_audit",  # method x arm aggregate: 2 methods x 2 arms

@@ -894,3 +894,102 @@ def test_selection_curve_walks_best_first_to_full_corpus(
     assert last["cum_tokens"] == 10 * 60 + 10 * 8
     # cumulative mean dilutes as junk deciles join the selection
     assert out[0]["cum_mean_score"] > last["cum_mean_score"]
+
+
+# ------------------------- Ljung-Box test --------------------------
+
+
+def _daily_lake(spark, tmp_path, values):
+    base = datetime.date(1996, 1, 1)
+    rows = [
+        ((base + datetime.timedelta(days=i)).isoformat(), float(v))
+        for i, v in enumerate(values)
+    ]
+    return _lake(
+        spark,
+        tmp_path,
+        orders=(rows, "o_orderdate string, o_totalprice double"),
+    )
+
+
+def test_ljung_box_rejects_alternating_series(spark, tmp_path):
+    # period-2 series: rho_1 ~ -1 -> Q blows up, p ~ 0
+    sf = _daily_lake(
+        spark, tmp_path, [10.0 if i % 2 else 1.0 for i in range(120)]
+    )
+    r = QS["ljung_box_test"](spark, sf).collect()[0]
+    assert r["n_days"] == 120 and r["n_lags"] == 6
+    assert r["q_stat"] > 100
+    assert r["p_value"] == 0.0
+    assert r["white_noise"] is False
+
+
+def test_ljung_box_passes_hash_scrambled_series(spark, tmp_path):
+    # md5-keyed values have no serial structure: Q ~ chi2(6) central,
+    # p well above 0.05 (computed 0.628 for this exact sequence)
+    import hashlib
+
+    vals = [
+        int(hashlib.md5(str(i).encode()).hexdigest()[:4], 16)
+        for i in range(120)
+    ]
+    sf = _daily_lake(spark, tmp_path, vals)
+    r = QS["ljung_box_test"](spark, sf).collect()[0]
+    assert r["white_noise"] is True
+    assert r["p_value"] == 0.628057
+
+
+# ------------------------- decision stump --------------------------
+
+
+def test_stump_finds_perfect_split_and_drops_constant_feature(
+    spark, tmp_path
+):
+    # quantity <= 10 is exactly the positive class -> gini_split 0,
+    # accuracy 1.0 at threshold 10; discount is CONSTANT so it has
+    # no valid split (cn < nn never holds) and emits no row
+    rows = [
+        (float(5 + (i % 6)), 0.05, "R") for i in range(60)
+    ] + [
+        (float(20 + (i % 6)), 0.05, "N") for i in range(60)
+    ]
+    sf = _lake(
+        spark,
+        tmp_path,
+        lineitem=(
+            rows,
+            "l_quantity double, l_discount double, "
+            "l_returnflag string",
+        ),
+    )
+    out = QS["decision_stump_portable"](spark, sf).collect()
+    assert [r["feature"] for r in out] == ["quantity"]
+    r = out[0]
+    assert r["threshold"] == 10.0
+    assert r["gini_split"] == 0.0 and r["stump_acc"] == 1.0
+    assert r["gini_root"] == 0.5  # balanced classes
+    assert r["gini_gain"] == 0.5
+    assert r["n_left"] == 60 and r["n_right"] == 60
+
+
+def test_stump_uninformative_feature_keeps_root_gini(spark, tmp_path):
+    # label independent of quantity -> best split gains ~0 and the
+    # stump accuracy equals the majority-class rate
+    rows = [
+        (float(i % 10), 0.0, "R" if (i // 10) % 2 else "N")
+        for i in range(200)
+    ]
+    sf = _lake(
+        spark,
+        tmp_path,
+        lineitem=(
+            rows,
+            "l_quantity double, l_discount double, "
+            "l_returnflag string",
+        ),
+    )
+    out = {r["feature"]: r for r in
+           QS["decision_stump_portable"](spark, sf).collect()}
+    r = out["quantity"]
+    assert r["gini_gain"] == 0.0
+    assert r["stump_acc"] == 0.5
