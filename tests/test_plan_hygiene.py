@@ -172,6 +172,9 @@ NESTED_LOOP_OK = {
 # index build / pipeline writes) — plan-shape is asserted by their own
 # dedicated tests instead.
 BUILD_EXECUTES = {
+    "stylometry_burrows_delta",  # eager-pins the (source, word)
+    # count table and the registry x 20-word z table so the pair
+    # self-join never re-derives the corpus scan (16 unpinned scans)
     "ann_ivf_topk",
     "ann_ivfpq_topk",  # IVF centroid + PQ codebook sample fits
     "ann_pq_portable",  # collects the M*K*ds=256-double codebook once

@@ -993,3 +993,45 @@ def test_stump_uninformative_feature_keeps_root_gini(spark, tmp_path):
     r = out["quantity"]
     assert r["gini_gain"] == 0.0
     assert r["stump_acc"] == 0.5
+
+
+# ----------------------- Burrows' Delta ----------------------------
+
+
+def test_burrows_delta_groups_same_style_sources(spark, tmp_path):
+    # twin sources share a function-word habit ("alpha beta" heavy),
+    # the odd one out writes "gamma delta" heavy: Delta(twin pair)
+    # must be the smallest of the three pair distances
+    def doc(i, src, text):
+        return (i, text, "en", src, len(text))
+
+    rows = (
+        [doc(i, "twin1", "alpha beta alpha beta gamma") for i in range(8)]
+        + [doc(100 + i, "twin2", "alpha beta alpha beta delta") for i in range(8)]
+        + [doc(200 + i, "odd", "gamma delta gamma delta gamma delta") for i in range(8)]
+    )
+    sf = _lake(spark, tmp_path, documents=(rows, DOC_SCHEMA))
+    out = QS["stylometry_burrows_delta"](spark, sf).collect()
+    assert len(out) == 3  # C(3,2) pairs
+    best = out[0]
+    assert {best["source_a"], best["source_b"]} == {"twin1", "twin2"}
+    worst = max(out, key=lambda r: r["delta"])
+    assert "odd" in (worst["source_a"], worst["source_b"])
+    # all 4 distinct words fit the 20-word panel
+    assert all(r["n_words"] == 4 for r in out)
+
+
+def test_burrows_delta_zero_for_identical_distributions(
+    spark, tmp_path
+):
+    # two sources with identical relative frequencies -> z_a == z_b
+    # on every marker word -> Delta exactly 0
+    def doc(i, src):
+        return (i, "one two two three three three", "en", src, 30)
+
+    rows = [doc(i, "s1") for i in range(5)] + [
+        doc(10 + i, "s2") for i in range(5)
+    ]
+    sf = _lake(spark, tmp_path, documents=(rows, DOC_SCHEMA))
+    out = QS["stylometry_burrows_delta"](spark, sf).collect()
+    assert len(out) == 1 and out[0]["delta"] == 0.0
