@@ -1288,3 +1288,140 @@ def dp_median_release(spark: SparkSession, sf_dir: str) -> DataFrame:
         salt=_DP_DEMO_SALT,
         release_key="orders",
     )
+
+
+ANON_K = 5  # the k-anonymity bar the ladder is judged against
+
+
+@query(
+    "anonymization_ladder",
+    oracle=f"""
+    WITH l0 AS (
+        SELECT CAST(c_nationkey AS VARCHAR) || '|' || c_mktsegment
+                   || '|' || CAST(CAST(FLOOR(c_acctbal / 100)
+                                       AS INT) AS VARCHAR) AS qid
+        FROM customer
+    ),
+    l1 AS (
+        SELECT CAST(c_nationkey AS VARCHAR) || '|' || c_mktsegment
+                   AS qid
+        FROM customer
+    ),
+    l2 AS (
+        SELECT CAST(n.n_regionkey AS VARCHAR) || '|' || c.c_mktsegment
+                   AS qid
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    ),
+    l3 AS (SELECT c_mktsegment AS qid FROM customer),
+    l4 AS (SELECT '*' AS qid FROM customer),
+    stacked AS (
+        SELECT 0 AS level, 'nation|segment|bal100' AS generalization,
+               qid FROM l0
+        UNION ALL SELECT 1, 'nation|segment', qid FROM l1
+        UNION ALL SELECT 2, 'region|segment', qid FROM l2
+        UNION ALL SELECT 3, 'segment', qid FROM l3
+        UNION ALL SELECT 4, '*', qid FROM l4
+    ),
+    classes AS (
+        SELECT level, generalization, qid, COUNT(*) AS sz
+        FROM stacked GROUP BY 1, 2, 3
+    )
+    SELECT CAST(level AS BIGINT) AS level,
+           generalization,
+           CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(MIN(sz) AS BIGINT) AS k_min,
+           MIN(sz) >= {ANON_K} AS k_anonymous,
+           ROUND(SUM(CASE WHEN sz < {ANON_K} THEN sz ELSE 0 END)
+                 * 1.0 / SUM(sz), 6) AS suppression_share
+    FROM classes
+    GROUP BY 1, 2
+    ORDER BY level
+    """,
+)
+def anonymization_ladder(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Generalization ladder for k-anonymity — the table a privacy
+    engineer reads to pick the release schema (Sweeney 2002,
+    Samarati's generalization lattice walked along one sensible
+    path): each rung coarsens the quasi-identifier (balance bucket
+    dropped -> nation widened to region -> segment only -> full
+    suppression) and reports the equivalence-class census — class
+    count, worst-case k, whether the rung clears k = {k}, and the
+    record share that would need suppression to clear it. The
+    FIRST rung that is k-anonymous with tolerable suppression is
+    the release: `k_anonymity_audit` inspects one schema in depth,
+    this ladder says WHICH schema; `l_diversity_audit` /
+    `t_closeness_audit` then screen the survivor for attribute
+    disclosure, and the dp_* family replaces suppression with
+    noise when even the ladder's top is too revealing.
+
+    Scale shape: five map-side-combinable aggregates (one per rung)
+    over the customer scan, stacked; class tables collapse to
+    1-row-per-rung summaries before the union, nothing is ever
+    class-grain downstream. The nation->region rung broadcasts the
+    25-row fixed dimension.""".format(k=ANON_K)
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+
+    def census(level, name, qid_df):
+        classes = qid_df.groupBy("qid").agg(F.count("*").alias("sz"))
+        return classes.agg(
+            F.lit(level).cast("bigint").alias("level"),
+            F.lit(name).alias("generalization"),
+            F.count("*").cast("bigint").alias("n_classes"),
+            F.min("sz").cast("bigint").alias("k_min"),
+            (F.min("sz") >= ANON_K).alias("k_anonymous"),
+            F.round(
+                F.sum(
+                    F.when(F.col("sz") < ANON_K, F.col("sz")).otherwise(
+                        0
+                    )
+                )
+                * 1.0
+                / F.sum("sz"),
+                6,
+            ).alias("suppression_share"),
+        )
+
+    sep = F.lit("|")
+    l0 = cust.select(
+        F.concat(
+            F.col("c_nationkey").cast("string"),
+            sep,
+            F.col("c_mktsegment"),
+            sep,
+            F.floor(F.col("c_acctbal") / 100)
+            .cast("int")
+            .cast("string"),
+        ).alias("qid")
+    )
+    l1 = cust.select(
+        F.concat(
+            F.col("c_nationkey").cast("string"),
+            sep,
+            F.col("c_mktsegment"),
+        ).alias("qid")
+    )
+    l2 = cust.join(
+        F.broadcast(nat), cust.c_nationkey == nat.n_nationkey
+    ).select(
+        F.concat(
+            F.col("n_regionkey").cast("string"),
+            sep,
+            F.col("c_mktsegment"),
+        ).alias("qid")
+    )
+    l3 = cust.select(F.col("c_mktsegment").alias("qid"))
+    l4 = cust.select(F.lit("*").alias("qid"))
+    rungs = [
+        census(0, "nation|segment|bal100", l0),
+        census(1, "nation|segment", l1),
+        census(2, "region|segment", l2),
+        census(3, "segment", l3),
+        census(4, "*", l4),
+    ]
+    out = rungs[0]
+    for r in rungs[1:]:
+        out = out.unionAll(r)
+    return out.orderBy("level")

@@ -3242,3 +3242,69 @@ def sequential_ab_monitoring(
         )
         .orderBy("look")
     )
+
+
+@query(
+    "price_elasticity_by_brand",
+    oracle="""
+    WITH obs AS (
+        SELECT p.p_brand AS brand,
+               LN(l.l_quantity) AS lq,
+               LN(l.l_extendedprice / l.l_quantity) AS lp
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE l.l_quantity > 0 AND l.l_extendedprice > 0
+    )
+    SELECT brand,
+           CAST(COUNT(*) AS BIGINT) AS n_obs,
+           ROUND(regr_slope(lq, lp), 6) AS elasticity,
+           ROUND(regr_r2(lq, lp), 6) AS r2,
+           ROUND(regr_slope(lq, lp), 6) < -1 AS elastic
+    FROM obs
+    GROUP BY brand
+    ORDER BY brand
+    """,
+)
+def price_elasticity_by_brand(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Own-price elasticity of demand per brand — the log-log OLS
+    slope d ln(qty) / d ln(unit price), the first number a pricing
+    analyst fits (elasticity < -1 = elastic demand: price cuts grow
+    revenue; > -1 = inelastic): grouped linear regression done
+    ENTIRELY by the JVM's map-side-combinable regr_* aggregates —
+    no per-group fitting loop, no collect, one shuffle at brand
+    grain. r2 qualifies the fit (TPC-H prices are uniform within a
+    part, so real elasticities here are diagnostics of the
+    generator, not economics — the SHAPE is what a deployment
+    reuses on real transaction panels partitioned by SKU).
+
+    Cross-engine pin: regr_slope/regr_r2 are covariance ratios of
+    unordered float sums, stable to ~1e-12 relative across engines
+    at any row count — the 6-dp round absorbs it (the
+    metric_trend_fit discipline at brand grain)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    obs = (
+        li.filter(
+            (F.col("l_quantity") > 0) & (F.col("l_extendedprice") > 0)
+        )
+        .join(part, li.l_partkey == part.p_partkey)
+        .select(
+            F.col("p_brand").alias("brand"),
+            F.log(F.col("l_quantity")).alias("lq"),
+            F.log(
+                F.col("l_extendedprice") / F.col("l_quantity")
+            ).alias("lp"),
+        )
+    )
+    slope = F.round(F.regr_slope("lq", "lp"), 6)
+    return (
+        obs.groupBy("brand")
+        .agg(
+            F.count("*").cast("bigint").alias("n_obs"),
+            slope.alias("elasticity"),
+            F.round(F.regr_r2("lq", "lp"), 6).alias("r2"),
+            (slope < -1).alias("elastic"),
+        )
+        .orderBy("brand")
+    )

@@ -1035,3 +1035,73 @@ def test_burrows_delta_zero_for_identical_distributions(
     sf = _lake(spark, tmp_path, documents=(rows, DOC_SCHEMA))
     out = QS["stylometry_burrows_delta"](spark, sf).collect()
     assert len(out) == 1 and out[0]["delta"] == 0.0
+
+
+# --------------------- price elasticity ----------------------------
+
+
+def test_elasticity_recovers_planted_loglog_slope(spark, tmp_path):
+    # plant qty = 1000 * price^-2 exactly -> slope -2, r2 = 1,
+    # elastic; a unit-elastic brand pins the elastic=False boundary
+    li, part = [], []
+    import math
+
+    for i, price in enumerate([2.0, 4.0, 8.0, 16.0]):
+        qty = 1000.0 / price**2
+        li.append((1, qty, price * qty))
+    part.append((1, "ELASTIC"))
+    for i, price in enumerate([2.0, 4.0, 8.0]):
+        qty = 100.0 / price  # slope exactly -1: NOT strictly < -1
+        li.append((2, qty, price * qty))
+    part.append((2, "UNIT"))
+    sf = _lake(
+        spark,
+        tmp_path,
+        lineitem=(
+            li,
+            "l_partkey long, l_quantity double, l_extendedprice double",
+        ),
+        part=(part, "p_partkey long, p_brand string"),
+    )
+    out = {r["brand"]: r for r in
+           QS["price_elasticity_by_brand"](spark, sf).collect()}
+    assert out["ELASTIC"]["elasticity"] == -2.0
+    assert out["ELASTIC"]["r2"] == 1.0
+    assert out["ELASTIC"]["elastic"] is True
+    assert out["UNIT"]["elasticity"] == -1.0
+    assert out["UNIT"]["elastic"] is False
+
+
+# --------------------- anonymization ladder ------------------------
+
+
+def test_anonymization_ladder_coarsens_monotonically(spark, tmp_path):
+    # 3 nations in one region, 2 segments, unique balances: level 0
+    # is all-singletons (full suppression), coarser rungs shrink
+    # class counts monotonically and the '*' rung is always one class
+    cust = [
+        (i, f"c{i}", i % 3, float(i * 137), ["AUTO", "BUILDING"][i % 2])
+        for i in range(60)
+    ]
+    nation = [(0, "A", 7), (1, "B", 7), (2, "C", 7)]
+    sf = _lake(
+        spark,
+        tmp_path,
+        customer=(
+            cust,
+            "c_custkey long, c_name string, c_nationkey int, "
+            "c_acctbal double, c_mktsegment string",
+        ),
+        nation=(nation, "n_nationkey int, n_name string, n_regionkey int"),
+    )
+    out = QS["anonymization_ladder"](spark, sf).collect()
+    assert [r["level"] for r in out] == [0, 1, 2, 3, 4]
+    ncls = [r["n_classes"] for r in out]
+    assert ncls[0] == 60 and ncls == sorted(ncls, reverse=True)
+    assert out[0]["suppression_share"] == 1.0  # all singletons
+    # nation x segment: 6 classes of 10 -> k-anonymous at k=5
+    assert out[1]["n_classes"] == 6 and out[1]["k_anonymous"] is True
+    # one region: region|segment = 2 classes of 30
+    assert out[2]["n_classes"] == 2 and out[2]["k_min"] == 30
+    assert out[4]["n_classes"] == 1 and out[4]["k_min"] == 60
+    assert all(r["suppression_share"] == 0.0 for r in out[1:])
