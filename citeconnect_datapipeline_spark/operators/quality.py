@@ -1425,3 +1425,172 @@ def anonymization_ladder(
     for r in rungs[1:]:
         out = out.unionAll(r)
     return out.orderBy("level")
+
+
+@query(
+    "filter_shapley_attribution",
+    oracle="""
+    WITH flags AS (
+        SELECT CASE WHEN len(w) >= 40 THEN 1 ELSE 0 END AS a,
+               CASE WHEN CAST(len(list_distinct(w)) AS DOUBLE)
+                         / GREATEST(len(w), 1) >= 0.4
+                    THEN 1 ELSE 0 END AS b,
+               CASE WHEN CAST(len(list_filter(w, x ->
+                         list_contains(['the','a','an','and','of',
+                                        'to','in','is','on','for'],
+                                       x))) AS DOUBLE)
+                         / GREATEST(len(w), 1) >= 0.05
+                    THEN 1 ELSE 0 END AS c
+        FROM (
+            SELECT list_filter(
+                string_split_regex(lower(text), '[^a-z0-9]+'),
+                x -> x <> '') AS w
+            FROM documents
+        )
+    ),
+    p AS (
+        SELECT COUNT(*) AS n,
+               SUM(a) AS pa, SUM(b) AS pb, SUM(c) AS pc,
+               SUM(a * b) AS pab, SUM(a * c) AS pac,
+               SUM(b * c) AS pbc, SUM(a * b * c) AS pabc
+        FROM flags
+    ),
+    sv AS (
+        SELECT 'min_length' AS filter, n - pa AS solo_removed,
+               (2.0 * (n - pa) + 1.0 * (pb - pab)
+                + 1.0 * (pc - pac) + 2.0 * (pbc - pabc)) / 6
+                   AS shapley,
+               n - pabc AS total_removed, n
+        FROM p
+        UNION ALL
+        SELECT 'ttr', n - pb,
+               (2.0 * (n - pb) + 1.0 * (pa - pab)
+                + 1.0 * (pc - pbc) + 2.0 * (pac - pabc)) / 6,
+               n - pabc, n
+        FROM p
+        UNION ALL
+        SELECT 'stopword_ratio', n - pc,
+               (2.0 * (n - pc) + 1.0 * (pa - pac)
+                + 1.0 * (pb - pbc) + 2.0 * (pab - pabc)) / 6,
+               n - pabc, n
+        FROM p
+    )
+    SELECT filter,
+           CAST(solo_removed AS BIGINT) AS solo_removed,
+           ROUND(shapley, 6) AS shapley_removed,
+           ROUND(CASE WHEN total_removed > 0
+                      THEN shapley / total_removed ELSE 0 END, 6)
+               AS shapley_share,
+           CAST(total_removed AS BIGINT) AS coalition_removed,
+           CAST(n AS BIGINT) AS n_docs
+    FROM sv
+    ORDER BY filter
+    """,
+)
+def filter_shapley_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact Shapley attribution of the quality-filter stack — WHO
+    removed the docs? `filter_attrition_funnel` charges each doc to
+    the FIRST filter in pipeline order (order-dependent; swapping
+    two gates changes the story), Shapley values charge each filter
+    its marginal removal averaged over ALL 3! application orders
+    (Shapley 1953; the SHAP idea applied to pipeline stages) — the
+    order-free answer, with the efficiency property that the three
+    values sum EXACTLY to the full stack's removal count (asserted
+    by the planted test). Filters are the engine's standing gates:
+    token count >= 40, TTR >= 0.4, stopword ratio >= 0.05.
+
+    Scale shape: exact Shapley is exponential in FILTERS, not docs —
+    3 filters = 8 coalitions, and all 8 coalition pass-counts fall
+    out of ONE map-side-combinable aggregate over the doc-grain flag
+    pass (sums of flag products). The 3-row value table is pure
+    1-row arithmetic stacked; nothing downstream is corpus-grain.
+    The k-filter generalization keeps the same shape (2^k sums in
+    one aggregate) until k ~ 20, far past any real filter stack."""
+    docs = load_table(spark, sf_dir, "documents")
+    from .text import STOPWORDS, _words
+
+    w = F.filter(_words(), lambda x: x != "")
+    ntok = F.size(w)
+    ttr = F.size(F.array_distinct(w)).cast("double") / F.greatest(
+        ntok, F.lit(1)
+    )
+    stop = F.size(
+        F.filter(w, lambda x: x.isin(*STOPWORDS))
+    ).cast("double") / F.greatest(ntok, F.lit(1))
+    flags = docs.select(
+        (ntok >= 40).cast("int").alias("a"),
+        (ttr >= 0.4).cast("int").alias("b"),
+        (stop >= 0.05).cast("int").alias("c"),
+    )
+    p = flags.agg(
+        F.count("*").alias("n"),
+        F.sum("a").alias("pa"),
+        F.sum("b").alias("pb"),
+        F.sum("c").alias("pc"),
+        F.sum(F.col("a") * F.col("b")).alias("pab"),
+        F.sum(F.col("a") * F.col("c")).alias("pac"),
+        F.sum(F.col("b") * F.col("c")).alias("pbc"),
+        F.sum(F.col("a") * F.col("b") * F.col("c")).alias("pabc"),
+    )
+    n, pa, pb, pc = (F.col(x) for x in ("n", "pa", "pb", "pc"))
+    pab, pac, pbc, pabc = (
+        F.col(x) for x in ("pab", "pac", "pbc", "pabc")
+    )
+    rows = p.select(
+        F.stack(
+            F.lit(3),
+            F.lit("min_length"),
+            (n - pa).alias("s1"),
+            (
+                (
+                    2.0 * (n - pa)
+                    + 1.0 * (pb - pab)
+                    + 1.0 * (pc - pac)
+                    + 2.0 * (pbc - pabc)
+                )
+                / 6
+            ),
+            F.lit("ttr"),
+            (n - pb),
+            (
+                (
+                    2.0 * (n - pb)
+                    + 1.0 * (pa - pab)
+                    + 1.0 * (pc - pbc)
+                    + 2.0 * (pac - pabc)
+                )
+                / 6
+            ),
+            F.lit("stopword_ratio"),
+            (n - pc),
+            (
+                (
+                    2.0 * (n - pc)
+                    + 1.0 * (pa - pac)
+                    + 1.0 * (pb - pbc)
+                    + 2.0 * (pab - pabc)
+                )
+                / 6
+            ),
+        ).alias("filter", "solo_removed", "shapley"),
+        (n - pabc).alias("total_removed"),
+        n.alias("n"),
+    )
+    return rows.select(
+        "filter",
+        F.col("solo_removed").cast("bigint").alias("solo_removed"),
+        F.round("shapley", 6).alias("shapley_removed"),
+        F.round(
+            F.when(
+                F.col("total_removed") > 0,
+                F.col("shapley") / F.col("total_removed"),
+            ).otherwise(0.0),
+            6,
+        ).alias("shapley_share"),
+        F.col("total_removed").cast("bigint").alias(
+            "coalition_removed"
+        ),
+        F.col("n").cast("bigint").alias("n_docs"),
+    ).orderBy("filter")

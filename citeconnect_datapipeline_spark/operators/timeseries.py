@@ -2829,3 +2829,94 @@ def ljung_box_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(surv, 6).alias("p_value"),
         (surv > 0.05).alias("white_noise"),
     )
+
+
+EVT_EULER = 0.5772156649015329  # Euler-Mascheroni (Gumbel moment fit)
+
+
+@query(
+    "extreme_value_gumbel",
+    oracle=f"""
+    WITH daily AS (
+        SELECT o_orderdate AS d,
+               ROUND(SUM(o_totalprice) / 1e6, 6) AS x
+        FROM orders GROUP BY 1
+    ),
+    blocks AS (
+        SELECT date_trunc('month', CAST(d AS DATE)) AS mo,
+               MAX(x) AS mx
+        FROM daily GROUP BY 1
+    ),
+    fit AS (
+        SELECT COUNT(*) AS n_blocks,
+               AVG(mx) AS m,
+               stddev_samp(mx) AS s
+        FROM blocks
+    ),
+    params AS (
+        SELECT n_blocks,
+               s * SQRT(6) / PI() AS beta,
+               AVG_M - {EVT_EULER} * (s * SQRT(6) / PI()) AS mu
+        FROM (SELECT n_blocks, m AS AVG_M, s FROM fit)
+    )
+    SELECT CAST(n_blocks AS BIGINT) AS n_blocks,
+           ROUND(mu, 6) AS gumbel_mu,
+           ROUND(beta, 6) AS gumbel_beta,
+           ROUND(mu - beta * LN(-LN(1 - 1.0 / 12)), 6)
+               AS return_level_1y,
+           ROUND(mu - beta * LN(-LN(1 - 1.0 / 60)), 6)
+               AS return_level_5y,
+           ROUND(mu - beta * LN(-LN(1 - 1.0 / 120)), 6)
+               AS return_level_10y
+    FROM params
+    """,
+)
+def extreme_value_gumbel(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Extreme-value analysis of daily revenue: MONTHLY block maxima
+    fit to a Gumbel distribution by the method of moments (beta =
+    s*sqrt(6)/pi, mu = mean - gamma*beta — the closed-form EVT-I fit;
+    Gumbel is the max-domain limit for light-tailed daily sums, and
+    `hill_tail_index` is the screen that says when to upgrade to
+    Frechet/GPD instead), then inverted into RETURN LEVELS: the
+    daily-revenue (in $M) exceeded once a year / 5 years / 10 years
+    in expectation — the capacity-planning number (size the
+    settlement pipeline for the 10-year day, not the mean day).
+    x_T = mu - beta*ln(-ln(1 - 1/T)) with T in months.
+
+    Scale shape: corpus -> day grain -> month-grain maxima (both
+    calendar-bounded at any SF) -> one 1-row moment fit; the whole
+    EVT analysis is three map-side-combinable aggregates deep and
+    never corpus-grain after the first. Moments over the ~84-row
+    block table are engine-stable at the 6-dp pin."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.round(F.sum("o_totalprice") / 1e6, 6).alias("x")
+    )
+    blocks = daily.groupBy(
+        F.date_trunc("month", F.to_date("d")).alias("mo")
+    ).agg(F.max("x").alias("mx"))
+    fit = blocks.agg(
+        F.count("*").alias("n_blocks"),
+        F.avg("mx").alias("m"),
+        F.stddev_samp("mx").alias("s"),
+    )
+    import math
+
+    beta = F.col("s") * math.sqrt(6) / math.pi
+    mu = F.col("m") - EVT_EULER * beta
+
+    def rl(months: int):
+        return F.round(
+            mu - beta * math.log(-math.log(1 - 1.0 / months)), 6
+        )
+
+    return fit.select(
+        F.col("n_blocks").cast("bigint").alias("n_blocks"),
+        F.round(mu, 6).alias("gumbel_mu"),
+        F.round(beta, 6).alias("gumbel_beta"),
+        rl(12).alias("return_level_1y"),
+        rl(60).alias("return_level_5y"),
+        rl(120).alias("return_level_10y"),
+    )

@@ -1105,3 +1105,119 @@ def test_anonymization_ladder_coarsens_monotonically(spark, tmp_path):
     assert out[2]["n_classes"] == 2 and out[2]["k_min"] == 30
     assert out[4]["n_classes"] == 1 and out[4]["k_min"] == 60
     assert all(r["suppression_share"] == 0.0 for r in out[1:])
+
+
+# --------------------- filter Shapley attribution ------------------
+
+
+def _shap_doc(i, n_distinct, n_stop, pad_to):
+    # n_distinct unique tokens + n_stop stopwords, padded with "w0"
+    # repeats to pad_to tokens
+    toks = (
+        [f"u{i}x{j}" for j in range(n_distinct)]
+        + ["the"] * n_stop
+        + ["w0"] * (pad_to - n_distinct - n_stop)
+    )
+    text = " ".join(toks)
+    return (i, text, "en", "s", len(text))
+
+
+def test_shapley_charges_only_the_binding_filter(spark, tmp_path):
+    # every doc has TTR ~1 and stopword ratio >= 0.05; half are short
+    # -> ALL removal credit goes to min_length, others get 0
+    rows = [_shap_doc(i, 18, 2, 20) for i in range(10)] + [
+        _shap_doc(100 + i, 45, 3, 48) for i in range(10)
+    ]
+    sf = _lake(spark, tmp_path, documents=(rows, DOC_SCHEMA))
+    out = {r["filter"]: r for r in
+           QS["filter_shapley_attribution"](spark, sf).collect()}
+    assert out["min_length"]["shapley_removed"] == 10.0
+    assert out["min_length"]["solo_removed"] == 10
+    assert out["ttr"]["shapley_removed"] == 0.0
+    assert out["stopword_ratio"]["shapley_removed"] == 0.0
+    assert out["min_length"]["coalition_removed"] == 10
+
+
+def test_shapley_efficiency_sums_to_stack_removal(spark, tmp_path):
+    # mixed failure modes: the three values must sum EXACTLY to the
+    # docs the full stack removes, and redundant co-binding filters
+    # split credit (here a doc failing length AND ttr gives each 1/2)
+    rows = [
+        _shap_doc(0, 2, 1, 20),     # fails length + ttr (2/20 distinct-ish)
+        _shap_doc(1, 45, 3, 48),    # passes all
+        _shap_doc(2, 45, 0, 48),    # fails stopword only
+        _shap_doc(3, 18, 2, 20),    # fails length only
+    ]
+    sf = _lake(spark, tmp_path, documents=(rows, DOC_SCHEMA))
+    out = QS["filter_shapley_attribution"](spark, sf).collect()
+    total = out[0]["coalition_removed"]
+    assert total == 3
+    s = sum(r["shapley_removed"] for r in out)
+    assert abs(s - total) < 1e-9
+    by = {r["filter"]: r for r in out}
+    # doc0 splits between length and ttr; doc3 is length's alone
+    assert by["min_length"]["shapley_removed"] == 1.5
+    assert by["ttr"]["shapley_removed"] == 0.5
+    assert by["stopword_ratio"]["shapley_removed"] == 1.0
+
+
+# ---------------------- extreme value Gumbel -----------------------
+
+
+def test_gumbel_constant_maxima_collapse_to_point(spark, tmp_path):
+    # every month's max is 2.0 ($M): s = 0 -> beta 0, mu = 2, every
+    # return level = 2 (a degenerate but exactly-pinned fit)
+    rows = []
+    k = 0
+    for mo in range(1, 13):
+        for day in (3, 14):
+            rows.append(
+                (f"1996-{mo:02d}-{day:02d}", 2.0e6)
+            )
+            k += 1
+    sf = _lake(
+        spark,
+        tmp_path,
+        orders=(rows, "o_orderdate string, o_totalprice double"),
+    )
+    r = QS["extreme_value_gumbel"](spark, sf).collect()[0]
+    assert r["n_blocks"] == 12
+    assert r["gumbel_beta"] == 0.0 and r["gumbel_mu"] == 2.0
+    assert (
+        r["return_level_1y"]
+        == r["return_level_5y"]
+        == r["return_level_10y"]
+        == 2.0
+    )
+
+
+def test_gumbel_return_levels_increase_with_horizon(spark, tmp_path):
+    # alternating monthly maxima 1/3 ($M): moment fit is closed-form;
+    # return levels must strictly increase with the horizon and sit
+    # above the location parameter
+    import math
+
+    rows = []
+    for mo in range(1, 13):
+        mx = 3.0 if mo % 2 else 1.0
+        rows.append((f"1996-{mo:02d}-05", mx * 1e6))
+        rows.append((f"1996-{mo:02d}-20", 0.5e6))  # non-max day
+    sf = _lake(
+        spark,
+        tmp_path,
+        orders=(rows, "o_orderdate string, o_totalprice double"),
+    )
+    r = QS["extreme_value_gumbel"](spark, sf).collect()[0]
+    s = math.sqrt(sum((x - 2.0) ** 2 for x in [3.0, 1.0] * 6) / 11)
+    beta = s * math.sqrt(6) / math.pi
+    mu = 2.0 - 0.5772156649015329 * beta
+    assert r["gumbel_beta"] == round(beta, 6)
+    assert r["gumbel_mu"] == round(mu, 6)
+    assert (
+        r["gumbel_mu"]
+        < r["return_level_1y"]
+        < r["return_level_5y"]
+        < r["return_level_10y"]
+    )
+    expect_1y = mu - beta * math.log(-math.log(1 - 1 / 12))
+    assert r["return_level_1y"] == round(expect_1y, 6)
