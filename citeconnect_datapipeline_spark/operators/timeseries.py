@@ -2920,3 +2920,111 @@ def extreme_value_gumbel(
         rl(60).alias("return_level_5y"),
         rl(120).alias("return_level_10y"),
     )
+
+
+CCF_MAX_LAG = 6  # hours each side for the lead-lag sweep
+CCF_A, CCF_B = "view", "purchase"  # does A lead B?
+
+
+@query(
+    "ccf_leadlag",
+    oracle=f"""
+    WITH hourly AS (
+        SELECT CAST(date_diff('hour', TIMESTAMP '1970-01-01',
+                              ts) AS BIGINT) AS hr,
+               COUNT(*) FILTER (WHERE event_type = '{CCF_A}') AS na,
+               COUNT(*) FILTER (WHERE event_type = '{CCF_B}') AS nb
+        FROM events GROUP BY 1
+    ),
+    lags AS (
+        SELECT unnest(range(-{CCF_MAX_LAG}, {CCF_MAX_LAG} + 1))
+            AS lag
+    ),
+    ccf AS (
+        SELECT l.lag,
+               ROUND(corr(a.na, b.nb), 6) AS ccf,
+               COUNT(*) AS n_pairs
+        FROM lags l
+        JOIN hourly a ON TRUE
+        JOIN hourly b ON b.hr = a.hr + l.lag
+        GROUP BY 1
+    ),
+    peak AS (
+        SELECT lag AS peak_lag FROM ccf
+        WHERE ccf IS NOT NULL
+        QUALIFY ROW_NUMBER() OVER (ORDER BY ABS(ccf) DESC, lag) = 1
+    )
+    SELECT c.lag AS lag_hours,
+           CAST(c.n_pairs AS BIGINT) AS n_pairs,
+           c.ccf,
+           c.lag = p.peak_lag AS is_peak
+    FROM ccf c CROSS JOIN peak p
+    ORDER BY c.lag
+    """,
+)
+def ccf_leadlag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation function between the hourly '{a}' and
+    '{b}' event streams, lags -6..+6 hours — the lead-lag question
+    behind every funnel dashboard (does traffic LEAD conversions,
+    and by how long?): ccf(k) = corr(a_t, b_(t+k)); a peak at
+    POSITIVE k means {a} leads {b} by k hours (the planted test
+    forces exactly that), at k = 0 they co-move, at negative k the
+    'effect' precedes the 'cause' and the dashboard's causal story
+    is wrong. Completes the dependence toolkit: `acf_panel` is a
+    series vs itself, this is series vs series
+    (`spearman_signal_correlation` is the contemporaneous-only
+    special case, rank-robust).
+
+    Scale shape: the corpus collapses to ONE hour-grain pass
+    (conditional counts for both types — the slo_burn_alerts hour
+    key); the 13-row lag grid calendar-joins that bounded series;
+    Pearson per lag is a map-side-combinable corr aggregate; the
+    peak flag is a 1-row argmax broadcast. Hours with no events at
+    all drop out of the pairing (at stream density that is vacuum,
+    not signal; a spine join zero-fills if needed).""".format(
+        a=CCF_A, b=CCF_B
+    )
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        (F.unix_timestamp("ts") / 3600).cast("long").alias("hr")
+    ).agg(
+        F.count(F.when(F.col("event_type") == CCF_A, 1)).alias("na"),
+        F.count(F.when(F.col("event_type") == CCF_B, 1)).alias("nb"),
+    )
+    lags = spark.range(-CCF_MAX_LAG, CCF_MAX_LAG + 1).select(
+        F.col("id").cast("long").alias("lag")
+    )
+    a = hourly.select(F.col("hr").alias("ha"), "na")
+    b = hourly.select(F.col("hr").alias("hb"), "nb")
+    ccf = (
+        F.broadcast(lags)
+        .crossJoin(a)
+        .join(b, F.col("hb") == F.col("ha") + F.col("lag"))
+        .groupBy("lag")
+        .agg(
+            F.round(F.corr("na", "nb"), 6).alias("ccf"),
+            F.count("*").alias("n_pairs"),
+        )
+    )
+    peak = (
+        ccf.filter(F.col("ccf").isNotNull())
+        .agg(
+            F.max(
+                F.struct(
+                    F.abs(F.col("ccf")).alias("a"),
+                    (-F.col("lag")).alias("nl"),
+                )
+            ).alias("m")
+        )
+        .select((-F.col("m.nl")).alias("peak_lag"))
+    )
+    return (
+        ccf.crossJoin(F.broadcast(peak))
+        .select(
+            F.col("lag").alias("lag_hours"),
+            F.col("n_pairs").cast("bigint").alias("n_pairs"),
+            "ccf",
+            (F.col("lag") == F.col("peak_lag")).alias("is_peak"),
+        )
+        .orderBy("lag_hours")
+    )

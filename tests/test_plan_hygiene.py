@@ -49,6 +49,8 @@ NESTED_LOOP_OK = {
     # mean/SS scalar broadcast (both sides calendar-bounded)
     "ljung_box_test",  # acf_panel's lag-grid x day-grain join +
     # 1-row mean/SS broadcast, folded to the 1-row portmanteau
+    "ccf_leadlag",  # 13-row lag grid x hour-grain series + 1-row
+    # peak-argmax broadcast (the acf_panel shape, two series)
     "bh_fdr_slices",  # 1-row global-moments + 1-row step-up-cut
     # scalar broadcasts onto the 25-row brand panel
     "fellegi_sunter_em",  # 16-row pattern table x 1-row M-step

@@ -1221,3 +1221,40 @@ def test_gumbel_return_levels_increase_with_horizon(spark, tmp_path):
     )
     expect_1y = mu - beta * math.log(-math.log(1 - 1 / 12))
     assert r["return_level_1y"] == round(expect_1y, 6)
+
+
+# -------------------------- CCF lead-lag ---------------------------
+
+
+def test_ccf_peak_at_planted_two_hour_lead(spark, tmp_path):
+    # views at hour h with count 1+(h%5); purchases exactly 2 hours
+    # later with the SAME count pattern -> ccf(+2) = 1.0 is the peak
+    t0 = datetime.datetime(2024, 3, 1)
+    rows, eid = [], 0
+    for h in range(48):
+        c = 1 + (h % 5)
+        for k in range(c):
+            rows.append(
+                (eid, "view", t0 + datetime.timedelta(hours=h, minutes=k))
+            )
+            eid += 1
+        for k in range(c):
+            rows.append(
+                (
+                    eid,
+                    "purchase",
+                    t0 + datetime.timedelta(hours=h + 2, minutes=30 + k),
+                )
+            )
+            eid += 1
+    sf = _lake(
+        spark,
+        tmp_path,
+        events=(rows, "event_id long, event_type string, ts timestamp"),
+    )
+    out = {r["lag_hours"]: r for r in QS["ccf_leadlag"](spark, sf).collect()}
+    assert out[2]["ccf"] == 1.0
+    assert out[2]["is_peak"] is True
+    assert sum(1 for r in out.values() if r["is_peak"]) == 1
+    # contemporaneous correlation exists but is weaker than the lead
+    assert abs(out[0]["ccf"]) < 1.0
