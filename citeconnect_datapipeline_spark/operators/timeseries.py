@@ -3028,3 +3028,159 @@ def ccf_leadlag(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lag_hours")
     )
+
+
+HURST_SIZES = (8, 16, 32, 64)  # dyadic R/S block ladder
+
+
+@query(
+    "hurst_exponent_rs",
+    oracle=f"""
+    WITH daily AS (
+        SELECT o_orderdate AS d,
+               ROUND(SUM(o_totalprice) / 1e6, 6) AS x
+        FROM orders GROUP BY 1
+    ),
+    idx AS (
+        SELECT x, ROW_NUMBER() OVER (ORDER BY d) - 1 AS i
+        FROM daily
+    ),
+    sized AS (
+        SELECT s.m, idx.i, idx.x, idx.i // s.m AS blk
+        FROM (SELECT unnest([{", ".join(str(m) for m in HURST_SIZES)}])
+              AS m) s
+        JOIN idx ON TRUE
+    ),
+    winded AS (
+        SELECT m, blk, i, x,
+               AVG(x) OVER wb AS mu,
+               stddev_pop(x) OVER wb AS sd,
+               COUNT(*) OVER wb AS cnt
+        FROM sized
+        WINDOW wb AS (PARTITION BY m, blk)
+    ),
+    cumdev AS (
+        SELECT m, blk, sd, cnt,
+               SUM(x - mu) OVER (PARTITION BY m, blk ORDER BY i
+                                 ROWS UNBOUNDED PRECEDING) AS c
+        FROM winded
+    ),
+    blocks AS (
+        SELECT m, blk,
+               (MAX(c) - MIN(c)) / MAX(sd) AS rs
+        FROM cumdev
+        WHERE cnt = m AND sd > 0
+        GROUP BY 1, 2
+    ),
+    per_size AS (
+        SELECT m, COUNT(*) AS n_blocks,
+               ROUND(AVG(rs), 6) AS mean_rs
+        FROM blocks GROUP BY 1
+    ),
+    fit AS (
+        SELECT ROUND(regr_slope(LN(mean_rs), LN(CAST(m AS DOUBLE))),
+                     6) AS hurst
+        FROM per_size
+    )
+    SELECT CAST(p.m AS BIGINT) AS block_size,
+           CAST(p.n_blocks AS BIGINT) AS n_blocks,
+           p.mean_rs,
+           f.hurst,
+           CASE WHEN f.hurst > 0.55 THEN 'persistent'
+                WHEN f.hurst < 0.45 THEN 'anti-persistent'
+                ELSE 'random-walk' END AS regime
+    FROM per_size p CROSS JOIN fit f
+    ORDER BY block_size
+    """,
+)
+def hurst_exponent_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent by rescaled-range (R/S) analysis of daily
+    revenue (Hurst 1951; Mandelbrot's long-memory diagnostic): for
+    each dyadic block size m, split the day-indexed series into
+    m-day blocks, compute each block's rescaled range R/S (range of
+    the cumulative mean-deviation over the block stddev), and fit
+    log E[R/S] ~ H log m. H ~ 0.5 = short-memory noise (the
+    Ljung-Box world), H > 0.5 = long-range persistence (shocks
+    echo for months — forecast horizons and CUSUM thresholds must
+    widen), H < 0.5 = mean-reverting. The missing LONG-memory
+    screen between `acf_panel` (fixed small lags) and
+    `ljung_box_test` (their sum).
+
+    Scale shape: corpus -> day grain once; the 4-rung size ladder
+    replicates the CALENDAR-bounded series (4x ~2,400 rows, never
+    the corpus); everything else is windows PARTITIONED by (size,
+    block) over that bounded frame, a block-grain aggregate, a
+    4-row per-size table, and a 1-row regression broadcast.
+    Incomplete tail blocks and zero-variance blocks are dropped on
+    both engines before averaging."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.round(F.sum("o_totalprice") / 1e6, 6).alias("x")
+    )
+    idx = daily.select(
+        "x", (F.row_number().over(Window.orderBy("d")) - 1).alias("i")
+    )
+    sizes = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(m) for m in HURST_SIZES])
+        ).alias("m")
+    )
+    sized = F.broadcast(sizes).crossJoin(idx).select(
+        "m", "i", "x", (F.col("i") / F.col("m")).cast("long").alias("blk")
+    )
+    wb = Window.partitionBy("m", "blk")
+    wc = (
+        Window.partitionBy("m", "blk")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    winded = sized.select(
+        "m",
+        "blk",
+        "i",
+        "x",
+        F.avg("x").over(wb).alias("mu"),
+        F.stddev_pop("x").over(wb).alias("sd"),
+        F.count("*").over(wb).alias("cnt"),
+    )
+    cumdev = winded.select(
+        "m",
+        "blk",
+        "sd",
+        "cnt",
+        F.sum(F.col("x") - F.col("mu")).over(wc).alias("c"),
+    )
+    blocks = (
+        cumdev.filter((F.col("cnt") == F.col("m")) & (F.col("sd") > 0))
+        .groupBy("m", "blk")
+        .agg(
+            ((F.max("c") - F.min("c")) / F.max("sd")).alias("rs")
+        )
+    )
+    per_size = blocks.groupBy("m").agg(
+        F.count("*").alias("n_blocks"),
+        F.round(F.avg("rs"), 6).alias("mean_rs"),
+    )
+    fit = per_size.agg(
+        F.round(
+            F.regr_slope(
+                F.log(F.col("mean_rs")),
+                F.log(F.col("m").cast("double")),
+            ),
+            6,
+        ).alias("hurst")
+    )
+    return (
+        per_size.crossJoin(F.broadcast(fit))
+        .select(
+            F.col("m").cast("bigint").alias("block_size"),
+            F.col("n_blocks").cast("bigint").alias("n_blocks"),
+            "mean_rs",
+            "hurst",
+            F.when(F.col("hurst") > 0.55, "persistent")
+            .when(F.col("hurst") < 0.45, "anti-persistent")
+            .otherwise("random-walk")
+            .alias("regime"),
+        )
+        .orderBy("block_size")
+    )

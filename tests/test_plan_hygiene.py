@@ -51,6 +51,8 @@ NESTED_LOOP_OK = {
     # 1-row mean/SS broadcast, folded to the 1-row portmanteau
     "ccf_leadlag",  # 13-row lag grid x hour-grain series + 1-row
     # peak-argmax broadcast (the acf_panel shape, two series)
+    "hurst_exponent_rs",  # 4-rung literal size ladder x the
+    # day-grain series + 1-row H-fit broadcast onto 4 rows
     "bh_fdr_slices",  # 1-row global-moments + 1-row step-up-cut
     # scalar broadcasts onto the 25-row brand panel
     "fellegi_sunter_em",  # 16-row pattern table x 1-row M-step
@@ -220,6 +222,8 @@ BUILD_EXECUTES = {
 UNPARTITIONED_WINDOW_OK = {
     "selection_tradeoff_curve",  # cumulative selection walk over
     # the fixed 10-row decile grid (lorenz-decile boundedness)
+    "hurst_exponent_rs",  # day-index row_number over the
+    # calendar-bounded daily series (acf_panel's boundedness)
     "ann_ivf_portable",  # seed numbering over the 8-row md5-order
     # limit (bounded by K); the assignment argmin window is
     # partitioned by vec_id

@@ -1258,3 +1258,29 @@ def test_ccf_peak_at_planted_two_hour_lead(spark, tmp_path):
     assert sum(1 for r in out.values() if r["is_peak"]) == 1
     # contemporaneous correlation exists but is weaker than the lead
     assert abs(out[0]["ccf"]) < 1.0
+
+
+# ------------------------- Hurst exponent --------------------------
+
+
+def test_hurst_trend_is_persistent_alternation_is_not(
+    spark, tmp_path
+):
+    # a pure linear trend has H ~ 1 (every shock persists); a
+    # period-2 alternation has H ~ 0 (instant mean reversion)
+    sf = _daily_lake(spark, tmp_path, [float(i) for i in range(256)])
+    out = QS["hurst_exponent_rs"](spark, sf).collect()
+    assert [r["block_size"] for r in out] == [8, 16, 32, 64]
+    assert out[0]["n_blocks"] == 32 and out[3]["n_blocks"] == 4
+    assert out[0]["hurst"] > 0.9
+    assert all(r["regime"] == "persistent" for r in out)
+    # mean R/S grows with block size under persistence
+    rs = [r["mean_rs"] for r in out]
+    assert rs == sorted(rs)
+
+    sf2 = _daily_lake(
+        spark, tmp_path / "alt", [1.0, 9.0] * 128
+    )
+    out2 = QS["hurst_exponent_rs"](spark, sf2).collect()
+    assert out2[0]["hurst"] < 0.1
+    assert all(r["regime"] == "anti-persistent" for r in out2)
