@@ -2921,3 +2921,91 @@ def stylometry_burrows_delta(
         )
         .orderBy("delta", "source_a", "source_b")
     )
+
+
+WB_MIN_CF = 20  # corpus-frequency floor for the burstiness panel
+WB_TOPK = 30
+
+
+@query(
+    "word_burstiness_topk",
+    oracle=f"""
+    WITH dw AS (
+        SELECT doc_id, word, COUNT(*) AS c
+        FROM (
+            SELECT doc_id, unnest(list_filter(
+                string_split_regex(lower(text), '[^a-z0-9]+'),
+                x -> x <> '')) AS word
+            FROM documents
+        )
+        GROUP BY 1, 2
+    ),
+    nn AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n
+           FROM documents),
+    wstats AS (
+        SELECT word, SUM(c) AS cf, COUNT(*) AS df
+        FROM dw GROUP BY 1
+    )
+    SELECT w.word,
+           CAST(w.cf AS BIGINT) AS cf,
+           CAST(w.df AS BIGINT) AS df,
+           ROUND(nn.n * (1 - EXP(-w.cf / nn.n)), 6) AS expected_df,
+           ROUND(nn.n * (1 - EXP(-w.cf / nn.n)) / w.df, 6)
+               AS burstiness,
+           ROUND(w.cf * 1.0 / w.df, 6) AS mean_occ_per_doc
+    FROM wstats w CROSS JOIN nn
+    WHERE w.cf >= {WB_MIN_CF}
+    ORDER BY ROUND(nn.n * (1 - EXP(-w.cf / nn.n)) / w.df, 6) DESC,
+             w.word
+    LIMIT {WB_TOPK}
+    """,
+)
+def word_burstiness_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Word burstiness (Church & Gale 1995): content words do not
+    scatter Poisson-randomly — they BURST (a document about a topic
+    repeats its terms). For each word with corpus frequency >= 20,
+    compare the document frequency a homogeneous Poisson would
+    predict (N(1 - e^(-cf/N))) with the observed df; the ratio > 1
+    measures concentration. The burstiest words are the topical /
+    template vocabulary (`doc_repetition_topk` finds within-doc
+    repeats; this finds cross-corpus concentration — the IDF
+    assumption-checker for the BM25/TF-IDF rankers, which model df,
+    not cf, precisely BECAUSE of burstiness).
+
+    Scale shape: one (doc, word) count pass (Heaps-bounded), one
+    vocab-grain rollup, a 1-row doc-count broadcast, and a
+    TakeOrdered 30-row head — no windows, no joins beyond the
+    scalar. exp over exact-int ratios is engine-stable at the
+    6-dp pin (ordering key is the ROUNDED ratio on both sides)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.filter(_words(), lambda x: x != "")
+    dw = (
+        docs.select("doc_id", F.explode(w).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("c"))
+    )
+    nn = docs.agg(
+        F.countDistinct("doc_id").cast("double").alias("n")
+    )
+    wstats = dw.groupBy("word").agg(
+        F.sum("c").alias("cf"), F.count("*").alias("df")
+    )
+    exp_df = F.col("n") * (1 - F.exp(-F.col("cf") / F.col("n")))
+    return (
+        wstats.filter(F.col("cf") >= WB_MIN_CF)
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "word",
+            F.col("cf").cast("bigint").alias("cf"),
+            F.col("df").cast("bigint").alias("df"),
+            F.round(exp_df, 6).alias("expected_df"),
+            F.round(exp_df / F.col("df"), 6).alias("burstiness"),
+            F.round(F.col("cf") * 1.0 / F.col("df"), 6).alias(
+                "mean_occ_per_doc"
+            ),
+        )
+        .orderBy(F.desc("burstiness"), "word")
+        .limit(WB_TOPK)
+    )

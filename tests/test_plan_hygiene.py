@@ -51,6 +51,8 @@ NESTED_LOOP_OK = {
     # 1-row mean/SS broadcast, folded to the 1-row portmanteau
     "ccf_leadlag",  # 13-row lag grid x hour-grain series + 1-row
     # peak-argmax broadcast (the acf_panel shape, two series)
+    "word_burstiness_topk",  # 1-row doc-count scalar broadcast onto
+    # the vocab-grain stats (tfidf_top_terms' corpus-size shape)
     "hurst_exponent_rs",  # 4-rung literal size ladder x the
     # day-grain series + 1-row H-fit broadcast onto 4 rows
     "bh_fdr_slices",  # 1-row global-moments + 1-row step-up-cut

@@ -1284,3 +1284,31 @@ def test_hurst_trend_is_persistent_alternation_is_not(
     out2 = QS["hurst_exponent_rs"](spark, sf2).collect()
     assert out2[0]["hurst"] < 0.1
     assert all(r["regime"] == "anti-persistent" for r in out2)
+
+
+# ------------------------ word burstiness --------------------------
+
+
+def test_burstiness_separates_bursty_from_scattered(spark, tmp_path):
+    # "lava" occurs 30 times but only inside 2 of 30 docs (bursty);
+    # "glue" occurs once in every doc (maximally scattered): the
+    # Poisson model expects lava in ~19 docs -> burstiness >> 1,
+    # while glue's observed df EXCEEDS the Poisson expectation ->
+    # burstiness < 1
+    rows = []
+    for i in range(30):
+        extra = " lava" * 15 if i < 2 else ""
+        text = ("glue " + f"filler{i} " * 5) + extra
+        rows.append((i, text, "en", "s", len(text)))
+    sf = _lake(spark, tmp_path, documents=(rows, DOC_SCHEMA))
+    out = {r["word"]: r for r in
+           QS["word_burstiness_topk"](spark, sf).collect()}
+    assert set(out) == {"lava", "glue"}  # only cf >= 20 words
+    lava, glue = out["lava"], out["glue"]
+    assert lava["cf"] == 30 and lava["df"] == 2
+    assert glue["cf"] == 30 and glue["df"] == 30
+    assert lava["burstiness"] > 5
+    assert glue["burstiness"] < 1
+    assert lava["mean_occ_per_doc"] == 15.0
+    # expected_df identical for equal cf: the ratio is all df
+    assert lava["expected_df"] == glue["expected_df"]
