@@ -3308,3 +3308,183 @@ def price_elasticity_by_brand(
         )
         .orderBy("brand")
     )
+
+
+IPW_CLIP = 0.01  # propensity clip (positivity guard)
+
+
+@query(
+    "ipw_treatment_effect",
+    oracle=f"""
+    WITH base AS (
+        SELECT p.p_brand AS brand,
+               CASE WHEN p.p_type LIKE 'PROMO%' THEN 1 ELSE 0 END
+                   AS t,
+               l.l_extendedprice * (1 - l.l_discount) AS y
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    prop AS (
+        SELECT brand,
+               LEAST(GREATEST(AVG(t * 1.0), {IPW_CLIP}),
+                     1 - {IPW_CLIP}) AS e
+        FROM base GROUP BY 1
+    ),
+    wtd AS (
+        SELECT b.t, b.y, p.e FROM base b JOIN prop p USING (brand)
+    )
+    SELECT CAST(SUM(t) AS BIGINT) AS n_treat,
+           CAST(SUM(1 - t) AS BIGINT) AS n_ctrl,
+           ROUND(SUM(t * y) / SUM(t)
+                 - SUM((1 - t) * y) / SUM(1 - t), 6) AS naive_diff,
+           ROUND(SUM(t * y / e) / SUM(t * 1.0 / e)
+                 - SUM((1 - t) * y / (1 - e))
+                   / SUM((1 - t) * 1.0 / (1 - e)), 6) AS ipw_ate,
+           ROUND(MIN(e), 6) AS min_propensity,
+           ROUND(MAX(e), 6) AS max_propensity
+    FROM wtd
+    """,
+)
+def ipw_treatment_effect(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Inverse-propensity-weighted average treatment effect of promo
+    part types on line revenue — observational causal inference
+    beside the experimental family (`welch_ttest_slices` assumes
+    randomization; promo assignment is NOT random, it varies by
+    brand): propensity e(brand) = P(promo | brand), each unit
+    weighted 1/e (treated) or 1/(1-e) (control), Hajek-stabilized
+    (ratio of weighted sums, Horvitz-Thompson's variance fix),
+    propensities clipped to [0.01, 0.99] for positivity. naive_diff
+    beside ipw_ate IS the confounding read: they diverge exactly
+    when brand mix differs across arms (the planted test forces
+    that divergence and IPW's recovery of the true null).
+
+    Scale shape: one fact-dim join, a brand-grain propensity
+    aggregate broadcast back (25 rows), and ONE map-side-combinable
+    weighted-moment aggregate to a single row — the welch shape
+    with weights. The brand-grain model generalizes to any discrete
+    confounder grid; continuous confounders bucket to
+    percentile-boundary cells first (the lorenz discipline)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    base = li.join(part, li.l_partkey == part.p_partkey).select(
+        F.col("p_brand").alias("brand"),
+        F.when(F.col("p_type").startswith("PROMO"), 1)
+        .otherwise(0)
+        .alias("t"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "y"
+        ),
+    )
+    prop = base.groupBy("brand").agg(
+        F.least(
+            F.greatest(F.avg(F.col("t") * 1.0), F.lit(IPW_CLIP)),
+            F.lit(1 - IPW_CLIP),
+        ).alias("e")
+    )
+    wtd = base.join(F.broadcast(prop), "brand")
+    t, y, e = F.col("t"), F.col("y"), F.col("e")
+    return wtd.agg(
+        F.sum(t).cast("bigint").alias("n_treat"),
+        F.sum(1 - t).cast("bigint").alias("n_ctrl"),
+        F.round(
+            F.sum(t * y) / F.sum(t) - F.sum((1 - t) * y) / F.sum(1 - t),
+            6,
+        ).alias("naive_diff"),
+        F.round(
+            F.sum(t * y / e) / F.sum(t * 1.0 / e)
+            - F.sum((1 - t) * y / (1 - e))
+            / F.sum((1 - t) * 1.0 / (1 - e)),
+            6,
+        ).alias("ipw_ate"),
+        F.round(F.min("e"), 6).alias("min_propensity"),
+        F.round(F.max("e"), 6).alias("max_propensity"),
+    )
+
+
+DID_SPLIT = "1996-01-01"  # pre/post boundary for the DiD panel
+DID_SEGMENT = "BUILDING"  # 'treated' cohort
+
+
+@query(
+    "diff_in_diff_revenue",
+    oracle=f"""
+    WITH cells AS (
+        SELECT CASE WHEN c.c_mktsegment = '{DID_SEGMENT}'
+                    THEN 1 ELSE 0 END AS treated,
+               CASE WHEN o.o_orderdate >= TIMESTAMP '{DID_SPLIT}'
+                    THEN 1 ELSE 0 END AS post,
+               o.o_totalprice AS y
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    )
+    SELECT CAST(SUM(CASE WHEN treated = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_treated,
+           ROUND(AVG(CASE WHEN treated = 1 AND post = 0 THEN y END),
+                 6) AS pre_treated,
+           ROUND(AVG(CASE WHEN treated = 1 AND post = 1 THEN y END),
+                 6) AS post_treated,
+           ROUND(AVG(CASE WHEN treated = 0 AND post = 0 THEN y END),
+                 6) AS pre_control,
+           ROUND(AVG(CASE WHEN treated = 0 AND post = 1 THEN y END),
+                 6) AS post_control,
+           ROUND(
+               (AVG(CASE WHEN treated = 1 AND post = 1 THEN y END)
+                - AVG(CASE WHEN treated = 1 AND post = 0 THEN y END))
+               - (AVG(CASE WHEN treated = 0 AND post = 1 THEN y END)
+                  - AVG(CASE WHEN treated = 0 AND post = 0 THEN y END)
+                 ), 6) AS did_estimate
+    FROM cells
+    """,
+)
+def diff_in_diff_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Difference-in-differences on mean order value: the BUILDING
+    segment ('treated' by some 1996 intervention) vs everyone else,
+    before vs after the split date — the workhorse quasi-experiment
+    when randomization is impossible and IPW's no-unmeasured-
+    confounding is too strong: any time-invariant segment
+    difference cancels in the first difference, any common shock
+    cancels in the second, and what is left (did_estimate) is the
+    treatment effect under parallel trends. The four cell means are
+    emitted so the analyst can check that pre-period levels differ
+    (why naive post-only comparison would lie) and plot the trends.
+
+    Scale shape: one fact-dim join and ONE conditional-aggregate
+    pass to a single row — the 2x2 panel is entirely
+    map-side-combinable CASE arithmetic, the cheapest causal
+    estimator a lake can run."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    cells = orders.join(
+        cust, orders.o_custkey == cust.c_custkey
+    ).select(
+        F.when(F.col("c_mktsegment") == DID_SEGMENT, 1)
+        .otherwise(0)
+        .alias("treated"),
+        F.when(F.col("o_orderdate") >= F.lit(DID_SPLIT), 1)
+        .otherwise(0)
+        .alias("post"),
+        F.col("o_totalprice").alias("y"),
+    )
+
+    def cell(tr, po):
+        return F.avg(
+            F.when(
+                (F.col("treated") == tr) & (F.col("post") == po),
+                F.col("y"),
+            )
+        )
+
+    return cells.agg(
+        F.sum(F.when(F.col("treated") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_treated"),
+        F.round(cell(1, 0), 6).alias("pre_treated"),
+        F.round(cell(1, 1), 6).alias("post_treated"),
+        F.round(cell(0, 0), 6).alias("pre_control"),
+        F.round(cell(0, 1), 6).alias("post_control"),
+        F.round(
+            (cell(1, 1) - cell(1, 0)) - (cell(0, 1) - cell(0, 0)), 6
+        ).alias("did_estimate"),
+    )

@@ -451,6 +451,8 @@ def test_neardup_components_pair_stage_has_no_forced_broadcast(spark):
 BROADCAST_GRAIN_OK = {
     "decision_stump_portable",  # per-feature totals: 2 rows (the
     # fixed feature panel), built from value-grain cells
+    "ipw_treatment_effect",  # brand-grain propensity model: 25
+    # fixed p_brand labels at every TPC-H SF
     "changepoint_binary_seg",  # priority-grain totals (n, S, Q):
     # 5 fixed o_orderpriority labels at every TPC-H SF
     "ab_srm_audit",  # method x arm aggregate: 2 methods x 2 arms

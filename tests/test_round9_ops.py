@@ -1312,3 +1312,66 @@ def test_burstiness_separates_bursty_from_scattered(spark, tmp_path):
     assert lava["mean_occ_per_doc"] == 15.0
     # expected_df identical for equal cf: the ratio is all df
     assert lava["expected_df"] == glue["expected_df"]
+
+
+# --------------------------- IPW / DiD -----------------------------
+
+
+def test_ipw_removes_planted_brand_confounding(spark, tmp_path):
+    # No true effect: y is 100 on brand H, 10 on brand L regardless
+    # of treatment — but H is 80% promo and L 20%, so the naive diff
+    # is strongly positive while IPW recovers 0
+    li, part = [], []
+    pk = 0
+    for brand, y, n_treat in (("H", 100.0, 80), ("L", 10.0, 20)):
+        for i in range(100):
+            promo = i < n_treat
+            part.append(
+                (pk, f"Brand#{brand}", "PROMO STUFF" if promo else "STD STUFF")
+            )
+            li.append((pk, y, 0.0))
+            pk += 1
+    sf = _lake(
+        spark,
+        tmp_path,
+        lineitem=(
+            li,
+            "l_partkey long, l_extendedprice double, l_discount double",
+        ),
+        part=(part, "p_partkey long, p_brand string, p_type string"),
+    )
+    r = QS["ipw_treatment_effect"](spark, sf).collect()[0]
+    assert r["n_treat"] == 100 and r["n_ctrl"] == 100
+    assert r["naive_diff"] == 54.0  # 82 - 28: pure confounding
+    assert r["ipw_ate"] == 0.0
+    assert r["min_propensity"] == 0.2 and r["max_propensity"] == 0.8
+
+
+def test_did_recovers_planted_effect_under_common_trend(
+    spark, tmp_path
+):
+    # treated: 10 -> 25 (own trend +10, effect +5); control: 20 -> 30
+    # (trend +10). DiD = 5; naive post-only diff would read -5.
+    orders, cust = [], []
+    cust.append((1, "BUILDING"))
+    cust.append((2, "AUTO"))
+    k = 0
+    for (ck, pre, post) in ((1, 10.0, 25.0), (2, 20.0, 30.0)):
+        for i in range(50):
+            orders.append((k, ck, "1995-06-01", pre)); k += 1
+            orders.append((k, ck, "1997-06-01", post)); k += 1
+    sf = _lake(
+        spark,
+        tmp_path,
+        orders=(
+            orders,
+            "o_orderkey long, o_custkey long, o_orderdate string, "
+            "o_totalprice double",
+        ),
+        customer=(cust, "c_custkey long, c_mktsegment string"),
+    )
+    r = QS["diff_in_diff_revenue"](spark, sf).collect()[0]
+    assert r["pre_treated"] == 10.0 and r["post_treated"] == 25.0
+    assert r["pre_control"] == 20.0 and r["post_control"] == 30.0
+    assert r["did_estimate"] == 5.0
+    assert r["n_treated"] == 100

@@ -73,13 +73,15 @@ def build_scaled(spark, scale: int) -> str:
     out = os.path.join(WORK, f"x{scale}")
     emb_out = os.path.join(out, "embeddings.parquet")
     li_out = os.path.join(out, "lineitem.parquet")
+    cust_out = os.path.join(out, "customer.parquet")
     if (
         os.path.exists(os.path.join(out, "documents.parquet"))
         and os.path.isdir(emb_out)
         and os.path.isdir(li_out)
+        and os.path.isdir(cust_out)
     ):
         return out
-    for stale in (emb_out, li_out) + tuple(
+    for stale in (emb_out, li_out, cust_out) + tuple(
         os.path.join(out, f"{t}.parquet")
         for t in ("orders", "events")
     ):
@@ -170,9 +172,30 @@ def build_scaled(spark, scale: int) -> str:
         .write.mode("overwrite")
         .parquet(os.path.join(out, "events.parquet"))
     )
+    # customer scales too (round 9): id-shifted replicas with a
+    # per-replica name prefix, so record-linkage blocks GROW with
+    # the corpus (the sorted-neighborhood / k-anonymity regime)
+    cust = spark.read.parquet(os.path.join(BASE, "customer.parquet"))
+    ck_shift = cust.agg(F.max("c_custkey")).first()[0] + 1
+    (
+        cust.crossJoin(reps)
+        .withColumn(
+            "c_custkey", F.col("c_custkey") + F.col("rep") * ck_shift
+        )
+        .withColumn(
+            "c_name",
+            F.concat(
+                F.lit("rep"), F.col("rep").cast("string"),
+                F.lit("-"), F.col("c_name"),
+            ),
+        )
+        .drop("rep")
+        .write.mode("overwrite")
+        .parquet(cust_out)
+    )
     # remaining dims are lookup-only; link them unscaled
     for t in (
-        "region nation customer supplier part"
+        "region nation supplier part"
     ).split():
         src = os.path.join(BASE, f"{t}.parquet")
         dst = os.path.join(out, f"{t}.parquet")
