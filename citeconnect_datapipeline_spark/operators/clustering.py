@@ -451,14 +451,50 @@ KMP_K = 4  # portable-twin cluster count
 KMP_ITERS = 2  # unrolled Lloyd rounds
 
 
-def _kmp_oracle() -> str:
-    """Unrolled-CTE oracle for kmeans_portable: Lloyd's iteration is
-    loop-carried, so KMP_ITERS rounds are spelled out. Distances use
-    the |v|^2 - 2 v.c + |c|^2 expansion; every centroid component and
-    every distance is rounded at 6 dp before any comparison (the
-    registry float contract), so argmin assignment cannot diverge
-    between engines."""
-    head = f"""
+def _kmp_round_ctes() -> str:
+    """The KMP_ITERS unrolled Lloyd rounds as DuckDB CTEs, shared by
+    `kmeans_portable` and `silhouette_portable`: each round emits the
+    FULL (vec, cluster) rounded distance table d{t}, the argmin
+    assignment a{t} derived from it, and the 6-dp centroid update
+    c{t}. Keeping d{t} explicit is what lets the silhouette tail read
+    second-best distances without re-deriving the chain."""
+    steps = []
+    prev = "c0"
+    for t in range(1, KMP_ITERS + 1):
+        steps.append(f""",
+    n{t} AS (
+        SELECT cluster, SUM(cval * cval) AS c2 FROM {prev} GROUP BY 1
+    ),
+    s{t} AS (
+        SELECT v.vec_id, c.cluster, SUM(v.val * c.cval) AS dot
+        FROM vdim v JOIN {prev} c USING (dim)
+        GROUP BY 1, 2
+    ),
+    d{t} AS (
+        SELECT s.vec_id, s.cluster,
+               ROUND(v2.v2 - 2 * s.dot + n{t}.c2, 6) AS d2
+        FROM s{t} s
+        JOIN v2 USING (vec_id)
+        JOIN n{t} USING (cluster)
+    ),
+    a{t} AS (
+        SELECT vec_id, cluster, d2
+        FROM d{t}
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY vec_id ORDER BY d2, cluster
+        ) = 1
+    ),
+    c{t} AS (
+        SELECT a.cluster, v.dim, ROUND(AVG(v.val), 6) AS cval
+        FROM a{t} a JOIN vdim v USING (vec_id)
+        GROUP BY 1, 2
+    )""")
+        prev = f"c{t}"
+    return "".join(steps)
+
+
+def _kmp_head() -> str:
+    return f"""
     WITH seeds AS (
         SELECT vec_id, embedding,
                ROW_NUMBER() OVER (
@@ -480,37 +516,18 @@ def _kmp_oracle() -> str:
                CAST(unnest(embedding) AS DOUBLE) AS cval
         FROM seeds
     )"""
-    steps = []
-    prev = "c0"
-    for t in range(1, KMP_ITERS + 1):
-        steps.append(f""",
-    n{t} AS (
-        SELECT cluster, SUM(cval * cval) AS c2 FROM {prev} GROUP BY 1
-    ),
-    s{t} AS (
-        SELECT v.vec_id, c.cluster, SUM(v.val * c.cval) AS dot
-        FROM vdim v JOIN {prev} c USING (dim)
-        GROUP BY 1, 2
-    ),
-    a{t} AS (
-        SELECT s.vec_id, s.cluster,
-               ROUND(v2.v2 - 2 * s.dot + n{t}.c2, 6) AS d2
-        FROM s{t} s
-        JOIN v2 USING (vec_id)
-        JOIN n{t} USING (cluster)
-        QUALIFY ROW_NUMBER() OVER (
-            PARTITION BY s.vec_id
-            ORDER BY ROUND(v2.v2 - 2 * s.dot + n{t}.c2, 6), s.cluster
-        ) = 1
-    ),
-    c{t} AS (
-        SELECT a.cluster, v.dim, ROUND(AVG(v.val), 6) AS cval
-        FROM a{t} a JOIN vdim v USING (vec_id)
-        GROUP BY 1, 2
-    )""")
-        prev = f"c{t}"
+
+
+def _kmp_oracle() -> str:
+    """Unrolled-CTE oracle for kmeans_portable: Lloyd's iteration is
+    loop-carried, so KMP_ITERS rounds are spelled out. Distances use
+    the |v|^2 - 2 v.c + |c|^2 expansion; every centroid component and
+    every distance is rounded at 6 dp before any comparison (the
+    registry float contract), so argmin assignment cannot diverge
+    between engines."""
+    head = _kmp_head()
     last = f"a{KMP_ITERS}"
-    return head + "".join(steps) + f""",
+    return head + _kmp_round_ctes() + f""",
     lab AS (
         SELECT a.cluster, e.label, COUNT(*) AS n
         FROM {last} a JOIN embeddings e USING (vec_id)
@@ -534,33 +551,16 @@ def _kmp_oracle() -> str:
     """
 
 
-@query("kmeans_portable", oracle=_kmp_oracle())
-def kmeans_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Value-verified k-means twin: 2 Lloyd rounds with k=4,
-    md5(vec_id)-order seeding (the SAME init rule as the
-    production `kmeans_clusters` loop above), unrolled as declarative
-    plan stages so DuckDB can replay it CTE-for-CTE — the clustering
-    family's answer to the minhash/simhash portable twins: the
-    production loop keeps its driver-held k x d matrix and GEMM
-    assignment (rows-only by contract), this twin hash-verifies the
-    Lloyd semantics value-for-value (assignments, inertia, label
-    purity per cluster).
-
-    In-plane form: vectors exploded to (vec_id, dim, val) ONCE;
-    each round is dim-keyed join against the 256-row centroid table
-    (broadcast), a (vec, cluster) partial-sum shuffle, an argmin
-    window partitioned by vec_id, and a (cluster, dim) mean.
-    The per-round centroid table is COLLECTED (k x d = 256 doubles,
-    the k-means O(model)-per-round contract) and re-injected as a
-    local relation: leaving it lazy made every downstream reference
-    re-derive all prior rounds, compounding to 25 scans of the base
-    relation in the optimized plan (the same disease the round-5
-    verdict flagged on pca_power_portable; caught for this query by
-    tests/test_plan_hygiene.py's scan-count guard). Distances
-    use |v|^2 - 2v.c + |c|^2 with 6-dp rounding before every argmin
-    so fp association order cannot flip an assignment; centroid
-    means are rounded at 6 dp on both engines BEFORE collection, so
-    the pinned literals are bit-identical to the lazy values."""
+def _kmp_spark_chain(spark: SparkSession, sf_dir: str):
+    """Spark side of the shared portable-Lloyd chain (mirrors
+    `_kmp_round_ctes`): runs the KMP_ITERS unrolled rounds with the
+    per-round k x d centroid table COLLECTED and re-injected as a
+    literal (the O(model)-per-round contract that keeps the optimized
+    plan from re-deriving prior rounds), and returns (d2, assign,
+    emb): the FULL last-round (vec, cluster) rounded distance table,
+    its argmin assignment, and the embeddings frame. Consumed by
+    `kmeans_portable` (inertia/purity tail) and
+    `silhouette_portable` (second-best-distance tail)."""
     emb = load_table(spark, sf_dir, "embeddings")
     vec = F.col("embedding").cast("array<double>")
     seeds = (
@@ -603,7 +603,7 @@ def kmeans_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("col").alias("cval"),
         )
     )
-    assign = None
+    d2 = assign = None
     for it in range(KMP_ITERS):
         if it > 0:
             cdim = _pin(cdim)
@@ -637,6 +637,37 @@ def kmeans_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("cluster", "dim")
             .agg(F.round(F.avg("val"), 6).alias("cval"))
         )
+    return d2, assign, emb
+
+
+@query("kmeans_portable", oracle=_kmp_oracle())
+def kmeans_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-verified k-means twin: 2 Lloyd rounds with k=4,
+    md5(vec_id)-order seeding (the SAME init rule as the
+    production `kmeans_clusters` loop above), unrolled as declarative
+    plan stages so DuckDB can replay it CTE-for-CTE — the clustering
+    family's answer to the minhash/simhash portable twins: the
+    production loop keeps its driver-held k x d matrix and GEMM
+    assignment (rows-only by contract), this twin hash-verifies the
+    Lloyd semantics value-for-value (assignments, inertia, label
+    purity per cluster).
+
+    In-plane form: vectors exploded to (vec_id, dim, val) ONCE;
+    each round is dim-keyed join against the 256-row centroid table
+    (broadcast), a (vec, cluster) partial-sum shuffle, an argmin
+    window partitioned by vec_id, and a (cluster, dim) mean.
+    The per-round centroid table is COLLECTED (k x d = 256 doubles,
+    the k-means O(model)-per-round contract) and re-injected as a
+    local relation: leaving it lazy made every downstream reference
+    re-derive all prior rounds, compounding to 25 scans of the base
+    relation in the optimized plan (the same disease the round-5
+    verdict flagged on pca_power_portable; caught for this query by
+    tests/test_plan_hygiene.py's scan-count guard). Distances
+    use |v|^2 - 2v.c + |c|^2 with 6-dp rounding before every argmin
+    so fp association order cannot flip an assignment; centroid
+    means are rounded at 6 dp on both engines BEFORE collection, so
+    the pinned literals are bit-identical to the lazy values."""
+    d2, assign, emb = _kmp_spark_chain(spark, sf_dir)
     lab = (
         assign.join(emb.select("vec_id", "label"), "vec_id")
         .groupBy("cluster", "label")
@@ -1191,4 +1222,95 @@ def label_centroid_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("label_a", "label_b", "centroid_cosine", "var_a", "var_b")
         .orderBy("label_a", "label_b")
+    )
+
+
+def _silhouette_oracle() -> str:
+    last = f"a{KMP_ITERS}"
+    dlast = f"d{KMP_ITERS}"
+    return _kmp_head() + _kmp_round_ctes() + f""",
+    bmin AS (
+        SELECT d.vec_id, MIN(d.d2) AS b2
+        FROM {dlast} d JOIN {last} a USING (vec_id)
+        WHERE d.cluster <> a.cluster
+        GROUP BY 1
+    ),
+    sil AS (
+        SELECT a.cluster,
+               ROUND(CASE
+                   WHEN GREATEST(SQRT(GREATEST(a.d2, 0)),
+                                 SQRT(GREATEST(b.b2, 0))) = 0
+                   THEN 0.0
+                   ELSE (SQRT(GREATEST(b.b2, 0))
+                         - SQRT(GREATEST(a.d2, 0)))
+                        / GREATEST(SQRT(GREATEST(a.d2, 0)),
+                                   SQRT(GREATEST(b.b2, 0)))
+               END, 6) AS s
+        FROM {last} a JOIN bmin b USING (vec_id)
+    )
+    SELECT cluster,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           ROUND(AVG(s), 6) AS mean_silhouette,
+           ROUND(MIN(s), 6) AS min_silhouette,
+           ROUND(AVG(CASE WHEN s < 0 THEN 1.0 ELSE 0.0 END), 6)
+               AS share_negative
+    FROM sil
+    GROUP BY 1
+    ORDER BY cluster
+    """
+
+
+@query("silhouette_portable", oracle=_silhouette_oracle())
+def silhouette_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified (centroid-based) silhouette of the portable k-means
+    fit — the cluster-quality verdict the fit itself cannot give
+    (inertia always falls with k; silhouette peaks at the RIGHT k):
+    per vector, a = distance to own centroid, b = distance to the
+    nearest OTHER centroid, s = (b - a)/max(a, b) in [-1, 1]; mean s
+    per cluster plus the share of negative-s vectors (points that sit
+    closer to a foreign centroid — the misassignment census a
+    clustering review reads first). Centroid-based silhouette is the
+    standard large-scale substitute for the O(n^2) pairwise original
+    and is exact for the within-cluster-mean geometry k-means
+    optimizes.
+
+    Scale shape: rides the SAME unrolled portable-Lloyd chain as
+    `kmeans_portable` (shared `_kmp_spark_chain` / `_kmp_round_ctes`
+    — one extra k-row min per vector over the final k-distance
+    table, no new corpus pass, no pairwise term). All distances are
+    6-dp-pinned before the min/ratio, so s is engine-exact."""
+    d2, assign, _ = _kmp_spark_chain(spark, sf_dir)
+    own = assign.select(
+        "vec_id",
+        F.col("cluster").alias("own_cluster"),
+        F.col("d2").alias("a2"),
+    )
+    bmin = (
+        d2.join(own, "vec_id")
+        .filter(F.col("cluster") != F.col("own_cluster"))
+        .groupBy("vec_id")
+        .agg(F.min("d2").alias("b2"))
+    )
+    sa = F.sqrt(F.greatest(F.col("a2"), F.lit(0.0)))
+    sb = F.sqrt(F.greatest(F.col("b2"), F.lit(0.0)))
+    s = F.round(
+        F.when(F.greatest(sa, sb) == 0, 0.0).otherwise(
+            (sb - sa) / F.greatest(sa, sb)
+        ),
+        6,
+    )
+    sil = own.join(bmin, "vec_id").select(
+        F.col("own_cluster").alias("cluster"), s.alias("s")
+    )
+    return (
+        sil.groupBy("cluster")
+        .agg(
+            F.count("*").cast("bigint").alias("n_vecs"),
+            F.round(F.avg("s"), 6).alias("mean_silhouette"),
+            F.round(F.min("s"), 6).alias("min_silhouette"),
+            F.round(
+                F.avg(F.when(F.col("s") < 0, 1.0).otherwise(0.0)), 6
+            ).alias("share_negative"),
+        )
+        .orderBy("cluster")
     )

@@ -192,6 +192,8 @@ BUILD_EXECUTES = {
     "kcore_peel_stats",  # eager-checkpoints the edge list per peel
     # round (the CC-loop contract)
     "kmeans_clusters",  # k-means fit collects k*d centroid partials
+    "silhouette_portable",  # rides the same pinned portable-Lloyd
+    # chain (k*d collect per round) as kmeans_portable
     "kmeans_portable",  # pins the k*d centroid table per Lloyd round
     "logreg_adagrad_portable",  # pins the 257-row weight table per
     # AdaGrad round (O(model) collect, the logreg_fit contract)

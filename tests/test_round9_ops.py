@@ -1375,3 +1375,43 @@ def test_did_recovers_planted_effect_under_common_trend(
     assert r["pre_control"] == 20.0 and r["post_control"] == 30.0
     assert r["did_estimate"] == 5.0
     assert r["n_treated"] == 100
+
+
+# ----------------------- silhouette portable -----------------------
+
+
+def test_silhouette_near_one_for_separated_blobs(spark, tmp_path):
+    # four tight blobs at orthogonal corners; the md5-order seeds are
+    # FORCED into distinct blobs (blob of the 4 seed ids pinned), so
+    # the 2-round Lloyd fit recovers the blobs exactly and every
+    # vector sits ~20x closer to its own centroid than any other
+    import hashlib
+
+    ids = list(range(40))
+    seed_order = sorted(ids, key=lambda v: (hashlib.md5(str(v).encode()).hexdigest(), v))
+    blob_of = {}
+    for b, v in enumerate(seed_order[:4]):
+        blob_of[v] = b
+    rest = [v for v in ids if v not in blob_of]
+    for i, v in enumerate(rest):
+        blob_of[v] = i % 4
+    rows = []
+    for v in ids:
+        b = blob_of[v]
+        base = [0.0, 0.0, 0.0, 0.0]
+        base[b] = 10.0
+        jitter = 0.1 if v % 2 else -0.1
+        base[(b + 1) % 4] += jitter
+        rows.append((v, [float(x) for x in base], b))
+    sf = _lake(
+        spark,
+        tmp_path,
+        embeddings=(rows, "vec_id long, embedding array<float>, label int"),
+    )
+    out = QS["silhouette_portable"](spark, sf).collect()
+    assert len(out) == 4
+    assert sum(r["n_vecs"] for r in out) == 40
+    for r in out:
+        assert r["mean_silhouette"] > 0.9
+        assert r["share_negative"] == 0.0
+        assert r["min_silhouette"] > 0.9
