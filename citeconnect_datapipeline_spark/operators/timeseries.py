@@ -3184,3 +3184,246 @@ def hurst_exponent_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("block_size")
     )
+
+
+LR_Z_95 = 1.959964  # two-sided 95% normal quantile (Welch's constant)
+
+
+@query(
+    "logrank_test",
+    oracle=f"""
+    WITH anchor AS (
+        SELECT MIN(ts) AS mn, MAX(ts) AS mx FROM events
+    ),
+    first_signup AS (
+        SELECT user_id, MIN(ts) AS t0 FROM events
+        WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    first_purchase AS (
+        SELECT e.user_id, MIN(e.ts) AS tp
+        FROM events e JOIN first_signup s ON e.user_id = s.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > s.t0
+        GROUP BY e.user_id
+    ),
+    subjects AS (
+        SELECT s.user_id,
+               CASE WHEN epoch_us(s.t0) * 2
+                         <= epoch_us(a.mn) + epoch_us(a.mx)
+                    THEN 1 ELSE 2 END AS g,
+               CASE WHEN p.tp IS NOT NULL THEN 1 ELSE 0 END AS event,
+               CAST(FLOOR((epoch_us(COALESCE(p.tp, a.mx))
+                    - epoch_us(s.t0)) / 86400000000.0) AS BIGINT)
+                   AS t_day
+        FROM first_signup s
+        LEFT JOIN first_purchase p ON p.user_id = s.user_id
+        CROSS JOIN anchor a
+    ),
+    ng AS (SELECT g, COUNT(*) AS n0 FROM subjects GROUP BY 1),
+    leavers AS (
+        SELECT g, t_day, COUNT(*) AS cnt, SUM(event) AS d
+        FROM subjects GROUP BY 1, 2
+    ),
+    spine AS (
+        SELECT ng.g, ng.n0, days.t_day
+        FROM ng CROSS JOIN (SELECT DISTINCT t_day FROM subjects) days
+    ),
+    risk AS (
+        SELECT s.g, s.t_day,
+               COALESCE(l.d, 0) AS d,
+               s.n0 - COALESCE(SUM(COALESCE(l.cnt, 0)) OVER (
+                   PARTITION BY s.g ORDER BY s.t_day
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0) AS n_risk
+        FROM spine s
+        LEFT JOIN leavers l ON l.g = s.g AND l.t_day = s.t_day
+    ),
+    cells AS (
+        SELECT t_day,
+               SUM(CASE WHEN g = 1 THEN d ELSE 0 END) AS d1,
+               SUM(d) AS d,
+               SUM(CASE WHEN g = 1 THEN n_risk ELSE 0 END) AS n1,
+               SUM(n_risk) AS n
+        FROM risk GROUP BY 1
+    ),
+    terms AS (
+        SELECT SUM(d1 - d * n1 * 1.0 / n) AS u,
+               SUM(CASE WHEN n > 1
+                   THEN d * (n1 * 1.0 / n) * (1 - n1 * 1.0 / n)
+                        * (n - d) * 1.0 / (n - 1)
+                   ELSE 0 END) AS v
+        FROM cells WHERE d > 0 AND n > 0
+    ),
+    totals AS (
+        SELECT SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS n1,
+               SUM(CASE WHEN g = 2 THEN 1 ELSE 0 END) AS n2,
+               SUM(CASE WHEN g = 1 THEN event ELSE 0 END) AS e1,
+               SUM(CASE WHEN g = 2 THEN event ELSE 0 END) AS e2
+        FROM subjects
+    )
+    SELECT CAST(t.n1 AS BIGINT) AS n_early,
+           CAST(t.n2 AS BIGINT) AS n_late,
+           CAST(t.e1 AS BIGINT) AS events_early,
+           CAST(t.e2 AS BIGINT) AS events_late,
+           ROUND(x.u, 6) AS o_minus_e,
+           ROUND(x.v, 6) AS variance,
+           ROUND(CASE WHEN x.v > 0 THEN x.u / SQRT(x.v)
+                      ELSE 0 END, 6) AS z,
+           CASE WHEN x.v > 0
+                THEN ABS(x.u / SQRT(x.v)) > {LR_Z_95}
+                ELSE FALSE END AS significant
+    FROM terms x CROSS JOIN totals t
+    """,
+)
+def logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank test between two signup cohorts' time-to-first-
+    purchase — the hypothesis test ON TOP of `survival_km_curve`
+    (the curve describes, this decides): early signups (first half
+    of the observation window) vs late, with never-purchasers
+    right-censored at the horizon exactly as the KM curve censors
+    them. At each event day, observed group-1 events are compared
+    with the expectation under the pooled-hazard null (E = d*n1/n),
+    the hypergeometric variance accumulates, and Z = sum(O-E)/sqrt(
+    sum V) is standard normal under H0 (Mantel 1966) — read against
+    the same 1.959964 constant as the Welch family (no erf on
+    either engine).
+
+    Scale shape: the corpus collapses to ONE subjects row per user
+    (two user-keyed aggregates + a 1-row window anchor); the risk
+    table lives at (group, day) grain with zero-filled cells from a
+    2 x day-spine cross join and EXCLUSIVE prefix windows for
+    at-risk counts; everything folds to one row. The 2-group form
+    generalizes to k groups as a (k x day) grid, same plan."""
+    ev = load_table(spark, sf_dir, "events")
+    anchor = ev.agg(
+        F.min("ts").alias("mn"), F.max("ts").alias("mx")
+    )
+    s0 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    fp = (
+        ev.join(s0, "user_id")
+        .filter(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts") > F.col("t0"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tp"))
+    )
+    subjects = (
+        s0.join(fp, "user_id", "left")
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "user_id",
+            F.when(
+                F.unix_timestamp("t0") * 2
+                <= F.unix_timestamp("mn") + F.unix_timestamp("mx"),
+                1,
+            )
+            .otherwise(2)
+            .alias("g"),
+            F.when(F.col("tp").isNotNull(), 1).otherwise(0).alias(
+                "event"
+            ),
+            F.floor(
+                (
+                    F.unix_timestamp(F.coalesce("tp", "mx"))
+                    - F.unix_timestamp("t0")
+                )
+                / 86400.0
+            )
+            .cast("bigint")
+            .alias("t_day"),
+        )
+    )
+    # USER-grain pin: subjects feeds four consumers (cohort sizes,
+    # leaver cells, the day spine, and the totals row); unpinned the
+    # optimized plan re-derived the 3-scan build per consumer (14
+    # scans of events). One row per user — the table a deployment
+    # materializes once per cohort study (the burrows-delta pin
+    # discipline).
+    subjects = subjects.localCheckpoint()
+    ng = subjects.groupBy("g").agg(F.count("*").alias("n0"))
+    leavers = subjects.groupBy("g", "t_day").agg(
+        F.count("*").alias("cnt"), F.sum("event").alias("d")
+    )
+    spine = F.broadcast(ng).crossJoin(
+        subjects.select("t_day").distinct()
+    )
+    w_ex = (
+        Window.partitionBy("g")
+        .orderBy("t_day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    risk = (
+        spine.join(leavers, ["g", "t_day"], "left")
+        .select(
+            "g",
+            "t_day",
+            F.coalesce(F.col("d"), F.lit(0)).alias("d"),
+            (
+                F.col("n0")
+                - F.coalesce(
+                    F.sum(F.coalesce(F.col("cnt"), F.lit(0))).over(
+                        w_ex
+                    ),
+                    F.lit(0),
+                )
+            ).alias("n_risk"),
+        )
+    )
+    cells = risk.groupBy("t_day").agg(
+        F.sum(F.when(F.col("g") == 1, F.col("d")).otherwise(0)).alias(
+            "d1"
+        ),
+        F.sum("d").alias("d"),
+        F.sum(
+            F.when(F.col("g") == 1, F.col("n_risk")).otherwise(0)
+        ).alias("n1"),
+        F.sum("n_risk").alias("n"),
+    )
+    terms = cells.filter((F.col("d") > 0) & (F.col("n") > 0)).agg(
+        F.sum(
+            F.col("d1") - F.col("d") * F.col("n1") * 1.0 / F.col("n")
+        ).alias("u"),
+        F.sum(
+            F.when(
+                F.col("n") > 1,
+                F.col("d")
+                * (F.col("n1") * 1.0 / F.col("n"))
+                * (1 - F.col("n1") * 1.0 / F.col("n"))
+                * (F.col("n") - F.col("d"))
+                * 1.0
+                / (F.col("n") - 1),
+            ).otherwise(0.0)
+        ).alias("v"),
+    )
+    totals = subjects.agg(
+        F.sum(F.when(F.col("g") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("g") == 2, 1).otherwise(0)).alias("n2"),
+        F.sum(
+            F.when(F.col("g") == 1, F.col("event")).otherwise(0)
+        ).alias("e1"),
+        F.sum(
+            F.when(F.col("g") == 2, F.col("event")).otherwise(0)
+        ).alias("e2"),
+    )
+    z = F.when(
+        F.col("v") > 0, F.col("u") / F.sqrt(F.col("v"))
+    ).otherwise(0.0)
+    return (
+        terms.crossJoin(F.broadcast(totals))
+        .select(
+            F.col("n1").cast("bigint").alias("n_early"),
+            F.col("n2").cast("bigint").alias("n_late"),
+            F.col("e1").cast("bigint").alias("events_early"),
+            F.col("e2").cast("bigint").alias("events_late"),
+            F.round("u", 6).alias("o_minus_e"),
+            F.round("v", 6).alias("variance"),
+            F.round(z, 6).alias("z"),
+            F.when(F.col("v") > 0, F.abs(z) > LR_Z_95)
+            .otherwise(F.lit(False))
+            .alias("significant"),
+        )
+    )

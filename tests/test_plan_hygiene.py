@@ -51,6 +51,8 @@ NESTED_LOOP_OK = {
     # 1-row mean/SS broadcast, folded to the 1-row portmanteau
     "ccf_leadlag",  # 13-row lag grid x hour-grain series + 1-row
     # peak-argmax broadcast (the acf_panel shape, two series)
+    "logrank_test",  # 1-row window anchor onto the subjects build,
+    # 2-row cohort table x day spine, 1-row terms x totals fold
     "word_burstiness_topk",  # 1-row doc-count scalar broadcast onto
     # the vocab-grain stats (tfidf_top_terms' corpus-size shape)
     "hurst_exponent_rs",  # 4-rung literal size ladder x the
@@ -178,6 +180,9 @@ NESTED_LOOP_OK = {
 # index build / pipeline writes) — plan-shape is asserted by their own
 # dedicated tests instead.
 BUILD_EXECUTES = {
+    "logrank_test",  # eager-pins the user-grain subjects table
+    # (3-scan build x 4 consumers unpinned); O(users) rows, the
+    # cohort-study materialization a deployment runs once
     "stylometry_burrows_delta",  # eager-pins the (source, word)
     # count table and the registry x 20-word z table so the pair
     # self-join never re-derives the corpus scan (16 unpinned scans)
@@ -455,6 +460,8 @@ BROADCAST_GRAIN_OK = {
     # fixed feature panel), built from value-grain cells
     "ipw_treatment_effect",  # brand-grain propensity model: 25
     # fixed p_brand labels at every TPC-H SF
+    "logrank_test",  # 2-row cohort-size table (the fixed group
+    # domain) crossed with the day spine; 1-row anchor/totals
     "changepoint_binary_seg",  # priority-grain totals (n, S, Q):
     # 5 fixed o_orderpriority labels at every TPC-H SF
     "ab_srm_audit",  # method x arm aggregate: 2 methods x 2 arms

@@ -1415,3 +1415,65 @@ def test_silhouette_near_one_for_separated_blobs(spark, tmp_path):
         assert r["mean_silhouette"] > 0.9
         assert r["share_negative"] == 0.0
         assert r["min_silhouette"] > 0.9
+
+
+# -------------------------- log-rank test --------------------------
+
+
+def _lr_lake(spark, tmp_path, late_purchase_offsets):
+    # 10 early signups (Jan 1) + 10 late (Jan 25, past the Jan 21
+    # window midpoint); horizon pinned at
+    # Feb 10 by a sentinel view event. Early users always purchase
+    # at t0 + (1 + i%3) days; late users per the offsets arg
+    # (None = censored).
+    t0e = datetime.datetime(2024, 1, 1)
+    t0l = datetime.datetime(2024, 1, 25)
+    rows, eid = [(0, "view", datetime.datetime(2024, 2, 10))], 1
+    for i in range(10):
+        rows.append((eid, "signup", t0e)); uid_e = eid
+        rows.append(
+            (eid, "purchase", t0e + datetime.timedelta(days=1 + i % 3))
+        )
+        eid += 1
+    for i in range(10):
+        off = late_purchase_offsets(i)
+        rows.append((eid, "signup", t0l))
+        if off is not None:
+            rows.append(
+                (eid, "purchase", t0l + datetime.timedelta(days=off))
+            )
+        eid += 1
+    # rebuild with per-user ids: user_id == eid group written above
+    fixed = []
+    for k, (uid, et, ts) in enumerate(rows):
+        fixed.append((k, uid, et, ts))
+    return _lake(
+        spark,
+        tmp_path,
+        events=(
+            fixed,
+            "event_id long, user_id long, event_type string, "
+            "ts timestamp",
+        ),
+    )
+
+
+def test_logrank_null_when_cohorts_match(spark, tmp_path):
+    # late users purchase with the SAME offset pattern as early ones
+    # -> at every event day d1 = d*n1/n exactly, U = 0, z = 0
+    sf = _lr_lake(spark, tmp_path, lambda i: 1 + i % 3)
+    r = QS["logrank_test"](spark, sf).collect()[0]
+    assert r["n_early"] == 10 and r["n_late"] == 10
+    assert r["events_early"] == 10 and r["events_late"] == 10
+    assert r["o_minus_e"] == 0.0
+    assert r["z"] == 0.0 and r["significant"] is False
+
+
+def test_logrank_flags_never_converting_cohort(spark, tmp_path):
+    # late users NEVER purchase (censored at horizon): early events
+    # far exceed the pooled expectation -> |z| > 1.96
+    sf = _lr_lake(spark, tmp_path, lambda i: None)
+    r = QS["logrank_test"](spark, sf).collect()[0]
+    assert r["events_early"] == 10 and r["events_late"] == 0
+    assert r["o_minus_e"] > 0
+    assert r["significant"] is True
