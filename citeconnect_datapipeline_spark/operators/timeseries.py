@@ -3427,3 +3427,238 @@ def logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("significant"),
         )
     )
+
+
+GMM_ITERS = 2  # unrolled EM rounds (loop-carried, fs_em discipline)
+GMM_VAR_FLOOR = 1e-6  # variance floor (degenerate-component guard)
+
+
+def _gmm_round_sql(t: int) -> str:
+    """One unrolled 1-d 2-component EM round as DuckDB CTEs:
+    E-step responsibilities from the previous round's 6-dp-pinned
+    parameters, M-step moment updates re-pinned at 6 dp."""
+    p = f"params{t - 1}"
+    dens1 = (
+        f"EXP(-(d.x - p.mu1) * (d.x - p.mu1) / (2 * p.s1))"
+        f" / SQRT(2 * PI() * p.s1)"
+    )
+    dens2 = (
+        f"EXP(-(d.x - p.mu2) * (d.x - p.mu2) / (2 * p.s2))"
+        f" / SQRT(2 * PI() * p.s2)"
+    )
+    return f"""
+    r{t} AS (
+        SELECT d.x,
+               p.p1 * {dens1}
+                   / GREATEST(p.p1 * {dens1}
+                              + (1 - p.p1) * {dens2}, 1e-300)
+                   AS g1
+        FROM daily d CROSS JOIN {p} p
+    ),
+    params{t} AS (
+        SELECT ROUND(AVG(g1), 6) AS p1,
+               ROUND(SUM(g1 * x) / GREATEST(SUM(g1), 1e-12), 6)
+                   AS mu1,
+               GREATEST(ROUND(
+                   SUM(g1 * x * x) / GREATEST(SUM(g1), 1e-12)
+                   - (SUM(g1 * x) / GREATEST(SUM(g1), 1e-12))
+                     * (SUM(g1 * x) / GREATEST(SUM(g1), 1e-12)),
+                   6), {GMM_VAR_FLOOR}) AS s1,
+               ROUND(SUM((1 - g1) * x)
+                     / GREATEST(SUM(1 - g1), 1e-12), 6) AS mu2,
+               GREATEST(ROUND(
+                   SUM((1 - g1) * x * x)
+                       / GREATEST(SUM(1 - g1), 1e-12)
+                   - (SUM((1 - g1) * x) / GREATEST(SUM(1 - g1),
+                       1e-12))
+                     * (SUM((1 - g1) * x) / GREATEST(SUM(1 - g1),
+                       1e-12)),
+                   6), {GMM_VAR_FLOOR}) AS s2
+        FROM r{t}
+    )"""
+
+
+@query(
+    "gaussian_mixture_em",
+    oracle=f"""
+    WITH daily AS (
+        SELECT ROUND(SUM(o_totalprice) / 1e6, 6) AS x
+        FROM orders GROUP BY o_orderdate
+    ),
+    init AS (
+        SELECT ROUND(quantile_cont(x, 0.25), 6) AS mu1,
+               ROUND(quantile_cont(x, 0.75), 6) AS mu2,
+               GREATEST(ROUND(var_pop(x) / 2, 6), {GMM_VAR_FLOOR})
+                   AS s0,
+               COUNT(*) AS n
+        FROM daily
+    ),
+    params0 AS (
+        SELECT 0.5 AS p1, mu1, s0 AS s1, mu2, s0 AS s2 FROM init
+    ),
+    {",".join(_gmm_round_sql(t) for t in range(1, GMM_ITERS + 1))},
+    final AS (SELECT * FROM params{GMM_ITERS}),
+    loglik AS (
+        SELECT ROUND(AVG(LN(GREATEST(
+                   p.p1 * EXP(-(d.x - p.mu1) * (d.x - p.mu1)
+                              / (2 * p.s1)) / SQRT(2 * PI() * p.s1)
+                   + (1 - p.p1) * EXP(-(d.x - p.mu2) * (d.x - p.mu2)
+                              / (2 * p.s2)) / SQRT(2 * PI() * p.s2),
+                   1e-300))), 6) AS avg_ll
+        FROM daily d CROSS JOIN final p
+    )
+    SELECT c.component,
+           ROUND(CASE WHEN c.component = 1 THEN f.p1
+                      ELSE 1 - f.p1 END, 6) AS weight,
+           CASE WHEN c.component = 1 THEN f.mu1 ELSE f.mu2 END
+               AS mu,
+           ROUND(SQRT(CASE WHEN c.component = 1 THEN f.s1
+                           ELSE f.s2 END), 6) AS sigma,
+           l.avg_ll AS avg_loglik,
+           CAST(i.n AS BIGINT) AS n_days
+    FROM (SELECT unnest([1, 2]) AS component) c
+    CROSS JOIN final f CROSS JOIN loglik l CROSS JOIN init i
+    ORDER BY component
+    """,
+)
+def gaussian_mixture_em(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Two-component 1-d Gaussian mixture on the daily revenue
+    series, fit by 2 unrolled EM rounds — the CONTINUOUS-mixture
+    companion of `fellegi_sunter_em` (binary patterns there, real
+    line here) and the model behind every 'is this series bimodal?'
+    question (`lm_perplexity_buckets` thresholds assume one regime;
+    a weekday/holiday revenue mix is two): deterministic quartile
+    init, E-step responsibilities, moment M-step, with every
+    parameter 6-dp-pinned per round so both engines replay the
+    iteration bit-for-bit (the fs_em discipline), variances floored
+    against degenerate collapse, and the final average log-
+    likelihood reported for model comparison against a single
+    Gaussian.
+
+    Scale shape: the corpus collapses to the day-grain series
+    first; each EM round is ONE aggregate over that calendar-
+    bounded frame with the previous round's parameters riding a
+    1-row cross join — O(model)-per-round like the Lloyd/logreg
+    loops, never corpus-grain."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy("o_orderdate").agg(
+        F.round(F.sum("o_totalprice") / 1e6, 6).alias("x")
+    ).select("x")
+    init = daily.agg(
+        F.round(F.percentile("x", F.lit(0.25)), 6).alias("mu1"),
+        F.round(F.percentile("x", F.lit(0.75)), 6).alias("mu2"),
+        F.greatest(
+            F.round(F.var_pop("x") / 2, 6), F.lit(GMM_VAR_FLOOR)
+        ).alias("s0"),
+        F.count("*").alias("n"),
+    )
+    params = init.select(
+        F.lit(0.5).alias("p1"),
+        "mu1",
+        F.col("s0").alias("s1"),
+        "mu2",
+        F.col("s0").alias("s2"),
+    )
+
+    def dens(x, mu, s):
+        import math
+
+        return F.exp(-(x - mu) * (x - mu) / (2 * s)) / F.sqrt(
+            2 * math.pi * s
+        )
+
+    x = F.col("x")
+    for _ in range(GMM_ITERS):
+        d1 = dens(x, F.col("mu1"), F.col("s1"))
+        d2 = dens(x, F.col("mu2"), F.col("s2"))
+        r = daily.crossJoin(F.broadcast(params)).select(
+            "x",
+            (
+                F.col("p1")
+                * d1
+                / F.greatest(
+                    F.col("p1") * d1 + (1 - F.col("p1")) * d2,
+                    F.lit(1e-300),
+                )
+            ).alias("g1"),
+        )
+        g1 = F.col("g1")
+        mu1_new = F.sum(g1 * x) / F.greatest(F.sum(g1), F.lit(1e-12))
+        mu2_new = F.sum((1 - g1) * x) / F.greatest(
+            F.sum(1 - g1), F.lit(1e-12)
+        )
+        params = r.agg(
+            F.round(F.avg("g1"), 6).alias("p1"),
+            F.round(mu1_new, 6).alias("mu1"),
+            F.greatest(
+                F.round(
+                    F.sum(g1 * x * x)
+                    / F.greatest(F.sum(g1), F.lit(1e-12))
+                    - mu1_new * mu1_new,
+                    6,
+                ),
+                F.lit(GMM_VAR_FLOOR),
+            ).alias("s1"),
+            F.round(mu2_new, 6).alias("mu2"),
+            F.greatest(
+                F.round(
+                    F.sum((1 - g1) * x * x)
+                    / F.greatest(F.sum(1 - g1), F.lit(1e-12))
+                    - mu2_new * mu2_new,
+                    6,
+                ),
+                F.lit(GMM_VAR_FLOOR),
+            ).alias("s2"),
+        )
+    d1 = dens(x, F.col("mu1"), F.col("s1"))
+    d2 = dens(x, F.col("mu2"), F.col("s2"))
+    loglik = (
+        daily.crossJoin(F.broadcast(params))
+        .agg(
+            F.round(
+                F.avg(
+                    F.log(
+                        F.greatest(
+                            F.col("p1") * d1
+                            + (1 - F.col("p1")) * d2,
+                            F.lit(1e-300),
+                        )
+                    )
+                ),
+                6,
+            ).alias("avg_ll")
+        )
+    )
+    comp = spark.range(1, 3).select(
+        F.col("id").cast("int").alias("component")
+    )
+    return (
+        comp.crossJoin(F.broadcast(params))
+        .crossJoin(F.broadcast(loglik))
+        .crossJoin(F.broadcast(init.select("n")))
+        .select(
+            "component",
+            F.round(
+                F.when(
+                    F.col("component") == 1, F.col("p1")
+                ).otherwise(1 - F.col("p1")),
+                6,
+            ).alias("weight"),
+            F.when(F.col("component") == 1, F.col("mu1"))
+            .otherwise(F.col("mu2"))
+            .alias("mu"),
+            F.round(
+                F.sqrt(
+                    F.when(
+                        F.col("component") == 1, F.col("s1")
+                    ).otherwise(F.col("s2"))
+                ),
+                6,
+            ).alias("sigma"),
+            F.col("avg_ll").alias("avg_loglik"),
+            F.col("n").cast("bigint").alias("n_days"),
+        )
+        .orderBy("component")
+    )

@@ -53,6 +53,8 @@ NESTED_LOOP_OK = {
     # peak-argmax broadcast (the acf_panel shape, two series)
     "logrank_test",  # 1-row window anchor onto the subjects build,
     # 2-row cohort table x day spine, 1-row terms x totals fold
+    "gaussian_mixture_em",  # 1-row parameter frame x the day-grain
+    # series per EM round (the fs_em O(model)-per-round contract)
     "word_burstiness_topk",  # 1-row doc-count scalar broadcast onto
     # the vocab-grain stats (tfidf_top_terms' corpus-size shape)
     "hurst_exponent_rs",  # 4-rung literal size ladder x the

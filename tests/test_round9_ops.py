@@ -1477,3 +1477,40 @@ def test_logrank_flags_never_converting_cohort(spark, tmp_path):
     assert r["events_early"] == 10 and r["events_late"] == 0
     assert r["o_minus_e"] > 0
     assert r["significant"] is True
+
+
+# ---------------------- Gaussian mixture EM ------------------------
+
+
+def test_gmm_separates_planted_bimodal_days(spark, tmp_path):
+    # 100 days near 1.0 and 100 near 5.0 ($M): quartile init puts
+    # one component in each lobe and 2 EM rounds lock on; weights
+    # ~0.5 each, means ~1 and ~5, tight sigmas
+    vals = []
+    for i in range(200):
+        base = 1.0 if i % 2 else 5.0
+        vals.append((base + (0.01 if (i // 2) % 2 else -0.01)) * 1e6)
+    sf = _daily_lake(spark, tmp_path, vals)
+    out = QS["gaussian_mixture_em"](spark, sf).collect()
+    assert [r["component"] for r in out] == [1, 2]
+    mus = sorted(r["mu"] for r in out)
+    assert abs(mus[0] - 1.0) < 0.05 and abs(mus[1] - 5.0) < 0.05
+    for r in out:
+        assert abs(r["weight"] - 0.5) < 0.02
+        assert r["sigma"] < 0.1
+        assert r["n_days"] == 200
+    # both rows carry the same model-level likelihood
+    assert out[0]["avg_loglik"] == out[1]["avg_loglik"]
+
+
+def test_gmm_degenerate_constant_series_hits_var_floor(
+    spark, tmp_path
+):
+    # constant series: both components sit at the value, variance
+    # clamps to the floor, weights stay at the 0.5 init
+    sf = _daily_lake(spark, tmp_path, [2.0e6] * 50)
+    out = QS["gaussian_mixture_em"](spark, sf).collect()
+    for r in out:
+        assert r["mu"] == 2.0
+        assert r["weight"] == 0.5
+        assert r["sigma"] == 0.001  # sqrt(1e-6) floor
