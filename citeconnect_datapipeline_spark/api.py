@@ -39,6 +39,7 @@ from .operators.classifier import (
 from .operators.dedup import edit_neighbor_pairs, jaccard_scored_pairs, minhash_band_hashes
 from .operators.graph import (
     connected_components,
+    modularity_cells,
     lpa_communities,
     pagerank,
 )
@@ -59,6 +60,7 @@ from .operators.text import (
 from .operators.analytics import h_index_by
 from .operators.quality import (
     benford_digit_cells,
+    shapley_filter_cells,
     dp_median_exponential,
     dp_noisy_counts_release,
     dp_user_counts_release,
@@ -69,6 +71,8 @@ from .operators.quality import (
 )
 from .operators.statistics import (
     bh_fdr,
+    did_cells,
+    ipw_ate_cells,
     categorical_mi,
     grubbs_cells,
     hill_tail_profile,
@@ -88,6 +92,7 @@ from .operators.skew import (
 )
 from .operators.timeseries import (
     acf_series,
+    logrank_stats,
     cusum_series,
     fano_by,
     lateness_profile,
@@ -120,6 +125,7 @@ dedup = SimpleNamespace(
 )
 graph = SimpleNamespace(
     connected_components=connected_components,
+    modularity_cells=modularity_cells,
     pagerank=pagerank,
     h_index=h_index_by,
     lpa_communities=lpa_communities,
@@ -143,6 +149,7 @@ similarity = SimpleNamespace(
 retrieval = SimpleNamespace(bm25_rank=bm25_rank)
 curation = SimpleNamespace(
     decontaminate=decontaminate,
+    shapley_filter_cells=shapley_filter_cells,
     chi2_term_selection=chi2_term_selection_frame,
     token_concentration_by=token_concentration_by,
     dp_noisy_counts_release=dp_noisy_counts_release,
@@ -168,6 +175,11 @@ timeseries = SimpleNamespace(
     asof_join=asof_join,
     asof_join_forward=asof_join_forward,
     interval_overlap=interval_overlap_join,
+)
+causal = SimpleNamespace(
+    ipw_ate_cells=ipw_ate_cells,
+    did_cells=did_cells,
+    logrank_stats=logrank_stats,
 )
 stats = SimpleNamespace(
     categorical_mi=categorical_mi,
@@ -216,6 +228,7 @@ __all__ = [
     "similarity",
     "retrieval",
     "curation",
+    "causal",
     "stats",
     "multimodal",
     "timeseries",

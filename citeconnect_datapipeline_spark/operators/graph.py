@@ -1468,6 +1468,64 @@ _LPA_ORACLE_HEAD = (
 )
 
 
+def modularity_cells(
+    edges: DataFrame, labels: DataFrame
+) -> DataFrame:
+    """Library core of `community_modularity`
+    (api.graph.modularity_cells): directed Newman modularity of any
+    (src, dst) edge frame under any (v, community) labeling —
+    per-community (n_members, internal_edges, degree, q_term) plus
+    the global Q on every row, unordered. Assumes a SYMMETRIC edge
+    list (in-degree == out-degree per community); pass both
+    directions for an undirected graph."""
+    ls = labels.select(
+        F.col("v").alias("src"), F.col("community").alias("c_src")
+    )
+    ld = labels.select(
+        F.col("v").alias("dst"), F.col("community").alias("c_dst")
+    )
+    el = (
+        edges.join(ls.hint("shuffle_hash"), "src")
+        .join(ld.hint("shuffle_hash"), "dst")
+        .select("c_src", "c_dst")
+    )
+    mm = el.agg(F.count("*").cast("double").alias("m"))
+    cells = el.groupBy(F.col("c_src").alias("community")).agg(
+        F.count("*").alias("degree"),
+        F.sum(
+            F.when(F.col("c_src") == F.col("c_dst"), 1).otherwise(0)
+        ).alias("internal"),
+    )
+    members = labels.groupBy("community").agg(
+        F.count("*").alias("n_members")
+    )
+    q = (
+        cells.join(members, "community")
+        .crossJoin(F.broadcast(mm))
+        .select(
+            "community",
+            "n_members",
+            "internal",
+            "degree",
+            (
+                F.col("internal") / F.col("m")
+                - (F.col("degree") / F.col("m"))
+                * (F.col("degree") / F.col("m"))
+            ).alias("qt"),
+        )
+    )
+    qtot = q.agg(F.sum("qt").alias("q_total"))
+    return q.crossJoin(F.broadcast(qtot)).select(
+        "community",
+        F.col("n_members").cast("bigint").alias("n_members"),
+        F.col("internal").cast("bigint").alias("internal_edges"),
+        F.col("degree").cast("bigint").alias("degree"),
+        F.round("qt", 6).alias("q_term"),
+        F.round("q_total", 6).alias("modularity"),
+    )
+
+
+
 @query(
     "community_modularity",
     oracle=_LPA_ORACLE_HEAD
@@ -1535,53 +1593,6 @@ def community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     noise, absorbed by the same pin)."""
     edges = _copurchase_edges(spark, sf_dir)
     labels = lpa_communities(edges, LPA_ROUNDS)
-    ls = labels.select(
-        F.col("v").alias("src"), F.col("community").alias("c_src")
-    )
-    ld = labels.select(
-        F.col("v").alias("dst"), F.col("community").alias("c_dst")
-    )
-    el = (
-        edges.join(ls.hint("shuffle_hash"), "src")
-        .join(ld.hint("shuffle_hash"), "dst")
-        .select("c_src", "c_dst")
-    )
-    mm = el.agg(F.count("*").cast("double").alias("m"))
-    cells = el.groupBy(F.col("c_src").alias("community")).agg(
-        F.count("*").alias("degree"),
-        F.sum(
-            F.when(F.col("c_src") == F.col("c_dst"), 1).otherwise(0)
-        ).alias("internal"),
-    )
-    members = labels.groupBy("community").agg(
-        F.count("*").alias("n_members")
-    )
-    q = (
-        cells.join(members, "community")
-        .crossJoin(F.broadcast(mm))
-        .select(
-            "community",
-            "n_members",
-            "internal",
-            "degree",
-            (
-                F.col("internal") / F.col("m")
-                - (F.col("degree") / F.col("m"))
-                * (F.col("degree") / F.col("m"))
-            ).alias("qt"),
-        )
-    )
-    qtot = q.agg(F.sum("qt").alias("q_total"))
-    return (
-        q.crossJoin(F.broadcast(qtot))
-        .select(
-            "community",
-            F.col("n_members").cast("bigint").alias("n_members"),
-            F.col("internal").cast("bigint").alias("internal_edges"),
-            F.col("degree").cast("bigint").alias("degree"),
-            F.round("qt", 6).alias("q_term"),
-            F.round("q_total", 6).alias("modularity"),
-        )
-        .orderBy(F.desc("q_term"), "community")
-        .limit(20)
-    )
+    return modularity_cells(edges, labels).orderBy(
+        F.desc("q_term"), "community"
+    ).limit(20)

@@ -1427,6 +1427,89 @@ def anonymization_ladder(
     return out.orderBy("level")
 
 
+def shapley_filter_cells(
+    flags: DataFrame,
+    names: tuple = ("min_length", "ttr", "stopword_ratio"),
+) -> DataFrame:
+    """Library core of `filter_shapley_attribution`
+    (api.quality.shapley_filter_cells): exact 3-filter Shapley
+    removal attribution over any frame with 0/1 pass-flag columns
+    ``a``, ``b``, ``c`` — all 8 coalition pass-counts from ONE
+    aggregate of flag products, the 3-row value table from pure
+    1-row arithmetic. ``names`` labels the three filters in a-b-c
+    order."""
+    p = flags.agg(
+        F.count("*").alias("n"),
+        F.sum("a").alias("pa"),
+        F.sum("b").alias("pb"),
+        F.sum("c").alias("pc"),
+        F.sum(F.col("a") * F.col("b")).alias("pab"),
+        F.sum(F.col("a") * F.col("c")).alias("pac"),
+        F.sum(F.col("b") * F.col("c")).alias("pbc"),
+        F.sum(F.col("a") * F.col("b") * F.col("c")).alias("pabc"),
+    )
+    n, pa, pb, pc = (F.col(x) for x in ("n", "pa", "pb", "pc"))
+    pab, pac, pbc, pabc = (
+        F.col(x) for x in ("pab", "pac", "pbc", "pabc")
+    )
+    rows = p.select(
+        F.stack(
+            F.lit(3),
+            F.lit(names[0]),
+            (n - pa).alias("s1"),
+            (
+                (
+                    2.0 * (n - pa)
+                    + 1.0 * (pb - pab)
+                    + 1.0 * (pc - pac)
+                    + 2.0 * (pbc - pabc)
+                )
+                / 6
+            ),
+            F.lit(names[1]),
+            (n - pb),
+            (
+                (
+                    2.0 * (n - pb)
+                    + 1.0 * (pa - pab)
+                    + 1.0 * (pc - pbc)
+                    + 2.0 * (pac - pabc)
+                )
+                / 6
+            ),
+            F.lit(names[2]),
+            (n - pc),
+            (
+                (
+                    2.0 * (n - pc)
+                    + 1.0 * (pa - pac)
+                    + 1.0 * (pb - pbc)
+                    + 2.0 * (pab - pabc)
+                )
+                / 6
+            ),
+        ).alias("filter", "solo_removed", "shapley"),
+        (n - pabc).alias("total_removed"),
+        n.alias("n"),
+    )
+    return rows.select(
+        "filter",
+        F.col("solo_removed").cast("bigint").alias("solo_removed"),
+        F.round("shapley", 6).alias("shapley_removed"),
+        F.round(
+            F.when(
+                F.col("total_removed") > 0,
+                F.col("shapley") / F.col("total_removed"),
+            ).otherwise(0.0),
+            6,
+        ).alias("shapley_share"),
+        F.col("total_removed").cast("bigint").alias(
+            "coalition_removed"
+        ),
+        F.col("n").cast("bigint").alias("n_docs"),
+    )
+
+
 @query(
     "filter_shapley_attribution",
     oracle="""
@@ -1524,73 +1607,4 @@ def filter_shapley_attribution(
         (ttr >= 0.4).cast("int").alias("b"),
         (stop >= 0.05).cast("int").alias("c"),
     )
-    p = flags.agg(
-        F.count("*").alias("n"),
-        F.sum("a").alias("pa"),
-        F.sum("b").alias("pb"),
-        F.sum("c").alias("pc"),
-        F.sum(F.col("a") * F.col("b")).alias("pab"),
-        F.sum(F.col("a") * F.col("c")).alias("pac"),
-        F.sum(F.col("b") * F.col("c")).alias("pbc"),
-        F.sum(F.col("a") * F.col("b") * F.col("c")).alias("pabc"),
-    )
-    n, pa, pb, pc = (F.col(x) for x in ("n", "pa", "pb", "pc"))
-    pab, pac, pbc, pabc = (
-        F.col(x) for x in ("pab", "pac", "pbc", "pabc")
-    )
-    rows = p.select(
-        F.stack(
-            F.lit(3),
-            F.lit("min_length"),
-            (n - pa).alias("s1"),
-            (
-                (
-                    2.0 * (n - pa)
-                    + 1.0 * (pb - pab)
-                    + 1.0 * (pc - pac)
-                    + 2.0 * (pbc - pabc)
-                )
-                / 6
-            ),
-            F.lit("ttr"),
-            (n - pb),
-            (
-                (
-                    2.0 * (n - pb)
-                    + 1.0 * (pa - pab)
-                    + 1.0 * (pc - pbc)
-                    + 2.0 * (pac - pabc)
-                )
-                / 6
-            ),
-            F.lit("stopword_ratio"),
-            (n - pc),
-            (
-                (
-                    2.0 * (n - pc)
-                    + 1.0 * (pa - pac)
-                    + 1.0 * (pb - pbc)
-                    + 2.0 * (pab - pabc)
-                )
-                / 6
-            ),
-        ).alias("filter", "solo_removed", "shapley"),
-        (n - pabc).alias("total_removed"),
-        n.alias("n"),
-    )
-    return rows.select(
-        "filter",
-        F.col("solo_removed").cast("bigint").alias("solo_removed"),
-        F.round("shapley", 6).alias("shapley_removed"),
-        F.round(
-            F.when(
-                F.col("total_removed") > 0,
-                F.col("shapley") / F.col("total_removed"),
-            ).otherwise(0.0),
-            6,
-        ).alias("shapley_share"),
-        F.col("total_removed").cast("bigint").alias(
-            "coalition_removed"
-        ),
-        F.col("n").cast("bigint").alias("n_docs"),
-    ).orderBy("filter")
+    return shapley_filter_cells(flags).orderBy("filter")

@@ -3313,6 +3313,51 @@ def price_elasticity_by_brand(
 IPW_CLIP = 0.01  # propensity clip (positivity guard)
 
 
+def ipw_ate_cells(
+    df: DataFrame,
+    strata: str = "brand",
+    t: str = "t",
+    y: str = "y",
+    clip: float = IPW_CLIP,
+) -> DataFrame:
+    """Library core of `ipw_treatment_effect`
+    (api.causal.ipw_ate_cells): Hajek-stabilized IPW ATE of binary
+    treatment ``t`` on outcome ``y`` with a discrete-confounder
+    propensity model at ``strata`` grain, clipped to
+    [clip, 1 - clip]. One strata-grain aggregate broadcast back +
+    one weighted-moment fold to a single row."""
+    base = df.select(
+        F.col(strata).alias("strata"),
+        F.col(t).cast("int").alias("t"),
+        F.col(y).cast("double").alias("y"),
+    )
+    prop = base.groupBy("strata").agg(
+        F.least(
+            F.greatest(F.avg(F.col("t") * 1.0), F.lit(clip)),
+            F.lit(1 - clip),
+        ).alias("e")
+    )
+    wtd = base.join(F.broadcast(prop), "strata")
+    tt, yy, e = F.col("t"), F.col("y"), F.col("e")
+    return wtd.agg(
+        F.sum(tt).cast("bigint").alias("n_treat"),
+        F.sum(1 - tt).cast("bigint").alias("n_ctrl"),
+        F.round(
+            F.sum(tt * yy) / F.sum(tt)
+            - F.sum((1 - tt) * yy) / F.sum(1 - tt),
+            6,
+        ).alias("naive_diff"),
+        F.round(
+            F.sum(tt * yy / e) / F.sum(tt * 1.0 / e)
+            - F.sum((1 - tt) * yy / (1 - e))
+            / F.sum((1 - tt) * 1.0 / (1 - e)),
+            6,
+        ).alias("ipw_ate"),
+        F.round(F.min("e"), 6).alias("min_propensity"),
+        F.round(F.max("e"), 6).alias("max_propensity"),
+    )
+
+
 @query(
     "ipw_treatment_effect",
     oracle=f"""
@@ -3376,34 +3421,50 @@ def ipw_treatment_effect(
             "y"
         ),
     )
-    prop = base.groupBy("brand").agg(
-        F.least(
-            F.greatest(F.avg(F.col("t") * 1.0), F.lit(IPW_CLIP)),
-            F.lit(1 - IPW_CLIP),
-        ).alias("e")
-    )
-    wtd = base.join(F.broadcast(prop), "brand")
-    t, y, e = F.col("t"), F.col("y"), F.col("e")
-    return wtd.agg(
-        F.sum(t).cast("bigint").alias("n_treat"),
-        F.sum(1 - t).cast("bigint").alias("n_ctrl"),
-        F.round(
-            F.sum(t * y) / F.sum(t) - F.sum((1 - t) * y) / F.sum(1 - t),
-            6,
-        ).alias("naive_diff"),
-        F.round(
-            F.sum(t * y / e) / F.sum(t * 1.0 / e)
-            - F.sum((1 - t) * y / (1 - e))
-            / F.sum((1 - t) * 1.0 / (1 - e)),
-            6,
-        ).alias("ipw_ate"),
-        F.round(F.min("e"), 6).alias("min_propensity"),
-        F.round(F.max("e"), 6).alias("max_propensity"),
-    )
+    return ipw_ate_cells(base, strata="brand")
 
 
 DID_SPLIT = "1996-01-01"  # pre/post boundary for the DiD panel
 DID_SEGMENT = "BUILDING"  # 'treated' cohort
+
+
+def did_cells(
+    df: DataFrame,
+    treated: str = "treated",
+    post: str = "post",
+    y: str = "y",
+) -> DataFrame:
+    """Library core of `diff_in_diff_revenue`
+    (api.causal.did_cells): 2x2 difference-in-differences over any
+    frame with binary ``treated``/``post`` columns and outcome
+    ``y`` — the four cell means, the treated-group count, and the
+    interaction estimate, in ONE conditional-aggregate pass."""
+    cells = df.select(
+        F.col(treated).cast("int").alias("treated"),
+        F.col(post).cast("int").alias("post"),
+        F.col(y).cast("double").alias("y"),
+    )
+
+    def cell(tr, po):
+        return F.avg(
+            F.when(
+                (F.col("treated") == tr) & (F.col("post") == po),
+                F.col("y"),
+            )
+        )
+
+    return cells.agg(
+        F.sum(F.when(F.col("treated") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_treated"),
+        F.round(cell(1, 0), 6).alias("pre_treated"),
+        F.round(cell(1, 1), 6).alias("post_treated"),
+        F.round(cell(0, 0), 6).alias("pre_control"),
+        F.round(cell(0, 1), 6).alias("post_control"),
+        F.round(
+            (cell(1, 1) - cell(1, 0)) - (cell(0, 1) - cell(0, 0)), 6
+        ).alias("did_estimate"),
+    )
 
 
 @query(
@@ -3467,24 +3528,4 @@ def diff_in_diff_revenue(
         .alias("post"),
         F.col("o_totalprice").alias("y"),
     )
-
-    def cell(tr, po):
-        return F.avg(
-            F.when(
-                (F.col("treated") == tr) & (F.col("post") == po),
-                F.col("y"),
-            )
-        )
-
-    return cells.agg(
-        F.sum(F.when(F.col("treated") == 1, 1).otherwise(0))
-        .cast("bigint")
-        .alias("n_treated"),
-        F.round(cell(1, 0), 6).alias("pre_treated"),
-        F.round(cell(1, 1), 6).alias("post_treated"),
-        F.round(cell(0, 0), 6).alias("pre_control"),
-        F.round(cell(0, 1), 6).alias("post_control"),
-        F.round(
-            (cell(1, 1) - cell(1, 0)) - (cell(0, 1) - cell(0, 0)), 6
-        ).alias("did_estimate"),
-    )
+    return did_cells(cells)

@@ -3189,6 +3189,96 @@ def hurst_exponent_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
 LR_Z_95 = 1.959964  # two-sided 95% normal quantile (Welch's constant)
 
 
+def logrank_stats(subjects: DataFrame) -> DataFrame:
+    """Library core of `logrank_test` (api.causal.logrank_stats):
+    two-group log-rank statistic over any subjects frame with
+    columns ``g`` (1/2), ``event`` (1 = observed, 0 = censored) and
+    ``t_day`` (duration) — eagerly pins the subjects table (it
+    feeds four consumers), builds the zero-filled (group, day) risk
+    grid with exclusive prefix windows, and folds to one row."""
+    subjects = subjects.localCheckpoint()
+    ng = subjects.groupBy("g").agg(F.count("*").alias("n0"))
+    leavers = subjects.groupBy("g", "t_day").agg(
+        F.count("*").alias("cnt"), F.sum("event").alias("d")
+    )
+    spine = F.broadcast(ng).crossJoin(
+        subjects.select("t_day").distinct()
+    )
+    w_ex = (
+        Window.partitionBy("g")
+        .orderBy("t_day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    risk = (
+        spine.join(leavers, ["g", "t_day"], "left")
+        .select(
+            "g",
+            "t_day",
+            F.coalesce(F.col("d"), F.lit(0)).alias("d"),
+            (
+                F.col("n0")
+                - F.coalesce(
+                    F.sum(F.coalesce(F.col("cnt"), F.lit(0))).over(
+                        w_ex
+                    ),
+                    F.lit(0),
+                )
+            ).alias("n_risk"),
+        )
+    )
+    cells = risk.groupBy("t_day").agg(
+        F.sum(F.when(F.col("g") == 1, F.col("d")).otherwise(0)).alias(
+            "d1"
+        ),
+        F.sum("d").alias("d"),
+        F.sum(
+            F.when(F.col("g") == 1, F.col("n_risk")).otherwise(0)
+        ).alias("n1"),
+        F.sum("n_risk").alias("n"),
+    )
+    terms = cells.filter((F.col("d") > 0) & (F.col("n") > 0)).agg(
+        F.sum(
+            F.col("d1") - F.col("d") * F.col("n1") * 1.0 / F.col("n")
+        ).alias("u"),
+        F.sum(
+            F.when(
+                F.col("n") > 1,
+                F.col("d")
+                * (F.col("n1") * 1.0 / F.col("n"))
+                * (1 - F.col("n1") * 1.0 / F.col("n"))
+                * (F.col("n") - F.col("d"))
+                * 1.0
+                / (F.col("n") - 1),
+            ).otherwise(0.0)
+        ).alias("v"),
+    )
+    totals = subjects.agg(
+        F.sum(F.when(F.col("g") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("g") == 2, 1).otherwise(0)).alias("n2"),
+        F.sum(
+            F.when(F.col("g") == 1, F.col("event")).otherwise(0)
+        ).alias("e1"),
+        F.sum(
+            F.when(F.col("g") == 2, F.col("event")).otherwise(0)
+        ).alias("e2"),
+    )
+    z = F.when(
+        F.col("v") > 0, F.col("u") / F.sqrt(F.col("v"))
+    ).otherwise(0.0)
+    return terms.crossJoin(F.broadcast(totals)).select(
+        F.col("n1").cast("bigint").alias("n_early"),
+        F.col("n2").cast("bigint").alias("n_late"),
+        F.col("e1").cast("bigint").alias("events_early"),
+        F.col("e2").cast("bigint").alias("events_late"),
+        F.round("u", 6).alias("o_minus_e"),
+        F.round("v", 6).alias("variance"),
+        F.round(z, 6).alias("z"),
+        F.when(F.col("v") > 0, F.abs(z) > LR_Z_95)
+        .otherwise(F.lit(False))
+        .alias("significant"),
+    )
+
+
 @query(
     "logrank_test",
     oracle=f"""
@@ -3337,96 +3427,7 @@ def logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("t_day"),
         )
     )
-    # USER-grain pin: subjects feeds four consumers (cohort sizes,
-    # leaver cells, the day spine, and the totals row); unpinned the
-    # optimized plan re-derived the 3-scan build per consumer (14
-    # scans of events). One row per user — the table a deployment
-    # materializes once per cohort study (the burrows-delta pin
-    # discipline).
-    subjects = subjects.localCheckpoint()
-    ng = subjects.groupBy("g").agg(F.count("*").alias("n0"))
-    leavers = subjects.groupBy("g", "t_day").agg(
-        F.count("*").alias("cnt"), F.sum("event").alias("d")
-    )
-    spine = F.broadcast(ng).crossJoin(
-        subjects.select("t_day").distinct()
-    )
-    w_ex = (
-        Window.partitionBy("g")
-        .orderBy("t_day")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    risk = (
-        spine.join(leavers, ["g", "t_day"], "left")
-        .select(
-            "g",
-            "t_day",
-            F.coalesce(F.col("d"), F.lit(0)).alias("d"),
-            (
-                F.col("n0")
-                - F.coalesce(
-                    F.sum(F.coalesce(F.col("cnt"), F.lit(0))).over(
-                        w_ex
-                    ),
-                    F.lit(0),
-                )
-            ).alias("n_risk"),
-        )
-    )
-    cells = risk.groupBy("t_day").agg(
-        F.sum(F.when(F.col("g") == 1, F.col("d")).otherwise(0)).alias(
-            "d1"
-        ),
-        F.sum("d").alias("d"),
-        F.sum(
-            F.when(F.col("g") == 1, F.col("n_risk")).otherwise(0)
-        ).alias("n1"),
-        F.sum("n_risk").alias("n"),
-    )
-    terms = cells.filter((F.col("d") > 0) & (F.col("n") > 0)).agg(
-        F.sum(
-            F.col("d1") - F.col("d") * F.col("n1") * 1.0 / F.col("n")
-        ).alias("u"),
-        F.sum(
-            F.when(
-                F.col("n") > 1,
-                F.col("d")
-                * (F.col("n1") * 1.0 / F.col("n"))
-                * (1 - F.col("n1") * 1.0 / F.col("n"))
-                * (F.col("n") - F.col("d"))
-                * 1.0
-                / (F.col("n") - 1),
-            ).otherwise(0.0)
-        ).alias("v"),
-    )
-    totals = subjects.agg(
-        F.sum(F.when(F.col("g") == 1, 1).otherwise(0)).alias("n1"),
-        F.sum(F.when(F.col("g") == 2, 1).otherwise(0)).alias("n2"),
-        F.sum(
-            F.when(F.col("g") == 1, F.col("event")).otherwise(0)
-        ).alias("e1"),
-        F.sum(
-            F.when(F.col("g") == 2, F.col("event")).otherwise(0)
-        ).alias("e2"),
-    )
-    z = F.when(
-        F.col("v") > 0, F.col("u") / F.sqrt(F.col("v"))
-    ).otherwise(0.0)
-    return (
-        terms.crossJoin(F.broadcast(totals))
-        .select(
-            F.col("n1").cast("bigint").alias("n_early"),
-            F.col("n2").cast("bigint").alias("n_late"),
-            F.col("e1").cast("bigint").alias("events_early"),
-            F.col("e2").cast("bigint").alias("events_late"),
-            F.round("u", 6).alias("o_minus_e"),
-            F.round("v", 6).alias("variance"),
-            F.round(z, 6).alias("z"),
-            F.when(F.col("v") > 0, F.abs(z) > LR_Z_95)
-            .otherwise(F.lit(False))
-            .alias("significant"),
-        )
-    )
+    return logrank_stats(subjects)
 
 
 GMM_ITERS = 2  # unrolled EM rounds (loop-carried, fs_em discipline)

@@ -530,3 +530,58 @@ def test_example_release_audits_script(spark):
     med = out["dp_median"]
     assert "n" not in med.columns and "below" not in med.columns
     assert out["k_anonymity"].count() > 0
+
+
+def test_causal_namespace_on_inmemory_frames(spark):
+    # IPW: confounded 2-strata frame, no true effect -> ATE 0
+    rows = []
+    for strata, y, n_treat in (("H", 100.0, 8), ("L", 10.0, 2)):
+        for i in range(10):
+            rows.append((strata, 1 if i < n_treat else 0, y))
+    df = spark.createDataFrame(rows, "brand string, t int, y double")
+    r = api.causal.ipw_ate_cells(df, strata="brand").collect()[0]
+    assert r["ipw_ate"] == 0.0 and r["naive_diff"] > 0
+
+    # DiD on a renamed-outcome frame
+    did = spark.createDataFrame(
+        [(1, 0, 10.0), (1, 1, 25.0), (0, 0, 20.0), (0, 1, 30.0)],
+        "grp int, after int, val double",
+    )
+    d = api.causal.did_cells(
+        did, treated="grp", post="after", y="val"
+    ).collect()[0]
+    assert d["did_estimate"] == 5.0
+
+    # log-rank: identical cohorts -> z = 0
+    subj = spark.createDataFrame(
+        [(1, 1, 3), (1, 1, 5), (2, 1, 3), (2, 1, 5)],
+        "g int, event int, t_day long",
+    )
+    lr = api.causal.logrank_stats(subj).collect()[0]
+    assert lr["z"] == 0.0 and lr["significant"] is False
+
+
+def test_graph_modularity_on_inmemory_edges(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (3, 4), (4, 3)], "src long, dst long"
+    )
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 3), (4, 3)], "v long, community long"
+    )
+    out = api.graph.modularity_cells(edges, labels).collect()
+    assert all(r["modularity"] == 0.5 for r in out)  # two clean halves
+    assert {r["community"] for r in out} == {1, 3}
+
+
+def test_curation_shapley_on_inmemory_flags(spark):
+    flags = spark.createDataFrame(
+        [(0, 1, 1), (1, 1, 1), (1, 1, 1), (0, 0, 1)],
+        "a int, b int, c int",
+    )
+    out = api.curation.shapley_filter_cells(
+        flags, names=("length", "ttr", "stop")
+    ).collect()
+    total = out[0]["coalition_removed"]
+    assert abs(sum(r["shapley_removed"] for r in out) - total) < 1e-9
+    by = {r["filter"]: r for r in out}
+    assert by["stop"]["shapley_removed"] == 0.0  # c passes everywhere
