@@ -37,7 +37,7 @@ Scale notes (local[32] tested, 1000-executor design):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..plans.registry import query
@@ -770,4 +770,203 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("monetary"), 2).alias("total_monetary"),
         )
         .orderBy("r_score", "f_score", "m_score")
+    )
+
+
+ABC_BINS_PER_LOG = 20.0  # log-revenue bin resolution for the ABC CDF
+ABC_A_SHARE = 0.8  # cumulative revenue share boundaries
+ABC_B_SHARE = 0.95
+XYZ_X_CV = 0.5  # weekly-demand CV boundaries
+XYZ_Y_CV = 1.0
+
+
+@query(
+    "abc_xyz_classification",
+    oracle=f"""
+    WITH per_part AS (
+        SELECT l_partkey,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 6)
+                   AS rev,
+               SUM(l_quantity) AS sq,
+               SUM(l_quantity * l_quantity) AS sq2_dummy
+        FROM lineitem GROUP BY 1
+    ),
+    wk AS (
+        SELECT l_partkey,
+               CAST(date_diff('day', DATE '1970-01-01',
+                              CAST(l_shipdate AS DATE)) // 7
+               AS BIGINT) AS wk,
+               SUM(l_quantity) AS q
+        FROM lineitem GROUP BY 1, 2
+    ),
+    nweeks AS (
+        SELECT CAST(COUNT(DISTINCT wk) AS DOUBLE) AS w FROM wk
+    ),
+    cv AS (
+        SELECT k.l_partkey,
+               SQRT(GREATEST(SUM(k.q * k.q) / n.w
+                    - (SUM(k.q) / n.w) * (SUM(k.q) / n.w), 0))
+                   / GREATEST(SUM(k.q) / n.w, 1e-12) AS cv
+        FROM wk k CROSS JOIN nweeks n
+        GROUP BY k.l_partkey, n.w
+    ),
+    binned AS (
+        SELECT l_partkey, rev,
+               CAST(FLOOR(LN(GREATEST(rev, 1e-6))
+                          * {ABC_BINS_PER_LOG}) AS BIGINT) AS bin
+        FROM per_part
+    ),
+    tot AS (SELECT SUM(rev) AS t FROM per_part),
+    bins AS (
+        SELECT b.bin, SUM(b.rev) AS brev,
+               SUM(SUM(b.rev)) OVER (ORDER BY b.bin DESC
+                   ROWS UNBOUNDED PRECEDING) / MAX(t.t) AS cum_top
+        FROM binned b CROSS JOIN tot t
+        GROUP BY b.bin
+    ),
+    bounds AS (
+        SELECT COALESCE(MAX(CASE WHEN cum_top >= {ABC_A_SHARE}
+                             THEN bin END), MIN(bin)) AS b_a,
+               COALESCE(MAX(CASE WHEN cum_top >= {ABC_B_SHARE}
+                             THEN bin END), MIN(bin)) AS b_b
+        FROM (SELECT bin, cum_top FROM bins)
+    ),
+    classed AS (
+        SELECT b.l_partkey, b.rev,
+               CASE WHEN b.bin >= bd.b_a THEN 'A'
+                    WHEN b.bin >= bd.b_b THEN 'B'
+                    ELSE 'C' END AS abc,
+               CASE WHEN c.cv <= {XYZ_X_CV} THEN 'X'
+                    WHEN c.cv <= {XYZ_Y_CV} THEN 'Y'
+                    ELSE 'Z' END AS xyz
+        FROM binned b
+        JOIN cv c ON b.l_partkey = c.l_partkey
+        CROSS JOIN bounds bd
+    )
+    SELECT abc, xyz,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           ROUND(SUM(rev) / MAX(t.t), 6) AS revenue_share
+    FROM classed CROSS JOIN tot t
+    GROUP BY abc, xyz
+    ORDER BY abc, xyz
+    """,
+)
+def abc_xyz_classification(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ABC-XYZ inventory segmentation — the assortment-planning grid
+    (A/B/C = cumulative revenue share 80/95/rest, X/Y/Z = weekly-
+    demand coefficient of variation 0.5/1.0/rest): AX parts are
+    forecastable cash cows (tight service levels), CZ parts are the
+    long tail a range review culls. The revenue ranking is done
+    WITHOUT a part-grain global sort: parts land in log-revenue
+    bins (resolution 1/20 of a decade), the bounded bin table
+    carries the top-down cumulative revenue CDF, and the 80/95%
+    boundaries come back as two bin ids in a 1-row broadcast — the
+    classification is exact at bin resolution (boundary-bin parts
+    classify together; at 1/20-log bins that is a <5% revenue
+    granularity, the knob a deployment widens or narrows). CV uses
+    the calendar week count so missing weeks count as zero demand
+    (the intermittency XYZ exists to catch).
+
+    Scale shape: two map-side fact aggregates (part grain, part x
+    week grain), a bounded bin-grain window, 1-row boundary/total
+    broadcasts, and a 9-cell output grid."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+            6,
+        ).alias("rev")
+    )
+    wk = li.groupBy(
+        "l_partkey",
+        (F.unix_date(F.to_date("l_shipdate")) / 7)
+        .cast("long")
+        .alias("wk"),
+    ).agg(F.sum("l_quantity").alias("q"))
+    nweeks = wk.agg(
+        F.countDistinct("wk").cast("double").alias("w")
+    )
+    cv = (
+        wk.crossJoin(F.broadcast(nweeks))
+        .groupBy("l_partkey", "w")
+        .agg(
+            (
+                F.sqrt(
+                    F.greatest(
+                        F.sum(F.col("q") * F.col("q")) / F.col("w")
+                        - (F.sum("q") / F.col("w"))
+                        * (F.sum("q") / F.col("w")),
+                        F.lit(0.0),
+                    )
+                )
+                / F.greatest(
+                    F.sum("q") / F.col("w"), F.lit(1e-12)
+                )
+            ).alias("cv")
+        )
+    )
+    binned = per_part.select(
+        "l_partkey",
+        "rev",
+        F.floor(
+            F.log(F.greatest(F.col("rev"), F.lit(1e-6)))
+            * ABC_BINS_PER_LOG
+        )
+        .cast("bigint")
+        .alias("bin"),
+    )
+    tot = per_part.agg(F.sum("rev").alias("t"))
+    wtop = Window.orderBy(F.desc("bin")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    bins = (
+        binned.crossJoin(F.broadcast(tot))
+        .groupBy("bin")
+        .agg(F.sum("rev").alias("brev"), F.max("t").alias("t"))
+        .select(
+            "bin",
+            (F.sum("brev").over(wtop) / F.col("t")).alias("cum_top"),
+        )
+    )
+    bounds = bins.agg(
+        F.coalesce(
+            F.max(
+                F.when(F.col("cum_top") >= ABC_A_SHARE, F.col("bin"))
+            ),
+            F.min("bin"),
+        ).alias("b_a"),
+        F.coalesce(
+            F.max(
+                F.when(F.col("cum_top") >= ABC_B_SHARE, F.col("bin"))
+            ),
+            F.min("bin"),
+        ).alias("b_b"),
+    )
+    classed = (
+        binned.join(cv, "l_partkey")
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "rev",
+            F.when(F.col("bin") >= F.col("b_a"), "A")
+            .when(F.col("bin") >= F.col("b_b"), "B")
+            .otherwise("C")
+            .alias("abc"),
+            F.when(F.col("cv") <= XYZ_X_CV, "X")
+            .when(F.col("cv") <= XYZ_Y_CV, "Y")
+            .otherwise("Z")
+            .alias("xyz"),
+        )
+    )
+    return (
+        classed.crossJoin(F.broadcast(tot))
+        .groupBy("abc", "xyz")
+        .agg(
+            F.count("*").cast("bigint").alias("n_parts"),
+            F.round(F.sum("rev") / F.max("t"), 6).alias(
+                "revenue_share"
+            ),
+        )
+        .orderBy("abc", "xyz")
     )

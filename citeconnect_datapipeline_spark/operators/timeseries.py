@@ -3663,3 +3663,225 @@ def gaussian_mixture_em(
         )
         .orderBy("component")
     )
+
+
+@query(
+    "mann_kendall_trend",
+    oracle=f"""
+    WITH weekly AS (
+        SELECT CAST(date_diff('day', DATE '1970-01-01',
+                              CAST(o_orderdate AS DATE)) // 7
+               AS BIGINT) AS wk,
+               ROUND(SUM(o_totalprice) / 1e6, 6) AS x
+        FROM orders GROUP BY 1
+    ),
+    pairs AS (
+        SELECT CASE WHEN b.x > a.x THEN 1
+                    WHEN b.x < a.x THEN -1 ELSE 0 END AS sgn
+        FROM weekly a JOIN weekly b ON a.wk < b.wk
+    ),
+    ties AS (
+        SELECT COUNT(*) AS t FROM weekly GROUP BY x HAVING COUNT(*) > 1
+    ),
+    stat AS (
+        SELECT (SELECT SUM(sgn) FROM pairs) AS s,
+               (SELECT COUNT(*) FROM weekly) AS n,
+               COALESCE((SELECT SUM(t * (t - 1) * (2 * t + 5))
+                         FROM ties), 0) AS tie_term
+    )
+    SELECT CAST(n AS BIGINT) AS n_weeks,
+           CAST(s AS BIGINT) AS s_stat,
+           ROUND((n * (n - 1.0) * (2 * n + 5) - tie_term) / 18, 6)
+               AS var_s,
+           ROUND(CASE
+               WHEN s > 0 THEN (s - 1)
+                   / SQRT((n * (n - 1.0) * (2 * n + 5) - tie_term)
+                          / 18)
+               WHEN s < 0 THEN (s + 1)
+                   / SQRT((n * (n - 1.0) * (2 * n + 5) - tie_term)
+                          / 18)
+               ELSE 0 END, 6) AS z,
+           CASE
+               WHEN s > 0 THEN ABS((s - 1)
+                   / SQRT((n * (n - 1.0) * (2 * n + 5) - tie_term)
+                          / 18)) > {LR_Z_95}
+               WHEN s < 0 THEN ABS((s + 1)
+                   / SQRT((n * (n - 1.0) * (2 * n + 5) - tie_term)
+                          / 18)) > {LR_Z_95}
+               ELSE FALSE END AS significant,
+           CASE WHEN s > 0 THEN 'increasing'
+                WHEN s < 0 THEN 'decreasing'
+                ELSE 'no-trend' END AS direction
+    FROM stat
+    """,
+)
+def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotonic-trend test on the weekly revenue
+    series — the NON-PARAMETRIC decision beside `theilsen_trend`'s
+    robust slope (Theil-Sen says how steep, Mann-Kendall says
+    whether a monotonic trend exists at all, immune to outliers and
+    any monotone transform of the data): S = sum of pairwise signs,
+    variance with the standard tie correction, continuity-corrected
+    Z against the no-erf 1.959964 constant. The standard pairing
+    with Theil-Sen in every hydrology/quality-monitoring handbook.
+
+    Scale shape: `theilsen_trend`'s CALENDAR-squared pair set (344
+    weeks -> 59k sign pairs at any corpus size; the corpus appears
+    only in the week-grain aggregate), tie census at value grain,
+    one scalar fold. Decade-long daily panels partition by metric
+    id and cap the pair span, same as the Theil-Sen note."""
+    orders = load_table(spark, sf_dir, "orders")
+    weekly = orders.groupBy(
+        (F.unix_date(F.to_date("o_orderdate")) / 7)
+        .cast("long")
+        .alias("wk")
+    ).agg(F.round(F.sum("o_totalprice") / 1e6, 6).alias("x"))
+    a = weekly.select(F.col("wk").alias("wa"), F.col("x").alias("xa"))
+    b = weekly.select(F.col("wk").alias("wb"), F.col("x").alias("xb"))
+    pairs = a.join(b, F.col("wa") < F.col("wb")).select(
+        F.when(F.col("xb") > F.col("xa"), 1)
+        .when(F.col("xb") < F.col("xa"), -1)
+        .otherwise(0)
+        .alias("sgn")
+    )
+    s_n = pairs.agg(F.sum("sgn").alias("s")).crossJoin(
+        F.broadcast(weekly.agg(F.count("*").alias("n")))
+    )
+    ties = (
+        weekly.groupBy("x")
+        .agg(F.count("*").alias("t"))
+        .filter(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("t")
+                    * (F.col("t") - 1)
+                    * (2 * F.col("t") + 5)
+                ),
+                F.lit(0),
+            ).alias("tie_term")
+        )
+    )
+    stat = s_n.crossJoin(F.broadcast(ties))
+    var_s = (
+        F.col("n") * (F.col("n") - 1.0) * (2 * F.col("n") + 5)
+        - F.col("tie_term")
+    ) / 18
+    z = (
+        F.when(F.col("s") > 0, (F.col("s") - 1) / F.sqrt(var_s))
+        .when(F.col("s") < 0, (F.col("s") + 1) / F.sqrt(var_s))
+        .otherwise(0.0)
+    )
+    return stat.select(
+        F.col("n").cast("bigint").alias("n_weeks"),
+        F.col("s").cast("bigint").alias("s_stat"),
+        F.round(var_s, 6).alias("var_s"),
+        F.round(z, 6).alias("z"),
+        F.when(F.col("s") != 0, F.abs(z) > LR_Z_95)
+        .otherwise(F.lit(False))
+        .alias("significant"),
+        F.when(F.col("s") > 0, "increasing")
+        .when(F.col("s") < 0, "decreasing")
+        .otherwise("no-trend")
+        .alias("direction"),
+    )
+
+
+SPC_A2_N7 = 0.419  # Shewhart XbarR constants for subgroup size 7
+SPC_D3_N7 = 0.076
+SPC_D4_N7 = 1.924
+
+
+@query(
+    "spc_xbar_chart",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(date_diff('day', DATE '1970-01-01',
+                              CAST(o_orderdate AS DATE)) // 7
+               AS BIGINT) AS wk,
+               o_orderdate AS d,
+               ROUND(SUM(o_totalprice) / 1e6, 6) AS x
+        FROM orders GROUP BY 1, 2
+    ),
+    subgroups AS (
+        SELECT wk,
+               AVG(x) AS xbar,
+               MAX(x) - MIN(x) AS r,
+               COUNT(*) AS n
+        FROM daily GROUP BY 1
+        HAVING COUNT(*) = 7
+    ),
+    limits AS (
+        SELECT AVG(xbar) AS cl, AVG(r) AS rbar FROM subgroups
+    )
+    SELECT s.wk,
+           ROUND(s.xbar, 6) AS xbar,
+           ROUND(s.r, 6) AS r,
+           ROUND(l.cl, 6) AS center,
+           ROUND(l.cl + {SPC_A2_N7} * l.rbar, 6) AS ucl,
+           ROUND(l.cl - {SPC_A2_N7} * l.rbar, 6) AS lcl,
+           s.xbar > l.cl + {SPC_A2_N7} * l.rbar
+               OR s.xbar < l.cl - {SPC_A2_N7} * l.rbar
+               AS xbar_violation,
+           s.r > {SPC_D4_N7} * l.rbar
+               OR s.r < {SPC_D3_N7} * l.rbar AS range_violation
+    FROM subgroups s CROSS JOIN limits l
+    ORDER BY s.wk
+    """,
+)
+def spc_xbar_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shewhart Xbar-R control chart over weekly subgroups of daily
+    revenue — the ORIGINAL process-control chart beside the engine's
+    sequential detectors (`cusum_drift_chart` accumulates small
+    shifts, `ewma_anomaly` smooths, Shewhart catches LARGE isolated
+    shifts fastest; SPC practice runs them together): each complete
+    7-day week is a rational subgroup, the Xbar chart flags weekly
+    means outside center +- A2*Rbar and the R chart flags
+    within-week dispersion outside [D3, D4]*Rbar (n = 7 constants
+    from the standard SPC tables; partial tail weeks are excluded
+    as unbalanced subgroups, the textbook rule).
+
+    Scale shape: corpus -> (week, day) grain -> week-grain
+    subgroup stats, with the 1-row control-limit broadcast back —
+    everything after the first aggregate is calendar-bounded.
+    Multi-line deployments partition by line/metric id."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        (F.unix_date(F.to_date("o_orderdate")) / 7)
+        .cast("long")
+        .alias("wk"),
+        F.col("o_orderdate").alias("d"),
+    ).agg(F.round(F.sum("o_totalprice") / 1e6, 6).alias("x"))
+    subgroups = (
+        daily.groupBy("wk")
+        .agg(
+            F.avg("x").alias("xbar"),
+            (F.max("x") - F.min("x")).alias("r"),
+            F.count("*").alias("n"),
+        )
+        .filter(F.col("n") == 7)
+    )
+    limits = subgroups.agg(
+        F.avg("xbar").alias("cl"), F.avg("r").alias("rbar")
+    )
+    ucl = F.col("cl") + SPC_A2_N7 * F.col("rbar")
+    lcl = F.col("cl") - SPC_A2_N7 * F.col("rbar")
+    return (
+        subgroups.crossJoin(F.broadcast(limits))
+        .select(
+            "wk",
+            F.round("xbar", 6).alias("xbar"),
+            F.round("r", 6).alias("r"),
+            F.round("cl", 6).alias("center"),
+            F.round(ucl, 6).alias("ucl"),
+            F.round(lcl, 6).alias("lcl"),
+            ((F.col("xbar") > ucl) | (F.col("xbar") < lcl)).alias(
+                "xbar_violation"
+            ),
+            (
+                (F.col("r") > SPC_D4_N7 * F.col("rbar"))
+                | (F.col("r") < SPC_D3_N7 * F.col("rbar"))
+            ).alias("range_violation"),
+        )
+        .orderBy("wk")
+    )

@@ -55,6 +55,12 @@ NESTED_LOOP_OK = {
     # 2-row cohort table x day spine, 1-row terms x totals fold
     "gaussian_mixture_em",  # 1-row parameter frame x the day-grain
     # series per EM round (the fs_em O(model)-per-round contract)
+    "mann_kendall_trend",  # theilsen's calendar-squared week-pair
+    # join + 1-row S/n/tie scalar folds
+    "spc_xbar_chart",  # 1-row control-limit broadcast onto the
+    # week-grain subgroup table (cusum_drift_chart's shape)
+    "abc_xyz_classification",  # 1-row week-count / revenue-total /
+    # bin-boundary broadcasts onto part-grain and bin-grain tables
     "word_burstiness_topk",  # 1-row doc-count scalar broadcast onto
     # the vocab-grain stats (tfidf_top_terms' corpus-size shape)
     "hurst_exponent_rs",  # 4-rung literal size ladder x the
@@ -233,6 +239,9 @@ BUILD_EXECUTES = {
 UNPARTITIONED_WINDOW_OK = {
     "selection_tradeoff_curve",  # cumulative selection walk over
     # the fixed 10-row decile grid (lorenz-decile boundedness)
+    "abc_xyz_classification",  # top-down revenue CDF over the
+    # log-revenue bin table (bounded by the value range at 1/20-log
+    # resolution, never part-grain)
     "hurst_exponent_rs",  # day-index row_number over the
     # calendar-bounded daily series (acf_panel's boundedness)
     "ann_ivf_portable",  # seed numbering over the 8-row md5-order

@@ -1514,3 +1514,115 @@ def test_gmm_degenerate_constant_series_hits_var_floor(
         assert r["mu"] == 2.0
         assert r["weight"] == 0.5
         assert r["sigma"] == 0.001  # sqrt(1e-6) floor
+
+
+# ------------------------- Mann-Kendall ----------------------------
+
+
+def _weekly_lake(spark, tmp_path, levels):
+    base = datetime.date(1995, 1, 5)
+    rows = [
+        ("X", (base + datetime.timedelta(days=7 * i)).isoformat(),
+         float(v) * 1e6)
+        for i, v in enumerate(levels)
+    ]
+    return _lake(
+        spark,
+        tmp_path,
+        orders=(
+            rows,
+            "o_orderpriority string, o_orderdate string, "
+            "o_totalprice double",
+        ),
+    )
+
+
+def test_mann_kendall_monotone_series_maxes_s(spark, tmp_path):
+    # strictly increasing 20-week series: S = C(20,2) = 190, and the
+    # test must call a significant increasing trend
+    sf = _weekly_lake(spark, tmp_path, range(1, 21))
+    r = QS["mann_kendall_trend"](spark, sf).collect()[0]
+    assert r["n_weeks"] == 20 and r["s_stat"] == 190
+    assert r["direction"] == "increasing" and r["significant"] is True
+    # no ties: var = n(n-1)(2n+5)/18
+    assert r["var_s"] == round(20 * 19 * 45 / 18, 6)
+
+
+def test_mann_kendall_alternating_series_is_trendless(spark, tmp_path):
+    # perfect alternation: every up-pair has a matching down-pair at
+    # even n... plant 20 weeks of 1,2,1,2: sign sum stays small and
+    # the verdict is not significant
+    sf = _weekly_lake(spark, tmp_path, [1, 2] * 10)
+    r = QS["mann_kendall_trend"](spark, sf).collect()[0]
+    assert r["significant"] is False
+    assert abs(r["s_stat"]) <= 10
+
+
+# ------------------------- SPC Xbar-R chart ------------------------
+
+
+def test_spc_flags_planted_shift_week_and_drops_partial(
+    spark, tmp_path
+):
+    # 10 full weeks at level 2.0 with tiny in-week range; week 5's
+    # mean is shifted by +0.3 — big vs A2*Rbar = 0.042 but small
+    # enough not to drag every clean week outside the contaminated
+    # center line (single-pass phase-I chart) -> one xbar violation;
+    # a trailing 3-day partial week must be EXCLUDED
+    # epoch day of 1996-01-04 is divisible by 7, so each planted
+    # 7-day block lands in exactly one wk bucket
+    base = datetime.date(1996, 1, 4)
+    rows = []
+    for w in range(10):
+        lvl = 2.3 if w == 5 else 2.0
+        for d in range(7):
+            day = base + datetime.timedelta(days=7 * w + d)
+            jitter = 0.05 if d % 2 else -0.05
+            rows.append((day.isoformat(), (lvl + jitter) * 1e6))
+    for d in range(3):  # partial tail week
+        day = base + datetime.timedelta(days=70 + d)
+        rows.append((day.isoformat(), 2.0e6))
+    sf = _lake(
+        spark,
+        tmp_path,
+        orders=(rows, "o_orderdate string, o_totalprice double"),
+    )
+    out = QS["spc_xbar_chart"](spark, sf).collect()
+    assert len(out) == 10  # partial week dropped
+    viol = [r for r in out if r["xbar_violation"]]
+    assert len(viol) == 1 and viol[0]["xbar"] == 2.292857
+    assert all(not r["range_violation"] for r in out)
+    # limits are shared rows (1-row broadcast)
+    assert len({r["ucl"] for r in out}) == 1
+
+
+# ------------------------ ABC-XYZ grid -----------------------------
+
+
+def test_abc_xyz_separates_whale_mid_and_tail(spark, tmp_path):
+    # whale part: 86% of revenue, steady weekly demand -> AX;
+    # mid part: 13%, one spike week -> BZ; 10 tiny parts -> CZ
+    base = datetime.date(1996, 1, 4)  # epoch-day % 7 == 0
+    li = []
+    for w in range(10):
+        d = (base + datetime.timedelta(days=7 * w)).isoformat()
+        li.append((1, d, 10.0, 1000.0, 0.0))  # whale, every week
+    li.append((2, base.isoformat(), 30.0, 1500.0, 0.0))  # spike
+    for p in range(3, 13):
+        li.append((p, base.isoformat(), 1.0, 10.0, 0.0))
+    sf = _lake(
+        spark,
+        tmp_path,
+        lineitem=(
+            li,
+            "l_partkey long, l_shipdate string, l_quantity double, "
+            "l_extendedprice double, l_discount double",
+        ),
+    )
+    out = {(r["abc"], r["xyz"]): r for r in
+           QS["abc_xyz_classification"](spark, sf).collect()}
+    assert set(out) == {("A", "X"), ("B", "Z"), ("C", "Z")}
+    assert out[("A", "X")]["n_parts"] == 1
+    assert out[("A", "X")]["revenue_share"] == 0.862069
+    assert out[("B", "Z")]["n_parts"] == 1
+    assert out[("C", "Z")]["n_parts"] == 10
