@@ -970,3 +970,146 @@ def abc_xyz_classification(
         )
         .orderBy("abc", "xyz")
     )
+
+
+@query(
+    "negbin_basket_fit",
+    oracle="""
+    WITH baskets AS (
+        SELECT l_orderkey, COUNT(*) AS k FROM lineitem GROUP BY 1
+    ),
+    mom AS (
+        SELECT COUNT(*) AS n, AVG(k) AS m,
+               var_pop(k) AS v
+        FROM baskets
+    )
+    SELECT CAST(n AS BIGINT) AS n_orders,
+           ROUND(m, 6) AS mean_items,
+           ROUND(v, 6) AS var_items,
+           ROUND(v / m, 6) AS dispersion,
+           CASE WHEN v / m > 1.1 THEN 'overdispersed'
+                WHEN v / m < 0.9 THEN 'underdispersed'
+                ELSE 'poisson-like' END AS regime,
+           ROUND(CASE WHEN v > m THEN m * m / (v - m) END, 6)
+               AS nb_r,
+           ROUND(CASE WHEN v > m THEN m / v END, 6) AS nb_p
+    FROM mom
+    """,
+)
+def negbin_basket_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Basket-size dispersion fit: items-per-order moments, the
+    variance/mean dispersion index, and the method-of-moments
+    negative-binomial parameters (r = m^2/(v-m), p = m/v) when the
+    data is overdispersed — the count-model triage every demand
+    modeler runs before picking Poisson vs NB regression
+    (`fano_burstiness` asks the same question of event STREAMS;
+    this asks it of basket SIZES, the classic NB domain). NB
+    parameters are NULL when v <= m (Poisson or under-dispersed —
+    the NB moment fit does not exist there, and emitting a negative
+    r silently is the classic bug).
+
+    Scale shape: one order-grain count + one 1-row moment fold."""
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = li.groupBy("l_orderkey").agg(F.count("*").alias("k"))
+    mom = baskets.agg(
+        F.count("*").alias("n"),
+        F.avg("k").alias("m"),
+        F.var_pop("k").alias("v"),
+    )
+    disp = F.col("v") / F.col("m")
+    return mom.select(
+        F.col("n").cast("bigint").alias("n_orders"),
+        F.round("m", 6).alias("mean_items"),
+        F.round("v", 6).alias("var_items"),
+        F.round(disp, 6).alias("dispersion"),
+        F.when(disp > 1.1, "overdispersed")
+        .when(disp < 0.9, "underdispersed")
+        .otherwise("poisson-like")
+        .alias("regime"),
+        F.round(
+            F.when(
+                F.col("v") > F.col("m"),
+                F.col("m") * F.col("m") / (F.col("v") - F.col("m")),
+            ),
+            6,
+        ).alias("nb_r"),
+        F.round(
+            F.when(F.col("v") > F.col("m"), F.col("m") / F.col("v")),
+            6,
+        ).alias("nb_p"),
+    )
+
+
+@query(
+    "calendar_heatmap_cells",
+    oracle="""
+    WITH cells AS (
+        SELECT CAST(EXTRACT(month FROM CAST(o_orderdate AS DATE))
+                    AS BIGINT) AS mo,
+               CAST(isodow(CAST(o_orderdate AS DATE)) AS BIGINT)
+                   AS dow,
+               COUNT(*) AS n
+        FROM orders GROUP BY 1, 2
+    ),
+    mrg AS (SELECT mo, SUM(n) AS nm FROM cells GROUP BY 1),
+    drg AS (SELECT dow, SUM(n) AS nd FROM cells GROUP BY 1),
+    tot AS (SELECT SUM(n) AS t FROM cells)
+    SELECT c.mo, c.dow,
+           CAST(c.n AS BIGINT) AS n_orders,
+           ROUND(m.nm * d.nd * 1.0 / t.t, 6) AS expected,
+           ROUND((c.n - m.nm * d.nd * 1.0 / t.t)
+                 / SQRT(m.nm * d.nd * 1.0 / t.t), 6)
+               AS pearson_residual,
+           ABS((c.n - m.nm * d.nd * 1.0 / t.t)
+               / SQRT(m.nm * d.nd * 1.0 / t.t)) > 2 AS hot_or_cold
+    FROM cells c
+    JOIN mrg m USING (mo)
+    JOIN drg d USING (dow)
+    CROSS JOIN tot t
+    ORDER BY mo, dow
+    """,
+)
+def calendar_heatmap_cells(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Month x ISO-weekday order-count heatmap with independence
+    residuals — the seasonality INTERACTION audit (seasonal_
+    decompose_daily extracts the weekly cycle, this asks whether the
+    weekly cycle is the SAME in every month): each of the <= 84
+    cells carries its count, the independence expectation
+    (row x col / total), and the Pearson residual (obs - exp)/
+    sqrt(exp) — |resid| > 2 marks the hot/cold cells a staffing or
+    campaign calendar reads (December Saturdays, August Mondays).
+    The residual grid is exactly the chi-square decomposition of
+    `categorical_mutual_information`'s independence question, kept
+    at cell grain for the heatmap.
+
+    Scale shape: one conditional aggregate to the fixed 12 x 7 grid,
+    two margin rollups of that grid, a 1-row total broadcast —
+    nothing after the first pass exceeds 84 rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    cells = orders.groupBy(
+        F.month(F.to_date("o_orderdate")).cast("bigint").alias("mo"),
+        (F.weekday(F.to_date("o_orderdate")) + 1)
+        .cast("bigint")
+        .alias("dow"),
+    ).agg(F.count("*").alias("n"))
+    mrg = cells.groupBy("mo").agg(F.sum("n").alias("nm"))
+    drg = cells.groupBy("dow").agg(F.sum("n").alias("nd"))
+    tot = cells.agg(F.sum("n").alias("t"))
+    exp = F.col("nm") * F.col("nd") * 1.0 / F.col("t")
+    resid = (F.col("n") - exp) / F.sqrt(exp)
+    return (
+        cells.join(F.broadcast(mrg), "mo")
+        .join(F.broadcast(drg), "dow")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "mo",
+            "dow",
+            F.col("n").cast("bigint").alias("n_orders"),
+            F.round(exp, 6).alias("expected"),
+            F.round(resid, 6).alias("pearson_residual"),
+            (F.abs(resid) > 2).alias("hot_or_cold"),
+        )
+        .orderBy("mo", "dow")
+    )

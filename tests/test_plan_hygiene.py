@@ -61,6 +61,8 @@ NESTED_LOOP_OK = {
     # week-grain subgroup table (cusum_drift_chart's shape)
     "abc_xyz_classification",  # 1-row week-count / revenue-total /
     # bin-boundary broadcasts onto part-grain and bin-grain tables
+    "calendar_heatmap_cells",  # month/dow margin rollups of the
+    # fixed 12 x 7 grid + 1-row total onto the 84-cell table
     "word_burstiness_topk",  # 1-row doc-count scalar broadcast onto
     # the vocab-grain stats (tfidf_top_terms' corpus-size shape)
     "hurst_exponent_rs",  # 4-rung literal size ladder x the
@@ -467,6 +469,8 @@ def test_neardup_components_pair_stage_has_no_forced_broadcast(spark):
 # Broadcast subtrees whose boundedness comes from a grouped
 # aggregate at a bounded DOMAIN (inspected; the domain is named).
 BROADCAST_GRAIN_OK = {
+    "calendar_heatmap_cells",  # month (12) and ISO-dow (7) margin
+    # tables: fixed calendar domains at any SF
     "decision_stump_portable",  # per-feature totals: 2 rows (the
     # fixed feature panel), built from value-grain cells
     "ipw_treatment_effect",  # brand-grain propensity model: 25

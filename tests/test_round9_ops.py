@@ -1626,3 +1626,67 @@ def test_abc_xyz_separates_whale_mid_and_tail(spark, tmp_path):
     assert out[("A", "X")]["revenue_share"] == 0.862069
     assert out[("B", "Z")]["n_parts"] == 1
     assert out[("C", "Z")]["n_parts"] == 10
+
+
+# ---------------------- NB basket / heatmap ------------------------
+
+
+def test_negbin_recovers_planted_overdispersion(spark, tmp_path):
+    # 50 baskets of 2 items + 50 of 8: m = 5, v = 9 -> D = 1.8,
+    # nb_r = 25/4, nb_p = 5/9
+    li = []
+    ok = 0
+    for _ in range(50):
+        for j in range(2):
+            li.append((ok, j)); 
+        ok += 1
+    for _ in range(50):
+        for j in range(8):
+            li.append((ok, j))
+        ok += 1
+    sf = _lake(
+        spark, tmp_path,
+        lineitem=(li, "l_orderkey long, l_linenumber long"),
+    )
+    r = QS["negbin_basket_fit"](spark, sf).collect()[0]
+    assert r["n_orders"] == 100
+    assert r["mean_items"] == 5.0 and r["var_items"] == 9.0
+    assert r["dispersion"] == 1.8 and r["regime"] == "overdispersed"
+    assert r["nb_r"] == 6.25 and r["nb_p"] == round(5 / 9, 6)
+
+
+def test_negbin_constant_baskets_leave_nb_null(spark, tmp_path):
+    # every basket has 3 items: v = 0 -> underdispersed, NB moment
+    # fit does not exist -> NULL parameters
+    li = [(o, j) for o in range(30) for j in range(3)]
+    sf = _lake(
+        spark, tmp_path,
+        lineitem=(li, "l_orderkey long, l_linenumber long"),
+    )
+    r = QS["negbin_basket_fit"](spark, sf).collect()[0]
+    assert r["regime"] == "underdispersed"
+    assert r["nb_r"] is None and r["nb_p"] is None
+
+
+def test_heatmap_flags_planted_hot_cell(spark, tmp_path):
+    # uniform orders over a Jan-Apr x Mon-Fri grid, plus a planted
+    # January-Monday surge: that cell alone goes hot
+    base = datetime.date(2024, 1, 1)  # a Monday
+    rows = []
+    k = 0
+    for wk in range(16):  # 16 weeks = Jan..Apr
+        for d in range(5):  # Mon..Fri
+            day = base + datetime.timedelta(days=7 * wk + d)
+            rows.append((k, day.isoformat())); k += 1
+    for _ in range(40):  # surge on the first Monday
+        rows.append((k, base.isoformat())); k += 1
+    sf = _lake(
+        spark, tmp_path,
+        orders=(rows, "o_orderkey long, o_orderdate string"),
+    )
+    out = QS["calendar_heatmap_cells"](spark, sf).collect()
+    hot = [r for r in out if r["hot_or_cold"] and r["pearson_residual"] > 0]
+    assert len(hot) == 1
+    assert hot[0]["mo"] == 1 and hot[0]["dow"] == 1
+    # residuals decompose the same total: sum of n == total orders
+    assert sum(r["n_orders"] for r in out) == k
