@@ -585,3 +585,41 @@ def test_curation_shapley_on_inmemory_flags(spark):
     assert abs(sum(r["shapley_removed"] for r in out) - total) < 1e-9
     by = {r["filter"]: r for r in out}
     assert by["stop"]["shapley_removed"] == 0.0  # c passes everywhere
+
+
+def test_example_experiment_readout_script(spark):
+    """examples/experiment_readout.py is a living document: its
+    readout() must expose the confounding (naive > 0, IPW = 0),
+    recover the planted DiD effect, and flag the never-converting
+    cohort."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "experiment_readout",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "examples",
+            "experiment_readout.py",
+        ),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    exposures = spark.createDataFrame(
+        [("H", 1 if i < 8 else 0, 100.0) for i in range(10)]
+        + [("L", 1 if i < 2 else 0, 10.0) for i in range(10)],
+        "strata string, t int, y double",
+    )
+    panel = spark.createDataFrame(
+        [(1, 0, 10.0), (1, 1, 25.0), (0, 0, 20.0), (0, 1, 30.0)],
+        "treated int, post int, y double",
+    )
+    subjects = spark.createDataFrame(
+        [(1, 1, 1)] * 10 + [(2, 0, 30)] * 10,
+        "g int, event int, t_day long",
+    )
+    out = mod.readout(spark, exposures, panel, subjects)
+    ipw = out["ipw"].collect()[0]
+    assert ipw["naive_diff"] > 0 and ipw["ipw_ate"] == 0.0
+    assert out["did"].collect()[0]["did_estimate"] == 5.0
+    assert out["logrank"].collect()[0]["significant"] is True
