@@ -57,6 +57,8 @@ NESTED_LOOP_OK = {
     # series per EM round (the fs_em O(model)-per-round contract)
     "mann_kendall_trend",  # theilsen's calendar-squared week-pair
     # join + 1-row S/n/tie scalar folds
+    "cuped_adjusted_ab",  # 1-row theta/mean scalar broadcast onto
+    # the customer-grain panel (the welch moments shape)
     "spc_xbar_chart",  # 1-row control-limit broadcast onto the
     # week-grain subgroup table (cusum_drift_chart's shape)
     "abc_xyz_classification",  # 1-row week-count / revenue-total /

@@ -1690,3 +1690,38 @@ def test_heatmap_flags_planted_hot_cell(spark, tmp_path):
     assert hot[0]["mo"] == 1 and hot[0]["dow"] == 1
     # residuals decompose the same total: sum of n == total orders
     assert sum(r["n_orders"] for r in out) == k
+
+
+# ------------------------------ CUPED ------------------------------
+
+
+def test_cuped_removes_preperiod_variance_keeps_effect(
+    spark, tmp_path
+):
+    # outcome y = x + effect*t: pre-period x explains ALL within-arm
+    # variance, so CUPED collapses var to ~0 while the diff stays 5
+    cust, orders = [], []
+    k = 0
+    for i in range(40):
+        seg = "BUILDING" if i % 2 else "AUTO"
+        cust.append((i, seg))
+        x = float(10 + (i // 2) % 10)  # same x mix in both arms
+        y = x + (5.0 if seg == "BUILDING" else 0.0)
+        orders.append((k, i, "1995-06-01", x * 1e3)); k += 1
+        orders.append((k, i, "1997-06-01", y * 1e3)); k += 1
+    sf = _lake(
+        spark,
+        tmp_path,
+        customer=(cust, "c_custkey long, c_mktsegment string"),
+        orders=(
+            orders,
+            "o_orderkey long, o_custkey long, o_orderdate string, "
+            "o_totalprice double",
+        ),
+    )
+    r = QS["cuped_adjusted_ab"](spark, sf).collect()[0]
+    assert r["n_treat"] == 20 and r["n_ctrl"] == 20
+    assert r["raw_diff"] == 5.0
+    assert r["cuped_diff"] == 5.0  # adjustment must NOT bias the diff
+    assert r["var_cuped"] < 7  # between-arm effect only
+    assert r["variance_reduction"] > 0.5
