@@ -3885,3 +3885,106 @@ def spc_xbar_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("wk")
     )
+
+
+SES_ALPHA = 0.3  # smoothing constant
+SES_KERNEL = 40  # truncated kernel length ((1-a)^40 ~ 6e-7 residual)
+
+
+@query(
+    "ses_forecast_eval",
+    oracle=f"""
+    WITH daily AS (
+        SELECT o_orderdate AS d,
+               ROUND(SUM(o_totalprice) / 1e6, 6) AS x
+        FROM orders GROUP BY 1
+    ),
+    idx AS (
+        SELECT x, ROW_NUMBER() OVER (ORDER BY d) AS i FROM daily
+    ),
+    kernel AS (
+        SELECT unnest(range(1, {SES_KERNEL} + 1)) AS j
+    ),
+    fc AS (
+        SELECT t.i,
+               t.x AS y,
+               SUM({SES_ALPHA} * POWER(1 - {SES_ALPHA}, k.j - 1)
+                   * h.x)
+                   / (1 - POWER(1 - {SES_ALPHA}, {SES_KERNEL}))
+                   AS f_ses,
+               MAX(CASE WHEN k.j = 1 THEN h.x END) AS f_naive
+        FROM idx t
+        JOIN kernel k ON TRUE
+        JOIN idx h ON h.i = t.i - k.j
+        WHERE t.i > {SES_KERNEL}
+        GROUP BY t.i, t.x
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_eval,
+           CAST({SES_ALPHA} AS DOUBLE) AS alpha,
+           ROUND(AVG(ABS(y - f_ses)), 6) AS mae_ses,
+           ROUND(AVG(ABS(y - f_naive)), 6) AS mae_naive,
+           ROUND(AVG(ABS(y - f_ses))
+                 / GREATEST(AVG(ABS(y - f_naive)), 1e-12), 6)
+               AS rel_mae,
+           AVG(ABS(y - f_ses))
+               < AVG(ABS(y - f_naive)) AS ses_beats_naive
+    FROM fc
+    """,
+)
+def ses_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-step-ahead simple-exponential-smoothing backtest on daily
+    revenue — the first MODEL beside `forecast_backtest_mase`'s
+    naive anchors: F_t = alpha * sum_j (1-alpha)^(j-1) y_(t-j),
+    computed EXACTLY as a truncated 40-tap kernel (residual weight
+    6e-7, renormalized) instead of the loop-carried recursion — the
+    declarative form both engines replay bit-for-bit, and the same
+    trick production panels use to backfill SES without a
+    sequential scan. rel_mae < 1 says smoothing beats persistence
+    on this series (noisy series: yes; trending/weekly series: the
+    Holt/seasonal upgrades, same kernel shape with more taps).
+
+    Scale shape: corpus -> day grain once; the 40-row kernel grid
+    joins the day-index series on index arithmetic (the acf_panel
+    lag-join shape, 40 wide), one fold to a single row. Per-metric
+    panels partition the index by metric id."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.round(F.sum("o_totalprice") / 1e6, 6).alias("x")
+    )
+    idx = daily.select(
+        "x", F.row_number().over(Window.orderBy("d")).alias("i")
+    )
+    kernel = spark.range(1, SES_KERNEL + 1).select(
+        F.col("id").cast("long").alias("j")
+    )
+    t = idx.select(F.col("i").alias("ti"), F.col("x").alias("y"))
+    h = idx.select(F.col("i").alias("hi"), F.col("x").alias("hx"))
+    w = (
+        SES_ALPHA
+        * F.pow(F.lit(1 - SES_ALPHA), F.col("j") - 1)
+        / (1 - (1 - SES_ALPHA) ** SES_KERNEL)
+    )
+    fc = (
+        t.filter(F.col("ti") > SES_KERNEL)
+        .crossJoin(F.broadcast(kernel))
+        .join(h, F.col("hi") == F.col("ti") - F.col("j"))
+        .groupBy("ti", "y")
+        .agg(
+            F.sum(w * F.col("hx")).alias("f_ses"),
+            F.max(
+                F.when(F.col("j") == 1, F.col("hx"))
+            ).alias("f_naive"),
+        )
+    )
+    mae_ses = F.avg(F.abs(F.col("y") - F.col("f_ses")))
+    mae_naive = F.avg(F.abs(F.col("y") - F.col("f_naive")))
+    return fc.agg(
+        F.count("*").cast("bigint").alias("n_eval"),
+        F.lit(float(SES_ALPHA)).alias("alpha"),
+        F.round(mae_ses, 6).alias("mae_ses"),
+        F.round(mae_naive, 6).alias("mae_naive"),
+        F.round(
+            mae_ses / F.greatest(mae_naive, F.lit(1e-12)), 6
+        ).alias("rel_mae"),
+        (mae_ses < mae_naive).alias("ses_beats_naive"),
+    )

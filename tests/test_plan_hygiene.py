@@ -59,6 +59,8 @@ NESTED_LOOP_OK = {
     # join + 1-row S/n/tie scalar folds
     "cuped_adjusted_ab",  # 1-row theta/mean scalar broadcast onto
     # the customer-grain panel (the welch moments shape)
+    "ses_forecast_eval",  # 40-row kernel grid x the day-grain
+    # series (the acf_panel lag-join shape)
     "spc_xbar_chart",  # 1-row control-limit broadcast onto the
     # week-grain subgroup table (cusum_drift_chart's shape)
     "abc_xyz_classification",  # 1-row week-count / revenue-total /
@@ -248,6 +250,8 @@ UNPARTITIONED_WINDOW_OK = {
     # resolution, never part-grain)
     "hurst_exponent_rs",  # day-index row_number over the
     # calendar-bounded daily series (acf_panel's boundedness)
+    "ses_forecast_eval",  # the same day-index row_number over the
+    # calendar-bounded daily series
     "ann_ivf_portable",  # seed numbering over the 8-row md5-order
     # limit (bounded by K); the assignment argmin window is
     # partitioned by vec_id

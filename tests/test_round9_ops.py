@@ -1725,3 +1725,25 @@ def test_cuped_removes_preperiod_variance_keeps_effect(
     assert r["cuped_diff"] == 5.0  # adjustment must NOT bias the diff
     assert r["var_cuped"] < 7  # between-arm effect only
     assert r["variance_reduction"] > 0.5
+
+
+# --------------------------- SES backtest --------------------------
+
+
+def test_ses_beats_naive_on_noise_loses_on_walk(spark, tmp_path):
+    # white-ish alternating noise around a level: SES averages it
+    # out while naive chases every flip -> rel_mae well under 1
+    vals = [(2.0 + (0.5 if i % 2 else -0.5)) * 1e6 for i in range(120)]
+    sf = _daily_lake(spark, tmp_path, vals)
+    r = QS["ses_forecast_eval"](spark, sf).collect()[0]
+    assert r["n_eval"] == 120 - 40
+    assert r["ses_beats_naive"] is True
+    assert r["rel_mae"] < 0.8
+
+    # a strong linear trend: persistence hugs the ramp, SES lags it
+    sf2 = _daily_lake(
+        spark, tmp_path / "trend", [float(i) * 1e6 for i in range(120)]
+    )
+    r2 = QS["ses_forecast_eval"](spark, sf2).collect()[0]
+    assert r2["ses_beats_naive"] is False
+    assert r2["rel_mae"] > 1.5
