@@ -3009,3 +3009,171 @@ def word_burstiness_topk(
         .orderBy(F.desc("burstiness"), "word")
         .limit(WB_TOPK)
     )
+
+
+HEAPS_CHECKPOINTS = (0.125, 0.25, 0.5, 1.0)  # doc-prefix ladder
+
+
+@query(
+    "heaps_law_fit",
+    oracle=f"""
+    WITH dw AS (
+        SELECT doc_id, unnest(list_filter(
+            string_split_regex(lower(text), '[^a-z0-9]+'),
+            x -> x <> '')) AS word
+        FROM documents
+    ),
+    bounds AS (
+        SELECT {", ".join(
+            f"ROUND(quantile_cont(doc_id, {c}), 6) AS c{i}"
+            for i, c in enumerate(HEAPS_CHECKPOINTS)
+        )}
+        FROM (SELECT DISTINCT doc_id FROM documents)
+    ),
+    cells AS (
+        SELECT {", ".join(
+            f"COUNT(DISTINCT CASE WHEN dw.doc_id <= b.c{i} "
+            f"THEN dw.word END) AS v{i}, "
+            f"COUNT(DISTINCT CASE WHEN dw.doc_id <= b.c{i} "
+            f"THEN dw.doc_id END) AS n{i}, "
+            f"COUNT(CASE WHEN dw.doc_id <= b.c{i} "
+            f"THEN 1 END) AS t{i}"
+            for i in range(len(HEAPS_CHECKPOINTS))
+        )}
+        FROM dw CROSS JOIN bounds b
+    ),
+    pts AS (
+        {" UNION ALL ".join(
+            f"SELECT {i} AS ck, n{i} AS n_docs, t{i} AS n_tokens,"
+            f" v{i} AS vocab FROM cells"
+            for i in range(len(HEAPS_CHECKPOINTS))
+        )}
+    ),
+    fit AS (
+        SELECT ROUND(regr_slope(LN(vocab), LN(n_tokens)), 6) + 0.0
+                   AS beta,
+               ROUND(EXP(regr_intercept(LN(vocab), LN(n_tokens))), 6)
+                   AS k
+        FROM pts
+    )
+    SELECT p.ck AS checkpoint,
+           CAST(p.n_docs AS BIGINT) AS n_docs,
+           CAST(p.n_tokens AS BIGINT) AS n_tokens,
+           CAST(p.vocab AS BIGINT) AS vocab,
+           f.beta AS heaps_beta,
+           f.k AS heaps_k,
+           ROUND(f.k * POWER(p.n_tokens, f.beta), 6)
+               AS fitted_vocab
+    FROM pts p CROSS JOIN fit f
+    ORDER BY checkpoint
+    """,
+)
+def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit of vocabulary growth — V(n) = K n^beta over a
+    doc-prefix ladder (1/8, 1/4, 1/2, full corpus by doc_id): the
+    exponent the engine's OWN scale arguments lean on ('vocab grain
+    is Heaps-sublinear') turned into a measured number, and the
+    tokenizer-planning curve (`vocab_sizing_curve` asks what k
+    covers; this asks how vocabulary GROWS as the corpus does —
+    beta ~ 0.5 means 4x data ~ 2x vocab, the budget rule for
+    open-vocab growth).
+
+    The four prefix vocabularies are FOUR CONDITIONAL COUNT-
+    DISTINCTs in ONE aggregate over the (doc, word) pass — not four
+    scans: the checkpoint doc_id boundaries ride a 1-row percentile
+    broadcast, and the log-log fit is a 4-point regression. The
+    fitted_vocab column replays the law at each checkpoint so the
+    residual is visible.
+
+    Scale shape: one token explode, a 1-row boundary broadcast, one
+    multi-distinct aggregate (Spark plans it as an expand — 4x the
+    pass, still one shuffle), a 4-row fit."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.filter(_words(), lambda x: x != "")
+    dw = docs.select("doc_id", F.explode(w).alias("word"))
+    bounds = docs.select("doc_id").distinct().agg(
+        *[
+            F.round(
+                F.percentile("doc_id", F.lit(c)), 6
+            ).alias(f"c{i}")
+            for i, c in enumerate(HEAPS_CHECKPOINTS)
+        ]
+    )
+    cells = dw.crossJoin(F.broadcast(bounds)).agg(
+        *[
+            agg
+            for i in range(len(HEAPS_CHECKPOINTS))
+            for agg in (
+                F.countDistinct(
+                    F.when(
+                        F.col("doc_id") <= F.col(f"c{i}"),
+                        F.col("word"),
+                    )
+                ).alias(f"v{i}"),
+                F.countDistinct(
+                    F.when(
+                        F.col("doc_id") <= F.col(f"c{i}"),
+                        F.col("doc_id"),
+                    )
+                ).alias(f"n{i}"),
+                F.count(
+                    F.when(F.col("doc_id") <= F.col(f"c{i}"), 1)
+                ).alias(f"t{i}"),
+            )
+        ]
+    )
+    stack_args = []
+    for i in range(len(HEAPS_CHECKPOINTS)):
+        stack_args += [
+            F.lit(i),
+            F.col(f"n{i}"),
+            F.col(f"t{i}"),
+            F.col(f"v{i}"),
+        ]
+    # ONE reference to the 1-row cells frame (a 4-way union would
+    # re-derive the corpus aggregate per checkpoint)
+    pts = cells.select(
+        F.stack(
+            F.lit(len(HEAPS_CHECKPOINTS)), *stack_args
+        ).alias("ck", "n_docs", "n_tokens", "vocab")
+    )
+    fit = pts.agg(
+        (
+            F.round(
+                F.regr_slope(
+                    F.log(F.col("vocab").cast("double")),
+                    F.log(F.col("n_tokens").cast("double")),
+                ),
+                6,
+            )
+            + 0.0
+        ).alias("beta"),
+        F.round(
+            F.exp(
+                F.regr_intercept(
+                    F.log(F.col("vocab").cast("double")),
+                    F.log(F.col("n_tokens").cast("double")),
+                )
+            ),
+            6,
+        ).alias("k"),
+    )
+    return (
+        pts.crossJoin(F.broadcast(fit))
+        .select(
+            F.col("ck").alias("checkpoint"),
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.col("vocab").cast("bigint").alias("vocab"),
+            F.col("beta").alias("heaps_beta"),
+            F.col("k").alias("heaps_k"),
+            F.round(
+                F.col("k")
+                * F.pow(
+                    F.col("n_tokens").cast("double"), F.col("beta")
+                ),
+                6,
+            ).alias("fitted_vocab"),
+        )
+        .orderBy("checkpoint")
+    )

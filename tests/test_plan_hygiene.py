@@ -61,6 +61,8 @@ NESTED_LOOP_OK = {
     # the customer-grain panel (the welch moments shape)
     "ses_forecast_eval",  # 40-row kernel grid x the day-grain
     # series (the acf_panel lag-join shape)
+    "heaps_law_fit",  # 1-row checkpoint-boundary broadcast onto
+    # the token pass + 1-row fit onto the 4-row point ladder
     "spc_xbar_chart",  # 1-row control-limit broadcast onto the
     # week-grain subgroup table (cusum_drift_chart's shape)
     "abc_xyz_classification",  # 1-row week-count / revenue-total /

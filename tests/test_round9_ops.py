@@ -1747,3 +1747,31 @@ def test_ses_beats_naive_on_noise_loses_on_walk(spark, tmp_path):
     r2 = QS["ses_forecast_eval"](spark, sf2).collect()[0]
     assert r2["ses_beats_naive"] is False
     assert r2["rel_mae"] > 1.5
+
+
+# --------------------------- Heaps' law ----------------------------
+
+
+def test_heaps_fit_pins_linear_and_saturated_growth(spark, tmp_path):
+    # every doc is 2 BRAND-NEW words repeated 8x -> vocab = tokens/8
+    # exactly -> beta = 1, K = 0.125, zero residual at every point
+    rows = [
+        (i, " ".join([f"n{i}a"] * 8 + [f"n{i}b"] * 8), "en", "s", 100)
+        for i in range(64)
+    ]
+    sf = _lake(spark, tmp_path, documents=(rows, DOC_SCHEMA))
+    out = QS["heaps_law_fit"](spark, sf).collect()
+    assert [r["checkpoint"] for r in out] == [0, 1, 2, 3]
+    assert [r["n_docs"] for r in out] == [8, 16, 32, 64]
+    assert [r["vocab"] for r in out] == [16, 32, 64, 128]
+    for r in out:
+        assert r["heaps_beta"] == 1.0
+        assert r["heaps_k"] == 0.125
+        assert r["fitted_vocab"] == float(r["vocab"])
+
+    # saturated corpus: same two words everywhere -> beta = 0
+    rows2 = [(i, "alpha beta " * 8, "en", "s", 100) for i in range(64)]
+    sf2 = _lake(spark, tmp_path / "sat", documents=(rows2, DOC_SCHEMA))
+    out2 = QS["heaps_law_fit"](spark, sf2).collect()
+    assert all(r["heaps_beta"] == 0.0 for r in out2)
+    assert all(r["vocab"] == 2 for r in out2)
