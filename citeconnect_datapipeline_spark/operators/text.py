@@ -3177,3 +3177,127 @@ def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("checkpoint")
     )
+
+
+@query(
+    "char_ngram_lang_profile",
+    oracle="""
+    WITH norm AS (
+        SELECT lang,
+               regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')
+                   AS s
+        FROM documents
+    ),
+    tri AS (
+        SELECT lang,
+               substring(s, i, 3) AS g
+        FROM norm,
+             UNNEST(range(1, length(s) - 1)) AS t(i)
+        WHERE length(s) >= 3
+    ),
+    prof AS (
+        SELECT lang, g, COUNT(*) AS c FROM tri GROUP BY 1, 2
+    ),
+    norms AS (
+        SELECT lang, SQRT(SUM(c * c)) AS nrm,
+               COUNT(*) AS n_grams
+        FROM prof GROUP BY 1
+    ),
+    dots AS (
+        SELECT a.lang AS lang_a, b.lang AS lang_b,
+               SUM(a.c * b.c) AS dot
+        FROM prof a JOIN prof b
+          ON a.g = b.g AND a.lang < b.lang
+        GROUP BY 1, 2
+    )
+    SELECT na.lang AS lang_a, nb.lang AS lang_b,
+           ROUND(COALESCE(d.dot, 0) / (na.nrm * nb.nrm), 6)
+               AS cosine,
+           CAST(na.n_grams AS BIGINT) AS n_grams_a,
+           CAST(nb.n_grams AS BIGINT) AS n_grams_b
+    FROM norms na
+    JOIN norms nb ON na.lang < nb.lang
+    LEFT JOIN dots d
+      ON d.lang_a = na.lang AND d.lang_b = nb.lang
+    ORDER BY cosine DESC, lang_a, lang_b
+    """,
+)
+def char_ngram_lang_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Character-trigram profile similarity between language labels —
+    the Cavnar-Trenkle / fastText signal under every practical
+    language identifier, here as a LABEL-QUALITY audit: two langs
+    whose trigram profiles are near-cosine-1 are either related
+    scripts or (on curated corpora) mislabeled splits the pipeline
+    should merge, and a lang whose profile drifts from its own
+    history flags contamination (`lang_confusion_matrix` audits the
+    word-level classifier; this audits the LABELS themselves at the
+    sub-word level, where loanwords and code-switching live).
+
+    Scale shape: one character-window explode (the shingle pass at
+    char grain), a (lang, trigram)-grain profile (trigram space is
+    bounded by charset^3, langs by the registry), norm rollups, and
+    a trigram-keyed profile join — never doc-pair, never
+    corpus-grain after the profile aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = F.regexp_replace(
+        F.trim(F.lower(F.col("text"))), r"\s+", " "
+    )
+    tri = (
+        docs.select("lang", s.alias("s"))
+        .filter(F.length("s") >= 3)
+        .select(
+            "lang",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(s) - 2),"
+                    " i -> substring(s, i, 3))"
+                )
+            ).alias("g"),
+        )
+    )
+    prof = tri.groupBy("lang", "g").agg(F.count("*").alias("c"))
+    norms = prof.groupBy("lang").agg(
+        F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("nrm"),
+        F.count("*").alias("n_grams"),
+    )
+    a = prof.select(
+        F.col("lang").alias("lang_a"), "g", F.col("c").alias("ca")
+    )
+    b = prof.select(
+        F.col("lang").alias("lang_b"), "g", F.col("c").alias("cb")
+    )
+    dots = (
+        a.join(b, (a.g == b.g) & (a.lang_a < b.lang_b))
+        .groupBy("lang_a", "lang_b")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("dot"))
+    )
+    na = norms.select(
+        F.col("lang").alias("lang_a"),
+        F.col("nrm").alias("na"),
+        F.col("n_grams").alias("n_grams_a"),
+    )
+    nb = norms.select(
+        F.col("lang").alias("lang_b"),
+        F.col("nrm").alias("nb"),
+        F.col("n_grams").alias("n_grams_b"),
+    )
+    # lang-pair spine from the registry-bounded norm table, so
+    # zero-overlap script pairs emit cosine 0 instead of vanishing
+    spine = na.join(nb, F.col("lang_a") < F.col("lang_b"))
+    return (
+        spine.join(dots, ["lang_a", "lang_b"], "left")
+        .select(
+            "lang_a",
+            "lang_b",
+            F.round(
+                F.coalesce(F.col("dot"), F.lit(0.0))
+                / (F.col("na") * F.col("nb")),
+                6,
+            ).alias("cosine"),
+            F.col("n_grams_a").cast("bigint").alias("n_grams_a"),
+            F.col("n_grams_b").cast("bigint").alias("n_grams_b"),
+        )
+        .orderBy(F.desc("cosine"), "lang_a", "lang_b")
+    )

@@ -63,6 +63,8 @@ NESTED_LOOP_OK = {
     # series (the acf_panel lag-join shape)
     "heaps_law_fit",  # 1-row checkpoint-boundary broadcast onto
     # the token pass + 1-row fit onto the 4-row point ladder
+    "char_ngram_lang_profile",  # lang-registry pair spine: the
+    # norm-table inequality self-join (5 labels -> 10 pairs)
     "spc_xbar_chart",  # 1-row control-limit broadcast onto the
     # week-grain subgroup table (cusum_drift_chart's shape)
     "abc_xyz_classification",  # 1-row week-count / revenue-total /
@@ -483,6 +485,8 @@ BROADCAST_GRAIN_OK = {
     # fixed feature panel), built from value-grain cells
     "ipw_treatment_effect",  # brand-grain propensity model: 25
     # fixed p_brand labels at every TPC-H SF
+    "char_ngram_lang_profile",  # lang-grain norm table: the lang
+    # registry (5 labels here) at any SF
     "logrank_test",  # 2-row cohort-size table (the fixed group
     # domain) crossed with the day spine; 1-row anchor/totals
     "changepoint_binary_seg",  # priority-grain totals (n, S, Q):

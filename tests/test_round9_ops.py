@@ -1775,3 +1775,25 @@ def test_heaps_fit_pins_linear_and_saturated_growth(spark, tmp_path):
     out2 = QS["heaps_law_fit"](spark, sf2).collect()
     assert all(r["heaps_beta"] == 0.0 for r in out2)
     assert all(r["vocab"] == 2 for r in out2)
+
+
+# ---------------------- char-ngram lang profile --------------------
+
+
+def test_char_profile_groups_scripts(spark, tmp_path):
+    # two 'languages' share an identical trigram distribution (same
+    # text), a third uses a disjoint alphabet: the twin pair must be
+    # cosine 1.0 and any pair with the outlier must be ~0
+    rows = (
+        [(i, "abcabcabc", "latn1", "s", 9) for i in range(5)]
+        + [(10 + i, "abcabcabc", "latn2", "s", 9) for i in range(5)]
+        + [(20 + i, "xyzxyzxyz", "other", "s", 9) for i in range(5)]
+    )
+    sf = _lake(spark, tmp_path, documents=(rows, DOC_SCHEMA))
+    out = {(r["lang_a"], r["lang_b"]): r for r in
+           QS["char_ngram_lang_profile"](spark, sf).collect()}
+    assert len(out) == 3
+    assert out[("latn1", "latn2")]["cosine"] == 1.0
+    assert out[("latn1", "other")]["cosine"] == 0.0
+    assert out[("latn2", "other")]["cosine"] == 0.0
+    assert out[("latn1", "latn2")]["n_grams_a"] == 3  # distinct tris
