@@ -3301,3 +3301,145 @@ def char_ngram_lang_profile(
         )
         .orderBy(F.desc("cosine"), "lang_a", "lang_b")
     )
+
+
+RAKE_TOPK = 25  # keyphrase result page
+# phrase delimiters: any stopword (word-bounded) or non-alphanumeric
+# run; kept in ONE regex so both engines segment identically
+RAKE_SPLIT = (
+    r"\b(?:the|a|an|and|of|to|in|is|on|for)\b|[^a-z0-9 ]+"
+)
+
+
+@query(
+    "rake_keyphrases",
+    oracle=f"""
+    WITH phrases AS (
+        SELECT doc_id,
+               trim(p) AS phrase
+        FROM (
+            SELECT doc_id,
+                   unnest(string_split_regex(lower(text),
+                          '{RAKE_SPLIT}')) AS p
+            FROM documents
+        )
+        WHERE trim(p) <> '' AND length(trim(p)) >= 3
+    ),
+    pw AS (
+        SELECT phrase,
+               unnest(string_split_regex(phrase, ' +')) AS word,
+               len(list_filter(string_split_regex(phrase, ' +'),
+                   x -> x <> '')) AS plen
+        FROM phrases
+    ),
+    wstats AS (
+        SELECT word,
+               COUNT(*) AS freq,
+               SUM(plen - 1) AS degree
+        FROM pw WHERE word <> '' GROUP BY 1
+    ),
+    pscore AS (
+        SELECT p.phrase,
+               COUNT(*) AS n_occur,
+               ROUND(SUM((w.degree + w.freq) * 1.0 / w.freq), 6)
+                   AS rake_score
+        FROM (SELECT DISTINCT phrase FROM phrases) dp
+        JOIN pw p ON p.phrase = dp.phrase
+        JOIN wstats w ON w.word = p.word
+        WHERE p.word <> ''
+        GROUP BY p.phrase
+    ),
+    occ AS (
+        SELECT phrase, COUNT(*) AS n_docs_hit
+        FROM phrases GROUP BY 1
+    )
+    SELECT s.phrase,
+           ROUND(s.rake_score / o.n_docs_hit, 6) AS rake_score,
+           CAST(o.n_docs_hit AS BIGINT) AS n_occurrences
+    FROM pscore s JOIN occ o USING (phrase)
+    ORDER BY ROUND(s.rake_score / o.n_docs_hit, 6) DESC, s.phrase
+    LIMIT {RAKE_TOPK}
+    """,
+)
+def rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010) over the corpus:
+    candidate phrases are the maximal token runs BETWEEN stopwords/
+    punctuation, each word scores degree/frequency co-occurrence
+    credit ((deg + freq)/freq here — the standard variant), and a
+    phrase scores the sum over its words — multi-word domain terms
+    outrank frequent single words by construction, which is exactly
+    what `word_freq_topk` cannot do and `tfidf_top_terms` only does
+    per document. The engine normalizes the phrase-occurrence sum
+    per occurrence so corpus-frequent boilerplate phrases do not
+    dominate on volume alone.
+
+    Scale shape: one regex phrase split (the chunker's pass shape),
+    a (phrase, word) explode, a VOCAB-grain word-stat aggregate
+    joined back at word grain, a phrase-grain rollup, and a
+    TakeOrdered 25-row page. Nothing pairwise, nothing
+    corpus-grain after the phrase aggregate (phrase space is
+    Heaps-bounded like the shingle tables)."""
+    docs = load_table(spark, sf_dir, "documents")
+    phrases = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.split(F.lower(F.col("text")), RAKE_SPLIT)
+            ).alias("p"),
+        )
+        .select("doc_id", F.trim(F.col("p")).alias("phrase"))
+        .filter(
+            (F.col("phrase") != "") & (F.length("phrase") >= 3)
+        )
+    )
+    words_arr = F.filter(
+        F.split(F.col("phrase"), " +"), lambda x: x != ""
+    )
+    pw = phrases.select(
+        "phrase",
+        F.explode(F.split(F.col("phrase"), " +")).alias("word"),
+        F.size(words_arr).alias("plen"),
+    )
+    wstats = (
+        pw.filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(
+            F.count("*").alias("freq"),
+            F.sum(F.col("plen") - 1).alias("degree"),
+        )
+    )
+    dp = phrases.select("phrase").distinct()
+    pscore = (
+        dp.join(pw, "phrase")
+        .filter(F.col("word") != "")
+        .join(wstats, "word")
+        .groupBy("phrase")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("degree") + F.col("freq"))
+                    * 1.0
+                    / F.col("freq")
+                ),
+                6,
+            ).alias("rake_score")
+        )
+    )
+    occ = phrases.groupBy("phrase").agg(
+        F.count("*").alias("n_docs_hit")
+    )
+    score = F.round(
+        F.col("rake_score") / F.col("n_docs_hit"), 6
+    )
+    return (
+        pscore.join(occ, "phrase")
+        .select(
+            "phrase",
+            score.alias("rake_score"),
+            F.col("n_docs_hit").cast("bigint").alias(
+                "n_occurrences"
+            ),
+        )
+        .orderBy(F.desc("rake_score"), "phrase")
+        .limit(RAKE_TOPK)
+    )

@@ -1797,3 +1797,33 @@ def test_char_profile_groups_scripts(spark, tmp_path):
     assert out[("latn1", "other")]["cosine"] == 0.0
     assert out[("latn2", "other")]["cosine"] == 0.0
     assert out[("latn1", "latn2")]["n_grams_a"] == 3  # distinct tris
+
+
+# --------------------------- RAKE ----------------------------------
+
+
+def test_rake_ranks_multiword_phrase_over_frequent_single(
+    spark, tmp_path
+):
+    # "neural information retrieval" occurs once per doc between
+    # stopwords; "data" occurs twice per doc as a lone phrase. RAKE:
+    # each phrase word scores (deg+freq)/freq = (2n+n)/n = 3 -> the
+    # 3-word phrase scores 9 per occurrence; a lone word scores 1.
+    rows = [
+        (
+            i,
+            "the neural information retrieval is data and data",
+            "en",
+            "s",
+            50,
+        )
+        for i in range(5)
+    ]
+    sf = _lake(spark, tmp_path, documents=(rows, DOC_SCHEMA))
+    out = QS["rake_keyphrases"](spark, sf).collect()
+    assert out[0]["phrase"] == "neural information retrieval"
+    assert out[0]["rake_score"] == 9.0
+    assert out[0]["n_occurrences"] == 5
+    data = [r for r in out if r["phrase"] == "data"][0]
+    assert data["rake_score"] == 1.0
+    assert data["n_occurrences"] == 10
