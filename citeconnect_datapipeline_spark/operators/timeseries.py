@@ -3988,3 +3988,219 @@ def ses_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rel_mae"),
         (mae_ses < mae_naive).alias("ses_beats_naive"),
     )
+
+
+PINBALL_SPLIT = "1996-07-01"  # train/test boundary
+PINBALL_QS = (0.1, 0.5, 0.9)
+
+
+@query(
+    "quantile_pinball_backtest",
+    oracle=f"""
+    WITH daily AS (
+        SELECT o_orderdate AS d,
+               ROUND(SUM(o_totalprice) / 1e6, 6) AS x
+        FROM orders GROUP BY 1
+    ),
+    train AS (
+        SELECT {", ".join(
+            f"ROUND(quantile_cont(x, {q}), 6) AS q{int(q * 100)}"
+            for q in PINBALL_QS
+        )},
+               COUNT(*) AS n_train
+        FROM daily WHERE d < TIMESTAMP '{PINBALL_SPLIT}'
+    ),
+    test AS (
+        SELECT x FROM daily WHERE d >= TIMESTAMP '{PINBALL_SPLIT}'
+    ),
+    lv AS (
+        SELECT {" UNION ALL SELECT ".join(
+            f"{q} AS tau, q{int(q * 100)} AS pred FROM train"
+            for q in PINBALL_QS
+        )}
+    )
+    SELECT l.tau,
+           l.pred AS predicted_quantile,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           ROUND(AVG(CASE WHEN t.x >= l.pred
+                     THEN l.tau * (t.x - l.pred)
+                     ELSE (1 - l.tau) * (l.pred - t.x) END), 6)
+               AS pinball_loss,
+           ROUND(AVG(CASE WHEN t.x <= l.pred THEN 1.0 ELSE 0.0 END),
+                 6) AS empirical_coverage,
+           ABS(AVG(CASE WHEN t.x <= l.pred THEN 1.0 ELSE 0.0 END)
+               - l.tau) <= 0.1 AS calibrated
+    FROM lv l CROSS JOIN test t
+    GROUP BY l.tau, l.pred
+    ORDER BY l.tau
+    """,
+)
+def quantile_pinball_backtest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Quantile-forecast backtest with pinball (quantile) loss — the
+    proper scoring rule for interval forecasts (`conformal_coverage_
+    audit` checks coverage of a conformal band; this scores POINT
+    quantile predictions and checks calibration in one table): the
+    train half's 10/50/90% revenue quantiles stand as constant
+    quantile forecasts for the test half, each scored by pinball
+    loss (the loss quantile regression minimizes — any sharper
+    model must beat THIS row to justify itself) and by empirical
+    coverage vs the nominal tau.
+
+    Scale shape: corpus -> day grain; one train-half percentile row
+    broadcast against the test half (3-row level ladder x
+    calendar-bounded days), one fold per level. The classic
+    train/test date split keeps the eval honest (no leakage; the
+    same split temporal_split_audit polices for ML sets)."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.round(F.sum("o_totalprice") / 1e6, 6).alias("x")
+    )
+    train = daily.filter(F.col("d") < F.lit(PINBALL_SPLIT)).agg(
+        *[
+            F.round(F.percentile("x", F.lit(q)), 6).alias(
+                f"q{int(q * 100)}"
+            )
+            for q in PINBALL_QS
+        ]
+    )
+    lv = train.select(
+        F.stack(
+            F.lit(len(PINBALL_QS)),
+            *[
+                arg
+                for q in PINBALL_QS
+                for arg in (F.lit(q), F.col(f"q{int(q * 100)}"))
+            ],
+        ).alias("tau", "pred")
+    )
+    test = daily.filter(F.col("d") >= F.lit(PINBALL_SPLIT)).select(
+        "x"
+    )
+    x, tau, pred = F.col("x"), F.col("tau"), F.col("pred")
+    loss = F.when(
+        x >= pred, tau * (x - pred)
+    ).otherwise((1 - tau) * (pred - x))
+    cov = F.avg(F.when(x <= pred, 1.0).otherwise(0.0))
+    return (
+        F.broadcast(lv)
+        .crossJoin(test)
+        .groupBy("tau", "pred")
+        .agg(
+            F.count("*").cast("bigint").alias("n_test"),
+            F.round(F.avg(loss), 6).alias("pinball_loss"),
+            F.round(cov, 6).alias("empirical_coverage"),
+            (F.abs(cov - tau) <= 0.1).alias("calibrated"),
+        )
+        .select(
+            "tau",
+            F.col("pred").alias("predicted_quantile"),
+            "n_test",
+            "pinball_loss",
+            "empirical_coverage",
+            "calibrated",
+        )
+        .orderBy("tau")
+    )
+
+
+ES_EVENT_DATE = "1996-01-01"  # event-study anchor
+ES_PRE_DAYS = 60  # estimation window length
+ES_WINDOW = 10  # event window half-width (days)
+
+
+@query(
+    "event_study_car",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               ROUND(SUM(o_totalprice) / 1e6, 6) AS x
+        FROM orders GROUP BY 1
+    ),
+    base AS (
+        SELECT AVG(x) AS mu, stddev_samp(x) AS sd, COUNT(*) AS n_pre
+        FROM daily
+        WHERE d >= DATE '{ES_EVENT_DATE}' - {ES_PRE_DAYS}
+          AND d < DATE '{ES_EVENT_DATE}'
+    ),
+    win AS (
+        SELECT date_diff('day', DATE '{ES_EVENT_DATE}', d) AS rel_day,
+               x
+        FROM daily
+        WHERE d >= DATE '{ES_EVENT_DATE}' - {ES_WINDOW}
+          AND d <= DATE '{ES_EVENT_DATE}' + {ES_WINDOW}
+    )
+    SELECT w.rel_day,
+           ROUND(w.x, 6) AS actual,
+           ROUND(b.mu, 6) AS expected,
+           ROUND(w.x - b.mu, 6) AS abnormal,
+           ROUND(SUM(w.x - b.mu) OVER (ORDER BY w.rel_day
+                 ROWS UNBOUNDED PRECEDING), 6) AS car,
+           ROUND(SUM(w.x - b.mu) OVER (ORDER BY w.rel_day
+                 ROWS UNBOUNDED PRECEDING)
+                 / (b.sd * SQRT(ROW_NUMBER() OVER
+                    (ORDER BY w.rel_day))), 6) AS car_t
+    FROM win w CROSS JOIN base b
+    ORDER BY w.rel_day
+    """,
+)
+def event_study_car(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event study around the 1996-01-01 anchor: cumulative abnormal
+    revenue (CAR) over a +-10-day event window against a 60-day
+    pre-event baseline — the quasi-experimental READOUT CURVE
+    beside `diff_in_diff_revenue`'s single number (DiD needs a
+    control group; an event study needs only the series' own
+    pre-period, the MacKinlay 1997 playbook): abnormal = actual -
+    baseline mean, CAR accumulates it through the window, and car_t
+    = CAR/(sd*sqrt(k)) is the running t-statistic under the iid
+    null — |car_t| > 2 after the event and ~0 before IS the
+    verdict a launch review reads.
+
+    Scale shape: corpus -> day grain, a 1-row baseline broadcast,
+    and a 21-row ordered window. Multi-event panels partition by
+    event id, same plan."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.to_date("o_orderdate").alias("d")
+    ).agg(F.round(F.sum("o_totalprice") / 1e6, 6).alias("x"))
+    anchor = F.lit(ES_EVENT_DATE).cast("date")
+    base = daily.filter(
+        (F.col("d") >= F.date_sub(anchor, ES_PRE_DAYS))
+        & (F.col("d") < anchor)
+    ).agg(
+        F.avg("x").alias("mu"),
+        F.stddev_samp("x").alias("sd"),
+        F.count("*").alias("n_pre"),
+    )
+    win = daily.filter(
+        (F.col("d") >= F.date_sub(anchor, ES_WINDOW))
+        & (F.col("d") <= F.date_add(anchor, ES_WINDOW))
+    ).select(F.datediff(F.col("d"), anchor).alias("rel_day"), "x")
+    wcum = Window.orderBy("rel_day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ab = F.col("x") - F.col("mu")
+    return (
+        win.crossJoin(F.broadcast(base))
+        .select(
+            "rel_day",
+            F.round("x", 6).alias("actual"),
+            F.round("mu", 6).alias("expected"),
+            F.round(ab, 6).alias("abnormal"),
+            F.round(F.sum(ab).over(wcum), 6).alias("car"),
+            F.round(
+                F.sum(ab).over(wcum)
+                / (
+                    F.col("sd")
+                    * F.sqrt(
+                        F.row_number()
+                        .over(Window.orderBy("rel_day"))
+                        .cast("double")
+                    )
+                ),
+                6,
+            ).alias("car_t"),
+        )
+        .orderBy("rel_day")
+    )

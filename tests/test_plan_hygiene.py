@@ -61,6 +61,10 @@ NESTED_LOOP_OK = {
     # the customer-grain panel (the welch moments shape)
     "ses_forecast_eval",  # 40-row kernel grid x the day-grain
     # series (the acf_panel lag-join shape)
+    "quantile_pinball_backtest",  # 3-row quantile-level ladder x
+    # the day-grain test half (the acf lag-grid shape)
+    "event_study_car",  # 1-row baseline broadcast onto the 21-row
+    # event window
     "heaps_law_fit",  # 1-row checkpoint-boundary broadcast onto
     # the token pass + 1-row fit onto the 4-row point ladder
     "char_ngram_lang_profile",  # lang-registry pair spine: the
@@ -256,6 +260,8 @@ UNPARTITIONED_WINDOW_OK = {
     # calendar-bounded daily series (acf_panel's boundedness)
     "ses_forecast_eval",  # the same day-index row_number over the
     # calendar-bounded daily series
+    "event_study_car",  # CAR prefix sum + rank over the fixed
+    # 21-row event window
     "ann_ivf_portable",  # seed numbering over the 8-row md5-order
     # limit (bounded by K); the assignment argmin window is
     # partitioned by vec_id

@@ -1827,3 +1827,68 @@ def test_rake_ranks_multiword_phrase_over_frequent_single(
     data = [r for r in out if r["phrase"] == "data"][0]
     assert data["rake_score"] == 1.0
     assert data["n_occurrences"] == 10
+
+
+# -------------------- pinball / event study ------------------------
+
+
+def test_pinball_constant_series_scores_zero_at_median(
+    spark, tmp_path
+):
+    # constant train AND test: every quantile predicts the constant,
+    # pinball loss 0 everywhere, coverage 1.0 (x <= pred always)
+    vals = [3.0e6] * 400
+    sf = _daily_lake(spark, tmp_path, vals)
+    out = QS["quantile_pinball_backtest"](spark, sf).collect()
+    assert [r["tau"] for r in out] == [0.1, 0.5, 0.9]
+    for r in out:
+        assert r["pinball_loss"] == 0.0
+        assert r["predicted_quantile"] == 3.0
+        assert r["empirical_coverage"] == 1.0
+
+
+def test_pinball_level_shift_blows_up_loss(spark, tmp_path):
+    # train at 1.0, test at 5.0: the tau=0.9 predictor (1.0) under-
+    # covers (0.0) and pays tau*(5-1) = 3.6 pinball per test day
+    base = datetime.date(1996, 1, 1)
+    rows = []
+    for i in range(400):
+        d = base + datetime.timedelta(days=i)
+        lvl = 1.0 if d < datetime.date(1996, 7, 1) else 5.0
+        rows.append((d.isoformat(), lvl * 1e6))
+    sf = _lake(
+        spark, tmp_path,
+        orders=(rows, "o_orderdate string, o_totalprice double"),
+    )
+    out = {r["tau"]: r for r in
+           QS["quantile_pinball_backtest"](spark, sf).collect()}
+    assert out[0.9]["predicted_quantile"] == 1.0
+    assert out[0.9]["empirical_coverage"] == 0.0
+    assert out[0.9]["pinball_loss"] == 3.6
+    assert out[0.9]["calibrated"] is False
+
+
+def test_event_study_car_ramps_after_planted_step(spark, tmp_path):
+    # level 2.0 before the anchor, 3.0 from the anchor on: abnormal
+    # is 0 pre-event and +1 post, CAR ramps 1, 2, ... and car_t
+    # crosses 2 within the window (sd from tiny pre-period jitter)
+    rows = []
+    d0 = datetime.date(1995, 10, 1)
+    for i in range(200):
+        d = d0 + datetime.timedelta(days=i)
+        lvl = 2.0 if d < datetime.date(1996, 1, 1) else 3.0
+        jit = 0.01 if i % 2 else -0.01
+        rows.append((d.isoformat(), (lvl + jit) * 1e6))
+    sf = _lake(
+        spark, tmp_path,
+        orders=(rows, "o_orderdate string, o_totalprice double"),
+    )
+    out = QS["event_study_car"](spark, sf).collect()
+    assert [r["rel_day"] for r in out] == list(range(-10, 11))
+    pre = [r for r in out if r["rel_day"] < 0]
+    post = [r for r in out if r["rel_day"] >= 0]
+    assert all(abs(r["abnormal"]) < 0.05 for r in pre)
+    assert all(0.95 < r["abnormal"] < 1.05 for r in post)
+    assert abs(post[-1]["car"] - 11.0) < 0.2
+    assert post[-1]["car_t"] > 2
+    assert abs(pre[-1]["car_t"]) < 1
