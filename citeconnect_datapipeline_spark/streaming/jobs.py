@@ -734,3 +734,84 @@ def heavy_hitters_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def ewma_stream(
+    series: DataFrame,
+    decay: float = 0.7,
+    span: int = 9,
+) -> DataFrame:
+    """Streaming twin of the batch `ewma_anomaly`
+    (operators/timeseries.py): per metric key, each arriving
+    (wd, x) day re-derives the truncated calendar-decay EWMA —
+    baseline weight of day d in day t is decay^(t-d) for
+    t - span <= d <= t, EXACTLY the batch RANGE-frame fold — from a
+    state holding only the trailing ``span + 1`` (wd, x) pairs, so
+    the state store is O(metrics x span), no unbounded history. The
+    fold preserves the batch core's deterministic left-to-right
+    summation order (oldest first), so parity is exact, not
+    approximate.
+
+    Ordering contract: a key's micro-batch chunks are concatenated
+    and sorted on wd before folding (the cusum_stream discipline);
+    across batches the source must deliver in series order."""
+    from pyspark.sql.streaming.state import (
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    out_schema = (
+        "metric string, wd bigint, mean_value double, ewma double,"
+        " rel_dev double"
+    )
+    state_schema = "wds array<bigint>, xs array<double>"
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        wds, xs = (
+            ([], []) if not state.exists else (
+                list(state.get[0]), list(state.get[1])
+            )
+        )
+        chunks = list(pdfs)
+        pdf = (
+            pd.concat(chunks, ignore_index=True)
+            if len(chunks) > 1
+            else chunks[0]
+        ).sort_values("wd")
+        out = {c: [] for c in ("wd", "mean_value", "ewma", "rel_dev")}
+        for wd, x in zip(pdf["wd"], pdf["x"]):
+            wd = int(wd)
+            x = float(x)
+            wds.append(wd)
+            xs.append(x)
+            while wds and wds[0] < wd - span:
+                wds.pop(0)
+                xs.pop(0)
+            num = 0.0
+            den = 0.0
+            # oldest-first left fold == the batch HOF aggregate over
+            # the RANGE-frame collect_list (ascending wd)
+            for d, v in zip(wds, xs):
+                w = decay ** (wd - d)
+                num += v * w
+                den += w
+            ewma = num / den
+            out["wd"].append(wd)
+            out["mean_value"].append(round(x, 4))
+            out["ewma"].append(round(ewma, 4))
+            out["rel_dev"].append(round(abs(x - ewma) / ewma, 4))
+        state.update((wds, xs))
+        yield pd.DataFrame({"metric": key[0], **out})
+
+    return (
+        series.groupBy("metric")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -998,3 +998,64 @@ def test_heavy_hitters_stream_eviction_bounds_error(spark, tmp_path):
     assert late["est_count"] == 6 and late["err"] == 1  # 5 true + 1
     assert late["est_count"] - late["err"] == 5  # exact lower bound
     assert late["rank"] == 1
+
+
+def test_ewma_stream_matches_batch_anomaly(spark, tmp_path):
+    """The streaming truncated-decay EWMA must equal the batch
+    RANGE-frame fold point-for-point across micro-batch boundaries,
+    including through calendar gaps (where decay skips days)."""
+    import datetime
+
+    from citeconnect_datapipeline_spark.streaming.jobs import (
+        ewma_stream,
+        run_to_memory,
+    )
+    from __spark_entry__ import queries
+
+    # one event per day -> daily mean == the planted value; a 4-day
+    # gap after day 20 exercises calendar decay vs row offset
+    days = list(range(20)) + list(range(24, 40))
+    xs = [10.0 + (i % 5) for i in range(len(days))]
+    d0 = datetime.date(2024, 1, 1)
+    rows = [
+        (i, "purchase", datetime.datetime.combine(
+            d0 + datetime.timedelta(days=d), datetime.time(12)),
+         float(x))
+        for i, (d, x) in enumerate(zip(days, xs))
+    ]
+    sf = str(tmp_path / "lake")
+    spark.createDataFrame(
+        rows, "event_id long, event_type string, ts timestamp,"
+        " value double"
+    ).write.parquet(f"{sf}/events.parquet")
+    batch = {
+        r["wd"]: r
+        for r in queries()["ewma_anomaly"](spark, sf).collect()
+    }
+
+    wd0 = (d0 - datetime.date(1970, 1, 1)).days
+    series = spark.createDataFrame(
+        [("m", wd0 + d, float(x)) for d, x in zip(days, xs)],
+        "metric string, wd long, x double",
+    )
+    src = tmp_path / "ewma_src"
+    for b in range(3):
+        lo, hi = b * 12, min((b + 1) * 12, len(days))
+        keep = [wd0 + d for d in days[lo:hi]]
+        series.filter(F.col("wd").isin(keep)).coalesce(1).write.parquet(
+            str(src / f"b{b}")
+        )
+    stream = (
+        spark.readStream.schema(series.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    run_to_memory(ewma_stream(stream), "ewma_stream_t")
+    got = {r["wd"]: r for r in spark.table("ewma_stream_t").collect()}
+    assert len(got) == len(batch) == len(days)
+    for wd, b in batch.items():
+        g = got[wd]
+        assert abs(g["mean_value"] - b["mean_value"]) < 1e-9, wd
+        assert abs(g["ewma"] - b["ewma"]) < 1e-9, wd
+        assert abs(g["rel_dev"] - b["rel_dev"]) < 1e-9, wd
