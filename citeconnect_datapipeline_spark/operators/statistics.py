@@ -3661,3 +3661,104 @@ def cuped_adjusted_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("variance_reduction"),
     )
+
+
+@query(
+    "simpson_reversal_audit",
+    oracle="""
+    WITH base AS (
+        SELECT p.p_brand AS stratum,
+               CASE WHEN p.p_type LIKE 'PROMO%' THEN 1 ELSE 0 END
+                   AS t,
+               l.l_extendedprice * (1 - l.l_discount) AS y
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    per_stratum AS (
+        SELECT stratum,
+               CAST(SUM(t) AS BIGINT) AS n_treat,
+               CAST(SUM(1 - t) AS BIGINT) AS n_ctrl,
+               ROUND(SUM(t * y) / NULLIF(SUM(t), 0)
+                     - SUM((1 - t) * y) / NULLIF(SUM(1 - t), 0), 6)
+                   AS stratum_diff
+        FROM base GROUP BY 1
+        HAVING SUM(t) > 0 AND SUM(1 - t) > 0
+    ),
+    overall AS (
+        SELECT ROUND(SUM(t * y) / SUM(t)
+                     - SUM((1 - t) * y) / SUM(1 - t), 6) AS odiff
+        FROM base
+    )
+    SELECT s.stratum,
+           s.n_treat, s.n_ctrl, s.stratum_diff,
+           o.odiff AS overall_diff,
+           SIGN(s.stratum_diff) <> SIGN(o.odiff)
+               AND s.stratum_diff <> 0 AND o.odiff <> 0
+               AS sign_reversed
+    FROM per_stratum s CROSS JOIN overall o
+    ORDER BY s.stratum
+    """,
+)
+def simpson_reversal_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Simpson's-paradox audit of the promo/revenue association: the
+    overall treated-vs-control difference beside EVERY brand
+    stratum's own difference, with a sign_reversed flag per stratum
+    — the table that says whether the aggregate number on the
+    dashboard points the OPPOSITE way once the confounder is held
+    fixed (Simpson 1951; `ipw_treatment_effect` then states the
+    deconfounded number, this audit shows WHERE the aggregation
+    flipped it; strata with one empty arm are excluded — their diff
+    does not exist, the classic divide-by-zero the HAVING guards).
+
+    Scale shape: one fact-dim join, ONE stratum-grain conditional
+    aggregate (25 brands), a 1-row overall broadcast. The
+    inspection table every causal readout should attach."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    base = li.join(part, li.l_partkey == part.p_partkey).select(
+        F.col("p_brand").alias("stratum"),
+        F.when(F.col("p_type").startswith("PROMO"), 1)
+        .otherwise(0)
+        .alias("t"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "y"
+        ),
+    )
+    t, y = F.col("t"), F.col("y")
+    per_stratum = (
+        base.groupBy("stratum")
+        .agg(
+            F.sum(t).cast("bigint").alias("n_treat"),
+            F.sum(1 - t).cast("bigint").alias("n_ctrl"),
+            F.round(
+                F.sum(t * y) / F.nullif(F.sum(t), F.lit(0))
+                - F.sum((1 - t) * y)
+                / F.nullif(F.sum(1 - t), F.lit(0)),
+                6,
+            ).alias("stratum_diff"),
+        )
+        .filter((F.col("n_treat") > 0) & (F.col("n_ctrl") > 0))
+    )
+    overall = base.agg(
+        F.round(
+            F.sum(t * y) / F.sum(t) - F.sum((1 - t) * y) / F.sum(1 - t),
+            6,
+        ).alias("odiff")
+    )
+    return (
+        per_stratum.crossJoin(F.broadcast(overall))
+        .select(
+            "stratum",
+            "n_treat",
+            "n_ctrl",
+            "stratum_diff",
+            F.col("odiff").alias("overall_diff"),
+            (
+                (F.signum("stratum_diff") != F.signum("odiff"))
+                & (F.col("stratum_diff") != 0)
+                & (F.col("odiff") != 0)
+            ).alias("sign_reversed"),
+        )
+        .orderBy("stratum")
+    )

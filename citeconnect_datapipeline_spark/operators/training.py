@@ -3221,3 +3221,114 @@ def selection_tradeoff_curve(
         )
         .orderBy("sel_rank")
     )
+
+
+@query(
+    "source_pareto_front",
+    oracle="""
+    WITH cells AS (
+        SELECT lang, source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               ROUND(AVG(
+                   CAST(len(list_distinct(list_filter(
+                       string_split_regex(lower(text), '[^a-z0-9]+'),
+                       x -> x <> ''))) AS DOUBLE)
+                   / GREATEST(len(list_filter(
+                       string_split_regex(lower(text), '[^a-z0-9]+'),
+                       x -> x <> '')), 1)), 6) AS mean_quality,
+               ROUND(AVG(len(list_filter(
+                   string_split_regex(lower(text), '[^a-z0-9]+'),
+                   x -> x <> ''))), 6) AS mean_tokens
+        FROM documents GROUP BY 1, 2
+    ),
+    dom AS (
+        SELECT a.lang, a.source,
+               COUNT(b.lang) AS n_dominators
+        FROM cells a
+        LEFT JOIN cells b
+          ON b.mean_quality >= a.mean_quality
+         AND b.mean_tokens <= a.mean_tokens
+         AND (b.mean_quality > a.mean_quality
+              OR b.mean_tokens < a.mean_tokens)
+        GROUP BY 1, 2
+    )
+    SELECT c.lang, c.source, c.n_docs,
+           c.mean_quality, c.mean_tokens,
+           CAST(d.n_dominators AS BIGINT) AS n_dominators,
+           d.n_dominators = 0 AS on_front
+    FROM cells c JOIN dom d
+      ON c.lang = d.lang AND c.source = d.source
+    ORDER BY c.lang, c.source
+    """,
+)
+def source_pareto_front(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pareto front over (lang, source) corpus cells on the
+    quality-vs-cost plane — the SKYLINE operator at curation grain:
+    a cell is Pareto-optimal when no other cell has both higher
+    mean quality (TTR proxy) AND lower mean token cost; dominated
+    cells are the candidates `source_upsampling_plan` should
+    down-weight and `selection_tradeoff_curve` prices globally.
+    n_dominators ranks HOW dominated a cell is (0 = on the front —
+    the skyline a mixture designer starts from).
+
+    Scale shape: ONE doc-grain scoring aggregate to the registry-
+    bounded (lang x source) cell table (~100 cells), then the
+    dominance check is a bounded cell self-join — the skyline never
+    touches doc grain, which is how a skyline survives 100 TB (the
+    doc-grain skyline is the binned variant, same dominance
+    predicate over lorenz-style bins)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+        lambda x: x != "",
+    )
+    ntok = F.size(w)
+    ttr = F.size(F.array_distinct(w)).cast("double") / F.greatest(
+        ntok, F.lit(1)
+    )
+    cells = docs.groupBy("lang", "source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.round(F.avg(ttr), 6).alias("mean_quality"),
+        F.round(F.avg(ntok), 6).alias("mean_tokens"),
+    )
+    a = cells.select(
+        "lang",
+        "source",
+        F.col("mean_quality").alias("qa"),
+        F.col("mean_tokens").alias("ma"),
+    )
+    b = cells.select(
+        F.col("mean_quality").alias("qb"),
+        F.col("mean_tokens").alias("mb"),
+    )
+    dom = (
+        a.join(
+            b,
+            (F.col("qb") >= F.col("qa"))
+            & (F.col("mb") <= F.col("ma"))
+            & (
+                (F.col("qb") > F.col("qa"))
+                | (F.col("mb") < F.col("ma"))
+            ),
+            "left",
+        )
+        .groupBy("lang", "source")
+        .agg(F.count("qb").alias("n_dominators"))
+    )
+    return (
+        cells.join(dom, ["lang", "source"])
+        .select(
+            "lang",
+            "source",
+            "n_docs",
+            "mean_quality",
+            "mean_tokens",
+            F.col("n_dominators").cast("bigint").alias(
+                "n_dominators"
+            ),
+            (F.col("n_dominators") == 0).alias("on_front"),
+        )
+        .orderBy("lang", "source")
+    )

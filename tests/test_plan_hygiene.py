@@ -59,6 +59,8 @@ NESTED_LOOP_OK = {
     # join + 1-row S/n/tie scalar folds
     "cuped_adjusted_ab",  # 1-row theta/mean scalar broadcast onto
     # the customer-grain panel (the welch moments shape)
+    "simpson_reversal_audit",  # 1-row overall-diff broadcast onto
+    # the 25-row stratum panel
     "ses_forecast_eval",  # 40-row kernel grid x the day-grain
     # series (the acf_panel lag-join shape)
     "quantile_pinball_backtest",  # 3-row quantile-level ladder x
@@ -69,6 +71,8 @@ NESTED_LOOP_OK = {
     # the token pass + 1-row fit onto the 4-row point ladder
     "char_ngram_lang_profile",  # lang-registry pair spine: the
     # norm-table inequality self-join (5 labels -> 10 pairs)
+    "source_pareto_front",  # dominance self-join of the registry-
+    # bounded (lang x source) cell table (~100 cells)
     "spc_xbar_chart",  # 1-row control-limit broadcast onto the
     # week-grain subgroup table (cusum_drift_chart's shape)
     "abc_xyz_classification",  # 1-row week-count / revenue-total /

@@ -1892,3 +1892,83 @@ def test_event_study_car_ramps_after_planted_step(spark, tmp_path):
     assert abs(post[-1]["car"] - 11.0) < 0.2
     assert post[-1]["car_t"] > 2
     assert abs(pre[-1]["car_t"]) < 1
+
+
+# ---------------------- Simpson reversal audit ---------------------
+
+
+def test_simpson_audit_flags_planted_reversal(spark, tmp_path):
+    # within EVERY brand the treatment loses by 2, but treatment
+    # concentrates in the high-revenue brand -> the aggregate diff
+    # is positive: the textbook reversal, flagged in every stratum
+    li, part = [], []
+    pk = 0
+    for brand, y, n_treat in (("H", 100.0, 80), ("L", 10.0, 20)):
+        for i in range(100):
+            promo = i < n_treat
+            yy = y - 2.0 if promo else y
+            part.append(
+                (pk, f"Brand#{brand}",
+                 "PROMO X" if promo else "STD X")
+            )
+            li.append((pk, yy, 0.0))
+            pk += 1
+    sf = _lake(
+        spark,
+        tmp_path,
+        lineitem=(
+            li,
+            "l_partkey long, l_extendedprice double, l_discount double",
+        ),
+        part=(part, "p_partkey long, p_brand string, p_type string"),
+    )
+    out = {r["stratum"]: r for r in
+           QS["simpson_reversal_audit"](spark, sf).collect()}
+    assert out["Brand#H"]["stratum_diff"] == -2.0
+    assert out["Brand#L"]["stratum_diff"] == -2.0
+    assert out["Brand#H"]["overall_diff"] > 0
+    assert all(r["sign_reversed"] for r in out.values())
+
+
+def test_simpson_audit_drops_single_arm_strata(spark, tmp_path):
+    # a brand with ONLY treated rows has no within-stratum diff and
+    # must be excluded, not emitted as NULL or division noise
+    li = [(0, 10.0, 0.0), (1, 12.0, 0.0), (2, 11.0, 0.0)]
+    part = [(0, "B#solo", "PROMO X"), (1, "B#mix", "PROMO X"),
+            (2, "B#mix", "STD X")]
+    sf = _lake(
+        spark,
+        tmp_path,
+        lineitem=(
+            li,
+            "l_partkey long, l_extendedprice double, l_discount double",
+        ),
+        part=(part, "p_partkey long, p_brand string, p_type string"),
+    )
+    out = QS["simpson_reversal_audit"](spark, sf).collect()
+    assert [r["stratum"] for r in out] == ["B#mix"]
+
+
+# ------------------------ source Pareto front ----------------------
+
+
+def test_pareto_front_separates_dominated_cells(spark, tmp_path):
+    # three sources in one lang: "gold" (high TTR, short docs)
+    # dominates "bloat" (same TTR, longer) and "junk" (lower TTR,
+    # longer); gold alone is on the front, junk is doubly dominated
+    def mk(src, n_distinct, n_words, ids):
+        return [_doc(i, n_words, n_distinct, src) for i in ids]
+
+    rows = (
+        mk("gold", 10, 10, range(5))       # TTR 1.0, 10 tokens
+        + mk("bloat", 20, 20, range(10, 15))  # TTR 1.0, 20 tokens
+        + mk("junk", 5, 20, range(20, 25))    # TTR 0.25, 20 tokens
+    )
+    sf = _lake(spark, tmp_path, documents=(rows, DOC_SCHEMA))
+    out = {r["source"]: r for r in
+           QS["source_pareto_front"](spark, sf).collect()}
+    assert out["gold"]["on_front"] is True
+    assert out["gold"]["n_dominators"] == 0
+    assert out["bloat"]["on_front"] is False
+    assert out["bloat"]["n_dominators"] == 1  # only gold dominates
+    assert out["junk"]["n_dominators"] == 2
