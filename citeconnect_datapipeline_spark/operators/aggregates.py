@@ -649,3 +649,83 @@ def grouping_sets_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY segment NULLS LAST, priority NULLS LAST
         """
     )
+
+
+FRESH_STALE_DAYS = 30  # staleness alert threshold
+
+
+@query(
+    "freshness_audit",
+    oracle=f"""
+    WITH marks AS (
+        SELECT 'orders' AS tbl,
+               CAST(MIN(o_orderdate) AS DATE) AS first_seen,
+               CAST(MAX(o_orderdate) AS DATE) AS last_seen,
+               COUNT(*) AS n_rows
+        FROM orders
+        UNION ALL
+        SELECT 'lineitem', CAST(MIN(l_shipdate) AS DATE),
+               CAST(MAX(l_shipdate) AS DATE), COUNT(*)
+        FROM lineitem
+        UNION ALL
+        SELECT 'events', CAST(MIN(ts) AS DATE),
+               CAST(MAX(ts) AS DATE), COUNT(*)
+        FROM events
+    ),
+    anchor AS (SELECT MAX(last_seen) AS hi FROM marks)
+    SELECT m.tbl,
+           CAST(m.n_rows AS BIGINT) AS n_rows,
+           CAST(m.first_seen AS VARCHAR) AS first_seen,
+           CAST(m.last_seen AS VARCHAR) AS last_seen,
+           CAST(date_diff('day', m.last_seen, a.hi) AS BIGINT)
+               AS staleness_days,
+           date_diff('day', m.last_seen, a.hi)
+               > {FRESH_STALE_DAYS} AS stale
+    FROM marks m CROSS JOIN anchor a
+    ORDER BY m.tbl
+    """,
+)
+def freshness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lake freshness audit: per fact table, the observed date span
+    and the staleness against the NEWEST mark across the lake — the
+    first page of any data-platform runbook (an ingest that silently
+    stopped shows up as one table's last_seen frozen while its
+    siblings advance; absolute-clock freshness is deployment config,
+    cross-table RELATIVE freshness is computable anywhere and
+    catches the same failure). Complements `late_arrival_audit`
+    (event-time vs processing-time within a stream) at the
+    between-table grain.
+
+    Scale shape: one min/max/count aggregate per fact table (pure
+    map-side), a 3-row union, a 1-row anchor broadcast."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    ev = load_table(spark, sf_dir, "events")
+
+    def mark(df, name, col):
+        return df.agg(
+            F.lit(name).alias("tbl"),
+            F.min(F.to_date(col)).alias("first_seen"),
+            F.max(F.to_date(col)).alias("last_seen"),
+            F.count("*").alias("n_rows"),
+        )
+
+    marks = (
+        mark(orders, "orders", "o_orderdate")
+        .unionAll(mark(li, "lineitem", "l_shipdate"))
+        .unionAll(mark(ev, "events", "ts"))
+    )
+    anchor = marks.agg(F.max("last_seen").alias("hi"))
+    stale_days = F.datediff(F.col("hi"), F.col("last_seen"))
+    return (
+        marks.crossJoin(F.broadcast(anchor))
+        .select(
+            "tbl",
+            F.col("n_rows").cast("bigint").alias("n_rows"),
+            F.col("first_seen").cast("string").alias("first_seen"),
+            F.col("last_seen").cast("string").alias("last_seen"),
+            stale_days.cast("bigint").alias("staleness_days"),
+            (stale_days > FRESH_STALE_DAYS).alias("stale"),
+        )
+        .orderBy("tbl")
+    )

@@ -61,6 +61,8 @@ NESTED_LOOP_OK = {
     # the customer-grain panel (the welch moments shape)
     "simpson_reversal_audit",  # 1-row overall-diff broadcast onto
     # the 25-row stratum panel
+    "freshness_audit",  # 1-row newest-mark broadcast onto the
+    # 3-row per-table mark union
     "ses_forecast_eval",  # 40-row kernel grid x the day-grain
     # series (the acf_panel lag-join shape)
     "quantile_pinball_backtest",  # 3-row quantile-level ladder x

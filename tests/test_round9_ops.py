@@ -1972,3 +1972,32 @@ def test_pareto_front_separates_dominated_cells(spark, tmp_path):
     assert out["bloat"]["on_front"] is False
     assert out["bloat"]["n_dominators"] == 1  # only gold dominates
     assert out["junk"]["n_dominators"] == 2
+
+
+# ------------------------- freshness audit -------------------------
+
+
+def test_freshness_flags_the_frozen_table(spark, tmp_path):
+    # events advance to March; orders froze in early January and
+    # lineitem keeps pace -> only orders is stale (>30 days behind)
+    orders = [(1, "1996-01-05"), (2, "1996-01-02")]
+    li = [(1, "1996-02-27"), (2, "1996-03-01")]
+    ev = [
+        (1, datetime.datetime(1996, 3, 2, 12)),
+        (2, datetime.datetime(1996, 1, 1, 9)),
+    ]
+    sf = _lake(
+        spark,
+        tmp_path,
+        orders=(orders, "o_orderkey long, o_orderdate string"),
+        lineitem=(li, "l_orderkey long, l_shipdate string"),
+        events=(ev, "event_id long, ts timestamp"),
+    )
+    out = {r["tbl"]: r for r in
+           QS["freshness_audit"](spark, sf).collect()}
+    assert out["orders"]["stale"] is True
+    assert out["orders"]["staleness_days"] == 57
+    assert out["events"]["stale"] is False
+    assert out["events"]["staleness_days"] == 0
+    assert out["lineitem"]["stale"] is False
+    assert out["orders"]["first_seen"] == "1996-01-02"
