@@ -81,6 +81,24 @@ PICKS = {
     "blocking_quality_report": "r9: pair space COUNTED via block-"
     "size aggregates (k(k-1)/2), never materialized; truth capture "
     "is doc-grain key joins on the capped pair table",
+    "community_modularity": "r9b: vertex-grain SHUFFLE-HASH label "
+    "joins (never broadcast of vertex state), community-grain "
+    "cells, 1-row m/Q scalar broadcasts",
+    "abc_xyz_classification": "r9b: cumulative-share ABC with NO "
+    "part-grain global sort — log-revenue bins carry the top-down "
+    "CDF; boundaries come back as a 1-row broadcast",
+    "filter_shapley_attribution": "r9b: all 8 coalition pass-counts "
+    "in ONE map-side aggregate of flag products; the Shapley table "
+    "is 1-row arithmetic stacked",
+    "ipw_treatment_effect": "r9b: brand-grain propensity broadcast "
+    "+ one weighted-moment fold — causal inference as two "
+    "aggregates",
+    "changepoint_binary_seg": "r9b: the n-1 candidate splits all "
+    "priced by ONE partitioned prefix-sum window via the "
+    "cumulative-moment SSE identity; struct-max argmax",
+    "heaps_law_fit": "r9b: four prefix vocabularies as conditional "
+    "COUNT DISTINCTs in ONE aggregate (expand, one shuffle); "
+    "checkpoints stacked from the 1-row cell frame",
 }
 KEEP = re.compile(
     r"Scan parquet|BatchScan|BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin"
