@@ -4119,7 +4119,9 @@ ES_WINDOW = 10  # event window half-width (days)
         FROM orders GROUP BY 1
     ),
     base AS (
-        SELECT AVG(x) AS mu, stddev_samp(x) AS sd, COUNT(*) AS n_pre
+        SELECT ROUND(AVG(x), 6) AS mu,
+               ROUND(stddev_samp(x), 6) AS sd,
+               COUNT(*) AS n_pre
         FROM daily
         WHERE d >= DATE '{ES_EVENT_DATE}' - {ES_PRE_DAYS}
           AND d < DATE '{ES_EVENT_DATE}'
@@ -4169,8 +4171,12 @@ def event_study_car(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("d") >= F.date_sub(anchor, ES_PRE_DAYS))
         & (F.col("d") < anchor)
     ).agg(
-        F.avg("x").alias("mu"),
-        F.stddev_samp("x").alias("sd"),
+        # 6-dp pin on the baseline moments BEFORE they enter the
+        # cumulative arithmetic: the unpinned mean diverged between
+        # engines at the 1e-13 level and flipped a 6-dp boundary in
+        # the CAR column at sf0.1 (caught by the both-scale audit)
+        F.round(F.avg("x"), 6).alias("mu"),
+        F.round(F.stddev_samp("x"), 6).alias("sd"),
         F.count("*").alias("n_pre"),
     )
     win = daily.filter(
