@@ -285,7 +285,12 @@ def main() -> None:
             sc._jvm.System.gc()
         except Exception:
             pass
-        time.sleep(0.2)
+        # Failure-confirmation retries settle longer: after a 300+
+        # query suite the first re-measure carries residual GC /
+        # evicted-codegen cost that one 0.2 s pause does not drain
+        # (observed: floor-bound queries failing 3x in-bench yet
+        # passing with 2x headroom in a fresh JVM).
+        time.sleep(0.2 if attempt == 1 else 1.0)
         group = f"bench-iso-{n}-{attempt}"
         sc.setJobGroup(group, n)
         try:

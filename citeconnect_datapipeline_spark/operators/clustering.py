@@ -552,6 +552,25 @@ def _kmp_oracle() -> str:
 
 
 def _kmp_spark_chain(spark: SparkSession, sf_dir: str):
+    """Memoized per (process, lake): `kmeans_portable` and
+    `silhouette_portable` consume the SAME chain, and the unrolled
+    per-round collects plus the final (vec, cluster) distance table
+    are built exactly once (the _copurchase_edges discipline; the
+    r9 settled bench showed the chain rebuilt per consumer as the
+    silhouette gate failure). The distance table is pinned with
+    localCheckpoint — k x vec rows, a bounded multiple of the
+    embeddings table."""
+    from ..memo import shared_intermediate
+
+    return shared_intermediate(
+        spark,
+        "kmp_chain",
+        (sf_dir,),
+        lambda: _kmp_spark_chain_impl(spark, sf_dir),
+    )
+
+
+def _kmp_spark_chain_impl(spark: SparkSession, sf_dir: str):
     """Spark side of the shared portable-Lloyd chain (mirrors
     `_kmp_round_ctes`): runs the KMP_ITERS unrolled rounds with the
     per-round k x d centroid table COLLECTED and re-injected as a
@@ -637,6 +656,13 @@ def _kmp_spark_chain(spark: SparkSession, sf_dir: str):
             .groupBy("cluster", "dim")
             .agg(F.round(F.avg("val"), 6).alias("cval"))
         )
+    d2 = d2.localCheckpoint()
+    w_min = Window.partitionBy("vec_id").orderBy("d2", "cluster")
+    assign = (
+        d2.withColumn("rn", F.row_number().over(w_min))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
     return d2, assign, emb
 
 
