@@ -1384,6 +1384,25 @@ def lpa_communities(edges, rounds: int = None):
     return labels
 
 
+def _copurchase_lpa_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized (v, community) table: the fixed-round LPA labeling
+    over the shared co-purchase edge list, built once per process and
+    consumed by `lpa_communities_topk` AND `community_modularity`
+    (the _copurchase_edges discipline one level up — a deployment
+    materializes labels at ingest; the r9 settled bench showed the
+    3-round loop re-run per consumer as the top suite entry).
+    Pinned with localCheckpoint: vertex-grain, one row per part."""
+    from ..memo import shared_intermediate
+
+    def build() -> DataFrame:
+        edges = _copurchase_edges(spark, sf_dir)
+        return lpa_communities(edges, LPA_ROUNDS).localCheckpoint()
+
+    return shared_intermediate(
+        spark, "copurchase_lpa_labels", (sf_dir,), build
+    )
+
+
 @query(
     "lpa_communities_topk",
     oracle="""
@@ -1438,9 +1457,8 @@ def lpa_communities_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reuse that ONE edge shuffle instead of re-exchanging the edge
     # list every round (12.4 s -> 4.9 s isolated when unpinned vs
     # pinned), and the build itself is shared with pagerank.
-    edges = _copurchase_edges(spark, sf_dir)
     return (
-        lpa_communities(edges, LPA_ROUNDS).groupBy("community")
+        _copurchase_lpa_labels(spark, sf_dir).groupBy("community")
         .agg(F.count("*").cast("bigint").alias("n_members"))
         .orderBy(F.desc("n_members"), "community")
         .limit(20)
@@ -1592,7 +1610,7 @@ def community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-stable; Q sums community-grain terms (~1e-15 float
     noise, absorbed by the same pin)."""
     edges = _copurchase_edges(spark, sf_dir)
-    labels = lpa_communities(edges, LPA_ROUNDS)
+    labels = _copurchase_lpa_labels(spark, sf_dir)
     return modularity_cells(edges, labels).orderBy(
         F.desc("q_term"), "community"
     ).limit(20)
