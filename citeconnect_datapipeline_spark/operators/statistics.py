@@ -3762,3 +3762,194 @@ def simpson_reversal_audit(
         )
         .orderBy("stratum")
     )
+
+
+POS_LO, POS_HI = 0.05, 0.95  # positivity (overlap) bounds
+
+
+@query(
+    "propensity_overlap_audit",
+    oracle=f"""
+    WITH base AS (
+        SELECT p.p_brand AS stratum,
+               CASE WHEN p.p_type LIKE 'PROMO%' THEN 1 ELSE 0 END
+                   AS t
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    prop AS (
+        SELECT stratum,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(t) AS BIGINT) AS n_treat,
+               AVG(t * 1.0) AS e
+        FROM base GROUP BY 1
+    ),
+    ess AS (
+        SELECT SUM(CASE WHEN t = 1 THEN 1.0 / GREATEST(e, 1e-12)
+                        ELSE 0 END) AS sw_t,
+               SUM(CASE WHEN t = 1
+                        THEN (1.0 / GREATEST(e, 1e-12))
+                             * (1.0 / GREATEST(e, 1e-12))
+                        ELSE 0 END) AS sw2_t,
+               SUM(CASE WHEN t = 0 THEN 1.0 / GREATEST(1 - e, 1e-12)
+                        ELSE 0 END) AS sw_c,
+               SUM(CASE WHEN t = 0
+                        THEN (1.0 / GREATEST(1 - e, 1e-12))
+                             * (1.0 / GREATEST(1 - e, 1e-12))
+                        ELSE 0 END) AS sw2_c
+        FROM base b JOIN prop p USING (stratum)
+    )
+    SELECT p.stratum, p.n, p.n_treat,
+           ROUND(p.e, 6) AS propensity,
+           p.e < {POS_LO} OR p.e > {POS_HI} AS positivity_violated,
+           ROUND((SELECT sw_t * sw_t / sw2_t FROM ess), 6)
+               AS ess_treated,
+           ROUND((SELECT sw_c * sw_c / sw2_c FROM ess), 6)
+               AS ess_control
+    FROM prop p
+    ORDER BY p.stratum
+    """,
+)
+def propensity_overlap_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Positivity / overlap diagnostics for the IPW design — the
+    assumptions page `ipw_treatment_effect` must publish with its
+    estimate (Crump et al. 2009): per stratum, the raw propensity
+    with a violated flag outside [0.05, 0.95] (strata where one arm
+    barely exists make the weights explode — the clipping in the
+    estimator hides, this audit SHOWS), plus Kish's effective
+    sample size of the inverse-propensity weights per arm (ESS =
+    (sum w)^2 / sum w^2 — how many unweighted units the weighted
+    analysis is really worth; ESS << n is the overlap-failure
+    smoking gun even when no single stratum violates).
+
+    Scale shape: one fact-dim join, one stratum-grain propensity
+    aggregate, one weighted-moment fold to the 1-row ESS pair
+    broadcast onto the 25-row panel."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    base = li.join(part, li.l_partkey == part.p_partkey).select(
+        F.col("p_brand").alias("stratum"),
+        F.when(F.col("p_type").startswith("PROMO"), 1)
+        .otherwise(0)
+        .alias("t"),
+    )
+    prop = base.groupBy("stratum").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("t").cast("bigint").alias("n_treat"),
+        F.avg(F.col("t") * 1.0).alias("e"),
+    )
+    wtd = base.join(F.broadcast(prop.select("stratum", "e")), "stratum")
+    wt = 1.0 / F.greatest(F.col("e"), F.lit(1e-12))
+    wc = 1.0 / F.greatest(1 - F.col("e"), F.lit(1e-12))
+    t = F.col("t")
+    ess = wtd.agg(
+        F.sum(F.when(t == 1, wt).otherwise(0.0)).alias("sw_t"),
+        F.sum(F.when(t == 1, wt * wt).otherwise(0.0)).alias("sw2_t"),
+        F.sum(F.when(t == 0, wc).otherwise(0.0)).alias("sw_c"),
+        F.sum(F.when(t == 0, wc * wc).otherwise(0.0)).alias("sw2_c"),
+    )
+    return (
+        prop.crossJoin(F.broadcast(ess))
+        .select(
+            "stratum",
+            "n",
+            "n_treat",
+            F.round("e", 6).alias("propensity"),
+            ((F.col("e") < POS_LO) | (F.col("e") > POS_HI)).alias(
+                "positivity_violated"
+            ),
+            F.round(
+                F.col("sw_t") * F.col("sw_t") / F.col("sw2_t"), 6
+            ).alias("ess_treated"),
+            F.round(
+                F.col("sw_c") * F.col("sw_c") / F.col("sw2_c"), 6
+            ).alias("ess_control"),
+        )
+        .orderBy("stratum")
+    )
+
+
+@query(
+    "wilson_conversion_ci",
+    oracle=f"""
+    WITH conv AS (
+        SELECT c.c_mktsegment AS segment,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN o.o_custkey IS NOT NULL
+                        THEN 1 ELSE 0 END) AS BIGINT) AS k
+        FROM customer c
+        LEFT JOIN (SELECT DISTINCT o_custkey FROM orders) o
+          ON o.o_custkey = c.c_custkey
+        GROUP BY 1
+    ),
+    scored AS (
+        SELECT segment, n, k,
+               k * 1.0 / n AS p,
+               {WELCH_Z_95} AS z
+        FROM conv
+    )
+    SELECT segment, n, k,
+           ROUND(p, 6) AS rate,
+           ROUND((p + z * z / (2 * n)
+                  - z * SQRT(p * (1 - p) / n
+                             + z * z / (4.0 * n * n)))
+                 / (1 + z * z / n), 6) AS wilson_lo,
+           ROUND((p + z * z / (2 * n)
+                  + z * SQRT(p * (1 - p) / n
+                             + z * z / (4.0 * n * n)))
+                 / (1 + z * z / n), 6) AS wilson_hi
+    FROM scored
+    ORDER BY segment
+    """,
+)
+def wilson_conversion_ci(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Wilson score intervals for customer conversion (has >= 1
+    order) per market segment — the CORRECT small-n binomial
+    interval (Wilson 1927; the Wald interval collapses to zero
+    width at p near 0/1 and undercovers everywhere, which is why
+    every style guide bans it from dashboards): closed-form center
+    (p + z^2/2n)/(1 + z^2/n) and half-width, no erf, the same
+    1.959964 constant as the Welch family. Two segments whose
+    Wilson intervals do not overlap differ without any further
+    test — the glanceable version of `welch_ttest_slices` for
+    rates.
+
+    Scale shape: one distinct-buyer semi-aggregate, one left join
+    at customer grain, a 5-row segment fold, pure closed-form
+    arithmetic after."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    buyers = orders.select("o_custkey").distinct()
+    conv = (
+        cust.join(
+            buyers, cust.c_custkey == buyers.o_custkey, "left"
+        )
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(
+                F.when(F.col("o_custkey").isNotNull(), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("k"),
+        )
+    )
+    p = F.col("k") * 1.0 / F.col("n")
+    z = F.lit(WELCH_Z_95)
+    denom = 1 + z * z / F.col("n")
+    center = p + z * z / (2 * F.col("n"))
+    half = z * F.sqrt(
+        p * (1 - p) / F.col("n")
+        + z * z / (4.0 * F.col("n") * F.col("n"))
+    )
+    return conv.select(
+        "segment",
+        "n",
+        "k",
+        F.round(p, 6).alias("rate"),
+        F.round((center - half) / denom, 6).alias("wilson_lo"),
+        F.round((center + half) / denom, 6).alias("wilson_hi"),
+    ).orderBy("segment")

@@ -61,6 +61,8 @@ NESTED_LOOP_OK = {
     # the customer-grain panel (the welch moments shape)
     "simpson_reversal_audit",  # 1-row overall-diff broadcast onto
     # the 25-row stratum panel
+    "propensity_overlap_audit",  # 1-row Kish-ESS broadcast onto
+    # the 25-row propensity panel
     "freshness_audit",  # 1-row newest-mark broadcast onto the
     # 3-row per-table mark union
     "ses_forecast_eval",  # 40-row kernel grid x the day-grain
@@ -497,6 +499,8 @@ BROADCAST_GRAIN_OK = {
     # fixed feature panel), built from value-grain cells
     "ipw_treatment_effect",  # brand-grain propensity model: 25
     # fixed p_brand labels at every TPC-H SF
+    "propensity_overlap_audit",  # the same 25-row brand-grain
+    # propensity model + 1-row ESS broadcast
     "char_ngram_lang_profile",  # lang-grain norm table: the lang
     # registry (5 labels here) at any SF
     "logrank_test",  # 2-row cohort-size table (the fixed group

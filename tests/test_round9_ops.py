@@ -2001,3 +2001,78 @@ def test_freshness_flags_the_frozen_table(spark, tmp_path):
     assert out["events"]["staleness_days"] == 0
     assert out["lineitem"]["stale"] is False
     assert out["orders"]["first_seen"] == "1996-01-02"
+
+
+# -------------------- propensity overlap audit ---------------------
+
+
+def test_overlap_audit_flags_thin_arm_and_ess_collapse(
+    spark, tmp_path
+):
+    # balanced stratum B (e = 0.5) passes; stratum A has 1 treated
+    # in 50 (e = 0.02 < 0.05) -> violated, and the control ESS
+    # collapses far below n because A's controls carry weight
+    # 1/(1-0.02) ~ 1 while... the treated ESS shows the blowup:
+    # one unit at weight 50 + 25 units at weight 2 -> ESS << 26
+    li, part = [], []
+    pk = 0
+    for i in range(50):  # stratum A: 1 treated
+        part.append((pk, "A", "PROMO X" if i == 0 else "STD X"))
+        li.append((pk,)); pk += 1
+    for i in range(50):  # stratum B: balanced
+        part.append((pk, "B", "PROMO X" if i % 2 else "STD X"))
+        li.append((pk,)); pk += 1
+    sf = _lake(
+        spark,
+        tmp_path,
+        lineitem=(li, "l_partkey long"),
+        part=(part, "p_partkey long, p_brand string, p_type string"),
+    )
+    out = {r["stratum"]: r for r in
+           QS["propensity_overlap_audit"](spark, sf).collect()}
+    assert out["A"]["propensity"] == 0.02
+    assert out["A"]["positivity_violated"] is True
+    assert out["B"]["propensity"] == 0.5
+    assert out["B"]["positivity_violated"] is False
+    # 26 treated total, but ESS is dominated by the weight-50 unit
+    r = out["A"]
+    n_treated_total = 1 + 25
+    assert r["ess_treated"] < n_treated_total * 0.8
+    # identical ESS columns on every row (1-row broadcast)
+    assert out["A"]["ess_control"] == out["B"]["ess_control"]
+
+
+# ------------------------- Wilson CI -------------------------------
+
+
+def test_wilson_interval_pins_textbook_values(spark, tmp_path):
+    # 10 of 40 convert in AUTO: the Wilson interval is a textbook
+    # closed form; a 0-of-20 BUILDING segment must give lo exactly 0
+    # and a POSITIVE hi (where Wald collapses to [0, 0])
+    import math
+
+    cust = [(i, "AUTO") for i in range(40)] + [
+        (100 + i, "BUILDING") for i in range(20)
+    ]
+    orders = [(k, i) for k, i in enumerate(range(10))]  # AUTO buyers
+    sf = _lake(
+        spark,
+        tmp_path,
+        customer=(cust, "c_custkey long, c_mktsegment string"),
+        orders=(orders, "o_orderkey long, o_custkey long"),
+    )
+    out = {r["segment"]: r for r in
+           QS["wilson_conversion_ci"](spark, sf).collect()}
+    a = out["AUTO"]
+    assert a["n"] == 40 and a["k"] == 10 and a["rate"] == 0.25
+    z = 1.959964
+    n, p = 40, 0.25
+    denom = 1 + z * z / n
+    center = p + z * z / (2 * n)
+    half = z * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n))
+    assert a["wilson_lo"] == round((center - half) / denom, 6)
+    assert a["wilson_hi"] == round((center + half) / denom, 6)
+    b = out["BUILDING"]
+    assert b["k"] == 0 and b["rate"] == 0.0
+    assert b["wilson_lo"] == 0.0
+    assert b["wilson_hi"] > 0.1  # the non-degenerate upper bound
