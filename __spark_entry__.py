@@ -186,6 +186,32 @@ _DRIVER_VERIFIED = frozenset(
         "shuffle_quality_audit", "slo_burn_alerts",
         "theilsen_trend", "ttr_lexical_diversity",
         "typo_candidate_pairs", "wasserstein_drift",
+        # r9 rows (CORRECTNESS_r09.json: 50/50 hash-MATCH — the
+        # entire window went to never-verified oracled queries)
+        "ab_power_analysis", "abc_xyz_classification", "acf_panel",
+        "anonymization_ladder", "bh_fdr_slices",
+        "blocking_quality_report", "calendar_heatmap_cells",
+        "ccf_leadlag", "changepoint_binary_seg",
+        "char_ngram_lang_profile", "community_modularity",
+        "cuped_adjusted_ab", "decision_stump_portable",
+        "diff_in_diff_revenue", "dp_median_release",
+        "event_study_car", "extreme_value_gumbel",
+        "fano_burstiness", "fellegi_sunter_em",
+        "fellegi_sunter_weights", "filter_shapley_attribution",
+        "freshness_audit", "gaussian_mixture_em",
+        "grubbs_outlier_test", "heaps_law_fit", "hurst_exponent_rs",
+        "ipw_treatment_effect", "kendall_tau_topk",
+        "ljung_box_test", "logrank_test", "lpa_communities_topk",
+        "mann_kendall_trend", "negbin_basket_fit",
+        "price_elasticity_by_brand", "propensity_overlap_audit",
+        "quantile_pinball_backtest", "rake_keyphrases",
+        "score_calibration_ece", "sequential_ab_monitoring",
+        "ses_forecast_eval", "session_markov_surprisal",
+        "silhouette_portable", "simpson_reversal_audit",
+        "sorted_neighborhood_pairs", "spc_xbar_chart",
+        "stl_strength_panel", "stylometry_burrows_delta",
+        "t_closeness_audit", "wilson_conversion_ci",
+        "word_burstiness_topk",
     }
 )
 
@@ -198,20 +224,33 @@ _DRIVER_VERIFIED = frozenset(
 # even never-verified new queries (r6 verdict #3 — a 3-round-old
 # rewrite of green code is a bigger evidence hole than a new query's
 # first row).
-_REVERIFY_AGED = ()  # r8 cleared the queue (all 8 rewrites green)
+_REVERIFY_AGED = (
+    # r9 rewrites whose driver re-verification was starved out of
+    # the r9 window (all 50 slots went to never-verified oracled
+    # queries). The r9 judge hash-verified all 5 locally, but per
+    # the age rule they now lead everything in r10 so the rewrites
+    # finally get an external driver row (r9 verdict #1).
+    "ab_lift_bootstrap",       # r9: 4 md5 digests per row (16
+    # two-hex Poisson draws sliced per digest) replace 64
+    "dp_user_activity_counts",  # r9: exact n_users_clipped no
+    # longer released with the noisy counts
+    "benford_digit_audit",     # r9: scaled mantissa clamped >= 1.0
+    "part_copurchase_pagerank",  # r9: convergence fused into the
+    # rank-update agg — fewer fixpoint jobs
+    "logreg_adagrad_portable",  # r9: same job-floor fusion
+)
 
 _REVERIFY_FIRST = (
-    # r9 rewrites (each re-audited locally at sf0.01 AND sf0.1 this
-    # round; the driver row makes the rewrite externally visible):
-    "ab_lift_bootstrap",       # 4 md5 digests per row (16 two-hex
-    # Poisson draws sliced per digest) replace 64 (r8 verdict #2)
-    "dp_user_activity_counts",  # exact n_users_clipped no longer
-    # released with the noisy counts (r8 ADVICE #1)
-    "benford_digit_audit",     # scaled mantissa clamped >= 1.0 so
-    # a last-ulp scale keeps digits in 1..9 (r8 ADVICE #3)
-    "part_copurchase_pagerank",  # convergence check fused into the
-    # rank-update agg — fewer fixpoint jobs (r8 verdict #6)
-    "logreg_adagrad_portable",  # same job-floor fusion (r8 #6)
+    # r10 rewrites (each re-audited locally at sf0.01 this round;
+    # the driver row makes the rewrite externally visible):
+    "logrank_test",            # r10: unix_micros replaces
+    # second-truncated unix_timestamp in cohort split + t_day
+    # (r9 ADVICE #1)
+    "filter_shapley_attribution",  # r10: oracle interpolates the
+    # shared STOPWORDS constant instead of hardcoding it
+    # (r9 ADVICE #2)
+    "community_modularity",    # r10: modularity_cells normalizes
+    # edge symmetry instead of silently assuming it (r9 ADVICE #4)
 )
 
 

@@ -1487,15 +1487,34 @@ _LPA_ORACLE_HEAD = (
 
 
 def modularity_cells(
-    edges: DataFrame, labels: DataFrame
+    edges: DataFrame, labels: DataFrame, assume_symmetric: bool = False
 ) -> DataFrame:
     """Library core of `community_modularity`
-    (api.graph.modularity_cells): directed Newman modularity of any
-    (src, dst) edge frame under any (v, community) labeling —
+    (api.graph.modularity_cells): undirected Newman modularity of
+    any (src, dst) edge frame under any (v, community) labeling —
     per-community (n_members, internal_edges, degree, q_term) plus
-    the global Q on every row, unordered. Assumes a SYMMETRIC edge
-    list (in-degree == out-degree per community); pass both
-    directions for an undirected graph."""
+    the global Q on every row, unordered.
+
+    The undirected formula reads per-community degree off the c_src
+    grain, which is only correct when every edge appears in BOTH
+    directions. By default the edge list is therefore SYMMETRIZED
+    here (union with its reverse + distinct — a no-op set-wise on an
+    already-symmetric input, so internal callers with a guaranteed
+    symmetric builder pass assume_symmetric=True to skip the extra
+    exchange). A directed/asymmetric frame passed through the public
+    api.graph entry thus gets the undirected Q of its symmetrized
+    graph instead of a silently wrong number (r9 ADVICE #4)."""
+    if not assume_symmetric:
+        edges = (
+            edges.select("src", "dst")
+            .union(
+                edges.select(
+                    F.col("dst").alias("src"),
+                    F.col("src").alias("dst"),
+                )
+            )
+            .distinct()
+        )
     ls = labels.select(
         F.col("v").alias("src"), F.col("community").alias("c_src")
     )
@@ -1611,6 +1630,8 @@ def community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     noise, absorbed by the same pin)."""
     edges = _copurchase_edges(spark, sf_dir)
     labels = _copurchase_lpa_labels(spark, sf_dir)
-    return modularity_cells(edges, labels).orderBy(
-        F.desc("q_term"), "community"
-    ).limit(20)
+    # the copurchase builder emits every pair in both directions, so
+    # the symmetrize exchange in modularity_cells is skipped
+    return modularity_cells(
+        edges, labels, assume_symmetric=True
+    ).orderBy(F.desc("q_term"), "community").limit(20)

@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from ..plans.registry import query
 from ..sources.tables import load_table
+from .text import STOPWORDS
 
 
 def expectations_report(
@@ -1512,15 +1513,14 @@ def shapley_filter_cells(
 
 @query(
     "filter_shapley_attribution",
-    oracle="""
+    oracle=f"""
     WITH flags AS (
         SELECT CASE WHEN len(w) >= 40 THEN 1 ELSE 0 END AS a,
                CASE WHEN CAST(len(list_distinct(w)) AS DOUBLE)
                          / GREATEST(len(w), 1) >= 0.4
                     THEN 1 ELSE 0 END AS b,
                CASE WHEN CAST(len(list_filter(w, x ->
-                         list_contains(['the','a','an','and','of',
-                                        'to','in','is','on','for'],
+                         list_contains({list(STOPWORDS)!r},
                                        x))) AS DOUBLE)
                          / GREATEST(len(w), 1) >= 0.05
                     THEN 1 ELSE 0 END AS c

@@ -3407,8 +3407,8 @@ def logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "user_id",
             F.when(
-                F.unix_timestamp("t0") * 2
-                <= F.unix_timestamp("mn") + F.unix_timestamp("mx"),
+                F.unix_micros("t0") * 2
+                <= F.unix_micros("mn") + F.unix_micros("mx"),
                 1,
             )
             .otherwise(2)
@@ -3418,10 +3418,10 @@ def logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.floor(
                 (
-                    F.unix_timestamp(F.coalesce("tp", "mx"))
-                    - F.unix_timestamp("t0")
+                    F.unix_micros(F.coalesce("tp", "mx"))
+                    - F.unix_micros("t0")
                 )
-                / 86400.0
+                / 86400000000.0
             )
             .cast("bigint")
             .alias("t_day"),

@@ -801,7 +801,12 @@ def ewma_stream(
             out["wd"].append(wd)
             out["mean_value"].append(round(x, 4))
             out["ewma"].append(round(ewma, 4))
-            out["rel_dev"].append(round(abs(x - ewma) / ewma, 4))
+            # batch twin divides in SQL, which yields NULL when the
+            # trailing window is all zeros — mirror that instead of
+            # raising ZeroDivisionError and killing the stream
+            out["rel_dev"].append(
+                round(abs(x - ewma) / ewma, 4) if ewma != 0 else None
+            )
         state.update((wds, xs))
         yield pd.DataFrame({"metric": key[0], **out})
 

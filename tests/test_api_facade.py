@@ -573,6 +573,37 @@ def test_graph_modularity_on_inmemory_edges(spark):
     assert {r["community"] for r in out} == {1, 3}
 
 
+def test_graph_modularity_symmetrizes_directed_edges(spark):
+    """A directed/asymmetric edge frame through the public api.graph
+    entry must be symmetrized, not silently mis-scored
+    (r9 ADVICE #4): one-direction edges give the same Q as the
+    explicit both-direction list."""
+    directed = spark.createDataFrame(
+        [(1, 2), (3, 4)], "src long, dst long"
+    )
+    symmetric = spark.createDataFrame(
+        [(1, 2), (2, 1), (3, 4), (4, 3)], "src long, dst long"
+    )
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 3), (4, 3)], "v long, community long"
+    )
+    got = {
+        r["community"]: r
+        for r in api.graph.modularity_cells(directed, labels).collect()
+    }
+    want = {
+        r["community"]: r
+        for r in api.graph.modularity_cells(
+            symmetric, labels, assume_symmetric=True
+        ).collect()
+    }
+    assert set(got) == set(want) == {1, 3}
+    for c in got:
+        assert got[c]["modularity"] == want[c]["modularity"] == 0.5
+        assert got[c]["degree"] == want[c]["degree"]
+        assert got[c]["internal_edges"] == want[c]["internal_edges"]
+
+
 def test_curation_shapley_on_inmemory_flags(spark):
     flags = spark.createDataFrame(
         [(0, 1, 1), (1, 1, 1), (1, 1, 1), (0, 0, 1)],

@@ -1059,3 +1059,30 @@ def test_ewma_stream_matches_batch_anomaly(spark, tmp_path):
         assert abs(g["mean_value"] - b["mean_value"]) < 1e-9, wd
         assert abs(g["ewma"] - b["ewma"]) < 1e-9, wd
         assert abs(g["rel_dev"] - b["rel_dev"]) < 1e-9, wd
+
+
+def test_ewma_stream_all_zero_window_emits_null(spark, tmp_path):
+    """A sparse count metric whose trailing window is all zeros must
+    emit NULL rel_dev (the batch twin's SQL null-on-zero-divide),
+    not raise ZeroDivisionError and kill the query (r9 ADVICE #3)."""
+    from citeconnect_datapipeline_spark.streaming.jobs import (
+        ewma_stream,
+        run_to_memory,
+    )
+
+    series = spark.createDataFrame(
+        [("m", 19700, 0.0), ("m", 19701, 0.0), ("m", 19702, 3.0)],
+        "metric string, wd long, x double",
+    )
+    src = tmp_path / "ewma_zero_src"
+    series.coalesce(1).write.parquet(str(src / "b0"))
+    stream = (
+        spark.readStream.schema(series.schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    run_to_memory(ewma_stream(stream), "ewma_zero_t")
+    got = {r["wd"]: r for r in spark.table("ewma_zero_t").collect()}
+    assert got[19700]["rel_dev"] is None
+    assert got[19701]["rel_dev"] is None
+    assert got[19702]["rel_dev"] is not None  # ewma > 0 once x=3 lands
