@@ -43,6 +43,14 @@ from .operators.graph import (
     lpa_communities,
     pagerank,
 )
+from .operators.extraction import extract_from_payloads
+from .operators.extraction_parsers import (
+    extract_content_tiers,
+    extract_intro_from_pdf_text,
+    fallback_abstract_tldr,
+    parse_arxiv_intro_html,
+    parse_grobid_intro_tei,
+)
 from .operators.multimodal import with_media_columns
 from .operators.similarity import (
     build_ivf_index,
@@ -165,6 +173,14 @@ curation = SimpleNamespace(
     dp_median_exponential=dp_median_exponential,
 )
 multimodal = SimpleNamespace(with_media_columns=with_media_columns)
+extraction = SimpleNamespace(
+    extract_from_payloads=extract_from_payloads,
+    extract_content_tiers=extract_content_tiers,
+    parse_arxiv_intro_html=parse_arxiv_intro_html,
+    parse_grobid_intro_tei=parse_grobid_intro_tei,
+    extract_intro_from_pdf_text=extract_intro_from_pdf_text,
+    fallback_abstract_tldr=fallback_abstract_tldr,
+)
 timeseries = SimpleNamespace(
     sessionize=sessionize,
     lateness_profile=lateness_profile,

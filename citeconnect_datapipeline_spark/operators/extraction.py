@@ -289,3 +289,73 @@ def extract_with_quarantine(
         "doc_id", "error"
     )
     return good, quarantined
+
+
+_PAYLOAD_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("content", StringType()),
+        StructField("method", StringType()),
+        StructField("quality", StringType()),
+        StructField("intro_length", LongType()),
+    ]
+)
+
+
+def extract_from_payloads(payloads: DataFrame) -> DataFrame:
+    """The REAL-parser tier cascade over fetched payloads
+    (api.extraction.extract_from_payloads).
+
+    Input: one row per document with whatever raw tier payloads the
+    fetch layer produced — ``doc_id`` plus any of ``arxiv_html``
+    (an ArXiv HTML page), ``grobid_tei`` (GROBID TEI XML),
+    ``pdf_text`` (raw PDF page text), ``abstract``, ``tldr``
+    (missing columns are treated as absent tiers). Output matches
+    `content_extract_4tier`: (doc_id, content, method, quality,
+    intro_length).
+
+    This is the production twin of the deterministic-fake path: the
+    parse logic is the pure-function module
+    ``operators/extraction_parsers.py`` (the reference's
+    BeautifulSoup section parse, TEI introduction-div parse, PDF
+    regex scan and abstract ladder re-implemented stdlib-only), run
+    inside ONE ``mapInPandas`` stage — parsing is genuinely
+    row-local Python work on payload strings, so the Arrow-batched
+    Python boundary is the right (and only) boundary, and everything
+    before it (payload scans, metadata filters) and after it
+    (aggregations over method/quality) stays native."""
+    from .extraction_parsers import extract_content_tiers
+
+    cols = set(payloads.columns)
+    optional = ("arxiv_html", "grobid_tei", "pdf_text", "abstract", "tldr")
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": [], "content": [], "method": [],
+                "quality": [], "intro_length": [],
+            }
+            n = len(pdf)
+            get = {
+                c: (pdf[c] if c in pdf.columns else pd.Series([None] * n))
+                for c in optional
+            }
+            for i in range(n):
+                content, method, quality = extract_content_tiers(
+                    get["arxiv_html"].iloc[i],
+                    get["grobid_tei"].iloc[i],
+                    get["pdf_text"].iloc[i],
+                    get["abstract"].iloc[i],
+                    get["tldr"].iloc[i],
+                )
+                out["doc_id"].append(pdf["doc_id"].iloc[i])
+                out["content"].append(content)
+                out["method"].append(method)
+                out["quality"].append(quality)
+                out["intro_length"].append(
+                    len(content) if content is not None else 0
+                )
+            yield pd.DataFrame(out)
+
+    keep = ["doc_id"] + [c for c in optional if c in cols]
+    return payloads.select(*keep).mapInPandas(parse, _PAYLOAD_SCHEMA)
