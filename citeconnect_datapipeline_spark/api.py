@@ -53,6 +53,7 @@ from .operators.extraction_parsers import (
 )
 from .operators.multimodal import with_media_columns
 from .operators.similarity import (
+    HashProjectionModel,
     build_ivf_index,
     embed_with_model,
     embedding_isotropy,
@@ -112,8 +113,10 @@ from .sources.jsonl import ingest_jsonl_to_zone, read_jsonl
 from .sinks.models import (
     load_bpe_merges,
     load_classifier_weights,
+    load_embedding_model,
     save_bpe_merges,
     save_classifier_weights,
+    save_embedding_model,
 )
 from .sinks.report import alert_email, plot_slices
 from .sinks.upsert import jdbc_upsert, merge_parquet, scd2_merge, upsert_parquet
@@ -149,6 +152,9 @@ tokenizer = SimpleNamespace(
 )
 similarity = SimpleNamespace(
     embed_with_model=embed_with_model,
+    HashProjectionModel=HashProjectionModel,
+    save_embedding_model=save_embedding_model,
+    load_embedding_model=load_embedding_model,
     embedding_isotropy=embedding_isotropy,
     build_ivf_index=build_ivf_index,
     search_ivf_index=search_ivf_index,
@@ -220,6 +226,8 @@ models = SimpleNamespace(
     load_bpe_merges=load_bpe_merges,
     save_classifier_weights=save_classifier_weights,
     load_classifier_weights=load_classifier_weights,
+    save_embedding_model=save_embedding_model,
+    load_embedding_model=load_embedding_model,
 )
 sinks = SimpleNamespace(
     write_zone=write_zone,

@@ -558,6 +558,114 @@ class SentenceTransformerModel:
         return [[float(x) for x in v] for v in vecs]
 
 
+class HashProjectionModel:
+    """Offline-installable REAL model for `embed_with_model`: feature
+    hashing + seeded Gaussian random projection (the hashing trick,
+    Weinberger et al. 2009, composed with a Johnson-Lindenstrauss
+    projection) — a genuine text-embedding model that runs with only
+    numpy, so the T4 inference path is exercised end-to-end even
+    where sentence-transformers is absent.
+
+    Unlike `_FakeModel` (a per-text hash stand-in with no token
+    structure), this model embeds BAG-OF-TOKENS semantics: texts
+    sharing tokens land near each other in cosine space, so recall
+    assertions downstream (top-k search, near-dup) are meaningful.
+    Pipeline per text: lowercase alnum tokenize -> signed feature
+    hash into ``n_features`` buckets (md5-derived, engine-stable
+    across processes — never Python's randomized ``hash``) ->
+    multiply by a ``RandomState(seed)`` Gaussian (n_features x dim)
+    matrix -> L2 normalize.
+
+    The spec (name, dim, n_features, seed) IS the model — publish /
+    load it with ``sinks.models.save_embedding_model`` /
+    ``load_embedding_model`` and ship the factory to executors like
+    any other `embed_with_model` model; the projection matrix is
+    regenerated deterministically per Python worker (a few MB),
+    never serialized."""
+
+    _instances: dict = {}
+
+    def __init__(
+        self,
+        name: str = "hash-projection-v1",
+        dim: int = 64,
+        n_features: int = 4096,
+        seed: int = 13,
+    ):
+        import numpy as np
+
+        self.name = name
+        self.dim = int(dim)
+        self.n_features = int(n_features)
+        self.seed = int(seed)
+        rs = np.random.RandomState(self.seed)
+        # rows ~ N(0, 1/dim): JL-style scaling keeps projected norms
+        # comparable across dims
+        self._proj = rs.normal(
+            0.0, 1.0 / np.sqrt(self.dim), (self.n_features, self.dim)
+        )
+
+    @property
+    def spec(self) -> dict:
+        return {
+            "name": self.name,
+            "dim": self.dim,
+            "n_features": self.n_features,
+            "seed": self.seed,
+        }
+
+    @classmethod
+    def get(
+        cls,
+        name: str = "hash-projection-v1",
+        dim: int = 64,
+        n_features: int = 4096,
+        seed: int = 13,
+    ) -> "HashProjectionModel":
+        key = (name, dim, n_features, seed)
+        if key not in cls._instances:
+            cls._instances[key] = cls(name, dim, n_features, seed)
+        return cls._instances[key]
+
+    @classmethod
+    def factory(
+        cls,
+        name: str = "hash-projection-v1",
+        dim: int = 64,
+        n_features: int = 4096,
+        seed: int = 13,
+    ):
+        """Picklable zero-arg factory for `embed_with_model`."""
+        import functools
+
+        return functools.partial(cls.get, name, dim, n_features, seed)
+
+    def _hash_features(self, text: str):
+        import hashlib
+        import re
+
+        import numpy as np
+
+        v = np.zeros(self.n_features, dtype="float64")
+        for tok in re.split(r"[^a-z0-9]+", (text or "").lower()):
+            if not tok:
+                continue
+            h = hashlib.md5(tok.encode("utf-8")).digest()
+            idx = int.from_bytes(h[:8], "little") % self.n_features
+            sign = 1.0 if h[8] & 1 else -1.0
+            v[idx] += sign
+        return v
+
+    def encode(self, texts: list[str]) -> list[list[float]]:
+        import numpy as np
+
+        feats = np.stack([self._hash_features(t) for t in texts])
+        out = feats @ self._proj
+        norms = np.linalg.norm(out, axis=1, keepdims=True)
+        out = out / np.where(norms == 0.0, 1.0, norms)
+        return [[float(x) for x in row] for row in out]
+
+
 # ---------------------------------------------------------------------
 # Persistent IVF index lifecycle: build once at ingest, search many
 # times with partition pruning. ann_ivf_topk builds its index inline

@@ -60,3 +60,40 @@ def load_classifier_weights(spark: SparkSession, path: str) -> list[float]:
             f"corrupt weight artifact at {path}: slots not contiguous"
         )
     return [float(r["weight"]) for r in rows]
+
+
+def save_embedding_model(spark: SparkSession, spec: dict, path: str) -> None:
+    """Publish a named hash-projection embedding model
+    (``similarity.HashProjectionModel``) to the lake as its 1-row
+    spec table (name, dim, n_features, seed) — the spec IS the
+    model (the projection matrix regenerates deterministically from
+    the seed on every worker), so the artifact stays a queryable
+    table like every other entry in this registry."""
+    spark.createDataFrame(
+        [
+            (
+                str(spec["name"]),
+                int(spec["dim"]),
+                int(spec["n_features"]),
+                int(spec["seed"]),
+            )
+        ],
+        "name string, dim int, n_features int, seed int",
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_embedding_model(spark: SparkSession, path: str):
+    """Load a published embedding-model spec and return a picklable
+    zero-arg factory — directly consumable by ``embed_with_model``."""
+    from ..operators.similarity import HashProjectionModel
+
+    rows = spark.read.parquet(path).collect()
+    if len(rows) != 1:
+        raise ValueError(
+            f"corrupt embedding-model artifact at {path}: expected "
+            f"exactly 1 spec row, found {len(rows)}"
+        )
+    r = rows[0]
+    return HashProjectionModel.factory(
+        r["name"], r["dim"], r["n_features"], r["seed"]
+    )

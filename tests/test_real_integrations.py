@@ -131,3 +131,78 @@ def test_real_media_codec_audio_video_still_stubbed():
     codec._image = None
     with pytest.raises(NotImplementedError, match="audio"):
         codec.decode("audio", b"\x00")
+
+
+# -------------- offline real model: hash-projection (T4) ------------
+
+
+def test_hash_projection_model_end_to_end_in_container(spark, tmp_path):
+    """A NON-fake model through the full T4 path, runnable in this
+    container (numpy only): publish the named model to the lake,
+    load its factory, run real inference through embed_with_model,
+    and assert embedding semantics a per-text hash fake cannot show
+    — token overlap moves cosine similarity (r9 verdict #6)."""
+    import math
+
+    from citeconnect_datapipeline_spark.operators.similarity import (
+        HashProjectionModel,
+        embed_with_model,
+    )
+    from citeconnect_datapipeline_spark.sinks.models import (
+        load_embedding_model,
+        save_embedding_model,
+    )
+
+    model_path = str(tmp_path / "models" / "hash_projection_v1")
+    save_embedding_model(
+        spark, HashProjectionModel.get().spec, model_path
+    )
+    factory = load_embedding_model(spark, model_path)
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark shuffles data across executors"),
+            (2, "spark shuffles data across the cluster"),
+            (3, "ducks quack loudly at dawn"),
+        ],
+        "doc_id long, text string",
+    ).repartition(3)  # exercise the per-worker singleton path
+    rows = {
+        r["doc_id"]: r for r in embed_with_model(docs, factory).collect()
+    }
+    assert len(rows) == 3
+    assert all(r["model_name"] == "hash-projection-v1" for r in rows.values())
+    vecs = {k: list(r["embedding"]) for k, r in rows.items()}
+    assert {len(v) for v in vecs.values()} == {64}
+    for v in vecs.values():
+        assert abs(math.sqrt(sum(x * x for x in v)) - 1.0) < 1e-5
+
+    def cos(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    # token-overlapping texts are nearer than unrelated ones — real
+    # bag-of-tokens geometry, not hash noise
+    assert cos(vecs[1], vecs[2]) > 0.5 > cos(vecs[1], vecs[3])
+
+    # determinism across a fresh load of the published spec
+    rows2 = {
+        r["doc_id"]: list(r["embedding"])
+        for r in embed_with_model(
+            docs, load_embedding_model(spark, model_path)
+        ).collect()
+    }
+    assert rows2 == vecs
+
+
+def test_embedding_model_artifact_corruption_gate(spark, tmp_path):
+    from citeconnect_datapipeline_spark.sinks.models import (
+        load_embedding_model,
+    )
+
+    bad = str(tmp_path / "bad_model")
+    spark.createDataFrame(
+        [("a", 8, 64, 1), ("b", 8, 64, 2)],
+        "name string, dim int, n_features int, seed int",
+    ).write.parquet(bad)
+    with pytest.raises(ValueError, match="expected exactly 1 spec row"):
+        load_embedding_model(spark, bad)
