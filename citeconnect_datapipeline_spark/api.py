@@ -118,7 +118,7 @@ from .sinks.models import (
     save_classifier_weights,
     save_embedding_model,
 )
-from .sinks.report import alert_email, plot_slices
+from .sinks.report import alert_email, plot_chart, plot_slices
 from .sinks.upsert import jdbc_upsert, merge_parquet, scd2_merge, upsert_parquet
 from .sinks.zones import (
     compact_zone,
@@ -241,6 +241,7 @@ sinks = SimpleNamespace(
     scd2_merge=scd2_merge,
     jdbc_upsert=jdbc_upsert,
     plot_slices=plot_slices,
+    plot_chart=plot_chart,
     alert_email=alert_email,
 )
 

@@ -179,3 +179,288 @@ def alert_email(
         "n_rows": len(rows),
         "message_id": msg["Subject"],
     }
+
+
+# ---------------------------------------------------------------------
+# Bias-dashboard chart breadth (K7 continued): the remaining chart
+# shapes the reference's dashboard renders (grouped comparisons,
+# share-of-total pies, pivot heatmaps, trend lines —
+# visualization_generator.py:58-414) as the same deterministic
+# standalone-SVG string assembly as svg_bar_chart. Every renderer
+# consumes an already-collected small aggregate; the distributed work
+# stays in the groupBy/pivot that produced it.
+# ---------------------------------------------------------------------
+
+_PALETTE = (
+    "#4477aa", "#ee6677", "#228833", "#ccbb44",
+    "#66ccee", "#aa3377", "#bbbbbb",
+)
+
+
+def svg_pie_chart(
+    rows: list[dict],
+    label: str,
+    value: str,
+    title: str = "",
+    size: int = 320,
+) -> str:
+    """Share-of-total pie with percent annotations (the reference's
+    domain-distribution / extraction-method pies,
+    visualization_generator.py:83,132 — autopct '%1.1f%%')."""
+    import math
+
+    total = sum(abs(float(r[value] or 0)) for r in rows) or 1.0
+    cx = cy = size / 2.0
+    rad = size / 2.0 - 10
+    parts = [
+        f'<svg xmlns="http://www.w3.org/2000/svg" width="{size + 220}" '
+        f'height="{size + 30}" font-family="monospace" font-size="12">',
+        f'<text x="8" y="16" font-weight="bold">{title or value}</text>',
+    ]
+    angle = -math.pi / 2  # 12 o'clock start, clockwise
+    for i, r in enumerate(rows):
+        v = abs(float(r[value] or 0))
+        frac = v / total
+        a0, a1 = angle, angle + 2 * math.pi * frac
+        angle = a1
+        x0 = round(cx + rad * math.cos(a0), 2)
+        y0 = round(cy + 15 + rad * math.sin(a0), 2)
+        x1 = round(cx + rad * math.cos(a1), 2)
+        y1 = round(cy + 15 + rad * math.sin(a1), 2)
+        large = 1 if frac > 0.5 else 0
+        color = _PALETTE[i % len(_PALETTE)]
+        if frac >= 0.999999:  # single-slice degenerate: full circle
+            parts.append(
+                f'<circle cx="{cx}" cy="{cy + 15}" r="{rad}" '
+                f'fill="{color}"></circle>'
+            )
+        else:
+            parts.append(
+                f'<path d="M{cx},{cy + 15} L{x0},{y0} '
+                f'A{rad},{rad} 0 {large} 1 {x1},{y1} Z" '
+                f'fill="{color}"></path>'
+            )
+        # legend row with the reference's 1-dp percent label
+        ly = 30 + i * 18
+        parts.append(
+            f'<rect x="{size + 10}" y="{ly}" width="12" height="12" '
+            f'fill="{color}"></rect>'
+            f'<text x="{size + 28}" y="{ly + 11}">'
+            f"{r[label]} {frac * 100:.1f}%</text>"
+        )
+    parts.append("</svg>")
+    return "".join(parts)
+
+
+def svg_grouped_bar_chart(
+    rows: list[dict],
+    x: str,
+    group: str,
+    y: str,
+    title: str = "",
+    width: int = 720,
+    height: int = 320,
+) -> str:
+    """Grouped vertical bars — category on the x axis, one colored
+    bar per group value (the reference's side-by-side quality /
+    mitigation comparisons, visualization_generator.py:141,336)."""
+    cats = list(dict.fromkeys(r[x] for r in rows))
+    groups = list(dict.fromkeys(r[group] for r in rows))
+    vals = {(r[x], r[group]): float(r[y] or 0) for r in rows}
+    vmax = max((abs(v) for v in vals.values()), default=0.0) or 1.0
+    pad, legend_h = 8, 18 * len(groups)
+    plot_h = height - 60
+    cat_w = (width - pad * 2) / max(len(cats), 1)
+    bar_w = max(cat_w * 0.8 / max(len(groups), 1), 2)
+    parts = [
+        f'<svg xmlns="http://www.w3.org/2000/svg" width="{width}" '
+        f'height="{height + legend_h}" font-family="monospace" '
+        f'font-size="12">',
+        f'<text x="{pad}" y="16" font-weight="bold">{title or y}</text>',
+    ]
+    for ci, cat in enumerate(cats):
+        x_left = pad + ci * cat_w
+        for gi, g in enumerate(groups):
+            v = vals.get((cat, g))
+            if v is None:
+                continue
+            h = int(plot_h * abs(v) / vmax)
+            top = 30 + plot_h - h
+            parts.append(
+                f'<rect x="{round(x_left + cat_w * 0.1 + gi * bar_w, 2)}" '
+                f'y="{top}" width="{round(bar_w, 2)}" height="{max(h, 1)}" '
+                f'fill="{_PALETTE[gi % len(_PALETTE)]}"></rect>'
+            )
+        parts.append(
+            f'<text x="{round(x_left + cat_w * 0.1, 2)}" '
+            f'y="{30 + plot_h + 14}">{cat}</text>'
+        )
+    for gi, g in enumerate(groups):
+        ly = height + gi * 18 - 10
+        parts.append(
+            f'<rect x="{pad}" y="{ly}" width="12" height="12" '
+            f'fill="{_PALETTE[gi % len(_PALETTE)]}"></rect>'
+            f'<text x="{pad + 18}" y="{ly + 11}">{g}</text>'
+        )
+    parts.append("</svg>")
+    return "".join(parts)
+
+
+def _heat_color(frac: float) -> str:
+    """Two-segment yellow->orange->red ramp (the reference heatmap's
+    YlOrRd colormap, visualization_generator.py:407), deterministic
+    integer interpolation."""
+    stops = ((255, 255, 204), (254, 178, 76), (189, 0, 38))
+    frac = min(max(frac, 0.0), 1.0)
+    if frac <= 0.5:
+        a, b, t = stops[0], stops[1], frac * 2
+    else:
+        a, b, t = stops[1], stops[2], (frac - 0.5) * 2
+    rgb = tuple(round(ai + (bi - ai) * t) for ai, bi in zip(a, b))
+    return f"#{rgb[0]:02x}{rgb[1]:02x}{rgb[2]:02x}"
+
+
+def svg_heatmap(
+    rows: list[dict],
+    row_key: str,
+    col_key: str,
+    value: str,
+    title: str = "",
+    cell_w: int = 72,
+    cell_h: int = 26,
+) -> str:
+    """Annotated pivot heatmap — (row x col) grid colored by value
+    with the value printed in each cell (the reference's
+    subdomain-by-domain mean-citation heatmap: pivot_table + seaborn
+    annot='.1f', visualization_generator.py:385-414). Input is the
+    LONG aggregate (one row per grid cell); the pivot to a grid
+    happens here, driver-side, on the bounded rows."""
+    rlabels = list(dict.fromkeys(r[row_key] for r in rows))
+    clabels = list(dict.fromkeys(r[col_key] for r in rows))
+    vals = {
+        (r[row_key], r[col_key]): float(r[value] or 0) for r in rows
+    }
+    present = list(vals.values())
+    vmin, vmax = (min(present), max(present)) if present else (0.0, 1.0)
+    span = (vmax - vmin) or 1.0
+    label_w, pad = 150, 8
+    width = label_w + pad * 2 + cell_w * len(clabels)
+    height = pad * 2 + 40 + cell_h * len(rlabels)
+    parts = [
+        f'<svg xmlns="http://www.w3.org/2000/svg" width="{width}" '
+        f'height="{height}" font-family="monospace" font-size="12">',
+        f'<text x="{pad}" y="16" font-weight="bold">'
+        f"{title or value}</text>",
+    ]
+    for ci, c in enumerate(clabels):
+        parts.append(
+            f'<text x="{label_w + ci * cell_w + 4}" y="36">{c}</text>'
+        )
+    for ri, rl in enumerate(rlabels):
+        top = 42 + ri * cell_h
+        parts.append(
+            f'<text x="{pad}" y="{top + cell_h - 8}">{rl}</text>'
+        )
+        for ci, c in enumerate(clabels):
+            v = vals.get((rl, c))
+            left = label_w + ci * cell_w
+            if v is None:
+                parts.append(
+                    f'<rect x="{left}" y="{top}" width="{cell_w - 2}" '
+                    f'height="{cell_h - 2}" fill="#eeeeee"></rect>'
+                )
+                continue
+            color = _heat_color((v - vmin) / span)
+            parts.append(
+                f'<rect x="{left}" y="{top}" width="{cell_w - 2}" '
+                f'height="{cell_h - 2}" fill="{color}"></rect>'
+                f'<text x="{left + 4}" y="{top + cell_h - 8}">'
+                f"{v:.1f}</text>"
+            )
+    parts.append("</svg>")
+    return "".join(parts)
+
+
+def svg_line_chart(
+    rows: list[dict],
+    x: str,
+    y: str,
+    title: str = "",
+    width: int = 720,
+    height: int = 240,
+) -> str:
+    """Run-over-run trend polyline in input order (the reference's
+    disparity-history trend, visualization_generator.py:280-333).
+    X positions are equally spaced input ranks — the rows arrive
+    pre-ordered from an ORDER BY, and run timestamps are
+    categorical ticks there too."""
+    pad = 8
+    vals = [float(r[y] or 0) for r in rows]
+    vmin, vmax = (min(vals), max(vals)) if vals else (0.0, 1.0)
+    span = (vmax - vmin) or 1.0
+    plot_w, plot_h = width - pad * 2, height - 70
+    n = max(len(rows) - 1, 1)
+    pts = []
+    for i, v in enumerate(vals):
+        px = round(pad + plot_w * i / n, 2)
+        py = round(30 + plot_h * (1 - (v - vmin) / span), 2)
+        pts.append((px, py))
+    path = " ".join(f"{px},{py}" for px, py in pts)
+    parts = [
+        f'<svg xmlns="http://www.w3.org/2000/svg" width="{width}" '
+        f'height="{height}" font-family="monospace" font-size="12">',
+        f'<text x="{pad}" y="16" font-weight="bold">{title or y}</text>',
+        f'<polyline points="{path}" fill="none" stroke="#4477aa" '
+        f'stroke-width="2"></polyline>',
+    ]
+    for (px, py), r in zip(pts, rows):
+        parts.append(
+            f'<circle cx="{px}" cy="{py}" r="3" fill="#4477aa">'
+            f"</circle>"
+        )
+    step = max(len(rows) // 8, 1)  # at most ~8 tick labels
+    for i in range(0, len(rows), step):
+        parts.append(
+            f'<text x="{pts[i][0]}" y="{height - 28}">'
+            f"{rows[i][x]}</text>"
+        )
+    parts.append("</svg>")
+    return "".join(parts)
+
+
+_CHART_RENDERERS: dict[str, Callable[..., str]] = {
+    "bar": svg_bar_chart,
+    "pie": svg_pie_chart,
+    "grouped_bar": svg_grouped_bar_chart,
+    "heatmap": svg_heatmap,
+    "line": svg_line_chart,
+}
+
+
+def plot_chart(
+    df: DataFrame,
+    path: str,
+    kind: str,
+    title: str = "",
+    max_rows: int = MAX_REPORT_ROWS,
+    **spec: str,
+) -> str:
+    """K7 dispatcher over the chart library: collect a bounded
+    aggregate and render it as `kind` SVG to `path` (atomic write).
+    Column roles are keyword spec per kind — bar/line: x,y; pie:
+    label,value; grouped_bar: x,group,y; heatmap: row_key,col_key,
+    value. The per-kind renderers are also injectable directly into
+    ``plot_slices`` when a caller wants the renderer seam."""
+    if kind not in _CHART_RENDERERS:
+        raise ValueError(
+            f"unknown chart kind {kind!r}; have "
+            f"{sorted(_CHART_RENDERERS)}"
+        )
+    rows = _collect_small(df, max_rows)
+    payload = _CHART_RENDERERS[kind](rows, title=title, **spec)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    tmp = f"{path}.tmp"
+    with open(tmp, "w") as f:
+        f.write(payload)
+    os.replace(tmp, path)
+    return path

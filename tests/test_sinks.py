@@ -1046,3 +1046,76 @@ def test_jsonl_quarantine_does_not_poison_zone_reads(spark, tmp_path):
     out2 = ingest_jsonl_to_zone(spark, str(shard), zone, "r2")
     assert out2["n_quarantined"] == 1
     assert read_zone(spark, zone).count() == 2
+
+
+def test_plot_chart_pie_grouped_heatmap_line(spark, tmp_path):
+    """K7 chart breadth (r9 verdict #7): each dashboard chart kind
+    renders a deterministic standalone SVG with the shape the
+    reference's dashboard draws — pie slices with 1-dp percent
+    legend, grouped bars with a legend swatch per group, annotated
+    heatmap cells on a yellow-to-red ramp, a trend polyline."""
+    from citeconnect_datapipeline_spark.sinks.report import plot_chart
+
+    # pie: share-of-total with percent labels
+    pie = spark.createDataFrame(
+        [("arxiv_html", 60.0), ("grobid", 25.0), ("abstract", 15.0)],
+        "method string, n double",
+    )
+    svg = open(
+        plot_chart(pie, str(tmp_path / "pie.svg"), "pie",
+                   label="method", value="n", title="methods")
+    ).read()
+    assert svg.startswith("<svg") and svg.endswith("</svg>")
+    assert svg.count("<path") == 3
+    assert "arxiv_html 60.0%" in svg and "abstract 15.0%" in svg
+
+    # single-slice pie degenerates to a full circle, not a zero arc
+    one = spark.createDataFrame([("only", 5.0)], "method string, n double")
+    svg1 = open(
+        plot_chart(one, str(tmp_path / "pie1.svg"), "pie",
+                   label="method", value="n")
+    ).read()
+    assert "<circle" in svg1 and "only 100.0%" in svg1
+
+    # grouped bars: one rect per (category, group) + legend swatches
+    gb = spark.createDataFrame(
+        [("ml", "before", 0.8), ("ml", "after", 0.5),
+         ("bio", "before", 0.6), ("bio", "after", 0.4)],
+        "domain string, phase string, disparity double",
+    )
+    svg = open(
+        plot_chart(gb, str(tmp_path / "gb.svg"), "grouped_bar",
+                   x="domain", group="phase", y="disparity")
+    ).read()
+    assert svg.count("<rect") == 4 + 2  # 4 bars + 2 legend swatches
+    assert "before" in svg and "after" in svg
+
+    # heatmap: annotated cells, missing combos drawn neutral
+    hm = spark.createDataFrame(
+        [("nlp", "cs", 41.5), ("nlp", "bio", 12.0), ("vision", "cs", 30.0)],
+        "subdomain string, domain string, mean_citations double",
+    )
+    svg = open(
+        plot_chart(hm, str(tmp_path / "hm.svg"), "heatmap",
+                   row_key="subdomain", col_key="domain",
+                   value="mean_citations")
+    ).read()
+    assert "41.5" in svg and "12.0" in svg and "30.0" in svg
+    assert svg.count("#eeeeee") == 1  # the absent (vision, bio) cell
+    assert "#bd0026" in svg  # max cell saturates the ramp endpoint
+
+    # line: one polyline + a point per row, ordered input preserved
+    ln = spark.createDataFrame(
+        [("r1", 3.2), ("r2", 2.8), ("r3", 3.9)],
+        "run string, disparity_ratio double",
+    )
+    svg = open(
+        plot_chart(ln, str(tmp_path / "ln.svg"), "line",
+                   x="run", y="disparity_ratio")
+    ).read()
+    assert svg.count("<polyline") == 1 and svg.count("<circle") == 3
+    assert "r1" in svg and "r3" in svg
+
+    # unknown kind fails fast with the inventory
+    with pytest.raises(ValueError, match="unknown chart kind"):
+        plot_chart(ln, str(tmp_path / "x.svg"), "sparkline", x="run", y="d")
