@@ -359,3 +359,104 @@ def extract_from_payloads(payloads: DataFrame) -> DataFrame:
 
     keep = ["doc_id"] + [c for c in optional if c in cols]
     return payloads.select(*keep).mapInPandas(parse, _PAYLOAD_SCHEMA)
+
+
+@query(
+    "content_extract_payload_parse",
+    oracle=f"""
+    WITH sq AS (
+        SELECT doc_id, text,
+               trim(regexp_replace(text, '\\s+', ' ', 'g')) AS s,
+               doc_id % 4 AS m
+        FROM documents
+    ),
+    decided AS (
+        SELECT doc_id,
+               CASE WHEN m = 0 AND length(s) > {MIN_LEN} THEN s
+                    WHEN m = 1 AND length(s) > {MIN_LEN} THEN s
+                    WHEN m = 2 AND length(s) > {MIN_LEN}
+                         AND length(s) < {MAX_LEN} THEN s
+                    WHEN length(text) > 50 THEN text
+                    END AS content,
+               CASE WHEN m = 0 AND length(s) > {MIN_LEN}
+                         THEN 'arxiv_html'
+                    WHEN m = 1 AND length(s) > {MIN_LEN}
+                         THEN 'grobid_pdf'
+                    WHEN m = 2 AND length(s) > {MIN_LEN}
+                         AND length(s) < {MAX_LEN} THEN 'regex_pdf'
+                    WHEN length(text) > 50 THEN 'abstract_tldr'
+                    ELSE 'failed' END AS method
+        FROM sq
+    )
+    SELECT doc_id, content,
+           method,
+           CASE WHEN method IN ('arxiv_html', 'grobid_pdf') THEN 'high'
+                WHEN method = 'regex_pdf' THEN 'medium'
+                WHEN method = 'abstract_tldr' THEN 'low'
+                ELSE 'none' END AS quality,
+           COALESCE(length(content), 0) AS intro_length
+    FROM decided
+    ORDER BY doc_id
+    """,
+)
+def content_extract_payload_parse(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The REAL tier parsers under the driver's value gate: render
+    each document's text into an actual tier payload (doc_id%4 —
+    0: an ArXiv HTML page with the text in the S1 section, 1: a
+    namespaced GROBID TEI document with an introduction div, 2: raw
+    PDF page text under a '1. Introduction' heading with a
+    References cut, 3: abstract only), then run the cascade through
+    ``extract_from_payloads`` — stdlib HTML parse, TEI XML parse,
+    regex PDF scan, fallback ladder, all for real. The DuckDB
+    oracle replays the EXPECTED parse: whitespace-squashed text
+    gated per tier, raw abstract on fallback, NULL/'failed' when
+    even the 50-char abstract gate misses — so a parser regression
+    (gate drift, squash change, wrong provenance label) is a hash
+    mismatch, not just a unit-test failure.
+
+    The corpus is verified free of markup-special characters and
+    embedded section headings at both gate scales (no '<&>' chars,
+    no newlines), so payload rendering is injective and the oracle's
+    closed-form replay is exact. Scale shape: payload rendering is
+    three concat expressions; the cascade is the same single
+    mapInPandas stage as production; ordering rides range
+    partitioning like `content_extract_4tier`."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = docs.repartitionByRange(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    mod = F.col("doc_id") % 4
+    payloads = docs.select(
+        "doc_id",
+        F.when(
+            mod == 0,
+            F.concat(
+                F.lit('<html><body><section id="S1"><p>'),
+                F.col("text"),
+                F.lit("</p></section></body></html>"),
+            ),
+        ).alias("arxiv_html"),
+        F.when(
+            mod == 1,
+            F.concat(
+                F.lit(
+                    '<TEI xmlns="http://www.tei-c.org/ns/1.0">'
+                    '<text><body><div type="introduction"><p>'
+                ),
+                F.col("text"),
+                F.lit("</p></div></body></text></TEI>"),
+            ),
+        ).alias("grobid_tei"),
+        F.when(
+            mod == 2,
+            F.concat(
+                F.lit("1. Introduction\n"),
+                F.col("text"),
+                F.lit("\nReferences\n[1] et al."),
+            ),
+        ).alias("pdf_text"),
+        F.col("text").alias("abstract"),
+    )
+    return extract_from_payloads(payloads).sortWithinPartitions("doc_id")
