@@ -654,3 +654,46 @@ def test_example_experiment_readout_script(spark):
     assert ipw["naive_diff"] > 0 and ipw["ipw_ate"] == 0.0
     assert out["did"].collect()[0]["did_estimate"] == 5.0
     assert out["logrank"].collect()[0]["significant"] is True
+
+
+def test_example_ingest_and_embed_script(spark, tmp_path):
+    """examples/ingest_and_embed.py is a living document: its
+    ingest_and_embed() must parse real payloads through the tier
+    cascade, gate out failed extractions, publish + reload the
+    embedding model, and return the probe doc itself as an IVF hit."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "ingest_and_embed",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "examples",
+            "ingest_and_embed.py",
+        ),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    para = "spark shuffles data across executors " * 12
+    payloads = spark.createDataFrame(
+        [
+            (1, f'<section id="S1"><p>{para}</p></section>', None, None,
+             "an abstract long enough to clear the fifty char gate"),
+            (2, None, None, f"1. Introduction\n{para}\nReferences\n",
+             "an abstract long enough to clear the fifty char gate"),
+            (3, None, None, None, "too short"),
+        ],
+        "doc_id long, arxiv_html string, grobid_tei string,"
+        " pdf_text string, abstract string",
+    )
+    out = mod.ingest_and_embed(spark, payloads, str(tmp_path / "demo"))
+    assert out["n_payloads"] == 3
+    assert out["n_extracted"] == 2  # doc 3 fails every gate
+    assert out["method_distribution"] == {
+        "arxiv_html": 1, "regex_pdf": 1,
+    }
+    # the probe (lowest vec_id) must surface in its own top-k
+    assert 1 in out["top_hits"]
+    assert os.path.isdir(out["model_dir"])
+    assert os.path.isdir(os.path.join(out["index_dir"], "vectors"))
