@@ -39,8 +39,8 @@ from pyspark.sql.types import (
 from ..plans.registry import query
 from ..sources.tables import load_table
 
-# Length gate (reference content_extractor.py:172): a tier's output
-# counts only when 200 <= len < 15000.
+# Length gate (reference content_extractor.py:70,110,172): a tier's
+# output counts only when 200 < len < 15000 (strict, both ends).
 MIN_LEN, MAX_LEN = 200, 15000
 
 _TIER_SCHEMA = StructType(
@@ -86,11 +86,11 @@ def _fetch_tiers(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         FROM documents
     ), gated AS (
         SELECT doc_id,
-               CASE WHEN length(arxiv_text) BETWEEN {MIN_LEN} AND {MAX_LEN - 1}
+               CASE WHEN length(arxiv_text) > {MIN_LEN} AND length(arxiv_text) < {MAX_LEN}
                     THEN arxiv_text END AS t1,
-               CASE WHEN length(grobid_text) BETWEEN {MIN_LEN} AND {MAX_LEN - 1}
+               CASE WHEN length(grobid_text) > {MIN_LEN} AND length(grobid_text) < {MAX_LEN}
                     THEN grobid_text END AS t2,
-               CASE WHEN length(pdf_text) BETWEEN {MIN_LEN} AND {MAX_LEN - 1}
+               CASE WHEN length(pdf_text) > {MIN_LEN} AND length(pdf_text) < {MAX_LEN}
                     THEN pdf_text END AS t3,
                substr(text, 1, 150) AS t4
         FROM tiers
@@ -131,8 +131,12 @@ def content_extract_4tier(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiers = docs.mapInPandas(_fetch_tiers, _TIER_SCHEMA)
 
     def gate(c):
+        # strict >200, matching the reference's tier gates
+        # (content_extractor.py:70,110,172) and the real parsers in
+        # extraction_parsers.py — the two cascades must agree at the
+        # boundary
         ln = F.length(c)
-        return F.when((ln >= MIN_LEN) & (ln < MAX_LEN), c)
+        return F.when((ln > MIN_LEN) & (ln < MAX_LEN), c)
 
     t1 = gate(F.col("arxiv_text"))
     t2 = gate(F.col("grobid_text"))
@@ -171,11 +175,11 @@ def content_extract_4tier(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
     ), gated AS (
         SELECT doc_id, text,
-               CASE WHEN length(arxiv_text) BETWEEN {MIN_LEN} AND {MAX_LEN - 1}
+               CASE WHEN length(arxiv_text) > {MIN_LEN} AND length(arxiv_text) < {MAX_LEN}
                     THEN arxiv_text END AS t1,
-               CASE WHEN length(grobid_text) BETWEEN {MIN_LEN} AND {MAX_LEN - 1}
+               CASE WHEN length(grobid_text) > {MIN_LEN} AND length(grobid_text) < {MAX_LEN}
                     THEN grobid_text END AS t2,
-               CASE WHEN length(pdf_text) BETWEEN {MIN_LEN} AND {MAX_LEN - 1}
+               CASE WHEN length(pdf_text) > {MIN_LEN} AND length(pdf_text) < {MAX_LEN}
                     THEN pdf_text END AS t3
         FROM tiers
     ), extracted AS (

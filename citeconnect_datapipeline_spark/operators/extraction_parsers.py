@@ -68,11 +68,22 @@ class _SectionCollector(HTMLParser):
         super().__init__(convert_charrefs=True)
         self.sections: list[dict] = []
         self._open_sections: list[dict] = []
-        self._p_depth = 0
+        self._in_p = False
         self._p_buf: list[str] = []
+
+    def _flush_paragraph(self) -> None:
+        if not self._in_p:
+            return
+        self._in_p = False
+        para = _squash("".join(self._p_buf))
+        self._p_buf = []
+        if para:
+            for rec in self._open_sections:
+                rec["paras"].append(para)
 
     def handle_starttag(self, tag, attrs):
         if tag == "section":
+            self._flush_paragraph()
             rec = {
                 "id": dict(attrs).get("id"),
                 "paras": [],
@@ -81,25 +92,24 @@ class _SectionCollector(HTMLParser):
             self.sections.append(rec)
             self._open_sections.append(rec)
         elif tag == "p" and self._open_sections:
-            self._p_depth += 1
+            # HTML paragraphs close implicitly: a new <p> (and, below,
+            # a closing </section>) ends the open one — real ArXiv
+            # pages routinely omit </p>, and a DOM parser implies it
+            self._flush_paragraph()
+            self._in_p = True
 
     def handle_endtag(self, tag):
         if tag == "section" and self._open_sections:
+            self._flush_paragraph()
             self._open_sections.pop()
-        elif tag == "p" and self._p_depth:
-            self._p_depth -= 1
-            if self._p_depth == 0:
-                para = _squash("".join(self._p_buf))
-                self._p_buf = []
-                if para:
-                    for rec in self._open_sections:
-                        rec["paras"].append(para)
+        elif tag == "p":
+            self._flush_paragraph()
 
     def handle_data(self, data):
         if self._open_sections:
             for rec in self._open_sections:
                 rec["text"].append(data)
-            if self._p_depth:
+            if self._in_p:
                 self._p_buf.append(data)
 
 
@@ -205,12 +215,17 @@ def extract_intro_from_pdf_text(text: str) -> Optional[str]:
         return None
 
     remaining = text[intro_start:]
-    end_pos = None
-    for p in _PDF_END_PATTERNS:
-        m = re.search(p, remaining, re.IGNORECASE)
-        if m:
-            end_pos = m.start()
-            break
+    # EARLIEST end marker wins (deliberate fix over the reference's
+    # first-pattern-wins loop at content_extractor.py:157-167, which
+    # includes the bibliography when References precedes the next
+    # numbered section in the page text)
+    ends = [
+        m.start()
+        for p in _PDF_END_PATTERNS
+        for m in [re.search(p, remaining, re.IGNORECASE)]
+        if m
+    ]
+    end_pos = min(ends) if ends else None
 
     intro = remaining[:end_pos] if end_pos is not None else (
         remaining[:PDF_UNBOUNDED_CAP]

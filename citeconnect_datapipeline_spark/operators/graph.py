@@ -1503,7 +1503,13 @@ def modularity_cells(
     symmetric builder pass assume_symmetric=True to skip the extra
     exchange). A directed/asymmetric frame passed through the public
     api.graph entry thus gets the undirected Q of its symmetrized
-    graph instead of a silently wrong number (r9 ADVICE #4)."""
+    graph instead of a silently wrong number (r9 ADVICE #4).
+
+    Edge-SET semantics: the default path's distinct() collapses
+    repeated (src, dst) rows, so multiplicities do not weight Q.
+    assume_symmetric=True asserts the input is BOTH symmetric and
+    duplicate-free (true of the internal copurchase builder); pass a
+    weighted graph through an explicit pre-aggregation instead."""
     if not assume_symmetric:
         edges = (
             edges.select("src", "dst")

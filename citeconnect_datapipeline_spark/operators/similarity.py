@@ -659,6 +659,8 @@ class HashProjectionModel:
     def encode(self, texts: list[str]) -> list[list[float]]:
         import numpy as np
 
+        if not texts:  # n_texts -> n_vectors holds at n = 0 too
+            return []
         feats = np.stack([self._hash_features(t) for t in texts])
         out = feats @ self._proj
         norms = np.linalg.norm(out, axis=1, keepdims=True)

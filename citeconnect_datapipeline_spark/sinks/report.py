@@ -35,6 +35,14 @@ from pyspark.sql import DataFrame
 MAX_REPORT_ROWS = 1_000
 
 
+def _esc(v) -> str:
+    """XML-escape interpolated label/title text — category values
+    like 'R&D' must not produce malformed SVG."""
+    from html import escape
+
+    return escape(str(v), quote=False)
+
+
 def _collect_small(df: DataFrame, max_rows: int) -> list[dict]:
     rows = [
         r.asDict(recursive=True) for r in df.limit(max_rows + 1).collect()
@@ -66,14 +74,14 @@ def svg_bar_chart(
         f'<svg xmlns="http://www.w3.org/2000/svg" width="{width}" '
         f'height="{height}" font-family="monospace" font-size="12">',
         f'<text x="{pad}" y="{pad + 12}" font-weight="bold">'
-        f"{title or y}</text>",
+        f"{_esc(title or y)}</text>",
     ]
     for i, r in enumerate(rows):
         v = float(r[y] or 0)
         top = pad + 24 + i * (bar_h + gap)
         w = int((width - label_w - pad * 2) * abs(v) / vmax)
         parts.append(
-            f'<text x="{pad}" y="{top + bar_h - 7}">{r[x]}</text>'
+            f'<text x="{pad}" y="{top + bar_h - 7}">{_esc(r[x])}</text>'
             f'<rect x="{label_w}" y="{top}" width="{max(w, 1)}" '
             f'height="{bar_h}" fill="#4477aa"></rect>'
             f'<text x="{label_w + max(w, 1) + 4}" '
@@ -212,10 +220,13 @@ def svg_pie_chart(
     total = sum(abs(float(r[value] or 0)) for r in rows) or 1.0
     cx = cy = size / 2.0
     rad = size / 2.0 - 10
+    # canvas grows with the legend so >17 categories never clip
+    height = max(size + 30, 30 + len(rows) * 18 + 10)
     parts = [
         f'<svg xmlns="http://www.w3.org/2000/svg" width="{size + 220}" '
-        f'height="{size + 30}" font-family="monospace" font-size="12">',
-        f'<text x="8" y="16" font-weight="bold">{title or value}</text>',
+        f'height="{height}" font-family="monospace" font-size="12">',
+        f'<text x="8" y="16" font-weight="bold">'
+        f"{_esc(title or value)}</text>",
     ]
     angle = -math.pi / 2  # 12 o'clock start, clockwise
     for i, r in enumerate(rows):
@@ -246,7 +257,7 @@ def svg_pie_chart(
             f'<rect x="{size + 10}" y="{ly}" width="12" height="12" '
             f'fill="{color}"></rect>'
             f'<text x="{size + 28}" y="{ly + 11}">'
-            f"{r[label]} {frac * 100:.1f}%</text>"
+            f"{_esc(r[label])} {frac * 100:.1f}%</text>"
         )
     parts.append("</svg>")
     return "".join(parts)
@@ -276,7 +287,8 @@ def svg_grouped_bar_chart(
         f'<svg xmlns="http://www.w3.org/2000/svg" width="{width}" '
         f'height="{height + legend_h}" font-family="monospace" '
         f'font-size="12">',
-        f'<text x="{pad}" y="16" font-weight="bold">{title or y}</text>',
+        f'<text x="{pad}" y="16" font-weight="bold">'
+        f"{_esc(title or y)}</text>",
     ]
     for ci, cat in enumerate(cats):
         x_left = pad + ci * cat_w
@@ -293,14 +305,14 @@ def svg_grouped_bar_chart(
             )
         parts.append(
             f'<text x="{round(x_left + cat_w * 0.1, 2)}" '
-            f'y="{30 + plot_h + 14}">{cat}</text>'
+            f'y="{30 + plot_h + 14}">{_esc(cat)}</text>'
         )
     for gi, g in enumerate(groups):
         ly = height + gi * 18 - 10
         parts.append(
             f'<rect x="{pad}" y="{ly}" width="12" height="12" '
             f'fill="{_PALETTE[gi % len(_PALETTE)]}"></rect>'
-            f'<text x="{pad + 18}" y="{ly + 11}">{g}</text>'
+            f'<text x="{pad + 18}" y="{ly + 11}">{_esc(g)}</text>'
         )
     parts.append("</svg>")
     return "".join(parts)
@@ -350,16 +362,18 @@ def svg_heatmap(
         f'<svg xmlns="http://www.w3.org/2000/svg" width="{width}" '
         f'height="{height}" font-family="monospace" font-size="12">',
         f'<text x="{pad}" y="16" font-weight="bold">'
-        f"{title or value}</text>",
+        f"{_esc(title or value)}</text>",
     ]
     for ci, c in enumerate(clabels):
         parts.append(
-            f'<text x="{label_w + ci * cell_w + 4}" y="36">{c}</text>'
+            f'<text x="{label_w + ci * cell_w + 4}" y="36">'
+            f"{_esc(c)}</text>"
         )
     for ri, rl in enumerate(rlabels):
         top = 42 + ri * cell_h
         parts.append(
-            f'<text x="{pad}" y="{top + cell_h - 8}">{rl}</text>'
+            f'<text x="{pad}" y="{top + cell_h - 8}">'
+            f"{_esc(rl)}</text>"
         )
         for ci, c in enumerate(clabels):
             v = vals.get((rl, c))
@@ -409,7 +423,8 @@ def svg_line_chart(
     parts = [
         f'<svg xmlns="http://www.w3.org/2000/svg" width="{width}" '
         f'height="{height}" font-family="monospace" font-size="12">',
-        f'<text x="{pad}" y="16" font-weight="bold">{title or y}</text>',
+        f'<text x="{pad}" y="16" font-weight="bold">'
+        f"{_esc(title or y)}</text>",
         f'<polyline points="{path}" fill="none" stroke="#4477aa" '
         f'stroke-width="2"></polyline>',
     ]
@@ -422,7 +437,7 @@ def svg_line_chart(
     for i in range(0, len(rows), step):
         parts.append(
             f'<text x="{pts[i][0]}" y="{height - 28}">'
-            f"{rows[i][x]}</text>"
+            f"{_esc(rows[i][x])}</text>"
         )
     parts.append("</svg>")
     return "".join(parts)

@@ -35,14 +35,23 @@ def ingest_and_embed(spark, payloads, out_dir: str) -> dict:
     extracted = api.extraction.extract_from_payloads(payloads)
 
     # 2. quality gate: drop failed extractions; keep the provenance
-    #    distribution as the run's health metric
-    kept = extracted.filter(F.col("method") != "failed")
+    #    distribution as the run's health metric. kept feeds four
+    #    downstream actions, so pin it — otherwise every action
+    #    re-parses all payloads from scratch
+    kept = extracted.filter(F.col("method") != "failed").persist()
     method_dist = {
         r["method"]: r["n"]
         for r in kept.groupBy("method")
         .agg(F.count("*").alias("n"))
         .collect()
     }
+    n_extracted = sum(method_dist.values())
+    if n_extracted == 0:
+        kept.unpersist()
+        raise ValueError(
+            "every payload failed all extraction tiers — nothing to "
+            "embed or index; check the payload columns"
+        )
 
     # 3. publish the embedding model to the registry, load it back
     #    (the load is what a downstream job would do), and embed
@@ -69,14 +78,16 @@ def ingest_and_embed(spark, payloads, out_dir: str) -> dict:
         spark, index_dir, list(probe["embedding"]), k=5
     )
 
-    return {
+    summary = {
         "n_payloads": payloads.count(),
-        "n_extracted": kept.count(),
+        "n_extracted": n_extracted,
         "method_distribution": method_dist,
         "model_dir": model_dir,
         "index_dir": index_dir,
         "top_hits": [r["vec_id"] for r in hits.collect()],
     }
+    kept.unpersist()
+    return summary
 
 
 def main() -> None:

@@ -246,3 +246,48 @@ def test_extract_from_payloads_spark(spark):
     )
     row = api.extraction.extract_from_payloads(only_abs).collect()[0]
     assert row["method"] == "abstract_tldr"
+
+
+# ----------------------------------------------- round-10 review fixes
+
+def test_arxiv_html_implicit_paragraph_close():
+    """Real ArXiv pages omit </p>; a new <p> or the closing
+    </section> must flush the open paragraph, as a DOM parser
+    implies (round-10 review #1)."""
+    html = (
+        f"<section id='S1'><p>{LONG_PARA}<p>second implicit paragraph"
+        f"</section>"
+    )
+    out = parse_arxiv_intro_html(html)
+    assert out is not None
+    assert "second implicit paragraph" in out
+    assert out.count("\n\n") == 1  # two distinct paragraphs
+
+
+def test_pdf_regex_earliest_end_marker_wins():
+    """References BEFORE the next numbered section must cut the
+    intro — earliest match position, not first matching pattern
+    (round-10 review #2; deliberate fix over the reference's
+    pattern-priority loop)."""
+    text = (
+        "1. Introduction\n" + LONG_PARA + "\n"
+        "References\n[1] someone 1999\n"
+        "2. Methods\nwe did things"
+    )
+    out = extract_intro_from_pdf_text(text)
+    assert out is not None
+    assert "[1]" not in out and "someone" not in out
+
+
+def test_gate_boundary_matches_reference_strict():
+    """Exactly-200-char content fails every tier gate (reference is
+    strict > 200), in BOTH the real parsers and the fake cascade's
+    constants (round-10 review #3)."""
+    exactly_200 = "x" * 200
+    html = f"<section id='S1'><p>{exactly_200}</p></section>"
+    assert parse_arxiv_intro_html(html) is None
+    assert parse_arxiv_intro_html(
+        f"<section id='S1'><p>{'x' * 201}</p></section>"
+    ) is not None
+    pdf = "1. Introduction\n" + exactly_200 + "\nReferences\n"
+    assert extract_intro_from_pdf_text(pdf) is None

@@ -206,3 +206,13 @@ def test_embedding_model_artifact_corruption_gate(spark, tmp_path):
     ).write.parquet(bad)
     with pytest.raises(ValueError, match="expected exactly 1 spec row"):
         load_embedding_model(spark, bad)
+
+
+def test_hash_projection_model_empty_batch():
+    """encode([]) returns [] — the n_texts -> n_vectors contract
+    holds at zero (round-10 review #4)."""
+    from citeconnect_datapipeline_spark.operators.similarity import (
+        HashProjectionModel,
+    )
+
+    assert HashProjectionModel.get().encode([]) == []

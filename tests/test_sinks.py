@@ -1119,3 +1119,56 @@ def test_plot_chart_pie_grouped_heatmap_line(spark, tmp_path):
     # unknown kind fails fast with the inventory
     with pytest.raises(ValueError, match="unknown chart kind"):
         plot_chart(ln, str(tmp_path / "x.svg"), "sparkline", x="run", y="d")
+
+
+def test_plot_chart_escapes_markup_in_labels(spark, tmp_path):
+    """Category values like 'R&D' or '<ops>' must yield well-formed
+    XML in every renderer (round-10 review #7) and a many-category
+    pie must grow its canvas instead of clipping the legend (#8)."""
+    import xml.etree.ElementTree as ET
+
+    from citeconnect_datapipeline_spark.sinks.report import plot_chart
+
+    hazard = spark.createDataFrame(
+        [("R&D", 3.0), ("<ops>", 1.0)], "dept string, n double"
+    )
+    for kind, spec in (
+        ("pie", dict(label="dept", value="n")),
+        ("bar", dict(x="dept", y="n")),
+        ("line", dict(x="dept", y="n")),
+    ):
+        svg = open(
+            plot_chart(hazard, str(tmp_path / f"{kind}.svg"), kind,
+                       title="R&D <review>", **spec)
+        ).read()
+        ET.fromstring(svg)  # well-formed XML or this raises
+        assert "R&amp;D" in svg
+
+    gb = spark.createDataFrame(
+        [("R&D", "a<b", 1.0)], "dept string, phase string, v double"
+    )
+    ET.fromstring(open(
+        plot_chart(gb, str(tmp_path / "gb2.svg"), "grouped_bar",
+                   x="dept", group="phase", y="v")
+    ).read())
+    hm = spark.createDataFrame(
+        [("R&D", "a<b", 1.0)], "r string, c string, v double"
+    )
+    ET.fromstring(open(
+        plot_chart(hm, str(tmp_path / "hm2.svg"), "heatmap",
+                   row_key="r", col_key="c", value="v")
+    ).read())
+
+    # 25-category pie: every legend label inside the viewport
+    many = spark.createDataFrame(
+        [(f"cat{i:02d}", float(i + 1)) for i in range(25)],
+        "k string, n double",
+    )
+    svg = open(
+        plot_chart(many, str(tmp_path / "many.svg"), "pie",
+                   label="k", value="n")
+    ).read()
+    root = ET.fromstring(svg)
+    height = int(root.get("height"))
+    assert height >= 30 + 25 * 18
+    assert "cat24" in svg
