@@ -39,9 +39,89 @@ from pyspark.sql.types import (
 from ..plans.registry import query
 from ..sources.tables import load_table
 
-# Length gate (reference content_extractor.py:70,110,172): a tier's
-# output counts only when 200 < len < 15000 (strict, both ends).
+# Length gates. The reference gates tiers DIFFERENTLY
+# (content_extractor.py): ArXiv HTML (:70) and GROBID (:110) accept
+# any len > 200 with NO upper bound; only the PDF-regex tier (:172)
+# additionally requires len < 15000. The real parsers in
+# extraction_parsers.py mirror that split, and so does the fake-tier
+# cascade below (r10 ADVICE #1: the two cascades must agree).
 MIN_LEN, MAX_LEN = 200, 15000
+
+def payload_parse_corpus_violations(
+    spark: SparkSession, sf_dir: str
+) -> dict:
+    """Count violations of the corpus properties the
+    ``content_extract_payload_parse`` oracle's exactness rests on
+    (r10 ADVICE #4 — make the assumptions fail LOUDLY, not as a
+    silent hash mismatch, when the corpus is regenerated):
+
+    - ``markup_chars``: text containing ``< > &`` would be escaped /
+      re-parsed differently by the HTML/TEI payload render, breaking
+      injectivity of render∘parse.
+    - ``newlines``: a newline inside text lets a PDF end pattern
+      (``\\n\\s*References`` etc.) fire INSIDE the document instead
+      of at the appended trailer, so the regex tier cuts early while
+      the oracle keeps the full squashed text.
+    - ``end_marker_at_start``: text beginning with
+      References/Discussion/"2. Method…" matches an end pattern at
+      position 0 of the remaining text (through the header's own
+      trailing newline), yielding an empty intro and an
+      abstract-ladder fallback the oracle does not replay.
+
+    One aggregated scan; all counts must be 0 for the oracle to be a
+    faithful closed-form replay of the real parsers."""
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    t = F.col("text")
+    flags = {
+        "markup_chars": t.rlike("[<>&]"),
+        "newlines": t.rlike("[\\n\\r]"),
+        "end_marker_at_start": t.rlike(
+            r"^\s*(References|Discussion|2\.\s*(Method|Background|Related|Result))"
+        ),
+    }
+    row = docs.agg(
+        *[
+            F.sum(F.when(c, 1).otherwise(0)).alias(k)
+            for k, c in flags.items()
+        ]
+    ).first()
+    return {k: int(row[k] or 0) for k in flags}
+
+
+def assert_payload_parse_corpus_properties(
+    spark: SparkSession, sf_dir: str
+) -> None:
+    """Raise loudly, naming the violated assumption, when the corpus
+    stops satisfying the payload-parse oracle's injectivity claims."""
+    bad = {
+        k: v
+        for k, v in payload_parse_corpus_violations(spark, sf_dir).items()
+        if v
+    }
+    if bad:
+        raise AssertionError(
+            "content_extract_payload_parse oracle assumptions violated "
+            f"by the corpus at {sf_dir}: {bad}. The DuckDB oracle is a "
+            "closed-form replay that is exact ONLY for markup-free, "
+            "single-line texts not starting with a PDF end marker — "
+            "see payload_parse_corpus_violations for why each property "
+            "matters. Regenerated corpus? Re-derive the oracle or "
+            "pre-filter these rows."
+        )
+
+
+def tier_gate(c, upper: bool = False):
+    """Tier acceptance gate: strict len > 200 on every tier
+    (content_extractor.py:70,110,172); the < 15000 upper bound applies
+    ONLY to the PDF-regex tier (:172) — HTML/TEI tiers have no upper
+    bound, exactly like the real parsers in extraction_parsers.py
+    (r10 ADVICE #1)."""
+    ln = F.length(c)
+    cond = ln > MIN_LEN
+    if upper:
+        cond = cond & (ln < MAX_LEN)
+    return F.when(cond, c)
+
 
 _TIER_SCHEMA = StructType(
     [
@@ -86,9 +166,9 @@ def _fetch_tiers(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         FROM documents
     ), gated AS (
         SELECT doc_id,
-               CASE WHEN length(arxiv_text) > {MIN_LEN} AND length(arxiv_text) < {MAX_LEN}
+               CASE WHEN length(arxiv_text) > {MIN_LEN}
                     THEN arxiv_text END AS t1,
-               CASE WHEN length(grobid_text) > {MIN_LEN} AND length(grobid_text) < {MAX_LEN}
+               CASE WHEN length(grobid_text) > {MIN_LEN}
                     THEN grobid_text END AS t2,
                CASE WHEN length(pdf_text) > {MIN_LEN} AND length(pdf_text) < {MAX_LEN}
                     THEN pdf_text END AS t3,
@@ -130,17 +210,9 @@ def content_extract_4tier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tiers = docs.mapInPandas(_fetch_tiers, _TIER_SCHEMA)
 
-    def gate(c):
-        # strict >200, matching the reference's tier gates
-        # (content_extractor.py:70,110,172) and the real parsers in
-        # extraction_parsers.py — the two cascades must agree at the
-        # boundary
-        ln = F.length(c)
-        return F.when((ln > MIN_LEN) & (ln < MAX_LEN), c)
-
-    t1 = gate(F.col("arxiv_text"))
-    t2 = gate(F.col("grobid_text"))
-    t3 = gate(F.col("pdf_text"))
+    t1 = tier_gate(F.col("arxiv_text"))
+    t2 = tier_gate(F.col("grobid_text"))
+    t3 = tier_gate(F.col("pdf_text"), upper=True)
     t4 = F.substring(F.col("text"), 1, 150)
     content = F.coalesce(t1, t2, t3, t4)
     return (
@@ -175,9 +247,9 @@ def content_extract_4tier(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
     ), gated AS (
         SELECT doc_id, text,
-               CASE WHEN length(arxiv_text) > {MIN_LEN} AND length(arxiv_text) < {MAX_LEN}
+               CASE WHEN length(arxiv_text) > {MIN_LEN}
                     THEN arxiv_text END AS t1,
-               CASE WHEN length(grobid_text) > {MIN_LEN} AND length(grobid_text) < {MAX_LEN}
+               CASE WHEN length(grobid_text) > {MIN_LEN}
                     THEN grobid_text END AS t2,
                CASE WHEN length(pdf_text) > {MIN_LEN} AND length(pdf_text) < {MAX_LEN}
                     THEN pdf_text END AS t3

@@ -49,7 +49,15 @@ FALLBACK_MIN_LEN = 50
 
 def _squash(text: str) -> str:
     """Collapse internal whitespace and strip — the normalized form
-    of one paragraph's text content."""
+    of one paragraph's text content.
+
+    Deliberate readability divergence from the reference
+    (content_extractor.py:64 ``get_text(strip=True)``), which
+    concatenates stripped inline fragments with NO separator
+    ('<p>foo<b>bar</b></p>' -> 'foobar'); we join with single spaces
+    ('foo bar'), which also shifts the first-50-chars heading scan
+    window for sections with inline markup (r10 ADVICE #3). Words
+    glued across tags are a parse artifact, not document text."""
     return " ".join(text.split())
 
 
@@ -218,7 +226,12 @@ def extract_intro_from_pdf_text(text: str) -> Optional[str]:
     # EARLIEST end marker wins (deliberate fix over the reference's
     # first-pattern-wins loop at content_extractor.py:157-167, which
     # includes the bibliography when References precedes the next
-    # numbered section in the page text)
+    # numbered section in the page text). Deliberate too: a marker at
+    # position 0 means the "introduction" is EMPTY, so we cut to ""
+    # and fall through to the abstract ladder — the reference's falsy
+    # `if end_pos` check (:169) would instead keep the first 10 000
+    # chars, i.e. the very bibliography the end marker flagged
+    # (r10 ADVICE #2).
     ends = [
         m.start()
         for p in _PDF_END_PATTERNS

@@ -69,6 +69,17 @@ def main():
     queries = entry.queries()
     oracles = entry.oracle_sql()
     fails = 0
+    if "content_extract_payload_parse" in names:
+        # the payload-parse oracle is exact only under documented
+        # corpus properties — check them FIRST so a regenerated corpus
+        # fails with the assumption named, not as a hash mismatch
+        # (r10 ADVICE #4)
+        from citeconnect_datapipeline_spark.operators.extraction import (
+            assert_payload_parse_corpus_properties,
+        )
+
+        assert_payload_parse_corpus_properties(spark, SF_DIR)
+        print("payload-parse corpus properties: OK")
     for name in names:
         sdf = queries[name](spark, SF_DIR).toPandas()
         if name not in oracles:
