@@ -262,7 +262,11 @@ def pivot_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.groupBy("o_orderpriority")
         .pivot("o_orderstatus", ["F", "O", "P"])
         .agg(F.round(F.avg("o_totalprice"), 6))
-        .orderBy("o_orderpriority")
+        # 5-row pivot: a global orderBy would add a range-sample job
+        # + exchange just to sort it — fold to one partition and sort
+        # there (r10 verdict #2: job-count floor dominates this query)
+        .coalesce(1)
+        .sortWithinPartitions("o_orderpriority")
     )
     return piv
 

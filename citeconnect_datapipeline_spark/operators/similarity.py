@@ -1194,7 +1194,11 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= HARDNEG_TOPK)
-        .orderBy("q_id", "rnk")
+        # |anchors| x k rows (bounded by the mining contract): fold to
+        # one partition and sort there instead of paying a range
+        # exchange + sample job (r10 verdict #2 job-count cut)
+        .coalesce(1)
+        .sortWithinPartitions("q_id", "rnk")
     )
 
 

@@ -159,7 +159,11 @@ def join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n") / F.col("med_n"), 6).alias("x_median"),
             F.col("n_keys").cast("long"),
         )
-        .orderBy("hot_rank")
+        # the row_number window already single-partitioned and sorted
+        # the 5-row frame by exactly this order — a trailing orderBy
+        # would re-exchange it; an in-partition sort is a no-op pass
+        # that pins the contract (r10 verdict #2 job-count cut)
+        .sortWithinPartitions("hot_rank")
     )
 
 

@@ -923,7 +923,10 @@ def event_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "drop_frac"
             ),
         )
-        .orderBy("event_type")
+        # per-type rollup is |event types| rows — single-partition
+        # sort beats a range-exchange (r10 verdict #2 job-count cut)
+        .coalesce(1)
+        .sortWithinPartitions("event_type")
     )
 
 
