@@ -443,12 +443,281 @@ def svg_line_chart(
     return "".join(parts)
 
 
+def box_violin_aggregate(
+    df: DataFrame,
+    category: str,
+    value: str,
+    bins: int = 16,
+    top_k: int = 10,
+) -> DataFrame:
+    """Distributed prep for the box/violin chart: per category the
+    five-number summary plus a fixed-bin density histogram — the
+    BOUNDED aggregate (top_k rows, bins+2 ints each) the renderer
+    consumes, standing in for the reference handing the full frame
+    to df.boxplot/sns.violinplot (visualization_generator.py:103-117;
+    it too keeps only the top-10 categories by count, :96-99).
+    Shape at scale: one groupBy for the top-k pick + quantiles, one
+    for the histogram (width_bucket over the GLOBAL value range so
+    violins share an axis), both map-side combinable."""
+    from pyspark.sql import functions as F
+
+    cats = (
+        df.groupBy(category)
+        .agg(
+            F.count("*").alias("n"),
+            F.expr(
+                f"percentile_approx({value}, "
+                "array(0.0, 0.25, 0.5, 0.75, 1.0), 10000)"
+            ).alias("q"),
+        )
+        .orderBy(F.desc("n"), category)
+        .limit(top_k)
+    )
+    rng = df.agg(
+        F.min(value).alias("lo"), F.max(value).alias("hi")
+    )
+    hist = (
+        df.join(F.broadcast(cats.select(category)), category, "semi")
+        .crossJoin(F.broadcast(rng))
+        .select(
+            category,
+            F.expr(
+                f"width_bucket({value}, lo, hi + 1e-9, {bins})"
+            ).alias("bin"),
+        )
+        .groupBy(category, "bin")
+        .count()
+        .groupBy(category)
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("bin", "count"))
+            ).alias("density_map")
+        )
+    )
+    dense = F.transform(
+        F.sequence(F.lit(1), F.lit(bins)),
+        lambda b: F.coalesce(
+            F.element_at("density_map", b.cast("int")), F.lit(0)
+        ),
+    )
+    return (
+        cats.join(hist, category, "left")
+        .select(
+            category,
+            "n",
+            F.col("q")[0].alias("lo"),
+            F.col("q")[1].alias("q1"),
+            F.col("q")[2].alias("med"),
+            F.col("q")[3].alias("q3"),
+            F.col("q")[4].alias("hi"),
+            dense.alias("density"),
+        )
+        .orderBy(F.desc("n"), category)
+    )
+
+
+def svg_box_violin_chart(
+    rows: list[dict],
+    x: str,
+    title: str = "",
+    col_w: int = 84,
+    height: int = 280,
+) -> str:
+    """Box + violin per category (the reference's citation_analysis
+    panel: df.boxplot + sns.violinplot side-by-side,
+    visualization_generator.py:103-117, fused into one mark per
+    category). Each row carries the five-number summary
+    (lo/q1/med/q3/hi) and a ``density`` bin-count list from
+    ``box_violin_aggregate``; the violin is the mirrored density
+    polygon, the box/whiskers/median draw on top of it."""
+    pad = 8
+    plot_top, plot_h = 30, height - 80
+    his = [float(r["hi"] or 0) for r in rows]
+    los = [float(r["lo"] or 0) for r in rows]
+    vmin, vmax = (min(los), max(his)) if rows else (0.0, 1.0)
+    span = (vmax - vmin) or 1.0
+
+    def py(v: float) -> float:
+        return round(plot_top + plot_h * (1 - (v - vmin) / span), 2)
+
+    width = pad * 2 + col_w * max(len(rows), 1)
+    parts = [
+        f'<svg xmlns="http://www.w3.org/2000/svg" width="{width}" '
+        f'height="{height}" font-family="monospace" font-size="12">',
+        f'<text x="{pad}" y="16" font-weight="bold">'
+        f"{_esc(title or x)}</text>",
+    ]
+    for i, r in enumerate(rows):
+        cx = pad + col_w * i + col_w / 2
+        density = [int(d or 0) for d in (r.get("density") or [])]
+        dmax = max(density) or 1
+        nb = len(density)
+        if nb:
+            lo, hi = float(r["lo"] or 0), float(r["hi"] or 0)
+            bh = (hi - lo) / nb if hi > lo else 0
+            right = [
+                (
+                    round(cx + (col_w * 0.42) * d / dmax, 2),
+                    py(lo + bh * (b + 0.5)),
+                )
+                for b, d in enumerate(density)
+            ]
+            ring = right + [(round(2 * cx - px, 2), y) for px, y in reversed(right)]
+            path = " ".join(f"{px},{y}" for px, y in ring)
+            parts.append(
+                f'<polygon points="{path}" fill="#99ccee" '
+                f'stroke="none" opacity="0.7"></polygon>'
+            )
+        q1, med, q3 = (float(r[k] or 0) for k in ("q1", "med", "q3"))
+        lo, hi = float(r["lo"] or 0), float(r["hi"] or 0)
+        bw = col_w * 0.3
+        parts.append(
+            f'<line x1="{cx}" y1="{py(lo)}" x2="{cx}" y2="{py(hi)}" '
+            f'stroke="#333333" stroke-width="1"></line>'
+            f'<rect x="{round(cx - bw / 2, 2)}" y="{py(q3)}" '
+            f'width="{bw}" height="{max(round(py(q1) - py(q3), 2), 1)}" '
+            f'fill="#4477aa" opacity="0.85"></rect>'
+            f'<line x1="{round(cx - bw / 2, 2)}" y1="{py(med)}" '
+            f'x2="{round(cx + bw / 2, 2)}" y2="{py(med)}" '
+            f'stroke="#ffffff" stroke-width="2"></line>'
+            f'<text x="{round(cx - col_w / 2 + 4, 2)}" '
+            f'y="{height - 28}">{_esc(r[x])}</text>'
+        )
+    parts.append("</svg>")
+    return "".join(parts)
+
+
+def svg_disparity_history_chart(
+    rows: list[dict],
+    x: str = "run_ts",
+    ratio: str = "disparity_ratio",
+    total: str = "total_papers",
+    underrep: str = "underrep_subdomains",
+    title: str = "Bias Disparity Ratio Trend Over Time",
+    width: int = 720,
+    height: int = 420,
+) -> str:
+    """The reference's two-panel disparity-history figure
+    (visualization_generator.py:280-333): panel 1 the disparity
+    ratio as a filled trend line, panel 2 the dual-axis collection
+    progress (total papers vs underrepresented-subdomain count).
+    Rows arrive ordered by run timestamp — the same shape the
+    `run_over_run_anomaly` history table already produces."""
+    pad = 8
+    panel_h = (height - 90) // 2
+    plot_w = width - pad * 2
+    n = max(len(rows) - 1, 1)
+
+    def series(col, top, ph):
+        vals = [float(r[col] or 0) for r in rows]
+        vmin, vmax = (min(vals), max(vals)) if vals else (0.0, 1.0)
+        span = (vmax - vmin) or 1.0
+        return [
+            (
+                round(pad + plot_w * i / n, 2),
+                round(top + ph * (1 - (v - vmin) / span), 2),
+            )
+            for i, v in enumerate(vals)
+        ]
+
+    parts = [
+        f'<svg xmlns="http://www.w3.org/2000/svg" width="{width}" '
+        f'height="{height}" font-family="monospace" font-size="12">',
+        f'<text x="{pad}" y="16" font-weight="bold">{_esc(title)}'
+        f"</text>",
+    ]
+    p1 = series(ratio, 30, panel_h)
+    fill = (
+        " ".join(f"{px},{y}" for px, y in p1)
+        + f" {p1[-1][0]},{30 + panel_h} {p1[0][0]},{30 + panel_h}"
+        if p1
+        else ""
+    )
+    parts.append(
+        f'<polygon points="{fill}" fill="#ee8866" opacity="0.3">'
+        f"</polygon>"
+        f'<polyline points="{" ".join(f"{px},{y}" for px, y in p1)}" '
+        f'fill="none" stroke="#ee8866" stroke-width="2"></polyline>'
+    )
+    for px, y in p1:
+        parts.append(
+            f'<circle cx="{px}" cy="{y}" r="3" fill="#ee8866"></circle>'
+        )
+    top2 = 30 + panel_h + 30
+    parts.append(
+        f'<text x="{pad}" y="{top2 - 10}" font-weight="bold">'
+        f"Collection Progress Over Time</text>"
+    )
+    for col, color in ((total, "#4477aa"), (underrep, "#cc3311")):
+        pts = series(col, top2, panel_h)
+        parts.append(
+            f'<polyline points="{" ".join(f"{px},{y}" for px, y in pts)}" '
+            f'fill="none" stroke="{color}" stroke-width="2">'
+            f"</polyline>"
+        )
+    parts.append(
+        f'<text x="{pad}" y="{height - 24}" fill="#4477aa">'
+        f"{_esc(total)}</text>"
+        f'<text x="{pad + 180}" y="{height - 24}" fill="#cc3311">'
+        f"{_esc(underrep)}</text>"
+    )
+    step = max(len(rows) // 8, 1)
+    for i in range(0, len(rows), step):
+        parts.append(
+            f'<text x="{round(pad + plot_w * i / n, 2)}" '
+            f'y="{height - 8}">{_esc(rows[i][x])}</text>'
+        )
+    parts.append("</svg>")
+    return "".join(parts)
+
+
+def mitigation_effectiveness_svg(report: dict) -> str | None:
+    """The reference's mitigation-effectiveness summary panel
+    (visualization_generator.py:336-382): a monospace text card
+    rendered only when the mitigation report says success — callers
+    get None (skip, like the reference's early returns) otherwise."""
+    if report.get("status") != "success":
+        return None
+    papers = report.get("papers_collected", 0)
+    terms = list(report.get("search_terms_used", []))[:10]
+    lines = [
+        "MITIGATION EFFECTIVENESS",
+        "",
+        f"Papers Collected: {papers}",
+        f"Subdomains Targeted: {len(terms)}",
+        "",
+        "Targeted Subdomains:",
+        *[f"  - {t}" for t in terms],
+        "",
+        "Status: Mitigation Completed",
+    ]
+    width, line_h = 560, 18
+    height = 70 + line_h * len(lines)
+    parts = [
+        f'<svg xmlns="http://www.w3.org/2000/svg" width="{width}" '
+        f'height="{height}" font-family="monospace" font-size="13">',
+        f'<text x="12" y="22" font-weight="bold" font-size="16">'
+        f"Mitigation Collection Summary</text>",
+        f'<rect x="8" y="34" rx="8" width="{width - 16}" '
+        f'height="{height - 42}" fill="#ccddaa" opacity="0.5">'
+        f"</rect>",
+    ]
+    for i, line in enumerate(lines):
+        parts.append(
+            f'<text x="24" y="{58 + line_h * i}">{_esc(line)}</text>'
+        )
+    parts.append("</svg>")
+    return "".join(parts)
+
+
 _CHART_RENDERERS: dict[str, Callable[..., str]] = {
     "bar": svg_bar_chart,
     "pie": svg_pie_chart,
     "grouped_bar": svg_grouped_bar_chart,
     "heatmap": svg_heatmap,
     "line": svg_line_chart,
+    "box_violin": svg_box_violin_chart,
+    "disparity_history": svg_disparity_history_chart,
 }
 
 

@@ -1172,3 +1172,100 @@ def test_plot_chart_escapes_markup_in_labels(spark, tmp_path):
     height = int(root.get("height"))
     assert height >= 30 + 25 * 18
     assert "cat24" in svg
+
+
+def test_box_violin_aggregate_and_chart(spark, tmp_path):
+    """K7 parity (r10 verdict #5): the citation-analysis box/violin
+    panel. The distributed aggregate yields exact quartiles and a
+    density histogram per category; the renderer draws a mirrored
+    violin polygon with the box/median on top."""
+    import xml.etree.ElementTree as ET
+
+    from citeconnect_datapipeline_spark.sinks.report import (
+        box_violin_aggregate,
+        plot_chart,
+    )
+
+    # category 'a': 0..100 uniform; 'b': bimodal at 10 and 90
+    rows = [("a", float(v)) for v in range(101)]
+    rows += [("b", 10.0)] * 30 + [("b", 90.0)] * 30
+    df = spark.createDataFrame(rows, "subdomain string, cites double")
+    agg = box_violin_aggregate(df, "subdomain", "cites", bins=10)
+    got = {r["subdomain"]: r for r in agg.collect()}
+    a = got["a"]
+    assert (a["lo"], a["med"], a["hi"]) == (0.0, 50.0, 100.0)
+    assert a["q1"] == 25.0 and a["q3"] == 75.0
+    assert sum(a["density"]) == 101 and len(a["density"]) == 10
+    b = got["b"]
+    # bimodal: mass only in the bins containing 10 and 90
+    assert sum(1 for d in b["density"] if d > 0) == 2
+    assert sum(b["density"]) == 60
+
+    path = plot_chart(
+        agg, str(tmp_path / "bv.svg"), "box_violin",
+        x="subdomain", title="Citation Density by Subdomain",
+    )
+    svg = open(path).read()
+    root = ET.fromstring(svg)  # well-formed XML
+    assert svg.count("<polygon") == 2  # one violin per category
+    assert svg.count("<rect") == 2  # one IQR box per category
+    assert "Citation Density by Subdomain" in svg
+
+
+def test_box_violin_top_k_prunes_categories(spark, tmp_path):
+    from citeconnect_datapipeline_spark.sinks.report import (
+        box_violin_aggregate,
+    )
+
+    rows = [(f"c{i}", float(j)) for i in range(6) for j in range(10 - i)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    agg = box_violin_aggregate(df, "k", "v", bins=4, top_k=3).collect()
+    # top-3 by count, biggest first (reference keeps top-10, :96-99)
+    assert [r["k"] for r in agg] == ["c0", "c1", "c2"]
+
+
+def test_disparity_history_chart(spark, tmp_path):
+    """The two-panel disparity-trend figure
+    (visualization_generator.py:280-333): filled ratio trend on top,
+    dual-series collection progress below."""
+    import xml.etree.ElementTree as ET
+
+    from citeconnect_datapipeline_spark.sinks.report import plot_chart
+
+    hist = spark.createDataFrame(
+        [("r1", 3.2, 100, 7), ("r2", 2.4, 250, 5), ("r3", 1.9, 420, 3)],
+        "run_ts string, disparity_ratio double, total_papers long, "
+        "underrep_subdomains long",
+    )
+    path = plot_chart(
+        hist, str(tmp_path / "dh.svg"), "disparity_history",
+    )
+    svg = open(path).read()
+    ET.fromstring(svg)
+    # 1 filled polygon + 3 polylines (ratio, total, underrep)
+    assert svg.count("<polygon") == 1 and svg.count("<polyline") == 3
+    assert "Collection Progress Over Time" in svg
+    assert "r1" in svg and "r3" in svg  # run ticks
+
+
+def test_mitigation_effectiveness_card():
+    """Success renders the monospace summary card; anything else is a
+    skip (None), matching the reference's early returns (:349-356)."""
+    import xml.etree.ElementTree as ET
+
+    from citeconnect_datapipeline_spark.sinks.report import (
+        mitigation_effectiveness_svg,
+    )
+
+    report = {
+        "status": "success",
+        "papers_collected": 1234,
+        "search_terms_used": ["graph neural networks", "mech interp"],
+    }
+    svg = mitigation_effectiveness_svg(report)
+    ET.fromstring(svg)
+    assert "Papers Collected: 1234" in svg
+    assert "Subdomains Targeted: 2" in svg
+    assert "graph neural networks" in svg
+    assert mitigation_effectiveness_svg({"status": "failed"}) is None
+    assert mitigation_effectiveness_svg({}) is None
