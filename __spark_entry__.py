@@ -212,6 +212,13 @@ _DRIVER_VERIFIED = frozenset(
         "stl_strength_panel", "stylometry_burrows_delta",
         "t_closeness_audit", "wilson_conversion_ci",
         "word_burstiness_topk",
+        # r10 greens (CORRECTNESS_r10.json: 48 hash-MATCH + 2
+        # contractual rows-only with nonzero rows) — the r9 aged
+        # rewrites and r10 _REVERIFY_FIRST entries all came back
+        # green there, so both queues drained into this set
+        "content_extract_payload_parse", "curriculum_schedule_plan",
+        "padding_waste_report", "quantile_norm_map",
+        "selection_tradeoff_curve", "source_pareto_front",
     }
 )
 
@@ -224,33 +231,26 @@ _DRIVER_VERIFIED = frozenset(
 # even never-verified new queries (r6 verdict #3 — a 3-round-old
 # rewrite of green code is a bigger evidence hole than a new query's
 # first row).
-_REVERIFY_AGED = (
-    # r9 rewrites whose driver re-verification was starved out of
-    # the r9 window (all 50 slots went to never-verified oracled
-    # queries). The r9 judge hash-verified all 5 locally, but per
-    # the age rule they now lead everything in r10 so the rewrites
-    # finally get an external driver row (r9 verdict #1).
-    "ab_lift_bootstrap",       # r9: 4 md5 digests per row (16
-    # two-hex Poisson draws sliced per digest) replace 64
-    "dp_user_activity_counts",  # r9: exact n_users_clipped no
-    # longer released with the noisy counts
-    "benford_digit_audit",     # r9: scaled mantissa clamped >= 1.0
-    "part_copurchase_pagerank",  # r9: convergence fused into the
-    # rank-update agg — fewer fixpoint jobs
-    "logreg_adagrad_portable",  # r9: same job-floor fusion
+_REVERIFY_AGED: tuple[str, ...] = (
+    # empty this round: every r9-aged and r10-rewritten entry got
+    # its driver row in CORRECTNESS_r10 (all green) — both queues
+    # drained into _DRIVER_VERIFIED above
 )
 
 _REVERIFY_FIRST = (
-    # r10 rewrites (each re-audited locally at sf0.01 this round;
+    # r11 rewrites (each re-audited locally at sf0.01 this round;
     # the driver row makes the rewrite externally visible):
-    "logrank_test",            # r10: unix_micros replaces
-    # second-truncated unix_timestamp in cohort split + t_day
-    # (r9 ADVICE #1)
-    "filter_shapley_attribution",  # r10: oracle interpolates the
-    # shared STOPWORDS constant instead of hardcoding it
-    # (r9 ADVICE #2)
-    "community_modularity",    # r10: modularity_cells normalizes
-    # edge symmetry instead of silently assuming it (r9 ADVICE #4)
+    "content_extract_4tier",   # r11: <15000 upper bound now on the
+    # PDF tier only, matching the reference (r10 ADVICE #1)
+    "extraction_method_distribution",  # r11: same gate change in
+    # its oracle
+    "pivot_mean",              # r11: trailing orderBy replaced by
+    # coalesce(1) in-partition sort (r10 verdict #2 job cut)
+    "event_debounce",          # r11: same
+    "join_key_skew_report",    # r11: same (window's own sort kept)
+    "hard_negative_mining",    # r11: same
+    "content_extract_payload_parse",  # r11: corpus-property guard
+    # added around its oracle assumptions (r10 ADVICE #4)
 )
 
 
@@ -281,10 +281,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
        round re-checks a different slice and every green row is
        eventually refreshed (regression detection, round-3 ADVICE).
 
-    Freshness cadence: the driver window is ~50 slots/round; with
-    ~240 registered queries and few new/reverify entries per round,
-    the rotation in (5) re-checks every verified query roughly every
-    5 rounds — that is the staleness bound on any green row.
+    Freshness cadence (r10 verdict #4 — current numbers): the driver
+    window is ~50 slots/round. As of r11 the registry is FROZEN at
+    330 queries (308 oracled + 22 contractual rows-only), all 330
+    driver-verified at least once (r1-r10 union). With 0 unverified
+    and 7 r11 rewrites at the head, 43 slots rotate — every green
+    row is re-checked at most ceil(330/43) = 8 rounds after its last
+    row. Net-new registry growth stays frozen unless a round both
+    (a) ships a new operator family and (b) keeps head small enough
+    that >= 30 rotation slots remain (the r10 verdict floor); the
+    local full re-verification sweep (tools/refresh_audit_local.py,
+    AUDIT_LOCAL.md: 308/308 MATCH at sf0.01 AND sf0.1) supplements
+    the rotation every round regardless.
     """
     qs = get_queries()
     oracled = set(get_oracles())

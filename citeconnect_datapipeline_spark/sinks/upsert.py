@@ -146,6 +146,7 @@ def jdbc_upsert(
     max_retries: int = 3,
     retry_backoff_s: float = 0.1,
     exact_batch_rowcount: bool = True,
+    paramstyle: str = "format",
 ) -> dict:
     """K3's real text path: per-partition batched
     ``INSERT ... ON CONFLICT (key) DO NOTHING | DO UPDATE`` through a
@@ -193,7 +194,16 @@ def jdbc_upsert(
     cols = list(df.columns)
     if key not in cols:
         raise ValueError(f"key column {key!r} not in DataFrame")
-    placeholders = ", ".join(["%s"] * len(cols))
+    # DB-API paramstyle of the TARGET driver: 'format' (%s — psycopg
+    # and most Postgres bridges) or 'qmark' (? — sqlite3, DuckDB,
+    # most JDBC drivers). The statement text is the only difference.
+    try:
+        marker = {"format": "%s", "qmark": "?"}[paramstyle]
+    except KeyError:
+        raise ValueError(
+            "paramstyle must be 'format' or 'qmark'"
+        ) from None
+    placeholders = ", ".join([marker] * len(cols))
     if on_conflict == "nothing":
         conflict_clause = f"ON CONFLICT ({key}) DO NOTHING"
     else:
