@@ -196,9 +196,15 @@ def main() -> None:
                 "region nation customer supplier part orders lineitem "
                 "events documents embeddings"
             ).split():
+                # driver testdata ships single .parquet FILES; scaled
+                # corpora (tools/scaling_probe.py) are Spark-written
+                # DIRECTORIES — glob the parts in that case
+                p = f"{sf_dir}/{t}.parquet"
+                if os.path.isdir(p):
+                    p = f"{p}/*.parquet"
                 con.execute(
                     f"CREATE VIEW {t} AS SELECT * FROM "
-                    f"read_parquet('{sf_dir}/{t}.parquet')"
+                    f"read_parquet('{p}')"
                 )
             for name, sql in get_oracles().items():
                 if name not in timings:

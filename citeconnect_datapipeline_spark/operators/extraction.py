@@ -75,8 +75,14 @@ def payload_parse_corpus_violations(
     flags = {
         "markup_chars": t.rlike("[<>&]"),
         "newlines": t.rlike("[\\n\\r]"),
+        # (?i): the PDF parser matches end markers with re.IGNORECASE
+        # (extraction_parsers.py:243), so the guard must too — a
+        # case-variant 'REFERENCES' at text start would otherwise slip
+        # past the guard and silently break the oracle (the exact trap
+        # this guard exists to catch)
         "end_marker_at_start": t.rlike(
-            r"^\s*(References|Discussion|2\.\s*(Method|Background|Related|Result))"
+            r"(?i)^\s*(References|Discussion"
+            r"|2\.\s*(Method|Background|Related|Result))"
         ),
     }
     row = docs.agg(
@@ -378,6 +384,45 @@ _PAYLOAD_SCHEMA = StructType(
 )
 
 
+def map_optional_payload_rows(
+    papers: DataFrame,
+    optional: tuple,
+    schema: StructType,
+    row_fn,
+    setup=None,
+) -> DataFrame:
+    """Shared ``mapInPandas`` plumbing for per-row payload work
+    (extract_from_payloads and the fetch ladder both need it —
+    r11 self-review #6): select ``doc_id`` plus whichever of the
+    ``optional`` columns exist, coerce missing columns and NaN/None
+    to None, and call ``row_fn(ctx, doc_id, vals) -> tuple`` once per
+    row in ``schema`` field order. ``setup()`` runs ONCE PER TASK to
+    build shared state (a fetcher/session), like the reference's
+    one-client-per-process shape."""
+    cols = set(papers.columns)
+    out_cols = [f.name for f in schema.fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ctx = setup() if setup is not None else None
+        for pdf in batches:
+            n = len(pdf)
+            get = {
+                c: (pdf[c] if c in pdf.columns else pd.Series([None] * n))
+                for c in optional
+            }
+            recs = []
+            for i in range(n):
+                vals = {}
+                for c in optional:
+                    v = get[c].iloc[i]
+                    vals[c] = None if (v is None or pd.isna(v)) else v
+                recs.append(row_fn(ctx, pdf["doc_id"].iloc[i], vals))
+            yield pd.DataFrame(recs, columns=out_cols)
+
+    keep = ["doc_id"] + [c for c in optional if c in cols]
+    return papers.select(*keep).mapInPandas(run, schema)
+
+
 def extract_from_payloads(payloads: DataFrame) -> DataFrame:
     """The REAL-parser tier cascade over fetched payloads
     (api.extraction.extract_from_payloads).
@@ -402,39 +447,28 @@ def extract_from_payloads(payloads: DataFrame) -> DataFrame:
     (aggregations over method/quality) stays native."""
     from .extraction_parsers import extract_content_tiers
 
-    cols = set(payloads.columns)
-    optional = ("arxiv_html", "grobid_tei", "pdf_text", "abstract", "tldr")
+    def parse_row(_ctx, doc_id, vals):
+        content, method, quality = extract_content_tiers(
+            vals["arxiv_html"],
+            vals["grobid_tei"],
+            vals["pdf_text"],
+            vals["abstract"],
+            vals["tldr"],
+        )
+        return (
+            doc_id,
+            content,
+            method,
+            quality,
+            len(content) if content is not None else 0,
+        )
 
-    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = {
-                "doc_id": [], "content": [], "method": [],
-                "quality": [], "intro_length": [],
-            }
-            n = len(pdf)
-            get = {
-                c: (pdf[c] if c in pdf.columns else pd.Series([None] * n))
-                for c in optional
-            }
-            for i in range(n):
-                content, method, quality = extract_content_tiers(
-                    get["arxiv_html"].iloc[i],
-                    get["grobid_tei"].iloc[i],
-                    get["pdf_text"].iloc[i],
-                    get["abstract"].iloc[i],
-                    get["tldr"].iloc[i],
-                )
-                out["doc_id"].append(pdf["doc_id"].iloc[i])
-                out["content"].append(content)
-                out["method"].append(method)
-                out["quality"].append(quality)
-                out["intro_length"].append(
-                    len(content) if content is not None else 0
-                )
-            yield pd.DataFrame(out)
-
-    keep = ["doc_id"] + [c for c in optional if c in cols]
-    return payloads.select(*keep).mapInPandas(parse, _PAYLOAD_SCHEMA)
+    return map_optional_payload_rows(
+        payloads,
+        ("arxiv_html", "grobid_tei", "pdf_text", "abstract", "tldr"),
+        _PAYLOAD_SCHEMA,
+        parse_row,
+    )
 
 
 @query(

@@ -31,7 +31,7 @@ Spark executors.
 
 from __future__ import annotations
 
-from collections.abc import Callable, Iterator
+from collections.abc import Callable
 from typing import Optional, Tuple
 
 from pyspark.sql import DataFrame
@@ -232,49 +232,33 @@ def extract_with_fetch_ladder(
 
     ``papers`` needs ``doc_id`` plus any of ``arxiv_id``, ``pdf_url``,
     ``abstract``, ``tldr`` (missing columns read as null). One fetcher
-    per Python worker (the reference holds one requests session + one
-    GROBID client per process, :24-44); rows within a partition share
-    it — the same connection-reuse shape a 1000-executor run needs,
-    with per-row failures degrading to lower tiers instead of failing
-    the task."""
-    import pandas as pd
+    per TASK (the reference holds one requests session + one GROBID
+    client per process, :24-44) via the shared payload-row plumbing's
+    ``setup`` hook; rows within a partition share it — the same
+    connection-reuse shape a 1000-executor run needs, with per-row
+    failures degrading to lower tiers instead of failing the task."""
+    from .extraction import map_optional_payload_rows
 
-    cols = set(papers.columns)
-    optional = ("arxiv_id", "pdf_url", "abstract", "tldr")
+    def fetch_row(fetcher, doc_id, vals):
+        paper = {
+            "externalIds": (
+                {"ArXiv": vals["arxiv_id"]} if vals["arxiv_id"] else {}
+            ),
+            "openAccessPdf": (
+                {"url": vals["pdf_url"]} if vals["pdf_url"] else None
+            ),
+            "abstract": vals["abstract"],
+            "tldr": (
+                {"text": vals["tldr"]} if vals["tldr"] else None
+            ),
+        }
+        content, method, quality = fetcher.extract_content(paper)
+        return doc_id, content, method, quality
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        fetcher = fetcher_factory()
-        for pdf in batches:
-            n = len(pdf)
-            get = {
-                c: (pdf[c] if c in pdf.columns else pd.Series([None] * n))
-                for c in optional
-            }
-            out = {"doc_id": [], "content": [], "method": [], "quality": []}
-            for i in range(n):
-
-                def val(c):
-                    v = get[c].iloc[i]
-                    return None if pd.isna(v) else v
-
-                paper = {
-                    "externalIds": (
-                        {"ArXiv": val("arxiv_id")} if val("arxiv_id") else {}
-                    ),
-                    "openAccessPdf": (
-                        {"url": val("pdf_url")} if val("pdf_url") else None
-                    ),
-                    "abstract": val("abstract"),
-                    "tldr": (
-                        {"text": val("tldr")} if val("tldr") else None
-                    ),
-                }
-                content, method, quality = fetcher.extract_content(paper)
-                out["doc_id"].append(pdf["doc_id"].iloc[i])
-                out["content"].append(content)
-                out["method"].append(method)
-                out["quality"].append(quality)
-            yield pd.DataFrame(out)
-
-    keep = ["doc_id"] + [c for c in optional if c in cols]
-    return papers.select(*keep).mapInPandas(run, _FETCH_SCHEMA)
+    return map_optional_payload_rows(
+        papers,
+        ("arxiv_id", "pdf_url", "abstract", "tldr"),
+        _FETCH_SCHEMA,
+        fetch_row,
+        setup=fetcher_factory,
+    )

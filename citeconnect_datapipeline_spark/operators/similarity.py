@@ -1194,10 +1194,14 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= HARDNEG_TOPK)
-        # |anchors| x k rows (bounded by the mining contract): fold to
-        # one partition and sort there instead of paying a range
-        # exchange + sample job (r10 verdict #2 job-count cut)
-        .coalesce(1)
+        # |anchors| x k rows (bounded by the mining contract):
+        # repartition(1) — NOT coalesce(1), which would propagate
+        # back through the window stage and serialize the per-anchor
+        # rank over the full scored relation into one task — then an
+        # in-partition sort. The tiny post-filter shuffle replaces
+        # the range-sample + range-exchange a global orderBy costs
+        # (r10 verdict #2 job-count cut, r11 self-review #3).
+        .repartition(1)
         .sortWithinPartitions("q_id", "rnk")
     )
 

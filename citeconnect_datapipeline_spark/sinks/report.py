@@ -461,6 +461,12 @@ def box_violin_aggregate(
     violins share an axis), both map-side combinable."""
     from pyspark.sql import functions as F
 
+    # percentile_approx/min/max silently ignore value-nulls but
+    # width_bucket(null) yields a null bin that map_from_entries
+    # rejects as a map key — drop them up front so both branches see
+    # the same (non-null) population
+    df = df.filter(F.col(value).isNotNull())
+
     cats = (
         df.groupBy(category)
         .agg(
@@ -679,12 +685,14 @@ def mitigation_effectiveness_svg(report: dict) -> str | None:
     if report.get("status") != "success":
         return None
     papers = report.get("papers_collected", 0)
-    terms = list(report.get("search_terms_used", []))[:10]
+    all_terms = list(report.get("search_terms_used", []))
+    terms = all_terms[:10]  # display cap only — the COUNT is the
+    # full list (the reference prints len(search_terms), :368)
     lines = [
         "MITIGATION EFFECTIVENESS",
         "",
         f"Papers Collected: {papers}",
-        f"Subdomains Targeted: {len(terms)}",
+        f"Subdomains Targeted: {len(all_terms)}",
         "",
         "Targeted Subdomains:",
         *[f"  - {t}" for t in terms],
@@ -741,7 +749,10 @@ def plot_chart(
             f"{sorted(_CHART_RENDERERS)}"
         )
     rows = _collect_small(df, max_rows)
-    payload = _CHART_RENDERERS[kind](rows, title=title, **spec)
+    if title:
+        spec["title"] = title  # empty -> let the renderer's own
+        # default title stand (disparity_history ships one)
+    payload = _CHART_RENDERERS[kind](rows, **spec)
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     tmp = f"{path}.tmp"
     with open(tmp, "w") as f:

@@ -137,3 +137,85 @@ def test_corpus_guard_raises_naming_the_property(
     assert counts[prop] == 1
     with pytest.raises(AssertionError, match=prop):
         assert_payload_parse_corpus_properties(spark, sf)
+
+
+# --------------- r11 self-review regression lanes -------------------
+
+
+def test_corpus_guard_is_case_insensitive(spark, tmp_path):
+    """Self-review #2: the PDF parser matches end markers with
+    re.IGNORECASE, so the guard must flag case variants too."""
+    sf = _lake(
+        spark,
+        tmp_path,
+        documents=(
+            [(1, "REFERENCES to prior art " + "words " * 40),
+             (2, "discussion of methods " + "words " * 40),
+             (3, "2. METHODS section " + "words " * 40),
+             (4, "clean ordinary text " * 20)],
+            "doc_id long, text string",
+        ),
+    )
+    counts = payload_parse_corpus_violations(spark, sf)
+    assert counts["end_marker_at_start"] == 3
+
+
+def test_box_violin_aggregate_survives_nulls(spark):
+    """Self-review #1: a null value must not kill the histogram
+    branch (width_bucket(null) -> null map key)."""
+    from citeconnect_datapipeline_spark.sinks.report import (
+        box_violin_aggregate,
+    )
+
+    rows = [("a", float(v)) for v in range(20)] + [("a", None), ("b", 5.0)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    got = {r["k"]: r for r in box_violin_aggregate(df, "k", "v", bins=4).collect()}
+    assert sum(got["a"]["density"]) == 20  # null excluded everywhere
+    assert got["a"]["lo"] == 0.0 and got["a"]["hi"] == 19.0
+
+
+def test_mitigation_card_counts_full_term_list():
+    """Self-review #4: the count reports ALL targeted subdomains even
+    though only ten are listed."""
+    from citeconnect_datapipeline_spark.sinks.report import (
+        mitigation_effectiveness_svg,
+    )
+
+    svg = mitigation_effectiveness_svg(
+        {
+            "status": "success",
+            "papers_collected": 7,
+            "search_terms_used": [f"term {i}" for i in range(15)],
+        }
+    )
+    assert "Subdomains Targeted: 15" in svg
+    assert "term 9" in svg and "term 10" not in svg  # display cap
+
+
+def test_plot_chart_keeps_renderer_default_title(spark, tmp_path):
+    """Self-review #5: an empty plot_chart title must not override a
+    renderer's own default."""
+    from citeconnect_datapipeline_spark.sinks.report import plot_chart
+
+    hist = spark.createDataFrame(
+        [("r1", 2.0, 10, 2), ("r2", 1.5, 20, 1)],
+        "run_ts string, disparity_ratio double, total_papers long, "
+        "underrep_subdomains long",
+    )
+    svg = open(
+        plot_chart(hist, str(tmp_path / "d.svg"), "disparity_history")
+    ).read()
+    assert "Bias Disparity Ratio Trend Over Time" in svg
+
+
+def test_hard_negative_mining_window_stays_parallel(spark):
+    """Self-review #3: the bounded-output sort must not collapse the
+    scored window stage into one task — the plan keeps an exchange
+    between the rank filter and the single-partition sort."""
+    from __spark_entry__ import queries
+
+    df = queries()["hard_negative_mining"](
+        spark, "/root/testdata/sf0.001"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Coalesce 1" not in plan  # repartition, not coalesce

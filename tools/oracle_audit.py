@@ -63,8 +63,11 @@ def main():
     spark = get_spark()
     con = duckdb.connect()
     for t in TABLES:
+        p = f"{SF_DIR}/{t}.parquet"
+        if _os.path.isdir(p):  # Spark-written directory parquet
+            p = f"{p}/*.parquet"
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
         )
     queries = entry.queries()
     oracles = entry.oracle_sql()
