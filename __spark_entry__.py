@@ -251,6 +251,9 @@ _REVERIFY_FIRST = (
     "hard_negative_mining",    # r11: same
     "content_extract_payload_parse",  # r11: corpus-property guard
     # added around its oracle assumptions (r10 ADVICE #4)
+    "fuzzy_prefix_pairs",      # r11: PassJoin pigeonhole blocking
+    # replaces the degenerate length-band key (alpha 1.54 -> linear
+    # candidate volume); equality verified at sf0.01 + sf0.1
 )
 
 

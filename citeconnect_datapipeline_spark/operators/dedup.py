@@ -679,77 +679,161 @@ def fuzzy_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     10 (FUZZY_MAX_DIST) — the classic blocked record-linkage join (title
     /author fuzzy matching in the reference's domain).
 
-    Scale shape: a SHUFFLED equi-join on the widened block key
-    (lang, length-band) — never a broadcast of the doc-prefix table,
-    which is one row per document and would ship O(N) rows to every
-    executor at 100 TB. The banding is LOSSLESS for the predicate:
-    edit distance <= k implies |len(a)-len(b)| <= k, and with band
-    width k+1 that bounds the pair to the same or an adjacent band,
-    so the probe side explodes each row into its three candidate
-    bands (band-1, band, band+1) and the equi-join on (lang, band)
-    recovers exactly the oracle's lang-blocked pair set. Each pair
-    matches exactly once (the build row's band is a single value).
-    Spark's THRESHOLDED ``levenshtein(l, r, k)`` runs the banded
-    O(len*k) DP and bails at k+1, so the per-pair cost is bounded
-    regardless of text length. At 100 TB the band key would tighten
-    further (finer length bands, first-token key where semantics
-    allow) — same plan, finer blocks."""
+    Blocking is PassJoin-style pigeonhole segmentation (r11 — the
+    round-10 length-band key was degenerate: every full-width prefix
+    landed in one band, making the block quadratic per language,
+    alpha 1.54 measured sf0.1 -> sf1). Partition the BUILD prefix
+    into K+1 = 11 disjoint segments: K edits cannot touch all K+1
+    segments, so any string within distance K contains at least one
+    build segment VERBATIM, and since one edit shifts downstream
+    positions by at most one, that occurrence starts within +-K of
+    the segment's own position. The PROBE side therefore emits its
+    substrings at positions p_j - K .. p_j + K for each segment slot
+    j (<= 231 grams/row, a CONSTANT), and the shuffled equi-join on
+    (lang, j, gram) + pair-distinct + one thresholded
+    ``levenshtein(a, b, K)`` recheck reproduces the quadratic
+    lang-blocked join EXACTLY (equality verified row-for-row vs the
+    oracle at sf0.01/sf0.1, and pinned by a planted front-insertion
+    test that same-position blocking would miss).
+
+    The fixed segment boundaries assume a full-width build prefix;
+    the rare documents with shorter prefixes (none in the lake, but
+    the operator must not silently depend on that) route through a
+    lang-blocked fallback leg whose build side is only those short
+    rows, so it stays linear while making the union unconditionally
+    lossless. Candidate volume is O(docs x 231) grams + O(true
+    near-dups) rechecks — linear in the corpus, vs the O(block^2)
+    pair scan of any equality-banding on a skewed key. At 100 TB the
+    same plan holds: no broadcast of the doc table, per-gram posting
+    lists bounded by prefix entropy (a degenerate shared prefix
+    shows up as a hot gram — cap or pre-hash exactly like the
+    MinHash posting caps if a real corpus needs it)."""
     docs = load_table(spark, sf_dir, "documents")
-    band_w = FUZZY_MAX_DIST + 1
+    K = FUZZY_MAX_DIST
+    NSEG = K + 1
+    W = FUZZY_PREFIX_LEN
     d = docs.select(
         "doc_id",
         "lang",
-        F.substring(F.lower(F.col("text")), 1, FUZZY_PREFIX_LEN).alias(
-            "pre"
-        ),
-    ).withColumn(
-        "band", (F.length("pre") / band_w).cast("int")
+        F.substring(F.lower(F.col("text")), 1, W).alias("pre"),
     )
-    # The join's parallelism equals its shuffle partitioning; a
-    # compact one-file source would still fan out through the
-    # exchange, but spread the probe anyway so the explode below
-    # runs on every core at small SF.
     from ..sources.tables import spread_small_source
 
-    a = (
-        spread_small_source(d, "doc_id")
-        .withColumn(
-            "jband",
-            F.explode(
-                F.array(
-                    F.col("band") - 1, F.col("band"), F.col("band") + 1
-                )
+    def bound(j):
+        # fixed boundaries of the full-width partition: segment j
+        # covers [floor(W*j/NSEG), floor(W*(j+1)/NSEG)), 3-4 chars
+        return int(W * j // NSEG)
+
+    # build side: full-width prefixes, their 11 segments verbatim
+    full = d.filter(F.length("pre") == W)
+    b = full.select(
+        "doc_id",
+        "lang",
+        "pre",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        F.col("pre")
+                        .substr(bound(j) + 1, bound(j + 1) - bound(j))
+                        .alias("g"),
+                    )
+                    for j in range(NSEG)
+                ]
+            )
+        ).alias("s"),
+    ).select(
+        F.col("doc_id").alias("b_id"),
+        F.col("lang").alias("b_lang"),
+        F.col("pre").alias("b_pre"),
+        F.col("s.j").alias("j"),
+        F.col("s.g").alias("g"),
+    )
+    # probe side: every substring that could BE one of a neighbour's
+    # segments — slot j's length at positions p_j - K .. p_j + K
+    def slot_grams(j):
+        seg_len = bound(j + 1) - bound(j)
+        return F.transform(
+            F.sequence(
+                F.lit(max(bound(j) + 1 - K, 1)),
+                F.lit(bound(j) + 1 + K),
+            ),
+            lambda pos: F.struct(
+                F.lit(j).alias("j"),
+                F.col("pre").substr(pos, F.lit(seg_len)).alias("g"),
+                F.lit(seg_len).alias("want"),
             ),
         )
-        .alias("a")
+
+    probe_grams = F.filter(
+        F.flatten(F.array(*[slot_grams(j) for j in range(NSEG)])),
+        # a gram truncated by the string end can never equal a
+        # full-length build segment — drop it before the shuffle
+        lambda s: F.length(s["g"]) == s["want"],
     )
-    b = d.alias("b")
-    # Thresholded levenshtein returns -1 past the cutoff, so ONE
-    # `!= -1` comparison is the whole similarity predicate — written
-    # as two range checks it gets pushed into the join condition as
-    # two separate levenshtein evaluations per pair (measured 2x).
-    dist = F.levenshtein(F.col("a.pre"), F.col("b.pre"), FUZZY_MAX_DIST)
-    return (
+    a = (
+        spread_small_source(d, "doc_id")
+        .select("doc_id", "lang", "pre", F.explode(probe_grams).alias("s"))
+        .select(
+            F.col("doc_id").alias("a_id"),
+            F.col("lang").alias("a_lang"),
+            F.col("pre").alias("a_pre"),
+            F.col("s.j").alias("j"),
+            F.col("s.g").alias("g"),
+        )
+    )
+    cand = (
         a.join(
             b,
-            (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.jband") == F.col("b.band"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
-            # cheap guard: |len(a)-len(b)| > k already implies dist > k
+            (F.col("a_lang") == F.col("b_lang"))
+            & (a["j"] == b["j"])
+            & (a["g"] == b["g"])
+            & (F.col("a_id") < F.col("b_id"))
+            & (
+                F.abs(F.length("a_pre") - F.length("b_pre")) <= K
+            ),
+        )
+        .select("a_id", "b_id", "a_lang", "a_pre", "b_pre")
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    # fallback leg: pairs whose BUILD (greater-id) prefix is short —
+    # the pigeonhole above assumed a full 11-segment partition
+    short = d.filter(F.length("pre") < W)
+    fb = (
+        spread_small_source(d, "doc_id")
+        .alias("x")
+        .join(
+            short.alias("y"),
+            (F.col("x.lang") == F.col("y.lang"))
+            & (F.col("x.doc_id") < F.col("y.doc_id"))
             & (
                 F.abs(
-                    F.length(F.col("a.pre")) - F.length(F.col("b.pre"))
+                    F.length(F.col("x.pre")) - F.length(F.col("y.pre"))
                 )
-                <= FUZZY_MAX_DIST
-            )
-            & (dist != -1),
+                <= K
+            ),
         )
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.lang").alias("lang"),
+            F.col("x.doc_id").alias("a_id"),
+            F.col("y.doc_id").alias("b_id"),
+            F.col("x.lang").alias("a_lang"),
+            F.col("x.pre").alias("a_pre"),
+            F.col("y.pre").alias("b_pre"),
+        )
+    )
+    # Thresholded levenshtein returns -1 past the cutoff, so ONE
+    # `!= -1` comparison is the whole similarity predicate.
+    dist = F.levenshtein(F.col("a_pre"), F.col("b_pre"), K)
+    return (
+        cand.unionByName(fb)
+        .select(
+            F.col("a_id").alias("doc_a"),
+            F.col("b_id").alias("doc_b"),
+            F.col("a_lang").alias("lang"),
             dist.alias("edit_dist"),
         )
+        .filter(F.col("edit_dist") != -1)
         .orderBy("lang", "doc_a", "doc_b")
     )
 

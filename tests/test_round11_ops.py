@@ -219,3 +219,108 @@ def test_hard_negative_mining_window_stays_parallel(spark):
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Coalesce 1" not in plan  # repartition, not coalesce
+
+
+# --------------- fuzzy_prefix_pairs: PassJoin blocking ---------------
+
+
+def test_fuzzy_pairs_survive_front_insertion_shift(spark, tmp_path):
+    """The defining property of the pigeonhole blocking: a few
+    front insertions shift EVERY same-position gram, so same-position
+    equality blocking finds nothing — the +-K position tolerance must
+    still recover the pair."""
+    from __spark_entry__ import queries
+
+    base = "the quantile sketch merges partial summaries cheaply"
+    shifted = "xyz " + base  # 4 front insertions; over the 40-char
+    # windows that is 4 inserts + 4 tail chars pushed out = dist 8
+    far = "completely unrelated content about citrus farming yields"
+    rows = [(1, base, "en"), (2, shifted, "en"), (3, far, "en"),
+            (4, base, "de")]  # same text, other lang: blocked apart
+    sf = _lake(
+        spark, tmp_path,
+        documents=(rows, "doc_id long, text string, lang string"),
+    )
+    got = [
+        (r["doc_a"], r["doc_b"], r["edit_dist"])
+        for r in queries()["fuzzy_prefix_pairs"](spark, sf).collect()
+    ]
+    assert (1, 2, 8) in got          # shift-tolerant match
+    assert all(p[:2] != (1, 4) for p in got)  # lang block holds
+    assert all(3 not in p[:2] for p in got)   # far text excluded
+
+
+def test_fuzzy_pairs_short_prefix_fallback_leg(spark, tmp_path):
+    """Prefixes shorter than the 40-char window cannot carry the
+    11-segment pigeonhole guarantee; the fallback leg must still
+    pair them exactly."""
+    from __spark_entry__ import queries
+
+    rows = [
+        (1, "tiny text", "en"),          # 9 chars
+        (2, "tiny texts", "en"),         # dist 1, also short
+        (3, "tiny text plus more words here ok", "en"),  # 33 chars,
+        # dist to doc 1 = 24 (> K) but len diff 24 > 10 anyway
+        (4, "a forty character prefix sentence padded", "en"),
+    ]
+    sf = _lake(
+        spark, tmp_path,
+        documents=(rows, "doc_id long, text string, lang string"),
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["edit_dist"]
+        for r in queries()["fuzzy_prefix_pairs"](spark, sf).collect()
+    }
+    assert got.get((1, 2)) == 1      # short-short pair found
+    assert (1, 3) not in got and (1, 4) not in got
+
+
+def test_fuzzy_pairs_match_bruteforce_on_random_corpus(spark, tmp_path):
+    """Randomized cross-check: the blocked join equals the quadratic
+    all-pairs join on a corpus with engineered near-dup families."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from __spark_entry__ import queries
+
+    rng = random.Random(11)
+    words = ("alpha beta gamma delta epsilon zeta eta theta iota "
+             "kappa lam mu nu xi omicron pi rho sigma tau").split()
+    rows = []
+    doc = 0
+    for fam in range(30):
+        base = " ".join(rng.choices(words, k=12))
+        for v in range(rng.randint(1, 3)):
+            doc += 1
+            text = base
+            # mutate: up to 6 single-char edits
+            for _ in range(rng.randint(0, 6)):
+                i = rng.randrange(len(text))
+                text = text[:i] + rng.choice("abcxyz ") + text[i + 1:]
+            rows.append((doc, text, rng.choice(["en", "de"])))
+    sf = _lake(
+        spark, tmp_path,
+        documents=(rows, "doc_id long, text string, lang string"),
+    )
+    got = sorted(
+        (r["doc_a"], r["doc_b"], r["edit_dist"])
+        for r in queries()["fuzzy_prefix_pairs"](spark, sf).collect()
+    )
+    d = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id", "lang",
+        F.substring(F.lower(F.col("text")), 1, 40).alias("pre"),
+    )
+    brute = sorted(
+        (r["doc_a"], r["doc_b"], r["edit_dist"])
+        for r in d.alias("x").join(
+            d.alias("y"),
+            (F.col("x.lang") == F.col("y.lang"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        ).select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.levenshtein("x.pre", "y.pre").alias("edit_dist"),
+        ).filter(F.col("edit_dist") <= 10).collect()
+    )
+    assert got == brute and len(brute) > 0
