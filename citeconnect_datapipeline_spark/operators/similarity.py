@@ -1095,6 +1095,14 @@ def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 HARDNEG_QUERY_STRIDE = 50  # every 50th vector anchors a mining query
 HARDNEG_TOPK = 3
+# The mining CONTRACT is per-batch: you mine negatives for a bounded
+# training batch, not for the whole corpus. The stride alone would
+# grow the anchor set linearly with corpus size (quadratic pair work
+# at sf1 — measured); the cap pins it to one batch, keeping the scan
+# side the only corpus-sized term. 64 > every anchor count the
+# sf0.001-sf0.1 oracles ever produced, so small-scale results are
+# bit-identical.
+HARDNEG_MAX_ANCHORS = 64
 
 
 @query(
@@ -1102,7 +1110,9 @@ HARDNEG_TOPK = 3
     oracle=f"""
     WITH q AS (
         SELECT vec_id AS q_id, label AS q_label, embedding AS qvec
-        FROM embeddings WHERE vec_id % {HARDNEG_QUERY_STRIDE} = 0
+        FROM embeddings
+        WHERE vec_id % {HARDNEG_QUERY_STRIDE} = 0
+          AND vec_id < {HARDNEG_QUERY_STRIDE} * {HARDNEG_MAX_ANCHORS}
     ),
     scored AS (
         SELECT q.q_id, q.q_label, e.vec_id AS neg_id,
@@ -1131,11 +1141,13 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     sentence-transformers recipe): for each anchor vector, the top-k
     most-similar vectors carrying a DIFFERENT label — the negatives
     that actually move a contrastive loss, vs the easy random ones.
-    Anchors are a deterministic stride sample (every 50th vec_id)
-    standing in for the training batch being mined — the anchor side
-    is bounded by the MINING CONTRACT (you mine negatives for a
-    batch, not for the whole corpus), which is what makes its
-    broadcast legitimate at any corpus size.
+    Anchors are a deterministic stride sample (every 50th vec_id,
+    CAPPED at HARDNEG_MAX_ANCHORS) standing in for the training batch
+    being mined — the cap is what actually enforces the MINING
+    CONTRACT (you mine negatives for a batch, not for the whole
+    corpus): it bounds the broadcast AND keeps total pair work linear
+    in the corpus at any scale (r11 — the uncapped stride went
+    quadratic at sf1).
 
     Shape at scale: the bounded anchor batch broadcasts; candidates
     stream through the scan once, scoring against all anchors in-row
@@ -1160,7 +1172,11 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     # order) but 3x fewer in-row folds across the anchors x
     # candidates product (measured ~2 s -> ~1 s at sf0.1)
     q = emb.filter(
-        F.col("vec_id") % HARDNEG_QUERY_STRIDE == 0
+        (F.col("vec_id") % HARDNEG_QUERY_STRIDE == 0)
+        & (
+            F.col("vec_id")
+            < HARDNEG_QUERY_STRIDE * HARDNEG_MAX_ANCHORS
+        )
     ).select(
         F.col("vec_id").alias("q_id"),
         F.col("label").alias("q_label"),
