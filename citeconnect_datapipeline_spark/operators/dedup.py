@@ -783,6 +783,17 @@ def fuzzy_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s.g").alias("g"),
         )
     )
+    # The thresholded levenshtein recheck runs INSIDE the join, so a
+    # candidate that fails it dies map-side and never reaches the
+    # pair-distinct shuffle. This matters on adversarial corpora: a
+    # literal prefix shared corpus-wide (the scaled probe corpus
+    # plants 'rep<k> ' on every doc) degenerates one slot's gram, and
+    # with the recheck AFTER the distinct, the whole same-lang pair
+    # set would be shuffled just to be deduped (measured 535 s at
+    # sf1); with it inside the join only TRUE pairs (x their slot
+    # multiplicity, <= 231) are shuffled. Natural corpora pay a few
+    # extra rechecks per true pair — output-linear either way.
+    dist = F.levenshtein(F.col("a_pre"), F.col("b_pre"), K)
     cand = (
         a.join(
             b,
@@ -792,9 +803,10 @@ def fuzzy_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a_id") < F.col("b_id"))
             & (
                 F.abs(F.length("a_pre") - F.length("b_pre")) <= K
-            ),
+            )
+            & (dist != -1),
         )
-        .select("a_id", "b_id", "a_lang", "a_pre", "b_pre")
+        .select("a_id", "b_id", "a_lang", dist.alias("edit_dist"))
         .dropDuplicates(["a_id", "b_id"])
     )
     # fallback leg: pairs whose BUILD (greater-id) prefix is short —
@@ -818,22 +830,20 @@ def fuzzy_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("x.doc_id").alias("a_id"),
             F.col("y.doc_id").alias("b_id"),
             F.col("x.lang").alias("a_lang"),
-            F.col("x.pre").alias("a_pre"),
-            F.col("y.pre").alias("b_pre"),
+            F.levenshtein(F.col("x.pre"), F.col("y.pre"), K).alias(
+                "edit_dist"
+            ),
         )
+        .filter(F.col("edit_dist") != -1)
     )
-    # Thresholded levenshtein returns -1 past the cutoff, so ONE
-    # `!= -1` comparison is the whole similarity predicate.
-    dist = F.levenshtein(F.col("a_pre"), F.col("b_pre"), K)
     return (
         cand.unionByName(fb)
         .select(
             F.col("a_id").alias("doc_a"),
             F.col("b_id").alias("doc_b"),
             F.col("a_lang").alias("lang"),
-            dist.alias("edit_dist"),
+            "edit_dist",
         )
-        .filter(F.col("edit_dist") != -1)
         .orderBy("lang", "doc_a", "doc_b")
     )
 
