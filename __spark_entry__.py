@@ -254,6 +254,10 @@ _REVERIFY_FIRST = (
     "fuzzy_prefix_pairs",      # r11: PassJoin pigeonhole blocking
     # replaces the degenerate length-band key (alpha 1.54 -> linear
     # candidate volume); equality verified at sf0.01 + sf0.1
+    "retrieval_ndcg_eval",     # r11: GEMM anchor scoring + eval
+    # batch cap (sf1: 33 s -> 2.5 s); MATCH at sf0.01 + sf0.1
+    "variant_json_stats",      # r11: dictionary-trick parse (count
+    # per distinct payload, parse once per distinct); MATCH both
 )
 
 

@@ -290,16 +290,31 @@ def variant_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     far cheaper to re-extract from than re-parsing JSON text per
     query."""
     events = load_table(spark, sf_dir, "events")
+    # Dictionary trick: telemetry payloads repeat heavily, so count
+    # per DISTINCT (event_type, props) first (map-side-combinable
+    # hash agg on the raw string) and pay the variant parse once per
+    # distinct payload instead of once per row. Worst case (all
+    # payloads unique) this is the per-row plan plus one shuffle;
+    # here it cuts sf1 from 1M parses to ~500. The weighted rollup
+    # (sum(k*n)/sum(n), integer k exact in doubles) reproduces the
+    # row-grain AVG bit-for-bit.
+    grouped = events.groupBy("event_type", "props").agg(
+        F.count("*").alias("n")
+    )
     k = F.variant_get(F.parse_json(F.col("props")), "$.k", "int")
     return (
-        events.select("event_type", k.alias("k"))
+        grouped.select("event_type", k.alias("k"), "n")
         .filter(F.col("k").isNotNull())
         .groupBy("event_type")
         .agg(
-            F.count("*").alias("n"),
+            F.sum("n").alias("n"),
             F.min("k").alias("min_k"),
             F.max("k").alias("max_k"),
-            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.round(
+                F.sum(F.col("k") * F.col("n")) / F.sum("n"), 4
+            ).alias("avg_k"),
         )
-        .orderBy("event_type")
+        # |event types| rows: in-partition sort, not a range exchange
+        .coalesce(1)
+        .sortWithinPartitions("event_type")
     )

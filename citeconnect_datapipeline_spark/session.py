@@ -58,6 +58,11 @@ def get_spark(
         # pin them so a misconfigured site profile can't silently
         # disable the fast path.
         .config("spark.sql.parquet.filterPushdown", "true")
+        # maxPartitionBytes stays at the 128m default: finer splits
+        # speed one starved scan but tax every other query with task
+        # overhead (measured net-negative on the suite). Parallelism
+        # for heavy per-row work over compact scans is applied
+        # surgically via spread_small_source instead.
         # Some lake tables carry INT64 TIMESTAMP(NANOS) (e.g. events.ts),
         # which the vectorized reader rejects; read them as raw nanos and
         # normalize to TimestampType in the source layer (tables.py).
