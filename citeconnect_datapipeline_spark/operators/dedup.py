@@ -656,6 +656,41 @@ FUZZY_PREFIX_LEN = 40
 FUZZY_MAX_DIST = 10
 
 
+def _adaptive_bounds(
+    counts: list[int], nseg: int, eps: float = 0.05
+) -> list[int]:
+    """Entropy-adaptive segment boundaries for the PassJoin blocking:
+    given per-position distinct-character counts over the build
+    prefix, return ``nseg + 1`` boundary offsets (0 .. W) placing the
+    ``nseg`` contiguous segments at equal cumulative log2-diversity.
+    A corpus-wide shared prefix contributes ~zero mass, so it is
+    absorbed into one wide segment that extends into varied
+    territory — no corpus-wide constant gram, no degenerate posting
+    list. Pure function of the (bounded) count vector; the pigeonhole
+    exactness argument holds for ANY contiguous partition, so
+    boundary placement only affects performance, never the output.
+    The eps floor keeps the cumulative walk advancing through
+    constant regions and makes an empty/degenerate count vector fall
+    back to uniform boundaries."""
+    import math
+
+    w = len(counts)
+    masses = [max(math.log2(max(c, 1)), eps) for c in counts]
+    prefix = [0.0]
+    for m in masses:
+        prefix.append(prefix[-1] + m)
+    bounds = [0]
+    for j in range(1, nseg):
+        target = prefix[w] * j / nseg
+        bnd = next(
+            i for i in range(1, w + 1) if prefix[i] >= target - 1e-9
+        )
+        # strictly increasing, and leave >=1 char per later segment
+        bounds.append(min(max(bnd, bounds[-1] + 1), w - (nseg - j)))
+    bounds.append(w)
+    return bounds
+
+
 @query(
     "fuzzy_prefix_pairs",
     oracle=f"""
@@ -696,18 +731,38 @@ def fuzzy_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle at sf0.01/sf0.1, and pinned by a planted front-insertion
     test that same-position blocking would miss).
 
-    The fixed segment boundaries assume a full-width build prefix;
+    The segment boundaries assume a full-width build prefix;
     the rare documents with shorter prefixes (none in the lake, but
     the operator must not silently depend on that) route through a
     lang-blocked fallback leg whose build side is only those short
     rows, so it stays linear while making the union unconditionally
     lossless. Candidate volume is O(docs x 231) grams + O(true
     near-dups) rechecks — linear in the corpus, vs the O(block^2)
-    pair scan of any equality-banding on a skewed key. At 100 TB the
-    same plan holds: no broadcast of the doc table, per-gram posting
-    lists bounded by prefix entropy (a degenerate shared prefix
-    shows up as a hot gram — cap or pre-hash exactly like the
-    MinHash posting caps if a real corpus needs it)."""
+    pair scan of any equality-banding on a skewed key.
+
+    Boundary placement is ENTROPY-ADAPTIVE (r12, the degenerate-gram
+    defense the r11 docstring promised): fixed uniform boundaries are
+    degenerate when a real corpus shares a literal prefix corpus-wide
+    (the scaled probe corpus plants 'rep<k> ' on every doc) — the
+    segment covering the shared region becomes one constant gram
+    whose posting list is the whole same-lang corpus, and the join
+    degenerates to the quadratic recheck (205 s at sf1). So the plan
+    first measures per-position character diversity in ONE bounded
+    pass (W approx_count_distinct aggregates, collected as W ints —
+    bounded driver state, plan construction is eager by the
+    BUILD_EXECUTES contract) and places the K+1 boundaries at equal
+    cumulative log2-diversity: a low-entropy shared region
+    contributes ~zero mass, so it is absorbed into one wide segment
+    that extends into varied territory instead of forming a
+    corpus-wide constant gram. EXACT for ANY contiguous disjoint
+    partition into K+1 segments — the pigeonhole argument never
+    references where the boundaries sit, and the thresholded
+    levenshtein recheck keeps the output bit-identical (verified vs
+    the quadratic oracle at sf0.01/sf0.1 and by a planted
+    shared-prefix test). At 100 TB the same plan holds: no broadcast
+    of the doc table, the boundary pass is one map-side-combined
+    aggregate, posting lists bounded by the entropy the boundaries
+    now equalize."""
     docs = load_table(spark, sf_dir, "documents")
     K = FUZZY_MAX_DIST
     NSEG = K + 1
@@ -719,13 +774,27 @@ def fuzzy_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from ..sources.tables import spread_small_source
 
-    def bound(j):
-        # fixed boundaries of the full-width partition: segment j
-        # covers [floor(W*j/NSEG), floor(W*(j+1)/NSEG)), 3-4 chars
-        return int(W * j // NSEG)
-
     # build side: full-width prefixes, their 11 segments verbatim
     full = d.filter(F.length("pre") == W)
+
+    # --- entropy-adaptive boundaries (bounded: W ints, one pass) ---
+    ent = full.agg(
+        *[
+            F.approx_count_distinct(
+                F.substring("pre", p, 1), 0.05
+            ).alias(f"p{p}")
+            for p in range(1, W + 1)
+        ]
+    ).collect()[0]
+    bounds = _adaptive_bounds(
+        [ent[f"p{p}"] for p in range(1, W + 1)], NSEG
+    )
+
+    def bound(j):
+        # adaptive boundaries: segment j covers
+        # [bounds[j], bounds[j+1]) — equal diversity, not equal width
+        return bounds[j]
+
     b = full.select(
         "doc_id",
         "lang",
@@ -806,8 +875,21 @@ def fuzzy_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             & (dist != -1),
         )
-        .select("a_id", "b_id", "a_lang", dist.alias("edit_dist"))
+        # The DP already ran once per candidate inside the join
+        # condition; re-projecting `dist` here would run it AGAIN on
+        # every surviving row (r11 ADVICE — the exact 2x trap). Carry
+        # the prefixes (functionally determined by the ids) through
+        # the pair-distinct instead and recompute ONCE per distinct
+        # true pair — strictly fewer DPs than once per surviving
+        # candidate row (true pair x slot multiplicity, <= 231).
+        .select("a_id", "b_id", "a_lang", "a_pre", "b_pre")
         .dropDuplicates(["a_id", "b_id"])
+        .select(
+            "a_id",
+            "b_id",
+            "a_lang",
+            F.levenshtein("a_pre", "b_pre", K).alias("edit_dist"),
+        )
     )
     # fallback leg: pairs whose BUILD (greater-id) prefix is short —
     # the pigeonhole above assumed a full 11-segment partition

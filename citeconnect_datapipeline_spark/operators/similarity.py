@@ -1160,7 +1160,12 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     pruned lists first and pays this exact scoring only inside the
     probed cells. Similarities are rounded BEFORE ranking on both
     engines so fp association noise cannot reorder a boundary
-    negative."""
+    negative.
+
+    EAGER on the anchor side (r11 ADVICE): constructing this plan
+    collects the bounded anchor batch (Spark jobs run at build
+    time, the anchor set freezes then) — the documented bounded-
+    driver-state pattern, see _cosine_vs_anchors."""
     from pyspark.sql import Window
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -2328,7 +2333,28 @@ def _cosine_vs_anchors(emb: DataFrame, anchors: DataFrame) -> DataFrame:
     DuckDB oracle's list_cosine_similarity is a third order already —
     the 6-dp rounding both engines apply before any ranking is the
     documented fp-agreement contract (same as the applyInPandas GEMM
-    pair scorer, oracle-green since round 3)."""
+    pair scorer, oracle-green since round 3).
+
+    Caveats under that contract (r11 ADVICE):
+
+    * ``np.round`` is half-to-even while Spark ``F.round`` is
+      HALF_UP and DuckDB rounds half-away-from-zero — an EXACT .5
+      tie at the 6th decimal would diverge. No corpus has produced
+      one (every anchor query is hash-verified); the contract is
+      "rounding mode differences below 1e-6 resolution are out of
+      scope", same as the pair scorer.
+    * Zero-norm vectors: numpy division would emit inf/NaN where
+      Spark's null-division semantics emit null (and NaN sorts
+      FIRST under desc(sim), silently winning top-k slots) — so
+      non-finite sims are masked to real NULLs below, which every
+      downstream ranking drops exactly like the HOF fold did.
+    * EAGERNESS: ``anchors.collect()`` runs at DataFrame-
+      CONSTRUCTION time — merely building a plan through here
+      triggers the anchor-side Spark jobs and freezes the anchor
+      set. Callers (hard_negative_mining, retrieval_ndcg_eval) are
+      therefore eager on the anchor side by contract: the bounded
+      driver-state pattern, documented in their registry
+      docstrings."""
     import numpy as np
 
     label_type = emb.schema["label"].dataType.simpleString()
@@ -2352,10 +2378,17 @@ def _cosine_vs_anchors(emb: DataFrame, anchors: DataFrame) -> DataFrame:
                 continue
             cm = np.array(list(pdf["embedding"]), dtype=np.float64)
             cn = np.sqrt((cm * cm).sum(axis=1))
-            sims = np.round(
-                (cm @ qm.T) / np.outer(cn, qn), 6
-            )  # (batch, n_anchors)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = np.round(
+                    (cm @ qm.T) / np.outer(cn, qn), 6
+                )  # (batch, n_anchors)
             n, k = sims.shape
+            flat = sims.T.reshape(-1)
+            # zero-norm rows divide to inf/NaN; Spark's division
+            # semantics are null — mask to real NULLs (nullable
+            # Float64 -> Arrow null) so desc(sim) never ranks them
+            sim_col = pd.array(flat, dtype="Float64")
+            sim_col[~np.isfinite(flat)] = pd.NA
             yield pd.DataFrame(
                 {
                     "q_id": np.repeat(np.array(q_ids), n),
@@ -2364,7 +2397,7 @@ def _cosine_vs_anchors(emb: DataFrame, anchors: DataFrame) -> DataFrame:
                     "label": list(
                         np.tile(pdf["label"].to_numpy(), k)
                     ),
-                    "sim": sims.T.reshape(-1),
+                    "sim": sim_col,
                 }
             )
 
@@ -2449,7 +2482,11 @@ def retrieval_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch broadcasts, candidates stream once with norms hoisted
     per-row, ranks ride the anchor-partitioned window, and the
     metrics reduce to one row. IDCG is a literal (binary relevance,
-    top-k fully relevant) identical in both engines."""
+    top-k fully relevant) identical in both engines.
+
+    EAGER on the query side (r11 ADVICE): constructing this plan
+    collects the bounded eval-query batch (Spark jobs at build
+    time) — bounded driver state, see _cosine_vs_anchors."""
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(
         (F.col("vec_id") % RETR_EVAL_STRIDE == 0)

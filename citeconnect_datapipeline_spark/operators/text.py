@@ -614,34 +614,57 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_repetition_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-document repetition ratio (the Gopher-rule boilerplate
     signal a training-data filter cuts on): 1 - distinct/total 3-word
-    shingles per doc, top-20 most repetitive. Pure per-row arithmetic
-    over the shingle array -- total and distinct counts are ``size``
-    expressions on the same transform, no explode and no shuffle at
-    all until the final top-k (TakeOrdered). Hashed (Spark) vs string
-    (oracle) shingles count identically because only set cardinality
-    enters the ratio."""
-    from .dedup import _nonempty_filter, _shingle_hash_expr
+    shingles per doc, top-20 most repetitive. No explode and no
+    shuffle at all until the final top-k (TakeOrdered on the scan
+    stage, one job).
 
-    from ..sources.tables import spread_small_source
+    The shingle counting is an Arrow-batched pandas UDF (r12, closing
+    the r11 gate flag): the previous form — an interpreted
+    ``transform(sequence, xxhash64(get,get,get))`` HOF — cost ~35 us
+    PER SHINGLE (1.8 ms/doc; 9 s over one compact scan partition) and
+    needed a repartition job just to hide that behind parallelism.
+    Python set-of-tuples counting over the same JVM-split word array
+    is ~50x faster per row, needs no spread and no hash at all
+    (exact tuples, i.e. literally the oracle's COUNT(DISTINCT
+    shingle)), and is the documented exception lane: when the
+    built-in path is an interpreted HOF, a vectorized Arrow batch
+    wins (the r11 GEMM precedent). The 6-dp rounding stays JVM-side
+    (F.round HALF_UP == DuckDB) — Python's banker's round would
+    diverge on exact 1e-7 ties (d/128-style ratios). At 100 TB the
+    UDF rides the scan's own partitioning — per-doc work, no state."""
+    from .dedup import _nonempty_filter
 
-    docs = spread_small_source(load_table(spark, sf_dir, "documents"))
-    words = F.split(F.lower(F.col("text")), "[^a-z0-9]+")
-    raw = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(words) - 2, F.lit(1))),
-        lambda i: F.xxhash64(
-            F.get(words, i - 1), F.get(words, i), F.get(words, i + 1)
-        ),
+    docs = load_table(spark, sf_dir, "documents")
+
+    @F.pandas_udf("struct<n:int,d:int>")
+    def shingle_counts(words):
+        import pandas as pd
+
+        out_n, out_d = [], []
+        for w in words:
+            w = list(w)
+            n = len(w)
+            if n >= 3:
+                out_n.append(n - 2)
+                out_d.append(len(set(zip(w, w[1:], w[2:]))))
+            else:
+                # matches greatest(size-2, 1): one (possibly
+                # padded) shingle, trivially distinct
+                out_n.append(1)
+                out_d.append(1)
+        return pd.DataFrame({"n": out_n, "d": out_d})
+
+    counts = shingle_counts(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+")
     )
     return (
         docs.filter(_nonempty_filter("text"))
+        .select("doc_id", counts.alias("c"))
         .select(
             "doc_id",
-            F.size(raw).alias("n_shingles"),
+            F.col("c.n").alias("n_shingles"),
             F.round(
-                1
-                - F.size(F.array_distinct(raw)).cast("double")
-                / F.size(raw),
-                6,
+                1 - F.col("c.d").cast("double") / F.col("c.n"), 6
             ).alias("rep_ratio"),
         )
         .orderBy(F.desc("rep_ratio"), "doc_id")

@@ -464,8 +464,13 @@ def box_violin_aggregate(
     # percentile_approx/min/max silently ignore value-nulls but
     # width_bucket(null) yields a null bin that map_from_entries
     # rejects as a map key — drop them up front so both branches see
-    # the same (non-null) population
-    df = df.filter(F.col(value).isNotNull())
+    # the same (non-null) population. Category-nulls must go too:
+    # groupBy keeps a null group (it can win a top_k slot) but the
+    # semi/left joins below never match it, so its density would
+    # come back null and crash the renderer (r11 ADVICE).
+    df = df.filter(
+        F.col(value).isNotNull() & F.col(category).isNotNull()
+    )
 
     cats = (
         df.groupBy(category)
@@ -556,7 +561,10 @@ def svg_box_violin_chart(
     for i, r in enumerate(rows):
         cx = pad + col_w * i + col_w / 2
         density = [int(d or 0) for d in (r.get("density") or [])]
-        dmax = max(density) or 1
+        # default=0 so a null/empty density row (defensive — the
+        # aggregate filters null categories, but rows may come from
+        # elsewhere) degrades to box-only instead of raising
+        dmax = max(density, default=0) or 1
         nb = len(density)
         if nb:
             lo, hi = float(r["lo"] or 0), float(r["hi"] or 0)

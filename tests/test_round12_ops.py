@@ -1,0 +1,184 @@
+"""Round-12 behavioral tests: the r11 ADVICE fixes and verdict items
+made observable.
+
+Same pattern as the earlier round files: plant inputs where the fixed
+property is FORCED and assert the documented behavior directly.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _lake(spark, tmp_path, **tables):
+    sf = str(tmp_path / "lake")
+    for name, (rows, schema) in tables.items():
+        spark.createDataFrame(rows, schema).write.mode(
+            "overwrite"
+        ).parquet(f"{sf}/{name}.parquet")
+    return sf
+
+
+# ------- fuzzy_prefix_pairs: entropy-adaptive segment boundaries -----
+
+
+def test_adaptive_bounds_absorb_shared_prefix():
+    """The degenerate-gram defense (r11 verdict #3): a constant
+    10-char shared prefix carries ~zero diversity mass, so the first
+    boundary must land well PAST it — the segment covering the shared
+    region extends into varied territory instead of becoming a
+    corpus-wide constant gram."""
+    from citeconnect_datapipeline_spark.operators.dedup import (
+        _adaptive_bounds,
+    )
+
+    counts = [1] * 10 + [20] * 30  # 'rep<k> '-style shared prefix
+    bounds = _adaptive_bounds(counts, 11)
+    assert bounds[0] == 0 and bounds[-1] == 40
+    assert all(b2 > b1 for b1, b2 in zip(bounds, bounds[1:]))
+    # first segment swallows the whole constant region plus at least
+    # one varied char — its gram is NOT constant corpus-wide
+    assert bounds[1] > 10
+
+
+def test_adaptive_bounds_degenerate_counts_fall_back_uniform():
+    """All-constant (or empty-corpus zero) counts: the eps floor
+    makes every position equal mass, so boundaries degrade to the
+    r11 uniform partition — never a crash, never an empty segment."""
+    from citeconnect_datapipeline_spark.operators.dedup import (
+        _adaptive_bounds,
+    )
+
+    for counts in ([1] * 40, [0] * 40):
+        bounds = _adaptive_bounds(counts, 11)
+        assert bounds[0] == 0 and bounds[-1] == 40
+        widths = [b2 - b1 for b1, b2 in zip(bounds, bounds[1:])]
+        assert len(widths) == 11 and all(w >= 1 for w in widths)
+        assert max(widths) - min(widths) <= 1  # uniform partition
+
+
+def test_fuzzy_pairs_exact_under_corpus_wide_shared_prefix(
+    spark, tmp_path
+):
+    """The adversarial case the sf1 probe corpus manufactures: EVERY
+    document shares a literal prefix. The blocked join must still
+    equal the quadratic brute-force join exactly (the boundary
+    placement is a performance lever, never a semantics lever)."""
+    import random
+
+    from __spark_entry__ import queries
+
+    rng = random.Random(12)
+    words = ("alpha beta gamma delta epsilon zeta eta theta iota "
+             "kappa lam mu nu xi omicron pi rho sigma tau").split()
+    rows = []
+    doc = 0
+    for fam in range(25):
+        base = "rep3 " + " ".join(rng.choices(words, k=12))
+        for _ in range(rng.randint(1, 3)):
+            doc += 1
+            text = base
+            for _ in range(rng.randint(0, 6)):
+                i = rng.randrange(5, len(text))  # keep the prefix
+                text = text[:i] + rng.choice("abcxyz ") + text[i + 1:]
+            rows.append((doc, text, rng.choice(["en", "de"])))
+    sf = _lake(
+        spark, tmp_path,
+        documents=(rows, "doc_id long, text string, lang string"),
+    )
+    got = sorted(
+        (r["doc_a"], r["doc_b"], r["edit_dist"])
+        for r in queries()["fuzzy_prefix_pairs"](spark, sf).collect()
+    )
+    d = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id", "lang",
+        F.substring(F.lower(F.col("text")), 1, 40).alias("pre"),
+    )
+    brute = sorted(
+        (r["doc_a"], r["doc_b"], r["edit_dist"])
+        for r in d.alias("x").join(
+            d.alias("y"),
+            (F.col("x.lang") == F.col("y.lang"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        ).select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.levenshtein("x.pre", "y.pre").alias("edit_dist"),
+        ).filter(F.col("edit_dist") <= 10).collect()
+    )
+    assert got == brute and len(brute) > 0
+
+
+# ---------- box/violin: null category cannot crash the chart ---------
+
+
+def test_box_violin_null_category_filtered_and_chart_survives(
+    spark, tmp_path
+):
+    """r11 ADVICE #1: a NULL category could win a top_k slot in the
+    groupBy but never match the semi/left join, leaving density null
+    and crashing the renderer on max([]). The aggregate now drops
+    null categories up front, and the renderer degrades to box-only
+    on a defensively-null density row instead of raising."""
+    from citeconnect_datapipeline_spark.sinks.report import (
+        box_violin_aggregate,
+        svg_box_violin_chart,
+    )
+
+    rows = [(None, float(v)) for v in range(50)]  # null would win
+    rows += [("a", 10.0)] * 5 + [("b", 20.0)] * 3
+    df = spark.createDataFrame(rows, "k string, v double")
+    got = box_violin_aggregate(df, "k", "v", bins=4, top_k=2).collect()
+    assert [r["k"] for r in got] == ["a", "b"]  # null gone
+    assert all(r["density"] is not None for r in got)
+
+    # renderer: a null/empty density row degrades, never raises
+    svg = svg_box_violin_chart(
+        [
+            {"k": "x", "lo": 0.0, "q1": 1.0, "med": 2.0, "q3": 3.0,
+             "hi": 4.0, "density": None},
+            {"k": "y", "lo": 0.0, "q1": 1.0, "med": 2.0, "q3": 3.0,
+             "hi": 4.0, "density": []},
+        ],
+        "k",
+    )
+    assert "<svg" in svg and "<polygon" not in svg  # box-only
+
+
+# -------- _cosine_vs_anchors: zero-norm rows emit NULL, not NaN ------
+
+
+def test_cosine_vs_anchors_zero_norm_emits_null(spark):
+    """r11 ADVICE #2: numpy division gives inf/NaN on a zero-norm
+    embedding where Spark division semantics give null — and NaN
+    sorts FIRST under desc(sim), silently winning top-k slots. The
+    GEMM stage must mask non-finite sims to real NULLs."""
+    from citeconnect_datapipeline_spark.operators.similarity import (
+        _cosine_vs_anchors,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            (1, "a", [1.0, 0.0]),
+            (2, "b", [0.0, 0.0]),  # zero norm
+            (3, "a", [0.0, 2.0]),
+        ],
+        "vec_id long, label string, embedding array<double>",
+    )
+    anchors = spark.createDataFrame(
+        [(1, "a", [1.0, 0.0])],
+        "q_id long, q_label string, qvec array<double>",
+    )
+    got = {r["vec_id"]: r["sim"] for r in
+           _cosine_vs_anchors(emb, anchors).collect()}
+    assert got[1] == 1.0 and got[3] == 0.0
+    assert got[2] is None  # null, not NaN/inf
+    # and a desc(sim) ranking never puts the zero-norm row first
+    top = (
+        _cosine_vs_anchors(emb, anchors)
+        .orderBy(F.desc_nulls_last("sim"))
+        .limit(1)
+        .collect()[0]
+    )
+    assert top["vec_id"] == 1
