@@ -86,13 +86,17 @@ def test_embed_with_real_model_end_to_end(spark):
 
 @pytest.mark.skipif(HAS_PIL, reason="Pillow installed: gate unreachable")
 def test_real_media_codec_gate_names_the_seam():
+    """PIL-absent containers: the codec still CONSTRUCTS (the stdlib
+    WAV branch must work here — r11 verdict #4), and only the image
+    branch raises the documented ImportError at decode time."""
     from citeconnect_datapipeline_spark.operators.multimodal import (
         RealMediaCodec,
     )
 
     RealMediaCodec._instance = None
+    codec = RealMediaCodec.get()  # no longer raises at init
     with pytest.raises(ImportError, match="FakeMediaCodec"):
-        RealMediaCodec.get()
+        codec.decode("image", b"\x89PNG")
 
 
 @pytest.mark.skipif(not HAS_PIL, reason="Pillow not installed")
@@ -119,18 +123,142 @@ def test_real_media_codec_decodes_png():
     }
 
 
-def test_real_media_codec_audio_video_still_stubbed():
-    """audio/video need librosa/pyav regardless of PIL — the
-    NotImplementedError contract holds on every image-capable
-    install until those branches land."""
+def test_real_media_codec_video_still_stubbed():
+    """video needs pyav regardless of PIL — the NotImplementedError
+    contract holds on every install until that branch lands. (Audio
+    is REAL now — see the WAV tests below.)"""
     from citeconnect_datapipeline_spark.operators.multimodal import (
         RealMediaCodec,
     )
 
-    codec = object.__new__(RealMediaCodec)  # skip the PIL gate
-    codec._image = None
-    with pytest.raises(NotImplementedError, match="audio"):
-        codec.decode("audio", b"\x00")
+    RealMediaCodec._instance = None
+    with pytest.raises(NotImplementedError, match="video"):
+        RealMediaCodec.get().decode("video", b"\x00")
+
+
+def _make_wav(
+    seconds: float,
+    rate: int = 8000,
+    channels: int = 1,
+    sampwidth: int = 2,
+    amplitude: float = 0.5,
+    freq: float = 440.0,
+) -> bytes:
+    import io
+    import math
+    import struct
+    import wave
+
+    nframes = int(seconds * rate)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(sampwidth)
+        w.setframerate(rate)
+        frames = bytearray()
+        for i in range(nframes):
+            v = amplitude * math.sin(2 * math.pi * freq * i / rate)
+            for _ in range(channels):
+                if sampwidth == 2:
+                    frames += struct.pack("<h", int(v * 32767))
+                else:
+                    frames += struct.pack("B", int(v * 127) + 128)
+        w.writeframes(bytes(frames))
+    return buf.getvalue()
+
+
+def test_real_media_codec_decodes_pcm_wav():
+    """The WAV branch is REAL in this container (r11 verdict #4):
+    duration/channels/rate from the actual container header, RMS
+    windows from the actual samples (a 0.5-amplitude sine has RMS
+    ~0.354 in every window), peak ~0.5."""
+    from citeconnect_datapipeline_spark.operators.multimodal import (
+        RealMediaCodec,
+    )
+
+    RealMediaCodec._instance = None
+    codec = RealMediaCodec.get()
+    out = codec.decode_audio(_make_wav(2.0, rate=8000))
+    assert out["duration_sec"] == 2.0
+    assert out["channels"] == 1 and out["sample_rate"] == 8000
+    assert out["n_samples"] == 16000
+    assert len(out["rms_windows"]) == 8
+    for rms in out["rms_windows"]:
+        assert abs(rms - 0.5 / 2 ** 0.5) < 0.01
+    assert abs(out["peak"] - 0.5) < 0.01
+    # and through the COMMON decode schema: real duration, audio zeros
+    assert codec.decode("audio", _make_wav(2.0)) == {
+        "width": 0,
+        "height": 0,
+        "duration_sec": 2.0,
+        "n_frames": 0,
+    }
+
+
+def test_real_media_codec_wav_8bit_stereo_and_silence():
+    from citeconnect_datapipeline_spark.operators.multimodal import (
+        RealMediaCodec,
+    )
+
+    RealMediaCodec._instance = None
+    codec = RealMediaCodec.get()
+    out = codec.decode_audio(
+        _make_wav(1.0, channels=2, sampwidth=1, amplitude=0.4)
+    )
+    assert out["channels"] == 2 and out["duration_sec"] == 1.0
+    assert abs(out["peak"] - 0.4) < 0.02  # 8-bit quantization
+    silent = codec.decode_audio(_make_wav(1.0, amplitude=0.0))
+    assert silent["peak"] == 0.0
+    assert all(r == 0.0 for r in silent["rms_windows"])
+
+
+def test_real_media_codec_wav_unsupported_width_raises():
+    """24-bit PCM must refuse loudly, never mis-decode."""
+    import io
+    import wave
+
+    from citeconnect_datapipeline_spark.operators.multimodal import (
+        RealMediaCodec,
+    )
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(3)
+        w.setframerate(8000)
+        w.writeframes(b"\x00\x00\x00" * 100)
+    RealMediaCodec._instance = None
+    with pytest.raises(NotImplementedError, match="24-bit"):
+        RealMediaCodec.get().decode_audio(buf.getvalue())
+
+
+def test_audio_chunk_windows_real_through_spark_stage(spark):
+    """The real-duration chunker end-to-end as a Spark stage: WAV
+    bytes -> mapInPandas stdlib decode -> the SAME shared chunk plan
+    as the oracled query. A 65 s clip tiles into [0,30)[30,60)
+    [60,65]; a zero-length clip is dropped (the r5 parity
+    contract)."""
+    from citeconnect_datapipeline_spark.operators.multimodal import (
+        RealMediaCodec,
+        audio_chunk_windows_real,
+    )
+
+    RealMediaCodec._instance = None
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(_make_wav(65.0, rate=2000))),
+            (2, bytearray(_make_wav(0.0))),
+        ],
+        "doc_id long, payload binary",
+    )
+    rows = audio_chunk_windows_real(media).collect()
+    got = [
+        (r["doc_id"], r["chunk_idx"], r["start_sec"], r["end_sec"])
+        for r in rows
+    ]
+    assert got == [(1, 0, 0.0, 30.0), (1, 1, 30.0, 60.0),
+                   (1, 2, 60.0, 65.0)]
+    assert all(r["duration_sec"] == 65.0 for r in rows)
 
 
 # -------------- offline real model: hash-projection (T4) ------------

@@ -182,3 +182,114 @@ def test_cosine_vs_anchors_zero_norm_emits_null(spark):
         .collect()[0]
     )
     assert top["vec_id"] == 1
+
+
+# ------ fetch-ladder vs simulated-tier cascade parity (r11 #7) ------
+
+
+def test_fetch_ladder_agrees_with_simulated_cascade_on_driver_data(
+    spark,
+):
+    """r11 verdict #7: route the DRIVER testdata through the real
+    fetch+parse ladder (fixture transport serving per-doc envelopes
+    on the same doc_id%4 availability the simulated `_fetch_tiers`
+    stage models) and assert the two cascades agree doc-for-doc on
+    routing (method/quality) and on content modulo the DOCUMENTED
+    `_squash` whitespace normalization the real parsers apply
+    (extraction_parsers.py r10 ADVICE #3).
+
+    Known, asserted divergence: the real fallback ladder returns the
+    'failed' marker for abstracts <= 50 chars
+    (content_extractor.py:181-197) while the simulated query's tier-4
+    always emits the substring — every 'failed' doc must be exactly a
+    short-abstract doc."""
+    import html as html_mod
+
+    from __spark_entry__ import queries
+    from citeconnect_datapipeline_spark.operators.extraction_fetch import (
+        FixtureTransport,
+        TieredContentFetcher,
+        extract_with_fetch_ladder,
+    )
+    from citeconnect_datapipeline_spark.operators.extraction_parsers import (
+        _squash,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    rows = docs.collect()  # 500 rows: bounded test fixture build
+
+    fixtures = {}
+    papers_rows = []
+    for r in rows:
+        did, text = r["doc_id"], r["text"] or ""
+        mod = did % 4
+        arxiv_id, pdf_url = None, None
+        if mod == 0:
+            arxiv_id = str(did)
+            fixtures[f"https://arxiv.org/html/{did}"] = (
+                200,
+                '<html><body><section id="S1"><p>'
+                + html_mod.escape(text[:400])
+                + "</p></section></body></html>",
+            )
+        elif mod == 1:
+            pdf_url = f"https://pdfs/{did}.pdf"
+            fixtures[pdf_url] = (
+                200,
+                '<TEI xmlns="http://www.tei-c.org/ns/1.0"><text><body>'
+                '<div type="introduction"><p>'
+                + html_mod.escape(text[:300])
+                + "</p></div></body></text></TEI>",
+            )
+        elif mod == 2:
+            pdf_url = f"https://pdfs/{did}.pdf"
+            fixtures[pdf_url] = (
+                200,
+                "1. Introduction\n" + text[:250],
+            )
+        papers_rows.append((did, arxiv_id, pdf_url, text[:150]))
+
+    papers = spark.createDataFrame(
+        papers_rows,
+        "doc_id long, arxiv_id string, pdf_url string, abstract string",
+    )
+    ladder = {
+        r["doc_id"]: r
+        for r in extract_with_fetch_ladder(
+            papers,
+            lambda: TieredContentFetcher(FixtureTransport(fixtures)),
+        ).collect()
+    }
+    sim = {
+        r["doc_id"]: r
+        for r in queries()["content_extract_4tier"](spark, sf).collect()
+    }
+    assert set(ladder) == set(sim) == {r["doc_id"] for r in rows}
+
+    method_map = {
+        "arxiv_html": "arxiv_html",
+        "grobid_pdf": "grobid",
+        "regex_pdf": "pdf_regex",
+        "abstract_tldr": "abstract",
+    }
+    n_failed = 0
+    methods_seen = set()
+    for r in rows:
+        did, text = r["doc_id"], r["text"] or ""
+        lad, s = ladder[did], sim[did]
+        if lad["method"] == "failed":
+            n_failed += 1
+            assert len(text[:150]) <= 50  # the documented divergence
+            assert s["method"] == "abstract"
+            continue
+        methods_seen.add(lad["method"])
+        assert method_map[lad["method"]] == s["method"], did
+        assert lad["quality"] == s["quality"], did
+        assert _squash(lad["content"] or "") == _squash(
+            s["content"] or ""
+        ), did
+    # non-vacuity: every real tier was exercised by the corpus
+    assert methods_seen == set(method_map)
