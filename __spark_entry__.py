@@ -238,26 +238,20 @@ _REVERIFY_AGED: tuple[str, ...] = (
 )
 
 _REVERIFY_FIRST = (
-    # r11 rewrites (each re-audited locally at sf0.01 this round;
-    # the driver row makes the rewrite externally visible):
-    "content_extract_4tier",   # r11: <15000 upper bound now on the
-    # PDF tier only, matching the reference (r10 ADVICE #1)
-    "extraction_method_distribution",  # r11: same gate change in
-    # its oracle
-    "pivot_mean",              # r11: trailing orderBy replaced by
-    # coalesce(1) in-partition sort (r10 verdict #2 job cut)
-    "event_debounce",          # r11: same
-    "join_key_skew_report",    # r11: same (window's own sort kept)
-    "hard_negative_mining",    # r11: same
-    "content_extract_payload_parse",  # r11: corpus-property guard
-    # added around its oracle assumptions (r10 ADVICE #4)
-    "fuzzy_prefix_pairs",      # r11: PassJoin pigeonhole blocking
-    # replaces the degenerate length-band key (alpha 1.54 -> linear
-    # candidate volume); equality verified at sf0.01 + sf0.1
-    "retrieval_ndcg_eval",     # r11: GEMM anchor scoring + eval
-    # batch cap (sf1: 33 s -> 2.5 s); MATCH at sf0.01 + sf0.1
-    "variant_json_stats",      # r11: dictionary-trick parse (count
-    # per distinct payload, parse once per distinct); MATCH both
+    # r12 rewrites (each re-audited locally at sf0.01 AND sf0.1 this
+    # round; the driver row makes the rewrite externally visible):
+    "fuzzy_prefix_pairs",      # r12: entropy-adaptive segment
+    # boundaries + multi-match-aware shift bound + once-per-pair
+    # post-distinct DP (r11 verdict #3 / ADVICE #3)
+    "doc_repetition_topk",     # r12: Arrow-batched pandas-UDF
+    # shingle counting replaces the interpreted HOF (9.2 s -> 0.44 s
+    # isolated; the r11 gate flag)
+    "hard_negative_mining",    # r12: zero-norm sims masked to NULL
+    # in the shared GEMM stage (r11 ADVICE #2)
+    "retrieval_ndcg_eval",     # r12: same GEMM-stage change
+    "audio_chunk_windows",     # r12: chunk plan extracted into the
+    # shared _chunk_durations helper (real-WAV variant added);
+    # plan-identical, re-verified anyway
 )
 
 
@@ -289,11 +283,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
        eventually refreshed (regression detection, round-3 ADVICE).
 
     Freshness cadence (r10 verdict #4 — current numbers): the driver
-    window is ~50 slots/round. As of r11 the registry is FROZEN at
+    window is ~50 slots/round. As of r12 the registry is FROZEN at
     330 queries (308 oracled + 22 contractual rows-only), all 330
-    driver-verified at least once (r1-r10 union). With 0 unverified
-    and 7 r11 rewrites at the head, 43 slots rotate — every green
-    row is re-checked at most ceil(330/43) = 8 rounds after its last
+    driver-verified at least once (r1-r11 union). With 0 unverified
+    and 5 r12 rewrites at the head, 45 slots rotate — every green
+    row is re-checked at most ceil(330/45) = 8 rounds after its last
     row. Net-new registry growth stays frozen unless a round both
     (a) ships a new operator family and (b) keeps head small enough
     that >= 30 rotation slots remain (the r10 verdict floor); the

@@ -20,14 +20,16 @@ Env:
                         contention under concurrency) is also emitted;
                         run BENCH_CONCURRENCY=1 to measure isolated
                         per-query latency for the whole suite.
-  BENCH_ISOLATED_BUDGET wall-clock seconds (default 480) for the
+  BENCH_ISOLATED_BUDGET wall-clock seconds (default 900) for the
                         post-suite sequential re-measure of over-2x
                         candidates when BENCH_CONCURRENCY>1; isolated
                         numbers land in BENCH_DETAIL.json. The 10
                         slowest suite entries are ALWAYS re-measured,
-                        before and regardless of the budget, so the
-                        heaviest queries never go a round without an
-                        isolated figure.
+                        before and regardless of the budget; screen
+                        candidates with no isolated figure in the
+                        previous run's BENCH_DETAIL.json run before
+                        ones that have one, so a budget cutoff never
+                        starves a never-measured query.
   BENCH_REPEATS         suite passes (default 2); headline wall-clock
                         is the best pass, labeled ``suite_best_of``.
   BENCH_COLD            1 (default) re-measures every memo-consuming
@@ -75,6 +77,9 @@ def main() -> None:
     from citeconnect_datapipeline_spark.session import get_spark
 
     spark = get_spark(app_name="citeconnect-bench")
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
     queries = get_queries()
     subset = os.environ.get("BENCH_QUERIES")
     names = subset.split(",") if subset else sorted(queries)
@@ -320,7 +325,11 @@ def main() -> None:
         # same in both modes; without this, sequential runs would
         # silently fall back to the jobs=1 allowance).
         isolated = dict(timings)
-    budget = float(os.environ.get("BENCH_ISOLATED_BUDGET", "480"))
+    # 480 s left 37 candidates unmeasured on the (noisier) driver box
+    # in r11 — their gate status silently rested on contended suite
+    # times (r11 verdict #5). Default raised to 900 s; the retry loop
+    # below still bounds each candidate.
+    budget = float(os.environ.get("BENCH_ISOLATED_BUDGET", "900"))
     # The TOP-10 suite entries always get an isolated row, budget or
     # not (r6 verdict #1: the heaviest queries are exactly the ones
     # whose scale claims must be measured, and the contended suite
@@ -330,15 +339,36 @@ def main() -> None:
         sorted(timings, key=lambda n: -timings[n])[:10]
     )
     # Then the over-2x screen (jobs=1, the smallest allowance — a
-    # strict superset of the true offenders), worst ratio first.
-    candidates = sorted(top_suite, key=lambda n: -timings[n]) + sorted(
-        (
-            n
-            for n, t in timings.items()
-            if n not in top_suite
-            and _fails_2x(t, duck_timings.get(n, -1.0))
-        ),
-        key=lambda n: -(timings[n] / max(duck_timings[n], 1e-3)),
+    # strict superset of the true offenders). Within the screen,
+    # candidates with NO isolated figure in the PREVIOUS run's
+    # BENCH_DETAIL.json go FIRST (the correctness-rotation pattern:
+    # never-measured before re-measured, r11 verdict #5) — a budget
+    # cutoff then starves only queries that already have a recent
+    # isolated figure on record; worst ratio first within each tier.
+    prev_isolated: set = set()
+    try:
+        with open(detail_path) as fh:
+            _prev = json.load(fh)
+        prev_isolated = set(_prev.get("isolated_queries", {})) | set(
+            _prev.get("isolated_cold", {})
+        )
+    except Exception:
+        pass
+    screen = [
+        n
+        for n, t in timings.items()
+        if n not in top_suite
+        and _fails_2x(t, duck_timings.get(n, -1.0))
+    ]
+    by_ratio = lambda n: -(timings[n] / max(duck_timings[n], 1e-3))
+    candidates = (
+        sorted(top_suite, key=lambda n: -timings[n])
+        + sorted(
+            (n for n in screen if n not in prev_isolated), key=by_ratio
+        )
+        + sorted(
+            (n for n in screen if n in prev_isolated), key=by_ratio
+        )
     )
     t_start = time.monotonic()
     for n in candidates:
@@ -491,9 +521,6 @@ def main() -> None:
         "suite_best_of": repeats,
         "sf": sf,
     }
-    detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
-    )
     try:
         with open(detail_path, "w") as fh:
             json.dump(detail, fh, indent=1)

@@ -724,7 +724,8 @@ def fuzzy_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     positions by at most one, that occurrence starts within +-K of
     the segment's own position. The PROBE side therefore emits its
     substrings at positions p_j - K .. p_j + K for each segment slot
-    j (<= 231 grams/row, a CONSTANT), and the shuffled equi-join on
+    j (<= 121 grams/row under the multi-match-aware shift bound
+    below, a CONSTANT), and the shuffled equi-join on
     (lang, j, gram) + pair-distinct + one thresholded
     ``levenshtein(a, b, K)`` recheck reproduces the quadratic
     lang-blocked join EXACTLY (equality verified row-for-row vs the
@@ -736,7 +737,7 @@ def fuzzy_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the operator must not silently depend on that) route through a
     lang-blocked fallback leg whose build side is only those short
     rows, so it stays linear while making the union unconditionally
-    lossless. Candidate volume is O(docs x 231) grams + O(true
+    lossless. Candidate volume is O(docs x 121) grams + O(true
     near-dups) rechecks — linear in the corpus, vs the O(block^2)
     pair scan of any equality-banding on a skewed key.
 
@@ -820,13 +821,27 @@ def fuzzy_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s.g").alias("g"),
     )
     # probe side: every substring that could BE one of a neighbour's
-    # segments — slot j's length at positions p_j - K .. p_j + K
+    # segments under the MULTI-MATCH-AWARE shift bound (r12 — the
+    # second half of the PassJoin recipe): if build segment j appears
+    # verbatim in the probe shifted by delta, the alignment needs
+    # >= |delta| indels before it and >= |delta - D| after it
+    # (D = len(probe) - W <= 0), so |delta| + |delta - D| <= K, i.e.
+    # delta in [D - (K-|D|)/2, (K-|D|)/2] — a window of K+1 positions
+    # instead of the naive 2K+1 (equal lengths: 2|delta| edits per
+    # shift, so |delta| <= K/2). Exactly halves the spurious
+    # candidates a common 3-4 char segment gram generates (sf1:
+    # 169 s -> 93 s; 205 s in r11) while front insertions still match
+    # (a 4-char front insert costs 8 edits — shift 4 is within K/2).
+    dlt = F.length("pre") - W  # <= 0; >= -K after the band filter
+    hi_d = F.floor((F.lit(K) + dlt) / 2).cast("int")
+    lo_d = -F.floor((F.lit(K) - dlt) / 2).cast("int")
+
     def slot_grams(j):
         seg_len = bound(j + 1) - bound(j)
         return F.transform(
             F.sequence(
-                F.lit(max(bound(j) + 1 - K, 1)),
-                F.lit(bound(j) + 1 + K),
+                F.greatest(F.lit(bound(j) + 1) + lo_d, F.lit(1)),
+                F.lit(bound(j) + 1) + hi_d,
             ),
             lambda pos: F.struct(
                 F.lit(j).alias("j"),
@@ -842,7 +857,12 @@ def fuzzy_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda s: F.length(s["g"]) == s["want"],
     )
     a = (
-        spread_small_source(d, "doc_id")
+        # probes more than K shorter than the build width can never
+        # pass the length band vs a full-width build — drop them
+        # before gram emission (they pair via the fallback leg, whose
+        # probe side is the unfiltered d); also keeps the shift
+        # window arithmetic in-range (D >= -K)
+        spread_small_source(d.filter(F.length("pre") >= W - K), "doc_id")
         .select("doc_id", "lang", "pre", F.explode(probe_grams).alias("s"))
         .select(
             F.col("doc_id").alias("a_id"),
@@ -860,7 +880,7 @@ def fuzzy_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # with the recheck AFTER the distinct, the whole same-lang pair
     # set would be shuffled just to be deduped (measured 535 s at
     # sf1); with it inside the join only TRUE pairs (x their slot
-    # multiplicity, <= 231) are shuffled. Natural corpora pay a few
+    # multiplicity, <= 121) are shuffled. Natural corpora pay a few
     # extra rechecks per true pair — output-linear either way.
     dist = F.levenshtein(F.col("a_pre"), F.col("b_pre"), K)
     cand = (
@@ -881,7 +901,7 @@ def fuzzy_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the prefixes (functionally determined by the ids) through
         # the pair-distinct instead and recompute ONCE per distinct
         # true pair — strictly fewer DPs than once per surviving
-        # candidate row (true pair x slot multiplicity, <= 231).
+        # candidate row (true pair x slot multiplicity, <= 121).
         .select("a_id", "b_id", "a_lang", "a_pre", "b_pre")
         .dropDuplicates(["a_id", "b_id"])
         .select(
