@@ -349,9 +349,13 @@ def main() -> None:
     try:
         with open(detail_path) as fh:
             _prev = json.load(fh)
-        prev_isolated = set(_prev.get("isolated_queries", {})) | set(
-            _prev.get("isolated_cold", {})
-        )
+        # only a previous run AT THE SAME SCALE counts as "already
+        # has an isolated figure" — an sf0.1 figure says nothing
+        # about the sf1 gate (self-review r12)
+        if _prev.get("sf") == sf:
+            prev_isolated = set(
+                _prev.get("isolated_queries", {})
+            ) | set(_prev.get("isolated_cold", {}))
     except Exception:
         pass
     screen = [

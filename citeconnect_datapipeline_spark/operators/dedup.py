@@ -670,11 +670,19 @@ def _adaptive_bounds(
     exactness argument holds for ANY contiguous partition, so
     boundary placement only affects performance, never the output.
     The eps floor keeps the cumulative walk advancing through
-    constant regions and makes an empty/degenerate count vector fall
-    back to uniform boundaries."""
+    constant regions and makes an all-zero/constant count vector
+    (e.g. an empty corpus, where approx_count_distinct yields 0 per
+    position) fall back to uniform boundaries; a count vector
+    SHORTER than nseg cannot host nseg nonempty segments and is a
+    caller error."""
     import math
 
     w = len(counts)
+    if w < nseg:
+        raise ValueError(
+            f"need >= {nseg} positions to place {nseg} segments, "
+            f"got {w}"
+        )
     masses = [max(math.log2(max(c, 1)), eps) for c in counts]
     prefix = [0.0]
     for m in masses:

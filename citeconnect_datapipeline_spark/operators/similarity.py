@@ -2346,8 +2346,11 @@ def _cosine_vs_anchors(emb: DataFrame, anchors: DataFrame) -> DataFrame:
     * Zero-norm vectors: numpy division would emit inf/NaN where
       Spark's null-division semantics emit null (and NaN sorts
       FIRST under desc(sim), silently winning top-k slots) — so
-      non-finite sims are masked to real NULLs below, which every
-      downstream ranking drops exactly like the HOF fold did.
+      exactly the zero-norm PAIRS are masked to real NULLs below,
+      which every downstream ranking drops like the HOF fold did. A
+      NaN from a NaN-valued embedding is NOT masked: both engines
+      propagate it (and rank it first under desc), so nulling it
+      would diverge from the oracle on corrupt inputs.
     * EAGERNESS: ``anchors.collect()`` runs at DataFrame-
       CONSTRUCTION time — merely building a plan through here
       triggers the anchor-side Spark jobs and freezes the anchor
@@ -2383,12 +2386,19 @@ def _cosine_vs_anchors(emb: DataFrame, anchors: DataFrame) -> DataFrame:
                     (cm @ qm.T) / np.outer(cn, qn), 6
                 )  # (batch, n_anchors)
             n, k = sims.shape
-            flat = sims.T.reshape(-1)
+            flat = np.ascontiguousarray(sims.T.reshape(-1))
             # zero-norm rows divide to inf/NaN; Spark's division
-            # semantics are null — mask to real NULLs (nullable
-            # Float64 -> Arrow null) so desc(sim) never ranks them
-            sim_col = pd.array(flat, dtype="Float64")
-            sim_col[~np.isfinite(flat)] = pd.NA
+            # semantics are null — mask EXACTLY the zero-norm pairs
+            # to real NULLs (FloatingArray mask -> Arrow null) so
+            # desc(sim) never ranks them. A NaN that comes from a
+            # NaN-VALUED embedding is deliberately NOT masked: both
+            # Spark arithmetic and DuckDB propagate it and rank NaN
+            # first under desc, so nulling it would diverge from the
+            # oracle on corrupt inputs (self-review r12).
+            null_mask = np.ascontiguousarray(
+                ((cn == 0)[:, None] | (qn == 0)[None, :]).T.reshape(-1)
+            )
+            sim_col = pd.arrays.FloatingArray(flat, null_mask)
             yield pd.DataFrame(
                 {
                     "q_id": np.repeat(np.array(q_ids), n),

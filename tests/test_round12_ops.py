@@ -293,3 +293,30 @@ def test_fetch_ladder_agrees_with_simulated_cascade_on_driver_data(
         ), did
     # non-vacuity: every real tier was exercised by the corpus
     assert methods_seen == set(method_map)
+
+
+def test_cosine_vs_anchors_nan_embedding_propagates_nan(spark):
+    """Self-review r12: only ZERO-NORM pairs are nulled — a NaN that
+    comes from a NaN-VALUED embedding must propagate as NaN (both
+    engines rank NaN first under desc), not be silently nulled."""
+    import math
+
+    from citeconnect_datapipeline_spark.operators.similarity import (
+        _cosine_vs_anchors,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            (1, "a", [1.0, 0.0]),
+            (2, "b", [float("nan"), 1.0]),  # corrupt, nonzero norm
+        ],
+        "vec_id long, label string, embedding array<double>",
+    )
+    anchors = spark.createDataFrame(
+        [(1, "a", [1.0, 0.0])],
+        "q_id long, q_label string, qvec array<double>",
+    )
+    got = {r["vec_id"]: r["sim"] for r in
+           _cosine_vs_anchors(emb, anchors).collect()}
+    assert got[1] == 1.0
+    assert got[2] is not None and math.isnan(got[2])
