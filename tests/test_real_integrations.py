@@ -468,3 +468,33 @@ def test_jdbc_upsert_rejects_unknown_paramstyle(spark):
     df = spark.createDataFrame([(1, "x")], "id long, v string")
     with pytest.raises(ValueError, match="paramstyle"):
         jdbc_upsert(df, "t", "id", lambda: None, paramstyle="numeric")
+
+
+def test_real_media_codec_wav_equal_time_windows_and_fullscale_peak():
+    """Self-review r12 pins: (a) window edges split samples evenly
+    (+-1) — the remainder is spread, never lumped into the tail;
+    (b) full-scale NEGATIVE samples normalize to exactly -1.0, so
+    peak never exceeds 1.0."""
+    import io
+    import struct
+    import wave
+
+    from citeconnect_datapipeline_spark.operators.multimodal import (
+        RealMediaCodec,
+    )
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(15)
+        w.writeframes(
+            struct.pack("<15h", -32768, *([1000] * 14))
+        )
+    RealMediaCodec._instance = None
+    out = RealMediaCodec.get().decode_audio(buf.getvalue())
+    assert out["peak"] == 1.0  # -32768 / 32768, never > 1
+    # 15 samples into 8 windows: widths 1,2,2,2,2,2,2,2 (edges
+    # n*i//8) — no window hoards the remainder
+    assert len(out["rms_windows"]) == 8
+    assert out["rms_windows"][0] == 1.0  # the lone full-scale sample
