@@ -68,28 +68,159 @@ def _nonempty_filter(text_col: str):
     return ~((F.size(words) == 1) & (F.element_at(words, 1) == F.lit("")))
 
 
+def _shingle_arrow_stage(
+    df: DataFrame,
+    text_col: str = "text",
+    mode: str = "explode",
+    n: int = 3,
+    key_col: str = "doc_id",
+    num_hashes: int = 16,
+    band_size: int = 4,
+) -> DataFrame:
+    """One mapInArrow stage computing shingle-derived outputs with
+    the vectorized XXH64 kernel (functions/xxh64.py) — bit-identical
+    to the Catalyst ``transform(sequence, xxhash64(get,get,get))``
+    expression it replaces, at vectorized-numpy speed instead of
+    ~35 us per shingle of interpreted-HOF evaluation (guide §4.2;
+    kernel property-tested vs F.xxhash64 in tests/test_xxh64_kernel.py,
+    explode mode equality-tested end-to-end on the lake there too).
+
+    Modes (each fuses the downstream per-row arithmetic into the
+    same batch, so nothing per-shingle ever reaches an exchange):
+      explode  -> (key_col, sh):   per-doc DISTINCT shingle hashes
+      sizes    -> (key_col, n):    per-doc distinct-shingle count
+      bands    -> (doc_id, band_idx, band_hash): MinHash-LSH band
+                  keys (num_hashes salted mins, banded band_size-at-
+                  a-time, band hash = chained xxhash64 of the mins)
+      simhash  -> (doc_id, simhash): 32-bit SimHash fingerprint
+                  (per-bit +-1 votes over the distinct shingle set)
+
+    Only (key_col, split words) cross the Python boundary — project
+    early, guide §4.1 — and the per-task work is numpy over Arrow
+    buffers, no per-row Python. The compact-source spread is kept:
+    at verification SF the scan is 1-2 parquet partitions and the
+    batch kernel should run on every core; at 100 TB the scan is
+    already wide and the spread no-ops (sources/tables.py).
+    """
+    from ..sources.tables import spread_small_source
+
+    df = spread_small_source(df)
+    key_type = df.schema[key_col].dataType.simpleString()
+    src = df.filter(_nonempty_filter(text_col)).select(
+        key_col,
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+").alias("w"),
+    )
+    schema = {
+        "explode": f"{key_col} {key_type}, sh long",
+        "sizes": f"{key_col} {key_type}, n int",
+        "bands": f"{key_col} {key_type}, band_idx int, band_hash long",
+        "simhash": f"{key_col} {key_type}, simhash long",
+    }[mode]
+    nbands = num_hashes // band_size
+
+    def gen(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        from ..functions import xxh64 as xk
+
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            keys = batch.column(0)
+            buf, st, ln, doff = xk.arrow_words_to_flat(batch.column(1))
+            h, soff = xk.shingle_hashes_flat(buf, st, ln, doff, n)
+            d = batch.num_rows
+            nsh = np.diff(soff)
+            if mode in ("explode", "sizes", "simhash"):
+                # array_distinct: per-doc distinct shingle hashes
+                didx = np.repeat(np.arange(d), nsh)
+                order = np.lexsort((h, didx))
+                hs, ds = h[order], didx[order]
+                keep = np.ones(len(hs), dtype=bool)
+                keep[1:] = (hs[1:] != hs[:-1]) | (ds[1:] != ds[:-1])
+                hd, dd = hs[keep], ds[keep]
+            if mode == "explode":
+                yield pa.record_batch(
+                    [
+                        keys.take(pa.array(dd)),
+                        pa.array(hd.view(np.int64)),
+                    ],
+                    names=[key_col, "sh"],
+                )
+            elif mode == "sizes":
+                cnt = np.bincount(dd, minlength=d).astype(np.int32)
+                yield pa.record_batch(
+                    [keys, pa.array(cnt)], names=[key_col, "n"]
+                )
+            elif mode == "simhash":
+                starts = np.flatnonzero(
+                    np.r_[True, dd[1:] != dd[:-1]]
+                )
+                shifts = np.arange(32, dtype=np.uint64)
+                bits = (
+                    (hd[:, None] >> shifts[None, :]) & np.uint64(1)
+                ).astype(np.int32)
+                votes = np.add.reduceat(2 * bits - 1, starts, axis=0)
+                fp = (
+                    (votes > 0).astype(np.uint64)
+                    << shifts[None, :]
+                ).sum(axis=1, dtype=np.uint64)
+                yield pa.record_batch(
+                    [keys, pa.array(fp.view(np.int64))],
+                    names=[key_col, "simhash"],
+                )
+            else:  # bands
+                base = xk.hash_long(h, xk._SEED)
+                sig = np.empty((d, num_hashes), dtype=np.int64)
+                seg = soff[:-1]
+                for i in range(num_hashes):
+                    vi = np.ascontiguousarray(
+                        xk.hash_int(i, base)
+                    ).view(np.int64)
+                    sig[:, i] = np.minimum.reduceat(vi, seg)
+                bh = np.empty((d, nbands), dtype=np.uint64)
+                for b in range(nbands):
+                    acc = xk.hash_long(
+                        sig[:, b * band_size], xk._SEED
+                    )
+                    for j in range(1, band_size):
+                        acc = xk.hash_long(
+                            sig[:, b * band_size + j], acc
+                        )
+                    bh[:, b] = acc
+                yield pa.record_batch(
+                    [
+                        keys.take(
+                            pa.array(
+                                np.repeat(np.arange(d), nbands)
+                            )
+                        ),
+                        pa.array(
+                            np.tile(
+                                np.arange(nbands, dtype=np.int32), d
+                            )
+                        ),
+                        pa.array(bh.reshape(-1).view(np.int64)),
+                    ],
+                    names=[key_col, "band_idx", "band_hash"],
+                )
+
+    return src.mapInArrow(gen, schema)
+
+
 def _shingle_hashes(
     df: DataFrame, text_col: str = "text", n: int = 3
 ) -> DataFrame:
     """doc_id -> exploded distinct shingle hashes (blocking keys).
 
-    The explode is built DIRECTLY over the shingle expression, not
-    over a named intermediate column: with a named column, Catalyst's
-    InferFiltersFromGenerate clones the whole transform into an
-    inferred ``size(col) > 0`` filter and pushes it below the
-    repartition — recomputing the expensive expression a second time,
-    single-threaded on the compact source (measured 10x slowdown).
-    A compact source is spread to full parallelism first (a no-op on
-    an already-wide 100 TB scan, where the repartition would be a
-    full shuffle of raw text) so the 1->N expansion runs on every
-    core, not one task per source file.
-    """
-    from ..sources.tables import spread_small_source
-
-    df = spread_small_source(df)
-    return df.filter(_nonempty_filter(text_col)).select(
-        "doc_id", F.explode(_shingle_hash_expr(text_col, n)).alias("sh")
-    )
+    r12: the interpreted ``explode(transform(...xxhash64...))`` HOF
+    (~35 us/shingle, the dominant per-task cost of every Jaccard
+    consumer) is replaced by the vectorized Arrow stage — values
+    bit-identical (kernel property-tested vs F.xxhash64), so every
+    downstream posting list, pair count, and oracle hash is
+    unchanged."""
+    return _shingle_arrow_stage(df, text_col, "explode", n)
 
 
 def _posting_pairs(buckets: DataFrame, pair_struct) -> DataFrame:
