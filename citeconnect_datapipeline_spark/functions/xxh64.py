@@ -52,23 +52,29 @@ def _fmix(h: np.ndarray) -> np.ndarray:
 def hash_long(value: np.ndarray, seed) -> np.ndarray:
     """XXH64.hashLong for arrays: value int64/uint64, seed scalar or
     array (uint64). Returns uint64 (view as int64 for Spark longs)."""
-    v = np.asarray(value).astype(np.uint64, copy=False)
-    s = np.asarray(seed, dtype=np.uint64)
-    h = s + _P5 + _U64(8)
-    h = h ^ (_rotl(v * _P2, 31) * _P1)
-    h = _rotl(h, 27) * _P1 + _P4
-    return _fmix(h)
+    # modular uint64 arithmetic is the algorithm; silence numpy's
+    # scalar-overflow warning (0-d inputs warn where arrays wrap)
+    with np.errstate(over="ignore"):
+        v = np.asarray(value).astype(np.uint64, copy=False)
+        s = np.asarray(seed, dtype=np.uint64)
+        h = s + _P5 + _U64(8)
+        h = h ^ (_rotl(v * _P2, 31) * _P1)
+        h = _rotl(h, 27) * _P1 + _P4
+        return _fmix(h)
 
 
 def hash_int(value: np.ndarray, seed) -> np.ndarray:
     """XXH64.hashInt for arrays: value int32-ranged, seed scalar or
     array (uint64)."""
-    v = (np.asarray(value).astype(np.int64) & 0xFFFFFFFF).astype(np.uint64)
-    s = np.asarray(seed, dtype=np.uint64)
-    h = s + _P5 + _U64(4)
-    h = h ^ (v * _P1)
-    h = _rotl(h, 23) * _P2 + _P3
-    return _fmix(h)
+    with np.errstate(over="ignore"):
+        v = (np.asarray(value).astype(np.int64) & 0xFFFFFFFF).astype(
+            np.uint64
+        )
+        s = np.asarray(seed, dtype=np.uint64)
+        h = s + _P5 + _U64(4)
+        h = h ^ (v * _P1)
+        h = _rotl(h, 23) * _P2 + _P3
+        return _fmix(h)
 
 
 def _hash_bytes_scalar(data: bytes, seed: int) -> int:

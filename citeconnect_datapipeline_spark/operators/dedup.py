@@ -305,16 +305,15 @@ def _pair_overlap_counts(
 def _shingle_set_sizes(
     df: DataFrame, text_col: str = "text", n: int = 3
 ) -> DataFrame:
-    """doc_id -> distinct-shingle-set size, straight from the array
-    expression (no explode, no groupBy shuffle). Spread for the same
-    reason as _shingle_hashes: the per-shingle lambda is the cost,
-    and a compact source would run it on one task."""
-    from ..sources.tables import spread_small_source
+    """doc_id -> distinct-shingle-set size (no explode, no groupBy
+    shuffle — one value per doc straight out of the map stage).
 
-    df = spread_small_source(df)
-    return df.filter(_nonempty_filter(text_col)).select(
-        "doc_id", F.size(_shingle_hash_expr(text_col, n)).alias("n")
-    )
+    r12: fused into the vectorized Arrow stage ("sizes" mode) — the
+    count is a bincount over the same per-doc distinct hashes the
+    explode mode emits, bit-identical to
+    ``F.size(_shingle_hash_expr(...))`` (equality-tested with edge
+    docs in tests/test_xxh64_kernel.py)."""
+    return _shingle_arrow_stage(df, text_col, "sizes", n)
 
 
 @query(
@@ -518,61 +517,26 @@ def minhash_band_hashes(
     the reusable core of MinHash-LSH, shared by the batch candidate
     query and the streaming ingest dedup.
 
-    Each shingle is hashed to a long ONCE (in the shingling lambda);
-    the ``num_hashes`` salted hashes derive from that long (xxhash64
-    over (long, salt) is far cheaper than re-hashing a string per
-    hash function). The whole signature is computed PER ROW by
-    folding the shingle array once with a min-struct accumulator —
-    shingle sets are per-document, so there is nothing to shuffle:
-    the explode + groupBy(min aggs) formulation moves |shingles| rows
-    through an exchange to compute what a narrow projection already
-    has in hand (measured ~2x on the bench set)."""
-    from ..sources.tables import spread_small_source
+    Each shingle is hashed to a long ONCE; the ``num_hashes`` salted
+    hashes derive from that long (xxhash64 over (long, salt) is far
+    cheaper than re-hashing a string per hash function), and the
+    whole signature lives and dies inside the map stage — shingle
+    sets are per-document, so there is nothing to shuffle.
 
-    docs = spread_small_source(docs)
-    arr = _shingle_hash_expr(text_col, 3)
-    init = F.struct(
-        *[
-            F.lit(2**63 - 1).cast("long").alias(f"mh{i}")
-            for i in range(num_hashes)
-        ]
-    )
-    signature = F.aggregate(
-        arr,
-        init,
-        lambda acc, x: F.struct(
-            *[
-                F.least(acc[f"mh{i}"], F.xxhash64(x, F.lit(i))).alias(
-                    f"mh{i}"
-                )
-                for i in range(num_hashes)
-            ]
-        ),
-    )
-    minhashes = (
-        docs.filter(_nonempty_filter(text_col))
-        .select("doc_id", signature.alias("sig"))
-        .select(
-            "doc_id",
-            *[F.col(f"sig.mh{i}").alias(f"mh{i}") for i in range(num_hashes)],
-        )
-    )
-    # Bands: hash each contiguous group of band_size signatures.
-    return minhashes.select(
-        "doc_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        *[
-                            F.col(f"mh{b * band_size + j}")
-                            for j in range(band_size)
-                        ]
-                    )
-                    for b in range(num_hashes // band_size)
-                ]
-            )
-        ).alias("band_idx", "band_hash"),
+    r12: the per-row Catalyst ``aggregate`` fold (interpreted, no
+    codegen for lambda bodies — 16 xxhash64 + 16 least per SHINGLE)
+    is replaced by the vectorized Arrow stage's "bands" mode: one
+    numpy pass computes all signatures and band keys per batch,
+    bit-identical to the fold (equality-tested with edge docs in
+    tests/test_xxh64_kernel.py), so LSH buckets, the streaming
+    ingest dedup, and the rows-only contract are unchanged."""
+    return _shingle_arrow_stage(
+        docs,
+        text_col,
+        "bands",
+        3,
+        num_hashes=num_hashes,
+        band_size=band_size,
     )
 
 
@@ -763,24 +727,16 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead one aggregate per bit (32 conditional sums in a single
     shuffle), keeping the plan whole-stage-codegen friendly.
     """
-    bits = 32
     docs = load_table(spark, sf_dir, "documents")
-    sh = _shingle_hashes(docs).withColumnRenamed("sh", "h")
-    votes = sh.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(F.shiftright(F.col("h"), i).bitwiseAND(1) == 1, 1)
-                .otherwise(-1)
-            ).alias(f"b{i}")
-            for i in range(bits)
-        ]
-    )
-    fingerprint = None
-    for i in range(bits):
-        bit = F.when(F.col(f"b{i}") > 0, F.lit(1)).otherwise(F.lit(0))
-        term = (bit * F.lit(2**i)).cast("long")
-        fingerprint = term if fingerprint is None else fingerprint + term
-    return votes.select("doc_id", fingerprint.alias("simhash"))
+    # r12: the explode + 32-conditional-sum groupBy moved |shingles|
+    # rows through an exchange to compute a per-document reduction —
+    # shingle sets are per-doc, so the whole vote fits in the map
+    # stage. The Arrow stage's "simhash" mode computes the fingerprint
+    # batch-side (guide §2.4 remove the shuffle outright + §4.2);
+    # bit-identical to the groupBy form (equality-tested in
+    # tests/test_xxh64_kernel.py), so the rows-only contract and every
+    # Hamming consumer see the same values.
+    return _shingle_arrow_stage(docs, "text", "simhash", 3)
 
 
 FUZZY_PREFIX_LEN = 40
@@ -1143,7 +1099,11 @@ def chunk_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioning, so they ride one exchange. At 100 TB this is the
     standard repeated-n-gram pass run before tokenization."""
     docs = load_table(spark, sf_dir, "documents")
-    w = F.split(F.lower(F.col("text")), "[^a-z0-9]+")
+    # r12: materialize the word array before the generator — the
+    # inlined form re-split the whole document once PER CHUNK inside
+    # the transform lambda (quadratic in doc length; same fix as
+    # chunk_documents, guide §4.1)
+    w = F.col("w")
     n_chunks = F.greatest(
         F.ceil((F.size(w) - CHUNK_W) / CHUNK_S) + 1, F.lit(1)
     )
@@ -1154,6 +1114,10 @@ def chunk_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     chunks = (
         docs.select(
+            "doc_id",
+            F.split(F.lower(F.col("text")), "[^a-z0-9]+").alias("w"),
+        )
+        .select(
             "doc_id", F.posexplode(chunk_arr).alias("pos", "chunk_text")
         )
         .filter(F.col("chunk_text") != "")
@@ -2134,16 +2098,11 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     injective concat, same classes short of a 2^-64 collision), the
     same contract every Jaccard query in this module uses."""
     docs = load_table(spark, sf_dir, "documents")
-    from ..sources.tables import spread_small_source
-
-    docs = spread_small_source(docs)
-    sh = (
-        docs.filter(_nonempty_filter("text"))
-        .select(
-            "source", F.explode(_shingle_hash_expr("text", 3)).alias("sh")
-        )
-        .distinct()
-    )
+    # r12: vectorized Arrow shingle stage keyed by source (guide
+    # §4.2); per-row distinct hashes are bit-identical to the
+    # interpreted HOF (tests/test_xxh64_kernel.py string-key test),
+    # and the global per-source distinct below is unchanged.
+    sh = _shingle_arrow_stage(docs, "text", "explode", 3, key_col="source").distinct()
     sizes = sh.groupBy("source").agg(F.count("*").alias("n"))
     postings = sh.groupBy("sh").agg(
         F.sort_array(F.collect_set("source")).alias("ss")

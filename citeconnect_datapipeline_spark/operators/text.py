@@ -87,9 +87,18 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     -> ``slice`` per start -> ``posexplode``. Fully codegen'd, no UDF,
     partition-parallel in the document id -- at 100 TB the 1->N
     explosion is the only row-multiplying step and carries no shuffle.
-    """
+
+    r12: the word array is MATERIALIZED in its own projection before
+    the generator (guide §4.1 — compute once, reference many). The
+    single-select form inlined ``split(lower(text))`` into the
+    transform LAMBDA, so every chunk re-split the whole document:
+    O(doc_len * n_chunks) per doc, quadratic in document length.
+    With the projected array the split runs once per doc and the
+    lambda slices a bound attribute (CollapseProject keeps the
+    non-cheap alias separate because it is referenced twice —
+    asserted in tests/test_plans.py)."""
     docs = load_table(spark, sf_dir, "documents")
-    w = _words()
+    w = F.col("w")
     n_chunks = F.greatest(
         F.ceil((F.size(w) - CHUNK_WORDS) / CHUNK_STRIDE) + 1, F.lit(1)
     )
@@ -101,7 +110,8 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return (
-        docs.select("doc_id", F.posexplode(chunks).alias("pos", "chunk_text"))
+        docs.select("doc_id", _words().alias("w"))
+        .select("doc_id", F.posexplode(chunks).alias("pos", "chunk_text"))
         .filter(F.col("chunk_text") != "")
         .select(
             "doc_id",

@@ -476,3 +476,14 @@ def test_connected_components_random_graphs_match_union_find(spark):
         r.v: r.label for r in connected_components(edges).collect()
     }
     assert got == truth
+
+
+def test_chunkers_split_text_once(spark):
+    """The word-array projection must survive optimization: if
+    CollapseProject ever inlines ``split(lower(text))`` back into the
+    chunk generator's lambda, every chunk re-splits the whole document
+    (quadratic per doc — the r12 fix this test pins)."""
+    for name in ("chunk_documents", "chunk_exact_dedup"):
+        df = get_queries()[name](spark, SF_DIR)
+        plan = physical(df)
+        assert plan.count("split(lower(text") == 1, (name, plan)

@@ -173,3 +173,164 @@ def test_shingle_distinct_matches_expr_on_lake(spark, sf_dir):
     )
     arrow = _shingle_arrow_stage(docs, "text", "explode", 3).collect()
     assert sorted(map(tuple, arrow)) == sorted(map(tuple, legacy))
+
+
+def _edge_docs(spark):
+    """Lake docs plus the edge classes the lake may not cover: empty
+    text (filtered), punctuation-only, 1-2 word docs (NULL-padded
+    shingles), heavy in-doc repetition (distinct matters), unicode."""
+    rows = [
+        (9001, ""),
+        (9002, "...!!!"),
+        (9003, "one"),
+        (9004, "two words"),
+        (9005, "same same same same same same"),
+        (9006, "héllo wörld naïve café crème brûlée"),
+        (9007, "a b c d e f g h i j k l m n o p q r s t"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _with_edges(spark, docs):
+    return docs.select("doc_id", "text").unionByName(_edge_docs(spark))
+
+
+def test_sizes_mode_matches_expr(spark, sf_dir):
+    from citeconnect_datapipeline_spark.operators.dedup import (
+        _nonempty_filter,
+        _shingle_hash_expr,
+        _shingle_arrow_stage,
+    )
+    from citeconnect_datapipeline_spark.sources.tables import load_table
+
+    docs = _with_edges(spark, load_table(spark, sf_dir, "documents"))
+    legacy = (
+        docs.filter(_nonempty_filter("text"))
+        .select("doc_id", F.size(_shingle_hash_expr("text", 3)).alias("n"))
+        .collect()
+    )
+    arrow = _shingle_arrow_stage(docs, "text", "sizes", 3).collect()
+    assert sorted(map(tuple, arrow)) == sorted(map(tuple, legacy))
+
+
+def test_simhash_mode_matches_groupby_votes(spark, sf_dir):
+    """simhash mode equals the legacy explode + 32-conditional-sum
+    groupBy formulation bit-for-bit."""
+    from citeconnect_datapipeline_spark.operators.dedup import (
+        _nonempty_filter,
+        _shingle_hash_expr,
+        _shingle_arrow_stage,
+    )
+    from citeconnect_datapipeline_spark.sources.tables import load_table
+
+    docs = _with_edges(spark, load_table(spark, sf_dir, "documents"))
+    sh = (
+        docs.filter(_nonempty_filter("text"))
+        .select("doc_id", F.explode(_shingle_hash_expr("text", 3)).alias("h"))
+    )
+    votes = sh.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(1) == 1, 1)
+                .otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(32)
+        ]
+    )
+    fingerprint = None
+    for i in range(32):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1)).otherwise(F.lit(0))
+        term = (bit * F.lit(2**i)).cast("long")
+        fingerprint = term if fingerprint is None else fingerprint + term
+    legacy = votes.select("doc_id", fingerprint.alias("simhash")).collect()
+    arrow = _shingle_arrow_stage(docs, "text", "simhash", 3).collect()
+    assert sorted(map(tuple, arrow)) == sorted(map(tuple, legacy))
+
+
+def test_bands_mode_matches_signature_fold(spark, sf_dir):
+    """bands mode equals the legacy per-row Catalyst aggregate fold
+    (16 salted min-hashes, banded 4x4, chained xxhash64 band keys)."""
+    from citeconnect_datapipeline_spark.operators.dedup import (
+        _nonempty_filter,
+        _shingle_hash_expr,
+        _shingle_arrow_stage,
+    )
+    from citeconnect_datapipeline_spark.sources.tables import load_table
+
+    num_hashes, band_size = 16, 4
+    docs = _with_edges(spark, load_table(spark, sf_dir, "documents"))
+    arr = _shingle_hash_expr("text", 3)
+    init = F.struct(
+        *[
+            F.lit(2**63 - 1).cast("long").alias(f"mh{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    signature = F.aggregate(
+        arr,
+        init,
+        lambda acc, x: F.struct(
+            *[
+                F.least(acc[f"mh{i}"], F.xxhash64(x, F.lit(i))).alias(
+                    f"mh{i}"
+                )
+                for i in range(num_hashes)
+            ]
+        ),
+    )
+    minhashes = (
+        docs.filter(_nonempty_filter("text"))
+        .select("doc_id", signature.alias("sig"))
+        .select(
+            "doc_id",
+            *[
+                F.col(f"sig.mh{i}").alias(f"mh{i}")
+                for i in range(num_hashes)
+            ],
+        )
+    )
+    legacy = minhashes.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        *[
+                            F.col(f"mh{b * band_size + j}")
+                            for j in range(band_size)
+                        ]
+                    )
+                    for b in range(num_hashes // band_size)
+                ]
+            )
+        ).alias("band_idx", "band_hash"),
+    ).collect()
+    arrow = _shingle_arrow_stage(
+        docs, "text", "bands", 3,
+        num_hashes=num_hashes, band_size=band_size,
+    ).collect()
+    assert sorted(map(tuple, arrow)) == sorted(map(tuple, legacy))
+
+
+def test_explode_mode_string_key(spark, sf_dir):
+    """explode mode with a non-doc_id key column (source_overlap's
+    grain): per-ROW distinct hashes keyed by the string column."""
+    from citeconnect_datapipeline_spark.operators.dedup import (
+        _nonempty_filter,
+        _shingle_hash_expr,
+        _shingle_arrow_stage,
+    )
+    from citeconnect_datapipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    legacy = (
+        docs.filter(_nonempty_filter("text"))
+        .select(
+            "source", F.explode(_shingle_hash_expr("text", 3)).alias("sh")
+        )
+        .collect()
+    )
+    arrow = _shingle_arrow_stage(
+        docs, "text", "explode", 3, key_col="source"
+    ).collect()
+    assert sorted(map(tuple, arrow)) == sorted(map(tuple, legacy))
