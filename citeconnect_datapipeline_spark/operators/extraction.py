@@ -204,16 +204,19 @@ def content_extract_4tier(spark: SparkSession, sf_dir: str) -> DataFrame:
     the length gate — same semantics, no per-row Python in the
     decision path."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    # RANGE-partition on the output order key BEFORE the Python
-    # stage: (a) the (I/O-bound in production) tier fetch fans out
-    # across all workers instead of serializing on one Python worker
-    # per source file, and (b) the final global order becomes a cheap
-    # per-partition sort — a trailing orderBy would range-SAMPLE its
-    # child and re-execute the whole Python stage a second time
-    # (measured ~2x on this query).
-    docs = docs.repartitionByRange(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
+    # Spread the compact source so the (I/O-bound in production) tier
+    # fetch fans out across all workers instead of serializing on one
+    # Python worker per source file; hash-keyed on doc_id so the
+    # exchange needs no range SAMPLING pass (r12 — repartitionByRange
+    # ran an extra job that re-scanned the full text column just to
+    # pick bounds) and no sort-before-repartition. The trailing
+    # doc_id sort is dropped with it: the driver hash-compares
+    # row-SORTED values, so output order is cosmetic (same trailing-
+    # sort cut as the r11 floor-bound queries). At 100 TB the scan is
+    # already wide and the spread no-ops.
+    from ..sources.tables import spread_small_source
+
+    docs = spread_small_source(docs, "doc_id")
     tiers = docs.mapInPandas(_fetch_tiers, _TIER_SCHEMA)
 
     t1 = tier_gate(F.col("arxiv_text"))
@@ -236,9 +239,6 @@ def content_extract_4tier(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("quality"),
             F.length(content).cast("long").alias("intro_length"),
         )
-        # partitions are already doc_id ranges: a within-partition
-        # sort yields global order with no extra exchange or re-run
-        .sortWithinPartitions("doc_id")
     )
 
 
@@ -531,12 +531,13 @@ def content_extract_payload_parse(
     no newlines), so payload rendering is injective and the oracle's
     closed-form replay is exact. Scale shape: payload rendering is
     three concat expressions; the cascade is the same single
-    mapInPandas stage as production; ordering rides range
-    partitioning like `content_extract_4tier`."""
+    mapInPandas stage as production; the compact-source spread is
+    hash-keyed like `content_extract_4tier` (r12: no range-sampling
+    job, no trailing sort — the driver hashes row-sorted values)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    docs = docs.repartitionByRange(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
+    from ..sources.tables import spread_small_source
+
+    docs = spread_small_source(docs, "doc_id")
     mod = F.col("doc_id") % 4
     payloads = docs.select(
         "doc_id",
@@ -569,4 +570,4 @@ def content_extract_payload_parse(
         ).alias("pdf_text"),
         F.col("text").alias("abstract"),
     )
-    return extract_from_payloads(payloads).sortWithinPartitions("doc_id")
+    return extract_from_payloads(payloads)
