@@ -1310,7 +1310,10 @@ def duplicate_span_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     reasoning as `_pair_overlap_counts` does NOT apply: counts per
     hash are a scalar aggregate, never a pair expansion."""
     docs = load_table(spark, sf_dir, "documents")
-    w = F.split(F.lower(F.col("text")), "[^a-z0-9]+")
+    # r12: word array projected once per doc — the inlined form
+    # re-split the whole document per chunk inside the transform
+    # lambda (quadratic in doc length; same fix as chunk_documents)
+    w = F.col("w")
     n_chunks = F.greatest(
         F.ceil((F.size(w) - CHUNK_W) / CHUNK_S) + 1, F.lit(1)
     )
@@ -1320,6 +1323,10 @@ def duplicate_span_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     chunks = (
         docs.select(
+            "doc_id",
+            F.split(F.lower(F.col("text")), "[^a-z0-9]+").alias("w"),
+        )
+        .select(
             "doc_id", F.posexplode(chunk_arr).alias("pos", "chunk_text")
         )
         .filter(F.col("chunk_text") != "")
@@ -1428,7 +1435,10 @@ def _portable_string_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.tables import spread_small_source
 
     docs = spread_small_source(load_table(spark, sf_dir, "documents"))
-    w = F.split(F.lower(F.col("text")), "[^a-z0-9]+")
+    # r12: word array projected once per doc — the inlined form
+    # re-split the whole document per shingle inside the transform
+    # lambda (quadratic in doc length; same fix as chunk_documents)
+    w = F.col("w")
     sh_arr = F.array_distinct(
         F.filter(
             F.transform(
@@ -1440,7 +1450,9 @@ def _portable_string_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda s: s != F.lit(""),
         )
     )
-    return docs.select("doc_id", F.explode(sh_arr).alias("s"))
+    return docs.select(
+        "doc_id", F.split(F.lower(F.col("text")), "[^a-z0-9]+").alias("w")
+    ).select("doc_id", F.explode(sh_arr).alias("s"))
 
 
 PMH_NUM_HASHES = 16
@@ -1962,7 +1974,10 @@ def clip_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     len/stride windows), so the probe stays doc-local — never a
     corpus-wide inequality join."""
     docs = load_table(spark, sf_dir, "documents")
-    w = F.split(F.lower(F.col("text")), "[^a-z0-9]+")
+    # r12: word array projected once per doc (quadratic inline-split
+    # fix, same as chunk_documents); base and the chunk generator
+    # share the one projection
+    w = F.col("w")
     n_chunks = F.greatest(
         F.ceil((F.size(w) - CHUNK_W) / CHUNK_S) + 1, F.lit(1)
     )
@@ -1970,9 +1985,11 @@ def clip_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(0), n_chunks - 1),
         lambda i: F.concat_ws(" ", F.slice(w, i * CHUNK_S + 1, CHUNK_W)),
     )
-    base = docs.select("doc_id", w.alias("w"))
+    base = docs.select(
+        "doc_id", F.split(F.lower(F.col("text")), "[^a-z0-9]+").alias("w")
+    )
     hashed = (
-        docs.select(
+        base.select(
             "doc_id", F.posexplode(chunk_arr).alias("pos", "chunk_text")
         )
         .filter(F.col("chunk_text") != "")

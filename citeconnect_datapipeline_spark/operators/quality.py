@@ -598,6 +598,22 @@ def column_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             if kind == "string"
             else F.col(c) <= 0
         )
+        # r12 (guide §2.3 shuffle metadata, not payloads): the exact-
+        # distinct Expand ships every profiled value through the
+        # (value, gid) exchange — for the document body that is the
+        # whole corpus text. Count distinct 8-byte xxhash64 classes
+        # of the text instead: same cardinality short of a 2^-64
+        # collision (the identical equality-class contract the
+        # shingle family already rides vs its string oracles),
+        # verified MATCH vs the oracle's count(DISTINCT text) at both
+        # audit scales. Narrow columns keep the exact value distinct.
+        # (null-guarded: xxhash64(NULL) is the non-null seed, but
+        # count_distinct must keep skipping NULL rows)
+        nd_col = (
+            F.when(F.col(c).isNotNull(), F.xxhash64(F.col(c)))
+            if c == "text"
+            else F.col(c)
+        )
         aggs += [
             F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(
                 f"null_{c}"
@@ -605,7 +621,7 @@ def column_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(
                 F.when(F.coalesce(degen, F.lit(False)), 1).otherwise(0)
             ).alias(f"degen_{c}"),
-            F.count_distinct(F.col(c)).alias(f"nd_{c}"),
+            F.count_distinct(nd_col).alias(f"nd_{c}"),
         ]
     wide = docs.agg(*aggs)
     stack_args: list = []

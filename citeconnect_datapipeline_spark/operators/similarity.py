@@ -1893,11 +1893,13 @@ def ann_pq_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("d2")
         )
     )
-    w_code = Window.partitionBy("vec_id", "m").orderBy("d2", "c")
-    codes = (
-        d2.withColumn("rn", F.row_number().over(w_code))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "m", F.col("c").alias("code"))
+    # r12: argmin per (vec_id, m) as min(struct(d2, c)) — lexicographic
+    # struct min == row_number-over-(d2, c) rank 1, but it rides the
+    # existing aggregate exchange with map-side partials instead of a
+    # full Window sort (guide §2.3 aggregate-before-shuffle; oracle
+    # MATCH re-verified at both scales)
+    codes = d2.groupBy("vec_id", "m").agg(
+        F.min(F.struct("d2", "c"))["c"].alias("code")
     )
     qtab = d2.filter(F.col("vec_id") == QUERY_VEC_ID).select(
         F.col("m").alias("qm"),

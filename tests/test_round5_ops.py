@@ -239,7 +239,12 @@ def test_equidepth_buckets_hold_a_quarter_each_on_distinct_values(
         for i in range(1, 101)
     ]
     sf = _write(spark, tmp_path, "orders", ORDER_SCHEMA, rows)
-    out = equidepth_histogram(spark, sf).collect()
+    # r12 dropped the query's trailing sort (the driver hashes
+    # row-sorted values); order rows here instead
+    out = sorted(
+        equidepth_histogram(spark, sf).collect(),
+        key=lambda r: r["bucket"],
+    )
     assert [r["bucket"] for r in out] == [1, 2, 3, 4]
     for r in out:
         assert abs(r["n"] - 25) <= 1  # equi-DEPTH, not equi-width
