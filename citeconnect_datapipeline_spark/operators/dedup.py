@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..plans.registry import query
-from ..sources.tables import load_table
+from ..sources.tables import literal_grid, load_table
 
 # Shared shingling: lowercase, split on non-alphanumerics, 3-word
 # shingles. Equality classes kept identical to the DuckDB oracles'
@@ -3092,9 +3092,7 @@ def minhash_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     bc = buckets.groupBy("rpb").agg(
         F.count("*").cast("bigint").alias("n_multi_buckets")
     )
-    grid = spark.createDataFrame(
-        [(r,) for r in BAND_TUNE_SCHEMES], "rpb int"
-    )
+    grid = literal_grid(spark, "rpb", BAND_TUNE_SCHEMES, "int")
     return (
         grid.join(F.broadcast(bc), "rpb", "left")
         .join(F.broadcast(pc), "rpb", "left")

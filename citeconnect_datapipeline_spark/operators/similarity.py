@@ -32,7 +32,7 @@ from pyspark.sql.types import (
 )
 
 from ..plans.registry import query
-from ..sources.tables import load_table
+from ..sources.tables import literal_grid, load_table
 
 QUERY_VEC_ID = 0  # deterministic query vector: embedding of vec_id 0
 
@@ -2823,9 +2823,7 @@ def ivf_nprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.sum("is_truth"), F.lit(0)).alias("nt"),
         )
     )
-    grid = spark.createDataFrame(
-        [(n,) for n in IVFR_LADDER], "nprobe int"
-    )
+    grid = literal_grid(spark, "nprobe", IVFR_LADDER, "int")
     return (
         grid.join(
             F.broadcast(per_qr), F.col("qr") <= F.col("nprobe"), "left"

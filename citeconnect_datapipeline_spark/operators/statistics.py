@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..plans.registry import query
-from ..sources.tables import load_table, spread_small_source
+from ..sources.tables import literal_grid, load_table, spread_small_source
 
 
 @query(
@@ -1877,9 +1877,7 @@ def hill_tail_profile(
             .alias("r"),
         )
     )
-    grid = df.sparkSession.createDataFrame(
-        [(k,) for k in ks], "tail_k long"
-    )
+    grid = literal_grid(df.sparkSession, "tail_k", ks, "long")
     thresh = F.round(
         F.max(F.when(F.col("r") == F.col("tail_k") + 1, F.col("x"))),
         6,
@@ -3073,8 +3071,8 @@ def ab_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("cohort") == "B", 1).otherwise(0)),
         ).alias("n_arm"),
     )
-    grid = spark.createDataFrame(
-        [(float(lift),) for lift in POWER_LIFT_GRID], "lift double"
+    grid = literal_grid(
+        spark, "lift", [float(lift) for lift in POWER_LIFT_GRID], "double"
     )
     zsum2 = (_Z_ALPHA2 + _Z_POWER) ** 2
     n_req = F.ceil(

@@ -32,7 +32,11 @@ from pyspark.sql.types import (
 )
 
 from ..plans.registry import query
-from ..sources.tables import load_table
+from ..sources.tables import (
+    literal_grid,
+    load_table,
+    spread_small_source,
+)
 
 # Chunking parameters: the reference uses 512 tokens / 50 overlap
 # (embeddings/config.py:63-64) over ~4-char tokens; the synthetic docs
@@ -2564,9 +2568,7 @@ def vocab_sizing_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     tot = counts.agg(F.sum("c").alias("tot"))
-    grid = spark.createDataFrame(
-        [(k,) for k in VOCAB_CURVE_KS], "vocab_k long"
-    )
+    grid = literal_grid(spark, "vocab_k", VOCAB_CURVE_KS, "long")
     covered = F.coalesce(F.sum("c"), F.lit(0))
     return (
         grid.join(
@@ -3293,20 +3295,76 @@ def char_ngram_lang_profile(
     s = F.regexp_replace(
         F.trim(F.lower(F.col("text"))), r"\s+", " "
     )
-    tri = (
-        docs.select("lang", s.alias("s"))
-        .filter(F.length("s") >= 3)
-        .select(
-            "lang",
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, length(s) - 2),"
-                    " i -> substring(s, i, 3))"
-                )
-            ).alias("g"),
-        )
+    # r12 (guide §4.2): the per-character `transform(sequence, i ->
+    # substring(s, i, 3))` HOF is interpreted (no codegen for lambda
+    # bodies) and explodes one row per character — the dominant CPU
+    # of this query. The trigram PROFILE (lang, g, c) is computed in
+    # one mapInArrow stage instead: per task, codepoints via numpy
+    # (UTF-32 — Spark's substring and Python slicing both count code
+    # points), trigrams packed into 21-bit-per-char uint64 keys,
+    # counted with np.unique, and emitted ONCE per task — a map-side
+    # partial aggregation, so the exchange carries per-task distinct
+    # grams instead of per-character rows. String normalization stays
+    # in Catalyst so lower/trim/regexp semantics are byte-identical
+    # to the oracle's. Counting is exact integers: `prof` is
+    # bit-identical to the explode+groupBy form it replaces
+    # (equality pinned in tests/test_round12_ops.py).
+    src = spread_small_source(
+        docs.select("lang", s.alias("s")).filter(F.length("s") >= 3)
     )
-    prof = tri.groupBy("lang", "g").agg(F.count("*").alias("c"))
+
+    def gen(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        acc: dict = {}  # lang -> list[np.ndarray] of packed keys
+        for batch in batches:
+            langs = batch.column(0).to_pylist()
+            texts = batch.column(1).to_pylist()
+            per_lang: dict = {}
+            for lang, txt in zip(langs, texts):
+                cp = np.frombuffer(
+                    txt.encode("utf-32-le"), dtype=np.uint32
+                ).astype(np.uint64)
+                keys = (
+                    (cp[:-2] << np.uint64(42))
+                    | (cp[1:-1] << np.uint64(21))
+                    | cp[2:]
+                )
+                per_lang.setdefault(lang, []).append(keys)
+            for lang, arrs in per_lang.items():
+                # compact to distinct-gram grain per batch so the
+                # task-level accumulator stays domain-bounded
+                uk, uc = np.unique(
+                    np.concatenate(arrs), return_counts=True
+                )
+                st = acc.setdefault(lang, [[], []])
+                st[0].append(uk)
+                st[1].append(uc)
+        for lang, (uks, ucs) in acc.items():
+            k = np.concatenate(uks)
+            c = np.concatenate(ucs)
+            uk, inv = np.unique(k, return_inverse=True)
+            cnt = np.zeros(len(uk), dtype=np.int64)
+            np.add.at(cnt, inv, c)
+            m = np.uint64(0x1FFFFF)
+            chars = np.empty((len(uk), 3), dtype=np.uint32)
+            chars[:, 0] = (uk >> np.uint64(42)) & m
+            chars[:, 1] = (uk >> np.uint64(21)) & m
+            chars[:, 2] = uk & m
+            flat = chars.tobytes().decode("utf-32-le")
+            grams = [flat[i * 3 : i * 3 + 3] for i in range(len(uk))]
+            yield pa.record_batch(
+                [
+                    pa.array([lang] * len(uk), type=pa.string()),
+                    pa.array(grams, type=pa.string()),
+                    pa.array(cnt),
+                ],
+                names=["lang", "g", "c"],
+            )
+
+    partial = src.mapInArrow(gen, "lang string, g string, c long")
+    prof = partial.groupBy("lang", "g").agg(F.sum("c").alias("c"))
     norms = prof.groupBy("lang").agg(
         F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("nrm"),
         F.count("*").alias("n_grams"),

@@ -172,23 +172,55 @@ def bpe_merge_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("rank")
 
 
+def encode_word_tokens(word: str, merge_pairs) -> int:
+    """Token count of one word under the learned merge table:
+    iterate merges in RANK ORDER with one exhaustive left-to-right
+    non-overlapping pass each (exactly subword-nmt's ``apply_bpe``,
+    and exactly `_apply_merge`'s fold semantics — the accumulator's
+    last element merges with the current symbol when they equal
+    (left, right)). Equivalence to the merge-lowest-rank-present
+    loop: a pair learned at rank r has both constituent symbols
+    created before r, and applying a later merge can only create
+    adjacencies involving its own new symbol, whose pairs all rank
+    higher still."""
+    syms = list(word)
+    for a, b in merge_pairs:
+        out: list[str] = []
+        for s in syms:
+            if out and out[-1] == a and s == b:
+                out[-1] = a + b
+            else:
+                out.append(s)
+        syms = out
+    return len(syms)
+
+
 def encode_word_vocab(docs: DataFrame, merges) -> DataFrame:
     """(word, n_tokens): every distinct corpus word encoded with the
     learned merge table.
 
-    Encoding iterates the merge list in RANK ORDER with one
-    exhaustive left-to-right pass each (exactly subword-nmt's
-    ``apply_bpe``) — equivalent to the merge-lowest-rank-present
-    loop because a pair learned at rank r has both constituent
-    symbols created before r, and applying a later merge can only
-    create adjacencies involving its own new symbol, whose pairs all
-    rank higher still. So the whole encode is ``len(merges)``
-    chained in-row folds in ONE projection: no loop state, no
-    shuffle, and it runs over the DISTINCT-WORD vocabulary (Heaps'
-    law — ~1M rows at web scale), never the corpus."""
-    sym = F.split(F.col("word"), "")
-    for _, a, b, _ in merges:
-        sym = _apply_merge(sym, a, b)
+    The encode runs over the DISTINCT-WORD vocabulary (Heaps' law —
+    ~1M rows at web scale), never the corpus. r12 (guide §4.2): the
+    previous form chained ``len(merges)`` Catalyst ``aggregate``
+    folds into one NESTED expression per word — interpreted lambda
+    evaluation 12 levels deep was this query's dominant CPU. The
+    merge table is model state (a dozen pairs), so the encode is now
+    a ``mapInPandas`` stage running the identical left-to-right fold
+    in `encode_word_tokens` — per-word Python, but a few hundred
+    plain list operations per word instead of interpreted Catalyst
+    lambda trees. Bit-equality with the fold chain is pinned in
+    tests/test_round12_ops.py."""
+    merge_pairs = [(a, b) for _, a, b, _ in merges]
+
+    def enc(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["n_tokens"] = [
+                encode_word_tokens(w, merge_pairs)
+                for w in pdf["word"]
+            ]
+            yield pdf
+
     words = docs.select(
         F.explode(
             F.filter(
@@ -197,7 +229,7 @@ def encode_word_vocab(docs: DataFrame, merges) -> DataFrame:
             )
         ).alias("word")
     ).distinct()
-    return words.select("word", F.size(sym).alias("n_tokens"))
+    return words.mapInPandas(enc, "word string, n_tokens int")
 
 
 @query("bpe_encode_stats")  # rows-only: loop-carried trainer state

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..plans.registry import query
-from ..sources.tables import load_table
+from ..sources.tables import literal_grid, load_table
 from .dedup import _shingle_hashes
 
 # 80/10/10 split over a 0-99 hash bucket.
@@ -2172,8 +2172,15 @@ def conformal_coverage_audit(
     conditional aggregate. No window touches row grain."""
     li = load_table(spark, sf_dir, "lineitem")
     rid = F.col("l_orderkey") * 10 + F.col("l_linenumber")
+    # r12 (guide §2.4 / §5): the three consumers below (model, q_hat,
+    # coverage) each re-derived this frame from the parquet scan, so
+    # lineitem was scanned — and the per-row md5 split recomputed —
+    # THREE times. Materialize the narrow (qty, y, split) rows once
+    # (localCheckpoint, eager at build time — the logrank_stats
+    # multi-consumer precedent); every pass below reads the
+    # materialized rows. Values are untouched: same md5 split, same
+    # arithmetic, oracle-verified at both audit scales.
     base = li.select(
-        rid.alias("id"),
         F.col("l_quantity").cast("int").alias("qty"),
         F.col("l_extendedprice").alias("y"),
         F.when(
@@ -2182,7 +2189,7 @@ def conformal_coverage_audit(
         )
         .otherwise("test")
         .alias("split"),
-    )
+    ).localCheckpoint()
     model = (
         base.filter(F.col("split") == "calib")
         .groupBy("qty")
@@ -2374,9 +2381,7 @@ def context_fit_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").alias("tot_tokens"),
     )
-    ladder = spark.createDataFrame(
-        [(k,) for k in CTX_LADDER], "ctx_budget long"
-    )
+    ladder = literal_grid(spark, "ctx_budget", CTX_LADDER, "long")
     fit = F.sum(
         F.when(F.col("n_tokens") <= F.col("ctx_budget"), 1).otherwise(0)
     )

@@ -111,6 +111,23 @@ def spread_small_source(df: DataFrame, *cols: str) -> DataFrame:
     return df.repartition(target)
 
 
+def literal_grid(
+    spark: SparkSession, name: str, values, dtype: str
+) -> DataFrame:
+    """One-column constant frame as a pure-JVM ``VALUES`` local
+    relation. ``createDataFrame`` over a Python list plans a
+    ``Scan ExistingRDD`` whose execution spins a Python worker stage
+    and an extra Spark job just to ship a handful of numeric
+    constants (guide §4.1: keep data out of the Python boundary);
+    a LocalRelation is materialized driver-side — broadcasting it
+    schedules no job at all. Values/column name/type are identical
+    to the createDataFrame form it replaces."""
+    vals = ", ".join(f"(CAST({v!r} AS {dtype}))" for v in values)
+    return spark.sql(
+        f"SELECT {name} FROM (VALUES {vals}) AS t({name})"
+    )
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
 ) -> dict[str, DataFrame]:

@@ -320,3 +320,174 @@ def test_cosine_vs_anchors_nan_embedding_propagates_nan(spark):
            _cosine_vs_anchors(emb, anchors).collect()}
     assert got[1] == 1.0
     assert got[2] is not None and math.isnan(got[2])
+
+
+# ------- r12 optimization internals: equality-pinning tests ---------
+
+
+def test_bpe_python_encode_matches_catalyst_fold_chain(spark, sf_dir):
+    """encode_word_vocab moved from 12 nested interpreted `aggregate`
+    folds to a mapInPandas running the same left-to-right
+    non-overlapping merge — the two forms must agree word-for-word
+    on the real lake vocabulary."""
+    from citeconnect_datapipeline_spark.operators.tokenizer import (
+        _apply_merge,
+        encode_word_vocab,
+        train_bpe_merges,
+    )
+    from citeconnect_datapipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = train_bpe_merges(docs)
+    new = {
+        r["word"]: r["n_tokens"]
+        for r in encode_word_vocab(docs, merges).collect()
+    }
+    sym = F.split(F.col("word"), "")
+    for _, a, b, _ in merges:
+        sym = _apply_merge(sym, a, b)
+    words = docs.select(
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+                lambda x: x != F.lit(""),
+            )
+        ).alias("word")
+    ).distinct()
+    old = {
+        r["word"]: r["n"]
+        for r in words.select("word", F.size(sym).alias("n")).collect()
+    }
+    assert new == old and len(new) > 20
+
+
+def test_bpe_python_encode_overlap_semantics():
+    """'aaa' + (a,a) must merge left-to-right non-overlapping into
+    [aa, a] — the fold-semantics contract the Python encode keeps."""
+    from citeconnect_datapipeline_spark.operators.tokenizer import (
+        encode_word_tokens,
+    )
+
+    assert encode_word_tokens("aaa", [("a", "a")]) == 2
+    assert encode_word_tokens("aaaa", [("a", "a")]) == 2
+    # merged token never re-merges as its own left constituent
+    assert encode_word_tokens("aaa", [("a", "a"), ("aa", "a")]) == 1
+    assert encode_word_tokens("x", []) == 1
+
+
+def test_trigram_arrow_profile_matches_catalyst_explode(
+    spark, tmp_path
+):
+    """char_ngram_lang_profile's (lang, g, c) trigram profile moved
+    into a mapInArrow kernel (packed-codepoint np.unique). Plant a
+    lake with multibyte/emoji text, whitespace runs, sub-3-char and
+    NULL rows, then assert the registered query equals a
+    reconstruction of the legacy explode+groupBy form row-for-row."""
+    rows = [
+        (1, "Hello  world", "en", "s", 12),
+        (2, "héllo héllo wörld", "de", "s", 17),
+        (3, "日本語のテキストです", "ja", "s", 10),
+        (4, "🎉🎊🎉🎊 party 🎉", "emoji", "s", 12),
+        (5, "ab", "short", "s", 2),  # < 3 chars after norm: dropped
+        (6, None, "null-text", "s", 0),
+        (7, "  padded   spaces  ", "en", "s", 19),
+        (8, "mixed 日本 and ascii", None, "s", 17),  # NULL lang kept
+    ]
+    sf = str(tmp_path / "lake")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    ).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+
+    from citeconnect_datapipeline_spark.operators.text import (
+        char_ngram_lang_profile,
+    )
+
+    got = sorted(
+        tuple(r) for r in char_ngram_lang_profile(spark, sf).collect()
+    )
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    s = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    tri = (
+        docs.select("lang", s.alias("s"))
+        .filter(F.length("s") >= 3)
+        .select(
+            "lang",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(s) - 2),"
+                    " i -> substring(s, i, 3))"
+                )
+            ).alias("g"),
+        )
+    )
+    prof = tri.groupBy("lang", "g").agg(F.count("*").alias("c"))
+    norms = prof.groupBy("lang").agg(
+        F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("nrm"),
+        F.count("*").alias("n_grams"),
+    )
+    a = prof.select(
+        F.col("lang").alias("lang_a"), "g", F.col("c").alias("ca")
+    )
+    b = prof.select(
+        F.col("lang").alias("lang_b"), "g", F.col("c").alias("cb")
+    )
+    dots = (
+        a.join(b, (a.g == b.g) & (a.lang_a < b.lang_b))
+        .groupBy("lang_a", "lang_b")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("dot"))
+    )
+    na = norms.select(
+        F.col("lang").alias("lang_a"),
+        F.col("nrm").alias("na"),
+        F.col("n_grams").alias("n_grams_a"),
+    )
+    nb = norms.select(
+        F.col("lang").alias("lang_b"),
+        F.col("nrm").alias("nb"),
+        F.col("n_grams").alias("n_grams_b"),
+    )
+    spine = na.join(nb, F.col("lang_a") < F.col("lang_b"))
+    want = sorted(
+        tuple(r)
+        for r in spine.join(dots, ["lang_a", "lang_b"], "left")
+        .select(
+            "lang_a",
+            "lang_b",
+            F.round(
+                F.coalesce(F.col("dot"), F.lit(0.0))
+                / (F.col("na") * F.col("nb")),
+                6,
+            ).alias("cosine"),
+            F.col("n_grams_a").cast("bigint").alias("n_grams_a"),
+            F.col("n_grams_b").cast("bigint").alias("n_grams_b"),
+        )
+        .collect()
+    )
+    # 4 langs carry trigrams (short/empty rows drop, NULL lang drops
+    # out of the a<b pairing in BOTH forms) -> C(4,2)=6 pairs, with
+    # at least the de/en pair sharing grams
+    assert got == want and len(got) == 6
+    assert any(r[2] > 0 for r in got)
+
+
+def test_literal_grid_values_and_types(spark):
+    """literal_grid (pure-JVM VALUES local relation) must reproduce
+    the createDataFrame grids it replaced: same column name, dtype,
+    and values — with a LocalTableScan, never a Python RDD scan."""
+    from citeconnect_datapipeline_spark.sources.tables import (
+        literal_grid,
+    )
+
+    g = literal_grid(spark, "k", (1, 2, 5), "long")
+    assert g.schema["k"].dataType.simpleString() == "bigint"
+    assert [r["k"] for r in g.orderBy("k").collect()] == [1, 2, 5]
+    d = literal_grid(spark, "lift", (0.01, 0.1), "double")
+    assert d.schema["lift"].dataType.simpleString() == "double"
+    assert [r["lift"] for r in d.orderBy("lift").collect()] == [
+        0.01,
+        0.1,
+    ]
+    plan = g._jdf.queryExecution().executedPlan().toString()
+    assert "LocalTableScan" in plan and "ExistingRDD" not in plan
