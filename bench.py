@@ -409,6 +409,13 @@ def main() -> None:
         "semantic_dedup", "kmeans_clusters",
         "quality_classifier", "classifier_eval", "bpe_merge_ranks",
         "bpe_encode_stats",
+        # r12: the memoized co-purchase edge artifacts
+        # (_copurchase_edges, _support_pruned_edges) and all their
+        # consumers — pagerank/LPA were missing from this list before
+        # r12 even though _copurchase_edges was already memoized
+        "part_copurchase_pagerank", "lpa_communities_topk",
+        "copurchase_triangles", "copurchase_link_prediction",
+        "kcore_peel_stats", "clustering_coefficient_topk",
     ]
     isolated_cold: dict[str, float] = {}
     cold_skipped: list[str] = []

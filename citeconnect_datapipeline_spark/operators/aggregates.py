@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..plans.registry import query
-from ..sources.tables import load_table
+from ..sources.tables import literal_frame, load_table
 
 
 @query(
@@ -566,11 +566,12 @@ def schema_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
             distincts["o_orderpriority"],
         )
     ]
-    return spark.createDataFrame(
-        out,
+    return literal_frame(
+        spark,
         "column_name string, dtype string, missing_count bigint, "
         "mean_value double, min_value double, max_value double, "
         "n_distinct bigint",
+        out,
     ).orderBy("column_name")
 
 

@@ -52,7 +52,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..plans.registry import query
-from ..sources.tables import load_table
+from ..sources.tables import literal_frame, load_table
 
 N_BUCKETS = 256  # md5(word) first 2 hex chars, as in DSIR
 N_ITERS = 10
@@ -563,9 +563,10 @@ def logreg_adagrad_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def _pin(mdf: DataFrame, schema: str) -> DataFrame:
-        # O(model) collect: <= 257 rows -> a LocalRelation literal.
-        return spark.createDataFrame(
-            [tuple(r) for r in mdf.collect()], schema
+        # O(model) collect: <= 257 rows -> a LocalRelation literal
+        # (pure-JVM VALUES — no Python-RDD stage per re-injection).
+        return literal_frame(
+            spark, schema, [tuple(r) for r in mdf.collect()]
         )
 
     g1 = (
@@ -668,9 +669,10 @@ def logreg_adagrad_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
             "the feature table is empty or the corpus was filtered "
             "to zero labeled docs, so no model can be fit"
         )
-    model2 = spark.createDataFrame(
-        [(r["b"], r["g1"], r["w1"], r["g2"], r["w2"]) for r in model2_rows],
+    model2 = literal_frame(
+        spark,
         "b string, g1 double, w1 double, g2 double, w2 double",
+        [(r["b"], r["g1"], r["w1"], r["g2"], r["w2"]) for r in model2_rows],
     )
     m3 = (
         feats.join(F.broadcast(model2.select("b", "w2")), "b")

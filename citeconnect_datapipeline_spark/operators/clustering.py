@@ -46,7 +46,7 @@ from pyspark.sql.types import (
 )
 
 from ..plans.registry import query
-from ..sources.tables import load_table
+from ..sources.tables import literal_frame, load_table
 
 K_CLUSTERS = 8
 N_ITERS = 5
@@ -608,8 +608,8 @@ def _kmp_spark_chain_impl(spark: SparkSession, sf_dir: str):
             (int(r["cluster"]), int(r["dim"]), float(r["cval"]))
             for r in cdf.collect()
         ]
-        return spark.createDataFrame(
-            rows, "cluster int, dim int, cval double"
+        return literal_frame(
+            spark, "cluster int, dim int, cval double", rows
         )
 
     cdim = _pin(
@@ -908,8 +908,10 @@ def pca_power_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         v_map = {r["dim"]: r["vd"] for r in rows}
         zn_val = rows[0]["zn"]
     top5 = sorted(v_map.items(), key=lambda kv: (-abs(kv[1]), kv[0]))[:5]
-    vdf = spark.createDataFrame(
-        [(int(d), float(x)) for d, x in top5], "dim int, loading double"
+    vdf = literal_frame(
+        spark,
+        "dim int, loading double",
+        [(int(d), float(x)) for d, x in top5],
     )
     return (
         vdf.join(F.broadcast(totvar))

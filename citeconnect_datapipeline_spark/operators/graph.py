@@ -504,39 +504,61 @@ def copurchase_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _support_pruned_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered (u < v) co-purchase edges with support >= 2 — the
-    shared graph front half of `copurchase_triangles` and
-    `copurchase_link_prediction`. In-basket pair expansion happens
+    shared graph front half of `copurchase_triangles`,
+    `copurchase_link_prediction`, `kcore_peel_stats` and
+    `clustering_coefficient_topk`. In-basket pair expansion happens
     inside one row (transform over the sorted part set), so the only
-    shuffles are the basket groupBy and the (u, v) support count."""
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey"
-    )
-    baskets = li.groupBy("l_orderkey").agg(
-        F.sort_array(F.collect_set("l_partkey")).alias("ps")
-    )
-    return (
-        baskets.select(
-            F.explode(
-                F.flatten(
-                    F.transform(
-                        "ps",
-                        lambda x, i: F.transform(
-                            F.slice(
-                                F.col("ps"), i + 2, F.size(F.col("ps"))
-                            ),
-                            lambda y: F.struct(
-                                x.alias("u"), y.alias("v")
-                            ),
-                        ),
-                    )
-                )
-            ).alias("p")
+    shuffles are the basket groupBy and the (u, v) support count.
+
+    r12 (guide §2.4): memoized + eagerly pinned, the
+    `_copurchase_edges` pattern — a deployment materializes this
+    graph artifact at ingest. The four consumers (triangles, link
+    prediction, k-core, clustering coefficient) reference the edge
+    list 3-6x each under DIFFERENT required distributions (hash u /
+    hash v / hash (u,v)), so only the (u, v) aggregate exchange was
+    reused at runtime and the final agg + support filter re-ran once
+    per consuming stage; the pinned list is built once per process
+    (the bench's cold pass re-measures memo consumers with the cache
+    invalidated, so the gate never sees a warm-flattered number)."""
+    from ..memo import shared_intermediate
+
+    def build() -> DataFrame:
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_partkey"
         )
-        .select("p.u", "p.v")
-        .groupBy("u", "v")
-        .agg(F.count("*").alias("cab"))
-        .filter(F.col("cab") >= 2)
-        .select("u", "v")
+        baskets = li.groupBy("l_orderkey").agg(
+            F.sort_array(F.collect_set("l_partkey")).alias("ps")
+        )
+        return (
+            baskets.select(
+                F.explode(
+                    F.flatten(
+                        F.transform(
+                            "ps",
+                            lambda x, i: F.transform(
+                                F.slice(
+                                    F.col("ps"),
+                                    i + 2,
+                                    F.size(F.col("ps")),
+                                ),
+                                lambda y: F.struct(
+                                    x.alias("u"), y.alias("v")
+                                ),
+                            ),
+                        )
+                    )
+                ).alias("p")
+            )
+            .select("p.u", "p.v")
+            .groupBy("u", "v")
+            .agg(F.count("*").alias("cab"))
+            .filter(F.col("cab") >= 2)
+            .select("u", "v")
+            .localCheckpoint()
+        )
+
+    return shared_intermediate(
+        spark, "support_pruned_edges", (sf_dir,), build
     )
 
 
@@ -585,15 +607,13 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     its three vertices gets one count. Two shuffles on vertex keys +
     the final rollup; at 100 TB the ordered-edge trick (join only the
     higher-degree-ordered direction) is the classic skew guard."""
-    pair_counts = _support_pruned_edges(spark, sf_dir)
-    # No persist: the three self-join scans of `e` are identical
-    # subplans, so Catalyst's ReusedExchange computes the pair-count
-    # shuffle once (plan-asserted in tests/test_plans.py). A persist
-    # here leaked one edge-sized cache per invocation (round-3
-    # ADVICE) — and unpersisting safely would force materializing the
-    # result at construction time, which plan-only callers don't
-    # want.
-    e = pair_counts
+    # The builder returns the edge list eagerly pinned (r12): the
+    # three self-join sides need three DIFFERENT distributions, so
+    # exchange reuse only covered the (u, v) aggregate shuffle and
+    # the support filter re-ran per side. (The round-3 persist-leak
+    # concern doesn't apply to localCheckpoint: nothing to unpersist,
+    # the RDD is dropped with the plan.)
+    e = _support_pruned_edges(spark, sf_dir)
     e1 = e.alias("e1")
     e2 = e.alias("e2")
     e3 = e.alias("e3")
@@ -981,7 +1001,7 @@ def kcore_peel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributed k-core runs at any scale. Fixpoint peeling is the
     production loop (same rounds, while-changed); 2 rounds unrolled
     keep the twin SQL-replayable."""
-    e = _support_pruned_edges(spark, sf_dir).localCheckpoint(eager=True)
+    e = _support_pruned_edges(spark, sf_dir)  # pinned by the builder
     rows = None
     for r in range(KCORE_ROUNDS + 1):
         deg = (
@@ -1080,12 +1100,17 @@ def assoc_rules_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrdered. No corpus-grain window, no uncapped self-join."""
     li = load_table(spark, sf_dir, "lineitem")
     w = Window.partitionBy("l_partkey")
+    # r12 (guide §2.4): FOUR consumers read `baskets` (item counts,
+    # basket total, both pair-join sides); un-pinned, each re-ran the
+    # lineitem scan + distinct + posting-cap window. Pin it once —
+    # the Spark twin of the oracle's MATERIALIZED CTE.
     baskets = (
         li.select("l_orderkey", "l_partkey")
         .distinct()
         .withColumn("_deg", F.count("*").over(w))
         .filter(F.col("_deg") <= ASSOC_POSTING_CAP)
         .drop("_deg")
+        .localCheckpoint()
     )
     item_n = baskets.groupBy("l_partkey").agg(
         F.count("*").alias("cnt")

@@ -135,8 +135,15 @@ def k_anonymity_cells(
     k_anonymity_cells): every quasi-identifier equivalence cell with
     group_size, at_risk flag (< k) and population share, smallest
     first. One qid-grain aggregate + a 1-row total broadcast."""
-    cells = df.groupBy(*qid_cols).agg(
-        F.count("*").alias("group_size")
+    # r12 (guide §2.4): pinned eagerly — the total scalar and the
+    # share projection both read `cells`, and un-pinned each re-ran
+    # the table scan (2 scans in k_anonymity_audit_before.txt). The
+    # frame is bounded by the qid domain. (Library note: this makes
+    # the call EAGER — it runs the cell aggregate at build time.)
+    cells = (
+        df.groupBy(*qid_cols)
+        .agg(F.count("*").alias("group_size"))
+        .localCheckpoint()
     )
     tot = cells.agg(F.sum("group_size").alias("n"))
     return (
@@ -497,6 +504,11 @@ def benford_digit_cells(df: DataFrame, value_col: str) -> DataFrame:
     digit = F.substring(
         F.floor(F.col("_m")).cast("bigint").cast("string"), 1, 1
     )
+    # r12 (guide §2.4): `cells` feeds BOTH the total scalar and the
+    # main projection; un-pinned, each reference re-ran the fact scan
+    # with the per-row CASE ladder (2 lineitem scans in
+    # benford_digit_audit_before.txt). Pin the digit-domain-bounded
+    # (<= 9 rows) aggregate eagerly; the scan runs once.
     cells = (
         df.filter(v > 0)
         .select(scaled.alias("_m"))
@@ -504,6 +516,7 @@ def benford_digit_cells(df: DataFrame, value_col: str) -> DataFrame:
         .select(digit.alias("digit"))
         .groupBy("digit")
         .agg(F.count("*").alias("n"))
+        .localCheckpoint()
     )
     tot = cells.agg(F.sum("n").alias("tot"))
     exp_frac = F.element_at(
@@ -1036,8 +1049,16 @@ def t_closeness_cells(
     Absent (qid, sensitive) cells contribute their full |0 - p|
     mass via the domain-grid left join."""
     t = T_CLOSE if t is None else t
-    cells = df.groupBy(qid_col, sensitive_col).agg(
-        F.count("*").cast("bigint").alias("n")
+    # r12 (guide §2.4): FOUR consumers (grp/glob/tot marginals + the
+    # grid join) read `cells`; un-pinned, each re-ran the table scan
+    # (4 scans in t_closeness_audit_before.txt). Pin the
+    # domain-bounded cell table eagerly; the corpus appears once.
+    # (Library note: the call is EAGER — the cell aggregate runs at
+    # build time.)
+    cells = (
+        df.groupBy(qid_col, sensitive_col)
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .localCheckpoint()
     )
     grp = cells.groupBy(qid_col).agg(F.sum("n").alias("ng"))
     glob = cells.groupBy(sensitive_col).agg(F.sum("n").alias("ns"))
@@ -1159,6 +1180,11 @@ def dp_median_exponential(
     the raw data and must not leave the trust boundary."""
     spark = df.sparkSession
     step = (hi - lo) / cells
+    # r12 note: the mechanism chain embeds this bucket pass 8x in
+    # the static plan, but all copies share the identical hash(b)
+    # aggregate exchange, which AQE stage reuse computes once; an
+    # eager pin measured slower (1.27 -> 1.48 s) and is deliberately
+    # not applied.
     bc = (
         df.select(
             F.least(

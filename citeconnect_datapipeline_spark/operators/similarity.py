@@ -32,7 +32,7 @@ from pyspark.sql.types import (
 )
 
 from ..plans.registry import query
-from ..sources.tables import literal_grid, load_table
+from ..sources.tables import literal_frame, literal_grid, load_table
 
 QUERY_VEC_ID = 0  # deterministic query vector: embedding of vec_id 0
 
@@ -1877,8 +1877,8 @@ def ann_pq_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
             [float(v) for v in r["embedding"]], start=1
         )
     ]
-    book = spark.createDataFrame(
-        book_rows, "m int, c int, dim int, bval double"
+    book = literal_frame(
+        spark, "m int, c int, dim int, bval double", book_rows
     )
     d2 = (
         vdim.join(F.broadcast(book), "dim")

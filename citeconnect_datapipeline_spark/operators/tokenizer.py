@@ -39,7 +39,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..plans.registry import query
-from ..sources.tables import load_table
+from ..sources.tables import literal_frame, load_table
 
 N_MERGES = 12
 VOCAB_CAP = 65536
@@ -167,8 +167,10 @@ def bpe_merge_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     as ``merges.txt``. See module docstring for the scale argument;
     parity vs a pure-Python BPE trainer is pinned in tests."""
     merges = _merges_for(spark, sf_dir)
-    return spark.createDataFrame(
-        merges, "rank int, left string, right string, pair_count long"
+    return literal_frame(
+        spark,
+        "rank int, left string, right string, pair_count long",
+        merges,
     ).orderBy("rank")
 
 

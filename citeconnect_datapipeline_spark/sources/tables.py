@@ -128,6 +128,43 @@ def literal_grid(
     )
 
 
+def _sql_literal(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    # repr of a float is the shortest string that round-trips to the
+    # same double, and Spark parses plain decimal/exponent literals
+    # to DOUBLE exactly — so CAST(repr AS DOUBLE) is bit-identical
+    # to the Python value createDataFrame would ship.
+    return repr(v)
+
+
+def literal_frame(spark: SparkSession, schema: str, rows) -> DataFrame:
+    """Multi-column companion of `literal_grid`: a small collected
+    model table (centroids, codebooks, fitted weights) re-injected
+    as a pure-JVM ``VALUES`` local relation instead of
+    ``createDataFrame`` — whose local-Python path plans a
+    ``Scan ExistingRDD`` that spins a Python worker stage and an
+    extra Spark job PER re-injection (once per training round in the
+    iterative fits). ``schema`` is the same "name type, ..." string
+    createDataFrame took; values/names/types are identical."""
+    cols = [c.strip().rsplit(" ", 1) for c in schema.split(",")]
+    names = ", ".join(n.strip() for n, _ in cols)
+    vals = ", ".join(
+        "("
+        + ", ".join(
+            f"CAST({_sql_literal(v)} AS {t})"
+            for (_, t), v in zip(cols, row)
+        )
+        + ")"
+        for row in rows
+    )
+    return spark.sql(
+        f"SELECT {names} FROM (VALUES {vals}) AS t({names})"
+    )
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
 ) -> dict[str, DataFrame]:

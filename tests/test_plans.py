@@ -367,24 +367,29 @@ def test_spread_small_source_is_conditional(spark):
     assert out is wide  # pass-through, not a new plan node
 
 
-def test_triangles_reuse_exchange_and_leave_no_cache(spark):
+def test_triangles_read_pinned_edges_and_leave_no_cache(spark):
     """copurchase_triangles self-joins the pruned edge table three
-    times. Instead of a persist (which leaked one edge-sized cache
-    per invocation — round-3 ADVICE), the three identical subplans
-    must collapse into ONE computed shuffle via ReusedExchange, and
-    the query must leave nothing persisted behind."""
+    times under three DIFFERENT distributions (hash u / hash v /
+    hash (u,v)), so exchange reuse only ever covered the inner
+    aggregate shuffle and the support filter re-ran per side. r12:
+    the builder returns the edge list memoized + localCheckpoint-ed
+    (the _copurchase_edges contract), so the plan must read a
+    MATERIALIZED edge RDD — never an InMemoryRelation cache — and a
+    second invocation must share the same artifact instead of
+    rebuilding it."""
     from citeconnect_datapipeline_spark.operators.graph import (
+        _support_pruned_edges,
         copurchase_triangles,
     )
 
-    before = set(spark.sparkContext._jsc.getPersistentRDDs().keySet())
     df = copurchase_triangles(spark, "/root/testdata/sf0.001")
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "ReusedExchange" in plan, "edge self-joins recompute the shuffle"
+    assert "Scan ExistingRDD" in plan, "edge list is not materialized"
     assert "InMemoryRelation" not in plan, "unexpected cache in plan"
-    after = set(spark.sparkContext._jsc.getPersistentRDDs().keySet())
-    assert after <= before, "copurchase_triangles leaked a persisted RDD"
+    e1 = _support_pruned_edges(spark, "/root/testdata/sf0.001")
+    e2 = _support_pruned_edges(spark, "/root/testdata/sf0.001")
+    assert e1 is e2, "edge artifact rebuilt instead of memo-shared"
 
 
 def _cc_oracle(pairs):
