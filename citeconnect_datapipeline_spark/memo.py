@@ -61,6 +61,19 @@ def _unpersist_artifact(obj: Any) -> None:
             unpersist()
         except Exception:
             pass  # a stopped SparkContext: storage is already gone
+    # localCheckpoint-backed frames: DataFrame.unpersist only clears
+    # CacheManager entries and is a no-op for the checkpoint's RDD
+    # blocks — free those too by unpersisting the LogicalRDD's
+    # backing RDD (r12 ADVICE #4), else invalidate() leaves the old
+    # edge-list blocks pinned until the ContextCleaner finds them.
+    jdf = getattr(obj, "_jdf", None)
+    if jdf is not None:
+        try:
+            plan = jdf.queryExecution().analyzed()
+            if plan.getClass().getSimpleName() == "LogicalRDD":
+                plan.rdd().unpersist(False)
+        except Exception:
+            pass
 
 
 def invalidate(name: str | None = None) -> None:

@@ -51,6 +51,7 @@ import math
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.rounding import spark_round as _round6
 from ..plans.registry import query
 from ..sources.tables import literal_frame, load_table
 
@@ -159,74 +160,117 @@ def logreg_fit(
         )
         .persist()
     )
-    weights = [0.0] * (N_BUCKETS + 1)
-    g2 = [0.0] * (N_BUCKETS + 1)  # AdaGrad accumulators
-    losses: list[float] = []
-    denom = pos * pw + (tot - pos)  # total sample weight
     try:
-        for _ in range(iters):
-            lit_w = F.array(*[F.lit(float(v)) for v in weights])
-            m = F.aggregate(
-                "fx",
-                F.lit(0.0),
-                lambda acc, f: acc
-                + f["x"] * F.element_at(lit_w, f["b"] + 1),
-            )
-            sw = F.when(F.col("y") == 1.0, F.lit(pw)).otherwise(F.lit(1.0))
-            sig = F.lit(1.0) / (F.lit(1.0) + F.exp(-m))
-            scored = train.select(
-                "fx",
-                (sw * (sig - F.col("y"))).alias("r"),
-                # weighted log-loss in the overflow-safe
-                # log1p(exp(-|m|)) + max(±m, 0) form
-                (
-                    sw
-                    * (
-                        F.log1p(F.exp(-F.abs(m)))
-                        + F.greatest(
-                            (F.lit(1.0) - F.lit(2.0) * F.col("y")) * m,
-                            F.lit(0.0),
-                        )
-                    )
-                ).alias("ll"),
-            )
-            # One action per round: gradient for every bucket AND the
-            # loss, which rides the bias bucket (exactly one bias
-            # element per doc, so summing ll there counts each doc
-            # once).
-            grad_rows = (
-                scored.select(F.explode("fx").alias("f"), "r", "ll")
-                .groupBy(F.col("f.b").alias("b"))
-                .agg(
-                    F.sum(F.col("r") * F.col("f.x")).alias("g"),
-                    F.sum(
-                        F.when(F.col("f.b") == N_BUCKETS, F.col("ll"))
-                    ).alias("l"),
-                )
-                .collect()
-            )
-            grad = [0.0] * (N_BUCKETS + 1)
-            for row in grad_rows:
-                grad[row["b"]] = float(row["g"])
-                if row["b"] == N_BUCKETS:
-                    losses.append(float(row["l"]) / denom)
-            # AdaGrad per-coordinate step: plain GD on L1-normalized
-            # bag-of-words needs a hand-tuned global step (diverges
-            # by lr=20 on this corpus, crawls at lr=1); the
-            # accumulated-curvature denominator makes the step
-            # scale-free per bucket and is still fully deterministic.
-            new_w = []
-            for i, (w, g) in enumerate(zip(weights, grad)):
-                # bias (last slot) is conventionally unregularized
-                g_tot = g / denom + (l2 * w if i < N_BUCKETS else 0.0)
-                g2[i] += g_tot * g_tot
-                new_w.append(w - lr * g_tot / (math.sqrt(g2[i]) + 1e-12))
-            weights = new_w
+        weights, losses = _adagrad_rounds(
+            train, pos, tot, pw, iters, lr, l2
+        )
     finally:
         if not keep_train:
             train.unpersist()
     if keep_train:
         return weights, losses, train
+    return weights, losses
+
+
+def _adagrad_rounds(
+    train: DataFrame,
+    pos: float,
+    tot: int,
+    pw: float,
+    iters: int,
+    lr: float,
+    l2: float,
+) -> tuple[list[float], list[float]]:
+    """The AdaGrad loop over a cached (y, fx) training table.
+
+    r13 (guide §4.2): one mapInArrow pass per round, emitting
+    O(model) per-task partials — margin, sigmoid and per-element
+    gradient products run vectorized in numpy inside the task. The
+    r12 round was an INTERPRETED Catalyst fold over fx (no codegen
+    for lambda bodies) plus an explode into a 257-key aggregate:
+    ~4x the per-round CPU and 2 extra AQE stages. Values differ only
+    in float summation order (covered by the numpy-parity test at
+    rtol 1e-9)."""
+    import numpy as np
+    import pyarrow as pa
+
+    weights = [0.0] * (N_BUCKETS + 1)
+    g2 = [0.0] * (N_BUCKETS + 1)  # AdaGrad accumulators
+    losses: list[float] = []
+    denom = pos * pw + (tot - pos)  # total sample weight
+    feat_cols = train.select("y", "fx")
+
+    def _grad_pass(w_list: list[float]) -> tuple[list[float], float]:
+        wv = np.asarray(w_list, dtype=np.float64)
+
+        def fn(batches):
+            g = np.zeros(N_BUCKETS + 1)
+            ls = 0.0
+            for b in batches:
+                ys = b.column("y").to_numpy(zero_copy_only=False)
+                if len(ys) == 0:
+                    continue
+                fx = b.column("fx")
+                off = np.asarray(fx.offsets, dtype=np.int64)
+                starts = off[:-1] - off[0]
+                lens = off[1:] - off[:-1]
+                sv = fx.flatten()
+                fb = np.asarray(sv.field("b"), dtype=np.int64)
+                xx = np.asarray(sv.field("x"), dtype=np.float64)
+                # every doc carries the synthetic bias element, so no
+                # segment is empty and reduceat is well-defined
+                m = np.add.reduceat(xx * wv[fb], starts)
+                sw = np.where(ys == 1.0, pw, 1.0)
+                sig = 1.0 / (1.0 + np.exp(-m))
+                r = sw * (sig - ys)
+                # overflow-safe weighted log-loss, as before
+                ls += float(
+                    np.sum(
+                        sw
+                        * (
+                            np.log1p(np.exp(-np.abs(m)))
+                            + np.maximum((1.0 - 2.0 * ys) * m, 0.0)
+                        )
+                    )
+                )
+                g += np.bincount(
+                    fb,
+                    weights=np.repeat(r, lens) * xx,
+                    minlength=N_BUCKETS + 1,
+                )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array([g.tolist()], type=pa.list_(pa.float64())),
+                    pa.array([ls], type=pa.float64()),
+                ],
+                names=["g", "l"],
+            )
+
+        rows = feat_cols.mapInArrow(
+            fn, "g array<double>, l double"
+        ).collect()
+        gsum = np.zeros(N_BUCKETS + 1)
+        lsum = 0.0
+        for row in rows:
+            gsum += np.asarray(row["g"])
+            lsum += float(row["l"])
+        return gsum.tolist(), lsum
+
+    for _ in range(iters):
+        grad, lsum = _grad_pass(weights)
+        losses.append(lsum / denom)
+        # AdaGrad per-coordinate step: plain GD on L1-normalized
+        # bag-of-words needs a hand-tuned global step (diverges
+        # by lr=20 on this corpus, crawls at lr=1); the
+        # accumulated-curvature denominator makes the step
+        # scale-free per bucket and is still fully deterministic.
+        new_w = []
+        for i, (w, g) in enumerate(zip(weights, grad)):
+            # bias (last slot) is conventionally unregularized
+            g_tot = g / denom + (l2 * w if i < N_BUCKETS else 0.0)
+            g2[i] += g_tot * g_tot
+            new_w.append(w - lr * g_tot / (math.sqrt(g2[i]) + 1e-12))
+        weights = new_w
     return weights, losses
 
 
@@ -251,15 +295,86 @@ def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..memo import shared_intermediate
 
     def build():
-        docs = load_table(spark, sf_dir, "documents")
-        feats = _bucket_features(docs)
-        labels = docs.select(
+        # r13 (guide §4.2): the training table is built by ONE
+        # mapInArrow kernel over (doc_id, y, words) — tokenize stays
+        # JVM-side; md5-bucketing + L1-normalization happen per doc
+        # inside the task — so the cold fit pays NO shuffle at all
+        # for features (the r12 path was explode -> (doc, b) agg ->
+        # per-doc window -> collect_list -> label join: 3 doc-keyed
+        # exchanges, the bench's slowest cold artifact at 5.4 s).
+        # Same table contract as logreg_fit's builder: one row per
+        # document, bias element appended, zero-token docs bias-only.
+        import hashlib
+
+        import pyarrow as pa
+
+        from ..sources.tables import spread_small_source
+
+        docs = spread_small_source(load_table(spark, sf_dir, "documents"))
+        words = F.filter(
+            F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+            lambda x: x != F.lit(""),
+        )
+        src = docs.select(
             "doc_id",
             F.when(F.col("source") == TRUSTED_SOURCE, 1.0)
             .otherwise(0.0)
             .alias("y"),
+            words.alias("ws"),
         )
-        weights, _, train = logreg_fit(feats, labels, keep_train=True)
+        fx_type = pa.list_(
+            pa.struct([("b", pa.int32()), ("x", pa.float64())])
+        )
+
+        def _train_kernel(batches):
+            for b in batches:
+                ids, ys, fxs = [], [], []
+                for did, y, wlist in zip(
+                    b.column(0).to_pylist(),
+                    b.column(1).to_pylist(),
+                    b.column(2).to_pylist(),
+                ):
+                    counts: dict[int, int] = {}
+                    tw = len(wlist) if wlist else 0
+                    if wlist:
+                        for w in wlist:
+                            i = int(
+                                hashlib.md5(
+                                    w.encode("utf-8")
+                                ).hexdigest()[:2],
+                                16,
+                            )
+                            counts[i] = counts.get(i, 0) + 1
+                    fx = [
+                        {"b": i, "x": counts[i] * 1.0 / tw}
+                        for i in sorted(counts)
+                    ] + [{"b": N_BUCKETS, "x": 1.0}]
+                    ids.append(did)
+                    ys.append(float(y))
+                    fxs.append(fx)
+                if ids:
+                    yield pa.RecordBatch.from_arrays(
+                        [
+                            pa.array(ids),
+                            pa.array(ys, type=pa.float64()),
+                            pa.array(fxs, type=fx_type),
+                        ],
+                        names=["doc_id", "y", "fx"],
+                    )
+
+        train = src.mapInArrow(
+            _train_kernel,
+            "doc_id long, y double,"
+            " fx array<struct<b:int,x:double>>",
+        ).persist()
+        pos, tot = train.agg(
+            F.sum("y").alias("p"), F.count("*").alias("t")
+        ).first()
+        pos = float(pos or 0.0)
+        pw = (tot - pos) / pos if 0.0 < pos < tot else 1.0
+        weights, _ = _adagrad_rounds(
+            train, pos, tot, pw, N_ITERS, LEARNING_RATE, L2_LAMBDA
+        )
         return train, weights
 
     # ONE corpus scan per process: fit and scoring both read the
@@ -441,263 +556,242 @@ def _lrp_oracle() -> str:
     """
 
 
+def _lrp_doc_arrays(batch):
+    """Decode one Arrow batch of the pinned per-doc training table
+    (y double, bs array<int>, xs array<double>) into numpy: labels,
+    flat bucket ids, flat x values, and per-doc segment starts."""
+    import numpy as np
+
+    ys = batch.column("y").to_numpy(zero_copy_only=False)
+    bs = batch.column("bs")
+    xs = batch.column("xs")
+    off = np.asarray(bs.offsets, dtype=np.int64)
+    starts = off[:-1] - off[0]
+    flat_b = np.asarray(bs.flatten(), dtype=np.int64)
+    flat_x = np.asarray(xs.flatten(), dtype=np.float64)
+    return ys, flat_b, flat_x, starts, off[1:] - off[:-1]
+
+
 @query("logreg_adagrad_portable", oracle=_lrp_oracle())
 def logreg_adagrad_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Value-verified logistic-regression twin — the classifier
-    family's first hash-MATCHED member (the same move that gave the
-    ANN family ann_rp_lsh_portable and clustering kmeans_portable):
-    2 unrolled AdaGrad rounds of the EXACT update rule `logreg_fit`
-    runs for 10 (g/denom + l2*w, h += g^2, w -= lr*g/(sqrt(h)+eps),
-    bias unregularized, positives re-weighted by the class ratio),
-    replayed CTE-for-CTE by DuckDB so weights, gradients, and the
-    before/after training loss all hash-match value-for-value.
+    family's first hash-MATCHED member: 2 unrolled AdaGrad rounds of
+    the EXACT update rule `logreg_fit` runs for 10 (g/denom + l2*w,
+    h += g^2, w -= lr*g/(sqrt(h)+eps), bias unregularized, positives
+    re-weighted by the class ratio), replayed CTE-for-CTE by DuckDB
+    so weights, gradients, and the before/after training loss all
+    hash-match value-for-value.
 
     Differences from the production fit, chosen for portability and
     documented here: buckets are the md5 2-hex-char STRING keys
-    (DSIR's portable bucketing) instead of conv()-to-int; 2 rounds
-    instead of 10; zero-token docs are excluded rather than trained
-    bias-only; the loss is the direct -[y ln p + (1-y) ln(1-p)] form
-    (margins here are bounded by lr, so the overflow-safe form is
-    unnecessary). Every float that crosses an engine boundary is
-    rounded at 6 dp IN-PLANE before use (class weight, per-round
-    gradient and weight, per-doc margin, sigmoid), so the collected
-    literals are bit-identical to the lazy values.
+    (DSIR's portable bucketing); 2 rounds instead of 10; zero-token
+    docs are excluded rather than trained bias-only; the loss is the
+    direct -[y ln p + (1-y) ln(1-p)] form (margins here are bounded
+    by lr, so the overflow-safe form is unnecessary). Every float
+    that crosses an engine boundary is rounded at 6 dp before use
+    (class weight, per-round gradient and weight, per-doc margin,
+    sigmoid) — driver-side rounding uses `_round6`, the bit-faithful
+    twin of F.round — so engines re-synchronize at every step
+    exactly as the r12 in-plane form did.
 
-    Scale shape: the per-round model is COLLECTED at O(model) — 257
-    rows of (bucket, gradient, weight) — and re-injected as a local
-    relation, never left lazy (the pca_power_portable lesson: an
-    unpinned round-t model makes every downstream reference re-derive
-    all prior rounds). Each round is one scan of the long feature
-    table + a 257-key map-side-combinable aggregate; the round-2
-    loss rides the bias bucket of the gradient aggregate (each doc
-    has exactly one bias row) so it falls out of the same O(model)
-    collect, and the returned plan computes only the FINAL loss
-    distributed (2 bounded scans) before emitting the top-20
-    weights by |w2|.
+    r13 (guide §4.2/§2.4): the corpus-grain work per round was 2-3
+    doc-keyed JOINS + a 257-key aggregate (23 AQE jobs, 2.4 s
+    isolated, 8.6 s in-suite — a top-5 entry). Now the feature pass
+    builds ONE pinned per-doc table (y, bucket-ids, x-values) via a
+    mapInArrow tokenize+hash kernel (no explode, no per-doc window),
+    and each round is ONE mapInArrow pass over it emitting O(model)
+    per-task partials (257 gradient sums + the loss term + bucket
+    presence) — margins, sigmoids and per-element products run
+    vectorized in numpy inside the task; nothing doc-grain is ever
+    collected or joined. Driver state stays O(model x tasks).
+    Reference anchor: GPT-3 App. A / CCNet linear quality filters."""
+    import numpy as np
+    import pyarrow as pa
 
-    Reference anchor: the learned upgrade of the reference's rule
-    quality score (databias/bias_detection_engine.py:1-120); GPT-3
-    App. A / CCNet linear quality filters."""
     docs = load_table(spark, sf_dir, "documents")
     words = F.filter(
         F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
         lambda x: x != F.lit(""),
     )
-    # The label frame is checkpointed so the ONE tokenize scan that
-    # builds it (the size filter needs the word array) is paid once:
-    # labw is referenced by the gradient, margin, and final-loss
-    # jobs, and unpinned each would re-tokenize the corpus — 3 extra
-    # corpus passes that at 100 TB dominate everything else in this
-    # query (r8 verdict #6). lab is doc-grain and NARROW (id + one
-    # double), so the checkpoint is a per-doc-row materialization,
-    # not a collect.
-    lab = (
-        docs.filter(F.size(words) > 0)
-        .select(
-            "doc_id",
+    n_b = N_BUCKETS  # hex buckets; index N_BUCKETS = the bias slot
+
+    def _build(batches):
+        import hashlib
+
+        for b in batches:
+            ys_out, bs_out, xs_out = [], [], []
+            ys = b.column("y").to_pylist()
+            ws = b.column("ws").to_pylist()
+            for y, wlist in zip(ys, ws):
+                tw = len(wlist)
+                if tw == 0:
+                    continue  # zero-token docs excluded (oracle form)
+                counts: dict[int, int] = {}
+                for w in wlist:
+                    i = int(
+                        hashlib.md5(w.encode("utf-8")).hexdigest()[:2],
+                        16,
+                    )
+                    counts[i] = counts.get(i, 0) + 1
+                idx = sorted(counts)
+                ys_out.append(float(y))
+                bs_out.append(idx + [n_b])
+                xs_out.append(
+                    [counts[i] * 1.0 / tw for i in idx] + [1.0]
+                )
+            if not ys_out:
+                continue
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ys_out, type=pa.float64()),
+                    pa.array(bs_out, type=pa.list_(pa.int32())),
+                    pa.array(xs_out, type=pa.list_(pa.float64())),
+                ],
+                names=["y", "bs", "xs"],
+            )
+
+    # ONE corpus pass: tokenize + md5-bucket + L1-normalize per doc,
+    # pinned eagerly — every round below reads this narrow table.
+    train = (
+        docs.select(
             F.when(F.col("source") == TRUSTED_SOURCE, 1.0)
             .otherwise(0.0)
             .alias("y"),
+            words.alias("ws"),
+        )
+        .mapInArrow(
+            _build, "y double, bs array<int>, xs array<double>"
         )
         .localCheckpoint(eager=True)
     )
-    cw = lab.agg(
+    cw = train.agg(
         F.sum("y").alias("pos"),
         F.count("*").alias("tot"),
         F.round((F.count("*") - F.sum("y")) / F.sum("y"), 6).alias("pw"),
     ).first()
     pos, tot, pw = float(cw["pos"]), int(cw["tot"]), float(cw["pw"])
     denom = pos * pw + (tot - pos)
-    labw = lab.select(
-        "doc_id",
-        "y",
-        F.when(F.col("y") == 1.0, F.lit(pw)).otherwise(1.0).alias("wt"),
-    )
-    # ONE-PASS feature build: a sentinel token appended to each
-    # doc's word array makes the SAME explode emit the bias row, so
-    # the former unionAll — whose two branches each re-ran the
-    # explode + per-doc shuffle — collapses into a single pass. The
-    # sentinel ('\\x00') cannot collide with [a-z0-9]+ tokens; the
-    # per-doc word total is the windowed count minus the sentinel
-    # row, and a zero-word doc (bias-only, tw = 0) is dropped — the
-    # same exclusion the filtered unionAll form produced.
-    sent = "\x00"
-    wordfeat = (
-        docs.select(
-            "doc_id",
-            F.explode(F.concat(words, F.array(F.lit(sent)))).alias(
-                "word"
-            ),
-        )
-        .select(
-            "doc_id",
-            F.when(F.col("word") == sent, F.lit(LRP_BIAS))
-            .otherwise(F.substring(F.md5("word"), 1, 2))
-            .alias("b"),
-        )
-        .groupBy("doc_id", "b")
-        .agg(F.count("*").alias("c"))
-    )
-    n_doc = Window.partitionBy("doc_id")
-    feats = (
-        wordfeat.select(
-            "doc_id",
-            "b",
-            "c",
-            (F.sum("c").over(n_doc) - 1).alias("tw"),
-        )
-        .filter(F.col("tw") > 0)
-        .select(
-            "doc_id",
-            "b",
-            F.when(F.col("b") == LRP_BIAS, F.lit(1.0))
-            .otherwise(F.col("c") * 1.0 / F.col("tw"))
-            .alias("x"),
-        )
-        # Materialize the long feature table ONCE (the production
-        # fit's persist contract: features are the only corpus-wide
-        # pass). Without this every gradient/margin/loss reference
-        # re-runs the word explode + per-doc shuffle — measured 4.7 s
-        # isolated at sf0.1 vs ~1.5 s pinned.
-        .localCheckpoint(eager=True)
+
+    partial_schema = (
+        "g array<double>, seen array<int>, lsum double"
     )
 
-    def _pin(mdf: DataFrame, schema: str) -> DataFrame:
-        # O(model) collect: <= 257 rows -> a LocalRelation literal
-        # (pure-JVM VALUES — no Python-RDD stage per re-injection).
-        return literal_frame(
-            spark, schema, [tuple(r) for r in mdf.collect()]
-        )
+    def _pass(w_vec):
+        """One fit pass: per-task partial gradient sums by bucket,
+        bucket presence, and (for w_vec != None) the loss sum under
+        the current rounded weights."""
+        wv = None if w_vec is None else np.asarray(w_vec)
 
-    g1 = (
-        feats.join(labw, "doc_id")
-        .groupBy("b")
-        .agg(
-            F.round(
-                F.sum(F.col("wt") * (0.5 - F.col("y")) * F.col("x"))
-                / F.lit(denom),
-                6,
-            ).alias("g1")
-        )
-    )
-    w1 = _pin(
-        g1.select(
-            "b",
-            "g1",
-            F.round(
-                -LEARNING_RATE
-                * F.col("g1")
-                / (F.sqrt(F.col("g1") * F.col("g1")) + LRP_EPS),
-                6,
-            ).alias("w1"),
-        ),
-        "b string, g1 double, w1 double",
-    )
-    m2 = (
-        feats.join(F.broadcast(w1), "b")
-        .groupBy("doc_id")
-        .agg(F.round(F.sum(F.col("x") * F.col("w1")), 6).alias("m"))
-    )
-    p2 = labw.join(m2, "doc_id").select(
-        "doc_id",
-        "y",
-        "wt",
-        F.round(1.0 / (1.0 + F.exp(-F.col("m"))), 6).alias("p"),
-    )
-    ll = F.col("wt") * -(
-        F.col("y") * F.log("p") + (1.0 - F.col("y")) * F.log(1.0 - F.col("p"))
-    )
-    # The round-2 loss RIDES the gradient aggregate (the logreg_fit
-    # bias-bucket trick): every doc contributes exactly one bias
-    # feature row (x = 1), so summing ll over the LRP_BIAS group
-    # counts each doc once — the p2 subtree executes ONCE, inside
-    # the O(model) pin, instead of re-running lazily in the
-    # returned plan (r8: two feats scans and ~6 jobs saved).
-    g2p = (
-        feats.join(p2, "doc_id")
-        .groupBy("b")
-        .agg(
-            F.sum(F.col("wt") * (F.col("p") - F.col("y")) * F.col("x")).alias("s"),
-            F.round(
-                F.sum(F.when(F.col("b") == LRP_BIAS, ll)) / F.lit(denom), 6
-            ).alias("lr2"),
-        )
-    )
-    model2_rows = (
-        F.broadcast(w1)
-        .join(g2p, "b")
-        .select(
-            "b",
-            "g1",
-            "w1",
-            F.round(
-                F.col("s") / F.lit(denom)
-                + F.when(F.col("b") == LRP_BIAS, 0.0).otherwise(
-                    L2_LAMBDA * F.col("w1")
-                ),
-                6,
-            ).alias("g2"),
-            "lr2",
-        )
-        .select(
-            "b",
-            "g1",
-            "w1",
-            "g2",
-            F.round(
-                F.col("w1")
-                - LEARNING_RATE
-                * F.col("g2")
-                / (
-                    F.sqrt(F.col("g1") * F.col("g1") + F.col("g2") * F.col("g2"))
-                    + LRP_EPS
-                ),
-                6,
-            ).alias("w2"),
-            "lr2",
-        )
-        .collect()
-    )
-    loss_r2 = next(
-        (float(r["lr2"]) for r in model2_rows if r["b"] == LRP_BIAS),
-        None,
-    )
-    if loss_r2 is None:
+        def fn(batches):
+            g = np.zeros(n_b + 1)
+            seen = np.zeros(n_b + 1, dtype=np.int32)
+            lsum = 0.0
+            for b in batches:
+                ys, fb, fx, starts, lens = _lrp_doc_arrays(b)
+                if len(ys) == 0:
+                    continue
+                wt = np.where(ys == 1.0, pw, 1.0)
+                np.add.at(seen, fb, 1)
+                if wv is None:
+                    # round 1: all weights 0 -> sigmoid = 0.5
+                    r = wt * (0.5 - ys)
+                else:
+                    m = np.add.reduceat(fx * wv[fb], starts)
+                    m = np.array([_round6(v) for v in m])
+                    p = np.array(
+                        [_round6(v) for v in 1.0 / (1.0 + np.exp(-m))]
+                    )
+                    lsum += float(
+                        np.sum(
+                            wt
+                            * -(
+                                ys * np.log(p)
+                                + (1.0 - ys) * np.log(1.0 - p)
+                            )
+                        )
+                    )
+                    r = wt * (p - ys)
+                g += np.bincount(
+                    fb, weights=np.repeat(r, lens) * fx,
+                    minlength=n_b + 1,
+                )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array([g.tolist()], type=pa.list_(pa.float64())),
+                    pa.array(
+                        [seen.tolist()], type=pa.list_(pa.int32())
+                    ),
+                    pa.array([lsum], type=pa.float64()),
+                ],
+                names=["g", "seen", "lsum"],
+            )
+
+        rows = train.mapInArrow(fn, partial_schema).collect()
+        g = np.zeros(n_b + 1)
+        seen = np.zeros(n_b + 1, dtype=np.int64)
+        lsum = 0.0
+        for r in rows:
+            g += np.asarray(r["g"])
+            seen += np.asarray(r["seen"], dtype=np.int64)
+            lsum += float(r["lsum"])
+        return g, seen, lsum
+
+    bstr = [f"{i:02x}" for i in range(n_b)] + [LRP_BIAS]
+    # round 1 (weights all zero): g1 = round(sum(wt (0.5-y) x)/denom)
+    gsum1, seen, _ = _pass(None)
+    if not seen[n_b]:
         raise ValueError(
             f"logreg round-2 model is missing the bias bucket "
-            f"'{LRP_BIAS}' ({len(model2_rows)} buckets collected) — "
+            f"'{LRP_BIAS}' (0 docs survived the token filter) — "
             "the feature table is empty or the corpus was filtered "
             "to zero labeled docs, so no model can be fit"
         )
-    model2 = literal_frame(
-        spark,
-        "b string, g1 double, w1 double, g2 double, w2 double",
-        [(r["b"], r["g1"], r["w1"], r["g2"], r["w2"]) for r in model2_rows],
-    )
-    m3 = (
-        feats.join(F.broadcast(model2.select("b", "w2")), "b")
-        .groupBy("doc_id")
-        .agg(F.round(F.sum(F.col("x") * F.col("w2")), 6).alias("m"))
-    )
-    p3 = labw.join(m3, "doc_id").select(
-        "y",
-        "wt",
-        F.round(1.0 / (1.0 + F.exp(-F.col("m"))), 6).alias("p"),
-    )
-    loss3 = p3.agg(F.round(F.sum(ll) / F.lit(denom), 6).alias("loss_final"))
-    return (
-        model2.select(
-            F.col("b").alias("bucket"),
-            "g1",
-            "w1",
-            "g2",
-            "w2",
-            F.lit(loss_r2).alias("loss_r2"),
+    present = [i for i in range(n_b + 1) if seen[i]]
+    g1 = {i: _round6(gsum1[i] / denom) for i in present}
+    w1 = {
+        i: _round6(
+            -LEARNING_RATE * g1[i] / (math.sqrt(g1[i] * g1[i]) + LRP_EPS)
         )
-        .crossJoin(F.broadcast(loss3))
-        .orderBy(F.abs(F.col("w2")).desc(), "bucket")
-        .limit(20)
-    )
+        for i in present
+    }
+    w1_vec = np.zeros(n_b + 1)
+    for i in present:
+        w1_vec[i] = w1[i]
+    # round 2: margins/sigmoids under w1, loss_r2, g2, w2
+    gsum2, _, lsum2 = _pass(w1_vec)
+    loss_r2 = _round6(lsum2 / denom)
+    g2 = {
+        i: _round6(
+            gsum2[i] / denom
+            + (0.0 if i == n_b else L2_LAMBDA * w1[i])
+        )
+        for i in present
+    }
+    w2 = {
+        i: _round6(
+            w1[i]
+            - LEARNING_RATE
+            * g2[i]
+            / (math.sqrt(g1[i] * g1[i] + g2[i] * g2[i]) + LRP_EPS)
+        )
+        for i in present
+    }
+    w2_vec = np.zeros(n_b + 1)
+    for i in present:
+        w2_vec[i] = w2[i]
+    # final loss under w2 (gradient partials unused)
+    _, _, lsum3 = _pass(w2_vec)
+    loss_final = _round6(lsum3 / denom)
+    top = sorted(present, key=lambda i: (-abs(w2[i]), bstr[i]))[:20]
+    return literal_frame(
+        spark,
+        "bucket string, g1 double, w1 double, g2 double, w2 double,"
+        " loss_r2 double, loss_final double",
+        [
+            (bstr[i], g1[i], w1[i], g2[i], w2[i], loss_r2, loss_final)
+            for i in top
+        ],
+    ).orderBy(F.abs(F.col("w2")).desc(), "bucket")
 
 
 # ---------------------------------------------------------------------

@@ -45,6 +45,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from ..functions.rounding import spark_round
 from ..plans.registry import query
 from ..sources.tables import literal_frame, load_table
 
@@ -802,129 +803,103 @@ def _pca_oracle() -> str:
 
 @query("pca_power_portable", oracle=_pca_oracle())
 def pca_power_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Value-verified top principal component via 3 unrolled
-    power-iteration rounds — the portable twin of
-    `embedding_pca_whiten`'s rows-only Gram-matrix fit. Each round
-    applies the covariance WITHOUT materializing d x d: per-row
-    centered scores y_i = x_i.v - m.v (vec-keyed sum over a literal
-    direction vector), then per-dim z_d = (sum y_i x_id)/n
-    - m_d (sum y_i)/n — everything is corpus-linear aggregates;
-    model state is the d-row direction vector. The next direction is
-    normalized and ROUNDED at 6 dp per component IN SPARK, then
-    COLLECTED (64 doubles, the k-means O(model)-per-round contract)
-    and re-injected as a literal array — pinning the per-round model
-    cuts the lazy lineage so each round costs exactly one corpus
-    pass instead of re-deriving every prior round per reference
-    (round-5 verdict #1: the unpinned unrolled DAG ran 42 jobs /
-    67 s; pinned it is 3 jobs). The 6 dp rounding re-synchronizes
-    both engines after every round, so the collected values are
-    bit-identical to what the lazy plan computed.
-    Output: the top-5 |loading| dims of the final direction, the
-    Rayleigh estimate lambda_1 = ||z|| and its explained-variance
-    share (the share still computed against a live corpus scan).
+    """Value-verified top principal component via 3 power-iteration
+    rounds — the portable twin of `embedding_pca_whiten`'s rows-only
+    Gram-matrix fit.
 
-    100 TB shape: per round, two shuffles keyed on vec_id / dim and
-    a d-element literal in the plan — the same scan-per-iteration
-    contract as the production PCA and k-means fits; driver state is
-    O(d), never O(rows)."""
+    r13 (guide §1.2 "the distributed algorithm first"): the Gram
+    matrix G = sum_i x_i x_i^T, the column sums s and the row count n
+    are SUFFICIENT STATISTICS for every power-iteration round —
+    z = (G.v - (m.v) s)/n - m (s.v - n m.v)/n is algebraically the
+    per-round z_d = (sum_i y_i x_id)/n - m_d (sum_i y_i)/n the
+    unrolled oracle computes. So the fit is ONE corpus pass (a
+    mapInArrow stage computing per-task (n, s, G) partials with a
+    native GEMM, guide §4.2) + O(d^2) driver arithmetic, instead of
+    2 corpus shuffles and a model collect PER ROUND (r12: 56 Spark
+    jobs, ~0.4 s scheduling floor each — the verdict's one flat
+    top-10 entry; the 8-core ratio 0.58 showed the cost was serial
+    job rounds, not data). This is exactly how spark.ml computes a
+    small-d PCA (computeGramianMatrix + local eigensolve); driver
+    state is d x d = 64 x 64 doubles — model-sized, never O(rows).
+
+    Equality discipline: each round's direction is still rounded at
+    6 dp per component (via the bit-faithful driver twin of
+    F.round, `_spark_round6`), so engines re-synchronize after
+    every round exactly as before; the final output columns are
+    rounded IN SPARK on literal scalars. Sub-rounding float noise vs
+    the oracle's summation order is ~1e-12 relative — the same
+    margin the r12 two-shuffle form already relied on — and the
+    result is oracle-hash-verified at sf0.001/0.01/0.1."""
+    import numpy as np
+    import pyarrow as pa
+
     emb = load_table(spark, sf_dir, "embeddings")
-    vec = F.col("embedding").cast("array<double>")
-    xdim = emb.select("vec_id", F.posexplode(vec)).select(
-        "vec_id",
-        (F.col("pos") + 1).alias("dim"),
-        F.col("col").alias("val"),
-    )
-    n_row = emb.agg(
-        F.count("*").cast("double").alias("n")
-    )  # 1-row scalar
-    m = xdim.groupBy("dim").agg(F.avg("val").alias("mval"))
-    sq = xdim.groupBy("dim").agg(
-        F.sum(F.col("val") * F.col("val")).alias("sq")
-    )
-    totvar = (
-        sq.join(m, "dim")
-        .join(F.broadcast(n_row))
-        .agg(
-            F.sum(
-                F.col("sq") / F.col("n") - F.col("mval") * F.col("mval")
-            ).alias("tv")
+    xmat = emb.select(F.col("embedding").cast("array<double>").alias("x"))
+
+    def _gram_partials(batches):
+        n = 0
+        s = None
+        g = None
+        for b in batches:
+            col = b.column(0)
+            if len(col) == 0:
+                continue
+            flat = np.asarray(col.flatten(), dtype=np.float64)
+            x = flat.reshape(len(col), len(flat) // len(col))
+            n += x.shape[0]
+            cs = x.sum(axis=0)
+            gg = x.T @ x
+            s = cs if s is None else s + cs
+            g = gg if g is None else g + gg
+        if s is None:
+            return
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array([n], type=pa.int64()),
+                pa.array([s.tolist()], type=pa.list_(pa.float64())),
+                pa.array(
+                    [g.reshape(-1).tolist()], type=pa.list_(pa.float64())
+                ),
+            ],
+            names=["n", "s", "g"],
         )
-    )
-    # Pinned power iteration: the current direction is a plan
-    # LITERAL (round 1: the constant 1/sqrt(d); later rounds: the
-    # collected 6 dp-rounded vector), so each round's collect runs
-    # one job over a flat, non-recursive plan.
-    v_map: dict[int, float] = {}
+
+    parts = xmat.mapInArrow(
+        _gram_partials, "n long, s array<double>, g array<double>"
+    ).collect()  # O(d^2) per task — the model, never the corpus
+    n = float(sum(r["n"] for r in parts))
+    d = len(parts[0]["s"])
+    s = np.zeros(d)
+    g = np.zeros((d, d))
+    for r in parts:
+        s += np.asarray(r["s"], dtype=np.float64)
+        g += np.asarray(r["g"], dtype=np.float64).reshape(d, d)
+    m = s / n
+    tv = float(np.sum(np.diag(g) / n - m * m))
+    v = np.full(d, 0.125)
     zn_val = 0.0
-    for it in range(PCA_ITERS):
-        if it == 0:
-            vd_of = lambda dim_col: F.lit(0.125)  # noqa: E731
-        else:
-            varr = F.array(
-                *[F.lit(v_map[i]) for i in range(1, len(v_map) + 1)]
-            )
-            vd_of = lambda dim_col, a=varr: F.element_at(  # noqa: E731
-                a, dim_col.cast("int")
-            )
-        mdotv = m.agg(
-            F.sum(F.col("mval") * vd_of(F.col("dim"))).alias("mdotv")
-        )
-        y = (
-            xdim.groupBy("vec_id")
-            .agg(
-                F.sum(F.col("val") * vd_of(F.col("dim"))).alias("dot")
-            )
-            .join(F.broadcast(mdotv))
-            .select(
-                "vec_id", (F.col("dot") - F.col("mdotv")).alias("y")
-            )
-        )
-        ysum = y.agg(F.sum("y").alias("ys"))
-        z = (
-            xdim.join(y, "vec_id")
-            .groupBy("dim")
-            .agg(F.sum(F.col("y") * F.col("val")).alias("yx"))
-            .join(m, "dim")
-            .join(F.broadcast(n_row))
-            .join(F.broadcast(ysum))
-            .select(
-                "dim",
-                (
-                    F.col("yx") / F.col("n")
-                    - F.col("mval") * F.col("ys") / F.col("n")
-                ).alias("zd"),
-            )
-        )
-        zn = z.agg(F.sqrt(F.sum(F.col("zd") * F.col("zd"))).alias("zn"))
-        rows = (
-            z.join(F.broadcast(zn))
-            .select(
-                "dim",
-                F.round(F.col("zd") / F.col("zn"), 6).alias("vd"),
-                "zn",
-            )
-            .collect()
-        )  # O(d): 64 rows — the model, never the corpus
-        v_map = {r["dim"]: r["vd"] for r in rows}
-        zn_val = rows[0]["zn"]
-    top5 = sorted(v_map.items(), key=lambda kv: (-abs(kv[1]), kv[0]))[:5]
+    for _ in range(PCA_ITERS):
+        mdotv = float(m @ v)
+        # sum_i y_i x_i = G.v - (m.v) s ; sum_i y_i = s.v - n (m.v)
+        ysum = float(s @ v) - n * mdotv
+        z = (g @ v - mdotv * s) / n - m * (ysum / n)
+        zn_val = float(np.sqrt(z @ z))
+        v = np.array([spark_round(zd / zn_val) for zd in z])
+    top5 = sorted(
+        ((i + 1, float(v[i])) for i in range(d)),
+        key=lambda kv: (-abs(kv[1]), kv[0]),
+    )[:5]
     vdf = literal_frame(
         spark,
         "dim int, loading double",
-        [(int(d), float(x)) for d, x in top5],
+        [(int(dim), float(x)) for dim, x in top5],
     )
-    return (
-        vdf.join(F.broadcast(totvar))
-        .select(
-            "dim",
-            "loading",
-            F.round(F.lit(zn_val), 6).alias("lambda_1"),
-            F.round(F.lit(zn_val) / F.col("tv"), 6).alias(
-                "explained_ratio"
-            ),
-        )
-        .orderBy(F.abs(F.col("loading")).desc(), "dim")
-    )
+    return vdf.select(
+        "dim",
+        "loading",
+        F.round(F.lit(zn_val), 6).alias("lambda_1"),
+        F.round(F.lit(zn_val) / F.lit(tv), 6).alias("explained_ratio"),
+    ).orderBy(F.abs(F.col("loading")).desc(), "dim")
 
 
 SDP_K = 8          # portable SemDeDup coarse clusters (seed rule)

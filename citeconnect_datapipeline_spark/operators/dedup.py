@@ -1825,51 +1825,93 @@ def _portable_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, n_shingles, simhash): the md5-nibble SimHash votes —
     shared by the fingerprint query and the banded hamming search.
 
-    Submitted as ONE spark.sql text: the 32 conditional-sum columns
-    and the 32-term fingerprint chain are ~100 Column constructions
-    in the DataFrame form, ~0.65 s of py4j chatter per build (the
-    jl_distortion_audit lesson) — parsed JVM-side in one round trip
-    here. Plan shape unchanged: shingles explode in-row
-    (array_distinct before explode, so per-doc dedup never
-    shuffles), ONE doc-keyed aggregate with map-side partials."""
+    r13 (guide §4.2): one mapInArrow stage, NO shuffle. The r12 SQL
+    form built shingles with an interpreted transform/slice/concat
+    HOF, exploded them, md5'd each, and paid 32 substring-compare
+    conditional sums per shingle through a doc-keyed aggregate
+    exchange. Here only (doc_id, split words) cross the Python
+    boundary (split + lower stay JVM-side so string semantics are
+    Spark's, §4.1); the kernel joins each doc's 3-word windows from
+    the word LIST (list slicing is engine-neutral), dedups, hashes
+    with hashlib.md5 (bit-identical to F.md5 / DuckDB md5), and
+    takes the per-bit votes as a vectorized nibble-unpack over the
+    raw 16-byte digests — bit j is nibble j's high bit, exactly the
+    substr(h, j+1, 1) >= '8' test. Votes never leave the task: the
+    output is one (doc_id, n_shingles, simhash) row per doc.
+    Equality vs the r12 SQL chain is pinned end-to-end on the lake
+    plus edge corpora in tests/test_round13_ops.py."""
     from ..sources.tables import spread_small_source
 
-    spread_small_source(
-        load_table(spark, sf_dir, "documents")
-    ).createOrReplaceTempView("_sph_docs")
-    sums = ",\n               ".join(
-        f"SUM(IF(substring(h, {j + 1}, 1) >= '8', 1, -1)) AS b{j}"
-        for j in range(SIMHASH_PORTABLE_BITS)
+    docs = spread_small_source(load_table(spark, sf_dir, "documents"))
+    key_type = docs.schema["doc_id"].dataType.simpleString()
+    src = docs.select(
+        "doc_id",
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+").alias("w"),
     )
-    fp = " + ".join(
-        f"CAST(IF(b{j} > 0, 1, 0) AS BIGINT) * {1 << j}"
-        for j in range(SIMHASH_PORTABLE_BITS)
+
+    def gen(batches):
+        import hashlib
+
+        import numpy as np
+        import pyarrow as pa
+
+        shifts = np.arange(SIMHASH_PORTABLE_BITS, dtype=np.uint64)
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            ids_out, ns_out, fp_out = [], [], []
+            ids = batch.column(0).to_pylist()
+            ws = batch.column(1).to_pylist()
+            for did, w in zip(ids, ws):
+                if w is None:
+                    continue
+                # sequence(1, greatest(size(w) - 2, 1)) over
+                # concat_ws(' ', slice(w, i, 3)), distinct, '' dropped
+                top = max(len(w) - 2, 1)
+                sh = {
+                    " ".join(w[i : i + 3]) for i in range(top)
+                }
+                sh.discard("")
+                if not sh:
+                    continue
+                dig = np.frombuffer(
+                    b"".join(
+                        hashlib.md5(s.encode("utf-8")).digest()
+                        for s in sh
+                    ),
+                    dtype=np.uint8,
+                ).reshape(len(sh), 16)
+                nib = np.empty((len(sh), 32), dtype=np.uint8)
+                nib[:, 0::2] = dig >> 4
+                nib[:, 1::2] = dig & 15
+                votes = ((nib >> 3) & 1).sum(axis=0, dtype=np.int64)
+                fp = int(
+                    (
+                        (votes * 2 > len(sh)).astype(np.uint64)
+                        << shifts
+                    ).sum()
+                )
+                ids_out.append(did)
+                ns_out.append(len(sh))
+                fp_out.append(fp)
+            if ids_out:
+                yield pa.record_batch(
+                    [
+                        pa.array(ids_out),
+                        pa.array(ns_out, type=pa.int64()),
+                        pa.array(
+                            np.array(fp_out, dtype=np.uint64).view(
+                                np.int64
+                            )
+                        ),
+                    ],
+                    names=["doc_id", "n_shingles", "simhash"],
+                )
+
+    return src.mapInArrow(
+        gen,
+        f"doc_id {key_type}, n_shingles long, simhash long",
     )
-    return spark.sql(f"""
-        WITH words AS (
-            SELECT doc_id, split(lower(text), '[^a-z0-9]+') AS w
-            FROM _sph_docs
-        ),
-        sh AS (
-            SELECT doc_id,
-                   explode(array_distinct(filter(
-                       transform(
-                           sequence(1, greatest(size(w) - 2, 1)),
-                           i -> concat_ws(' ', slice(w, i, 3))),
-                       s -> s != ''))) AS s
-            FROM words
-        ),
-        hashed AS (SELECT doc_id, md5(s) AS h FROM sh),
-        votes AS (
-            SELECT doc_id, COUNT(*) AS n_shingles,
-               {sums}
-            FROM hashed GROUP BY doc_id
-        )
-        SELECT doc_id,
-               CAST(n_shingles AS BIGINT) AS n_shingles,
-               {fp} AS simhash
-        FROM votes
-    """)
 
 
 @query(

@@ -358,8 +358,14 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .select("p.src", "p.dst")
             .filter(F.col("src") != F.col("dst"))
-            .distinct()
+            # r13 (guide §2.4): repartition FIRST — hash(src) clusters
+            # (src, dst), so the dedup runs locally above the pinned
+            # exchange and the r12 shape's separate distinct exchange
+            # (a second full pass of the pair list over the wire)
+            # disappears. Cold-build cost is what the bench gates on
+            # for this artifact's six consumers.
             .repartition(n_part, F.col("src"))
+            .dropDuplicates(["src", "dst"])
             .localCheckpoint()
         )
 
@@ -885,29 +891,40 @@ def hits_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-synchronizes engines) and the output reports each top-10
     authority's share of the total, folded in as a 1-row broadcast.
 
-    Scale shape: each round is one edge-keyed join + one keyed
-    aggregate (corpus-linear, map-side partials); no windows, no
-    driver state, no collect — the whole 2-round chain is a single
-    lazy plan whose relation fan-out is fixed by the unroll depth
-    (under the scan-count guard's ceiling), exactly the shape that
-    needs localCheckpoint pinning only when rounds grow."""
+    Scale shape (r13, guide §2.4): the whole 2-round chain runs at
+    EDGE GRAIN over ONE scan — each HITS half-step is a window
+    aggregate over the key it refines (authority counts over p, hub
+    sums over o), so the r12 shape's three edge-list derivations and
+    two join-backs collapse into exactly three exchanges (p, o, p).
+    The leading number-pinned repartition on p lets the distinct
+    dedup AND the first window share one exchange (hash(p) already
+    clusters (o, p)); no joins, no broadcast of vertex-grain state.
+    Values are bit-identical: per-step sums are integer-valued
+    doubles (counts and their sums), so summation order cannot move
+    the 6-dp rounding."""
     li = load_table(spark, sf_dir, "lineitem")
-    edges = li.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
-    a1 = edges.groupBy("p").agg(
-        F.count("*").cast("double").alias("a")
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    edges = (
+        li.select(
+            F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+        )
+        .repartition(n_part, F.col("p"))
+        .dropDuplicates(["o", "p"])
     )
-    h1 = (
-        edges.join(a1, "p")
-        .groupBy("o")
-        .agg(F.round(F.sum("a"), 6).alias("h"))
+    # round 1: authority = in-degree, attached per edge (window rides
+    # the repartition's hash(p) layout — no second exchange)
+    e1 = edges.withColumn(
+        "a1",
+        F.count(F.lit(1))
+        .over(Window.partitionBy("p"))
+        .cast("double"),
     )
-    a2 = (
-        edges.join(h1, "o")
-        .groupBy("p")
-        .agg(F.round(F.sum("h"), 6).alias("a"))
+    # hub score per order, attached per edge (one exchange on o)
+    e2 = e1.withColumn(
+        "h", F.round(F.sum("a1").over(Window.partitionBy("o")), 6)
     )
+    # round 2: authority = sum of incident hub scores (one exchange)
+    a2 = e2.groupBy("p").agg(F.round(F.sum("h"), 6).alias("a"))
     tot = a2.agg(F.sum("a").alias("t"))
     return (
         a2.join(F.broadcast(tot))
@@ -1376,15 +1393,28 @@ def lpa_communities(edges, rounds: int = None):
     frame's layout (repartition on src + localCheckpoint) so rounds
     reuse one shuffle; the registered query shows the pattern."""
     rounds = LPA_ROUNDS if rounds is None else rounds
+    n_part = int(
+        edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
     labels = edges.select(
         F.col("src").alias("v")
     ).distinct().select("v", F.col("v").alias("community"))
     for _ in range(rounds):
+        # r13 (guide §2.4): ONE pinned exchange per round. The
+        # number-pinned repartition on the destination key is the
+        # round's only shuffle: hash(v2) clusters (v2, community), so
+        # the count aggregate AND the struct-max argmax both run
+        # locally above it, and the labels frame it produces is
+        # co-partitioned with the pinned edge list (hash, n_part) so
+        # the NEXT round's join is exchange-free too. The r12 shape
+        # paid 2 aggregate exchanges per round (hash(v2, community)
+        # then hash(v2)) plus a label re-exchange at the join.
         counts = (
             edges.join(
                 labels.hint("shuffle_hash"), edges.src == labels.v
             )
             .select(F.col("dst").alias("v2"), "community")
+            .repartition(n_part, F.col("v2"))
             .groupBy("v2", "community")
             .agg(F.count("*").alias("cnt"))
         )

@@ -24,11 +24,18 @@ shuffle the group's values once; at 100 TB swap `percentile` for
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..plans.registry import query
-from ..sources.tables import literal_grid, load_table, spread_small_source
+from ..sources.tables import (
+    literal_frame,
+    literal_grid,
+    load_table,
+    spread_small_source,
+)
 
 
 @query(
@@ -1608,60 +1615,119 @@ def ab_lift_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_b"
         ),
     )
-    # The 64x replicate expansion below is the hot path; a small-SF
-    # single-file scan would run it on one task (no-op at scale).
-    digs = spread_small_source(base).select(
-        "cohort",
-        "x",
-        F.explode(
-            F.sequence(F.lit(0), F.lit(BOOT_REPS // 16 - 1))
-        ).alias("d"),
-        F.col("id"),
+    # r13 (guide §4.2/§2.3): the 64x replicate expansion was a 4x
+    # digest Generate + a 16x slice Generate + a hash aggregate over
+    # 64 rows PER INPUT ROW (9.6M rows into the exchange at sf0.1) —
+    # the suite's highest-CPU tail entry (8-core ratio 1.38). Now one
+    # mapInArrow pass computes per-task partial (sum w*x, sum w) for
+    # all 64 replicates x 2 cohorts: the replicate draws are byte j
+    # of md5(d:id).digest() (== the 2-hex-char slice, verified
+    # bit-identical), weights come from a 256-entry LUT of the same
+    # Poisson quantization, and only O(replicates) partials leave
+    # each task. The replicate means, percentile interpolation (the
+    # exact lower*(1-frac)+higher*frac form F.percentile uses) and
+    # the 2-dp/6-dp roundings are replayed bit-faithfully driver-side
+    # (Decimal HALF_UP = F.round); the CI literals re-enter the plan
+    # and are rounded by F.round as before.
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    lut = np.zeros(256, dtype=np.float64)
+    prev_cut = 0
+    for cut, wv in _BOOT_CUTS:
+        lut[prev_cut:cut] = wv
+        prev_cut = cut
+    n_blocks = BOOT_REPS // 16
+
+    def _boot_partials(batches):
+        swx = np.zeros((2, BOOT_REPS))
+        sw = np.zeros((2, BOOT_REPS))
+        for b in batches:
+            ids = b.column("id").to_pylist()
+            xs = b.column("x").to_numpy(zero_copy_only=False)
+            is_a = b.column("is_a").to_numpy(zero_copy_only=False)
+            if not ids:
+                continue
+            hb = np.empty((len(ids), BOOT_REPS), dtype=np.uint8)
+            for i, rid in enumerate(ids):
+                sid = str(rid)
+                for d in range(n_blocks):
+                    hb[i, d * 16 : (d + 1) * 16] = np.frombuffer(
+                        hashlib.md5(
+                            f"{d}:{sid}".encode()
+                        ).digest(),
+                        dtype=np.uint8,
+                    )
+            w = lut[hb]  # (rows, 64) replicate weights
+            for side, mask in ((0, is_a), (1, ~is_a)):
+                if mask.any():
+                    swx[side] += (w[mask] * xs[mask, None]).sum(axis=0)
+                    sw[side] += w[mask].sum(axis=0)
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(
+                    [swx.reshape(-1).tolist()],
+                    type=pa.list_(pa.float64()),
+                ),
+                pa.array(
+                    [sw.reshape(-1).tolist()],
+                    type=pa.list_(pa.float64()),
+                ),
+            ],
+            names=["swx", "sw"],
+        )
+
+    parts = (
+        spread_small_source(base)
+        .select("id", "x", (F.col("cohort") == "A").alias("is_a"))
+        .mapInArrow(
+            _boot_partials, "swx array<double>, sw array<double>"
+        )
+        .collect()
+    )
+    swx = np.zeros(2 * BOOT_REPS)
+    sw = np.zeros(2 * BOOT_REPS)
+    for r in parts:
+        swx += np.asarray(r["swx"])
+        sw += np.asarray(r["sw"])
+    swx = swx.reshape(2, BOOT_REPS)
+    sw = sw.reshape(2, BOOT_REPS)
+
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def _rnd(x: float, q: str) -> float:
+        return float(
+            Decimal(repr(float(x))).quantize(
+                Decimal(q), rounding=ROUND_HALF_UP
+            )
+        )
+
+    lifts = sorted(
+        (
+            _rnd(swx[1][r] / sw[1][r], "0.01")
+            - _rnd(swx[0][r] / sw[0][r], "0.01")
+        )
+        / _rnd(swx[0][r] / sw[0][r], "0.01")
+        for r in range(BOOT_REPS)
+    )
+
+    def _pctl(p: float) -> float:
+        rank = p * (len(lifts) - 1)
+        lo = int(math.floor(rank))
+        hi = int(math.ceil(rank))
+        if lo == hi:
+            return lifts[lo]
+        return lifts[lo] * (hi - rank) + lifts[hi] * (rank - lo)
+
+    ci = literal_frame(
+        spark,
+        "ci_lo_raw double, ci_hi_raw double",
+        [(_pctl(0.025), _pctl(0.975))],
     ).select(
-        "cohort",
-        "x",
-        "d",
-        F.md5(F.concat_ws(":", F.col("d"), F.col("id"))).alias("dig"),
-    )
-    c1 = F.expr("substring(dig, j * 2 + 1, 1)")
-    c2 = F.expr("substring(dig, j * 2 + 2, 1)")
-    h = (
-        (F.instr(F.lit(_BOOT_HEX), c1) - 1) * 16
-        + F.instr(F.lit(_BOOT_HEX), c2)
-        - 1
-    )
-    w = F.when(h < 94, 0)
-    for cut, wv in _BOOT_CUTS[1:]:
-        w = w.when(h < cut, wv)
-    weighted = digs.select(
-        "cohort",
-        "x",
-        "d",
-        "dig",
-        F.explode(F.sequence(F.lit(0), F.lit(15))).alias("j"),
-    ).select(
-        "cohort",
-        "x",
-        (F.col("d") * 16 + F.col("j")).alias("r"),
-        w.alias("w"),
-    )
-    reps = weighted.groupBy("r").agg(
-        F.round(
-            F.sum(F.when(F.col("cohort") == "A", F.col("w") * F.col("x")))
-            / F.sum(F.when(F.col("cohort") == "A", F.col("w"))),
-            2,
-        ).alias("ma"),
-        F.round(
-            F.sum(F.when(F.col("cohort") == "B", F.col("w") * F.col("x")))
-            / F.sum(F.when(F.col("cohort") == "B", F.col("w"))),
-            2,
-        ).alias("mb"),
-    )
-    lift_r = (F.col("mb") - F.col("ma")) / F.col("ma")
-    pct = F.percentile(lift_r, F.array(F.lit(0.025), F.lit(0.975)))
-    ci = reps.agg(
-        F.round(F.element_at(pct, 1), 6).alias("ci_lo"),
-        F.round(F.element_at(pct, 2), 6).alias("ci_hi"),
+        F.round(F.col("ci_lo_raw"), 6).alias("ci_lo"),
+        F.round(F.col("ci_hi_raw"), 6).alias("ci_hi"),
     )
     return (
         obs.crossJoin(F.broadcast(ci))

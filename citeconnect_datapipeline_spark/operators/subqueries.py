@@ -248,13 +248,21 @@ def large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 def min_cost_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 shape (adapted to this lake: lineitem is the
     part↔supplier link): for each large part, the supplier(s) with
-    the minimum average offered price — a correlated MIN subquery
-    over a derived table, referenced twice. Catalyst decorrelates the
-    scalar MIN into a per-partkey aggregate joined back (the
-    argmin-by-join pattern); the p_size filter pushes into the part
-    scan and prunes before the equality check. Ties (exact equal
-    rounded min price) are all retained — the deterministic form of
-    Q2's multi-row-per-part semantics."""
+    the minimum average offered price. Ties (exact equal rounded min
+    price) are all retained — the deterministic form of Q2's
+    multi-row-per-part semantics.
+
+    r13 (guide §2.4): the correlated-MIN form referenced the derived
+    `ps` aggregate TWICE — Catalyst decorrelates it into a second
+    per-partkey aggregate joined back, re-deriving the lineitem
+    aggregation (12 AQE jobs, 2.3 s isolated vs DuckDB 0.15 s). The
+    window-argmin form computes the per-part minimum IN PLACE over
+    the one aggregate (hash(partkey, suppkey) -> window on the
+    partkey prefix), so the fact table is aggregated once and no
+    join-back exists; rows retained are identical (avg_price equals
+    its partition min, exact comparison of the same 4-dp-rounded
+    doubles). The module's decorrelation showcase lives on in
+    `dominant_part_suppliers` / `sole_failed_supplier_wait`."""
     _views(spark, sf_dir, "lineitem", "part", "supplier")
     return spark.sql(
         """
@@ -262,16 +270,18 @@ def min_cost_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT l_partkey, l_suppkey,
                    ROUND(AVG(l_extendedprice), 4) AS avg_price
             FROM lineitem GROUP BY l_partkey, l_suppkey
+        ),
+        m AS (
+            SELECT l_partkey, l_suppkey, avg_price,
+                   MIN(avg_price) OVER (PARTITION BY l_partkey)
+                       AS min_price
+            FROM ps
         )
-        SELECT p.p_partkey, s.s_name, ps.avg_price
-        FROM ps
-        JOIN part p ON p.p_partkey = ps.l_partkey
-        JOIN supplier s ON s.s_suppkey = ps.l_suppkey
-        WHERE p.p_size >= 49
-          AND ps.avg_price = (
-                SELECT MIN(ps2.avg_price) FROM ps ps2
-                WHERE ps2.l_partkey = ps.l_partkey
-              )
+        SELECT p.p_partkey, s.s_name, m.avg_price
+        FROM m
+        JOIN part p ON p.p_partkey = m.l_partkey
+        JOIN supplier s ON s.s_suppkey = m.l_suppkey
+        WHERE p.p_size >= 49 AND m.avg_price = m.min_price
         ORDER BY p.p_partkey, s.s_name
         """
     )

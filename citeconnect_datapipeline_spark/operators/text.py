@@ -3145,7 +3145,6 @@ def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass, still one shuffle), a 4-row fit."""
     docs = load_table(spark, sf_dir, "documents")
     w = F.filter(_words(), lambda x: x != "")
-    dw = docs.select("doc_id", F.explode(w).alias("word"))
     bounds = docs.select("doc_id").distinct().agg(
         *[
             F.round(
@@ -3159,29 +3158,53 @@ def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exchange is deduplicated by AQE stage reuse at runtime — an
     # eager pin here measured SLOWER (1.91 -> 2.12 s isolated), so
     # the frame is deliberately left lazy.
-    cells = dw.crossJoin(F.broadcast(bounds)).agg(
+    #
+    # r13 (guide §2.3): the 12-way multi-countDistinct planned an
+    # Expand that pushed 12 copies of every (doc, word) row through
+    # one exchange. The checkpoints are NESTED prefixes, so a word is
+    # in prefix i iff its MIN doc_id <= c_i: one word-grain
+    # min(doc_id) aggregate (map-side partial min, the exchange
+    # carries one row per distinct word per mapper) replaces all four
+    # vocab distincts, and the doc-axis cells (n_i docs, t_i tokens)
+    # come straight off size(words) at the scan — no explode, no
+    # Expand, integer-exact equality with the oracle.
+    wg = docs.select(
+        "doc_id", F.explode(w).alias("word")
+    ).groupBy("word").agg(F.min("doc_id").alias("fd"))
+    vrow = wg.crossJoin(F.broadcast(bounds)).agg(
         *[
-            agg
+            F.count(
+                F.when(F.col("fd") <= F.col(f"c{i}"), 1)
+            ).alias(f"v{i}")
             for i in range(len(HEAPS_CHECKPOINTS))
-            for agg in (
-                F.countDistinct(
-                    F.when(
-                        F.col("doc_id") <= F.col(f"c{i}"),
-                        F.col("word"),
-                    )
-                ).alias(f"v{i}"),
-                F.countDistinct(
-                    F.when(
-                        F.col("doc_id") <= F.col(f"c{i}"),
-                        F.col("doc_id"),
-                    )
-                ).alias(f"n{i}"),
-                F.count(
-                    F.when(F.col("doc_id") <= F.col(f"c{i}"), 1)
-                ).alias(f"t{i}"),
-            )
         ]
     )
+    ntrow = (
+        docs.select("doc_id", F.size(w).alias("tk"))
+        .filter(F.col("tk") > 0)
+        .crossJoin(F.broadcast(bounds))
+        .agg(
+            *[
+                agg
+                for i in range(len(HEAPS_CHECKPOINTS))
+                for agg in (
+                    F.count(
+                        F.when(F.col("doc_id") <= F.col(f"c{i}"), 1)
+                    ).alias(f"n{i}"),
+                    F.coalesce(
+                        F.sum(
+                            F.when(
+                                F.col("doc_id") <= F.col(f"c{i}"),
+                                F.col("tk"),
+                            )
+                        ),
+                        F.lit(0).cast("long"),
+                    ).alias(f"t{i}"),
+                )
+            ]
+        )
+    )
+    cells = vrow.crossJoin(ntrow)
     stack_args = []
     for i in range(len(HEAPS_CHECKPOINTS)):
         stack_args += [

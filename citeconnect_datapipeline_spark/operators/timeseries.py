@@ -3560,130 +3560,107 @@ def gaussian_mixture_em(
     bounded frame with the previous round's parameters riding a
     1-row cross join — O(model)-per-round like the Lloyd/logreg
     loops, never corpus-grain."""
+    import math
+
+    import numpy as np
+
+    from ..functions.rounding import spark_round
+    from ..sources.tables import literal_frame
+
     orders = load_table(spark, sf_dir, "orders")
-    # r12 note: every EM pass embeds this day-grain aggregation, but
-    # the copies share the identical hash(day) exchange, which AQE
-    # stage reuse computes once at runtime — an eager pin measured a
-    # wash (1.90 -> 1.92 s) and is deliberately not applied.
     daily = orders.groupBy("o_orderdate").agg(
         F.round(F.sum("o_totalprice") / 1e6, 6).alias("x")
     ).select("x")
-    init = daily.agg(
-        F.round(F.percentile("x", F.lit(0.25)), 6).alias("mu1"),
-        F.round(F.percentile("x", F.lit(0.75)), 6).alias("mu2"),
-        F.greatest(
-            F.round(F.var_pop("x") / 2, 6), F.lit(GMM_VAR_FLOOR)
-        ).alias("s0"),
-        F.count("*").alias("n"),
-    )
-    params = init.select(
-        F.lit(0.5).alias("p1"),
-        "mu1",
-        F.col("s0").alias("s1"),
-        "mu2",
-        F.col("s0").alias("s2"),
-    )
+    # r13 (guide §1.2): the day-grain series is CALENDAR-BOUNDED
+    # (O(days) at any corpus size — ~3.7k rows for a decade), so the
+    # EM rounds run driver-side over the collected series instead of
+    # re-embedding the day aggregate once per round in a lazy plan
+    # (the r12 unrolled form planned the hash(day) exchange 5x and
+    # scheduled a serial AQE job chain; 8-core ratio 0.78 showed the
+    # cost was job rounds, not data). One corpus-pass job collects
+    # the bounded series; every parameter stays 6-dp-pinned per round
+    # via spark_round (the bit-faithful F.round twin), so the
+    # iteration replays exactly the values the in-plane form
+    # computed; the output is a 2-row local relation.
+    xs = np.array(
+        [r["x"] for r in daily.collect()], dtype=np.float64
+    )  # O(days), never corpus-grain
+    n = len(xs)
+    srt = np.sort(xs)
 
-    def dens(x, mu, s):
-        import math
+    def _pctl(p: float) -> float:
+        # F.percentile's exact interpolation form
+        rank = p * (n - 1)
+        lo, hi = int(math.floor(rank)), int(math.ceil(rank))
+        if lo == hi:
+            return float(srt[lo])
+        return float(srt[lo] * (hi - rank) + srt[hi] * (rank - lo))
 
-        return F.exp(-(x - mu) * (x - mu) / (2 * s)) / F.sqrt(
+    mu1 = spark_round(_pctl(0.25))
+    mu2 = spark_round(_pctl(0.75))
+    s0 = max(spark_round(float(np.var(xs)) / 2), GMM_VAR_FLOOR)
+    p1, s1, s2 = 0.5, s0, s0
+
+    def dens(mu, s):
+        return np.exp(-(xs - mu) * (xs - mu) / (2 * s)) / math.sqrt(
             2 * math.pi * s
         )
 
-    x = F.col("x")
     for _ in range(GMM_ITERS):
-        d1 = dens(x, F.col("mu1"), F.col("s1"))
-        d2 = dens(x, F.col("mu2"), F.col("s2"))
-        r = daily.crossJoin(F.broadcast(params)).select(
-            "x",
+        d1 = dens(mu1, s1)
+        d2 = dens(mu2, s2)
+        g1 = p1 * d1 / np.maximum(p1 * d1 + (1 - p1) * d2, 1e-300)
+        g2 = 1.0 - g1
+        sg1 = max(float(np.sum(g1)), 1e-12)
+        sg2 = max(float(np.sum(g2)), 1e-12)
+        mu1_new = float(np.sum(g1 * xs)) / sg1
+        mu2_new = float(np.sum(g2 * xs)) / sg2
+        p1 = spark_round(float(np.mean(g1)))
+        s1 = max(
+            spark_round(
+                float(np.sum(g1 * xs * xs)) / sg1 - mu1_new * mu1_new
+            ),
+            GMM_VAR_FLOOR,
+        )
+        s2 = max(
+            spark_round(
+                float(np.sum(g2 * xs * xs)) / sg2 - mu2_new * mu2_new
+            ),
+            GMM_VAR_FLOOR,
+        )
+        mu1, mu2 = spark_round(mu1_new), spark_round(mu2_new)
+    d1 = dens(mu1, s1)
+    d2 = dens(mu2, s2)
+    avg_ll = spark_round(
+        float(
+            np.mean(
+                np.log(np.maximum(p1 * d1 + (1 - p1) * d2, 1e-300))
+            )
+        )
+    )
+    return literal_frame(
+        spark,
+        "component int, weight double, mu double, sigma double,"
+        " avg_loglik double, n_days bigint",
+        [
             (
-                F.col("p1")
-                * d1
-                / F.greatest(
-                    F.col("p1") * d1 + (1 - F.col("p1")) * d2,
-                    F.lit(1e-300),
-                )
-            ).alias("g1"),
-        )
-        g1 = F.col("g1")
-        mu1_new = F.sum(g1 * x) / F.greatest(F.sum(g1), F.lit(1e-12))
-        mu2_new = F.sum((1 - g1) * x) / F.greatest(
-            F.sum(1 - g1), F.lit(1e-12)
-        )
-        params = r.agg(
-            F.round(F.avg("g1"), 6).alias("p1"),
-            F.round(mu1_new, 6).alias("mu1"),
-            F.greatest(
-                F.round(
-                    F.sum(g1 * x * x)
-                    / F.greatest(F.sum(g1), F.lit(1e-12))
-                    - mu1_new * mu1_new,
-                    6,
-                ),
-                F.lit(GMM_VAR_FLOOR),
-            ).alias("s1"),
-            F.round(mu2_new, 6).alias("mu2"),
-            F.greatest(
-                F.round(
-                    F.sum((1 - g1) * x * x)
-                    / F.greatest(F.sum(1 - g1), F.lit(1e-12))
-                    - mu2_new * mu2_new,
-                    6,
-                ),
-                F.lit(GMM_VAR_FLOOR),
-            ).alias("s2"),
-        )
-    d1 = dens(x, F.col("mu1"), F.col("s1"))
-    d2 = dens(x, F.col("mu2"), F.col("s2"))
-    loglik = (
-        daily.crossJoin(F.broadcast(params))
-        .agg(
-            F.round(
-                F.avg(
-                    F.log(
-                        F.greatest(
-                            F.col("p1") * d1
-                            + (1 - F.col("p1")) * d2,
-                            F.lit(1e-300),
-                        )
-                    )
-                ),
-                6,
-            ).alias("avg_ll")
-        )
-    )
-    comp = spark.range(1, 3).select(
-        F.col("id").cast("int").alias("component")
-    )
-    return (
-        comp.crossJoin(F.broadcast(params))
-        .crossJoin(F.broadcast(loglik))
-        .crossJoin(F.broadcast(init.select("n")))
-        .select(
-            "component",
-            F.round(
-                F.when(
-                    F.col("component") == 1, F.col("p1")
-                ).otherwise(1 - F.col("p1")),
-                6,
-            ).alias("weight"),
-            F.when(F.col("component") == 1, F.col("mu1"))
-            .otherwise(F.col("mu2"))
-            .alias("mu"),
-            F.round(
-                F.sqrt(
-                    F.when(
-                        F.col("component") == 1, F.col("s1")
-                    ).otherwise(F.col("s2"))
-                ),
-                6,
-            ).alias("sigma"),
-            F.col("avg_ll").alias("avg_loglik"),
-            F.col("n").cast("bigint").alias("n_days"),
-        )
-        .orderBy("component")
-    )
+                1,
+                spark_round(p1),
+                mu1,
+                spark_round(math.sqrt(s1)),
+                avg_ll,
+                n,
+            ),
+            (
+                2,
+                spark_round(1 - p1),
+                mu2,
+                spark_round(math.sqrt(s2)),
+                avg_ll,
+                n,
+            ),
+        ],
+    ).orderBy("component")
 
 
 @query(

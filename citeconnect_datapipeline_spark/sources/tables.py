@@ -122,7 +122,13 @@ def literal_grid(
     a LocalRelation is materialized driver-side — broadcasting it
     schedules no job at all. Values/column name/type are identical
     to the createDataFrame form it replaces."""
-    vals = ", ".join(f"(CAST({v!r} AS {dtype}))" for v in values)
+    values = list(values)
+    if not values:  # VALUES () is a ParseException; keep the old
+        # createDataFrame empty-frame contract (r12 ADVICE #2)
+        return spark.createDataFrame([], f"{name} {dtype}")
+    vals = ", ".join(
+        f"(CAST({_sql_literal(v)} AS {dtype}))" for v in values
+    )
     return spark.sql(
         f"SELECT {name} FROM (VALUES {vals}) AS t({name})"
     )
@@ -132,7 +138,22 @@ def _sql_literal(v) -> str:
     if v is None:
         return "NULL"
     if isinstance(v, str):
-        return "'" + v.replace("'", "''") + "'"
+        # Spark SQL string literals process backslash escapes by
+        # default (escapedStringLiterals=false), so backslashes must
+        # be doubled too, not just quotes (r12 ADVICE #1)
+        return "'" + v.replace("\\", "\\\\").replace("'", "''") + "'"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, float):
+        # repr(nan/inf) are bare identifiers that fail analysis; a
+        # diverged fit (NaN weights) must round-trip like
+        # createDataFrame shipped it (r12 ADVICE #1)
+        if v != v:
+            return "CAST('NaN' AS DOUBLE)"
+        if v == float("inf"):
+            return "CAST('Infinity' AS DOUBLE)"
+        if v == float("-inf"):
+            return "CAST('-Infinity' AS DOUBLE)"
     # repr of a float is the shortest string that round-trips to the
     # same double, and Spark parses plain decimal/exponent literals
     # to DOUBLE exactly — so CAST(repr AS DOUBLE) is bit-identical
@@ -149,8 +170,18 @@ def literal_frame(spark: SparkSession, schema: str, rows) -> DataFrame:
     extra Spark job PER re-injection (once per training round in the
     iterative fits). ``schema`` is the same "name type, ..." string
     createDataFrame took; values/names/types are identical."""
-    cols = [c.strip().rsplit(" ", 1) for c in schema.split(",")]
-    names = ", ".join(n.strip() for n, _ in cols)
+    rows = list(rows)
+    if not rows:  # VALUES () is a ParseException; keep the old
+        # createDataFrame empty-frame contract (r12 ADVICE #2)
+        return spark.createDataFrame([], schema)
+    # Parse with the real datatype parser: split(',')/rsplit(' ')
+    # breaks on parameterized/nested types — decimal(10,2),
+    # array<struct<...>> (r12 ADVICE #3)
+    from pyspark.sql.types import _parse_datatype_string
+
+    struct = _parse_datatype_string(schema)
+    cols = [(f.name, f.dataType.simpleString()) for f in struct.fields]
+    names = ", ".join(n for n, _ in cols)
     vals = ", ".join(
         "("
         + ", ".join(
