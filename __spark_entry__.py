@@ -232,26 +232,60 @@ _DRIVER_VERIFIED = frozenset(
 # rewrite of green code is a bigger evidence hole than a new query's
 # first row).
 _REVERIFY_AGED: tuple[str, ...] = (
-    # empty this round: every r9-aged and r10-rewritten entry got
-    # its driver row in CORRECTNESS_r10 (all green) — both queues
-    # drained into _DRIVER_VERIFIED above
+    # The r12 Arrow-kernel rewrite family whose driver rows predate
+    # the rewrite (r12 verdict item 2: the r12 window covered only
+    # the 5 head entries + the p–s rotation block, so these are
+    # driver-green on PRE-rewrite code only). Every name was locally
+    # re-audited at sf0.01 AND sf0.1 after its rewrite (AUDIT_LOCAL.md
+    # sweep); the driver row closes the external-verification gap.
+    # Shingle/xxh64 kernel family + consumers:
+    "ngram_jaccard_topk", "ngram_containment_topk", "ngram_novelty",
+    "neardup_components", "neardup_cluster_histogram",
+    "neardup_keep_best", "neardup_threshold_sweep",
+    "blocking_quality_report", "benchmark_contamination",
+    "decontaminate_corpus", "simhash_fingerprints",
+    "minhash_lsh_candidates", "source_overlap_matrix",
+    "dedup_source_flow",
+    # chunkers + portable-minhash front half:
+    "chunk_documents", "chunk_exact_dedup", "duplicate_span_merge",
+    "clip_duplicate_spans", "minhash_lsh_portable",
+    "minhash_jaccard_estimate", "minhash_band_tuning",
+    # extraction / gopher / ann_pq / null-profile / trigram / bpe:
+    "content_extract_4tier", "content_extract_payload_parse",
+    "extraction_method_distribution", "gopher_repetition_ratios",
+    "ann_pq_portable", "column_null_profile",
+    "char_ngram_lang_profile", "bpe_encode_stats", "bpe_portable",
 )
 
 _REVERIFY_FIRST = (
-    # r12 rewrites (each re-audited locally at sf0.01 AND sf0.1 this
-    # round; the driver row makes the rewrite externally visible):
-    "fuzzy_prefix_pairs",      # r12: entropy-adaptive segment
-    # boundaries + multi-match-aware shift bound + once-per-pair
-    # post-distinct DP (r11 verdict #3 / ADVICE #3)
-    "doc_repetition_topk",     # r12: Arrow-batched pandas-UDF
-    # shingle counting replaces the interpreted HOF (9.2 s -> 0.44 s
-    # isolated; the r11 gate flag)
-    "hard_negative_mining",    # r12: zero-norm sims masked to NULL
-    # in the shared GEMM stage (r11 ADVICE #2)
-    "retrieval_ndcg_eval",     # r12: same GEMM-stage change
-    "audio_chunk_windows",     # r12: chunk plan extracted into the
-    # shared _chunk_durations helper (real-WAV variant added);
-    # plan-identical, re-verified anyway
+    # r13 rewrites (each re-audited locally at sf0.001, sf0.01 AND
+    # sf0.1 this round — tools/oracle_audit.py MATCH; the driver row
+    # makes the rewrite externally visible):
+    "pca_power_portable",       # r13: one Gram sufficient-statistics
+    # pass + driver-side power iteration (56 jobs -> 5)
+    "logreg_adagrad_portable",  # r13: kernel-built feature table +
+    # one mapInArrow partial pass per AdaGrad round
+    "ab_lift_bootstrap",        # r13: replicate weights/partials in
+    # one mapInArrow pass over md5 digest bytes
+    "simhash_portable",         # r13: md5-SimHash Arrow kernel
+    "simhash_hamming_pairs",    # r13: consumes the same kernel
+    "gaussian_mixture_em",      # r13: EM rounds driver-side over the
+    # collected calendar-bounded daily series
+    "hits_authorities",         # r13: single-scan window form
+    "heaps_law_fit",            # r13: nested-prefix min(doc_id)
+    # rewrite removes the countDistinct Expand
+    "min_cost_supplier_per_part",  # r13: window argmin
+    "lpa_communities_topk",     # r13: one pinned exchange per round
+    "community_modularity",     # r13: shares the LPA label memo
+    "copurchase_pmi_topk",      # r13: marginals/total off the shared
+    # basket aggregate (3 lineitem scans -> 1)
+    "assoc_rules_topk",         # r13: in-basket pair expansion
+    # replaces the o-keyed self-join
+    "part_copurchase_pagerank",  # r13: edge build dedups above its
+    # pinned repartition (one exchange)
+    "quality_classifier",       # r13: kernel feature build + kernel
+    # gradient rounds (rows-only)
+    "classifier_eval",          # r13: consumes the same fit
 )
 
 
@@ -285,10 +319,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Freshness cadence (r10 verdict #4 — current numbers): the driver
     window is ~50 slots/round. As of r12 the registry is FROZEN at
     330 queries (308 oracled + 22 contractual rows-only), all 330
-    driver-verified at least once (r1-r11 union). With 0 unverified
-    and 5 r12 rewrites at the head, 45 slots rotate — every green
-    row is re-checked at most ceil(330/45) = 8 rounds after its last
-    row. Net-new registry growth stays frozen unless a round both
+    driver-verified at least once (r1-r11 union). r13 spends the
+    window on closing the rewrite-verification gap (r12 verdict
+    item 2): 31 r12-family entries whose green rows predate their
+    rewrite (_REVERIFY_AGED) + 16 r13 rewrites (_REVERIFY_FIRST)
+    fill ~47 slots; rotation resumes at full width next round.
+    Net-new registry growth stays frozen unless a round both
     (a) ships a new operator family and (b) keeps head small enough
     that >= 30 rotation slots remain (the r10 verdict floor); the
     local full re-verification sweep (tools/refresh_audit_local.py,

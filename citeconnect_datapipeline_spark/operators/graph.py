@@ -468,9 +468,16 @@ def copurchase_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("cab"))
         .filter(F.col("cab") >= 3)
     )
+    # r13 (guide §2.4): part marginals and the basket total both
+    # derive from the SAME basket aggregate the pair stage reads —
+    # the r12 form re-scanned lineitem for a second distinct exchange
+    # (part_counts) and a third scan for the countDistinct total
+    # (3 scans, 10 AQE jobs). collect_set already dedups per order,
+    # so exploding the basket arrays gives exactly the distinct
+    # (order, part) pairs, and the total is one count over the
+    # shared exchange. Integer-exact equality.
     part_counts = (
-        li.select("l_orderkey", "l_partkey")
-        .distinct()
+        baskets.select(F.explode("ps").alias("l_partkey"))
         .groupBy("l_partkey")
         .agg(F.count("*").alias("c"))
     )
@@ -478,8 +485,8 @@ def copurchase_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # aggregate folded into the plan — a driver-side .count() here
     # was a full extra job plus a serial barrier before the scoring
     # stage could submit (same fix as tfidf_top_terms).
-    total = li.agg(
-        F.countDistinct("l_orderkey").cast("double").alias("n_total")
+    total = baskets.agg(
+        F.count("*").cast("double").alias("n_total")
     )
     # item-keyed equi-joins, NO forced hint: part_counts is
     # part-domain grain (linear in the lake), so size-aware AQE
@@ -1132,17 +1139,37 @@ def assoc_rules_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     item_n = baskets.groupBy("l_partkey").agg(
         F.count("*").alias("cnt")
     )
-    n_b = baskets.agg(
-        F.count_distinct("l_orderkey").alias("n")
+    # r13 (guide §2.4): pair expansion happens IN-ROW over per-order
+    # sorted item arrays (the _support_pruned_edges shape) instead of
+    # the o-keyed self-join — the r12 form exchanged both join legs
+    # on the basket key and re-read the pinned table twice. One
+    # groupBy(order) collect_set (itself riding the pin), pairs from
+    # the sorted array (x < y by construction), and the basket total
+    # shares that same exchange as a 1-row count. Counts identical:
+    # the basket rows are already (order, part)-distinct.
+    orders_arr = baskets.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
     )
-    a = baskets.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("x")
-    )
-    b = baskets.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("y")
-    )
+    n_b = orders_arr.agg(F.count("*").alias("n"))
     pair_n = (
-        a.join(b, (a.o == b.o) & (F.col("x") < F.col("y")))
+        orders_arr.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "ps",
+                        lambda x, i: F.transform(
+                            F.slice(
+                                F.col("ps"), i + 2, F.size(F.col("ps"))
+                            ),
+                            lambda y: F.struct(
+                                x.alias("x"), y.alias("y")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.x", "p.y")
         .groupBy("x", "y")
         .agg(F.count("*").alias("cxy"))
         .filter(F.col("cxy") >= ASSOC_MIN_PAIR)

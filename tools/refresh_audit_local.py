@@ -26,7 +26,13 @@ def sweep(sf_dir: str) -> list[str]:
         text=True,
         check=True,
     ).stdout
-    lines = [ln for ln in out.splitlines() if ": " in ln]
+    # keep only per-query verdict rows (oracle_audit also prints
+    # info lines like "payload-parse corpus properties: OK")
+    lines = [
+        ln
+        for ln in out.splitlines()
+        if ": MATCH" in ln or ": MISMATCH" in ln or ": ERROR" in ln
+    ]
     bad = [ln for ln in lines if ": MATCH" not in ln]
     if bad:
         raise SystemExit(
