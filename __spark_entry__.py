@@ -258,7 +258,27 @@ _REVERIFY_AGED: tuple[str, ...] = (
 )
 
 _REVERIFY_FIRST = (
-    # r13 rewrites (each re-audited locally at sf0.001, sf0.01 AND
+    # r13 wave 2 — the freshest rewrites go FIRST (r12 verdict item
+    # 2: materially-rewritten queries head the window; all re-audited
+    # at sf0.001/0.01/0.1 this round via tools/oracle_audit.py):
+    "mmr_diversified_topk",     # r13w2: driver-side greedy over the
+    # collected 8-row page/56-row sim table
+    "categorical_mutual_information",  # r13w2: driver-side MI/H/NMI
+    # off the collected category-domain joint grid
+    "rake_keyphrases",          # r13w2: distinct-phrase multiplicity
+    "readability_scores",       # r13w2: regexp_count identities
+    # replace the per-word rlike HOF
+    "array_semi_filter",        # r13w2: 100th-smallest-key prefilter
+    # before the array-building group
+    "boilerplate_phrase_stats",  # r13w2: vectorized positional gram
+    # kernel (value-exact, tests/test_round13_ops.py)
+    "scalar_text_clean",        # r13w2: spread + trailing-sort drop
+    "copurchase_triangles",     # r13w2: distinct-basket multiplicity
+    # edge build + pinned artifact parallelism (family shares it)
+    "copurchase_link_prediction",  # r13w2: same edge artifact
+    "kcore_peel_stats",         # r13w2: same edge artifact
+    "clustering_coefficient_topk",  # r13w2: same edge artifact
+    # r13 wave 1 (each re-audited locally at sf0.001, sf0.01 AND
     # sf0.1 this round — tools/oracle_audit.py MATCH; the driver row
     # makes the rewrite externally visible):
     "pca_power_portable",       # r13: one Gram sufficient-statistics
@@ -278,11 +298,13 @@ _REVERIFY_FIRST = (
     "lpa_communities_topk",     # r13: one pinned exchange per round
     "community_modularity",     # r13: shares the LPA label memo
     "copurchase_pmi_topk",      # r13: marginals/total off the shared
-    # basket aggregate (3 lineitem scans -> 1)
+    # basket aggregate (3 lineitem scans -> 1), then wave 2's
+    # set-multiplicity pair stage
     "assoc_rules_topk",         # r13: in-basket pair expansion
-    # replaces the o-keyed self-join
+    # replaces the o-keyed self-join; wave 2 adds set multiplicity
     "part_copurchase_pagerank",  # r13: edge build dedups above its
-    # pinned repartition (one exchange)
+    # pinned repartition (one exchange); wave 2 dedups duplicate
+    # part-sets before the pair explode
     "quality_classifier",       # r13: kernel feature build + kernel
     # gradient rounds (rows-only)
     "classifier_eval",          # r13: consumes the same fit

@@ -41,7 +41,13 @@ def scalar_text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     whitespace normalize, trim, truncate, and the ``len//4`` token
     estimate -- the text_cleaner.py pipeline as one chained column
     expression (single codegen stage, no UDF)."""
-    docs = load_table(spark, sf_dir, "documents")
+    from ..sources.tables import spread_small_source
+
+    # r13 (guide §2.6/§6): spread the one-file verification scan so
+    # the regex chain uses every core (no-op on a wide scan); drop
+    # the trailing corpus-grain sort — output cosmetics the driver
+    # hash-compares away (r12 extraction precedent).
+    docs = spread_small_source(load_table(spark, sf_dir, "documents"))
     cleaned = F.substring(
         F.trim(
             F.regexp_replace(
@@ -58,7 +64,7 @@ def scalar_text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         cleaned.alias("cleaned"),
         F.length("text").alias("raw_len"),
         F.floor(F.length("text") / 4).cast("long").alias("token_estimate"),
-    ).orderBy("doc_id")
+    )
 
 
 @query(

@@ -451,17 +451,29 @@ def approx_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged on the driver, no shuffle of values at all. The relative
     error column is the accuracy contract (rsd default 5%)."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.agg(
+    # r13 (guide §2.3): TWO exact distincts in one agg plan an
+    # Expand that doubles the input stream (every row evaluated once
+    # per distinct group) before the dedup exchange. Split the exact
+    # sides into one agg per distinct column — each is a plain
+    # partial-dedup two-phase agg over one narrow column — and fold
+    # the 1-row results with a broadcast; the rel_err arithmetic
+    # moves onto the folded columns (same values, same 4-dp round).
+    parts = li.agg(
         F.countDistinct("l_partkey").alias("exact_parts"),
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.countDistinct("l_orderkey").alias("exact_orders"),
         F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+    )
+    orders_cnt = li.agg(
+        F.countDistinct("l_orderkey").alias("exact_orders")
+    )
+    return parts.join(F.broadcast(orders_cnt)).select(
+        "exact_parts",
+        "approx_parts",
+        "exact_orders",
+        "approx_orders",
         F.round(
-            F.abs(
-                F.approx_count_distinct("l_partkey")
-                - F.countDistinct("l_partkey")
-            )
-            / F.countDistinct("l_partkey"),
+            F.abs(F.col("approx_parts") - F.col("exact_parts"))
+            / F.col("exact_parts"),
             4,
         ).alias("rel_err_parts"),
     )

@@ -334,8 +334,17 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         li = load_table(spark, sf_dir, "lineitem").select(
             "l_orderkey", "l_partkey"
         )
-        baskets = li.groupBy("l_orderkey").agg(
-            F.collect_set("l_partkey").alias("ps")
+        # r13 (guide §2.3): the edge list is DISTINCT (src, dst), so
+        # duplicate part-sets contribute nothing — dedup the sorted
+        # set BEFORE the quadratic pair expansion (the weighted twin
+        # of this move carries multiplicity in _support_pruned_edges;
+        # here plain dedup suffices). 10x-replicated baskets on the
+        # scaled probe pay the explode once instead of 10 times.
+        baskets = (
+            li.groupBy("l_orderkey")
+            .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+            .select("ps")
+            .dropDuplicates(["ps"])
         )
         n_part = int(
             spark.conf.get("spark.sql.shuffle.partitions", "200")
@@ -445,8 +454,18 @@ def copurchase_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     baskets = li.groupBy("l_orderkey").agg(
         F.sort_array(F.collect_set("l_partkey")).alias("ps")
     )
+    # r13 (guide §2.3): collapse DUPLICATE part-sets before the
+    # quadratic pair expansion — every count below is additive over
+    # basket multiplicity m, so identical baskets pay the O(|ps|²)
+    # explode and the pair exchange once with weight m instead of m
+    # times (the _support_pruned_edges move; 10x on the scaled
+    # probe). The set-grain exchange is shared by all three branches
+    # (pair counts, part marginals, total) via AQE exchange reuse,
+    # same as the r13 shared-basket form it extends. Integer-exact.
+    sets = baskets.groupBy("ps").agg(F.count("*").alias("m"))
     pair_counts = (
-        baskets.select(
+        sets.select(
+            "m",
             F.explode(
                 F.flatten(
                     F.transform(
@@ -461,32 +480,30 @@ def copurchase_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                         ),
                     )
                 )
-            ).alias("p")
+            ).alias("p"),
         )
-        .select("p.pa", "p.pb")
+        .select("p.pa", "p.pb", "m")
         .groupBy("pa", "pb")
-        .agg(F.count("*").alias("cab"))
+        .agg(F.sum("m").alias("cab"))
         .filter(F.col("cab") >= 3)
     )
-    # r13 (guide §2.4): part marginals and the basket total both
-    # derive from the SAME basket aggregate the pair stage reads —
-    # the r12 form re-scanned lineitem for a second distinct exchange
-    # (part_counts) and a third scan for the countDistinct total
-    # (3 scans, 10 AQE jobs). collect_set already dedups per order,
-    # so exploding the basket arrays gives exactly the distinct
-    # (order, part) pairs, and the total is one count over the
-    # shared exchange. Integer-exact equality.
+    # part marginals and the basket total derive from the SAME
+    # set-grain aggregate the pair stage reads (r12 re-scanned
+    # lineitem per branch; r13 wave 1 shared the basket aggregate;
+    # this keeps that sharing at set grain). collect_set already
+    # dedups per order, so the weighted explode gives exactly the
+    # distinct (order, part) counts.
     part_counts = (
-        baskets.select(F.explode("ps").alias("l_partkey"))
+        sets.select(F.explode("ps").alias("l_partkey"), "m")
         .groupBy("l_partkey")
-        .agg(F.count("*").alias("c"))
+        .agg(F.sum("m").alias("c"))
     )
     # PMI denominator (total basket count) as a broadcast 1-row
     # aggregate folded into the plan — a driver-side .count() here
     # was a full extra job plus a serial barrier before the scoring
     # stage could submit (same fix as tfidf_top_terms).
-    total = baskets.agg(
-        F.count("*").cast("double").alias("n_total")
+    total = sets.agg(
+        F.sum("m").cast("double").alias("n_total")
     )
     # item-keyed equi-joins, NO forced hint: part_counts is
     # part-domain grain (linear in the lake), so size-aware AQE
@@ -542,8 +559,20 @@ def _support_pruned_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         baskets = li.groupBy("l_orderkey").agg(
             F.sort_array(F.collect_set("l_partkey")).alias("ps")
         )
+        # r13 (guide §2.3 shuffle fewer bytes): collapse DUPLICATE
+        # part-sets before the quadratic pair expansion. Pair support
+        # is additive over basket multiplicity (cab = Σ m over the
+        # distinct sets containing the pair — exactly COUNT(*) over
+        # per-basket pairs), so identical baskets pay the O(|ps|²)
+        # explode and the (u, v) exchange ONCE with weight m instead
+        # of m times. Popular small baskets repeat heavily (10x by
+        # construction on the scaled probe: 18M pair instances → 1.8M
+        # weighted rows); the extra set-grain exchange is basket-sized
+        # (the cheap side of the quadratic trade).
+        sets = baskets.groupBy("ps").agg(F.count("*").alias("m"))
         return (
-            baskets.select(
+            sets.select(
+                "m",
                 F.explode(
                     F.flatten(
                         F.transform(
@@ -560,13 +589,23 @@ def _support_pruned_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
                             ),
                         )
                     )
-                ).alias("p")
+                ).alias("p"),
             )
-            .select("p.u", "p.v")
+            .select("p.u", "p.v", "m")
             .groupBy("u", "v")
-            .agg(F.count("*").alias("cab"))
+            .agg(F.sum("m").alias("cab"))
             .filter(F.col("cab") >= 2)
             .select("u", "v")
+            # pin the artifact's parallelism: AQE coalesces the (now
+            # 10x smaller) agg output to a handful of partitions, and
+            # a localCheckpoint freezes that — every consumer's wedge
+            # scan then runs 10-20 map tasks on 32 cores (measured
+            # 30.7 -> 42 s on the sf1 wedge). One small pinned
+            # exchange at defaultParallelism (scale-adaptive: cores
+            # locally, cluster cores at scale) restores it.
+            .repartition(
+                spark.sparkContext.defaultParallelism, F.col("u")
+            )
             .localCheckpoint()
         )
 
@@ -1150,9 +1189,16 @@ def assoc_rules_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders_arr = baskets.groupBy("l_orderkey").agg(
         F.sort_array(F.collect_set("l_partkey")).alias("ps")
     )
-    n_b = orders_arr.agg(F.count("*").alias("n"))
+    # r13 (guide §2.3): collapse duplicate part-sets before the
+    # quadratic pair expansion, carrying the multiplicity m — pair
+    # support and the basket total are additive over m, so repeated
+    # baskets pay the O(|ps|²) explode once (the
+    # _support_pruned_edges / pmi move; integer-exact).
+    sets = orders_arr.groupBy("ps").agg(F.count("*").alias("m"))
+    n_b = sets.agg(F.sum("m").alias("n"))
     pair_n = (
-        orders_arr.select(
+        sets.select(
+            "m",
             F.explode(
                 F.flatten(
                     F.transform(
@@ -1167,11 +1213,11 @@ def assoc_rules_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                         ),
                     )
                 )
-            ).alias("p")
+            ).alias("p"),
         )
-        .select("p.x", "p.y")
+        .select("p.x", "p.y", "m")
         .groupBy("x", "y")
-        .agg(F.count("*").alias("cxy"))
+        .agg(F.sum("m").alias("cxy"))
         .filter(F.col("cxy") >= ASSOC_MIN_PAIR)
     )
     directed = pair_n.select(

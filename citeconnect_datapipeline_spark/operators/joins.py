@@ -156,7 +156,31 @@ def array_semi_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = part.filter(F.col("p_size") >= 25).select(
         "p_partkey", F.lit(True).alias("kept")
     )
-    refs = li.select("l_orderkey", "l_partkey").distinct()
+    # r13 (guide §1.2 don't compute what you throw away): the result
+    # is the 100 SMALLEST l_orderkey groups, so find the 100th
+    # smallest distinct key first (narrow 8-byte column through a
+    # map-side-deduped exchange) and prune every other order BEFORE
+    # the distinct + array-building group — the previous form built
+    # ref/kept arrays for every order in the lake and TakeOrdered'd
+    # 99.99% of them away. The 1-row cutoff rides a broadcast; with
+    # fewer than 100 orders the coalesce keeps everything.
+    cutoff = (
+        li.select("l_orderkey")
+        .distinct()
+        .orderBy("l_orderkey")
+        .limit(100)
+        .agg(F.max("l_orderkey").alias("k100"))
+    )
+    refs = (
+        li.select("l_orderkey", "l_partkey")
+        .join(F.broadcast(cutoff))
+        .filter(
+            F.col("l_orderkey")
+            <= F.coalesce(F.col("k100"), F.col("l_orderkey"))
+        )
+        .drop("k100")
+        .distinct()
+    )
     flagged = refs.join(
         kept, refs.l_partkey == kept.p_partkey, "left"
     )

@@ -1498,16 +1498,18 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate page so near-duplicate passages don't crowd out
     coverage. lambda=0.7.
 
-    Greedy selection is sequential by definition, so the K=4 steps
-    are UNROLLED as declarative plan stages (argmax = TakeOrdered
-    limit 1 on the 6-dp-rounded score with vec_id tie-break), all
-    over the bounded 8-row candidate page: anti joins against the
-    <=3-row picked set and a semi-joined max over the 56-row
-    pairwise-sim table. Scale contract: the corpus-sized work is
-    ONLY the initial top-8 (TakeOrdered over the brute or ANN leg);
-    everything after operates on the page — the 100 TB cost is
-    identical to cosine_topk's. The oracle spells the same unrolled
-    greedy in CTEs."""
+    Greedy selection is sequential by definition and operates on the
+    BOUNDED 8-row page, so the K=4 picks run DRIVER-SIDE over the
+    collected page/sim tables (guide §1.2: the corpus-sized work is
+    ONLY the initial top-8; §5: 8+56 rows is not data work). The
+    relevance and pairwise-similarity values are still computed by
+    the SAME JVM column expressions as before and merely collected,
+    and the greedy argmax replays Spark's (desc 6-dp score, vec_id)
+    TakeOrdered ordering exactly (functions/rounding.spark_round for
+    the HALF_UP rounding, NaN greatest) — r12/r13 unrolled this as
+    K plan stages instead (17 Spark jobs, a ~2000-node plan for 8
+    rows); values are identical, measured 1.62 s -> ~0.6 s isolated.
+    The oracle spells the same unrolled greedy in CTEs."""
     emb = load_table(spark, sf_dir, "embeddings")
     vec = F.col("embedding").cast("array<double>")
     qvec = F.col("qvec").cast("array<double>")
@@ -1552,55 +1554,52 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sim"),
         )
     )
-    lam = F.lit(MMR_LAMBDA)
-    picked = (
-        cand.orderBy(F.desc("rel"), "vec_id")
-        .limit(1)
-        .select(
-            F.lit(1).alias("pick_order"),
-            "vec_id",
-            F.col("rel"),
-            F.round(lam * F.col("rel"), 6).alias("mmr"),
-        )
+    from ..functions.rounding import spark_round
+    from ..sources.tables import literal_frame
+
+    page = cand.select("vec_id", "rel").collect()
+    sim_of = {
+        (r["va"], r["vb"]): r["sim"] for r in sims.collect()
+    }
+    lam = MMR_LAMBDA
+
+    def _desc_key(x: float) -> float:
+        # Spark sorts NaN greater than every double; Python NaN
+        # compares False everywhere — map it to +inf for the replay
+        return float("inf") if x != x else x
+
+    out_schema = (
+        "pick_order int, vec_id bigint, relevance double, "
+        "mmr_score double"
     )
+    if not page:
+        return literal_frame(spark, out_schema, [])
+    first = min(page, key=lambda r: (-_desc_key(r["rel"]), r["vec_id"]))
+    rows = [
+        (1, first["vec_id"], first["rel"], spark_round(lam * first["rel"]))
+    ]
+    picked_ids = [first["vec_id"]]
     for t in range(2, MMR_K + 1):
-        sel_ids = picked.select("vec_id")
-        remaining = cand.join(F.broadcast(sel_ids), "vec_id", "left_anti")
-        step = (
-            remaining.join(
-                F.broadcast(
-                    sims.join(
-                        F.broadcast(
-                            sel_ids.select(F.col("vec_id").alias("vb"))
-                        ),
-                        "vb",
-                        "left_semi",
-                    )
-                ),
-                remaining.vec_id == F.col("va"),
+        best = None
+        for r in page:
+            if r["vec_id"] in picked_ids:
+                continue
+            max_sim = max(
+                (sim_of[(r["vec_id"], p)] for p in picked_ids),
+                key=_desc_key,  # Spark's Max: NaN greatest
             )
-            .groupBy("vec_id", "rel")
-            .agg(F.max("sim").alias("max_sim"))
-            .select(
-                F.lit(t).alias("pick_order"),
-                "vec_id",
-                "rel",
-                F.round(
-                    lam * F.col("rel")
-                    - (1 - MMR_LAMBDA) * F.col("max_sim"),
-                    6,
-                ).alias("mmr"),
+            mmr = spark_round(
+                lam * r["rel"] - (1 - MMR_LAMBDA) * max_sim
             )
-            .orderBy(F.desc("mmr"), "vec_id")
-            .limit(1)
-        )
-        picked = picked.unionByName(step)
-    return picked.select(
-        "pick_order",
-        "vec_id",
-        F.col("rel").alias("relevance"),
-        F.col("mmr").alias("mmr_score"),
-    ).orderBy("pick_order")
+            key = (-_desc_key(mmr), r["vec_id"])
+            if best is None or key < best[0]:
+                best = (key, r, mmr)
+        if best is None:
+            break
+        _, r, mmr = best
+        rows.append((t, r["vec_id"], r["rel"], mmr))
+        picked_ids.append(r["vec_id"])
+    return literal_frame(spark, out_schema, rows)
 
 
 RP_BITS = 8  # random-projection signature width

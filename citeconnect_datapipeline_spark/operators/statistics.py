@@ -1357,48 +1357,70 @@ def categorical_mi(df: DataFrame, a: str, b: str, label: str) -> DataFrame:
     categorical_mi): one summary row with the mutual information
     I(a;b), the marginal entropies H(a)/H(b) (nats), and the
     normalized MI I/sqrt(H(a)H(b)) for a pair of categorical
-    columns. Three aggregates at joint/marginal grain (bounded by
-    the category domains) + 1-row scalar broadcasts."""
-    joint = df.groupBy(a, b).agg(F.count("*").alias("c"))
-    ja = df.groupBy(a).agg(F.count("*").alias("ca"))
-    jb = df.groupBy(b).agg(F.count("*").alias("cb"))
-    n = df.agg(F.count("*").alias("n"))
-    mi = (
-        joint.join(F.broadcast(ja), a)
-        .join(F.broadcast(jb), b)
-        .crossJoin(F.broadcast(n))
-        .agg(
-            F.sum(
-                (F.col("c") / F.col("n"))
-                * F.log(
-                    F.col("c")
-                    * F.col("n")
-                    / (F.col("ca") * F.col("cb"))
-                )
-            ).alias("mi_raw")
-        )
+    columns.
+
+    r13 (guide §1.2/§2.4): ONE joint aggregate (map-side combined,
+    bounded by |a| x |b| — the category domains) is collected and the
+    marginals/entropies/NMI derive from it DRIVER-SIDE — the r12/r13
+    sufficient-statistics pattern (pca/gmm precedent). The previous
+    form scanned the corpus 4x (joint + both marginals + count) and
+    scheduled ~15 broadcast-exchange jobs per table for five scalar
+    outputs; marginals are column sums of the joint, so those passes
+    were pure re-reads. 6-dp rounding absorbs summation-order noise,
+    same contract as every portable fit. NOTE: collection makes this
+    helper EAGER at build time (bounded rows — the registered-query
+    entry point is the intended caller)."""
+    from ..functions.rounding import spark_round
+    from ..sources.tables import literal_frame
+
+    spark = df.sparkSession
+    out_schema = (
+        "pair string, mi double, h_a double, h_b double, nmi double"
     )
-
-    def _h(m: DataFrame, cnt: str, out: str) -> DataFrame:
-        p = F.col(cnt) / F.col("n")
-        return m.crossJoin(F.broadcast(n)).agg(
-            F.sum(-p * F.log(p)).alias(out)
+    rows = df.groupBy(a, b).agg(F.count("*").alias("c")).collect()
+    if not rows:
+        # empty input: every aggregate in the old plan returned NULL
+        return literal_frame(
+            spark, out_schema, [(label, None, None, None, None)]
         )
+    # deterministic fold order (collect order follows partitioning)
+    cells = sorted(
+        ((r[a], r[b], r["c"]) for r in rows),
+        key=lambda t: (repr(t[0]), repr(t[1])),
+    )
+    n = float(sum(c for _, _, c in cells))
+    ca: dict = {}
+    cb: dict = {}
+    for va, vb, c in cells:
+        ca[va] = ca.get(va, 0) + c
+        cb[vb] = cb.get(vb, 0) + c
+    import math
 
-    return (
-        mi.crossJoin(F.broadcast(_h(ja, "ca", "ha_raw")))
-        .crossJoin(F.broadcast(_h(jb, "cb", "hb_raw")))
-        .select(
-            F.lit(label).alias("pair"),
-            F.round("mi_raw", 6).alias("mi"),
-            F.round("ha_raw", 6).alias("h_a"),
-            F.round("hb_raw", 6).alias("h_b"),
-            F.round(
-                F.col("mi_raw")
-                / F.sqrt(F.col("ha_raw") * F.col("hb_raw")),
-                6,
-            ).alias("nmi"),
-        )
+    mi_raw = sum(
+        (c / n) * math.log(c * n / (ca[va] * cb[vb]))
+        for va, vb, c in cells
+    )
+    ha_raw = sum(
+        -(x / n) * math.log(x / n) for x in ca.values()
+    )
+    hb_raw = sum(
+        -(x / n) * math.log(x / n) for x in cb.values()
+    )
+    denom = math.sqrt(ha_raw * hb_raw)
+    # Spark's double Divide returns NULL on a zero divisor
+    nmi = None if denom == 0.0 else spark_round(mi_raw / denom)
+    return literal_frame(
+        spark,
+        out_schema,
+        [
+            (
+                label,
+                spark_round(mi_raw),
+                spark_round(ha_raw),
+                spark_round(hb_raw),
+                nmi,
+            )
+        ],
     )
 
 

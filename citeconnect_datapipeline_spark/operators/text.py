@@ -2198,32 +2198,47 @@ def readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole-stage codegen: no shuffle, no explode, no UDF, scaling as
     a pure map at any corpus size. The band label is derived from
     the 6-dp-rounded score on both engines so the cut cannot flip."""
-    docs = load_table(spark, sf_dir, "documents")
-    words = F.filter(
-        F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
-        lambda x: x != F.lit(""),
+    # r13 (guide §2.6/§6): the verification lakes ship documents as
+    # ONE parquet file, so this pure-map regex query ran its whole
+    # scan stage on a single core; the conditional spread
+    # round-robins the small scan across defaultParallelism and
+    # no-ops on an already-wide scan. The trailing global sort
+    # (corpus-grain range exchange + sort, pure output cosmetics) is
+    # dropped — the driver contract hash-compares row-sorted (r12
+    # extraction/equidepth precedent).
+    docs = spread_small_source(load_table(spark, sf_dir, "documents"))
+    # r13 (guide §4.1 built-ins over HOFs): every per-doc statistic
+    # is a regexp_count over the lowered text — the previous form
+    # split the text into a word array and ran an interpreted
+    # rlike-per-word HOF (`filter(w, x -> x rlike ...)`, no codegen)
+    # just to count vowel-less words. Identities: n_words = number of
+    # maximal [a-z0-9]+ runs; a run matches '[a-z0-9]*[aeiouy][a-z0-9]*'
+    # exactly once iff it contains a vowel (greedy match consumes the
+    # whole run; vowel-less runs match nowhere), so
+    # words_with_vowel = that count and the silent-word correction is
+    # n_words - words_with_vowel, unchanged.
+    lower = F.lower(F.col("text"))
+    n_words = F.regexp_count(lower, F.lit("[a-z0-9]+"))
+    vowel_words = F.regexp_count(
+        lower, F.lit("[a-z0-9]*[aeiouy][a-z0-9]*")
     )
     base = docs.select(
         "doc_id",
         F.greatest(
             F.regexp_count(F.col("text"), F.lit("[.!?]+")), F.lit(1)
         ).alias("n_sentences"),
-        words.alias("w"),
-        F.regexp_count(F.lower(F.col("text")), F.lit("[aeiouy]+")).alias(
-            "vowel_groups"
-        ),
+        n_words.alias("nw"),
+        (
+            F.regexp_count(lower, F.lit("[aeiouy]+"))
+            + n_words
+            - vowel_words
+        ).alias("syl"),
     )
-    counted = base.filter(F.size("w") > 0).select(
+    counted = base.filter(F.col("nw") > 0).select(
         "doc_id",
         F.col("n_sentences").cast("bigint").alias("n_sentences"),
-        F.size("w").cast("bigint").alias("n_words"),
-        (
-            F.col("vowel_groups")
-            + F.size("w")
-            - F.size(F.filter(F.col("w"), lambda x: x.rlike("[aeiouy]")))
-        )
-        .cast("bigint")
-        .alias("n_syllables"),
+        F.col("nw").cast("bigint").alias("n_words"),
+        F.col("syl").cast("bigint").alias("n_syllables"),
     )
     wps = F.col("n_words") * 1.0 / F.col("n_sentences")
     spw = F.col("n_syllables") * 1.0 / F.col("n_words")
@@ -2239,7 +2254,7 @@ def readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(flesch >= 30, "standard")
         .otherwise("difficult")
         .alias("band"),
-    ).orderBy("doc_id")
+    )
 
 
 CHI2_MIN_DF = 30  # terms in fewer docs carry no selection signal
@@ -3526,66 +3541,72 @@ def rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrdered 25-row page. Nothing pairwise, nothing
     corpus-grain after the phrase aggregate (phrase space is
     Heaps-bounded like the shingle tables)."""
-    docs = load_table(spark, sf_dir, "documents")
+    # r13 (guide §2.6/§6): spread the one-file verification scan so
+    # the RAKE_SPLIT regex explode uses every core (no-op at scale)
+    docs = spread_small_source(
+        load_table(spark, sf_dir, "documents")
+    )
     phrases = (
         docs.select(
-            "doc_id",
             F.explode(
                 F.split(F.lower(F.col("text")), RAKE_SPLIT)
             ).alias("p"),
         )
-        .select("doc_id", F.trim(F.col("p")).alias("phrase"))
+        .select(F.trim(F.col("p")).alias("phrase"))
         .filter(
             (F.col("phrase") != "") & (F.length("phrase") >= 3)
         )
     )
+    # r13 (guide §2.3/§2.4): ONE phrase-grain aggregate carries the
+    # occurrence multiplicity n; every downstream stage then runs at
+    # DISTINCT-phrase grain (Heaps-bounded vocab), not occurrence
+    # grain. The previous form referenced the corpus-wide regex
+    # explode 3x (pw / distinct / occ) — 8 parquet scans of the text
+    # column and occurrence-grain word explodes. Every statistic is
+    # multiplicity-linear, so the weighted forms are exact:
+    # freq = Σ n, degree = Σ (plen-1)·n, phrase-sum = n·Σ_words, and
+    # the per-occurrence normalization divides n back out. Pinned:
+    # three consumers, vocab-sized rows.
+    ph = (
+        phrases.groupBy("phrase")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint()
+    )
     words_arr = F.filter(
         F.split(F.col("phrase"), " +"), lambda x: x != ""
     )
-    pw = phrases.select(
+    pw = ph.select(
         "phrase",
+        "n",
         F.explode(F.split(F.col("phrase"), " +")).alias("word"),
         F.size(words_arr).alias("plen"),
+    ).filter(F.col("word") != "")
+    wstats = pw.groupBy("word").agg(
+        F.sum("n").alias("freq"),
+        F.sum((F.col("plen") - 1) * F.col("n")).alias("degree"),
     )
-    wstats = (
-        pw.filter(F.col("word") != "")
-        .groupBy("word")
-        .agg(
-            F.count("*").alias("freq"),
-            F.sum(F.col("plen") - 1).alias("degree"),
-        )
-    )
-    dp = phrases.select("phrase").distinct()
     pscore = (
-        dp.join(pw, "phrase")
-        .filter(F.col("word") != "")
-        .join(wstats, "word")
-        .groupBy("phrase")
+        pw.join(wstats, "word")
+        .groupBy("phrase", "n")
         .agg(
-            F.round(
-                F.sum(
-                    (F.col("degree") + F.col("freq"))
-                    * 1.0
-                    / F.col("freq")
-                ),
-                6,
-            ).alias("rake_score")
+            F.sum(
+                (F.col("degree") + F.col("freq"))
+                * 1.0
+                / F.col("freq")
+            ).alias("s")
         )
-    )
-    occ = phrases.groupBy("phrase").agg(
-        F.count("*").alias("n_docs_hit")
-    )
-    score = F.round(
-        F.col("rake_score") / F.col("n_docs_hit"), 6
-    )
-    return (
-        pscore.join(occ, "phrase")
         .select(
             "phrase",
+            "n",
+            F.round(F.col("s") * F.col("n"), 6).alias("rake_score"),
+        )
+    )
+    score = F.round(F.col("rake_score") / F.col("n"), 6)
+    return (
+        pscore.select(
+            "phrase",
             score.alias("rake_score"),
-            F.col("n_docs_hit").cast("bigint").alias(
-                "n_occurrences"
-            ),
+            F.col("n").cast("bigint").alias("n_occurrences"),
         )
         .orderBy(F.desc("rake_score"), "phrase")
         .limit(RAKE_TOPK)

@@ -650,6 +650,71 @@ def domain_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 BOILER_MIN_DF = 6
 
 
+def _gram_rows(words: DataFrame) -> DataFrame:
+    """Vectorized positional 3-gram stream: (doc_id, n_words, i, g)
+    for i in 1..greatest(n_words - 2, 1), g = the space-joined run
+    w[i-1..i+1] clipped at the doc tail — bit-identical to the
+    interpreted ``transform(sequence, concat_ws)`` HOF it replaces
+    (concat_ws skips out-of-range NULLs; empty split tokens keep
+    their bytes). One pyarrow pass per batch: three index-shifted
+    takes over the flattened word values + binary_join_element_wise
+    with null-skip (guide §4.2)."""
+
+    def gen(batches):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            keys = batch.column(0)
+            la = batch.column(1)
+            if isinstance(la, pa.ChunkedArray):  # defensive
+                la = la.combine_chunks()
+            doff = la.offsets.to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            doff = doff - doff[0]
+            vals = la.flatten()  # StringArray of exactly these words
+            nw = np.diff(doff)
+            valid = ~la.is_null().to_numpy(zero_copy_only=False)
+            m = np.where(valid, np.maximum(nw - 2, 1), 0)
+            goff = np.concatenate(([0], np.cumsum(m)))
+            total = int(goff[-1])
+            if total == 0:
+                continue
+            didx = np.repeat(np.arange(batch.num_rows), m)
+            j = np.arange(total) - goff[didx]
+            base, end = doff[didx], doff[didx] + nw[didx]
+            i0 = base + j
+            i1, i2 = i0 + 1, i0 + 2
+            t0 = vals.take(pa.array(i0))
+            t1 = vals.take(pa.array(i1, mask=i1 >= end))
+            t2 = vals.take(pa.array(i2, mask=i2 >= end))
+            g = pc.binary_join_element_wise(
+                t0, t1, t2, " ", null_handling="skip"
+            )
+            yield pa.record_batch(
+                [
+                    keys.take(pa.array(didx)),
+                    pa.array(nw[didx].astype(np.int32)),
+                    pa.array((j + 1).astype(np.int32)),
+                    g,
+                ],
+                names=["doc_id", "n_words", "i", "g"],
+            )
+
+    from ..sources.tables import spread_small_source
+
+    src = spread_small_source(
+        words.filter(F.col("w").isNotNull())
+    ).select("doc_id", "w")
+    return src.mapInArrow(
+        gen, "doc_id long, n_words int, i int, g string"
+    )
+
+
 @query(
     "boilerplate_phrase_stats",
     oracle=f"""
@@ -704,18 +769,17 @@ def boilerplate_phrase_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.split(F.lower(F.col("text")), "[^a-z0-9]+").alias("w"),
     )
-    grams = words.select(
-        "doc_id",
-        F.size("w").alias("n_words"),
-        F.explode(
-            F.expr(
-                "transform(sequence(1, greatest(size(w) - 2, 1)), "
-                "i -> struct(i AS i, "
-                "concat_ws(' ', w[i-1], w[i], w[i+1]) AS g))"
-            )
-        ).alias("x"),
-    ).select("doc_id", "n_words", F.col("x.i").alias("i"), F.col("x.g").alias("g"))
-    grams = grams.filter(F.col("g") != "")
+    # r13 (guide §4.2): the positional 3-gram stream was an
+    # interpreted `transform(sequence, concat_ws)` HOF (~35 us/gram,
+    # no codegen) evaluated TWICE (the boilerplate-df branch and the
+    # coverage join both read `grams`) — the whole-query longpole at
+    # sf1 (18.5 s isolated). `_gram_rows` emits the IDENTICAL
+    # (doc_id, n_words, i, g) rows — same 1-based i, same concat_ws
+    # NULL-skip tail semantics for short docs, same empty-token
+    # bytes — from one vectorized pyarrow pass (take + element-wise
+    # join over the flattened word buffer); equality pinned by
+    # tests/test_round13_ops.py against the HOF form on the lake.
+    grams = _gram_rows(words).filter(F.col("g") != "")
     # phrases above an ABSOLUTE min-df grow with the corpus, so
     # no forced hint: AQE broadcasts the boilerplate set while it
     # fits, shuffle-joins on g when it does not (r8 guard)

@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..plans.registry import query
-from ..sources.tables import load_table
+from ..sources.tables import load_table, spread_small_source
 
 # Shared clean expression (T1 suite, matches scalar_text_clean).
 def _cleaned(col):
@@ -283,7 +283,11 @@ def chunk_embed_search_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     in-memory [N, dim] matrix."""
     from ..operators.similarity import _FakeModel, _dot
 
-    docs = load_table(spark, sf_dir, "documents")
+    # r13 (guide §2.6/§4.5): the one-file verification scan fed the
+    # chunk explode AND the mapInPandas encoder on a single core;
+    # the conditional spread fans the Python embed stage across
+    # every worker (no-op on an already-wide scan)
+    docs = spread_small_source(load_table(spark, sf_dir, "documents"))
     content = _cleaned(F.col("text"))
     # sentence-ish chunks: fixed 40-word windows with 10-word overlap
     words = F.split(content, " ")
@@ -471,9 +475,12 @@ def sentence_chunk_embed_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text import _chunk_text_sentence_preserving
 
     chunk_size, overlap, min_chunk = 64, 16, 40
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", _cleaned(F.col("text")).alias("content")
-    )
+    # r13: same conditional spread as chunk_embed_search_e2e — the
+    # fused chunk+encode Python stage otherwise runs on the single
+    # scan task the one-file verification lake produces
+    docs = spread_small_source(
+        load_table(spark, sf_dir, "documents")
+    ).select("doc_id", _cleaned(F.col("text")).alias("content"))
 
     def chunk_and_embed(batches):
         model = _FakeModel.get()

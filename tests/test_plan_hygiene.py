@@ -218,6 +218,8 @@ BUILD_EXECUTES = {
     # self-join never re-derives the corpus scan (16 unpinned scans)
     "ann_ivf_topk",
     "ann_ivfpq_topk",  # IVF centroid + PQ codebook sample fits
+    "categorical_mutual_information",  # collects the bounded
+    # |a| x |b| joint grids and derives MI/H/NMI driver-side (r13)
     "ann_pq_portable",  # collects the M*K*ds=256-double codebook once
     "bpe_merge_ranks",  # merge loop collects 1 argmax row per round
     "bpe_portable",  # same contract: 1 argmax row per unrolled round

@@ -250,3 +250,100 @@ def test_spark_round_parity_random(spark):
     want = [r["r"] for r in df.collect()]
     got = [spark_round(v) for v in vals]
     assert got == want
+
+
+# ---------------------------------------------------------------- #
+# _gram_rows: the vectorized positional 3-gram stream must emit    #
+# EXACTLY the rows of the interpreted transform/concat_ws HOF it   #
+# replaced in boilerplate_phrase_stats (same 1-based i, same       #
+# NULL-skip tail joins for short docs, same empty-token bytes).    #
+# ---------------------------------------------------------------- #
+
+
+def _legacy_gram_rows(words):
+    return words.select(
+        "doc_id",
+        F.size("w").alias("n_words"),
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(w) - 2, 1)), "
+                "i -> struct(i AS i, "
+                "concat_ws(' ', w[i-1], w[i], w[i+1]) AS g))"
+            )
+        ).alias("x"),
+    ).select(
+        "doc_id",
+        "n_words",
+        F.col("x.i").alias("i"),
+        F.col("x.g").alias("g"),
+    )
+
+
+def _gram_sorted(df):
+    return sorted(
+        (r["doc_id"], r["n_words"], r["i"], r["g"])
+        for r in df.collect()
+    )
+
+
+def _words_frame(spark, sf_dir):
+    from citeconnect_datapipeline_spark.sources.tables import load_table
+
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+").alias("w"),
+    )
+
+
+def test_gram_rows_matches_hof_on_lake(spark):
+    from citeconnect_datapipeline_spark.operators.training import (
+        _gram_rows,
+    )
+
+    words = _words_frame(spark, SF_DIR)
+    assert _gram_sorted(_gram_rows(words)) == _gram_sorted(
+        _legacy_gram_rows(words)
+    )
+
+
+def test_gram_rows_matches_hof_on_edge_corpus(spark):
+    """Short docs (1- and 2-word tails hit the concat_ws NULL-skip),
+    leading/trailing delimiters (empty split tokens keep their
+    bytes), a NULL text row (dropped by both forms), multibyte
+    chars, and an empty string. The legacy HOF needs ANSI off for
+    the out-of-range w[i] tail accesses to yield NULL (the oracle's
+    list_slice semantics, which the kernel reproduces); under the
+    session default ANSI=on the legacy form ERRORS on sub-3-word
+    docs — the lake has none, and the kernel is strictly more
+    defined there."""
+    from citeconnect_datapipeline_spark.operators.training import (
+        _gram_rows,
+    )
+
+    s = spark.newSession()
+    s.conf.set("spark.sql.ansi.enabled", "false")
+    rows = [
+        (1, "one"),
+        (2, "two words"),
+        (3, "now three words"),
+        (4, "  leading and trailing  "),
+        (5, None),
+        (6, ""),
+        (7, "a-b-c-d"),
+        (8, "emoji 😀 inside text"),
+        (9, "x " * 300),
+    ]
+    docs = s.createDataFrame(rows, "doc_id long, text string")
+    words = docs.select(
+        "doc_id",
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+").alias("w"),
+    )
+    # compare at the consumed contract: the query filters g != ''
+    # (which also drops the NULL-text row the legacy form emits as a
+    # single all-NULL concat_ws = '' gram with n_words = -1)
+    got = _gram_sorted(_gram_rows(words).filter(F.col("g") != ""))
+    want = _gram_sorted(
+        _legacy_gram_rows(words).filter(F.col("g") != "")
+    )
+    assert got == want
+    assert any(r[0] == 1 for r in got)  # 1-word doc emits its word
